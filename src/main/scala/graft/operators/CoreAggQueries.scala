@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Q, Tables}
+
+/** The pmacct core aggregation semantics (SURVEY §2.5, §2.8, §2.9) expressed
+  * over the driver test tables.
+  *
+  * pmacct's one aggregation shape is: project to key primitives, hash-group,
+  * accumulate SUM counters / bit-OR flags / min-max stitch timestamps
+  * (reference: `src/acct.c:42-122`, `src/plugin_common.c:229`,
+  * `docs/INTERNALS:192-254`). Spark expresses each as a declarative
+  * `groupBy(..).agg(..)` — partial (map-side) aggregation, whole-stage
+  * codegen and AQE partition coalescing come free from Catalyst, which is
+  * exactly the two-level plugin-cache + SQL-merge design pmacct hand-rolls.
+  *
+  * Numeric note: counters that are DOUBLE in the test tables are summed as
+  * DECIMAL(18,2|4) so results are order-independent (a 1000-executor shuffle
+  * must not change the answer) and hash-match the DuckDB oracle.
+  */
+object CoreAggQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // aggregate: <k1>,<k2> — "comma = AND", single flat GROUP BY
+    // (docs/INTERNALS:33-38).
+    Q("q01_agg_base",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).as("sum_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      doc = "flat hash aggregation over chosen key primitives"),
+
+    // aggregate: none — grand-total single row (CONFIG-KEYS:92-93).
+    Q("q02_agg_none",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec2)).as("sum_qty")),
+      Some("""SELECT count(*) AS n,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem"""),
+      doc = "aggregate: none — single global aggregate row"),
+
+    // sum_host / sum_as: account each record under BOTH its src and dst
+    // value (P_sum_host_insert, src/plugin_common.c:710-759). Spark: explode
+    // the (src,dst) pair pre-aggregation — one shuffle, no self-union scan.
+    Q("q03_sum_entity",
+      (s, d) => Tables.lineitem(s, d)
+        .select(
+          explode(array(col("l_partkey"), col("l_suppkey"))).as("entity"),
+          col("l_quantity"))
+        .groupBy("entity")
+        .agg(
+          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT entity,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              count(*) AS n
+              FROM (SELECT l_partkey AS entity, l_quantity FROM lineitem
+                    UNION ALL
+                    SELECT l_suppkey AS entity, l_quantity FROM lineitem)
+              GROUP BY entity"""),
+      doc = "sum_* double-accounting via explode(array(src,dst))"),
+
+    // tcp_flags accumulation: OR of all flags seen until flush
+    // (CONFIG-KEYS:144-150; tcp_flags_handler src/pkt_handlers.c:1606).
+    Q("q04_bitor_flags",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_or(l_linenumber)").as("flags_or"),
+          expr("bit_and(l_linenumber)").as("flags_and"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+              bit_or(l_linenumber) AS flags_or,
+              bit_and(l_linenumber) AS flags_and,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag"""),
+      doc = "bit_or accumulation (pmacct tcp_flags semantics)"),
+
+    // *_history temporal binning, day granularity with roundoff
+    // (P_eval_historical_acct, src/plugin_common.c:983-1010).
+    Q("q05_history_day",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec4)).as("sum_value")),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+              count(*) AS n_events,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "temporal binning: day-aligned history bins"),
+
+    // *_history fine bins: 5-minute bins keyed on epoch-aligned start
+    // (kafka_history: 5m; bin alignment CONFIG-KEYS:1419-1432).
+    Q("q06_history_5m",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          expr("(unix_timestamp(ts) div 300) * 300").as("bin_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec4)).as("sum_value")),
+      Some("""SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bin_start,
+              event_type, count(*) AS n_events,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "temporal binning: 5-minute epoch-aligned bins"),
+
+    // Stitching: per aggregate keep timestamp_min/timestamp_max
+    // (P_set_stitch/P_update_stitch, src/plugin_common.c:1080-1097).
+    Q("q07_stitch",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          expr("min(unix_micros(ts))").as("ts_min_us"),
+          expr("max(unix_micros(ts))").as("ts_max_us"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT user_id,
+              min(epoch_us(ts)) AS ts_min_us,
+              max(epoch_us(ts)) AS ts_max_us,
+              count(*) AS n_events
+              FROM events GROUP BY user_id"""),
+      doc = "stitching: timestamp_min/timestamp_max per aggregate"),
+
+    // preprocess minp/minb: HAVING >= N after aggregation
+    // (src/preprocess.c:395-425).
+    Q("q08_having_min",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec4)).as("sum_value"))
+        .where(col("n_events") >= 5 && col("sum_value") >= lit("100").cast(dec4)),
+      Some("""SELECT user_id, count(*) AS n_events,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY user_id
+              HAVING count(*) >= 5
+                 AND sum(CAST(value AS DECIMAL(18,4))) >= 100"""),
+      doc = "preprocess minp/minb: HAVING floor on aggregates"),
+
+    // Top-N: client-side `pmacct -T bytes,50` (src/pmacct.c:102) →
+    // ORDER BY .. LIMIT with a deterministic tiebreak.
+    Q("q09_topk",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(col("value").cast(dec4)).as("sum_value"))
+        .orderBy(col("sum_value").desc, col("user_id").asc)
+        .limit(10),
+      Some("""SELECT user_id,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY user_id
+              ORDER BY sum_value DESC, user_id ASC LIMIT 10"""),
+      doc = "top-N by counter with deterministic tiebreak"),
+
+    // IMT client exact-match query: -c k1,k2 -M v1,v2 (src/server.c:64;
+    // QUICKSTART:889-928) — point predicate, no re-aggregation.
+    Q("q10_match_exact",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_type") === "click" && col("user_id") % 100 === 7)
+        .select(
+          col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value")),
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events
+              WHERE event_type = 'click' AND user_id % 100 = 7"""),
+      doc = "interactive exact-match lookup (pmacct -M)")
+  )
+}
