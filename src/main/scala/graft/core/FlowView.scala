@@ -21,7 +21,7 @@ object FlowView {
 
   def fromEvents(events: DataFrame): DataFrame = events.select(
     col("event_id"),
-    (col("user_id") % 65536).as("ip_src"),
+    (col("user_id") * 48271 % 65536).as("ip_src"), // scatter over ip space
     ((col("event_id") * 31 + col("user_id")) % 65536).as("ip_dst"),
     (col("event_id") % 50000).as("port_src"),
     when(col("event_type") === "click", 80L)
@@ -39,7 +39,7 @@ object FlowView {
   /** DuckDB mirror of [[fromEvents]], for oracle SQL (`WITH flows AS (...)`). */
   val sql: String =
     """SELECT event_id,
-       user_id % 65536 AS ip_src,
+       user_id * 48271 % 65536 AS ip_src,
        (event_id * 31 + user_id) % 65536 AS ip_dst,
        event_id % 50000 AS port_src,
        CASE event_type WHEN 'click' THEN 80 WHEN 'view' THEN 443

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{FlowView, Q, Tables}
+import graft.maps.Dims
+import graft.plans.Lpm
+
+/** Enrichment joins (SURVEY §2.6): every pmacct lookup-map becomes a
+  * broadcast dimension (or a plan-resident LPM table); all joins here are
+  * broadcast — NO shuffle on the fact side, which is the property that must
+  * hold on a 1000-executor 100 TB scan.
+  *
+  * The exporter of a flow is modeled as `ip_src % 16` (16 synthetic
+  * exporters), mirrored verbatim in the oracle SQL.
+  */
+object EnrichQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d)).withColumn(
+      "exporter", col("ip_src") % 16)
+
+  private val flowsSqlCte =
+    s"WITH flows AS (SELECT *, ip_src % 16 AS exporter FROM (${FlowView.sql}))"
+
+  /** DuckDB longest-prefix-match scalar subquery over a prefix dim. */
+  private def lpmSql(dim: String, ip: String, value: String): String =
+    s"""(SELECT n.$value FROM $dim n
+        WHERE ((($ip) >> (16 - n.len)) << (16 - n.len)) = n.base
+        ORDER BY n.len DESC LIMIT 1)"""
+
+  private val netTable = new Lpm.Table(16, Dims.networkPrefixes)
+  private val ribTable = new Lpm.Table(17, Dims.ribPrefixes17)
+  private val roaTable = new Lpm.Table(16, Dims.roaStateByNetwork)
+
+  private val dec2 = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    // Generic fact⋈dim enrichment on the TPC-H tables: lineitem enriched
+    // with part attributes, dim broadcast (pmacct shape: record + map).
+    Q("q19_enrich_bcast",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT p_brand,
+              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              count(*) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand"""),
+      doc = "broadcast dimension enrichment join"),
+
+    // networks_file LPM — join strategy: one broadcast LEFT join per
+    // distinct mask length, longest-first coalesce (src/net_aggr.c:895).
+    Q("q20_networks_lpm",
+      (s, d) => Lpm.joinLongestMatch(flows(s, d), Dims.networks(s),
+          col("ip_src"), Dims.networkLens, 16, Seq("asn"),
+          _ => "asn_src")
+        .groupBy("asn_src")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}
+            SELECT ${lpmSql("networks", "f.ip_src", "asn")} AS asn_src,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows f GROUP BY asn_src"""),
+      doc = "networks_file LPM via chained broadcast joins"),
+
+    // networks_file LPM — native Catalyst Expression strategy: the prefix
+    // table rides in the plan, lookup inside whole-stage codegen
+    // (SURVEY §4 custom inventory item 1).
+    Q("q21_lpm_expr",
+      (s, d) => flows(s, d)
+        .withColumn("asn_dst", Lpm.lpm(col("ip_dst"), netTable))
+        .groupBy("asn_dst")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}
+            SELECT ${lpmSql("networks", "f.ip_dst", "asn")} AS asn_dst,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows f GROUP BY asn_dst"""),
+      doc = "networks_file LPM via native codegen Expression"),
+
+    // nfacctd_allow_file: accept only listed exporters (CONFIG-KEYS:2003).
+    Q("q22_allow_list",
+      (s, d) => flows(s, d)
+        .join(broadcast(Dims.allowList(s)), Seq("exporter"), "left_semi")
+        .groupBy("exporter")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.allowSql}
+            SELECT exporter, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows WHERE exporter IN (SELECT exporter FROM allow_list)
+            GROUP BY exporter"""),
+      doc = "exporter allow-list semi-join"),
+
+    // networks_file_filter: drop records whose src AND dst both miss the
+    // networks table (CONFIG-KEYS:1054-1060).
+    Q("q23_networks_filter",
+      (s, d) => flows(s, d)
+        .withColumn("asn_src", Lpm.lpm(col("ip_src"), netTable))
+        .withColumn("asn_dst", Lpm.lpm(col("ip_dst"), netTable))
+        .filter(col("asn_src").isNotNull || col("asn_dst").isNotNull)
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}
+            SELECT count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes FROM (
+              SELECT bytes,
+                ${lpmSql("networks", "f.ip_src", "asn")} AS asn_src,
+                ${lpmSql("networks", "f.ip_dst", "asn")} AS asn_dst
+              FROM flows f)
+            WHERE asn_src IS NOT NULL OR asn_dst IS NOT NULL"""),
+      doc = "networks_file_filter: drop double-miss records"),
+
+    // sampling_map renormalization: exporter → rate, counters × rate
+    // (NF_sampling_rate_handler src/pkt_handlers.c:3690;
+    // counters_renormalize_handler :1773).
+    Q("q24_sampling_renorm",
+      (s, d) => flows(s, d)
+        .join(broadcast(Dims.samplingMap(s)), Seq("exporter"))
+        .groupBy("exporter")
+        .agg(max("rate").as("rate"),
+          sum(col("bytes") * col("rate")).as("bytes_renorm"),
+          sum(col("packets") * col("rate")).as("packets_renorm")),
+      Some(s"""$flowsSqlCte, ${Dims.samplingSql}
+            SELECT f.exporter, max(m.rate) AS rate,
+              CAST(sum(f.bytes * m.rate) AS BIGINT) AS bytes_renorm,
+              CAST(sum(f.packets * m.rate) AS BIGINT) AS packets_renorm
+            FROM flows f JOIN sampling_map m ON f.exporter = m.exporter
+            GROUP BY f.exporter"""),
+      doc = "sampling_map lookup + counter renormalization"),
+
+    // GeoIP-style range join: [ip_lo, ip_hi] → country. Scale path: explode
+    // ranges into fixed-width buckets, equi-join on bucket (broadcast),
+    // refine with BETWEEN — turns a non-equi range join into an equi join
+    // (CONFIG-KEYS:3363-3371).
+    Q("q25_geo_range",
+      (s, d) => {
+        val b = Dims.geoBucket
+        val geoBuckets = Dims.geo(s).withColumn("bucket",
+          explode(expr(s"sequence(ip_lo div $b, ip_hi div $b)")))
+        flows(s, d)
+          .join(broadcast(geoBuckets),
+            expr(s"ip_src div $b") === col("bucket") &&
+              col("ip_src").between(col("ip_lo"), col("ip_hi")),
+            "left")
+          .groupBy("country")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.geoSql}
+            SELECT g.country, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows f LEFT JOIN geo g
+              ON f.ip_src BETWEEN g.ip_lo AND g.ip_hi
+            GROUP BY g.country"""),
+      doc = "geo range join via bucketed equi-join"),
+
+    // bgp_agent_map + per-peer RIB lookup: exporter → peer, then keyed LPM
+    // over the (peer, ip) product space in ONE probe
+    // (bgp_srcdst_lookup src/bgp/bgp_lookup.c:33, bta :66-85).
+    Q("q26_rib_lookup",
+      (s, d) => flows(s, d)
+        .join(broadcast(Dims.bgpAgentMap(s)), Seq("exporter"))
+        .withColumn("peer_dst_as",
+          Lpm.lpm(col("peer") * 65536L + col("ip_dst"), ribTable))
+        .groupBy("peer", "peer_dst_as")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.bgpAgentSql}, ${Dims.ribSql}
+            SELECT b.peer,
+              (SELECT r.origin_as FROM rib r WHERE r.peer = b.peer
+                 AND ((f.ip_dst >> (16 - r.len)) << (16 - r.len)) = r.base
+               ORDER BY r.len DESC LIMIT 1) AS peer_dst_as,
+              count(*) AS n, CAST(sum(f.bytes) AS BIGINT) AS bytes
+            FROM flows f JOIN bgp_agent_map b ON f.exporter = b.exporter
+            GROUP BY 1, 2"""),
+      doc = "BGP RIB lookup: agent map + keyed LPM expression"),
+
+    // bgp_follow_nexthop: bounded recursive next-hop resolution, depth 3
+    // (bgp_follow_nexthop_lookup src/bgp/bgp_lookup.c:480).
+    Q("q27_follow_nexthop",
+      (s, d) => {
+        val nh0 = when(col("ip_dst") % 11 === 0, 10L)
+          .when(col("ip_dst") % 11 === 1, 20L)
+          .when(col("ip_dst") % 11 === 2, 40L)
+          .when(col("ip_dst") % 11 === 3, 50L)
+        val start = flows(s, d).withColumn("cur", nh0)
+        val resolved = (1 to 3).foldLeft(start) { (acc, h) =>
+          val dim = Dims.nexthops(s)
+            .select(col("nh").as(s"__nh$h"), col("nh_next").as(s"__nn$h"))
+          acc.join(broadcast(dim), col("cur") === col(s"__nh$h"), "left")
+            .withColumn("cur", coalesce(col(s"__nn$h"), col("cur")))
+            .drop(s"__nh$h", s"__nn$h")
+        }
+        resolved.groupBy(col("cur").as("nh_final"))
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.nexthopsSql},
+            s0 AS (SELECT bytes,
+              CASE WHEN ip_dst % 11 = 0 THEN 10 WHEN ip_dst % 11 = 1 THEN 20
+                   WHEN ip_dst % 11 = 2 THEN 40 WHEN ip_dst % 11 = 3 THEN 50
+              END AS cur FROM flows),
+            s1 AS (SELECT bytes, coalesce(n.nh_next, s0.cur) AS cur
+                   FROM s0 LEFT JOIN nexthops n ON s0.cur = n.nh),
+            s2 AS (SELECT bytes, coalesce(n.nh_next, s1.cur) AS cur
+                   FROM s1 LEFT JOIN nexthops n ON s1.cur = n.nh),
+            s3 AS (SELECT bytes, coalesce(n.nh_next, s2.cur) AS cur
+                   FROM s2 LEFT JOIN nexthops n ON s2.cur = n.nh)
+            SELECT cur AS nh_final, count(*) AS n,
+              CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM s3 GROUP BY cur"""),
+      doc = "bounded recursive next-hop resolution (3 hops)"),
+
+    // RPKI ROA validation (src/rpki/): validate the *route* (networks_file
+    // entry) once at plan build, then per-record state is a single LPM
+    // probe — 1=valid 2=invalid 3=unknown, misses are unknown.
+    Q("q28_rpki_roa",
+      (s, d) => flows(s, d)
+        .withColumn("roa_state",
+          coalesce(Lpm.lpm(col("ip_dst"), roaTable), lit(3L)))
+        .groupBy("roa_state")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}, ${Dims.roasSql},
+            m AS (SELECT f.bytes,
+              (SELECT max(n.len) FROM networks n
+               WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS nlen,
+              ${lpmSql("networks", "f.ip_dst", "asn")} AS nasn,
+              (SELECT arg_max(n.base, n.len) FROM networks n
+               WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS nbase
+              FROM flows f)
+            SELECT CASE
+              WHEN nlen IS NULL THEN 3
+              WHEN EXISTS (SELECT 1 FROM roas r WHERE r.len <= m.nlen
+                AND ((m.nbase >> (16 - r.len)) << (16 - r.len)) = r.base
+                AND r.asn = m.nasn AND m.nlen <= r.max_len) THEN 1
+              WHEN EXISTS (SELECT 1 FROM roas r WHERE r.len <= m.nlen
+                AND ((m.nbase >> (16 - r.len)) << (16 - r.len)) = r.base)
+                THEN 2
+              ELSE 3 END AS roa_state,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM m GROUP BY 1"""),
+      doc = "RPKI ROA validation as plan-time route validation + LPM"),
+
+    // tmp_asa_bi_flow: pair forward/reverse flows — the one fact-fact
+    // correlation in the reference (CONFIG-KEYS:3712). Site-level (mod 256)
+    // pairing; a genuine shuffle join on the pair key.
+    Q("q29_biflow",
+      (s, d) => {
+        val f = flows(s, d).select(
+          col("event_id"), (col("ip_src") % 256).as("site_src"),
+          (col("ip_dst") % 256).as("site_dst"), col("bytes"))
+        val f1 = f.select(col("event_id").as("id1"),
+          col("site_src").as("a"), col("site_dst").as("b"),
+          col("bytes").as("bytes1"))
+        val f2 = f.select(col("event_id").as("id2"),
+          col("site_src").as("b2"), col("site_dst").as("a2"),
+          col("bytes").as("bytes2"))
+        f1.join(f2, col("a") === col("a2") && col("b") === col("b2") &&
+            col("id1") < col("id2"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("bytes1") + col("bytes2")).as("bytes_total"))
+      },
+      Some(s"""$flowsSqlCte
+            SELECT count(*) AS n_pairs,
+              CAST(sum(f1.bytes + f2.bytes) AS BIGINT) AS bytes_total
+            FROM flows f1 JOIN flows f2
+              ON f1.ip_src % 256 = f2.ip_dst % 256
+             AND f1.ip_dst % 256 = f2.ip_src % 256
+             AND f1.event_id < f2.event_id"""),
+      doc = "bi-flow pairing: fact-fact self-join on reversed key"),
+
+    // tee plugin hash balancing: deterministic receiver assignment
+    // (src/tee_plugin/tee_plugin.c; balance = hash % N).
+    Q("q30_tee_balance",
+      (s, d) => flows(s, d)
+        .withColumn("receiver", (col("event_id") * 2654435761L) % 1000003L % 4)
+        .groupBy("receiver")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(s"""$flowsSqlCte
+            SELECT (event_id * 2654435761) % 1000003 % 4 AS receiver,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows GROUP BY 1"""),
+      doc = "tee replication hash balancing")
+  )
+}

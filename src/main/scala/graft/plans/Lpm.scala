@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Longest-prefix-match lookup — the enrichment join pmacct does against the
+  * networks_file table and the BGP RIB (`search_src_host`
+  * src/net_aggr.c:895, `bgp_srcdst_lookup` src/bgp/bgp_lookup.c:33).
+  *
+  * Spark has no LPM operator, so this is the engine's first custom Catalyst
+  * piece (SURVEY §4 "custom Catalyst inventory"). Two physical strategies:
+  *
+  *  1. [[LpmLookup]] — a native `Expression` holding the prefix table
+  *    (per-mask-length hash maps, the same shape as pmacct's `maps_index`
+  *    bitmap-hash). O(#distinct masks) per row, participates in whole-stage
+  *    codegen via `doGenCode`, NO join and NO shuffle: at 100 TB the table
+  *    ships once per executor inside the serialized plan, like a broadcast.
+  *    Right whenever the prefix table fits in memory (networks_file and
+  *    full-internet RIBs — ~1M prefixes ≈ tens of MB — both do).
+  *
+  *  2. [[Lpm.joinLongestMatch]] — chained broadcast LEFT joins, one per
+  *    distinct mask length (longest first), coalesced first-match. Stays
+  *    fully declarative (Catalyst sees ordinary joins) for when the dim
+  *    must live as a table (e.g. time-versioned RIB in Delta). Also
+  *    shuffle-free: every join side is broadcast.
+  */
+object Lpm {
+
+  /** Immutable LPM table over a `width`-bit address space. */
+  final class Table(val width: Int,
+                    prefixes: Seq[(Long, Int, Long)]) extends Serializable {
+    val lens: Array[Int] =
+      prefixes.map(_._2).distinct.sorted(Ordering.Int.reverse).toArray
+    private val maps: Array[java.util.HashMap[java.lang.Long, java.lang.Long]] =
+      lens.map { len =>
+        val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        prefixes.filter(_._2 == len).foreach { case (base, _, v) =>
+          m.put(mask(base, len), v)
+        }
+        m
+      }
+    private def mask(ip: Long, len: Int): Long = {
+      val shift = width - len
+      if (shift >= 64) 0L else (ip >>> shift) << shift
+    }
+    /** Longest-match value or Long.MinValue sentinel on miss. */
+    def lookup(ip: Long): Long = {
+      var i = 0
+      while (i < lens.length) {
+        val v = maps(i).get(mask(ip, lens(i)))
+        if (v != null) return v.longValue()
+        i += 1
+      }
+      Long.MinValue
+    }
+  }
+
+  /** Column API: `lpm(col("ip_dst"), table)` → matched value or NULL. */
+  def lpm(ip: Column, table: Table): Column =
+    ColumnBridge.column(LpmLookup(ColumnBridge.expression(ip), table))
+
+  /** Strategy 2: longest-match via one broadcast LEFT join per distinct
+    * mask length, coalesced longest-first. `dim` must have columns
+    * (base, len); `valueCols` are the dim columns to carry over.
+    */
+  def joinLongestMatch(df: DataFrame, dim: DataFrame, ip: Column,
+                       lens: Seq[Int], width: Int, valueCols: Seq[String],
+                       out: String => String = identity): DataFrame = {
+    val lensDesc = lens.sorted(Ordering.Int.reverse)
+    val joined = lensDesc.foldLeft(df) { (acc, len) =>
+      val d = dim.filter(col("len") === len)
+        .select(col("base") +: valueCols.map(c =>
+          col(c).as(s"__${c}_$len")): _*)
+      val shift = width - len
+      val masked = if (shift >= 64) lit(0L)
+        else shiftleft(shiftright(ip, shift), shift)
+      acc.join(broadcast(d), masked === col("base"), "left").drop("base")
+    }
+    valueCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(out(c),
+        coalesce(lensDesc.map(l => col(s"__${c}_$l")): _*))
+    }.drop(valueCols.flatMap(c => lensDesc.map(l => s"__${c}_$l")): _*)
+  }
+}
+
+/** Native LPM expression: `child` (LongType ip) → longest-match value, NULL
+  * on miss. The table rides inside the plan (one copy per executor), and
+  * `doGenCode` keeps the lookup inside whole-stage codegen.
+  */
+case class LpmLookup(child: Expression, table: Lpm.Table)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lpm_lookup"
+
+  protected override def nullSafeEval(ip: Any): Any = {
+    val r = table.lookup(ip.asInstanceOf[Long])
+    if (r == Long.MinValue) null else r
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpmTable", table,
+      classOf[Lpm.Table].getName)
+    nullSafeCodeGen(ctx, ev, ip => s"""
+      long lpmR = $tableRef.lookup($ip);
+      if (lpmR == Long.MIN_VALUE) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = lpmR;
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LpmLookup =
+    copy(child = newChild)
+}
