@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** The full operator inventory, one Q per operator. */
   def inventory: Seq[Q] =
-    CoreAggQueries.all ++ EngineQueries.all ++ EnrichQueries.all
+    CoreAggQueries.all ++ EngineQueries.all ++ EnrichQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++
+      graft.similarity.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.text.TextOps._
+
+/** Deduplication operators for the training-data pipeline: exact hash,
+  * MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup. The LSH path is the 100 TB design: per-record signatures
+  * (projection, no shuffle) → band-bucket equi-join (shuffle on band key
+  * only) → verify on the candidate set (tiny vs n²). Brute-force pair
+  * verification exists only AFTER banding/blocking has bounded the
+  * candidate set.
+  */
+object DedupQueries {
+
+  // MinHash runs over 3-token SHINGLE hashes, not raw tokens: with a small
+  // vocabulary raw-token sets are near-identical across the corpus and LSH
+  // buckets degenerate to O(n²) candidates; shingles keep buckets sparse.
+  private val hsD =
+    s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
+      s"g -> ${sparkTokHash("g")} % $P))"
+  private val hsDuck =
+    s"list_distinct(list_transform(${duckShingles(duckToks)}, " +
+      s"g -> ${duckTokHash("g")} % $P))"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: content hash + first-5-token prefix key
+    // (hash-groupBy; dropDuplicates is this same plan).
+    Q("q37_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "md5(text) as ch",
+          s"array_join(slice($sparkToks, 1, 5), ' ') as pk")
+        .groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("ch").as("n_unique_content"),
+          countDistinct("pk").as("n_unique_prefix5")),
+      Some(s"""SELECT count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_unique_content,
+              count(DISTINCT array_to_string(($duckToks)[1:5], ' '))
+                AS n_unique_prefix5
+              FROM documents"""),
+      doc = "exact dedup via content hash + prefix key"),
+
+    // MinHash (K=8) + LSH banding (4 bands × 2 rows) → candidate pairs →
+    // exact Jaccard verify on candidates only.
+    Q("q38_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
+        val sigs = docs.selectExpr(
+          Seq("doc_id") ++
+            (0 until 8).map(k => s"${sparkMinhash("hs", k)} as s$k"): _*)
+        val bands = (0 until 4).map(b => sigs.selectExpr("doc_id",
+            s"concat_ws('_', '$b', s${2 * b}, s${2 * b + 1}) as bk"))
+          .reduce(_ unionByName _)
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .distinct()
+        val verified = cand
+          .join(docs.selectExpr("doc_id as id1", "hs as hs1"), "id1")
+          .join(docs.selectExpr("doc_id as id2", "hs as hs2"), "id2")
+          .withColumn("jacc",
+            expr("size(array_intersect(hs1, hs2)) / " +
+              "cast(size(array_union(hs1, hs2)) as double)"))
+        verified.groupBy().agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)).as("n_dup80"),
+          sum(when(col("jacc") >= 0.9, 1L).otherwise(0L)).as("n_dup90"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id),
+            v AS (SELECT
+              len(list_intersect(a.hs, b.hs))::DOUBLE
+                / len(list_distinct(a.hs || b.hs)) AS jacc
+              FROM cand JOIN t a ON cand.id1 = a.doc_id
+                        JOIN t b ON cand.id2 = b.doc_id)
+            SELECT count(*) AS n_candidates,
+              CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup80,
+              CAST(sum(CASE WHEN jacc >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup90
+            FROM v"""),
+      doc = "MinHash+LSH banded near-dup with Jaccard verify"),
+
+    // SimHash: 16-bit weighted-bit signature; identical signatures =
+    // near-dup cluster.
+    Q("q39_simhash",
+      (s, d) => {
+        val bitSums = (0 until 16).map(b =>
+          sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END"))
+            .as(s"b$b"))
+        val sig = (0 until 16).map(b =>
+          when(col(s"b$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", s"explode($sparkHps) as h")
+          .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), sig.as("sig"))
+          .groupBy("sig").agg(count(lit(1)).as("c"))
+          .groupBy().agg(
+            sum("c").as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            sum(expr("c * (c - 1) / 2")).cast("long").as("n_same_sig_pairs"))
+      },
+      Some(s"""WITH e AS (SELECT doc_id, unnest($duckHps) AS h
+              FROM documents),
+            bits AS (SELECT doc_id,
+              ${(0 until 16).map(b =>
+                s"""sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)
+                   AS b$b""").mkString(", ")}
+              FROM e GROUP BY doc_id),
+            sigs AS (SELECT doc_id,
+              ${(0 until 16).map(b =>
+                s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+                .mkString(" + ")} AS sig FROM bits),
+            cl AS (SELECT sig, count(*) AS c FROM sigs GROUP BY sig)
+            SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+              count(*) AS n_clusters,
+              CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_same_sig_pairs
+            FROM cl"""),
+      doc = "SimHash signature clustering"),
+
+    // n-gram (3-token shingle) Jaccard within length-blocked pairs.
+    Q("q40_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id",
+          s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
+            s"g -> ${sparkTokHash("g")} % $P)) as gs",
+          s"size($sparkToks) div 20 as blk")
+        docs.as("x").join(docs.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.blk").as("blk"), expr(
+            "size(array_intersect(x.gs, y.gs)) / " +
+              "cast(size(array_union(x.gs, y.gs)) as double)").as("jacc"))
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("jacc") >= 0.3, 1L).otherwise(0L)).as("n_dup30"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              list_distinct(list_transform(${duckShingles(duckToks)},
+                g -> ${duckTokHash("g")} % $P)) AS gs,
+              len($duckToks) // 20 AS blk FROM documents)
+            SELECT x.blk AS blk, count(*) AS n_pairs,
+              CAST(sum(CASE WHEN
+                len(list_intersect(x.gs, y.gs))::DOUBLE
+                  / len(list_distinct(x.gs || y.gs)) >= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup30
+            FROM t x JOIN t y ON x.blk = y.blk AND x.doc_id < y.doc_id
+            GROUP BY x.blk"""),
+      doc = "shingle Jaccard near-dup within length blocks"),
+
+    // Embedding-cosine near-dup: exact cosine on all pairs (the verify
+    // baseline; q44 is the bucketed scale path). Sequential double fold
+    // keeps Spark and DuckDB bit-identical.
+    Q("q41_embed_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> cast(x as double)) as v")
+          .selectExpr("vec_id", "v",
+            "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))" +
+              " as nrm")
+        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .select((expr(
+            "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D," +
+              " (a, z) -> a + z)") / (col("x.nrm") * col("y.nrm")))
+            .as("sim"))
+          .groupBy().agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("sim") >= 0.3, 1L).otherwise(0L)).as("n_sim30"),
+            sum(when(col("sim") >= 0.4, 1L).otherwise(0L)).as("n_sim40"),
+            round(max("sim"), 6).as("max_sim"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            n AS (SELECT vec_id, v,
+              sqrt(list_reduce([0.0::DOUBLE] ||
+                list_transform(v, x -> x * x), (a, x) -> a + x)) AS nrm
+              FROM e),
+            p AS (SELECT
+              list_reduce([0.0::DOUBLE] ||
+                list_transform(range(1, len(x.v) + 1),
+                  i -> list_extract(x.v, i) * list_extract(y.v, i)),
+                (a, z) -> a + z) / (x.nrm * y.nrm) AS sim
+              FROM n x JOIN n y ON x.vec_id < y.vec_id)
+            SELECT count(*) AS n_pairs,
+              CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sim30,
+              CAST(sum(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sim40,
+              round(max(sim), 6) AS max_sim
+            FROM p"""),
+      doc = "embedding cosine near-dup (exact all-pairs baseline)")
+  )
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (builder brief): brute-force cosine top-k as the exactness baseline,
+  * an IVF-style cell-probe variant and random-hyperplane LSH bucketing as
+  * the scale paths. Query set is always the broadcast side; candidates
+  * stream — the shape that survives a 100 TB corpus.
+  *
+  * Dot products are sequential double folds (identical IEEE-754 result in
+  * Spark and DuckDB), so ranks are deterministic across engines.
+  */
+object SimilarityQueries {
+
+  private def vectors(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr("vec_id", "label", "v",
+        "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))" +
+          " as nrm")
+
+  private val duckVecs =
+    """e AS (SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       n AS (SELECT vec_id, label, v,
+         sqrt(list_reduce([0.0::DOUBLE] || list_transform(v, x -> x * x),
+           (a, x) -> a + x)) AS nrm FROM e)"""
+
+  private val duckDot =
+    """list_reduce([0.0::DOUBLE] ||
+         list_transform(range(1, len(q.qv) + 1),
+           i -> list_extract(q.qv, i) * list_extract(n.v, i)),
+         (a, z) -> a + z)"""
+
+  private val sparkSim = expr(
+    "aggregate(zip_with(qv, v, (p, w) -> p * w), 0D, (a, z) -> a + z)")
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: exact kNN baseline, queries broadcast.
+    Q("q42_knn_brute",
+      (s, d) => {
+        val n = vectors(s, d)
+        val q = n.filter(col("vec_id") < 8)
+          .selectExpr("vec_id as qid", "v as qv", "nrm as qnrm")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        n.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("cid"), col("rank"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(s"""WITH $duckVecs,
+            q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+                  FROM n WHERE vec_id < 8),
+            sc AS (SELECT q.qid, n.vec_id AS cid,
+                $duckDot / (q.qnrm * n.nrm) AS sim
+              FROM q JOIN n ON n.vec_id != q.qid),
+            r AS (SELECT qid, cid, sim, row_number() OVER
+                (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM sc)
+            SELECT qid, cid, rank, round(sim, 6) AS sim
+            FROM r WHERE rank <= 5"""),
+      doc = "brute-force cosine top-k (exact kNN baseline)"),
+
+    // IVF-style cell probe: candidates restricted to the query's cell
+    // (label = coarse centroid assignment), top-3 within the cell.
+    Q("q43_knn_ivf",
+      (s, d) => {
+        val n = vectors(s, d)
+        val q = n.filter(col("vec_id") < 20)
+          .selectExpr("vec_id as qid", "label as qlabel", "v as qv",
+            "nrm as qnrm")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        n.join(broadcast(q),
+            col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("qlabel").as("cell"),
+            col("vec_id").as("cid"), col("rank"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(s"""WITH $duckVecs,
+            q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+                nrm AS qnrm FROM n WHERE vec_id < 20),
+            sc AS (SELECT q.qid, q.qlabel AS cell, n.vec_id AS cid,
+                $duckDot / (q.qnrm * n.nrm) AS sim
+              FROM q JOIN n ON n.label = q.qlabel AND n.vec_id != q.qid),
+            r AS (SELECT qid, cell, cid, sim, row_number() OVER
+                (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM sc)
+            SELECT qid, cell, cid, rank, round(sim, 6) AS sim
+            FROM r WHERE rank <= 3"""),
+      doc = "IVF cell-probe ANN (bucketed scale path)"),
+
+    // Random-hyperplane LSH: 12-bit signatures; bucket statistics and the
+    // candidate-pair bound the buckets induce.
+    Q("q44_lsh_buckets",
+      (s, d) => {
+        def proj(j: Int) =
+          s"""aggregate(transform(sequence(1, 64),
+              i -> (cast((i * 31 + $j * 17) % 7 as double) - 3.0)
+                   * element_at(v, i)), 0D, (a, x) -> a + x)"""
+        val sig = (0 until 12).map(j =>
+          when(expr(proj(j)) > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+        vectors(s, d)
+          .select(sig.as("sig"))
+          .groupBy("sig").agg(count(lit(1)).as("c"))
+          .groupBy().agg(
+            sum("c").as("n_vecs"),
+            count(lit(1)).as("n_buckets"),
+            sum(expr("c * (c - 1) / 2")).cast("long").as("n_cand_pairs"))
+      },
+      Some({
+        def proj(j: Int) =
+          s"""list_reduce([0.0::DOUBLE] || list_transform(range(1, 65),
+              i -> (((i * 31 + $j * 17) % 7)::DOUBLE - 3.0)
+                   * list_extract(v, i)), (a, x) -> a + x)"""
+        val sig = (0 until 12).map(j =>
+          s"(CASE WHEN ${proj(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT
+              list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            sigs AS (SELECT $sig AS sig FROM e),
+            cl AS (SELECT sig, count(*) AS c FROM sigs GROUP BY sig)
+            SELECT CAST(sum(c) AS BIGINT) AS n_vecs,
+              count(*) AS n_buckets,
+              CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_cand_pairs
+            FROM cl"""
+      }),
+      doc = "random-hyperplane LSH signature bucketing")
+  )
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+/** Shared text-pipeline expression builders, emitted in BOTH dialects —
+  * Spark SQL (consumed via `expr`/`selectExpr`) and DuckDB SQL (the
+  * oracle) — from one definition site so the two stay in lockstep.
+  *
+  * Everything is deterministic integer/double arithmetic over md5 token
+  * hashes: both engines produce identical md5 hex, identical 60-bit
+  * integer reductions, and identical IEEE-754 sequential folds, so results
+  * hash-match cell-for-cell. No UDFs anywhere — every expression is
+  * Catalyst-codegen-able (and at 100 TB stays inside WholeStageCodegen).
+  */
+object TextOps {
+
+  /** Word tokenizer: lowercase alnum runs. */
+  val sparkToks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** BPE-ish tokenizer: letter runs, digit runs, punct runs separately.
+    * NOTE: Spark SQL string literals process backslash escapes (`\\s`),
+    * DuckDB's standard-SQL literals do not (`\s`) — hence two spellings
+    * of the same regex. */
+  val sparkToksBpe =
+    "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)"
+  val duckToksBpe =
+    "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')"
+
+  /** 60-bit token hash from the md5 hex prefix (identical in both). */
+  def sparkTokHash(t: String): String =
+    s"cast(conv(substring(md5($t), 1, 15), 16, 10) as bigint)"
+  def duckTokHash(t: String): String =
+    s"(('0x' || substr(md5($t), 1, 15))::BIGINT)"
+
+  /** Prime modulus for minhash/lang-class arithmetic. */
+  val P = 1000003L
+
+  /** Per-token hash array reduced mod P (with multiplicity). */
+  val sparkHps = s"transform($sparkToks, t -> ${sparkTokHash("t")} % $P)"
+  val duckHps = s"list_transform($duckToks, t -> ${duckTokHash("t")} % $P)"
+
+  /** Minhash signature k over a distinct-hash array column `hs`:
+    * min of the k-th universal hash (a_k h + b_k) mod P. */
+  def minhashA(k: Int): Long = 2L * k + 3L
+  def minhashB(k: Int): Long = 97L * k + 11L
+  def sparkMinhash(hs: String, k: Int): String =
+    s"array_min(transform($hs, h -> (${minhashA(k)} * h + ${minhashB(k)}) % $P))"
+  def duckMinhash(hs: String, k: Int): String =
+    s"list_min(list_transform($hs, h -> (${minhashA(k)} * h + ${minhashB(k)}) % $P))"
+
+  /** Position-sensitive 47-bit document fingerprint:
+    * XOR over tokens of (hash40 * position). */
+  val sparkFingerprint: String =
+    s"""aggregate(
+        transform(sequence(1, size($sparkToks)),
+          i -> (${sparkTokHash(s"element_at($sparkToks, i)")} % 1099511627776) * i),
+        0L, (a, x) -> a ^ x)"""
+  val duckFingerprint: String =
+    s"""list_reduce(
+        [0::BIGINT] || list_transform(range(1, len($duckToks) + 1),
+          i -> (${duckTokHash(s"list_extract($duckToks, i)")} % 1099511627776) * i),
+        (a, x) -> xor(a, x))"""
+
+  /** Language-ID heuristic: each token hashes into one of 5 marker
+    * classes; predicted language = argmax class count (ties → first).
+    * Stand-in for real char-n-gram profiles (the synthetic corpus shares
+    * one vocabulary across langs); the *operator shape* — per-doc argmax
+    * over class scores, no shuffle — is what carries to production.
+    */
+  val langs = Seq("en", "de", "es", "fr", "zh")
+  private def langCase(s: Array[String]): String = {
+    // argmax with first-wins tiebreak over s(0)..s(4)
+    val branches = langs.indices.map { i =>
+      val geAll = langs.indices.filter(_ > i).map(j => s"${s(i)} >= ${s(j)}")
+      val gtPrev = langs.indices.filter(_ < i).map(j => s"${s(i)} > ${s(j)}")
+      val cond = (gtPrev ++ geAll).mkString(" AND ")
+      s"WHEN ${if (cond.isEmpty) "TRUE" else cond} THEN '${langs(i)}'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+  def sparkLangPredict(hps: String): String =
+    langCase(langs.indices.map(i =>
+      s"size(filter($hps, h -> h % 5 = $i))").toArray)
+  def duckLangPredict(hps: String): String =
+    langCase(langs.indices.map(i =>
+      s"len(list_filter($hps, h -> h % 5 = $i))").toArray)
+
+  /** Quality score in [0,1]: length, stopword ratio, mean token length. */
+  private val stops = "('a', 'the', 'of', 'and', 'big', 'small')"
+  def sparkQuality: String =
+    s"""round(
+       0.4 * least(1.0, size($sparkToks) / 80.0)
+     + 0.3 * (1.0 - cast(size(filter($sparkToks, t -> t IN $stops)) as double)
+              / greatest(size($sparkToks), 1))
+     + 0.3 * least(1.0,
+         cast(aggregate(transform($sparkToks, t -> length(t)), 0, (a, x) -> a + x)
+              as double) / greatest(size($sparkToks), 1) / 6.0), 6)"""
+  def duckQuality: String =
+    s"""round(
+       0.4 * least(1.0, len($duckToks) / 80.0)
+     + 0.3 * (1.0 - (len(list_filter($duckToks, t -> t IN $stops))::DOUBLE)
+              / greatest(len($duckToks), 1))
+     + 0.3 * least(1.0,
+         (list_reduce([0] || list_transform($duckToks, t -> len(t)),
+            (a, x) -> a + x)::DOUBLE) / greatest(len($duckToks), 1) / 6.0), 6)"""
+
+  /** 3-token shingles (n-gram dedup unit). */
+  def sparkShingles(toks: String): String =
+    s"""transform(sequence(1, greatest(size($toks) - 2, 1)),
+        i -> array_join(slice($toks, i, 3), ' '))"""
+  def duckShingles(toks: String): String =
+    s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
+        i -> array_to_string($toks[i:i+2], ' '))"""
+}
