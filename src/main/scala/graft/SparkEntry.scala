@@ -17,7 +17,9 @@ object SparkEntry {
   def inventory: Seq[Q] =
     CoreAggQueries.all ++ EngineQueries.all ++ EnrichQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
-      graft.similarity.SimilarityQueries.all
+      graft.similarity.SimilarityQueries.all ++
+      graft.streaming.StreamingQueries.all ++ SurfaceQueries.all ++
+      graft.multimodal.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

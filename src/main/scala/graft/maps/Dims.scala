@@ -158,6 +158,18 @@ object Dims {
     (base, len, state)
   }
 
+  // ---- NetFlow option-record stream (FIXTURES F3) ------------------------
+  // Sampling-rate option records per exporter over time (epoch micros):
+  // three epochs 10 days apart starting 2024-01-01 (the data range start).
+  private val day10Us = 864000000000L
+  private val t0Us = 1704067200000000L // 2024-01-01T00:00:00Z
+  private val optCols = Seq("exporter", "tu", "rate")
+  private val optRows: Seq[Seq[Any]] = for {
+    e <- 0L until 16L; k <- 0L until 3L
+  } yield Seq(e, t0Us + k * day10Us, 1L + ((e + k) % 4L) * 50L)
+  def optionRates(s: SparkSession): DataFrame = df(s, optCols, optRows)
+  val optionRatesSql: String = values("option_rates", optCols, optRows)
+
   // ---- bgp_follow_nexthop (CONFIG-KEYS:3022-3058) ------------------------
   // next-hop resolution table: nh -> nh' chains, depth <= 3.
   private val nhCols = Seq("nh", "nh_next")

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{FlowView, Q, Tables}
+import graft.functions.Formatters._
+import graft.maps.Dims
+
+/** Output/interactive surface operators: the formatter library (§2.11),
+  * the Spark SQL interactive surface replacing the IMT client protocol
+  * (§2.9), BGP msglog→RIB state compaction (§3.3), and option-record
+  * as-of correlation (§2.6 "NetFlow option correlation").
+  */
+object SurfaceQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  val all: Seq[Q] = Seq(
+
+    // Formatter library: every §2.11 printer as a codegen'd expression.
+    Q("q49_formatters",
+      (s, d) => flows(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .selectExpr("event_id",
+          s"${ipNtoa("ip_src")} as ip_src_str",
+          s"${protoName("ip_proto")} as proto",
+          s"${tcpFlagsDecode("tcp_flags")} as flags",
+          s"${fwdStatus("tcp_flags")} as fwd_status",
+          s"${rdFormat("(ip_src % 16)", "port_dst")} as rd",
+          s"${tsCompose("t0u")} as ts_start",
+          s"${macFormat("(event_id * 131071)")} as mac_src"),
+      Some(FlowView.cte(
+        s"""SELECT event_id,
+            ${ipNtoaDuck("ip_src")} AS ip_src_str,
+            ${protoNameDuck("ip_proto")} AS proto,
+            ${tcpFlagsDecodeDuck("tcp_flags")} AS flags,
+            ${fwdStatusDuck("tcp_flags")} AS fwd_status,
+            ${rdFormatDuck("(ip_src % 16)", "port_dst")} AS rd,
+            ${tsComposeDuck("t0u")} AS ts_start,
+            ${macFormatDuck("(event_id * 131071)")} AS mac_src
+            FROM flows WHERE event_id % 97 = 0""")),
+      doc = "formatter library: ip/proto/flags/fwd/rd/timestamp/mac"),
+
+    // Interactive surface: the pmacct-client protocol (§2.9) is plain
+    // Spark SQL over a registered view.
+    Q("q50_sql_surface",
+      (s, d) => {
+        flows(s, d).createOrReplaceTempView("flows_imt")
+        s.sql("""SELECT ip_proto, port_dst, count(*) AS n,
+                 CAST(sum(bytes) AS BIGINT) AS bytes
+                 FROM flows_imt WHERE port_dst IN (80, 443, 53)
+                 GROUP BY ip_proto, port_dst""")
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto, port_dst, count(*) AS n,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows WHERE port_dst IN (80, 443, 53)
+           GROUP BY ip_proto, port_dst""")),
+      doc = "Spark SQL interactive surface (IMT client parity)"),
+
+    // BGP msglog → RIB compaction: latest state per (peer, prefix) by
+    // sequence number (docs/MSGLOG_DUMP_FORMATS; dump = this snapshot).
+    Q("q52_rib_compact",
+      (s, d) => Tables.events(s, d)
+        .select((col("user_id") % 2).as("peer"),
+          (col("event_id") % 512).as("prefix"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "error", "withdraw")
+            .otherwise("update").as("op"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("med"))
+        .groupBy("peer", "prefix")
+        .agg(expr("max_by(op, seq)").as("last_op"),
+          expr("max_by(med, seq)").as("last_med"), max("seq").as("last_seq"))
+        .groupBy("peer")
+        .agg(sum(when(col("last_op") === "update", 1L).otherwise(0L))
+            .as("n_active"),
+          sum(when(col("last_op") === "withdraw", 1L).otherwise(0L))
+            .as("n_withdrawn"),
+          max("last_seq").as("max_seq"),
+          sum(when(col("last_op") === "update", col("last_med"))
+            .otherwise(0L)).as("sum_med")),
+      Some("""WITH msgs AS (SELECT user_id % 2 AS peer,
+                event_id % 512 AS prefix, event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med
+              FROM events),
+            rib AS (SELECT peer, prefix, arg_max(op, seq) AS last_op,
+                arg_max(med, seq) AS last_med, max(seq) AS last_seq
+              FROM msgs GROUP BY peer, prefix)
+            SELECT peer,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'withdraw' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_withdrawn,
+              max(last_seq) AS max_seq,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_med ELSE 0 END)
+                AS BIGINT) AS sum_med
+            FROM rib GROUP BY peer"""),
+      doc = "msglog event stream compacted to latest RIB state"),
+
+    // Option-record correlation: flows pick up the latest sampling-rate
+    // option record for their exporter at or before their start time —
+    // an as-of join done as one sorted merge per exporter (no per-record
+    // subquery, no fact-side rescan; src/pkt_handlers.c:3690-3830).
+    Q("q53_option_asof",
+      (s, d) => {
+        val opts = Dims.optionRates(s).select(col("exporter"), col("tu"),
+          col("rate"), lit(0L).as("kind"), lit(0L).as("event_id"),
+          lit(0L).as("bytes"))
+        val f = flows(s, d).select((col("ip_src") % 16).as("exporter"),
+          col("t0u").as("tu"), lit(null).cast("long").as("rate"),
+          lit(1L).as("kind"), col("event_id"), col("bytes"))
+        val w = Window.partitionBy("exporter")
+          .orderBy("tu", "kind", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        opts.unionByName(f)
+          .withColumn("eff_rate", last("rate", ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .groupBy("exporter", "eff_rate")
+          .agg(count(lit(1)).as("n"),
+            sum(col("bytes") * col("eff_rate")).as("bytes_renorm"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}), ${Dims.optionRatesSql},
+            u AS (SELECT exporter, tu, rate, 0 AS kind, 0 AS event_id,
+                0 AS bytes FROM option_rates
+              UNION ALL
+              SELECT ip_src % 16, t0u, NULL, 1, event_id, bytes FROM flows),
+            e AS (SELECT *, last_value(rate IGNORE NULLS) OVER
+                (PARTITION BY exporter ORDER BY tu, kind, event_id
+                 ROWS UNBOUNDED PRECEDING) AS eff_rate FROM u)
+            SELECT exporter, eff_rate, count(*) AS n,
+              CAST(sum(bytes * eff_rate) AS BIGINT) AS bytes_renorm
+            FROM e WHERE kind = 1 GROUP BY 1, 2"""),
+      doc = "option-record as-of correlation via sorted merge per exporter")
+  )
+}

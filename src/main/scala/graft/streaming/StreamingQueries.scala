@@ -1,0 +1,200 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{FlowView, Graft, Q, Tables}
+
+/** One event after 5-tuple coarsening into a synthetic flow key (the test
+  * corpus has no real 5-tuple density; key cardinality is reduced so flows
+  * actually accumulate records, as pcap traffic would). */
+final case class FlowEv(fkey: Long, ip_proto: Long, port_dst: Long,
+                        t0u: Long, bytes: Long, packets: Long,
+                        event_id: Long)
+
+final case class FlowRec(fkey: Long, ip_proto: Long, port_dst: Long,
+                         flow_start_us: Long, flow_end_us: Long,
+                         n_records: Long, bytes: Long, packets: Long)
+
+/** Streaming/stateful operators (SURVEY §2.10): a real Structured
+  * Streaming windowed aggregation (file source → watermark → memory sink),
+  * session windows (the nfprobe flow-cache shape), flow construction via
+  * `flatMapGroupsWithState` (pmacctd's ip_flow tracker,
+  * `src/ip_flow.c`; idle-timeout flow cutting), and per-exporter sequencing
+  * checks (`src/xflow_status.c`).
+  *
+  * Batch-mode determinism: every query here also runs as a bounded batch
+  * plan, so the DuckDB oracle (gaps-and-islands SQL) checks the exact
+  * streaming semantics. On an unbounded source only the trigger/watermark
+  * wiring changes; operators and state logic stay identical.
+  */
+object StreamingQueries {
+
+  private val dec4 = DecimalType(18, 4)
+  private val sinkId = new AtomicInteger(0)
+
+  private def flows(s: SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  /** Idle timeout per protocol, µs (pmacct: per-proto lifetimes,
+    * `src/ip_flow.h:27-29` — TCP long, generic short; scaled to the
+    * corpus's hour-grained event density). */
+  private val tcpTimeoutUs = 86400000000L // 1 day
+  private val genTimeoutUs = 21600000000L // 6 hours
+
+  val all: Seq[Q] = Seq(
+
+    // True Structured Streaming: file source → event-time watermark →
+    // 1h tumbling window aggregation → memory sink, AvailableNow trigger
+    // (SURVEY §3.1 "Spark shape"; refresh_time ≙ trigger interval).
+    Q("q45_stream_window",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q45_sink_" + sinkId.incrementAndGet()
+        // glob (not the bare file path): the file stream source needs a
+        // directory/glob basePath to list for new files.
+        val agg = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ets", "10 minutes")
+          .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec4)).as("sum_value"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(
+          expr("unix_micros(window.start)").as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                AS win_start_us,
+              event_type, count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "Structured Streaming windowed agg via memory sink"),
+
+    // Session windows: the nfprobe flow-cache / print-cache accumulation
+    // shape (flush on inactivity) as a declarative session_window agg.
+    Q("q46_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec4)).as("sum_value"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("sess_start_us"),
+          expr("unix_micros(session_window.end)").as("sess_end_us"),
+          col("n"), col("sum_value")),
+      Some("""WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            marked AS (SELECT *, CASE WHEN gap IS NULL
+                OR gap > 28800000000 THEN 1 ELSE 0 END AS new_sess FROM x),
+            sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, min(tu) AS sess_start_us,
+              max(tu) + 28800000000 AS sess_end_us,
+              count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+            FROM sess GROUP BY user_id, sid"""),
+      doc = "session-window aggregation (nfprobe flow cache shape)"),
+
+    // Flow construction: keyed state + per-proto idle timeout cuts,
+    // pmacctd's ip_flow tracker as flatMapGroupsWithState over a typed
+    // Dataset (the exact API a live stream would use).
+    Q("q47_flow_construct",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val ds = flows(s, d).select(
+          ((col("ip_src") % 256) * 2048 + col("port_dst") * 2 +
+            (col("ip_proto") % 2)).as("fkey"),
+          col("ip_proto"), col("port_dst"), col("t0u"),
+          col("bytes"), col("packets"), col("event_id")).as[FlowEv]
+        ds.groupByKey(_.fkey)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.NoTimeout) {
+            (_: Long, it: Iterator[FlowEv], _: GroupState[Long]) =>
+              val evs = it.toIndexedSeq.sortBy(e => (e.t0u, e.event_id))
+              val out = scala.collection.mutable.ArrayBuffer[FlowRec]()
+              var cur: FlowRec = null
+              for (e <- evs) {
+                val timeout =
+                  if (e.ip_proto == 6L) tcpTimeoutUs else genTimeoutUs
+                if (cur == null || e.t0u - cur.flow_end_us > timeout) {
+                  if (cur != null) out += cur
+                  cur = FlowRec(e.fkey, e.ip_proto, e.port_dst,
+                    e.t0u, e.t0u, 1L, e.bytes, e.packets)
+                } else {
+                  cur = cur.copy(flow_end_us = e.t0u,
+                    n_records = cur.n_records + 1,
+                    bytes = cur.bytes + e.bytes,
+                    packets = cur.packets + e.packets)
+                }
+              }
+              if (cur != null) out += cur
+              out.iterator
+          }
+          .groupBy("ip_proto")
+          .agg(count(lit(1)).as("n_flows"), sum("n_records").as("n_records"),
+            sum("bytes").as("bytes"), sum("packets").as("packets"))
+      },
+      Some(FlowView.cte(
+        s"""SELECT ip_proto, count(*) AS n_flows,
+            CAST(sum(nr) AS BIGINT) AS n_records,
+            CAST(sum(b) AS BIGINT) AS bytes, CAST(sum(p) AS BIGINT) AS packets
+            FROM (
+              SELECT ip_proto, count(*) AS nr, sum(bytes) AS b,
+                sum(packets) AS p
+              FROM (
+                SELECT *, sum(new_flow) OVER (PARTITION BY fkey
+                  ORDER BY t0u, event_id ROWS UNBOUNDED PRECEDING) AS fid
+                FROM (
+                  SELECT *, CASE WHEN prev IS NULL OR t0u - prev >
+                      (CASE WHEN ip_proto = 6 THEN $tcpTimeoutUs
+                            ELSE $genTimeoutUs END)
+                    THEN 1 ELSE 0 END AS new_flow
+                  FROM (
+                    SELECT (ip_src % 256) * 2048 + port_dst * 2 +
+                        (ip_proto % 2) AS fkey,
+                      ip_proto, t0u, event_id, bytes, packets,
+                      lag(t0u) OVER (PARTITION BY (ip_src % 256) * 2048 +
+                        port_dst * 2 + (ip_proto % 2)
+                        ORDER BY t0u, event_id) AS prev
+                    FROM flows)))
+              GROUP BY ip_proto, fkey, fid)
+            GROUP BY ip_proto""")),
+      doc = "flow construction via keyed state + idle timeout"),
+
+    // Sequencing checks: per-exporter seqno gap detection
+    // (src/xflow_status.h:35-46; export_proto_seqno loss analysis).
+    Q("q48_seqno_track",
+      (s, d) => {
+        val w = Window.partitionBy("exporter").orderBy("t0u", "event_id")
+        flows(s, d).withColumn("exporter", col("ip_src") % 16)
+          .withColumn("delta", col("event_id") - lag("event_id", 1).over(w))
+          .groupBy("exporter")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("delta") > 1, 1L).otherwise(0L)).as("n_fwd_jumps"),
+            sum(when(col("delta") < 1, 1L).otherwise(0L)).as("n_back_jumps"))
+      },
+      Some(FlowView.cte(
+        """SELECT exporter, count(*) AS n,
+           CAST(sum(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fwd_jumps,
+           CAST(sum(CASE WHEN delta < 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_back_jumps
+           FROM (SELECT ip_src % 16 AS exporter,
+             event_id - lag(event_id) OVER (PARTITION BY ip_src % 16
+               ORDER BY t0u, event_id) AS delta
+             FROM flows)
+           GROUP BY exporter""")),
+      doc = "per-exporter sequence-number jump tracking")
+  )
+}

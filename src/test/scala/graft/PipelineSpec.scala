@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{MediaIn, MultimodalQueries}
+import graft.text.TextOps
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("tokenizer + minhash signature is order-insensitive over sets") {
+    val df = Seq("the quick brown fox", "fox brown quick the").toDF("text")
+      .selectExpr(s"array_distinct(${TextOps.sparkHps}) as hs")
+      .selectExpr(TextOps.sparkMinhash("hs", 0) + " as s0",
+        TextOps.sparkMinhash("hs", 3) + " as s3")
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows(0) == rows(1))
+  }
+
+  test("fingerprint is position sensitive") {
+    val fp = Seq("alpha beta", "beta alpha").toDF("text")
+      .selectExpr(s"${TextOps.sparkFingerprint} as fp")
+      .as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+
+  test("quality score lands in [0,1]") {
+    val q = Seq("a a a a", "substantial documents carry longer tokens words")
+      .toDF("text").selectExpr(s"${TextOps.sparkQuality} as q")
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1) > q(0)) // stopword-heavy short doc scores lower
+  }
+
+  test("multimodal stub decode: checksum and framing arithmetic") {
+    val m = MultimodalQueries.decodeStub(
+      MediaIn(7L, "abc".getBytes("UTF-8")))
+    assert(m.n_bytes == 3L)
+    assert(m.magic == 'a'.toLong)
+    assert(m.checksum100 == ('a' + 'b' + 'c').toLong)
+    assert(m.n_frames == 0L)
+  }
+
+  test("langid predicts a stable language for identical text") {
+    val p = Seq("data table scan", "data table scan").toDF("text")
+      .selectExpr(s"${TextOps.sparkLangPredict(TextOps.sparkHps)} as p")
+      .as[String].collect()
+    assert(p(0) == p(1) && TextOps.langs.contains(p(0)))
+  }
+
+  test("cosine fold matches analytic value") {
+    val sim = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .selectExpr(
+        """aggregate(zip_with(a, b, (p, q) -> cast(p as double) * q),
+           0D, (acc, z) -> acc + z) as dot""")
+      .as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+}
