@@ -19,7 +19,7 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++
       graft.similarity.SimilarityQueries.all ++
       graft.streaming.StreamingQueries.all ++ SurfaceQueries.all ++
-      graft.multimodal.MultimodalQueries.all
+      graft.multimodal.MultimodalQueries.all ++ ProtocolQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

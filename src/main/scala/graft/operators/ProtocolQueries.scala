@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{FlowView, Q, Tables}
+import graft.plans.BpfFilter
+import graft.sources.{NetFlowV5, V5Header, V5Record}
+
+/** Protocol-surface operators: the BPF filter compiler in a real plan,
+  * custom primitives (user-declared field extraction, SURVEY §1.2), and
+  * the NetFlow v5 wire codec driven through a Spark pipeline
+  * (encode → datagrams → decode → aggregate; the oracle aggregates the
+  * same derived records directly, so any codec defect breaks parity).
+  */
+object ProtocolQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  val all: Seq[Q] = Seq(
+
+    // aggregate_filter: tcpdump-subset text compiled to one Catalyst
+    // predicate (CONFIG-KEYS:182-204).
+    Q("q54_bpf_filter",
+      (s, d) => {
+        val pred = BpfFilter.compile(
+          "tcp and dst port 80 and bytes > 50000 " +
+            "or ( udp and not src net 8192/4 )",
+          BpfFilter.Fields(col("ip_src"), col("ip_dst"),
+            col("port_src"), col("port_dst"),
+            col("ip_proto"), col("bytes"), col("packets")))
+        flows(s, d).filter(pred)
+          .groupBy("ip_proto")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows
+           WHERE (ip_proto = 6 AND port_dst = 80 AND bytes > 50000)
+              OR (ip_proto = 17 AND NOT ((ip_src >> 12) << 12 = 8192))
+           GROUP BY ip_proto""")),
+      doc = "BPF-subset filter compiled to a Catalyst predicate"),
+
+    // Custom primitives: user-declared extraction from the record's raw
+    // side-data (aggregate_primitives, CONFIG-KEYS:174-180) — here a JSON
+    // props blob → typed value, grouped like any first-class primitive.
+    Q("q55_custom_primitives",
+      (s, d) => Tables.events(s, d)
+        .withColumn("cp_k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), (col("cp_k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("cp_k").as("sum_k")),
+      Some("""SELECT event_type,
+              (json_extract_string(props, '$.k')::BIGINT) % 10 AS k_bucket,
+              count(*) AS n,
+              CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+                AS sum_k
+              FROM events GROUP BY 1, 2"""),
+      doc = "custom primitive extraction from raw side-data"),
+
+    // NetFlow v5 codec under Spark: derive v5 records, pack them into wire
+    // datagrams per partition, decode back, aggregate the decoded stream.
+    Q("q56_nfv5_codec",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val recs = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("port_src") % 65536,
+            col("port_dst"), col("tcp_flags"), col("ip_proto"),
+            col("bytes") % 4294967296L, col("packets"),
+            expr("t0u div 1000 % 4294967296"),
+            expr("t1u div 1000 % 4294967296"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+          .map { case (sa, da, sp_, dp, fl, pr, oc, pk, fi, la) =>
+            V5Record(sa, da, 0L, 1, 2, pk, oc, fi, la, sp_.toInt, dp.toInt,
+              fl.toInt, pr.toInt, 0, 0, 0, 0, 0)
+          }
+        val decoded = recs.mapPartitions { it =>
+          it.grouped(NetFlowV5.MaxRecords).flatMap { batch =>
+            val wire = NetFlowV5.encode(
+              V5Header(5, batch.size, 0L, 0L, 0L, 0L, 0, 0, 1), batch)
+            NetFlowV5.decode(wire)._2
+          }
+        }
+        decoded.toDF()
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+            sum("packets").as("packets"),
+            expr("bit_or(tcpFlags)").as("flags_or"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 4294967296) AS BIGINT) AS octets,
+           CAST(sum(packets) AS BIGINT) AS packets,
+           bit_or(tcp_flags) AS flags_or
+           FROM flows GROUP BY 1""")),
+      doc = "NetFlow v5 wire codec round-trip inside the pipeline")
+  )
+}

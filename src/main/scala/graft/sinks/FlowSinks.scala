@@ -1,0 +1,66 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Sink adapters (SURVEY §2.2). Each pmacct backend maps to a Spark
+  * writer; the frame/layout logic lives here and is unit-testable without
+  * live brokers/databases (none exist in this container):
+  *
+  *  - kafka  → key/value JSON frame for `writeStream.format("kafka")`
+  *             (`kafka_cache_purge` src/kafka_plugin.c:384; partition key
+  *             CONFIG-KEYS:903)
+  *  - print  → partitioned files with dynamic time tokens
+  *             (`P_cache_purge` src/print_plugin.c:383; `sql_table`
+  *             %Y%m%d tokens CONFIG-KEYS:1143-1229)
+  *  - SQL    → UPDATE-then-INSERT upsert statements for foreachBatch JDBC
+  *             (docs/INTERNALS:291-295)
+  *  - tee    → deterministic receiver fan-out (src/tee_plugin/)
+  */
+object FlowSinks {
+
+  /** Kafka frame: key = concat of partition-key columns, value = one JSON
+    * object per aggregate row (plugin_cmn_json.c shape). The result only
+    * needs `.writeStream.format("kafka")` + bootstrap options. */
+  def kafkaFrame(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valueCols = df.columns.map(col)
+    df.select(
+      concat_ws("|", keyCols.map(col): _*).as("key"),
+      to_json(struct(valueCols: _*)).as("value"))
+  }
+
+  /** print plugin with dynamic filenames: time-token directories become
+    * partition columns — `%Y%m%d` ≙ `partitionBy(print_day)`. */
+  def writePartitionedPrint(df: DataFrame, path: String,
+                            tsCol: String, format: String = "json"): Unit =
+    df.withColumn("print_day", date_format(col(tsCol), "yyyyMMdd"))
+      .write.mode("append").partitionBy("print_day")
+      .format(format).save(path)
+
+  /** UPDATE-then-INSERT upsert statement pair for one aggregate row
+    * (sql_common.c:606 semantics: UPDATE counters by key; INSERT when no
+    * row matched). Executed per batch inside `foreachBatch` against JDBC;
+    * generation is pure so it is testable offline. */
+  def upsertSql(table: String, keyCols: Seq[String],
+                counterCols: Seq[String], row: Row): (String, String) = {
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    def eq(c: String) = s"$c = ${lit(row.getAs[Any](c))}"
+    val update = s"UPDATE $table SET " +
+      counterCols.map(c => s"$c = $c + ${lit(row.getAs[Any](c))}")
+        .mkString(", ") +
+      " WHERE " + keyCols.map(eq).mkString(" AND ")
+    val cols = keyCols ++ counterCols
+    val insert = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
+      cols.map(c => lit(row.getAs[Any](c))).mkString(", ") + ")"
+    (update, insert)
+  }
+
+  /** tee: replicate to N receivers with deterministic hash balancing;
+    * returns the frame with its receiver assignment (the write side is a
+    * `foreachBatch` fan-out or a Kafka topic per receiver). */
+  def teeAssign(df: DataFrame, hashCol: String, receivers: Int): DataFrame =
+    df.withColumn("receiver", pmod(xxhash64(col(hashCol)), lit(receivers)))
+}

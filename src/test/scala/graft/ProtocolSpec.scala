@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.BpfFilter
+import graft.sinks.FlowSinks
+import graft.sources.{NetFlowV5, V5Header, V5Record}
+
+class ProtocolSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def randomRecords(seed: Long, n: Int): Seq[V5Record] = {
+    val rnd = new scala.util.Random(seed)
+    def u32 = rnd.nextLong() & 0xffffffffL
+    def u16 = rnd.nextInt(0x10000)
+    def u8 = rnd.nextInt(256)
+    Seq.fill(n)(V5Record(u32, u32, u32, u16, u16, u32, u32, u32, u32,
+      u16, u16, u8, u8, u8, u16, u16, rnd.nextInt(33), rnd.nextInt(33)))
+  }
+
+  test("NetFlow v5 encode/decode round-trips across random batches") {
+    for (seed <- 1L to 20L) {
+      val recs = randomRecords(seed, 1 + (seed % 30).toInt)
+      val h = V5Header(5, recs.size, 123L, 456L, 789L, 42L, 1, 2, 100)
+      val (h2, recs2) = NetFlowV5.decode(NetFlowV5.encode(h, recs))
+      assert(h2 == h && recs2 == recs, s"seed $seed")
+    }
+  }
+
+  test("BPF compiler: direction, negation, precedence") {
+    val df = Seq(
+      // ip_src, ip_dst, port_src, port_dst, proto, bytes, packets
+      (100L, 200L, 1000L, 80L, 6L, 99999L, 5L),
+      (100L, 200L, 1000L, 80L, 6L, 10L, 5L),      // fails bytes >
+      (8200L, 1L, 1L, 53L, 17L, 10L, 1L),         // udp, src in 8192/4
+      (1L, 8200L, 1L, 53L, 17L, 10L, 1L))         // udp, src not in net
+      .toDF("ip_src", "ip_dst", "port_src", "port_dst", "ip_proto",
+        "bytes", "packets")
+    val f = BpfFilter.Fields(col("ip_src"), col("ip_dst"), col("port_src"),
+      col("port_dst"), col("ip_proto"), col("bytes"), col("packets"))
+    val pred = BpfFilter.compile(
+      "tcp and dst port 80 and bytes > 50000 " +
+        "or ( udp and not src net 8192/4 )", f)
+    val got = df.filter(pred).select("ip_src").as[Long].collect().toSet
+    assert(got == Set(100L, 1L))
+    // directionless port matches either side
+    val either = df.filter(BpfFilter.compile("port 1000", f)).count()
+    assert(either == 2)
+    // parse errors surface
+    intercept[BpfFilter.ParseError](BpfFilter.compile("frobnicate 1", f))
+  }
+
+  test("kafka frame carries all columns as JSON with a stable key") {
+    val df = Seq((6L, 80L, 1234L)).toDF("proto", "port", "bytes")
+    val out = FlowSinks.kafkaFrame(df, Seq("proto", "port"))
+      .as[(String, String)].head()
+    assert(out._1 == "6|80")
+    assert(out._2 == """{"proto":6,"port":80,"bytes":1234}""")
+  }
+
+  test("upsert pair: UPDATE accumulates counters, INSERT carries key") {
+    val row = Seq((6L, 80L, 100L)).toDF("proto", "port", "bytes").head()
+    val (u, i) = FlowSinks.upsertSql("acct", Seq("proto", "port"),
+      Seq("bytes"), row)
+    assert(u == "UPDATE acct SET bytes = bytes + 100 " +
+      "WHERE proto = 6 AND port = 80")
+    assert(i == "INSERT INTO acct (proto, port, bytes) VALUES (6, 80, 100)")
+  }
+
+  test("tee assignment is deterministic and in range") {
+    val df = Seq("a", "b", "c", "d").toDF("k")
+    val r1 = FlowSinks.teeAssign(df, "k", 3).select("receiver")
+      .as[Long].collect().toSeq
+    val r2 = FlowSinks.teeAssign(df, "k", 3).select("receiver")
+      .as[Long].collect().toSeq
+    assert(r1 == r2 && r1.forall(r => r >= 0 && r < 3))
+  }
+}
