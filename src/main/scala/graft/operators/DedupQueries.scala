@@ -48,12 +48,17 @@ object DedupQueries {
     Q("q38_minhash_lsh",
       (s, d) => {
         val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
-        val sigs = docs.selectExpr(
-          Seq("doc_id") ++
-            (0 until 8).map(k => s"${sparkMinhash("hs", k)} as s$k"): _*)
-        val bands = (0 until 4).map(b => sigs.selectExpr("doc_id",
-            s"concat_ws('_', '$b', s${2 * b}, s${2 * b + 1}) as bk"))
-          .reduce(_ unionByName _)
+        // all 8 signatures in one fold ((2k+3)h + (97k+11), the same
+        // constants as TextOps.minhashA/B), band keys exploded from ONE
+        // generator input — the shingle+md5 chain runs once per doc, not
+        // once per signature (let1 note in TextOps).
+        val sigsArr =
+          s"""transform(sequence(0, 7), k -> array_min(
+              transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
+        val bandArr = let1(sigsArr, sg =>
+          s"""transform(sequence(0, 3), b -> concat_ws('_', b,
+              element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+        val bands = docs.selectExpr("doc_id", s"explode($bandArr) as bk")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))

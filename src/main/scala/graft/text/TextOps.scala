@@ -60,6 +60,13 @@ object TextOps {
           i -> (${duckTokHash(s"list_extract($duckToks, i)")} % 1099511627776) * i),
         (a, x) -> xor(a, x))"""
 
+  /** Let-binding idiom: evaluate `bound` ONCE and reference it many times
+    * in `body` — Catalyst's CollapseProject happily inlines expensive
+    * aliases into every use site (q34 showed 40 tokenizer copies in the
+    * plan), but a lambda variable is bound exactly once per row. */
+  def let1(bound: String, body: String => String): String =
+    s"element_at(transform(array($bound), __x -> ${body("__x")}), 1)"
+
   /** Language-ID heuristic: each token hashes into one of 5 marker
     * classes; predicted language = argmax class count (ties → first).
     * Stand-in for real char-n-gram profiles (the synthetic corpus shares
@@ -77,23 +84,30 @@ object TextOps {
     }
     s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
   }
-  def sparkLangPredict(hps: String): String =
-    langCase(langs.indices.map(i =>
-      s"size(filter($hps, h -> h % 5 = $i))").toArray)
+  /** Spark side folds ONE histogram pass over the hash array, then binds
+    * it with [[let1]] so the tokenizer+md5 chain runs once per row. */
+  def sparkLangPredict(hps: String): String = {
+    val hist =
+      s"""aggregate($hps, array(0, 0, 0, 0, 0),
+          (acc, h) -> transform(acc,
+            (c, i) -> CASE WHEN h % 5 = i THEN c + 1 ELSE c END))"""
+    let1(hist, s => langCase(
+      langs.indices.map(i => s"element_at($s, ${i + 1})").toArray))
+  }
   def duckLangPredict(hps: String): String =
     langCase(langs.indices.map(i =>
       s"len(list_filter($hps, h -> h % 5 = $i))").toArray)
 
   /** Quality score in [0,1]: length, stopword ratio, mean token length. */
   private val stops = "('a', 'the', 'of', 'and', 'big', 'small')"
-  def sparkQuality: String =
+  def sparkQuality: String = let1(sparkToks, t =>
     s"""round(
-       0.4 * least(1.0, size($sparkToks) / 80.0)
-     + 0.3 * (1.0 - cast(size(filter($sparkToks, t -> t IN $stops)) as double)
-              / greatest(size($sparkToks), 1))
+       0.4 * least(1.0, size($t) / 80.0)
+     + 0.3 * (1.0 - cast(size(filter($t, tk -> tk IN $stops)) as double)
+              / greatest(size($t), 1))
      + 0.3 * least(1.0,
-         cast(aggregate(transform($sparkToks, t -> length(t)), 0, (a, x) -> a + x)
-              as double) / greatest(size($sparkToks), 1) / 6.0), 6)"""
+         cast(aggregate(transform($t, tk -> length(tk)), 0, (a, x) -> a + x)
+              as double) / greatest(size($t), 1) / 6.0), 6)""")
   def duckQuality: String =
     s"""round(
        0.4 * least(1.0, len($duckToks) / 80.0)
