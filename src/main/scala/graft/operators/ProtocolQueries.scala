@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Tables}
 import graft.plans.BpfFilter
-import graft.sources.{NetFlowV5, V5Header, V5Record}
+import graft.sources.{NetFlowV5, NetFlowV9, V5Header, V5Record}
 
 /** Protocol-surface operators: the BPF filter compiler in a real plan,
   * custom primitives (user-declared field extraction, SURVEY §1.2), and
@@ -93,6 +93,53 @@ object ProtocolQueries {
            CAST(sum(packets) AS BIGINT) AS packets,
            bit_or(tcp_flags) AS flags_or
            FROM flows GROUP BY 1""")),
-      doc = "NetFlow v5 wire codec round-trip inside the pipeline")
+      doc = "NetFlow v5 wire codec round-trip inside the pipeline"),
+
+    // NetFlow v9 with template STATE: per-exporter keyed decode where the
+    // first data datagrams arrive BEFORE their template and are buffered
+    // until it shows up (nfv9_template.c semantics). The oracle aggregates
+    // the underived records directly — if the cache dropped, duplicated,
+    // or misdecoded buffered data, parity breaks.
+    Q("q57_nfv9_templates",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            col("ip_proto"), col("port_dst"),
+            (col("bytes") % 4294967296L).as("octets"), col("packets"))
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val tmpl = NetFlowV9.Template(260, Seq(
+              IE.Protocol -> 1, IE.L4DstPort -> 2,
+              IE.InBytes -> 4, IE.InPkts -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val dataDgs = recs.grouped(20).map { b =>
+              NetFlowV9.encodeData(h, tmpl, b.map(r => Map(
+                IE.Protocol -> r._3, IE.L4DstPort -> r._4,
+                IE.InBytes -> r._5, IE.InPkts -> r._6)))
+            }.toSeq
+            // template deliberately arrives after two data datagrams
+            val dgs = dataDgs.take(2) ++
+              Seq(NetFlowV9.encodeTemplate(h, tmpl)) ++ dataDgs.drop(2)
+            val cache = new NetFlowV9.TemplateCache
+            dgs.flatMap(cache.observe).map(m =>
+              (ex, m(IE.Protocol), m(IE.L4DstPort),
+                m(IE.InBytes), m(IE.InPkts)))
+        }
+        decoded.toDF("exporter", "proto", "port_dst", "octets", "packets")
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+            sum("packets").as("packets"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 4294967296) AS BIGINT) AS octets,
+           CAST(sum(packets) AS BIGINT) AS packets
+           FROM flows GROUP BY 1""")),
+      doc = "NetFlow v9 template cache with data-before-template buffering")
   )
 }

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import scala.collection.mutable
+
+/** NetFlow v9 template-based codec with a per-exporter template cache —
+  * the stateful decode the reference keeps in `nfv9_template.c` (learned
+  * per (exporter, template-id) layouts; data arriving before its template
+  * is held, not dropped, mirroring nfacctd's buffering choice;
+  * SURVEY §2.10 "template state", §7 hard part (c)).
+  *
+  * Wire format (public, RFC 3954): 20-byte header, then flowsets —
+  * id 0 carries templates `(template_id, field_count, n×(type, len))`,
+  * ids ≥ 256 carry data records laid out per the referenced template.
+  * Numeric IEs up to 8 bytes decode big-endian into Long.
+  *
+  * In the engine the cache lives inside keyed state (one key per
+  * exporter — `flatMapGroups`/`transformWithState`), so template state
+  * partitions with its exporter and survives checkpointing; q57 drives
+  * exactly that shape in batch.
+  */
+object NetFlowV9 {
+  val HeaderLen = 20
+
+  /** One decoded data record: IANA field type → numeric value. */
+  type Decoded = Map[Int, Long]
+
+  final case class Template(id: Int, fields: Seq[(Int, Int)]) {
+    val recordLen: Int = fields.map(_._2).sum
+  }
+
+  def encodeTemplate(h: V9Header, t: Template): Array[Byte] = {
+    val setLen = 8 + t.fields.size * 4
+    val buf = ByteBuffer.allocate(HeaderLen + setLen)
+    putHeader(buf, h, 1)
+    buf.putShort(0) // template flowset
+    buf.putShort(setLen.toShort)
+    buf.putShort(t.id.toShort)
+    buf.putShort(t.fields.size.toShort)
+    t.fields.foreach { case (tp, ln) =>
+      buf.putShort(tp.toShort); buf.putShort(ln.toShort)
+    }
+    buf.array()
+  }
+
+  def encodeData(h: V9Header, t: Template,
+                 records: Seq[Decoded]): Array[Byte] = {
+    val body = records.size * t.recordLen
+    val pad = (4 - (4 + body) % 4) % 4
+    val setLen = 4 + body + pad
+    val buf = ByteBuffer.allocate(HeaderLen + setLen)
+    putHeader(buf, h, records.size)
+    buf.putShort(t.id.toShort)
+    buf.putShort(setLen.toShort)
+    records.foreach { r =>
+      t.fields.foreach { case (tp, ln) =>
+        val v = r.getOrElse(tp, 0L)
+        (ln - 1 to 0 by -1).foreach(i => buf.put((v >>> (8 * i)).toByte))
+      }
+    }
+    buf.array()
+  }
+
+  private def putHeader(buf: ByteBuffer, h: V9Header, count: Int): Unit = {
+    buf.putShort(9)
+    buf.putShort(count.toShort)
+    buf.putInt(h.sysUptimeMs.toInt)
+    buf.putInt(h.unixSecs.toInt)
+    buf.putInt(h.sequence.toInt)
+    buf.putInt(h.sourceId.toInt)
+  }
+
+  final case class V9Header(sysUptimeMs: Long, unixSecs: Long,
+                            sequence: Long, sourceId: Long)
+
+  /** Per-exporter template cache + data-before-template buffer. One
+    * instance per exporter key; feed datagrams in arrival order. */
+  final class TemplateCache {
+    private val templates = mutable.Map[Int, Template]()
+    private val pending = mutable.Map[Int, mutable.Buffer[Array[Byte]]]()
+
+    /** Decode one datagram; returns records decodable NOW (including any
+      * previously-buffered data whose template just arrived). */
+    def observe(datagram: Array[Byte]): Seq[Decoded] = {
+      val buf = ByteBuffer.wrap(datagram)
+      val version = buf.getShort() & 0xffff
+      require(version == 9, s"not a v9 datagram: version=$version")
+      buf.position(HeaderLen) // count/uptime/secs/seq/source not needed here
+      val out = mutable.Buffer[Decoded]()
+      while (buf.remaining() >= 4) {
+        val setId = buf.getShort() & 0xffff
+        val setLen = buf.getShort() & 0xffff
+        val setEnd = buf.position() + setLen - 4
+        if (setId == 0) {
+          while (buf.position() + 4 <= setEnd) {
+            val tid = buf.getShort() & 0xffff
+            val n = buf.getShort() & 0xffff
+            val fields = (0 until n).map { _ =>
+              (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
+            }
+            val t = Template(tid, fields)
+            templates(tid) = t
+            pending.remove(tid).foreach(_.foreach(out ++= decodeBody(t, _)))
+          }
+        } else if (setId >= 256) {
+          val body = new Array[Byte](setEnd - buf.position())
+          buf.get(body)
+          templates.get(setId) match {
+            case Some(t) => out ++= decodeBody(t, body)
+            case None =>
+              pending.getOrElseUpdate(setId, mutable.Buffer()) += body
+          }
+        }
+        buf.position(setEnd)
+      }
+      out.toSeq
+    }
+
+    private def decodeBody(t: Template, body: Array[Byte]): Seq[Decoded] = {
+      val n = body.length / t.recordLen // trailing padding ignored
+      (0 until n).map { r =>
+        var off = r * t.recordLen
+        t.fields.map { case (tp, ln) =>
+          var v = 0L
+          (0 until ln).foreach { i => v = (v << 8) | (body(off + i) & 0xffL) }
+          off += ln
+          tp -> v
+        }.toMap
+      }
+    }
+
+    def knownTemplates: Set[Int] = templates.keySet.toSet
+    def pendingSets: Int = pending.valuesIterator.map(_.size).sum
+  }
+
+  /** Standard IANA IEs used by the tests/queries. */
+  object IE {
+    val InBytes = 1; val InPkts = 2; val Protocol = 4; val TcpFlags = 6
+    val L4SrcPort = 7; val Ipv4SrcAddr = 8; val L4DstPort = 11
+    val Ipv4DstAddr = 12
+  }
+}

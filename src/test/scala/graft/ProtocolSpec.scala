@@ -28,6 +28,45 @@ class ProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("NetFlow v9: data-before-template is buffered, then decoded once") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(300,
+      Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(1L, 2L, 3L, 9L)
+    val recs = (1 to 5).map(i =>
+      Map(IE.Protocol -> 6L, IE.InBytes -> (100L * i)))
+    val data1 = NetFlowV9.encodeData(h, t, recs.take(2))
+    val data2 = NetFlowV9.encodeData(h, t, recs.drop(2))
+    val tdg = NetFlowV9.encodeTemplate(h, t)
+
+    val cache = new NetFlowV9.TemplateCache
+    assert(cache.observe(data1).isEmpty) // no template yet → buffered
+    assert(cache.pendingSets == 1)
+    val onTemplate = cache.observe(tdg) // template releases the buffer
+    assert(onTemplate == recs.take(2))
+    assert(cache.pendingSets == 0)
+    assert(cache.observe(data2) == recs.drop(2)) // now decodes immediately
+
+    // template-first ordering yields the same records
+    val cache2 = new NetFlowV9.TemplateCache
+    val all2 = Seq(tdg, data1, data2).flatMap(cache2.observe)
+    assert(all2 == recs)
+  }
+
+  test("NetFlow v9: multi-byte fields round-trip big-endian") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(257, Seq(IE.Ipv4SrcAddr -> 4,
+      IE.L4SrcPort -> 2, IE.TcpFlags -> 1))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val r = Map(IE.Ipv4SrcAddr -> 0xC0A80101L, IE.L4SrcPort -> 65535L,
+      IE.TcpFlags -> 0x92L)
+    val cache = new NetFlowV9.TemplateCache
+    cache.observe(NetFlowV9.encodeTemplate(h, t))
+    assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
+  }
+
   test("BPF compiler: direction, negation, precedence") {
     val df = Seq(
       // ip_src, ip_dst, port_src, port_dst, proto, bytes, packets
