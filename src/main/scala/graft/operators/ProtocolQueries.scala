@@ -140,6 +140,29 @@ object ProtocolQueries {
            CAST(sum(bytes % 4294967296) AS BIGINT) AS octets,
            CAST(sum(packets) AS BIGINT) AS packets
            FROM flows GROUP BY 1""")),
-      doc = "NetFlow v9 template cache with data-before-template buffering")
+      doc = "NetFlow v9 template cache with data-before-template buffering"),
+
+    // Config-file veneer: a pmacct plugin config drives the engine
+    // end-to-end (aggregate / aggregate_filter / history / preprocess).
+    Q("q58_config_driven",
+      (s, d) => graft.core.ConfigSpec.run(flows(s, d),
+        """! pmacct-style plugin config
+          |aggregate: dst_port, proto
+          |aggregate_filter: bytes > 1000 and not udp
+          |kafka_history: 1h
+          |preprocess: minb=100000
+          |""".stripMargin),
+      Some(FlowView.cte(
+        """SELECT ((t0u - t0u % 3600000000) // 3600000000) * 3600
+             AS bin_start,
+           port_dst AS dst_port, ip_proto AS proto,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(sum(packets) AS BIGINT) AS packets,
+           count(*) AS flows, bit_or(tcp_flags) AS tcp_flags,
+           min(t0u) AS ts_min_us, max(t1u) AS ts_max_us
+           FROM flows WHERE bytes > 1000 AND NOT ip_proto = 17
+           GROUP BY 1, 2, 3
+           HAVING CAST(sum(bytes) AS BIGINT) >= 100000""")),
+      doc = "pmacct config text driving the full aggregation pipeline")
   )
 }

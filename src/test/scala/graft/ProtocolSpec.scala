@@ -90,6 +90,24 @@ class ProtocolSpec extends AnyFunSuite {
     intercept[BpfFilter.ParseError](BpfFilter.compile("frobnicate 1", f))
   }
 
+  test("ConfigSpec parses aggregate/filter/history/preprocess") {
+    import graft.core.{ConfigSpec, SecondsHistory}
+    val p = ConfigSpec.parse(
+      """! comment
+        |aggregate: src_host, dst_port
+        |aggregate_filter: tcp and bytes > 10
+        |print_history: 5m
+        |preprocess: minb=100, maxp=9
+        |""".stripMargin)
+    assert(p.keys.map(_._1) == Seq("src_host", "dst_port"))
+    assert(p.filter.nonEmpty && p.history.nonEmpty && p.havings.size == 2)
+    intercept[ConfigSpec.ParseError](ConfigSpec.parse("aggregate: warp_factor"))
+    intercept[ConfigSpec.ParseError](
+      ConfigSpec.parse("preprocess: frob=1"))
+    // aggregate: none → global aggregation, no keys
+    assert(ConfigSpec.parse("aggregate: none").keys.isEmpty)
+  }
+
   test("kafka frame carries all columns as JSON with a stable key") {
     val df = Seq((6L, 80L, 1234L)).toDF("proto", "port", "bytes")
     val out = FlowSinks.kafkaFrame(df, Seq("proto", "port"))
