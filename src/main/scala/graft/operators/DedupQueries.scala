@@ -58,14 +58,16 @@ object DedupQueries {
         val bandArr = let1(sigsArr, sg =>
           s"""transform(sequence(0, 3), b -> concat_ws('_', b,
               element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
-        val bands = docs.selectExpr("doc_id", s"explode($bandArr) as bk")
-        val cand = bands.as("x").join(bands.as("y"),
+        // hs rides through the band explode: candidate pairs carry both
+        // hash sets out of the band join — no fetch-back joins, so the
+        // shingle+md5 chain is not recomputed per pair side.
+        val bands = docs.selectExpr("doc_id", "hs",
+          s"explode($bandArr) as bk")
+        val verified = bands.as("x").join(bands.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+            col("x.hs").as("hs1"), col("y.hs").as("hs2"))
           .distinct()
-        val verified = cand
-          .join(docs.selectExpr("doc_id as id1", "hs as hs1"), "id1")
-          .join(docs.selectExpr("doc_id as id2", "hs as hs2"), "id2")
           .withColumn("jacc",
             expr("size(array_intersect(hs1, hs2)) / " +
               "cast(size(array_union(hs1, hs2)) as double)"))

@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Compare Spark bench times (BENCH json) with DuckDB running the same
+oracle SQL on the same sf tables. Usage:
+  python3 tools/bench_compare.py <sfDir> <bench.json> <oracle_sql.json>
+Dev tool: evidence for the matches-or-beats-single-node target."""
+import duckdb, json, sys, time
+
+def main(sfdir, benchfile, oraclefile):
+    raw = open(benchfile).read()
+    raw = raw[raw.index('{"metric"'):]
+    bench = json.loads(raw)["queries"]
+    oracle = json.load(open(oraclefile))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    rows = []
+    for name in sorted(oracle):
+        t0 = time.time()
+        try:
+            con.execute(oracle[name]).fetchall()
+            dt = time.time() - t0
+        except Exception:
+            dt = float("nan")
+        rows.append((name, bench.get(name, float("nan")), dt))
+    print(f"{'query':26s} {'spark_s':>8s} {'duckdb_s':>9s} {'ratio':>6s}")
+    sw = dw = 0.0
+    for n, s, d in rows:
+        r = s / d if d and d == d else float("nan")
+        sw += s if s == s else 0; dw += d if d == d else 0
+        print(f"{n:26s} {s:8.2f} {d:9.2f} {r:6.2f}")
+    print(f"{'TOTAL':26s} {sw:8.2f} {dw:9.2f} {sw/dw:6.2f}")
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])
