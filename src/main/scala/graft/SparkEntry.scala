@@ -19,7 +19,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++
       graft.similarity.SimilarityQueries.all ++
       graft.streaming.StreamingQueries.all ++ SurfaceQueries.all ++
-      graft.multimodal.MultimodalQueries.all ++ ProtocolQueries.all
+      graft.multimodal.MultimodalQueries.all ++ ProtocolQueries.all ++
+      ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

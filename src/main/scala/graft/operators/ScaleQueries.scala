@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{FlowView, Q, Salt, Tables}
+import graft.maps.{Bloom, Dims}
+
+/** Scale-mechanics operators: salted two-phase aggregation (hot-key
+  * skew), bloom pre-filtering (exact-verified, so oracle-checkable), and
+  * the L7 classification hook (SURVEY §2.10; nDPI's payload inspection is
+  * pluggable — the port/proto heuristic here is the `class` primitive's
+  * cheap path, cf. `src/classifier.c` first-k-packets giveup).
+  */
+object ScaleQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  /** L7 class heuristic over (proto, ports). */
+  def l7Class(proto: org.apache.spark.sql.Column,
+              portSrc: org.apache.spark.sql.Column,
+              portDst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(proto === 6 && (portDst === 80 || portSrc === 80), "http")
+      .when(proto === 6 && (portDst === 443 || portSrc === 443), "tls")
+      .when(proto === 6 && (portDst === 8443 || portSrc === 8443), "tls-alt")
+      .when(proto === 6 && (portDst === 25 || portSrc === 25), "smtp")
+      .when(proto === 17 && (portDst === 53 || portSrc === 53), "dns")
+      .otherwise("unknown")
+
+  val all: Seq[Q] = Seq(
+
+    // Salted two-phase aggregation: identical results to the direct
+    // groupBy (the oracle IS the direct plan), different shuffle layout —
+    // a hot port no longer lands on one reducer.
+    Q("q59_salted_agg",
+      (s, d) => Salt.aggregate(flows(s, d), Seq("port_dst"),
+        col("event_id"), 8, Seq(
+          Salt.sum2("bytes", col("bytes")),
+          Salt.count2("n"),
+          Salt.bitOr2("flags", col("tcp_flags")),
+          Salt.min2("ts_min_us", col("t0u")))),
+      Some(FlowView.cte(
+        """SELECT port_dst, CAST(sum(bytes) AS BIGINT) AS bytes,
+           count(*) AS n, bit_or(tcp_flags) AS flags,
+           min(t0u) AS ts_min_us
+           FROM flows GROUP BY port_dst""")),
+      doc = "skew-tolerant salted aggregation (== direct plan results)"),
+
+    // L7 classification primitive (class column) + per-class accounting.
+    Q("q60_classify",
+      (s, d) => flows(s, d)
+        .withColumn("class",
+          l7Class(col("ip_proto"), col("port_src"), col("port_dst")))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(FlowView.cte(
+        """SELECT CASE
+             WHEN ip_proto = 6 AND (port_dst = 80 OR port_src = 80)
+               THEN 'http'
+             WHEN ip_proto = 6 AND (port_dst = 443 OR port_src = 443)
+               THEN 'tls'
+             WHEN ip_proto = 6 AND (port_dst = 8443 OR port_src = 8443)
+               THEN 'tls-alt'
+             WHEN ip_proto = 6 AND (port_dst = 25 OR port_src = 25)
+               THEN 'smtp'
+             WHEN ip_proto = 17 AND (port_dst = 53 OR port_src = 53)
+               THEN 'dns'
+             ELSE 'unknown' END AS class,
+           count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows GROUP BY 1""")),
+      doc = "L7 classification hook (port heuristic; payload pluggable)"),
+
+    // Bloom pre-filter + exact verify: the production bloom pattern
+    // (cheap codegen probe drops most non-members, exact semi-join
+    // confirms). Results are exact, so the oracle checks that the sketch
+    // produced NO false negatives over the whole fact table.
+    Q("q61_bloom_prefilter",
+      (s, d) => {
+        val allowed = Dims.allowList(s)
+        val sketch = Bloom.build(allowed, col("exporter"), 64L, 4096L)
+        flows(s, d).withColumn("exporter", col("ip_src") % 16)
+          .filter(Bloom.mightContain(sketch, col("exporter")))
+          .join(broadcast(allowed), Seq("exporter"), "left_semi")
+          .groupBy()
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""WITH flows AS (SELECT *, ip_src % 16 AS exporter
+              FROM (${FlowView.sql})), ${Dims.allowSql}
+            SELECT count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows WHERE exporter IN (SELECT exporter FROM allow_list)"""),
+      doc = "bloom membership pre-filter with exact verify")
+  )
+}

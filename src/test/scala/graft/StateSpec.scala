@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{ImtStore, Salt}
+import graft.maps.Bloom
+import graft.plans.Lpm
+
+class StateSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("ImtStore: upsert merges counters, reset zeroes, erase empties") {
+    val store = new ImtStore(spark, "imt_test", Seq("k"), Seq("bytes", "n"))
+    store.upsert(Seq(("a", 10L, 1L), ("b", 20L, 1L)).toDF("k", "bytes", "n"))
+    store.upsert(Seq(("a", 5L, 2L)).toDF("k", "bytes", "n"))
+    val merged = store.query("SELECT k, bytes, n FROM imt_test ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(merged == Seq(("a", 15L, 3L), ("b", 20L, 1L)))
+
+    store.reset()
+    val zeroed = store.query("SELECT sum(bytes) FROM imt_test")
+      .as[Long].head()
+    assert(zeroed == 0L && store.table.count() == 2)
+
+    store.erase()
+    assert(store.table.count() == 0)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = (1 to 500).map(i => (i % 7L, i.toLong, i * 3L))
+      .toDF("k", "id", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("v"), count(lit(1)).as("n"), min("id").as("mn"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val salted = Salt.aggregate(df, Seq("k"), col("id"), 16, Seq(
+      Salt.sum2("v", col("v")), Salt.count2("n"), Salt.min2("mn", col("id"))))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("bloom filter: no false negatives, rejects most non-members") {
+    val members = (1L to 100L).map(i => i * 37L)
+    val dim = members.toDF("v")
+    val sketch = Bloom.build(dim, col("v"), 100L, 4096L)
+    val probe = (1L to 100L).map(i => i * 37L) ++ (1L to 1000L).map(_ + 500000L)
+    val got = probe.toDF("v")
+      .withColumn("hit", Bloom.mightContain(sketch, col("v")))
+      .as[(Long, Boolean)].collect()
+    val memberSet = members.toSet
+    assert(got.filter(r => memberSet(r._1)).forall(_._2)) // no false negs
+    val fp = got.filter(r => !memberSet(r._1)).count(_._2)
+    assert(fp < 100) // loose FP bound at 4096 bits / 100 items
+  }
+
+  test("LPM default route (len 0) catches uncovered space") {
+    val t = new Lpm.Table(16, Seq((0L, 0, 999L), (0L, 1, 1L)))
+    assert(t.lookup(100L) == 1L)      // /1 beats default
+    assert(t.lookup(40000L) == 999L)  // default route fallback
+  }
+}
