@@ -117,14 +117,20 @@ object ProtocolQueries {
               IE.Protocol -> 1, IE.L4DstPort -> 2,
               IE.InBytes -> 4, IE.InPkts -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            // even exporters speak NetFlow v9, odd exporters IPFIX —
+            // nfacctd accepts both concurrently (SURVEY §2.8)
+            val ipfix = ex % 2 == 1
             val dataDgs = recs.grouped(20).map { b =>
-              NetFlowV9.encodeData(h, tmpl, b.map(r => Map(
+              val rs = b.map(r => Map(
                 IE.Protocol -> r._3, IE.L4DstPort -> r._4,
-                IE.InBytes -> r._5, IE.InPkts -> r._6)))
+                IE.InBytes -> r._5, IE.InPkts -> r._6))
+              if (ipfix) NetFlowV9.encodeDataIpfix(h, tmpl, rs)
+              else NetFlowV9.encodeData(h, tmpl, rs)
             }.toSeq
+            val tdg = if (ipfix) NetFlowV9.encodeTemplateIpfix(h, tmpl)
+              else NetFlowV9.encodeTemplate(h, tmpl)
             // template deliberately arrives after two data datagrams
-            val dgs = dataDgs.take(2) ++
-              Seq(NetFlowV9.encodeTemplate(h, tmpl)) ++ dataDgs.drop(2)
+            val dgs = dataDgs.take(2) ++ Seq(tdg) ++ dataDgs.drop(2)
             val cache = new NetFlowV9.TemplateCache
             dgs.flatMap(cache.observe).map(m =>
               (ex, m(IE.Protocol), m(IE.L4DstPort),

@@ -3,16 +3,20 @@ package graft.sources
 import java.nio.ByteBuffer
 import scala.collection.mutable
 
-/** NetFlow v9 template-based codec with a per-exporter template cache —
+/** NetFlow v9 / IPFIX (v10) template-based codec with a per-exporter
+  * template cache —
   * the stateful decode the reference keeps in `nfv9_template.c` (learned
   * per (exporter, template-id) layouts; data arriving before its template
   * is held, not dropped, mirroring nfacctd's buffering choice;
   * SURVEY §2.10 "template state", §7 hard part (c)).
   *
-  * Wire format (public, RFC 3954): 20-byte header, then flowsets —
-  * id 0 carries templates `(template_id, field_count, n×(type, len))`,
-  * ids ≥ 256 carry data records laid out per the referenced template.
-  * Numeric IEs up to 8 bytes decode big-endian into Long.
+  * Wire formats (public): RFC 3954 v9 — 20-byte header, template flowset
+  * id 0; RFC 7011 IPFIX — 16-byte header (version 10, total length),
+  * template set id 2. Both carry templates as
+  * `(template_id, field_count, n×(type, len))` and data sets with
+  * ids ≥ 256 laid out per the referenced template. Numeric IEs up to
+  * 8 bytes decode big-endian into Long. One cache instance decodes a mixed
+  * v9/IPFIX datagram stream (nfacctd accepts both concurrently, §2.8).
   *
   * In the engine the cache lives inside keyed state (one key per
   * exporter — `flatMapGroups`/`transformWithState`), so template state
@@ -21,6 +25,7 @@ import scala.collection.mutable
   */
 object NetFlowV9 {
   val HeaderLen = 20
+  val IpfixHeaderLen = 16
 
   /** One decoded data record: IANA field type → numeric value. */
   type Decoded = Map[Int, Long]
@@ -70,6 +75,51 @@ object NetFlowV9 {
     buf.putInt(h.sourceId.toInt)
   }
 
+  // ---- IPFIX (RFC 7011) encode: 16-byte header, template set id 2 ------
+
+  def encodeTemplateIpfix(h: V9Header, t: Template): Array[Byte] = {
+    val setLen = 8 + t.fields.size * 4
+    val buf = ByteBuffer.allocate(IpfixHeaderLen + setLen)
+    putIpfixHeader(buf, h, IpfixHeaderLen + setLen)
+    buf.putShort(2) // template set
+    buf.putShort(setLen.toShort)
+    buf.putShort(t.id.toShort)
+    buf.putShort(t.fields.size.toShort)
+    t.fields.foreach { case (tp, ln) =>
+      buf.putShort(tp.toShort); buf.putShort(ln.toShort)
+    }
+    buf.array()
+  }
+
+  def encodeDataIpfix(h: V9Header, t: Template,
+                      records: Seq[Decoded]): Array[Byte] = {
+    // no padding (RFC 7011 permits none): IPFIX carries no record count,
+    // so an exact-multiple set length is what keeps decode unambiguous
+    // even for sub-4-byte record layouts
+    val body = records.size * t.recordLen
+    val setLen = 4 + body
+    val buf = ByteBuffer.allocate(IpfixHeaderLen + setLen)
+    putIpfixHeader(buf, h, IpfixHeaderLen + setLen)
+    buf.putShort(t.id.toShort)
+    buf.putShort(setLen.toShort)
+    records.foreach { r =>
+      t.fields.foreach { case (tp, ln) =>
+        val v = r.getOrElse(tp, 0L)
+        (ln - 1 to 0 by -1).foreach(i => buf.put((v >>> (8 * i)).toByte))
+      }
+    }
+    buf.array()
+  }
+
+  private def putIpfixHeader(buf: ByteBuffer, h: V9Header,
+                             totalLen: Int): Unit = {
+    buf.putShort(10)
+    buf.putShort(totalLen.toShort)
+    buf.putInt(h.unixSecs.toInt)   // export time
+    buf.putInt(h.sequence.toInt)
+    buf.putInt(h.sourceId.toInt)   // observation domain id
+  }
+
   final case class V9Header(sysUptimeMs: Long, unixSecs: Long,
                             sequence: Long, sourceId: Long)
 
@@ -77,21 +127,30 @@ object NetFlowV9 {
     * instance per exporter key; feed datagrams in arrival order. */
   final class TemplateCache {
     private val templates = mutable.Map[Int, Template]()
-    private val pending = mutable.Map[Int, mutable.Buffer[Array[Byte]]]()
+    /** (set body, record budget from its datagram header) per template. */
+    private val pending =
+      mutable.Map[Int, mutable.Buffer[(Array[Byte], Int)]]()
 
     /** Decode one datagram; returns records decodable NOW (including any
       * previously-buffered data whose template just arrived). */
     def observe(datagram: Array[Byte]): Seq[Decoded] = {
       val buf = ByteBuffer.wrap(datagram)
       val version = buf.getShort() & 0xffff
-      require(version == 9, s"not a v9 datagram: version=$version")
-      buf.position(HeaderLen) // count/uptime/secs/seq/source not needed here
+      require(version == 9 || version == 10,
+        s"not a v9/IPFIX datagram: version=$version")
+      val (headerLen, templateSetId) =
+        if (version == 9) (HeaderLen, 0) else (IpfixHeaderLen, 2)
+      // v9's header count caps decoded records — the only way to tell a
+      // trailing 2-byte pad from a phantom 2-byte record (RFC 3954 count
+      // covers template + data records in the packet)
+      var budget = if (version == 9) buf.getShort() & 0xffff else Int.MaxValue
+      buf.position(headerLen) // remaining header fields not needed here
       val out = mutable.Buffer[Decoded]()
       while (buf.remaining() >= 4) {
         val setId = buf.getShort() & 0xffff
         val setLen = buf.getShort() & 0xffff
         val setEnd = buf.position() + setLen - 4
-        if (setId == 0) {
+        if (setId == templateSetId) {
           while (buf.position() + 4 <= setEnd) {
             val tid = buf.getShort() & 0xffff
             val n = buf.getShort() & 0xffff
@@ -100,15 +159,22 @@ object NetFlowV9 {
             }
             val t = Template(tid, fields)
             templates(tid) = t
-            pending.remove(tid).foreach(_.foreach(out ++= decodeBody(t, _)))
+            budget -= 1
+            pending.remove(tid).foreach(_.foreach { case (b, cap) =>
+              out ++= decodeBody(t, b, cap)
+            })
           }
         } else if (setId >= 256) {
           val body = new Array[Byte](setEnd - buf.position())
           buf.get(body)
           templates.get(setId) match {
-            case Some(t) => out ++= decodeBody(t, body)
+            case Some(t) =>
+              val decoded = decodeBody(t, body, budget)
+              budget -= decoded.size
+              out ++= decoded
             case None =>
-              pending.getOrElseUpdate(setId, mutable.Buffer()) += body
+              pending.getOrElseUpdate(setId, mutable.Buffer()) +=
+                ((body, budget))
           }
         }
         buf.position(setEnd)
@@ -116,8 +182,9 @@ object NetFlowV9 {
       out.toSeq
     }
 
-    private def decodeBody(t: Template, body: Array[Byte]): Seq[Decoded] = {
-      val n = body.length / t.recordLen // trailing padding ignored
+    private def decodeBody(t: Template, body: Array[Byte],
+                           cap: Int): Seq[Decoded] = {
+      val n = math.min(body.length / t.recordLen, cap) // pad/count aware
       (0 until n).map { r =>
         var off = r * t.recordLen
         t.fields.map { case (tp, ln) =>

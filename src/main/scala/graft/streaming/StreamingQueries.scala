@@ -195,6 +195,66 @@ object StreamingQueries {
                ORDER BY t0u, event_id) AS delta
              FROM flows)
            GROUP BY exporter""")),
-      doc = "per-exporter sequence-number jump tracking")
+      doc = "per-exporter sequence-number jump tracking"),
+
+    // Streaming dedup: dropDuplicates on the event key inside a streaming
+    // query (pmacct has no dup suppression — this is the training-data
+    // pipeline's exact-dedup running incrementally; state = seen keys).
+    Q("q62_stream_dedup",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q62_sink_" + sinkId.incrementAndGet()
+        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tu"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // which duplicate survives is arrival-order dependent; project to
+        // the deduped KEY so the result set is deterministic
+        s.table(name).select("user_id", "event_type").orderBy(
+          "user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events"""),
+      doc = "streaming exact dedup with keyed state"),
+
+    // Update-mode streaming aggregation flushed through foreachBatch into
+    // an upsert store — pmacct's plugin-cache flush + SQL UPDATE-then-
+    // INSERT merge (docs/INTERNALS:291-295) as Structured Streaming.
+    Q("q63_stream_upsert",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val results = new java.util.concurrent.ConcurrentHashMap[
+          (Long, String), (Long, BigDecimal)]()
+        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .groupBy((col("user_id") % 32).as("ubucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec4)).as("sum_value"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // update-mode re-emits a group's TOTAL; upsert = replace by key
+            batch.collect().foreach { r =>
+              results.put((r.getLong(0), r.getString(1)),
+                (r.getLong(2), BigDecimal(r.getDecimal(3))))
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sp = s
+        import sp.implicits._
+        import scala.jdk.CollectionConverters._
+        results.asScala.toSeq
+          .map { case ((u, t), (n, v)) => (u, t, n, v) }
+          .toDF("ubucket", "event_type", "n", "sum_value")
+          .select(col("ubucket"), col("event_type"), col("n"),
+            col("sum_value").cast(dec4).as("sum_value"))
+      },
+      Some("""SELECT user_id % 32 AS ubucket, event_type, count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "update-mode flush via foreachBatch upsert (SQL-merge parity)")
   )
 }

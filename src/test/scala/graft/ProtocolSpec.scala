@@ -54,6 +54,24 @@ class ProtocolSpec extends AnyFunSuite {
     assert(all2 == recs)
   }
 
+  test("IPFIX: template set id 2 + 16-byte header decode in mixed stream") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(310, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 7L, 8L, 9L)
+    val recs = (1 to 3).map(i => Map(IE.Protocol -> 17L,
+      IE.InBytes -> (7L * i)))
+    val cache = new NetFlowV9.TemplateCache
+    // data before template, IPFIX framing
+    assert(cache.observe(NetFlowV9.encodeDataIpfix(h, t, recs)).isEmpty)
+    assert(cache.observe(NetFlowV9.encodeTemplateIpfix(h, t)) == recs)
+    // same cache keeps decoding v9 framing for another template id
+    val t9 = NetFlowV9.Template(311, Seq(IE.InPkts -> 2))
+    cache.observe(NetFlowV9.encodeTemplate(h, t9))
+    val r9 = Seq(Map(IE.InPkts -> 300L))
+    assert(cache.observe(NetFlowV9.encodeData(h, t9, r9)) == r9)
+  }
+
   test("NetFlow v9: multi-byte fields round-trip big-endian") {
     import graft.sources.NetFlowV9
     import NetFlowV9.IE
