@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Tables}
 import graft.plans.BpfFilter
-import graft.sources.{NetFlowV5, NetFlowV9, V5Header, V5Record}
+import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowSample, SFlowV5, V5Header, V5Record}
 
 /** Protocol-surface operators: the BPF filter compiler in a real plan,
   * custom primitives (user-declared field extraction, SURVEY §1.2), and
@@ -147,6 +147,42 @@ object ProtocolQueries {
            CAST(sum(packets) AS BIGINT) AS packets
            FROM flows GROUP BY 1""")),
       doc = "NetFlow v9 template cache with data-before-template buffering"),
+
+    // sFlow v5: encode flow samples into datagrams per partition, decode,
+    // and renormalize counters by the per-sample sampling rate — sFlow's
+    // defining ingest semantic (src/sfacctd.c renormalization). Oracle
+    // aggregates the underived values, so codec or renorm defects break
+    // parity.
+    Q("q64_sflow_renorm",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            (col("bytes") % 4294967296L).as("frame_len"))
+          .as[(Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(10).flatMap { batch =>
+            val samples = batch.map { case (ex, eid, fl) =>
+              SFlowSample(eid % 4294967296L, ex, 1L + (ex % 4L) * 99L,
+                0L, 0L, 1L, 2L, 1L, fl, Seq.empty)
+            }
+            val dg = SFlowV5.encode(SFlowDatagram(
+              batch.head._1, 0L, batch.head._2 % 4294967296L, 0L, samples))
+            val back = SFlowV5.decode(dg)
+            back.samples.map(sm => (sm.sourceId, sm.frameLength * sm.rate))
+          }
+        }
+        decoded.toDF("exporter", "bytes_renorm")
+          .groupBy("exporter")
+          .agg(count(lit(1)).as("n"), sum("bytes_renorm").as("bytes_renorm"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_src % 16 AS exporter, count(*) AS n,
+           CAST(sum((bytes % 4294967296) *
+                (1 + (ip_src % 16 % 4) * 99)) AS BIGINT) AS bytes_renorm
+           FROM flows GROUP BY 1""")),
+      doc = "sFlow v5 flow samples: codec round-trip + rate renormalization"),
 
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import scala.collection.mutable
+
+/** sFlow v5 codec (public format, sflow.org spec; reference ingest path
+  * `src/sfacctd.c` / `src/sfv5_module.c`) — the flow-sample subset the
+  * accounting pipeline consumes: per-sample sampling metadata
+  * (rate/pool/drops, in/out interface) plus the raw-header record's frame
+  * length. sFlow's defining semantic — counters renormalized by the
+  * sampling rate at ingest (`renormalization`, SURVEY §2.1) — happens in
+  * the query, not the codec.
+  *
+  * Layout encoded/decoded here (big-endian, XDR-style 4-byte units):
+  * datagram: version=5, agent addr (type=1 + IPv4), sub_agent_id, seq,
+  * uptime, n_samples, then samples. Flow sample: tag=1, length, seq,
+  * source_id, rate, pool, drops, input, output, n_records; raw-header
+  * record: tag=1, length, header_protocol, frame_length, stripped,
+  * header_len, header bytes (padded to 4).
+  */
+final case class SFlowSample(
+    seq: Long, sourceId: Long, rate: Long, pool: Long, drops: Long,
+    ifIn: Long, ifOut: Long, headerProtocol: Long, frameLength: Long,
+    header: Seq[Byte])
+
+final case class SFlowDatagram(
+    agentIp: Long, subAgentId: Long, seq: Long, uptimeMs: Long,
+    samples: Seq[SFlowSample])
+
+object SFlowV5 {
+
+  def encode(d: SFlowDatagram): Array[Byte] = {
+    val sampleBufs = d.samples.map { s =>
+      val hdrPad = (4 - s.header.size % 4) % 4
+      val recLen = 16 + s.header.size + hdrPad
+      val sampLen = 32 + 8 + recLen
+      val b = ByteBuffer.allocate(8 + sampLen)
+      b.putInt(1) // flow sample tag
+      b.putInt(sampLen)
+      b.putInt(s.seq.toInt)
+      b.putInt(s.sourceId.toInt)
+      b.putInt(s.rate.toInt)
+      b.putInt(s.pool.toInt)
+      b.putInt(s.drops.toInt)
+      b.putInt(s.ifIn.toInt)
+      b.putInt(s.ifOut.toInt)
+      b.putInt(1) // n_records
+      b.putInt(1) // raw packet header record tag
+      b.putInt(recLen)
+      b.putInt(s.headerProtocol.toInt)
+      b.putInt(s.frameLength.toInt)
+      b.putInt(0) // stripped
+      b.putInt(s.header.size)
+      s.header.foreach(b.put)
+      (0 until hdrPad).foreach(_ => b.put(0.toByte))
+      b.array()
+    }
+    val buf = ByteBuffer.allocate(28 + sampleBufs.map(_.length).sum)
+    buf.putInt(5) // version
+    buf.putInt(1) // agent address type: IPv4
+    buf.putInt(d.agentIp.toInt)
+    buf.putInt(d.subAgentId.toInt)
+    buf.putInt(d.seq.toInt)
+    buf.putInt(d.uptimeMs.toInt)
+    buf.putInt(d.samples.size)
+    sampleBufs.foreach(buf.put)
+    buf.array()
+  }
+
+  def decode(datagram: Array[Byte]): SFlowDatagram = {
+    val buf = ByteBuffer.wrap(datagram)
+    def u32(): Long = buf.getInt() & 0xffffffffL
+    val version = u32()
+    require(version == 5, s"not an sFlow v5 datagram: version=$version")
+    val addrType = u32()
+    require(addrType == 1, s"only IPv4 agents supported: type=$addrType")
+    val agentIp = u32()
+    val subAgent = u32()
+    val seq = u32()
+    val uptime = u32()
+    val nSamples = u32().toInt
+    val samples = mutable.Buffer[SFlowSample]()
+    (0 until nSamples).foreach { _ =>
+      val tag = u32()
+      val len = u32().toInt
+      val end = buf.position() + len
+      if (tag == 1) { // flow sample; other sample types skipped
+        val (sseq, src, rate, pool, drops) = (u32(), u32(), u32(), u32(), u32())
+        val (iin, iout) = (u32(), u32())
+        val nRecs = u32().toInt
+        var sample: Option[SFlowSample] = None
+        (0 until nRecs).foreach { _ =>
+          val rtag = u32()
+          val rlen = u32().toInt
+          val rend = buf.position() + rlen
+          if (rtag == 1 && sample.isEmpty) {
+            val proto = u32()
+            val frameLen = u32()
+            u32() // stripped
+            val hdrLen = u32().toInt
+            val hdr = new Array[Byte](hdrLen)
+            buf.get(hdr)
+            sample = Some(SFlowSample(sseq, src, rate, pool, drops,
+              iin, iout, proto, frameLen, hdr.toSeq))
+          }
+          buf.position(rend)
+        }
+        samples ++= sample
+      }
+      buf.position(end)
+    }
+    SFlowDatagram(agentIp, subAgent, seq, uptime, samples.toSeq)
+  }
+}

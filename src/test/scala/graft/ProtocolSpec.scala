@@ -108,6 +108,18 @@ class ProtocolSpec extends AnyFunSuite {
     intercept[BpfFilter.ParseError](BpfFilter.compile("frobnicate 1", f))
   }
 
+  test("sFlow v5 encode/decode round-trips flow samples") {
+    import graft.sources.{SFlowDatagram, SFlowSample, SFlowV5}
+    val rnd = new scala.util.Random(7)
+    val samples = (1 to 5).map { i =>
+      SFlowSample(i.toLong, 100L + i, 1L + rnd.nextInt(1000),
+        5000L, 2L, 1L, 2L, 1L, rnd.nextLong() & 0xffffffffL,
+        Seq.tabulate(rnd.nextInt(20))(b => b.toByte))
+    }
+    val dg = SFlowDatagram(0x0A000001L, 3L, 42L, 999L, samples)
+    assert(SFlowV5.decode(SFlowV5.encode(dg)) == dg)
+  }
+
   test("ConfigSpec parses aggregate/filter/history/preprocess") {
     import graft.core.{ConfigSpec, SecondsHistory}
     val p = ConfigSpec.parse(
