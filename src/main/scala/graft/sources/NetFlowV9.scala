@@ -198,6 +198,33 @@ object NetFlowV9 {
 
     def knownTemplates: Set[Int] = templates.keySet.toSet
     def pendingSets: Int = pending.valuesIterator.map(_.size).sum
+
+    /** Persist learned templates (nfacctd_templates_file,
+      * CONFIG-KEYS:2040-2064): survive a collector restart without
+      * waiting for template refresh. Line format:
+      * `id|type:len,type:len,...` */
+    def save(): String =
+      templates.values.toSeq.sortBy(_.id).map { t =>
+        s"${t.id}|${t.fields.map { case (tp, ln) => s"$tp:$ln" }
+          .mkString(",")}"
+      }.mkString("\n")
+
+    /** Returns any buffered data records the loaded templates release. */
+    def load(persisted: String): Seq[Decoded] = {
+      val out = mutable.Buffer[Decoded]()
+      persisted.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val Array(id, fields) = line.split("\\|", 2)
+        val t = Template(id.toInt, fields.split(",").toIndexedSeq.map { f =>
+          val Array(tp, ln) = f.split(":")
+          (tp.toInt, ln.toInt)
+        })
+        templates(t.id) = t
+        pending.remove(t.id).foreach(_.foreach { case (b, cap) =>
+          out ++= decodeBody(t, b, cap)
+        })
+      }
+      out.toSeq
+    }
   }
 
   /** Standard IANA IEs used by the tests/queries. */

@@ -47,6 +47,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L))
   }
 
+  test("pro-rating conserves counters across random flows (property)") {
+    val rnd = new scala.util.Random(11)
+    val flows = Seq.fill(200)((
+      rnd.nextLong().abs % 100000L * 1000000L,
+      rnd.nextLong().abs % 2000L * 1000000L,
+      rnd.nextLong().abs % 1000000L + 1L))
+      .map { case (t0, dur, b) => (t0, t0 + dur, b) }
+    val df = flows.toDF("t0u", "t1u", "bytes")
+    val perFlow = ProRating.explodeBins(df, col("t0u"), col("t1u"), 300,
+      Seq("bytes_w" -> col("bytes")))
+      .groupBy("t0u", "t1u", "bytes")
+      .agg(sum("bytes_w").as("alloc"), count(lit(1)).as("bins"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // documented semantics: per-bin floor, sub-unit remainder dropped —
+    // allocation never exceeds the source and loses < 1 unit per bin
+    perFlow.foreach { case (_, _, bytes, alloc, bins) =>
+      assert(alloc <= bytes && bytes - alloc < bins,
+        s"bytes=$bytes alloc=$alloc bins=$bins")
+    }
+  }
+
   test("pretag jeq/stack composes tags across rule groups") {
     // group A: port 80 -> tag 1, jeq to B with stack=sum
     // group B: proto 6 -> tag 10

@@ -72,6 +72,24 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t9, r9)) == r9)
   }
 
+  test("NetFlow v9: template persistence releases buffered data on load") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(320, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val recs = Seq(Map(IE.Protocol -> 6L, IE.InBytes -> 500L))
+
+    val warm = new NetFlowV9.TemplateCache
+    warm.observe(NetFlowV9.encodeTemplate(h, t))
+    val persisted = warm.save()
+
+    // restarted collector: data arrives before any template datagram
+    val cold = new NetFlowV9.TemplateCache
+    assert(cold.observe(NetFlowV9.encodeData(h, t, recs)).isEmpty)
+    assert(cold.load(persisted) == recs) // load releases the buffer
+    assert(cold.observe(NetFlowV9.encodeData(h, t, recs)) == recs)
+  }
+
   test("NetFlow v9: multi-byte fields round-trip big-endian") {
     import graft.sources.NetFlowV9
     import NetFlowV9.IE
