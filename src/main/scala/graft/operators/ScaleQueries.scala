@@ -87,6 +87,66 @@ object ScaleQueries {
               FROM (${FlowView.sql})), ${Dims.allowSql}
             SELECT count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
             FROM flows WHERE exporter IN (SELECT exporter FROM allow_list)"""),
-      doc = "bloom membership pre-filter with exact verify")
+      doc = "bloom membership pre-filter with exact verify"),
+
+    // Classify-then-reassign (docs/INTERNALS:360-408; classifier giveup
+    // budget): a flow's class is decided from its first 3 records; counters
+    // accumulated while the class was still unknown are retro-applied to
+    // the final class. Keyed-state iteration in Spark; the oracle derives
+    // the same first-3 decision with window functions.
+    Q("q67_classify_retro",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val keyed = flows(s, d).select(
+            ((col("ip_src") % 256) * 2048 + col("port_dst") * 2 +
+              (col("ip_proto") % 2)).as("fkey"),
+            l7Class(col("ip_proto"), col("port_src"), col("port_dst"))
+              .as("cls"),
+            col("t0u"), col("event_id"), col("bytes"))
+          .as[(Long, String, Long, Long, Long)]
+        keyed.groupByKey(_._1).mapGroups { (fkey, it) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e._3, e._4))
+          val decided = evs.take(3).map(_._2).find(_ != "unknown")
+            .getOrElse("unknown") // giveup after budget
+          (decided, evs.size.toLong, evs.map(_._5).sum)
+        }.toDF("class", "n_records", "bytes")
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_flows"), sum("n_records").as("n_records"),
+            sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT kclass AS class, count(*) AS n_flows,
+           CAST(sum(nr) AS BIGINT) AS n_records,
+           CAST(sum(b) AS BIGINT) AS bytes
+           FROM (
+             SELECT fkey,
+               coalesce(arg_min(cls, rn)
+                 FILTER (WHERE cls <> 'unknown' AND rn <= 3), 'unknown')
+                 AS kclass,
+               count(*) AS nr, sum(bytes) AS b
+             FROM (
+               SELECT fkey, cls, bytes, row_number() OVER
+                   (PARTITION BY fkey ORDER BY t0u, event_id) AS rn
+               FROM (
+                 SELECT (ip_src % 256) * 2048 + port_dst * 2 +
+                     (ip_proto % 2) AS fkey,
+                   CASE
+                     WHEN ip_proto = 6 AND (port_dst = 80 OR port_src = 80)
+                       THEN 'http'
+                     WHEN ip_proto = 6 AND (port_dst = 443 OR port_src = 443)
+                       THEN 'tls'
+                     WHEN ip_proto = 6 AND (port_dst = 8443 OR port_src = 8443)
+                       THEN 'tls-alt'
+                     WHEN ip_proto = 6 AND (port_dst = 25 OR port_src = 25)
+                       THEN 'smtp'
+                     WHEN ip_proto = 17 AND (port_dst = 53 OR port_src = 53)
+                       THEN 'dns'
+                     ELSE 'unknown' END AS cls,
+                   t0u, event_id, bytes
+                 FROM flows))
+             GROUP BY fkey)
+           GROUP BY 1""")),
+      doc = "classification retro-applied to pre-decision counters")
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.BpfFilter
 import graft.sinks.FlowSinks
@@ -171,6 +172,19 @@ class ProtocolSpec extends AnyFunSuite {
     assert(u == "UPDATE acct SET bytes = bytes + 100 " +
       "WHERE proto = 6 AND port = 80")
     assert(i == "INSERT INTO acct (proto, port, bytes) VALUES (6, 80, 100)")
+  }
+
+  test("partitioned print writer: time-token dirs round-trip") {
+    val dir = Files.createTempDirectory("graft_print").toString
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 10:00:00"), 6L, 100L),
+      (java.sql.Timestamp.valueOf("2024-03-16 11:00:00"), 17L, 200L))
+      .toDF("ts", "proto", "bytes")
+    FlowSinks.writePartitionedPrint(df, dir, "ts")
+    val back = spark.read.format("json").load(dir)
+    assert(back.select("print_day").as[String].collect().toSet ==
+      Set("20240315", "20240316"))
+    assert(back.count() == 2)
   }
 
   test("tee assignment is deterministic and in range") {
