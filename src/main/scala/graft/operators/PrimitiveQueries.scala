@@ -78,6 +78,97 @@ object PrimitiveQueries {
            WHERE list_contains(string_split(comms, ' '), '64500:80')
               OR list_contains(string_split(comms, ' '), '64500:53')
            GROUP BY 1""")),
-      doc = "as_path/communities string+array encodings, membership filter")
+      doc = "as_path/communities string+array encodings, membership filter"),
+
+    // mpls_vpn_rd precedence: flow_to_rd map > per-record RD > option RD
+    // > vrf id (NF_mpls_vpn_rd_handler, src/pkt_handlers.c:2221;
+    // CONFIG-KEYS:133-137). Candidates derived with deterministic nulls;
+    // the map is the (exporter, iface) dimension.
+    Q("q68_rd_precedence",
+      (s, d) => {
+        val f = flows(s, d)
+          .withColumn("exporter", col("ip_src") % 16)
+          .withColumn("iface", col("ip_dst") % 4)
+          // map rd only for ifaces 0/1 on even exporters
+          .withColumn("rd_map",
+            when(col("exporter") % 2 === 0 && col("iface") < 2,
+              concat(lit("0:64500:"), col("iface"))))
+          .withColumn("rd_flow",
+            when(col("event_id") % 3 === 0,
+              concat(lit("0:64501:"), col("event_id") % 8)))
+          .withColumn("rd_option",
+            when(col("event_id") % 2 === 0,
+              concat(lit("0:64502:"), col("exporter"))))
+          .withColumn("rd_vrf", concat(lit("vrfid:"), col("iface")))
+        f.withColumn("mpls_vpn_rd",
+            coalesce(col("rd_map"), col("rd_flow"), col("rd_option"),
+              col("rd_vrf")))
+          .withColumn("rd_origin",
+            when(col("rd_map").isNotNull, "map")
+              .when(col("rd_flow").isNotNull, "flow")
+              .when(col("rd_option").isNotNull, "option")
+              .otherwise("vrf"))
+          .groupBy("rd_origin")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"),
+            countDistinct("mpls_vpn_rd").as("n_rds"))
+      },
+      Some(FlowView.cte(
+        """SELECT rd_origin, count(*) AS n,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           count(DISTINCT mpls_vpn_rd) AS n_rds
+           FROM (
+             SELECT bytes,
+               coalesce(rd_map, rd_flow, rd_option, rd_vrf) AS mpls_vpn_rd,
+               CASE WHEN rd_map IS NOT NULL THEN 'map'
+                    WHEN rd_flow IS NOT NULL THEN 'flow'
+                    WHEN rd_option IS NOT NULL THEN 'option'
+                    ELSE 'vrf' END AS rd_origin
+             FROM (
+               SELECT bytes, event_id,
+                 CASE WHEN (ip_src % 16) % 2 = 0 AND ip_dst % 4 < 2
+                   THEN concat('0:64500:', CAST(ip_dst % 4 AS VARCHAR)) END
+                   AS rd_map,
+                 CASE WHEN event_id % 3 = 0
+                   THEN concat('0:64501:', CAST(event_id % 8 AS VARCHAR)) END
+                   AS rd_flow,
+                 CASE WHEN event_id % 2 = 0
+                   THEN concat('0:64502:', CAST(ip_src % 16 AS VARCHAR)) END
+                   AS rd_option,
+                 concat('vrfid:', CAST(ip_dst % 4 AS VARCHAR)) AS rd_vrf
+               FROM flows))
+           GROUP BY 1""")),
+      doc = "mpls_vpn_rd source precedence (map > flow > option > vrf)"),
+
+    // bgp_peer_src_as_map fallback: peer_src_as from the reverse BGP
+    // lookup when available, else from the (exporter, iface) map
+    // (CONFIG-KEYS:2902-2920 — map used "when not from BGP").
+    Q("q69_peer_src_as_fallback",
+      (s, d) => {
+        import graft.maps.Dims
+        import graft.plans.Lpm
+        val netTable = new Lpm.Table(16, Dims.networkPrefixes)
+        flows(s, d)
+          .withColumn("exporter", col("ip_src") % 16)
+          .withColumn("as_bgp", Lpm.lpm(col("ip_src"), netTable))
+          .withColumn("as_map", lit(64900L) + col("exporter") % 4)
+          .withColumn("peer_src_as", coalesce(col("as_bgp"), col("as_map")))
+          .withColumn("src", when(col("as_bgp").isNotNull, "bgp")
+            .otherwise("map"))
+          .groupBy("src", "peer_src_as")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}), ${graft.maps.Dims.networksSql}
+            SELECT CASE WHEN as_bgp IS NOT NULL THEN 'bgp' ELSE 'map' END
+              AS src,
+              coalesce(as_bgp, 64900 + (ip_src % 16) % 4) AS peer_src_as,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM (
+              SELECT bytes, ip_src,
+                (SELECT n.asn FROM networks n
+                 WHERE ((f.ip_src >> (16 - n.len)) << (16 - n.len)) = n.base
+                 ORDER BY n.len DESC LIMIT 1) AS as_bgp
+              FROM flows f)
+            GROUP BY 1, 2"""),
+      doc = "peer_src_as: BGP reverse lookup with map fallback")
   )
 }
