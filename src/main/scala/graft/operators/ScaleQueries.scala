@@ -147,6 +147,23 @@ object ScaleQueries {
                  FROM flows))
              GROUP BY fkey)
            GROUP BY 1""")),
-      doc = "classification retro-applied to pre-decision counters")
+      doc = "classification retro-applied to pre-decision counters"),
+
+    // Distributed top-k per key: bounded-heap map-side pruning, shuffle
+    // O(#keys x k) candidates, exact final pass — vs the window plan that
+    // shuffles and sorts every row. Oracle is that window plan.
+    Q("q70_topk_perkey",
+      (s, d) => graft.plans.TopK.perKey(
+        flows(s, d).select("port_dst", "event_id", "bytes"),
+        Seq("port_dst"), "bytes", "event_id", 3)
+        .orderBy(col("port_dst"), col("bytes").desc, col("event_id")),
+      Some(FlowView.cte(
+        """SELECT port_dst, event_id, bytes FROM (
+             SELECT port_dst, event_id, bytes, row_number() OVER
+               (PARTITION BY port_dst ORDER BY bytes DESC, event_id ASC)
+               AS rn
+             FROM flows)
+           WHERE rn <= 3""")),
+      doc = "two-phase bounded-heap top-k per key")
   )
 }

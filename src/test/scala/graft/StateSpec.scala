@@ -53,6 +53,21 @@ class StateSpec extends AnyFunSuite {
     assert(fp < 100) // loose FP bound at 4096 bits / 100 items
   }
 
+  test("TopK.perKey equals the window-rank plan") {
+    import graft.plans.TopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(2000)((rnd.nextInt(10).toLong, rnd.nextLong().abs,
+      rnd.nextInt(100).toLong)).toDF("k", "id", "v")
+    val viaTopK = TopK.perKey(df, Seq("k"), "v", "id", 5)
+      .select("k", "id", "v").as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("k", "id", "v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaTopK == viaWindow)
+  }
+
   test("LPM default route (len 0) catches uncovered space") {
     val t = new Lpm.Table(16, Seq((0L, 0, 999L), (0L, 1, 1L)))
     assert(t.lookup(100L) == 1L)      // /1 beats default
