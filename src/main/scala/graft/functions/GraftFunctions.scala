@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.plans.{Lpm, LpmLookup}
+
+/** SQL-surface registration of the graft function library (SURVEY §2.11
+  * + §4): every formatter becomes a native Catalyst function callable
+  * from `spark.sql(...)`, and `graft_lpm(ip, 'table')` exposes the LPM
+  * expression against named, pre-registered prefix tables.
+  *
+  * Two injection paths:
+  *  - [[GraftExtensions]] for sessions built with
+  *    `.withExtensions(new GraftExtensions)` (config-driven deployments:
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`);
+  *  - [[GraftFunctions.register]] for an existing session (the driver
+  *    hands us one).
+  *
+  * Formatter functions are built by parsing the SAME SQL templates the
+  * DataFrame API uses ([[Formatters]]) and grafting the call's argument
+  * expression into the placeholder — one definition site, three surfaces
+  * (Column API, SQL text, DuckDB oracle).
+  */
+object GraftFunctions {
+
+  private val lpmTables = new ConcurrentHashMap[String, Lpm.Table]()
+
+  /** Name a prefix table for `graft_lpm(ip, 'name')`. */
+  def registerLpmTable(name: String, table: Lpm.Table): Unit =
+    lpmTables.put(name, table)
+
+  private val Arg0 = "__graft_arg0"
+
+  private def fromTemplate(template: String): Seq[Expression] => Expression = {
+    val parsed = CatalystSqlParser.parseExpression(template)
+    args => parsed.transformUp {
+      case a: UnresolvedAttribute if a.name == Arg0 => args.head
+    }
+  }
+
+  private def lpmBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 2, "graft_lpm(ip, 'table_name')")
+    val name = args(1) match {
+      case e if e.foldable => String.valueOf(e.eval(null))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_lpm table name must be a literal, got $other")
+    }
+    val table = lpmTables.get(name)
+    require(table != null, s"no LPM table registered under '$name'")
+    LpmLookup(args.head, table)
+  }
+
+  /** (name, builder) for every injected function. */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
+    "graft_ip_ntoa" -> fromTemplate(Formatters.ipNtoa(Arg0)),
+    "graft_tcpflags" -> fromTemplate(Formatters.tcpFlagsDecode(Arg0)),
+    "graft_fwd_status" -> fromTemplate(Formatters.fwdStatus(Arg0)),
+    "graft_ts_compose" -> fromTemplate(Formatters.tsCompose(Arg0)),
+    "graft_mac" -> fromTemplate(Formatters.macFormat(Arg0)),
+    "graft_lpm" -> lpmBuilder)
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = ColumnBridge.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name), b))
+    }
+}

@@ -164,6 +164,32 @@ object ScaleQueries {
                AS rn
              FROM flows)
            WHERE rn <= 3""")),
-      doc = "two-phase bounded-heap top-k per key")
+      doc = "two-phase bounded-heap top-k per key"),
+
+    // SQL-surface function library: formatters + named-table LPM callable
+    // from plain SQL text (registry/extension injection, SURVEY §2.11/§4).
+    Q("q71_sql_functions",
+      (s, d) => {
+        graft.functions.GraftFunctions.registerLpmTable("networks",
+          new graft.plans.Lpm.Table(16, Dims.networkPrefixes))
+        graft.functions.GraftFunctions.register(s)
+        flows(s, d).createOrReplaceTempView("flows_fn")
+        s.sql("""SELECT graft_proto_name(ip_proto) AS proto,
+                 graft_lpm(ip_src, 'networks') AS asn_src,
+                 count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+                 FROM flows_fn GROUP BY 1, 2""")
+      },
+      Some(FlowView.cte(
+        s"""SELECT CASE ip_proto WHEN 6 THEN 'tcp' WHEN 17 THEN 'udp'
+              ELSE CAST(ip_proto AS VARCHAR) END AS proto,
+            (SELECT n.asn FROM (SELECT * FROM (VALUES
+              ${graft.maps.Dims.networkPrefixes.map { case (b, l, a) =>
+                s"($a, $b, $l)" }.mkString(", ")})
+              AS t(asn, base, len)) n
+             WHERE ((f.ip_src >> (16 - n.len)) << (16 - n.len)) = n.base
+             ORDER BY n.len DESC LIMIT 1) AS asn_src,
+            count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows f GROUP BY 1, 2""")),
+      doc = "SQL-registered function library incl. named-table LPM")
   )
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -92,11 +92,14 @@ object Lpm {
   * `doGenCode` keeps the lookup inside whole-stage codegen.
   */
 case class LpmLookup(child: Expression, table: Lpm.Table)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "lpm_lookup"
+  // analyzer casts narrower integral SQL literals/columns up to long
+  // (type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(LongType)
 
   protected override def nullSafeEval(ip: Any): Any = {
     val r = table.lookup(ip.asInstanceOf[Long])

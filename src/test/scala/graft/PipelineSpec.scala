@@ -49,6 +49,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(p(0) == p(1) && TextOps.langs.contains(p(0)))
   }
 
+  test("SQL function registry: formatters and named-table LPM") {
+    import graft.functions.GraftFunctions
+    import graft.plans.Lpm
+    GraftFunctions.registerLpmTable("spec_nets",
+      new Lpm.Table(16, Seq((0L, 1, 77L))))
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_proto_name(6) AS p, graft_ip_ntoa(258) AS ip,
+         graft_lpm(5, 'spec_nets') AS asn,
+         graft_lpm(40000, 'spec_nets') AS miss,
+         graft_ts_compose(1500000) AS ts""")
+      .as[(String, String, Option[Long], Option[Long], String)].head()
+    assert(r == (("tcp", "10.1.2", Some(77L), None, "1.500000")))
+    // unknown table name surfaces as an analysis-time error
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_lpm(1, 'nope')").collect())
+    assert(ex.getMessage.contains("no LPM table registered"))
+  }
+
   test("cosine fold matches analytic value") {
     val sim = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
       .selectExpr(
