@@ -208,6 +208,50 @@ object DedupQueries {
                 AS n_sim40,
               round(max(sim), 6) AS max_sim
             FROM p"""),
-      doc = "embedding cosine near-dup (exact all-pairs baseline)")
+      doc = "embedding cosine near-dup (exact all-pairs baseline)"),
+
+    // Dedup keep-list materialization: the survivor set a pipeline
+    // actually trains on. Greedy lowest-id-wins: a doc is dropped iff it
+    // near-duplicates (shingle Jaccard >= 0.9) a lower-id doc within its
+    // LSH candidates — one anti-join against the drop set.
+    Q("q72_dedup_keeplist",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
+        val sigsArr =
+          s"""transform(sequence(0, 7), k -> array_min(
+              transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
+        val bandArr = let1(sigsArr, sg =>
+          s"""transform(sequence(0, 3), b -> concat_ws('_', b,
+              element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+        val bands = docs.selectExpr("doc_id", "hs",
+          s"explode($bandArr) as bk")
+        val drops = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
+            "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
+          .select(col("y.doc_id").as("doc_id")).distinct()
+        Tables.documents(s, d)
+          .join(drops, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            drops AS (SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+                / len(list_distinct(x.hs || y.hs)) >= 0.9)
+            SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+            GROUP BY lang"""),
+      doc = "near-dup keep-list: greedy lowest-id survivor anti-join")
   )
 }
