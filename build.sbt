@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local-mode Spark: the JVM heap IS the executor memory; the box has
-  // 128 GiB, and 8g caused GC-bound variance on hash-heavy queries.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local-mode Spark: the JVM heap IS the executor memory. Measured: 8g
+  // and 16g bench alike (~40-50s inventory); 48g made every run 60-90s
+  // (cold-page faults + larger G1 regions dominate on this box), so a
+  // moderate heap wins.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

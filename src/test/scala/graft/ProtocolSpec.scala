@@ -127,6 +127,87 @@ class ProtocolSpec extends AnyFunSuite {
     intercept[BpfFilter.ParseError](BpfFilter.compile("frobnicate 1", f))
   }
 
+  test("BPF compiler: random expression trees match a reference evaluator") {
+    // generate random filter trees; evaluate compiled Catalyst predicate
+    // against an in-memory reference interpreter over the same rows
+    val rnd = new scala.util.Random(42)
+    case class R(ipSrc: Long, ipDst: Long, ps: Long, pd: Long, pr: Long,
+                 by: Long, pk: Long)
+    val rows = Seq.fill(150)(R(rnd.nextInt(65536), rnd.nextInt(65536),
+      rnd.nextInt(1000), rnd.nextInt(1000), if (rnd.nextBoolean()) 6 else 17,
+      rnd.nextInt(100000), rnd.nextInt(50)))
+
+    def genPrim(): (String, R => Boolean) = rnd.nextInt(7) match {
+      case 0 => ("tcp", _.pr == 6)
+      case 1 => ("udp", _.pr == 17)
+      case 2 =>
+        val v = rnd.nextInt(1000)
+        rnd.nextInt(3) match {
+          case 0 => (s"src port $v", _.ps == v)
+          case 1 => (s"dst port $v", _.pd == v)
+          case _ => (s"port $v", r => r.ps == v || r.pd == v)
+        }
+      case 3 =>
+        val v = rnd.nextInt(65536)
+        rnd.nextInt(3) match {
+          case 0 => (s"src host $v", _.ipSrc == v)
+          case 1 => (s"dst host $v", _.ipDst == v)
+          case _ => (s"host $v", r => r.ipSrc == v || r.ipDst == v)
+        }
+      case 4 =>
+        val len = 1 + rnd.nextInt(16)
+        val base = (rnd.nextInt(65536) >> (16 - len)) << (16 - len)
+        def m(ip: Long) = (ip >> (16 - len)) << (16 - len) == base
+        rnd.nextInt(3) match {
+          case 0 => (s"src net $base/$len", r => m(r.ipSrc))
+          case 1 => (s"dst net $base/$len", r => m(r.ipDst))
+          case _ => (s"net $base/$len", r => m(r.ipSrc) || m(r.ipDst))
+        }
+      case 5 =>
+        val v = rnd.nextInt(100000)
+        val (op, f): (String, (Long, Long) => Boolean) =
+          Seq(("<", (a: Long, b: Long) => a < b),
+            (">", (a: Long, b: Long) => a > b),
+            (">=", (a: Long, b: Long) => a >= b))(rnd.nextInt(3))
+        (s"bytes $op $v", r => f(r.by, v))
+      case _ =>
+        val v = rnd.nextInt(50)
+        (s"packets != $v", _.pk != v)
+    }
+    def genTree(depth: Int): (String, R => Boolean) =
+      if (depth == 0) genPrim()
+      else rnd.nextInt(4) match {
+        case 0 =>
+          val (s1, f1) = genTree(depth - 1); val (s2, f2) = genTree(depth - 1)
+          (s"( $s1 and $s2 )", r => f1(r) && f2(r))
+        case 1 =>
+          val (s1, f1) = genTree(depth - 1); val (s2, f2) = genTree(depth - 1)
+          (s"( $s1 or $s2 )", r => f1(r) || f2(r))
+        case 2 =>
+          val (s1, f1) = genTree(depth - 1)
+          (s"not ( $s1 )", r => !f1(r))
+        case _ => genPrim()
+      }
+
+    val df = rows.zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.ipSrc, r.ipDst, r.ps, r.pd, r.pr, r.by, r.pk)
+      }
+      .toDF("__i", "ip_src", "ip_dst", "port_src", "port_dst", "ip_proto",
+        "bytes", "packets")
+    val fields = BpfFilter.Fields(col("ip_src"), col("ip_dst"),
+      col("port_src"), col("port_dst"), col("ip_proto"), col("bytes"),
+      col("packets"))
+    (1 to 25).foreach { i =>
+      val (filterText, ref) = genTree(2 + rnd.nextInt(2))
+      val expected = rows.zipWithIndex.filter { case (r, _) => ref(r) }
+        .map(_._2).toSet
+      val got = df.filter(BpfFilter.compile(filterText, fields))
+        .select("__i").as[Long].collect().map(_.toInt).toSet
+      assert(got == expected, s"tree $i: $filterText")
+    }
+  }
+
   test("sFlow v5 encode/decode round-trips flow samples") {
     import graft.sources.{SFlowDatagram, SFlowSample, SFlowV5}
     val rnd = new scala.util.Random(7)
