@@ -252,6 +252,54 @@ object DedupQueries {
               CAST(sum(n_chars) AS BIGINT) AS kept_chars
             FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
             GROUP BY lang"""),
-      doc = "near-dup keep-list: greedy lowest-id survivor anti-join")
+      doc = "near-dup keep-list: greedy lowest-id survivor anti-join"),
+
+    // Incremental dedup — the true 100 TB shape: the historical corpus is
+    // a persisted band index; each ARRIVAL BATCH (here doc_id % 5 == 0)
+    // computes signatures for its own docs only and probes the index, so
+    // per-batch cost is O(batch), never a corpus-wide rescan.
+    Q("q74_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
+        val sigsArr =
+          s"""transform(sequence(0, 7), k -> array_min(
+              transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
+        val bandArr = let1(sigsArr, sg =>
+          s"""transform(sequence(0, 3), b -> concat_ws('_', b,
+              element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+        def bands(df: org.apache.spark.sql.DataFrame) =
+          df.selectExpr("doc_id", "hs", s"explode($bandArr) as bk")
+        val index = bands(docs.filter(col("doc_id") % 5 =!= 0)) // persisted
+        val batch = bands(docs.filter(col("doc_id") % 5 === 0)) // arrivals
+        val dupNew = batch.as("x").join(index.as("y"),
+            col("x.bk") === col("y.bk"))
+          .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
+            "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
+          .select(col("x.doc_id")).distinct()
+        docs.filter(col("doc_id") % 5 === 0)
+          .join(dupNew, Seq("doc_id"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("n_new_kept"))
+          .crossJoin(dupNew.groupBy().agg(
+            count(lit(1)).as("n_new_dropped")))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            dup_new AS (SELECT DISTINCT x.doc_id
+              FROM bands x JOIN bands y ON x.bk = y.bk
+              WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 != 0
+                AND len(list_intersect(x.hs, y.hs))::DOUBLE
+                  / len(list_distinct(x.hs || y.hs)) >= 0.9)
+            SELECT
+              (SELECT count(*) FROM documents WHERE doc_id % 5 = 0
+                 AND doc_id NOT IN (SELECT doc_id FROM dup_new))
+                AS n_new_kept,
+              (SELECT count(*) FROM dup_new) AS n_new_dropped"""),
+      doc = "incremental dedup: arrival batch probed against band index")
   )
 }

@@ -148,6 +148,69 @@ object ProtocolQueries {
            FROM flows GROUP BY 1""")),
       doc = "NetFlow v9 template cache with data-before-template buffering"),
 
+    // NetFlow v9 OPTION records in-stream: the exporter announces its
+    // sampling rate via an options template + option data record; data
+    // records decoded afterwards renormalize by the rate in effect, and a
+    // mid-stream rate change takes over for the second half
+    // (src/pkt_handlers.c:3690-3830 sampling option correlation).
+    Q("q73_nfv9_options",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            col("ip_proto"), (col("bytes") % 4294967296L).as("b"))
+          .as[(Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val dataT = NetFlowV9.Template(270,
+              Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+            val optT = NetFlowV9.Template(400,
+              Seq(IE.ScopeSystem -> 4, IE.SamplingInterval -> 4))
+            def optRecord(rate: Long) = NetFlowV9.encodeData(h, optT,
+              Seq(Map(IE.ScopeSystem -> ex, IE.SamplingInterval -> rate)))
+            def dataDgs(rs: Seq[(Long, Long, Long, Long)]) =
+              rs.grouped(20).map(b => NetFlowV9.encodeData(h, dataT,
+                b.map(r => Map(IE.Protocol -> r._3, IE.InBytes -> r._4))))
+            val r1 = 1L + (ex % 4) * 50L
+            val r2 = r1 + 100L
+            val half = (recs.size + 1) / 2
+            val dgs =
+              Seq(NetFlowV9.encodeOptionTemplate(h, optT, 1),
+                optRecord(r1), NetFlowV9.encodeTemplate(h, dataT)) ++
+                dataDgs(recs.take(half)) ++
+                Seq(optRecord(r2)) ++ dataDgs(recs.drop(half))
+            val cache = new NetFlowV9.TemplateCache
+            var rate = 1L
+            dgs.iterator.flatMap(cache.observe).flatMap { m =>
+              if (m.contains(IE.SamplingInterval)) {
+                rate = m(IE.SamplingInterval); None
+              } else Some((ex, m(IE.Protocol), m(IE.InBytes) * rate))
+            }
+        }
+        decoded.toDF("exporter", "proto", "bytes_renorm")
+          .groupBy("exporter", "proto")
+          .agg(count(lit(1)).as("n"), sum("bytes_renorm").as("bytes_renorm"))
+      },
+      Some(FlowView.cte(
+        """SELECT exporter, proto, count(*) AS n,
+           CAST(sum(b * (CASE WHEN rn <= (cnt + 1) // 2
+             THEN 1 + (exporter % 4) * 50
+             ELSE 101 + (exporter % 4) * 50 END)) AS BIGINT)
+             AS bytes_renorm
+           FROM (
+             SELECT ip_src % 16 AS exporter, ip_proto AS proto,
+               bytes % 4294967296 AS b,
+               row_number() OVER (PARTITION BY ip_src % 16
+                 ORDER BY event_id) AS rn,
+               count(*) OVER (PARTITION BY ip_src % 16) AS cnt
+             FROM flows)
+           GROUP BY 1, 2""")),
+      doc = "v9 option records driving in-stream sampling renormalization"),
+
     // sFlow v5: encode flow samples into datagrams per partition, decode,
     // and renormalize counters by the per-sample sampling rate — sFlow's
     // defining ingest semantic (src/sfacctd.c renormalization). Oracle

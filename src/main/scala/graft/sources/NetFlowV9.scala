@@ -66,6 +66,31 @@ object NetFlowV9 {
     buf.array()
   }
 
+  /** v9 options template (set id 1): scope fields + option fields
+    * (RFC 3954 §6.1; reference: sampling/if-name/VRF option records,
+    * src/pkt_handlers.c:3690-3830). The template registers like a data
+    * template; option data records then decode through the same path and
+    * carry e.g. IE 34 (sampling interval) keyed by the scope field. */
+  def encodeOptionTemplate(h: V9Header, t: Template,
+                           scopeCount: Int): Array[Byte] = {
+    val scopeBytes = scopeCount * 4
+    val optBytes = (t.fields.size - scopeCount) * 4
+    val body = 6 + t.fields.size * 4
+    val pad = (4 - (4 + body) % 4) % 4
+    val setLen = 4 + body + pad
+    val buf = ByteBuffer.allocate(HeaderLen + setLen)
+    putHeader(buf, h, 1)
+    buf.putShort(1) // options template flowset
+    buf.putShort(setLen.toShort)
+    buf.putShort(t.id.toShort)
+    buf.putShort(scopeBytes.toShort)
+    buf.putShort(optBytes.toShort)
+    t.fields.foreach { case (tp, ln) =>
+      buf.putShort(tp.toShort); buf.putShort(ln.toShort)
+    }
+    buf.array()
+  }
+
   private def putHeader(buf: ByteBuffer, h: V9Header, count: Int): Unit = {
     buf.putShort(9)
     buf.putShort(count.toShort)
@@ -157,12 +182,21 @@ object NetFlowV9 {
             val fields = (0 until n).map { _ =>
               (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
             }
-            val t = Template(tid, fields)
-            templates(tid) = t
+            register(Template(tid, fields), out)
             budget -= 1
-            pending.remove(tid).foreach(_.foreach { case (b, cap) =>
-              out ++= decodeBody(t, b, cap)
-            })
+          }
+        } else if (version == 9 && setId == 1) {
+          // v9 options template: scope + option field specs
+          while (buf.position() + 6 <= setEnd) {
+            val tid = buf.getShort() & 0xffff
+            val scopeBytes = buf.getShort() & 0xffff
+            val optBytes = buf.getShort() & 0xffff
+            val n = (scopeBytes + optBytes) / 4
+            val fields = (0 until n).map { _ =>
+              (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
+            }
+            register(Template(tid, fields), out)
+            budget -= 1
           }
         } else if (setId >= 256) {
           val body = new Array[Byte](setEnd - buf.position())
@@ -180,6 +214,14 @@ object NetFlowV9 {
         buf.position(setEnd)
       }
       out.toSeq
+    }
+
+    private def register(t: Template,
+                         out: mutable.Buffer[Decoded]): Unit = {
+      templates(t.id) = t
+      pending.remove(t.id).foreach(_.foreach { case (b, cap) =>
+        out ++= decodeBody(t, b, cap)
+      })
     }
 
     private def decodeBody(t: Template, body: Array[Byte],
@@ -232,5 +274,7 @@ object NetFlowV9 {
     val InBytes = 1; val InPkts = 2; val Protocol = 4; val TcpFlags = 6
     val L4SrcPort = 7; val Ipv4SrcAddr = 8; val L4DstPort = 11
     val Ipv4DstAddr = 12
+    val SamplingInterval = 34 // option IE: sampling 1-out-of-N
+    val ScopeSystem = 1       // v9 option scope field type
   }
 }

@@ -73,6 +73,20 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t9, r9)) == r9)
   }
 
+  test("NetFlow v9: options template decodes option data records") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 7L)
+    val optT = NetFlowV9.Template(401,
+      Seq(IE.ScopeSystem -> 4, IE.SamplingInterval -> 4))
+    val optRec = Map(IE.ScopeSystem -> 7L, IE.SamplingInterval -> 1000L)
+    val cache = new NetFlowV9.TemplateCache
+    // option data before its options template → buffered, then released
+    assert(cache.observe(NetFlowV9.encodeData(h, optT, Seq(optRec))).isEmpty)
+    assert(cache.observe(NetFlowV9.encodeOptionTemplate(h, optT, 1)) ==
+      Seq(optRec))
+  }
+
   test("NetFlow v9: template persistence releases buffered data on load") {
     import graft.sources.NetFlowV9
     import NetFlowV9.IE
