@@ -67,6 +67,47 @@ object MultimodalQueries {
               count(DISTINCT CASE WHEN len(text) > 0
                 THEN ord(substr(text, 1, 1)) ELSE -1 END) AS n_magics
               FROM documents GROUP BY 1"""),
-      doc = "binary media plumbing with stubbed per-partition decode")
+      doc = "binary media plumbing with stubbed per-partition decode"),
+
+    // Frame sampling: fan a media blob out into fixed-stride frames
+    // (video frame-sample / audio chunk shape): generator over the frame
+    // count, per-frame feature from the frame's bytes. The explode happens
+    // BEFORE the aggregation shuffle so map-side partial agg collapses the
+    // fan-out, same as pro-rating.
+    Q("q75_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id",
+          "encode(text, 'UTF-8') as data")
+        .selectExpr("doc_id", "length(data) as n_bytes",
+          // frame k covers bytes [k*256, (k+1)*256); partial tail kept
+          "explode(sequence(0, int(ceil(length(data) / 256.0)) - 1))" +
+            " as frame_id")
+        .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+        .selectExpr("doc_id", "frame_id",
+          "substring(text, frame_id * 256 + 1, 256) as frame")
+        .selectExpr("doc_id", "frame_id",
+          "length(frame) as frame_len",
+          "cast(conv(substring(md5(frame), 1, 8), 16, 10) as bigint) % 997" +
+            " as feature")
+        .groupBy()
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct("feature").as("n_features"),
+          sum("frame_len").as("bytes_covered"),
+          max("frame_id").as("max_frame")),
+      Some("""SELECT count(*) AS n_frames,
+              count(DISTINCT feature) AS n_features,
+              CAST(sum(frame_len) AS BIGINT) AS bytes_covered,
+              max(frame_id) AS max_frame
+              FROM (
+                SELECT doc_id, frame_id,
+                  len(substr(text, frame_id * 256 + 1, 256)) AS frame_len,
+                  ('0x' || substr(md5(substr(text, frame_id * 256 + 1, 256)),
+                    1, 8))::BIGINT % 997 AS feature
+                FROM (
+                  SELECT doc_id, text,
+                    unnest(range(0, CAST(ceil(len(text) / 256.0) AS BIGINT)))
+                    AS frame_id
+                  FROM documents))"""),
+      doc = "fixed-stride frame sampling over binary media columns")
   )
 }
