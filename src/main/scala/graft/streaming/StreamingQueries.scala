@@ -255,6 +255,36 @@ object StreamingQueries {
       Some("""SELECT user_id % 32 AS ubucket, event_type, count(*) AS n,
               sum(CAST(value AS DECIMAL(18,4))) AS sum_value
               FROM events GROUP BY 1, 2"""),
-      doc = "update-mode flush via foreachBatch upsert (SQL-merge parity)")
+      doc = "update-mode flush via foreachBatch upsert (SQL-merge parity)"),
+
+    // Append-mode watermark semantics: only windows the watermark has
+    // closed are emitted; the still-open tail stays in state (pmacct's
+    // "bins stay open while in cache", SURVEY §2.10 late/out-of-order).
+    // Deterministic in AvailableNow: the final no-data micro-batch fires
+    // with watermark = max(event time) - delay.
+    Q("q76_stream_late_append",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q76_sink_" + sinkId.incrementAndGet()
+        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ets", "1 hour")
+          .groupBy(window(col("ets"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(
+          expr("unix_micros(window.start)").as("win_start_us"),
+          col("event_type"), col("n"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tu, event_type FROM events)
+            SELECT (tu // 86400000000) * 86400000000 AS win_start_us,
+              event_type, count(*) AS n
+            FROM e GROUP BY 1, 2
+            HAVING win_start_us + 86400000000 <=
+              (SELECT max(tu) - 3600000000 FROM e)"""),
+      doc = "append-mode emission: only watermark-closed windows")
   )
 }
