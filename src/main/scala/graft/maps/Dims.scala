@@ -83,14 +83,16 @@ object Dims {
   // ---- GeoIP-style range table (CONFIG-KEYS:3363-3371) -------------------
   // Contiguous [ip_lo, ip_hi] ranges -> country. Covers part of the space;
   // misses yield NULL country (pmacct leaves the field empty).
-  private val geoCols = Seq("ip_lo", "ip_hi", "country")
+  // lat/lon as 1e-4-degree scaled integers (src/network.h:465-468 keeps
+  // doubles; integer scaling keeps the fixtures engine-lockstep exact).
+  private val geoCols = Seq("ip_lo", "ip_hi", "country", "lat_e4", "lon_e4")
   private val geoRows: Seq[Seq[Any]] = Seq(
-    Seq(0L, 9999L, "US"),
-    Seq(10000L, 19999L, "DE"),
-    Seq(20000L, 29999L, "FR"),
-    Seq(30000L, 44999L, "JP"),
-    Seq(45000L, 52999L, "BR"),
-    Seq(53000L, 59999L, "IN"))
+    Seq(0L, 9999L, "US", 389000L, -770000L),
+    Seq(10000L, 19999L, "DE", 525200L, 134000L),
+    Seq(20000L, 29999L, "FR", 488566L, 23522L),
+    Seq(30000L, 44999L, "JP", 356762L, 1396503L),
+    Seq(45000L, 52999L, "BR", -158000L, -478000L),
+    Seq(53000L, 59999L, "IN", 286139L, 772090L))
   def geo(s: SparkSession): DataFrame = df(s, geoCols, geoRows)
   val geoSql: String = values("geo", geoCols, geoRows)
   /** Bucket width for the scale-path bucketed range join (power of two). */

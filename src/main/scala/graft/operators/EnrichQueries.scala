@@ -269,6 +269,30 @@ object EnrichQueries {
              AND f1.event_id < f2.event_id"""),
       doc = "bi-flow pairing: fact-fact self-join on reversed key"),
 
+    // GeoIP coords: country + lat/lon primitives
+    // (src/network.h:460-468; CONFIG-KEYS:3363-3371).
+    Q("q77_geo_coords",
+      (s, d) => {
+        val b = Dims.geoBucket
+        val geoBuckets = Dims.geo(s).withColumn("bucket",
+          explode(expr(s"sequence(ip_lo div $b, ip_hi div $b)")))
+        flows(s, d)
+          .join(broadcast(geoBuckets),
+            expr(s"ip_src div $b") === col("bucket") &&
+              col("ip_src").between(col("ip_lo"), col("ip_hi")),
+            "left")
+          .groupBy("country")
+          .agg(count(lit(1)).as("n"),
+            max("lat_e4").as("lat_e4"), max("lon_e4").as("lon_e4"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.geoSql}
+            SELECT g.country, count(*) AS n,
+              max(g.lat_e4) AS lat_e4, max(g.lon_e4) AS lon_e4
+            FROM flows f LEFT JOIN geo g
+              ON f.ip_src BETWEEN g.ip_lo AND g.ip_hi
+            GROUP BY g.country"""),
+      doc = "GeoIP coords enrichment (country + lat/lon primitives)"),
+
     // tee plugin hash balancing: deterministic receiver assignment
     // (src/tee_plugin/tee_plugin.c; balance = hash % N).
     Q("q30_tee_balance",

@@ -23,9 +23,17 @@ final case class SFlowSample(
     ifIn: Long, ifOut: Long, headerProtocol: Long, frameLength: Long,
     header: Seq[Byte])
 
+/** Generic interface counters record (counter sample, tag 2 / record
+  * tag 1): the periodic SNMP-style stats sFlow exports besides packet
+  * samples. */
+final case class SFlowIfCounters(
+    seq: Long, sourceId: Long, ifIndex: Long, ifSpeed: Long,
+    ifInOctets: Long, ifInPkts: Long, ifOutOctets: Long, ifOutPkts: Long)
+
 final case class SFlowDatagram(
     agentIp: Long, subAgentId: Long, seq: Long, uptimeMs: Long,
-    samples: Seq[SFlowSample])
+    samples: Seq[SFlowSample],
+    counters: Seq[SFlowIfCounters] = Seq.empty)
 
 object SFlowV5 {
 
@@ -55,15 +63,34 @@ object SFlowV5 {
       (0 until hdrPad).foreach(_ => b.put(0.toByte))
       b.array()
     }
-    val buf = ByteBuffer.allocate(28 + sampleBufs.map(_.length).sum)
+    val counterBufs = d.counters.map { c =>
+      // counter sample: tag 2, one generic-if-counters record (tag 1).
+      // Wire layout here keeps the 8 fields as 4-byte words (the full
+      // spec's 64-bit octet counters collapse to 32-bit in this subset).
+      val recLen = 8 * 4
+      val sampLen = 12 + 8 + recLen
+      val b = ByteBuffer.allocate(8 + sampLen)
+      b.putInt(2) // counter sample tag
+      b.putInt(sampLen)
+      b.putInt(c.seq.toInt)
+      b.putInt(c.sourceId.toInt)
+      b.putInt(1) // n_records
+      b.putInt(1) // generic interface counters record tag
+      b.putInt(recLen)
+      Seq(c.ifIndex, c.ifSpeed, c.ifInOctets, c.ifInPkts,
+        c.ifOutOctets, c.ifOutPkts, 0L, 0L).foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    val bodies = sampleBufs ++ counterBufs
+    val buf = ByteBuffer.allocate(28 + bodies.map(_.length).sum)
     buf.putInt(5) // version
     buf.putInt(1) // agent address type: IPv4
     buf.putInt(d.agentIp.toInt)
     buf.putInt(d.subAgentId.toInt)
     buf.putInt(d.seq.toInt)
     buf.putInt(d.uptimeMs.toInt)
-    buf.putInt(d.samples.size)
-    sampleBufs.foreach(buf.put)
+    buf.putInt(bodies.size)
+    bodies.foreach(buf.put)
     buf.array()
   }
 
@@ -80,11 +107,26 @@ object SFlowV5 {
     val uptime = u32()
     val nSamples = u32().toInt
     val samples = mutable.Buffer[SFlowSample]()
+    val counters = mutable.Buffer[SFlowIfCounters]()
     (0 until nSamples).foreach { _ =>
       val tag = u32()
       val len = u32().toInt
       val end = buf.position() + len
-      if (tag == 1) { // flow sample; other sample types skipped
+      if (tag == 2) { // counter sample
+        val (cseq, src) = (u32(), u32())
+        val nRecs = u32().toInt
+        (0 until nRecs).foreach { _ =>
+          val rtag = u32()
+          val rlen = u32().toInt
+          val rend = buf.position() + rlen
+          if (rtag == 1) {
+            val vals = (0 until 8).map(_ => u32())
+            counters += SFlowIfCounters(cseq, src, vals(0), vals(1),
+              vals(2), vals(3), vals(4), vals(5))
+          }
+          buf.position(rend)
+        }
+      } else if (tag == 1) { // flow sample; other sample types skipped
         val (sseq, src, rate, pool, drops) = (u32(), u32(), u32(), u32(), u32())
         val (iin, iout) = (u32(), u32())
         val nRecs = u32().toInt
@@ -109,6 +151,7 @@ object SFlowV5 {
       }
       buf.position(end)
     }
-    SFlowDatagram(agentIp, subAgent, seq, uptime, samples.toSeq)
+    SFlowDatagram(agentIp, subAgent, seq, uptime, samples.toSeq,
+      counters.toSeq)
   }
 }

@@ -230,7 +230,10 @@ class ProtocolSpec extends AnyFunSuite {
         5000L, 2L, 1L, 2L, 1L, rnd.nextLong() & 0xffffffffL,
         Seq.tabulate(rnd.nextInt(20))(b => b.toByte))
     }
-    val dg = SFlowDatagram(0x0A000001L, 3L, 42L, 999L, samples)
+    val counters = (1 to 3).map(i => graft.sources.SFlowIfCounters(
+      i.toLong, 100L + i, i.toLong, 10000L, 1234L * i, 56L * i,
+      4321L * i, 65L * i))
+    val dg = SFlowDatagram(0x0A000001L, 3L, 42L, 999L, samples, counters)
     assert(SFlowV5.decode(SFlowV5.encode(dg)) == dg)
   }
 
