@@ -23,7 +23,7 @@ object FlowSinks {
     * object per aggregate row (plugin_cmn_json.c shape). The result only
     * needs `.writeStream.format("kafka")` + bootstrap options. */
   def kafkaFrame(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val valueCols = df.columns.map(col)
+    val valueCols = df.columns.toIndexedSeq.map(col)
     df.select(
       concat_ws("|", keyCols.map(col): _*).as("key"),
       to_json(struct(valueCols: _*)).as("value"))
