@@ -269,6 +269,28 @@ object EnrichQueries {
              AND f1.event_id < f2.event_id"""),
       doc = "bi-flow pairing: fact-fact self-join on reversed key"),
 
+    // Spatial aggregation: account by the LPM-resolved prefix itself —
+    // pmacct's net_src/mask_src output shape ("cast into broader
+    // entities", docs/INTERNALS:23-38; FIXTURES F1).
+    Q("q78_net_agg",
+      (s, d) => Lpm.joinLongestMatch(flows(s, d), Dims.networks(s),
+          col("ip_src"), Dims.networkLens, 16, Seq("base", "len"))
+        .groupBy(col("base").as("net_src"), col("len").as("mask_src"))
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"),
+          sum("packets").as("packets")),
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}
+            SELECT
+              (SELECT arg_max(n.base, n.len) FROM networks n
+               WHERE ((f.ip_src >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS net_src,
+              (SELECT max(n.len) FROM networks n
+               WHERE ((f.ip_src >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS mask_src,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(sum(packets) AS BIGINT) AS packets
+            FROM flows f GROUP BY 1, 2"""),
+      doc = "spatial aggregation by LPM-resolved prefix (net/mask keys)"),
+
     // GeoIP coords: country + lat/lon primitives
     // (src/network.h:460-468; CONFIG-KEYS:3363-3371).
     Q("q77_geo_coords",
