@@ -59,10 +59,12 @@ object DedupQueries {
           s"""transform(sequence(0, 3), b -> concat_ws('_', b,
               element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
         // hs rides through the band explode: candidate pairs carry both
-        // hash sets out of the band join — no fetch-back joins, so the
-        // shingle+md5 chain is not recomputed per pair side.
+        // hash sets out of the band join — no fetch-back joins. The band
+        // table is persisted because BOTH sides of the self-join read it
+        // (production materializes signature tables for the same reason);
+        // without it the shingle+md5 chain runs once per join side.
         val bands = docs.selectExpr("doc_id", "hs",
-          s"explode($bandArr) as bk")
+          s"explode($bandArr) as bk").persist()
         val verified = bands.as("x").join(bands.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
@@ -224,7 +226,7 @@ object DedupQueries {
           s"""transform(sequence(0, 3), b -> concat_ws('_', b,
               element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
         val bands = docs.selectExpr("doc_id", "hs",
-          s"explode($bandArr) as bk")
+          s"explode($bandArr) as bk").persist() // read by both join sides
         val drops = bands.as("x").join(bands.as("y"),
             col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
           .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
