@@ -100,6 +100,42 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "msglog event stream compacted to latest RIB state"),
 
+    // Streaming-telemetry JSON decode (FIXTURES F4 / telemetry decoders
+    // src/telemetry/telemetry.h:49-53): wire JSON event messages parsed
+    // with an explicit schema via from_json, then aggregated. The wire
+    // frames are built in-query from the event stream (to_json), so the
+    // oracle can re-derive them with DuckDB's JSON functions.
+    Q("q79_telemetry_json",
+      (s, d) => {
+        val wire = Tables.events(s, d).select(to_json(struct(
+          col("event_id").as("seq"),
+          (col("user_id") % 2).as("peer"),
+          col("event_type").as("log_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("med"))).as("msg"))
+        wire.select(from_json(col("msg"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "seq BIGINT, peer BIGINT, log_type STRING, med BIGINT"))
+            .as("m"))
+          .select(col("m.peer"), col("m.log_type"), col("m.seq"),
+            col("m.med"))
+          .groupBy("peer", "log_type")
+          .agg(count(lit(1)).as("n"), max("seq").as("max_seq"),
+            sum("med").as("sum_med"))
+      },
+      Some("""SELECT (msg->>'$.peer')::BIGINT AS peer,
+              msg->>'$.log_type' AS log_type,
+              count(*) AS n,
+              max((msg->>'$.seq')::BIGINT) AS max_seq,
+              CAST(sum((msg->>'$.med')::BIGINT) AS BIGINT) AS sum_med
+              FROM (
+                SELECT to_json(struct_pack(
+                  seq := event_id, peer := user_id % 2,
+                  log_type := event_type,
+                  med := CAST(floor(value * 100) AS BIGINT))) AS msg
+                FROM events)
+              GROUP BY 1, 2"""),
+      doc = "telemetry JSON wire decode via from_json with explicit schema"),
+
     // Option-record correlation: flows pick up the latest sampling-rate
     // option record for their exporter at or before their start time —
     // an as-of join done as one sorted merge per exporter (no per-record
