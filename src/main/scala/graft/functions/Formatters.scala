@@ -47,6 +47,10 @@ object Formatters {
   def fwdStatus(c: String): String = fwdCase(s"$c div 64")
   def fwdStatusDuck(c: String): String = fwdCase(s"$c // 64")
 
+  /** DSCP from the tos byte (CONFIG-KEYS:1785: tos >> 2). */
+  def dscp(c: String): String = s"CAST($c div 4 AS STRING)"
+  def dscpDuck(c: String): String = s"CAST($c // 4 AS VARCHAR)"
+
   /** mpls_vpn_rd format "0:<asn>:<val>" (print of rd_t, src/util.c). */
   def rdFormat(asn: String, v: String): String =
     s"concat('0:', CAST($asn AS STRING), ':', CAST($v AS STRING))"

@@ -121,6 +121,22 @@ object CoreAggQueries {
               FROM events GROUP BY 1, 2"""),
       doc = "temporal binning: 5-minute epoch-aligned bins"),
 
+    // Calendar-aligned history roundoff: week and month bins
+    // (sql_history_roundoff w/M, CONFIG-KEYS:1419-1432).
+    Q("q80_history_calendar",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          expr("unix_timestamp(date_trunc('week', ts))").as("week_start"),
+          expr("unix_timestamp(date_trunc('month', ts))").as("month_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec4)).as("sum_value")),
+      Some("""SELECT epoch(date_trunc('week', ts)) AS week_start,
+              epoch(date_trunc('month', ts)) AS month_start,
+              count(*) AS n,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "calendar roundoff bins: week + month history"),
+
     // Stitching: per aggregate keep timestamp_min/timestamp_max
     // (P_set_stitch/P_update_stitch, src/plugin_common.c:1080-1097).
     Q("q07_stitch",

@@ -29,7 +29,8 @@ object SurfaceQueries {
           s"${fwdStatus("tcp_flags")} as fwd_status",
           s"${rdFormat("(ip_src % 16)", "port_dst")} as rd",
           s"${tsCompose("t0u")} as ts_start",
-          s"${macFormat("(event_id * 131071)")} as mac_src"),
+          s"${macFormat("(event_id * 131071)")} as mac_src",
+          s"${dscp("(event_id % 256)")} as dscp"),
       Some(FlowView.cte(
         s"""SELECT event_id,
             ${ipNtoaDuck("ip_src")} AS ip_src_str,
@@ -38,7 +39,8 @@ object SurfaceQueries {
             ${fwdStatusDuck("tcp_flags")} AS fwd_status,
             ${rdFormatDuck("(ip_src % 16)", "port_dst")} AS rd,
             ${tsComposeDuck("t0u")} AS ts_start,
-            ${macFormatDuck("(event_id * 131071)")} AS mac_src
+            ${macFormatDuck("(event_id * 131071)")} AS mac_src,
+            ${dscpDuck("(event_id % 256)")} AS dscp
             FROM flows WHERE event_id % 97 = 0""")),
       doc = "formatter library: ip/proto/flags/fwd/rd/timestamp/mac"),
 
