@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{FlowView, ImtStore, Q, Tables}
+import graft.maps.PreTagMap
+import graft.maps.PreTagMap.TagRule
+
+/** Late-round parity queries: label tagging/filtering, sequence-loss
+  * estimation, IMT merge correctness against the oracle, and the
+  * shared-scan multi-plugin fan-out shape.
+  */
+object ParityQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  private val dec4 = DecimalType(18, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // pre_tag_map labels + pre_tag_label_filter (CONFIG-KEYS:2327;
+    // evaluate_labels_v2 src/plugin_hooks.c:452): string labels instead
+    // of numeric tags, filter on label membership.
+    Q("q81_label_filter",
+      (s, d) => {
+        val rules = Seq(
+          TagRule(col("port_dst") === 80L, 0L, label = Some("web")),
+          TagRule(col("port_dst") === 443L, 0L, label = Some("web-tls")),
+          TagRule(col("ip_proto") === 17L, 0L, label = Some("errors")))
+        flows(s, d)
+          .withColumn("label", PreTagMap.labelColumn(rules))
+          .filter(col("label").isin("web", "errors"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT label, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM (SELECT bytes,
+             CASE WHEN port_dst = 80 THEN 'web'
+                  WHEN port_dst = 443 THEN 'web-tls'
+                  WHEN ip_proto = 17 THEN 'errors'
+                  ELSE '' END AS label
+             FROM flows)
+           WHERE label IN ('web', 'errors') GROUP BY label""")),
+      doc = "pre_tag label chain + label filter"),
+
+    // Sequence-loss estimation (xflow_status jumps → estimated lost
+    // records: sum of positive seqno gaps per exporter).
+    Q("q82_seqno_loss",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("exporter").orderBy("t0u", "event_id")
+        flows(s, d).withColumn("exporter", col("ip_src") % 16)
+          .withColumn("delta", col("event_id") - lag("event_id", 1).over(w))
+          .groupBy("exporter")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("delta") > 1, col("delta") - 1).otherwise(0L))
+              .as("est_lost"))
+      },
+      Some(FlowView.cte(
+        """SELECT exporter, count(*) AS n,
+           CAST(sum(CASE WHEN delta > 1 THEN delta - 1 ELSE 0 END)
+             AS BIGINT) AS est_lost
+           FROM (SELECT ip_src % 16 AS exporter,
+             event_id - lag(event_id) OVER (PARTITION BY ip_src % 16
+               ORDER BY t0u, event_id) AS delta
+             FROM flows)
+           GROUP BY exporter""")),
+      doc = "per-exporter sequence-loss estimation"),
+
+    // IMT store merge correctness: two partial flushes upserted into the
+    // in-memory table equal one full aggregation (the oracle) — the
+    // plugin-cache partial + final-merge contract (docs/INTERNALS:257-295).
+    Q("q83_imt_merge",
+      (s, d) => {
+        val f = flows(s, d)
+        def agg(part: org.apache.spark.sql.DataFrame) = part
+          .groupBy("ip_proto", "port_dst")
+          .agg(sum("bytes").as("bytes"), count(lit(1)).as("n"))
+        val store = new ImtStore(s, "q83_imt",
+          Seq("ip_proto", "port_dst"), Seq("bytes", "n"))
+        store.upsert(agg(f.filter(col("event_id") % 2 === 0)))
+        store.upsert(agg(f.filter(col("event_id") % 2 === 1)))
+        store.query(
+          "SELECT ip_proto, port_dst, CAST(bytes AS BIGINT) AS bytes, n " +
+            "FROM q83_imt")
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto, port_dst, CAST(sum(bytes) AS BIGINT) AS bytes,
+           count(*) AS n
+           FROM flows GROUP BY 1, 2""")),
+      doc = "IMT partial-flush merge equals full aggregation"),
+
+    // Shared-scan multi-plugin fan-out (exec_plugins src/plugin_hooks.c:
+    // 398): one decoded stream feeds N differently-filtered/aggregated
+    // plugin outputs, here unioned with a plugin id column.
+    Q("q84_plugin_fanout",
+      (s, d) => {
+        val f = flows(s, d)
+        val p1 = f.filter(col("ip_proto") === 6L).groupBy("port_dst")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+          .withColumn("plugin", lit("tcp_acct"))
+        val p2 = f.filter(col("bytes") > 500000L).groupBy("port_dst")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+          .withColumn("plugin", lit("heavy_hitters"))
+        val p3 = f.groupBy("port_dst")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+          .withColumn("plugin", lit("all_acct"))
+        p1.unionByName(p2).unionByName(p3)
+      },
+      Some(FlowView.cte(
+        """SELECT port_dst, count(*) AS n, CAST(sum(bytes) AS BIGINT)
+             AS bytes, 'tcp_acct' AS plugin
+           FROM flows WHERE ip_proto = 6 GROUP BY port_dst
+           UNION ALL
+           SELECT port_dst, count(*) AS n, CAST(sum(bytes) AS BIGINT)
+             AS bytes, 'heavy_hitters' AS plugin
+           FROM flows WHERE bytes > 500000 GROUP BY port_dst
+           UNION ALL
+           SELECT port_dst, count(*) AS n, CAST(sum(bytes) AS BIGINT)
+             AS bytes, 'all_acct' AS plugin
+           FROM flows GROUP BY port_dst""")),
+      doc = "shared-scan fan-out to multiple plugin outputs")
+  )
+}
