@@ -302,6 +302,77 @@ object DedupQueries {
                  AND doc_id NOT IN (SELECT doc_id FROM dup_new))
                 AS n_new_kept,
               (SELECT count(*) FROM dup_new) AS n_new_dropped"""),
-      doc = "incremental dedup: arrival batch probed against band index")
+      doc = "incremental dedup: arrival batch probed against band index"),
+
+    // Connected-component duplicate clusters: near-dup pairs form an
+    // undirected graph; components found by iterative min-label
+    // propagation (pregel shape: join labels to edges, take min, repeat
+    // to convergence — each round is one shuffle, rounds ~ graph
+    // diameter). Oracle computes the same fixpoint with a recursive CTE.
+    Q("q85_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
+        val sigsArr =
+          s"""transform(sequence(0, 7), k -> array_min(
+              transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
+        val bandArr = let1(sigsArr, sg =>
+          s"""transform(sequence(0, 3), b -> concat_ws('_', b,
+              element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+        val bands = docs.selectExpr("doc_id", "hs",
+          s"explode($bandArr) as bk").persist()
+        val edges = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
+            "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().persist()
+        val undirected = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b"))).persist()
+        var labels = edges.select(col("a").as("doc_id"))
+          .unionByName(edges.select(col("b").as("doc_id")))
+          .distinct().withColumn("root", col("doc_id")).persist()
+        var changed = 1L
+        while (changed > 0) {
+          val next = labels.join(undirected, col("doc_id") === col("a"))
+            .select(col("b").as("doc_id"), col("root"))
+            .unionByName(labels.select("doc_id", "root"))
+            .groupBy("doc_id").agg(min("root").as("root")).persist()
+          changed = next.join(labels.withColumnRenamed("root", "old"),
+            "doc_id").filter(col("root") =!= col("old")).count()
+          labels = next
+        }
+        labels.groupBy("root").agg(count(lit(1)).as("sz"))
+          .groupBy().agg(count(lit(1)).as("n_clusters"),
+            sum("sz").as("n_clustered_docs"), max("sz").as("max_cluster"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $hsDuck AS hs
+              FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+                / len(list_distinct(x.hs || y.hs)) >= 0.9),
+            edges AS (SELECT a, b FROM e0
+              UNION ALL SELECT b, a FROM e0),
+            reach AS (
+              SELECT DISTINCT a AS doc_id, a AS r FROM edges
+              UNION
+              SELECT e.b AS doc_id, reach.r
+              FROM reach JOIN edges e ON e.a = reach.doc_id),
+            labels AS (SELECT doc_id, min(r) AS root FROM reach
+              GROUP BY doc_id),
+            cl AS (SELECT root, count(*) AS sz FROM labels GROUP BY root)
+            SELECT count(*) AS n_clusters,
+              CAST(sum(sz) AS BIGINT) AS n_clustered_docs,
+              max(sz) AS max_cluster
+            FROM cl"""),
+      doc = "connected-component dup clusters via min-label propagation")
   )
 }
