@@ -31,6 +31,29 @@ class GoldenSpec extends AnyFunSuite {
     volatileFields.foldLeft(line)((l, f) =>
       l.replaceAll("\"" + f + "\":\"[^\"]*\"", "\"" + f + "\":\"***\""))
 
+  test("text-pipeline JSON matches committed golden") {
+    import graft.text.TextOps
+    val path = Paths.get("src/test/resources/golden/text-docs-00.jsonl")
+    val out = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 17 === 0)
+      .selectExpr("doc_id", "lang",
+        s"${TextOps.sparkFingerprint} as fp",
+        s"${TextOps.sparkQuality} as quality",
+        s"${TextOps.sparkLangPredict(TextOps.sparkHps)} as predicted")
+      .orderBy("doc_id")
+    val lines = out.select(to_json(struct(out.columns.map(col): _*)))
+      .collect().map(_.getString(0)).toSeq
+    if (!Files.exists(path)) {
+      Files.createDirectories(path.getParent)
+      Files.writeString(path, lines.mkString("\n") + "\n")
+      info(s"blessed new golden: $path (${lines.size} records)")
+    } else {
+      val golden = Files.readString(path).linesIterator
+        .filter(_.nonEmpty).toSeq
+      assert(lines == golden)
+    }
+  }
+
   test("aggregated flow JSON matches committed golden (volatile masked)") {
     val rules = Seq(
       TagRule(col("port_dst") === 80L, 100L),
