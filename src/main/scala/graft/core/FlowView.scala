@@ -17,7 +17,22 @@ import org.apache.spark.sql.functions._
   * epoch microseconds with duration up to 10 minutes — enough to span
   * multiple 5-minute history bins, which is what pro-rating needs.
   */
+/** Typed form of the flow view — the `Dataset[T]` core promised by
+  * SURVEY §1.3 for operators that want compile-time field safety
+  * (the stateful ops in [[graft.streaming.StreamingQueries]] use their
+  * own narrower records; this is the full row). */
+final case class FlowRecord(
+    event_id: Long, ip_src: Long, ip_dst: Long, port_src: Long,
+    port_dst: Long, ip_proto: Long, bytes: Long, packets: Long,
+    tcp_flags: Long, t0u: Long, t1u: Long)
+
 object FlowView {
+
+  /** Typed accessor: `Dataset[FlowRecord]` over the same projection. */
+  def typed(events: DataFrame): org.apache.spark.sql.Dataset[FlowRecord] = {
+    val enc = org.apache.spark.sql.Encoders.product[FlowRecord]
+    fromEvents(events).as(enc)
+  }
 
   def fromEvents(events: DataFrame): DataFrame = events.select(
     col("event_id"),

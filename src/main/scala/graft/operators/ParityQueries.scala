@@ -92,6 +92,40 @@ object ParityQueries {
            FROM flows GROUP BY 1, 2""")),
       doc = "IMT partial-flush merge equals full aggregation"),
 
+    // pre_tag_map recirculation (CONFIG-KEYS:2234-2311): after the first
+    // tagging pass the map is re-evaluated once with the tag available —
+    // second-pass rules match on the pass-1 tag.
+    Q("q86_pretag_recirculate",
+      (s, d) => {
+        val pass1 = Seq(
+          TagRule(col("port_dst") === 80L, 10L),
+          TagRule(col("port_dst") === 443L, 20L))
+        val tagged = flows(s, d)
+          .withColumn("tag", PreTagMap.tagColumn(pass1))
+        val pass2 = Seq(
+          TagRule(col("tag") === 10L && col("bytes") > 500000L, 100L),
+          TagRule(col("tag") === 20L, 200L),
+          TagRule(col("tag") === 0L && col("ip_proto") === 17L, 300L))
+        tagged
+          .withColumn("tag2", PreTagMap.tagColumn(pass2))
+          .groupBy("tag", "tag2")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT tag,
+           CASE WHEN tag = 10 AND bytes2 > 500000 THEN 100
+                WHEN tag = 20 THEN 200
+                WHEN tag = 0 AND proto = 17 THEN 300
+                ELSE 0 END AS tag2,
+           count(*) AS n, CAST(sum(bytes2) AS BIGINT) AS bytes
+           FROM (
+             SELECT CASE WHEN port_dst = 80 THEN 10
+                         WHEN port_dst = 443 THEN 20 ELSE 0 END AS tag,
+               bytes AS bytes2, ip_proto AS proto
+             FROM flows)
+           GROUP BY 1, 2""")),
+      doc = "pre_tag_map recirculation: second pass matches pass-1 tag"),
+
     // Shared-scan multi-plugin fan-out (exec_plugins src/plugin_hooks.c:
     // 398): one decoded stream feeds N differently-filtered/aggregated
     // plugin outputs, here unioned with a plugin id column.

@@ -68,6 +68,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no LPM table registered"))
   }
 
+  test("typed Dataset[FlowRecord] round-trips the flow view") {
+    import graft.core.{FlowView, Tables}
+    val ds = FlowView.typed(Tables.events(spark, "/root/testdata/sf0.001"))
+    val first = ds.orderBy("event_id").head()
+    assert(first.bytes > 0 && first.t1u >= first.t0u)
+    assert(ds.filter(_.ip_proto == 6L).count() > 0)
+  }
+
+  test("FlowSchema covers the primitive families") {
+    import graft.core.FlowSchema
+    val names = FlowSchema.schema.fieldNames.toSet
+    // one representative per family (SURVEY par.1.1 struct table)
+    Seq("mac_src", "ip_src", "as_path", "post_nat_ip_src",
+      "mpls_label_top", "tunnel_ip_src", "bytes", "timestamp_start")
+      .foreach(f => assert(names.contains(f), s"missing $f"))
+    assert(FlowSchema.schema.fields.length > 60)
+  }
+
   test("cosine fold matches analytic value") {
     val sim = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
       .selectExpr(
