@@ -78,6 +78,30 @@ object TextQueries {
               FROM documents"""),
       doc = "per-document rolling-hash fingerprint"),
 
+    // Data-mixture sampling: per-language stratified keep rates applied
+    // with the engine's deterministic uniform (replayable, exact in both
+    // engines) — the training-corpus mixing/reweighting operator.
+    Q("q87_data_mixture",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 0.9)
+          .when(col("lang") === "de", 0.5)
+          .when(col("lang") === "zh", 0.25)
+          .otherwise(0.1)
+        Tables.documents(s, d)
+          .filter(graft.operators.Preprocess.detUniform(col("doc_id")) < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("n_chars").as("sampled_chars"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_sampled,
+            CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+            FROM documents
+            WHERE (${graft.operators.Preprocess.detUniformSql("doc_id")}) <
+              CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                WHEN 'zh' THEN 0.25 ELSE 0.1 END
+            GROUP BY lang"""),
+      doc = "stratified data-mixture sampling with replayable uniforms"),
+
     // Quality scoring: length/stopword/token-shape heuristics → [0,1].
     Q("q36_quality",
       (s, d) => Tables.documents(s, d)
