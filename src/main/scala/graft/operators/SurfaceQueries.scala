@@ -102,6 +102,77 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "msglog event stream compacted to latest RIB state"),
 
+    // Time-versioned RIB as-of lookup (SURVEY §1.4 "versioned dimension
+    // table for as-of joins"): BGP updates/withdraws stream in; each flow
+    // resolves against the route version in effect at its start time —
+    // one sorted merge per (peer, prefix), no per-record subquery.
+    Q("q88_rib_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val msgs = ev.filter(col("event_id") % 7 === 0).select(
+          (col("user_id") % 2).as("peer"),
+          (col("event_id") % 512).as("prefix"),
+          expr("unix_micros(ts)").as("tu"),
+          lit(0L).as("kind"), col("event_id"),
+          when(col("event_type") === "error", "withdraw")
+            .otherwise("update").as("op"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("med"),
+          lit(0L).as("bytes"))
+        val f = FlowView.fromEvents(ev.filter(col("event_id") % 7 =!= 0))
+          .select((col("ip_src") % 2).as("peer"),
+            (col("ip_dst") % 512).as("prefix"),
+            col("t0u").as("tu"), lit(1L).as("kind"), col("event_id"),
+            lit(null).cast("string").as("op"),
+            lit(null).cast("long").as("med"), col("bytes"))
+        val w = Window.partitionBy("peer", "prefix")
+          .orderBy("tu", "kind", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        msgs.unionByName(f)
+          .withColumn("eff_op", last("op", ignoreNulls = true).over(w))
+          .withColumn("eff_med", last("med", ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .withColumn("resolved",
+            (col("eff_op") === "update").cast("long"))
+          .groupBy("peer")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("resolved"), lit(0L))).as("n_resolved"),
+            sum(when(col("resolved") === 1, col("bytes")).otherwise(0L))
+              .as("bytes_resolved"),
+            sum(when(col("resolved") === 1, col("eff_med")).otherwise(0L))
+              .as("sum_med"))
+      },
+      Some(s"""WITH ev AS (SELECT * FROM events),
+            msgs AS (SELECT user_id % 2 AS peer, event_id % 512 AS prefix,
+                epoch_us(ts) AS tu, 0 AS kind, event_id,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med, 0 AS bytes
+              FROM ev WHERE event_id % 7 = 0),
+            fl AS (SELECT (user_id * 48271 % 65536) % 2 AS peer,
+                ((event_id * 31 + user_id) % 65536) % 512 AS prefix,
+                epoch_us(ts) AS tu, 1 AS kind, event_id,
+                CAST(NULL AS VARCHAR) AS op, CAST(NULL AS BIGINT) AS med,
+                CAST(floor(value * 1000) AS BIGINT) + 40 AS bytes
+              FROM ev WHERE event_id % 7 != 0),
+            u AS (SELECT * FROM msgs UNION ALL SELECT * FROM fl),
+            e AS (SELECT *,
+                last_value(op IGNORE NULLS) OVER (PARTITION BY peer, prefix
+                  ORDER BY tu, kind, event_id
+                  ROWS UNBOUNDED PRECEDING) AS eff_op,
+                last_value(med IGNORE NULLS) OVER (PARTITION BY peer, prefix
+                  ORDER BY tu, kind, event_id
+                  ROWS UNBOUNDED PRECEDING) AS eff_med
+              FROM u)
+            SELECT peer, count(*) AS n,
+              CAST(sum(CASE WHEN eff_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resolved,
+              CAST(sum(CASE WHEN eff_op = 'update' THEN bytes ELSE 0 END)
+                AS BIGINT) AS bytes_resolved,
+              CAST(sum(CASE WHEN eff_op = 'update' THEN eff_med ELSE 0 END)
+                AS BIGINT) AS sum_med
+            FROM e WHERE kind = 1 GROUP BY peer"""),
+      doc = "time-versioned RIB as-of lookup via sorted merge"),
+
     // Streaming-telemetry JSON decode (FIXTURES F4 / telemetry decoders
     // src/telemetry/telemetry.h:49-53): wire JSON event messages parsed
     // with an explicit schema via from_json, then aggregated. The wire
