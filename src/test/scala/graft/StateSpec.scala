@@ -68,6 +68,44 @@ class StateSpec extends AnyFunSuite {
     assert(viaTopK == viaWindow)
   }
 
+  test("salted aggregation preserves bit_or and max merges") {
+    val df = (1 to 300).map(i => (i % 5L, i.toLong, (i % 8).toLong))
+      .toDF("k", "id", "flags")
+    val direct = df.groupBy("k")
+      .agg(bit_or(col("flags")).as("f"), max(col("id")).as("m"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = Salt.aggregate(df, Seq("k"), col("id"), 8, Seq(
+      Salt.bitOr2("f", col("flags")), Salt.max2("m", col("id"))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("BPF precedence: and binds tighter than or") {
+    import graft.plans.BpfFilter
+    val df = Seq(
+      (6L, 80L, 10L),   // tcp — passes via left arm
+      (17L, 53L, 10L),  // udp+53 but small bytes — needs both right terms
+      (17L, 53L, 999L), // udp+53+big — passes via right arm
+      (17L, 80L, 999L)) // udp wrong port — fails
+      .toDF("ip_proto", "port_dst", "bytes")
+    val f = BpfFilter.Fields(lit(0L), lit(0L), lit(0L), col("port_dst"),
+      col("ip_proto"), col("bytes"), lit(1L))
+    // tcp or (dst port 53 and bytes > 100)
+    val got = df.filter(BpfFilter.compile(
+      "tcp or dst port 53 and bytes > 100", f)).count()
+    assert(got == 2)
+  }
+
+  test("ImtStore accepts upserts again after erase") {
+    val store = new ImtStore(spark, "imt_test2", Seq("k"), Seq("n"))
+    store.upsert(Seq(("a", 1L)).toDF("k", "n"))
+    store.erase()
+    store.upsert(Seq(("b", 2L), ("b", 3L)).toDF("k", "n"))
+    val got = store.query("SELECT k, n FROM imt_test2")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("b", 5L))) // batch rows merge per key on upsert
+  }
+
   test("LPM default route (len 0) catches uncovered space") {
     val t = new Lpm.Table(16, Seq((0L, 0, 999L), (0L, 1, 1L)))
     assert(t.lookup(100L) == 1L)      // /1 beats default
