@@ -153,6 +153,28 @@ object EngineQueries {
            WHERE tag IN (100, 200, 300) GROUP BY tag""")),
       doc = "pre_tag_map first-match rule chain + tag filter"),
 
+    // Exact distinct-flow counting per history bin (pmacctd's `flows`
+    // counter tracks distinct 5-tuples, docs/INTERNALS:340-357): exact
+    // COUNT(DISTINCT tuple) — Spark plans it as a partial-dedup expand,
+    // the exact-semantics counterpart of approx_count_distinct.
+    Q("q89_distinct_flows",
+      (s, d) => flows(s, d)
+        .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
+          .as("bin_start"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("ip_src"), col("ip_dst"), col("port_src"),
+            col("port_dst"), col("ip_proto")).as("n_flows"),
+          sum("bytes").as("bytes")),
+      Some(FlowView.cte(
+        """SELECT ((t0u - t0u % 3600000000) // 3600000000) * 3600
+             AS bin_start,
+           count(*) AS n_records,
+           count(DISTINCT (ip_src, ip_dst, port_src, port_dst, ip_proto))
+             AS n_flows,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows GROUP BY 1""")),
+      doc = "exact distinct-flow counter per history bin"),
+
     // Multi-version source multiplexing: v5-shaped and v9-shaped decoder
     // outputs unioned by name with missing-column fill (SURVEY §2.8;
     // tests/110-IPFIXv10-NFv9-multiple-sources).
