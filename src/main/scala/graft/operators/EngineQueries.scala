@@ -175,6 +175,20 @@ object EngineQueries {
            FROM flows GROUP BY 1""")),
       doc = "exact distinct-flow counter per history bin"),
 
+    // Approximate distinct flows (documented deviation, SURVEY §7 hard
+    // part (e)): HLL sketch — engine-specific, so no SQL oracle; the
+    // driver records the weaker rows-only check. q89 is the exact path.
+    Q("q90_approx_flows",
+      (s, d) => flows(s, d)
+        .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
+          .as("bin_start"))
+        .agg(count(lit(1)).as("n_records"),
+          approx_count_distinct(
+            concat_ws("|", col("ip_src"), col("ip_dst"), col("port_src"),
+              col("port_dst"), col("ip_proto"))).as("n_flows_approx")),
+      None,
+      doc = "approximate flows counter (HLL; rows-only driver check)"),
+
     // Multi-version source multiplexing: v5-shaped and v9-shaped decoder
     // outputs unioned by name with missing-column fill (SURVEY §2.8;
     // tests/110-IPFIXv10-NFv9-multiple-sources).
