@@ -73,4 +73,23 @@ object AggregatePlanner {
 
   /** Sum each counter as DECIMAL so results are shuffle-order independent. */
   def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(18, scale))
+
+  /** DOUBLE counter → integer units of 10^-digits, as LONG.
+    *
+    * The portable way to sum doubles reproducibly: IEEE-754 multiply and
+    * `floor` are bit-deterministic and produce identical results in every
+    * engine (Spark, DuckDB, ...), and LONG addition is exactly associative,
+    * so the sum is independent of shuffle order AND engine. Avoids
+    * double→DECIMAL casts entirely — those carry an engine-specific
+    * rounding mode (Spark HALF_UP via BigDecimal.valueOf's shortest-decimal
+    * repr; DuckDB round-half-even on the binary value) and diverge on
+    * half-ULP boundaries.
+    */
+  def scaled(c: Column, digits: Int): Column =
+    floor(c * math.pow(10, digits).toLong)
+
+  /** Shuffle-order-independent, engine-portable sum of a DOUBLE counter in
+    * integer units of 10^-digits. Oracle-side equivalent:
+    * `CAST(sum(CAST(floor(c * 10^digits) AS BIGINT)) AS BIGINT)`. */
+  def sumScaled(c: Column, digits: Int): Column = sum(scaled(c, digits))
 }

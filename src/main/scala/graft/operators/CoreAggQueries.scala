@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.core.{Q, Tables}
+import graft.core.AggregatePlanner.sumScaled
 
 /** The pmacct core aggregation semantics (SURVEY §2.5, §2.8, §2.9) expressed
   * over the driver test tables.
@@ -16,13 +16,14 @@ import graft.core.{Q, Tables}
   * exactly the two-level plugin-cache + SQL-merge design pmacct hand-rolls.
   *
   * Numeric note: counters that are DOUBLE in the test tables are summed as
-  * DECIMAL(18,2|4) so results are order-independent (a 1000-executor shuffle
-  * must not change the answer) and hash-match the DuckDB oracle.
+  * scaled-integer LONGs (`AggregatePlanner.sumScaled`: floor(value*10^k),
+  * then LONG sum) so results are order-independent (a 1000-executor shuffle
+  * must not change the answer) AND engine-portable — IEEE multiply + floor
+  * are bit-identical in Spark and DuckDB, whereas double→DECIMAL casts
+  * carry engine-specific rounding modes that diverge on half-ULP
+  * boundaries. Columns named `sum_*` are in units of 10^-k.
   */
 object CoreAggQueries {
-
-  private val dec2 = DecimalType(18, 2)
-  private val dec4 = DecimalType(18, 4)
 
   val all: Seq[Q] = Seq(
 
@@ -32,12 +33,14 @@ object CoreAggQueries {
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).as("sum_price"),
+          sumScaled(col("l_quantity"), 2).as("sum_qty"),
+          sumScaled(col("l_extendedprice"), 2).as("sum_price"),
           count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+              CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS sum_qty,
+              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_price,
               count(*) AS n
               FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       doc = "flat hash aggregation over chosen key primitives"),
@@ -48,9 +51,10 @@ object CoreAggQueries {
         .groupBy()
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec2)).as("sum_qty")),
+          sumScaled(col("l_quantity"), 2).as("sum_qty")),
       Some("""SELECT count(*) AS n,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS sum_qty
               FROM lineitem"""),
       doc = "aggregate: none — single global aggregate row"),
 
@@ -64,10 +68,11 @@ object CoreAggQueries {
           col("l_quantity"))
         .groupBy("entity")
         .agg(
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          sumScaled(col("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n")),
       Some("""SELECT entity,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS sum_qty,
               count(*) AS n
               FROM (SELECT l_partkey AS entity, l_quantity FROM lineitem
                     UNION ALL
@@ -98,10 +103,11 @@ object CoreAggQueries {
         .groupBy(col("ts").cast("date").as("day"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec4)).as("sum_value")),
+          sumScaled(col("value"), 4).as("sum_value")),
       Some("""SELECT CAST(ts AS DATE) AS day, event_type,
               count(*) AS n_events,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY 1, 2"""),
       doc = "temporal binning: day-aligned history bins"),
 
@@ -114,10 +120,11 @@ object CoreAggQueries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec4)).as("sum_value")),
+          sumScaled(col("value"), 4).as("sum_value")),
       Some("""SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bin_start,
               event_type, count(*) AS n_events,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY 1, 2"""),
       doc = "temporal binning: 5-minute epoch-aligned bins"),
 
@@ -129,11 +136,12 @@ object CoreAggQueries {
           expr("unix_timestamp(date_trunc('week', ts))").as("week_start"),
           expr("unix_timestamp(date_trunc('month', ts))").as("month_start"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec4)).as("sum_value")),
+          sumScaled(col("value"), 4).as("sum_value")),
       Some("""SELECT epoch(date_trunc('week', ts)) AS week_start,
               epoch(date_trunc('month', ts)) AS month_start,
               count(*) AS n,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY 1, 2"""),
       doc = "calendar roundoff bins: week + month history"),
 
@@ -160,13 +168,15 @@ object CoreAggQueries {
         .groupBy("user_id")
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec4)).as("sum_value"))
-        .where(col("n_events") >= 5 && col("sum_value") >= lit("100").cast(dec4)),
+          sumScaled(col("value"), 4).as("sum_value"))
+        // threshold 100 units = 1_000_000 in 10^-4 scaled units
+        .where(col("n_events") >= 5 && col("sum_value") >= 1000000L),
       Some("""SELECT user_id, count(*) AS n_events,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY user_id
               HAVING count(*) >= 5
-                 AND sum(CAST(value AS DECIMAL(18,4))) >= 100"""),
+                 AND sum(CAST(floor(value * 10000) AS BIGINT)) >= 1000000"""),
       doc = "preprocess minp/minb: HAVING floor on aggregates"),
 
     // Top-N: client-side `pmacct -T bytes,50` (src/pmacct.c:102) →
@@ -174,11 +184,12 @@ object CoreAggQueries {
     Q("q09_topk",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id")
-        .agg(sum(col("value").cast(dec4)).as("sum_value"))
+        .agg(sumScaled(col("value"), 4).as("sum_value"))
         .orderBy(col("sum_value").desc, col("user_id").asc)
         .limit(10),
       Some("""SELECT user_id,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY user_id
               ORDER BY sum_value DESC, user_id ASC LIMIT 10"""),
       doc = "top-N by counter with deterministic tiebreak"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.core._
 import graft.maps.{KeepLists, PreTagMap}
 import graft.maps.PreTagMap.TagRule

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.core.{FlowView, Q, Tables}
+import graft.core.AggregatePlanner.sumScaled
 import graft.maps.Dims
 import graft.plans.Lpm
 
@@ -33,8 +33,6 @@ object EnrichQueries {
   private val ribTable = new Lpm.Table(17, Dims.ribPrefixes17)
   private val roaTable = new Lpm.Table(16, Dims.roaStateByNetwork)
 
-  private val dec2 = DecimalType(18, 2)
-
   val all: Seq[Q] = Seq(
 
     // Generic fact⋈dim enrichment on the TPC-H tables: lineitem enriched
@@ -44,10 +42,11 @@ object EnrichQueries {
         .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+        .agg(sumScaled(col("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n")),
       Some("""SELECT p_brand,
-              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+              CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS sum_qty,
               count(*) AS n
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand"""),

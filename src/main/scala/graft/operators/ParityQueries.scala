@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.core.{FlowView, ImtStore, Q, Tables}
 import graft.maps.PreTagMap
 import graft.maps.PreTagMap.TagRule
@@ -15,7 +14,6 @@ object ParityQueries {
   private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
     FlowView.fromEvents(Tables.events(s, d))
 
-  private val dec4 = DecimalType(18, 4)
 
   val all: Seq[Q] = Seq(
 

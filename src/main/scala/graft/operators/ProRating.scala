@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Pro-rating: a flow spanning k history bins contributes its counters to
   * each bin proportionally to the overlap duration

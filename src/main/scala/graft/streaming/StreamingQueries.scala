@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{FlowView, Graft, Q, Tables}
+import graft.core.AggregatePlanner.sumScaled
 
 /** One event after 5-tuple coarsening into a synthetic flow key (the test
   * corpus has no real 5-tuple density; key cardinality is reduced so flows
@@ -35,7 +35,6 @@ final case class FlowRec(fkey: Long, ip_proto: Long, port_dst: Long,
   */
 object StreamingQueries {
 
-  private val dec4 = DecimalType(18, 4)
   private val sinkId = new AtomicInteger(0)
 
   private def flows(s: SparkSession, d: String) =
@@ -64,7 +63,7 @@ object StreamingQueries {
           .withWatermark("ets", "10 minutes")
           .groupBy(window(col("ets"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec4)).as("sum_value"))
+            sumScaled(col("value"), 4).as("sum_value"))
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -75,7 +74,8 @@ object StreamingQueries {
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000
                 AS win_start_us,
               event_type, count(*) AS n,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY 1, 2"""),
       doc = "Structured Streaming windowed agg via memory sink"),
 
@@ -85,7 +85,7 @@ object StreamingQueries {
       (s, d) => Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec4)).as("sum_value"))
+          sumScaled(col("value"), 4).as("sum_value"))
         .select(col("user_id"),
           expr("unix_micros(session_window.start)").as("sess_start_us"),
           expr("unix_micros(session_window.end)").as("sess_end_us"),
@@ -101,7 +101,9 @@ object StreamingQueries {
               FROM marked)
             SELECT user_id, min(tu) AS sess_start_us,
               max(tu) + 28800000000 AS sess_end_us,
-              count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
             FROM sess GROUP BY user_id, sid"""),
       doc = "session-window aggregation (nfprobe flow cache shape)"),
 
@@ -223,37 +225,42 @@ object StreamingQueries {
     // Update-mode streaming aggregation flushed through foreachBatch into
     // an upsert store — pmacct's plugin-cache flush + SQL UPDATE-then-
     // INSERT merge (docs/INTERNALS:291-295) as Structured Streaming.
+    //
+    // The upsert target is a distributed key-versioned parquet store (the
+    // sandbox stand-in for a JDBC table fed by `FlowSinks.upsertSql` or a
+    // Delta MERGE): each flush APPENDS the re-emitted group totals stamped
+    // with the batch id; a read resolves latest-version-per-key. Nothing
+    // ever touches the driver — at production key cardinality this is a
+    // plain distributed write per flush, O(changed keys).
     Q("q63_stream_upsert",
       (s, d) => {
         Graft.tune(s)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val results = new java.util.concurrent.ConcurrentHashMap[
-          (Long, String), (Long, BigDecimal)]()
+        val store = java.nio.file.Files.createTempDirectory("q63_upsert")
+          .resolve("store").toString
         val q = s.readStream.schema(schema).parquet(s"$d/events.*")
           .groupBy((col("user_id") % 32).as("ubucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec4)).as("sum_value"))
+            sumScaled(col("value"), 4).as("sum_value"))
           .writeStream.outputMode("update")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            // update-mode re-emits a group's TOTAL; upsert = replace by key
-            batch.collect().foreach { r =>
-              results.put((r.getLong(0), r.getString(1)),
-                (r.getLong(2), BigDecimal(r.getDecimal(3))))
-            }
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // update-mode re-emits a group's TOTAL; upsert = replace by key,
+            // expressed as append + latest-wins read (Delta-MERGE parity)
+            batch.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(store)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val sp = s
-        import sp.implicits._
-        import scala.jdk.CollectionConverters._
-        results.asScala.toSeq
-          .map { case ((u, t), (n, v)) => (u, t, n, v) }
-          .toDF("ubucket", "event_type", "n", "sum_value")
-          .select(col("ubucket"), col("event_type"), col("n"),
-            col("sum_value").cast(dec4).as("sum_value"))
+        val w = Window.partitionBy("ubucket", "event_type")
+          .orderBy(col("batch_id").desc)
+        s.read.parquet(store)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("ubucket", "event_type", "n", "sum_value")
       },
       Some("""SELECT user_id % 32 AS ubucket, event_type, count(*) AS n,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
               FROM events GROUP BY 1, 2"""),
       doc = "update-mode flush via foreachBatch upsert (SQL-merge parity)"),
 

@@ -25,7 +25,7 @@ def norm(df):
     return df
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -35,6 +35,8 @@ def main(sfdir, outdir):
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         sql = oracle[name]
         try:
             exp = con.execute(sql).df()
@@ -62,10 +64,24 @@ def main(sfdir, outdir):
         bad = []
         for c in exp.columns:
             ev, gv = exp[c], got[c]
-            try:
-                mism = (ev != gv) & ~(ev.isna() & gv.isna())
-            except Exception:
+            # Mirror the driver's HASH semantics: floats must be bit-exact
+            # (not approximately equal), and object cells (Decimal etc.)
+            # compare by canonical string repr — pandas `!=` on coerced
+            # objects is looser than the driver and masked the r01 decimal
+            # rounding divergence.
+            if ev.dtype.kind == "f" and gv.dtype.kind == "f":
+                import numpy as np
+                mism = (ev.to_numpy().view("u8") != gv.to_numpy().view("u8"))
+                mism = mism & ~(ev.isna() & gv.isna()).to_numpy()
+                import pandas as pd
+                mism = pd.Series(mism, index=ev.index)
+            elif ev.dtype == object or gv.dtype == object:
                 mism = ev.astype(str) != gv.astype(str)
+            else:
+                try:
+                    mism = (ev != gv) & ~(ev.isna() & gv.isna())
+                except Exception:
+                    mism = ev.astype(str) != gv.astype(str)
             if mism.any():
                 i = mism.idxmax()
                 bad.append(f"{c}[{i}]: exp={ev[i]!r} got={gv[i]!r} "
@@ -81,4 +97,5 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
