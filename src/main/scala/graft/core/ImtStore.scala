@@ -25,15 +25,18 @@ final class ImtStore(spark: SparkSession, name: String,
     cached.createOrReplaceTempView(name)
   }
 
+  private def mergeByKey(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(counters.head).as(counters.head),
+        counters.tail.map(c => sum(c).as(c)): _*)
+
   /** Merge a batch of aggregates: counters accumulate per key
-    * (Accumulate_Counters, src/imt_plugin.h:145). */
+    * (Accumulate_Counters, src/imt_plugin.h:145) — including duplicate
+    * keys WITHIN the very first batch. */
   def upsert(batch: DataFrame): Unit = {
     val merged = state match {
-      case None => batch
-      case Some(cur) => cur.unionByName(batch)
-        .groupBy(keys.map(col): _*)
-        .agg(sum(counters.head).as(counters.head),
-          counters.tail.map(c => sum(c).as(c)): _*)
+      case None => mergeByKey(batch)
+      case Some(cur) => mergeByKey(cur.unionByName(batch))
     }
     publish(merged)
   }

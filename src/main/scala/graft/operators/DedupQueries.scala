@@ -262,27 +262,39 @@ object DedupQueries {
     // per-batch cost is O(batch), never a corpus-wide rescan.
     Q("q74_incremental_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d).selectExpr("doc_id", s"$hsD as hs")
+        // The expensive chain (tokenize → shingle → md5 → signature) runs
+        // ONCE: `sigs` is persisted and every downstream leg — the band
+        // index, the arrival-batch bands, and the final anti-join scan —
+        // reads the cached signatures. The band index is additionally
+        // persisted because the probe join is what production would run
+        // per arrival batch against a materialized index.
         val sigsArr =
           s"""transform(sequence(0, 7), k -> array_min(
               transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
         val bandArr = let1(sigsArr, sg =>
           s"""transform(sequence(0, 3), b -> concat_ws('_', b,
               element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+        val sigs = Tables.documents(s, d)
+          .selectExpr("doc_id", s"$hsD as hs").persist()
         def bands(df: org.apache.spark.sql.DataFrame) =
           df.selectExpr("doc_id", "hs", s"explode($bandArr) as bk")
-        val index = bands(docs.filter(col("doc_id") % 5 =!= 0)) // persisted
-        val batch = bands(docs.filter(col("doc_id") % 5 === 0)) // arrivals
+        val index = bands(sigs.filter(col("doc_id") % 5 =!= 0)).persist()
+        val batch = bands(sigs.filter(col("doc_id") % 5 === 0)) // arrivals
         val dupNew = batch.as("x").join(index.as("y"),
             col("x.bk") === col("y.bk"))
           .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
             "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
           .select(col("x.doc_id")).distinct()
-        docs.filter(col("doc_id") % 5 === 0)
+        val out = sigs.filter(col("doc_id") % 5 === 0).select("doc_id")
           .join(dupNew, Seq("doc_id"), "left_anti")
           .groupBy().agg(count(lit(1)).as("n_new_kept"))
           .crossJoin(dupNew.groupBy().agg(
             count(lit(1)).as("n_new_dropped")))
+          .persist()
+        out.count() // materialize the 1-row result, then free the caches
+        sigs.unpersist()
+        index.unpersist()
+        out
       },
       Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
             sigs AS (SELECT doc_id, hs,
@@ -325,25 +337,42 @@ object DedupQueries {
           .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
             "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct().persist()
+          .distinct()
         val undirected = edges.unionByName(
           edges.select(col("b").as("a"), col("a").as("b"))).persist()
-        var labels = edges.select(col("a").as("doc_id"))
-          .unionByName(edges.select(col("b").as("doc_id")))
+        undirected.count() // materialize edges, then drop the band cache
+        bands.unpersist()
+        var labels = undirected.select(col("a").as("doc_id"))
           .distinct().withColumn("root", col("doc_id")).persist()
+        // Loop hygiene at scale: each round persists its generation, the
+        // PREVIOUS generation is unpersisted as soon as `changed` has read
+        // it (executor storage stays flat ∝ one generation, not ∝ rounds),
+        // and every 5th round localCheckpoints to truncate lineage — at
+        // 100 TB the plan would otherwise deepen by 3 operators per round
+        // until planning dominates.
         var changed = 1L
+        var round = 0
         while (changed > 0) {
-          val next = labels.join(undirected, col("doc_id") === col("a"))
+          round += 1
+          var next = labels.join(undirected, col("doc_id") === col("a"))
             .select(col("b").as("doc_id"), col("root"))
             .unionByName(labels.select("doc_id", "root"))
-            .groupBy("doc_id").agg(min("root").as("root")).persist()
+            .groupBy("doc_id").agg(min("root").as("root"))
+          next = if (round % 5 == 0) next.localCheckpoint(true)
+                 else next.persist()
           changed = next.join(labels.withColumnRenamed("root", "old"),
             "doc_id").filter(col("root") =!= col("old")).count()
+          labels.unpersist()
           labels = next
         }
-        labels.groupBy("root").agg(count(lit(1)).as("sz"))
+        val out = labels.groupBy("root").agg(count(lit(1)).as("sz"))
           .groupBy().agg(count(lit(1)).as("n_clusters"),
             sum("sz").as("n_clustered_docs"), max("sz").as("max_cluster"))
+          .persist()
+        out.count() // materialize, then free the loop state
+        labels.unpersist()
+        undirected.unpersist()
+        out
       },
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $hsDuck AS hs
               FROM documents),

@@ -132,7 +132,12 @@ object BpfFilter {
     private def netSpec(): (Long, Int) = {
       val t = next()
       t.split("/") match {
-        case Array(b, l) => (b.toLong, l.toInt)
+        case Array(b, l) =>
+          try (b.toLong, l.toInt)
+          catch {
+            case _: NumberFormatException =>
+              throw ParseError(s"bad net spec '$t'")
+          }
         case _ => throw ParseError(s"bad net spec '$t'")
       }
     }

@@ -34,9 +34,15 @@ object TopK {
     val tieIdx = schema.fieldIndex(tiebreakCol)
     implicit val enc = Encoders.row(schema)
 
-    // min-heap: weakest candidate on top, evicted when a better row lands
-    val ordering: Ordering[Row] = Ordering.by { r: Row =>
-      (-r.getLong(ordIdx), r.getLong(tieIdx))
+    // min-heap: weakest candidate on top, evicted when a better row lands.
+    // Compare with Long.compare (not negation): negating Long.MinValue
+    // overflows to itself and would rank that row strongest.
+    val ordering: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Long.compare(b.getLong(ordIdx), a.getLong(ordIdx))
+        if (c != 0) c
+        else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+      }
     }
     def prune(it: Iterator[Row]): Iterator[Row] = {
       val heaps = mutable.Map[Seq[Any], mutable.PriorityQueue[Row]]()

@@ -111,4 +111,43 @@ class StateSpec extends AnyFunSuite {
     assert(t.lookup(100L) == 1L)      // /1 beats default
     assert(t.lookup(40000L) == 999L)  // default route fallback
   }
+
+  test("ImtStore groups duplicate keys within the very first batch") {
+    val store = new ImtStore(spark, "imt_test3", Seq("k"), Seq("n"))
+    store.upsert(Seq(("a", 1L), ("a", 2L), ("b", 4L)).toDF("k", "n"))
+    val got = store.query("SELECT k, n FROM imt_test3 ORDER BY k")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 4L)))
+  }
+
+  test("TopK ranks Long.MinValue weakest (no negation overflow)") {
+    import graft.plans.TopK
+    val df = Seq((1L, Long.MinValue, 1L), (1L, 5L, 2L), (1L, 7L, 3L))
+      .toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .as[(Long, Long, Long)].collect().map(_._2).toSet
+    assert(got == Set(5L, 7L)) // MinValue must be pruned, not kept
+  }
+
+  test("BpfFilter raises ParseError on malformed net spec") {
+    import graft.plans.BpfFilter
+    val f = BpfFilter.Fields(lit(0L), lit(0L), lit(0L), lit(0L),
+      lit(0L), lit(0L), lit(1L))
+    val e = intercept[BpfFilter.ParseError] {
+      BpfFilter.compile("net abc/4", f)
+    }
+    assert(e.getMessage.contains("abc/4"))
+  }
+
+  test("dedup loop hygiene: q74/q85 leave executor storage flat") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries("q74_incremental_dedup")(spark, d).count()
+    SparkEntry.queries("q85_dedup_clusters")(spark, d).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the two materialized 1-row results may remain cached; every
+    // signature table, band index, and label generation must be unpersisted
+    assert(after <= before + 2,
+      s"persistent RDDs grew $before -> $after: a loop generation leaked")
+  }
 }
