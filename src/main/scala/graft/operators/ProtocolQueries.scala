@@ -43,10 +43,15 @@ object ProtocolQueries {
     // Custom primitives: user-declared extraction from the record's raw
     // side-data (aggregate_primitives, CONFIG-KEYS:174-180) — here a JSON
     // props blob → typed value, grouped like any first-class primitive.
+    // The blob is parsed ONCE into a typed struct at ingest (from_json
+    // with a partial schema); every downstream use reads the struct
+    // column. At 100 TB the per-row JSON parse is the scan's cost center,
+    // so it must run exactly once — never once per extracted field.
     Q("q55_custom_primitives",
       (s, d) => Tables.events(s, d)
-        .withColumn("cp_k",
-          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("props_t", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .withColumn("cp_k", col("props_t.k"))
         .groupBy(col("event_type"), (col("cp_k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum("cp_k").as("sum_k")),
       Some("""SELECT event_type,
@@ -210,6 +215,62 @@ object ProtocolQueries {
              FROM flows)
            GROUP BY 1, 2""")),
       doc = "v9 option records driving in-stream sampling renormalization"),
+
+    // IPFIX with variable-length AND enterprise (PEN-scoped) IEs in one
+    // template (RFC 7011 §7 vlen encoding + §3.2 enterprise bit;
+    // reference: resolve_vlen_template src/nfv9_template.c:1276, PEN
+    // template entries src/nfv9_template.h:311-325). Real exporters send
+    // vlen strings (application names, URLs) and PEN fields constantly —
+    // the template here mixes fixed numeric + vlen string + PEN numeric,
+    // the template arrives AFTER the first data set (vlen buffering), and
+    // the oracle aggregates the underived rows: any defect in the vlen
+    // length-prefix walk or PEN spec parse breaks parity.
+    Q("q91_ipfix_vlen",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("exporter"), col("event_id"),
+            col("event_type"),
+            expr("floor(value * 100)").as("b"), col("user_id"))
+          .as[(Long, Long, String, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, String, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            // 96 = applicationName (vlen string); PEN 9 type 1 = a
+            // Cisco-scoped numeric custom primitive
+            val appK = 96L
+            val penF = FieldSpec(1, 4, pen = 9L)
+            val tmpl = TemplateX(280, Seq(
+              FieldSpec(96, VarLen), FieldSpec(IE.InBytes, 4), penF))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val dataDgs = recs.grouped(20).map { batch =>
+              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
+                appK -> r._3, IE.InBytes.toLong -> r._4,
+                penF.key -> r._5)))
+            }.toSeq
+            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
+            // template deliberately arrives after the first data set
+            val dgs = dataDgs.take(1) ++ Seq(tdg) ++ dataDgs.drop(1)
+            val cache = new NetFlowV9.TemplateCache
+            dgs.flatMap(cache.observeX).map { m =>
+              (m(appK).asInstanceOf[String],
+                m(IE.InBytes.toLong).asInstanceOf[Long],
+                m(penF.key).asInstanceOf[Long])
+            }
+        }
+        decoded.toDF("app", "b", "uid")
+          .groupBy("app")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            sum("uid").as("sum_uid"))
+      },
+      Some("""SELECT event_type AS app, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid
+              FROM events GROUP BY 1"""),
+      doc = "IPFIX vlen + PEN-scoped IEs through the template cache"),
 
     // sFlow v5: encode flow samples into datagrams per partition, decode,
     // and renormalize counters by the per-sample sampling rate — sFlow's

@@ -27,11 +27,46 @@ object NetFlowV9 {
   val HeaderLen = 20
   val IpfixHeaderLen = 16
 
-  /** One decoded data record: IANA field type → numeric value. */
+  /** RFC 7011 §7: a field length of 65535 marks a variable-length IE whose
+    * actual length is encoded per record (1 byte, or 255 + 2 bytes). */
+  val VarLen = 0xffff
+
+  /** Cap on buffered data sets per missing template — a template that
+    * never arrives must not grow state without bound; the oldest buffered
+    * set is dropped first, like a real collector under pressure. */
+  val MaxPendingPerTemplate = 64
+
+  /** One decoded data record: IANA field type → numeric value (the
+    * fixed-numeric compatibility view of [[DecodedX]]). */
   type Decoded = Map[Int, Long]
+
+  /** Extended decoded record: key is the bare IANA type for standard IEs
+    * or `(pen << 16) | type` for enterprise (PEN-scoped) IEs; values are
+    * Long (fixed numeric ≤8B), String (vlen, UTF-8), or hex String
+    * (fixed >8B, e.g. IPv6). */
+  type DecodedX = Map[Long, Any]
+
+  /** One template field spec. `pen != 0` = enterprise-scoped IE
+    * (RFC 7011 §3.2, enterprise bit + 4-byte Private Enterprise Number);
+    * `len == VarLen` = variable-length IE (RFC 7011 §7). */
+  final case class FieldSpec(tp: Int, len: Int, pen: Long = 0L) {
+    def isVlen: Boolean = len == VarLen
+    def key: Long = if (pen == 0L) tp.toLong else (pen << 16) | tp.toLong
+    def minLen: Int = if (isVlen) 1 else len
+  }
+
+  /** Extended template: mixed fixed/vlen/PEN specs + options scope count
+    * (scopeCount > 0 marks an options template, v9 set 1 / IPFIX set 3). */
+  final case class TemplateX(id: Int, fields: Seq[FieldSpec],
+                             scopeCount: Int = 0) {
+    val minRecordLen: Int = fields.map(_.minLen).sum
+    def isFixed: Boolean = fields.forall(!_.isVlen)
+  }
 
   final case class Template(id: Int, fields: Seq[(Int, Int)]) {
     val recordLen: Int = fields.map(_._2).sum
+    def toX: TemplateX =
+      TemplateX(id, fields.map { case (tp, ln) => FieldSpec(tp, ln) })
   }
 
   def encodeTemplate(h: V9Header, t: Template): Array[Byte] = {
@@ -145,32 +180,137 @@ object NetFlowV9 {
     buf.putInt(h.sourceId.toInt)   // observation domain id
   }
 
+  // ---- IPFIX extended encode: vlen + PEN specs, options templates ------
+
+  private def putSpecs(buf: ByteBuffer, fields: Seq[FieldSpec]): Unit =
+    fields.foreach { f =>
+      if (f.pen != 0L) {
+        buf.putShort((f.tp | 0x8000).toShort) // enterprise bit
+        buf.putShort(f.len.toShort)
+        buf.putInt(f.pen.toInt)
+      } else {
+        buf.putShort(f.tp.toShort)
+        buf.putShort(f.len.toShort)
+      }
+    }
+
+  private def specBytes(fields: Seq[FieldSpec]): Int =
+    fields.map(f => if (f.pen != 0L) 8 else 4).sum
+
+  def encodeTemplateIpfixX(h: V9Header, t: TemplateX): Array[Byte] = {
+    val setLen = 8 + specBytes(t.fields)
+    val buf = ByteBuffer.allocate(IpfixHeaderLen + setLen)
+    putIpfixHeader(buf, h, IpfixHeaderLen + setLen)
+    buf.putShort(2) // template set
+    buf.putShort(setLen.toShort)
+    buf.putShort(t.id.toShort)
+    buf.putShort(t.fields.size.toShort)
+    putSpecs(buf, t.fields)
+    buf.array()
+  }
+
+  /** IPFIX options template set (id 3, RFC 7011 §3.4.2.2): template id,
+    * total field count, scope field count, then specs (PEN-capable). */
+  def encodeOptionsTemplateIpfix(h: V9Header, t: TemplateX): Array[Byte] = {
+    val setLen = 10 + specBytes(t.fields)
+    val buf = ByteBuffer.allocate(IpfixHeaderLen + setLen)
+    putIpfixHeader(buf, h, IpfixHeaderLen + setLen)
+    buf.putShort(3) // options template set
+    buf.putShort(setLen.toShort)
+    buf.putShort(t.id.toShort)
+    buf.putShort(t.fields.size.toShort)
+    buf.putShort(t.scopeCount.toShort)
+    putSpecs(buf, t.fields)
+    buf.array()
+  }
+
+  /** Data set for an extended template: fixed numerics big-endian, vlen
+    * values with the RFC 7011 §7 length prefix (1 byte, or 255 + 2). */
+  def encodeDataIpfixX(h: V9Header, t: TemplateX,
+                       records: Seq[DecodedX]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      t.fields.foreach { f =>
+        if (f.isVlen) {
+          val bytes = r.getOrElse(f.key, "") match {
+            case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case b: Array[Byte] => b
+            case other =>
+              String.valueOf(other)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          if (bytes.length < 255) body.write(bytes.length)
+          else {
+            body.write(255)
+            body.write((bytes.length >>> 8) & 0xff)
+            body.write(bytes.length & 0xff)
+          }
+          body.write(bytes, 0, bytes.length)
+        } else {
+          val v = r.getOrElse(f.key, 0L) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case _ => 0L
+          }
+          (f.len - 1 to 0 by -1).foreach(i =>
+            body.write(((v >>> (8 * i)) & 0xff).toInt))
+        }
+      }
+    }
+    val b = body.toByteArray
+    val setLen = 4 + b.length
+    val buf = ByteBuffer.allocate(IpfixHeaderLen + setLen)
+    putIpfixHeader(buf, h, IpfixHeaderLen + setLen)
+    buf.putShort(t.id.toShort)
+    buf.putShort(setLen.toShort)
+    buf.put(b)
+    buf.array()
+  }
+
   final case class V9Header(sysUptimeMs: Long, unixSecs: Long,
                             sequence: Long, sourceId: Long)
 
   /** Per-exporter template cache + data-before-template buffer. One
     * instance per exporter key; feed datagrams in arrival order. */
   final class TemplateCache {
-    private val templates = mutable.Map[Int, Template]()
+    private val templates = mutable.Map[Int, TemplateX]()
     /** (set body, record budget from its datagram header) per template. */
     private val pending =
       mutable.Map[Int, mutable.Buffer[(Array[Byte], Int)]]()
 
+    /** Fixed-numeric view of [[observeX]]: standard-IE Long values only
+      * (the API the fixed-template queries consume). */
+    def observe(datagram: Array[Byte]): Seq[Decoded] =
+      observeX(datagram).map(toNumeric)
+
+    private def toNumeric(m: DecodedX): Decoded =
+      m.collect { case (k, v: Long) if k <= 0xffffL => k.toInt -> v }
+
+    /** one (PEN-capable) template field spec, 4 or 8 bytes */
+    private def readSpec(buf: ByteBuffer, ipfix: Boolean): FieldSpec = {
+      val raw = buf.getShort() & 0xffff
+      val len = buf.getShort() & 0xffff
+      if (ipfix && (raw & 0x8000) != 0)
+        FieldSpec(raw & 0x7fff, len, buf.getInt() & 0xffffffffL)
+      else FieldSpec(raw, len)
+    }
+
     /** Decode one datagram; returns records decodable NOW (including any
       * previously-buffered data whose template just arrived). */
-    def observe(datagram: Array[Byte]): Seq[Decoded] = {
+    def observeX(datagram: Array[Byte]): Seq[DecodedX] = {
       val buf = ByteBuffer.wrap(datagram)
       val version = buf.getShort() & 0xffff
       require(version == 9 || version == 10,
         s"not a v9/IPFIX datagram: version=$version")
+      val ipfix = version == 10
       val (headerLen, templateSetId) =
-        if (version == 9) (HeaderLen, 0) else (IpfixHeaderLen, 2)
+        if (ipfix) (IpfixHeaderLen, 2) else (HeaderLen, 0)
       // v9's header count caps decoded records — the only way to tell a
       // trailing 2-byte pad from a phantom 2-byte record (RFC 3954 count
       // covers template + data records in the packet)
-      var budget = if (version == 9) buf.getShort() & 0xffff else Int.MaxValue
+      var budget = if (ipfix) Int.MaxValue else buf.getShort() & 0xffff
       buf.position(headerLen) // remaining header fields not needed here
-      val out = mutable.Buffer[Decoded]()
+      val out = mutable.Buffer[DecodedX]()
       while (buf.remaining() >= 4) {
         val setId = buf.getShort() & 0xffff
         val setLen = buf.getShort() & 0xffff
@@ -179,24 +319,31 @@ object NetFlowV9 {
           while (buf.position() + 4 <= setEnd) {
             val tid = buf.getShort() & 0xffff
             val n = buf.getShort() & 0xffff
-            val fields = (0 until n).map { _ =>
-              (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
-            }
-            register(Template(tid, fields), out)
+            val fields = (0 until n).map(_ => readSpec(buf, ipfix))
+            register(TemplateX(tid, fields), out)
             budget -= 1
           }
-        } else if (version == 9 && setId == 1) {
-          // v9 options template: scope + option field specs
+        } else if (!ipfix && setId == 1) {
+          // v9 options template: scope + option field specs (RFC 3954
+          // §6.1; no PEN in the v9 type space)
           while (buf.position() + 6 <= setEnd) {
             val tid = buf.getShort() & 0xffff
             val scopeBytes = buf.getShort() & 0xffff
             val optBytes = buf.getShort() & 0xffff
             val n = (scopeBytes + optBytes) / 4
-            val fields = (0 until n).map { _ =>
-              (buf.getShort() & 0xffff, buf.getShort() & 0xffff)
-            }
-            register(Template(tid, fields), out)
+            val fields = (0 until n).map(_ => readSpec(buf, ipfix))
+            register(TemplateX(tid, fields, scopeBytes / 4), out)
             budget -= 1
+          }
+        } else if (ipfix && setId == 3) {
+          // IPFIX options template set (RFC 7011 §3.4.2.2): without this,
+          // option-data sets would buffer forever as "template missing"
+          while (buf.position() + 6 <= setEnd) {
+            val tid = buf.getShort() & 0xffff
+            val n = buf.getShort() & 0xffff
+            val scopeN = buf.getShort() & 0xffff
+            val fields = (0 until n).map(_ => readSpec(buf, ipfix))
+            register(TemplateX(tid, fields, scopeN), out)
           }
         } else if (setId >= 256) {
           val body = new Array[Byte](setEnd - buf.position())
@@ -207,8 +354,9 @@ object NetFlowV9 {
               budget -= decoded.size
               out ++= decoded
             case None =>
-              pending.getOrElseUpdate(setId, mutable.Buffer()) +=
-                ((body, budget))
+              val q = pending.getOrElseUpdate(setId, mutable.Buffer())
+              q += ((body, budget))
+              if (q.size > MaxPendingPerTemplate) q.remove(0) // drop oldest
           }
         }
         buf.position(setEnd)
@@ -216,26 +364,55 @@ object NetFlowV9 {
       out.toSeq
     }
 
-    private def register(t: Template,
-                         out: mutable.Buffer[Decoded]): Unit = {
+    private def register(t: TemplateX,
+                         out: mutable.Buffer[DecodedX]): Unit = {
       templates(t.id) = t
       pending.remove(t.id).foreach(_.foreach { case (b, cap) =>
         out ++= decodeBody(t, b, cap)
       })
     }
 
-    private def decodeBody(t: Template, body: Array[Byte],
-                           cap: Int): Seq[Decoded] = {
-      val n = math.min(body.length / t.recordLen, cap) // pad/count aware
-      (0 until n).map { r =>
-        var off = r * t.recordLen
-        t.fields.map { case (tp, ln) =>
-          var v = 0L
-          (0 until ln).foreach { i => v = (v << 8) | (body(off + i) & 0xffL) }
-          off += ln
-          tp -> v
-        }.toMap
+    private def decodeBody(t: TemplateX, body: Array[Byte],
+                           cap: Int): Seq[DecodedX] = {
+      val out = mutable.Buffer[DecodedX]()
+      var off = 0
+      // stop when fewer bytes remain than the smallest possible record:
+      // for fixed templates this is exactly the old pad-aware division
+      while (out.size < cap && body.length - off >= t.minRecordLen) {
+        val rec = Map.newBuilder[Long, Any]
+        var ok = true
+        t.fields.foreach { f =>
+          if (ok) {
+            if (f.isVlen) {
+              var l = body(off) & 0xff; off += 1
+              if (l == 255) {
+                l = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+                off += 2
+              }
+              if (off + l > body.length) ok = false
+              else {
+                rec += f.key -> new String(body, off, l,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                off += l
+              }
+            } else if (f.len <= 8) {
+              var v = 0L
+              (0 until f.len).foreach { i =>
+                v = (v << 8) | (body(off + i) & 0xffL)
+              }
+              off += f.len
+              rec += f.key -> v
+            } else {
+              // >8-byte fixed IE (e.g. IPv6): canonical hex string
+              rec += f.key -> body.slice(off, off + f.len)
+                .map(b => f"${b & 0xff}%02x").mkString
+              off += f.len
+            }
+          }
+        }
+        if (ok) out += rec.result()
       }
+      out.toSeq
     }
 
     def knownTemplates: Set[Int] = templates.keySet.toSet
@@ -244,26 +421,28 @@ object NetFlowV9 {
     /** Persist learned templates (nfacctd_templates_file,
       * CONFIG-KEYS:2040-2064): survive a collector restart without
       * waiting for template refresh. Line format:
-      * `id|type:len,type:len,...` */
+      * `id|scopeCount|type:len:pen,type:len:pen,...` */
     def save(): String =
       templates.values.toSeq.sortBy(_.id).map { t =>
-        s"${t.id}|${t.fields.map { case (tp, ln) => s"$tp:$ln" }
-          .mkString(",")}"
+        s"${t.id}|${t.scopeCount}|${t.fields
+          .map(f => s"${f.tp}:${f.len}:${f.pen}").mkString(",")}"
       }.mkString("\n")
 
-    /** Returns any buffered data records the loaded templates release. */
-    def load(persisted: String): Seq[Decoded] = {
-      val out = mutable.Buffer[Decoded]()
+    /** Returns any buffered data records the loaded templates release
+      * (numeric view; use [[loadX]] for vlen/PEN payloads). */
+    def load(persisted: String): Seq[Decoded] = loadX(persisted).map(toNumeric)
+
+    def loadX(persisted: String): Seq[DecodedX] = {
+      val out = mutable.Buffer[DecodedX]()
       persisted.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val Array(id, fields) = line.split("\\|", 2)
-        val t = Template(id.toInt, fields.split(",").toIndexedSeq.map { f =>
-          val Array(tp, ln) = f.split(":")
-          (tp.toInt, ln.toInt)
-        })
-        templates(t.id) = t
-        pending.remove(t.id).foreach(_.foreach { case (b, cap) =>
-          out ++= decodeBody(t, b, cap)
-        })
+        val Array(id, sc, fields) = line.split("\\|", 3)
+        val t = TemplateX(id.toInt,
+          fields.split(",").toIndexedSeq.map { f =>
+            val parts = f.split(":")
+            FieldSpec(parts(0).toInt, parts(1).toInt,
+              if (parts.length > 2) parts(2).toLong else 0L)
+          }, sc.toInt)
+        register(t, out)
       }
       out.toSeq
     }

@@ -293,4 +293,75 @@ class ProtocolSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(r1 == r2 && r1.forall(r => r >= 0 && r < 3))
   }
+
+  test("IPFIX vlen + PEN IEs round-trip, incl. 255-escape long values") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+    val penF = FieldSpec(42, 4, pen = 29305L)
+    val t = TemplateX(290, Seq(
+      FieldSpec(96, VarLen), FieldSpec(IE.InBytes, 4), penF))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val longStr = "x" * 300 // forces the 255 + 2-byte length escape
+    val recs: Seq[NetFlowV9.DecodedX] = Seq(
+      Map(96L -> "dns", IE.InBytes.toLong -> 111L, penF.key -> 7L),
+      Map(96L -> longStr, IE.InBytes.toLong -> 222L, penF.key -> 8L),
+      Map(96L -> "", IE.InBytes.toLong -> 333L, penF.key -> 9L))
+    val cache = new NetFlowV9.TemplateCache
+    // vlen data buffered before its template, then released intact
+    assert(cache.observeX(NetFlowV9.encodeDataIpfixX(h, t, recs)).isEmpty)
+    val got = cache.observeX(NetFlowV9.encodeTemplateIpfixX(h, t))
+    assert(got == recs)
+    // PEN key is namespaced: bare type 42 is NOT present
+    assert(!got.head.contains(42L) && got.head.contains(penF.key))
+  }
+
+  test("IPFIX options template (set 3) registers and decodes option data") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.{FieldSpec, IE, TemplateX}
+    val t = TemplateX(402, Seq(
+      FieldSpec(IE.ScopeSystem, 4), FieldSpec(IE.SamplingInterval, 4)),
+      scopeCount = 1)
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 2L)
+    val rec: NetFlowV9.DecodedX =
+      Map(IE.ScopeSystem.toLong -> 2L, IE.SamplingInterval.toLong -> 64L)
+    val cache = new NetFlowV9.TemplateCache
+    // option data before the options template → buffered, not stuck
+    assert(cache.observeX(NetFlowV9.encodeDataIpfixX(h, t, Seq(rec))).isEmpty)
+    assert(cache.observeX(
+      NetFlowV9.encodeOptionsTemplateIpfix(h, t)) == Seq(rec))
+    assert(cache.pendingSets == 0)
+  }
+
+  test("pending buffer is capped per missing template (oldest dropped)") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(333, Seq(IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 3L)
+    val cache = new NetFlowV9.TemplateCache
+    val n = NetFlowV9.MaxPendingPerTemplate + 10
+    (1 to n).foreach { i =>
+      cache.observe(NetFlowV9.encodeData(h, t, Seq(Map(IE.InBytes -> i.toLong))))
+    }
+    assert(cache.pendingSets == NetFlowV9.MaxPendingPerTemplate)
+    // the survivors are the NEWEST sets; the first 10 were dropped
+    val released = cache.observe(NetFlowV9.encodeTemplate(h, t))
+    assert(released.size == NetFlowV9.MaxPendingPerTemplate)
+    assert(released.head(IE.InBytes) == 11L)
+    assert(released.last(IE.InBytes) == n.toLong)
+  }
+
+  test("vlen template persistence round-trips through save/load") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+    val penF = FieldSpec(5, 2, pen = 9L)
+    val t = TemplateX(291, Seq(FieldSpec(96, VarLen), penF))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val warm = new NetFlowV9.TemplateCache
+    warm.observeX(NetFlowV9.encodeTemplateIpfixX(h, t))
+    val cold = new NetFlowV9.TemplateCache
+    val recs: Seq[NetFlowV9.DecodedX] =
+      Seq(Map(96L -> "rtsp", penF.key -> 300L))
+    assert(cold.observeX(NetFlowV9.encodeDataIpfixX(h, t, recs)).isEmpty)
+    assert(cold.loadX(warm.save()) == recs)
+  }
 }
