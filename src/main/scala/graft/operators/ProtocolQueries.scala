@@ -272,6 +272,39 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "IPFIX vlen + PEN-scoped IEs through the template cache"),
 
+    // Avro sink round-trip: build the record schema from the projected
+    // output (plugin_cmn_avro.c:47's bitmask walk ≙ schema-from-
+    // projection), encode each row to single-record Avro binary (the
+    // kafka_avro message body), decode executor-side, aggregate. The
+    // oracle aggregates the underived rows — schema or codec defects
+    // break parity.
+    Q("q92_avro_sink",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.AvroSink
+        val proj = Tables.events(s, d).selectExpr(
+          "event_type", "cast(user_id as bigint) as user_id",
+          "floor(value * 100) as b")
+        val schemaJson = AvroSink.avroSchema(proj.schema).toString
+        AvroSink.encode(proj).mapPartitions { it =>
+          it.map { bytes =>
+            val r = AvroSink.decode(bytes, schemaJson)
+            (String.valueOf(r.get(0)), r.get(1).asInstanceOf[Long],
+              r.get(2).asInstanceOf[Long])
+          }
+        }.toDF("event_type", "user_id", "b")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            countDistinct("user_id").as("n_users"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1"""),
+      doc = "Avro sink: schema-from-projection + binary round-trip"),
+
     // sFlow v5: encode flow samples into datagrams per partition, decode,
     // and renormalize counters by the per-sample sampling rate — sFlow's
     // defining ingest semantic (src/sfacctd.c renormalization). Oracle
