@@ -102,6 +102,97 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "msglog event stream compacted to latest RIB state"),
 
+    // BGP UPDATE *wire* parsing feeding the RIB: each msglog event becomes
+    // a real RFC 4271 UPDATE message (marker/length/type framing, NLRI or
+    // withdrawn-routes section, ORIGIN/AS_PATH/NEXT_HOP/MED attributes),
+    // the per-peer session stream is parsed back by `BgpMsg.decodeStream`,
+    // and the decoded routes compact into latest-state RIB rows exactly
+    // like the JSON msglog path (q52). The oracle derives the same RIB
+    // from the raw events — any framing, NLRI-walk, or attribute defect
+    // breaks parity. (Reference: bgp_update_msg, src/bgp/bgp_msg.c.)
+    Q("q93_bgp_wire",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 2).as("peer"), col("event_id"),
+            (col("event_id") % 512).as("pfx"),
+            (col("event_type") === "error").as("wd"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("med"),
+            (lit(65000L) + col("user_id") % 16).as("oas"),
+            col("user_id").cast("long").as("nh"))
+          .as[(Long, Long, Long, Boolean, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (peer: Long,
+           it: Iterator[(Long, Long, Long, Boolean, Long, Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = evs.iterator.map {
+              case (_, _, pfx, wd, med, oas, nh) =>
+                val route = BgpMsg.Route(pfx << 8, 24)
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
+                else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
+                  origin = Some(0), asPath = Seq(oas, oas + 1),
+                  nextHop = Some(nh), med = Some(med)))
+            }.reduce(_ ++ _) // the session's contiguous TCP byte stream
+            BgpMsg.decodeStream(wire).iterator.zipWithIndex.flatMap {
+              case (u, seq) =>
+                u.withdrawn.iterator.map(r =>
+                  (peer, r.prefix >> 8, seq.toLong, "withdraw",
+                    0L, 0L, 0L)) ++
+                u.nlri.iterator.map(r =>
+                  (peer, r.prefix >> 8, seq.toLong, "update",
+                    u.med.getOrElse(0L),
+                    u.asPath.headOption.getOrElse(0L),
+                    u.nextHop.getOrElse(0L)))
+            }
+        }
+        decoded
+          .toDF("peer", "prefix", "seq", "op", "med", "oas", "nh")
+          .groupBy("peer", "prefix")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(med, seq)").as("last_med"),
+            expr("max_by(oas, seq)").as("last_oas"),
+            expr("max_by(nh, seq)").as("last_nh"))
+          .groupBy("peer")
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_active"),
+            sum(when(col("last_op") === "withdraw", 1L).otherwise(0L))
+              .as("n_withdrawn"),
+            sum(when(col("last_op") === "update", col("last_med"))
+              .otherwise(0L)).as("sum_med"),
+            sum(when(col("last_op") === "update", col("last_oas"))
+              .otherwise(0L)).as("sum_origin_as"),
+            sum(when(col("last_op") === "update", col("last_nh"))
+              .otherwise(0L)).as("sum_nh"))
+      },
+      Some("""WITH msgs AS (SELECT user_id % 2 AS peer,
+                event_id % 512 AS prefix, event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med,
+                65000 + user_id % 16 AS oas, user_id AS nh
+              FROM events),
+            rib AS (SELECT peer, prefix, arg_max(op, seq) AS last_op,
+                arg_max(med, seq) AS last_med,
+                arg_max(oas, seq) AS last_oas,
+                arg_max(nh, seq) AS last_nh
+              FROM msgs GROUP BY 1, 2)
+            SELECT peer,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'withdraw' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_withdrawn,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_med ELSE 0 END)
+                AS BIGINT) AS sum_med,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_oas ELSE 0 END)
+                AS BIGINT) AS sum_origin_as,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_nh ELSE 0 END)
+                AS BIGINT) AS sum_nh
+            FROM rib GROUP BY peer"""),
+      doc = "BGP UPDATE wire bytes parsed into RIB compaction"),
+
     // Time-versioned RIB as-of lookup (SURVEY §1.4 "versioned dimension
     // table for as-of joins"): BGP updates/withdraws stream in; each flow
     // resolves against the route version in effect at its start time —

@@ -350,6 +350,42 @@ class ProtocolSpec extends AnyFunSuite {
     assert(released.last(IE.InBytes) == n.toLong)
   }
 
+  test("BGP UPDATE round-trips all attributes through the wire") {
+    import graft.sources.BgpMsg
+    val u = BgpMsg.Update(
+      withdrawn = Seq(BgpMsg.Route(0x0A000000L, 8)),
+      nlri = Seq(BgpMsg.Route(0xC0A80100L, 24), BgpMsg.Route(0xC0000200L, 23)),
+      origin = Some(0), asPath = Seq(65001L, 4200000000L),
+      nextHop = Some(0x0A0A0A01L), med = Some(77L),
+      localPref = Some(200L), communities = Seq((65001L << 16) | 666L))
+    val got = BgpMsg.decodeStream(BgpMsg.encode(u))
+    assert(got == Seq(u)) // 4-octet ASN survives; /23 partial byte walks
+  }
+
+  test("BGP stream skips non-UPDATE messages and unknown attributes") {
+    import graft.sources.BgpMsg
+    import java.nio.ByteBuffer
+    // KEEPALIVE: marker + len 19 + type 4
+    val ka = ByteBuffer.allocate(19)
+    (0 until 16).foreach(_ => ka.put(0xff.toByte))
+    ka.putShort(19).put(4.toByte)
+    // UPDATE with an unknown attribute (type 99) before NEXT_HOP
+    val route = BgpMsg.Route(0x01020300L, 24)
+    val known = BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
+      nextHop = Some(9L)))
+    // splice an unknown attr: flags 0xc0, type 99, len 2, payload
+    val idx = 19 + 2 + 2 // header + wdLen(0) + attrLenField
+    val attrLen = ((known(idx - 2) & 0xff) << 8) | (known(idx - 1) & 0xff)
+    val unknown = Array(0xc0.toByte, 99.toByte, 2.toByte, 1.toByte, 2.toByte)
+    val patched = known.take(idx) ++ unknown ++ known.drop(idx)
+    patched(16) = (((patched.length) >> 8) & 0xff).toByte
+    patched(17) = ((patched.length) & 0xff).toByte
+    patched(idx - 2) = (((attrLen + 5) >> 8) & 0xff).toByte
+    patched(idx - 1) = ((attrLen + 5) & 0xff).toByte
+    val got = BgpMsg.decodeStream(ka.array() ++ patched)
+    assert(got == Seq(BgpMsg.Update(nlri = Seq(route), nextHop = Some(9L))))
+  }
+
   test("vlen template persistence round-trips through save/load") {
     import graft.sources.NetFlowV9
     import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
