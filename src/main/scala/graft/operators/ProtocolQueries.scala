@@ -341,6 +341,48 @@ object ProtocolQueries {
            FROM flows GROUP BY 1""")),
       doc = "sFlow v5 flow samples: codec round-trip + rate renormalization"),
 
+    // pcap savefile round-trip: flows render as Ethernet+IPv4 frames into
+    // real pcap savefile bytes (24-byte global header + 16-byte record
+    // headers), read back through the savefile parser, link/IP-parsed to
+    // flow tuples (ll.c/nl.c projection), aggregated. The oracle derives
+    // the same numbers from the underived flows — framing, endianness, or
+    // header-walk defects break parity (pcap_loop replay parity,
+    // src/pmacctd.c:1278; CONFIG-KEYS:484-524).
+    Q("q94_pcap_replay",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (col("bytes") % 65536).as("iplen"), col("t0u"))
+          .as[(Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            // one savefile per slice: frames → savefile bytes → read →
+            // parse, all inside the partition
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t) =>
+              Pcap.frame(Pcap.FlowTuple(sa & 0xffffffffL,
+                da & 0xffffffffL, pr.toInt, spp.toInt, dp.toInt, len, t))
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+              .map(f => (f.proto.toLong, f.ipLen, f.tsUs))
+          }
+        }
+        decoded.toDF("proto", "iplen", "tsus")
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("ip_bytes"),
+            max("tsus").as("max_ts_us"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 65536) AS BIGINT) AS ip_bytes,
+           max(t0u) AS max_ts_us
+           FROM flows GROUP BY 1""")),
+      doc = "pcap savefile write/read/parse round-trip in the pipeline"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -37,4 +37,53 @@ class ReplaySpec extends AnyFunSuite {
     // each replayed batch carried exactly one capture file
     assert(batchSizes.sorted == Seq(3L, 5L, 7L))
   }
+
+  test("pcap savefile ingests end-to-end via binaryFile scan") {
+    import graft.sources.Pcap
+    val dir = Files.createTempDirectory("graft_pcap").toString
+    val tuples = (1 to 25).map(i => Pcap.FlowTuple(
+      0x0A000000L + i, 0x0B000000L + i, if (i % 3 == 0) 17 else 6,
+      1024 + i, 80, 100L + i, 1710000000000000L + i * 1000L))
+    // two capture files on disk, exactly what a recorder would leave
+    Files.write(java.nio.file.Paths.get(s"$dir/cap0.pcap"),
+      Pcap.write(tuples.take(10).map(Pcap.frame)))
+    Files.write(java.nio.file.Paths.get(s"$dir/cap1.pcap"),
+      Pcap.write(tuples.drop(10).map(Pcap.frame)))
+    val decoded = spark.read.format("binaryFile")
+      .load(s"$dir/*.pcap")
+      .select("content").as[Array[Byte]]
+      .mapPartitions(_.flatMap { bytes =>
+        val sf = Pcap.read(bytes)
+        sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+      })
+    val got = decoded.collect()
+    assert(got.length == 25)
+    assert(got.map(_.ipLen).sum == tuples.map(_.ipLen).sum)
+    assert(got.count(_.proto == 17) == tuples.count(_.proto == 17))
+    assert(got.map(_.portSrc).toSet == tuples.map(_.portSrc).toSet)
+  }
+
+  test("pcap reader handles little-endian and nanosecond magics") {
+    import graft.sources.Pcap
+    val pkt = Pcap.frame(Pcap.FlowTuple(1L, 2L, 6, 1, 2, 40L, 5000001L))
+    val be = Pcap.write(Seq(pkt))
+    // flip to little-endian by rewriting header+record words
+    val buf = java.nio.ByteBuffer.wrap(be)
+    val le = java.nio.ByteBuffer.allocate(be.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    le.putInt(buf.getInt(0)) // magic, now byte-swapped on disk
+    le.putShort(2).putShort(4).putInt(0).putInt(0)
+    le.putInt(65535).putInt(Pcap.LinkEthernet)
+    le.putInt(buf.getInt(24)).putInt(buf.getInt(28))
+    le.putInt(buf.getInt(32)).putInt(buf.getInt(36))
+    le.put(pkt.data)
+    assert(Pcap.read(le.array()).packets == Seq(pkt))
+    // nanosecond magic: fractional part is ns, floored to µs
+    val ns = Pcap.write(Seq(pkt))
+    val nsBuf = java.nio.ByteBuffer.wrap(ns)
+    nsBuf.putInt(0, Pcap.MagicNanos.toInt)
+    nsBuf.putInt(28, 1999) // 1999 ns -> 1 µs
+    val got = Pcap.read(ns).packets.head
+    assert(got.tsUs == 5000001L)
+  }
 }
