@@ -383,6 +383,53 @@ object ProtocolQueries {
            FROM flows GROUP BY 1""")),
       doc = "pcap savefile write/read/parse round-trip in the pipeline"),
 
+    // GPB streaming telemetry: each event encodes as a nested protobuf
+    // message (outer: sensor path + row message; inner: typed fields),
+    // framed under the v1-shaped telemetry envelope, concatenated into a
+    // session stream, deframed and wire-walked back
+    // (src/telemetry/telemetry.h:49-53 decoder family; q79 is the JSON
+    // leg). Oracle aggregates the underived rows — varint, tag, or
+    // framing defects break parity.
+    Q("q95_telemetry_gpb",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.TelemetryGpb
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            val stream = batch.map { case (uid, et, b) =>
+              val inner = TelemetryGpb.encodeMsg(Seq(
+                1 -> uid, 2 -> et, 3 -> b))
+              TelemetryGpb.frame(TelemetryGpb.encodeMsg(Seq(
+                1 -> "graft/events/stream", 2 -> inner)))
+            }.reduce(_ ++ _)
+            TelemetryGpb.deframe(stream).iterator.collect {
+              case (TelemetryGpb.MsgTypeGpb, payload) =>
+                val outer = TelemetryGpb.decodeMsg(payload)
+                val inner = TelemetryGpb.decodeMsg(
+                  outer(2).head.asInstanceOf[Array[Byte]])
+                (inner(1).head.asInstanceOf[Long],
+                  TelemetryGpb.str(inner(2).head),
+                  inner(3).head.asInstanceOf[Long])
+            }
+          }
+        }
+        decoded.toDF("uid", "event_type", "b")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            sum("uid").as("sum_uid"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid
+              FROM events GROUP BY 1"""),
+      doc = "GPB telemetry: protobuf wire walk + envelope deframing"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

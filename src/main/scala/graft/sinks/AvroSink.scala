@@ -74,14 +74,29 @@ object AvroSink {
     case other => other
   }
 
-  private def record(row: Row, schema: Schema): GenericRecord = {
+  private[sinks] def record(row: Row, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     var i = 0
-    while (i < row.length) {
+    while (i < schema.getFields.size) {
       rec.put(i, toAvroValue(row.get(i)))
       i += 1
     }
     rec
+  }
+
+  /** Per-partition single-record binary encoder: parse the schema once,
+    * reuse the buffer (the executor-side hot path for Avro frames). */
+  private[sinks] def rowEncoder(schemaJson: String): Row => Array[Byte] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    val out = new ByteArrayOutputStream()
+    val encoder = EncoderFactory.get().binaryEncoder(out, null)
+    (r: Row) => {
+      out.reset()
+      writer.write(record(r, schema), encoder)
+      encoder.flush()
+      out.toByteArray
+    }
   }
 
   /** One Avro-binary message per row (kafka_avro body shape). */
@@ -89,16 +104,8 @@ object AvroSink {
     val schemaJson = avroSchema(df.schema).toString
     implicit val enc = org.apache.spark.sql.Encoders.BINARY
     df.mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val writer = new GenericDatumWriter[GenericRecord](schema)
-      val out = new ByteArrayOutputStream()
-      val encoder = EncoderFactory.get().binaryEncoder(out, null)
-      rows.map { r =>
-        out.reset()
-        writer.write(record(r, schema), encoder)
-        encoder.flush()
-        out.toByteArray
-      }
+      val enc1 = rowEncoder(schemaJson)
+      rows.map(enc1)
     }
   }
 

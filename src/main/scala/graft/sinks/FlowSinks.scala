@@ -29,6 +29,38 @@ object FlowSinks {
       to_json(struct(valueCols: _*)).as("value"))
   }
 
+  /** Kafka frame with Avro message bodies (kafka_avro_schema_registry
+    * CONFIG-KEYS:1885 minus the registry call: the schema id would ride
+    * in the envelope; bodies are the same single-record Avro binary). */
+  def kafkaAvroFrame(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // key appended LAST so the value schema is exactly the payload
+    // columns; the per-partition row encoder reads only those fields
+    val keyed = df.withColumn("__key",
+      concat_ws("|", keyCols.map(col): _*))
+    val keyIdx = keyed.columns.length - 1
+    val schemaJson = AvroSink.avroSchema(df.schema).toString
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    keyed.mapPartitions { rows =>
+      val enc1 = AvroSink.rowEncoder(schemaJson)
+      rows.map(r => (r.getString(keyIdx), enc1(r)))
+    }.toDF("key", "value")
+  }
+
+  /** The exact Kafka `writeStream` the cluster runs (kafka_cache_purge,
+    * src/kafka_plugin.c:384: serialized cache rows produced to a topic
+    * with a partition key). The spark-sql-kafka connector and a broker
+    * exist only on the cluster — this builds the fully-wired writer; the
+    * caller `.start()`s it where a broker exists. */
+  def kafkaWriter(df: DataFrame, bootstrap: String, topic: String,
+                  keyCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    kafkaFrame(df, keyCols).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** print plugin with dynamic filenames: time-token directories become
     * partition columns — `%Y%m%d` ≙ `partitionBy(print_day)`. */
   def writePartitionedPrint(df: DataFrame, path: String,

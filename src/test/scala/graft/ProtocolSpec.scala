@@ -386,6 +386,53 @@ class ProtocolSpec extends AnyFunSuite {
     assert(got == Seq(BgpMsg.Update(nlri = Seq(route), nextHop = Some(9L))))
   }
 
+  test("GPB wire walk: varint boundaries, doubles, unknown fields") {
+    import graft.sources.TelemetryGpb
+    val msg = TelemetryGpb.encodeMsg(Seq(
+      1 -> 0L, 1 -> 127L, 1 -> 128L, 1 -> 300L, 1 -> Long.MaxValue,
+      2 -> "iface/ge-0", 3 -> 2.5, 99 -> "unknown-but-kept"))
+    val m = TelemetryGpb.decodeMsg(msg)
+    assert(m(1) == Seq(0L, 127L, 128L, 300L, Long.MaxValue))
+    assert(TelemetryGpb.str(m(2).head) == "iface/ge-0")
+    assert(m(3) == Seq(2.5))
+    assert(TelemetryGpb.str(m(99).head) == "unknown-but-kept")
+  }
+
+  test("telemetry envelope splits mixed GPB/JSON packet streams") {
+    import graft.sources.TelemetryGpb
+    val gpb = TelemetryGpb.encodeMsg(Seq(1 -> 42L))
+    val json = """{"k":1}""".getBytes("UTF-8")
+    val stream = TelemetryGpb.frame(gpb) ++
+      TelemetryGpb.frame(json, TelemetryGpb.MsgTypeJson) ++
+      TelemetryGpb.frame(gpb)
+    val pkts = TelemetryGpb.deframe(stream)
+    assert(pkts.map(_._1) == Seq(2, 1, 2))
+    assert(TelemetryGpb.decodeMsg(pkts.head._2)(1) == Seq(42L))
+    assert(new String(pkts(1)._2, "UTF-8") == """{"k":1}""")
+  }
+
+  test("kafka avro frame carries key + decodable avro body") {
+    import graft.sinks.{AvroSink, FlowSinks}
+    val df = Seq((6L, 80L, 1000L), (17L, 53L, 2000L))
+      .toDF("proto", "port", "bytes")
+    val framed = FlowSinks.kafkaAvroFrame(df, Seq("proto", "port"))
+    assert(framed.columns.toSeq == Seq("key", "value"))
+    val schemaJson = AvroSink.avroSchema(df.schema).toString
+    val rows = framed.collect().map { r =>
+      val rec = AvroSink.decode(r.getAs[Array[Byte]]("value"), schemaJson)
+      (r.getString(0), rec.get(0), rec.get(2))
+    }.toSet
+    assert(rows == Set(("6|80", 6L, 1000L), ("17|53", 17L, 2000L)))
+  }
+
+  test("kafka writer builds fully-wired (connector lives on the cluster)") {
+    import graft.sinks.FlowSinks
+    val stream = spark.readStream.format("rate").load()
+    val writer = FlowSinks.kafkaWriter(stream, "broker:9092",
+      "acct", Seq("value"), "/tmp/ckpt_kafka_test")
+    assert(writer != null) // .start() requires broker + connector jar
+  }
+
   test("vlen template persistence round-trips through save/load") {
     import graft.sources.NetFlowV9
     import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
