@@ -177,6 +177,12 @@ object EngineQueries {
     // Approximate distinct flows (documented deviation, SURVEY §7 hard
     // part (e)): HLL sketch — engine-specific, so no SQL oracle; the
     // driver records the weaker rows-only check. q89 is the exact path.
+    // The HLL estimate is engine-specific, so the gate is a TOLERANCE
+    // BAND verified in-engine: each bin computes both the sketch and the
+    // exact count, and the query emits how many bins drift beyond ±5%.
+    // The oracle asserts the bin inventory and ZERO violations — if the
+    // sketch (rsd 0.01 → ~1% typical error) ever degrades, the row goes
+    // red instead of silently passing rows-only.
     Q("q90_approx_flows",
       (s, d) => flows(s, d)
         .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
@@ -184,9 +190,24 @@ object EngineQueries {
         .agg(count(lit(1)).as("n_records"),
           approx_count_distinct(
             concat_ws("|", col("ip_src"), col("ip_dst"), col("port_src"),
-              col("port_dst"), col("ip_proto"))).as("n_flows_approx")),
-      None,
-      doc = "approximate flows counter (HLL; rows-only driver check)"),
+              col("port_dst"), col("ip_proto")), 0.01).as("n_approx"),
+          countDistinct(col("ip_src"), col("ip_dst"), col("port_src"),
+            col("port_dst"), col("ip_proto")).as("n_exact"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_bins"),
+          sum("n_records").as("n_records"),
+          // band = max(±5%, ±5 flows): tiny bins get an absolute floor,
+          // real bins the relative one
+          sum(when(abs(col("n_approx") - col("n_exact")) >
+            greatest(col("n_exact") * 0.05, lit(5.0)), 1L)
+            .otherwise(0L)).as("n_violations")),
+      Some(FlowView.cte(
+        """SELECT count(*) AS n_bins, CAST(sum(nr) AS BIGINT) AS n_records,
+           CAST(0 AS BIGINT) AS n_violations
+           FROM (SELECT ((t0u - t0u % 3600000000) // 3600000000) * 3600
+                   AS bin_start, count(*) AS nr
+                 FROM flows GROUP BY 1)""")),
+      doc = "approximate flows counter (HLL) gated by a ±5% tolerance band"),
 
     // Multi-version source multiplexing: v5-shaped and v9-shaped decoder
     // outputs unioned by name with missing-column fill (SURVEY §2.8;

@@ -115,28 +115,36 @@ object SurfaceQueries {
         val sp = s
         import sp.implicits._
         import graft.sources.BgpMsg
+        // 64 parallel BGP sessions (32 per peer); each RIB key
+        // (peer, prefix) is session-local — prefix embeds the session —
+        // so per-session arrival order IS the global order for that key
+        // and sessions decode concurrently across all cores.
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 2).as("peer"), col("event_id"),
-            (col("event_id") % 512).as("pfx"),
+            (col("user_id") % 64).as("sess"), col("event_id"),
+            ((col("user_id") % 64) * 512 + col("event_id") % 512).as("pfx"),
             (col("event_type") === "error").as("wd"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("med"),
             (lit(65000L) + col("user_id") % 16).as("oas"),
             col("user_id").cast("long").as("nh"))
           .as[(Long, Long, Long, Boolean, Long, Long, Long)]
         val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (peer: Long,
+          (sess: Long,
            it: Iterator[(Long, Long, Long, Boolean, Long, Long, Long)]) =>
             val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = evs.iterator.map {
-              case (_, _, pfx, wd, med, oas, nh) =>
-                val route = BgpMsg.Route(pfx << 8, 24)
+            // the session's contiguous TCP byte stream, built linearly
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, pfx, wd, med, oas, nh) =>
+              val route = BgpMsg.Route(pfx << 8, 24)
+              val msg =
                 if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
                 else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
                   origin = Some(0), asPath = Seq(oas, oas + 1),
                   nextHop = Some(nh), med = Some(med)))
-            }.reduce(_ ++ _) // the session's contiguous TCP byte stream
-            BgpMsg.decodeStream(wire).iterator.zipWithIndex.flatMap {
-              case (u, seq) =>
+              wire.write(msg, 0, msg.length)
+            }
+            val peer = sess % 2
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
                 u.withdrawn.iterator.map(r =>
                   (peer, r.prefix >> 8, seq.toLong, "withdraw",
                     0L, 0L, 0L)) ++
@@ -145,7 +153,7 @@ object SurfaceQueries {
                     u.med.getOrElse(0L),
                     u.asPath.headOption.getOrElse(0L),
                     u.nextHop.getOrElse(0L)))
-            }
+              }
         }
         decoded
           .toDF("peer", "prefix", "seq", "op", "med", "oas", "nh")
@@ -167,8 +175,9 @@ object SurfaceQueries {
             sum(when(col("last_op") === "update", col("last_nh"))
               .otherwise(0L)).as("sum_nh"))
       },
-      Some("""WITH msgs AS (SELECT user_id % 2 AS peer,
-                event_id % 512 AS prefix, event_id AS seq,
+      Some("""WITH msgs AS (SELECT (user_id % 64) % 2 AS peer,
+                (user_id % 64) * 512 + event_id % 512 AS prefix,
+                event_id AS seq,
                 CASE WHEN event_type = 'error' THEN 'withdraw'
                      ELSE 'update' END AS op,
                 CAST(floor(value * 100) AS BIGINT) AS med,
