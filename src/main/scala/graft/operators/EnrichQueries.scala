@@ -110,6 +110,49 @@ object EnrichQueries {
             WHERE asn_src IS NOT NULL OR asn_dst IS NOT NULL"""),
       doc = "networks_file_filter: drop double-miss records"),
 
+    // GeoIP via a REAL MaxMind-DB binary: the networks prefix table is
+    // written as spec-conformant .mmdb bytes (tree + data section +
+    // metadata), broadcast to executors, and each flow resolves through
+    // the bit-tree walk — the libmaxminddb lookup path
+    // (CONFIG-KEYS:3363-3371) with the database format itself exercised,
+    // not a synthetic range table. Oracle derives the same mapping via
+    // LPM SQL over the identical prefix rows.
+    Q("q96_geoip_mmdb",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        // 16-bit test prefix space lifted into the top bits of IPv4
+        val mmdb = graft.maps.Mmdb.build(Dims.networkPrefixes.map {
+          case (base, len, asn) =>
+            (base << 16, len,
+              Map[String, Any]("country" -> s"C${asn % 7}", "asn" -> asn))
+        })
+        val rows = flows(s, d).select(col("ip_src"), col("bytes"))
+          .as[(Long, Long)]
+        rows.mapPartitions { it =>
+          val reader = new graft.maps.Mmdb.Reader(mmdb)
+          it.map { case (ip, bytes) =>
+            val hit = reader.lookup(ip << 16)
+            (hit.map(_("country").asInstanceOf[String]).orNull,
+              hit.fold(0L)(_("asn").asInstanceOf[Long]), bytes)
+          }
+        }.toDF("country", "asn", "bytes")
+          .groupBy("country")
+          .agg(count(lit(1)).as("n"), sum("asn").as("sum_asn"),
+            sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}
+            SELECT CASE WHEN asn IS NULL THEN NULL
+                     ELSE 'C' || CAST(asn % 7 AS VARCHAR) END AS country,
+              count(*) AS n,
+              CAST(sum(coalesce(asn, 0)) AS BIGINT) AS sum_asn,
+              CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM (SELECT bytes,
+                ${lpmSql("networks", "f.ip_src", "asn")} AS asn
+              FROM flows f)
+            GROUP BY country"""),
+      doc = "GeoIP through real MaxMind-DB bytes: build, broadcast, walk"),
+
     // sampling_map renormalization: exporter → rate, counters × rate
     // (NF_sampling_rate_handler src/pkt_handlers.c:3690;
     // counters_renormalize_handler :1773).
