@@ -63,6 +63,56 @@ class ReplaySpec extends AnyFunSuite {
     assert(got.map(_.portSrc).toSet == tuples.map(_.portSrc).toSet)
   }
 
+  test("live UDP source: NetFlow v9 datagrams arrive through the stream") {
+    import graft.sources.{NetFlowV9, UdpDatagramSource}
+    import NetFlowV9.IE
+    // pick a free port, then hand it to the source
+    val probe = new java.net.DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val name = "udp_sink_test"
+    val q = spark.readStream
+      .format("graft.sources.UdpDatagramSource")
+      .option("port", port.toString).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      assert(UdpDatagramSource.awaitBound(port), "listener never bound")
+      val t = NetFlowV9.Template(500,
+        Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+      val h = NetFlowV9.V9Header(0L, 0L, 0L, 42L)
+      val recs = (1 to 30).map(i =>
+        Map(IE.Protocol -> 6L, IE.InBytes -> i.toLong))
+      val dgs = Seq(NetFlowV9.encodeTemplate(h, t)) ++
+        recs.grouped(10).map(b => NetFlowV9.encodeData(h, t, b))
+      val sock = new java.net.DatagramSocket()
+      val addr = java.net.InetAddress.getLoopbackAddress
+      dgs.foreach { d =>
+        sock.send(new java.net.DatagramPacket(d, d.length, addr, port))
+        Thread.sleep(5)
+      }
+      sock.close()
+      val deadline = System.currentTimeMillis() + 30000
+      def landed() = spark.table(name).count()
+      while (landed() < dgs.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(landed() == dgs.size)
+      val rows = spark.table(name)
+        .select("exporter", "payload").collect()
+      assert(rows.forall(_.getString(0).startsWith(
+        addr.getHostAddress + ":")))
+      // template cache absorbs any arrival interleaving (buffering), so
+      // decoding the landed payloads recovers every record exactly once
+      val cache = new NetFlowV9.TemplateCache
+      val decoded = rows.flatMap(r =>
+        cache.observe(r.getAs[Array[Byte]]("payload")))
+      assert(decoded.length == 30)
+      assert(decoded.map(_(IE.InBytes)).sum == (1 to 30).sum)
+    } finally q.stop()
+  }
+
   test("pcap reader handles little-endian and nanosecond magics") {
     import graft.sources.Pcap
     val pkt = Pcap.frame(Pcap.FlowTuple(1L, 2L, 6, 1, 2, 40L, 5000001L))
