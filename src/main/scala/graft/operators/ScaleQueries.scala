@@ -28,6 +28,115 @@ object ScaleQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Conntrack L7 helpers with REAL control-channel parsers
+    // (src/conntrack.c FTP/RTSP/SIP helpers, docs/INTERNALS:360-408):
+    // control events render as protocol text (FTP 227 passive-mode
+    // replies, RTSP SETUP client_port transports, SIP/SDP m=audio
+    // lines), the parsers extract the (ip, port) expectation a tracker
+    // would register, and data flows joining an expectation inherit the
+    // parent class. The oracle derives expectations arithmetically —
+    // regex or octet-math defects in any parser break parity.
+    Q("q98_conntrack_parse",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.L7
+        val ev = Tables.events(s, d).select(
+            col("event_id"), col("event_type"),
+            (col("user_id") % 16).as("h4"),
+            (lit(1024L) + col("event_id") % 64).as("port"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
+        // control channel: every third event, rendered as protocol text
+        val ctrlText = ev.filter(col("event_id") % 3 === 0).select(
+            col("event_type"), col("h4"), col("port"),
+            when(col("event_type") === "view", format_string(
+              "SETUP rtsp://cam/track1 RTSP/1.0\r\nCSeq: 2\r\n" +
+                "Transport: RTP/AVP;unicast;client_port=%d-%d\r\n",
+              col("port"), col("port") + 1))
+            .when(col("event_type") === "signup", format_string(
+              "INVITE sip:b@c SIP/2.0\r\nContent-Type: application/sdp" +
+                "\r\n\r\nv=0\r\nm=audio %d RTP/AVP 0\r\n", col("port")))
+            .otherwise(format_string(
+              "227 Entering Passive Mode (10,0,0,%d,%d,%d).",
+              col("h4"), expr("port div 256"), col("port") % 256))
+              .as("text"))
+          .as[(String, Long, Long, String)]
+        // the tracker: parse each control message into its expectation
+        val expect = ctrlText.flatMap { case (kind, h4, _, text) =>
+          kind match {
+            case "view" => L7.rtspClientPort(text).map(p =>
+              ((10L << 24) | h4, p.toLong, "rtsp-data"))
+            case "signup" => L7.sipAudioPort(text).map(p =>
+              ((10L << 24) | h4, p.toLong, "sip-rtp"))
+            case _ => L7.ftpPassive(text).map { case (ip, p) =>
+              (ip, p.toLong, "ftp-data") }
+          }
+        }.toDF("ip", "port", "class")
+          .groupBy("ip", "port").agg(min("class").as("class"))
+        // data flows inherit the class of a registered expectation
+        ev.filter(col("event_id") % 3 =!= 0)
+          .select((lit(10L << 24) + col("h4")).as("ip"), col("port"),
+            col("b"))
+          .join(broadcast(expect), Seq("ip", "port"), "left")
+          .withColumn("class", coalesce(col("class"), lit("unknown")))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+      },
+      Some("""WITH ctrl AS (SELECT
+                CASE WHEN event_type = 'view' THEN 'rtsp-data'
+                     WHEN event_type = 'signup' THEN 'sip-rtp'
+                     ELSE 'ftp-data' END AS class,
+                167772160 + user_id % 16 AS ip,
+                1024 + event_id % 64 AS port
+              FROM events WHERE event_id % 3 = 0),
+            expect AS (SELECT ip, port, min(class) AS class
+              FROM ctrl GROUP BY 1, 2),
+            data AS (SELECT 167772160 + user_id % 16 AS ip,
+                1024 + event_id % 64 AS port,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events WHERE event_id % 3 != 0)
+            SELECT coalesce(e.class, 'unknown') AS class,
+              count(*) AS n, CAST(sum(b) AS BIGINT) AS bytes
+            FROM data d LEFT JOIN expect e
+              ON d.ip = e.ip AND d.port = e.port
+            GROUP BY 1"""),
+      doc = "conntrack FTP/RTSP/SIP parsers spawning data-flow classes"),
+
+    // nDPI-shaped payload classification: first-bytes signatures over a
+    // synthesized payload head (src/classifier.c:33 first-k-packets
+    // inspection; q60 is the port-heuristic cheap path). The oracle maps
+    // event kinds directly — signature or preamble defects break parity.
+    Q("q99_l7_payload",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.L7
+        val rows = Tables.events(s, d).select(
+            col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
+          .as[(String, Long)]
+        rows.mapPartitions(_.map { case (kind, b) =>
+          val payload: Array[Byte] = kind match {
+            case "click" => "GET /index.html HTTP/1.1\r\n".getBytes("UTF-8")
+            case "purchase" => Array[Byte](0x16, 0x03, 0x03, 0x00, 0x40)
+            case "signup" => "SSH-2.0-graft\r\n".getBytes("UTF-8")
+            case "view" => "RTSP/1.0 200 OK\r\n".getBytes("UTF-8")
+            case _ => Array[Byte](0x00, 0x01, 0x02)
+          }
+          (L7.classifyPayload(payload), b)
+        }).toDF("class", "b")
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+      },
+      Some("""SELECT CASE event_type WHEN 'click' THEN 'http'
+                WHEN 'purchase' THEN 'tls' WHEN 'signup' THEN 'ssh'
+                WHEN 'view' THEN 'rtsp' ELSE 'unknown' END AS class,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes
+              FROM events GROUP BY 1"""),
+      doc = "payload first-bytes signature classification (nDPI shape)"),
+
     // Salted two-phase aggregation: identical results to the direct
     // groupBy (the oracle IS the direct plan), different shuffle layout —
     // a hot port no longer lands on one reducer.

@@ -202,6 +202,86 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "BGP UPDATE wire bytes parsed into RIB compaction"),
 
+    // BMP binary session parsing (RFC 7854; src/bmp/bmp_msg.c): each
+    // monitored peer's stream is Initiation + Peer Up + Route Monitoring
+    // messages whose bodies are real per-peer headers + encapsulated BGP
+    // UPDATEs (the q93 codec). The monitor parses the stream and compacts
+    // the advertised routes per peer ASN; the oracle derives the same
+    // state from raw events. Framing, per-peer-header, or encapsulated-
+    // UPDATE defects break parity.
+    Q("q97_bmp_wire",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 64).as("sess"), col("event_id"),
+            ((col("user_id") % 64) * 512 + col("event_id") % 512).as("pfx"),
+            (col("event_type") === "error").as("wd"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("med"))
+          .as[(Long, Long, Long, Boolean, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val peer = BmpMsg.PeerHeader(0, 0, sess % 4, sess,
+              65000L + sess, sess, 0L, 0L)
+            val wire = new java.io.ByteArrayOutputStream()
+            def w(b: Array[Byte]): Unit = wire.write(b, 0, b.length)
+            w(BmpMsg.encodeInitiation(Seq(1 -> "graft-monitor")))
+            w(BmpMsg.encodePeerUp(peer))
+            evs.foreach { case (_, _, pfx, wd, med) =>
+              val route = BgpMsg.Route(pfx << 8, 24)
+              val u =
+                if (wd) BgpMsg.Update(withdrawn = Seq(route))
+                else BgpMsg.Update(nlri = Seq(route), origin = Some(0),
+                  med = Some(med))
+              w(BmpMsg.encodeRouteMonitoring(peer, u))
+            }
+            BmpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .collect { case (BmpMsg.RouteMonitoring(p, u), seq) =>
+                (p, u, seq)
+              }
+              .flatMap { case (p, u, seq) =>
+                u.withdrawn.iterator.map(r =>
+                  (p.peerAs, r.prefix >> 8, seq.toLong, "withdraw", 0L)) ++
+                u.nlri.iterator.map(r =>
+                  (p.peerAs, r.prefix >> 8, seq.toLong, "update",
+                    u.med.getOrElse(0L)))
+              }
+        }
+        decoded.toDF("peer_as", "prefix", "seq", "op", "med")
+          .groupBy("peer_as", "prefix")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(med, seq)").as("last_med"))
+          .groupBy("peer_as")
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_active"),
+            sum(when(col("last_op") === "withdraw", 1L).otherwise(0L))
+              .as("n_withdrawn"),
+            sum(when(col("last_op") === "update", col("last_med"))
+              .otherwise(0L)).as("sum_med"))
+      },
+      Some("""WITH msgs AS (SELECT 65000 + user_id % 64 AS peer_as,
+                (user_id % 64) * 512 + event_id % 512 AS prefix,
+                event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med
+              FROM events),
+            rib AS (SELECT peer_as, prefix, arg_max(op, seq) AS last_op,
+                arg_max(med, seq) AS last_med
+              FROM msgs GROUP BY 1, 2)
+            SELECT peer_as,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'withdraw' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_withdrawn,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_med ELSE 0 END)
+                AS BIGINT) AS sum_med
+            FROM rib GROUP BY peer_as"""),
+      doc = "BMP binary stream: per-peer headers + encapsulated UPDATEs"),
+
     // Time-versioned RIB as-of lookup (SURVEY §1.4 "versioned dimension
     // table for as-of joins"): BGP updates/withdraws stream in; each flow
     // resolves against the route version in effect at its start time —

@@ -433,6 +433,25 @@ class ProtocolSpec extends AnyFunSuite {
     assert(writer != null) // .start() requires broker + connector jar
   }
 
+  test("BMP stream parses initiation, peer up/down, route monitoring") {
+    import graft.sources.{BgpMsg, BmpMsg}
+    val peer = BmpMsg.PeerHeader(0, 0x80, 7L, 0x0A000001L, 65010L,
+      0x01010101L, 1710000000L, 500000L)
+    val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(0x0A0B0C00L, 24)),
+      origin = Some(0), med = Some(42L))
+    val stream =
+      BmpMsg.encodeInitiation(Seq(1 -> "sys", 2 -> "graft")) ++
+        BmpMsg.encodePeerUp(peer) ++
+        BmpMsg.encodeRouteMonitoring(peer, u) ++
+        BmpMsg.encodePeerDown(peer, 1)
+    val msgs = BmpMsg.decodeStream(stream)
+    assert(msgs.size == 4)
+    assert(msgs.head == BmpMsg.Initiation(Seq(1 -> "sys", 2 -> "graft")))
+    assert(msgs(1) == BmpMsg.PeerUp(peer))
+    assert(msgs(2) == BmpMsg.RouteMonitoring(peer, u))
+    assert(msgs(3) == BmpMsg.PeerDown(peer, 1))
+  }
+
   test("vlen template persistence round-trips through save/load") {
     import graft.sources.NetFlowV9
     import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}

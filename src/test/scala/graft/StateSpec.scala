@@ -139,6 +139,23 @@ class StateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("abc/4"))
   }
 
+  test("L7 parsers: FTP 227, RTSP client_port, SIP m=audio, signatures") {
+    import graft.functions.L7
+    assert(L7.ftpPassive("227 Entering Passive Mode (192,168,1,9,4,1).")
+      == Some(((192L << 24) | (168L << 16) | (1L << 8) | 9L, 1025)))
+    assert(L7.ftpPassive("150 Opening data connection").isEmpty)
+    assert(L7.rtspClientPort(
+      "Transport: RTP/AVP;unicast;client_port=8000-8001") == Some(8000))
+    assert(L7.sipAudioPort("v=0\r\nm=audio 49170 RTP/AVP 0\r\n")
+      == Some(49170))
+    assert(L7.classifyPayload("GET / HTTP/1.1".getBytes) == "http")
+    assert(L7.classifyPayload(Array[Byte](0x16, 0x03, 0x01, 0, 0)) == "tls")
+    assert(L7.classifyPayload("SSH-2.0-x".getBytes) == "ssh")
+    assert(L7.classifyPayload(
+      (Array(19.toByte) ++ "BitTorrent protocol".getBytes)) == "bittorrent")
+    assert(L7.classifyPayload(Array[Byte](1, 2, 3)) == "unknown")
+  }
+
   test("dedup loop hygiene: q74/q85 leave executor storage flat") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val d = "/root/testdata/sf0.001"
