@@ -430,6 +430,52 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "GPB telemetry: protobuf wire walk + envelope deframing"),
 
+    // YANG UDP-notif transport (draft-ietf-netconf-udp-notif; the fourth
+    // telemetry decoder family member, telemetry.h:49-53): events render
+    // as JSON payloads under the udp-notif header (version/media-type,
+    // header length with an options TLV, observation domain, message id),
+    // the stream splits and the payloads parse back through from_json.
+    Q("q100_udp_notif",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.UdpNotif
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_id", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, Long, String, Long)]
+        val payloads = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            val stream = new java.io.ByteArrayOutputStream()
+            batch.foreach { case (uid, eid, et, b) =>
+              val pkt = UdpNotif.encode(UdpNotif.Packet(
+                uid % 8, eid, UdpNotif.MediaJson,
+                s"""{"uid":$uid,"et":"$et","b":$b}"""
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                options = Seq(1 -> Array[Byte](0x2a))))
+              stream.write(pkt, 0, pkt.length)
+            }
+            UdpNotif.decodeStream(stream.toByteArray).iterator.map { p =>
+              (p.observationDomain, new String(p.payload,
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        }.toDF("domain", "payload")
+        payloads
+          .withColumn("j", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "uid BIGINT, et STRING, b BIGINT")))
+          .groupBy(col("j.et").as("event_type"))
+          .agg(count(lit(1)).as("n"), sum("j.b").as("bytes"),
+            countDistinct("domain").as("n_domains"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              count(DISTINCT user_id % 8) AS n_domains
+              FROM events GROUP BY 1"""),
+      doc = "YANG UDP-notif envelope: encode, split, parse JSON payloads"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -61,6 +61,54 @@ object SurfaceQueries {
            GROUP BY ip_proto, port_dst""")),
       doc = "Spark SQL interactive surface (IMT client parity)"),
 
+    // Custom serializer hook (print_output_custom_lib,
+    // CONFIG-KEYS:1838-1853): a user-supplied row serializer runs per
+    // partition (the dlopen'd plugin's Spark shape), and the stream is
+    // parsed back and aggregated — serializer or parse defects break
+    // parity with the direct oracle.
+    Q("q101_custom_writer",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val src = Tables.events(s, d).selectExpr(
+          "event_id", "event_type", "cast(floor(value * 100) as bigint) as b")
+        val serialized = graft.sinks.FlowSinks.customSerialize(src,
+          r => s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}")
+        serialized.map { line =>
+          val parts = line.split("\\|", 3)
+          (parts(1), parts(2).toLong)
+        }.toDF("event_type", "b")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes
+              FROM events GROUP BY 1"""),
+      doc = "custom row serializer hook round-trip (print_output_custom)"),
+
+    // Dynamic table/file names (print plugin %Y%m%d time tokens,
+    // CONFIG-KEYS:1143-1229): the partitioned writer lays data out by the
+    // derived day token; reading the directory back recovers the token
+    // as a partition column whose value the oracle re-derives from ts.
+    Q("q102_print_dynamic",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("q102_print").resolve("table").toString
+        val src = Tables.events(s, d).selectExpr(
+          "event_id", "ts", "cast(floor(value * 100) as bigint) as b")
+        graft.sinks.FlowSinks.writePartitionedPrint(src, out, "ts")
+        s.read.format("json").load(out)
+          .groupBy(col("print_day").cast("long").as("print_day"))
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+      },
+      Some("""SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS print_day,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes
+              FROM events GROUP BY 1"""),
+      doc = "dynamic print names: time-token partitioned write + readback"),
+
     // BGP msglog → RIB compaction: latest state per (peer, prefix) by
     // sequence number (docs/MSGLOG_DUMP_FORMATS; dump = this snapshot).
     Q("q52_rib_compact",

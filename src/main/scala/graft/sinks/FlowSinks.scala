@@ -90,6 +90,17 @@ object FlowSinks {
     (update, insert)
   }
 
+  /** Custom serializer hook (print_output_custom_lib,
+    * CONFIG-KEYS:1838-1853, src/plugin_cmn_custom.c): a user-supplied
+    * row→bytes function runs per partition — the dlopen'd C plugin's
+    * Spark shape. Returns the serialized stream for any downstream
+    * writer. */
+  def customSerialize(df: DataFrame, fn: Row => String)
+      : Dataset[String] = {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    df.mapPartitions(_.map(fn))
+  }
+
   /** tee: replicate to N receivers with deterministic hash balancing;
     * returns the frame with its receiver assignment (the write side is a
     * `foreachBatch` fan-out or a Kafka topic per receiver). */

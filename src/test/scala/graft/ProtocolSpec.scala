@@ -452,6 +452,22 @@ class ProtocolSpec extends AnyFunSuite {
     assert(msgs(3) == BmpMsg.PeerDown(peer, 1))
   }
 
+  test("UDP-notif envelope round-trips header, options, payload") {
+    import graft.sources.UdpNotif
+    val p = UdpNotif.Packet(42L, 7L, UdpNotif.MediaJson,
+      """{"x":1}""".getBytes("UTF-8"),
+      options = Seq(1 -> Array[Byte](1, 2), 2 -> Array[Byte]()))
+    val q = UdpNotif.Packet(43L, 8L, 2, Array[Byte](0x10, 0x20))
+    val got = UdpNotif.decodeStream(UdpNotif.encode(p) ++ UdpNotif.encode(q))
+    assert(got.size == 2)
+    assert(got.head.observationDomain == 42L && got.head.messageId == 7L)
+    assert(new String(got.head.payload, "UTF-8") == """{"x":1}""")
+    assert(got.head.options.map(_._1) == Seq(1, 2))
+    assert(got.head.options.head._2.toSeq == Seq[Byte](1, 2))
+    assert(got(1).mediaType == 2 && got(1).payload.toSeq ==
+      Seq[Byte](0x10, 0x20))
+  }
+
   test("vlen template persistence round-trips through save/load") {
     import graft.sources.NetFlowV9
     import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
