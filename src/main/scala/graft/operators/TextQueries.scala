@@ -102,6 +102,84 @@ object TextQueries {
             GROUP BY lang"""),
       doc = "stratified data-mixture sampling with replayable uniforms"),
 
+    // Sequence packing for training: documents concatenate in doc_id
+    // order and split into fixed token-budget sequences; each doc is
+    // attributed to the sequence containing its first token (the
+    // concat-and-chunk packing used for pretraining batches). The prefix
+    // sum is computed the 100 TB way — per-bucket window cumsum in
+    // parallel plus a tiny broadcast bucket-offset table — never one
+    // global single-partition window.
+    Q("q103_sequence_packing",
+      (s, d) => {
+        val budget = 512L
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", s"size($sparkToks) as ntok")
+          .withColumn("bucket", expr("doc_id div 64"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("doc_id")
+        val inBucket = docs.withColumn("cum_in",
+          sum("ntok").over(wIn) - col("ntok"))
+        // bucket offsets: #buckets rows — window over a TINY aggregate
+        val wOff = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        val offsets = docs.groupBy("bucket")
+          .agg(sum("ntok").as("btok"))
+          .withColumn("offset", coalesce(
+            sum("btok").over(wOff) - col("btok"), lit(0L)))
+          .select("bucket", "offset")
+        inBucket.join(broadcast(offsets), Seq("bucket"))
+          .withColumn("seq_id",
+            expr(s"(offset + cum_in) div $budget"))
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+                len($duckToks) AS ntok FROM documents),
+            c AS (SELECT doc_id, ntok,
+                sum(ntok) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - ntok AS start
+              FROM t)
+            SELECT CAST(start // 512 AS BIGINT) AS seq_id,
+              count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
+            FROM c GROUP BY 1"""),
+      doc = "training-sequence packing via distributed prefix sums"),
+
+    // Benchmark decontamination: corpus documents sharing any token
+    // shingle with the held-out benchmark set are contaminated and must
+    // be dropped before training. Shingle hashes equi-join (shuffle on
+    // the gram hash; the benchmark side is tiny → broadcast) — the
+    // standard n-gram-overlap decontamination pass at corpus scale.
+    Q("q104_decontamination",
+      (s, d) => {
+        val hsExpr =
+          s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
+            s"g -> ${sparkTokHash("g")} % $P))"
+        val t = Tables.documents(s, d)
+          .selectExpr("doc_id", s"explode($hsExpr) as h")
+        val bench = t.filter(col("doc_id") % 10 === 0)
+          .select("h").distinct()
+        val corpus = t.filter(col("doc_id") % 10 =!= 0)
+        val contaminated = corpus.join(broadcast(bench), Seq("h"))
+          .select("doc_id").distinct()
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+          .groupBy().agg(count(lit(1)).as("n_corpus"))
+          .crossJoin(contaminated.groupBy()
+            .agg(count(lit(1)).as("n_contaminated")))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+                list_distinct(list_transform(${duckShingles(duckToks)},
+                  g -> ${duckTokHash("g")} % $P)) AS hs
+              FROM documents),
+            bench AS (SELECT DISTINCT unnest(hs) AS h FROM t
+              WHERE doc_id % 10 = 0),
+            corpus AS (SELECT doc_id, unnest(hs) AS h FROM t
+              WHERE doc_id % 10 != 0),
+            contaminated AS (SELECT DISTINCT doc_id FROM corpus
+              WHERE h IN (SELECT h FROM bench))
+            SELECT (SELECT count(*) FROM t WHERE doc_id % 10 != 0)
+                AS n_corpus,
+              (SELECT count(*) FROM contaminated) AS n_contaminated"""),
+      doc = "train/benchmark n-gram-overlap decontamination"),
+
     // Quality scoring: length/stopword/token-shape heuristics → [0,1].
     Q("q36_quality",
       (s, d) => Tables.documents(s, d)
