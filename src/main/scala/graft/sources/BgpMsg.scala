@@ -161,4 +161,176 @@ object BgpMsg {
     while (buf.remaining() >= HeaderLen) decodeOne(buf).foreach(out += _)
     out.toSeq
   }
+
+  // ---- full message surface (OPEN / KEEPALIVE / NOTIFICATION) --------
+
+  final case class Open(asn: Long, holdTime: Int, bgpId: Long,
+                        fourOctetAs: Boolean = true)
+
+  sealed trait Message
+  final case class OpenMsg(open: Open) extends Message
+  final case class UpdateMsg(update: Update) extends Message
+  case object KeepaliveMsg extends Message
+  final case class NotificationMsg(code: Int, subcode: Int) extends Message
+
+  private def withHeader(tp: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(HeaderLen + body.length)
+    (0 until 16).foreach(_ => buf.put(0xff.toByte))
+    buf.putShort((HeaderLen + body.length).toShort)
+    buf.put(tp.toByte)
+    buf.put(body)
+    buf.array()
+  }
+
+  /** OPEN with the 4-octet-AS capability (RFC 6793): the 2-byte field
+    * carries AS_TRANS when the real ASN needs 4 octets. */
+  def encodeOpen(o: Open): Array[Byte] = {
+    val caps =
+      if (o.fourOctetAs) {
+        val c = ByteBuffer.allocate(8)
+        c.put(2.toByte)       // param type: capabilities
+        c.put(6.toByte)       // param length
+        c.put(65.toByte)      // capability 65: 4-octet AS
+        c.put(4.toByte)
+        c.putInt(o.asn.toInt)
+        c.array()
+      } else Array.emptyByteArray
+    val as2 = if (o.asn > 0xffffL) 23456L else o.asn // AS_TRANS
+    val body = ByteBuffer.allocate(10 + caps.length)
+    body.put(4.toByte)        // BGP version
+    body.putShort(as2.toShort)
+    body.putShort(o.holdTime.toShort)
+    body.putInt(o.bgpId.toInt)
+    body.put(caps.length.toByte)
+    body.put(caps)
+    withHeader(1, body.array())
+  }
+
+  def encodeKeepalive(): Array[Byte] = withHeader(4, Array.emptyByteArray)
+
+  def encodeNotification(code: Int, subcode: Int): Array[Byte] =
+    withHeader(3, Array(code.toByte, subcode.toByte))
+
+  /** Decode one message of ANY type at the buffer position. */
+  def decodeMessage(buf: ByteBuffer): Message = {
+    val start = buf.position()
+    (0 until 16).foreach { _ =>
+      require((buf.get() & 0xff) == 0xff, "bad BGP marker")
+    }
+    val len = buf.getShort() & 0xffff
+    val tp = buf.get() & 0xff
+    val msgEnd = start + len
+    val out = tp match {
+      case 1 =>
+        buf.get() // version
+        val as2 = buf.getShort() & 0xffff
+        val hold = buf.getShort() & 0xffff
+        val bgpId = buf.getInt() & 0xffffffffL
+        val optLen = buf.get() & 0xff
+        val optEnd = buf.position() + optLen
+        var asn = as2.toLong
+        var four = false
+        while (buf.position() + 2 <= optEnd) {
+          val ptype = buf.get() & 0xff
+          val plen = buf.get() & 0xff
+          val pEnd = buf.position() + plen
+          if (ptype == 2) {
+            while (buf.position() + 2 <= pEnd) {
+              val cap = buf.get() & 0xff
+              val clen = buf.get() & 0xff
+              if (cap == 65 && clen == 4) {
+                asn = buf.getInt() & 0xffffffffL
+                four = true
+              } else buf.position(buf.position() + clen)
+            }
+          }
+          buf.position(pEnd)
+        }
+        OpenMsg(Open(asn, hold, bgpId, four))
+      case 2 =>
+        buf.position(start)
+        UpdateMsg(decodeOne(buf).get)
+      case 3 =>
+        NotificationMsg(buf.get() & 0xff, buf.get() & 0xff)
+      case 4 => KeepaliveMsg
+      case other =>
+        throw new IllegalArgumentException(s"unknown BGP type $other")
+    }
+    buf.position(msgEnd)
+    out
+  }
+}
+
+/** Passive BGP session FSM (RFC 4271 §8; reference: pmbgpd accepts peers
+  * and runs the state machine in `src/bgp/bgp.c`). Collector-side
+  * semantics: on TCP accept send OPEN → OpenSent; peer OPEN validates →
+  * reply KEEPALIVE → OpenConfirm; peer KEEPALIVE → Established; UPDATEs
+  * deliver only in Established; NOTIFICATION or hold-timer expiry drops
+  * to Idle (pmacct then clears the peer's RIB).
+  *
+  * Time is injected (`nowSec`) so hold-timer behavior is deterministic
+  * under test and driven by the stream clock in the engine.
+  */
+final class BgpFsm(myAs: Long, myBgpId: Long, holdTime: Int = 90) {
+  import BgpMsg._
+
+  sealed trait State
+  case object Idle extends State
+  case object OpenSent extends State
+  case object OpenConfirm extends State
+  case object Established extends State
+
+  var state: State = Idle
+  var peerOpen: Option[Open] = None
+  private var lastSeen = 0L
+  /** negotiated hold time: min of both OPENs (RFC 4271 §4.2) */
+  def negotiatedHold: Int =
+    peerOpen.map(p => math.min(holdTime, p.holdTime)).getOrElse(holdTime)
+
+  val toSend = mutable.Buffer[Array[Byte]]()
+  val delivered = mutable.Buffer[Update]()
+  var sessionDrops = 0
+
+  /** TCP accept: collector sends its OPEN. */
+  def start(nowSec: Long): Unit = {
+    lastSeen = nowSec
+    toSend += encodeOpen(Open(myAs, holdTime, myBgpId))
+    state = OpenSent
+  }
+
+  def onMessage(m: Message, nowSec: Long): Unit = {
+    if (state != Idle && negotiatedHold > 0 &&
+        nowSec - lastSeen > negotiatedHold) {
+      // hold timer already expired before this arrival: the session is
+      // gone and the late message dies with it
+      toSend += encodeNotification(4, 0) // hold timer expired
+      drop()
+      return
+    }
+    lastSeen = nowSec
+    (state, m) match {
+      case (OpenSent, OpenMsg(o)) =>
+        peerOpen = Some(o)
+        toSend += encodeKeepalive()
+        state = OpenConfirm
+      case (OpenConfirm, KeepaliveMsg) =>
+        state = Established
+      case (Established, UpdateMsg(u)) =>
+        delivered += u
+      case (Established, KeepaliveMsg) => () // refreshes lastSeen above
+      case (_, NotificationMsg(_, _)) =>
+        drop()
+      case (s, other) =>
+        // FSM error: unexpected message for the state
+        toSend += encodeNotification(5, 0)
+        drop()
+        val _ = (s, other)
+    }
+  }
+
+  private def drop(): Unit = {
+    state = Idle
+    peerOpen = None
+    sessionDrops += 1
+  }
 }

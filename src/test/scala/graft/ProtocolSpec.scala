@@ -452,6 +452,32 @@ class ProtocolSpec extends AnyFunSuite {
     assert(msgs(3) == BmpMsg.PeerDown(peer, 1))
   }
 
+  test("BGP FSM: passive handshake, delivery, notification, hold timer") {
+    import graft.sources.{BgpFsm, BgpMsg}
+    val fsm = new BgpFsm(65000L, 0x0A000001L, holdTime = 90)
+    fsm.start(1000L)
+    assert(fsm.state == fsm.OpenSent && fsm.toSend.size == 1)
+    // peer OPEN with 4-octet ASN via capability 65
+    val peerOpen = BgpMsg.decodeMessage(java.nio.ByteBuffer.wrap(
+      BgpMsg.encodeOpen(BgpMsg.Open(4200000000L, 30, 7L))))
+    assert(peerOpen == BgpMsg.OpenMsg(BgpMsg.Open(4200000000L, 30, 7L)))
+    fsm.onMessage(peerOpen, 1001L)
+    assert(fsm.state == fsm.OpenConfirm && fsm.negotiatedHold == 30)
+    fsm.onMessage(BgpMsg.KeepaliveMsg, 1002L)
+    assert(fsm.state == fsm.Established)
+    val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(0x0A000000L, 8)))
+    fsm.onMessage(BgpMsg.UpdateMsg(u), 1010L)
+    assert(fsm.delivered == Seq(u))
+    // hold timer (30s negotiated) expires before the next arrival
+    fsm.onMessage(BgpMsg.KeepaliveMsg, 1100L)
+    assert(fsm.state == fsm.Idle && fsm.sessionDrops == 1)
+    // restart, then a NOTIFICATION drops the session again
+    fsm.start(2000L)
+    fsm.onMessage(peerOpen, 2001L)
+    fsm.onMessage(BgpMsg.NotificationMsg(6, 2), 2002L)
+    assert(fsm.state == fsm.Idle && fsm.sessionDrops == 2)
+  }
+
   test("UDP-notif envelope round-trips header, options, payload") {
     import graft.sources.UdpNotif
     val p = UdpNotif.Packet(42L, 7L, UdpNotif.MediaJson,
