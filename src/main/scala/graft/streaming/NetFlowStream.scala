@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.NetFlowV9
+
+/** nfacctd's decode stage as a streaming stateful operator
+  * (SURVEY §3.1 "Spark shape": udpSource → decode(templateState) → ...).
+  *
+  * Datagrams key by exporter; the per-exporter template cache lives in
+  * `GroupState[String]` using the cache's own save/load persistence —
+  * the `nfacctd_templates_file` semantics (CONFIG-KEYS:2040-2064) land
+  * in Spark's checkpointed state store for free, so templates learned in
+  * one micro-batch decode data in every later one and survive query
+  * restarts. Compose with `UdpDatagramSource` for the live path:
+  *
+  * {{{
+  *   val dgs = spark.readStream
+  *     .format("graft.sources.UdpDatagramSource")
+  *     .option("port", "9995").load()
+  *     .selectExpr("exporter", "payload")
+  *     .as[NetFlowStream.Datagram]
+  *   NetFlowStream.decode(dgs)   // → typed flows, then aggregate
+  * }}}
+  */
+object NetFlowStream {
+
+  final case class Datagram(exporter: String, payload: Array[Byte])
+  final case class Flow(exporter: String, fields: Map[Int, Long])
+
+  def decode(dgs: Dataset[Datagram]): Dataset[Flow] = {
+    implicit val flowEnc = Encoders.product[Flow]
+    implicit val strEnc = Encoders.STRING
+    dgs.groupByKey(_.exporter)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (ex: String, it: Iterator[Datagram], state: GroupState[String]) =>
+          val cache = new NetFlowV9.TemplateCache
+          state.getOption.foreach(cache.load)
+          // decode THIS batch's datagrams with the accumulated templates;
+          // within-batch data-before-template still buffers and releases
+          val out = it.flatMap(d => cache.observe(d.payload)).toIndexedSeq
+          state.update(cache.save())
+          out.iterator.map(m => Flow(ex, m))
+      }
+  }
+}

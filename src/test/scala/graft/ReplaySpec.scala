@@ -113,6 +113,36 @@ class ReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming template state survives micro-batches (nfacctd shape)") {
+    import graft.sources.NetFlowV9
+    import graft.streaming.NetFlowStream
+    import NetFlowV9.IE
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = NetFlowV9.Template(510, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 9L)
+    def data(vals: Seq[Long]) = NetFlowV9.encodeData(h, t,
+      vals.map(v => Map(IE.Protocol -> 6L, IE.InBytes -> v)))
+    val mem = MemoryStream[NetFlowStream.Datagram](spark)
+    val q = NetFlowStream.decode(mem.toDS())
+      .writeStream.format("memory").queryName("nf_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: template + first data
+      mem.addData(
+        NetFlowStream.Datagram("ex1", NetFlowV9.encodeTemplate(h, t)),
+        NetFlowStream.Datagram("ex1", data(Seq(10L, 20L))))
+      q.processAllAvailable()
+      // batch 2: DATA ONLY — decodes because the template persisted in
+      // the state store across micro-batches
+      mem.addData(NetFlowStream.Datagram("ex1", data(Seq(30L, 40L))))
+      q.processAllAvailable()
+      val vals = spark.table("nf_stream")
+        .selectExpr(s"fields[${IE.InBytes}] as b")
+        .as[Long].collect().sorted.toSeq
+      assert(vals == Seq(10L, 20L, 30L, 40L))
+    } finally q.stop()
+  }
+
   test("pcap reader handles little-endian and nanosecond magics") {
     import graft.sources.Pcap
     val pkt = Pcap.frame(Pcap.FlowTuple(1L, 2L, 6, 1, 2, 40L, 5000001L))
