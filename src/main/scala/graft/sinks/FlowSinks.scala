@@ -90,6 +90,35 @@ object FlowSinks {
     (update, insert)
   }
 
+  /** Execute one aggregate row's UPDATE-then-INSERT pair on a live JDBC
+    * statement (sql_common.c:606: UPDATE counters by key; INSERT when no
+    * row matched). */
+  def upsertExecute(st: java.sql.Statement, table: String,
+                    keyCols: Seq[String], counterCols: Seq[String],
+                    row: Row): Unit = {
+    val (update, insert) = upsertSql(table, keyCols, counterCols, row)
+    if (st.executeUpdate(update) == 0) { st.executeUpdate(insert); () }
+  }
+
+  /** Flush a micro-batch the sql-plugin way: distributed partial
+    * aggregation happens upstream; the (tiny) aggregate rows flow through
+    * ONE writer connection per flush (pmacct forks one writer,
+    * docs/INTERNALS:285-290), each row as UPDATE-then-INSERT. */
+  def sqlFlush(batch: DataFrame, url: String, table: String,
+               keyCols: Seq[String], counterCols: Seq[String]): Unit =
+    batch.coalesce(1).foreachPartition {
+      (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            val st = conn.createStatement()
+            rows.foreach(r =>
+              upsertExecute(st, table, keyCols, counterCols, r))
+            st.close()
+          } finally conn.close()
+        }
+    }
+
   /** Custom serializer hook (print_output_custom_lib,
     * CONFIG-KEYS:1838-1853, src/plugin_cmn_custom.c): a user-supplied
     * row→bytes function runs per partition — the dlopen'd C plugin's

@@ -264,6 +264,53 @@ object StreamingQueries {
               FROM events GROUP BY 1, 2"""),
       doc = "update-mode flush via foreachBatch upsert (SQL-merge parity)"),
 
+    // The SQL plugin against a LIVE embedded database: each micro-batch
+    // partially aggregates (the plugin cache), then ONE writer per flush
+    // executes UPDATE-then-INSERT over real JDBC (Derby in-process here;
+    // any server DB on a cluster — the code path is identical). Late
+    // flushes MERGE into existing rows via `SET c = c + v`, pmacct's
+    // post-flush late-data semantics (docs/INTERNALS:291-295). The final
+    // table reads back through spark.read.jdbc and must equal the
+    // oracle's direct aggregation.
+    Q("q105_sql_sink",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val db = java.nio.file.Files.createTempDirectory("q105_derby")
+          .resolve("acctdb").toString
+        val url = s"jdbc:derby:$db;create=true"
+        val boot = java.sql.DriverManager.getConnection(url)
+        boot.createStatement().executeUpdate(
+          """CREATE TABLE acct (
+             ubucket BIGINT NOT NULL, event_type VARCHAR(32) NOT NULL,
+             n BIGINT, sum_value BIGINT,
+             PRIMARY KEY (ubucket, event_type))""")
+        boot.close()
+        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // plugin-cache partial aggregation: distributed, per flush
+            val partial = batch
+              .groupBy((col("user_id") % 32).as("ubucket"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sumScaled(col("value"), 4).as("sum_value"))
+            graft.sinks.FlowSinks.sqlFlush(partial, url, "acct",
+              Seq("ubucket", "event_type"), Seq("n", "sum_value"))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "acct").load()
+          .select(col("UBUCKET").as("ubucket"),
+            col("EVENT_TYPE").as("event_type"),
+            col("N").as("n"), col("SUM_VALUE").as("sum_value"))
+      },
+      Some("""SELECT user_id % 32 AS ubucket, event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "SQL sink over live JDBC: UPDATE-then-INSERT accumulation"),
+
     // Append-mode watermark semantics: only windows the watermark has
     // closed are emitted; the still-open tail stays in state (pmacct's
     // "bins stay open while in cache", SURVEY §2.10 late/out-of-order).

@@ -411,6 +411,28 @@ class ProtocolSpec extends AnyFunSuite {
     assert(new String(pkts(1)._2, "UTF-8") == """{"k":1}""")
   }
 
+  test("JDBC upsert merges late flushes into existing rows (Derby)") {
+    import graft.sinks.FlowSinks
+    val db = java.nio.file.Files.createTempDirectory("derby_spec")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("""CREATE TABLE acct (k VARCHAR(8) NOT NULL,
+      n BIGINT, bytes BIGINT, PRIMARY KEY (k))""")
+    def flush(rows: Seq[(String, Long, Long)]): Unit =
+      FlowSinks.sqlFlush(rows.toDF("k", "n", "bytes"), url, "acct",
+        Seq("k"), Seq("n", "bytes"))
+    flush(Seq(("a", 1L, 100L), ("b", 2L, 200L))) // INSERT path
+    flush(Seq(("a", 3L, 50L), ("c", 1L, 10L)))   // UPDATE merges 'a'
+    val got = st.executeQuery("SELECT k, n, bytes FROM acct ORDER BY k")
+    val rows = Iterator.continually(got)
+      .takeWhile(_.next()).map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    conn.close()
+    assert(rows == Seq(("a", 4L, 150L), ("b", 2L, 200L), ("c", 1L, 10L)))
+  }
+
   test("kafka avro frame carries key + decodable avro body") {
     import graft.sinks.{AvroSink, FlowSinks}
     val df = Seq((6L, 80L, 1000L), (17L, 53L, 2000L))
