@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Tables}
 import graft.plans.BpfFilter
-import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowSample, SFlowV5, V5Header, V5Record}
+import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowIfCounters, SFlowSample, SFlowV5, V5Header, V5Record}
 
 /** Protocol-surface operators: the BPF filter compiler in a real plan,
   * custom primitives (user-declared field extraction, SURVEY §1.2), and
@@ -475,6 +475,48 @@ object ProtocolQueries {
               count(DISTINCT user_id % 8) AS n_domains
               FROM events GROUP BY 1"""),
       doc = "YANG UDP-notif envelope: encode, split, parse JSON payloads"),
+
+    // sFlow COUNTER samples (tag 2 / generic-if record): the periodic
+    // SNMP-style interface stats sFlow exports besides packet samples
+    // (src/sfacctd.c counter processing). Gauges encode into datagrams
+    // per partition, decode back, and compact to the latest-stats table
+    // per (agent, ifIndex) — the state a poller maintains. Oracle
+    // derives the same compaction from raw events.
+    Q("q106_sflow_counters",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id % 8 as bigint) as agent", "event_id",
+            "cast(event_id % 4 as bigint) as if_index",
+            "cast(floor(value * 100) as bigint) as in_oct")
+          .as[(Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(20).flatMap { batch =>
+            val counters = batch.map { case (agent, eid, ifi, oct) =>
+              SFlowIfCounters(eid, agent, ifi, 1000L, oct, 1L, 0L, 0L)
+            }
+            val dg = SFlowV5.encode(SFlowDatagram(
+              batch.head._1, 0L, batch.head._2 % 4294967296L, 0L,
+              Seq.empty, counters))
+            SFlowV5.decode(dg).counters.map(c =>
+              (c.sourceId, c.ifIndex, c.seq, c.ifInOctets))
+          }
+        }
+        decoded.toDF("agent", "if_index", "seq", "in_oct")
+          .groupBy("agent", "if_index")
+          .agg(count(lit(1)).as("n_samples"),
+            expr("max_by(in_oct, seq)").as("last_in_octets"),
+            sum("in_oct").as("sum_in_octets"))
+      },
+      Some("""SELECT user_id % 8 AS agent, event_id % 4 AS if_index,
+              count(*) AS n_samples,
+              CAST(arg_max(CAST(floor(value * 100) AS BIGINT), event_id)
+                AS BIGINT) AS last_in_octets,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_in_octets
+              FROM events GROUP BY 1, 2"""),
+      doc = "sFlow counter samples compacted to latest interface stats"),
 
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
