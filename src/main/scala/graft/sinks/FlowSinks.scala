@@ -47,6 +47,16 @@ object FlowSinks {
     }.toDF("key", "value")
   }
 
+  /** Confluent schema-registry wire envelope (public format: magic 0x00
+    * + 4-byte big-endian schema id + Avro body) — what
+    * `kafka_avro_schema_registry` (CONFIG-KEYS:1885) producers emit; the
+    * id comes from the registry's register call on the cluster. */
+  def confluentEnvelope(avroBody: Array[Byte], schemaId: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(5 + avroBody.length)
+    buf.put(0.toByte).putInt(schemaId).put(avroBody)
+    buf.array()
+  }
+
   /** The exact Kafka `writeStream` the cluster runs (kafka_cache_purge,
     * src/kafka_plugin.c:384: serialized cache rows produced to a topic
     * with a partition key). The spark-sql-kafka connector and a broker

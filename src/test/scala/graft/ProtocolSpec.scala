@@ -447,6 +447,18 @@ class ProtocolSpec extends AnyFunSuite {
     assert(rows == Set(("6|80", 6L, 1000L), ("17|53", 17L, 2000L)))
   }
 
+  test("confluent envelope: magic + schema id + decodable avro body") {
+    import graft.sinks.{AvroSink, FlowSinks}
+    val df = Seq((7L, 70L)).toDF("proto", "bytes")
+    val schemaJson = AvroSink.avroSchema(df.schema).toString
+    val body = AvroSink.encode(df).head()
+    val framed = FlowSinks.confluentEnvelope(body, 42)
+    assert(framed(0) == 0 &&
+      java.nio.ByteBuffer.wrap(framed, 1, 4).getInt == 42)
+    val rec = AvroSink.decode(framed.drop(5), schemaJson)
+    assert(rec.get(0) == 7L && rec.get(1) == 70L)
+  }
+
   test("kafka writer builds fully-wired (connector lives on the cluster)") {
     import graft.sinks.FlowSinks
     val stream = spark.readStream.format("rate").load()
