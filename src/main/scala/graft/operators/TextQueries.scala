@@ -180,6 +180,62 @@ object TextQueries {
               (SELECT count(*) FROM contaminated) AS n_contaminated"""),
       doc = "train/benchmark n-gram-overlap decontamination"),
 
+    // Repetition filtering (Gopher-rule family): documents whose
+    // type-token ratio collapses are boilerplate/spam and must drop
+    // before training. Pure per-record array expressions; one final
+    // aggregation shuffle.
+    Q("q107_repetition",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("lang",
+          s"size(array_distinct($sparkToks)) as n_types",
+          s"size($sparkToks) as n_toks")
+        .withColumn("ttr",
+          when(col("n_toks") === 0, 1.0)
+            .otherwise(col("n_types") / col("n_toks").cast("double")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ttr") < 0.5, 1L).otherwise(0L)).as("n_repetitive"),
+          sum("n_toks").as("total_tokens")),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN ttr < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_repetitive,
+              CAST(sum(n_toks) AS BIGINT) AS total_tokens
+              FROM (SELECT lang,
+                len(list_distinct($duckToks)) AS n_types,
+                len($duckToks) AS n_toks,
+                CASE WHEN len($duckToks) = 0 THEN 1.0
+                  ELSE len(list_distinct($duckToks))::DOUBLE /
+                    len($duckToks) END AS ttr
+                FROM documents)
+              GROUP BY lang"""),
+      doc = "repetition filter: per-doc type-token ratio threshold"),
+
+    // PII-style redaction accounting: digit runs scrub to a mask token
+    // and the pipeline reports how much text was redacted per language —
+    // the scrubbing pass every training corpus runs, with identical
+    // regexp semantics on both engines so the oracle checks the actual
+    // replacement arithmetic.
+    Q("q108_redaction",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("lang", "n_chars",
+          "length(text) - length(regexp_replace(text, '[0-9]', '')) " +
+            "as n_digit_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_digit_chars") > 0, 1L).otherwise(0L))
+            .as("n_docs_redacted"),
+          sum("n_digit_chars").as("chars_redacted")),
+      Some("""SELECT lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN n_digit_chars > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_redacted,
+              CAST(sum(n_digit_chars) AS BIGINT) AS chars_redacted
+              FROM (SELECT lang,
+                length(text) - length(regexp_replace(text, '[0-9]', '',
+                  'g')) AS n_digit_chars
+                FROM documents)
+              GROUP BY lang"""),
+      doc = "PII-style redaction accounting via regexp scrubbing"),
+
     // Quality scoring: length/stopword/token-shape heuristics → [0,1].
     Q("q36_quality",
       (s, d) => Tables.documents(s, d)
