@@ -539,6 +539,30 @@ object ProtocolQueries {
            FROM flows WHERE bytes > 1000 AND NOT ip_proto = 17
            GROUP BY 1, 2, 3
            HAVING CAST(sum(bytes) AS BIGINT) >= 100000""")),
-      doc = "pmacct config text driving the full aggregation pipeline")
+      doc = "pmacct config text driving the full aggregation pipeline"),
+
+    // Extended config veneer: pre_tag_map rules, tag filter, and
+    // sampling renormalization from the same config text — the rest of
+    // a collector's plugin stanza running unchanged (CONFIG-KEYS:2234,
+    // 2312, 2358).
+    Q("q109_config_tagged",
+      (s, d) => graft.core.ConfigSpec.run(flows(s, d),
+        """! tagging + tag filter + renormalization
+          |aggregate: tag, proto
+          |pre_tag_map: set_tag=100 filter='tcp'; set_tag=200 ip=5
+          |pre_tag_filter: 100,200
+          |sampling_rate: 2
+          |""".stripMargin),
+      Some(FlowView.cte(
+        """SELECT tag, ip_proto AS proto,
+           CAST(sum(bytes * 2) AS BIGINT) AS bytes,
+           CAST(sum(packets * 2) AS BIGINT) AS packets,
+           count(*) AS flows, bit_or(tcp_flags) AS tcp_flags,
+           min(t0u) AS ts_min_us, max(t1u) AS ts_max_us
+           FROM (SELECT *, CASE WHEN ip_proto = 6 THEN 100
+               WHEN ip_src % 16 = 5 THEN 200 ELSE 0 END AS tag
+             FROM flows)
+           WHERE tag IN (100, 200) GROUP BY 1, 2""")),
+      doc = "config veneer: pre_tag_map + tag filter + sampling renorm")
   )
 }
