@@ -34,11 +34,13 @@ object Mmdb {
   private final case class Leaf(data: Map[String, Any]) extends Node
   private case object Empty extends Node
 
-  /** Build an IPv4 database (record size 32) from prefix entries.
-    * Longer prefixes win (LPM): shorter prefixes push their data down
-    * when a longer one splits them. */
+  /** Build an IPv4 database from prefix entries (record sizes 24/28/32,
+    * default 32). Longer prefixes win (LPM): shorter prefixes push their
+    * data down when a longer one splits them. */
   def build(entries: Seq[(Long, Int, Map[String, Any])],
-            databaseType: String = "graft-Country"): Array[Byte] = {
+            databaseType: String = "graft-Country",
+            recordSize: Int = 32): Array[Byte] = {
+    require(Seq(24, 28, 32).contains(recordSize))
     val root = Inner(Empty, Empty)
     entries.sortBy(_._2).foreach { case (base, len, data) =>
       var node: Inner = root
@@ -91,10 +93,27 @@ object Mmdb {
     val records = nodes.map(n => (recordValue(n.l), recordValue(n.r)))
     val out = new ByteArrayOutputStream()
     records.foreach { case (l, r) =>
-      out.write(((l >>> 24) & 0xff).toInt); out.write(((l >>> 16) & 0xff).toInt)
-      out.write(((l >>> 8) & 0xff).toInt); out.write((l & 0xff).toInt)
-      out.write(((r >>> 24) & 0xff).toInt); out.write(((r >>> 16) & 0xff).toInt)
-      out.write(((r >>> 8) & 0xff).toInt); out.write((r & 0xff).toInt)
+      recordSize match {
+        case 32 =>
+          out.write(((l >>> 24) & 0xff).toInt)
+          out.write(((l >>> 16) & 0xff).toInt)
+          out.write(((l >>> 8) & 0xff).toInt); out.write((l & 0xff).toInt)
+          out.write(((r >>> 24) & 0xff).toInt)
+          out.write(((r >>> 16) & 0xff).toInt)
+          out.write(((r >>> 8) & 0xff).toInt); out.write((r & 0xff).toInt)
+        case 24 =>
+          out.write(((l >>> 16) & 0xff).toInt)
+          out.write(((l >>> 8) & 0xff).toInt); out.write((l & 0xff).toInt)
+          out.write(((r >>> 16) & 0xff).toInt)
+          out.write(((r >>> 8) & 0xff).toInt); out.write((r & 0xff).toInt)
+        case 28 =>
+          // 7 bytes: L[0..2], middle byte = (Lhi<<4)|Rhi, R[0..2]
+          out.write(((l >>> 16) & 0xff).toInt)
+          out.write(((l >>> 8) & 0xff).toInt); out.write((l & 0xff).toInt)
+          out.write(((((l >>> 24) & 0xf) << 4) | ((r >>> 24) & 0xf)).toInt)
+          out.write(((r >>> 16) & 0xff).toInt)
+          out.write(((r >>> 8) & 0xff).toInt); out.write((r & 0xff).toInt)
+      }
     }
     (0 until 16).foreach(_ => out.write(0)) // data section separator
     dataOut.writeTo(out)
@@ -108,7 +127,7 @@ object Mmdb {
       "ip_version" -> 4L,
       "languages" -> Seq("en"),
       "node_count" -> nodeCount.toLong,
-      "record_size" -> 32L))
+      "record_size" -> recordSize.toLong))
     out.toByteArray
   }
 

@@ -28,6 +28,10 @@ object BmpMsg {
   final case class PeerUp(peer: PeerHeader) extends Msg
   final case class PeerDown(peer: PeerHeader, reason: Int) extends Msg
   final case class Initiation(info: Seq[(Int, String)]) extends Msg
+  /** Stats report (type 1, RFC 7854 §4.8): per-peer counter TLVs,
+    * stat type → value (32-bit counters and 64-bit gauges). */
+  final case class StatsReport(peer: PeerHeader,
+                               stats: Map[Int, Long]) extends Msg
 
   // ---- encode --------------------------------------------------------
 
@@ -65,6 +69,24 @@ object BmpMsg {
 
   def encodePeerDown(p: PeerHeader, reason: Int): Array[Byte] =
     common(2, peerBytes(p) :+ reason.toByte)
+
+  /** Stats TLVs: 2-byte type, 2-byte length (4 or 8), big-endian value;
+    * gauges (types 7/8: routes in rib/loc-rib) encode 8 bytes. */
+  def encodeStatsReport(p: PeerHeader, stats: Map[Int, Long]): Array[Byte] = {
+    val sorted = stats.toSeq.sortBy(_._1)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(peerBytes(p), 0, PerPeerLen)
+    val cnt = ByteBuffer.allocate(4).putInt(sorted.size).array()
+    body.write(cnt, 0, 4)
+    sorted.foreach { case (tp, v) =>
+      val wide = tp == 7 || tp == 8
+      val tlv = ByteBuffer.allocate(if (wide) 12 else 8)
+      tlv.putShort(tp.toShort).putShort(if (wide) 8 else 4)
+      if (wide) tlv.putLong(v) else tlv.putInt(v.toInt)
+      body.write(tlv.array(), 0, tlv.array().length)
+    }
+    common(1, body.toByteArray)
+  }
 
   def encodeInitiation(info: Seq[(Int, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -106,6 +128,18 @@ object BmpMsg {
         case 0 =>
           val peer = readPeer(buf)
           BgpMsg.decodeOne(buf).foreach(u => out += RouteMonitoring(peer, u))
+        case 1 =>
+          val peer = readPeer(buf)
+          val n = buf.getInt()
+          val stats = (0 until n).map { _ =>
+            val tp = buf.getShort() & 0xffff
+            val len = buf.getShort() & 0xffff
+            val v =
+              if (len == 8) buf.getLong()
+              else buf.getInt() & 0xffffffffL
+            tp -> v
+          }.toMap
+          out += StatsReport(peer, stats)
         case 2 =>
           val peer = readPeer(buf)
           out += PeerDown(peer, buf.get() & 0xff)

@@ -128,17 +128,19 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("Mmdb: random prefix tables match brute-force LPM") {
+  test("Mmdb: random prefix tables match brute-force LPM (24/28/32-bit)") {
     import graft.maps.Mmdb
-    for (seed <- 0 until 20) {
+    for (seed <- 0 until 30) {
       val r = new Random(seed)
+      val recordSize = Seq(24, 28, 32)(seed % 3)
       val entries = (1 to 1 + r.nextInt(12)).map { i =>
         val plen = 1 + r.nextInt(24)
         val base = ((r.nextLong() & Long.MaxValue) & 0xffffffffL) &
           (0xffffffffL << (32 - plen))
         (base, plen, Map[String, Any]("id" -> i.toLong))
       }
-      val reader = new Mmdb.Reader(Mmdb.build(entries))
+      val reader = new Mmdb.Reader(
+        Mmdb.build(entries, recordSize = recordSize))
       // reference LPM: longest prefix wins; among duplicates of the
       // same (matching) length the LAST inserted wins (builder
       // overwrite semantics)

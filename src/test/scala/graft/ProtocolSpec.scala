@@ -484,6 +484,10 @@ class ProtocolSpec extends AnyFunSuite {
     assert(msgs(1) == BmpMsg.PeerUp(peer))
     assert(msgs(2) == BmpMsg.RouteMonitoring(peer, u))
     assert(msgs(3) == BmpMsg.PeerDown(peer, 1))
+    // stats report: mixed 32-bit counters and 64-bit gauges (types 7/8)
+    val stats = Map(0 -> 12L, 7 -> 5000000000L, 8 -> 42L)
+    val back = BmpMsg.decodeStream(BmpMsg.encodeStatsReport(peer, stats))
+    assert(back == Seq(BmpMsg.StatsReport(peer, stats)))
   }
 
   test("BGP FSM: passive handshake, delivery, notification, hold timer") {
