@@ -101,7 +101,10 @@ private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
     extends MicroBatchStream {
 
   private val buffer = mutable.ArrayBuffer[(String, Array[Byte], Long)]()
-  /** datagrams dropped once the buffer cap is hit (a real collector's
+  /** absolute offset of buffer(0): committed batches are trimmed, so
+    * memory holds only not-yet-committed datagrams */
+  private var trimmed = 0L
+  /** datagrams dropped once the in-flight cap is hit (a real collector's
     * socket-buffer overflow, surfaced instead of unbounded memory) */
   @volatile private var dropped = 0L
   @volatile private var running = true
@@ -139,15 +142,16 @@ private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset =
-    UdpOffset(buffer.synchronized(buffer.size.toLong))
+    UdpOffset(buffer.synchronized(trimmed + buffer.size))
   override def deserializeOffset(json: String): Offset =
     UdpOffset(json.toLong)
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[UdpOffset].count.toInt
-    val e = end.asInstanceOf[UdpOffset].count.toInt
-    val slice = buffer.synchronized(buffer.slice(s, e).toArray)
+    val s = start.asInstanceOf[UdpOffset].count
+    val e = end.asInstanceOf[UdpOffset].count
+    val slice = buffer.synchronized(
+      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray)
     Array(UdpPartition(slice))
   }
 
@@ -169,7 +173,18 @@ private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
       }
     }
 
-  override def commit(end: Offset): Unit = ()
+  /** Committed batches leave memory — the source runs indefinitely with
+    * at most `maxBufferedDatagrams` in flight. */
+  override def commit(end: Offset): Unit = {
+    val upTo = end.asInstanceOf[UdpOffset].count
+    buffer.synchronized {
+      val drop = math.min((upTo - trimmed).toInt, buffer.size)
+      if (drop > 0) {
+        buffer.remove(0, drop)
+        trimmed += drop
+      }
+    }
+  }
 
   override def stop(): Unit = {
     running = false
