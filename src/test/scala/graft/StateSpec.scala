@@ -156,6 +156,18 @@ class StateSpec extends AnyFunSuite {
     assert(L7.classifyPayload(Array[Byte](1, 2, 3)) == "unknown")
   }
 
+  test("query inventory: unique names, oracle coverage, naming scheme") {
+    val inv = SparkEntry.inventory
+    val names = inv.map(_.name)
+    assert(names.distinct.size == names.size,
+      "duplicate query names would silently shrink the driver map")
+    assert(SparkEntry.queries.size == inv.size)
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")))
+    // every query must be oracle-gated (rows-only rows read as red)
+    val unGated = inv.filter(_.oracle.isEmpty).map(_.name)
+    assert(unGated.isEmpty, s"queries without oracle: $unGated")
+  }
+
   test("dedup loop hygiene: q74/q85 leave executor storage flat") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val d = "/root/testdata/sf0.001"
