@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.sources.NetFlowV9
 
@@ -44,5 +44,35 @@ object NetFlowStream {
           state.update(cache.save())
           out.iterator.map(m => Flow(ex, m))
       }
+  }
+
+  /** The Spark-4-native variant: `transformWithState` with the template
+    * cache in RocksDB-backed `ValueState` (requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider). Identical semantics to [[decode]];
+    * this is the arbitrary-state API SURVEY §2.6/§2.10 map template
+    * state and option correlation onto going forward. */
+  final class TemplateProcessor
+      extends StatefulProcessor[String, Datagram, Flow] {
+    @transient private var templates: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      templates = getHandle.getValueState[String](
+        "templates", Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Datagram],
+                                 tv: TimerValues): Iterator[Flow] = {
+      val cache = new NetFlowV9.TemplateCache
+      if (templates.exists()) cache.load(templates.get())
+      val out = rows.flatMap(d => cache.observe(d.payload)).toIndexedSeq
+      templates.update(cache.save())
+      out.iterator.map(m => Flow(key, m))
+    }
+  }
+
+  def decodeTws(dgs: Dataset[Datagram]): Dataset[Flow] = {
+    implicit val flowEnc = Encoders.product[Flow]
+    implicit val strEnc = Encoders.STRING
+    dgs.groupByKey(_.exporter)
+      .transformWithState(new TemplateProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -143,6 +143,45 @@ class ReplaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState template decode matches (RocksDB state)") {
+    import graft.sources.NetFlowV9
+    import graft.streaming.NetFlowStream
+    import NetFlowV9.IE
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val t = NetFlowV9.Template(511,
+        Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+      val h = NetFlowV9.V9Header(0L, 0L, 0L, 9L)
+      def data(vals: Seq[Long]) = NetFlowV9.encodeData(h, t,
+        vals.map(v => Map(IE.Protocol -> 17L, IE.InBytes -> v)))
+      val mem = MemoryStream[NetFlowStream.Datagram](spark)
+      val q = NetFlowStream.decodeTws(mem.toDS())
+        .writeStream.format("memory").queryName("nf_tws")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          NetFlowStream.Datagram("ex2", NetFlowV9.encodeTemplate(h, t)),
+          NetFlowStream.Datagram("ex2", data(Seq(5L))))
+        q.processAllAvailable()
+        mem.addData(NetFlowStream.Datagram("ex2", data(Seq(6L, 7L))))
+        q.processAllAvailable()
+        val vals = spark.table("nf_tws")
+          .selectExpr(s"fields[${IE.InBytes}] as b")
+          .as[Long].collect().sorted.toSeq
+        assert(vals == Seq(5L, 6L, 7L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("pcap reader handles little-endian and nanosecond magics") {
     import graft.sources.Pcap
     val pkt = Pcap.frame(Pcap.FlowTuple(1L, 2L, 6, 1, 2, 40L, 5000001L))
