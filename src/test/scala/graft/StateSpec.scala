@@ -156,6 +156,37 @@ class StateSpec extends AnyFunSuite {
     assert(L7.classifyPayload(Array[Byte](1, 2, 3)) == "unknown")
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // the §9 at-rest knob made concrete: facts bucketed by exporter join
+    // a bucketed dim with ZERO Exchange operators — the co-location that
+    // at 100 TB removes the dominant shuffle entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket")
+    spark.sql("DROP TABLE IF EXISTS bkt_flows")
+    spark.sql("DROP TABLE IF EXISTS bkt_rates")
+    val flows = (1 to 2000).map(i => (i % 16L, i.toLong, i * 10L))
+      .toDF("exporter", "event_id", "bytes")
+    val rates = (0 until 16).map(e => (e.toLong, 1L + e % 4))
+      .toDF("exporter", "rate")
+    flows.write.bucketBy(8, "exporter").sortBy("exporter")
+      .option("path", s"$dir/flows").saveAsTable("bkt_flows")
+    rates.write.bucketBy(8, "exporter").sortBy("exporter")
+      .option("path", s"$dir/rates").saveAsTable("bkt_rates")
+    val joined = spark.table("bkt_flows")
+      .hint("merge") // force SMJ so bucketing (not broadcast) is proven
+      .join(spark.table("bkt_rates"), "exporter")
+      .groupBy("exporter")
+      .agg(sum(col("bytes") * col("rate")).as("renorm"))
+    val total = joined.agg(sum("renorm")).as[Long].head()
+    val expected = (1 to 2000).map(i => i * 10L * (1L + (i % 16) % 4)).sum
+    assert(total == expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle either side")
+    spark.sql("DROP TABLE IF EXISTS bkt_flows")
+    spark.sql("DROP TABLE IF EXISTS bkt_rates")
+  }
+
   test("query inventory: unique names, oracle coverage, naming scheme") {
     val inv = SparkEntry.inventory
     val names = inv.map(_.name)
