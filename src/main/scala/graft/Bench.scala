@@ -15,7 +15,12 @@ object Bench {
     // first timed query is not charged fixed startup costs.
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q01_agg_base").foreach(_(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated name filter for local iteration; the
+    // driver sets no filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         // a crashed query records the -1 sentinel, never its elapsed time

@@ -137,8 +137,8 @@ object CoreAggQueries {
           expr("unix_timestamp(date_trunc('month', ts))").as("month_start"))
         .agg(count(lit(1)).as("n"),
           sumScaled(col("value"), 4).as("sum_value")),
-      Some("""SELECT epoch(date_trunc('week', ts)) AS week_start,
-              epoch(date_trunc('month', ts)) AS month_start,
+      Some("""SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_start,
+              CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS month_start,
               count(*) AS n,
               CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
                 AS sum_value

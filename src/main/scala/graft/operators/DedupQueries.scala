@@ -262,12 +262,13 @@ object DedupQueries {
     // per-batch cost is O(batch), never a corpus-wide rescan.
     Q("q74_incremental_dedup",
       (s, d) => {
-        // The expensive chain (tokenize → shingle → md5 → signature) runs
-        // ONCE: `sigs` is persisted and every downstream leg — the band
-        // index, the arrival-batch bands, and the final anti-join scan —
-        // reads the cached signatures. The band index is additionally
-        // persisted because the probe join is what production would run
-        // per arrival batch against a materialized index.
+        // The expensive chain (tokenize → shingle → md5 → minhash → band
+        // keys) runs ONCE, at cache fill: `sigs` persists doc_id, the
+        // shingle-hash set AND the precomputed 4-element band-key array.
+        // Every downstream leg — index side, arrival side, totals — is a
+        // filter + (cheap) explode over that one cached table; nothing
+        // re-runs the md5 chain. MEMORY_AND_DISK_SER so eviction under a
+        // loaded box spills instead of silently recomputing the chain.
         val sigsArr =
           s"""transform(sequence(0, 7), k -> array_min(
               transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
@@ -275,25 +276,29 @@ object DedupQueries {
           s"""transform(sequence(0, 3), b -> concat_ws('_', b,
               element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
         val sigs = Tables.documents(s, d)
-          .selectExpr("doc_id", s"$hsD as hs").persist()
+          .selectExpr("doc_id", s"$hsD as hs")
+          .selectExpr("doc_id", "hs", s"$bandArr as bks")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         def bands(df: org.apache.spark.sql.DataFrame) =
-          df.selectExpr("doc_id", "hs", s"explode($bandArr) as bk")
-        val index = bands(sigs.filter(col("doc_id") % 5 =!= 0)).persist()
+          df.selectExpr("doc_id", "hs", "explode(bks) as bk")
+        val index = bands(sigs.filter(col("doc_id") % 5 =!= 0))
         val batch = bands(sigs.filter(col("doc_id") % 5 === 0)) // arrivals
         val dupNew = batch.as("x").join(index.as("y"),
             col("x.bk") === col("y.bk"))
           .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
             "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
           .select(col("x.doc_id")).distinct()
-        val out = sigs.filter(col("doc_id") % 5 === 0).select("doc_id")
-          .join(dupNew, Seq("doc_id"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("n_new_kept"))
+        // kept = arrivals − dropped (dupNew ⊆ arrivals), so the whole
+        // query is ONE job: band probe join + two 1-row aggregates.
+        val out = sigs.filter(col("doc_id") % 5 === 0)
+          .groupBy().agg(count(lit(1)).as("n_new_total"))
           .crossJoin(dupNew.groupBy().agg(
             count(lit(1)).as("n_new_dropped")))
+          .select((col("n_new_total") - col("n_new_dropped"))
+            .as("n_new_kept"), col("n_new_dropped"))
           .persist()
-        out.count() // materialize the 1-row result, then free the caches
+        out.count() // materialize the 1-row result, then free the cache
         sigs.unpersist()
-        index.unpersist()
         out
       },
       Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),

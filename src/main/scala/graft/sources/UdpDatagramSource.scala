@@ -45,7 +45,8 @@ class UdpDatagramSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new UdpTable(properties.getOrDefault("port", "0").toInt,
-      properties.getOrDefault("maxBufferedDatagrams", "1048576").toInt)
+      properties.getOrDefault("maxBufferedDatagrams", "1048576").toInt,
+      properties.getOrDefault("numPartitions", "8").toInt)
 }
 
 object UdpDatagramSource {
@@ -72,7 +73,7 @@ object UdpDatagramSource {
   }
 }
 
-private class UdpTable(port: Int, maxBuffered: Int)
+private class UdpTable(port: Int, maxBuffered: Int, numPartitions: Int)
     extends Table with SupportsRead {
   override def name(): String = s"udp:$port"
   override def schema(): StructType = UdpDatagramSource.schema
@@ -85,7 +86,7 @@ private class UdpTable(port: Int, maxBuffered: Int)
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming only")
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new UdpMicroBatchStream(port, maxBuffered)
+          new UdpMicroBatchStream(port, maxBuffered, numPartitions)
       }
     }
 }
@@ -97,7 +98,8 @@ private case class UdpOffset(count: Long) extends Offset {
 private case class UdpPartition(
     rows: Array[(String, Array[Byte], Long)]) extends InputPartition
 
-private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
+private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
+                                           numPartitions: Int = 8)
     extends MicroBatchStream {
 
   private val buffer = mutable.ArrayBuffer[(String, Array[Byte], Long)]()
@@ -113,7 +115,7 @@ private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
   socket.setReuseAddress(true)
   socket.setReceiveBufferSize(1 << 22)
   socket.bind(new InetSocketAddress(port))
-  private val boundPort = socket.getLocalPort
+  private[sources] val boundPort = socket.getLocalPort
   UdpDatagramSource.registerBound(boundPort, socket)
 
   private val listener = new Thread(s"graft-udp-$boundPort") {
@@ -146,13 +148,41 @@ private class UdpMicroBatchStream(port: Int, maxBuffered: Int)
   override def deserializeOffset(json: String): Offset =
     UdpOffset(json.toLong)
 
+  /** One socket, many workers (the reference's collector model,
+    * `src/nfacctd.c:1525` + `docs/INTERNALS:86-190`): the batch slice is
+    * split into up to `numPartitions` InputPartitions KEYED BY EXPORTER
+    * HASH, so decode parallelizes across cores/executors while every
+    * exporter's datagrams stay on one task — per-exporter template state
+    * (NetFlow v9/IPFIX) needs no cross-partition coordination and
+    * per-exporter arrival order is preserved within the batch.
+    *
+    * Datagrams live only in driver memory: a restarted query whose
+    * checkpoint offset falls outside the current buffer CANNOT be served.
+    * Like Spark's socket source, this source is not restart-recoverable —
+    * fail fast rather than silently returning an empty/wrong slice. */
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[UdpOffset].count
     val e = end.asInstanceOf[UdpOffset].count
-    val slice = buffer.synchronized(
-      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray)
-    Array(UdpPartition(slice))
+    val slice = buffer.synchronized {
+      if (s < trimmed || e > trimmed + buffer.size)
+        throw new IllegalStateException(
+          s"udp:$boundPort asked for offsets [$s,$e) but only [" +
+            s"$trimmed,${trimmed + buffer.size}) is buffered. Datagrams " +
+            "are held in driver memory only; this source cannot recover " +
+            "a pre-restart checkpoint offset (same contract as Spark's " +
+            "socket source).")
+      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else {
+      val n = math.max(1, math.min(numPartitions, slice.length))
+      val groups = Array.fill(n)(
+        mutable.ArrayBuffer.empty[(String, Array[Byte], Long)])
+      slice.foreach(r => groups(math.floorMod(r._1.hashCode, n)) += r)
+      groups.iterator.filter(_.nonEmpty)
+        .map(g => UdpPartition(g.toArray): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
