@@ -51,9 +51,20 @@ object BgpMsg {
   }
 
   private def attr(flags: Int, tp: Int, value: Array[Byte]): Array[Byte] = {
-    val b = ByteBuffer.allocate(3 + value.length)
-    b.put(flags.toByte).put(tp.toByte).put(value.length.toByte).put(value)
-    b.array()
+    // RFC 4271 §4.3: bodies over 255 bytes need the extended-length flag
+    // (0x10) and a 2-byte length — a long AS_PATH/COMMUNITIES encoded with
+    // a 1-byte length would be a corrupt UPDATE (decodeOne already honors
+    // extended length; keep encode/decode symmetric).
+    if (value.length > 255) {
+      val b = ByteBuffer.allocate(4 + value.length)
+      b.put((flags | 0x10).toByte).put(tp.toByte)
+        .putShort(value.length.toShort).put(value)
+      b.array()
+    } else {
+      val b = ByteBuffer.allocate(3 + value.length)
+      b.put(flags.toByte).put(tp.toByte).put(value.length.toByte).put(value)
+      b.array()
+    }
   }
 
   private def u32(v: Long): Array[Byte] =

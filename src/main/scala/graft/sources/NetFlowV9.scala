@@ -376,25 +376,40 @@ object NetFlowV9 {
                            cap: Int): Seq[DecodedX] = {
       val out = mutable.Buffer[DecodedX]()
       var off = 0
+      var truncated = false
       // stop when fewer bytes remain than the smallest possible record:
-      // for fixed templates this is exactly the old pad-aware division
-      while (out.size < cap && body.length - off >= t.minRecordLen) {
+      // for fixed templates this is exactly the old pad-aware division.
+      // minRecordLen only bounds the MINIMAL record, so after a vlen field
+      // every subsequent read re-checks body.length — a truncated or
+      // malformed set is discarded from the bad record on, never thrown
+      // (the reference length-checks and discards in resolve_vlen_template,
+      // src/nfv9_template.c; this path eats raw UDP payloads).
+      while (!truncated && out.size < cap &&
+             body.length - off >= t.minRecordLen) {
         val rec = Map.newBuilder[Long, Any]
         var ok = true
         t.fields.foreach { f =>
           if (ok) {
             if (f.isVlen) {
-              var l = body(off) & 0xff; off += 1
-              if (l == 255) {
-                l = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
-                off += 2
-              }
-              if (off + l > body.length) ok = false
+              if (off >= body.length) ok = false
               else {
-                rec += f.key -> new String(body, off, l,
-                  java.nio.charset.StandardCharsets.UTF_8)
-                off += l
+                var l = body(off) & 0xff; off += 1
+                if (l == 255) {
+                  if (off + 2 > body.length) ok = false
+                  else {
+                    l = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+                    off += 2
+                  }
+                }
+                if (ok && off + l > body.length) ok = false
+                else if (ok) {
+                  rec += f.key -> new String(body, off, l,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  off += l
+                }
               }
+            } else if (off + f.len > body.length) {
+              ok = false
             } else if (f.len <= 8) {
               var v = 0L
               (0 until f.len).foreach { i =>
@@ -410,7 +425,7 @@ object NetFlowV9 {
             }
           }
         }
-        if (ok) out += rec.result()
+        if (ok) out += rec.result() else truncated = true
       }
       out.toSeq
     }
@@ -421,12 +436,26 @@ object NetFlowV9 {
     /** Persist learned templates (nfacctd_templates_file,
       * CONFIG-KEYS:2040-2064): survive a collector restart without
       * waiting for template refresh. Line format:
-      * `id|scopeCount|type:len:pen,type:len:pen,...` */
-    def save(): String =
-      templates.values.toSeq.sortBy(_.id).map { t =>
+      * `id|scopeCount|type:len:pen,type:len:pen,...`.
+      *
+      * Data-before-template sets still pending are persisted too
+      * (`P|setId|budget|base64(body)` lines AFTER the templates), so a
+      * template arriving in a LATER micro-batch releases data buffered in
+      * an earlier one — streaming state keeps the full in-memory
+      * TemplateCache semantics, not just the template map. */
+    def save(): String = {
+      val ts = templates.values.toSeq.sortBy(_.id).map { t =>
         s"${t.id}|${t.scopeCount}|${t.fields
           .map(f => s"${f.tp}:${f.len}:${f.pen}").mkString(",")}"
-      }.mkString("\n")
+      }
+      val b64 = java.util.Base64.getEncoder
+      val ps = pending.toSeq.sortBy(_._1).flatMap { case (sid, q) =>
+        q.map { case (body, cap) =>
+          s"P|$sid|$cap|${b64.encodeToString(body)}"
+        }
+      }
+      (ts ++ ps).mkString("\n")
+    }
 
     /** Returns any buffered data records the loaded templates release
       * (numeric view; use [[loadX]] for vlen/PEN payloads). */
@@ -434,15 +463,32 @@ object NetFlowV9 {
 
     def loadX(persisted: String): Seq[DecodedX] = {
       val out = mutable.Buffer[DecodedX]()
+      val b64 = java.util.Base64.getDecoder
       persisted.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val Array(id, sc, fields) = line.split("\\|", 3)
-        val t = TemplateX(id.toInt,
-          fields.split(",").toIndexedSeq.map { f =>
-            val parts = f.split(":")
-            FieldSpec(parts(0).toInt, parts(1).toInt,
-              if (parts.length > 2) parts(2).toLong else 0L)
-          }, sc.toInt)
-        register(t, out)
+        if (line.startsWith("P|")) {
+          // buffered data-before-template set: template lines come first
+          // in save() order, so if its template is now known it decodes
+          // immediately; otherwise it re-enters the pending buffer
+          val Array(_, sid, cap, body) = line.split("\\|", 4)
+          val setId = sid.toInt
+          val bytes = b64.decode(body)
+          templates.get(setId) match {
+            case Some(t) => out ++= decodeBody(t, bytes, cap.toInt)
+            case None =>
+              val q = pending.getOrElseUpdate(setId, mutable.Buffer())
+              q += ((bytes, cap.toInt))
+              if (q.size > MaxPendingPerTemplate) q.remove(0)
+          }
+        } else {
+          val Array(id, sc, fields) = line.split("\\|", 3)
+          val t = TemplateX(id.toInt,
+            fields.split(",").toIndexedSeq.map { f =>
+              val parts = f.split(":")
+              FieldSpec(parts(0).toInt, parts(1).toInt,
+                if (parts.length > 2) parts(2).toLong else 0L)
+            }, sc.toInt)
+          register(t, out)
+        }
       }
       out.toSeq
     }

@@ -40,31 +40,48 @@ object UdpNotif {
   }
 
   /** Split a contiguous stream of UDP-notif messages (the TCP-framed or
-    * concatenated-datagram view). */
+    * concatenated-datagram view). Framing is length-based, so a malformed
+    * header (bad version, hdrLen < base, msgLen < hdrLen, lengths past the
+    * buffer, or a TLV length < 2) makes everything after it unparseable:
+    * decoding stops and returns the messages recovered so far instead of
+    * throwing — this path eats raw network bytes. */
   def decodeStream(bytes: Array[Byte]): Seq[Packet] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = mutable.Buffer[Packet]()
-    while (buf.remaining() >= BaseHeaderLen) {
+    var bad = false
+    while (!bad && buf.remaining() >= BaseHeaderLen) {
       val start = buf.position()
       val b0 = buf.get() & 0xff
       val version = b0 >>> 5
-      require(version == 1, s"unsupported udp-notif version $version")
       val mediaType = b0 & 0xf
       val hdrLen = buf.get() & 0xff
       val msgLen = buf.getShort() & 0xffff
       val domain = buf.getInt() & 0xffffffffL
       val msgId = buf.getInt() & 0xffffffffL
-      val opts = mutable.Buffer[(Int, Array[Byte])]()
-      while (buf.position() < start + hdrLen) {
-        val tp = buf.get() & 0xff
-        val l = (buf.get() & 0xff) - 2
-        val v = new Array[Byte](l)
-        buf.get(v)
-        opts += ((tp, v))
+      if (version != 1 || hdrLen < BaseHeaderLen || msgLen < hdrLen ||
+          start + msgLen > bytes.length) {
+        bad = true
+      } else {
+        val opts = mutable.Buffer[(Int, Array[Byte])]()
+        while (!bad && buf.position() < start + hdrLen) {
+          if (start + hdrLen - buf.position() < 2) bad = true
+          else {
+            val tp = buf.get() & 0xff
+            val l = (buf.get() & 0xff) - 2
+            if (l < 0 || buf.position() + l > start + hdrLen) bad = true
+            else {
+              val v = new Array[Byte](l)
+              buf.get(v)
+              opts += ((tp, v))
+            }
+          }
+        }
+        if (!bad) {
+          val payload = new Array[Byte](msgLen - hdrLen)
+          buf.get(payload)
+          out += Packet(domain, msgId, mediaType, payload, opts.toSeq)
+        }
       }
-      val payload = new Array[Byte](msgLen - hdrLen)
-      buf.get(payload)
-      out += Packet(domain, msgId, mediaType, payload, opts.toSeq)
     }
     out.toSeq
   }

@@ -37,10 +37,14 @@ object NetFlowStream {
         GroupStateTimeout.NoTimeout) {
         (ex: String, it: Iterator[Datagram], state: GroupState[String]) =>
           val cache = new NetFlowV9.TemplateCache
-          state.getOption.foreach(cache.load)
-          // decode THIS batch's datagrams with the accumulated templates;
-          // within-batch data-before-template still buffers and releases
-          val out = it.flatMap(d => cache.observe(d.payload)).toIndexedSeq
+          // load() may RELEASE records: pending data-before-template sets
+          // persist in the state string alongside templates, so data that
+          // arrived in an earlier micro-batch decodes in the batch whose
+          // template finally shows up — same semantics as one long-lived
+          // in-memory TemplateCache
+          val released = state.getOption.map(cache.load).getOrElse(Nil)
+          val out = released.toIndexedSeq ++
+            it.flatMap(d => cache.observe(d.payload))
           state.update(cache.save())
           out.iterator.map(m => Flow(ex, m))
       }
@@ -61,8 +65,10 @@ object NetFlowStream {
     override def handleInputRows(key: String, rows: Iterator[Datagram],
                                  tv: TimerValues): Iterator[Flow] = {
       val cache = new NetFlowV9.TemplateCache
-      if (templates.exists()) cache.load(templates.get())
-      val out = rows.flatMap(d => cache.observe(d.payload)).toIndexedSeq
+      val released = if (templates.exists()) cache.load(templates.get())
+                     else Nil
+      val out = released.toIndexedSeq ++
+        rows.flatMap(d => cache.observe(d.payload))
       templates.update(cache.save())
       out.iterator.map(m => Flow(key, m))
     }

@@ -546,4 +546,96 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cold.observeX(NetFlowV9.encodeDataIpfixX(h, t, recs)).isEmpty)
     assert(cold.loadX(warm.save()) == recs)
   }
+
+  test("IPFIX vlen: truncated/malformed data sets discard, never throw") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+    val t = TemplateX(292, Seq(
+      FieldSpec(96, VarLen), FieldSpec(IE.InBytes, 4)))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val recs: Seq[NetFlowV9.DecodedX] = Seq(
+      Map(96L -> "abcdef", IE.InBytes.toLong -> 11L),
+      Map(96L -> ("y" * 300), IE.InBytes.toLong -> 22L))
+    val good = NetFlowV9.encodeDataIpfixX(h, t, recs)
+    // every possible truncation of the datagram: the decoder must return
+    // the records that fit and drop the rest (the reference length-checks
+    // and discards in resolve_vlen_template), never throw on raw UDP bytes
+    for (cut <- 20 to good.length) {
+      val cache = new NetFlowV9.TemplateCache
+      cache.observeX(NetFlowV9.encodeTemplateIpfixX(h, t))
+      val trimmed = java.util.Arrays.copyOf(good, cut)
+      // fix up the IPFIX header + set length to match the truncated body
+      val bb = java.nio.ByteBuffer.wrap(trimmed)
+      bb.putShort(2, cut.toShort)           // ipfix total length
+      bb.putShort(18, (cut - 16).toShort)   // set length
+      val got = cache.observeX(trimmed)     // must not throw
+      assert(got.size <= recs.size)
+      got.zip(recs).foreach { case (g, r) => assert(g == r) }
+    }
+    // a vlen length byte pointing past the set is also discarded
+    val cache = new NetFlowV9.TemplateCache
+    cache.observeX(NetFlowV9.encodeTemplateIpfixX(h, t))
+    val bad = good.clone()
+    bad(20) = 0xff.toByte // first vlen length byte → 255-escape into junk
+    assert(cache.observeX(bad).size <= recs.size) // no throw
+  }
+
+  test("UDP-notif: malformed envelopes reject instead of crashing") {
+    import graft.sources.UdpNotif
+    val ok = UdpNotif.Packet(1L, 2L, UdpNotif.MediaJson,
+      """{"a":1}""".getBytes("UTF-8"))
+    val enc = UdpNotif.encode(ok)
+    // TLV length byte < 2 → NegativeArraySize territory before the fix
+    val withOpt = UdpNotif.encode(ok.copy(options =
+      Seq(1 -> Array[Byte](9))))
+    val badTlv = withOpt.clone()
+    badTlv(13) = 1.toByte // option length byte below the 2-byte minimum
+    assert(UdpNotif.decodeStream(badTlv).isEmpty)
+    // msgLen shorter than hdrLen
+    val badLen = enc.clone()
+    badLen(2) = 0; badLen(3) = 4
+    assert(UdpNotif.decodeStream(badLen).isEmpty)
+    // hdrLen below the base header
+    val badHdr = enc.clone()
+    badHdr(1) = 4
+    assert(UdpNotif.decodeStream(badHdr).isEmpty)
+    // truncated stream: valid message then garbage tail → first survives
+    val tail = enc ++ Array[Byte](0x20, 0x7f, 0x7f, 0x7f, 0, 0, 0, 0, 0,
+      0, 0, 0)
+    val got = UdpNotif.decodeStream(tail)
+    assert(got.size == 1 && got.head.observationDomain == 1L)
+  }
+
+  test("BGP attribute over 255 bytes encodes extended length") {
+    import graft.sources.BgpMsg
+    // 70 communities = 280 bytes of COMMUNITIES body > 255
+    val u = BgpMsg.Update(
+      nlri = Seq(BgpMsg.Route(0x0A000000L, 8)),
+      origin = Some(0), asPath = Seq(65001L),
+      nextHop = Some(0x0A0A0A01L),
+      communities = (1 to 70).map(i => (65001L << 16) | i.toLong))
+    val got = BgpMsg.decodeStream(BgpMsg.encode(u))
+    assert(got == Seq(u)) // symmetric: decodeOne honors the 0x10 flag
+  }
+
+  test("streaming state releases cross-batch data-before-template") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(512, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 9L)
+    val recs = Seq(Map(IE.Protocol -> 6L, IE.InBytes -> 77L))
+    // micro-batch 1: DATA ONLY — buffers, and the buffer persists
+    val b1 = new NetFlowV9.TemplateCache
+    assert(b1.observe(NetFlowV9.encodeData(h, t, recs)).isEmpty)
+    val state1 = b1.save()
+    // micro-batch 2 (fresh cache from state): template arrives and must
+    // release the data buffered in batch 1
+    val b2 = new NetFlowV9.TemplateCache
+    assert(b2.load(state1).isEmpty)
+    assert(b2.observe(NetFlowV9.encodeTemplate(h, t)) == recs)
+    // and the released set does NOT replay in batch 3
+    val b3 = new NetFlowV9.TemplateCache
+    assert(b3.load(b2.save()).isEmpty)
+    assert(b3.pendingSets == 0)
+  }
 }
