@@ -15,10 +15,12 @@ final case class MediaMeta(doc_id: Long, n_bytes: Long, magic: Long,
   *
   * The Spark-side plumbing is real — binary encoding, typed Dataset,
   * per-partition batch iteration (the Scala analogue of `mapInPandas`
-  * batches), output schema. The DECODE STEP IS A DETERMINISTIC STUB
-  * (media codecs are not in this container): [[MultimodalQueries.decodeStub]]
-  * computes fake metadata from raw bytes; a real deployment swaps in the
-  * codec there without touching the pipeline shape.
+  * batches), output schema. Decode comes in two tiers:
+  *  - [[MediaCodecs]]: REAL pure-byte container decode for WAV/BMP/PPM
+  *    (q110) — formats whose specs are public byte layouts.
+  *  - [[MultimodalQueries.decodeStub]]: a deterministic stand-in for
+  *    formats that need a codec library (JPEG/H.264 are not in this
+  *    container); q51 keeps the stub to exercise the batch shape.
   */
 object MultimodalQueries {
 
@@ -76,13 +78,14 @@ object MultimodalQueries {
     // fan-out, same as pro-rating.
     Q("q75_frame_sample",
       (s, d) => Tables.documents(s, d)
-        .selectExpr("doc_id",
+        .selectExpr("doc_id", "text",
           "encode(text, 'UTF-8') as data")
-        .selectExpr("doc_id", "length(data) as n_bytes",
-          // frame k covers bytes [k*256, (k+1)*256); partial tail kept
+        .selectExpr("doc_id", "text",
+          // frame k covers bytes [k*256, (k+1)*256); partial tail kept.
+          // `text` rides through the explode so no second scan/join is
+          // needed to recover the frame bytes
           "explode(sequence(0, int(ceil(length(data) / 256.0)) - 1))" +
             " as frame_id")
-        .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
         .selectExpr("doc_id", "frame_id",
           "substring(text, frame_id * 256 + 1, 256) as frame")
         .selectExpr("doc_id", "frame_id",
@@ -108,6 +111,91 @@ object MultimodalQueries {
                     unnest(range(0, CAST(ceil(len(text) / 256.0) AS BIGINT)))
                     AS frame_id
                   FROM documents))"""),
-      doc = "fixed-stride frame sampling over binary media columns")
+      doc = "fixed-stride frame sampling over binary media columns"),
+
+    // REAL container decode (no stub): build WAV/BMP/PPM blobs from the
+    // document bytes per-partition, then decode them with the pure-byte
+    // parsers in MediaCodecs. The oracle recomputes every decoded field
+    // (dims, channels, sample rate, duration, payload size) from doc_id
+    // and the text length directly — so the gate proves decode() inverts
+    // the container encoding, not just that the pipeline runs.
+    Q("q110_media_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') as data")
+          .as[MediaIn]
+          .mapPartitions(_.map { m =>
+            val id = m.doc_id
+            val blob = (id % 3).toInt match {
+              case 0 =>
+                val rate = 8000 * (1 + (id % 5)).toInt
+                val ch = (1 + (id % 2)).toInt
+                val ba = ch * 2 // 16-bit PCM
+                val pcmLen = m.data.length - (m.data.length % ba)
+                MediaCodecs.encodeWav(rate, ch, 16,
+                  java.util.Arrays.copyOf(m.data, pcmLen))
+              case 1 =>
+                MediaCodecs.encodeBmp(1 + m.data.length % 64,
+                  (1 + (id % 48)).toInt)
+              case _ =>
+                MediaCodecs.encodePpm((1 + (id % 32)).toInt,
+                  1 + m.data.length % 16)
+            }
+            val meta = MediaCodecs.decode(blob).getOrElse(
+              MediaCodecs.Meta("bad", -1, -1, -1, -1, -1, -1L, -1L))
+            (meta.format, meta.width.toLong, meta.height.toLong,
+              meta.channels.toLong, meta.sampleRate.toLong,
+              meta.durationUs, meta.payloadBytes)
+          })
+          .toDF("format", "width", "height", "channels", "sample_rate",
+            "duration_us", "payload_bytes")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n"),
+            sum("width").as("sum_w"), sum("height").as("sum_h"),
+            sum("channels").as("sum_ch"), sum("sample_rate").as("sum_rate"),
+            sum("duration_us").as("sum_dur_us"),
+            sum("payload_bytes").as("sum_payload"))
+      },
+      Some("""SELECT format, count(*) AS n,
+              CAST(sum(w) AS BIGINT) AS sum_w,
+              CAST(sum(h) AS BIGINT) AS sum_h,
+              CAST(sum(ch) AS BIGINT) AS sum_ch,
+              CAST(sum(rate) AS BIGINT) AS sum_rate,
+              CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+              CAST(sum(pb) AS BIGINT) AS sum_payload
+              FROM (
+                SELECT
+                  CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                    ELSE 'ppm' END AS format,
+                  CASE doc_id % 3 WHEN 0 THEN 0
+                    WHEN 1 THEN 1 + octet_length(encode(text)) % 64
+                    ELSE 1 + doc_id % 32 END AS w,
+                  CASE doc_id % 3 WHEN 0 THEN 0
+                    WHEN 1 THEN 1 + doc_id % 48
+                    ELSE 1 + octet_length(encode(text)) % 16 END AS h,
+                  CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 2
+                    WHEN 1 THEN 0 ELSE 3 END AS ch,
+                  CASE doc_id % 3 WHEN 0 THEN 8000 * (1 + doc_id % 5)
+                    ELSE 0 END AS rate,
+                  CASE doc_id % 3 WHEN 0 THEN
+                    ((octet_length(encode(text))
+                      - octet_length(encode(text)) % ((1 + doc_id % 2) * 2))
+                     * 1000000)
+                    // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+                    ELSE 0 END AS dur,
+                  CASE doc_id % 3
+                    WHEN 0 THEN octet_length(encode(text))
+                      - octet_length(encode(text)) % ((1 + doc_id % 2) * 2)
+                    WHEN 1 THEN
+                      ((24 * (1 + octet_length(encode(text)) % 64) + 31)
+                       // 32) * 4 * (1 + doc_id % 48)
+                    ELSE (1 + doc_id % 32)
+                      * (1 + octet_length(encode(text)) % 16) * 3
+                    END AS pb
+                FROM documents)
+              GROUP BY format"""),
+      doc = "real WAV/BMP/PPM container decode (pure-byte, no codec lib)")
   )
 }

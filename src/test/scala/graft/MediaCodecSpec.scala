@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MediaCodecs
+
+/** Golden-byte tests for the pure-byte media container codecs. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("WAV round-trip: header fields and duration") {
+    val pcm = Array.tabulate[Byte](16000 * 2 * 2)(i => (i % 251).toByte)
+    val wav = MediaCodecs.encodeWav(16000, 2, 16, pcm) // exactly 1 second
+    val m = MediaCodecs.decode(wav).get
+    assert(m.format == "wav" && m.channels == 2 && m.sampleRate == 16000)
+    assert(m.bits == 16 && m.payloadBytes == pcm.length)
+    assert(m.durationUs == 1000000L)
+  }
+
+  test("WAV chunk walk skips a LIST chunk before data") {
+    val base = MediaCodecs.encodeWav(8000, 1, 16, Array.fill[Byte](800)(1))
+    // splice an odd-sized LIST chunk between fmt and data (RIFF pad byte)
+    val fmtEnd = 12 + 8 + 16
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.take(fmtEnd) ++ list ++ base.drop(fmtEnd)
+    // fix RIFF size (not checked by the decoder, but keep it honest)
+    val m = MediaCodecs.decode(spliced).get
+    assert(m.sampleRate == 8000 && m.payloadBytes == 800)
+    assert(m.durationUs == 50000L) // 800 bytes / 16000 B/s
+  }
+
+  test("BMP round-trip: dims, bpp, padded row size") {
+    val bmp = MediaCodecs.encodeBmp(3, 2) // rowSize = ((72+31)/32)*4 = 12
+    val m = MediaCodecs.decode(bmp).get
+    assert(m.format == "bmp" && m.width == 3 && m.height == 2)
+    assert(m.bits == 24 && m.payloadBytes == 24)
+  }
+
+  test("BMP top-down (negative height) decodes to absolute rows") {
+    val bmp = MediaCodecs.encodeBmp(4, 2)
+    // flip height to -2 (little-endian i32 at offset 22)
+    bmp(22) = (-2).toByte; bmp(23) = 0xff.toByte
+    bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
+    val m = MediaCodecs.decode(bmp).get
+    assert(m.height == 2 && m.payloadBytes == 24) // rowSize(4px,24bpp)=12
+  }
+
+  test("PPM header with comments and multi-digit dims") {
+    val hdr = "P6\n# a comment\n640 480\n# another\n255\n"
+    val blob = hdr.getBytes("US-ASCII") ++ new Array[Byte](10)
+    val m = MediaCodecs.decode(blob).get
+    assert(m.width == 640 && m.height == 480 && m.channels == 3)
+    assert(m.payloadBytes == 640L * 480 * 3 && m.bits == 8)
+  }
+
+  test("PPM 16-bit maxval doubles bytes per sample") {
+    val m = MediaCodecs.decode("P6 2 2 65535 ".getBytes("US-ASCII")).get
+    assert(m.bits == 16 && m.payloadBytes == 2L * 2 * 3 * 2)
+  }
+
+  test("malformed input returns None, never throws") {
+    val cases = Seq(
+      Array.empty[Byte],
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),             // no chunks
+      "P6\n0 5\n255\n".getBytes("US-ASCII"),           // zero width
+      "P6\n# only comments".getBytes("US-ASCII"),      // no dims
+      MediaCodecs.encodeBmp(2, 2).take(30),            // truncated BMP
+      MediaCodecs.encodeWav(8000, 1, 16, Array[Byte](1, 2)).take(20),
+      Array[Byte]('B', 'M', 1, 2, 3))                  // tiny BMP
+    cases.foreach(c => assert(MediaCodecs.decode(c).isEmpty))
+  }
+
+  test("truncated WAV data chunk clamps payload to remaining bytes") {
+    val wav = MediaCodecs.encodeWav(8000, 1, 16, Array.fill[Byte](100)(7))
+    val m = MediaCodecs.decode(wav.dropRight(40)).get
+    assert(m.payloadBytes == 60)
+  }
+}
