@@ -29,8 +29,10 @@ object Dims {
       StructType(fields))
   }
 
-  private def values(name: String, cols: Seq[String],
-                     rows: Seq[Seq[Any]]): String = {
+  /** Render rows as a DuckDB VALUES CTE (public: oracle SQL for queries
+    * with query-local fixtures, e.g. the RTR-fed ROA set, uses it too). */
+  def values(name: String, cols: Seq[String],
+             rows: Seq[Seq[Any]]): String = {
     val lits = rows.map(_.map {
       case s: String => "'" + s + "'"
       case v => v.toString
@@ -145,17 +147,26 @@ object Dims {
     * falls inside the ROA prefix; valid needs asn match and
     * route.len <= max_len.
     */
-  val roaStateByNetwork: Seq[(Long, Int, Long)] = netRows.map { r =>
+  val roaStateByNetwork: Seq[(Long, Int, Long)] =
+    roaStatesFor(roaRows.map(ro => (ro(0).asInstanceOf[Long],
+      ro(1).asInstanceOf[Long].toInt, ro(2).asInstanceOf[Long].toInt,
+      ro(3).asInstanceOf[Long])))
+
+  /** Same validation fold against an ARBITRARY ROA set — the RTR-session
+    * variant (q111) validates routes against the set a live RFC 8210
+    * session produced rather than the static roas file. Tuples are
+    * (base, len, max_len, asn) over the 16-bit flow space. */
+  def roaStatesFor(roaSet: Seq[(Long, Int, Int, Long)])
+      : Seq[(Long, Int, Long)] = netRows.map { r =>
     val (asn, base, len) = (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
       r(2).asInstanceOf[Long].toInt)
-    val covering = roaRows.filter { ro =>
-      val (rb, rl) = (ro(0).asInstanceOf[Long], ro(1).asInstanceOf[Long].toInt)
+    val covering = roaSet.filter { case (rb, rl, _, _) =>
       rl <= len && ((base >> (16 - rl)) << (16 - rl)) == rb
     }
     val state =
       if (covering.isEmpty) 3L
-      else if (covering.exists(ro => ro(3) == asn &&
-        len <= ro(2).asInstanceOf[Long].toInt)) 1L
+      else if (covering.exists { case (_, _, maxLen, roAsn) =>
+        roAsn == asn && len <= maxLen }) 1L
       else 2L
     (base, len, state)
   }

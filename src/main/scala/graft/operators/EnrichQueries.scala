@@ -282,6 +282,86 @@ object EnrichQueries {
             FROM m GROUP BY 1"""),
       doc = "RPKI ROA validation as plan-time route validation + LPM"),
 
+    // RPKI RTR live session (RFC 8210; src/rpki/rpki_msg.c) — q28's ROA
+    // table fed by the wire protocol instead of rpki_roas_file: a two-
+    // epoch session (reset sync announcing the full set, then a serial
+    // sync withdrawing one ROA and announcing another) is encoded to
+    // bytes, decoded back, folded announce/withdraw into the live ROA
+    // set, and flows validate against THAT set. The oracle hardcodes the
+    // expected post-session set — any codec or fold defect changes the
+    // validation distribution and breaks parity. The 16-bit flow space
+    // maps to the top 16 bits of the 32-bit wire prefix (base << 16).
+    Q("q111_rpki_rtr",
+      (s, d) => {
+        import graft.sources.RtrMsg
+        import graft.sources.RtrMsg._
+        val up = (b: Long) => b << 16
+        val session: Seq[Pdu] = Seq(
+          // epoch 1: client reset query, cache responds with full set
+          ResetQuery, CacheResponse(42),
+          Ipv4Prefix(announce = true, 2, 6, up(0L), 65001L),
+          Ipv4Prefix(announce = true, 2, 4, up(16384L), 65002L),
+          Ipv4Prefix(announce = true, 3, 10, up(40960L), 65202L),
+          Ipv4Prefix(announce = true, 10, 16, up(65024L), 65401L),
+          // a v6 ROA rides the same session; the v4 table ignores it
+          Ipv6Prefix(announce = true, 32, 48,
+            Array.tabulate[Byte](16)(i => (0x20 - i).toByte), 65500L),
+          EndOfData(42, 1L, 3600L, 600L, 7200L),
+          // epoch 2: cache notifies, client serial-queries, delta arrives
+          SerialNotify(42, 2L), SerialQuery(42, 1L), CacheResponse(42),
+          Ipv4Prefix(announce = false, 2, 4, up(16384L), 65002L), // withdraw
+          Ipv4Prefix(announce = true, 8, 12, up(43008L), 65301L),
+          EndOfData(42, 2L, 3600L, 600L, 7200L))
+        val wire = session.map(RtrMsg.encode).reduce(_ ++ _)
+        val pdus = RtrMsg.decodeStream(wire)
+        require(pdus.size == session.size, "RTR round-trip lost PDUs")
+        val serial = pdus.reverse.collectFirst {
+          case EndOfData(_, sn, _, _, _) => sn }.get
+        // live ROA set back into 16-bit flow space, then the same
+        // plan-time route validation as q28 against the RTR-fed set
+        val roaSet = RtrMsg.applyV4(pdus).toSeq
+          .map { case (p, l, m, a) => (p >> 16, l, m, a) }
+        val table = new Lpm.Table(16, Dims.roaStatesFor(roaSet))
+        flows(s, d)
+          .withColumn("roa_state",
+            coalesce(Lpm.lpm(col("ip_dst"), table), lit(3L)))
+          .groupBy("roa_state")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+          .withColumn("serial", lit(serial))
+      },
+      Some({
+        // expected post-session ROA set, stated independently of the codec
+        val rtrRoasSql = Dims.values("roas", Seq("base", "len", "max_len",
+          "asn"), Seq(
+          Seq(0L, 2L, 6L, 65001L),
+          Seq(40960L, 3L, 10L, 65202L),
+          Seq(65024L, 10L, 16L, 65401L),
+          Seq(43008L, 8L, 12L, 65301L)))
+        s"""$flowsSqlCte, ${Dims.networksSql}, $rtrRoasSql,
+            m AS (SELECT f.bytes,
+              (SELECT max(n.len) FROM networks n
+               WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS nlen,
+              ${lpmSql("networks", "f.ip_dst", "asn")} AS nasn,
+              (SELECT arg_max(n.base, n.len) FROM networks n
+               WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base)
+                AS nbase
+              FROM flows f)
+            SELECT CASE
+              WHEN nlen IS NULL THEN 3
+              WHEN EXISTS (SELECT 1 FROM roas r WHERE r.len <= m.nlen
+                AND ((m.nbase >> (16 - r.len)) << (16 - r.len)) = r.base
+                AND r.asn = m.nasn AND m.nlen <= r.max_len) THEN 1
+              WHEN EXISTS (SELECT 1 FROM roas r WHERE r.len <= m.nlen
+                AND ((m.nbase >> (16 - r.len)) << (16 - r.len)) = r.base)
+                THEN 2
+              ELSE 3 END AS roa_state,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(2 AS BIGINT) AS serial
+            FROM m GROUP BY 1"""
+      }),
+      doc = "RFC 8210 RTR session: wire codec -> live ROA set -> validate"),
+
     // tmp_asa_bi_flow: pair forward/reverse flows — the one fact-fact
     // correlation in the reference (CONFIG-KEYS:3712). Site-level (mod 256)
     // pairing; a genuine shuffle join on the pair key.

@@ -638,4 +638,61 @@ class ProtocolSpec extends AnyFunSuite {
     assert(b3.load(b2.save()).isEmpty)
     assert(b3.pendingSets == 0)
   }
+
+  test("RTR: every PDU type round-trips through the wire") {
+    import graft.sources.RtrMsg
+    import RtrMsg._
+    val pdus: Seq[Pdu] = Seq(
+      SerialNotify(42, 7L), SerialQuery(42, 6L), ResetQuery,
+      CacheResponse(42),
+      Ipv4Prefix(announce = true, 8, 16, 0x0A000000L, 65001L),
+      Ipv4Prefix(announce = false, 24, 24, 0xC0A80100L, 65002L),
+      Ipv6Prefix(announce = true, 32, 48,
+        Array.tabulate[Byte](16)(_.toByte), 65010L),
+      EndOfData(42, 7L, 3600L, 600L, 7200L), CacheReset,
+      ErrorReport(2, RtrMsg.encode(ResetQuery), "No Data Available"))
+    val wire = pdus.map(RtrMsg.encode).reduce(_ ++ _)
+    val got = RtrMsg.decodeStream(wire)
+    assert(got.size == pdus.size)
+    // Ipv6Prefix holds an Array (reference equality) — compare fieldwise
+    got.zip(pdus).foreach {
+      case (a: Ipv6Prefix, b: Ipv6Prefix) =>
+        assert(a.prefix.sameElements(b.prefix) && a.asn == b.asn &&
+          a.prefixLen == b.prefixLen && a.maxLen == b.maxLen)
+      case (a: ErrorReport, b: ErrorReport) =>
+        assert(a.encapsulated.sameElements(b.encapsulated) &&
+          a.text == b.text && a.code == b.code)
+      case (a, b) => assert(a == b)
+    }
+  }
+
+  test("RTR: malformed input stops the walk instead of throwing") {
+    import graft.sources.RtrMsg
+    import RtrMsg._
+    val good = RtrMsg.encode(CacheResponse(1))
+    // bad version
+    assert(RtrMsg.decodeStream(Array[Byte](9, 3, 0, 1, 0, 0, 0, 8)).isEmpty)
+    // length smaller than header
+    assert(RtrMsg.decodeStream(Array[Byte](1, 3, 0, 1, 0, 0, 0, 2)).isEmpty)
+    // length past the buffer → only the leading good PDU survives
+    val trunc = good ++ Array[Byte](1, 4, 0, 0, 0, 0, 0, 20, 1, 8)
+    assert(RtrMsg.decodeStream(trunc) == Seq(CacheResponse(1)))
+    // maxLen < prefixLen is rejected
+    val badPfx = RtrMsg.encode(
+      Ipv4Prefix(announce = true, 24, 24, 1L, 1L)).clone()
+    badPfx(10) = 8 // maxLen byte now < prefixLen
+    assert(RtrMsg.decodeStream(badPfx).isEmpty)
+  }
+
+  test("RTR: announce/withdraw fold yields the live ROA set") {
+    import graft.sources.RtrMsg
+    import RtrMsg._
+    val pdus = Seq(
+      Ipv4Prefix(announce = true, 8, 16, 100L, 1L),
+      Ipv4Prefix(announce = true, 8, 16, 200L, 2L),
+      Ipv4Prefix(announce = false, 8, 16, 100L, 1L), // withdraw first
+      Ipv4Prefix(announce = true, 8, 16, 300L, 3L))
+    assert(RtrMsg.applyV4(pdus) ==
+      Set((200L, 8, 16, 2L), (300L, 8, 16, 3L)))
+  }
 }
