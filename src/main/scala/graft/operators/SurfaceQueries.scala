@@ -250,6 +250,107 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "BGP UPDATE wire bytes parsed into RIB compaction"),
 
+    // BGP ADD-PATH (RFC 7911; reference: path-id aware RIB compare in
+    // src/bgp/bgp_lookup.c:712): the session negotiates capability 69
+    // through the FSM (asserted per group), UPDATEs carry 4-byte path
+    // ids on every NLRI/withdraw entry, and the RIB key widens to
+    // (peer, prefix, path_id) so one prefix holds multiple concurrent
+    // paths. Compaction is latest-wins per path; the per-prefix view
+    // then counts live paths and picks best-MED. The oracle derives the
+    // same state from raw events — a path-id framing defect shifts every
+    // subsequent NLRI byte and breaks parity.
+    Q("q112_bgp_addpath",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BgpFsm}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 32).as("sess"), col("event_id"),
+            ((col("user_id") % 32) * 256 + col("event_id") % 256).as("pfx"),
+            expr("(event_id div 256) % 4").as("pid"),
+            (col("event_type") === "error").as("wd"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("med"),
+            col("user_id").cast("long").as("nh"))
+          .as[(Long, Long, Long, Long, Boolean, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long,
+           it: Iterator[(Long, Long, Long, Long, Boolean, Long, Long)]) =>
+            // capability negotiation gates the wire shape: a collector
+            // FSM advertising ADD-PATH accepts the peer's OPEN and only
+            // then may path-id NLRI flow on the session
+            val fsm = new BgpFsm(64512L, 1L, myAddPath = true)
+            fsm.start(0L)
+            fsm.onMessage(BgpMsg.OpenMsg(
+              BgpMsg.Open(65000L + sess, 90, sess, addPath = true)), 1L)
+            fsm.onMessage(BgpMsg.KeepaliveMsg, 2L)
+            require(fsm.addPathNegotiated, "ADD-PATH must negotiate")
+            val ap = fsm.addPathNegotiated
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, pfx, pid, wd, med, _) =>
+              val route = BgpMsg.Route(pfx << 8, 24, pid)
+              val msg =
+                if (wd) BgpMsg.encode(
+                  BgpMsg.Update(withdrawn = Seq(route)), ap)
+                else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
+                  origin = Some(0), asPath = Seq(65000L + sess),
+                  nextHop = Some(sess), med = Some(med)), ap)
+              wire.write(msg, 0, msg.length)
+            }
+            val peer = sess % 2
+            BgpMsg.decodeStream(wire.toByteArray, ap).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                u.withdrawn.iterator.map(r =>
+                  (peer, r.prefix >> 8, r.pathId, seq.toLong,
+                    "withdraw", 0L)) ++
+                u.nlri.iterator.map(r =>
+                  (peer, r.prefix >> 8, r.pathId, seq.toLong,
+                    "update", u.med.getOrElse(0L)))
+              }
+        }
+        decoded
+          .toDF("peer", "prefix", "path_id", "seq", "op", "med")
+          .groupBy("peer", "prefix", "path_id")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(med, seq)").as("last_med"))
+          .groupBy("peer", "prefix")
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_paths"),
+            min(when(col("last_op") === "update", col("last_med")))
+              .as("best_med"))
+          .groupBy("peer")
+          .agg(count(lit(1)).as("n_prefixes"),
+            sum(when(col("n_paths") >= 2, 1L).otherwise(0L))
+              .as("n_multipath"),
+            sum("n_paths").as("n_paths_live"),
+            sum(coalesce(col("best_med"), lit(0L))).as("sum_best_med"))
+      },
+      Some("""WITH msgs AS (SELECT (user_id % 32) % 2 AS peer,
+                (user_id % 32) * 256 + event_id % 256 AS prefix,
+                (event_id // 256) % 4 AS path_id,
+                event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med
+              FROM events),
+            rib AS (SELECT peer, prefix, path_id,
+                arg_max(op, seq) AS last_op, arg_max(med, seq) AS last_med
+              FROM msgs GROUP BY 1, 2, 3),
+            pfx AS (SELECT peer, prefix,
+                sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                  AS n_paths,
+                min(CASE WHEN last_op = 'update' THEN last_med END)
+                  AS best_med
+              FROM rib GROUP BY 1, 2)
+            SELECT peer, count(*) AS n_prefixes,
+              CAST(sum(CASE WHEN n_paths >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_multipath,
+              CAST(sum(n_paths) AS BIGINT) AS n_paths_live,
+              CAST(sum(coalesce(best_med, 0)) AS BIGINT) AS sum_best_med
+            FROM pfx GROUP BY peer"""),
+      doc = "RFC 7911 add-path: negotiated path-id NLRI, multi-path RIB"),
+
     // BMP binary session parsing (RFC 7854; src/bmp/bmp_msg.c): each
     // monitored peer's stream is Initiation + Peer Up + Route Monitoring
     // messages whose bodies are real per-peer headers + encapsulated BGP

@@ -21,8 +21,10 @@ object BgpMsg {
   val HeaderLen = 19
   val TypeUpdate = 2
 
-  /** IPv4 NLRI entry: 32-bit prefix value + mask length. */
-  final case class Route(prefix: Long, plen: Int)
+  /** IPv4 NLRI entry: 32-bit prefix value + mask length. With add-path
+    * (RFC 7911) negotiated, `pathId` is the 4-byte path identifier that
+    * prefixes the entry on the wire; 0 otherwise. */
+  final case class Route(prefix: Long, plen: Int, pathId: Long = 0L)
 
   final case class Update(
       withdrawn: Seq[Route] = Nil,
@@ -41,9 +43,10 @@ object BgpMsg {
     (0 until n).map(i => ((r.prefix >>> (24 - 8 * i)) & 0xff).toByte).toArray
   }
 
-  private def nlriBytes(routes: Seq[Route]): Array[Byte] = {
+  private def nlriBytes(routes: Seq[Route], addPath: Boolean): Array[Byte] = {
     val out = new mutable.ArrayBuilder.ofByte
     routes.foreach { r =>
+      if (addPath) out ++= u32(r.pathId) // RFC 7911 §3: path id first
       out += r.plen.toByte
       out ++= prefixBytes(r)
     }
@@ -71,7 +74,9 @@ object BgpMsg {
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
-  def encode(u: Update): Array[Byte] = {
+  /** addPath=true emits RFC 7911 path ids on every NLRI/withdrawn entry
+    * (only valid when the session negotiated capability 69 both ways). */
+  def encode(u: Update, addPath: Boolean = false): Array[Byte] = {
     val attrs = new mutable.ArrayBuilder.ofByte
     u.origin.foreach(o => attrs ++= attr(0x40, 1, Array(o.toByte)))
     if (u.asPath.nonEmpty) {
@@ -88,8 +93,8 @@ object BgpMsg {
       attrs ++= attr(0xc0, 8,
         u.communities.flatMap(c => u32(c).toSeq).toArray)
     val attrBytes = attrs.result()
-    val wd = nlriBytes(u.withdrawn)
-    val nl = nlriBytes(u.nlri)
+    val wd = nlriBytes(u.withdrawn, addPath)
+    val nl = nlriBytes(u.nlri, addPath)
     val len = HeaderLen + 2 + wd.length + 2 + attrBytes.length + nl.length
     val buf = ByteBuffer.allocate(len)
     (0 until 16).foreach(_ => buf.put(0xff.toByte)) // marker
@@ -105,21 +110,25 @@ object BgpMsg {
 
   // ---- decode --------------------------------------------------------
 
-  private def readRoutes(buf: ByteBuffer, end: Int): Seq[Route] = {
+  private def readRoutes(buf: ByteBuffer, end: Int,
+                         addPath: Boolean): Seq[Route] = {
     val out = mutable.Buffer[Route]()
     while (buf.position() < end) {
+      val pathId = if (addPath) buf.getInt() & 0xffffffffL else 0L
       val plen = buf.get() & 0xff
       val n = (plen + 7) / 8
       var p = 0L
       (0 until n).foreach(i => p |= (buf.get() & 0xffL) << (24 - 8 * i))
-      out += Route(p, plen)
+      out += Route(p, plen, pathId)
     }
     out.toSeq
   }
 
   /** Decode one UPDATE starting at the buffer position; returns None for
-    * non-UPDATE message types (position still advances past them). */
-  def decodeOne(buf: ByteBuffer): Option[Update] = {
+    * non-UPDATE message types (position still advances past them).
+    * `addPath` must match the session's negotiated capability — the wire
+    * format is not self-describing (RFC 7911 §5). */
+  def decodeOne(buf: ByteBuffer, addPath: Boolean = false): Option[Update] = {
     (0 until 16).foreach { _ =>
       require((buf.get() & 0xff) == 0xff, "bad BGP marker")
     }
@@ -128,7 +137,7 @@ object BgpMsg {
     val msgEnd = buf.position() + len - HeaderLen
     if (tp != TypeUpdate) { buf.position(msgEnd); return None }
     val wdLen = buf.getShort() & 0xffff
-    val withdrawn = readRoutes(buf, buf.position() + wdLen)
+    val withdrawn = readRoutes(buf, buf.position() + wdLen, addPath)
     val attrLen = buf.getShort() & 0xffff
     val attrEnd = buf.position() + attrLen
     var u = Update(withdrawn = withdrawn)
@@ -160,23 +169,26 @@ object BgpMsg {
       }
       buf.position(aEnd)
     }
-    u = u.copy(nlri = readRoutes(buf, msgEnd))
+    u = u.copy(nlri = readRoutes(buf, msgEnd, addPath))
     buf.position(msgEnd)
     Some(u)
   }
 
   /** Parse a contiguous session stream of BGP messages. */
-  def decodeStream(bytes: Array[Byte]): Seq[Update] = {
+  def decodeStream(bytes: Array[Byte],
+                   addPath: Boolean = false): Seq[Update] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = mutable.Buffer[Update]()
-    while (buf.remaining() >= HeaderLen) decodeOne(buf).foreach(out += _)
+    while (buf.remaining() >= HeaderLen)
+      decodeOne(buf, addPath).foreach(out += _)
     out.toSeq
   }
 
   // ---- full message surface (OPEN / KEEPALIVE / NOTIFICATION) --------
 
   final case class Open(asn: Long, holdTime: Int, bgpId: Long,
-                        fourOctetAs: Boolean = true)
+                        fourOctetAs: Boolean = true,
+                        addPath: Boolean = false)
 
   sealed trait Message
   final case class OpenMsg(open: Open) extends Message
@@ -194,18 +206,32 @@ object BgpMsg {
   }
 
   /** OPEN with the 4-octet-AS capability (RFC 6793): the 2-byte field
-    * carries AS_TRANS when the real ASN needs 4 octets. */
+    * carries AS_TRANS when the real ASN needs 4 octets. With
+    * `o.addPath`, also advertises ADD-PATH (RFC 7911 capability 69) for
+    * IPv4 unicast, send/receive both. */
   def encodeOpen(o: Open): Array[Byte] = {
-    val caps =
-      if (o.fourOctetAs) {
-        val c = ByteBuffer.allocate(8)
-        c.put(2.toByte)       // param type: capabilities
-        c.put(6.toByte)       // param length
-        c.put(65.toByte)      // capability 65: 4-octet AS
-        c.put(4.toByte)
-        c.putInt(o.asn.toInt)
+    val capBody = new mutable.ArrayBuilder.ofByte
+    if (o.fourOctetAs) {
+      capBody += 65.toByte; capBody += 4.toByte    // cap 65: 4-octet AS
+      capBody ++= u32(o.asn)
+    }
+    if (o.addPath) {
+      capBody += 69.toByte; capBody += 4.toByte    // cap 69: ADD-PATH
+      capBody += 0.toByte; capBody += 1.toByte     // AFI 1 (IPv4)
+      capBody += 1.toByte                          // SAFI 1 (unicast)
+      capBody += 3.toByte                          // send/receive = both
+    }
+    val caps = {
+      val body = capBody.result()
+      if (body.isEmpty) Array.emptyByteArray
+      else {
+        val c = ByteBuffer.allocate(2 + body.length)
+        c.put(2.toByte)               // param type: capabilities
+        c.put(body.length.toByte)     // param length
+        c.put(body)
         c.array()
-      } else Array.emptyByteArray
+      }
+    }
     val as2 = if (o.asn > 0xffffL) 23456L else o.asn // AS_TRANS
     val body = ByteBuffer.allocate(10 + caps.length)
     body.put(4.toByte)        // BGP version
@@ -222,8 +248,9 @@ object BgpMsg {
   def encodeNotification(code: Int, subcode: Int): Array[Byte] =
     withHeader(3, Array(code.toByte, subcode.toByte))
 
-  /** Decode one message of ANY type at the buffer position. */
-  def decodeMessage(buf: ByteBuffer): Message = {
+  /** Decode one message of ANY type at the buffer position. `addPath`
+    * reflects the session's negotiated state (affects UPDATE NLRI). */
+  def decodeMessage(buf: ByteBuffer, addPath: Boolean = false): Message = {
     val start = buf.position()
     (0 until 16).foreach { _ =>
       require((buf.get() & 0xff) == 0xff, "bad BGP marker")
@@ -241,6 +268,7 @@ object BgpMsg {
         val optEnd = buf.position() + optLen
         var asn = as2.toLong
         var four = false
+        var addPath = false
         while (buf.position() + 2 <= optEnd) {
           val ptype = buf.get() & 0xff
           val plen = buf.get() & 0xff
@@ -252,15 +280,25 @@ object BgpMsg {
               if (cap == 65 && clen == 4) {
                 asn = buf.getInt() & 0xffffffffL
                 four = true
+              } else if (cap == 69 && clen >= 4) {
+                // any (AFI 1, SAFI 1) tuple with receive or send bit set
+                val capEnd = buf.position() + clen
+                while (buf.position() + 4 <= capEnd) {
+                  val afi = buf.getShort() & 0xffff
+                  val safi = buf.get() & 0xff
+                  val sr = buf.get() & 0xff
+                  if (afi == 1 && safi == 1 && (sr & 3) != 0) addPath = true
+                }
+                buf.position(capEnd)
               } else buf.position(buf.position() + clen)
             }
           }
           buf.position(pEnd)
         }
-        OpenMsg(Open(asn, hold, bgpId, four))
+        OpenMsg(Open(asn, hold, bgpId, four, addPath))
       case 2 =>
         buf.position(start)
-        UpdateMsg(decodeOne(buf).get)
+        UpdateMsg(decodeOne(buf, addPath).get)
       case 3 =>
         NotificationMsg(buf.get() & 0xff, buf.get() & 0xff)
       case 4 => KeepaliveMsg
@@ -282,7 +320,8 @@ object BgpMsg {
   * Time is injected (`nowSec`) so hold-timer behavior is deterministic
   * under test and driven by the stream clock in the engine.
   */
-final class BgpFsm(myAs: Long, myBgpId: Long, holdTime: Int = 90) {
+final class BgpFsm(myAs: Long, myBgpId: Long, holdTime: Int = 90,
+                   myAddPath: Boolean = false) {
   import BgpMsg._
 
   sealed trait State
@@ -297,6 +336,10 @@ final class BgpFsm(myAs: Long, myBgpId: Long, holdTime: Int = 90) {
   /** negotiated hold time: min of both OPENs (RFC 4271 §4.2) */
   def negotiatedHold: Int =
     peerOpen.map(p => math.min(holdTime, p.holdTime)).getOrElse(holdTime)
+  /** ADD-PATH in effect iff BOTH sides advertised capability 69 for the
+    * AFI/SAFI (RFC 7911 §4) — governs the NLRI wire shape of UPDATEs. */
+  def addPathNegotiated: Boolean =
+    myAddPath && peerOpen.exists(_.addPath)
 
   val toSend = mutable.Buffer[Array[Byte]]()
   val delivered = mutable.Buffer[Update]()
@@ -305,7 +348,8 @@ final class BgpFsm(myAs: Long, myBgpId: Long, holdTime: Int = 90) {
   /** TCP accept: collector sends its OPEN. */
   def start(nowSec: Long): Unit = {
     lastSeen = nowSec
-    toSend += encodeOpen(Open(myAs, holdTime, myBgpId))
+    toSend += encodeOpen(Open(myAs, holdTime, myBgpId,
+      addPath = myAddPath))
     state = OpenSent
   }
 
