@@ -37,6 +37,25 @@ object L7 {
     case _ => None
   }
 
+  /** DNS query heuristic over a UDP payload head (RFC 1035 §4.1.1):
+    * QR=0, opcode 0, Z bits clear, 1..4 questions, no answers. */
+  def looksDns(head: Array[Byte]): Boolean = head.length >= 12 && {
+    val flags = ((head(2) & 0xff) << 8) | (head(3) & 0xff)
+    val qd = ((head(4) & 0xff) << 8) | (head(5) & 0xff)
+    val an = ((head(6) & 0xff) << 8) | (head(7) & 0xff)
+    (flags & 0x8000) == 0 && ((flags >> 11) & 0xf) == 0 &&
+      (flags & 0x0070) == 0 && qd >= 1 && qd <= 4 && an == 0
+  }
+
+  /** QUIC long-header heuristic (RFC 9000 §17.2): long-header + fixed
+    * bit set, version v1 or an IETF draft version. */
+  def looksQuic(head: Array[Byte]): Boolean = head.length >= 5 &&
+    (head(0) & 0xc0) == 0xc0 && {
+      val v = ((head(1) & 0xffL) << 24) | ((head(2) & 0xffL) << 16) |
+        ((head(3) & 0xffL) << 8) | (head(4) & 0xffL)
+      v == 1L || (v & 0xffffff00L) == 0xff000000L
+    }
+
   /** First-bytes signature classification over the payload head: the
     * byte patterns are public protocol preambles. */
   def classifyPayload(head: Array[Byte]): String = {
@@ -54,6 +73,98 @@ object L7 {
     else if (head.length >= 11 && (head(0) & 0xff) == 19 &&
       "BitTorrent".indices.forall(i =>
         head(i + 1) == "BitTorrent".charAt(i).toByte)) "bittorrent"
+    else if (startsWith("220 ") || startsWith("EHLO ") ||
+      startsWith("HELO ") || startsWith("MAIL FROM:")) "smtp"
+    else if (looksQuic(head)) "quic"
+    else if (looksDns(head)) "dns"
     else "unknown"
+  }
+
+  /** Classify a flow under a first-k-packets giveup budget — nDPI's
+    * per-flow inspection model (reference: classifier giveup knobs,
+    * CONFIG-KEYS:3638-3681): inspect packets in order until a signature
+    * matches or `budget` packets have been looked at, then give up and
+    * label the flow. Returns (class, packetsInspected). */
+  def classifyFlow(packets: Iterator[Array[Byte]],
+                   budget: Int): (String, Int) = {
+    var n = 0
+    while (packets.hasNext && n < budget) {
+      val c = classifyPayload(packets.next())
+      n += 1
+      if (c != "unknown") return (c, n)
+    }
+    ("giveup", n)
+  }
+
+  // ---- TLS ClientHello SNI (RFC 8446 §4.4.2.2 / RFC 6066 §3) ---------
+
+  /** Minimal valid ClientHello record carrying a server_name extension
+    * (fixture encoder for specs and gated queries). */
+  def clientHello(sni: String): Array[Byte] = {
+    val name = sni.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // extension data: server_name_list = len(2) + [type 0, len(2), name]
+    val listLen = 3 + name.length
+    val extData = new java.io.ByteArrayOutputStream()
+    extData.write(listLen >> 8); extData.write(listLen & 0xff)
+    extData.write(0) // name_type host_name
+    extData.write(name.length >> 8); extData.write(name.length & 0xff)
+    extData.write(name, 0, name.length)
+    val ext = new java.io.ByteArrayOutputStream()
+    ext.write(0); ext.write(0) // extension type 0: server_name
+    ext.write(extData.size() >> 8); ext.write(extData.size() & 0xff)
+    extData.writeTo(ext)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x03); body.write(0x03)          // client version TLS 1.2
+    (0 until 32).foreach(_ => body.write(0))    // random
+    body.write(0)                               // session id len
+    body.write(0); body.write(2)                // cipher suites len
+    body.write(0x13); body.write(0x01)          // TLS_AES_128_GCM_SHA256
+    body.write(1); body.write(0)                // compression: null
+    body.write(ext.size() >> 8); body.write(ext.size() & 0xff)
+    ext.writeTo(body)
+    val hs = new java.io.ByteArrayOutputStream()
+    hs.write(1)                                 // handshake type 1
+    hs.write(body.size() >> 16); hs.write((body.size() >> 8) & 0xff)
+    hs.write(body.size() & 0xff)
+    body.writeTo(hs)
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(0x16); rec.write(0x03); rec.write(0x01) // TLS record hdr
+    rec.write(hs.size() >> 8); rec.write(hs.size() & 0xff)
+    hs.writeTo(rec)
+    rec.toByteArray
+  }
+
+  /** Extract the SNI host name from a ClientHello record, None when the
+    * record is not a ClientHello or carries no server_name extension.
+    * Every read is bounds-checked: this eats raw payload bytes. */
+  def tlsSni(head: Array[Byte]): Option[String] = {
+    def u16(i: Int): Int = ((head(i) & 0xff) << 8) | (head(i + 1) & 0xff)
+    if (head.length < 5 + 4 || (head(0) & 0xff) != 0x16 ||
+        (head(5) & 0xff) != 1) return None // not handshake/ClientHello
+    var off = 5 + 4 + 2 + 32               // record+hs hdrs, version, random
+    if (off + 1 > head.length) return None
+    off += 1 + (head(off) & 0xff)           // session id
+    if (off + 2 > head.length) return None
+    off += 2 + u16(off)                     // cipher suites
+    if (off + 1 > head.length) return None
+    off += 1 + (head(off) & 0xff)           // compression methods
+    if (off + 2 > head.length) return None
+    val extEnd = math.min(off + 2 + u16(off), head.length)
+    off += 2
+    while (off + 4 <= extEnd) {
+      val tpe = u16(off); val len = u16(off + 2)
+      val dataEnd = off + 4 + len
+      if (tpe == 0 && dataEnd <= extEnd && len >= 5) {
+        // server_name_list: skip list len, entry type, read name
+        val nameLen = u16(off + 4 + 3)
+        val nameOff = off + 4 + 5
+        if (nameOff + nameLen <= dataEnd)
+          return Some(new String(head, nameOff, nameLen,
+            java.nio.charset.StandardCharsets.UTF_8))
+        return None
+      }
+      off = dataEnd
+    }
+    None
   }
 }

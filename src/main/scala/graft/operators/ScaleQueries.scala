@@ -137,6 +137,79 @@ object ScaleQueries {
               FROM events GROUP BY 1"""),
       doc = "payload first-bytes signature classification (nDPI shape)"),
 
+    // nDPI-model flow classification: per-FLOW first-k-packets budget
+    // (classifier giveup knobs, CONFIG-KEYS:3638-3681) over the widened
+    // signature set (q99's six + SMTP/QUIC/DNS + TLS-SNI extraction).
+    // Each flow (user) is a packet sequence in event order; only every
+    // 7th packet carries a classifiable preamble, so classification must
+    // walk packets under the budget=3 cap and give up honestly. TLS
+    // flows additionally extract the ClientHello server_name — n_snis
+    // gates the SNI parser (a broken parser yields 0, not 5).
+    Q("q113_ndpi_budget",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.L7
+        val rows = Tables.events(s, d).select(
+            col("user_id").cast("long").as("uid"),
+            col("event_id").cast("long"), col("event_type"))
+          .as[(Long, Long, String)]
+        val classified = rows.groupByKey(_._1).mapGroups {
+          (uid: Long, it: Iterator[(Long, Long, String)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            def mk(e: (Long, Long, String)): Array[Byte] =
+              if (e._2 % 7 == 0) e._3 match {
+                case "click" =>
+                  "GET /index.html HTTP/1.1\r\n".getBytes("UTF-8")
+                case "purchase" => L7.clientHello(s"host${uid % 5}.example")
+                case "signup" => Array[Byte](0xc3.toByte, 0, 0, 0, 1, 8, 0)
+                case "view" => Array[Byte](0x12, 0x34, 0x01, 0x00, 0, 1,
+                  0, 0, 0, 0, 0, 0, 3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+                case _ => "220 mail.example ESMTP\r\n".getBytes("UTF-8")
+              } else Array[Byte](0, 1, 2, 3)
+            var last: Array[Byte] = Array.emptyByteArray
+            val packets = evs.iterator.map { e => last = mk(e); last }
+            val (cls, n) = L7.classifyFlow(packets, 3)
+            val sni =
+              if (cls == "tls") L7.tlsSni(last).orNull else null
+            (cls, n.toLong, sni)
+        }
+        classified.toDF("class", "inspected", "sni")
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_flows"),
+            sum("inspected").as("sum_inspected"),
+            countDistinct("sni").as("n_snis"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS rn
+              FROM events),
+            m AS (SELECT user_id, rn,
+                CASE WHEN event_id % 7 = 0 THEN
+                  CASE event_type WHEN 'click' THEN 'http'
+                    WHEN 'purchase' THEN 'tls' WHEN 'signup' THEN 'quic'
+                    WHEN 'view' THEN 'dns' ELSE 'smtp' END
+                END AS cls
+              FROM p WHERE rn <= 3),
+            fl AS (SELECT user_id,
+                min(CASE WHEN cls IS NOT NULL THEN rn || ':' || cls END)
+                  AS mk,
+                min(CASE WHEN cls IS NOT NULL THEN rn END) AS mrn,
+                max(rn) AS maxrn
+              FROM m GROUP BY user_id),
+            fl2 AS (SELECT user_id,
+                CASE WHEN mk IS NULL THEN 'giveup'
+                     ELSE substr(mk, 3) END AS class,
+                CASE WHEN mrn IS NULL THEN maxrn ELSE mrn END AS inspected,
+                user_id % 5 AS snikey
+              FROM fl)
+            SELECT class, count(*) AS n_flows,
+              CAST(sum(inspected) AS BIGINT) AS sum_inspected,
+              count(DISTINCT CASE WHEN class = 'tls' THEN snikey END)
+                AS n_snis
+            FROM fl2 GROUP BY class"""),
+      doc = "first-k-packets giveup budget + SMTP/QUIC/DNS/TLS-SNI"),
+
     // Salted two-phase aggregation: identical results to the direct
     // groupBy (the oracle IS the direct plan), different shuffle layout —
     // a hot port no longer lands on one reducer.

@@ -639,6 +639,33 @@ class ProtocolSpec extends AnyFunSuite {
     assert(b3.pendingSets == 0)
   }
 
+  test("BGP add-path: path ids round-trip; negotiation needs both sides") {
+    import graft.sources.{BgpMsg, BgpFsm}
+    import BgpMsg._
+    // wire round-trip with path ids on announce and withdraw
+    val u = Update(
+      withdrawn = Seq(Route(0x0A000000L, 24, 7L)),
+      nlri = Seq(Route(0x0A000000L, 24, 8L), Route(0x0A000000L, 24, 9L)),
+      origin = Some(0), asPath = Seq(65001L), nextHop = Some(1L))
+    assert(decodeStream(encode(u, addPath = true), addPath = true) == Seq(u))
+    // the SAME bytes parsed without add-path mis-frame: path ids are not
+    // self-describing (RFC 7911 §5) — capability negotiation is load-bearing
+    val mis = decodeStream(encode(u, addPath = true))
+    assert(mis != Seq(u))
+    // OPEN carries capability 69 and the FSM requires BOTH sides
+    val both = new BgpFsm(64512L, 1L, myAddPath = true)
+    both.start(0L)
+    both.onMessage(OpenMsg(Open(65001L, 90, 9L, addPath = true)), 1L)
+    assert(both.addPathNegotiated)
+    val oneSided = new BgpFsm(64512L, 1L, myAddPath = true)
+    oneSided.start(0L)
+    oneSided.onMessage(OpenMsg(Open(65001L, 90, 9L)), 1L)
+    assert(!oneSided.addPathNegotiated)
+    // and the collector's own OPEN advertises it on the wire
+    val sent = decodeMessage(java.nio.ByteBuffer.wrap(both.toSend.head))
+    assert(sent.asInstanceOf[OpenMsg].open.addPath)
+  }
+
   test("RTR: every PDU type round-trips through the wire") {
     import graft.sources.RtrMsg
     import RtrMsg._

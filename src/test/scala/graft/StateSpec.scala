@@ -156,6 +156,37 @@ class StateSpec extends AnyFunSuite {
     assert(L7.classifyPayload(Array[Byte](1, 2, 3)) == "unknown")
   }
 
+  test("L7 breadth: SMTP/QUIC/DNS signatures, SNI, giveup budget") {
+    import graft.functions.L7
+    assert(L7.classifyPayload("220 mx.example ESMTP\r\n".getBytes) == "smtp")
+    assert(L7.classifyPayload(
+      Array[Byte](0xc3.toByte, 0, 0, 0, 1, 9)) == "quic")
+    // QUIC needs the fixed bit AND a known version
+    assert(L7.classifyPayload(
+      Array[Byte](0xc3.toByte, 9, 9, 9, 9, 0)) == "unknown")
+    val dns = Array[Byte](0x12, 0x34, 0x01, 0x00, 0, 1, 0, 0, 0, 0, 0, 0,
+      3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+    assert(L7.classifyPayload(dns) == "dns")
+    // a DNS RESPONSE (QR=1) must not match the query heuristic
+    val resp = dns.clone(); resp(2) = 0x81.toByte
+    assert(L7.classifyPayload(resp) == "unknown")
+    // SNI round-trips through the ClientHello encoder, and the parser
+    // survives truncation at every byte boundary without throwing
+    val ch = L7.clientHello("svc.example.org")
+    assert(L7.classifyPayload(ch) == "tls")
+    assert(L7.tlsSni(ch) == Some("svc.example.org"))
+    (0 until ch.length).foreach(n =>
+      L7.tlsSni(java.util.Arrays.copyOf(ch, n)))
+    // giveup budget: match on packet 3 is found, on packet 4 is not
+    val noise = Array[Byte](0, 1, 2, 3)
+    val hit = "GET / HTTP/1.1".getBytes
+    assert(L7.classifyFlow(Iterator(noise, noise, hit, noise), 3)
+      == ("http", 3))
+    assert(L7.classifyFlow(Iterator(noise, noise, noise, hit), 3)
+      == ("giveup", 3))
+    assert(L7.classifyFlow(Iterator(noise), 3) == ("giveup", 1))
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // the §9 at-rest knob made concrete: facts bucketed by exporter join
     // a bucketed dim with ZERO Exchange operators — the co-location that
