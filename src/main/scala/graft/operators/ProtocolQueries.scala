@@ -476,6 +476,74 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "YANG UDP-notif envelope: encode, split, parse JSON payloads"),
 
+    // ZeroMQ broker-bridge telemetry ingest (telemetry.c:120-123 zmq-pull;
+    // nfacctd_zmq_*, CONFIG-KEYS:1966-1990): producers publish 2-part
+    // [topic][payload] envelopes over ZMTP 3.0 sessions (greeting + NULL
+    // READY handshake + multipart frames); the collector decodes the
+    // session, routes by topic, and feeds each payload to the matching
+    // telemetry decoder — GPB wire walk (q95's codec) or JSON (q79's
+    // path). Greeting, handshake-gating, frame-size or multipart defects
+    // all break parity with the raw-events oracle.
+    Q("q114_zmq_telemetry",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{TelemetryGpb, Zmtp}
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_id", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, Long, String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            val msgs: Seq[Seq[Array[Byte]]] = batch.map {
+              case (uid, eid, et, b) =>
+                if (eid % 2 == 0)
+                  Seq("telemetry/gpb".getBytes("UTF-8"),
+                    TelemetryGpb.encodeMsg(Seq(1 -> uid, 2 -> et, 3 -> b)))
+                else
+                  Seq("telemetry/json".getBytes("UTF-8"),
+                    s"""{"uid":$uid,"et":"$et","b":$b}"""
+                      .getBytes("UTF-8"))
+            }
+            Zmtp.decodeSession(Zmtp.session(msgs)).iterator.map { parts =>
+              val topic = new String(parts.head, "UTF-8")
+              if (topic == "telemetry/gpb") {
+                val m = TelemetryGpb.decodeMsg(parts(1))
+                ("gpb", m(1).head.asInstanceOf[Long],
+                  TelemetryGpb.str(m(2).head),
+                  m(3).head.asInstanceOf[Long], null: String)
+              } else
+                ("json", 0L, null: String, 0L,
+                  new String(parts(1), "UTF-8"))
+            }
+          }
+        }.toDF("leg", "uid", "et", "b", "payload")
+        decoded
+          .withColumn("j", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "uid BIGINT, et STRING, b BIGINT")))
+          .select(col("leg"),
+            coalesce(col("j.uid"), col("uid")).as("uid"),
+            coalesce(col("j.et"), col("et")).as("event_type"),
+            coalesce(col("j.b"), col("b")).as("b"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            sum("uid").as("sum_uid"),
+            sum(when(col("leg") === "gpb", 1L).otherwise(0L)).as("n_gpb"),
+            sum(when(col("leg") === "json", 1L).otherwise(0L))
+              .as("n_json"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gpb,
+              CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_json
+              FROM events GROUP BY 1"""),
+      doc = "ZMTP 3.0 broker bridge: topic envelopes into GPB/JSON legs"),
+
     // sFlow COUNTER samples (tag 2 / generic-if record): the periodic
     // SNMP-style interface stats sFlow exports besides packet samples
     // (src/sfacctd.c counter processing). Gauges encode into datagrams

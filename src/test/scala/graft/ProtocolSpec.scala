@@ -666,6 +666,34 @@ class ProtocolSpec extends AnyFunSuite {
     assert(sent.asInstanceOf[OpenMsg].open.addPath)
   }
 
+  test("ZMTP: greeting+READY+multipart round-trip incl. long frames") {
+    import graft.sources.Zmtp
+    val big = Array.fill[Byte](70000)(0x5a) // forces the 8-byte LONG size
+    val msgs: Seq[Seq[Array[Byte]]] = Seq(
+      Seq("topic/a".getBytes, "hello".getBytes),
+      Seq("topic/b".getBytes, big, "tail".getBytes)) // 3-part message
+    val got = Zmtp.decodeSession(Zmtp.session(msgs))
+    assert(got.size == 2)
+    assert(got(0).map(new String(_)) == Seq("topic/a", "hello"))
+    assert(got(1).size == 3 && got(1)(1).sameElements(big))
+  }
+
+  test("ZMTP: handshake gating and malformed input stop the walk") {
+    import graft.sources.Zmtp
+    // data frame before READY is a protocol violation → nothing decodes
+    val noReady = Zmtp.greeting(false) ++ Zmtp.frame("x".getBytes, false)
+    assert(Zmtp.decodeSession(noReady).isEmpty)
+    // bad greeting signature
+    val sess = Zmtp.session(Seq(Seq("t".getBytes, "p".getBytes)))
+    val badSig = sess.clone(); badSig(0) = 0
+    assert(Zmtp.decodeSession(badSig).isEmpty)
+    // truncated final frame → earlier complete message survives
+    val two = Zmtp.session(Seq(Seq("t".getBytes, "p1".getBytes),
+      Seq("t".getBytes, "p2".getBytes)))
+    val cut = java.util.Arrays.copyOf(two, two.length - 1)
+    assert(Zmtp.decodeSession(cut).size == 1)
+  }
+
   test("RTR: every PDU type round-trips through the wire") {
     import graft.sources.RtrMsg
     import RtrMsg._
