@@ -106,6 +106,27 @@ class StateSpec extends AnyFunSuite {
     assert(got == Set(("b", 5L))) // batch rows merge per key on upsert
   }
 
+  test("ImtStore upsert is O(batch): deltas accumulate, compaction folds") {
+    val store = new ImtStore(spark, "imt_lsm", Seq("k"), Seq("n"),
+      compactEvery = 4)
+    (1 to 3).foreach(_ =>
+      store.upsert(Seq(("a", 1L), ("b", 2L)).toDF("k", "n")))
+    // the write path materialized three batch-sized deltas and never
+    // rebuilt a base generation — per-upsert work ∝ batch, not table
+    assert(store.generations == 3)
+    store.upsert(Seq(("a", 1L)).toDF("k", "n")) // 4th delta → compaction
+    assert(store.generations == 1)
+    val got = store.query("SELECT k, n FROM imt_lsm ORDER BY k")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L), ("b", 6L)))
+    // post-compaction reads merge base + fresh deltas
+    (1 to 2).foreach(_ => store.upsert(Seq(("c", 5L)).toDF("k", "n")))
+    assert(store.generations == 3)
+    val got2 = store.query("SELECT k, n FROM imt_lsm ORDER BY k")
+      .as[(String, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 4L), ("b", 6L), ("c", 10L)))
+  }
+
   test("LPM default route (len 0) catches uncovered space") {
     val t = new Lpm.Table(16, Seq((0L, 0, 999L), (0L, 1, 1L)))
     assert(t.lookup(100L) == 1L)      // /1 beats default
