@@ -544,6 +544,59 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "ZMTP 3.0 broker bridge: topic envelopes into GPB/JSON legs"),
 
+    // gRPC dial-in telemetry transport (telemetry.c:46
+    // grpc_collector_input): producers multiplex length-prefixed gRPC
+    // messages over HTTP/2 streams; DATA frames are cut at 48 bytes so
+    // messages routinely SPAN frames and frames hold partial messages —
+    // the decoder must reassemble per stream before the GPB wire walk.
+    // Preface, frame-header, stream-mux or length-prefix defects all
+    // break parity with the raw-events oracle.
+    Q("q115_grpc_telemetry",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{GrpcFrames, TelemetryGpb}
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            // one HTTP/2 connection per batch, 8 client streams (odd ids)
+            val streams = batch.groupBy(r => 2 * (r._1 % 8) + 1)
+              .toSeq.sortBy(_._1)
+              .map { case (sid, rs) =>
+                val body = new java.io.ByteArrayOutputStream()
+                rs.foreach { case (uid, et, b) =>
+                  val m = GrpcFrames.grpcMessage(
+                    TelemetryGpb.encodeMsg(Seq(1 -> uid, 2 -> et, 3 -> b)))
+                  body.write(m, 0, m.length)
+                }
+                (sid, body.toByteArray)
+              }
+            GrpcFrames.decode(GrpcFrames.connection(streams, maxFrame = 48))
+              .iterator.map { case (sid, payload) =>
+                val m = TelemetryGpb.decodeMsg(payload)
+                (sid, m(1).head.asInstanceOf[Long],
+                  TelemetryGpb.str(m(2).head),
+                  m(3).head.asInstanceOf[Long])
+              }
+          }
+        }
+        decoded.toDF("sid", "uid", "event_type", "b")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            sum("uid").as("sum_uid"),
+            countDistinct("sid").as("n_streams"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              count(DISTINCT 2 * (user_id % 8) + 1) AS n_streams
+              FROM events GROUP BY 1"""),
+      doc = "gRPC/HTTP-2 framing: stream mux + cross-frame reassembly"),
+
     // sFlow COUNTER samples (tag 2 / generic-if record): the periodic
     // SNMP-style interface stats sFlow exports besides packet samples
     // (src/sfacctd.c counter processing). Gauges encode into datagrams

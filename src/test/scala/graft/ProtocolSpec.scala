@@ -666,6 +666,25 @@ class ProtocolSpec extends AnyFunSuite {
     assert(sent.asInstanceOf[OpenMsg].open.addPath)
   }
 
+  test("gRPC framing: messages spanning DATA frames reassemble per stream") {
+    import graft.sources.GrpcFrames
+    val msgA = GrpcFrames.grpcMessage(Array.fill[Byte](100)(1))
+    val msgB = GrpcFrames.grpcMessage(Array.fill[Byte](7)(2))
+    val msgC = GrpcFrames.grpcMessage(Array.fill[Byte](60)(3))
+    // stream 1 carries two messages, stream 3 one; 16-byte frames force
+    // every message across multiple DATA frames
+    val conn = GrpcFrames.connection(
+      Seq((1L, msgA ++ msgB), (3L, msgC)), maxFrame = 16)
+    val got = GrpcFrames.decode(conn)
+    assert(got.map(g => (g._1, g._2.length)) ==
+      Seq((1L, 100), (1L, 7), (3L, 60)))
+    assert(got(0)._2.forall(_ == 1) && got(1)._2.forall(_ == 2))
+    // bad preface → nothing; truncated tail → leading messages survive
+    assert(GrpcFrames.decode(conn.drop(1)).isEmpty)
+    val cut = java.util.Arrays.copyOf(conn, conn.length - 30)
+    assert(GrpcFrames.decode(cut).nonEmpty)
+  }
+
   test("ZMTP: greeting+READY+multipart round-trip incl. long frames") {
     import graft.sources.Zmtp
     val big = Array.fill[Byte](70000)(0x5a) // forces the 8-byte LONG size
