@@ -17,81 +17,11 @@ object DedupQueries {
   // MinHash runs over 3-token SHINGLE hashes, not raw tokens: with a small
   // vocabulary raw-token sets are near-identical across the corpus and LSH
   // buckets degenerate to O(n²) candidates; shingles keep buckets sparse.
-  private val hsD =
-    s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
-      s"g -> ${sparkTokHash("g")} % $P))"
+  // The Spark-side chain lives in [[SigTable.hsExpr]] (materialized once
+  // per dataset); this is the DuckDB oracle spelling of the same chain.
   private val hsDuck =
     s"list_distinct(list_transform(${duckShingles(duckToks)}, " +
       s"g -> ${duckTokHash("g")} % $P))"
-
-  // All 8 minhash signatures in one fold ((2k+3)h + (97k+11), the same
-  // constants as TextOps.minhashA/B); 4 band keys derived from ONE
-  // generator input, so the shingle+md5 chain runs once per doc, not once
-  // per signature (let1 note in TextOps).
-  private val sigsArr =
-    s"""transform(sequence(0, 7), k -> array_min(
-        transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
-  private val bandArr = let1(sigsArr, sg =>
-    s"""transform(sequence(0, 3), b -> concat_ws('_', b,
-        element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
-
-  /** The materialized signature table — the 100 TB production shape.
-    *
-    * A real pipeline computes (doc_id, shingle-hash set, band keys) ONCE
-    * and every dedup consumer (pair finding q38, keep-list q72,
-    * incremental probe q74, clustering q85) reads that table; nothing
-    * re-runs the tokenize→shingle→md5→minhash chain. This cache is that
-    * table, scoped per (session, dataset). The fill is materialized
-    * EAGERLY (`count()`): a lazily-persisted table read by two self-join
-    * legs is computed twice, because concurrently scheduled stages both
-    * miss the not-yet-filled cache — the eager fill is what makes the
-    * chain truly run once.
-    */
-  private object SigTable {
-    import org.apache.spark.sql.{DataFrame, SparkSession}
-    private val cache =
-      scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
-    def sigs(s: SparkSession, d: String): DataFrame =
-      cache.getOrElseUpdate((System.identityHashCode(s), d), {
-        // The raw table is small on disk (one input split) but the chain
-        // is CPU-bound — spread rows across all cores BEFORE computing.
-        // At 100 TB the scan has thousands of splits and this repartition
-        // is a no-op cost-wise (it moves raw text once, pre-explosion).
-        val df = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id", s"$hsD as hs")
-          .selectExpr("doc_id", "hs", s"$bandArr as bks")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // eager fill — see Scaladoc
-        df
-      })
-    /** Band-exploded view (cheap explode over the cached table). */
-    def bands(s: SparkSession, d: String): DataFrame =
-      sigs(s, d).selectExpr("doc_id", "hs", "explode(bks) as bk")
-
-    /** The verified near-dup PAIR table (banded candidates, shingle
-      * Jaccard >= 0.9, a < b) — the second table a production dedup
-      * pipeline materializes: keep-list (q72) and clustering (q85) both
-      * consume it, so the banded self-join runs once, not per consumer.
-      * (q74 deliberately does NOT read it: its point is the incremental
-      * batch-probes-index shape, which never sees a full self-join.)
-      */
-    private val pairCache =
-      scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
-    def pairs90(s: SparkSession, d: String): DataFrame =
-      pairCache.getOrElseUpdate((System.identityHashCode(s), d), {
-        val b = bands(s, d)
-        val df = b.as("x").join(b.as("y"),
-            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-          .filter(expr("size(array_intersect(x.hs, y.hs)) / " +
-            "cast(size(array_union(x.hs, y.hs)) as double)") >= 0.9)
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // eager fill, same reason as sigs
-        df
-      })
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -198,10 +128,10 @@ object DedupQueries {
     // n-gram (3-token shingle) Jaccard within length-blocked pairs.
     Q("q40_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d).selectExpr("doc_id",
-          s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
-            s"g -> ${sparkTokHash("g")} % $P)) as gs",
-          s"size($sparkToks) div 20 as blk")
+        // shingle sets and token counts come from the materialized
+        // signature table; both self-join sides read the cache
+        val docs = SigTable.sigs(s, d)
+          .selectExpr("doc_id", "hs as gs", "n_toks div 20 as blk")
         docs.as("x").join(docs.as("y"),
             col("x.blk") === col("y.blk") &&
               col("x.doc_id") < col("y.doc_id"))

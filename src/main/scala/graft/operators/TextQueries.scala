@@ -112,8 +112,10 @@ object TextQueries {
     Q("q103_sequence_packing",
       (s, d) => {
         val budget = 512L
-        val docs = Tables.documents(s, d)
-          .selectExpr("doc_id", s"size($sparkToks) as ntok")
+        // token counts ride the materialized signature table (SigTable):
+        // both consumers below (cumsum leg, offsets leg) read the cache
+        val docs = SigTable.sigs(s, d)
+          .selectExpr("doc_id", "n_toks as ntok")
           .withColumn("bucket", expr("doc_id div 64"))
         val wIn = org.apache.spark.sql.expressions.Window
           .partitionBy("bucket").orderBy("doc_id")
@@ -150,11 +152,10 @@ object TextQueries {
     // standard n-gram-overlap decontamination pass at corpus scale.
     Q("q104_decontamination",
       (s, d) => {
-        val hsExpr =
-          s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
-            s"g -> ${sparkTokHash("g")} % $P))"
-        val t = Tables.documents(s, d)
-          .selectExpr("doc_id", s"explode($hsExpr) as h")
+        // shingle hashes explode off the materialized signature table —
+        // the chain never re-runs for the bench/corpus legs
+        val t = SigTable.sigs(s, d)
+          .selectExpr("doc_id", "explode(hs) as h")
         val bench = t.filter(col("doc_id") % 10 === 0)
           .select("h").distinct()
         val corpus = t.filter(col("doc_id") % 10 =!= 0)
