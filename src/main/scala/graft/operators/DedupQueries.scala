@@ -290,8 +290,10 @@ object DedupQueries {
         val undirected = edges.unionByName(
           edges.select(col("b").as("a"), col("a").as("b"))).persist()
         undirected.count() // materialize edges before the label loop
+        // seed labels WITHOUT a distinct (its own shuffle): duplicate
+        // doc_ids are collapsed by round 1's groupBy anyway
         var labels = undirected.select(col("a").as("doc_id"))
-          .distinct().withColumn("root", col("doc_id")).persist()
+          .withColumn("root", col("doc_id")).persist()
         // Loop hygiene at scale: each round persists its generation, the
         // PREVIOUS generation is unpersisted as soon as `changed` has read
         // it (executor storage stays flat ∝ one generation, not ∝ rounds),

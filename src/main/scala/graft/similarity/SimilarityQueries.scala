@@ -135,6 +135,66 @@ object SimilarityQueries {
               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_cand_pairs
             FROM cl"""
       }),
-      doc = "random-hyperplane LSH signature bucketing")
+      doc = "random-hyperplane LSH signature bucketing"),
+
+    // SemDeDup-shaped semantic dedup: coarse k-means-style assignment to
+    // broadcast centroids (one deterministic step; ties -> lowest
+    // centroid id), then near-dup pruning PAIRWISE WITHIN EACH CLUSTER
+    // only — the property that makes semantic dedup tractable at corpus
+    // scale: candidate pairs are cluster-local, never all-pairs. Greedy
+    // lowest-id-wins drop like the shingle keep-list (q72).
+    Q("q116_semantic_dedup",
+      (s, d) => {
+        val n = vectors(s, d)
+        val cents = n.filter(col("vec_id") < 8)
+          .selectExpr("vec_id as cid", "v as qv", "nrm as qnrm")
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cid").asc)
+        val assigned = n.crossJoin(broadcast(cents))
+          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "cid", "v", "nrm")
+        val drops = assigned.as("x").join(assigned.as("y"),
+            col("x.cid") === col("y.cid") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .withColumn("psim",
+            expr("aggregate(zip_with(x.v, y.v, (p, w) -> p * w), 0D," +
+              " (a, z) -> a + z)") / (col("x.nrm") * col("y.nrm")))
+          .filter(col("psim") >= 0.35)
+          .select(col("y.vec_id").as("vec_id")).distinct()
+        assigned
+          .join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+          .withColumn("n_kept", col("n_members") - col("n_dropped"))
+      },
+      Some(s"""WITH $duckVecs,
+            cents AS (SELECT vec_id AS cid, v AS qv, nrm AS qn
+              FROM n WHERE vec_id < 8),
+            sims AS (SELECT n.vec_id, q.cid,
+                $duckDot / (n.nrm * q.qn) AS sim
+              FROM n, cents q),
+            asg AS (SELECT vec_id, cid, row_number() OVER
+                (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+              FROM sims),
+            a AS (SELECT s.vec_id, s.cid, n.v, n.nrm
+              FROM asg s JOIN n USING (vec_id) WHERE s.rn = 1),
+            drops AS (SELECT DISTINCT y.vec_id
+              FROM a x JOIN a y
+                ON x.cid = y.cid AND x.vec_id < y.vec_id
+              WHERE list_reduce([0.0::DOUBLE] ||
+                  list_transform(range(1, len(x.v) + 1),
+                    i -> list_extract(x.v, i) * list_extract(y.v, i)),
+                  (a, z) -> a + z) / (x.nrm * y.nrm) >= 0.35)
+            SELECT cid, count(*) AS n_members,
+              CAST(sum(CASE WHEN a.vec_id IN (SELECT vec_id FROM drops)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              CAST(count(*) - sum(CASE WHEN a.vec_id IN
+                (SELECT vec_id FROM drops) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept
+            FROM a GROUP BY cid"""),
+      doc = "semantic dedup: centroid assignment + cluster-local pruning")
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Physical-plan hygiene assertions — the properties that decide whether
+  * a query survives a 100× scale-up: column pruning and predicate
+  * pushdown must reach the parquet scan, dimension joins must broadcast
+  * (never shuffle the fact side), and whole-stage codegen must cover the
+  * hot path. Plan text is asserted so a regression in any operator
+  * rewrite shows up as a failing spec, not a silent 10× slowdown.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  private val d = "/root/testdata/sf0.001"
+
+  test("column pruning reaches the parquet scan through the agg planner") {
+    val plan = SparkEntry.queries("q01_agg_base")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scan = plan.split("\n").find(_.contains("FileScan parquet"))
+      .getOrElse(fail("no parquet scan in plan"))
+    // lineitem has 16 columns; q01 uses 4 — the scan must read ONLY those
+    val read = scan.substring(scan.indexOf("ReadSchema"))
+    assert(read.count(_ == ':') <= 5, s"scan reads too many columns: $read")
+  }
+
+  test("raw-column predicates push down through the Tables loader") {
+    // the events loader rewrites ts (nanos -> timestamp); that rewrite
+    // must not break pushdown for untouched columns like event_type
+    val plan = Tables.events(spark, d)
+      .filter(col("event_type") === "click")
+      .select("event_id")
+      .queryExecution.executedPlan.toString
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed.contains("EqualTo(event_type,click)"),
+      s"predicate did not reach the scan: $pushed")
+  }
+
+  test("LPM longest-match join never shuffles the fact side") {
+    val plan = SparkEntry.queries("q20_networks_lpm")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "LPM joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here means the fact side shuffled")
+    // the ONLY hash exchange allowed is the final aggregation
+    val exchanges = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"$exchanges hash exchanges — fact side is being shuffled")
+  }
+
+  test("dimension enrichment joins broadcast, fact side stays in place") {
+    val plan = SparkEntry.queries("q19_enrich_bcast")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      <= 1)
+  }
+
+  test("core aggregation is codegen'd with map-side partial aggregation") {
+    val q = SparkEntry.queries("q01_agg_base")(spark, d)
+    q.collect() // materialize so AQE finalizes the plan
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" prefixes are WholeStageCodegen spans over the hot operators
+    assert(plan.contains("*(1) HashAggregate") ||
+      plan.contains("*(1) ColumnarToRow"),
+      s"hot aggregation path fell out of codegen")
+    // partial_sum before the exchange = map-side combine: the shuffle
+    // moves one row per (group, partition), not one row per input row
+    assert(plan.contains("partial_sum"),
+      "no map-side partial aggregation before the shuffle")
+  }
+}
