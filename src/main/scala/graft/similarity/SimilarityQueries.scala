@@ -146,15 +146,27 @@ object SimilarityQueries {
     Q("q116_semantic_dedup",
       (s, d) => {
         val n = vectors(s, d)
-        val cents = n.filter(col("vec_id") < 8)
+        // k ~ sqrt(N) coarse clusters keeps cluster-local pair counts
+        // (sum of c_i^2 / 2) bounded — the SemDeDup scaling knob
+        val cents = n.filter(col("vec_id") < 32)
           .selectExpr("vec_id as cid", "v as qv", "nrm as qnrm")
         val w = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cid").asc)
-        val assigned = n.crossJoin(broadcast(cents))
-          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+        // argmax runs over slim (vec_id, cid, sim) rows — the 64-double
+        // vectors are dropped BEFORE the window shuffle and joined back
+        // afterwards (vec_id-keyed), so the rank exchange moves 24 bytes
+        // per candidate, not 500. The result is materialized once: the
+        // cluster-local self-join below reads it on BOTH sides.
+        val asg = n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (sparkSim / (col("qnrm") * col("nrm"))).as("sim"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select("vec_id", "cid", "v", "nrm")
+          .select("vec_id", "cid")
+        val assigned = n.select("vec_id", "v", "nrm")
+          .join(asg, Seq("vec_id"))
+          .persist()
+        assigned.count()
         val drops = assigned.as("x").join(assigned.as("y"),
             col("x.cid") === col("y.cid") &&
               col("x.vec_id") < col("y.vec_id"))
@@ -172,7 +184,7 @@ object SimilarityQueries {
       },
       Some(s"""WITH $duckVecs,
             cents AS (SELECT vec_id AS cid, v AS qv, nrm AS qn
-              FROM n WHERE vec_id < 8),
+              FROM n WHERE vec_id < 32),
             sims AS (SELECT n.vec_id, q.cid,
                 $duckDot / (n.nrm * q.qn) AS sim
               FROM n, cents q),
