@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Tables}
 import graft.plans.BpfFilter
-import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowIfCounters, SFlowSample, SFlowV5, V5Header, V5Record}
+import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowGateway, SFlowIfCounters, SFlowSample, SFlowV5, V5Header, V5Record}
 
 /** Protocol-surface operators: the BPF filter compiler in a real plan,
   * custom primitives (user-declared field extraction, SURVEY §1.2), and
@@ -638,6 +638,66 @@ object ProtocolQueries {
                 AS sum_in_octets
               FROM events GROUP BY 1, 2"""),
       doc = "sFlow counter samples compacted to latest interface stats"),
+
+    // sFlow extended-gateway records (flow record tag 1003,
+    // src/sfv5_module.c): BGP attributes exported inline with the packet
+    // sample — pmacct's sfacctd derives peer/origin AS accounting from
+    // these without any BGP session. Each sample carries raw-header AND
+    // gateway records; decode walks both, origin AS = AS-path last hop,
+    // and accounting renormalizes by the decoded sampling rate. The
+    // oracle rebuilds the same accounting from raw events: path walk,
+    // community counts, or rate defects all break parity.
+    Q("q117_sflow_gateway",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id % 8 as bigint) as agent", "event_id",
+            "cast(user_id as bigint) as uid",
+            "cast(floor(value * 100) as bigint) % 65536 as flen")
+          .as[(Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(20).flatMap { batch =>
+            val samples = batch.map { case (agent, eid, uid, flen) =>
+              SFlowSample(eid, agent, 1L << (uid % 3), 0L, 0L, 1L, 2L,
+                1L, flen, Seq.empty,
+                gateway = Some(SFlowGateway(
+                  nextHop = uid % 256,
+                  routerAs = 64512L,
+                  srcAs = 65000L + uid % 16,
+                  srcPeerAs = 64512L,
+                  dstAsPath = Seq(65100L + eid % 4, 65200L + eid % 8),
+                  communities = (0 until (eid % 3 + 1).toInt)
+                    .map(i => (65200L << 16) | i.toLong),
+                  localPref = 100L + eid % 5)))
+            }
+            val dg = SFlowV5.encode(SFlowDatagram(
+              batch.head._1, 0L, batch.head._2 % 4294967296L, 0L, samples))
+            SFlowV5.decode(dg).samples.iterator.flatMap { smp =>
+              smp.gateway.iterator.map { g =>
+                (g.dstAsPath.last, g.srcAs, smp.rate * smp.frameLength,
+                  g.communities.size.toLong, g.localPref)
+              }
+            }
+          }
+        }
+        decoded.toDF("origin_as", "src_as", "renorm_bytes", "n_comm", "lp")
+          .groupBy("origin_as")
+          .agg(count(lit(1)).as("n"),
+            sum("renorm_bytes").as("renorm_bytes"),
+            countDistinct("src_as").as("n_src_as"),
+            sum("n_comm").as("sum_n_comm"),
+            sum("lp").as("sum_localpref"))
+      },
+      Some("""SELECT 65200 + event_id % 8 AS origin_as, count(*) AS n,
+              CAST(sum((1 << (user_id % 3)) *
+                (CAST(floor(value * 100) AS BIGINT) % 65536)) AS BIGINT)
+                AS renorm_bytes,
+              count(DISTINCT 65000 + user_id % 16) AS n_src_as,
+              CAST(sum(event_id % 3 + 1) AS BIGINT) AS sum_n_comm,
+              CAST(sum(100 + event_id % 5) AS BIGINT) AS sum_localpref
+              FROM events GROUP BY 1"""),
+      doc = "sFlow extended-gateway: inline BGP attrs, renorm accounting"),
 
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).

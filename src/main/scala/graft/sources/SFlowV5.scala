@@ -21,7 +21,16 @@ import scala.collection.mutable
 final case class SFlowSample(
     seq: Long, sourceId: Long, rate: Long, pool: Long, drops: Long,
     ifIn: Long, ifOut: Long, headerProtocol: Long, frameLength: Long,
-    header: Seq[Byte])
+    header: Seq[Byte], gateway: Option[SFlowGateway] = None)
+
+/** Extended gateway record (flow record tag 1003): the BGP attributes a
+  * router exports inline with the packet sample — pmacct's sfacctd gets
+  * peer/origin AS data from this record instead of a BGP session
+  * (`src/sfv5_module.c` extended-gateway handling). Path is one
+  * AS_SEQUENCE segment; origin AS = last hop. */
+final case class SFlowGateway(
+    nextHop: Long, routerAs: Long, srcAs: Long, srcPeerAs: Long,
+    dstAsPath: Seq[Long], communities: Seq[Long], localPref: Long)
 
 /** Generic interface counters record (counter sample, tag 2 / record
   * tag 1): the periodic SNMP-style stats sFlow exports besides packet
@@ -41,7 +50,12 @@ object SFlowV5 {
     val sampleBufs = d.samples.map { s =>
       val hdrPad = (4 - s.header.size % 4) % 4
       val recLen = 16 + s.header.size + hdrPad
-      val sampLen = 32 + 8 + recLen
+      // extended gateway record (tag 1003), when present
+      val gwLen = s.gateway.map(g =>
+        4 + 4 + 12 + 4 + 8 + 4 * g.dstAsPath.size +
+          4 + 4 * g.communities.size + 4).getOrElse(0)
+      val nRecs = 1 + s.gateway.size
+      val sampLen = 32 + 8 + recLen + (if (gwLen > 0) 8 + gwLen else 0)
       val b = ByteBuffer.allocate(8 + sampLen)
       b.putInt(1) // flow sample tag
       b.putInt(sampLen)
@@ -52,7 +66,7 @@ object SFlowV5 {
       b.putInt(s.drops.toInt)
       b.putInt(s.ifIn.toInt)
       b.putInt(s.ifOut.toInt)
-      b.putInt(1) // n_records
+      b.putInt(nRecs)
       b.putInt(1) // raw packet header record tag
       b.putInt(recLen)
       b.putInt(s.headerProtocol.toInt)
@@ -61,6 +75,22 @@ object SFlowV5 {
       b.putInt(s.header.size)
       s.header.foreach(b.put)
       (0 until hdrPad).foreach(_ => b.put(0.toByte))
+      s.gateway.foreach { g =>
+        b.putInt(1003) // extended gateway record tag
+        b.putInt(gwLen)
+        b.putInt(1) // next-hop address type: IPv4
+        b.putInt(g.nextHop.toInt)
+        b.putInt(g.routerAs.toInt)
+        b.putInt(g.srcAs.toInt)
+        b.putInt(g.srcPeerAs.toInt)
+        b.putInt(1) // one AS-path segment
+        b.putInt(2) // AS_SEQUENCE
+        b.putInt(g.dstAsPath.size)
+        g.dstAsPath.foreach(a => b.putInt(a.toInt))
+        b.putInt(g.communities.size)
+        g.communities.foreach(c => b.putInt(c.toInt))
+        b.putInt(g.localPref.toInt)
+      }
       b.array()
     }
     val counterBufs = d.counters.map { c =>
@@ -131,6 +161,7 @@ object SFlowV5 {
         val (iin, iout) = (u32(), u32())
         val nRecs = u32().toInt
         var sample: Option[SFlowSample] = None
+        var gateway: Option[SFlowGateway] = None
         (0 until nRecs).foreach { _ =>
           val rtag = u32()
           val rlen = u32().toInt
@@ -144,10 +175,28 @@ object SFlowV5 {
             buf.get(hdr)
             sample = Some(SFlowSample(sseq, src, rate, pool, drops,
               iin, iout, proto, frameLen, hdr.toSeq))
+          } else if (rtag == 1003 && gateway.isEmpty) {
+            val addrType = u32()
+            val nextHop = if (addrType == 1) u32() else { // IPv6: 16 bytes
+              val v6 = new Array[Byte](16); buf.get(v6); 0L
+            }
+            val (ras, sas, spas) = (u32(), u32(), u32())
+            val nSegs = u32().toInt
+            val path = mutable.Buffer[Long]()
+            (0 until nSegs).foreach { _ =>
+              u32() // segment type (order preserved per segment)
+              val n = u32().toInt
+              (0 until n).foreach(_ => path += u32())
+            }
+            val nComm = u32().toInt
+            val comms = (0 until nComm).map(_ => u32())
+            val lp = u32()
+            gateway = Some(SFlowGateway(nextHop, ras, sas, spas,
+              path.toSeq, comms, lp))
           }
           buf.position(rend)
         }
-        samples ++= sample
+        samples ++= sample.map(_.copy(gateway = gateway))
       }
       buf.position(end)
     }

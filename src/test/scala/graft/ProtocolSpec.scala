@@ -666,6 +666,23 @@ class ProtocolSpec extends AnyFunSuite {
     assert(sent.asInstanceOf[OpenMsg].open.addPath)
   }
 
+  test("sFlow extended-gateway record round-trips beside raw header") {
+    import graft.sources.{SFlowV5, SFlowDatagram, SFlowSample, SFlowGateway}
+    val gw = SFlowGateway(nextHop = 0x0A000001L, routerAs = 64512L,
+      srcAs = 65001L, srcPeerAs = 64512L,
+      dstAsPath = Seq(65100L, 65200L, 65300L),
+      communities = Seq((65300L << 16) | 7L), localPref = 120L)
+    val s = SFlowSample(1L, 2L, 4L, 100L, 0L, 1L, 2L, 1L, 1500L,
+      Seq[Byte](1, 2, 3), gateway = Some(gw))
+    val plain = s.copy(seq = 2L, gateway = None)
+    val got = SFlowV5.decode(SFlowV5.encode(
+      SFlowDatagram(9L, 0L, 1L, 0L, Seq(s, plain))))
+    assert(got.samples.size == 2)
+    assert(got.samples.head.gateway == Some(gw))
+    assert(got.samples.head.header == Seq[Byte](1, 2, 3))
+    assert(got.samples(1).gateway.isEmpty)
+  }
+
   test("gRPC framing: messages spanning DATA frames reassemble per stream") {
     import graft.sources.GrpcFrames
     val msgA = GrpcFrames.grpcMessage(Array.fill[Byte](100)(1))
