@@ -159,4 +159,55 @@ class CodecPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RTR: random PDU streams round-trip (50 seeds)") {
+    import graft.sources.RtrMsg
+    import RtrMsg._
+    for (seed <- 0 until 50) {
+      val r = new Random(seed)
+      def v4(): Pdu = {
+        val plen = r.nextInt(33)
+        val mlen = plen + r.nextInt(33 - plen)
+        Ipv4Prefix(r.nextBoolean(), plen, mlen,
+          (r.nextLong() & Long.MaxValue) % 4294967296L,
+          (r.nextLong() & Long.MaxValue) % 4294967296L)
+      }
+      val pdus: Seq[Pdu] = Seq(CacheResponse(r.nextInt(65536))) ++
+        Seq.fill(1 + r.nextInt(8))(v4()) ++
+        Seq(EndOfData(1, r.nextInt(1000).toLong, 3600L, 600L, 7200L))
+      val wire = pdus.map(RtrMsg.encode).reduce(_ ++ _)
+      assert(RtrMsg.decodeStream(wire) == pdus, s"seed $seed")
+    }
+  }
+
+  test("new wire codecs survive truncation and bit flips (never throw)") {
+    import graft.sources.{RtrMsg, Zmtp, GrpcFrames}
+    val rtr = Seq(RtrMsg.CacheResponse(1),
+      RtrMsg.Ipv4Prefix(announce = true, 8, 16, 0x0A000000L, 65001L),
+      RtrMsg.EndOfData(1, 5L, 3600L, 600L, 7200L))
+      .map(RtrMsg.encode).reduce(_ ++ _)
+    val zmtp = Zmtp.session(Seq(Seq("t".getBytes, "payload".getBytes),
+      Seq("t2".getBytes, Array.fill[Byte](300)(1))))
+    val grpc = GrpcFrames.connection(Seq(
+      (1L, GrpcFrames.grpcMessage(Array.fill[Byte](40)(2)))), maxFrame = 16)
+    val streams = Seq[(String, Array[Byte], Array[Byte] => Any)](
+      ("rtr", rtr, RtrMsg.decodeStream),
+      ("zmtp", zmtp, Zmtp.decodeSession),
+      ("grpc", grpc, GrpcFrames.decode))
+    streams.foreach { case (name, bytes, dec) =>
+      // every truncation point
+      (0 to bytes.length).foreach { n =>
+        dec(java.util.Arrays.copyOf(bytes, n))
+      }
+      // seeded single-byte corruptions at every offset
+      val r = new Random(7)
+      bytes.indices.foreach { i =>
+        val mut = bytes.clone()
+        mut(i) = (mut(i) ^ (1 << r.nextInt(8))).toByte
+        try dec(mut) catch {
+          case e: Throwable => fail(s"$name threw on flip at $i: $e")
+        }
+      }
+    }
+  }
 }
