@@ -238,25 +238,23 @@ object StreamingQueries {
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val store = java.nio.file.Files.createTempDirectory("q63_upsert")
           .resolve("store").toString
+        // update-mode re-emits a group's TOTAL; upsert = replace by key,
+        // expressed as append + latest-wins read with periodic compaction
+        // (core/VersionedStore — the Delta-MERGE parity path whose reads
+        // stay O(live keys), never O(flush history))
+        val vs = new graft.core.VersionedStore(s, store,
+          Seq("ubucket", "event_type"), compactEvery = 4)
         val q = s.readStream.schema(schema).parquet(s"$d/events.*")
           .groupBy((col("user_id") % 32).as("ubucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sumScaled(col("value"), 4).as("sum_value"))
           .writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            // update-mode re-emits a group's TOTAL; upsert = replace by key,
-            // expressed as append + latest-wins read (Delta-MERGE parity)
-            batch.withColumn("batch_id", lit(bid))
-              .write.mode("append").parquet(store)
+            vs.append(batch, bid)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val w = Window.partitionBy("ubucket", "event_type")
-          .orderBy(col("batch_id").desc)
-        s.read.parquet(store)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("ubucket", "event_type", "n", "sum_value")
+        vs.latest().select("ubucket", "event_type", "n", "sum_value")
       },
       Some("""SELECT user_id % 32 AS ubucket, event_type, count(*) AS n,
               CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)

@@ -127,6 +127,30 @@ class StateSpec extends AnyFunSuite {
     assert(got2 == Seq(("a", 4L), ("b", 6L), ("c", 10L)))
   }
 
+  test("VersionedStore: bounded storage, latest-wins reads across " +
+      "compaction") {
+    import graft.core.VersionedStore
+    val path = java.nio.file.Files.createTempDirectory("vstore")
+      .resolve("s").toString
+    val vs = new VersionedStore(spark, path, Seq("k"), compactEvery = 3)
+    // 10 flushes re-emitting totals for the same 4 keys
+    (1 to 10).foreach { v =>
+      vs.append(Seq(("a", v * 10L), ("b", v * 20L), ("c", v * 30L),
+        ("d", v * 40L)).toDF("k", "n"), v.toLong)
+    }
+    val got = vs.latest().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 100L, "b" -> 200L, "c" -> 300L, "d" -> 400L))
+    // bounded: base holds one version per key; delta holds at most
+    // (compactEvery - 1) flushes — NOT 10 flushes × 4 keys = 40 rows
+    assert(vs.storedRows() <= 4 * 3,
+      s"store grew with history: ${vs.storedRows()} rows")
+    // keys absent from later flushes must survive compaction
+    vs.append(Seq(("e", 1L)).toDF("k", "n"), 11L)
+    vs.compact(12L)
+    val after = vs.latest().as[(String, Long)].collect().toMap
+    assert(after("a") == 100L && after("e") == 1L && after.size == 5)
+  }
+
   test("LPM default route (len 0) catches uncovered space") {
     val t = new Lpm.Table(16, Seq((0L, 0, 999L), (0L, 1, 1L)))
     assert(t.lookup(100L) == 1L)      // /1 beats default
