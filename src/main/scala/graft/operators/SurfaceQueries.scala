@@ -351,6 +351,95 @@ object SurfaceQueries {
             FROM pfx GROUP BY peer"""),
       doc = "RFC 7911 add-path: negotiated path-id NLRI, multi-path RIB"),
 
+    // Multiprotocol BGP (RFC 4760; reference: AFI/SAFI-indexed RIBs in
+    // src/bgp/bgp_table.c): IPv6 unicast routes ride MP_REACH_NLRI /
+    // MP_UNREACH_NLRI path attributes — announce carries a 16-byte next
+    // hop + truncated-prefix NLRI inside attribute 14, withdraw inside
+    // 15 — while the classic v4 NLRI fields stay empty. Sessions encode
+    // to wire, decode back, and compact a v6 RIB per (peer, prefix).
+    // AFI/SAFI demux, 128-bit prefix reassembly, or next-hop length
+    // defects break parity with the raw-events oracle.
+    Q("q118_bgp_mp_ipv6",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 32).as("sess"), col("event_id"),
+            ((col("user_id") % 32) * 256 + col("event_id") % 256).as("pfx"),
+            (col("event_type") === "error").as("wd"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("med"))
+          .as[(Long, Long, Long, Boolean, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, pfx, wd, med) =>
+              // 2001:db8::/32-rooted prefixes, /48: pfx occupies the
+              // 16 bits below the /32 root, lo half zero
+              val r6 = BgpMsg.Route6(0x20010DB800000000L | (pfx << 16),
+                0L, 48)
+              val msg =
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn6 = Seq(r6)))
+                else BgpMsg.encode(BgpMsg.Update(
+                  nlri6 = Seq(r6), origin = Some(0),
+                  asPath = Seq(65000L + sess), med = Some(med),
+                  nextHop6 = Some((0xFE80L << 48, sess))))
+              wire.write(msg, 0, msg.length)
+            }
+            val peer = sess % 2
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                u.withdrawn6.iterator.map(r =>
+                  (peer, (r.hi >> 16) & 0xffffffL, seq.toLong,
+                    "withdraw", 0L, 0L)) ++
+                u.nlri6.iterator.map(r =>
+                  (peer, (r.hi >> 16) & 0xffffffL, seq.toLong, "update",
+                    u.med.getOrElse(0L),
+                    u.nextHop6.map(_._2).getOrElse(0L)))
+              }
+        }
+        decoded
+          .toDF("peer", "prefix", "seq", "op", "med", "nh_lo")
+          .groupBy("peer", "prefix")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(med, seq)").as("last_med"),
+            expr("max_by(nh_lo, seq)").as("last_nh"))
+          .groupBy("peer")
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_active"),
+            sum(when(col("last_op") === "withdraw", 1L).otherwise(0L))
+              .as("n_withdrawn"),
+            sum(when(col("last_op") === "update", col("last_med"))
+              .otherwise(0L)).as("sum_med"),
+            sum(when(col("last_op") === "update", col("last_nh"))
+              .otherwise(0L)).as("sum_nh_lo"))
+      },
+      Some("""WITH msgs AS (SELECT (user_id % 32) % 2 AS peer,
+                (user_id % 32) * 256 + event_id % 256 AS prefix,
+                event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 100) AS BIGINT) AS med,
+                user_id % 32 AS nh_lo
+              FROM events),
+            rib AS (SELECT peer, prefix, arg_max(op, seq) AS last_op,
+                arg_max(med, seq) AS last_med,
+                arg_max(nh_lo, seq) AS last_nh
+              FROM msgs GROUP BY 1, 2)
+            SELECT peer,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'withdraw' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_withdrawn,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_med ELSE 0
+                END) AS BIGINT) AS sum_med,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_nh ELSE 0
+                END) AS BIGINT) AS sum_nh_lo
+            FROM rib GROUP BY peer"""),
+      doc = "RFC 4760 MP-BGP: IPv6 NLRI in MP_REACH/UNREACH, v6 RIB"),
+
     // BMP binary session parsing (RFC 7854; src/bmp/bmp_msg.c): each
     // monitored peer's stream is Initiation + Peer Up + Route Monitoring
     // messages whose bodies are real per-peer headers + encapsulated BGP

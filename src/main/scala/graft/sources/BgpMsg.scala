@@ -26,6 +26,10 @@ object BgpMsg {
     * prefixes the entry on the wire; 0 otherwise. */
   final case class Route(prefix: Long, plen: Int, pathId: Long = 0L)
 
+  /** IPv6 NLRI entry: 128-bit prefix as two longs (big-endian halves)
+    * + mask length — carried in MP_REACH/MP_UNREACH (RFC 4760). */
+  final case class Route6(hi: Long, lo: Long, plen: Int)
+
   final case class Update(
       withdrawn: Seq[Route] = Nil,
       nlri: Seq[Route] = Nil,
@@ -34,7 +38,10 @@ object BgpMsg {
       nextHop: Option[Long] = None,
       med: Option[Long] = None,
       localPref: Option[Long] = None,
-      communities: Seq[Long] = Nil)
+      communities: Seq[Long] = Nil,
+      nlri6: Seq[Route6] = Nil,
+      withdrawn6: Seq[Route6] = Nil,
+      nextHop6: Option[(Long, Long)] = None)
 
   // ---- encode --------------------------------------------------------
 
@@ -74,6 +81,17 @@ object BgpMsg {
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  private def u64(v: Long): Array[Byte] =
+    (7 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+
+  /** v6 NLRI entry: plen byte + ceil(plen/8) prefix bytes (RFC 4760 §5,
+    * same truncated-prefix encoding as v4). */
+  private def prefixBytes6(r: Route6): Array[Byte] = {
+    val n = (r.plen + 7) / 8
+    val full = u64(r.hi) ++ u64(r.lo)
+    Array(r.plen.toByte) ++ full.take(n)
+  }
+
   /** addPath=true emits RFC 7911 path ids on every NLRI/withdrawn entry
     * (only valid when the session negotiated capability 69 both ways). */
   def encode(u: Update, addPath: Boolean = false): Array[Byte] = {
@@ -92,6 +110,24 @@ object BgpMsg {
     if (u.communities.nonEmpty)
       attrs ++= attr(0xc0, 8,
         u.communities.flatMap(c => u32(c).toSeq).toArray)
+    // RFC 4760: IPv6 unicast rides MP_REACH_NLRI (14) / MP_UNREACH (15)
+    if (u.nlri6.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 2          // AFI 2: IPv6
+      b += 1                  // SAFI 1: unicast
+      b += 16                 // next-hop length
+      val (nh, nl) = u.nextHop6.getOrElse((0L, 0L))
+      b ++= u64(nh); b ++= u64(nl)
+      b += 0                  // reserved (SNPA count in RFC 2858)
+      u.nlri6.foreach(r => b ++= prefixBytes6(r))
+      attrs ++= attr(0x80, 14, b.result())
+    }
+    if (u.withdrawn6.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 2; b += 1
+      u.withdrawn6.foreach(r => b ++= prefixBytes6(r))
+      attrs ++= attr(0x80, 15, b.result())
+    }
     val attrBytes = attrs.result()
     val wd = nlriBytes(u.withdrawn, addPath)
     val nl = nlriBytes(u.nlri, addPath)
@@ -120,6 +156,22 @@ object BgpMsg {
       var p = 0L
       (0 until n).foreach(i => p |= (buf.get() & 0xffL) << (24 - 8 * i))
       out += Route(p, plen, pathId)
+    }
+    out.toSeq
+  }
+
+  private def readRoutes6(buf: ByteBuffer, end: Int): Seq[Route6] = {
+    val out = mutable.Buffer[Route6]()
+    while (buf.position() < end) {
+      val plen = buf.get() & 0xff
+      val n = (plen + 7) / 8
+      val full = new Array[Byte](16)
+      buf.get(full, 0, n)
+      val hi = (0 until 8).foldLeft(0L)((a, i) =>
+        (a << 8) | (full(i) & 0xffL))
+      val lo = (8 until 16).foldLeft(0L)((a, i) =>
+        (a << 8) | (full(i) & 0xffL))
+      out += Route6(hi, lo, plen)
     }
     out.toSeq
   }
@@ -165,6 +217,21 @@ object BgpMsg {
           val cs = mutable.Buffer[Long]()
           while (buf.position() < aEnd) cs += buf.getInt() & 0xffffffffL
           u = u.copy(communities = cs.toSeq)
+        case 14 => // MP_REACH_NLRI (RFC 4760 §3)
+          val afi = buf.getShort() & 0xffff
+          val safi = buf.get() & 0xff
+          val nhLen = buf.get() & 0xff
+          if (afi == 2 && safi == 1 && nhLen == 16) {
+            val nh = (buf.getLong(), buf.getLong())
+            buf.get() // reserved
+            u = u.copy(nextHop6 = Some(nh),
+              nlri6 = readRoutes6(buf, aEnd))
+          } // other AFI/SAFI: skip by declared length (position(aEnd))
+        case 15 => // MP_UNREACH_NLRI (RFC 4760 §4)
+          val afi = buf.getShort() & 0xffff
+          val safi = buf.get() & 0xff
+          if (afi == 2 && safi == 1)
+            u = u.copy(withdrawn6 = readRoutes6(buf, aEnd))
         case _ => () // unknown attribute: skip by declared length
       }
       buf.position(aEnd)

@@ -160,6 +160,33 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BgpMsg MP-BGP: random v6 UPDATEs round-trip (50 seeds)") {
+    import graft.sources.BgpMsg
+    for (seed <- 0 until 50) {
+      val r = new Random(seed)
+      def r6(): BgpMsg.Route6 = {
+        val plen = r.nextInt(129)
+        // mask the 128-bit value down to plen bits (byte-truncated wire)
+        val nBytes = (plen + 7) / 8
+        val full = Array.fill[Byte](16)(0)
+        (0 until nBytes).foreach(i => full(i) = r.nextInt(256).toByte)
+        val hi = (0 until 8).foldLeft(0L)((a, i) =>
+          (a << 8) | (full(i) & 0xffL))
+        val lo = (8 until 16).foldLeft(0L)((a, i) =>
+          (a << 8) | (full(i) & 0xffL))
+        BgpMsg.Route6(hi, lo, plen)
+      }
+      val u = BgpMsg.Update(
+        origin = Some(0),
+        asPath = Seq(65000L + r.nextInt(100)),
+        med = if (r.nextBoolean()) Some(r.nextInt(1000).toLong) else None,
+        nlri6 = Seq.fill(1 + r.nextInt(3))(r6()),
+        withdrawn6 = Seq.fill(r.nextInt(3))(r6()),
+        nextHop6 = Some((r.nextLong(), r.nextLong())))
+      assert(BgpMsg.decodeStream(BgpMsg.encode(u)) == Seq(u), s"seed $seed")
+    }
+  }
+
   test("RTR: random PDU streams round-trip (50 seeds)") {
     import graft.sources.RtrMsg
     import RtrMsg._
