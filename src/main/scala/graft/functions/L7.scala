@@ -56,6 +56,34 @@ object L7 {
       v == 1L || (v & 0xffffff00L) == 0xff000000L
     }
 
+  /** NTP heuristic (RFC 5905 §7.3): 48-byte packet, version 3/4,
+    * client/server mode. */
+  def looksNtp(head: Array[Byte]): Boolean = head.length == 48 && {
+    val vn = (head(0) & 0x38) >> 3
+    val mode = head(0) & 7
+    (vn == 3 || vn == 4) && (mode == 3 || mode == 4)
+  }
+
+  /** SNMP heuristic (BER): SEQUENCE, version INTEGER 0..3. */
+  def looksSnmp(head: Array[Byte]): Boolean = head.length >= 5 &&
+    (head(0) & 0xff) == 0x30 && (head(2) & 0xff) == 0x02 &&
+    (head(3) & 0xff) == 0x01 && (head(4) & 0xff) <= 3
+
+  /** STUN heuristic (RFC 5389 §6): binding method, magic cookie at
+    * bytes 4-7, length a multiple of 4. */
+  def looksStun(head: Array[Byte]): Boolean = head.length >= 20 &&
+    (head(0) & 0xc0) == 0 &&
+    (head(4) & 0xff) == 0x21 && (head(5) & 0xff) == 0x12 &&
+    (head(6) & 0xff) == 0xa4 && (head(7) & 0xff) == 0x42 &&
+    (((head(2) & 0xff) << 8 | (head(3) & 0xff)) % 4) == 0
+
+  /** DHCP/BOOTP heuristic (RFC 2131): op 1/2, htype 1 (Ethernet),
+    * hlen 6, magic cookie at offset 236. */
+  def looksDhcp(head: Array[Byte]): Boolean = head.length >= 240 &&
+    (head(0) == 1 || head(0) == 2) && head(1) == 1 && head(2) == 6 &&
+    (head(236) & 0xff) == 0x63 && (head(237) & 0xff) == 0x82 &&
+    (head(238) & 0xff) == 0x53 && (head(239) & 0xff) == 0x63
+
   /** First-bytes signature classification over the payload head: the
     * byte patterns are public protocol preambles. */
   def classifyPayload(head: Array[Byte]): String = {
@@ -76,6 +104,10 @@ object L7 {
     else if (startsWith("220 ") || startsWith("EHLO ") ||
       startsWith("HELO ") || startsWith("MAIL FROM:")) "smtp"
     else if (looksQuic(head)) "quic"
+    else if (looksStun(head)) "stun"
+    else if (looksDhcp(head)) "dhcp"
+    else if (looksSnmp(head)) "snmp"
+    else if (looksNtp(head)) "ntp"
     else if (looksDns(head)) "dns"
     else "unknown"
   }

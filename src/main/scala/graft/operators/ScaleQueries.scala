@@ -158,14 +158,32 @@ object ScaleQueries {
           (uid: Long, it: Iterator[(Long, Long, String)]) =>
             val evs = it.toIndexedSeq.sortBy(_._2)
             def mk(e: (Long, Long, String)): Array[Byte] =
-              if (e._2 % 7 == 0) e._3 match {
-                case "click" =>
-                  "GET /index.html HTTP/1.1\r\n".getBytes("UTF-8")
-                case "purchase" => L7.clientHello(s"host${uid % 5}.example")
-                case "signup" => Array[Byte](0xc3.toByte, 0, 0, 0, 1, 8, 0)
-                case "view" => Array[Byte](0x12, 0x34, 0x01, 0x00, 0, 1,
-                  0, 0, 0, 0, 0, 0, 3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
-                case _ => "220 mail.example ESMTP\r\n".getBytes("UTF-8")
+              if (e._2 % 7 == 0) {
+                val alt = (e._2 / 7) % 2 == 1 // alternate signature family
+                e._3 match {
+                  case "click" =>
+                    "GET /index.html HTTP/1.1\r\n".getBytes("UTF-8")
+                  case "purchase" =>
+                    L7.clientHello(s"host${uid % 5}.example")
+                  case "signup" =>
+                    if (alt) { // STUN binding request + magic cookie
+                      val b = new Array[Byte](20)
+                      b(1) = 1; b(4) = 0x21; b(5) = 0x12
+                      b(6) = 0xa4.toByte; b(7) = 0x42; b
+                    } else Array[Byte](0xc3.toByte, 0, 0, 0, 1, 8, 0)
+                  case "view" =>
+                    if (alt) { // NTPv4 client packet
+                      val b = new Array[Byte](48); b(0) = 0x23; b
+                    } else Array[Byte](0x12, 0x34, 0x01, 0x00, 0, 1,
+                      0, 0, 0, 0, 0, 0, 3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+                  case _ =>
+                    if (alt) { // DHCPDISCOVER: BOOTP + magic cookie
+                      val b = new Array[Byte](244)
+                      b(0) = 1; b(1) = 1; b(2) = 6
+                      b(236) = 0x63; b(237) = 0x82.toByte
+                      b(238) = 0x53; b(239) = 0x63; b
+                    } else "220 mail.example ESMTP\r\n".getBytes("UTF-8")
+                }
               } else Array[Byte](0, 1, 2, 3)
             var last: Array[Byte] = Array.emptyByteArray
             val packets = evs.iterator.map { e => last = mk(e); last }
@@ -187,8 +205,16 @@ object ScaleQueries {
             m AS (SELECT user_id, rn,
                 CASE WHEN event_id % 7 = 0 THEN
                   CASE event_type WHEN 'click' THEN 'http'
-                    WHEN 'purchase' THEN 'tls' WHEN 'signup' THEN 'quic'
-                    WHEN 'view' THEN 'dns' ELSE 'smtp' END
+                    WHEN 'purchase' THEN 'tls'
+                    WHEN 'signup' THEN
+                      CASE WHEN (event_id // 7) % 2 = 1 THEN 'stun'
+                           ELSE 'quic' END
+                    WHEN 'view' THEN
+                      CASE WHEN (event_id // 7) % 2 = 1 THEN 'ntp'
+                           ELSE 'dns' END
+                    ELSE
+                      CASE WHEN (event_id // 7) % 2 = 1 THEN 'dhcp'
+                           ELSE 'smtp' END END
                 END AS cls
               FROM p WHERE rn <= 3),
             fl AS (SELECT user_id,

@@ -222,6 +222,24 @@ class StateSpec extends AnyFunSuite {
     assert(L7.tlsSni(ch) == Some("svc.example.org"))
     (0 until ch.length).foreach(n =>
       L7.tlsSni(java.util.Arrays.copyOf(ch, n)))
+    // second signature family: NTP/SNMP/STUN/DHCP
+    val ntp = new Array[Byte](48); ntp(0) = 0x23
+    assert(L7.classifyPayload(ntp) == "ntp")
+    assert(L7.classifyPayload(java.util.Arrays.copyOf(ntp, 47))
+      == "unknown") // NTP is length-exact
+    assert(L7.classifyPayload(
+      Array[Byte](0x30, 0x26, 0x02, 0x01, 0x00, 0x04)) == "snmp")
+    val stun = new Array[Byte](20)
+    stun(1) = 1; stun(4) = 0x21; stun(5) = 0x12
+    stun(6) = 0xa4.toByte; stun(7) = 0x42
+    assert(L7.classifyPayload(stun) == "stun")
+    val dhcp = new Array[Byte](244)
+    dhcp(0) = 1; dhcp(1) = 1; dhcp(2) = 6
+    dhcp(236) = 0x63; dhcp(237) = 0x82.toByte
+    dhcp(238) = 0x53; dhcp(239) = 0x63
+    assert(L7.classifyPayload(dhcp) == "dhcp")
+    dhcp(237) = 0 // no magic cookie -> not DHCP
+    assert(L7.classifyPayload(dhcp) == "unknown")
     // giveup budget: match on packet 3 is found, on packet 4 is not
     val noise = Array[Byte](0, 1, 2, 3)
     val hit = "GET / HTTP/1.1".getBytes
