@@ -40,9 +40,12 @@ object SigTable {
   private val sigsArr =
     s"""transform(sequence(0, 7), k -> array_min(
         transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11)) % $P)))"""
-  private val bandArr = let1(sigsArr, sg =>
+  /** 4-element band-key array over a bound `hs` column (public: the
+    * streaming near-dup operator computes bands per arriving doc). */
+  val bandExpr: String = let1(sigsArr, sg =>
     s"""transform(sequence(0, 3), b -> concat_ws('_', b,
         element_at($sg, 2 * b + 1), element_at($sg, 2 * b + 2)))""")
+  private val bandArr = bandExpr
 
   private val cache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()

@@ -222,6 +222,91 @@ object StreamingQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events"""),
       doc = "streaming exact dedup with keyed state"),
 
+    // Streaming NEAR-dup dedup: q74's band-index probe as a stateful
+    // streaming operator. Arriving documents compute minhash band keys
+    // (the SigTable chain) and flow into flatMapGroupsWithState KEYED BY
+    // BAND: each bucket's state is the (doc_id, shingle-set) members
+    // seen so far; an arrival is a duplicate iff a lower-id bucket-mate
+    // verifies at Jaccard >= 0.9 — exactly the greedy lowest-id-wins
+    // drop set of the batch keep-list (q72), which is what the oracle
+    // recomputes. Bucket state is band-local, so state size tracks
+    // bucket occupancy, never the corpus.
+    Q("q119_stream_neardup",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.operators.SigTable
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = "q119_sink_" + sinkId.incrementAndGet()
+        // spread rows BEFORE the CPU-bound chain: the streaming parquet
+        // source plans one partition per file (one, locally), and the
+        // tokenize→md5→minhash chain must not run on a single core; at
+        // production file counts the repartition is moot
+        val arrivals = s.readStream.schema(schema)
+          .parquet(s"$d/documents.*")
+          .select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", s"${SigTable.hsExpr} as hs")
+          .selectExpr("doc_id", "hs", s"explode(${SigTable.bandExpr}) as bk")
+          .as[(Long, Seq[Long], String)]
+        def jacc(a: Seq[Long], b: Seq[Long]): Double = {
+          val (sa, sb) = (a.toSet, b.toSet)
+          sa.intersect(sb).size.toDouble / sa.union(sb).size
+        }
+        val verdicts = arrivals.groupByKey(_._3)
+          .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Boolean)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: String, it: Iterator[(Long, Seq[Long], String)],
+             state: GroupState[Seq[(Long, Seq[Long])]]) =>
+              // lowest-id-first inside the batch keeps the greedy drop
+              // decision deterministic regardless of task order
+              var bucket = state.getOption.getOrElse(Seq.empty)
+              val out = it.toSeq.sortBy(_._1).map { case (id, hs, _) =>
+                val dup = bucket.exists { case (oid, ohs) =>
+                  oid < id && jacc(ohs, hs) >= 0.9 }
+                bucket = bucket :+ ((id, hs))
+                (id, dup)
+              }
+              state.update(bucket)
+              out.iterator
+          }
+        val q = verdicts.toDF("doc_id", "dup")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // a doc is dropped iff ANY of its 4 band buckets flagged it
+        s.table(name)
+          .groupBy("doc_id").agg(max("dup").as("dup"))
+          .groupBy().agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_kept"))
+      },
+      Some({
+        import graft.text.TextOps._
+        val hsDuck =
+          s"list_distinct(list_transform(${duckShingles(duckToks)}, " +
+            s"g -> ${duckTokHash("g")} % $P))"
+        s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            drops AS (SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+                / len(list_distinct(x.hs || y.hs)) >= 0.9)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT count(*) FROM drops) AS n_dup,
+              (SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM drops) AS n_kept"""
+      }),
+      doc = "streaming near-dup: band-keyed state probe (q74 shape live)"),
+
     // Update-mode streaming aggregation flushed through foreachBatch into
     // an upsert store — pmacct's plugin-cache flush + SQL UPDATE-then-
     // INSERT merge (docs/INTERNALS:291-295) as Structured Streaming.
