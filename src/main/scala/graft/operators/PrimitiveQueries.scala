@@ -169,6 +169,56 @@ object PrimitiveQueries {
                  ORDER BY n.len DESC LIMIT 1) AS as_bgp
               FROM flows f)
             GROUP BY 1, 2"""),
-      doc = "peer_src_as: BGP reverse lookup with map fallback")
+      doc = "peer_src_as: BGP reverse lookup with map fallback"),
+
+    // MPLS path delay (pkt_mpls_primitives path_delay_{avg,min,max}_usec,
+    // src/network.h:634-640; NF_path_delay_*_usec_handler,
+    // src/pkt_handlers.h:126-128): per-label-top delay statistics in
+    // microseconds. avg is emitted as an exact (sum, n) pair — the
+    // scaled-integer convention — so parity never depends on float
+    // division; a consumer derives the mean.
+    Q("q122_mpls_pathdelay",
+      (s, d) => flows(s, d)
+        .withColumn("label_top", lit(16L) + col("ip_dst") % 8)
+        .withColumn("delay_us", col("t1u") - col("t0u"))
+        .groupBy("label_top")
+        .agg(count(lit(1)).as("n"),
+          min("delay_us").as("delay_min_us"),
+          max("delay_us").as("delay_max_us"),
+          sum("delay_us").as("delay_sum_us")),
+      Some(FlowView.cte(
+        """SELECT 16 + ip_dst % 8 AS label_top, count(*) AS n,
+           min(t1u - t0u) AS delay_min_us,
+           max(t1u - t0u) AS delay_max_us,
+           CAST(sum(t1u - t0u) AS BIGINT) AS delay_sum_us
+           FROM flows GROUP BY 1""")),
+      doc = "MPLS path delay min/max/sum per top label"),
+
+    // SRv6 segment list (srv6_seg_ipv6_list, src/network.h:564-565,
+    // NF9_srhSegmentIPv6ListSection=497 src/nfv9_template.h:188,
+    // NF_srv6_segment_ipv6_list_handler src/pkt_handlers.h:118): the one
+    // reference primitive that is a LIST of addresses per record
+    // (MAX 16 entries, serialized as a JSON/Avro array —
+    // plugin_cmn_json.h:40). Derived SRH of 1-3 segments per flow,
+    // exploded and aggregated per segment — the explode is the Spark
+    // shape for array-primitive group-bys at scale (no per-row loops).
+    Q("q123_srv6_seglist",
+      (s, d) => flows(s, d)
+        .withColumn("nseg", lit(1L) + col("ip_dst") % 3)
+        .withColumn("seg", explode(expr(
+          """transform(sequence(1, nseg),
+             i -> concat(cast(i as string), ':',
+                         cast((ip_dst + i) % 4096 as string)))""")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("bytes")),
+      Some(FlowView.cte(
+        """SELECT seg, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM (
+             SELECT unnest(list_transform(range(1, (1 + ip_dst % 3) + 1),
+                      i -> i || ':' || ((ip_dst + i) % 4096))) AS seg,
+                    bytes
+             FROM flows)
+           GROUP BY 1""")),
+      doc = "SRv6 segment-list array primitive, exploded aggregation")
   )
 }

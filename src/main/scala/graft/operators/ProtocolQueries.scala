@@ -744,6 +744,128 @@ object ProtocolQueries {
                WHEN ip_src % 16 = 5 THEN 200 ELSE 0 END AS tag
              FROM flows)
            WHERE tag IN (100, 200) GROUP BY 1, 2""")),
-      doc = "config veneer: pre_tag_map + tag filter + sampling renorm")
+      doc = "config veneer: pre_tag_map + tag filter + sampling renorm"),
+
+    // NAT event logging (NEL): a CGN reports session create/delete events
+    // over NetFlow v9 with post-NAT IEs (postNATSourceIPv4Address=225,
+    // postNAPTSourceTransportPort=227, natEvent=230 — the reference's
+    // registry src/nfv9_template.h:149-154, handlers
+    // NF_post_nat_src_host_handler / NF_nat_event_handler,
+    // src/pkt_handlers.c:4301-4313). Each flow yields a create event
+    // (counters unknown → 0) and a delete event carrying the session
+    // octets; both ride the real v9 codec per exporter, and the aggregate
+    // checks event counts, distinct pool addresses, and octet sums.
+    Q("q120_nat_event",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_src") % 8).as("exporter"), col("event_id"),
+            (lit(1681915904L) + col("ip_src") % 1024).as("pns"), // 100.64/10 pool
+            (lit(1024L) + (col("port_src") * 7) % 60000).as("pnp"),
+            (col("bytes") % 4294967296L).as("octets"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2).flatMap { r =>
+              Seq(Map(IE.NatEvent -> 1L, IE.PostNatSrcAddr -> r._3,
+                      IE.PostNatSrcPort -> r._4, IE.InBytes -> 0L),
+                  Map(IE.NatEvent -> 2L, IE.PostNatSrcAddr -> r._3,
+                      IE.PostNatSrcPort -> r._4, IE.InBytes -> r._5))
+            }
+            val tmpl = NetFlowV9.Template(270, Seq(
+              IE.NatEvent -> 1, IE.PostNatSrcAddr -> 4,
+              IE.PostNatSrcPort -> 2, IE.InBytes -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val cache = new NetFlowV9.TemplateCache
+            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
+              recs.grouped(24).map(b =>
+                NetFlowV9.encodeData(h, tmpl, b)).toSeq
+            dgs.flatMap(cache.observe).map(m =>
+              (m(IE.NatEvent), m(IE.PostNatSrcAddr),
+               m(IE.PostNatSrcPort), m(IE.InBytes)))
+        }
+        decoded.toDF("nat_event", "pns", "pnp", "octets")
+          .groupBy("nat_event")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("pns")).as("n_pool_ips"),
+            countDistinct(col("pnp")).as("n_pool_ports"),
+            sum("octets").as("octets"))
+      },
+      Some(FlowView.cte(
+        """SELECT nat_event, count(*) AS n,
+           count(DISTINCT pns) AS n_pool_ips,
+           count(DISTINCT pnp) AS n_pool_ports,
+           CAST(sum(oc) AS BIGINT) AS octets
+           FROM (
+             SELECT 1 AS nat_event, 1681915904 + ip_src % 1024 AS pns,
+                    1024 + (port_src * 7) % 60000 AS pnp, 0 AS oc
+             FROM flows
+             UNION ALL
+             SELECT 2, 1681915904 + ip_src % 1024,
+                    1024 + (port_src * 7) % 60000, bytes % 4294967296
+             FROM flows)
+           GROUP BY 1""")),
+      doc = "NAT event logging (NEL): post-NAT IEs through the v9 codec"),
+
+    // Firewall event logging (NSEL): firewallEvent (IE 233) + RFC 7270
+    // forwardingStatus (IE 89: 2-bit status class in the top bits, 6-bit
+    // reason code) — reference handlers NF_fw_event_handler
+    // (src/pkt_handlers.c:4323) and NF_fwd_status_handler (:3190), which
+    // accepts 1/2/4-byte encodings but keeps only values <= 255. Denied
+    // flows report a dropped status (class 2) with a reason; permitted
+    // flows a forwarded status (class 1). The aggregate groups by
+    // (fw_event, status class) exactly like `aggregate: fw_event,
+    // fwd_status` would.
+    Q("q121_fw_event",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_dst") % 8).as("exporter"), col("event_id"),
+            when(col("tcp_flags") % 8 >= 4, 3L)
+              .otherwise(lit(1L) + col("event_id") % 2).as("fw_event"),
+            col("event_id"), (col("bytes") % 4294967296L).as("octets"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2).map { r =>
+              val fwd = if (r._3 == 3L) 128L + r._4 % 4 // dropped + reason
+                        else 64L + r._4 % 2             // forwarded
+              Map(IE.FwEvent -> r._3, IE.FwdStatus -> fwd,
+                  IE.InBytes -> r._5)
+            }
+            val tmpl = NetFlowV9.Template(271, Seq(
+              IE.FwEvent -> 1, IE.FwdStatus -> 1, IE.InBytes -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val cache = new NetFlowV9.TemplateCache
+            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
+              recs.grouped(30).map(b =>
+                NetFlowV9.encodeData(h, tmpl, b)).toSeq
+            dgs.flatMap(cache.observe).map(m =>
+              (m(IE.FwEvent), m(IE.FwdStatus), m(IE.InBytes)))
+        }
+        decoded.toDF("fw_event", "fwd_status", "octets")
+          .groupBy(col("fw_event"),
+            (col("fwd_status").cast("long") / 64).cast("long")
+              .as("fwd_class"))
+          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+            countDistinct(col("fwd_status")).as("n_reasons"))
+      },
+      Some(FlowView.cte(
+        """SELECT fw_event, fwd_status // 64 AS fwd_class, count(*) AS n,
+           CAST(sum(oc) AS BIGINT) AS octets,
+           count(DISTINCT fwd_status) AS n_reasons
+           FROM (
+             SELECT CASE WHEN tcp_flags % 8 >= 4 THEN 3
+                         ELSE 1 + event_id % 2 END AS fw_event,
+                    CASE WHEN tcp_flags % 8 >= 4 THEN 128 + event_id % 4
+                         ELSE 64 + event_id % 2 END AS fwd_status,
+                    bytes % 4294967296 AS oc
+             FROM flows)
+           GROUP BY 1, 2""")),
+      doc = "firewall events (NSEL): fw_event + RFC 7270 fwd_status classes")
   )
 }

@@ -501,5 +501,14 @@ object NetFlowV9 {
     val Ipv4DstAddr = 12
     val SamplingInterval = 34 // option IE: sampling 1-out-of-N
     val ScopeSystem = 1       // v9 option scope field type
+    // NAT/firewall event logging (NEL/NSEL) IEs, numbers per the
+    // reference's registry (src/nfv9_template.h:116,149-158)
+    val FwdStatus = 89        // forwardingStatus, RFC 7270 §4.12
+    val PostNatSrcAddr = 225  // postNATSourceIPv4Address
+    val PostNatDstAddr = 226  // postNATDestinationIPv4Address
+    val PostNatSrcPort = 227  // postNAPTSourceTransportPort
+    val PostNatDstPort = 228  // postNAPTDestinationTransportPort
+    val NatEvent = 230        // natEvent: 1=create, 2=delete
+    val FwEvent = 233         // firewallEvent: 1=created 2=deleted 3=denied
   }
 }

@@ -127,4 +127,18 @@ class OperatorSpec extends AnyFunSuite {
       "ts_min_us", "ts_max_us").as[(Long, Long, Long, Int, Long, Long)].head()
     assert(r == ((30L, 5L, 2L, 5, 50L, 300L)))
   }
+
+  test("MPLS path delay and SRv6 seg-list conserve flow/segment counts") {
+    val sf = "/root/testdata/sf0.001"
+    val flows = FlowView.fromEvents(Tables.events(spark, sf))
+    val nFlows = flows.count()
+    val nSegs = flows.selectExpr("sum(1 + ip_dst % 3)").as[Long].head()
+    val pd = SparkEntry.queries("q122_mpls_pathdelay")(spark, sf)
+      .selectExpr("sum(n)", "min(delay_min_us)", "max(delay_max_us)")
+      .as[(Long, Long, Long)].head()
+    assert(pd._1 == nFlows && pd._2 >= 0L && pd._3 <= 599L * 1000000L)
+    val sl = SparkEntry.queries("q123_srv6_seglist")(spark, sf)
+      .selectExpr("sum(n)").as[Long].head()
+    assert(sl == nSegs)
+  }
 }

@@ -118,6 +118,23 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
   }
 
+  test("NEL/NSEL IEs round-trip: post-NAT addr/port, nat/fw event, fwd status") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(270, Seq(IE.NatEvent -> 1,
+      IE.PostNatSrcAddr -> 4, IE.PostNatSrcPort -> 2,
+      IE.FwEvent -> 1, IE.FwdStatus -> 1))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 7L)
+    val rs = Seq(
+      Map(IE.NatEvent -> 1L, IE.PostNatSrcAddr -> 1681915904L, // 100.64.0.0
+        IE.PostNatSrcPort -> 61023L, IE.FwEvent -> 1L, IE.FwdStatus -> 64L),
+      Map(IE.NatEvent -> 2L, IE.PostNatSrcAddr -> 1681916927L,
+        IE.PostNatSrcPort -> 1024L, IE.FwEvent -> 3L, IE.FwdStatus -> 131L))
+    val cache = new NetFlowV9.TemplateCache
+    cache.observe(NetFlowV9.encodeTemplate(h, t))
+    assert(cache.observe(NetFlowV9.encodeData(h, t, rs)) == rs)
+  }
+
   test("BPF compiler: direction, negation, precedence") {
     val df = Seq(
       // ip_src, ip_dst, port_src, port_dst, proto, bytes, packets
