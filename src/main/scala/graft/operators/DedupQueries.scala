@@ -363,6 +363,83 @@ object DedupQueries {
               CAST(sum(sz) AS BIGINT) AS n_clustered_docs,
               max(sz) AS max_cluster
             FROM cl"""),
-      doc = "connected-component dup clusters via min-label propagation")
+      doc = "connected-component dup clusters via min-label propagation"),
+
+    // Boilerplate detection, C4-style ("remove any line appearing in
+    // multiple documents" — the shingle analogue at corpus scale): a
+    // shingle whose DOCUMENT frequency exceeds 2% of the corpus is
+    // boilerplate; per-lang stats count affected docs and the hot
+    // shingles they carry. Plan shape at 100 TB: explode the cached
+    // signature table (projection), one shuffle on shingle hash for doc
+    // frequency, broadcast the (small) hot set back — no self-join, no
+    // pairwise work.
+    Q("q126_boilerplate",
+      (s, d) => {
+        val sigs = SigTable.sigs(s, d)
+        val n = Tables.documents(s, d).count()
+        val thresh = n / 50 // > 2% of docs
+        val exploded = sigs.selectExpr("doc_id", "explode(hs) as h")
+        val hot = exploded.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > thresh)
+        val perDoc = exploded.join(broadcast(hot), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hot"))
+        Tables.documents(s, d).join(perDoc, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_hot")).as("n_flagged"),
+            sum(coalesce(col("n_hot"), lit(0L))).as("hot_shingles"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            e AS (SELECT doc_id, unnest(hs) AS h FROM t),
+            hot AS (SELECT h FROM e GROUP BY h
+              HAVING count(DISTINCT doc_id) >
+                (SELECT count(*) FROM documents) // 50),
+            pd AS (SELECT doc_id, count(*) AS n_hot
+              FROM e JOIN hot USING (h) GROUP BY doc_id)
+            SELECT lang, count(*) AS n_docs,
+              count(pd.n_hot) AS n_flagged,
+              CAST(sum(coalesce(pd.n_hot, 0)) AS BIGINT) AS hot_shingles
+            FROM documents LEFT JOIN pd USING (doc_id)
+            GROUP BY lang"""),
+      doc = "boilerplate: corpus-frequent shingles flagged per document"),
+
+    // Temperature-based mixture sampling (the multilingual-balance
+    // operator every LLM data pipeline runs): per-language keep rate
+    // r_l = min(1, C/sqrt(n_l)) — i.e. target counts proportional to
+    // sqrt(n_l), alpha = 0.5 — applied as a DETERMINISTIC hash threshold
+    // per doc, never a per-partition rand(): reproducible at any
+    // parallelism, no window/rank shuffle, and both engines compute the
+    // identical floor(1e6 * r_l) cut on the identical md5-derived
+    // uniform. (sqrt and one double divide are correctly rounded in
+    // IEEE 754, so the threshold is bit-identical across engines.)
+    Q("q127_mixture_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        docs.join(broadcast(counts), "lang")
+          .withColumn("thresh", expr(
+            "cast(floor(1000000.0 * least(1.0, " +
+              "50.0 / sqrt(cast(n_l as double)))) as bigint)"))
+          .withColumn("h", expr(
+            s"${sparkTokHash("cast(doc_id as string)")} % 1000000"))
+          .filter(col("h") < col("thresh"))
+          .groupBy("lang", "thresh")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"))
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_l
+              FROM documents GROUP BY 1)
+            SELECT lang,
+              CAST(floor(1000000.0 * least(1.0, 50.0 / sqrt(n_l)))
+                AS BIGINT) AS thresh,
+              count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM documents JOIN c USING (lang)
+            WHERE ${duckTokHash("doc_id::VARCHAR")} % 1000000 <
+              floor(1000000.0 * least(1.0, 50.0 / sqrt(n_l)))
+            GROUP BY 1, 2"""),
+      doc = "temperature (alpha=0.5) language rebalancing by hash threshold")
   )
 }

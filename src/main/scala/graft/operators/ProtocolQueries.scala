@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Tables}
 import graft.plans.BpfFilter
-import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowGateway, SFlowIfCounters, SFlowSample, SFlowV5, V5Header, V5Record}
+import graft.sources.{NetFlowV5, NetFlowV9, SFlowDatagram, SFlowGateway, SFlowIfCounters, SFlowSample, SFlowV2V4Datagram, SFlowV2V4Sample, SFlowV5, V5Header, V5Record}
 
 /** Protocol-surface operators: the BPF filter compiler in a real plan,
   * custom primitives (user-declared field extraction, SURVEY §1.2), and
@@ -866,6 +866,113 @@ object ProtocolQueries {
                     bytes % 4294967296 AS oc
              FROM flows)
            GROUP BY 1, 2""")),
-      doc = "firewall events (NSEL): fw_event + RFC 7270 fwd_status classes")
+      doc = "firewall events (NSEL): fw_event + RFC 7270 fwd_status classes"),
+
+    // sFlow v2/v4 legacy ingest (process_SFv2v4_packet,
+    // src/sfacctd.c:1494; readv2v4FlowSample :2816): the pre-v5 format
+    // sfacctd still accepts — no per-sample lengths, decoded
+    // INMPACKETTYPE_IPV4 tuples instead of raw headers, extended-switch
+    // VLANs inline. Mixed v2/v4 exporters encode real datagrams, decode
+    // through the legacy walker, renormalize by meanSkipCount, and
+    // aggregate per (proto, in_vlan bucket) — any walk misalignment
+    // (the format's defining hazard, since nothing is length-delimited)
+    // breaks parity.
+    Q("q124_sflow_v2v4",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            col("ip_proto"), col("ip_src"), col("ip_dst"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            col("tcp_flags"), (col("bytes") % 4294967296L).as("frame_len"),
+            (col("ip_dst") % 4096).as("vlan"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(12).flatMap { batch =>
+            val samples = batch.map { case (ex, eid, pr, si, di, sp_, dp, fl, fr, vl) =>
+              SFlowV2V4Sample(eid % 4294967296L, ex, 1L + (ex % 3L),
+                0L, 0L, 1L, 2L, fr, pr, si, di, sp_, dp, fl, 0L, vl, vl)
+            }
+            val ex = batch.head._1
+            val dg = SFlowV5.encodeV2V4(SFlowV2V4Datagram(
+              if (ex % 2 == 0) 2L else 4L, // even agents speak v2, odd v4
+              ex, batch.head._2 % 4294967296L, 0L, samples, Seq.empty))
+            val back = SFlowV5.decodeV2V4(dg)
+            back.samples.map(sm => (sm.proto, sm.inVlan % 8,
+              sm.frameLength * sm.rate, sm.rate))
+          }
+        }
+        decoded.toDF("proto", "vlan_bucket", "bytes_renorm", "pkts_renorm")
+          .groupBy("proto", "vlan_bucket")
+          .agg(count(lit(1)).as("n"),
+            sum("bytes_renorm").as("bytes_renorm"),
+            sum("pkts_renorm").as("pkts_renorm"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, (ip_dst % 4096) % 8 AS vlan_bucket,
+           count(*) AS n,
+           CAST(sum((bytes % 4294967296) * (1 + ip_src % 16 % 3))
+             AS BIGINT) AS bytes_renorm,
+           CAST(sum(1 + ip_src % 16 % 3) AS BIGINT) AS pkts_renorm
+           FROM flows GROUP BY 1, 2""")),
+      doc = "sFlow v2/v4 legacy decode: IPv4 tuples, switch VLANs, renorm"),
+
+    // nfprobe NetFlow v9 EXPORT (src/nfprobe_plugin/netflow9.c — the v9
+    // sibling of the v5 exporter q46/q47 already cover): the flow cache
+    // aggregates per (src, dst, proto), flows are packed into v9 data
+    // flowsets, and the template is (re)sent every
+    // nf9_pkts_until_template packets (netflow9.c:231,2204-2261 —
+    // NF9_DEFAULT_TEMPLATE_INTERVAL). A collector-side TemplateCache
+    // consumes the interleaved stream; re-registration of a refreshed
+    // template must be idempotent or counts double.
+    Q("q125_nfprobe_v9",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val cacheRows = flows(s, d)
+          .groupBy((col("ip_src") % 64).as("exporter"), col("ip_src"),
+            col("ip_dst"), col("ip_proto"))
+          .agg((sum(col("bytes")) % 4294967296L).as("oc"),
+            (sum(col("packets")) % 4294967296L).as("pk"))
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = cacheRows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(r => (r._2, r._3, r._4))
+              .map(r => Map(IE.Ipv4SrcAddr -> r._2, IE.Ipv4DstAddr -> r._3,
+                IE.Protocol -> r._4, IE.InBytes -> r._5, IE.InPkts -> r._6))
+            val tmpl = NetFlowV9.Template(272, Seq(
+              IE.Ipv4SrcAddr -> 4, IE.Ipv4DstAddr -> 4, IE.Protocol -> 1,
+              IE.InBytes -> 4, IE.InPkts -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            // template before the first data packet, then refreshed every
+            // 4 data packets (pkts_until_template semantics)
+            val dgs = recs.grouped(20).toSeq.zipWithIndex.flatMap {
+              case (b, i) =>
+                val data = NetFlowV9.encodeData(h, tmpl, b)
+                if (i % 4 == 0)
+                  Seq(NetFlowV9.encodeTemplate(h, tmpl), data)
+                else Seq(data)
+            }
+            val cache = new NetFlowV9.TemplateCache
+            dgs.flatMap(cache.observe).map(m =>
+              (m(IE.Protocol), m(IE.InBytes), m(IE.InPkts)))
+        }
+        decoded.toDF("proto", "octets", "packets")
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n_flows"), sum("octets").as("octets"),
+            sum("packets").as("packets"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n_flows,
+           CAST(sum(oc) AS BIGINT) AS octets,
+           CAST(sum(pk) AS BIGINT) AS packets
+           FROM (SELECT ip_proto,
+                   CAST(sum(bytes) AS BIGINT) % 4294967296 AS oc,
+                   CAST(sum(packets) AS BIGINT) % 4294967296 AS pk
+                 FROM flows GROUP BY ip_src, ip_dst, ip_proto)
+           GROUP BY 1""")),
+      doc = "nfprobe v9 export: flow cache to v9 flowsets, template refresh")
   )
 }

@@ -44,6 +44,21 @@ final case class SFlowDatagram(
     samples: Seq[SFlowSample],
     counters: Seq[SFlowIfCounters] = Seq.empty)
 
+/** sFlow v2/v4 legacy flow sample (`readv2v4FlowSample`,
+  * `src/sfacctd.c:2816`): the INMPACKETTYPE_IPV4 variant carries the
+  * DECODED IP tuple on the wire (SFLSampled_ipv4, `src/sflow.h:76-86`)
+  * instead of v5's raw header bytes, plus the optional extended-switch
+  * record's VLANs (INMEXTENDED_SWITCH, `src/sfacctd.h:45`). */
+final case class SFlowV2V4Sample(
+    seq: Long, sourceId: Long, rate: Long, pool: Long, drops: Long,
+    ifIn: Long, ifOut: Long, frameLength: Long, proto: Long,
+    srcIp: Long, dstIp: Long, srcPort: Long, dstPort: Long,
+    tcpFlags: Long, tos: Long, inVlan: Long = 0L, outVlan: Long = 0L)
+
+final case class SFlowV2V4Datagram(
+    version: Long, agentIp: Long, seq: Long, uptimeMs: Long,
+    samples: Seq[SFlowV2V4Sample], counters: Seq[SFlowIfCounters])
+
 object SFlowV5 {
 
   def encode(d: SFlowDatagram): Array[Byte] = {
@@ -201,6 +216,148 @@ object SFlowV5 {
       buf.position(end)
     }
     SFlowDatagram(agentIp, subAgent, seq, uptime, samples.toSeq,
+      counters.toSeq)
+  }
+
+  // ---- sFlow v2/v4 (legacy) ------------------------------------------
+  //
+  // The structural difference from v5: samples and records carry NO
+  // length fields — the stream is walked field by field, which is why the
+  // reference ABORTS the whole packet on an unknown sample or extended
+  // tag (`process_SFv2v4_packet`, `src/sfacctd.c:1494-1538`; "unexpected
+  // sampleType; aborting packet"). This decoder mirrors that: unknown
+  // tags stop the walk and return what was decoded so far.
+
+  /** Encode a v2/v4 datagram: preamble has NO sub-agent id
+    * (`spp->agentSubId = 0`, `src/sfacctd.c:1500`); flow samples use
+    * INMPACKETTYPE_IPV4 with the 8-word SFLSampled_ipv4 tuple, followed
+    * by one extended-switch record; counter samples carry the 88-byte
+    * generic block (`readv2v4CountersSample`, `src/sfacctd.c:3027`). */
+  def encodeV2V4(d: SFlowV2V4Datagram): Array[Byte] = {
+    require(d.version == 2 || d.version == 4, s"bad v2/v4 version ${d.version}")
+    val bodies = d.samples.map { s =>
+      val b = ByteBuffer.allocate(4 + 32 + 32 + 4 + 4 + 16)
+      b.putInt(1) // SFLFLOW_SAMPLE
+      b.putInt(s.seq.toInt)
+      b.putInt(s.sourceId.toInt)
+      b.putInt(s.rate.toInt)       // meanSkipCount
+      b.putInt(s.pool.toInt)
+      b.putInt(s.drops.toInt)
+      b.putInt(s.ifIn.toInt)
+      b.putInt(s.ifOut.toInt)
+      b.putInt(2) // packet_data_tag = INMPACKETTYPE_IPV4
+      b.putInt(s.frameLength.toInt)
+      b.putInt(s.proto.toInt)
+      b.putInt(s.srcIp.toInt)
+      b.putInt(s.dstIp.toInt)
+      b.putInt(s.srcPort.toInt)
+      b.putInt(s.dstPort.toInt)
+      b.putInt(s.tcpFlags.toInt)
+      b.putInt(s.tos.toInt)
+      b.putInt(1) // num_extended
+      b.putInt(1) // INMEXTENDED_SWITCH
+      b.putInt(s.inVlan.toInt)
+      b.putInt(0) // in priority
+      b.putInt(s.outVlan.toInt)
+      b.putInt(0) // out priority
+      b.array()
+    } ++ d.counters.map { c =>
+      val b = ByteBuffer.allocate(4 + 16 + 88)
+      b.putInt(2) // SFLCOUNTERS_SAMPLE
+      b.putInt(c.seq.toInt)
+      b.putInt(c.sourceId.toInt)
+      b.putInt(0)  // statsSamplingInterval
+      b.putInt(1)  // counterBlockVersion = INMCOUNTERSVERSION_GENERIC
+      b.putInt(c.ifIndex.toInt)
+      b.putInt(6)  // networkType: ethernetCsmacd
+      b.putLong(c.ifSpeed)
+      b.putInt(1)  // ifDirection
+      b.putInt(3)  // ifStatus: up/up
+      b.putLong(c.ifInOctets)
+      b.putInt(c.ifInPkts.toInt)
+      (0 until 5).foreach(_ => b.putInt(0)) // mcast/bcast/discard/err/unk
+      b.putLong(c.ifOutOctets)
+      b.putInt(c.ifOutPkts.toInt)
+      (0 until 5).foreach(_ => b.putInt(0)) // mcast/bcast/discard/err/prom
+      b.array()
+    }
+    val buf = ByteBuffer.allocate(24 + bodies.map(_.length).sum)
+    buf.putInt(d.version.toInt)
+    buf.putInt(1) // agent address type: IPv4
+    buf.putInt(d.agentIp.toInt)
+    buf.putInt(d.seq.toInt)
+    buf.putInt(d.uptimeMs.toInt)
+    buf.putInt(bodies.size)
+    bodies.foreach(buf.put)
+    buf.array()
+  }
+
+  def decodeV2V4(datagram: Array[Byte]): SFlowV2V4Datagram = {
+    val buf = ByteBuffer.wrap(datagram)
+    def u32(): Long = buf.getInt() & 0xffffffffL
+    def u64(): Long = buf.getLong()
+    val version = u32()
+    require(version == 2 || version == 4,
+      s"not an sFlow v2/v4 datagram: version=$version")
+    val addrType = u32()
+    require(addrType == 1, s"only IPv4 agents supported: type=$addrType")
+    val agentIp = u32()
+    val seq = u32()
+    val uptime = u32()
+    val nSamples = u32().toInt
+    val samples = mutable.Buffer[SFlowV2V4Sample]()
+    val counters = mutable.Buffer[SFlowIfCounters]()
+    var idx = 0
+    var aborted = false
+    while (idx < nSamples && !aborted && buf.remaining() >= 4) {
+      u32() match {
+        case 1L => // flow sample
+          val (sseq, src, rate, pool, drops) =
+            (u32(), u32(), u32(), u32(), u32())
+          val (iin, iout) = (u32(), u32())
+          u32() match {
+            case 2L => // INMPACKETTYPE_IPV4
+              val vals = (0 until 8).map(_ => u32())
+              var (inVlan, outVlan) = (0L, 0L)
+              val nExt = u32().toInt
+              var e = 0
+              while (e < nExt && !aborted) {
+                u32() match {
+                  case 1L => // INMEXTENDED_SWITCH
+                    inVlan = u32(); u32(); outVlan = u32(); u32()
+                  case 2L => // INMEXTENDED_ROUTER: nexthop + 2 words
+                    val at = u32()
+                    if (at == 1) u32() else buf.position(buf.position() + 16)
+                    u32(); u32()
+                  case _ => aborted = true // no length field: cannot skip
+                }
+                e += 1
+              }
+              if (!aborted) samples += SFlowV2V4Sample(sseq, src, rate,
+                pool, drops, iin, iout, vals(0), vals(1), vals(2), vals(3),
+                vals(4), vals(5), vals(6), vals(7), inVlan, outVlan)
+            case _ => aborted = true // HEADER/IPV6 variants not generated
+          }
+        case 2L => // counter sample
+          val (cseq, csrc) = (u32(), u32())
+          u32() // statsSamplingInterval
+          u32() match {
+            case 1L => // generic block
+              val ifIndex = u32(); u32()
+              val ifSpeed = u64(); u32(); u32()
+              val inOct = u64(); val inPkts = u32()
+              (0 until 5).foreach(_ => u32())
+              val outOct = u64(); val outPkts = u32()
+              (0 until 5).foreach(_ => u32())
+              counters += SFlowIfCounters(cseq, csrc, ifIndex, ifSpeed,
+                inOct, inPkts, outOct, outPkts)
+            case _ => aborted = true
+          }
+        case _ => aborted = true // unexpected sampleType; abort packet
+      }
+      idx += 1
+    }
+    SFlowV2V4Datagram(version, agentIp, seq, uptime, samples.toSeq,
       counters.toSeq)
   }
 }

@@ -118,6 +118,36 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
   }
 
+  test("sFlow v2/v4: IPv4 samples + generic counters round-trip; v5 rejected") {
+    import graft.sources.{SFlowIfCounters, SFlowV2V4Datagram, SFlowV2V4Sample, SFlowV5}
+    val s = SFlowV2V4Sample(7L, 3L, 4L, 100L, 1L, 1L, 2L, 1500L, 6L,
+      0xC0A80001L, 0x08080808L, 443L, 51000L, 0x12L, 0L, 100L, 200L)
+    val c = SFlowIfCounters(9L, 3L, 5L, 1000000000L, 123456789L, 1000L,
+      987654321L, 2000L)
+    val dg = SFlowV5.encodeV2V4(
+      SFlowV2V4Datagram(4L, 0x0A000001L, 42L, 5000L, Seq(s, s.copy(seq = 8L)),
+        Seq(c)))
+    val back = SFlowV5.decodeV2V4(dg)
+    assert(back.version == 4L && back.agentIp == 0x0A000001L)
+    assert(back.samples == Seq(s, s.copy(seq = 8L)) && back.counters == Seq(c))
+    intercept[IllegalArgumentException](SFlowV5.decodeV2V4(
+      SFlowV5.encode(graft.sources.SFlowDatagram(1L, 0L, 1L, 0L, Seq.empty))))
+  }
+
+  test("sFlow v2/v4: unknown sample tag aborts the packet, keeps prior samples") {
+    import graft.sources.{SFlowV2V4Datagram, SFlowV2V4Sample, SFlowV5}
+    val s = SFlowV2V4Sample(1L, 2L, 1L, 0L, 0L, 1L, 2L, 64L, 17L,
+      1L, 2L, 53L, 53L, 0L, 0L)
+    val good = SFlowV5.encodeV2V4(
+      SFlowV2V4Datagram(2L, 1L, 1L, 0L, Seq(s), Seq.empty))
+    // append a bogus second sample with an unknown tag; bump n_samples
+    val bad = good ++ Array[Byte](0, 0, 0, 99, 1, 2, 3, 4)
+    val bb = java.nio.ByteBuffer.wrap(bad)
+    bb.putInt(20, 2) // n_samples: 1 -> 2
+    val back = SFlowV5.decodeV2V4(bad)
+    assert(back.samples == Seq(s)) // first sample survives, walk aborts
+  }
+
   test("NEL/NSEL IEs round-trip: post-NAT addr/port, nat/fw event, fwd status") {
     import graft.sources.NetFlowV9
     import NetFlowV9.IE
