@@ -973,6 +973,90 @@ object ProtocolQueries {
                    CAST(sum(packets) AS BIGINT) % 4294967296 AS pk
                  FROM flows GROUP BY ip_src, ip_dst, ip_proto)
            GROUP BY 1""")),
-      doc = "nfprobe v9 export: flow cache to v9 flowsets, template refresh")
+      doc = "nfprobe v9 export: flow cache to v9 flowsets, template refresh"),
+
+    // Link-layer breadth in the pcap path: 802.1Q VLAN tags
+    // (src/ll.c:65-71, eth_handler tag walk) and IPv6 frames
+    // (src/ll.c:57-59 -> ip6_handler, src/nl.c) in one capture mix —
+    // tagged/untagged, v4/v6 frames built, written to a savefile, read
+    // back and parsed per partition, then aggregated per (af, tagged).
+    // A parse that mis-walks the 4-byte tag or the 40-byte v6 header
+    // shifts every field after it and breaks parity.
+    Q("q128_pcap_vlan6",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (lit(40L) + col("bytes") % 60000).as("iplen"), col("t0u"),
+            when(col("event_id") % 3 === 0, 6L).otherwise(4L).as("af"),
+            when(col("event_id") % 2 === 0,
+              lit(1L) + col("ip_dst") % 4094).otherwise(0L).as("vlan"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t, af, vl) =>
+              Pcap.frameExt(Pcap.FlowTuple(sa, da, pr.toInt, spp.toInt,
+                dp.toInt, len, t, af.toInt, vl.toInt))
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+              .map(f => (f.af.toLong, if (f.vlan > 0) 1L else 0L, f.ipLen))
+          }
+        }
+        decoded.toDF("af", "tagged", "iplen")
+          .groupBy("af", "tagged")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("ip_bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT CASE WHEN event_id % 3 = 0 THEN 6 ELSE 4 END AS af,
+           CAST(event_id % 2 = 0 AS BIGINT) AS tagged, count(*) AS n,
+           CAST(sum(40 + bytes % 60000) AS BIGINT) AS ip_bytes
+           FROM flows GROUP BY 1, 2""")),
+      doc = "pcap parse breadth: 802.1Q tags + IPv6 frames in one capture"),
+
+    // VXLAN tunnel decap (src/nl.c:307-311: dst_port == UDP_PORT_VXLAN
+    // and the I flag set -> inner frame becomes the accounted packet;
+    // registered via vxlan_tunnel_configurator, src/nl.c:41): inner
+    // flows are wrapped in outer Eth/IPv4/UDP:4789/VXLAN, one in five
+    // packets stays un-encapsulated, and accounting groups by
+    // (VNI bucket, inner proto) — only decapped frames may contribute.
+    Q("q129_tunnel_decap",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (col("bytes") % 60000).as("iplen"), col("t0u"),
+            (col("event_id") % 5 === 0).as("plain"),
+            (col("ip_dst") % 256).as("vni"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Boolean, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t, plain, vni) =>
+              val inner = Pcap.frame(Pcap.FlowTuple(sa & 0xffffffffL,
+                da & 0xffffffffL, pr.toInt, spp.toInt, dp.toInt, len, t))
+              if (plain) inner
+              else Pcap.frameVxlan(sa % 4, 1L, vni, t, inner)
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(Pcap.parseVxlan)
+              .map { case (vni, f) => (vni % 16, f.proto.toLong, f.ipLen) }
+          }
+        }
+        decoded.toDF("vni_bucket", "proto", "iplen")
+          .groupBy("vni_bucket", "proto")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("inner_bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT (ip_dst % 256) % 16 AS vni_bucket, ip_proto AS proto,
+           count(*) AS n,
+           CAST(sum(bytes % 60000) AS BIGINT) AS inner_bytes
+           FROM flows WHERE event_id % 5 != 0 GROUP BY 1, 2""")),
+      doc = "VXLAN decap: VNI + inner tuple accounting, plain frames excluded")
   )
 }

@@ -32,10 +32,14 @@ object Pcap {
     override def hashCode: Int = tsUs.hashCode ^ data.length
   }
 
-  /** One parsed IPv4 flow tuple (the ll.c → nl.c projection). */
+  /** One parsed flow tuple (the ll.c → nl.c projection). For IPv6
+    * (`af=6`) the 128-bit addresses fold to their LOW 64 bits — the
+    * grouping key the engine aggregates on, documented as such (the full
+    * address would be a 16-byte binary column in the wide schema).
+    * `vlan` is the outer 802.1Q tag, 0 when untagged (ll.c:65-71). */
   final case class FlowTuple(ipSrc: Long, ipDst: Long, proto: Int,
                              portSrc: Int, portDst: Int, ipLen: Long,
-                             tsUs: Long)
+                             tsUs: Long, af: Int = 4, vlan: Int = 0)
 
   // ---- savefile write (fixture generation / sfprobe-style capture) ----
 
@@ -114,25 +118,142 @@ object Pcap {
     Packet(f.tsUs, 14L + ipLen, buf.array())
   }
 
+  /** Build a VLAN-tagged (802.1Q) and/or IPv6 frame. `af=6` writes a
+    * 40-byte IPv6 header whose src/dst carry the tuple's longs in the
+    * low 8 bytes. */
+  def frameExt(f: FlowTuple): Packet = {
+    val l4 = if (f.proto == 6) 20 else 8
+    val tagLen = if (f.vlan != 0) 4 else 0
+    val ipHdr = if (f.af == 6) 40 else 20
+    val ipLenOnWire = ipHdr + l4
+    val buf = ByteBuffer.allocate(14 + tagLen + ipLenOnWire)
+    buf.position(12)
+    if (f.vlan != 0) {
+      buf.putShort(0x8100.toShort)          // 802.1Q TPID (ll.c:65)
+      buf.putShort((f.vlan & 0xfff).toShort) // PCP/DEI zero + VID
+    }
+    if (f.af == 6) {
+      buf.putShort(0x86DD.toShort)          // ethertype IPv6
+      buf.putInt(0x60000000)                // version 6, class/flow 0
+      buf.putShort((f.ipLen - 40).toInt.toShort) // payload length
+      buf.put(f.proto.toByte)               // next header
+      buf.put(64.toByte)                    // hop limit
+      buf.putLong(0L).putLong(f.ipSrc)      // src: low 64 bits carry id
+      buf.putLong(0L).putLong(f.ipDst)
+    } else {
+      buf.putShort(0x0800.toShort)
+      buf.put(0x45.toByte).put(0.toByte)
+      buf.putShort(f.ipLen.toInt.toShort)
+      buf.putInt(0)
+      buf.put(64.toByte).put(f.proto.toByte)
+      buf.putShort(0)
+      buf.putInt(f.ipSrc.toInt)
+      buf.putInt(f.ipDst.toInt)
+    }
+    buf.putShort(f.portSrc.toShort)
+    buf.putShort(f.portDst.toShort)
+    Packet(f.tsUs, (14 + tagLen + ipLenOnWire).toLong, buf.array())
+  }
+
+  /** Wrap an inner Ethernet frame in outer Eth/IPv4/UDP:4789/VXLAN
+    * (nl.c:307-311: decap when dst_port == UDP_PORT_VXLAN and the I flag
+    * is set). */
+  def frameVxlan(outerSrc: Long, outerDst: Long, vni: Long, tsUs: Long,
+                 inner: Packet): Packet = {
+    val innerLen = inner.data.length
+    val ipLen = 20 + 8 + 8 + innerLen
+    val buf = ByteBuffer.allocate(14 + ipLen)
+    buf.position(12)
+    buf.putShort(0x0800.toShort)
+    buf.put(0x45.toByte).put(0.toByte)
+    buf.putShort(ipLen.toShort)
+    buf.putInt(0)
+    buf.put(64.toByte).put(17.toByte)       // UDP
+    buf.putShort(0)
+    buf.putInt(outerSrc.toInt)
+    buf.putInt(outerDst.toInt)
+    buf.putShort(12345.toShort)             // outer sport
+    buf.putShort(4789.toShort)              // UDP_PORT_VXLAN
+    buf.putShort((8 + 8 + innerLen).toShort) // UDP length
+    buf.putShort(0)
+    buf.put(0x08.toByte)                    // VXLAN flags: I bit
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putInt((vni << 8).toInt)            // 24-bit VNI + reserved
+    buf.put(inner.data)
+    Packet(tsUs, (14 + ipLen).toLong, buf.array())
+  }
+
   /** Parse one captured frame to its flow tuple; None for non-Ethernet /
-    * non-IPv4 / truncated frames (pmacctd drops them the same way). */
+    * truncated / non-IP frames (pmacctd drops them the same way).
+    * Handles 802.1Q tags (ll.c:65-71) and IPv6 (ll.c:57-59 ip6_handler);
+    * IPv6 addresses fold to their low 64 bits per [[FlowTuple]]. */
   def parse(p: Packet, linkType: Int = LinkEthernet): Option[FlowTuple] = {
     if (linkType != LinkEthernet || p.data.length < 34) return None
     val buf = ByteBuffer.wrap(p.data)
-    val etherType = buf.getShort(12) & 0xffff
-    if (etherType != 0x0800) return None
-    val vihl = buf.get(14) & 0xff
-    if ((vihl >> 4) != 4) return None
-    val ihl = (vihl & 0xf) * 4
-    val ipLen = buf.getShort(16) & 0xffff
-    val proto = buf.get(23) & 0xff
-    val src = buf.getInt(26) & 0xffffffffL
-    val dst = buf.getInt(30) & 0xffffffffL
-    val l4Off = 14 + ihl
-    val (sport, dport) =
-      if ((proto == 6 || proto == 17) && p.data.length >= l4Off + 4)
-        (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
-      else (0, 0)
-    Some(FlowTuple(src, dst, proto, sport, dport, ipLen, p.tsUs))
+    var off = 12
+    var etherType = buf.getShort(off) & 0xffff
+    var vlan = 0
+    off += 2
+    if (etherType == 0x8100 || etherType == 0x88A8) { // 802.1Q / 802.1AD
+      if (p.data.length < off + 4) return None
+      vlan = buf.getShort(off) & 0xfff
+      etherType = buf.getShort(off + 2) & 0xffff
+      off += 4
+    }
+    if (etherType == 0x86DD) { // IPv6
+      if (p.data.length < off + 40) return None
+      if (((buf.get(off) & 0xff) >> 4) != 6) return None
+      val payLen = buf.getShort(off + 4) & 0xffff
+      val proto = buf.get(off + 6) & 0xff
+      val src = buf.getLong(off + 8 + 8)   // low 64 bits
+      val dst = buf.getLong(off + 24 + 8)
+      val l4Off = off + 40
+      val (sport, dport) =
+        if ((proto == 6 || proto == 17) && p.data.length >= l4Off + 4)
+          (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+        else (0, 0)
+      Some(FlowTuple(src, dst, proto, sport, dport, 40L + payLen, p.tsUs,
+        af = 6, vlan = vlan))
+    } else if (etherType == 0x0800) { // IPv4
+      if (p.data.length < off + 20) return None
+      val vihl = buf.get(off) & 0xff
+      if ((vihl >> 4) != 4) return None
+      val ihl = (vihl & 0xf) * 4
+      val ipLen = buf.getShort(off + 2) & 0xffff
+      val proto = buf.get(off + 9) & 0xff
+      val src = buf.getInt(off + 12) & 0xffffffffL
+      val dst = buf.getInt(off + 16) & 0xffffffffL
+      val l4Off = off + ihl
+      val (sport, dport) =
+        if ((proto == 6 || proto == 17) && p.data.length >= l4Off + 4)
+          (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+        else (0, 0)
+      Some(FlowTuple(src, dst, proto, sport, dport, ipLen, p.tsUs,
+        af = 4, vlan = vlan))
+    } else None
+  }
+
+  /** VXLAN decap (nl.c:307-311, vxlan_tunnel_configurator nl.c:41): when
+    * the outer tuple is UDP to port 4789 and the VXLAN I flag is set,
+    * return (vni, inner tuple) by re-running [[parse]] on the
+    * encapsulated Ethernet frame; None when not VXLAN. */
+  def parseVxlan(p: Packet): Option[(Long, FlowTuple)] = {
+    parse(p).filter(o => o.proto == 17 && o.portDst == 4789).flatMap { _ =>
+      // outer is always untagged Eth + 20B IPv4 + 8B UDP here
+      val vxOff = 14 + 20 + 8
+      if (p.data.length < vxOff + 8 + 14) None
+      else {
+        val buf = ByteBuffer.wrap(p.data)
+        val flags = buf.get(vxOff) & 0xff
+        if ((flags & 0x08) == 0) None // I flag absent: not a VNI frame
+        else {
+          val vni = (buf.getInt(vxOff + 4) & 0xffffffffL) >> 8
+          val inner = java.util.Arrays.copyOfRange(
+            p.data, vxOff + 8, p.data.length)
+          parse(Packet(p.tsUs, inner.length.toLong, inner))
+            .map(t => (vni, t))
+        }
+      }
+    }
   }
 }

@@ -118,6 +118,29 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
   }
 
+  test("pcap: 802.1Q + IPv6 frames round-trip; VXLAN decap recovers inner") {
+    import graft.sources.Pcap
+    // tagged IPv4
+    val t4 = Pcap.FlowTuple(0xC0A80001L, 0x08080808L, 6, 443, 51000, 1500L,
+      7L, af = 4, vlan = 100)
+    assert(Pcap.parse(Pcap.frameExt(t4)).contains(t4))
+    // untagged IPv6: low-64-bit address fold
+    val t6 = Pcap.FlowTuple(0x1122334455667788L, -1L, 17, 53, 5353, 140L,
+      9L, af = 6, vlan = 0)
+    assert(Pcap.parse(Pcap.frameExt(t6)).contains(t6))
+    // tagged IPv6
+    val t6v = t6.copy(vlan = 4094)
+    assert(Pcap.parse(Pcap.frameExt(t6v)).contains(t6v))
+    // VXLAN: inner recovered with VNI; plain frame yields None
+    val inner = Pcap.FlowTuple(10L, 20L, 6, 80, 1234, 500L, 3L)
+    val vx = Pcap.frameVxlan(1L, 2L, 0xABCDEFL, 3L, Pcap.frame(inner))
+    assert(Pcap.parseVxlan(vx).contains((0xABCDEFL, inner)))
+    assert(Pcap.parseVxlan(Pcap.frame(inner)).isEmpty)
+    // I-flag absent: not decapped
+    val noI = vx.data.clone(); noI(14 + 28) = 0
+    assert(Pcap.parseVxlan(Pcap.Packet(3L, vx.origLen, noI)).isEmpty)
+  }
+
   test("sFlow v2/v4: IPv4 samples + generic counters round-trip; v5 rejected") {
     import graft.sources.{SFlowIfCounters, SFlowV2V4Datagram, SFlowV2V4Sample, SFlowV5}
     val s = SFlowV2V4Sample(7L, 3L, 4L, 100L, 1L, 1L, 2L, 1500L, 6L,
