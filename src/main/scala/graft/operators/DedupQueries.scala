@@ -163,14 +163,11 @@ object DedupQueries {
         val e = Tables.embeddings(s, d)
           .selectExpr("vec_id",
             "transform(embedding, x -> cast(x as double)) as v")
-          .selectExpr("vec_id", "v",
-            "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))" +
-              " as nrm")
+          .withColumn("nrm",
+            sqrt(graft.plans.Vec.dot(col("v"), col("v"))))
         e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-          .select((expr(
-            "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D," +
-              " (a, z) -> a + z)") / (col("x.nrm") * col("y.nrm")))
-            .as("sim"))
+          .select((graft.plans.Vec.dot(col("x.v"), col("y.v")) /
+            (col("x.nrm") * col("y.nrm"))).as("sim"))
           .groupBy().agg(
             count(lit(1)).as("n_pairs"),
             sum(when(col("sim") >= 0.3, 1L).otherwise(0L)).as("n_sim30"),

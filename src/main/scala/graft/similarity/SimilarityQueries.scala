@@ -15,13 +15,16 @@ import graft.core.{Q, Tables}
   */
 object SimilarityQueries {
 
+  // Norms and dot products run through the native codegen'd
+  // [[graft.plans.Vec]] expression (fused loop, no per-row intermediate
+  // arrays); its accumulation order is the identical left-to-right
+  // sequential fold the DuckDB oracle computes, so similarity values
+  // stay bit-identical.
   private def vectors(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> cast(x as double)) as v")
-      .selectExpr("vec_id", "label", "v",
-        "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))" +
-          " as nrm")
+      .withColumn("nrm", sqrt(graft.plans.Vec.dot(col("v"), col("v"))))
 
   private val duckVecs =
     """e AS (SELECT vec_id, label,
@@ -36,8 +39,7 @@ object SimilarityQueries {
            i -> list_extract(q.qv, i) * list_extract(n.v, i)),
          (a, z) -> a + z)"""
 
-  private val sparkSim = expr(
-    "aggregate(zip_with(qv, v, (p, w) -> p * w), 0D, (a, z) -> a + z)")
+  private val sparkSim = graft.plans.Vec.dot(col("qv"), col("v"))
 
   val all: Seq[Q] = Seq(
 
@@ -171,8 +173,8 @@ object SimilarityQueries {
             col("x.cid") === col("y.cid") &&
               col("x.vec_id") < col("y.vec_id"))
           .withColumn("psim",
-            expr("aggregate(zip_with(x.v, y.v, (p, w) -> p * w), 0D," +
-              " (a, z) -> a + z)") / (col("x.nrm") * col("y.nrm")))
+            graft.plans.Vec.dot(col("x.v"), col("y.v")) /
+              (col("x.nrm") * col("y.nrm")))
           .filter(col("psim") >= 0.35)
           .select(col("y.vec_id").as("vec_id")).distinct()
         assigned

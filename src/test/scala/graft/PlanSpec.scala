@@ -72,4 +72,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       "no map-side partial aggregation before the shuffle")
   }
+
+  test("vec_dot matches the zip_with fold bit-for-bit and stays in codegen") {
+    import spark.implicits._
+    val df = Seq((Array(1.5, -2.25, 3.125, 0.1), Array(0.5, 4.0, -1.75, 0.3)))
+      .toDF("a", "b")
+    val native = df.select(graft.plans.Vec.dot(col("a"), col("b")))
+      .as[Double].head()
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (p, w) -> p * w), 0D, (a, z) -> a + z)")
+      .as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(native) ==
+      java.lang.Double.doubleToLongBits(hof))
+    // the expression must not force a codegen fallback in a projection
+    // over a real scan (a local literal would just constant-fold)
+    val q = Tables.embeddings(spark, d)
+      .selectExpr("transform(embedding, x -> cast(x as double)) as v")
+      .select(graft.plans.Vec.dot(col("v"), col("v")).as("dp"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("vec_dot"),
+      s"vec_dot fell out of codegen:\n$plan")
+  }
 }
