@@ -448,6 +448,56 @@ object EnrichQueries {
             SELECT (event_id * 2654435761) % 1000003 % 4 AS receiver,
               count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
             FROM flows GROUP BY 1"""),
-      doc = "tee replication hash balancing")
+      doc = "tee replication hash balancing"),
+
+    // pre_tag_map on BGP keys (pretag_bgp_src_as_handler / PRETAG_SRC_AS,
+    // src/pretag_handlers.c:879-895; CONFIG-KEYS src_as/dst_as/comms
+    // rules): tagging rules that match on RIB-RESOLVED attributes, not
+    // packet fields — the map evaluates AFTER enrichment. dst_as and med
+    // come from a per-peer LPM (one broadcast join per mask length, fact
+    // side never shuffles), then the same first-match when/otherwise
+    // chain as q17 stamps tags, and pre_tag_filter keeps two of them.
+    Q("q131_pretag_bgp",
+      (s, d) => {
+        import graft.maps.PreTagMap
+        import graft.maps.PreTagMap.TagRule
+        // (peer, prefix) product space: peer above the 16 ip bits, so the
+        // per-peer RIB is one dim with 17-bit bases (q26's trick)
+        val dim17 = Dims.rib(s).select(
+          (col("peer") * 65536L + col("base")).as("base"),
+          (col("len") + 1L).as("len"), col("origin_as"), col("med"))
+        val lens17 = Dims.ribLens.map(_ + 1)
+        val enriched = Lpm.joinLongestMatch(
+          flows(s, d).join(broadcast(Dims.bgpAgentMap(s)), Seq("exporter")),
+          dim17, col("peer") * 65536L + col("ip_dst"),
+          lens17, 17, Seq("origin_as", "med"))
+        val tag = PreTagMap.tagColumn(Seq(
+          TagRule(col("origin_as").isin(64512L, 64612L), 100L),
+          TagRule(col("med") >= 30L, 200L),
+          TagRule(col("ip_src") % 16 === 5, 300L)))
+        enriched.withColumn("tag", tag)
+          .filter(PreTagMap.tagFilter(col("tag"), Seq(100L, 200L)))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.bgpAgentSql}, ${Dims.ribSql}
+            SELECT tag, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM (
+              SELECT f.bytes,
+                CASE
+                  WHEN (SELECT r.origin_as FROM rib r WHERE r.peer = b.peer
+                        AND ((f.ip_dst >> (16 - r.len)) << (16 - r.len))
+                          = r.base
+                        ORDER BY r.len DESC LIMIT 1) IN (64512, 64612)
+                    THEN 100
+                  WHEN (SELECT r.med FROM rib r WHERE r.peer = b.peer
+                        AND ((f.ip_dst >> (16 - r.len)) << (16 - r.len))
+                          = r.base
+                        ORDER BY r.len DESC LIMIT 1) >= 30 THEN 200
+                  WHEN f.ip_src % 16 = 5 THEN 300
+                  ELSE 0 END AS tag
+              FROM flows f JOIN bgp_agent_map b ON f.exporter = b.exporter)
+            WHERE tag IN (100, 200) GROUP BY 1"""),
+      doc = "pre_tag_map on RIB-resolved BGP keys (dst_as, med) + filter")
   )
 }

@@ -1057,6 +1057,46 @@ object ProtocolQueries {
            count(*) AS n,
            CAST(sum(bytes % 60000) AS BIGINT) AS inner_bytes
            FROM flows WHERE event_id % 5 != 0 GROUP BY 1, 2""")),
-      doc = "VXLAN decap: VNI + inner tuple accounting, plain frames excluded")
+      doc = "VXLAN decap: VNI + inner tuple accounting, plain frames excluded"),
+
+    // GTP-U decap (gtp_tunnel_func, src/nl.c:750-800; registered in the
+    // tunnel_registry src/nl.c:40): the mobile-core sibling of q129 —
+    // outer UDP:2152, version from flags>>5 (v1 = 8-byte header + TEID),
+    // and the payload walks straight into IP with NO inner Ethernet
+    // (the structural difference from VXLAN). Per-bearer accounting
+    // groups by TEID bucket and inner proto.
+    Q("q130_gtp_decap",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (col("bytes") % 60000).as("iplen"), col("t0u"),
+            (col("ip_src") % 65536).as("teid"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t, teid) =>
+              val inner = Pcap.innerIpv4(Pcap.FlowTuple(sa & 0xffffffffL,
+                da & 0xffffffffL, pr.toInt, spp.toInt, dp.toInt, len, t))
+              Pcap.frameGtp(sa % 8, 2L, teid, t, inner)
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(Pcap.parseGtp)
+              .map { case (teid, f) => (teid % 32, f.proto.toLong, f.ipLen) }
+          }
+        }
+        decoded.toDF("teid_bucket", "proto", "iplen")
+          .groupBy("teid_bucket", "proto")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("inner_bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT (ip_src % 65536) % 32 AS teid_bucket, ip_proto AS proto,
+           count(*) AS n,
+           CAST(sum(bytes % 60000) AS BIGINT) AS inner_bytes
+           FROM flows GROUP BY 1, 2""")),
+      doc = "GTP-U decap: per-TEID inner-IP accounting (no inner link layer)")
   )
 }

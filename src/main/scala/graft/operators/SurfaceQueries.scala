@@ -440,6 +440,73 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "RFC 4760 MP-BGP: IPv6 NLRI in MP_REACH/UNREACH, v6 RIB"),
 
+    // Route reflection + large communities on the wire: ORIGINATOR_ID
+    // (9) / CLUSTER_LIST (10) per RFC 4456 (reference attr registry
+    // src/bgp/bgp.h:55-56) and RFC 8092 LARGE_COMMUNITIES triples
+    // (src/bgp/bgp.h:68, parsed src/bgp/bgp_msg.c:930). Sessions carry
+    // reflected routes whose cluster lists sometimes contain the
+    // collector's own cluster id — the RFC 4456 §8 loop signal, counted
+    // per peer exactly like a reflector's sanity accounting; large
+    // communities aggregate as (global-admin, sum of local parts).
+    Q("q132_bgp_rr",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val OwnCluster = 9999L
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 16).as("sess"), col("event_id"),
+            (col("user_id") % 256).as("orig"),
+            (col("event_id") % 7 === 0).as("looped"),
+            (col("event_id") % 3 === 0).as("hasLc"),
+            (col("event_id") % 100).as("lc1"),
+            expr("CAST(floor(value * 1000) AS BIGINT) % 1000").as("lc2"))
+          .as[(Long, Long, Long, Boolean, Boolean, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Boolean, Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, eid, orig, looped, hasLc, lc1, lc2) =>
+              val cl = Seq(sess * 10 + 1) ++
+                (if (looped) Seq(OwnCluster) else Nil)
+              val msg = BgpMsg.encode(BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(eid % 65536, 32)),
+                origin = Some(0), asPath = Seq(65100L + sess),
+                nextHop = Some(sess), originatorId = Some(orig),
+                clusterList = cl,
+                largeCommunities =
+                  if (hasLc) Seq((64512L, lc1, lc2)) else Nil))
+              wire.write(msg, 0, msg.length)
+            }
+            BgpMsg.decodeStream(wire.toByteArray).iterator.map { u =>
+              (sess,
+                if (u.clusterList.contains(OwnCluster)) 1L else 0L,
+                u.originatorId.getOrElse(-1L),
+                u.largeCommunities.size.toLong,
+                u.largeCommunities.map(lc => lc._2 + lc._3).sum)
+            }
+        }
+        decoded.toDF("peer", "looped", "orig", "n_lc", "lc_sum")
+          .groupBy("peer")
+          .agg(count(lit(1)).as("n_routes"),
+            sum("looped").as("n_looped"),
+            countDistinct(col("orig")).as("n_originators"),
+            sum("n_lc").as("n_large_comms"),
+            sum("lc_sum").as("lc_local_sum"))
+      },
+      Some("""SELECT user_id % 16 AS peer, count(*) AS n_routes,
+              CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_looped,
+              count(DISTINCT user_id % 256) AS n_originators,
+              CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large_comms,
+              CAST(sum(CASE WHEN event_id % 3 = 0 THEN
+                  event_id % 100
+                  + CAST(floor(value * 1000) AS BIGINT) % 1000
+                ELSE 0 END) AS BIGINT) AS lc_local_sum
+              FROM events GROUP BY 1"""),
+      doc = "RFC 4456 route reflection + RFC 8092 large communities"),
+
     // BMP binary session parsing (RFC 7854; src/bmp/bmp_msg.c): each
     // monitored peer's stream is Initiation + Peer Up + Route Monitoring
     // messages whose bodies are real per-peer headers + encapsulated BGP

@@ -41,7 +41,14 @@ object BgpMsg {
       communities: Seq[Long] = Nil,
       nlri6: Seq[Route6] = Nil,
       withdrawn6: Seq[Route6] = Nil,
-      nextHop6: Option[(Long, Long)] = None)
+      nextHop6: Option[(Long, Long)] = None,
+      // route reflection (RFC 4456; reference BGP_ATTR_ORIGINATOR_ID=9 /
+      // BGP_ATTR_CLUSTER_LIST=10, src/bgp/bgp.h:55-56)
+      originatorId: Option[Long] = None,
+      clusterList: Seq[Long] = Nil,
+      // RFC 8092 (BGP_ATTR_LARGE_COMMUNITIES=32, src/bgp/bgp.h:68,
+      // parsed at src/bgp/bgp_msg.c:930): (global admin, local1, local2)
+      largeCommunities: Seq[(Long, Long, Long)] = Nil)
 
   // ---- encode --------------------------------------------------------
 
@@ -110,6 +117,14 @@ object BgpMsg {
     if (u.communities.nonEmpty)
       attrs ++= attr(0xc0, 8,
         u.communities.flatMap(c => u32(c).toSeq).toArray)
+    u.originatorId.foreach(o => attrs ++= attr(0x80, 9, u32(o)))
+    if (u.clusterList.nonEmpty)
+      attrs ++= attr(0x80, 10,
+        u.clusterList.flatMap(c => u32(c).toSeq).toArray)
+    if (u.largeCommunities.nonEmpty)
+      attrs ++= attr(0xc0, 32, u.largeCommunities.flatMap {
+        case (ga, l1, l2) => u32(ga) ++ u32(l1) ++ u32(l2)
+      }.toArray)
     // RFC 4760: IPv6 unicast rides MP_REACH_NLRI (14) / MP_UNREACH (15)
     if (u.nlri6.nonEmpty) {
       val b = new mutable.ArrayBuilder.ofByte
@@ -217,6 +232,17 @@ object BgpMsg {
           val cs = mutable.Buffer[Long]()
           while (buf.position() < aEnd) cs += buf.getInt() & 0xffffffffL
           u = u.copy(communities = cs.toSeq)
+        case 9 => u = u.copy(originatorId = Some(buf.getInt() & 0xffffffffL))
+        case 10 =>
+          val cl = mutable.Buffer[Long]()
+          while (buf.position() < aEnd) cl += buf.getInt() & 0xffffffffL
+          u = u.copy(clusterList = cl.toSeq)
+        case 32 => // RFC 8092: 12-byte (global, local1, local2) triples
+          val lc = mutable.Buffer[(Long, Long, Long)]()
+          while (buf.position() + 12 <= aEnd)
+            lc += ((buf.getInt() & 0xffffffffL, buf.getInt() & 0xffffffffL,
+              buf.getInt() & 0xffffffffL))
+          u = u.copy(largeCommunities = lc.toSeq)
         case 14 => // MP_REACH_NLRI (RFC 4760 §3)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff

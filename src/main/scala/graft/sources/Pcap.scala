@@ -200,24 +200,35 @@ object Pcap {
       etherType = buf.getShort(off + 2) & 0xffff
       off += 4
     }
-    if (etherType == 0x86DD) { // IPv6
-      if (p.data.length < off + 40) return None
-      if (((buf.get(off) & 0xff) >> 4) != 6) return None
+    if (etherType == 0x86DD || etherType == 0x0800)
+      parseIpAt(p.data, off, p.tsUs, vlan)
+    else None
+  }
+
+  /** Parse an IP packet (v4 or v6 by version nibble) at `off` — the
+    * nl.c ip_handler/ip6_handler entry, also used by tunnel decap where
+    * the inner payload is raw IP with no link layer (nl.c:785-800: "look
+    * at the first payload byte to guess which protocol"). */
+  private def parseIpAt(data: Array[Byte], off: Int, tsUs: Long,
+                        vlan: Int): Option[FlowTuple] = {
+    if (data.length < off + 20) return None
+    val buf = ByteBuffer.wrap(data)
+    val ver = (buf.get(off) & 0xff) >> 4
+    if (ver == 6) {
+      if (data.length < off + 40) return None
       val payLen = buf.getShort(off + 4) & 0xffff
       val proto = buf.get(off + 6) & 0xff
       val src = buf.getLong(off + 8 + 8)   // low 64 bits
       val dst = buf.getLong(off + 24 + 8)
       val l4Off = off + 40
       val (sport, dport) =
-        if ((proto == 6 || proto == 17) && p.data.length >= l4Off + 4)
+        if ((proto == 6 || proto == 17) && data.length >= l4Off + 4)
           (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
         else (0, 0)
-      Some(FlowTuple(src, dst, proto, sport, dport, 40L + payLen, p.tsUs,
+      Some(FlowTuple(src, dst, proto, sport, dport, 40L + payLen, tsUs,
         af = 6, vlan = vlan))
-    } else if (etherType == 0x0800) { // IPv4
-      if (p.data.length < off + 20) return None
+    } else if (ver == 4) {
       val vihl = buf.get(off) & 0xff
-      if ((vihl >> 4) != 4) return None
       val ihl = (vihl & 0xf) * 4
       val ipLen = buf.getShort(off + 2) & 0xffff
       val proto = buf.get(off + 9) & 0xff
@@ -225,12 +236,70 @@ object Pcap {
       val dst = buf.getInt(off + 16) & 0xffffffffL
       val l4Off = off + ihl
       val (sport, dport) =
-        if ((proto == 6 || proto == 17) && p.data.length >= l4Off + 4)
+        if ((proto == 6 || proto == 17) && data.length >= l4Off + 4)
           (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
         else (0, 0)
-      Some(FlowTuple(src, dst, proto, sport, dport, ipLen, p.tsUs,
+      Some(FlowTuple(src, dst, proto, sport, dport, ipLen, tsUs,
         af = 4, vlan = vlan))
     } else None
+  }
+
+  /** Wrap an inner IP packet (no link layer) in outer
+    * Eth/IPv4/UDP:2152/GTPv1-U (gtp_tunnel_func, nl.c:750-800: version
+    * from flags>>5, 8-byte v1 header, inner walked straight as IP). */
+  def frameGtp(outerSrc: Long, outerDst: Long, teid: Long, tsUs: Long,
+               innerIp: Array[Byte]): Packet = {
+    val ipLen = 20 + 8 + 8 + innerIp.length
+    val buf = ByteBuffer.allocate(14 + ipLen)
+    buf.position(12)
+    buf.putShort(0x0800.toShort)
+    buf.put(0x45.toByte).put(0.toByte)
+    buf.putShort(ipLen.toShort)
+    buf.putInt(0)
+    buf.put(64.toByte).put(17.toByte)
+    buf.putShort(0)
+    buf.putInt(outerSrc.toInt)
+    buf.putInt(outerDst.toInt)
+    buf.putShort(23000.toShort)             // outer sport
+    buf.putShort(2152.toShort)              // GTP-U port
+    buf.putShort((8 + 8 + innerIp.length).toShort)
+    buf.putShort(0)
+    buf.put(0x30.toByte)                    // GTP: version 1, PT=1
+    buf.put(0xff.toByte)                    // message type: T-PDU
+    buf.putShort(innerIp.length.toShort)
+    buf.putInt(teid.toInt)
+    buf.put(innerIp)
+    Packet(tsUs, (14 + ipLen).toLong, buf.array())
+  }
+
+  /** IPv4-only inner packet bytes (no Ethernet) for GTP fixtures. */
+  def innerIpv4(f: FlowTuple): Array[Byte] = {
+    val p = frame(f)
+    java.util.Arrays.copyOfRange(p.data, 14, p.data.length)
+  }
+
+  /** GTP-U decap (gtp_tunnel_func, nl.c:750-800): outer UDP to 2152,
+    * version from flags>>5 selects the 4-byte (v0) or 8-byte (v1)
+    * header, then the payload is walked directly as IP — NO inner link
+    * layer, unlike VXLAN. Returns (teid — 0 for v0, inner tuple). */
+  def parseGtp(p: Packet): Option[(Long, FlowTuple)] = {
+    parse(p).filter(o => o.proto == 17 && o.portDst == 2152).flatMap { _ =>
+      val gtpOff = 14 + 20 + 8
+      if (p.data.length < gtpOff + 4) None
+      else {
+        val buf = ByteBuffer.wrap(p.data)
+        val flags = buf.get(gtpOff) & 0xff
+        val hdr: Option[(Int, Long)] = ((flags >> 5) & 0x7) match {
+          case 0 => Some((4, 0L))
+          case 1 if p.data.length >= gtpOff + 8 =>
+            Some((8, buf.getInt(gtpOff + 4) & 0xffffffffL))
+          case _ => None // unsupported GTP version or truncated v1
+        }
+        hdr.flatMap { case (hdrLen, teid) =>
+          parseIpAt(p.data, gtpOff + hdrLen, p.tsUs, 0).map(t => (teid, t))
+        }
+      }
+    }
   }
 
   /** VXLAN decap (nl.c:307-311, vxlan_tunnel_configurator nl.c:41): when

@@ -118,6 +118,18 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
   }
 
+  test("BGP RR + large-community attrs round-trip (9/10/32)") {
+    import graft.sources.BgpMsg
+    val u = BgpMsg.Update(
+      nlri = Seq(BgpMsg.Route(4660L, 32)), origin = Some(0),
+      asPath = Seq(65001L), nextHop = Some(7L),
+      originatorId = Some(0x0A0B0C0DL),
+      clusterList = Seq(11L, 9999L, 0xFFFFFFFFL),
+      largeCommunities = Seq((64512L, 1L, 2L), (4200000000L, 0L, 999L)))
+    val back = BgpMsg.decodeStream(BgpMsg.encode(u))
+    assert(back == Seq(u))
+  }
+
   test("pcap: 802.1Q + IPv6 frames round-trip; VXLAN decap recovers inner") {
     import graft.sources.Pcap
     // tagged IPv4
@@ -139,6 +151,13 @@ class ProtocolSpec extends AnyFunSuite {
     // I-flag absent: not decapped
     val noI = vx.data.clone(); noI(14 + 28) = 0
     assert(Pcap.parseVxlan(Pcap.Packet(3L, vx.origLen, noI)).isEmpty)
+    // GTP-U v1: TEID + inner IP (no inner Ethernet)
+    val gtp = Pcap.frameGtp(7L, 2L, 0x1234L, 5L, Pcap.innerIpv4(inner))
+    assert(Pcap.parseGtp(gtp).contains((0x1234L, inner.copy(tsUs = 5L))))
+    assert(Pcap.parseGtp(Pcap.frame(inner)).isEmpty)
+    // unsupported GTP version (flags>>5 == 2) rejected
+    val badV = gtp.data.clone(); badV(14 + 28) = 0x40.toByte
+    assert(Pcap.parseGtp(Pcap.Packet(5L, gtp.origLen, badV)).isEmpty)
   }
 
   test("sFlow v2/v4: IPv4 samples + generic counters round-trip; v5 rejected") {
