@@ -498,6 +498,35 @@ object EnrichQueries {
                   ELSE 0 END AS tag
               FROM flows f JOIN bgp_agent_map b ON f.exporter = b.exporter)
             WHERE tag IN (100, 200) GROUP BY 1"""),
-      doc = "pre_tag_map on RIB-resolved BGP keys (dst_as, med) + filter")
+      doc = "pre_tag_map on RIB-resolved BGP keys (dst_as, med) + filter"),
+
+    // AS traffic matrix — `aggregate: src_as, dst_as`, the classic
+    // peering-coordination deployment (docs/INTERNALS spatial
+    // aggregation; networks_file as the AS source, src/net_aggr.c):
+    // BOTH endpoints resolve through the same plan-resident LPM
+    // expression — two shuffle-free probes per record inside one
+    // codegen stage — then one hash aggregation on the (src_as, dst_as)
+    // pair. Unresolved endpoints fold to AS 0 like pmacct's unknown AS.
+    Q("q135_as_matrix",
+      (s, d) => {
+        import graft.maps.Dims
+        import graft.plans.Lpm
+        val t = new Lpm.Table(16, Dims.networkPrefixes)
+        flows(s, d)
+          .withColumn("src_as", coalesce(Lpm.lpm(col("ip_src"), t), lit(0L)))
+          .withColumn("dst_as", coalesce(Lpm.lpm(col("ip_dst"), t), lit(0L)))
+          .groupBy("src_as", "dst_as")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"),
+            sum("packets").as("packets"))
+      },
+      Some(s"""$flowsSqlCte, ${graft.maps.Dims.networksSql}
+            SELECT coalesce(${lpmSql("networks", "f.ip_src", "asn")}, 0)
+                AS src_as,
+              coalesce(${lpmSql("networks", "f.ip_dst", "asn")}, 0)
+                AS dst_as,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(sum(packets) AS BIGINT) AS packets
+            FROM flows f GROUP BY 1, 2"""),
+      doc = "AS traffic matrix: dual LPM probes + one pair aggregation")
   )
 }

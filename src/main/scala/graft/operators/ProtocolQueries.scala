@@ -1097,6 +1097,55 @@ object ProtocolQueries {
            count(*) AS n,
            CAST(sum(bytes % 60000) AS BIGINT) AS inner_bytes
            FROM flows GROUP BY 1, 2""")),
-      doc = "GTP-U decap: per-TEID inner-IP accounting (no inner link layer)")
+      doc = "GTP-U decap: per-TEID inner-IP accounting (no inner link layer)"),
+
+    // ICMP type/code accounting: pmacctd captures icmp_type/icmp_code
+    // (src/nl.c:365-372 -> pkt_extras, src/network.h:395) and nfprobe
+    // packs them into the destination-port slot as type<<8|code
+    // (src/nfprobe_plugin/nfprobe_plugin.c:290-292) — the classic
+    // NetFlow convention. Echo, unreachable and time-exceeded frames go
+    // through the savefile round-trip; accounting groups per
+    // (icmp_type, icmp_code) recovered from the port slot.
+    Q("q134_icmp_codes",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val tc = when(col("event_id") % 4 === 0, lit(8L * 256))
+          .when(col("event_id") % 4 === 1, lit(0L))
+          .when(col("event_id") % 4 === 2, lit(3L * 256) + col("event_id") % 8)
+          .otherwise(lit(11L * 256) + col("event_id") % 2)
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), tc.as("tc"),
+            (col("bytes") % 60000).as("iplen"), col("t0u"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            val pkts = batch.map { case (sa, da, tc, len, t) =>
+              // ICMP header: the first short IS type<<8|code, so the
+              // builder's portSrc slot writes it verbatim
+              Pcap.frame(Pcap.FlowTuple(sa & 0xffffffffL, da & 0xffffffffL,
+                1, tc.toInt, 0, len, t))
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+              .map(f => (f.portDst >> 8, f.portDst & 0xff, f.ipLen))
+          }
+        }
+        decoded.toDF("icmp_type", "icmp_code", "iplen")
+          .groupBy("icmp_type", "icmp_code")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT tc // 256 AS icmp_type, tc % 256 AS icmp_code,
+           count(*) AS n, CAST(sum(bytes % 60000) AS BIGINT) AS bytes
+           FROM (SELECT bytes,
+               CASE WHEN event_id % 4 = 0 THEN 8 * 256
+                    WHEN event_id % 4 = 1 THEN 0
+                    WHEN event_id % 4 = 2 THEN 3 * 256 + event_id % 8
+                    ELSE 11 * 256 + event_id % 2 END AS tc
+             FROM flows)
+           GROUP BY 1, 2""")),
+      doc = "ICMP type/code accounting via the nfprobe port-slot convention")
   )
 }

@@ -507,6 +507,69 @@ object SurfaceQueries {
               FROM events GROUP BY 1"""),
       doc = "RFC 4456 route reflection + RFC 8092 large communities"),
 
+    // BMP termination + route mirroring (BMP_MSG_TERM=5 /
+    // BMP_MSG_ROUTE_MIRROR=6, src/bmp/bmp.h:44-45; TLV walk
+    // bmp_process_msg_route_mirror src/bmp/bmp_msg.c:937): each monitor
+    // session streams route-monitoring messages, mirrors a subset of
+    // PDUs verbatim (TLV 0) or reports them lost (TLV 1 info code), and
+    // closes with a reasoned termination. The session accounting a BMP
+    // station keeps — routes seen, mirrored PDUs recovered through the
+    // BGP codec, loss signals, close reason — is the gated output.
+    Q("q133_bmp_mirror",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("sess"), col("event_id"),
+            (col("event_id") % 65536).as("pfx"),
+            (col("event_id") % 6 === 0).as("mirror"),
+            (col("event_id") % 12 === 0).as("lost"))
+          .as[(Long, Long, Long, Boolean, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val peer = BmpMsg.PeerHeader(0, 0, 0L, sess, 65000L + sess,
+              sess, 0L, 0L)
+            val wire = new java.io.ByteArrayOutputStream()
+            def w(b: Array[Byte]): Unit = wire.write(b, 0, b.length)
+            w(BmpMsg.encodeInitiation(Seq(1 -> s"monitor-$sess")))
+            evs.foreach { case (_, _, pfx, mirror, lost) =>
+              val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx, 32)),
+                origin = Some(0), asPath = Seq(65000L + sess),
+                nextHop = Some(sess))
+              w(BmpMsg.encodeRouteMonitoring(peer, u))
+              if (mirror) {
+                if (lost) w(BmpMsg.encodeRouteMirror(peer, None, Some(1)))
+                else w(BmpMsg.encodeRouteMirror(peer,
+                  Some(BgpMsg.encode(u)), None))
+              }
+            }
+            w(BmpMsg.encodeTermination((sess % 3).toInt,
+              Seq(0 -> "bye")))
+            val msgs = BmpMsg.decodeStream(wire.toByteArray)
+            val nRoutes = msgs.count(_.isInstanceOf[BmpMsg.RouteMonitoring])
+            val mirrors = msgs.collect { case m: BmpMsg.RouteMirror => m }
+            val nPdus = mirrors.count(_.mirrored.nonEmpty)
+            val nLost = mirrors.count(_.infoCode.contains(1))
+            val reason = msgs.collect {
+              case BmpMsg.Termination(r) => r.toLong
+            }.headOption.getOrElse(-1L)
+            Iterator.single((sess, nRoutes.toLong, nPdus.toLong,
+              nLost.toLong, reason))
+        }
+        decoded.toDF("peer", "n_routes", "n_mirror_pdus", "n_mirror_lost",
+          "term_reason")
+      },
+      Some("""SELECT user_id % 8 AS peer, count(*) AS n_routes,
+              CAST(sum(CASE WHEN event_id % 6 = 0 AND event_id % 12 != 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mirror_pdus,
+              CAST(sum(CASE WHEN event_id % 12 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mirror_lost,
+              user_id % 8 % 3 AS term_reason
+              FROM events GROUP BY 1"""),
+      doc = "BMP termination + route mirroring: PDU recovery and loss TLVs"),
+
     // BMP binary session parsing (RFC 7854; src/bmp/bmp_msg.c): each
     // monitored peer's stream is Initiation + Peer Up + Route Monitoring
     // messages whose bodies are real per-peer headers + encapsulated BGP

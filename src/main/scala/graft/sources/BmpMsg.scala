@@ -28,6 +28,11 @@ object BmpMsg {
   final case class PeerUp(peer: PeerHeader) extends Msg
   final case class PeerDown(peer: PeerHeader, reason: Int) extends Msg
   final case class Initiation(info: Seq[(Int, String)]) extends Msg
+  final case class Termination(reason: Int) extends Msg
+  /** Mirrored PDUs decode through the BGP codec when well-formed;
+    * `infoCode` carries the errored-PDU / messages-lost signal. */
+  final case class RouteMirror(peer: PeerHeader,
+      mirrored: Option[BgpMsg.Update], infoCode: Option[Int]) extends Msg
   /** Stats report (type 1, RFC 7854 §4.8): per-peer counter TLVs,
     * stat type → value (32-bit counters and 64-bit gauges). */
   final case class StatsReport(peer: PeerHeader,
@@ -86,6 +91,45 @@ object BmpMsg {
       body.write(tlv.array(), 0, tlv.array().length)
     }
     common(1, body.toByteArray)
+  }
+
+  /** Termination (BMP_MSG_TERM=5, src/bmp/bmp.h:44): info TLVs; type 1
+    * is the 2-byte reason code (bmp_term_reason_types,
+    * src/bmp/bmp.h:176). */
+  def encodeTermination(reason: Int, info: Seq[(Int, String)] = Nil)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    info.foreach { case (tp, s) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val tlv = ByteBuffer.allocate(4 + b.length)
+      tlv.putShort(tp.toShort).putShort(b.length.toShort).put(b)
+      out.write(tlv.array(), 0, tlv.array().length)
+    }
+    val r = ByteBuffer.allocate(6)
+    r.putShort(1.toShort).putShort(2.toShort).putShort(reason.toShort)
+    out.write(r.array(), 0, 6)
+    common(5, out.toByteArray)
+  }
+
+  /** Route mirroring (BMP_MSG_ROUTE_MIRROR=6, src/bmp/bmp.h:45,
+    * bmp_process_msg_route_mirror src/bmp/bmp_msg.c:937): per-peer
+    * header + TLVs — type 0 carries a verbatim BGP PDU, type 1 a 2-byte
+    * information code (0 = errored PDU, 1 = messages lost). */
+  def encodeRouteMirror(p: PeerHeader, pdu: Option[Array[Byte]],
+                        infoCode: Option[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(peerBytes(p), 0, PerPeerLen)
+    pdu.foreach { b =>
+      val tlv = ByteBuffer.allocate(4 + b.length)
+      tlv.putShort(0.toShort).putShort(b.length.toShort).put(b)
+      out.write(tlv.array(), 0, tlv.array().length)
+    }
+    infoCode.foreach { c =>
+      val tlv = ByteBuffer.allocate(6)
+      tlv.putShort(1.toShort).putShort(2.toShort).putShort(c.toShort)
+      out.write(tlv.array(), 0, 6)
+    }
+    common(6, out.toByteArray)
   }
 
   def encodeInitiation(info: Seq[(Int, String)]): Array[Byte] = {
@@ -156,7 +200,31 @@ object BmpMsg {
               new String(b, java.nio.charset.StandardCharsets.UTF_8)))
           }
           out += Initiation(info.toSeq)
-        case _ => () // stats, termination, mirroring: skip by length
+        case 5 =>
+          var reason = -1
+          while (buf.position() + 4 <= msgEnd) {
+            val tp = buf.getShort() & 0xffff
+            val l = buf.getShort() & 0xffff
+            if (tp == 1 && l == 2) reason = buf.getShort() & 0xffff
+            else buf.position(buf.position() + l)
+          }
+          out += Termination(reason)
+        case 6 =>
+          val peer = readPeer(buf)
+          var mirrored: Option[BgpMsg.Update] = None
+          var infoCode: Option[Int] = None
+          while (buf.position() + 4 <= msgEnd) {
+            val tp = buf.getShort() & 0xffff
+            val l = buf.getShort() & 0xffff
+            val tlvEnd = buf.position() + l
+            if (tp == 0 && mirrored.isEmpty)
+              mirrored = BgpMsg.decodeOne(buf)
+            else if (tp == 1 && l == 2)
+              infoCode = Some(buf.getShort() & 0xffff)
+            buf.position(tlvEnd)
+          }
+          out += RouteMirror(peer, mirrored, infoCode)
+        case _ => () // unknown message types: skip by length
       }
       buf.position(msgEnd)
     }

@@ -224,6 +224,10 @@ object Pcap {
       val (sport, dport) =
         if ((proto == 6 || proto == 17) && data.length >= l4Off + 4)
           (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+        else if (proto == 58 && data.length >= l4Off + 2)
+          // ICMPv6: type<<8|code into the dst-port slot, the nfprobe
+          // convention (src/nfprobe_plugin/nfprobe_plugin.c:290-292)
+          (0, ((buf.get(l4Off) & 0xff) << 8) | (buf.get(l4Off + 1) & 0xff))
         else (0, 0)
       Some(FlowTuple(src, dst, proto, sport, dport, 40L + payLen, tsUs,
         af = 6, vlan = vlan))
@@ -238,6 +242,11 @@ object Pcap {
       val (sport, dport) =
         if ((proto == 6 || proto == 17) && data.length >= l4Off + 4)
           (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+        else if (proto == 1 && data.length >= l4Off + 2)
+          // ICMP: type<<8|code into the dst-port slot, the nfprobe
+          // convention (src/nfprobe_plugin/nfprobe_plugin.c:290-292;
+          // type/code captured in nl.c:365-372)
+          (0, ((buf.get(l4Off) & 0xff) << 8) | (buf.get(l4Off + 1) & 0xff))
         else (0, 0)
       Some(FlowTuple(src, dst, proto, sport, dport, ipLen, tsUs,
         af = 4, vlan = vlan))
