@@ -527,6 +527,44 @@ object EnrichQueries {
               count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes,
               CAST(sum(packets) AS BIGINT) AS packets
             FROM flows f GROUP BY 1, 2"""),
-      doc = "AS traffic matrix: dual LPM probes + one pair aggregation")
+      doc = "AS traffic matrix: dual LPM probes + one pair aggregation"),
+
+    // Tag-filtered tee receivers (tee_recvs_map_tag_handler,
+    // src/tee_plugin/tee_recvs.c:111-116: each receiver pool carries a
+    // tag_filter; hash-tag balancing :143-145): a record replicates to
+    // EVERY pool whose filter matches its tag — one-to-many, expressed
+    // as an array-literal projection + explode (no join, no shuffle
+    // before the per-receiver aggregation). Pool 1 takes tag 100,
+    // pool 2 tag 200, pool 3 both, pool 4 is unfiltered.
+    Q("q138_tee_tagged",
+      (s, d) => {
+        import graft.maps.PreTagMap
+        import graft.maps.PreTagMap.TagRule
+        val tag = PreTagMap.tagColumn(Seq(
+          TagRule(col("ip_proto") === 6, 100L),
+          TagRule(col("ip_src") % 16 === 5, 200L)))
+        flows(s, d).withColumn("tag", tag)
+          .withColumn("pool", explode(expr(
+            """filter(array(
+                 CASE WHEN tag = 100 THEN 1 END,
+                 CASE WHEN tag = 200 THEN 2 END,
+                 CASE WHEN tag IN (100, 200) THEN 3 END,
+                 4), p -> p IS NOT NULL)""")))
+          .groupBy("pool")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, tagged AS (
+              SELECT bytes, CASE WHEN ip_proto = 6 THEN 100
+                WHEN ip_src % 16 = 5 THEN 200 ELSE 0 END AS tag
+              FROM flows)
+            SELECT pool, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM (
+              SELECT 1 AS pool, bytes FROM tagged WHERE tag = 100
+              UNION ALL SELECT 2, bytes FROM tagged WHERE tag = 200
+              UNION ALL SELECT 3, bytes FROM tagged
+                WHERE tag IN (100, 200)
+              UNION ALL SELECT 4, bytes FROM tagged)
+            GROUP BY 1"""),
+      doc = "tee pools with tag filters: one-to-many replication fan-out")
   )
 }

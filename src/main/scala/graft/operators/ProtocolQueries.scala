@@ -1146,6 +1146,57 @@ object ProtocolQueries {
                     ELSE 11 * 256 + event_id % 2 END AS tc
              FROM flows)
            GROUP BY 1, 2""")),
-      doc = "ICMP type/code accounting via the nfprobe port-slot convention")
+      doc = "ICMP type/code accounting via the nfprobe port-slot convention"),
+
+    // Collector health accounting (xflow_status_table.tot_bad_datagrams,
+    // src/xflow_status.h:106; every malformed-input site in nfacctd
+    // bumps it and DISCARDS — never crashes): a ninth of the exporters'
+    // datagrams arrive truncated mid-header; the decoder must drop
+    // exactly those and decode everything else. The gate proves the
+    // discard-not-throw hardening end-to-end: sent/decoded/dropped per
+    // exporter match the oracle's arithmetic over which records were
+    // corrupted.
+    Q("q137_collector_health",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            col("ip_proto"), (col("bytes") % 4294967296L).as("oc"),
+            (col("event_id") % 9 === 0).as("corrupt"))
+          .as[(Long, Long, Long, Long, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val (bad, good) = recs.partition(_._5)
+            val tmpl = NetFlowV9.Template(273, Seq(
+              IE.Protocol -> 1, IE.InBytes -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            def dg(b: Seq[(Long, Long, Long, Long, Boolean)]) =
+              NetFlowV9.encodeData(h, tmpl,
+                b.map(r => Map(IE.Protocol -> r._3, IE.InBytes -> r._4)))
+            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
+              (good.grouped(20).map(dg).toSeq ++
+                bad.grouped(20).map(b => dg(b).take(12)).toSeq) // truncated
+            val cache = new NetFlowV9.TemplateCache
+            val out = dgs.flatMap(cache.observe)
+            Iterator.single((ex, recs.size.toLong, out.size.toLong,
+              (recs.size - out.size).toLong,
+              out.map(m => m(IE.InBytes).asInstanceOf[Long]).sum))
+        }
+        decoded.toDF("exporter", "n_sent", "n_decoded", "n_dropped",
+          "octets")
+      },
+      Some(FlowView.cte(
+        """SELECT ip_src % 16 AS exporter, count(*) AS n_sent,
+           CAST(sum(CASE WHEN event_id % 9 != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_decoded,
+           CAST(sum(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN event_id % 9 != 0 THEN bytes % 4294967296
+             ELSE 0 END) AS BIGINT) AS octets
+           FROM flows GROUP BY 1""")),
+      doc = "bad-datagram health: truncated input dropped, rest decoded")
   )
 }

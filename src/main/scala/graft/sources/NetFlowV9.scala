@@ -298,6 +298,7 @@ object NetFlowV9 {
     /** Decode one datagram; returns records decodable NOW (including any
       * previously-buffered data whose template just arrived). */
     def observeX(datagram: Array[Byte]): Seq[DecodedX] = {
+      if (datagram.length < 4) return Seq.empty // runt: discard, no throw
       val buf = ByteBuffer.wrap(datagram)
       val version = buf.getShort() & 0xffff
       require(version == 9 || version == 10,
@@ -305,16 +306,26 @@ object NetFlowV9 {
       val ipfix = version == 10
       val (headerLen, templateSetId) =
         if (ipfix) (IpfixHeaderLen, 2) else (HeaderLen, 0)
+      // a datagram truncated inside its own header is DISCARDED, never
+      // thrown (tot_bad_datagrams accounting, src/xflow_status.h:106 —
+      // one bad packet must not fail a collector task)
+      if (datagram.length < headerLen) return Seq.empty
       // v9's header count caps decoded records — the only way to tell a
       // trailing 2-byte pad from a phantom 2-byte record (RFC 3954 count
       // covers template + data records in the packet)
       var budget = if (ipfix) Int.MaxValue else buf.getShort() & 0xffff
       buf.position(headerLen) // remaining header fields not needed here
       val out = mutable.Buffer[DecodedX]()
-      while (buf.remaining() >= 4) {
+      var truncatedDg = false
+      while (!truncatedDg && buf.remaining() >= 4) {
         val setId = buf.getShort() & 0xffff
         val setLen = buf.getShort() & 0xffff
         val setEnd = buf.position() + setLen - 4
+        if (setLen < 4 || setEnd > buf.limit()) {
+          // set header lies beyond the datagram: truncated mid-set —
+          // stop here, keep whatever earlier sets produced
+          truncatedDg = true
+        } else {
         if (setId == templateSetId) {
           while (buf.position() + 4 <= setEnd) {
             val tid = buf.getShort() & 0xffff
@@ -360,6 +371,7 @@ object NetFlowV9 {
           }
         }
         buf.position(setEnd)
+        }
       }
       out.toSeq
     }

@@ -422,6 +422,49 @@ object StreamingQueries {
             FROM e GROUP BY 1, 2
             HAVING win_start_us + 86400000000 <=
               (SELECT max(tu) - 3600000000 FROM e)"""),
-      doc = "append-mode emission: only watermark-closed windows")
+      doc = "append-mode emission: only watermark-closed windows"),
+
+    // Streaming pro-rating: pmacct's temporal core — counters split
+    // across *_history bins by overlap (sql_history roundoff,
+    // CONFIG-KEYS:1419-1432) — running LIVE: the bin explode is a pure
+    // generator projection, so it rides the stream before the watermarked
+    // window aggregation; every micro-batch contributes its flows' bin
+    // shares and the state store sums them. Same integer split as q12,
+    // so the batch oracle is exact.
+    Q("q136_stream_prorate",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q136_sink_" + sinkId.incrementAndGet()
+        val fl = FlowView.fromEvents(
+          s.readStream.schema(schema).parquet(s"$d/events.*")
+            // nanos BIGINT -> micros TimestampType, as Tables.events does
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        val agg = graft.operators.ProRating.explodeBins(fl,
+            col("t0u"), col("t1u"), 300,
+            Seq("bytes_w" -> col("bytes")))
+          .withColumn("bin_ts", expr("timestamp_seconds(bin_start)"))
+          .withWatermark("bin_ts", "30 minutes")
+          .groupBy(window(col("bin_ts"), "5 minutes"), col("ip_proto"))
+          .agg(sum("bytes_w").as("bytes_w"), count(lit(1)).as("n"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(
+          expr("unix_micros(window.start) div 1000000").as("bin_start"),
+          col("ip_proto"), col("bytes_w"), col("n"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}), exploded AS (
+            SELECT f.*, unnest(generate_series(t0u // 300000000,
+                   greatest(t0u, t1u - 1) // 300000000)) AS __bin
+            FROM flows f)
+          SELECT __bin * 300 AS bin_start, ip_proto,
+            CAST(sum(CASE WHEN t1u = t0u THEN bytes
+                 ELSE (bytes * (least(t1u, (__bin+1)*300000000) -
+                       greatest(t0u, __bin*300000000))) // (t1u - t0u)
+                 END) AS BIGINT) AS bytes_w,
+            count(*) AS n
+          FROM exploded GROUP BY bin_start, ip_proto"""),
+      doc = "streaming pro-rating: bin explode + watermarked window sums")
   )
 }

@@ -118,6 +118,27 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cache.observe(NetFlowV9.encodeData(h, t, Seq(r))) == Seq(r))
   }
 
+  test("v9 runt/mid-set-truncated datagrams discard; earlier sets survive") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(274, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 1L)
+    val r = Map(IE.Protocol -> 6L, IE.InBytes -> 500L)
+    val cache = new NetFlowV9.TemplateCache
+    cache.observe(NetFlowV9.encodeTemplate(h, t))
+    val full = NetFlowV9.encodeData(h, t, Seq(r))
+    // truncated inside the v9 header: discarded, no throw
+    assert(cache.observe(full.take(12)) == Seq.empty)
+    assert(cache.observe(Array[Byte](0, 9)) == Seq.empty)
+    // a second set whose declared length overruns the datagram: the
+    // complete first set still decodes
+    val good = NetFlowV9.encodeData(h, t, Seq(r))
+    val overrun = good ++ Array[Byte](1, 4, 0, 99) // setId 260, len 99
+    assert(cache.observe(overrun) == Seq(r))
+    // intact datagram still decodes afterwards (cache state unharmed)
+    assert(cache.observe(full) == Seq(r))
+  }
+
   test("BGP RR + large-community attrs round-trip (9/10/32)") {
     import graft.sources.BgpMsg
     val u = BgpMsg.Update(
