@@ -24,7 +24,9 @@ def main(sfdir, benchfile, oraclefile):
             dt = time.time() - t0
         except Exception:
             dt = float("nan")
-        rows.append((name, bench.get(name, float("nan")), dt))
+        # bench keys are the short qNN prefix (driver tail-capture fit)
+        s = bench.get(name, bench.get(name.split("_")[0], float("nan")))
+        rows.append((name, s, dt))
     print(f"{'query':26s} {'spark_s':>8s} {'duckdb_s':>9s} {'ratio':>6s}")
     sw = dw = 0.0
     for n, s, d in rows:
