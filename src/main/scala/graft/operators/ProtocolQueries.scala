@@ -1197,6 +1197,100 @@ object ProtocolQueries {
            CAST(sum(CASE WHEN event_id % 9 != 0 THEN bytes % 4294967296
              ELSE 0 END) AS BIGINT) AS octets
            FROM flows GROUP BY 1""")),
-      doc = "bad-datagram health: truncated input dropped, rest decoded")
+      doc = "bad-datagram health: truncated input dropped, rest decoded"),
+
+    // Absolute flow timestamps: NF9_FIRST/LAST_SWITCHED_MSEC (152/153,
+    // src/nfv9_template.h:128-131) as 8-byte IEs — the modern exporter
+    // form where flow times are epoch-absolute, not sysuptime-relative
+    // (the handler accepts 4- or 8-byte encodings,
+    // src/pkt_handlers.c:3389-3394). History binning and duration sums
+    // run on the DECODED milliseconds; a byte-order or width defect in
+    // the 8-byte path shifts every bin and breaks parity.
+    Q("q139_abs_timestamps",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            (col("ip_src") % 16).as("exporter"), col("event_id"),
+            expr("t0u div 1000").as("t0ms"),
+            expr("t1u div 1000").as("t1ms"),
+            (col("bytes") % 4294967296L).as("oc"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2).map(r =>
+              Map(IE.FirstSwitchedMsec -> r._3, IE.LastSwitchedMsec -> r._4,
+                IE.InBytes -> r._5))
+            val tmpl = NetFlowV9.Template(275, Seq(
+              IE.FirstSwitchedMsec -> 8, IE.LastSwitchedMsec -> 8,
+              IE.InBytes -> 4))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val cache = new NetFlowV9.TemplateCache
+            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
+              recs.grouped(20).map(b =>
+                NetFlowV9.encodeData(h, tmpl, b)).toSeq
+            dgs.flatMap(cache.observe).map(m =>
+              (m(IE.FirstSwitchedMsec), m(IE.LastSwitchedMsec),
+               m(IE.InBytes)))
+        }
+        decoded.toDF("t0ms", "t1ms", "oc")
+          .groupBy(expr("(t0ms div 300000) * 300").as("bin_start"))
+          .agg(count(lit(1)).as("n"), sum("oc").as("octets"),
+            sum(col("t1ms") - col("t0ms")).as("dur_ms"))
+      },
+      Some(FlowView.cte(
+        """SELECT (t0u // 1000 // 300000) * 300 AS bin_start,
+           count(*) AS n,
+           CAST(sum(bytes % 4294967296) AS BIGINT) AS octets,
+           CAST(sum(t1u // 1000 - t0u // 1000) AS BIGINT) AS dur_ms
+           FROM flows GROUP BY 1""")),
+      doc = "absolute-time IEs (152/153, 8-byte): binning on decoded epochs"),
+
+    // QinQ double tagging (802.1AD S-tag + 802.1Q C-tag — outer walk
+    // ll.c:65-71, cvlan_ptr ll.c:45; cvlan is a first-class primitive,
+    // pkt_tunnel_primitives §1.1): provider frames carry both tags,
+    // plain customer frames one or none; accounting groups by
+    // (S-VLAN, C-VLAN bucket) — a parse that mis-walks either 4-byte
+    // tag shifts the IP header and breaks parity.
+    Q("q140_qinq",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (lit(40L) + col("bytes") % 60000).as("iplen"), col("t0u"),
+            when(col("event_id") % 3 === 0, lit(1L) + col("ip_src") % 7)
+              .otherwise(0L).as("svlan"),
+            when(col("event_id") % 3 === 0, lit(1L) + col("ip_dst") % 5)
+              .otherwise(0L).as("cvlan"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).flatMap { batch =>
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t, sv, cv) =>
+              Pcap.frameExt(Pcap.FlowTuple(sa & 0xffffffffL,
+                da & 0xffffffffL, pr.toInt, spp.toInt, dp.toInt, len, t,
+                4, sv.toInt, cv.toInt))
+            }
+            val sf = Pcap.read(Pcap.write(pkts))
+            sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+              .map(f => (f.vlan.toLong, f.cvlan.toLong, f.ipLen))
+          }
+        }
+        decoded.toDF("svlan", "cvlan", "iplen")
+          .groupBy("svlan", "cvlan")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("ip_bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT CASE WHEN event_id % 3 = 0 THEN 1 + ip_src % 7
+                  ELSE 0 END AS svlan,
+           CASE WHEN event_id % 3 = 0 THEN 1 + ip_dst % 5
+                  ELSE 0 END AS cvlan,
+           count(*) AS n,
+           CAST(sum(40 + bytes % 60000) AS BIGINT) AS ip_bytes
+           FROM flows GROUP BY 1, 2""")),
+      doc = "QinQ: S-tag + C-tag walk, cvlan as a grouping primitive")
   )
 }

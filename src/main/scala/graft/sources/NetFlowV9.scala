@@ -522,5 +522,11 @@ object NetFlowV9 {
     val PostNatDstPort = 228  // postNAPTDestinationTransportPort
     val NatEvent = 230        // natEvent: 1=create, 2=delete
     val FwEvent = 233         // firewallEvent: 1=created 2=deleted 3=denied
+    // absolute flow timestamps (src/nfv9_template.h:128-131; handler
+    // accepts 4- or 8-byte encodings, src/pkt_handlers.c:3389-3394)
+    val FirstSwitchedSec = 150
+    val LastSwitchedSec = 151
+    val FirstSwitchedMsec = 152
+    val LastSwitchedMsec = 153
   }
 }

@@ -36,10 +36,13 @@ object Pcap {
     * (`af=6`) the 128-bit addresses fold to their LOW 64 bits — the
     * grouping key the engine aggregates on, documented as such (the full
     * address would be a 16-byte binary column in the wide schema).
-    * `vlan` is the outer 802.1Q tag, 0 when untagged (ll.c:65-71). */
+    * `vlan` is the outer 802.1Q/802.1AD tag, 0 when untagged
+    * (ll.c:65-71); `cvlan` the QinQ inner customer tag when double-
+    * tagged (cvlan_ptr, ll.c:45). */
   final case class FlowTuple(ipSrc: Long, ipDst: Long, proto: Int,
                              portSrc: Int, portDst: Int, ipLen: Long,
-                             tsUs: Long, af: Int = 4, vlan: Int = 0)
+                             tsUs: Long, af: Int = 4, vlan: Int = 0,
+                             cvlan: Int = 0)
 
   // ---- savefile write (fixture generation / sfprobe-style capture) ----
 
@@ -123,14 +126,19 @@ object Pcap {
     * low 8 bytes. */
   def frameExt(f: FlowTuple): Packet = {
     val l4 = if (f.proto == 6) 20 else 8
-    val tagLen = if (f.vlan != 0) 4 else 0
+    val tagLen = (if (f.vlan != 0) 4 else 0) + (if (f.cvlan != 0) 4 else 0)
     val ipHdr = if (f.af == 6) 40 else 20
     val ipLenOnWire = ipHdr + l4
     val buf = ByteBuffer.allocate(14 + tagLen + ipLenOnWire)
     buf.position(12)
     if (f.vlan != 0) {
-      buf.putShort(0x8100.toShort)          // 802.1Q TPID (ll.c:65)
+      // QinQ: outer S-tag uses the 802.1AD TPID, inner C-tag 802.1Q
+      buf.putShort((if (f.cvlan != 0) 0x88A8 else 0x8100).toShort)
       buf.putShort((f.vlan & 0xfff).toShort) // PCP/DEI zero + VID
+      if (f.cvlan != 0) {
+        buf.putShort(0x8100.toShort)
+        buf.putShort((f.cvlan & 0xfff).toShort)
+      }
     }
     if (f.af == 6) {
       buf.putShort(0x86DD.toShort)          // ethertype IPv6
@@ -193,15 +201,21 @@ object Pcap {
     var off = 12
     var etherType = buf.getShort(off) & 0xffff
     var vlan = 0
+    var cvlan = 0
     off += 2
-    if (etherType == 0x8100 || etherType == 0x88A8) { // 802.1Q / 802.1AD
+    // up to two stacked tags: 802.1AD S-tag then 802.1Q C-tag (QinQ,
+    // ll.c:65-71 outer walk + cvlan_ptr ll.c:45)
+    var tags = 0
+    while (tags < 2 && (etherType == 0x8100 || etherType == 0x88A8)) {
       if (p.data.length < off + 4) return None
-      vlan = buf.getShort(off) & 0xfff
+      val vid = buf.getShort(off) & 0xfff
+      if (tags == 0) vlan = vid else cvlan = vid
       etherType = buf.getShort(off + 2) & 0xffff
       off += 4
+      tags += 1
     }
     if (etherType == 0x86DD || etherType == 0x0800)
-      parseIpAt(p.data, off, p.tsUs, vlan)
+      parseIpAt(p.data, off, p.tsUs, vlan, cvlan)
     else None
   }
 
@@ -210,7 +224,7 @@ object Pcap {
     * the inner payload is raw IP with no link layer (nl.c:785-800: "look
     * at the first payload byte to guess which protocol"). */
   private def parseIpAt(data: Array[Byte], off: Int, tsUs: Long,
-                        vlan: Int): Option[FlowTuple] = {
+                        vlan: Int, cvlan: Int = 0): Option[FlowTuple] = {
     if (data.length < off + 20) return None
     val buf = ByteBuffer.wrap(data)
     val ver = (buf.get(off) & 0xff) >> 4
@@ -230,7 +244,7 @@ object Pcap {
           (0, ((buf.get(l4Off) & 0xff) << 8) | (buf.get(l4Off + 1) & 0xff))
         else (0, 0)
       Some(FlowTuple(src, dst, proto, sport, dport, 40L + payLen, tsUs,
-        af = 6, vlan = vlan))
+        af = 6, vlan = vlan, cvlan = cvlan))
     } else if (ver == 4) {
       val vihl = buf.get(off) & 0xff
       val ihl = (vihl & 0xf) * 4
@@ -249,7 +263,7 @@ object Pcap {
           (0, ((buf.get(l4Off) & 0xff) << 8) | (buf.get(l4Off + 1) & 0xff))
         else (0, 0)
       Some(FlowTuple(src, dst, proto, sport, dport, ipLen, tsUs,
-        af = 4, vlan = vlan))
+        af = 4, vlan = vlan, cvlan = cvlan))
     } else None
   }
 

@@ -465,6 +465,47 @@ object StreamingQueries {
                  END) AS BIGINT) AS bytes_w,
             count(*) AS n
           FROM exploded GROUP BY bin_start, ip_proto"""),
-      doc = "streaming pro-rating: bin explode + watermarked window sums")
+      doc = "streaming pro-rating: bin explode + watermarked window sums"),
+
+    // Streaming enrichment: the plan-resident LPM expression (the same
+    // codegen'd lookup batch queries use — one table copy per executor,
+    // zero shuffle) rides a live stream into a watermarked windowed
+    // aggregation per resolved AS. This is nfacctd's shape: every
+    // arriving record is enriched in place, then temporal bins
+    // accumulate in the state store (networks_file semantics,
+    // src/net_aggr.c, applied on the live path).
+    Q("q141_stream_enrich",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q141_sink_" + sinkId.incrementAndGet()
+        import graft.maps.Dims
+        import graft.plans.Lpm
+        val t = new Lpm.Table(16, Dims.networkPrefixes)
+        val fl = FlowView.fromEvents(
+          s.readStream.schema(schema).parquet(s"$d/events.*")
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        val agg = fl
+          .withColumn("dst_as", coalesce(Lpm.lpm(col("ip_dst"), t), lit(0L)))
+          .withColumn("ets", expr("timestamp_micros(t0u)"))
+          .withWatermark("ets", "10 minutes")
+          .groupBy(window(col("ets"), "1 day"), col("dst_as"))
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(
+          expr("unix_micros(window.start)").as("win_start_us"),
+          col("dst_as"), col("n"), col("bytes"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}),
+            ${graft.maps.Dims.networksSql}
+            SELECT (t0u // 86400000000) * 86400000000 AS win_start_us,
+              coalesce((SELECT n.asn FROM networks n
+                WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base
+                ORDER BY n.len DESC LIMIT 1), 0) AS dst_as,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows f GROUP BY 1, 2"""),
+      doc = "streaming LPM enrich: codegen lookup + watermarked windows")
   )
 }

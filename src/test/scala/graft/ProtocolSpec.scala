@@ -164,6 +164,9 @@ class ProtocolSpec extends AnyFunSuite {
     // tagged IPv6
     val t6v = t6.copy(vlan = 4094)
     assert(Pcap.parse(Pcap.frameExt(t6v)).contains(t6v))
+    // QinQ: 802.1AD S-tag + 802.1Q C-tag both recovered
+    val qq = t4.copy(vlan = 7, cvlan = 9)
+    assert(Pcap.parse(Pcap.frameExt(qq)).contains(qq))
     // VXLAN: inner recovered with VNI; plain frame yields None
     val inner = Pcap.FlowTuple(10L, 20L, 6, 80, 1234, 500L, 3L)
     val vx = Pcap.frameVxlan(1L, 2L, 0xABCDEFL, 3L, Pcap.frame(inner))
