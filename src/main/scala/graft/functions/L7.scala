@@ -103,6 +103,14 @@ object L7 {
         head(i + 1) == "BitTorrent".charAt(i).toByte)) "bittorrent"
     else if (startsWith("220 ") || startsWith("EHLO ") ||
       startsWith("HELO ") || startsWith("MAIL FROM:")) "smtp"
+    else if (startsWith("* OK") || startsWith("a001 LOGIN")) "imap"
+    else if (startsWith("+OK") || startsWith("USER ") ||
+      startsWith("RETR ")) "pop3"
+    // RDP: TPKT v3 header wrapping an X.224 Connection Request (0xE0)
+    else if (head.length >= 7 && (head(0) & 0xff) == 3 && head(1) == 0 &&
+      (head(5) & 0xff) == 0xE0) "rdp"
+    // SSDP: HTTP-like discovery verbs over UDP (not matched by http)
+    else if (startsWith("M-SEARCH ") || startsWith("NOTIFY * ")) "ssdp"
     else if (looksQuic(head)) "quic"
     else if (looksStun(head)) "stun"
     else if (looksDhcp(head)) "dhcp"

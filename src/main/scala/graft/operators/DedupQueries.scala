@@ -437,6 +437,58 @@ object DedupQueries {
             WHERE ${duckTokHash("doc_id::VARCHAR")} % 1000000 <
               floor(1000000.0 * least(1.0, 50.0 / sqrt(n_l)))
             GROUP BY 1, 2"""),
-      doc = "temperature (alpha=0.5) language rebalancing by hash threshold")
+      doc = "temperature (alpha=0.5) language rebalancing by hash threshold"),
+
+    // Quality-preferring survivorship: real pipelines don't keep the
+    // LOWEST-ID member of a near-dup pair (q72's greedy baseline) —
+    // they keep the HIGHER-QUALITY one. Same materialized pair table,
+    // different drop rule: the lower-quality member goes (tie -> the
+    // higher id, so the rule is total and deterministic). Quality is
+    // the q36 scoring expression — pure Catalyst, identical in both
+    // engines.
+    Q("q144_quality_keeplist",
+      (s, d) => {
+        val qual = Tables.documents(s, d)
+          .selectExpr("doc_id", "lang", "n_chars", s"$sparkQuality as q")
+        val p = SigTable.pairs90(s, d)
+          .join(qual.selectExpr("doc_id as a", "q as qa"), Seq("a"))
+          .join(qual.selectExpr("doc_id as b", "q as qb"), Seq("b"))
+        val drops = p.select(
+          when(col("qa") < col("qb"), col("a"))
+            .when(col("qb") < col("qa"), col("b"))
+            .otherwise(col("b")).as("doc_id")).distinct()
+        qual.join(drops, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"),
+            min("q").as("min_q"), max("q").as("max_q"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t),
+            bands AS (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+                / len(list_distinct(x.hs || y.hs)) >= 0.9),
+            quality AS (SELECT doc_id, $duckQuality AS q FROM documents),
+            drops AS (SELECT DISTINCT CASE
+                WHEN qa.q < qb.q THEN p.a
+                WHEN qb.q < qa.q THEN p.b
+                ELSE p.b END AS doc_id
+              FROM pairs p
+              JOIN quality qa ON qa.doc_id = p.a
+              JOIN quality qb ON qb.doc_id = p.b)
+            SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+              min(q) AS min_q, max(q) AS max_q
+            FROM documents JOIN quality USING (doc_id)
+            WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+            GROUP BY lang"""),
+      doc = "near-dup survivorship keeping the higher-quality member")
   )
 }

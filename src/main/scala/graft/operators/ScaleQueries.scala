@@ -398,6 +398,44 @@ object ScaleQueries {
              ORDER BY n.len DESC LIMIT 1) AS asn_src,
             count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
             FROM flows f GROUP BY 1, 2""")),
-      doc = "SQL-registered function library incl. named-table LPM")
+      doc = "SQL-registered function library incl. named-table LPM"),
+
+    // nDPI breadth, round 5: IMAP / POP3 / RDP (TPKT + X.224 CR) / SSDP
+    // — four more of the reference classifier's registered protocols
+    // (src/ndpi/ndpi_util.c protocol registry; giveup budgets gated by
+    // q113). Every flow's first payload carries one signature; the gate
+    // locks each new matcher's behavior, including that SSDP's
+    // HTTP-like verbs do NOT fall into the http class.
+    Q("q142_ndpi_extra",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.L7
+        val rows = Tables.events(s, d).select(
+            col("user_id").cast("long").as("uid"), col("event_type"))
+          .as[(Long, String)]
+        val classified = rows.map { case (uid, et) =>
+          val payload: Array[Byte] = et match {
+            case "click" => "* OK IMAP4rev1 ready\r\n".getBytes("UTF-8")
+            case "view" => "+OK POP3 ready\r\n".getBytes("UTF-8")
+            case "purchase" => // TPKT v3 + X.224 Connection Request
+              Array[Byte](3, 0, 0, 11, 6, 0xE0.toByte, 0, 0, 0, 0, 0)
+            case "signup" =>
+              "M-SEARCH * HTTP/1.1\r\nMAN: ssdp:discover\r\n".getBytes("UTF-8")
+            case _ => "a001 LOGIN alice\r\n".getBytes("UTF-8")
+          }
+          (uid, L7.classifyPayload(payload))
+        }
+        classified.toDF("uid", "class")
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_uids"))
+      },
+      Some("""SELECT CASE event_type
+                WHEN 'click' THEN 'imap' WHEN 'view' THEN 'pop3'
+                WHEN 'purchase' THEN 'rdp' WHEN 'signup' THEN 'ssdp'
+                ELSE 'imap' END AS class,
+              count(*) AS n, count(DISTINCT user_id) AS n_uids
+              FROM events GROUP BY 1"""),
+      doc = "nDPI breadth: IMAP/POP3/RDP/SSDP signatures gated")
   )
 }

@@ -209,6 +209,43 @@ object SimilarityQueries {
                 (SELECT vec_id FROM drops) THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_kept
             FROM a GROUP BY cid"""),
-      doc = "semantic dedup: centroid assignment + cluster-local pruning")
+      doc = "semantic dedup: centroid assignment + cluster-local pruning"),
+
+    // Embedding-space decontamination: the semantic sibling of the
+    // n-gram gate (q104) — drop any TRAINING vector whose cosine against
+    // ANY held-out eval vector clears the threshold. Eval set broadcast,
+    // candidates stream, products through the codegen'd vec_dot: at
+    // 100 TB this is one scan of the training corpus with a
+    // broadcast-nested-loop semi probe — never an all-pairs join.
+    Q("q143_embed_decontam",
+      (s, d) => {
+        val n = vectors(s, d)
+        val eval_ = n.filter(col("vec_id") < 32)
+          .selectExpr("vec_id as eid", "v as qv", "nrm as qnrm")
+        val train = n.filter(col("vec_id") >= 32)
+        val contaminated = train.join(broadcast(eval_),
+            sparkSim / (col("qnrm") * col("nrm")) >= 0.35, "left_semi")
+          .select(col("vec_id")).withColumn("hit", lit(1L))
+        train.join(contaminated, Seq("vec_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_train"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+            (count(lit(1)) - sum(coalesce(col("hit"), lit(0L))))
+              .as("n_clean"))
+      },
+      Some(s"""WITH $duckVecs,
+            q AS (SELECT vec_id AS eid, v AS qv, nrm AS qnrm FROM n
+                  WHERE vec_id < 32),
+            t AS (SELECT * FROM n WHERE vec_id >= 32),
+            hits AS (SELECT DISTINCT n.vec_id
+              FROM t n JOIN q ON $duckDot / (q.qnrm * n.nrm) >= 0.35)
+            SELECT label, count(*) AS n_train,
+              CAST(sum(CASE WHEN t.vec_id IN (SELECT vec_id FROM hits)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+              CAST(count(*) - sum(CASE WHEN t.vec_id IN
+                (SELECT vec_id FROM hits) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clean
+            FROM t GROUP BY label"""),
+      doc = "embedding decontamination: broadcast eval set, semi-join drop")
   )
 }
