@@ -20,7 +20,8 @@ object SparkEntry {
       graft.similarity.SimilarityQueries.all ++
       graft.streaming.StreamingQueries.all ++ SurfaceQueries.all ++
       graft.multimodal.MultimodalQueries.all ++ ProtocolQueries.all ++
-      ScaleQueries.all ++ PrimitiveQueries.all ++ ParityQueries.all
+      ScaleQueries.all ++ PrimitiveQueries.all ++ ParityQueries.all ++
+      DaemonQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{FlowView, Q, Tables}
+import graft.maps.Dims
+import graft.plans.Lpm
+
+/** The four daemon-edge surfaces previously declared out of scope —
+  * now first-class: NFLOG capture (uacctd's input), AMQP 0-9-1 publish
+  * (the RabbitMQ sink's framing), Redis health keyspace (cluster
+  * presence publishing), and IS-IS link-state → IGP route enrichment.
+  * Each runs its real wire codec inside the pipeline with an oracle on
+  * the underived rows, so codec defects break parity.
+  */
+object DaemonQueries {
+
+  private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
+    FlowView.fromEvents(Tables.events(s, d))
+
+  private val flowsSqlCte = s"WITH flows AS (${FlowView.sql})"
+
+  // ---- IS-IS route fixture (16-bit flow space; wire carries the
+  // prefix in the top 16 bits of an IPv4 prefix, len+16) --------------
+  //
+  // Router r∈[0,4): one /2 block (base r<<14, metric 10+r) plus four /6
+  // specifics (base r<<14|k<<10, metric 100+4r+k). Two LSDB semantics
+  // are exercised on top: router 0's /2 first appears with metric 999
+  // at seqno 1 and is superseded at seqno 2 (highest-seqno-wins), and
+  // router 3 advertises a bogus /6 in fragment 1 that a zero-lifetime
+  // reissue purges (ISO 10589 §7.3.16.4).
+  private val isisExpected: Seq[Seq[Any]] =
+    (0 until 4).flatMap { r =>
+      Seq[Seq[Any]](Seq((r.toLong << 14), 2L, 10L + r, s"isis-r$r")) ++
+        (0 until 4).map { k =>
+          Seq[Any]((r.toLong << 14) | (k.toLong << 10), 6L,
+            100L + 4 * r + k, s"isis-r$r")
+        }
+    }
+
+  private def isisLsdb(): Seq[graft.sources.IsisMsg.Lsp] = {
+    import graft.sources.IsisMsg.{Lsp, Reach}
+    def wire(base: Long, len: Int, metric: Long) =
+      Reach(base << 16, len + 16, metric)
+    (0 until 4).flatMap { r =>
+      val sysId = 0x490001000000L + r
+      val specifics = (0 until 4).map(k =>
+        wire((r.toLong << 14) | (k.toLong << 10), 6, 100L + 4 * r + k))
+      val stale =
+        if (r == 0)
+          Seq(Lsp(2, sysId, 0, 0, seqNo = 1, lifetime = 1199,
+            hostname = s"isis-r$r", reach = Seq(wire(0L, 2, 999))))
+        else Nil
+      val main = Lsp(2, sysId, 0, 0, seqNo = 2, lifetime = 1199,
+        hostname = s"isis-r$r",
+        reach = wire(r.toLong << 14, 2, 10L + r) +: specifics)
+      val purge =
+        if (r == 3)
+          Seq(
+            Lsp(1, sysId, 0, 1, seqNo = 1, lifetime = 1199, hostname = "",
+              reach = Seq(wire((3L << 14) | (1L << 10), 6, 77777))),
+            Lsp(1, sysId, 0, 1, seqNo = 2, lifetime = 0, hostname = "",
+              reach = Nil))
+        else Nil
+      stale ++ Seq(main) ++ purge
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // NFLOG capture (uacctd.c:47-130): flows become logged kernel
+    // packets — netlink NFULNL_MSG_PACKET messages over a socket stream,
+    // half carrying the captured Ethernet header (HWTYPE/HWHEADER leg,
+    // uacctd.c:99-103), half raw-IP with the header synthesized
+    // (uacctd.c:104-116); one leg in seven is a non-INET family the
+    // callback must skip (uacctd.c:62-66). Decode + jumbo reassembly +
+    // the pcap parse path recover the tuples; netlink framing, attribute
+    // walk, or reassembly defects break parity.
+    Q("q145_nflog_capture",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{Nflog, Pcap}
+        val rows = flows(s, d).select(
+            col("event_id"), col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (col("bytes") % 65536).as("iplen"), col("tcp_flags"),
+            col("t0u"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            val stream = new java.io.ByteArrayOutputStream()
+            batch.foreach { case (eid, sa, da, pr, spp, dp, len, fl, t) =>
+              val frame = Pcap.frame(Pcap.FlowTuple(
+                sa, da, pr.toInt, spp.toInt, dp.toInt, len, t)).data
+              val family = if (eid % 7 == 0) 0 else Nflog.AfInet
+              val msg = Nflog.encode(
+                group = (eid % 3).toInt, family = family,
+                hwProto = 0x0800, hook = 3, mark = fl, tsUs = t,
+                ifIn = (sa % 8 + 1).toInt, ifOut = (da % 8 + 1).toInt,
+                prefix = "acct",
+                ipPacket = java.util.Arrays.copyOfRange(
+                  frame, 14, frame.length),
+                hwHeader =
+                  if (eid % 2 == 0)
+                    Some(java.util.Arrays.copyOf(frame, 14))
+                  else None,
+                seq = eid)
+              stream.write(msg, 0, msg.length)
+            }
+            Nflog.decode(stream.toByteArray).iterator.flatMap { m =>
+              Pcap.parse(Pcap.Packet(m.tsUs, m.frame.length.toLong,
+                m.frame)).map(t =>
+                (m.group.toLong, m.mark, m.ifIn.toLong, t.proto.toLong,
+                  t.ipLen))
+            }
+          }
+        }
+        decoded.toDF("grp", "mark", "if_in", "proto", "iplen")
+          .groupBy("grp", "proto")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("ip_bytes"),
+            sum("mark").as("sum_mark"),
+            countDistinct("if_in").as("n_ifaces"))
+      },
+      Some(s"""$flowsSqlCte
+            SELECT event_id % 3 AS grp, ip_proto AS proto, count(*) AS n,
+              CAST(sum(bytes % 65536) AS BIGINT) AS ip_bytes,
+              CAST(sum(tcp_flags) AS BIGINT) AS sum_mark,
+              count(DISTINCT ip_src % 8 + 1) AS n_ifaces
+            FROM flows WHERE event_id % 7 <> 0
+            GROUP BY 1, 2"""),
+      doc = "NFLOG netlink capture: encode, decode, jumbo reassembly"),
+
+    // AMQP 0-9-1 publish (amqp_plugin.c; amqp_common.c:266
+    // amqp_basic_publish): aggregate rows become JSON bodies published
+    // to the 'pmacct' exchange under per-event-type routing keys
+    // (amqp_plugin.c:343-363 dynamic rk), 4 channels multiplexed on one
+    // connection, frame-max 48 so bodies SPAN body frames. The decoder
+    // reassembles per channel like a broker; method/header/body framing
+    // or channel-mux defects break parity with the raw-events oracle.
+    Q("q146_amqp_publish",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.Amqp
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            val pubs = batch.map { case (uid, et, b) =>
+              Amqp.Publish((1 + uid % 4).toInt, "pmacct", s"acct_$et",
+                "application/json",
+                s"""{"uid":$uid,"b":$b}""".getBytes("UTF-8"))
+            }
+            Amqp.decode(Amqp.connection(pubs, frameMax = 48))
+              .iterator.map { p =>
+                (p.exchange, p.routingKey, p.contentType,
+                  new String(p.body, "UTF-8"))
+              }
+          }
+        }.toDF("exchange", "rkey", "ctype", "payload")
+        decoded
+          .withColumn("j", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "uid BIGINT, b BIGINT")))
+          .groupBy("rkey")
+          .agg(count(lit(1)).as("n"), sum("j.b").as("bytes"),
+            sum("j.uid").as("sum_uid"),
+            countDistinct("exchange").as("n_exchanges"))
+      },
+      Some("""SELECT 'acct_' || event_type AS rkey, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              CAST(1 AS BIGINT) AS n_exchanges
+              FROM events GROUP BY 1"""),
+      doc = "AMQP 0-9-1 framing: publish, channel mux, body reassembly"),
+
+    // Redis health keyspace (redis_common.c:281-335 core handler,
+    // :171-232 SETEX with cluster+id+process+name+type keys, 3 s expiry
+    // refreshed at exp/3): every event row is one daemon heartbeat;
+    // heartbeats pipeline as RESP SETEX commands, decode back, and the
+    // keyspace liveness rule — last refresh + expiry > horizon — is
+    // evaluated relationally. The horizon is the global max heartbeat,
+    // so daemons whose last refresh is older than 3 s read as dead,
+    // exactly what the reference's monitoring consumers see via KEYS.
+    Q("q147_redis_health",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.Resp
+        val rows = Tables.events(s, d).selectExpr(
+            "event_type", "cast(unix_seconds(ts) as bigint) as tss")
+          .as[(String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(40).flatMap { batch =>
+            // arrival order carries the timestamps: commands are
+            // pipelined in ts order and re-zipped post-decode, the way
+            // a server timestamps arriving commands
+            val sorted = batch.sortBy(_._2)
+            val cmds = sorted.map { case (et, _) =>
+              Resp.healthRefresh("graft", 0, s"nfacctd_$et", "core")
+            }
+            Resp.decode(Resp.pipeline(cmds)).iterator
+              .zip(sorted.iterator.map(_._2)).collect {
+                case (Seq("SETEX", key, exp, _), ts) =>
+                  (key, exp.toLong, ts)
+              }
+          }
+        }.toDF("key", "exp", "tss")
+        val horizon = decoded.agg(max("tss").as("horizon"))
+        decoded.groupBy("key", "exp")
+          .agg(count(lit(1)).as("n_refresh"), max("tss").as("last_tss"))
+          .crossJoin(broadcast(horizon))
+          .select(col("key"), col("n_refresh"), col("last_tss"),
+            (col("last_tss") + col("exp") > col("horizon"))
+              .cast("long").as("alive"))
+      },
+      Some("""WITH hb AS (SELECT
+                'graft+0+process+nfacctd_' || event_type || '+core' AS key,
+                epoch_us(ts) // 1000000 AS tss
+              FROM events),
+            h AS (SELECT max(tss) AS horizon FROM hb)
+            SELECT key, count(*) AS n_refresh, max(tss) AS last_tss,
+              CAST((max(tss) + 3 > (SELECT horizon FROM h)) AS BIGINT)
+                AS alive
+            FROM hb GROUP BY key"""),
+      doc = "Redis RESP health keyspace: SETEX heartbeats, liveness"),
+
+    // IS-IS → IGP enrichment (docs/INTERNALS:45-48: route lookup vs the
+    // IGP table, historically src/isis/isis.c): a 4-router L1/L2 LSP
+    // database — highest-seqno-wins, a zero-lifetime purge, hostname
+    // TLVs, multi-instance TLV 135 — encodes to wire, decodes back,
+    // projects to the IGP RIB, and enriches flows by longest-prefix
+    // match exactly like networks_file (one broadcast join per mask
+    // length). Any LSP framing, TLV-walk, LSDB-compaction, or LPM
+    // defect breaks parity with the intended route table.
+    Q("q148_isis_igp",
+      (s, d) => {
+        import graft.sources.IsisMsg
+        val sp = s
+        import sp.implicits._
+        val wire = new java.io.ByteArrayOutputStream()
+        isisLsdb().foreach { l =>
+          val b = IsisMsg.encode(l); wire.write(b, 0, b.length)
+        }
+        val rib = IsisMsg.rib(IsisMsg.decode(wire.toByteArray))
+          .map { case (_, host, r) =>
+            (r.prefix >> 16, (r.len - 16).toLong, r.metric, host)
+          }
+        val dim = rib.toDF("base", "len", "metric", "hostname")
+        Lpm.joinLongestMatch(flows(s, d), dim, col("ip_dst"),
+            Seq(2, 6), 16, Seq("metric", "hostname"))
+          .groupBy("hostname")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"),
+            sum("metric").as("sum_metric"))
+      },
+      Some(s"""$flowsSqlCte,
+            ${Dims.values("igp", Seq("base", "len", "metric", "hostname"),
+              isisExpected)}
+            SELECT (SELECT n.hostname FROM igp n
+                WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base
+                ORDER BY n.len DESC LIMIT 1) AS hostname,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(sum((SELECT n.metric FROM igp n
+                WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base
+                ORDER BY n.len DESC LIMIT 1)) AS BIGINT) AS sum_metric
+            FROM flows f GROUP BY 1"""),
+      doc = "IS-IS LSP database to IGP RIB, LPM flow enrichment")
+  )
+}

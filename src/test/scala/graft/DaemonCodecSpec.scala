@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Specs for the daemon-edge codecs (round 5): NFLOG netlink capture,
+  * AMQP 0-9-1 framing, Redis RESP, and IS-IS LSPs — round trips,
+  * semantic details each query relies on, and never-throw robustness
+  * against truncation/bit flips (these paths eat raw socket bytes). */
+class DaemonCodecSpec extends AnyFunSuite {
+  import graft.sources.{IsisMsg, Nflog}
+  import graft.sinks.{Amqp, Resp}
+
+  private def ipv4(b: Byte): Array[Byte] = {
+    val p = new Array[Byte](24)
+    p(0) = 0x45.toByte; p(9) = b; p
+  }
+
+  // ---- NFLOG ---------------------------------------------------------
+
+  test("Nflog: ethernet leg round-trips hwheader + payload + metadata") {
+    val hw = Array.tabulate[Byte](14)(i => i.toByte)
+    val pay = ipv4(6)
+    val msg = Nflog.encode(group = 5, family = Nflog.AfInet,
+      hwProto = 0x0800, hook = 3, mark = 42L, tsUs = 1234567L,
+      ifIn = 7, ifOut = 9, prefix = "acct", ipPacket = pay,
+      hwHeader = Some(hw))
+    val out = Nflog.decode(msg)
+    assert(out.size == 1)
+    val m = out.head
+    assert(m.group == 5 && m.family == Nflog.AfInet && m.hwProto == 0x0800)
+    assert(m.hook == 3 && m.mark == 42L && m.tsUs == 1234567L)
+    assert(m.ifIn == 7 && m.ifOut == 9 && m.prefix == "acct")
+    assert(java.util.Arrays.equals(m.frame, hw ++ pay))
+  }
+
+  test("Nflog: raw-IP leg synthesizes an ethernet header (uacctd jumbo)") {
+    val pay = ipv4(17)
+    val m = Nflog.decode(Nflog.encode(2, Nflog.AfInet6, 0x86DD, 1, 0L,
+      0L, 1, 2, "", pay)).head
+    assert(m.frame.length == 14 + pay.length)
+    // ethertype slot carries the family's ethertype, rest zeroed
+    assert((m.frame(12) & 0xff) == 0x86 && (m.frame(13) & 0xff) == 0xDD)
+    assert(m.frame.take(12).forall(_ == 0))
+  }
+
+  test("Nflog: non-INET families are skipped, stream continues") {
+    val s = Nflog.encode(1, 0, 0, 0, 0L, 0L, 0, 0, "", ipv4(6)) ++
+      Nflog.encode(1, Nflog.AfInet, 0x0800, 0, 0L, 0L, 0, 0, "", ipv4(6))
+    assert(Nflog.decode(s).size == 1)
+  }
+
+  test("Nflog: truncation and bit flips never throw") {
+    val full = (0 until 8).flatMap(i =>
+      Nflog.encode(i, Nflog.AfInet, 0x0800, 2, i.toLong, i * 1000L,
+        i + 1, i + 2, s"p$i", ipv4(6),
+        if (i % 2 == 0) Some(new Array[Byte](14)) else None)).toArray
+    for (cut <- 0 to full.length by 7) Nflog.decode(full.take(cut))
+    val r = new Random(7)
+    for (_ <- 0 until 300) {
+      val b = full.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      Nflog.decode(b)
+    }
+  }
+
+  // ---- AMQP ----------------------------------------------------------
+
+  test("Amqp: multi-channel interleave reassembles bodies that span frames") {
+    val pubs = (0 until 12).map { i =>
+      Amqp.Publish(1 + i % 4, "pmacct", s"acct_$i", "application/json",
+        (s"""{"i":$i,"pad":"""" + "x" * (i * 20) + "\"}").getBytes("UTF-8"))
+    }
+    val out = Amqp.decode(Amqp.connection(pubs, frameMax = 16))
+    assert(out.size == pubs.size)
+    val byKey = out.map(p => p.routingKey -> p).toMap
+    pubs.foreach { p =>
+      val got = byKey(p.routingKey)
+      assert(got.channel == p.channel && got.exchange == "pmacct")
+      assert(got.contentType == "application/json")
+      assert(java.util.Arrays.equals(got.body, p.body))
+    }
+  }
+
+  test("Amqp: empty body completes at the header frame") {
+    val out = Amqp.decode(Amqp.connection(
+      Seq(Amqp.Publish(1, "e", "rk", "t", Array.emptyByteArray)), 32))
+    assert(out.size == 1 && out.head.body.isEmpty)
+  }
+
+  test("Amqp: bad protocol header, truncation, bit flips never throw") {
+    assert(Amqp.decode("HTTP/1.1".getBytes("UTF-8")).isEmpty)
+    val full = Amqp.connection((0 until 6).map(i =>
+      Amqp.Publish(1 + i % 2, "ex", s"rk$i", "ct",
+        Array.fill[Byte](40)(i.toByte))), frameMax = 13)
+    for (cut <- 0 to full.length by 5) Amqp.decode(full.take(cut))
+    val r = new Random(11)
+    for (_ <- 0 until 300) {
+      val b = full.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      Amqp.decode(b)
+    }
+  }
+
+  // ---- RESP ----------------------------------------------------------
+
+  test("Resp: pipeline round-trips, including binary-ish values") {
+    val cmds = Seq(
+      Seq("SETEX", "graft+0+process+nfacctd+core", "3", "1"),
+      Seq("PING"),
+      Seq("SET", "daemon_type", "nfacctd"),
+      Seq("DEL", "k\r\nwith crlf"))
+    assert(Resp.decode(Resp.pipeline(cmds)) == cmds)
+  }
+
+  test("Resp: healthKey matches the reference key shape") {
+    assert(Resp.healthKey("c1", 2, "n", "core") == "c1+2+process+n+core")
+    assert(Resp.healthKey("c1", 2, "n", "core", "bgp") ==
+      "c1+2+process+n+core+bgp")
+  }
+
+  test("Resp: liveKeys applies SETEX expiry and DEL") {
+    val log = Seq(
+      (10L, Seq("SETEX", "a", "3", "1")),
+      (11L, Seq("SETEX", "b", "3", "1")),
+      (12L, Seq("DEL", "b")),
+      (13L, Seq("SETEX", "c", "3", "1")),
+      (14L, Seq("SET", "d", "x")))
+    assert(Resp.liveKeys(log, atSec = 14L) == Seq("c", "d"))
+  }
+
+  test("Resp: truncation and garbage never throw") {
+    val full = Resp.pipeline(Seq(Seq("SETEX", "k", "3", "1"), Seq("PING")))
+    for (cut <- 0 to full.length) Resp.decode(full.take(cut))
+    val r = new Random(3)
+    for (_ <- 0 until 200) {
+      val b = full.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      Resp.decode(b)
+    }
+  }
+
+  // ---- IS-IS ---------------------------------------------------------
+
+  test("IsisMsg: LSP round-trips hostname + reach entries") {
+    val l = IsisMsg.Lsp(2, 0x490001000042L, 0, 1, seqNo = 7,
+      lifetime = 1199, hostname = "edge-rtr",
+      reach = Seq(IsisMsg.Reach(0x0a000000L, 8, 10),
+        IsisMsg.Reach(0xc0a80000L, 16, 20, down = true)))
+    assert(IsisMsg.decode(IsisMsg.encode(l)) == Seq(l))
+  }
+
+  test("IsisMsg: >255-byte reach sets split across TLV instances") {
+    val reach = (0 until 60).map(i =>
+      IsisMsg.Reach((i.toLong << 24), 8, i.toLong))
+    val l = IsisMsg.Lsp(1, 1L, 0, 0, 1, 1199, "r", reach)
+    assert(IsisMsg.decode(IsisMsg.encode(l)).head.reach == reach)
+  }
+
+  test("IsisMsg: rib applies seqno-wins and zero-lifetime purge") {
+    val a1 = IsisMsg.Lsp(2, 1L, 0, 0, 1, 1199, "r1",
+      Seq(IsisMsg.Reach(1L << 24, 8, 999)))
+    val a2 = IsisMsg.Lsp(2, 1L, 0, 0, 2, 1199, "r1",
+      Seq(IsisMsg.Reach(1L << 24, 8, 10)))
+    val b1 = IsisMsg.Lsp(1, 1L, 0, 1, 1, 1199, "",
+      Seq(IsisMsg.Reach(2L << 24, 8, 5)))
+    val b2 = IsisMsg.Lsp(1, 1L, 0, 1, 2, 0, "", Nil)
+    val rib = IsisMsg.rib(Seq(a1, a2, b1, b2))
+    assert(rib == Seq((1L, "r1", IsisMsg.Reach(1L << 24, 8, 10))))
+  }
+
+  test("IsisMsg: truncation and bit flips never throw") {
+    val full = (0 until 5).flatMap(i =>
+      IsisMsg.encode(IsisMsg.Lsp(1 + i % 2, i.toLong, 0, i, i.toLong + 1,
+        1199, s"r$i", Seq(IsisMsg.Reach(i.toLong << 24, 8 + i, i.toLong)))))
+      .toArray
+    for (cut <- 0 to full.length by 3) IsisMsg.decode(full.take(cut))
+    val r = new Random(5)
+    for (_ <- 0 until 300) {
+      val b = full.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      IsisMsg.decode(b)
+    }
+  }
+}
