@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.text.TextOps
+
+/** Corpus-shaping operators for the training-data pipeline (round 5):
+  * line-level dedup that REWRITES documents (the C4/RefinedWeb
+  * transform), exact per-language length-band filtering, stride
+  * chunking into training windows, and DF-filtered keyword extraction.
+  * All pure Catalyst expressions + one aggregation shuffle each — the
+  * per-record work stays in whole-stage codegen, which is the shape
+  * that holds at 100 TB.
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // C4-style line-level dedup: lines whose normalized form appears in
+    // >2 distinct documents are boilerplate and are REMOVED; each
+    // document is reassembled from its surviving lines in order. The
+    // per-source signature sums an md5-derived hash of every cleaned
+    // text, so reassembly ORDER defects (not just counts) break parity.
+    // The line-frequency table is tiny relative to the corpus and
+    // broadcast; the corpus side is one explode + one groupBy(doc).
+    Q("q149_line_dedup",
+      (s, d) => {
+        val lines = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+          .withColumn("k", lower(trim(col("line"))))
+        val dropSet = lines.filter(length(col("k")) > 0)
+          .groupBy("k").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") > 2)
+          .select(col("k"), lit(1L).as("dropped"))
+        val marked = lines
+          .join(broadcast(dropSet), Seq("k"), "left")
+          .withColumn("dropped", coalesce(col("dropped"), lit(0L)))
+        val docs = marked.groupBy("doc_id", "source").agg(
+          sum(lit(1L) - col("dropped")).as("n_kept"),
+          sum(col("dropped")).as("n_dropped"),
+          array_join(
+            transform(
+              filter(
+                array_sort(collect_list(
+                  struct(col("pos"), col("dropped"), col("line")))),
+                x => x("dropped") === 0L),
+              x => x("line")),
+            "\n").as("clean"))
+        docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_kept").as("lines_kept"),
+          sum("n_dropped").as("lines_dropped"),
+          sum(expr(s"${TextOps.sparkTokHash("md5(clean)")} % ${TextOps.P}"))
+            .as("clean_sig"))
+      },
+      Some(s"""WITH lines AS (SELECT doc_id, source,
+              generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+              unnest(string_split(text, chr(10))) AS line
+              FROM documents),
+            keyed AS (SELECT *, lower(trim(line)) AS k FROM lines),
+            freq AS (SELECT k FROM keyed WHERE len(k) > 0
+              GROUP BY k HAVING count(DISTINCT doc_id) > 2),
+            marked AS (SELECT keyed.*,
+              CASE WHEN freq.k IS NULL THEN 0 ELSE 1 END AS dropped
+              FROM keyed LEFT JOIN freq ON keyed.k = freq.k),
+            docs AS (SELECT doc_id, source,
+              sum(1 - dropped) AS n_kept, sum(dropped) AS n_dropped,
+              coalesce(string_agg(CASE WHEN dropped = 0 THEN line END,
+                chr(10) ORDER BY pos), '') AS clean
+              FROM marked GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+              CAST(sum(n_dropped) AS BIGINT) AS lines_dropped,
+              CAST(sum(${TextOps.duckTokHash("md5(clean)")} % ${TextOps.P})
+                AS BIGINT) AS clean_sig
+            FROM docs GROUP BY source"""),
+      doc = "line-level dedup rewriting documents (C4 transform)"),
+
+    // Exact per-language length-band filter: keep the (5%, 95%] band of
+    // documents ranked by (n_chars, doc_id) — pure integer rank logic,
+    // so Spark and the oracle agree exactly where approximate-quantile
+    // APIs would not. One window shuffle on lang; at scale the same
+    // band comes from a two-pass exact-rank (count + filter) with no
+    // whole-partition sort of the wide rows.
+    Q("q150_length_band",
+      (s, d) => {
+        val byLang = Window.partitionBy("lang")
+        val rn = row_number().over(
+          byLang.orderBy(col("n_chars"), col("doc_id")))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", rn)
+          .withColumn("cnt", count(lit(1)).over(byLang))
+          .filter(col("rn") * 100 > col("cnt") * 5 &&
+            col("rn") * 100 <= col("cnt") * 95)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"))
+      },
+      Some("""WITH ranked AS (SELECT lang, n_chars,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars, doc_id) AS rn,
+              count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents)
+            SELECT lang, count(*) AS n_kept, min(n_chars) AS min_chars,
+              max(n_chars) AS max_chars,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM ranked
+            WHERE rn * 100 > cnt * 5 AND rn * 100 <= cnt * 95
+            GROUP BY lang"""),
+      doc = "exact per-language length-band (p5, p95] filtering"),
+
+    // Stride chunking into training windows: 200-char chunks every 150
+    // chars (50 overlap) — sequence + explode keeps the fan-out inside
+    // codegen with no shuffle before the final aggregate; distinct
+    // chunk hashes measure the overlap-induced duplication a packer
+    // downstream must budget for.
+    Q("q151_chunking",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("text"))
+        .withColumn("s", explode(sequence(lit(1),
+          greatest(length(col("text")), lit(1)), lit(150))))
+        .withColumn("chunk", expr("substring(text, s, 200)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).as("chunk_chars"),
+          countDistinct(md5(col("chunk"))).as("distinct_chunks")),
+      Some("""WITH ch AS (SELECT source, substr(text, s, 200) AS chunk
+              FROM (SELECT source, text,
+                unnest(range(1, greatest(len(text), 1) + 1, 150)) AS s
+                FROM documents))
+            SELECT source, count(*) AS n_chunks,
+              CAST(sum(len(chunk)) AS BIGINT) AS chunk_chars,
+              count(DISTINCT md5(chunk)) AS distinct_chunks
+            FROM ch GROUP BY source"""),
+      doc = "stride chunking into overlapping training windows"),
+
+    // DF-filtered keyword extraction: each document's top token by
+    // (tf desc, token asc) among tokens in at most 80% of the corpus —
+    // a DF cutoff wide enough to rank on this vocabulary, tight enough
+    // to drop corpus-universal stopwords. This is
+    // integer-deterministic tf-idf (the idf side is a DF cutoff, not a
+    // float score, so both engines rank identically). The DF table is
+    // corpus-wide but token-keyed and broadcast after the cutoff.
+    Q("q152_keywords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .selectExpr("doc_id", s"explode(${TextOps.sparkToks}) as tok")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val total = docs.agg(
+          countDistinct("doc_id").as("n_total"))
+        val dfTab = tf.groupBy("tok")
+          .agg(countDistinct("doc_id").as("df"))
+          .crossJoin(broadcast(total))
+          .filter(col("df") * 5 <= col("n_total") * 4)
+          .select("tok")
+        val top = tf.join(broadcast(dfTab), Seq("tok"))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("tf").desc, col("tok").asc)))
+          .filter(col("rn") === 1)
+        top.groupBy(col("tok").as("keyword"))
+          .agg(count(lit(1)).as("n_docs_top"), sum("tf").as("sum_tf"))
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+              FROM (SELECT doc_id, unnest(${TextOps.duckToks}) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            rare AS (SELECT tok FROM tf GROUP BY tok
+              HAVING count(DISTINCT doc_id) * 5 <=
+                (SELECT count(DISTINCT doc_id) FROM documents) * 4),
+            top AS (SELECT doc_id, tok, tf,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf DESC, tok ASC) AS rn
+              FROM tf WHERE tok IN (SELECT tok FROM rare))
+            SELECT tok AS keyword, count(*) AS n_docs_top,
+              CAST(sum(tf) AS BIGINT) AS sum_tf
+            FROM top WHERE rn = 1 GROUP BY 1"""),
+      doc = "DF-cutoff keyword extraction, integer-deterministic")
+  )
+}

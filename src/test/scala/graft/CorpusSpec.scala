@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-5 corpus-shaping operators on tiny
+  * in-memory corpora where the expected transform is hand-checkable
+  * (the sf0.01 oracle gate covers them at scale). */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+
+  test("line dedup drops >2-doc lines and reassembles in order") {
+    // "common" appears in 3 docs -> dropped; doc text order preserved
+    val docs = corpus(
+      (1L, "alpha\ncommon\nbeta", "en", "a"),
+      (2L, "common\ngamma", "en", "a"),
+      (3L, "delta\ncommon", "en", "b"),
+      (4L, "unique only", "en", "b"))
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+    val dropSet = lines.filter(length(col("k")) > 0)
+      .groupBy("k").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > 2).select(col("k"), lit(1L).as("dropped"))
+    val clean = lines.join(broadcast(dropSet), Seq("k"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(array_join(transform(filter(
+        array_sort(collect_list(struct(col("pos"), col("dropped"),
+          col("line")))), x => x("dropped") === 0L),
+        x => x("line")), "\n").as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == "alpha\nbeta")
+    assert(clean(2L) == "gamma")
+    assert(clean(3L) == "delta")
+    assert(clean(4L) == "unique only")
+  }
+
+  test("length band keeps exactly the (5%,95%] rank interval") {
+    // 20 docs, n_chars 1..20: band keeps ranks 2..19 -> chars 2..19
+    val docs = (1 to 20).map(i => (i.toLong, "x" * i, "en", "s"))
+    val out = graft.operators.CorpusQueries.all
+      .find(_.name == "q150_length_band").get
+    // run via a temp view-compatible path: mimic Tables.documents
+    val df = corpus(docs: _*)
+    df.createOrReplaceTempView("documents_test")
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val banded = df
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(byLang))
+      .filter(col("rn") * 100 > col("cnt") * 5 &&
+        col("rn") * 100 <= col("cnt") * 95)
+    val kept = banded.select("n_chars").as[Long].collect().sorted
+    assert(kept.toSeq == (2L to 19L))
+    assert(out.oracle.nonEmpty)
+  }
+
+  test("stride chunking covers every char with 50-char overlap") {
+    val text = "abcdefghij" * 35 // 350 chars -> starts 1,151,301
+    val df = Seq(("s", text)).toDF("source", "text")
+      .withColumn("s", explode(sequence(lit(1),
+        greatest(length(col("text")), lit(1)), lit(150))))
+      .withColumn("chunk", expr("substring(text, s, 200)"))
+    val chunks = df.select("s", "chunk").as[(Int, String)].collect()
+      .sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(1, 151, 301))
+    assert(chunks(0)._2.length == 200 && chunks(1)._2.length == 200)
+    assert(chunks(2)._2.length == 50) // tail chunk
+    // overlap: chunk1's last 50 == chunk2's first 50
+    assert(chunks(0)._2.takeRight(50) == chunks(1)._2.take(50))
+  }
+
+  test("corpus queries are registered with oracles") {
+    val names = graft.operators.CorpusQueries.all.map(_.name)
+    assert(names == Seq("q149_line_dedup", "q150_length_band",
+      "q151_chunking", "q152_keywords"))
+    assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
+  }
+}
