@@ -1291,6 +1291,78 @@ object ProtocolQueries {
            count(*) AS n,
            CAST(sum(40 + bytes % 60000) AS BIGINT) AS ip_bytes
            FROM flows GROUP BY 1, 2""")),
-      doc = "QinQ: S-tag + C-tag walk, cvlan as a grouping primitive")
+      doc = "QinQ: S-tag + C-tag walk, cvlan as a grouping primitive"),
+
+    // IPFIX biflows (RFC 5103): ONE record carries both directions —
+    // forward counters as ordinary IEs, reverse counters as the same IE
+    // ids under the reverse PEN 29305 (reverse octetDeltaCount /
+    // packetDeltaCount). pmacct exports/decodes these when biflows are
+    // enabled on IPFIX paths; the record rides the existing IPFIX
+    // PEN-scoped template machinery (q91). The oracle derives the same
+    // per-proto direction totals and asymmetric-biflow count from the
+    // raw rows — a PEN-key or direction-slot mixup breaks parity.
+    Q("q154_ipfix_biflow",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.{FieldSpec, IE, TemplateX}
+        val rows = flows(s, d).select(
+            (col("ip_src") % 8).as("exporter"), col("event_id"),
+            col("ip_proto"), col("port_dst"),
+            (col("bytes") % 4294967296L).as("fwd_b"), col("packets"),
+            // reverse leg derived deterministically from the flow: acks
+            // are smaller and absent for one flow in five
+            when(col("event_id") % 5 === 0, 0L)
+              .otherwise(col("bytes") % 1000L + 40L).as("rev_b"),
+            when(col("event_id") % 5 === 0, 0L)
+              .otherwise(expr("1 + packets div 2")).as("rev_p"))
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        val revB = FieldSpec(IE.InBytes, 4, pen = 29305L)
+        val revP = FieldSpec(IE.InPkts, 4, pen = 29305L)
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long,
+           it: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val tmpl = TemplateX(300, Seq(
+              FieldSpec(IE.Protocol, 1), FieldSpec(IE.L4DstPort, 2),
+              FieldSpec(IE.InBytes, 4), FieldSpec(IE.InPkts, 4),
+              revB, revP))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
+            val dataDgs = recs.grouped(25).map { batch =>
+              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
+                IE.Protocol.toLong -> r._3, IE.L4DstPort.toLong -> r._4,
+                IE.InBytes.toLong -> r._5, IE.InPkts.toLong -> r._6,
+                revB.key -> r._7, revP.key -> r._8)))
+            }.toSeq
+            val cache = new NetFlowV9.TemplateCache
+            (Seq(tdg) ++ dataDgs).flatMap(cache.observeX).map { m =>
+              (m(IE.Protocol.toLong).asInstanceOf[Long],
+                m(IE.InBytes.toLong).asInstanceOf[Long],
+                m(IE.InPkts.toLong).asInstanceOf[Long],
+                m(revB.key).asInstanceOf[Long],
+                m(revP.key).asInstanceOf[Long])
+            }
+        }
+        decoded.toDF("proto", "fwd_b", "fwd_p", "rev_b", "rev_p")
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"),
+            sum("fwd_b").as("fwd_bytes"), sum("rev_b").as("rev_bytes"),
+            sum("fwd_p").as("fwd_pkts"), sum("rev_p").as("rev_pkts"),
+            sum(when(col("rev_b") === 0L, 1L).otherwise(0L))
+              .as("n_oneway"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 4294967296) AS BIGINT) AS fwd_bytes,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 0
+             ELSE bytes % 1000 + 40 END) AS BIGINT) AS rev_bytes,
+           CAST(sum(packets) AS BIGINT) AS fwd_pkts,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 0
+             ELSE 1 + packets // 2 END) AS BIGINT) AS rev_pkts,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oneway
+           FROM flows GROUP BY 1""")),
+      doc = "RFC 5103 biflows: reverse-PEN 29305 IEs in one record")
   )
 }

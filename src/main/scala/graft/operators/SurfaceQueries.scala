@@ -440,6 +440,93 @@ object SurfaceQueries {
             FROM rib GROUP BY peer"""),
       doc = "RFC 4760 MP-BGP: IPv6 NLRI in MP_REACH/UNREACH, v6 RIB"),
 
+    // BGP/MPLS VPNs (RFC 4364, SAFI 128 — reference NLRI lane
+    // src/bgp/bgp_msg.c:1281-1340, rd_t types at src/network.h): each
+    // session announces VPN-IPv4 routes — label stack with BOS bit, RD
+    // type 0 (AS2:val, one VRF per user group), VPN next hop — and
+    // error events withdraw them through MP_UNREACH with the 0x800000
+    // compatibility label. The RIB compacts per (rd, prefix) and
+    // reports per VRF, the mpls_vpn_rd aggregation key. Any label-walk,
+    // RD-type, or host-plen arithmetic defect breaks parity.
+    Q("q153_bgp_vpnv4",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 32).as("sess"), col("event_id"),
+            ((col("user_id") % 32) * 256 + col("event_id") % 256)
+              .as("pfx"),
+            (col("user_id") % 4).as("vrf"),
+            (col("event_type") === "error").as("wd"))
+          .as[(Long, Long, Long, Long, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, pfx, vrf, wd) =>
+              val rv = BgpMsg.RouteVpn(1000L + pfx % 100, 0, 65000L, vrf,
+                pfx << 8, 24)
+              val msg =
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawnVpn = Seq(rv)))
+                else BgpMsg.encode(BgpMsg.Update(nlriVpn = Seq(rv),
+                  origin = Some(0), asPath = Seq(65000L + sess),
+                  nextHopVpn = Some(sess)))
+              wire.write(msg, 0, msg.length)
+            }
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                u.withdrawnVpn.iterator.map(r =>
+                  (r.rdVal, r.prefix >> 8, seq.toLong, "withdraw",
+                    0L, 0L)) ++
+                u.nlriVpn.iterator.map(r =>
+                  (r.rdVal, r.prefix >> 8, seq.toLong, "update",
+                    r.label, u.nextHopVpn.getOrElse(0L)))
+              }
+        }
+        decoded
+          .toDF("vrf", "prefix", "seq", "op", "label", "nh")
+          .groupBy("vrf", "prefix")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(label, seq)").as("last_label"),
+            expr("max_by(nh, seq)").as("last_nh"))
+          .groupBy(concat_ws(":", lit(0), lit(65000), col("vrf"))
+            .as("rd"))
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_active"),
+            sum(when(col("last_op") === "withdraw", 1L).otherwise(0L))
+              .as("n_withdrawn"),
+            sum(when(col("last_op") === "update", col("last_label"))
+              .otherwise(0L)).as("sum_label"),
+            sum(when(col("last_op") === "update", col("last_nh"))
+              .otherwise(0L)).as("sum_nh"))
+      },
+      Some("""WITH msgs AS (SELECT user_id % 4 AS vrf,
+                (user_id % 32) * 256 + event_id % 256 AS prefix,
+                event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                1000 + ((user_id % 32) * 256 + event_id % 256) % 100
+                  AS label,
+                user_id % 32 AS nh
+              FROM events),
+            rib AS (SELECT vrf, prefix, arg_max(op, seq) AS last_op,
+                arg_max(label, seq) AS last_label,
+                arg_max(nh, seq) AS last_nh
+              FROM msgs GROUP BY 1, 2)
+            SELECT '0:65000:' || vrf AS rd,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'withdraw' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_withdrawn,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_label
+                ELSE 0 END) AS BIGINT) AS sum_label,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_nh ELSE 0
+                END) AS BIGINT) AS sum_nh
+            FROM rib GROUP BY 1"""),
+      doc = "RFC 4364 VPN-IPv4: label+RD NLRI, per-VRF RIB compaction"),
+
     // Route reflection + large communities on the wire: ORIGINATOR_ID
     // (9) / CLUSTER_LIST (10) per RFC 4456 (reference attr registry
     // src/bgp/bgp.h:55-56) and RFC 8092 LARGE_COMMUNITIES triples

@@ -30,6 +30,15 @@ object BgpMsg {
     * + mask length — carried in MP_REACH/MP_UNREACH (RFC 4760). */
   final case class Route6(hi: Long, lo: Long, plen: Int)
 
+  /** VPN-IPv4 NLRI entry (RFC 4364; reference walk at
+    * src/bgp/bgp_msg.c:1281-1340 SAFI_MPLS_VPN lane): MPLS label
+    * (20-bit value; bottom-of-stack label kept, like the reference's
+    * attr_extra->label), route distinguisher (type 0 AS2:val, 1 IP:val,
+    * 2 AS4:val), and the IPv4 prefix. `plen` is the HOST prefix length
+    * (the wire length also counts label+RD bits). */
+  final case class RouteVpn(label: Long, rdType: Int, rdAdmin: Long,
+                            rdVal: Long, prefix: Long, plen: Int)
+
   final case class Update(
       withdrawn: Seq[Route] = Nil,
       nlri: Seq[Route] = Nil,
@@ -48,7 +57,12 @@ object BgpMsg {
       clusterList: Seq[Long] = Nil,
       // RFC 8092 (BGP_ATTR_LARGE_COMMUNITIES=32, src/bgp/bgp.h:68,
       // parsed at src/bgp/bgp_msg.c:930): (global admin, local1, local2)
-      largeCommunities: Seq[(Long, Long, Long)] = Nil)
+      largeCommunities: Seq[(Long, Long, Long)] = Nil,
+      // RFC 4364 VPN-IPv4 (AFI 1 / SAFI 128) — label+RD+prefix NLRI in
+      // MP_REACH/MP_UNREACH; next hop is a VPN-IPv4 address (RD 0 + IP)
+      nlriVpn: Seq[RouteVpn] = Nil,
+      withdrawnVpn: Seq[RouteVpn] = Nil,
+      nextHopVpn: Option[Long] = None)
 
   // ---- encode --------------------------------------------------------
 
@@ -99,6 +113,34 @@ object BgpMsg {
     Array(r.plen.toByte) ++ full.take(n)
   }
 
+  /** VPN-IPv4 NLRI entry bytes: wire plen counts label+RD+prefix bits;
+    * the label field is value<<4 | BOS (exp 0); withdraws carry the
+    * 0x800000 compatibility label (RFC 3107 §3 / reference encode). */
+  private def vpnBytes(r: RouteVpn, withdraw: Boolean): Array[Byte] = {
+    val hostBytes = (r.plen + 7) / 8
+    val out = new mutable.ArrayBuilder.ofByte
+    out += (24 + 64 + r.plen).toByte
+    val lbl = if (withdraw) 0x800000L else (r.label << 4) | 1L
+    out += ((lbl >>> 16) & 0xff).toByte
+    out += ((lbl >>> 8) & 0xff).toByte
+    out += (lbl & 0xff).toByte
+    out += ((r.rdType >>> 8) & 0xff).toByte
+    out += (r.rdType & 0xff).toByte
+    r.rdType match {
+      case 0 => // 2-byte AS admin + 4-byte value
+        out += ((r.rdAdmin >>> 8) & 0xff).toByte
+        out += (r.rdAdmin & 0xff).toByte
+        out ++= u32(r.rdVal)
+      case _ => // types 1 (IP) and 2 (AS4): 4-byte admin + 2-byte value
+        out ++= u32(r.rdAdmin)
+        out += ((r.rdVal >>> 8) & 0xff).toByte
+        out += (r.rdVal & 0xff).toByte
+    }
+    (0 until hostBytes).foreach(i =>
+      out += ((r.prefix >>> (24 - 8 * i)) & 0xff).toByte)
+    out.result()
+  }
+
   /** addPath=true emits RFC 7911 path ids on every NLRI/withdrawn entry
     * (only valid when the session negotiated capability 69 both ways). */
   def encode(u: Update, addPath: Boolean = false): Array[Byte] = {
@@ -143,6 +185,24 @@ object BgpMsg {
       u.withdrawn6.foreach(r => b ++= prefixBytes6(r))
       attrs ++= attr(0x80, 15, b.result())
     }
+    // RFC 4364: VPN-IPv4 rides MP_REACH/MP_UNREACH with AFI 1 / SAFI 128
+    if (u.nlriVpn.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 1          // AFI 1: IPv4
+      b += 128.toByte         // SAFI 128: MPLS-labeled VPN
+      b += 12                 // next-hop length: 8-byte RD(0) + IPv4
+      b ++= u64(0L)
+      b ++= u32(u.nextHopVpn.getOrElse(0L))
+      b += 0                  // reserved
+      u.nlriVpn.foreach(r => b ++= vpnBytes(r, withdraw = false))
+      attrs ++= attr(0x80, 14, b.result())
+    }
+    if (u.withdrawnVpn.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 1; b += 128.toByte
+      u.withdrawnVpn.foreach(r => b ++= vpnBytes(r, withdraw = true))
+      attrs ++= attr(0x80, 15, b.result())
+    }
     val attrBytes = attrs.result()
     val wd = nlriBytes(u.withdrawn, addPath)
     val nl = nlriBytes(u.nlri, addPath)
@@ -171,6 +231,58 @@ object BgpMsg {
       var p = 0L
       (0 until n).foreach(i => p |= (buf.get() & 0xffL) << (24 - 8 * i))
       out += Route(p, plen, pathId)
+    }
+    out.toSeq
+  }
+
+  /** Walk VPN-IPv4 NLRI entries (reference: bgp_msg.c:1281-1340): label
+    * stack scanned to the bottom-of-stack bit on updates (withdraws
+    * carry the 0x800000 compatibility label, no BOS semantics), then
+    * RD by type, then the host prefix whose length is the wire length
+    * minus label+RD bits. Malformed entries stop the walk. */
+  private def readRoutesVpn(buf: ByteBuffer, end: Int,
+                            withdraw: Boolean): Seq[RouteVpn] = {
+    val out = mutable.Buffer[RouteVpn]()
+    var bad = false
+    while (!bad && buf.position() < end) {
+      val wirePlen = buf.get() & 0xff
+      val psize = (wirePlen + 7) / 8
+      if (wirePlen > 120 || buf.position() + psize > end || psize < 11) {
+        bad = true // 3 label + 8 RD minimum, like the reference's guards
+      } else {
+        val entryEnd = buf.position() + psize
+        var label = 0L
+        var labels = 0
+        if (withdraw) {
+          buf.get(); buf.get(); buf.get() // compatibility label
+          labels = 1
+        } else {
+          var bos = false
+          while (!bos && buf.position() + 3 <= entryEnd - 8) {
+            val b0 = buf.get() & 0xffL
+            val b1 = buf.get() & 0xffL
+            val b2 = buf.get() & 0xffL
+            labels += 1
+            bos = (b2 & 1L) != 0
+            if (bos) label = (b0 << 12) | (b1 << 4) | (b2 >>> 4)
+          }
+          if (!bos) bad = true
+        }
+        if (!bad) {
+          val rdType = buf.getShort() & 0xffff
+          val (rdAdmin, rdVal) = rdType match {
+            case 0 =>
+              ((buf.getShort() & 0xffffL, buf.getInt() & 0xffffffffL))
+            case _ =>
+              ((buf.getInt() & 0xffffffffL, buf.getShort() & 0xffffL))
+          }
+          val plen = wirePlen - 24 * labels - 64
+          var p = 0L
+          (0 until (plen + 7) / 8).foreach(i =>
+            p |= (buf.get() & 0xffL) << (24 - 8 * i))
+          out += RouteVpn(label, rdType, rdAdmin, rdVal, p, plen)
+        }
+      }
     }
     out.toSeq
   }
@@ -252,12 +364,21 @@ object BgpMsg {
             buf.get() // reserved
             u = u.copy(nextHop6 = Some(nh),
               nlri6 = readRoutes6(buf, aEnd))
+          } else if (afi == 1 && safi == 128 && nhLen == 12) {
+            buf.getLong() // next-hop RD, always zero (RFC 4364 §4.3.2)
+            val nh = buf.getInt() & 0xffffffffL
+            buf.get() // reserved
+            u = u.copy(nextHopVpn = Some(nh),
+              nlriVpn = readRoutesVpn(buf, aEnd, withdraw = false))
           } // other AFI/SAFI: skip by declared length (position(aEnd))
         case 15 => // MP_UNREACH_NLRI (RFC 4760 §4)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff
           if (afi == 2 && safi == 1)
             u = u.copy(withdrawn6 = readRoutes6(buf, aEnd))
+          else if (afi == 1 && safi == 128)
+            u = u.copy(withdrawnVpn =
+              readRoutesVpn(buf, aEnd, withdraw = true))
         case _ => () // unknown attribute: skip by declared length
       }
       buf.position(aEnd)

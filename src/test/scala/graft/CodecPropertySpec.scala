@@ -187,6 +187,39 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BgpMsg VPN-IPv4: random SAFI-128 UPDATEs round-trip (50 seeds)") {
+    import graft.sources.BgpMsg
+    for (seed <- 0 until 50) {
+      val r = new Random(seed)
+      def rv(): BgpMsg.RouteVpn = {
+        val plen = r.nextInt(33)
+        val nBytes = (plen + 7) / 8
+        val mask = if (nBytes == 0) 0L else 0xffffffffL << (32 - 8 * nBytes)
+        val rdType = r.nextInt(3)
+        val (admin, value) =
+          if (rdType == 0) (r.nextInt(65536).toLong,
+            (r.nextLong() & Long.MaxValue) % 4294967296L)
+          else ((r.nextLong() & Long.MaxValue) % 4294967296L,
+            r.nextInt(65536).toLong)
+        BgpMsg.RouteVpn(r.nextInt(1 << 20).toLong, rdType, admin, value,
+          (r.nextLong() & Long.MaxValue) & mask & 0xffffffffL, plen)
+      }
+      val u = BgpMsg.Update(
+        origin = Some(0),
+        asPath = Seq(65000L + r.nextInt(100)),
+        nlriVpn = Seq.fill(1 + r.nextInt(3))(rv()),
+        withdrawnVpn = Seq.fill(r.nextInt(3))(rv()),
+        nextHopVpn = Some(r.nextInt(1 << 30).toLong))
+      // withdraws carry the 0x800000 compatibility label on the wire
+      // (RFC 3107 §3) and decode label-less (0) — normalize the expected
+      // side the same way before comparing
+      val got = BgpMsg.decodeStream(BgpMsg.encode(u))
+      val expect = u.copy(withdrawnVpn =
+        u.withdrawnVpn.map(_.copy(label = 0L)))
+      assert(got == Seq(expect), s"seed $seed")
+    }
+  }
+
   test("RTR: random PDU streams round-trip (50 seeds)") {
     import graft.sources.RtrMsg
     import RtrMsg._
