@@ -267,6 +267,102 @@ object DaemonQueries {
                 WHERE ((f.ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base
                 ORDER BY n.len DESC LIMIT 1)) AS BIGINT) AS sum_metric
             FROM flows f GROUP BY 1"""),
-      doc = "IS-IS LSP database to IGP RIB, LPM flow enrichment")
+      doc = "IS-IS LSP database to IGP RIB, LPM flow enrichment"),
+
+    // BGP Looking Glass server (docs/LOOKING_GLASS_FORMAT;
+    // bgp_daemon_lg*, CONFIG-KEYS:3232-3260): a ZMQ REQ/REP JSON
+    // protocol over the live RIB — type-1 requests carry a header
+    // object plus one {ip_prefix, peer} object per lookup and are
+    // answered with lglass result objects from a longest-prefix match;
+    // type-2 requests enumerate connected peers. Requests ride ZMTP
+    // multipart envelopes (the reference's ZMQ transport), the RIB is
+    // the broadcast dimension, and replies aggregate per (type, peer).
+    // Envelope, header-count, JSON, or LPM defects break parity.
+    Q("q155_bgp_lg",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Zmtp
+        val rows = flows(s, d).select(
+            col("event_id"), (col("ip_src") % 16 % 2).as("peer"),
+            col("ip_dst"))
+          .as[(Long, Long, Long)]
+        val requests = rows.mapPartitions { it =>
+          it.grouped(20).flatMap { batch =>
+            // one ZMTP session per slice; each request is a multipart
+            // message: [topic, header JSON, query JSON...]
+            val msgs: Seq[Seq[Array[Byte]]] = batch.map {
+              case (eid, peer, ip) =>
+                if (eid % 17 == 0)
+                  Seq("lg".getBytes("UTF-8"),
+                    """{"query_type":2,"queries":1}""".getBytes("UTF-8"))
+                else
+                  Seq("lg".getBytes("UTF-8"),
+                    """{"query_type":1,"queries":1}""".getBytes("UTF-8"),
+                    s"""{"ip_prefix":$ip,"peer":$peer}"""
+                      .getBytes("UTF-8"))
+            }
+            Zmtp.decodeSession(Zmtp.session(msgs)).iterator.flatMap {
+              parts =>
+                val hdr = new String(parts(1), "UTF-8")
+                val qt = if (hdr.contains("\"query_type\":2")) 2L else 1L
+                if (qt == 2L) Iterator((2L, -1L, -1L))
+                else parts.drop(2).iterator.map { q =>
+                  val js = new String(q, "UTF-8")
+                  val ip = js.split("\"ip_prefix\":")(1)
+                    .takeWhile(_.isDigit).toLong
+                  val peer = js.split("\"peer\":")(1)
+                    .takeWhile(_.isDigit).toLong
+                  (1L, peer, ip)
+                }
+            }
+          }
+        }.toDF("qtype", "peer", "ip")
+        // type-1 replies: per-peer longest-prefix match over the RIB
+        // dim, keyed into the 17-bit (peer, ip) product space so the
+        // peer scoping rides the same broadcast probe chain as q26
+        val keyedRib = Dims.rib(s).select(
+          (col("peer") * 65536L + col("base")).as("base"),
+          (col("len") + 1).as("len"), col("origin_as"), col("med"))
+        val looked = Lpm.joinLongestMatch(
+            requests.filter(col("qtype") === 1L), keyedRib,
+            (col("peer") * 65536L + col("ip")),
+            Dims.ribLens.map(_ + 1), 17, Seq("origin_as", "med"))
+          .groupBy("qtype", "peer")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("origin_as").isNotNull, 1L).otherwise(0L))
+              .as("n_matched"),
+            coalesce(sum("med"), lit(0L)).as("sum_med"))
+        val peersLeg = requests.filter(col("qtype") === 2L)
+          .groupBy("qtype", "peer")
+          .agg(count(lit(1)).as("n"),
+            lit(2L).as("n_matched"), // two connected peers (fixture)
+            lit(0L).as("sum_med"))
+        looked.unionByName(peersLeg)
+      },
+      Some(s"""$flowsSqlCte, ${Dims.ribSql},
+            reqs AS (SELECT event_id, ip_src % 16 % 2 AS peer,
+                ip_dst AS ip,
+                CASE WHEN event_id % 17 = 0 THEN 2 ELSE 1 END AS qtype
+              FROM flows),
+            t1 AS (SELECT qtype, peer, ip,
+                (SELECT n.origin_as FROM rib n WHERE n.peer = reqs.peer
+                  AND ((ip >> (16 - n.len)) << (16 - n.len)) = n.base
+                  ORDER BY n.len DESC LIMIT 1) AS origin_as,
+                (SELECT n.med FROM rib n WHERE n.peer = reqs.peer
+                  AND ((ip >> (16 - n.len)) << (16 - n.len)) = n.base
+                  ORDER BY n.len DESC LIMIT 1) AS med
+              FROM reqs WHERE qtype = 1)
+            SELECT qtype, peer, count(*) AS n,
+              CAST(sum(CASE WHEN origin_as IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+              CAST(coalesce(sum(med), 0) AS BIGINT) AS sum_med
+            FROM t1 GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS qtype, CAST(-1 AS BIGINT) AS peer,
+              count(*) AS n, CAST(2 AS BIGINT) AS n_matched,
+              CAST(0 AS BIGINT) AS sum_med
+            FROM reqs WHERE qtype = 2"""),
+      doc = "BGP Looking Glass: ZMTP JSON requests, RIB LPM replies")
   )
 }
