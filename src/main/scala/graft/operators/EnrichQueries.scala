@@ -565,6 +565,89 @@ object EnrichQueries {
                 WHERE tag IN (100, 200)
               UNION ALL SELECT 4, bytes FROM tagged)
             GROUP BY 1"""),
-      doc = "tee pools with tag filters: one-to-many replication fan-out")
+      doc = "tee pools with tag filters: one-to-many replication fan-out"),
+
+    // ADD-PATH flow augmentation (docs/FLOW_AUGMENTATION_PROCESS_
+    // DESCRIPTION.md "BGP" §; reference lookup at src/bgp/bgp_lookup.c:
+    // multi-path candidates from an ADD-PATH peer are disambiguated by
+    // matching the flow's BGP next-hop, falling back deterministically
+    // when none matches): exporter → peer via bgp_agent_map, LPM over a
+    // MULTI-path RIB finds the longest matching prefix, then the path
+    // whose next hop equals the flow's ip_next_hop wins (lowest path_id
+    // otherwise), yielding dst_as + peer_dst_ip. Two broadcast joins +
+    // one per-flow rank — no shuffle beyond the final aggregate.
+    Q("q156_addpath_augment",
+      (s, d) => {
+        // multi-path RIB fixture: (peer, base, len, path_id, nh, asn)
+        val sp = s
+        import sp.implicits._
+        val paths = Seq(
+          (0L, 0L, 1L, 1L, 100L, 64512L), (0L, 0L, 1L, 2L, 200L, 64612L),
+          (1L, 0L, 1L, 1L, 101L, 64512L), (1L, 0L, 1L, 2L, 201L, 64612L),
+          (0L, 32768L, 1L, 1L, 100L, 64513L),
+          (1L, 32768L, 1L, 1L, 101L, 64513L),
+          (0L, 49152L, 2L, 1L, 150L, 64514L),
+          (0L, 49152L, 2L, 2L, 250L, 64614L),
+          (1L, 49152L, 2L, 1L, 151L, 64514L),
+          (1L, 49152L, 2L, 2L, 251L, 64614L))
+          .toDF("rib_peer", "base", "len", "path_id", "nh", "asn")
+        val fl = flows(s, d)
+          .withColumn("peer", col("ip_src") % 16 % 2)
+          .withColumn("flow_nh", // the exporter-reported BGP next hop
+            when(col("event_id") % 3 === 0, lit(100L) + col("ip_src") % 16 % 2)
+              .when(col("event_id") % 3 === 1, lit(200L) + col("ip_src") % 16 % 2)
+              .otherwise(lit(999L)))
+        // leg 1: longest matching prefix among the peer's path set
+        val matched = Lpm.joinLongestMatch(fl,
+            paths.select((col("rib_peer") * 65536L + col("base")).as("base"),
+              (col("len") + 1).as("len"),
+              col("base").as("m_base"), col("len").as("m_len")).distinct(),
+            col("peer") * 65536L + col("ip_dst"),
+            Seq(2, 3), 17, Seq("m_base", "m_len"))
+          .filter(col("m_base").isNotNull)
+        // leg 2: candidate paths for the matched prefix; next-hop match
+        // wins, lowest path_id breaks the tie (bgp_lookup.c semantics)
+        val chosen = matched
+          .join(broadcast(paths),
+            col("peer") === col("rib_peer") &&
+              col("m_base") === col("base") && col("m_len") === col("len"))
+          .groupBy(col("event_id"), col("bytes"))
+          .agg(
+            expr("max_by(struct(nh, asn), " +
+              "struct(cast(nh = flow_nh as int), -path_id))").as("best"))
+          .select(col("bytes"), col("best.nh").as("peer_dst_ip"),
+            col("best.asn").as("dst_as"))
+        chosen.groupBy("peer_dst_ip", "dst_as")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte,
+            paths(rib_peer, base, len, path_id, nh, asn) AS (
+              SELECT * FROM (VALUES
+                (0, 0, 1, 1, 100, 64512), (0, 0, 1, 2, 200, 64612),
+                (1, 0, 1, 1, 101, 64512), (1, 0, 1, 2, 201, 64612),
+                (0, 32768, 1, 1, 100, 64513), (1, 32768, 1, 1, 101, 64513),
+                (0, 49152, 2, 1, 150, 64514), (0, 49152, 2, 2, 250, 64614),
+                (1, 49152, 2, 1, 151, 64514), (1, 49152, 2, 2, 251, 64614))
+              AS t(rib_peer, base, len, path_id, nh, asn)),
+            fl AS (SELECT event_id, bytes, ip_dst,
+                ip_src % 16 % 2 AS peer,
+                CASE WHEN event_id % 3 = 0 THEN 100 + ip_src % 16 % 2
+                     WHEN event_id % 3 = 1 THEN 200 + ip_src % 16 % 2
+                     ELSE 999 END AS flow_nh
+              FROM flows),
+            cand AS (SELECT fl.event_id, fl.bytes, p.nh, p.asn,
+                row_number() OVER (PARTITION BY fl.event_id ORDER BY
+                  CASE WHEN p.nh = fl.flow_nh THEN 0 ELSE 1 END,
+                  p.path_id) AS rk
+              FROM fl JOIN paths p ON p.rib_peer = fl.peer
+                AND ((fl.ip_dst >> (16 - p.len)) << (16 - p.len)) = p.base
+                AND p.len = (SELECT max(p2.len) FROM paths p2
+                  WHERE p2.rib_peer = fl.peer
+                    AND ((fl.ip_dst >> (16 - p2.len)) << (16 - p2.len))
+                      = p2.base))
+            SELECT nh AS peer_dst_ip, asn AS dst_as, count(*) AS n,
+              CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM cand WHERE rk = 1 GROUP BY 1, 2"""),
+      doc = "ADD-PATH augmentation: next-hop-matched path selection")
   )
 }
