@@ -648,6 +648,81 @@ object EnrichQueries {
             SELECT nh AS peer_dst_ip, asn AS dst_as, count(*) AS n,
               CAST(sum(bytes) AS BIGINT) AS bytes
             FROM cand WHERE rk = 1 GROUP BY 1, 2"""),
-      doc = "ADD-PATH augmentation: next-hop-matched path selection")
+      doc = "ADD-PATH augmentation: next-hop-matched path selection"),
+
+    // nfacctd_net 'longest' (CONFIG-KEYS:2151-2166): dst_mask is chosen
+    // longest-prefix-wins across ALL mask sources — networks_file, the
+    // flow protocol's own DstMask field, IGP, and BGP — with ties
+    // resolved by the documented precedence networks_file < NetFlow <
+    // IGP <= BGP. Each source is one broadcast LPM leg carrying its
+    // matched length; the winner is pure CASE arithmetic, identical in
+    // both engines. The flow-protocol leg is a record field, not a
+    // lookup — exactly the v9 SrcMask/DstMask path.
+    Q("q158_net_longest",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val igp = Seq((0L, 2L), (16384L, 3L), (32768L, 2L), (49152L, 6L))
+          .toDF("base", "len").withColumn("igp_len", col("len"))
+        val fl = flows(s, d)
+          .withColumn("peer", col("ip_src") % 16 % 2)
+          .withColumn("nf_mask", lit(8L) + col("ip_dst") % 16)
+        val withFile = Lpm.joinLongestMatch(fl,
+          Dims.networks(s).withColumn("file_len", col("len")),
+          col("ip_dst"), Dims.networkLens, 16, Seq("file_len"))
+        val withIgp = Lpm.joinLongestMatch(withFile, igp,
+          col("ip_dst"), Seq(2, 3, 6), 16, Seq("igp_len"))
+        val withBgp = Lpm.joinLongestMatch(withIgp,
+          Dims.rib(s).select(
+            (col("peer") * 65536L + col("base")).as("base"),
+            (col("len") + 1).as("len"), col("len").as("bgp_len")),
+          col("peer") * 65536L + col("ip_dst"),
+          Dims.ribLens.map(_ + 1), 17, Seq("bgp_len"))
+        val win = withBgp
+          .withColumn("L", greatest(
+            coalesce(col("file_len"), lit(-1L)),
+            coalesce(col("nf_mask"), lit(-1L)),
+            coalesce(col("igp_len"), lit(-1L)),
+            coalesce(col("bgp_len"), lit(-1L))))
+          .withColumn("mask_src",
+            when(col("bgp_len") === col("L"), "bgp")
+              .when(col("igp_len") === col("L"), "igp")
+              .when(col("nf_mask") === col("L"), "netflow")
+              .otherwise("file"))
+        win.groupBy("mask_src", "L")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte, ${Dims.networksSql}, ${Dims.ribSql},
+            igp(base, len) AS (SELECT * FROM (VALUES
+              (0, 2), (16384, 3), (32768, 2), (49152, 6)) AS t(base, len)),
+            m AS (SELECT bytes, 8 + ip_dst % 16 AS nf_mask,
+              (SELECT n.len FROM networks n
+                WHERE ((ip_dst >> (16 - n.len)) << (16 - n.len)) = n.base
+                ORDER BY n.len DESC LIMIT 1) AS file_len,
+              (SELECT g.len FROM igp g
+                WHERE ((ip_dst >> (16 - g.len)) << (16 - g.len)) = g.base
+                ORDER BY g.len DESC LIMIT 1) AS igp_len,
+              (SELECT r.len FROM rib r WHERE r.peer = ip_src % 16 % 2
+                AND ((ip_dst >> (16 - r.len)) << (16 - r.len)) = r.base
+                ORDER BY r.len DESC LIMIT 1) AS bgp_len
+              FROM flows),
+            w AS (SELECT bytes,
+              greatest(coalesce(file_len, -1), coalesce(nf_mask, -1),
+                coalesce(igp_len, -1), coalesce(bgp_len, -1)) AS L,
+              CASE WHEN bgp_len = greatest(coalesce(file_len, -1),
+                  coalesce(nf_mask, -1), coalesce(igp_len, -1),
+                  coalesce(bgp_len, -1)) THEN 'bgp'
+                WHEN igp_len = greatest(coalesce(file_len, -1),
+                  coalesce(nf_mask, -1), coalesce(igp_len, -1),
+                  coalesce(bgp_len, -1)) THEN 'igp'
+                WHEN nf_mask = greatest(coalesce(file_len, -1),
+                  coalesce(nf_mask, -1), coalesce(igp_len, -1),
+                  coalesce(bgp_len, -1)) THEN 'netflow'
+                ELSE 'file' END AS mask_src
+              FROM m)
+            SELECT mask_src, L, count(*) AS n,
+              CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM w GROUP BY 1, 2"""),
+      doc = "nfacctd_net longest: mask source precedence across 4 legs")
   )
 }

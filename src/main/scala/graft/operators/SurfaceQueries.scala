@@ -16,6 +16,8 @@ object SurfaceQueries {
   private def flows(s: org.apache.spark.sql.SparkSession, d: String) =
     FlowView.fromEvents(Tables.events(s, d))
 
+  private val flowsSqlCte = s"WITH flows AS (${FlowView.sql})"
+
   val all: Seq[Q] = Seq(
 
     // Formatter library: every §2.11 printer as a codegen'd expression.
@@ -877,6 +879,65 @@ object SurfaceQueries {
             SELECT exporter, eff_rate, count(*) AS n,
               CAST(sum(bytes * eff_rate) AS BIGINT) AS bytes_renorm
             FROM e WHERE kind = 1 GROUP BY 1, 2"""),
-      doc = "option-record as-of correlation via sorted merge per exporter")
+      doc = "option-record as-of correlation via sorted merge per exporter"),
+
+    // sql_trigger_exec purge-event metadata (docs/TRIGGER_VARS;
+    // sql_trigger_exec CONFIG-KEYS): each cache purge spawns a trigger
+    // with $EFFECTIVE_SQL_TABLE (dynamic name), $SQL_HISTORY_BASETIME,
+    // $TOTAL_ELEM_NUMBER (queued aggregates), $EFFECTIVE_ELEM_NUMBER
+    // (after the preprocess filter), and the INSERT/UPDATE split —
+    // an element UPDATEs when its key already reached the table in an
+    // earlier purge (the SQL plugin's UPDATE-then-INSERT contract,
+    // q105) and INSERTs otherwise. One purge-window aggregate + one
+    // key-history window reproduce every variable relationally.
+    Q("q157_trigger_vars",
+      (s, d) => {
+        val minb = 200000L
+        val elems = flows(s, d)
+          .withColumn("purge", expr("t0u div 300000000"))
+          .groupBy("purge", "ip_src")
+          .agg(sum("bytes").as("b"))
+        val hist = org.apache.spark.sql.expressions.Window
+          .partitionBy("ip_src")
+        val marked = elems
+          .withColumn("eff", (col("b") >= minb).cast("long"))
+          .withColumn("first_eff", min(when(col("eff") === 1L,
+            col("purge"))).over(hist))
+        marked.groupBy("purge")
+          .agg(count(lit(1)).as("total_elem"),
+            sum("eff").as("effective_elem"),
+            sum(when(col("eff") === 1L &&
+              col("purge") === col("first_eff"), 1L).otherwise(0L))
+              .as("insert_queries"),
+            sum(when(col("eff") === 1L &&
+              col("purge") > col("first_eff"), 1L).otherwise(0L))
+              .as("update_queries"))
+          .select(
+            concat(lit("acct_"), (col("purge") * 300).cast("string"))
+              .as("effective_sql_table"),
+            (col("purge") * 300).as("history_basetime"),
+            col("total_elem"), col("effective_elem"),
+            col("insert_queries"), col("update_queries"))
+      },
+      Some(s"""$flowsSqlCte,
+            elems AS (SELECT t0u // 300000000 AS purge, ip_src,
+                CAST(sum(bytes) AS BIGINT) AS b
+              FROM flows GROUP BY 1, 2),
+            marked AS (SELECT purge, ip_src, b,
+                CASE WHEN b >= 200000 THEN 1 ELSE 0 END AS eff,
+                min(CASE WHEN b >= 200000 THEN purge END)
+                  OVER (PARTITION BY ip_src) AS first_eff
+              FROM elems)
+            SELECT 'acct_' || CAST(purge * 300 AS VARCHAR)
+                AS effective_sql_table,
+              purge * 300 AS history_basetime,
+              count(*) AS total_elem,
+              CAST(sum(eff) AS BIGINT) AS effective_elem,
+              CAST(sum(CASE WHEN eff = 1 AND purge = first_eff THEN 1
+                ELSE 0 END) AS BIGINT) AS insert_queries,
+              CAST(sum(CASE WHEN eff = 1 AND purge > first_eff THEN 1
+                ELSE 0 END) AS BIGINT) AS update_queries
+            FROM marked GROUP BY purge"""),
+      doc = "sql_trigger_exec vars: per-purge table/elem/insert-update")
   )
 }
