@@ -180,6 +180,110 @@ object CorpusQueries {
             SELECT tok AS keyword, count(*) AS n_docs_top,
               CAST(sum(tf) AS BIGINT) AS sum_tf
             FROM top WHERE rn = 1 GROUP BY 1"""),
-      doc = "DF-cutoff keyword extraction, integer-deterministic")
+      doc = "DF-cutoff keyword extraction, integer-deterministic"),
+
+    // Deterministic train/val/test splitting + per-epoch shuffle keys:
+    // the split is a salted content-free hash of doc_id (stable across
+    // runs and cluster sizes — the property a reproducible pipeline
+    // needs), and each epoch's global shuffle order is a second keyed
+    // hash. Per (split, epoch) the gate checks the population, the
+    // argmin head of the shuffle order, and an order-invariant key sum
+    // — all computable without any global sort (readers sort within
+    // partitions at training time).
+    Q("q159_split_shuffle",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keyed = docs.selectExpr("doc_id",
+            s"${TextOps.sparkTokHash("md5(cast(doc_id as string))")} % 100" +
+              " as pct")
+          .selectExpr("doc_id",
+            "CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'" +
+              " ELSE 'test' END as split")
+        keyed
+          .withColumn("epoch", explode(sequence(lit(0), lit(1))))
+          .withColumn("k", expr(
+            s"""${TextOps.sparkTokHash(
+              "md5(concat(cast(doc_id as string), ':'," +
+                " cast(epoch as string)))")} % ${TextOps.P}"""))
+          .groupBy("split", "epoch")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("min_by(doc_id, k)").as("first_doc"),
+            sum("k").as("key_sum"))
+      },
+      Some(s"""WITH keyed AS (SELECT doc_id,
+              CASE WHEN ${TextOps.duckTokHash(
+                "md5(doc_id::VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN ${TextOps.duckTokHash(
+                "md5(doc_id::VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents),
+            e AS (SELECT doc_id, split, unnest([0, 1]) AS epoch
+              FROM keyed),
+            k AS (SELECT split, epoch, doc_id,
+              ${TextOps.duckTokHash(
+                "md5(doc_id::VARCHAR || ':' || epoch::VARCHAR)")} %
+                ${TextOps.P} AS k
+              FROM e)
+            SELECT split, epoch, count(*) AS n_docs,
+              arg_min(doc_id, k) AS first_doc,
+              CAST(sum(k) AS BIGINT) AS key_sum
+            FROM k GROUP BY 1, 2"""),
+      doc = "salted split + per-epoch shuffle keys, sort-free gate"),
+
+    // Quality filter funnel: the standard staged corpus cleaning —
+    // language allowlist, minimum length, repetition (type-token), and
+    // lexical quality (stopword share + mean token length) — with
+    // per-stage attrition accounting, all INTEGER comparisons (cross-
+    // multiplied ratios) so both engines pass the same documents. One
+    // projection pass + one aggregate; each stage's predicate narrows
+    // the previous survivors, which is how a 100 TB cleaning job wants
+    // to run (single scan, no per-stage materialization).
+    Q("q160_filter_funnel",
+      (s, d) => {
+        val t = TextOps.sparkToks
+        Tables.documents(s, d).selectExpr("source", "n_chars",
+            "lang IN ('en', 'de', 'es') as s1",
+            "n_chars >= 100 as s2",
+            s"2 * size(array_distinct($t)) >= size($t) as s3",
+            s"""(5 * size(filter($t,
+                 tk -> tk IN ('a', 'the', 'of', 'and', 'big', 'small')))
+                 <= size($t)
+               or aggregate(transform($t, tk -> length(tk)), 0,
+                 (a, x) -> a + x) >= 4 * size($t)) as s4""")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_in"),
+            sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("n2"),
+            sum(when(col("s1") && col("s2") && col("s3"), 1L)
+              .otherwise(0L)).as("n3"),
+            sum(when(col("s1") && col("s2") && col("s3") && col("s4"), 1L)
+              .otherwise(0L)).as("n4"),
+            sum(when(col("s1") && col("s2") && col("s3") && col("s4"),
+              col("n_chars")).otherwise(0L)).as("kept_chars"))
+      },
+      Some(s"""WITH m AS (SELECT source, n_chars,
+              lang IN ('en', 'de', 'es') AS s1,
+              n_chars >= 100 AS s2,
+              2 * len(list_distinct(${TextOps.duckToks})) >=
+                len(${TextOps.duckToks}) AS s3,
+              (5 * len(list_filter(${TextOps.duckToks},
+                  t -> t IN ('a', 'the', 'of', 'and', 'big', 'small')))
+                  <= len(${TextOps.duckToks})
+                OR list_reduce([0] || list_transform(${TextOps.duckToks},
+                  t -> len(t)), (a, x) -> a + x) >=
+                  4 * len(${TextOps.duckToks})) AS s4
+              FROM documents)
+            SELECT source, count(*) AS n_in,
+              CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+              CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n3,
+              CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0
+                END) AS BIGINT) AS n4,
+              CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN n_chars
+                ELSE 0 END) AS BIGINT) AS kept_chars
+            FROM m GROUP BY source"""),
+      doc = "staged quality funnel with per-stage attrition, one scan")
   )
 }
