@@ -938,6 +938,86 @@ object SurfaceQueries {
               CAST(sum(CASE WHEN eff = 1 AND purge > first_eff THEN 1
                 ELSE 0 END) AS BIGINT) AS update_queries
             FROM marked GROUP BY purge"""),
-      doc = "sql_trigger_exec vars: per-purge table/elem/insert-update")
+      doc = "sql_trigger_exec vars: per-purge table/elem/insert-update"),
+
+    // AIGP (RFC 7311 attr 26) + Prefix-SID label index (RFC 8669 attr
+    // 40) on the wire — the last two attribute columns of the
+    // reference's BGP metrics export (docs/BGP_BMP_METRICS.md: `aigp`,
+    // `psid_li`). Updates carry both through real TLV-in-attribute
+    // encodings; RIB compaction keeps the latest per prefix and the
+    // per-peer rollup sums the surviving metrics. TLV-walk or
+    // length-accounting defects break parity.
+    Q("q161_bgp_aigp_psid",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 32).as("sess"), col("event_id"),
+            ((col("user_id") % 32) * 256 + col("event_id") % 256)
+              .as("pfx"),
+            (col("event_type") === "error").as("wd"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("aigp"))
+          .as[(Long, Long, Long, Boolean, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, pfx, wd, aigp) =>
+              val route = BgpMsg.Route(pfx << 8, 24)
+              val msg =
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
+                else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
+                  origin = Some(0), asPath = Seq(65000L + sess),
+                  nextHop = Some(sess), aigp = Some(aigp),
+                  labelIndex = Some(pfx % 1024)))
+              wire.write(msg, 0, msg.length)
+            }
+            val peer = sess % 2
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                u.withdrawn.iterator.map(r =>
+                  (peer, r.prefix >> 8, seq.toLong, "withdraw", 0L, 0L)) ++
+                u.nlri.iterator.map(r =>
+                  (peer, r.prefix >> 8, seq.toLong, "update",
+                    u.aigp.getOrElse(0L), u.labelIndex.getOrElse(0L)))
+              }
+        }
+        decoded
+          .toDF("peer", "prefix", "seq", "op", "aigp", "psid_li")
+          .groupBy("peer", "prefix")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(aigp, seq)").as("last_aigp"),
+            expr("max_by(psid_li, seq)").as("last_li"))
+          .groupBy("peer")
+          .agg(
+            sum(when(col("last_op") === "update", 1L).otherwise(0L))
+              .as("n_active"),
+            sum(when(col("last_op") === "update", col("last_aigp"))
+              .otherwise(0L)).as("sum_aigp"),
+            sum(when(col("last_op") === "update", col("last_li"))
+              .otherwise(0L)).as("sum_li"))
+      },
+      Some("""WITH msgs AS (SELECT (user_id % 32) % 2 AS peer,
+                (user_id % 32) * 256 + event_id % 256 AS prefix,
+                event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                CAST(floor(value * 1000) AS BIGINT) AS aigp,
+                ((user_id % 32) * 256 + event_id % 256) % 1024 AS li
+              FROM events),
+            rib AS (SELECT peer, prefix, arg_max(op, seq) AS last_op,
+                arg_max(aigp, seq) AS last_aigp,
+                arg_max(li, seq) AS last_li
+              FROM msgs GROUP BY 1, 2)
+            SELECT peer,
+              CAST(sum(CASE WHEN last_op = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_aigp
+                ELSE 0 END) AS BIGINT) AS sum_aigp,
+              CAST(sum(CASE WHEN last_op = 'update' THEN last_li ELSE 0
+                END) AS BIGINT) AS sum_li
+            FROM rib GROUP BY peer"""),
+      doc = "RFC 7311 AIGP + RFC 8669 Prefix-SID through the RIB")
   )
 }

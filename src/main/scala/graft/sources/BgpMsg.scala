@@ -62,7 +62,13 @@ object BgpMsg {
       // MP_REACH/MP_UNREACH; next hop is a VPN-IPv4 address (RD 0 + IP)
       nlriVpn: Seq[RouteVpn] = Nil,
       withdrawnVpn: Seq[RouteVpn] = Nil,
-      nextHopVpn: Option[Long] = None)
+      nextHopVpn: Option[Long] = None,
+      // RFC 7311 AIGP (attr 26, TLV type 1 = 8-byte accumulated metric)
+      // and RFC 8669 Prefix-SID (attr 40, TLV type 1 = label index) —
+      // both exported by the reference's BGP metrics
+      // (docs/BGP_BMP_METRICS.md: `aigp`, `psid_li`)
+      aigp: Option[Long] = None,
+      labelIndex: Option[Long] = None)
 
   // ---- encode --------------------------------------------------------
 
@@ -167,6 +173,18 @@ object BgpMsg {
       attrs ++= attr(0xc0, 32, u.largeCommunities.flatMap {
         case (ga, l1, l2) => u32(ga) ++ u32(l1) ++ u32(l2)
       }.toArray)
+    u.aigp.foreach { m => // RFC 7311 §3: TLV type 1, length 11, metric
+      val b = ByteBuffer.allocate(11)
+      b.put(1.toByte).putShort(11.toShort).put(u64(m))
+      attrs ++= attr(0x80, 26, b.array())
+    }
+    u.labelIndex.foreach { li => // RFC 8669 §3.1: Label-Index TLV
+      val b = ByteBuffer.allocate(10)
+      b.put(1.toByte).putShort(10.toShort) // type, length (incl. header)
+      b.put(0.toByte).putShort(0.toShort)  // reserved + flags
+      b.put(u32(li))
+      attrs ++= attr(0xc0, 40, b.array())
+    }
     // RFC 4760: IPv6 unicast rides MP_REACH_NLRI (14) / MP_UNREACH (15)
     if (u.nlri6.nonEmpty) {
       val b = new mutable.ArrayBuilder.ofByte
@@ -355,6 +373,23 @@ object BgpMsg {
             lc += ((buf.getInt() & 0xffffffffL, buf.getInt() & 0xffffffffL,
               buf.getInt() & 0xffffffffL))
           u = u.copy(largeCommunities = lc.toSeq)
+        case 26 => // RFC 7311 AIGP: TLV walk, type 1 carries the metric
+          while (buf.position() + 3 <= aEnd) {
+            val t = buf.get() & 0xff
+            val l = buf.getShort() & 0xffff
+            if (t == 1 && l == 11 && buf.position() + 8 <= aEnd)
+              u = u.copy(aigp = Some(buf.getLong()))
+            else buf.position(math.min(aEnd, buf.position() + l - 3))
+          }
+        case 40 => // RFC 8669 Prefix-SID: Label-Index TLV (type 1)
+          while (buf.position() + 3 <= aEnd) {
+            val t = buf.get() & 0xff
+            val l = buf.getShort() & 0xffff
+            if (t == 1 && l == 10 && buf.position() + 7 <= aEnd) {
+              buf.get(); buf.getShort() // reserved + flags
+              u = u.copy(labelIndex = Some(buf.getInt() & 0xffffffffL))
+            } else buf.position(math.min(aEnd, buf.position() + l - 3))
+          }
         case 14 => // MP_REACH_NLRI (RFC 4760 §3)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff

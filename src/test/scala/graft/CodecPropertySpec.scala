@@ -30,7 +30,10 @@ class CodecPropertySpec extends AnyFunSuite {
           Some((r.nextLong() & Long.MaxValue) % 4294967296L) else None,
         localPref = if (r.nextBoolean())
           Some((r.nextLong() & Long.MaxValue) % 4294967296L) else None,
-        communities = Seq.fill(r.nextInt(4))((r.nextLong() & Long.MaxValue) % 4294967296L))
+        communities = Seq.fill(r.nextInt(4))((r.nextLong() & Long.MaxValue) % 4294967296L),
+        aigp = if (r.nextBoolean()) Some(r.nextLong() & Long.MaxValue) else None,
+        labelIndex = if (r.nextBoolean())
+          Some((r.nextLong() & Long.MaxValue) % 4294967296L) else None)
       assert(BgpMsg.decodeStream(BgpMsg.encode(u)) == Seq(u), s"seed $seed")
     }
   }
