@@ -80,7 +80,8 @@ class CorpusSpec extends AnyFunSuite {
   test("corpus queries are registered with oracles") {
     val names = graft.operators.CorpusQueries.all.map(_.name)
     assert(names == Seq("q149_line_dedup", "q150_length_band",
-      "q151_chunking", "q152_keywords"))
+      "q151_chunking", "q152_keywords", "q159_split_shuffle",
+      "q160_filter_funnel"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }
