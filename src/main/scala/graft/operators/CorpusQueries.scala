@@ -284,6 +284,126 @@ object CorpusQueries {
               CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN n_chars
                 ELSE 0 END) AS BIGINT) AS kept_chars
             FROM m GROUP BY source"""),
-      doc = "staged quality funnel with per-stage attrition, one scan")
+      doc = "staged quality funnel with per-stage attrition, one scan"),
+
+    // Exact substring-span dedup (the window approximation of
+    // suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better"): 60-char windows at
+    // stride 30; a window whose content appears in >=2 distinct
+    // documents marks a duplicated span. Windows are reduced to 60-bit
+    // md5 keys IMMEDIATELY (both engines share the same hash, so even
+    // collisions agree) — the frequency table and the back-join ship
+    // 8-byte keys, never window text. One shuffle to count, one join
+    // (AQE broadcasts the dup set when small), one rollup.
+    Q("q165_substr_dedup",
+      (s, d) => {
+        import graft.text.TextOps
+        val wins = Tables.documents(s, d)
+          .filter(length(col("text")) >= 60)
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1, length(text) - 59, 30)"))
+              .as("pos"), col("text"))
+          .select(col("doc_id"), col("source"),
+            expr(TextOps.sparkTokHash("substring(text, pos, 60)"))
+              .as("k"))
+        val dup = wins.groupBy("k")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 2)
+          .select(col("k"), lit(1L).as("dup"))
+        wins.join(dup, Seq("k"), "left")
+          .withColumn("dup", coalesce(col("dup"), lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_windows"),
+            sum("dup").as("dup_windows"),
+            countDistinct(when(col("dup") === 1L, col("doc_id")))
+              .as("docs_affected"))
+      },
+      Some(s"""WITH wins AS (SELECT doc_id, source,
+              ${graft.text.TextOps.duckTokHash(
+                "substr(text, CAST(pos AS INT), 60)")} AS k
+              FROM documents,
+                unnest(generate_series(1, len(text) - 59, 30)) AS t(pos)),
+            freq AS (SELECT k FROM wins GROUP BY k
+              HAVING count(DISTINCT doc_id) >= 2),
+            marked AS (SELECT wins.*,
+              CASE WHEN freq.k IS NULL THEN 0 ELSE 1 END AS dup
+              FROM wins LEFT JOIN freq USING (k))
+            SELECT source, count(*) AS n_windows,
+              CAST(sum(dup) AS BIGINT) AS dup_windows,
+              CAST(count(DISTINCT CASE WHEN dup = 1 THEN doc_id END)
+                AS BIGINT) AS docs_affected
+            FROM marked GROUP BY source"""),
+      doc = "exact substring-span dedup via strided window hashing"),
+
+    // DSIR-style importance weighting (Xie et al. 2023 "Data Selection
+    // for Language Models via Importance Resampling"): hashed word-
+    // bigram features into 256 buckets; per-bucket importance weight =
+    // target-count (lang='en' docs) over raw-count, scaled-integer
+    // (×1e6, floor div) so both engines agree bit-for-bit. The weight
+    // table is 256 rows — broadcast, exactly how a real DSIR pass ships
+    // its n-gram weights to executors — and each doc scores as the
+    // integer mean weight of its bigrams. Selection is a pure
+    // threshold: no rand(), reproducible at any parallelism.
+    Q("q166_dsir_importance",
+      (s, d) => {
+        import graft.text.TextOps
+        // Bigrams via posexplode + lead() — NOT a higher-order-function
+        // array build: a lambda-built bigram array collapses into the
+        // Generate and gets re-evaluated per output row (measured 25×
+        // slower), while this shape is one Generate over the token
+        // array plus one doc-partitioned window, all codegen-friendly
+        // and linear at any corpus size.
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            posexplode(expr(TextOps.sparkToks)).as(Seq("pos", "t1")))
+        val bg = tk.withColumn("t2", lead("t1", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), col("source"), col("lang"),
+            concat(col("t1"), lit(" "), col("t2")).as("g"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            expr(s"${TextOps.sparkTokHash("g")} % 256").as("b"))
+        // Doc×bucket feature matrix, materialized ONCE (the expensive
+        // tokenize+explode never reruns): both the per-bucket count
+        // legs and the scoring probe read this ≤256-rows-per-doc
+        // table. score = Σ n_b·w_b div Σ n_b ≡ instance-mean weight.
+        val db = bg.groupBy("doc_id", "source", "lang", "b")
+          .agg(count(lit(1)).as("n")).persist()
+        val w = db.groupBy("b").agg(sum("n").as("r"),
+            sum(when(col("lang") === "en", col("n")).otherwise(0L))
+              .as("tg"))
+          .select(col("b"), expr("tg * 1000000 div r").as("w"))
+        db.join(broadcast(w), Seq("b"))
+          .groupBy("doc_id", "source", "lang")
+          .agg(expr("sum(w * n) div sum(n)").as("score"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 435000L, 1L).otherwise(0L))
+              .as("n_selected"),
+            sum("score").as("sum_score"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, lang,
+              regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            bg AS (SELECT doc_id, source, lang,
+              ${graft.text.TextOps.duckTokHash(
+                "t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]")}
+                % 256 AS b
+              FROM toks,
+                unnest(generate_series(1, len(t) - 1)) AS g(i)),
+            raw AS (SELECT b, count(*) AS r FROM bg GROUP BY b),
+            tgt AS (SELECT b, count(*) AS tg FROM bg WHERE lang = 'en'
+              GROUP BY b),
+            w AS (SELECT raw.b, coalesce(tg, 0) * 1000000 // r AS w
+              FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+            scored AS (SELECT doc_id, source, lang,
+                sum(w) // count(*) AS score
+              FROM bg JOIN w USING (b) GROUP BY 1, 2, 3)
+            SELECT source, lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN score >= 435000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+              CAST(sum(score) AS BIGINT) AS sum_score
+            FROM scored GROUP BY 1, 2"""),
+      doc = "DSIR hashed-bigram importance weights, broadcast + threshold")
   )
 }

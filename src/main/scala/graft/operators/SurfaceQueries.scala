@@ -1018,6 +1018,246 @@ object SurfaceQueries {
               CAST(sum(CASE WHEN last_op = 'update' THEN last_li ELSE 0
                 END) AS BIGINT) AS sum_li
             FROM rib GROUP BY peer"""),
-      doc = "RFC 7311 AIGP + RFC 8669 Prefix-SID through the RIB")
+      doc = "RFC 7311 AIGP + RFC 8669 Prefix-SID through the RIB"),
+
+    // BGP-LS (RFC 7752; reference src/bgp/bgp_ls.c): link NLRIs ride
+    // MP_REACH/MP_UNREACH under AFI 16388/SAFI 71 — [type][len][proto]
+    // [identifier] + node-descriptor TLVs (256/257 with AS/router-id
+    // sub-TLVs) — and the LS attribute (29) carries the IGP/TE metrics
+    // and node name. One wire stream per local node; the LS "RIB" keeps
+    // the latest state per (local, remote) link, like the reference's
+    // cdada-map keyed on the NLRI (bgp_ls.c:215-221). The per-node
+    // rollup is the topology view a BGP-LS consumer exports.
+    Q("q162_bgp_ls",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 24).as("local_nd"), col("event_id"),
+            ((col("event_id") * 7 + 3) % 24).as("remote_nd"),
+            (col("event_type") === "error").as("wd"),
+            (col("event_id") % 1000 + 1).as("igp"),
+            (col("event_id") % 5000 + 1).as("te"))
+          .as[(Long, Long, Long, Boolean, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (local: Long, it: Iterator[(Long, Long, Long, Boolean, Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, remote, wd, igp, te) =>
+              val link = BgpMsg.LsLink(2, 65000L + local, local,
+                65000L + remote, remote,
+                167772160L + (local * 24 + remote) % 256,
+                167772161L + (local * 24 + remote) % 256)
+              val msg =
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawnLs = Seq(link)))
+                else BgpMsg.encode(BgpMsg.Update(nlriLs = Seq(link),
+                  nextHop = Some(local),
+                  lsAttr = Some(BgpMsg.LsAttr(
+                    nodeName = Some(s"node$local"),
+                    igpMetric = Some(igp), teMetric = Some(te)))))
+              wire.write(msg, 0, msg.length)
+            }
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                val a = u.lsAttr.getOrElse(BgpMsg.LsAttr())
+                u.withdrawnLs.iterator.collect {
+                  case l: BgpMsg.LsLink =>
+                    (l.localId, l.remoteId, seq.toLong, "withdraw",
+                      0L, 0L, "")
+                } ++
+                u.nlriLs.iterator.collect { case l: BgpMsg.LsLink =>
+                  (l.localId, l.remoteId, seq.toLong, "update",
+                    a.igpMetric.getOrElse(0L), a.teMetric.getOrElse(0L),
+                    a.nodeName.getOrElse(""))
+                }
+              }
+        }
+        decoded
+          .toDF("local_nd", "remote_nd", "seq", "op", "igp", "te", "name")
+          .groupBy("local_nd", "remote_nd")
+          .agg(expr("max_by(op, seq)").as("last_op"),
+            expr("max_by(igp, seq)").as("last_igp"),
+            expr("max_by(te, seq)").as("last_te"),
+            expr("max_by(name, seq)").as("last_name"))
+          .filter(col("last_op") === "update")
+          .groupBy("local_nd")
+          .agg(count(lit(1)).as("n_links"),
+            sum("last_igp").as("sum_igp"),
+            min("last_te").as("min_te"),
+            sum(when(concat(lit("node"), col("local_nd").cast("string"))
+              === col("last_name"), 1L).otherwise(0L)).as("names_ok"))
+      },
+      Some("""WITH msgs AS (SELECT user_id % 24 AS local_nd,
+                (event_id * 7 + 3) % 24 AS remote_nd, event_id AS seq,
+                CASE WHEN event_type = 'error' THEN 'withdraw'
+                     ELSE 'update' END AS op,
+                event_id % 1000 + 1 AS igp, event_id % 5000 + 1 AS te
+              FROM events),
+            rib AS (SELECT local_nd, remote_nd,
+                arg_max(op, seq) AS last_op, arg_max(igp, seq) AS last_igp,
+                arg_max(te, seq) AS last_te
+              FROM msgs GROUP BY 1, 2)
+            SELECT local_nd, count(*) AS n_links,
+              CAST(sum(last_igp) AS BIGINT) AS sum_igp,
+              CAST(min(last_te) AS BIGINT) AS min_te,
+              CAST(count(*) AS BIGINT) AS names_ok
+            FROM rib WHERE last_op = 'update' GROUP BY local_nd"""),
+      doc = "BGP-LS link NLRI + LS attr TLVs into a topology RIB"),
+
+    // BMP Loc-RIB instance peer (RFC 9069; reference peer type 3 in
+    // src/bmp/bmp.h:74 and stats 8/10 "routes in Loc-RIB",
+    // bmp.h:203-205). Routers export adj-rib-in route monitoring under
+    // peer type 0 and the post-policy loc-rib under peer type 3 with
+    // the F flag (0x80); a closing stats report carries the loc-rib
+    // gauge. The query proves the two lanes stay distinct through the
+    // shared codec and that the decoded gauge reconciles with the
+    // decoded loc-rib route count.
+    Q("q163_bmp_locrib",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("router"), col("event_id"),
+            ((col("user_id") % 8) * 4096 + col("event_id") % 512)
+              .as("pfx"),
+            (expr("CAST(floor(value * 1000) AS BIGINT)") >= 500)
+              .as("pass"))
+          .as[(Long, Long, Long, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (router: Long, it: Iterator[(Long, Long, Long, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            def mon(peerType: Int, flags: Int, pfx: Long): Unit = {
+              val m = BmpMsg.encodeRouteMonitoring(
+                BmpMsg.PeerHeader(peerType, flags, 0L, router,
+                  65000 + router, router, 0L, 0L),
+                BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx << 8, 24)),
+                  origin = Some(0), nextHop = Some(router)))
+              wire.write(m, 0, m.length)
+            }
+            evs.foreach { case (_, _, pfx, pass) =>
+              mon(0, 0, pfx)                    // adj-rib-in
+              if (pass) mon(3, 0x80, pfx)       // loc-rib, F flag
+            }
+            val gauge = evs.filter(_._4).map(_._3).distinct.size.toLong
+            val st = BmpMsg.encodeStatsReport(
+              BmpMsg.PeerHeader(3, 0x80, 0L, router, 65000 + router,
+                router, 0L, 0L),
+              Map(8 -> gauge))
+            wire.write(st, 0, st.length)
+            val msgs = BmpMsg.decodeStream(wire.toByteArray)
+            val adj = msgs.collect {
+              case m: BmpMsg.RouteMonitoring if m.peer.peerType == 0 =>
+                m.update.nlri.map(_.prefix >> 8)
+            }.flatten.distinct.size.toLong
+            val loc = msgs.collect {
+              case m: BmpMsg.RouteMonitoring if m.peer.peerType == 3 &&
+                  (m.peer.flags & 0x80) != 0 =>
+                m.update.nlri.map(_.prefix >> 8)
+            }.flatten.distinct.size.toLong
+            val g8 = msgs.collect {
+              case m: BmpMsg.StatsReport if m.peer.peerType == 3 =>
+                m.stats.getOrElse(8, -1L)
+            }.headOption.getOrElse(-1L)
+            Iterator((router, adj, loc, g8,
+              if (loc == g8) 1L else 0L))
+        }
+        decoded.toDF("router", "n_adj", "n_locrib", "gauge8", "reconciled")
+      },
+      Some("""WITH msgs AS (SELECT user_id % 8 AS router,
+                (user_id % 8) * 4096 + event_id % 512 AS pfx,
+                CAST(floor(value * 1000) AS BIGINT) >= 500 AS pass
+              FROM events)
+            SELECT router, CAST(count(DISTINCT pfx) AS BIGINT) AS n_adj,
+              CAST(count(DISTINCT CASE WHEN pass THEN pfx END) AS BIGINT)
+                AS n_locrib,
+              CAST(count(DISTINCT CASE WHEN pass THEN pfx END) AS BIGINT)
+                AS gauge8,
+              CAST(1 AS BIGINT) AS reconciled
+            FROM msgs GROUP BY router"""),
+      doc = "RFC 9069 BMP Loc-RIB peer lane + loc-rib stats gauge"),
+
+    // Extended communities (RFC 4360; reference src/bgp/
+    // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
+    // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE
+    // well-known community (65535:666 = 0xFFFF029A), which the
+    // reference's bgp_blackhole.c thread matches to tag flows. Updates
+    // carry an RT (subtype 0x02) and an SoO (0x03); the RIB keeps the
+    // latest per prefix; flows join the broadcast RIB and roll up per
+    // RT with a blackholed-bytes split.
+    Q("q164_ecomm_blackhole",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 64).as("k"), col("event_id"),
+            (col("event_id") % 3).as("tpe"),
+            (col("event_id") % 8).as("adm"),
+            (col("event_id") % 1000).as("v"),
+            (col("event_type") === "error").as("bh"))
+          .as[(Long, Long, Long, Long, Long, Boolean)]
+        val rib = rows.groupByKey(_._1).flatMapGroups {
+          (k: Long, it: Iterator[(Long, Long, Long, Long, Long, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, _, tpe, adm, v, bh) =>
+              val admin =
+                if (tpe == 0) 65000L + adm else 167772160L + adm
+              val msg = BgpMsg.encode(BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(k << 24, 8)),
+                origin = Some(0), nextHop = Some(k),
+                communities =
+                  if (bh) Seq(0xFFFF029AL) else Seq(65000L << 16 | 1L),
+                extCommunities = Seq(
+                  BgpMsg.ExtCommunity(tpe.toInt, 2, admin, v),
+                  BgpMsg.ExtCommunity(0, 3, 64999L, 7L))))
+              wire.write(msg, 0, msg.length)
+            }
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                val rt = u.extCommunities.find(_.sub == 2)
+                u.nlri.iterator.map { r =>
+                  (r.prefix >> 24, seq.toLong,
+                    rt.map(_.tpe.toLong).getOrElse(-1L),
+                    rt.map(_.admin).getOrElse(-1L),
+                    rt.map(_.value).getOrElse(-1L),
+                    if (u.communities.contains(0xFFFF029AL)) 1L else 0L)
+                }
+            }
+        }.toDF("k", "seq", "tpe", "adm", "v", "bh")
+          .groupBy("k")
+          .agg(expr("max_by(tpe, seq)").as("rt_type"),
+            expr("max_by(adm, seq)").as("rt_admin"),
+            expr("max_by(v, seq)").as("rt_value"),
+            expr("max_by(bh, seq)").as("last_bh"))
+        val fl = flows(s, d)
+        fl.join(broadcast(rib), fl("ip_dst") % 64 === rib("k"))
+          .groupBy("rt_type", "rt_admin", "rt_value")
+          .agg(sum("bytes").as("bytes"),
+            sum(when(col("last_bh") === 1L, col("bytes")).otherwise(0L))
+              .as("blackholed"))
+      },
+      Some(s"""$flowsSqlCte,
+            msgs AS (SELECT user_id % 64 AS k, event_id AS seq,
+                event_id % 3 AS tpe,
+                CASE WHEN event_id % 3 = 0 THEN 65000 + event_id % 8
+                     ELSE 167772160 + event_id % 8 END AS adm,
+                event_id % 1000 AS v,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bh
+              FROM events),
+            rib AS (SELECT k, arg_max(tpe, seq) AS rt_type,
+                arg_max(adm, seq) AS rt_admin,
+                arg_max(v, seq) AS rt_value, arg_max(bh, seq) AS last_bh
+              FROM msgs GROUP BY k)
+            SELECT rt_type, rt_admin, rt_value,
+              CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(sum(CASE WHEN last_bh = 1 THEN bytes ELSE 0 END)
+                AS BIGINT) AS blackholed
+            FROM flows JOIN rib ON ip_dst % 64 = k
+            GROUP BY 1, 2, 3"""),
+      doc = "RFC 4360 ext communities + RFC 7999 blackhole tagging")
   )
 }

@@ -39,6 +39,45 @@ object BgpMsg {
   final case class RouteVpn(label: Long, rdType: Int, rdAdmin: Long,
                             rdVal: Long, prefix: Long, plen: Int)
 
+  /** BGP-LS NLRI (RFC 7752 §3.2; reference walk: bgp_ls_nlri_parse in
+    * src/bgp/bgp_ls.c:102-152 — [type:2][len:2][proto:1][identifier:8]
+    * then descriptor TLVs dispatched off bgp_ls_nlri_tlv_list).
+    * `protoId` is the IGP protocol (1/2 IS-IS L1/L2, 3 OSPFv2, ... —
+    * src/bgp/bgp_ls.h:43-48). Node descriptors carry sub-TLV 512 (AS)
+    * and 515 (IGP router id — src/bgp/bgp_ls.h:66-69). */
+  sealed trait LsNlri {
+    def protoId: Int; def localAsn: Long; def localId: Long
+  }
+  /** Node NLRI (type 1). */
+  final case class LsNode(protoId: Int, localAsn: Long, localId: Long)
+      extends LsNlri
+  /** Link NLRI (type 2): local + remote node descriptors (TLV 256/257)
+    * and IPv4 interface/neighbor addresses (TLV 259/260). */
+  final case class LsLink(protoId: Int, localAsn: Long, localId: Long,
+      remoteAsn: Long, remoteId: Long, ifAddr: Long, neighAddr: Long)
+      extends LsNlri
+  /** IPv4 topology prefix NLRI (type 3): IP reachability TLV 265
+    * ([mask:1][prefix bytes] — bgp_ls_nlri_tlv_ip_reach_handler). */
+  final case class LsPrefix(protoId: Int, localAsn: Long, localId: Long,
+      prefix: Long, plen: Int) extends LsNlri
+
+  /** Decoded BGP-LS attribute (path attr 29) TLVs — the subset the
+    * reference prints (bgp_ls_attr_tlv_print_list, src/bgp/
+    * bgp_ls-data.h): node name 1026, admin group 1088, TE default
+    * metric 1092, IGP metric 1095 (1/2/3-byte narrow/OSPF/wide forms),
+    * prefix metric 1155. Metrics are exact integers end-to-end. */
+  final case class LsAttr(nodeName: Option[String] = None,
+      adminGroup: Option[Long] = None, teMetric: Option[Long] = None,
+      igpMetric: Option[Long] = None, pfxMetric: Option[Long] = None)
+
+  /** Extended community (RFC 4360; reference src/bgp/bgp_ecommunity.c
+    * ecommunity_ecom2str): 8-byte [type][subtype][6-byte value] where
+    * type 0x00 splits the value as AS2:val4, types 0x01/0x02 as
+    * admin4:val2 (IPv4 / 4-octet-AS administrator). Subtype 0x02 is a
+    * Route Target, 0x03 Site-of-Origin. */
+  final case class ExtCommunity(tpe: Int, sub: Int, admin: Long,
+      value: Long)
+
   final case class Update(
       withdrawn: Seq[Route] = Nil,
       nlri: Seq[Route] = Nil,
@@ -68,7 +107,15 @@ object BgpMsg {
       // both exported by the reference's BGP metrics
       // (docs/BGP_BMP_METRICS.md: `aigp`, `psid_li`)
       aigp: Option[Long] = None,
-      labelIndex: Option[Long] = None)
+      labelIndex: Option[Long] = None,
+      // RFC 4360 extended communities (attr 16; reference
+      // BGP_ATTR_EXT_COMMUNITIES, src/bgp/bgp_ecommunity.c)
+      extCommunities: Seq[ExtCommunity] = Nil,
+      // RFC 7752 BGP-LS: AFI 16388 / SAFI 71 NLRIs in MP_REACH/UNREACH
+      // plus the LS attribute (29) — reference src/bgp/bgp_ls.c
+      nlriLs: Seq[LsNlri] = Nil,
+      withdrawnLs: Seq[LsNlri] = Nil,
+      lsAttr: Option[LsAttr] = None)
 
   // ---- encode --------------------------------------------------------
 
@@ -147,6 +194,56 @@ object BgpMsg {
     out.result()
   }
 
+  /** One [type:2][len:2][value] TLV (RFC 7752 §3.1 framing, shared by
+    * NLRI descriptors and the LS attribute). */
+  private def lsTlv(t: Int, v: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + v.length)
+    b.putShort(t.toShort).putShort(v.length.toShort).put(v)
+    b.array()
+  }
+
+  /** Node descriptor TLV (256 local / 257 remote) with AS (512) and
+    * IGP router id (515, 4-byte form) sub-TLVs. */
+  private def lsNodeDesc(t: Int, asn: Long, id: Long): Array[Byte] =
+    lsTlv(t, lsTlv(512, u32(asn)) ++ lsTlv(515, u32(id)))
+
+  /** BGP-LS NLRI entry bytes: [nlri-type:2][len:2][proto:1]
+    * [identifier:8][descriptor TLVs] (RFC 7752 §3.2; identifier 0 =
+    * default L3 topology, src/bgp/bgp_ls.h:51). */
+  private def lsNlriBytes(n: LsNlri): Array[Byte] = {
+    val body = new mutable.ArrayBuilder.ofByte
+    body += n.protoId.toByte
+    body ++= u64(0L) // identifier: default L3 topology
+    val tpe = n match {
+      case _: LsNode => body ++= lsNodeDesc(256, n.localAsn, n.localId); 1
+      case l: LsLink =>
+        body ++= lsNodeDesc(256, l.localAsn, l.localId)
+        body ++= lsNodeDesc(257, l.remoteAsn, l.remoteId)
+        body ++= lsTlv(259, u32(l.ifAddr))
+        body ++= lsTlv(260, u32(l.neighAddr))
+        2
+      case p: LsPrefix =>
+        body ++= lsNodeDesc(256, p.localAsn, p.localId)
+        val pb = (0 until (p.plen + 7) / 8).map(i =>
+          ((p.prefix >>> (24 - 8 * i)) & 0xff).toByte).toArray
+        body ++= lsTlv(265, p.plen.toByte +: pb)
+        3
+    }
+    lsTlv(tpe, body.result())
+  }
+
+  /** MP_REACH/MP_UNREACH body for the LS AFI (16388/71). Reach bodies
+    * carry a 4-byte IPv4 next hop, unreach none (RFC 4760). */
+  private def lsMpBody(routes: Seq[LsNlri], nh: Option[Long])
+      : Array[Byte] = {
+    val b = new mutable.ArrayBuilder.ofByte
+    b += 0x40.toByte; b += 0x04.toByte // AFI 16388: BGP-LS
+    b += 71                            // SAFI 71: BGP-LS
+    nh.foreach { v => b += 4; b ++= u32(v); b += 0 }
+    routes.foreach(r => b ++= lsNlriBytes(r))
+    b.result()
+  }
+
   /** addPath=true emits RFC 7911 path ids on every NLRI/withdrawn entry
     * (only valid when the session negotiated capability 69 both ways). */
   def encode(u: Update, addPath: Boolean = false): Array[Byte] = {
@@ -185,6 +282,35 @@ object BgpMsg {
       b.put(u32(li))
       attrs ++= attr(0xc0, 40, b.array())
     }
+    if (u.extCommunities.nonEmpty) // RFC 4360: 8-byte typed values
+      attrs ++= attr(0xc0, 16, u.extCommunities.flatMap { e =>
+        val v = e.tpe match {
+          case 0 => // 2-byte AS admin + 4-byte value
+            Array(((e.admin >>> 8) & 0xff).toByte,
+              (e.admin & 0xff).toByte) ++ u32(e.value)
+          case _ => // IPv4 (0x01) / AS4 (0x02): 4-byte admin + 2-byte
+            u32(e.admin) ++ Array(((e.value >>> 8) & 0xff).toByte,
+              (e.value & 0xff).toByte)
+        }
+        (e.tpe.toByte +: e.sub.toByte +: v).toSeq
+      }.toArray)
+    u.lsAttr.foreach { a => // RFC 7752 §3.3 LS attribute TLVs
+      val b = new mutable.ArrayBuilder.ofByte
+      a.nodeName.foreach(s => b ++= lsTlv(1026, s.getBytes("UTF-8")))
+      a.adminGroup.foreach(g => b ++= lsTlv(1088, u32(g)))
+      a.teMetric.foreach(m => b ++= lsTlv(1092, u32(m)))
+      a.igpMetric.foreach { m => // 3-byte IS-IS wide form
+        b ++= lsTlv(1095, Array(((m >>> 16) & 0xff).toByte,
+          ((m >>> 8) & 0xff).toByte, (m & 0xff).toByte))
+      }
+      a.pfxMetric.foreach(m => b ++= lsTlv(1155, u32(m)))
+      attrs ++= attr(0x80, 29, b.result())
+    }
+    if (u.nlriLs.nonEmpty)
+      attrs ++= attr(0x80, 14,
+        lsMpBody(u.nlriLs, Some(u.nextHop.getOrElse(0L))))
+    if (u.withdrawnLs.nonEmpty)
+      attrs ++= attr(0x80, 15, lsMpBody(u.withdrawnLs, None))
     // RFC 4760: IPv6 unicast rides MP_REACH_NLRI (14) / MP_UNREACH (15)
     if (u.nlri6.nonEmpty) {
       val b = new mutable.ArrayBuilder.ofByte
@@ -321,6 +447,67 @@ object BgpMsg {
     out.toSeq
   }
 
+  /** Walk BGP-LS NLRIs (reference bgp_ls_nlri_parse, src/bgp/
+    * bgp_ls.c:134-178): per entry read [type:2][len:2], proto byte,
+    * skip the 8-byte identifier, then dispatch descriptor TLVs;
+    * unknown TLVs are skipped by declared length (the reference logs
+    * "Unknown TLV" and continues). Malformed entries stop the walk. */
+  private def readLsNlris(buf: ByteBuffer, end: Int): Seq[LsNlri] = {
+    val out = mutable.Buffer[LsNlri]()
+    var bad = false
+    while (!bad && buf.position() + 4 <= end) {
+      val tpe = buf.getShort() & 0xffff
+      val len = buf.getShort() & 0xffff
+      val entryEnd = buf.position() + len
+      if (entryEnd > end || len < 9) bad = true
+      else {
+        val proto = buf.get() & 0xff
+        buf.position(buf.position() + 8) // identifier
+        var lAsn, lId, rAsn, rId, ifA, nbA, pfx = 0L
+        var plen = 0
+        while (buf.position() + 4 <= entryEnd) {
+          val t = buf.getShort() & 0xffff
+          val l = buf.getShort() & 0xffff
+          val tEnd = buf.position() + l
+          if (tEnd > entryEnd) { buf.position(entryEnd) }
+          else t match {
+            case 256 | 257 => // node descriptor: walk sub-TLVs
+              var asn, id = 0L
+              while (buf.position() + 4 <= tEnd) {
+                val st = buf.getShort() & 0xffff
+                val sl = buf.getShort() & 0xffff
+                val sEnd = buf.position() + sl
+                st match {
+                  case 512 if sl == 4 => asn = buf.getInt() & 0xffffffffL
+                  case 515 if sl == 4 => id = buf.getInt() & 0xffffffffL
+                  case _ => () // 513/514/517 etc: skip
+                }
+                buf.position(math.min(sEnd, tEnd))
+              }
+              if (t == 256) { lAsn = asn; lId = id }
+              else { rAsn = asn; rId = id }
+            case 259 if l == 4 => ifA = buf.getInt() & 0xffffffffL
+            case 260 if l == 4 => nbA = buf.getInt() & 0xffffffffL
+            case 265 => // IP reachability: [mask:1][prefix bytes]
+              plen = buf.get() & 0xff
+              (0 until (plen + 7) / 8).foreach(i =>
+                pfx |= (buf.get() & 0xffL) << (24 - 8 * i))
+            case _ => () // unknown descriptor: skip
+          }
+          buf.position(tEnd)
+        }
+        tpe match {
+          case 1 => out += LsNode(proto, lAsn, lId)
+          case 2 => out += LsLink(proto, lAsn, lId, rAsn, rId, ifA, nbA)
+          case 3 => out += LsPrefix(proto, lAsn, lId, pfx, plen)
+          case _ => () // v6 topo prefix (4) and beyond: not materialized
+        }
+        buf.position(entryEnd)
+      }
+    }
+    out.toSeq
+  }
+
   /** Decode one UPDATE starting at the buffer position; returns None for
     * non-UPDATE message types (position still advances past them).
     * `addPath` must match the session's negotiated capability — the wire
@@ -390,11 +577,55 @@ object BgpMsg {
               u = u.copy(labelIndex = Some(buf.getInt() & 0xffffffffL))
             } else buf.position(math.min(aEnd, buf.position() + l - 3))
           }
+        case 16 => // RFC 4360 extended communities: 8-byte values
+          val es = mutable.Buffer[ExtCommunity]()
+          while (buf.position() + 8 <= aEnd) {
+            val t = buf.get() & 0xff
+            val st = buf.get() & 0xff
+            val (adm, v) =
+              if (t == 0)
+                ((buf.getShort() & 0xffffL, buf.getInt() & 0xffffffffL))
+              else
+                ((buf.getInt() & 0xffffffffL, buf.getShort() & 0xffffL))
+            es += ExtCommunity(t, st, adm, v)
+          }
+          u = u.copy(extCommunities = es.toSeq)
+        case 29 => // RFC 7752 §3.3 LS attribute TLVs
+          var a = u.lsAttr.getOrElse(LsAttr())
+          while (buf.position() + 4 <= aEnd) {
+            val t = buf.getShort() & 0xffff
+            val l = buf.getShort() & 0xffff
+            val tEnd = math.min(buf.position() + l, aEnd)
+            t match {
+              case 1026 =>
+                val s = new Array[Byte](tEnd - buf.position())
+                buf.get(s)
+                a = a.copy(nodeName = Some(new String(s, "UTF-8")))
+              case 1088 if l == 4 =>
+                a = a.copy(adminGroup = Some(buf.getInt() & 0xffffffffL))
+              case 1092 if l == 4 =>
+                a = a.copy(teMetric = Some(buf.getInt() & 0xffffffffL))
+              case 1095 if l >= 1 && l <= 3 =>
+                // 1/2/3-byte narrow/OSPF/wide forms, like the
+                // reference's bgp_ls_attr_tlv_igp_metric_print
+                var m = 0L
+                (0 until l).foreach(_ => m = (m << 8) | (buf.get() & 0xffL))
+                a = a.copy(igpMetric = Some(m))
+              case 1155 if l == 4 =>
+                a = a.copy(pfxMetric = Some(buf.getInt() & 0xffffffffL))
+              case _ => () // max_bw and friends: skip by length
+            }
+            buf.position(tEnd)
+          }
+          u = u.copy(lsAttr = Some(a))
         case 14 => // MP_REACH_NLRI (RFC 4760 §3)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff
           val nhLen = buf.get() & 0xff
-          if (afi == 2 && safi == 1 && nhLen == 16) {
+          if (afi == 16388 && safi == 71) {
+            buf.position(buf.position() + nhLen + 1) // nh + reserved
+            u = u.copy(nlriLs = readLsNlris(buf, aEnd))
+          } else if (afi == 2 && safi == 1 && nhLen == 16) {
             val nh = (buf.getLong(), buf.getLong())
             buf.get() // reserved
             u = u.copy(nextHop6 = Some(nh),
@@ -409,7 +640,9 @@ object BgpMsg {
         case 15 => // MP_UNREACH_NLRI (RFC 4760 §4)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff
-          if (afi == 2 && safi == 1)
+          if (afi == 16388 && safi == 71)
+            u = u.copy(withdrawnLs = readLsNlris(buf, aEnd))
+          else if (afi == 2 && safi == 1)
             u = u.copy(withdrawn6 = readRoutes6(buf, aEnd))
           else if (afi == 1 && safi == 128)
             u = u.copy(withdrawnVpn =

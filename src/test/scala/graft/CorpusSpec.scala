@@ -81,7 +81,8 @@ class CorpusSpec extends AnyFunSuite {
     val names = graft.operators.CorpusQueries.all.map(_.name)
     assert(names == Seq("q149_line_dedup", "q150_length_band",
       "q151_chunking", "q152_keywords", "q159_split_shuffle",
-      "q160_filter_funnel"))
+      "q160_filter_funnel", "q165_substr_dedup",
+      "q166_dsir_importance"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }

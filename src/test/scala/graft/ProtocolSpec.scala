@@ -151,6 +151,38 @@ class ProtocolSpec extends AnyFunSuite {
     assert(back == Seq(u))
   }
 
+  test("BGP-LS: node/link/prefix NLRIs + LS attr TLVs round-trip") {
+    import graft.sources.BgpMsg
+    val link = BgpMsg.LsLink(2, 65001L, 11L, 65002L, 12L,
+      0x0A000001L, 0x0A000002L)
+    val node = BgpMsg.LsNode(1, 65001L, 11L)
+    val pfx = BgpMsg.LsPrefix(3, 65001L, 11L, 0x0A0B0C00L, 24)
+    val u = BgpMsg.Update(nlriLs = Seq(node, link, pfx),
+      nextHop = Some(9L),
+      lsAttr = Some(BgpMsg.LsAttr(nodeName = Some("edge-1"),
+        adminGroup = Some(0xF0F0L), teMetric = Some(12345L),
+        igpMetric = Some(0x01FF07L), pfxMetric = Some(77L))))
+    val back = BgpMsg.decodeStream(BgpMsg.encode(u))
+    assert(back.size == 1)
+    assert(back.head.nlriLs == Seq(node, link, pfx))
+    assert(back.head.lsAttr == u.lsAttr)
+    val wd = BgpMsg.Update(withdrawnLs = Seq(link))
+    assert(BgpMsg.decodeStream(BgpMsg.encode(wd)).head
+      .withdrawnLs == Seq(link))
+  }
+
+  test("ext communities round-trip all three type splits; unknown skipped") {
+    import graft.sources.BgpMsg
+    val es = Seq(
+      BgpMsg.ExtCommunity(0, 2, 65001L, 0xFFFFFFFFL),   // AS2:val4 RT
+      BgpMsg.ExtCommunity(1, 2, 0x0A0B0C0DL, 65535L),   // IPv4:val2 RT
+      BgpMsg.ExtCommunity(2, 3, 4200000000L, 7L))       // AS4:val2 SoO
+    val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(4660L, 32)),
+      origin = Some(0), extCommunities = es)
+    assert(BgpMsg.decodeStream(BgpMsg.encode(u)).head
+      .extCommunities == es)
+  }
+
   test("pcap: 802.1Q + IPv6 frames round-trip; VXLAN decap recovers inner") {
     import graft.sources.Pcap
     // tagged IPv4
