@@ -363,6 +363,72 @@ object DaemonQueries {
               count(*) AS n, CAST(2 AS BIGINT) AS n_matched,
               CAST(0 AS BIGINT) AS sum_med
             FROM reqs WHERE qtype = 2"""),
-      doc = "BGP Looking Glass: ZMTP JSON requests, RIB LPM replies")
+      doc = "BGP Looking Glass: ZMTP JSON requests, RIB LPM replies"),
+
+    // BGP/BMP high availability (docs/README_BGP_BMP_HA.md): routers
+    // feed identical message streams to every collector in the HA
+    // cluster; the ACTIVE collector — the one with the SMALLEST startup
+    // timestamp among those alive — forwards messages, standbys enrich
+    // their cache but drop. When the active crashes, the standby takes
+    // over (its startup ts is now smallest among the living). Modeled
+    // exactly as the dedup it is: collector A (startup 1000) dies at a
+    // per-router cutover instant and never returns; collector B
+    // (startup 2000) receives everything; each message is emitted ONCE,
+    // from min-startup among the copies that exist. The per-message
+    // min_by pick over the unioned feeds IS the HA gate.
+    Q("q168_bgp_ha",
+      (s, d) => {
+        val f = flows(s, d).select(
+          (col("ip_src") % 8).as("router"), col("event_id").as("seq"),
+          col("t0u"))
+        val bounds = f.groupBy("router").agg(
+          min("t0u").as("tmin"), max("t0u").as("tmax"))
+        val withTau = f.join(broadcast(bounds), Seq("router"))
+          .withColumn("tau", expr(
+            "tmin + ((tmax - tmin) * (router + 1)) div 16"))
+        val feedA = withTau.filter(col("t0u") < col("tau"))
+          .select(col("router"), col("seq"), lit("A").as("coll"),
+            lit(1000L).as("startup"))
+        val feedB = withTau
+          .select(col("router"), col("seq"), lit("B").as("coll"),
+            lit(2000L).as("startup"))
+        feedA.union(feedB)
+          .groupBy("router", "seq")
+          .agg(expr("min_by(coll, startup)").as("emitted_by"))
+          .groupBy("router")
+          .agg(
+            sum(when(col("emitted_by") === "A", 1L).otherwise(0L))
+              .as("n_from_active"),
+            sum(when(col("emitted_by") === "B", 1L).otherwise(0L))
+              .as("n_from_standby"),
+            count(lit(1)).as("n_total"),
+            max(when(col("emitted_by") === "B", 1L).otherwise(0L))
+              .as("failed_over"))
+      },
+      Some(s"""$flowsSqlCte,
+            f AS (SELECT ip_src % 8 AS router, event_id AS seq, t0u
+              FROM flows),
+            b AS (SELECT router, min(t0u) AS tmin, max(t0u) AS tmax
+              FROM f GROUP BY router),
+            t AS (SELECT f.*, tmin + ((tmax - tmin) * (router + 1)) // 16
+                AS tau
+              FROM f JOIN b USING (router)),
+            u AS (SELECT router, seq, 'A' AS coll, 1000 AS startup
+                FROM t WHERE t0u < tau
+              UNION ALL
+              SELECT router, seq, 'B' AS coll, 2000 AS startup FROM t),
+            picked AS (SELECT router, seq,
+                arg_min(coll, startup) AS emitted_by
+              FROM u GROUP BY 1, 2)
+            SELECT router,
+              CAST(sum(CASE WHEN emitted_by = 'A' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_from_active,
+              CAST(sum(CASE WHEN emitted_by = 'B' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_from_standby,
+              count(*) AS n_total,
+              CAST(max(CASE WHEN emitted_by = 'B' THEN 1 ELSE 0 END)
+                AS BIGINT) AS failed_over
+            FROM picked GROUP BY router"""),
+      doc = "BGP/BMP HA: min-startup active pick, standby failover dedup")
   )
 }

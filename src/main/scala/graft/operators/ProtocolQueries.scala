@@ -272,6 +272,66 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "IPFIX vlen + PEN-scoped IEs through the template cache"),
 
+    // pmacct's own IANA PEN 43874 (docs/IPFIX; nfv9_template.h:31,
+    // 246-249): IE 1 = tag (unsigned64), IE 2 = tag2 (unsigned64),
+    // IE 3 = label (variable-length string) — IPFIX-only, the
+    // NF_cust_tag/tag2/label handlers at pkt_handlers.c:4705-4770 copy
+    // them straight into the tag/tag2/label primitives. The nfprobe
+    // side exports them via PEN templates (nfprobe_plugin/
+    // netflow9.c:1022-1042 IPFIX_TPL_EBIT). Round trip: tag the flows,
+    // export through a PEN template (template arriving AFTER the first
+    // data set, exercising buffering), decode via the template cache,
+    // aggregate on the recovered primitives.
+    Q("q167_pen_tag_label",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("exporter"), col("event_id"),
+            (col("user_id") % 100).as("tag"),
+            (col("event_id") % 50).as("tag2"),
+            col("event_type").as("label"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
+          .as[(Long, Long, Long, Long, String, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long, String, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val Pen = 43874L
+            val tagF = FieldSpec(1, 8, pen = Pen)
+            val tag2F = FieldSpec(2, 8, pen = Pen)
+            val labelF = FieldSpec(3, VarLen, pen = Pen)
+            val tmpl = TemplateX(290, Seq(
+              tagF, tag2F, labelF, FieldSpec(IE.InBytes, 4)))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val dataDgs = recs.grouped(25).map { batch =>
+              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
+                tagF.key -> r._3, tag2F.key -> r._4,
+                labelF.key -> r._5, IE.InBytes.toLong -> r._6)))
+            }.toSeq
+            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
+            val dgs = dataDgs.take(1) ++ Seq(tdg) ++ dataDgs.drop(1)
+            val cache = new NetFlowV9.TemplateCache
+            dgs.flatMap(cache.observeX).map { m =>
+              (m(tagF.key).asInstanceOf[Long],
+                m(tag2F.key).asInstanceOf[Long],
+                m(labelF.key).asInstanceOf[String],
+                m(IE.InBytes.toLong).asInstanceOf[Long])
+            }
+        }
+        decoded.toDF("tag", "tag2", "label", "b")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("tag").as("sum_tag"),
+            sum("tag2").as("sum_tag2"), sum("b").as("bytes"))
+      },
+      Some("""SELECT event_type AS label, count(*) AS n,
+              CAST(sum(user_id % 100) AS BIGINT) AS sum_tag,
+              CAST(sum(event_id % 50) AS BIGINT) AS sum_tag2,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes
+              FROM events GROUP BY 1"""),
+      doc = "pmacct PEN 43874 tag/tag2/label IEs through IPFIX"),
+
     // Avro sink round-trip: build the record schema from the projected
     // output (plugin_cmn_avro.c:47's bitmask walk ≙ schema-from-
     // projection), encode each row to single-record Avro binary (the
