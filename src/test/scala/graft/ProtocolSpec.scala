@@ -382,6 +382,22 @@ class ProtocolSpec extends AnyFunSuite {
     assert(SFlowV5.decode(SFlowV5.encode(dg)) == dg)
   }
 
+  test("sFlow pmacct EX_TAG/EX_CLASS2 enterprise records round-trip") {
+    import graft.sources.{SFlowDatagram, SFlowSample, SFlowV5}
+    val s = SFlowSample(1L, 100L, 4L, 0L, 0L, 1L, 2L, 1L, 1500L,
+      Seq.tabulate(14)(_.toByte),
+      tagRec = Some((0xDEADBEEFCAFEL, 42L)),
+      class2 = Some((177L, 5L)))
+    val dg = SFlowDatagram(0x0A000001L, 0L, 7L, 0L, Seq(s))
+    assert(SFlowV5.decode(SFlowV5.encode(dg)) == dg)
+    // records coexist with extended-gateway in the same sample
+    val g = graft.sources.SFlowGateway(9L, 64512L, 65001L, 64512L,
+      Seq(65100L, 65200L), Seq(0x00FF0001L), 100L)
+    val s2 = s.copy(gateway = Some(g))
+    val dg2 = SFlowDatagram(0x0A000001L, 0L, 8L, 0L, Seq(s2))
+    assert(SFlowV5.decode(SFlowV5.encode(dg2)) == dg2)
+  }
+
   test("ConfigSpec parses aggregate/filter/history/preprocess") {
     import graft.core.{ConfigSpec, SecondsHistory}
     val p = ConfigSpec.parse(
