@@ -723,6 +723,64 @@ object EnrichQueries {
             SELECT mask_src, L, count(*) AS n,
               CAST(sum(bytes) AS BIGINT) AS bytes
             FROM w GROUP BY 1, 2"""),
-      doc = "nfacctd_net longest: mask source precedence across 4 legs")
+      doc = "nfacctd_net longest: mask source precedence across 4 legs"),
+
+    // IPv6 LPM flow enrichment: the v6 RIB arrives as REAL MP-BGP wire
+    // updates (RFC 4760 MP_REACH, 128-bit truncated-prefix NLRI — the
+    // q118 codec), compacts, and loads into the 128-bit plan-resident
+    // LPM table (`plans/Lpm.Table6`, the v6 walk of bgp_srcdst_lookup /
+    // src/bgp/bgp_lookup.c). Flows carry two-limb v6 dst addresses;
+    // /24s cover every flow and /32s carve out a subset, so the
+    // longest-first probe order is load-bearing. The lookup is a
+    // codegen'd expression — no join, no shuffle on the fact side.
+    Q("q171_lpm_v6",
+      (s, d) => {
+        import graft.sources.BgpMsg
+        val Base = 0x2001L << 48
+        // RIB fixture through the wire: /24 per a (origin 100+a), /32
+        // per (a,b) with (a+b)%3==0 (origin 1000+a*16+b)
+        val wire = new java.io.ByteArrayOutputStream()
+        (0 until 16).foreach { a =>
+          val m = BgpMsg.encode(BgpMsg.Update(
+            nlri6 = Seq(BgpMsg.Route6(Base | (a.toLong << 40), 0L, 24)),
+            nextHop6 = Some((1L, a.toLong)), origin = Some(0),
+            asPath = Seq(100L + a)))
+          wire.write(m, 0, m.length)
+        }
+        (0 until 16).foreach { a =>
+          (0 until 16).foreach { b =>
+            if ((a + b) % 3 == 0) {
+              val m = BgpMsg.encode(BgpMsg.Update(
+                nlri6 = Seq(BgpMsg.Route6(
+                  Base | (a.toLong << 40) | (b.toLong << 32), 0L, 32)),
+                nextHop6 = Some((1L, a.toLong)), origin = Some(0),
+                asPath = Seq(1000L + a * 16L + b)))
+              wire.write(m, 0, m.length)
+            }
+          }
+        }
+        val rib = BgpMsg.decodeStream(wire.toByteArray).flatMap { u =>
+          u.nlri6.map(r => (r.hi, r.lo, r.plen, u.asPath.last))
+        }
+        val table = new Lpm.Table6(rib)
+        Tables.events(s, d).select(
+            ((col("user_id") % 16) * 1099511627776L + // a << 40
+              (col("event_id") % 16) * 4294967296L +  // b << 32
+              col("event_id") % 65536 + Base).as("hi"),
+            col("event_id").as("lo"),
+            expr("CAST(floor(value * 1000) AS BIGINT) + 40").as("bytes"))
+          .withColumn("origin_as",
+            Lpm.lpm6(col("hi"), col("lo"), table))
+          .groupBy("origin_as")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some("""SELECT CASE WHEN (user_id % 16 + event_id % 16) % 3 = 0
+                THEN 1000 + (user_id % 16) * 16 + event_id % 16
+                ELSE 100 + user_id % 16 END AS origin_as,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 1000) AS BIGINT) + 40)
+                AS BIGINT) AS bytes
+              FROM events GROUP BY 1"""),
+      doc = "IPv6 128-bit LPM: wire-built v6 RIB, codegen'd two-limb probe")
   )
 }

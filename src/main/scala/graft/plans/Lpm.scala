@@ -63,6 +63,46 @@ object Lpm {
   def lpm(ip: Column, table: Table): Column =
     ColumnBridge.column(LpmLookup(ColumnBridge.expression(ip), table))
 
+  /** Immutable 128-bit LPM table: prefixes as (hi, lo, len, value) with
+    * the address as two big-endian 64-bit limbs — the same v6 walk
+    * pmacct runs in `bgp_srcdst_lookup`/`bgp_node_match_ipv6`
+    * (src/bgp/bgp_lookup.c). Per-mask-length hash maps over the masked
+    * limb pair, probed longest-first. */
+  final class Table6(prefixes: Seq[(Long, Long, Int, Long)])
+      extends Serializable {
+    val lens: Array[Int] =
+      prefixes.map(_._3).distinct.sorted(Ordering.Int.reverse).toArray
+    private val maps: Array[java.util.HashMap[(Long, Long), java.lang.Long]] =
+      lens.map { len =>
+        val m = new java.util.HashMap[(Long, Long), java.lang.Long]()
+        prefixes.filter(_._3 == len).foreach { case (hi, lo, _, v) =>
+          m.put(mask6(hi, lo, len), v)
+        }
+        m
+      }
+    private def mask6(hi: Long, lo: Long, len: Int): (Long, Long) =
+      if (len <= 0) (0L, 0L)
+      else if (len < 64) (((hi >>> (64 - len)) << (64 - len)), 0L)
+      else if (len == 64) (hi, 0L)
+      else if (len < 128) (hi, (lo >>> (128 - len)) << (128 - len))
+      else (hi, lo)
+    /** Longest-match value or Long.MinValue sentinel on miss. */
+    def lookup(hi: Long, lo: Long): Long = {
+      var i = 0
+      while (i < lens.length) {
+        val v = maps(i).get(mask6(hi, lo, lens(i)))
+        if (v != null) return v.longValue()
+        i += 1
+      }
+      Long.MinValue
+    }
+  }
+
+  /** Column API over the two-limb v6 address: matched value or NULL. */
+  def lpm6(hi: Column, lo: Column, table: Table6): Column =
+    ColumnBridge.column(LpmLookup6(ColumnBridge.expression(hi),
+      ColumnBridge.expression(lo), table))
+
   /** Strategy 2: longest-match via one broadcast LEFT join per distinct
     * mask length, coalesced longest-first. `dim` must have columns
     * (base, len); `valueCols` are the dim columns to carry over.
@@ -126,4 +166,39 @@ case class LpmLookup(child: Expression, table: Lpm.Table)
 
   override protected def withNewChildInternal(newChild: Expression): LpmLookup =
     copy(child = newChild)
+}
+
+/** Native 128-bit LPM expression over (hi, lo) limb columns — same
+  * plan-resident-table design as [[LpmLookup]], codegen'd. */
+case class LpmLookup6(left: Expression, right: Expression,
+    table: Lpm.Table6)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lpm_lookup6"
+  override def inputTypes = Seq(LongType, LongType)
+
+  protected override def nullSafeEval(hi: Any, lo: Any): Any = {
+    val r = table.lookup(hi.asInstanceOf[Long], lo.asInstanceOf[Long])
+    if (r == Long.MinValue) null else r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpm6Table", table,
+      classOf[Lpm.Table6].getName)
+    nullSafeCodeGen(ctx, ev, (hi, lo) => s"""
+      long lpm6R = $tableRef.lookup($hi, $lo);
+      if (lpm6R == Long.MIN_VALUE) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = lpm6R;
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LpmLookup6 =
+    copy(left = newLeft, right = newRight)
 }
