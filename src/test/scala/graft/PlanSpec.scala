@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite {
       "no map-side partial aggregation before the shuffle")
   }
 
+  test("time-partitioned at-rest layout prunes partitions on the bin filter") {
+    // The print sink's dynamic time-token tables (q102) put the history
+    // bin in the directory key; a bin-filtered read must touch ONLY the
+    // matching partitions (partition pruning, not data skipping) — the
+    // property that makes a 100 TB multi-year archive queryable for one
+    // day. Asserted on the scan's partition count, not plan text.
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    import spark.implicits._
+    (0L until 100L).map(i => (i, i % 10)).toDF("v", "bin")
+      .write.partitionBy("bin").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("bin") === 3)
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).map(_.files.size).sum ===
+      scan.relation.location.listFiles(Nil, Nil)
+        .map(_.files.size).sum / 10,
+      "bin filter must prune to 1 of 10 partitions")
+    assert(read.count() == 10L)
+  }
+
   test("vec_dot matches the zip_with fold bit-for-bit and stays in codegen") {
     import spark.implicits._
     val df = Seq((Array(1.5, -2.25, 3.125, 0.1), Array(0.5, 4.0, -1.75, 0.3)))
