@@ -32,10 +32,15 @@ import graft.plans.{Lpm, LpmLookup}
 object GraftFunctions {
 
   private val lpmTables = new ConcurrentHashMap[String, Lpm.Table]()
+  private val lpm6Tables = new ConcurrentHashMap[String, Lpm.Table6]()
 
   /** Name a prefix table for `graft_lpm(ip, 'name')`. */
   def registerLpmTable(name: String, table: Lpm.Table): Unit =
     lpmTables.put(name, table)
+
+  /** Name a v6 prefix table for `graft_lpm6(hi, lo, 'name')`. */
+  def registerLpm6Table(name: String, table: Lpm.Table6): Unit =
+    lpm6Tables.put(name, table)
 
   private val Arg0 = "__graft_arg0"
 
@@ -59,6 +64,19 @@ object GraftFunctions {
     LpmLookup(args.head, table)
   }
 
+  private def lpm6Builder: Seq[Expression] => Expression = { args =>
+    require(args.size == 3, "graft_lpm6(hi, lo, 'table_name')")
+    val name = args(2) match {
+      case e if e.foldable => String.valueOf(e.eval(null))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_lpm6 table name must be a literal, got $other")
+    }
+    val table = lpm6Tables.get(name)
+    require(table != null, s"no v6 LPM table registered under '$name'")
+    graft.plans.LpmLookup6(args(0), args(1), table)
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
@@ -67,7 +85,8 @@ object GraftFunctions {
     "graft_fwd_status" -> fromTemplate(Formatters.fwdStatus(Arg0)),
     "graft_ts_compose" -> fromTemplate(Formatters.tsCompose(Arg0)),
     "graft_mac" -> fromTemplate(Formatters.macFormat(Arg0)),
-    "graft_lpm" -> lpmBuilder)
+    "graft_lpm" -> lpmBuilder,
+    "graft_lpm6" -> lpm6Builder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -66,6 +66,14 @@ class PipelineSpec extends AnyFunSuite {
     val ex = intercept[Exception](
       spark.sql("SELECT graft_lpm(1, 'nope')").collect())
     assert(ex.getMessage.contains("no LPM table registered"))
+    // v6 two-limb variant through SQL
+    GraftFunctions.registerLpm6Table("spec_nets6",
+      new Lpm.Table6(Seq((0x2001L << 48, 0L, 24, 88L))))
+    val r6 = spark.sql(
+      s"""SELECT graft_lpm6(${(0x2001L << 48) + 5}, 7, 'spec_nets6') AS hit,
+          graft_lpm6(${0x3001L << 48}, 0, 'spec_nets6') AS miss""")
+      .as[(Option[Long], Option[Long])].head()
+    assert(r6 == ((Some(88L), None)))
   }
 
   test("typed Dataset[FlowRecord] round-trips the flow view") {
