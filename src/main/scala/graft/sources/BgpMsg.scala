@@ -468,8 +468,12 @@ object BgpMsg {
         while (buf.position() + 4 <= entryEnd) {
           val t = buf.getShort() & 0xffff
           val l = buf.getShort() & 0xffff
-          val tEnd = buf.position() + l
-          if (tEnd > entryEnd) { buf.position(entryEnd) }
+          val tEnd = math.min(buf.position() + l, entryEnd)
+          if (buf.position() + l > entryEnd) {
+            // truncated TLV: skip what's left of the entry (the
+            // reference logs "Malformed TLV" and bails — bgp_ls.c:166)
+            buf.position(entryEnd)
+          }
           else t match {
             case 256 | 257 => // node descriptor: walk sub-TLVs
               var asn, id = 0L
@@ -478,19 +482,22 @@ object BgpMsg {
                 val sl = buf.getShort() & 0xffff
                 val sEnd = buf.position() + sl
                 st match {
-                  case 512 if sl == 4 => asn = buf.getInt() & 0xffffffffL
-                  case 515 if sl == 4 => id = buf.getInt() & 0xffffffffL
-                  case _ => () // 513/514/517 etc: skip
+                  case 512 if sl == 4 && sEnd <= tEnd =>
+                    asn = buf.getInt() & 0xffffffffL
+                  case 515 if sl == 4 && sEnd <= tEnd =>
+                    id = buf.getInt() & 0xffffffffL
+                  case _ => () // 513/514/517 etc (or truncated): skip
                 }
-                buf.position(math.min(sEnd, tEnd))
+                buf.position(math.min(math.max(sEnd, buf.position()), tEnd))
               }
               if (t == 256) { lAsn = asn; lId = id }
               else { rAsn = asn; rId = id }
             case 259 if l == 4 => ifA = buf.getInt() & 0xffffffffL
             case 260 if l == 4 => nbA = buf.getInt() & 0xffffffffL
-            case 265 => // IP reachability: [mask:1][prefix bytes]
+            case 265 if l >= 1 => // IP reachability: [mask:1][prefix]
               plen = buf.get() & 0xff
-              (0 until (plen + 7) / 8).foreach(i =>
+              if (1 + (plen + 7) / 8 > l) plen = 0 // truncated: discard
+              else (0 until (plen + 7) / 8).foreach(i =>
                 pfx |= (buf.get() & 0xffL) << (24 - 8 * i))
             case _ => () // unknown descriptor: skip
           }
@@ -601,19 +608,20 @@ object BgpMsg {
                 val s = new Array[Byte](tEnd - buf.position())
                 buf.get(s)
                 a = a.copy(nodeName = Some(new String(s, "UTF-8")))
-              case 1088 if l == 4 =>
+              case 1088 if l == 4 && buf.position() + 4 <= tEnd =>
                 a = a.copy(adminGroup = Some(buf.getInt() & 0xffffffffL))
-              case 1092 if l == 4 =>
+              case 1092 if l == 4 && buf.position() + 4 <= tEnd =>
                 a = a.copy(teMetric = Some(buf.getInt() & 0xffffffffL))
-              case 1095 if l >= 1 && l <= 3 =>
+              case 1095 if l >= 1 && l <= 3 &&
+                  buf.position() + l <= tEnd =>
                 // 1/2/3-byte narrow/OSPF/wide forms, like the
                 // reference's bgp_ls_attr_tlv_igp_metric_print
                 var m = 0L
                 (0 until l).foreach(_ => m = (m << 8) | (buf.get() & 0xffL))
                 a = a.copy(igpMetric = Some(m))
-              case 1155 if l == 4 =>
+              case 1155 if l == 4 && buf.position() + 4 <= tEnd =>
                 a = a.copy(pfxMetric = Some(buf.getInt() & 0xffffffffL))
-              case _ => () // max_bw and friends: skip by length
+              case _ => () // max_bw and friends (or truncated): skip
             }
             buf.position(tEnd)
           }

@@ -273,4 +273,32 @@ class CodecPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BGP-LS/ecomm decode is bounded under truncation and bit flips") {
+    // A BGP session stream may legitimately throw on corruption (the
+    // reference NOTIFYs and drops the session), but the LS TLV walk
+    // must never loop, over-allocate, or read past its buffers — every
+    // mutation must return or throw promptly.
+    import graft.sources.BgpMsg
+    val link = BgpMsg.LsLink(2, 65001L, 11L, 65002L, 12L,
+      0x0A000001L, 0x0A000002L)
+    val pfx = BgpMsg.LsPrefix(3, 65001L, 11L, 0x0A0B0C00L, 24)
+    val bytes = BgpMsg.encode(BgpMsg.Update(
+      nlriLs = Seq(link, pfx), nextHop = Some(9L),
+      extCommunities = Seq(BgpMsg.ExtCommunity(0, 2, 65001L, 7L)),
+      lsAttr = Some(BgpMsg.LsAttr(nodeName = Some("edge-1"),
+        adminGroup = Some(1L), teMetric = Some(2L),
+        igpMetric = Some(3L), pfxMetric = Some(4L))))) ++
+      BgpMsg.encode(BgpMsg.Update(withdrawnLs = Seq(link)))
+    (0 to bytes.length).foreach { n =>
+      try BgpMsg.decodeStream(java.util.Arrays.copyOf(bytes, n))
+      catch { case _: Throwable => () }
+    }
+    val r = new Random(11)
+    bytes.indices.foreach { i =>
+      val mut = bytes.clone()
+      mut(i) = (mut(i) ^ (1 << r.nextInt(8))).toByte
+      try BgpMsg.decodeStream(mut) catch { case _: Throwable => () }
+    }
+  }
 }
