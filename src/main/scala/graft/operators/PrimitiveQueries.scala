@@ -219,6 +219,65 @@ object PrimitiveQueries {
                     bytes
              FROM flows)
            GROUP BY 1""")),
-      doc = "SRv6 segment-list array primitive, exploded aggregation")
+      doc = "SRv6 segment-list array primitive, exploded aggregation"),
+
+    // bgp_src_local_pref_map / bgp_src_med_map (CONFIG-KEYS:2949-2985;
+    // examples/lpref.map.example; pretag_src_local_pref_handler,
+    // src/pretag_handlers.c:2220): rules match on (exporter, input
+    // iface); a rule's id is either a hard-coded value or the literal
+    // 'bgp' keyword, which falls through to a reverse (source-side)
+    // RIB lookup — and flows with NO matching rule take the
+    // bgp_src_*_type default, also the RIB. Both attributes resolve in
+    // one pass: the rule table is arithmetic here, the RIB probe is
+    // the plan-resident LPM expression (no joins, no shuffle).
+    Q("q172_src_lpref_med",
+      (s, d) => {
+        import graft.maps.Dims
+        import graft.plans.Lpm
+        val netTable = new Lpm.Table(16, Dims.networkPrefixes)
+        flows(s, d)
+          .withColumn("exporter", col("ip_src") % 16)
+          .withColumn("iface", col("port_src") % 4)
+          .withColumn("has_rule",
+            (col("exporter") + col("iface")) % 5 =!= 0)
+          .withColumn("rule_bgp", col("exporter") % 3 === 0)
+          .withColumn("as_bgp", Lpm.lpm(col("ip_src"), netTable))
+          .withColumn("lp_bgp", coalesce(col("as_bgp") % 500, lit(100L)))
+          .withColumn("med_bgp", coalesce(col("as_bgp") % 300, lit(0L)))
+          .withColumn("src", when(col("has_rule") && !col("rule_bgp"),
+              "map").when(col("has_rule"), "bgp").otherwise("default"))
+          .withColumn("lp", when(col("src") === "map",
+            lit(50L) + col("exporter") * 4 + col("iface"))
+            .otherwise(col("lp_bgp")))
+          .withColumn("med", when(col("src") === "map",
+            lit(10L) + col("iface")).otherwise(col("med_bgp")))
+          .groupBy("src", "lp", "med")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}),
+            ${graft.maps.Dims.networksSql},
+            t AS (SELECT bytes, ip_src % 16 AS exporter,
+                port_src % 4 AS iface,
+                (SELECT n.asn FROM networks n
+                 WHERE ((f.ip_src >> (16 - n.len)) << (16 - n.len))
+                   = n.base
+                 ORDER BY n.len DESC LIMIT 1) AS as_bgp
+              FROM flows f),
+            r AS (SELECT bytes, exporter, iface,
+                coalesce(as_bgp % 500, 100) AS lp_bgp,
+                coalesce(as_bgp % 300, 0) AS med_bgp,
+                CASE WHEN (exporter + iface) % 5 != 0
+                       AND exporter % 3 != 0 THEN 'map'
+                     WHEN (exporter + iface) % 5 != 0 THEN 'bgp'
+                     ELSE 'default' END AS src
+              FROM t)
+            SELECT src,
+              CASE WHEN src = 'map' THEN 50 + exporter * 4 + iface
+                   ELSE lp_bgp END AS lp,
+              CASE WHEN src = 'map' THEN 10 + iface
+                   ELSE med_bgp END AS med,
+              count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM r GROUP BY 1, 2, 3"""),
+      doc = "src local-pref/MED maps: rule, 'bgp' keyword, RIB default")
   )
 }
