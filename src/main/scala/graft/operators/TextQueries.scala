@@ -251,6 +251,91 @@ object TextQueries {
               min(score) AS min_score, max(score) AS max_score
               FROM (SELECT lang, $duckQuality AS score FROM documents)
               GROUP BY lang"""),
-      doc = "document quality scoring")
+      doc = "document quality scoring"),
+
+    // BPE merge LEARNING — the actual training loop, not just a
+    // tokenization comparison (q33): words become space-separated
+    // symbol sequences; each round counts adjacent symbol pairs
+    // (weighted by word frequency, one aggregation), picks the argmax
+    // (ties lexicographic), and rewrites every word with the merged
+    // symbol. Three driver-coordinated rounds — the q85-style iterative
+    // shape: per round one shuffle over the DISTINCT-WORD table (tiny
+    // vs the corpus; the corpus is scanned once, up front). Both
+    // engines run the identical greedy left-to-right `replace`, so the
+    // learned merge table matches symbol-for-symbol.
+    Q("q173_bpe_learn",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        var words = Tables.documents(s, d)
+          .selectExpr(s"explode($sparkToks) as w")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("s",
+            concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")))
+          .select("cnt", "s").persist()
+        words.count()
+        val merges = (1 to 3).map { rank =>
+          val best = words
+            .withColumn("syms", expr("split(trim(s), ' ')"))
+            // single-symbol words have no pairs (Spark's sequence(1,0)
+            // counts DOWN; DuckDB's generate_series(1,0) is empty)
+            .filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                 i -> concat(element_at(syms, i), ' ',
+                             element_at(syms, i + 1)))""")).as("pair"))
+            .groupBy("pair").agg(sum("cnt").as("pcnt"))
+            .orderBy(col("pcnt").desc, col("pair").asc)
+            .head()
+          val (pair, pcnt) = (best.getString(0), best.getLong(1))
+          val merged = pair.replace(" ", "")
+          words = words.withColumn("s",
+            expr(s"replace(s, ' $pair ', ' $merged ')"))
+          (rank.toLong, pair, pcnt)
+        }
+        words.unpersist()
+        merges.toDF("rank", "pair", "cnt")
+      },
+      Some(s"""WITH w0 AS (SELECT w, count(*) AS cnt FROM
+              (SELECT unnest($duckToks) AS w FROM documents)
+              GROUP BY w),
+            wt0 AS (SELECT cnt,
+              ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM w0),
+            p1 AS (SELECT t.syms[CAST(i AS INT)] || ' ' ||
+                  t.syms[CAST(i AS INT) + 1] AS pair, sum(cnt) AS pcnt
+              FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+                    FROM wt0) t,
+                unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+              GROUP BY 1),
+            b1 AS (SELECT pair, CAST(pcnt AS BIGINT) AS pcnt FROM p1
+              ORDER BY pcnt DESC, pair LIMIT 1),
+            wt1 AS (SELECT cnt, replace(s,
+                ' ' || (SELECT pair FROM b1) || ' ',
+                ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')
+                AS s FROM wt0),
+            p2 AS (SELECT t.syms[CAST(i AS INT)] || ' ' ||
+                  t.syms[CAST(i AS INT) + 1] AS pair, sum(cnt) AS pcnt
+              FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+                    FROM wt1) t,
+                unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+              GROUP BY 1),
+            b2 AS (SELECT pair, CAST(pcnt AS BIGINT) AS pcnt FROM p2
+              ORDER BY pcnt DESC, pair LIMIT 1),
+            wt2 AS (SELECT cnt, replace(s,
+                ' ' || (SELECT pair FROM b2) || ' ',
+                ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ')
+                AS s FROM wt1),
+            p3 AS (SELECT t.syms[CAST(i AS INT)] || ' ' ||
+                  t.syms[CAST(i AS INT) + 1] AS pair, sum(cnt) AS pcnt
+              FROM (SELECT cnt, string_split(trim(s), ' ') AS syms
+                    FROM wt2) t,
+                unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+              GROUP BY 1),
+            b3 AS (SELECT pair, CAST(pcnt AS BIGINT) AS pcnt FROM p3
+              ORDER BY pcnt DESC, pair LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS rank, pair, pcnt AS cnt FROM b1
+            UNION ALL SELECT CAST(2 AS BIGINT), pair, pcnt FROM b2
+            UNION ALL SELECT CAST(3 AS BIGINT), pair, pcnt FROM b3"""),
+      doc = "BPE merge learning: 3 argmax-merge rounds, greedy replace")
   )
 }
