@@ -1179,6 +1179,100 @@ object SurfaceQueries {
             FROM msgs GROUP BY router"""),
       doc = "RFC 9069 BMP Loc-RIB peer lane + loc-rib stats gauge"),
 
+    // BMP stats-report counter semantics (RFC 7854 §4.8; reference
+    // type table src/bmp/bmp.h:203-233): type 1 duplicate prefix
+    // advertisements, type 3 updates invalidated by CLUSTER_LIST loop,
+    // type 4 by AS_PATH loop, type 7 routes in Adj-RIBs-In. The router
+    // stream carries injected anomalies — exact duplicates, paths
+    // containing the router's own AS, cluster lists containing its own
+    // cluster id — and closes with a stats report. The collector
+    // RECOMPUTES every counter from the decoded updates (loop checks
+    // on the wire attrs, a seen-set for duplicates) and reconciles
+    // against the router's own report; any codec or loop-check defect
+    // breaks the reconciled flag, not just a sum.
+    Q("q174_bmp_stats",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("router"), col("event_id"),
+            (col("event_type") === "error").as("asloop"),
+            (col("event_type") =!= "error" && col("event_id") % 11 === 0)
+              .as("cloop"),
+            (col("event_type") =!= "error" && col("event_id") % 11 =!= 0
+              && col("event_id") % 7 === 0).as("dup"))
+          .as[(Long, Long, Boolean, Boolean, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (router: Long, it: Iterator[(Long, Long, Boolean, Boolean, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val ownAs = 65000L + router
+            val peer = BmpMsg.PeerHeader(0, 0, 0L, router, ownAs,
+              router, 0L, 0L)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, eid, asloop, cloop, dup) =>
+              val path =
+                if (asloop) Seq(64900L, ownAs, 64800L)
+                else Seq(64900L, 64800L + eid % 16)
+              val cl = if (cloop) Seq(router, 999L) else Seq(999L)
+              val u = BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(eid << 8, 24)),
+                origin = Some(0), asPath = path, nextHop = Some(router),
+                clusterList = cl)
+              val m = BmpMsg.encodeRouteMonitoring(peer, u)
+              wire.write(m, 0, m.length)
+              if (dup) wire.write(m, 0, m.length) // exact re-advertise
+            }
+            val nAsloop = evs.count(_._3).toLong
+            val nCloop = evs.count(_._4).toLong
+            val nDup = evs.count(_._5).toLong
+            val adjRib = evs.size.toLong - nAsloop - nCloop
+            val st = BmpMsg.encodeStatsReport(peer,
+              Map(1 -> nDup, 3 -> nCloop, 4 -> nAsloop, 7 -> adjRib))
+            wire.write(st, 0, st.length)
+            // ---- collector side: recompute from the decoded stream
+            val msgs = BmpMsg.decodeStream(wire.toByteArray)
+            val seen = scala.collection.mutable.Set[Long]()
+            var (rDup, rCloop, rAsloop) = (0L, 0L, 0L)
+            msgs.foreach {
+              case m: BmpMsg.RouteMonitoring =>
+                val u = m.update
+                val pfx = u.nlri.head.prefix
+                if (u.asPath.contains(ownAs)) rAsloop += 1
+                else if (u.clusterList.contains(router)) rCloop += 1
+                else if (seen.contains(pfx)) rDup += 1
+                else seen += pfx
+              case _ => ()
+            }
+            val rep = msgs.collect {
+              case m: BmpMsg.StatsReport => m.stats
+            }.head
+            val ok = rep.get(1).contains(rDup) &&
+              rep.get(3).contains(rCloop) && rep.get(4).contains(rAsloop) &&
+              rep.get(7).contains(seen.size.toLong)
+            Iterator((router, rDup, rCloop, rAsloop, seen.size.toLong,
+              if (ok) 1L else 0L))
+        }
+        decoded.toDF("router", "dup_pfx", "cluster_loop", "as_loop",
+          "adj_rib_in", "reconciled")
+      },
+      Some("""WITH e AS (SELECT user_id % 8 AS router,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                  AS asloop,
+                CASE WHEN event_type != 'error' AND event_id % 11 = 0
+                  THEN 1 ELSE 0 END AS cloop,
+                CASE WHEN event_type != 'error' AND event_id % 11 != 0
+                  AND event_id % 7 = 0 THEN 1 ELSE 0 END AS dup
+              FROM events)
+            SELECT router, CAST(sum(dup) AS BIGINT) AS dup_pfx,
+              CAST(sum(cloop) AS BIGINT) AS cluster_loop,
+              CAST(sum(asloop) AS BIGINT) AS as_loop,
+              CAST(count(*) - sum(asloop) - sum(cloop) AS BIGINT)
+                AS adj_rib_in,
+              CAST(1 AS BIGINT) AS reconciled
+            FROM e GROUP BY router"""),
+      doc = "RFC 7854 §4.8 stats: dup/loop counters reconciled from wire"),
+
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
     // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE
