@@ -489,6 +489,85 @@ object DedupQueries {
             FROM documents JOIN quality USING (doc_id)
             WHERE doc_id NOT IN (SELECT doc_id FROM drops)
             GROUP BY lang"""),
-      doc = "near-dup survivorship keeping the higher-quality member")
+      doc = "near-dup survivorship keeping the higher-quality member"),
+
+    // LSH (bands × rows) parameter sweep — the S-curve tuning every
+    // production near-dup pipeline runs before committing to a
+    // threshold: P(candidate | sim s) = 1-(1-s^r)^b, so (8,1) catches
+    // everything (recall-heavy, candidate-flood), (2,4) only
+    // near-identical pairs (precision-heavy). All three settings read
+    // the SAME materialized signature table and derive their band keys
+    // from one 8-signature array — the sweep costs three band joins,
+    // zero re-hashing. Counts + integer precision per setting.
+    Q("q175_lsh_sweep",
+      (s, d) => {
+        val sigsExpr =
+          s"""transform(sequence(0, 7), k -> array_min(
+              transform(hs, h -> ((2 * k + 3) * h + (97 * k + 11))
+                % ${graft.text.TextOps.P})))"""
+        val base = SigTable.sigs(s, d)
+          .selectExpr("doc_id", "hs", s"$sigsExpr as sg")
+        def sweep(bCount: Int, r: Int): org.apache.spark.sql.DataFrame = {
+          val elems = (0 until r).map(i =>
+            s"element_at(sg, cast(b * $r + ${i + 1} as int))")
+            .mkString(", ")
+          val bands = base.selectExpr("doc_id", "hs",
+            s"""explode(transform(sequence(0, ${bCount - 1}),
+               b -> concat_ws('_', b, $elems))) as bk""")
+          bands.as("x").join(bands.as("y"),
+              col("x.bk") === col("y.bk") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+              col("x.hs").as("hs1"), col("y.hs").as("hs2"))
+            .distinct()
+            .withColumn("jacc",
+              expr("size(array_intersect(hs1, hs2)) / " +
+                "cast(size(array_union(hs1, hs2)) as double)"))
+            .groupBy()
+            .agg(count(lit(1)).as("n_candidates"),
+              sum(when(col("jacc") >= 0.8, 1L).otherwise(0L))
+                .as("n_dup80"))
+            .select(lit(s"${bCount}x$r").as("setting"),
+              col("n_candidates"), col("n_dup80"),
+              when(col("n_candidates") === 0L, 0L)
+                .otherwise(expr("n_dup80 * 100 div n_candidates"))
+                .as("precision_pct"))
+        }
+        sweep(8, 1).union(sweep(4, 2)).union(sweep(2, 4))
+      },
+      Some {
+        def duckSweep(bCount: Int, r: Int): String = {
+          val bands = (0 until bCount).map { b =>
+            val cols = (0 until r).map(i => s"s${b * r + i}")
+              .mkString(", ")
+            s"SELECT doc_id, concat_ws('_', '$b', $cols) AS bk FROM sigs"
+          }.mkString(" UNION ALL ")
+          s"""(WITH bands AS ($bands),
+             cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+               FROM bands x JOIN bands y
+                 ON x.bk = y.bk AND x.doc_id < y.doc_id),
+             v AS (SELECT len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / len(list_distinct(a.hs || b.hs)) AS jacc
+               FROM cand JOIN t a ON cand.id1 = a.doc_id
+                         JOIN t b ON cand.id2 = b.doc_id)
+             SELECT '${bCount}x$r' AS setting,
+               count(*) AS n_candidates,
+               CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup80,
+               CASE WHEN count(*) = 0 THEN 0
+                 ELSE CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END)
+                   * 100 // count(*) AS BIGINT) END AS precision_pct
+             FROM v)"""
+        }
+        s"""WITH t AS (SELECT doc_id, $hsDuck AS hs FROM documents),
+           sigs AS (SELECT doc_id, hs,
+             ${(0 until 8).map(k =>
+               s"${graft.text.TextOps.duckMinhash("hs", k)} AS s$k")
+               .mkString(", ")} FROM t)
+           SELECT * FROM ${duckSweep(8, 1)}
+           UNION ALL SELECT * FROM ${duckSweep(4, 2)}
+           UNION ALL SELECT * FROM ${duckSweep(2, 4)}"""
+      },
+      doc = "LSH band/row S-curve sweep over one signature table")
   )
 }
