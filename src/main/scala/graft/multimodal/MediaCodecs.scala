@@ -99,6 +99,33 @@ object MediaCodecs {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
   private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
 
+  /** 16-bit little-endian PCM samples from a WAVE blob — the same RIFF
+    * chunk walk as [[decodeWav]] (writers may insert LIST/fact chunks
+    * before data), returning the data chunk decoded as int16. Empty on
+    * a malformed container. */
+  def wavSamples16(b: Array[Byte]): Array[Int] = {
+    if (b.length < 12 || ascii(b, 0) != "RIFF" || ascii(b, 8) != "WAVE")
+      return Array.empty
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off)
+      val size = u32(b, off + 4)
+      if (id == "data") {
+        val n = math.min(size, (b.length - off - 8).toLong).toInt / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = u16(b, off + 8 + 2 * i).toShort.toInt // sign-extend
+          i += 1
+        }
+        return out
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+      if (off < 0) return Array.empty
+    }
+    Array.empty
+  }
+
   /** Walk RIFF chunks (not fixed offsets — writers may insert LIST/fact
     * chunks before data); odd-sized chunks carry a pad byte per the RIFF
     * spec. Needs both a PCM `fmt ` and a `data` chunk. */

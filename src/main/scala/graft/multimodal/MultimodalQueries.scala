@@ -196,6 +196,60 @@ object MultimodalQueries {
                     END AS pb
                 FROM documents)
               GROUP BY format"""),
-      doc = "real WAV/BMP/PPM container decode (pure-byte, no codec lib)")
+      doc = "real WAV/BMP/PPM container decode (pure-byte, no codec lib)"),
+
+    // Audio FEATURE extraction, not just metadata: deterministic 16-bit
+    // PCM rides a real RIFF/WAVE container; the extractor re-walks the
+    // chunks ([[MediaCodecs.wavSamples16]], sign-extending int16 LE)
+    // and computes per-32-sample-frame energy (sum of squares — exact
+    // integers end-to-end, so the oracle recomputes the identical
+    // values from the generating arithmetic without touching bytes).
+    // The per-partition batch shape is the same mapInPandas-analogue as
+    // q51/q110; a container-walk or sign-extension defect shifts every
+    // energy sum.
+    Q("q176_audio_energy",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "n_chars")
+          .as[(Long, Long)]
+          .mapPartitions(_.map { case (id, nChars) =>
+            val n = (nChars % 256 + 64).toInt
+            val pcm = new Array[Byte](2 * n)
+            (0 until n).foreach { i =>
+              val v = (((id * 31 + i * 17) % 2001) - 1000).toShort
+              pcm(2 * i) = (v & 0xff).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            }
+            val blob = MediaCodecs.encodeWav(16000, 1, 16, pcm)
+            val samples = MediaCodecs.wavSamples16(blob)
+            val frames = samples.grouped(32).map(fr =>
+              fr.foldLeft(0L)((a, x) => a + x.toLong * x)).toSeq
+            (id % 10, frames.size.toLong, frames.sum,
+              if (frames.isEmpty) 0L else frames.max)
+          })
+          .toDF("bucket", "n_frames", "energy", "max_frame")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_frames").as("n_frames"),
+            sum("energy").as("total_energy"),
+            max("max_frame").as("max_frame_energy"))
+      },
+      Some("""WITH samp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                ((doc_id * 31 + i * 17) % 2001) - 1000 AS s
+              FROM documents,
+                unnest(generate_series(0, n_chars % 256 + 63)) AS g(i)),
+            fr AS (SELECT doc_id, i // 32 AS f, sum(s * s) AS e
+              FROM samp GROUP BY 1, 2),
+            docs AS (SELECT doc_id, doc_id % 10 AS bucket,
+                count(*) AS n_frames, sum(e) AS energy, max(e) AS mx
+              FROM fr GROUP BY 1, 2)
+            SELECT bucket, count(*) AS n_docs,
+              CAST(sum(n_frames) AS BIGINT) AS n_frames,
+              CAST(sum(energy) AS BIGINT) AS total_energy,
+              CAST(max(mx) AS BIGINT) AS max_frame_energy
+            FROM docs GROUP BY bucket"""),
+      doc = "PCM frame energy through the RIFF walk, integer-exact")
   )
 }
