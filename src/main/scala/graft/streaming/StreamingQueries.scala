@@ -506,6 +506,56 @@ object StreamingQueries {
                 ORDER BY n.len DESC LIMIT 1), 0) AS dst_as,
               count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
             FROM flows f GROUP BY 1, 2"""),
-      doc = "streaming LPM enrich: codegen lookup + watermarked windows")
+      doc = "streaming LPM enrich: codegen lookup + watermarked windows"),
+
+    // Stream-STREAM interval join — the live form of NetFlow option
+    // correlation (§2.6): the flow stream joins the sparse option
+    // stream (sampling announcements) on exporter with an event-time
+    // range — option valid in the 10 minutes before the flow. Both
+    // sides carry watermarks so the join state expires; Spark buffers
+    // the option side per key and emits matches in append mode. The
+    // joined rows land in the sink; the rollup is batch over the sink
+    // (pair multiplicity is part of the contract and the oracle).
+    Q("q177_stream_stream_join",
+      (s, d) => {
+        Graft.tune(s)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "q177_sink_" + sinkId.incrementAndGet()
+        def src() = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val fl = src().select(
+          (col("user_id") % 8).as("exporter"), col("ts").as("ta"),
+          (expr("CAST(floor(value * 1000) AS BIGINT)") + 40L)
+            .as("bytes"))
+          .withWatermark("ta", "30 minutes")
+        val opt = src().filter(col("event_type") === "signup")
+          .select((col("user_id") % 8).as("o_exporter"),
+            col("ts").as("tb"), (lit(1L) + col("user_id") % 4).as("rate"))
+          .withWatermark("tb", "30 minutes")
+        val joined = fl.join(opt,
+          col("exporter") === col("o_exporter") &&
+            col("tb") <= col("ta") &&
+            col("tb") > col("ta") - expr("INTERVAL 10 MINUTES"))
+        val q = joined.select("exporter", "bytes", "rate")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).groupBy("exporter")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("bytes * rate")).as("renorm_bytes"))
+      },
+      Some("""WITH a AS (SELECT user_id % 8 AS exporter,
+                epoch_us(ts) AS ta,
+                CAST(floor(value * 1000) AS BIGINT) + 40 AS bytes
+              FROM events),
+            b AS (SELECT user_id % 8 AS exporter, epoch_us(ts) AS tb,
+                1 + user_id % 4 AS rate
+              FROM events WHERE event_type = 'signup')
+            SELECT exporter, count(*) AS n_pairs,
+              CAST(sum(bytes * rate) AS BIGINT) AS renorm_bytes
+            FROM a JOIN b USING (exporter)
+            WHERE tb <= ta AND tb > ta - 600000000
+            GROUP BY exporter"""),
+      doc = "stream-stream interval join: option stream x flow stream")
   )
 }
