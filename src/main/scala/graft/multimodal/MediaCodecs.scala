@@ -48,6 +48,63 @@ object MediaCodecs {
     b.array()
   }
 
+  /** 24-bpp bottom-up BMP carrying REAL pixels: `rgb` is top-down packed
+    * (r,g,b) rows, w*h*3 bytes; on the wire rows are bottom-up, BGR,
+    * padded to 4-byte stride per the BITMAPINFOHEADER layout. */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val dataLen = rowSize * height
+    val b = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + dataLen)
+    b.putInt(0)
+    b.putInt(54)
+    b.putInt(40)
+    b.putInt(width)
+    b.putInt(height)                    // positive: bottom-up
+    b.putShort(1)
+    b.putShort(24)
+    b.putInt(0)                         // BI_RGB
+    b.putInt(dataLen)
+    b.putInt(2835).putInt(2835)         // 72 DPI
+    b.putInt(0).putInt(0)
+    (height - 1 to 0 by -1).foreach { y => // bottom-up row order
+      (0 until width).foreach { x =>
+        val o = (y * width + x) * 3
+        b.put(rgb(o + 2)).put(rgb(o + 1)).put(rgb(o)) // BGR on the wire
+      }
+      (0 until rowSize - width * 3).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  /** Top-down packed (r,g,b) pixels from a 24-bpp BMP — undoes the
+    * bottom-up row order, BGR channel order, and 4-byte row padding.
+    * Empty on malformed/unsupported blobs. */
+  def bmpPixels24(blob: Array[Byte]): Array[Byte] = {
+    if (blob.length < 54 || blob(0) != 'B' || blob(1) != 'M')
+      return Array.empty
+    val off = i32(blob, 10)
+    val width = i32(blob, 18)
+    val height = i32(blob, 22)
+    val bpp = u16(blob, 28)
+    if (bpp != 24 || width <= 0 || height <= 0) return Array.empty
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (off + rowSize.toLong * height > blob.length) return Array.empty
+    val out = new Array[Byte](width * height * 3)
+    (0 until height).foreach { y =>       // y: top-down output row
+      val src = off + (height - 1 - y) * rowSize
+      (0 until width).foreach { x =>
+        val o = (y * width + x) * 3
+        out(o) = blob(src + x * 3 + 2)    // R from BGR
+        out(o + 1) = blob(src + x * 3 + 1)
+        out(o + 2) = blob(src + x * 3)
+      }
+    }
+    out
+  }
+
   /** 24-bpp bottom-up BMP with zeroed pixels; rows padded to 4 bytes. */
   def encodeBmp(width: Int, height: Int): Array[Byte] = {
     val rowSize = ((24 * width + 31) / 32) * 4

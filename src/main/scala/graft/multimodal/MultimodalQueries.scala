@@ -250,6 +250,58 @@ object MultimodalQueries {
               CAST(sum(energy) AS BIGINT) AS total_energy,
               CAST(max(mx) AS BIGINT) AS max_frame_energy
             FROM docs GROUP BY bucket"""),
-      doc = "PCM frame energy through the RIFF walk, integer-exact")
+      doc = "PCM frame energy through the RIFF walk, integer-exact"),
+
+    // Image FEATURE extraction through the real 24-bpp BMP layout:
+    // deterministic per-(x,y) RGB rides the container (bottom-up rows,
+    // BGR channels, 4-byte stride padding — widths 1..5 sweep every
+    // padding case), the extractor undoes all three, and a 4-bucket
+    // luminance histogram aggregates corpus-wide. The pixel value
+    // depends on (x,y), so a row-order or padding defect moves counts
+    // between buckets — the oracle recomputes from the generating
+    // arithmetic alone.
+    Q("q178_image_hist",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (1 + id % 5).toInt
+            val h = (1 + id % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            (0 until h).foreach { y =>
+              (0 until w).foreach { x =>
+                val o = (y * w + x) * 3
+                rgb(o) = (((id + 3 * x + 7 * y) % 256) & 0xff).toByte
+                rgb(o + 1) = (((2 * x + 11 * y + 1) % 256) & 0xff).toByte
+                rgb(o + 2) = (((5 * x + y + id % 16) % 256) & 0xff).toByte
+              }
+            }
+            val blob = MediaCodecs.encodeBmp24(w, h, rgb)
+            val px = MediaCodecs.bmpPixels24(blob)
+            (0 until px.length / 3).iterator.map { i =>
+              val lum = (px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+                (px(3 * i + 2) & 0xff)
+              (lum / 192, lum.toLong)
+            }
+          })
+          .toDF("bucket", "lum")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_px"), sum("lum").as("sum_lum"))
+      },
+      Some("""WITH px AS (SELECT
+                ((doc_id + 3 * x + 7 * y) % 256) +
+                ((2 * x + 11 * y + 1) % 256) +
+                ((5 * x + y + doc_id % 16) % 256) AS lum
+              FROM documents,
+                unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT)))
+                  AS gx(x),
+                unnest(generate_series(0, CAST(doc_id % 7 AS BIGINT)))
+                  AS gy(y))
+            SELECT lum // 192 AS bucket, count(*) AS n_px,
+              CAST(sum(lum) AS BIGINT) AS sum_lum
+            FROM px GROUP BY 1"""),
+      doc = "BMP pixel walk (bottom-up/BGR/stride) to luminance histogram")
   )
 }

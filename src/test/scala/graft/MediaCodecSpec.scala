@@ -73,4 +73,30 @@ class MediaCodecSpec extends AnyFunSuite {
     val m = MediaCodecs.decode(wav.dropRight(40)).get
     assert(m.payloadBytes == 60)
   }
+
+  test("wavSamples16 sign-extends int16 LE from the data chunk") {
+    val samples = Array(-32768, -1, 0, 1, 32767, -1000, 999)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = MediaCodecs.encodeWav(16000, 1, 16, pcm)
+    assert(MediaCodecs.wavSamples16(wav).toSeq == samples.toSeq)
+    assert(MediaCodecs.wavSamples16(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("encodeBmp24/bmpPixels24 round-trip every stride-padding width") {
+    (1 to 5).foreach { w =>
+      val h = 3
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 5) % 256).toByte)
+      val blob = MediaCodecs.encodeBmp24(w, h, rgb)
+      assert(MediaCodecs.bmpPixels24(blob).toSeq == rgb.toSeq,
+        s"width $w round-trip")
+      // metadata decoder agrees on dims
+      val m = MediaCodecs.decode(blob).get
+      assert(m.width == w && m.height == h)
+    }
+    assert(MediaCodecs.bmpPixels24(Array[Byte](7, 7)).isEmpty)
+  }
 }
