@@ -810,6 +810,67 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "sFlow pmacct-PEN EX_TAG/EX_CLASS2 records round trip"),
 
+    // nfprobe_direction / nfprobe_ifindex (CONFIG-KEYS:2575-2600):
+    // direction resolves from the pre_tag_map tag (1=in, 2=out — the
+    // documented mapping), ifIndex semi-dynamically from tag2 with the
+    // dynamic flow ifindex taking precedence unless _override is set
+    // (modeled false, the default). The exporter then writes the
+    // v5 input/output fields per direction — in-direction traffic
+    // carries ifIndex as input, out-direction as output
+    // (nfprobe_plugin.c's direction handling) — and the collector
+    // aggregates on the decoded fields.
+    Q("q179_probe_direction",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = flows(s, d).select(
+            col("event_id"),
+            // pre_tag_map: dst-port filter rules -> tag (1=in, 2=out)
+            when(col("port_dst").isin(80L, 443L, 8443L), 1L)
+              .otherwise(2L).as("tag"),
+            (lit(100L) + col("ip_src") % 16).as("tag2"),
+            // dynamic ifindex known only for TCP flows here
+            when(col("ip_proto") === 6L, col("event_id") % 4 + 1)
+              .otherwise(0L).as("dyn_if"),
+            col("bytes"), col("packets"))
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(30).flatMap { batch =>
+            val recs = batch.map { case (eid, tag, tag2, dynIf, b, p) =>
+              val ifx =
+                (if (dynIf != 0L) dynIf else tag2).toInt // override off
+              val (in, out) =
+                if (tag == 1L) (ifx, 0) else (0, ifx)
+              V5Record(eid, eid + 1, 0L, in, out, p, b, 0L, 0L,
+                0, 0, 0, 6, 0, 0, 0, 24, 24)
+            }
+            val h = V5Header(5, recs.size, 0L, 0L, 0L,
+              batch.head._1 % 4294967296L, 0, 0, 1)
+            val dg = NetFlowV5.encode(h, recs)
+            NetFlowV5.decode(dg)._2.iterator.map(r =>
+              (if (r.ifIn != 0) "in" else "out",
+                (r.ifIn + r.ifOut).toLong, r.octets, r.packets))
+          }
+        }
+        decoded.toDF("direction", "ifindex", "bytes", "packets")
+          .groupBy("direction", "ifindex")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"),
+            sum("packets").as("packets"))
+      },
+      Some(s"""WITH flows AS (${FlowView.sql}),
+            t AS (SELECT
+                CASE WHEN port_dst IN (80, 443, 8443) THEN 'in'
+                  ELSE 'out' END AS direction,
+                CASE WHEN ip_proto = 6 THEN event_id % 4 + 1
+                  ELSE 100 + ip_src % 16 END AS ifindex,
+                bytes, packets
+              FROM flows)
+            SELECT direction, ifindex, count(*) AS n,
+              CAST(sum(bytes) AS BIGINT) AS bytes,
+              CAST(sum(packets) AS BIGINT) AS packets
+            FROM t GROUP BY 1, 2"""),
+      doc = "nfprobe direction/ifindex: tag mapping through v5 in/out"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",
