@@ -1105,6 +1105,87 @@ object SurfaceQueries {
             FROM rib WHERE last_op = 'update' GROUP BY local_nd"""),
       doc = "BGP-LS link NLRI + LS attr TLVs into a topology RIB"),
 
+    // BGP-LS v6 topology prefixes (NLRI type 4, BGP_LS_NLRI_V6_TOPO_PFX
+    // — src/bgp/bgp_ls.h:40) and multi-topology links (MT-ID TLV 263,
+    // RFC 7752 §3.2.1.5): every update carries a /64 v6 prefix (two-limb
+    // IP-reach TLV) with its prefix metric, plus a link tagged with the
+    // topology it belongs to. The RIB keeps last-wins metrics per
+    // prefix; links roll up per topology — the per-node view an LS
+    // consumer exports for a multi-topology IGP.
+    Q("q180_bgp_ls_v6mt",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 24).as("local_nd"), col("event_id"),
+            ((col("user_id") % 24) * 4294967296L +
+              (col("event_id") % 4096) * 65536L + 1L).as("hi"),
+            (col("event_id") % 100).as("metric"),
+            (col("event_id") % 3).as("mt"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (local: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, eid, hi, metric, mt) =>
+              val m = BgpMsg.encode(BgpMsg.Update(
+                nlriLs = Seq(
+                  BgpMsg.LsPrefix6(2, 65000L + local, local, hi, 0L, 64),
+                  BgpMsg.LsLink(2, 65000L + local, local,
+                    65000L + (local + 1) % 24, (local + 1) % 24,
+                    167772160L + eid % 256, 167772161L + eid % 256,
+                    mtId = mt)),
+                nextHop = Some(local),
+                lsAttr = Some(BgpMsg.LsAttr(pfxMetric = Some(metric)))))
+              wire.write(m, 0, m.length)
+            }
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                val metric = u.lsAttr.flatMap(_.pfxMetric).getOrElse(0L)
+                u.nlriLs.iterator.collect {
+                  case p: BgpMsg.LsPrefix6 if p.plen == 64 =>
+                    ("pfx", p.localId, p.hi, seq.toLong, metric, -1L)
+                  case l: BgpMsg.LsLink =>
+                    ("link", l.localId, 0L, seq.toLong, 0L, l.mtId)
+                }
+              }
+        }.toDF("kind", "local_nd", "hi", "seq", "metric", "mt")
+        val rib = decoded.filter(col("kind") === "pfx")
+          .groupBy("local_nd", "hi")
+          .agg(expr("max_by(metric, seq)").as("metric"))
+          .groupBy("local_nd")
+          .agg(count(lit(1)).as("n_pfx"), sum("metric").as("sum_metric"))
+        val links = decoded.filter(col("kind") === "link")
+          .groupBy("local_nd")
+          .agg(sum(when(col("mt") === 0L, 1L).otherwise(0L)).as("n_mt0"),
+            sum(when(col("mt") === 1L, 1L).otherwise(0L)).as("n_mt1"),
+            sum(when(col("mt") === 2L, 1L).otherwise(0L)).as("n_mt2"))
+        rib.join(links, Seq("local_nd"))
+      },
+      Some("""WITH m AS (SELECT user_id % 24 AS local_nd,
+                event_id AS seq,
+                (user_id % 24) * 4294967296 + (event_id % 4096) * 65536
+                  + 1 AS hi,
+                event_id % 100 AS metric, event_id % 3 AS mt
+              FROM events),
+            rib AS (SELECT local_nd, hi, arg_max(metric, seq) AS metric
+              FROM m GROUP BY 1, 2),
+            pfx AS (SELECT local_nd, count(*) AS n_pfx,
+                CAST(sum(metric) AS BIGINT) AS sum_metric
+              FROM rib GROUP BY 1),
+            links AS (SELECT local_nd,
+                CAST(sum(CASE WHEN mt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mt0,
+                CAST(sum(CASE WHEN mt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mt1,
+                CAST(sum(CASE WHEN mt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mt2
+              FROM m GROUP BY 1)
+            SELECT p.local_nd, n_pfx, sum_metric, n_mt0, n_mt1, n_mt2
+            FROM pfx p JOIN links USING (local_nd)"""),
+      doc = "BGP-LS v6 topology prefixes + multi-topology link MT-IDs"),
+
     // BMP Loc-RIB instance peer (RFC 9069; reference peer type 3 in
     // src/bmp/bmp.h:74 and stats 8/10 "routes in Loc-RIB",
     // bmp.h:203-205). Routers export adj-rib-in route monitoring under
@@ -1272,6 +1353,66 @@ object SurfaceQueries {
               CAST(1 AS BIGINT) AS reconciled
             FROM e GROUP BY router"""),
       doc = "RFC 7854 §4.8 stats: dup/loop counters reconciled from wire"),
+
+    // BMP Adj-RIB-Out monitoring (RFC 8671: the O flag, bit 0x10 in
+    // the per-peer header, marks route monitoring sourced from what
+    // the router ADVERTISED to the peer post-policy, vs the default
+    // Adj-RIB-In view). Routers emit both lanes — the in-lane carries
+    // everything received, the out-lane the post-policy subset — and
+    // the collector splits on the flag to report per-peer advertised
+    // vs withheld counts, the export-policy visibility RFC 8671 adds.
+    Q("q181_bmp_ribout",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("router"), col("event_id"),
+            (col("user_id") % 4).as("peer"),
+            ((col("user_id") % 8) * 65536 + col("event_id") % 2048)
+              .as("pfx"),
+            (expr("CAST(floor(value * 1000) AS BIGINT)") % 4 =!= 0)
+              .as("advertised"))
+          .as[(Long, Long, Long, Long, Boolean)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (router: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            def mon(peer: Long, flags: Int, pfx: Long): Unit = {
+              val m = BmpMsg.encodeRouteMonitoring(
+                BmpMsg.PeerHeader(0, flags, 0L, peer, 65100 + peer,
+                  peer, 0L, 0L),
+                BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx << 8, 24)),
+                  origin = Some(0), nextHop = Some(router)))
+              wire.write(m, 0, m.length)
+            }
+            evs.foreach { case (_, _, peer, pfx, adv) =>
+              mon(peer, 0x00, pfx)              // Adj-RIB-In
+              if (adv) mon(peer, 0x10, pfx)     // Adj-RIB-Out (O flag)
+            }
+            val msgs = BmpMsg.decodeStream(wire.toByteArray)
+            val byPeer = msgs.collect {
+              case m: BmpMsg.RouteMonitoring => (m.peer.peerAddr,
+                (m.peer.flags & 0x10) != 0, m.update.nlri.head.prefix)
+            }.groupBy(_._1)
+            byPeer.iterator.map { case (peer, ms) =>
+              val nIn = ms.count(!_._2).toLong
+              val nOut = ms.count(_._2).toLong
+              (router, peer, nIn, nOut, nIn - nOut)
+            }
+        }
+        decoded.toDF("router", "peer", "n_in", "n_out", "withheld")
+      },
+      Some("""WITH e AS (SELECT user_id % 8 AS router,
+                user_id % 4 AS peer,
+                CASE WHEN CAST(floor(value * 1000) AS BIGINT) % 4 != 0
+                  THEN 1 ELSE 0 END AS adv
+              FROM events)
+            SELECT router, peer, count(*) AS n_in,
+              CAST(sum(adv) AS BIGINT) AS n_out,
+              CAST(count(*) - sum(adv) AS BIGINT) AS withheld
+            FROM e GROUP BY 1, 2"""),
+      doc = "RFC 8671 Adj-RIB-Out: O-flag lane split, advertised vs withheld"),
 
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by

@@ -52,14 +52,21 @@ object BgpMsg {
   final case class LsNode(protoId: Int, localAsn: Long, localId: Long)
       extends LsNlri
   /** Link NLRI (type 2): local + remote node descriptors (TLV 256/257)
-    * and IPv4 interface/neighbor addresses (TLV 259/260). */
+    * and IPv4 interface/neighbor addresses (TLV 259/260). `mtId` is
+    * the multi-topology identifier (TLV 263, RFC 7752 §3.2.1.5 —
+    * BGP_LS_MULTI_TOPO_ID, src/bgp/bgp_ls.h:60); 0 = default L3. */
   final case class LsLink(protoId: Int, localAsn: Long, localId: Long,
-      remoteAsn: Long, remoteId: Long, ifAddr: Long, neighAddr: Long)
-      extends LsNlri
+      remoteAsn: Long, remoteId: Long, ifAddr: Long, neighAddr: Long,
+      mtId: Long = 0L) extends LsNlri
   /** IPv4 topology prefix NLRI (type 3): IP reachability TLV 265
     * ([mask:1][prefix bytes] — bgp_ls_nlri_tlv_ip_reach_handler). */
   final case class LsPrefix(protoId: Int, localAsn: Long, localId: Long,
       prefix: Long, plen: Int) extends LsNlri
+  /** IPv6 topology prefix NLRI (type 4, BGP_LS_NLRI_V6_TOPO_PFX —
+    * src/bgp/bgp_ls.h:40): same IP-reach TLV with up to 16 truncated
+    * prefix bytes, address as two big-endian limbs. */
+  final case class LsPrefix6(protoId: Int, localAsn: Long, localId: Long,
+      hi: Long, lo: Long, plen: Int) extends LsNlri
 
   /** Decoded BGP-LS attribute (path attr 29) TLVs — the subset the
     * reference prints (bgp_ls_attr_tlv_print_list, src/bgp/
@@ -221,6 +228,9 @@ object BgpMsg {
         body ++= lsNodeDesc(257, l.remoteAsn, l.remoteId)
         body ++= lsTlv(259, u32(l.ifAddr))
         body ++= lsTlv(260, u32(l.neighAddr))
+        if (l.mtId != 0L) // RFC 7752 §3.2.1.5: 2-byte MT-ID
+          body ++= lsTlv(263, Array(((l.mtId >>> 8) & 0xff).toByte,
+            (l.mtId & 0xff).toByte))
         2
       case p: LsPrefix =>
         body ++= lsNodeDesc(256, p.localAsn, p.localId)
@@ -228,6 +238,11 @@ object BgpMsg {
           ((p.prefix >>> (24 - 8 * i)) & 0xff).toByte).toArray
         body ++= lsTlv(265, p.plen.toByte +: pb)
         3
+      case p: LsPrefix6 =>
+        body ++= lsNodeDesc(256, p.localAsn, p.localId)
+        val full = u64(p.hi) ++ u64(p.lo)
+        body ++= lsTlv(265, p.plen.toByte +: full.take((p.plen + 7) / 8))
+        4
     }
     lsTlv(tpe, body.result())
   }
@@ -463,7 +478,8 @@ object BgpMsg {
       else {
         val proto = buf.get() & 0xff
         buf.position(buf.position() + 8) // identifier
-        var lAsn, lId, rAsn, rId, ifA, nbA, pfx = 0L
+        var lAsn, lId, rAsn, rId, ifA, nbA, pfx, mtId = 0L
+        var p6hi, p6lo = 0L
         var plen = 0
         while (buf.position() + 4 <= entryEnd) {
           val t = buf.getShort() & 0xffff
@@ -494,10 +510,18 @@ object BgpMsg {
               else { rAsn = asn; rId = id }
             case 259 if l == 4 => ifA = buf.getInt() & 0xffffffffL
             case 260 if l == 4 => nbA = buf.getInt() & 0xffffffffL
+            case 263 if l == 2 => mtId = buf.getShort() & 0xffffL
             case 265 if l >= 1 => // IP reachability: [mask:1][prefix]
               plen = buf.get() & 0xff
               if (1 + (plen + 7) / 8 > l) plen = 0 // truncated: discard
-              else (0 until (plen + 7) / 8).foreach(i =>
+              else if (tpe == 4) { // v6: up to 16 bytes, two limbs
+                val full = new Array[Byte](16)
+                buf.get(full, 0, (plen + 7) / 8)
+                p6hi = (0 until 8).foldLeft(0L)((a, i) =>
+                  (a << 8) | (full(i) & 0xffL))
+                p6lo = (8 until 16).foldLeft(0L)((a, i) =>
+                  (a << 8) | (full(i) & 0xffL))
+              } else (0 until (plen + 7) / 8).foreach(i =>
                 pfx |= (buf.get() & 0xffL) << (24 - 8 * i))
             case _ => () // unknown descriptor: skip
           }
@@ -505,9 +529,11 @@ object BgpMsg {
         }
         tpe match {
           case 1 => out += LsNode(proto, lAsn, lId)
-          case 2 => out += LsLink(proto, lAsn, lId, rAsn, rId, ifA, nbA)
+          case 2 =>
+            out += LsLink(proto, lAsn, lId, rAsn, rId, ifA, nbA, mtId)
           case 3 => out += LsPrefix(proto, lAsn, lId, pfx, plen)
-          case _ => () // v6 topo prefix (4) and beyond: not materialized
+          case 4 => out += LsPrefix6(proto, lAsn, lId, p6hi, p6lo, plen)
+          case _ => () // beyond the reference's NLRI_MAX: skip
         }
         buf.position(entryEnd)
       }

@@ -169,6 +169,13 @@ class ProtocolSpec extends AnyFunSuite {
     val wd = BgpMsg.Update(withdrawnLs = Seq(link))
     assert(BgpMsg.decodeStream(BgpMsg.encode(wd)).head
       .withdrawnLs == Seq(link))
+    // v6 topology prefix (type 4) + multi-topology link (TLV 263)
+    val p6 = BgpMsg.LsPrefix6(2, 65001L, 11L, 0x20010DB8000100FFL,
+      0xAB00000000000000L, 72)
+    val mtLink = link.copy(mtId = 5L)
+    val u6 = BgpMsg.Update(nlriLs = Seq(p6, mtLink), nextHop = Some(1L))
+    assert(BgpMsg.decodeStream(BgpMsg.encode(u6)).head
+      .nlriLs == Seq(p6, mtLink))
   }
 
   test("ext communities round-trip all three type splits; unknown skipped") {
