@@ -404,6 +404,45 @@ object CorpusQueries {
                 AS BIGINT) AS n_selected,
               CAST(sum(score) AS BIGINT) AS sum_score
             FROM scored GROUP BY 1, 2"""),
-      doc = "DSIR hashed-bigram importance weights, broadcast + threshold")
+      doc = "DSIR hashed-bigram importance weights, broadcast + threshold"),
+
+    // Curriculum sharding: an EXACT total order over the corpus by a
+    // quality proxy, cut into 16 shards — the ordering pass a
+    // curriculum-training pipeline runs before writing shard files.
+    // Scale shape: range-partition + in-partition sort gives the
+    // physical order, and zipWithIndex assigns exact global ranks with
+    // one count-per-partition pass + broadcast offsets (the
+    // distributed prefix-sum q103 uses for packing). No single-task
+    // window over the corpus anywhere. (RDD use is deliberate:
+    // zipWithIndex IS the per-partition offset mechanism.)
+    Q("q182_curriculum",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("score"))
+        val n = docs.count()
+        val shards = docs.as[(Long, Long)].rdd
+          .map { case (id, sc) => ((sc, id), ()) }
+          .sortByKey(ascending = true,
+            numPartitions = s.sparkContext.defaultParallelism)
+          .zipWithIndex()
+          .map { case (((sc, _), _), idx) => (idx * 16L / n, sc) }
+        shards.toDF("shard", "score")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min("score").as("min_score"), max("score").as("max_score"),
+            sum("score").as("sum_score"))
+      },
+      Some("""WITH r AS (SELECT n_chars AS score,
+                row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+              FROM documents),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT (rk * 16) // n AS shard, count(*) AS n_docs,
+              CAST(min(score) AS BIGINT) AS min_score,
+              CAST(max(score) AS BIGINT) AS max_score,
+              CAST(sum(score) AS BIGINT) AS sum_score
+            FROM r, n GROUP BY 1"""),
+      doc = "exact curriculum shards: range sort + zipWithIndex ranks")
   )
 }
