@@ -302,6 +302,64 @@ object MultimodalQueries {
             SELECT lum // 192 AS bucket, count(*) AS n_px,
               CAST(sum(lum) AS BIGINT) AS sum_lum
             FROM px GROUP BY 1"""),
-      doc = "BMP pixel walk (bottom-up/BGR/stride) to luminance histogram")
+      doc = "BMP pixel walk (bottom-up/BGR/stride) to luminance histogram"),
+
+    // Image RESIZE (the remaining verb of the brief's decode /
+    // feature-extract / resize / frame-sample set): nearest-neighbor
+    // downscale to 4x4 over REAL decoded BMP pixels — source index
+    // xs = xd*w/4 (integer floor, the canonical NN mapping), so every
+    // value is reproducible arithmetic. Output is the corpus-mean
+    // image: per destination cell, the luminance sum across all
+    // documents — what an embedding/thumbnail stage would feed
+    // downstream. Per-partition batch shape as q51/q110/q176.
+    Q("q183_image_resize",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (8 + id % 9).toInt
+            val h = (8 + id % 5).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            (0 until h).foreach { y =>
+              (0 until w).foreach { x =>
+                val o = (y * w + x) * 3
+                rgb(o) = (((id + 3 * x + 7 * y) % 256) & 0xff).toByte
+                rgb(o + 1) = (((2 * x + 11 * y + 1) % 256) & 0xff).toByte
+                rgb(o + 2) = (((5 * x + y + id % 16) % 256) & 0xff).toByte
+              }
+            }
+            val px = MediaCodecs.bmpPixels24(
+              MediaCodecs.encodeBmp24(w, h, rgb))
+            for (yd <- 0 until 4; xd <- 0 until 4) yield {
+              val xs = xd * w / 4
+              val ys = yd * h / 4
+              val o = (ys * w + xs) * 3
+              val lum = (px(o) & 0xff) + (px(o + 1) & 0xff) +
+                (px(o + 2) & 0xff)
+              (yd * 4 + xd, lum.toLong)
+            }
+          })
+          .toDF("cell", "lum")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), sum("lum").as("sum_lum"))
+      },
+      Some("""WITH cells AS (SELECT doc_id,
+                yd * 4 + xd AS cell,
+                (xd * (8 + doc_id % 9)) // 4 AS xs,
+                (yd * (8 + doc_id % 5)) // 4 AS ys
+              FROM documents,
+                unnest(generate_series(0, 3)) AS gx(xd),
+                unnest(generate_series(0, 3)) AS gy(yd)),
+            px AS (SELECT cell,
+                ((doc_id + 3 * xs + 7 * ys) % 256) +
+                ((2 * xs + 11 * ys + 1) % 256) +
+                ((5 * xs + ys + doc_id % 16) % 256) AS lum
+              FROM cells)
+            SELECT cell, count(*) AS n,
+              CAST(sum(lum) AS BIGINT) AS sum_lum
+            FROM px GROUP BY cell"""),
+      doc = "nearest-neighbor 4x4 resize over decoded BMP pixels")
   )
 }
