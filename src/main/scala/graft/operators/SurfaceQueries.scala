@@ -1414,6 +1414,95 @@ object SurfaceQueries {
             FROM e GROUP BY 1, 2"""),
       doc = "RFC 8671 Adj-RIB-Out: O-flag lane split, advertised vs withheld"),
 
+    // AS-path post-processing knobs (CONFIG-KEYS): bgp_aspath_radius
+    // trims paths to N hops (prepends count as hops); with
+    // bgp_peer_as_skip_subas the peer AS is the first ASN OUTSIDE the
+    // confederated/private range 64512-65534 — falling back to the
+    // first sub-AS when the whole path is internal; and
+    // bgp_stdcomm_pattern_to_asn maps a matching standard community
+    // XXXXX:YYYYY onto (Peer-AS, Origin-AS) for statics/connected
+    // routes that carry no usable path. All three run on the decoded
+    // wire RIB; flows join the broadcast result.
+    Q("q184_aspath_post",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 64).as("k"), col("event_id"))
+          .as[(Long, Long)]
+        val rib = rows.groupByKey(_._1).flatMapGroups {
+          (k: Long, it: Iterator[(Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, eid) =>
+              val priv = eid % 3 == 0
+              val short = !priv && eid % 7 == 0
+              val path =
+                if (priv) Seq(64512L + eid % 4, 65001L + eid % 8,
+                  200L + eid % 16, 300L + eid % 7, 400L)
+                else if (short) Seq(1000L + eid % 10, 400L)
+                else Seq(1000L + eid % 10, 200L + eid % 16,
+                  300L + eid % 7, 400L)
+              val comms =
+                if (eid % 5 == 0)
+                  Seq((65123L << 16) | (7000L + eid % 100))
+                else Seq((65000L << 16) | 1L)
+              val m = BgpMsg.encode(BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(k << 24, 8)), origin = Some(0),
+                asPath = path, nextHop = Some(k), communities = comms))
+              wire.write(m, 0, m.length)
+            }
+            // collector post-processing on the decoded attributes
+            def skipSubAs(p: Seq[Long]): Long =
+              p.find(a => a < 64512L || a > 65534L).getOrElse(p.head)
+            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
+              .flatMap { case (u, seq) =>
+                val pat = u.communities
+                  .map(c => (c >>> 16, c & 0xffffL))
+                  .find(_._1 == 65123L) // stdcomm_pattern "65123:*"
+                val peerAs = pat.map(_._1)
+                  .getOrElse(skipSubAs(u.asPath))
+                val originAs = pat.map(_._2)
+                  .getOrElse(u.asPath.last)
+                val trimmed = u.asPath.take(3) // aspath_radius = 3
+                u.nlri.iterator.map(r => (r.prefix >> 24, seq.toLong,
+                  peerAs, originAs, trimmed.size.toLong))
+              }
+        }.toDF("k", "seq", "peer_as", "origin_as", "radius_len")
+          .groupBy("k")
+          .agg(expr("max_by(peer_as, seq)").as("peer_as"),
+            expr("max_by(origin_as, seq)").as("origin_as"),
+            expr("max_by(radius_len, seq)").as("radius_len"))
+        val fl = flows(s, d)
+        fl.join(broadcast(rib), fl("ip_dst") % 64 === rib("k"))
+          .groupBy("peer_as", "origin_as", "radius_len")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(s"""$flowsSqlCte,
+            m AS (SELECT user_id % 64 AS k, event_id AS seq,
+                event_id % 3 = 0 AS priv,
+                event_id % 3 != 0 AND event_id % 7 = 0 AS short,
+                event_id % 5 = 0 AS haspat,
+                event_id FROM events),
+            post AS (SELECT k, seq,
+                CASE WHEN haspat THEN 65123
+                     WHEN priv THEN 200 + event_id % 16
+                     ELSE 1000 + event_id % 10 END AS peer_as,
+                CASE WHEN haspat THEN 7000 + event_id % 100
+                     ELSE 400 END AS origin_as,
+                CASE WHEN short THEN 2 ELSE 3 END AS radius_len
+              FROM m),
+            rib AS (SELECT k, arg_max(peer_as, seq) AS peer_as,
+                arg_max(origin_as, seq) AS origin_as,
+                arg_max(radius_len, seq) AS radius_len
+              FROM post GROUP BY k)
+            SELECT peer_as, origin_as, radius_len, count(*) AS n,
+              CAST(sum(bytes) AS BIGINT) AS bytes
+            FROM flows JOIN rib ON ip_dst % 64 = k
+            GROUP BY 1, 2, 3"""),
+      doc = "aspath radius + skip-subas peering + stdcomm-to-ASN mapping"),
+
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
     // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE
