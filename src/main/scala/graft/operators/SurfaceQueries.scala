@@ -1503,6 +1503,133 @@ object SurfaceQueries {
             GROUP BY 1, 2, 3"""),
       doc = "aspath radius + skip-subas peering + stdcomm-to-ASN mapping"),
 
+    // bmp_daemon_parse_proxy_header (CONFIG-KEYS; parse_proxy_header,
+    // src/network.c): BMP sessions arrive through an HAProxy front-end
+    // that prepends a PROXY protocol header; a PROXY command (v1 text
+    // or v2 binary) re-attributes the session to the ORIGINAL router
+    // address carried in the header, a v2 LOCAL command keeps the
+    // socket (proxy) identity. Streams mix all three forms; route
+    // counts roll up per attributed source.
+    Q("q185_bmp_proxy",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg, ProxyHdr}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("router"), col("event_id"))
+          .as[(Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (router: Long, it: Iterator[(Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val origIp = 0x0A000000L + router
+            val proxyIp = 0xC0A80001L
+            val wire = new java.io.ByteArrayOutputStream()
+            (router % 3) match {
+              case 0 => // v1 PROXY
+                val h = ProxyHdr.encodeV1(origIp, proxyIp, 40000, 5000)
+                wire.write(h, 0, h.length)
+              case 1 => // v2 PROXY
+                val h = ProxyHdr.encodeV2(proxyCmd = true, origIp,
+                  proxyIp, 40000, 5000)
+                wire.write(h, 0, h.length)
+              case _ => // v2 LOCAL: keep socket identity
+                val h = ProxyHdr.encodeV2(proxyCmd = false, 0L, 0L, 0, 0)
+                wire.write(h, 0, h.length)
+            }
+            evs.foreach { case (_, eid) =>
+              val m = BmpMsg.encodeRouteMonitoring(
+                BmpMsg.PeerHeader(0, 0, 0L, router, 65000 + router,
+                  router, 0L, 0L),
+                BgpMsg.Update(nlri = Seq(BgpMsg.Route(eid << 8, 24)),
+                  origin = Some(0), nextHop = Some(router)))
+              wire.write(m, 0, m.length)
+            }
+            val bytes = wire.toByteArray
+            val parsed = ProxyHdr.decode(bytes).getOrElse(
+              ProxyHdr.Parsed(None, 0))
+            val attributed = parsed.src.map(_._1).getOrElse(proxyIp)
+            val n = BmpMsg.decodeStream(
+              bytes.drop(parsed.consumed)).count {
+                case _: BmpMsg.RouteMonitoring => true
+                case _ => false
+              }
+            Iterator((attributed, router, n.toLong))
+        }
+        decoded.toDF("src_ip", "router", "n_routes")
+          .groupBy("src_ip")
+          .agg(countDistinct("router").as("n_sessions"),
+            sum("n_routes").as("n_routes"))
+      },
+      Some("""WITH e AS (SELECT user_id % 8 AS router, count(*) AS n
+              FROM events GROUP BY 1)
+            SELECT CASE WHEN router % 3 = 2 THEN 3232235521
+                ELSE 167772160 + router END AS src_ip,
+              count(*) AS n_sessions,
+              CAST(sum(n) AS BIGINT) AS n_routes
+            FROM e GROUP BY 1"""),
+      doc = "PROXY protocol v1/v2 re-attribution ahead of the BMP stream"),
+
+    // bgp_table_dump_time_slots (CONFIG-KEYS): table dumps spread over
+    // the refresh interval — the interval divides into S slots, each
+    // node assigned by its address, and a node's table is dumped at
+    // ITS slot instant, not all at once. Modeled over daily refresh
+    // cycles with 4 slots: an update becomes visible at the first
+    // cycle whose slot instant (for its peer's slot) is past the
+    // update time; the per-(cycle, slot) dump sizes are the cumulative
+    // counts — computed with one aggregation + a 120-row window, no
+    // per-dump rescans.
+    Q("q186_dump_slots",
+      (s, d) => {
+        val f = flows(s, d).select(
+          (col("ip_src") % 32).as("peer"), col("t0u"))
+          .withColumn("slot", col("peer") % 4)
+        val tmin = f.agg(min("t0u")).head().getLong(0)
+        val day = 86400000000L
+        val slotLen = day / 4
+        // first cycle c whose dump instant tmin+c*day+(slot+1)*slotLen
+        // covers the update; clamped negatives collapse to 0 identically
+        // under Spark's truncating div and DuckDB's flooring //
+        val ev = f.withColumn("cmin", greatest(lit(0L),
+            expr(s"(t0u - $tmin - (slot + 1) * $slotLen + $day - 1)" +
+              s" div $day")))
+          .filter(col("cmin") <= 29)
+          .groupBy("slot", "cmin").agg(count(lit(1)).as("arrived"))
+        val sp2 = s
+        import sp2.implicits._
+        val grid = (0L until 30L).flatMap(c => (0L until 4L).map(sl =>
+          (c, sl))).toDF("cycle", "slot")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("slot").orderBy("cycle")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        grid.join(ev, grid("slot") === ev("slot") &&
+            grid("cycle") === ev("cmin"), "left")
+          .select(grid("cycle"), grid("slot"),
+            coalesce(col("arrived"), lit(0L)).as("arrived"))
+          .withColumn("dump_size", sum("arrived").over(w))
+          .select("cycle", "slot", "dump_size")
+      },
+      Some(s"""$flowsSqlCte,
+            f AS (SELECT ip_src % 32 AS peer, (ip_src % 32) % 4 AS slot,
+                t0u FROM flows),
+            tm AS (SELECT min(t0u) AS tmin FROM f),
+            ev AS (SELECT slot,
+                greatest(0, (t0u - tmin - (slot + 1) * 21600000000
+                  + 86400000000 - 1) // 86400000000) AS cmin,
+                count(*) AS arrived
+              FROM f, tm
+              GROUP BY 1, 2 HAVING cmin <= 29),
+            grid AS (SELECT c.cycle, s.slot
+              FROM unnest(generate_series(0, 29)) AS c(cycle),
+                   unnest(generate_series(0, 3)) AS s(slot))
+            SELECT cycle, grid.slot AS slot,
+              CAST(sum(coalesce(arrived, 0)) OVER (PARTITION BY grid.slot
+                ORDER BY cycle ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS dump_size
+            FROM grid LEFT JOIN ev
+              ON grid.slot = ev.slot AND grid.cycle = ev.cmin"""),
+      doc = "bgp_table_dump_time_slots: per-slot staggered dump sizes"),
+
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
     // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE

@@ -178,6 +178,25 @@ class ProtocolSpec extends AnyFunSuite {
       .nlriLs == Seq(p6, mtLink))
   }
 
+  test("PROXY protocol v1/v2 parse: PROXY re-attributes, LOCAL keeps") {
+    import graft.sources.ProxyHdr
+    val ip = 0x0A000007L
+    val v1 = ProxyHdr.encodeV1(ip, 0xC0A80001L, 40000, 5000)
+    val p1 = ProxyHdr.decode(v1 ++ Array[Byte](9, 9)).get
+    assert(p1.src.contains((ip, 40000)) && p1.consumed == v1.length)
+    val v2 = ProxyHdr.encodeV2(proxyCmd = true, ip, 0xC0A80001L,
+      40000, 5000)
+    val p2 = ProxyHdr.decode(v2 ++ Array[Byte](1)).get
+    assert(p2.src.contains((ip, 40000)) && p2.consumed == v2.length)
+    val loc = ProxyHdr.encodeV2(proxyCmd = false, 0L, 0L, 0, 0)
+    val pl = ProxyHdr.decode(loc ++ Array[Byte](1)).get
+    assert(pl.src.isEmpty && pl.consumed == 16)
+    // plain stream (BMP version byte 3): no header
+    assert(ProxyHdr.decode(Array[Byte](3, 0, 0, 0, 6, 4)).isEmpty)
+    // malformed v1 (no CRLF) rejected
+    assert(ProxyHdr.decode("PROXY TCP4 junk".getBytes).isEmpty)
+  }
+
   test("ext communities round-trip all three type splits; unknown skipped") {
     import graft.sources.BgpMsg
     val es = Seq(
