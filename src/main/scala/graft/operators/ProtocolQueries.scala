@@ -871,6 +871,99 @@ object ProtocolQueries {
             FROM t GROUP BY 1, 2"""),
       doc = "nfprobe direction/ifindex: tag mapping through v5 in/out"),
 
+    // IPv4 fragment handling (pmacctd_force_frag_handling;
+    // src/ip_frag.c find_fragment/create_fragment): fragments key on
+    // (ip_id, src, dst, proto); only the FIRST fragment carries the
+    // transport header, so ports for later fragments come from the
+    // fragment table. Fragments arriving BEFORE the first accumulate
+    // bytes/packets in the entry and are credited when the first shows
+    // up (fp->a/fp->pa → frag_sum_bytes); datagrams whose first
+    // fragment never arrives are orphans (notify_orphan_fragment) and
+    // are purged unaccounted. The fixture fragments a quarter of the
+    // datagrams 3-way, reorders half of those, orphans half of the
+    // reordered — byte totals only reconcile if all three behaviors
+    // are right. Real frames: encode → parse (id/offset/MF walk).
+    Q("q187_ip_frag",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("event_id"), col("ip_src"), col("ip_dst"),
+            col("port_src"), col("port_dst"),
+            (col("bytes") % 30000).as("bsz")) // fits the 16-bit ip_len
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.flatMap { case (eid, src, dst, sp_, dp, b) =>
+            val frag = eid % 4 == 0
+            val reorder = frag && eid % 8 == 0
+            val orphan = frag && eid % 16 == 0
+            val tup = Pcap.FlowTuple(src, dst, 17, sp_.toInt, dp.toInt,
+              b, eid)
+            val packets: Seq[Pcap.Packet] =
+              if (!frag) Seq(Pcap.frame(tup))
+              else {
+                val l0 = 20 + b / 3
+                val l1 = 20 + b / 3
+                val l2 = 20 + b - 2 * (b / 3)
+                val id = (eid % 65536).toInt
+                val f0 = Pcap.frameFrag(tup.copy(ipLen = l0), id, 0,
+                  mf = true)
+                val f1 = Pcap.frameFrag(tup.copy(ipLen = l1), id, 100,
+                  mf = true)
+                val f2 = Pcap.frameFrag(tup.copy(ipLen = l2), id, 200,
+                  mf = false)
+                if (orphan) Seq(f2, f1)            // first never arrives
+                else if (reorder) Seq(f2, f0, f1)  // first arrives late
+                else Seq(f0, f1, f2)
+              }
+            // ip_frag.c fold over THIS datagram's arrival order
+            var gotFirst = false
+            var ports = (0, 0)
+            var accB = 0L
+            var outB = 0L
+            packets.foreach { p =>
+              val (t, _, off8, _) = Pcap.parseFrag(p).get
+              if (!frag) { gotFirst = true; ports = (t.portSrc, t.portDst)
+                outB += t.ipLen }
+              else if (off8 == 0 && !gotFirst) {
+                gotFirst = true
+                ports = (t.portSrc, t.portDst)
+                outB += t.ipLen + accB // credit pre-first accumulation
+                accB = 0L
+              } else if (gotFirst) outB += t.ipLen
+              else accB += t.ipLen // still waiting for the first
+            }
+            if (gotFirst) Iterator((ports._2.toLong, 1L, outB, 0L, 0L))
+            else Iterator((-1L, 0L, 0L, 1L, accB)) // orphaned datagram
+          }
+        }
+        decoded.toDF("port_dst", "n", "bytes", "n_orphans", "orphan_bytes")
+          .groupBy("port_dst")
+          .agg(sum("n").as("n_datagrams"), sum("bytes").as("bytes"),
+            sum("n_orphans").as("n_orphans"),
+            sum("orphan_bytes").as("orphan_bytes"))
+      },
+      Some(FlowView.cte(s"""
+            , t AS (SELECT event_id AS eid, port_dst, bytes % 30000 AS bytes,
+                event_id % 4 = 0 AS frag,
+                event_id % 16 = 0 AND event_id % 4 = 0 AS orphan
+              FROM flows)
+            SELECT CASE WHEN orphan THEN -1 ELSE port_dst END
+                AS port_dst,
+              CAST(sum(CASE WHEN orphan THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_datagrams,
+              CAST(sum(CASE WHEN orphan THEN 0
+                   WHEN frag THEN bytes + 60 ELSE bytes END) AS BIGINT)
+                AS bytes,
+              CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_orphans,
+              CAST(sum(CASE WHEN orphan
+                   THEN 40 + bytes - (bytes // 3) ELSE 0 END) AS BIGINT)
+                AS orphan_bytes
+            FROM t GROUP BY 1""")),
+      doc = "IPv4 fragment table: first-frag ports, pre-first credit, orphans"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -121,6 +121,63 @@ object Pcap {
     Packet(f.tsUs, 14L + ipLen, buf.array())
   }
 
+  /** Build one IPv4 FRAGMENT frame: id/flags/offset set in the IP
+    * header; only the first fragment (off8 == 0) carries the L4
+    * header — later fragments are opaque payload, exactly why the
+    * reference needs its fragment buffer (src/ip_frag.c). `ipLen` is
+    * the fragment's accounted total-length claim. */
+  def frameFrag(f: FlowTuple, ipId: Int, off8: Int,
+                mf: Boolean): Packet = {
+    val l4 = if (off8 == 0) (if (f.proto == 6) 20 else 8) else 0
+    val buf = ByteBuffer.allocate(14 + 20 + l4)
+    buf.position(12)
+    buf.putShort(0x0800.toShort)
+    buf.put(0x45.toByte)
+    buf.put(0.toByte)
+    buf.putShort(f.ipLen.toInt.toShort)
+    buf.putShort(ipId.toShort)
+    buf.putShort(((if (mf) 0x2000 else 0) | (off8 & 0x1fff)).toShort)
+    buf.put(64.toByte)
+    buf.put(f.proto.toByte)
+    buf.putShort(0)
+    buf.putInt(f.ipSrc.toInt)
+    buf.putInt(f.ipDst.toInt)
+    if (off8 == 0) {
+      buf.putShort(f.portSrc.toShort)
+      buf.putShort(f.portDst.toShort)
+    }
+    Packet(f.tsUs, 14L + 20 + l4, buf.array())
+  }
+
+  /** Parse a v4 frame INCLUDING fragmentation fields: returns the
+    * tuple (ports zero when this is a non-first fragment — there is no
+    * L4 header to read), the IP id, the fragment offset in 8-byte
+    * units, and the MF flag. */
+  def parseFrag(p: Packet): Option[(FlowTuple, Int, Int, Boolean)] = {
+    val data = p.data
+    if (data.length < 14 + 20) return None
+    val buf = ByteBuffer.wrap(data)
+    if ((buf.getShort(12) & 0xffff) != 0x0800) return None
+    val off = 14
+    if ((buf.get(off) & 0xff) >> 4 != 4) return None
+    val ihl = (buf.get(off) & 0xf) * 4
+    val ipLen = buf.getShort(off + 2) & 0xffff
+    val ipId = buf.getShort(off + 4) & 0xffff
+    val flagsOff = buf.getShort(off + 6) & 0xffff
+    val off8 = flagsOff & 0x1fff
+    val mf = (flagsOff & 0x2000) != 0
+    val proto = buf.get(off + 9) & 0xff
+    val src = buf.getInt(off + 12) & 0xffffffffL
+    val dst = buf.getInt(off + 16) & 0xffffffffL
+    val l4Off = off + ihl
+    val (sp, dp) =
+      if (off8 == 0 && data.length >= l4Off + 4)
+        (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+      else (0, 0)
+    Some((FlowTuple(src, dst, proto, sp, dp, ipLen, p.tsUs),
+      ipId, off8, mf))
+  }
+
   /** Build a VLAN-tagged (802.1Q) and/or IPv6 frame. `af=6` writes a
     * 40-byte IPv6 header whose src/dst carry the tuple's longs in the
     * low 8 bytes. */
