@@ -1630,6 +1630,66 @@ object SurfaceQueries {
               ON grid.slot = ev.slot AND grid.cycle = ev.cmin"""),
       doc = "bgp_table_dump_time_slots: per-slot staggered dump sizes"),
 
+    // bgp_daemon_xconnect_map (CONFIG-KEYS; examples/
+    // bgp_xconnects.map.example): BGP proxying — incoming sessions
+    // cross-connect 1:1 to backend collectors, matched on the peer's
+    // source ADDRESS (exact or prefix, not router id); unmatched
+    // sessions are not proxied. The match is an LPM over the map's
+    // bgp_src entries (/32 exacts + subnet rules through the same
+    // plans/Lpm table the data path uses); per-collector session and
+    // forwarded-message counts prove the 1:1 fan-in.
+    Q("q188_bgp_xconnect",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.BgpMsg
+        import graft.plans.Lpm
+        // map: 8 exact /32 rules -> collector 10.0.0.1:17900+p,
+        // one /24 rule -> 10.0.0.2:17910
+        val xmap = new Lpm.Table(32,
+          (0 until 8).map(p =>
+            (0xC0A80000L + p, 32, p.toLong)) :+
+          ((0xC0A80A00L, 24, 1000L)))
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 24).as("peer"), col("event_id"))
+          .as[(Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (peer: Long, it: Iterator[(Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val peerIp =
+              if (peer < 8) 0xC0A80000L + peer
+              else if (peer < 16) 0xC0A80A00L + (peer - 8)
+              else 0xAC100000L + peer // no map entry
+            val wire = new java.io.ByteArrayOutputStream()
+            evs.foreach { case (_, eid) =>
+              val m = BgpMsg.encode(BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(eid << 8, 24)), origin = Some(0),
+                asPath = Seq(65000L + peer), nextHop = Some(peer)))
+              wire.write(m, 0, m.length)
+            }
+            val n = BgpMsg.decodeStream(wire.toByteArray).size.toLong
+            xmap.lookup(peerIp) match {
+              case Long.MinValue => Iterator((-1L, -1L, 1L, n))
+              case v if v == 1000L =>
+                Iterator((0x0A000002L, 17910L, 1L, n))
+              case p => Iterator((0x0A000001L, 17900L + p, 1L, n))
+            }
+        }
+        decoded.toDF("dst_ip", "dst_port", "n_sess", "n_msgs")
+          .groupBy("dst_ip", "dst_port")
+          .agg(sum("n_sess").as("n_sessions"), sum("n_msgs").as("n_msgs"))
+      },
+      Some("""WITH e AS (SELECT user_id % 24 AS peer, count(*) AS n
+              FROM events GROUP BY 1)
+            SELECT CASE WHEN peer < 8 THEN 167772161
+                WHEN peer < 16 THEN 167772162 ELSE -1 END AS dst_ip,
+              CASE WHEN peer < 8 THEN 17900 + peer
+                WHEN peer < 16 THEN 17910 ELSE -1 END AS dst_port,
+              count(*) AS n_sessions,
+              CAST(sum(n) AS BIGINT) AS n_msgs
+            FROM e GROUP BY 1, 2"""),
+      doc = "bgp_daemon_xconnect_map: LPM session cross-connect, 1:1 fan-in"),
+
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
     // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE
