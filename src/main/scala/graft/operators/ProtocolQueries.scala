@@ -964,6 +964,68 @@ object ProtocolQueries {
             FROM t GROUP BY 1""")),
       doc = "IPv4 fragment table: first-frag ports, pre-first credit, orphans"),
 
+    // nfacctd_templates_receiver / nfacctd_templates_port
+    // (CONFIG-KEYS): collectors share template state over the wire —
+    // one collector re-encodes its template cache as template-only
+    // datagrams for peers, so a collector that has only ever seen DATA
+    // sets (e.g. freshly restarted behind a balancer) decodes its
+    // buffered sets the moment the receiver feed arrives, without
+    // waiting for exporter template refresh. Collector A sees
+    // template+data; collector B sees data only, buffers, then
+    // receives A's snapshot feed and drains — per-exporter decoded
+    // counts must agree between A and B.
+    Q("q189_templates_receiver",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.{FieldSpec, IE, TemplateX}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 8).as("exporter"), col("event_id"),
+            (col("event_id") % 64).as("pk"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
+          .as[(Long, Long, Long, Long)]
+        val decoded = rows.groupByKey(_._1).flatMapGroups {
+          (ex: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+            val recs = it.toIndexedSeq.sortBy(_._2)
+            val tmpl = TemplateX((300 + ex).toInt, Seq(
+              FieldSpec(IE.L4SrcPort, 2), FieldSpec(IE.InBytes, 4)))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val dataDgs = recs.grouped(25).map { batch =>
+              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
+                IE.L4SrcPort.toLong -> r._3, IE.InBytes.toLong -> r._4)))
+            }.toSeq
+            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
+            // collector A: normal stream, template first
+            val a = new NetFlowV9.TemplateCache
+            val aRecs = (Seq(tdg) ++ dataDgs).flatMap(a.observeX)
+            // collector B: data only — everything buffers
+            val b = new NetFlowV9.TemplateCache
+            val bBefore = dataDgs.flatMap(b.observeX).size
+            // receiver feed: A re-encodes its cache; B drains on it
+            val feed = a.templatesSnapshot.map(t =>
+              NetFlowV9.encodeTemplateIpfixX(h, t))
+            val bAfter = feed.flatMap(b.observeX)
+            Iterator((ex, aRecs.size.toLong, bBefore.toLong,
+              bAfter.size.toLong,
+              aRecs.map(m => m(IE.InBytes.toLong).asInstanceOf[Long]).sum,
+              bAfter.map(m => m(IE.InBytes.toLong).asInstanceOf[Long]).sum))
+        }
+        decoded.toDF("exporter", "a_decoded", "b_before_feed",
+            "b_after_feed", "a_bytes", "b_bytes")
+          .select(col("exporter"), col("a_decoded"), col("b_before_feed"),
+            col("b_after_feed"), col("a_bytes"), col("b_bytes"))
+      },
+      Some("""SELECT user_id % 8 AS exporter,
+              count(*) AS a_decoded,
+              CAST(0 AS BIGINT) AS b_before_feed,
+              count(*) AS b_after_feed,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS a_bytes,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS b_bytes
+              FROM events GROUP BY 1"""),
+      doc = "templates_receiver: cross-collector template feed drains buffers"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -443,6 +443,13 @@ object NetFlowV9 {
     }
 
     def knownTemplates: Set[Int] = templates.keySet.toSet
+
+    /** Snapshot of the registered templates — the export side of
+      * `nfacctd_templates_receiver` (CONFIG-KEYS): a collector
+      * re-encodes its cache as template-only datagrams for other
+      * collectors, so a restarted/template-less peer can decode data
+      * it buffered before any exporter re-sent templates. */
+    def templatesSnapshot: Seq[TemplateX] = templates.values.toSeq
     def pendingSets: Int = pending.valuesIterator.map(_.size).sum
 
     /** Persist learned templates (nfacctd_templates_file,
