@@ -1026,6 +1026,77 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "templates_receiver: cross-collector template feed drains buffers"),
 
+    // aggregate_unknown_etype (CONFIG-KEYS): frames whose EtherType has
+    // no L3 decoder (ARP, LLDP, proprietary) are dropped by default;
+    // with the knob on they aggregate on the Ethernet header fields
+    // (src_mac/dst_mac/vlan/etype). Mixed capture: IPv4 frames take the
+    // normal tuple path, everything else goes through the L2 view —
+    // including a VLAN-tagged LLDP case, so the tag walk must run
+    // before the etype decision.
+    Q("q190_unknown_etype",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = Tables.events(s, d).select(
+            col("event_id"), col("user_id"),
+            (lit(64L) + col("event_id") % 100).as("flen"),
+            (lit(1L) + col("user_id") % 30).as("vlan"))
+          .as[(Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions(_.map {
+          case (eid, uid, flen, vlanIn) =>
+            val srcMac = 0xAA0000000000L | (uid % 256)
+            def rawFrame(etype: Int, vlan: Int): Pcap.Packet = {
+              val b = java.nio.ByteBuffer.allocate(
+                14 + (if (vlan != 0) 4 else 0) + 8)
+              (0 until 6).foreach(i =>
+                b.put(((0xBB0000000000L >> (40 - 8 * i)) & 0xff).toByte))
+              (0 until 6).foreach(i =>
+                b.put(((srcMac >> (40 - 8 * i)) & 0xff).toByte))
+              if (vlan != 0) {
+                b.putShort(0x8100.toShort)
+                b.putShort(vlan.toShort)
+              }
+              b.putShort(etype.toShort)
+              Pcap.Packet(eid, flen, b.array())
+            }
+            val p = (eid % 4) match {
+              case 0 => Pcap.frame(Pcap.FlowTuple(uid, uid + 1, 17,
+                1000, 53, flen, eid))
+              case 1 => rawFrame(0x0806, 0)          // ARP
+              case 2 => rawFrame(0x88CC, vlanIn.toInt) // LLDP, tagged
+              case _ => rawFrame(0x9999, 0)          // proprietary
+            }
+            Pcap.parse(p) match {
+              case Some(t) => (2048L, 0L, t.ipLen, -1L)
+              case None =>
+                val l2 = Pcap.parseL2(p).get
+                (l2.etype.toLong, l2.vlan.toLong, l2.frameLen,
+                  l2.srcMac & 0xff)
+            }
+        })
+        decoded.toDF("etype", "vlan", "flen", "mac_low")
+          .groupBy("etype", "vlan")
+          .agg(count(lit(1)).as("n"), sum("flen").as("bytes"),
+            countDistinct("mac_low").as("n_src_macs"))
+      },
+      Some("""WITH e AS (SELECT event_id AS eid, user_id AS uid,
+                64 + event_id % 100 AS flen,
+                1 + user_id % 30 AS vlan FROM events),
+            t AS (SELECT
+                CASE eid % 4 WHEN 0 THEN 2048 WHEN 1 THEN 2054
+                  WHEN 2 THEN 35020 ELSE 39321 END AS etype,
+                CASE WHEN eid % 4 = 2 THEN vlan ELSE 0 END AS vlan,
+                flen,
+                CASE WHEN eid % 4 = 0 THEN -1 ELSE uid % 256 END
+                  AS mac_low
+              FROM e)
+            SELECT etype, vlan, count(*) AS n,
+              CAST(sum(flen) AS BIGINT) AS bytes,
+              count(DISTINCT mac_low) AS n_src_macs
+            FROM t GROUP BY 1, 2"""),
+      doc = "aggregate_unknown_etype: L2-keyed accounting for undecoded frames"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

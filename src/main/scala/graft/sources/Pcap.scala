@@ -252,6 +252,33 @@ object Pcap {
     * truncated / non-IP frames (pmacctd drops them the same way).
     * Handles 802.1Q tags (ll.c:65-71) and IPv6 (ll.c:57-59 ip6_handler);
     * IPv6 addresses fold to their low 64 bits per [[FlowTuple]]. */
+  /** L2 view of a frame for the `aggregate_unknown_etype` path
+    * (CONFIG-KEYS): frames whose EtherType has no L3 decoder still
+    * aggregate on (src_mac, dst_mac, vlan, etype). Walks the same
+    * QinQ tag stack as [[parse]]. */
+  final case class L2View(srcMac: Long, dstMac: Long, vlan: Int,
+                          etype: Int, frameLen: Long)
+
+  def parseL2(p: Packet): Option[L2View] = {
+    if (p.data.length < 14) return None
+    val buf = ByteBuffer.wrap(p.data)
+    def mac(o: Int): Long = (0 until 6).foldLeft(0L)((a, i) =>
+      (a << 8) | (buf.get(o + i) & 0xffL))
+    var off = 12
+    var etype = buf.getShort(off) & 0xffff
+    var vlan = 0
+    off += 2
+    var tags = 0
+    while ((etype == 0x8100 || etype == 0x88a8) && tags < 2 &&
+           p.data.length >= off + 4) {
+      if (vlan == 0) vlan = buf.getShort(off) & 0x0fff
+      etype = buf.getShort(off + 2) & 0xffff
+      off += 4
+      tags += 1
+    }
+    Some(L2View(mac(6), mac(0), vlan, etype, p.origLen))
+  }
+
   def parse(p: Packet, linkType: Int = LinkEthernet): Option[FlowTuple] = {
     if (linkType != LinkEthernet || p.data.length < 34) return None
     val buf = ByteBuffer.wrap(p.data)
