@@ -1097,6 +1097,99 @@ object ProtocolQueries {
             FROM t GROUP BY 1, 2"""),
       doc = "aggregate_unknown_etype: L2-keyed accounting for undecoded frames"),
 
+    // IPv6 fragment handling — the find_fragment6 lane of
+    // src/ip_frag.c: v6 fragments ride the RFC 8200 fragment extension
+    // header (next-header 44, 13-bit offset in 8-byte units, M flag,
+    // 32-bit identification), keyed (identification, src, dst). Same
+    // table semantics as the v4 lane (q187): first fragment supplies
+    // the transport header, pre-first bytes accumulate and credit on
+    // its arrival, first-less datagrams purge as orphans. Real frames
+    // both ways: the EH encode/parse is load-bearing.
+    Q("q191_ip6_frag",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("event_id"), col("ip_src"), col("ip_dst"),
+            col("port_src"), col("port_dst"),
+            (col("bytes") % 30000).as("bsz"))
+          .as[(Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.flatMap { case (eid, src, dst, sp_, dp, b) =>
+            val frag = eid % 4 == 0
+            val reorder = frag && eid % 8 == 0
+            val orphan = frag && eid % 16 == 0
+            val tup = Pcap.FlowTuple(src, dst, 17, sp_.toInt, dp.toInt,
+              40L + b, eid, af = 6)
+            val packets: Seq[Pcap.Packet] =
+              if (!frag) Seq(Pcap.frameExt(tup))
+              else {
+                val l0 = 48 + b / 3
+                val l1 = 48 + b / 3
+                val l2 = 48 + b - 2 * (b / 3)
+                val id = eid % 4294967296L
+                val f0 = Pcap.frameFrag6(tup.copy(ipLen = l0), id, 0,
+                  m = true)
+                val f1 = Pcap.frameFrag6(tup.copy(ipLen = l1), id, 100,
+                  m = true)
+                val f2 = Pcap.frameFrag6(tup.copy(ipLen = l2), id, 200,
+                  m = false)
+                if (orphan) Seq(f2, f1)
+                else if (reorder) Seq(f2, f0, f1)
+                else Seq(f0, f1, f2)
+              }
+            var gotFirst = false
+            var ports = (0, 0)
+            var accB = 0L
+            var outB = 0L
+            packets.foreach { p =>
+              if (!frag) {
+                val t = Pcap.parse(p).get
+                gotFirst = true; ports = (t.portSrc, t.portDst)
+                outB += t.ipLen
+              } else {
+                val (t, _, off8, _) = Pcap.parseFrag6(p).get
+                if (off8 == 0 && !gotFirst) {
+                  gotFirst = true
+                  ports = (t.portSrc, t.portDst)
+                  outB += t.ipLen + accB
+                  accB = 0L
+                } else if (gotFirst) outB += t.ipLen
+                else accB += t.ipLen
+              }
+            }
+            if (gotFirst) Iterator((ports._2.toLong, 1L, outB, 0L, 0L))
+            else Iterator((-1L, 0L, 0L, 1L, accB))
+          }
+        }
+        decoded.toDF("port_dst", "n", "bytes", "n_orphans", "orphan_bytes")
+          .groupBy("port_dst")
+          .agg(sum("n").as("n_datagrams"), sum("bytes").as("bytes"),
+            sum("n_orphans").as("n_orphans"),
+            sum("orphan_bytes").as("orphan_bytes"))
+      },
+      Some(FlowView.cte(s"""
+            , t AS (SELECT event_id AS eid, port_dst,
+                bytes % 30000 AS bytes,
+                event_id % 4 = 0 AS frag,
+                event_id % 16 = 0 AND event_id % 4 = 0 AS orphan
+              FROM flows)
+            SELECT CASE WHEN orphan THEN -1 ELSE port_dst END
+                AS port_dst,
+              CAST(sum(CASE WHEN orphan THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_datagrams,
+              CAST(sum(CASE WHEN orphan THEN 0
+                   WHEN frag THEN bytes + 144 ELSE bytes + 40 END)
+                AS BIGINT) AS bytes,
+              CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_orphans,
+              CAST(sum(CASE WHEN orphan
+                   THEN 96 + bytes - (bytes // 3) ELSE 0 END) AS BIGINT)
+                AS orphan_bytes
+            FROM t GROUP BY 1""")),
+      doc = "IPv6 fragment EH lane: same table semantics as v4 (q187)"),
+
     // Config-file veneer: a pmacct plugin config drives the engine
     // end-to-end (aggregate / aggregate_filter / history / preprocess).
     Q("q58_config_driven",

@@ -220,6 +220,62 @@ object Pcap {
     Packet(f.tsUs, (14 + tagLen + ipLenOnWire).toLong, buf.array())
   }
 
+  /** Build one IPv6 FRAGMENT frame (RFC 8200 §4.5 fragment extension
+    * header, next-header 44 — the find_fragment6 lane of
+    * src/ip_frag.c): [next hdr][res][offset13|res2|M][identification].
+    * Only the first fragment (off8 == 0) carries the L4 header. */
+  def frameFrag6(f: FlowTuple, ident: Long, off8: Int,
+                 m: Boolean): Packet = {
+    val l4 = if (off8 == 0) (if (f.proto == 6) 20 else 8) else 0
+    val buf = ByteBuffer.allocate(14 + 40 + 8 + l4)
+    buf.position(12)
+    buf.putShort(0x86DD.toShort)
+    buf.putInt(0x60000000)
+    buf.putShort((f.ipLen - 40).toInt.toShort) // payload-length claim
+    buf.put(44.toByte)                  // next header: fragment EH
+    buf.put(64.toByte)
+    buf.putLong(0L).putLong(f.ipSrc)
+    buf.putLong(0L).putLong(f.ipDst)
+    buf.put(f.proto.toByte)             // EH: inner next header
+    buf.put(0.toByte)
+    buf.putShort((((off8 & 0x1fff) << 3) | (if (m) 1 else 0)).toShort)
+    buf.putInt(ident.toInt)
+    if (off8 == 0) {
+      buf.putShort(f.portSrc.toShort)
+      buf.putShort(f.portDst.toShort)
+    }
+    Packet(f.tsUs, (14 + 40 + 8 + l4).toLong, buf.array())
+  }
+
+  /** Parse a v6 frame with a fragment extension header: tuple (ports
+    * zero on non-first fragments), identification, offset (8-byte
+    * units), M flag. None if not v6-with-fragment-EH. */
+  def parseFrag6(p: Packet): Option[(FlowTuple, Long, Int, Boolean)] = {
+    val data = p.data
+    if (data.length < 14 + 48) return None
+    val buf = ByteBuffer.wrap(data)
+    if ((buf.getShort(12) & 0xffff) != 0x86DD) return None
+    val off = 14
+    if ((buf.get(off) & 0xff) >> 4 != 6) return None
+    val payLen = buf.getShort(off + 4) & 0xffff
+    if ((buf.get(off + 6) & 0xff) != 44) return None
+    val src = buf.getLong(off + 8 + 8)
+    val dst = buf.getLong(off + 24 + 8)
+    val eh = off + 40
+    val proto = buf.get(eh) & 0xff
+    val offM = buf.getShort(eh + 2) & 0xffff
+    val off8 = offM >>> 3
+    val m = (offM & 1) != 0
+    val ident = buf.getInt(eh + 4) & 0xffffffffL
+    val l4Off = eh + 8
+    val (sp, dp) =
+      if (off8 == 0 && data.length >= l4Off + 4)
+        (buf.getShort(l4Off) & 0xffff, buf.getShort(l4Off + 2) & 0xffff)
+      else (0, 0)
+    Some((FlowTuple(src, dst, proto, sp, dp, 40L + payLen, p.tsUs,
+      af = 6), ident, off8, m))
+  }
+
   /** Wrap an inner Ethernet frame in outer Eth/IPv4/UDP:4789/VXLAN
     * (nl.c:307-311: decap when dst_port == UDP_PORT_VXLAN and the I flag
     * is set). */
