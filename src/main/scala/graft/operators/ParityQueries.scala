@@ -153,6 +153,46 @@ object ParityQueries {
            SELECT port_dst, count(*) AS n, CAST(sum(bytes) AS BIGINT)
              AS bytes, 'all_acct' AS plugin
            FROM flows GROUP BY port_dst""")),
-      doc = "shared-scan fan-out to multiple plugin outputs")
+      doc = "shared-scan fan-out to multiple plugin outputs"),
+
+    // pre_tag_map 'filter' key (examples/pretag.map.example:107-110,
+    // 258): a rule's MATCH criterion is a libpcap expression evaluated
+    // against the packet — the mechanism the lpref.map docs point at
+    // for MAC/L2-based direction inference. Here the map's filters
+    // compile through the same plans/BpfFilter the aggregate_filter
+    // path uses, composed with an 'in' interface key, first-match-wins
+    // like every pretag chain. A compiler or precedence defect
+    // re-tags whole rule populations.
+    Q("q192_pretag_bpf",
+      (s, d) => {
+        import graft.plans.BpfFilter
+        val f = flows(s, d).withColumn("iface", col("port_src") % 4)
+        val fields = BpfFilter.Fields(
+          ipSrc = col("ip_src"), ipDst = col("ip_dst"),
+          portSrc = col("port_src"), portDst = col("port_dst"),
+          proto = col("ip_proto"), bytes = col("bytes"),
+          packets = col("packets"))
+        // set_tag=10 filter='udp and dst port 53'
+        // set_tag=20 in=1 filter='tcp and dst port 443'
+        // set_tag=30 filter='not tcp'
+        val r1 = BpfFilter.compile("udp and dst port 53", fields)
+        val r2 = BpfFilter.compile("tcp and dst port 443", fields) &&
+          col("iface") === 1L
+        val r3 = BpfFilter.compile("not tcp", fields)
+        f.withColumn("tag",
+            when(r1, 10L).when(r2, 20L).when(r3, 30L).otherwise(0L))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT CASE
+             WHEN ip_proto = 17 AND port_dst = 53 THEN 10
+             WHEN ip_proto = 6 AND port_dst = 443
+                  AND port_src % 4 = 1 THEN 20
+             WHEN ip_proto != 6 THEN 30
+             ELSE 0 END AS tag,
+           count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows GROUP BY 1""")),
+      doc = "pre_tag_map filter key: BPF-compiled rules, first-match-wins")
   )
 }

@@ -178,6 +178,31 @@ class ProtocolSpec extends AnyFunSuite {
       .nlriLs == Seq(p6, mtLink))
   }
 
+  test("fragment frames round-trip: v4 id/offset/MF, v6 fragment EH") {
+    import graft.sources.Pcap
+    val t = Pcap.FlowTuple(0x0A000001L, 0x0A000002L, 17, 1234, 53,
+      568L, 99L)
+    // v4 first fragment carries ports; later fragments do not
+    val (t0, id0, off0, mf0) =
+      Pcap.parseFrag(Pcap.frameFrag(t, 7777, 0, mf = true)).get
+    assert(t0.portSrc == 1234 && t0.portDst == 53 && id0 == 7777 &&
+      off0 == 0 && mf0)
+    val (t1, _, off1, mf1) =
+      Pcap.parseFrag(Pcap.frameFrag(t, 7777, 185, mf = false)).get
+    assert(t1.portSrc == 0 && t1.portDst == 0 && off1 == 185 && !mf1)
+    // v6 fragment EH: identification + 13-bit offset + M flag
+    val t6 = t.copy(af = 6, ipLen = 88L)
+    val (s0, i0, o0, m0) =
+      Pcap.parseFrag6(Pcap.frameFrag6(t6, 0xCAFEBABEL, 0, m = true)).get
+    assert(s0.portSrc == 1234 && i0 == 0xCAFEBABEL && o0 == 0 && m0)
+    val (s1, i1, o1, m1) =
+      Pcap.parseFrag6(Pcap.frameFrag6(t6, 0xCAFEBABEL, 200,
+        m = false)).get
+    assert(s1.portSrc == 0 && i1 == 0xCAFEBABEL && o1 == 200 && !m1)
+    // a plain v4 frame is not a v6 fragment and vice versa
+    assert(Pcap.parseFrag6(Pcap.frame(t)).isEmpty)
+  }
+
   test("PROXY protocol v1/v2 parse: PROXY re-attributes, LOCAL keeps") {
     import graft.sources.ProxyHdr
     val ip = 0x0A000007L
