@@ -193,6 +193,52 @@ object ParityQueries {
              ELSE 0 END AS tag,
            count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes
            FROM flows GROUP BY 1""")),
-      doc = "pre_tag_map filter key: BPF-compiled rules, first-match-wins")
+      doc = "pre_tag_map filter key: BPF-compiled rules, first-match-wins"),
+
+    // maps_refresh + SIGUSR2 (CONFIG-KEYS): map files reload at
+    // runtime without restart — records processed before the reload
+    // instant carry the OLD map's tags, records after carry the NEW
+    // map's. Relationally that is an as-of versioned dimension: two
+    // rule generations with a validity boundary at the reload instant
+    // (the data midpoint here), applied per record time. Tag
+    // populations split exactly at the boundary; a wrong-era
+    // application moves whole groups.
+    Q("q193_maps_reload",
+      (s, d) => {
+        val f = flows(s, d).withColumn("exporter", col("ip_src") % 16)
+        val bounds = f.groupBy().agg(
+          min("t0u").as("tmin"), max("t0u").as("tmax"))
+        f.crossJoin(broadcast(bounds))
+          .withColumn("reload_t",
+            expr("tmin + (tmax - tmin) div 2"))
+          .withColumn("era",
+            when(col("t0u") < col("reload_t"), 1L).otherwise(2L))
+          .withColumn("tag",
+            when(col("era") === 1L, // map v1: only https tagged
+              when(col("port_dst") === 443L,
+                lit(100L) + col("exporter") % 4).otherwise(0L))
+            .otherwise(              // map v2: https+alt, new id plan
+              when(col("port_dst").isin(443L, 8443L),
+                lit(200L) + col("exporter") % 8).otherwise(0L)))
+          .groupBy("era", "tag")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+      },
+      Some(FlowView.cte(
+        """SELECT era, tag, count(*) AS n,
+             CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM (
+             SELECT CASE WHEN t0u < (SELECT min(t0u) +
+                 (max(t0u) - min(t0u)) // 2 FROM flows) THEN 1 ELSE 2
+               END AS era,
+               port_dst, ip_src % 16 AS exporter, bytes, t0u
+             FROM flows) f
+           CROSS JOIN LATERAL (SELECT CASE
+             WHEN era = 1 AND port_dst = 443
+               THEN 100 + exporter % 4
+             WHEN era = 2 AND port_dst IN (443, 8443)
+               THEN 200 + exporter % 8
+             ELSE 0 END AS tag) t
+           GROUP BY 1, 2""")),
+      doc = "maps_refresh/SIGUSR2: as-of versioned map application")
   )
 }
