@@ -239,6 +239,58 @@ object ParityQueries {
                THEN 200 + exporter % 8
              ELSE 0 END AS tag) t
            GROUP BY 1, 2""")),
-      doc = "maps_refresh/SIGUSR2: as-of versioned map application")
+      doc = "maps_refresh/SIGUSR2: as-of versioned map application"),
+
+    // print_markers / kafka_markers (CONFIG-KEYS): every purge batch
+    // brackets its records with purge_init/purge_close messages
+    // carrying writer id and entry counts, so a consumer can detect
+    // truncated batches. The producer emits the marked JSON stream
+    // per 5-minute purge; the CONSUMER side re-parses every message
+    // (from_json over the union schema) and reconciles each batch's
+    // data count against its close marker — the integrity check the
+    // markers exist for.
+    Q("q194_print_markers",
+      (s, d) => {
+        val f = flows(s, d)
+          .withColumn("bin", expr("t0u div 300000000"))
+        val data = f.select(col("bin"), to_json(struct(
+          lit("data").as("type"), col("bin"), col("port_dst"),
+          col("bytes"))).as("msg"))
+        val markers = f.groupBy("bin")
+          .agg(count(lit(1)).as("entries"))
+          .select(col("bin"), to_json(struct(
+            lit("purge_close").as("type"), col("bin"),
+            col("entries"),
+            concat(lit("w"), (col("bin") % 8).cast("string"))
+              .as("writer_id"))).as("msg"))
+        val stream = data.union(markers)
+        val sch = org.apache.spark.sql.types.StructType.fromDDL(
+          "type STRING, bin BIGINT, port_dst BIGINT, " +
+          "bytes BIGINT, entries BIGINT, writer_id STRING")
+        stream.select(from_json(col("msg"), sch).as("m"))
+          .select(col("m.type").as("tp"), col("m.bin").as("bin"),
+            col("m.entries").as("entries"))
+          .groupBy("bin")
+          .agg(
+            sum(when(col("tp") === "data", 1L).otherwise(0L))
+              .as("n_data"),
+            max(when(col("tp") === "purge_close", col("entries")))
+              .as("close_entries"))
+          .withColumn("writer_id",
+            concat(lit("w"), (col("bin") % 8).cast("string")))
+          .groupBy("writer_id")
+          .agg(count(lit(1)).as("n_batches"),
+            sum("n_data").as("entries"),
+            sum(when(col("n_data") === col("close_entries"), 1L)
+              .otherwise(0L)).as("n_reconciled"))
+      },
+      Some(FlowView.cte(
+        """SELECT 'w' || CAST((t0u // 300000000) % 8 AS VARCHAR)
+             AS writer_id,
+           count(DISTINCT t0u // 300000000) AS n_batches,
+           count(*) AS entries,
+           count(DISTINCT t0u // 300000000) AS n_reconciled
+           FROM flows GROUP BY 1""")),
+      doc = "print/kafka markers: purge_close entry counts reconciled")
   )
 }
