@@ -1690,6 +1690,74 @@ object SurfaceQueries {
             FROM e GROUP BY 1, 2"""),
       doc = "bgp_daemon_xconnect_map: LPM session cross-connect, 1:1 fan-in"),
 
+    // bgp_neighbors_file (CONFIG-KEYS): the daemon writes its current
+    // neighbor list — address, state, negotiated parameters — for
+    // operators and scripts. The view is a session-FSM rollup: every
+    // peer runs the RFC 4271 machine over its wire stream (OPEN
+    // negotiation with min-hold, keepalives, updates, one cohort ends
+    // in NOTIFICATION, one lets the hold timer expire), and the file
+    // row is the end-state + delivered/drop counters per neighbor.
+    Q("q195_bgp_neighbors",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BgpFsm}
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 16).as("peer"), col("event_id"))
+          .as[(Long, Long)]
+        val decoded = rows.groupByKey(_._1).mapGroups {
+          (peer: Long, it: Iterator[(Long, Long)]) =>
+            val evs = it.toIndexedSeq.sortBy(_._2)
+            val n = evs.size
+            val k = n / 2
+            val fsm = new BgpFsm(65500L, 0x7F000001L, holdTime = 90)
+            fsm.start(0L)
+            def feed(bytes: Array[Byte], t: Long): Unit =
+              fsm.onMessage(BgpMsg.decodeMessage(
+                java.nio.ByteBuffer.wrap(bytes)), t)
+            feed(BgpMsg.encodeOpen(BgpMsg.Open(65000L + peer,
+              (30 + peer).toInt, peer)), 1L)
+            feed(BgpMsg.encodeKeepalive(), 2L)
+            def upd(eid: Long, t: Long): Unit =
+              feed(BgpMsg.encode(BgpMsg.Update(
+                nlri = Seq(BgpMsg.Route(eid << 8, 24)),
+                origin = Some(0), nextHop = Some(peer))), t)
+            if (peer % 5 == 0) {          // NOTIFICATION mid-session
+              evs.take(k).zipWithIndex.foreach { case ((_, eid), i) =>
+                upd(eid, 3L + i) }
+              feed(BgpMsg.encodeNotification(6, 2), 3L + k)
+            } else if (peer % 7 == 0) {   // hold-timer expiry
+              evs.take(k).zipWithIndex.foreach { case ((_, eid), i) =>
+                upd(eid, 3L + i) }
+              evs.drop(k).headOption.foreach { case (_, eid) =>
+                upd(eid, 3L + k + fsm.negotiatedHold + 10) } // too late
+            } else {
+              evs.zipWithIndex.foreach { case ((_, eid), i) =>
+                upd(eid, 3L + i) }
+            }
+            val st = fsm.state.toString
+            (peer, st,
+              fsm.peerOpen.map(_.asn).getOrElse(65000L + peer),
+              math.min(90, 30 + peer),
+              fsm.delivered.size.toLong, fsm.sessionDrops.toLong)
+        }
+        decoded.toDF("peer", "state", "peer_as", "hold",
+          "n_delivered", "drops")
+      },
+      Some("""WITH e AS (SELECT user_id % 16 AS peer, count(*) AS n
+              FROM events GROUP BY 1)
+            SELECT peer,
+              CASE WHEN peer % 5 = 0 OR peer % 7 = 0 THEN 'Idle'
+                ELSE 'Established' END AS state,
+              65000 + peer AS peer_as,
+              least(90, 30 + peer) AS hold,
+              CAST(CASE WHEN peer % 5 = 0 OR peer % 7 = 0 THEN n // 2
+                ELSE n END AS BIGINT) AS n_delivered,
+              CAST(CASE WHEN peer % 5 = 0 OR peer % 7 = 0 THEN 1
+                ELSE 0 END AS BIGINT) AS drops
+            FROM e"""),
+      doc = "bgp_neighbors_file: per-neighbor FSM end-state + counters"),
+
     // Extended communities (RFC 4360; reference src/bgp/
     // bgp_ecommunity.c ecommunity_ecom2str splits the 6-byte value by
     // type: AS2:val4 / IPv4:val2 / AS4:val2) + the RFC 7999 BLACKHOLE
