@@ -154,12 +154,15 @@ case class LpmLookup(child: Expression, table: Lpm.Table)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("lpmTable", table,
       classOf[Lpm.Table].getName)
+    // fresh local per expression instance — two lookups fused into one
+    // whole-stage-codegen scope must not collide on the variable name
+    val r = ctx.freshName("lpmR")
     nullSafeCodeGen(ctx, ev, ip => s"""
-      long lpmR = $tableRef.lookup($ip);
-      if (lpmR == Long.MIN_VALUE) {
+      long $r = $tableRef.lookup($ip);
+      if ($r == Long.MIN_VALUE) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = lpmR;
+        ${ev.value} = $r;
       }
     """)
   }
@@ -188,12 +191,13 @@ case class LpmLookup6(left: Expression, right: Expression,
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("lpm6Table", table,
       classOf[Lpm.Table6].getName)
+    val r = ctx.freshName("lpm6R")
     nullSafeCodeGen(ctx, ev, (hi, lo) => s"""
-      long lpm6R = $tableRef.lookup($hi, $lo);
-      if (lpm6R == Long.MIN_VALUE) {
+      long $r = $tableRef.lookup($hi, $lo);
+      if ($r == Long.MIN_VALUE) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = lpm6R;
+        ${ev.value} = $r;
       }
     """)
   }

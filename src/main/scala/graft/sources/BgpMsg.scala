@@ -467,7 +467,7 @@ object BgpMsg {
     * skip the 8-byte identifier, then dispatch descriptor TLVs;
     * unknown TLVs are skipped by declared length (the reference logs
     * "Unknown TLV" and continues). Malformed entries stop the walk. */
-  private def readLsNlris(buf: ByteBuffer, end: Int): Seq[LsNlri] = {
+  private[graft] def readLsNlris(buf: ByteBuffer, end: Int): Seq[LsNlri] = {
     val out = mutable.Buffer[LsNlri]()
     var bad = false
     while (!bad && buf.position() + 4 <= end) {
@@ -513,7 +513,12 @@ object BgpMsg {
             case 263 if l == 2 => mtId = buf.getShort() & 0xffffL
             case 265 if l >= 1 => // IP reachability: [mask:1][prefix]
               plen = buf.get() & 0xff
-              if (1 + (plen + 7) / 8 > l) plen = 0 // truncated: discard
+              // Cap like the reference (bgp_ls.c ip_reach handler): a v4
+              // prefix is at most 4 bytes, v6 at most 16 — a crafted plen
+              // beyond that would read past the fixed array (v6) or shift
+              // negatively into garbage (v4). Reject the entry instead.
+              if (1 + (plen + 7) / 8 > l ||
+                  (plen + 7) / 8 > (if (tpe == 4) 16 else 4)) plen = 0
               else if (tpe == 4) { // v6: up to 16 bytes, two limbs
                 val full = new Array[Byte](16)
                 buf.get(full, 0, (plen + 7) / 8)

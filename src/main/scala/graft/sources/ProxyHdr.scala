@@ -63,8 +63,17 @@ object ProxyHdr {
       val line = new String(bytes, 0, end, StandardCharsets.US_ASCII)
       val parts = line.split(" ")
       if (parts.length != 6 || parts(1) != "TCP4") return None
-      val ip = parts(2).split("\\.").map(_.toLong)
-        .foldLeft(0L)((a, o) => (a << 8) | o)
+      // Reject non-numeric / out-of-range fields like the reference's
+      // parse_proxy_header: exactly 4 octets 0-255 and a numeric port,
+      // else the stream is treated as plain (documented contract above).
+      val octets = parts(2).split("\\.")
+      if (octets.length != 4 ||
+          !octets.forall(o => o.nonEmpty && o.length <= 3 &&
+            o.forall(_.isDigit) && o.toInt <= 255) ||
+          !(parts(4).nonEmpty && parts(4).length <= 5 &&
+            parts(4).forall(_.isDigit) && parts(4).toInt <= 65535))
+        return None
+      val ip = octets.map(_.toLong).foldLeft(0L)((a, o) => (a << 8) | o)
       Some(Parsed(Some((ip, parts(4).toInt)), end + 2))
     } else if (bytes.length >= 16 &&
         bytes.take(12).sameElements(V2Sig)) {

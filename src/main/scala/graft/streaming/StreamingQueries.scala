@@ -524,9 +524,15 @@ object StreamingQueries {
         // A stream-stream join runs 4 state stores PER shuffle
         // partition; their per-batch maintenance dominates a
         // single-trigger run (measured 3x at 32 vs 8). Size partitions
-        // to stream volume: small here, restored after the query.
+        // from the source's own scan parallelism (≈ volume /
+        // maxPartitionBytes — grows with data, so at real volume this
+        // widens instead of pinning to a constant), capped at the
+        // session's shuffle width; restored after the query.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", 8)
+        val scanParts =
+          s.read.parquet(s"$d/events.parquet").rdd.getNumPartitions
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(2, math.min(scanParts, prevParts.toInt)))
         def src() = s.readStream.schema(schema).parquet(s"$d/events.*")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         // Banded range join: equality on (exporter, 10-min time band)
@@ -555,11 +561,13 @@ object StreamingQueries {
             col("band") === col("o_band") &&
             col("tb") <= col("ta") &&
             col("tb") > col("ta") - expr("INTERVAL 10 MINUTES"))
-        val q = joined.select("exporter", "bytes", "rate")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val q = joined.select("exporter", "bytes", "rate")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table(name).groupBy("exporter")
           .agg(count(lit(1)).as("n_pairs"),
             sum(expr("bytes * rate")).as("renorm_bytes"))

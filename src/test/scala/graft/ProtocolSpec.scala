@@ -176,6 +176,30 @@ class ProtocolSpec extends AnyFunSuite {
     val u6 = BgpMsg.Update(nlriLs = Seq(p6, mtLink), nextHop = Some(1L))
     assert(BgpMsg.decodeStream(BgpMsg.encode(u6)).head
       .nlriLs == Seq(p6, mtLink))
+    // crafted IP-reach (TLV 265) beyond the reference's pfx_size caps
+    // (bgp_ls.c ip_reach: <=4 bytes v4, <=16 v6) must be rejected, not
+    // read past the fixed array or shifted negatively into garbage
+    def lsEntry(tpe: Int, tlv: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 9 + tlv.length)
+      b.putShort(tpe.toShort).putShort((9 + tlv.length).toShort)
+      b.put(1.toByte); b.put(new Array[Byte](8)); b.put(tlv)
+      b.array()
+    }
+    def reachTlv(plen: Int, nBytes: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + nBytes)
+      b.putShort(265.toShort).putShort((1 + nBytes).toShort)
+      b.put(plen.toByte); b.put(Array.fill[Byte](nBytes)(0x55))
+      b.array()
+    }
+    // v6 entry, plen=255 with 32 prefix bytes declared (would overrun
+    // the 16-byte limb array); v4 entry, plen=64 with 8 bytes (would
+    // shift by a negative amount)
+    val crafted = lsEntry(4, reachTlv(255, 32)) ++
+      lsEntry(3, reachTlv(64, 8))
+    val parsed = BgpMsg.readLsNlris(
+      java.nio.ByteBuffer.wrap(crafted), crafted.length)
+    assert(parsed == Seq(BgpMsg.LsPrefix6(1, 0L, 0L, 0L, 0L, 0),
+      BgpMsg.LsPrefix(1, 0L, 0L, 0L, 0)))
   }
 
   test("fragment frames round-trip: v4 id/offset/MF, v6 fragment EH") {
@@ -220,6 +244,16 @@ class ProtocolSpec extends AnyFunSuite {
     assert(ProxyHdr.decode(Array[Byte](3, 0, 0, 0, 6, 4)).isEmpty)
     // malformed v1 (no CRLF) rejected
     assert(ProxyHdr.decode("PROXY TCP4 junk".getBytes).isEmpty)
+    // malformed v1 fields return None (documented contract): non-numeric
+    // IP octets / port, wrong octet count, out-of-range values
+    Seq("PROXY TCP4 a.b.c.d 192.168.0.1 40000 5000",
+        "PROXY TCP4 10.0.0.7 192.168.0.1 port 5000",
+        "PROXY TCP4 10.0.0 192.168.0.1 40000 5000",
+        "PROXY TCP4 10.0.0.7.9 192.168.0.1 40000 5000",
+        "PROXY TCP4 10.0.0.999 192.168.0.1 40000 5000",
+        "PROXY TCP4 10.0.0.7 192.168.0.1 70000 5000")
+      .foreach(l => assert(ProxyHdr.decode((l + "\r\n").getBytes).isEmpty,
+        l))
   }
 
   test("ext communities round-trip all three type splits; unknown skipped") {
