@@ -1199,56 +1199,58 @@ object SurfaceQueries {
         val sp = s
         import sp.implicits._
         import graft.sources.{BgpMsg, BmpMsg}
+        // 64 router sessions through the secondary-sort walk: the shuffle
+        // delivers each session ordered by event_id, the handler encodes
+        // and decodes INCREMENTALLY through a bounded chunk buffer —
+        // memory is O(chunk + distinct prefixes), never the session's
+        // full event set (the r5 "weak" fix).
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 8).as("router"), col("event_id"),
-            ((col("user_id") % 8) * 4096 + col("event_id") % 512)
+            (col("user_id") % 64).as("router"), col("event_id"),
+            ((col("user_id") % 64) * 4096 + col("event_id") % 512)
               .as("pfx"),
             (expr("CAST(floor(value * 1000) AS BIGINT)") >= 500)
               .as("pass"))
           .as[(Long, Long, Long, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (router: Long, it: Iterator[(Long, Long, Long, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            def mon(peerType: Int, flags: Int, pfx: Long): Unit = {
-              val m = BmpMsg.encodeRouteMonitoring(
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (router, run) =>
+            val adjSeen = scala.collection.mutable.Set[Long]()
+            val locSeen = scala.collection.mutable.Set[Long]()
+            var g8 = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BmpMsg.decodeStream(chunk).foreach {
+                case m: BmpMsg.RouteMonitoring if m.peer.peerType == 0 =>
+                  m.update.nlri.foreach(r => adjSeen += (r.prefix >> 8))
+                case m: BmpMsg.RouteMonitoring if m.peer.peerType == 3 &&
+                    (m.peer.flags & 0x80) != 0 =>
+                  m.update.nlri.foreach(r => locSeen += (r.prefix >> 8))
+                case m: BmpMsg.StatsReport if m.peer.peerType == 3 =>
+                  g8 = m.stats.getOrElse(8, -1L)
+                case _ => ()
+              })
+            def mon(peerType: Int, flags: Int, pfx: Long): Unit =
+              wire.write(BmpMsg.encodeRouteMonitoring(
                 BmpMsg.PeerHeader(peerType, flags, 0L, router,
                   65000 + router, router, 0L, 0L),
                 BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx << 8, 24)),
-                  origin = Some(0), nextHop = Some(router)))
-              wire.write(m, 0, m.length)
-            }
-            evs.foreach { case (_, _, pfx, pass) =>
+                  origin = Some(0), nextHop = Some(router))))
+            val encLoc = scala.collection.mutable.Set[Long]()
+            run.foreach { case (_, _, pfx, pass) =>
               mon(0, 0, pfx)                    // adj-rib-in
-              if (pass) mon(3, 0x80, pfx)       // loc-rib, F flag
+              if (pass) { mon(3, 0x80, pfx); encLoc += pfx } // loc-rib
             }
-            val gauge = evs.filter(_._4).map(_._3).distinct.size.toLong
-            val st = BmpMsg.encodeStatsReport(
+            wire.write(BmpMsg.encodeStatsReport(
               BmpMsg.PeerHeader(3, 0x80, 0L, router, 65000 + router,
                 router, 0L, 0L),
-              Map(8 -> gauge))
-            wire.write(st, 0, st.length)
-            val msgs = BmpMsg.decodeStream(wire.toByteArray)
-            val adj = msgs.collect {
-              case m: BmpMsg.RouteMonitoring if m.peer.peerType == 0 =>
-                m.update.nlri.map(_.prefix >> 8)
-            }.flatten.distinct.size.toLong
-            val loc = msgs.collect {
-              case m: BmpMsg.RouteMonitoring if m.peer.peerType == 3 &&
-                  (m.peer.flags & 0x80) != 0 =>
-                m.update.nlri.map(_.prefix >> 8)
-            }.flatten.distinct.size.toLong
-            val g8 = msgs.collect {
-              case m: BmpMsg.StatsReport if m.peer.peerType == 3 =>
-                m.stats.getOrElse(8, -1L)
-            }.headOption.getOrElse(-1L)
-            Iterator((router, adj, loc, g8,
-              if (loc == g8) 1L else 0L))
+              Map(8 -> encLoc.size.toLong)))
+            wire.flush()
+            Iterator((router, adjSeen.size.toLong, locSeen.size.toLong,
+              g8, if (locSeen.size.toLong == g8) 1L else 0L))
+          }
         }
         decoded.toDF("router", "n_adj", "n_locrib", "gauge8", "reconciled")
       },
-      Some("""WITH msgs AS (SELECT user_id % 8 AS router,
-                (user_id % 8) * 4096 + event_id % 512 AS pfx,
+      Some("""WITH msgs AS (SELECT user_id % 64 AS router,
+                (user_id % 64) * 4096 + event_id % 512 AS pfx,
                 CAST(floor(value * 1000) AS BIGINT) >= 500 AS pass
               FROM events)
             SELECT router, CAST(count(DISTINCT pfx) AS BIGINT) AS n_adj,
@@ -1277,67 +1279,69 @@ object SurfaceQueries {
         import sp.implicits._
         import graft.sources.{BgpMsg, BmpMsg}
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 8).as("router"), col("event_id"),
+            (col("user_id") % 64).as("router"), col("event_id"),
             (col("event_type") === "error").as("asloop"),
             (col("event_type") =!= "error" && col("event_id") % 11 === 0)
               .as("cloop"),
             (col("event_type") =!= "error" && col("event_id") % 11 =!= 0
               && col("event_id") % 7 === 0).as("dup"))
           .as[(Long, Long, Boolean, Boolean, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (router: Long, it: Iterator[(Long, Long, Boolean, Boolean, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (router, run) =>
             val ownAs = 65000L + router
             val peer = BmpMsg.PeerHeader(0, 0, 0L, router, ownAs,
               router, 0L, 0L)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, eid, asloop, cloop, dup) =>
+            // collector side: recompute every counter from the decoded
+            // stream as chunks flush (seen-set = the distinct-count
+            // state any exact dup check needs; 8-byte keys only)
+            val seen = scala.collection.mutable.Set[Long]()
+            var (rDup, rCloop, rAsloop) = (0L, 0L, 0L)
+            var rep: Map[Int, Long] = Map.empty
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BmpMsg.decodeStream(chunk).foreach {
+                case m: BmpMsg.RouteMonitoring =>
+                  val u = m.update
+                  val pfx = u.nlri.head.prefix
+                  if (u.asPath.contains(ownAs)) rAsloop += 1
+                  else if (u.clusterList.contains(router)) rCloop += 1
+                  else if (seen.contains(pfx)) rDup += 1
+                  else seen += pfx
+                case m: BmpMsg.StatsReport => rep = m.stats
+                case _ => ()
+              })
+            // router side: running counters while encoding
+            var (nAsloop, nCloop, nDup, nEvs) = (0L, 0L, 0L, 0L)
+            run.foreach { case (_, eid, asloop, cloop, dup) =>
               val path =
                 if (asloop) Seq(64900L, ownAs, 64800L)
                 else Seq(64900L, 64800L + eid % 16)
               val cl = if (cloop) Seq(router, 999L) else Seq(999L)
-              val u = BgpMsg.Update(
+              val m = BmpMsg.encodeRouteMonitoring(peer, BgpMsg.Update(
                 nlri = Seq(BgpMsg.Route(eid << 8, 24)),
                 origin = Some(0), asPath = path, nextHop = Some(router),
-                clusterList = cl)
-              val m = BmpMsg.encodeRouteMonitoring(peer, u)
-              wire.write(m, 0, m.length)
-              if (dup) wire.write(m, 0, m.length) // exact re-advertise
+                clusterList = cl))
+              wire.write(m)
+              if (dup) wire.write(m) // exact re-advertise
+              nEvs += 1
+              if (asloop) nAsloop += 1
+              if (cloop) nCloop += 1
+              if (dup) nDup += 1
             }
-            val nAsloop = evs.count(_._3).toLong
-            val nCloop = evs.count(_._4).toLong
-            val nDup = evs.count(_._5).toLong
-            val adjRib = evs.size.toLong - nAsloop - nCloop
-            val st = BmpMsg.encodeStatsReport(peer,
-              Map(1 -> nDup, 3 -> nCloop, 4 -> nAsloop, 7 -> adjRib))
-            wire.write(st, 0, st.length)
-            // ---- collector side: recompute from the decoded stream
-            val msgs = BmpMsg.decodeStream(wire.toByteArray)
-            val seen = scala.collection.mutable.Set[Long]()
-            var (rDup, rCloop, rAsloop) = (0L, 0L, 0L)
-            msgs.foreach {
-              case m: BmpMsg.RouteMonitoring =>
-                val u = m.update
-                val pfx = u.nlri.head.prefix
-                if (u.asPath.contains(ownAs)) rAsloop += 1
-                else if (u.clusterList.contains(router)) rCloop += 1
-                else if (seen.contains(pfx)) rDup += 1
-                else seen += pfx
-              case _ => ()
-            }
-            val rep = msgs.collect {
-              case m: BmpMsg.StatsReport => m.stats
-            }.head
+            wire.write(BmpMsg.encodeStatsReport(peer,
+              Map(1 -> nDup, 3 -> nCloop, 4 -> nAsloop,
+                7 -> (nEvs - nAsloop - nCloop))))
+            wire.flush()
             val ok = rep.get(1).contains(rDup) &&
               rep.get(3).contains(rCloop) && rep.get(4).contains(rAsloop) &&
               rep.get(7).contains(seen.size.toLong)
             Iterator((router, rDup, rCloop, rAsloop, seen.size.toLong,
               if (ok) 1L else 0L))
+          }
         }
         decoded.toDF("router", "dup_pfx", "cluster_loop", "as_loop",
           "adj_rib_in", "reconciled")
       },
-      Some("""WITH e AS (SELECT user_id % 8 AS router,
+      Some("""WITH e AS (SELECT user_id % 64 AS router,
                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
                   AS asloop,
                 CASE WHEN event_type != 'error' AND event_id % 11 = 0
@@ -1516,51 +1520,53 @@ object SurfaceQueries {
         import sp.implicits._
         import graft.sources.{BgpMsg, BmpMsg, ProxyHdr}
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 8).as("router"), col("event_id"))
+            (col("user_id") % 64).as("router"), col("event_id"))
           .as[(Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (router: Long, it: Iterator[(Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (router, run) =>
             val origIp = 0x0A000000L + router
             val proxyIp = 0xC0A80001L
-            val wire = new java.io.ByteArrayOutputStream()
-            (router % 3) match {
-              case 0 => // v1 PROXY
-                val h = ProxyHdr.encodeV1(origIp, proxyIp, 40000, 5000)
-                wire.write(h, 0, h.length)
-              case 1 => // v2 PROXY
-                val h = ProxyHdr.encodeV2(proxyCmd = true, origIp,
-                  proxyIp, 40000, 5000)
-                wire.write(h, 0, h.length)
-              case _ => // v2 LOCAL: keep socket identity
-                val h = ProxyHdr.encodeV2(proxyCmd = false, 0L, 0L, 0, 0)
-                wire.write(h, 0, h.length)
-            }
-            evs.foreach { case (_, eid) =>
-              val m = BmpMsg.encodeRouteMonitoring(
-                BmpMsg.PeerHeader(0, 0, 0L, router, 65000 + router,
-                  router, 0L, 0L),
-                BgpMsg.Update(nlri = Seq(BgpMsg.Route(eid << 8, 24)),
-                  origin = Some(0), nextHop = Some(router)))
-              wire.write(m, 0, m.length)
-            }
-            val bytes = wire.toByteArray
-            val parsed = ProxyHdr.decode(bytes).getOrElse(
-              ProxyHdr.Parsed(None, 0))
-            val attributed = parsed.src.map(_._1).getOrElse(proxyIp)
-            val n = BmpMsg.decodeStream(
-              bytes.drop(parsed.consumed)).count {
+            // the PROXY header leads the stream; the FIRST flushed chunk
+            // carries it, exactly like the first recv() on the socket
+            var attributed = proxyIp
+            var first = true
+            var n = 0L
+            val wire = new SessionWalk.ChunkedWire(chunk => {
+              val body = if (first) {
+                first = false
+                val parsed = ProxyHdr.decode(chunk).getOrElse(
+                  ProxyHdr.Parsed(None, 0))
+                parsed.src.foreach { case (ip, _) => attributed = ip }
+                chunk.drop(parsed.consumed)
+              } else chunk
+              n += BmpMsg.decodeStream(body).count {
                 case _: BmpMsg.RouteMonitoring => true
                 case _ => false
               }
-            Iterator((attributed, router, n.toLong))
+            })
+            wire.write((router % 3) match {
+              case 0 => ProxyHdr.encodeV1(origIp, proxyIp, 40000, 5000)
+              case 1 => ProxyHdr.encodeV2(proxyCmd = true, origIp,
+                proxyIp, 40000, 5000)
+              case _ => ProxyHdr.encodeV2(proxyCmd = false, 0L, 0L, 0, 0)
+            })
+            run.foreach { case (_, eid) =>
+              wire.write(BmpMsg.encodeRouteMonitoring(
+                BmpMsg.PeerHeader(0, 0, 0L, router, 65000 + router,
+                  router, 0L, 0L),
+                BgpMsg.Update(nlri = Seq(BgpMsg.Route(eid << 8, 24)),
+                  origin = Some(0), nextHop = Some(router))))
+            }
+            wire.flush()
+            Iterator((attributed, router, n))
+          }
         }
         decoded.toDF("src_ip", "router", "n_routes")
           .groupBy("src_ip")
           .agg(countDistinct("router").as("n_sessions"),
             sum("n_routes").as("n_routes"))
       },
-      Some("""WITH e AS (SELECT user_id % 8 AS router, count(*) AS n
+      Some("""WITH e AS (SELECT user_id % 64 AS router, count(*) AS n
               FROM events GROUP BY 1)
             SELECT CASE WHEN router % 3 = 2 THEN 3232235521
                 ELSE 167772160 + router END AS src_ip,
@@ -1645,46 +1651,48 @@ object SurfaceQueries {
         import graft.sources.BgpMsg
         import graft.plans.Lpm
         // map: 8 exact /32 rules -> collector 10.0.0.1:17900+p,
-        // one /24 rule -> 10.0.0.2:17910
+        // one /24 rule -> 10.0.0.2:17910; 64 peer sessions (8 exact,
+        // 24 via the /24, 32 unmatched)
         val xmap = new Lpm.Table(32,
           (0 until 8).map(p =>
             (0xC0A80000L + p, 32, p.toLong)) :+
           ((0xC0A80A00L, 24, 1000L)))
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 24).as("peer"), col("event_id"))
+            (col("user_id") % 64).as("peer"), col("event_id"))
           .as[(Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (peer: Long, it: Iterator[(Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (peer, run) =>
             val peerIp =
               if (peer < 8) 0xC0A80000L + peer
-              else if (peer < 16) 0xC0A80A00L + (peer - 8)
+              else if (peer < 32) 0xC0A80A00L + (peer - 8)
               else 0xAC100000L + peer // no map entry
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, eid) =>
-              val m = BgpMsg.encode(BgpMsg.Update(
+            var n = 0L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              n += BgpMsg.decodeStream(chunk).size.toLong)
+            run.foreach { case (_, eid) =>
+              wire.write(BgpMsg.encode(BgpMsg.Update(
                 nlri = Seq(BgpMsg.Route(eid << 8, 24)), origin = Some(0),
-                asPath = Seq(65000L + peer), nextHop = Some(peer)))
-              wire.write(m, 0, m.length)
+                asPath = Seq(65000L + peer), nextHop = Some(peer))))
             }
-            val n = BgpMsg.decodeStream(wire.toByteArray).size.toLong
+            wire.flush()
             xmap.lookup(peerIp) match {
               case Long.MinValue => Iterator((-1L, -1L, 1L, n))
               case v if v == 1000L =>
                 Iterator((0x0A000002L, 17910L, 1L, n))
               case p => Iterator((0x0A000001L, 17900L + p, 1L, n))
             }
+          }
         }
         decoded.toDF("dst_ip", "dst_port", "n_sess", "n_msgs")
           .groupBy("dst_ip", "dst_port")
           .agg(sum("n_sess").as("n_sessions"), sum("n_msgs").as("n_msgs"))
       },
-      Some("""WITH e AS (SELECT user_id % 24 AS peer, count(*) AS n
+      Some("""WITH e AS (SELECT user_id % 64 AS peer, count(*) AS n
               FROM events GROUP BY 1)
             SELECT CASE WHEN peer < 8 THEN 167772161
-                WHEN peer < 16 THEN 167772162 ELSE -1 END AS dst_ip,
+                WHEN peer < 32 THEN 167772162 ELSE -1 END AS dst_ip,
               CASE WHEN peer < 8 THEN 17900 + peer
-                WHEN peer < 16 THEN 17910 ELSE -1 END AS dst_port,
+                WHEN peer < 32 THEN 17910 ELSE -1 END AS dst_port,
               count(*) AS n_sessions,
               CAST(sum(n) AS BIGINT) AS n_msgs
             FROM e GROUP BY 1, 2"""),
@@ -1702,14 +1710,17 @@ object SurfaceQueries {
         val sp = s
         import sp.implicits._
         import graft.sources.{BgpMsg, BgpFsm}
-        val rows = Tables.events(s, d).select(
-            (col("user_id") % 16).as("peer"), col("event_id"))
-          .as[(Long, Long)]
-        val decoded = rows.groupByKey(_._1).mapGroups {
-          (peer: Long, it: Iterator[(Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val n = evs.size
-            val k = n / 2
+        val base = Tables.events(s, d).select(
+          (col("user_id") % 64).as("peer"), col("event_id"))
+        // the FSM cohorts split the session at n/2, so the handler needs
+        // the session length BEFORE the stream arrives — a tiny per-peer
+        // count broadcast onto the rows keeps the walk single-pass
+        val counts = base.groupBy("peer").agg(count(lit(1)).as("n"))
+        val rows = base.join(broadcast(counts), "peer")
+          .select(col("peer"), col("event_id"), col("n"))
+          .as[(Long, Long, Long)]
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (peer, run) =>
             val fsm = new BgpFsm(65500L, 0x7F000001L, holdTime = 90)
             fsm.start(0L)
             def feed(bytes: Array[Byte], t: Long): Unit =
@@ -1722,29 +1733,32 @@ object SurfaceQueries {
               feed(BgpMsg.encode(BgpMsg.Update(
                 nlri = Seq(BgpMsg.Route(eid << 8, 24)),
                 origin = Some(0), nextHop = Some(peer))), t)
-            if (peer % 5 == 0) {          // NOTIFICATION mid-session
-              evs.take(k).zipWithIndex.foreach { case ((_, eid), i) =>
-                upd(eid, 3L + i) }
-              feed(BgpMsg.encodeNotification(6, 2), 3L + k)
-            } else if (peer % 7 == 0) {   // hold-timer expiry
-              evs.take(k).zipWithIndex.foreach { case ((_, eid), i) =>
-                upd(eid, 3L + i) }
-              evs.drop(k).headOption.foreach { case (_, eid) =>
-                upd(eid, 3L + k + fsm.negotiatedHold + 10) } // too late
-            } else {
-              evs.zipWithIndex.foreach { case ((_, eid), i) =>
-                upd(eid, 3L + i) }
+            var i = 0L
+            var k = Long.MaxValue
+            run.foreach { case (_, eid, n) =>
+              if (i == 0L) k = n / 2
+              if (peer % 5 == 0) {        // NOTIFICATION mid-session
+                if (i < k) upd(eid, 3L + i)
+                else if (i == k) feed(BgpMsg.encodeNotification(6, 2),
+                  3L + k)
+              } else if (peer % 7 == 0) { // hold-timer expiry
+                if (i < k) upd(eid, 3L + i)
+                else if (i == k)
+                  upd(eid, 3L + k + fsm.negotiatedHold + 10) // too late
+              } else upd(eid, 3L + i)
+              i += 1
             }
             val st = fsm.state.toString
-            (peer, st,
+            Iterator((peer, st,
               fsm.peerOpen.map(_.asn).getOrElse(65000L + peer),
               math.min(90, 30 + peer),
-              fsm.delivered.size.toLong, fsm.sessionDrops.toLong)
+              fsm.delivered.size.toLong, fsm.sessionDrops.toLong))
+          }
         }
         decoded.toDF("peer", "state", "peer_as", "hold",
           "n_delivered", "drops")
       },
-      Some("""WITH e AS (SELECT user_id % 16 AS peer, count(*) AS n
+      Some("""WITH e AS (SELECT user_id % 64 AS peer, count(*) AS n
               FROM events GROUP BY 1)
             SELECT peer,
               CASE WHEN peer % 5 = 0 OR peer % 7 = 0 THEN 'Idle'
@@ -1778,40 +1792,41 @@ object SurfaceQueries {
             (col("event_id") % 1000).as("v"),
             (col("event_type") === "error").as("bh"))
           .as[(Long, Long, Long, Long, Long, Boolean)]
-        val rib = rows.groupByKey(_._1).flatMapGroups {
-          (k: Long, it: Iterator[(Long, Long, Long, Long, Long, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, tpe, adm, v, bh) =>
-              val admin =
-                if (tpe == 0) 65000L + adm else 167772160L + adm
-              val msg = BgpMsg.encode(BgpMsg.Update(
-                nlri = Seq(BgpMsg.Route(k << 24, 8)),
-                origin = Some(0), nextHop = Some(k),
-                communities =
-                  if (bh) Seq(0xFFFF029AL) else Seq(65000L << 16 | 1L),
-                extCommunities = Seq(
-                  BgpMsg.ExtCommunity(tpe.toInt, 2, admin, v),
-                  BgpMsg.ExtCommunity(0, 3, 64999L, 7L))))
-              wire.write(msg, 0, msg.length)
-            }
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                val rt = u.extCommunities.find(_.sub == 2)
-                u.nlri.iterator.map { r =>
-                  (r.prefix >> 24, seq.toLong,
-                    rt.map(_.tpe.toLong).getOrElse(-1L),
-                    rt.map(_.admin).getOrElse(-1L),
-                    rt.map(_.value).getOrElse(-1L),
-                    if (u.communities.contains(0xFFFF029AL)) 1L else 0L)
-                }
-            }
-        }.toDF("k", "seq", "tpe", "adm", "v", "bh")
-          .groupBy("k")
-          .agg(expr("max_by(tpe, seq)").as("rt_type"),
-            expr("max_by(adm, seq)").as("rt_admin"),
-            expr("max_by(v, seq)").as("rt_value"),
-            expr("max_by(bh, seq)").as("last_bh"))
+        // the secondary-sort walk delivers each key's updates in seq
+        // order, so the decoded RIB's last-write-wins entry falls out of
+        // the incremental walk directly — no per-update rows, no max_by
+        // shuffle, O(chunk) task memory
+        val rib = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) {
+            (k, run: Iterator[(Long, Long, Long, Long, Long, Boolean)]) =>
+              var (lTpe, lAdm, lV, lBh) = (-1L, -1L, -1L, 0L)
+              val wire = new SessionWalk.ChunkedWire(chunk =>
+                BgpMsg.decodeStream(chunk).foreach { u =>
+                  val rt = u.extCommunities.find(_.sub == 2)
+                  if (u.nlri.nonEmpty) {
+                    lTpe = rt.map(_.tpe.toLong).getOrElse(-1L)
+                    lAdm = rt.map(_.admin).getOrElse(-1L)
+                    lV = rt.map(_.value).getOrElse(-1L)
+                    lBh = if (u.communities.contains(0xFFFF029AL)) 1L
+                      else 0L
+                  }
+                })
+              run.foreach { case (_, _, tpe, adm, v, bh) =>
+                val admin =
+                  if (tpe == 0) 65000L + adm else 167772160L + adm
+                wire.write(BgpMsg.encode(BgpMsg.Update(
+                  nlri = Seq(BgpMsg.Route(k << 24, 8)),
+                  origin = Some(0), nextHop = Some(k),
+                  communities =
+                    if (bh) Seq(0xFFFF029AL) else Seq(65000L << 16 | 1L),
+                  extCommunities = Seq(
+                    BgpMsg.ExtCommunity(tpe.toInt, 2, admin, v),
+                    BgpMsg.ExtCommunity(0, 3, 64999L, 7L)))))
+              }
+              wire.flush()
+              Iterator((k, lTpe, lAdm, lV, lBh))
+          }
+        }.toDF("k", "rt_type", "rt_admin", "rt_value", "last_bh")
         val fl = flows(s, d)
         fl.join(broadcast(rib), fl("ip_dst") % 64 === rib("k"))
           .groupBy("rt_type", "rt_admin", "rt_value")
