@@ -84,41 +84,12 @@ object L7 {
     (head(236) & 0xff) == 0x63 && (head(237) & 0xff) == 0x82 &&
     (head(238) & 0xff) == 0x53 && (head(239) & 0xff) == 0x63
 
-  /** First-bytes signature classification over the payload head: the
-    * byte patterns are public protocol preambles. */
-  def classifyPayload(head: Array[Byte]): String = {
-    def startsWith(s: String): Boolean =
-      head.length >= s.length &&
-        s.indices.forall(i => head(i) == s.charAt(i).toByte)
-    if (startsWith("GET ") || startsWith("POST ") || startsWith("PUT ") ||
-      startsWith("HEAD ") || startsWith("HTTP/")) "http"
-    else if (head.length >= 3 && (head(0) & 0xff) == 0x16 &&
-      (head(1) & 0xff) == 0x03 && (head(2) & 0xff) <= 0x04) "tls"
-    else if (startsWith("SSH-")) "ssh"
-    else if (startsWith("RTSP/") || startsWith("SETUP ") ||
-      startsWith("DESCRIBE ")) "rtsp"
-    else if (startsWith("INVITE ") || startsWith("SIP/2.0")) "sip"
-    else if (head.length >= 11 && (head(0) & 0xff) == 19 &&
-      "BitTorrent".indices.forall(i =>
-        head(i + 1) == "BitTorrent".charAt(i).toByte)) "bittorrent"
-    else if (startsWith("220 ") || startsWith("EHLO ") ||
-      startsWith("HELO ") || startsWith("MAIL FROM:")) "smtp"
-    else if (startsWith("* OK") || startsWith("a001 LOGIN")) "imap"
-    else if (startsWith("+OK") || startsWith("USER ") ||
-      startsWith("RETR ")) "pop3"
-    // RDP: TPKT v3 header wrapping an X.224 Connection Request (0xE0)
-    else if (head.length >= 7 && (head(0) & 0xff) == 3 && head(1) == 0 &&
-      (head(5) & 0xff) == 0xE0) "rdp"
-    // SSDP: HTTP-like discovery verbs over UDP (not matched by http)
-    else if (startsWith("M-SEARCH ") || startsWith("NOTIFY * ")) "ssdp"
-    else if (looksQuic(head)) "quic"
-    else if (looksStun(head)) "stun"
-    else if (looksDhcp(head)) "dhcp"
-    else if (looksSnmp(head)) "snmp"
-    else if (looksNtp(head)) "ntp"
-    else if (looksDns(head)) "dns"
-    else "unknown"
-  }
+  /** First-bytes signature classification over the payload head. The
+    * former hard-coded chain is now the data-driven [[SigRules.default]]
+    * table (~37 families) evaluated first-match in table order — same
+    * model, wider breadth, user-extensible without recompiling. */
+  def classifyPayload(head: Array[Byte]): String =
+    SigRules.classify(SigRules.default, head)
 
   /** Classify a flow under a first-k-packets giveup budget — nDPI's
     * per-flow inspection model (reference: classifier giveup knobs,

@@ -1,0 +1,305 @@
+package graft.functions
+
+/** Data-driven L7 signature table — the nDPI-shaped widening of
+  * [[L7.classifyPayload]] (reference delegates to the nDPI library's
+  * per-protocol dissectors, `src/ndpi/ndpi.c`, registered in
+  * `src/classifier.c:33`; this engine keeps the same first-match model
+  * but expresses each dissector as DATA, not code).
+  *
+  * A rule is an ordered conjunction of byte predicates over the payload
+  * head. The table is a plain Seq — serializable, broadcastable to
+  * executors like PreTagMap rule tables, and extensible by users without
+  * recompiling (construct Rules programmatically or parse them from a
+  * config). First full match in table order wins; order resolves
+  * ambiguity (e.g. `POST /dns-query` before plain HTTP).
+  *
+  * Heuristics that need arithmetic beyond byte equality (DNS flag
+  * checks, QUIC version ranges) are named [[Pred.Heur]] predicates
+  * resolved from a fixed registry — the table stays data, the predicate
+  * vocabulary stays code.
+  */
+object SigRules {
+
+  sealed trait Pred
+  object Pred {
+    /** ASCII bytes at a fixed offset. */
+    final case class Ascii(s: String, off: Int = 0) extends Pred
+    /** `(head(off) & mask) == value`. */
+    final case class B(off: Int, value: Int, mask: Int = 0xff) extends Pred
+    /** Minimum payload length. */
+    final case class MinLen(n: Int) extends Pred
+    /** Exact payload length. */
+    final case class LenIs(n: Int) extends Pred
+    /** Big-endian u16 at `off` equals total length minus `base`. */
+    final case class U16SelfLen(off: Int, base: Int) extends Pred
+    /** Named heuristic from [[heuristics]]. */
+    final case class Heur(name: String) extends Pred
+    /** Any of the alternatives matches (e.g. verb lists). */
+    final case class AnyOf(alts: Seq[Seq[Pred]]) extends Pred
+  }
+  import Pred._
+
+  /** One table row: protocol label + conjunction of predicates. */
+  final case class Rule(proto: String, preds: Seq[Pred])
+
+  /** The named-heuristic registry the table may reference. */
+  val heuristics: Map[String, Array[Byte] => Boolean] = Map(
+    "dns" -> L7.looksDns,
+    "dnsTcp" -> (h => h.length >= 14 &&
+      ((h(0) & 0xff) << 8 | (h(1) & 0xff)) == h.length - 2 &&
+      L7.looksDns(java.util.Arrays.copyOfRange(h, 2, h.length))),
+    "quic" -> L7.looksQuic,
+    "ntp" -> L7.looksNtp,
+    "snmp" -> L7.looksSnmp,
+    "stun" -> L7.looksStun,
+    "dhcp" -> L7.looksDhcp,
+    "bittorrent" -> (h => h.length >= 11 && (h(0) & 0xff) == 19 &&
+      "BitTorrent".indices.forall(i =>
+        h(i + 1) == "BitTorrent".charAt(i).toByte)),
+    // syslog priority tag: '<' digits '>' within the first 5 bytes
+    "syslog" -> (h => h.length >= 3 && h(0) == '<' && {
+      var i = 1
+      while (i < math.min(5, h.length) && h(i) >= '0' && h(i) <= '9')
+        i += 1
+      i > 1 && i < h.length && h(i) == '>'
+    }),
+    // RADIUS: code, id, u16 length == packet length, 16-byte authenticator
+    "radius" -> (h => h.length >= 20 &&
+      Set(1, 2, 3, 4, 5, 11, 12, 13).contains(h(0) & 0xff) &&
+      ((h(2) & 0xff) << 8 | (h(3) & 0xff)) == h.length),
+    // MySQL server greeting: 3-byte LE length, seq 0, protocol version 10
+    "mysql" -> (h => h.length >= 6 && (h(3) & 0xff) == 0 &&
+      (h(4) & 0xff) == 10 &&
+      ((h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16))
+        == h.length - 4),
+    // PostgreSQL StartupMessage 0x00030000 or SSLRequest 80877103
+    "postgres" -> (h => h.length >= 8 && {
+      def u32(i: Int): Long = ((h(i) & 0xffL) << 24) |
+        ((h(i + 1) & 0xffL) << 16) | ((h(i + 2) & 0xffL) << 8) |
+        (h(i + 3) & 0xffL)
+      u32(0) == h.length && (u32(4) == 0x00030000L || u32(4) == 80877103L)
+    }),
+    // Kerberos AS-REQ/TGS-REQ: ASN.1 APPLICATION 10/12 wrapping a
+    // SEQUENCE, bare (UDP) or behind the 4-byte TCP length prefix
+    // (RFC 4120 §7.2) — the inner 0x30 keeps a lone 0x6a first byte
+    // (e.g. a DNS transaction id) from matching
+    "kerberos" -> (h => (h.length >= 3 &&
+      ((h(0) & 0xff) == 0x6a || (h(0) & 0xff) == 0x6c) &&
+      (h(1) & 0xff) == h.length - 2 && (h(2) & 0xff) == 0x30) ||
+      (h.length >= 7 &&
+        ((h(4) & 0xff) == 0x6a || (h(4) & 0xff) == 0x6c) &&
+        (h(6) & 0xff) == 0x30 &&
+        (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) == h.length - 4)),
+    // LDAP: BER SEQUENCE, INTEGER messageID, then an APPLICATION tag
+    // 0x60..0x78 (bind..extended) within the first bytes
+    "ldap" -> (h => h.length >= 7 && (h(0) & 0xff) == 0x30 &&
+      (h(2) & 0xff) == 0x02 && (h(3) & 0xff) >= 1 && (h(3) & 0xff) <= 4 && {
+        val tagOff = 4 + (h(3) & 0xff)
+        tagOff < h.length && (h(tagOff) & 0xff) >= 0x60 &&
+          (h(tagOff) & 0xff) <= 0x78
+      }),
+    // WireGuard: message type 1..4, 3 reserved zero bytes, initiation=148
+    "wireguard" -> (h => h.length >= 16 && (h(0) & 0xff) >= 1 &&
+      (h(0) & 0xff) <= 4 && h(1) == 0 && h(2) == 0 && h(3) == 0 &&
+      ((h(0) & 0xff) != 1 || h.length == 148)),
+    // MQTT CONNECT: packet type 0x10, protocol name "MQTT" (len 4) after
+    // the 1-byte remaining-length varint
+    "mqtt" -> (h => h.length >= 8 && (h(0) & 0xff) == 0x10 &&
+      (h(2) & 0xff) == 0 && (h(3) & 0xff) == 4 &&
+      h(4) == 'M' && h(5) == 'Q' && h(6) == 'T' && h(7) == 'T'),
+    // SMB over NetBIOS session: 0x00 + 3-byte length + (0xFF|0xFE)"SMB"
+    "smb" -> (h => h.length >= 8 && h(0) == 0 &&
+      ((h(4) & 0xff) == 0xff || (h(4) & 0xff) == 0xfe) &&
+      h(5) == 'S' && h(6) == 'M' && h(7) == 'B'),
+    // TFTP RRQ/WRQ: u16 opcode 1..2, then a filename and a mode string
+    "tftp" -> (h => h.length >= 6 && h(0) == 0 &&
+      ((h(1) & 0xff) == 1 || (h(1) & 0xff) == 2) && h(2) != 0),
+    // OpenVPN: P_CONTROL_HARD_RESET_CLIENT_V2 (opcode 7<<3, key id 0) +
+    // 8-byte session id + empty ack-packet-id array on the first packet
+    "openvpn" -> (h => h.length >= 14 && (h(0) & 0xff) == 0x38 &&
+      (h(9) & 0xff) == 0),
+    // Telnet: IAC negotiation (0xFF WILL/WONT/DO/DONT opt)
+    "telnet" -> (h => h.length >= 3 && (h(0) & 0xff) == 0xff &&
+      (h(1) & 0xff) >= 0xfb && (h(1) & 0xff) <= 0xfe))
+
+  /** The default table. Order = match priority; most-specific ASCII
+    * prefixes first (DoH before HTTP), binary heuristics after, the
+    * cheap catch-all heuristics (dns) last — the same ambiguity policy
+    * as the original if-chain, now data. */
+  val default: Seq[Rule] = Seq(
+    Rule("doh", Seq(AnyOf(Seq(Seq(Ascii("POST /dns-query")),
+      Seq(Ascii("GET /dns-query")))))),
+    Rule("http", Seq(AnyOf(Seq(Seq(Ascii("GET ")), Seq(Ascii("POST ")),
+      Seq(Ascii("PUT ")), Seq(Ascii("HEAD ")), Seq(Ascii("HTTP/")))))),
+    Rule("tls", Seq(MinLen(3), B(0, 0x16), B(1, 0x03),
+      AnyOf(Seq(Seq(B(2, 0x00)), Seq(B(2, 0x01)), Seq(B(2, 0x02)),
+        Seq(B(2, 0x03)), Seq(B(2, 0x04)))))),
+    Rule("ssh", Seq(Ascii("SSH-"))),
+    Rule("rtsp", Seq(AnyOf(Seq(Seq(Ascii("RTSP/")), Seq(Ascii("SETUP ")),
+      Seq(Ascii("DESCRIBE ")))))),
+    Rule("sip", Seq(AnyOf(Seq(Seq(Ascii("INVITE ")),
+      Seq(Ascii("SIP/2.0")))))),
+    Rule("bittorrent", Seq(Heur("bittorrent"))),
+    Rule("smtp", Seq(AnyOf(Seq(Seq(Ascii("220 ")), Seq(Ascii("EHLO ")),
+      Seq(Ascii("HELO ")), Seq(Ascii("MAIL FROM:")))))),
+    Rule("imap", Seq(AnyOf(Seq(Seq(Ascii("* OK")),
+      Seq(Ascii("a001 LOGIN")))))),
+    Rule("pop3", Seq(AnyOf(Seq(Seq(Ascii("+OK")), Seq(Ascii("USER ")),
+      Seq(Ascii("RETR ")))))),
+    Rule("irc", Seq(Ascii("NICK "))),
+    Rule("amqp", Seq(Ascii("AMQP"), B(4, 0x00))),
+    Rule("rsync", Seq(Ascii("@RSYNCD:"))),
+    Rule("nats", Seq(AnyOf(Seq(Seq(Ascii("CONNECT {")),
+      Seq(Ascii("INFO {")))))),
+    Rule("memcached", Seq(AnyOf(Seq(Seq(Ascii("get ")), Seq(Ascii("set ")),
+      Seq(Ascii("stats\r\n")))))),
+    Rule("redis", Seq(B(0, '*'), MinLen(4),
+      AnyOf((1 to 9).map(d => Seq(B(1, '0' + d)): Seq[Pred])))),
+    Rule("rdp", Seq(MinLen(7), B(0, 3), B(1, 0), B(5, 0xE0))),
+    Rule("ssdp", Seq(AnyOf(Seq(Seq(Ascii("M-SEARCH ")),
+      Seq(Ascii("NOTIFY * ")))))),
+    Rule("smb", Seq(Heur("smb"))),
+    Rule("mqtt", Seq(Heur("mqtt"))),
+    Rule("mysql", Seq(Heur("mysql"))),
+    Rule("postgres", Seq(Heur("postgres"))),
+    Rule("ldap", Seq(Heur("ldap"))),
+    Rule("kerberos", Seq(Heur("kerberos"))),
+    Rule("radius", Seq(Heur("radius"))),
+    Rule("wireguard", Seq(Heur("wireguard"))),
+    Rule("openvpn", Seq(Heur("openvpn"))),
+    Rule("telnet", Seq(Heur("telnet"))),
+    Rule("tftp", Seq(Heur("tftp"))),
+    Rule("syslog", Seq(Heur("syslog"))),
+    Rule("dot", Seq(Heur("dnsTcp"))),
+    Rule("quic", Seq(Heur("quic"))),
+    Rule("stun", Seq(Heur("stun"))),
+    Rule("dhcp", Seq(Heur("dhcp"))),
+    Rule("snmp", Seq(Heur("snmp"))),
+    Rule("ntp", Seq(Heur("ntp"))),
+    Rule("dns", Seq(Heur("dns"))))
+
+  private def evalPred(p: Pred, h: Array[Byte]): Boolean = p match {
+    case Ascii(s, off) => h.length >= off + s.length &&
+      s.indices.forall(i => h(off + i) == s.charAt(i).toByte)
+    case B(off, v, m) => h.length > off && (h(off) & m) == v
+    case MinLen(n) => h.length >= n
+    case LenIs(n) => h.length == n
+    case U16SelfLen(off, base) => h.length >= off + 2 &&
+      (((h(off) & 0xff) << 8) | (h(off + 1) & 0xff)) == h.length - base
+    case Heur(name) => heuristics(name)(h)
+    case AnyOf(alts) => alts.exists(_.forall(evalPred(_, h)))
+  }
+
+  def matches(rule: Rule, head: Array[Byte]): Boolean =
+    rule.preds.forall(evalPred(_, head))
+
+  /** First matching rule's protocol, "unknown" when none fires. */
+  def classify(rules: Seq[Rule], head: Array[Byte]): String =
+    rules.find(matches(_, head)).map(_.proto).getOrElse("unknown")
+
+  // ---- fixture payloads per family (for specs + the gated query) ----
+
+  /** A deterministic valid payload of the given family; `seed` varies
+    * non-structural bytes so the corpus is not one constant per class. */
+  def sample(proto: String, seed: Long): Array[Byte] = {
+    val s = math.abs(seed)
+    proto match {
+      case "doh" => s"POST /dns-query HTTP/1.1\r\nHost: h$s\r\n".getBytes
+      case "http" => s"GET /p$s HTTP/1.1\r\nHost: x\r\n".getBytes
+      case "tls" => L7.clientHello(s"host$s.example")
+      case "ssh" => s"SSH-2.0-graft_$s\r\n".getBytes
+      case "rtsp" => s"SETUP rtsp://cam$s/track1 RTSP/1.0\r\n".getBytes
+      case "sip" => s"INVITE sip:u$s@example SIP/2.0\r\n".getBytes
+      case "bittorrent" =>
+        Array[Byte](19) ++ "BitTorrent protocol".getBytes ++
+          Array.fill[Byte](8)(0) ++ Array.fill[Byte](40)((s % 97).toByte)
+      case "smtp" => s"EHLO mx$s.example\r\n".getBytes
+      case "imap" => "* OK IMAP4rev1 ready\r\n".getBytes
+      case "pop3" => "+OK POP3 ready\r\n".getBytes
+      case "irc" => s"NICK user$s\r\n".getBytes
+      case "amqp" => "AMQP".getBytes ++ Array[Byte](0, 0, 9, 1)
+      case "rsync" => "@RSYNCD: 31.0\n".getBytes
+      case "nats" => s"""CONNECT {"verbose":false,"name":"c$s"}\r\n""".getBytes
+      case "memcached" => s"get key$s\r\n".getBytes
+      case "redis" => s"*2\r\n$$3\r\nGET\r\n$$4\r\nk$s\r\n".getBytes
+      case "rdp" =>
+        Array[Byte](3, 0, 0, 19, 14, 0xE0.toByte) ++
+          Array.fill[Byte](13)(0)
+      case "ssdp" => "M-SEARCH * HTTP/1.1\r\n".getBytes
+      case "smb" =>
+        Array[Byte](0, 0, 0, 40, 0xFE.toByte) ++ "SMB".getBytes ++
+          Array.fill[Byte](36)((s % 11).toByte)
+      case "mqtt" =>
+        Array[Byte](0x10, 14, 0, 4) ++ "MQTT".getBytes ++
+          Array[Byte](4, 2, 0, 60, 0, 2) ++ s"c$s".take(2).getBytes
+      case "mysql" =>
+        val ver = s"5.7.$s".getBytes
+        val body = Array[Byte](10) ++ ver ++ Array[Byte](0) ++
+          Array.fill[Byte](20)(1)
+        Array[Byte]((body.length & 0xff).toByte,
+          ((body.length >> 8) & 0xff).toByte,
+          ((body.length >> 16) & 0xff).toByte, 0) ++ body
+      case "postgres" =>
+        val body = ("user\u0000u" + s + "\u0000\u0000").getBytes
+        val len = 8 + body.length
+        Array[Byte]((len >> 24).toByte, (len >> 16).toByte,
+          (len >> 8).toByte, len.toByte, 0, 3, 0, 0) ++ body
+      case "ldap" =>
+        Array[Byte](0x30, 12, 0x02, 1, (1 + s % 120).toByte, 0x60,
+          7, 2, 1, 3, 4, 0, 0x80.toByte, 0)
+      case "kerberos" =>
+        Array[Byte](0x6a, 14, 0x30, 12, 0x02, 1, (1 + s % 100).toByte) ++
+          Array.fill[Byte](9)((s % 7).toByte)
+      case "radius" =>
+        val len = 20
+        Array[Byte](1, (s % 256 - 128).toByte, 0, len.toByte) ++
+          Array.fill[Byte](16)((s % 13).toByte)
+      case "wireguard" =>
+        Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](144)((s % 5).toByte)
+      case "openvpn" =>
+        Array[Byte](0x38, 1, 2, 3, 4, (1 + s % 120).toByte, 6, 7, 8, 0) ++
+          Array.fill[Byte](8)((s % 3).toByte)
+      case "telnet" =>
+        Array[Byte](0xff.toByte, 0xfb.toByte, 31, 0xff.toByte,
+          0xfd.toByte, 24)
+      case "tftp" =>
+        Array[Byte](0, 1) ++ s"file$s".getBytes ++ Array[Byte](0) ++
+          "octet".getBytes ++ Array[Byte](0)
+      case "syslog" => s"<134>Aug 13 00:00:0${s % 10} host app: m".getBytes
+      case "dot" =>
+        val dns = sample("dns", s)
+        Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
+      case "quic" =>
+        Array[Byte](0xc3.toByte, 0, 0, 0, 1) ++
+          Array.fill[Byte](40)((s % 17).toByte)
+      case "stun" =>
+        Array[Byte](0, 1, 0, 8, 0x21, 0x12, 0xa4.toByte, 0x42.toByte) ++
+          Array.fill[Byte](12)((s % 29).toByte) ++
+          Array[Byte](0, 3, 0, 4, 0, 0, 0, 0)
+      case "dhcp" =>
+        val b = new Array[Byte](244)
+        b(0) = 1; b(1) = 1; b(2) = 6
+        b(236) = 0x63; b(237) = 0x82.toByte; b(238) = 0x53; b(239) = 0x63
+        b(4) = (s % 127).toByte
+        b
+      case "snmp" =>
+        Array[Byte](0x30, 10, 0x02, 1, 1, 4, 6) ++ "public".getBytes
+      case "ntp" =>
+        val b = new Array[Byte](48)
+        b(0) = 0x23 // v4, client
+        b(12) = (s % 100).toByte
+        b
+      case "dns" =>
+        // id high byte pinned to 0xA0.. so a random id can't collide
+        // with a binary rule's first-byte signature (0x6a/0x38/...)
+        Array[Byte]((0xA0 + s % 32).toByte, (s % 97).toByte, 1, 0, 0, 1,
+          0, 0, 0, 0, 0, 0, 3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+      case other => s"?$other$s".getBytes
+    }
+  }
+
+  /** The families [[sample]] can generate, in table order — the gated
+    * query's corpus alphabet. */
+  val sampleFamilies: Seq[String] = default.map(_.proto)
+}

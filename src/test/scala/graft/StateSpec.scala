@@ -312,4 +312,23 @@ class StateSpec extends AnyFunSuite {
     assert(again <= after + 1,
       s"persistent RDDs grew $after -> $again on re-run: generation leak")
   }
+
+  test("SigRules: every family's sample classifies back to itself") {
+    import graft.functions.SigRules
+    // the data-driven table must be shadow-free over its own corpus:
+    // every family, many seeds — one mis-ordered or over-greedy rule
+    // flips a label
+    SigRules.sampleFamilies.foreach { f =>
+      (0L until 200L).foreach { seed =>
+        val got = SigRules.classify(SigRules.default,
+          SigRules.sample(f, seed * 7919 + 13))
+        assert(got == f, s"family $f seed $seed classified as $got")
+      }
+    }
+    // junk stays unknown
+    assert(SigRules.classify(SigRules.default,
+      Array[Byte](1, 2, 3)) == "unknown")
+    assert(SigRules.classify(SigRules.default,
+      Array.empty[Byte]) == "unknown")
+  }
 }
