@@ -291,6 +291,70 @@ object ParityQueries {
            count(*) AS entries,
            count(DISTINCT t0u // 300000000) AS n_reconciled
            FROM flows GROUP BY 1""")),
-      doc = "print/kafka markers: purge_close entry counts reconciled")
+      doc = "print/kafka markers: purge_close entry counts reconciled"),
+
+    // sql_table_version v1-v9 legacy schemas (CONFIG-KEYS:1301-1327;
+    // sql/pmacct-create-db_v{1..9}.mysql; versioning rules
+    // sql/README.mysql:66-140): anyone migrating existing pmacct SQL
+    // consumers depends on the EXACT legacy column mapping — v1 has no
+    // tag column, v2-v8 write it as agent_id, v9 as tag; below v6 the
+    // AS numbers land IN the host columns; v8 renames src_port ->
+    // port_src. Each version's render is summarized as (column list,
+    // tag sum, host-column sum, row count) and the oracle hard-codes
+    // the reference's own schema column lists — a mapping drift breaks
+    // the string, a folding drift breaks the sums.
+    Q("q201_sql_table_version",
+      (s, d) => {
+        import graft.sinks.SqlSchema
+        val canonical = flows(s, d).select(
+          (col("ip_dst") % 16).as("tag"),
+          (lit(64000L) + col("ip_src") % 32).as("as_src"),
+          (lit(64000L) + col("ip_dst") % 32).as("as_dst"),
+          col("ip_src"), col("ip_dst"), col("port_src"), col("port_dst"),
+          col("tcp_flags"), col("ip_proto"),
+          (col("tcp_flags") % 4).as("tos"),
+          col("packets"), col("bytes"))
+        val sp = s
+        import sp.implicits._
+        Seq(1, 2, 5, 6, 8, 9).map { v =>
+          val p = SqlSchema.project(canonical, v, asAccounting = true)
+          val tagCol =
+            if (p.columns.contains("tag")) col("tag")
+            else if (p.columns.contains("agent_id")) col("agent_id")
+            else lit(0L)
+          val portCol =
+            if (p.columns.contains("port_src")) col("port_src")
+            else col("src_port")
+          p.agg(count(lit(1)).as("n"), sum(tagCol).as("sum_tag"),
+              sum(col("ip_src")).as("sum_host_src"),
+              sum(portCol).as("sum_port_src"))
+            .withColumn("version", lit(v.toLong))
+            .withColumn("cols",
+              lit(SqlSchema.columnsFor(v, asAccounting = true)
+                .map(_._2).mkString(",")))
+            .select("version", "cols", "n", "sum_tag", "sum_host_src",
+              "sum_port_src")
+        }.reduce(_.unionAll(_))
+      },
+      Some(FlowView.cte(
+        """SELECT v.version,
+             CASE v.version
+               WHEN 1 THEN 'mac_src,mac_dst,ip_src,ip_dst,src_port,dst_port,ip_proto,packets,bytes'
+               WHEN 2 THEN 'agent_id,mac_src,mac_dst,vlan,ip_src,ip_dst,src_port,dst_port,ip_proto,packets,bytes'
+               WHEN 5 THEN 'agent_id,class_id,mac_src,mac_dst,vlan,ip_src,ip_dst,src_port,dst_port,ip_proto,tos,packets,bytes,flows'
+               WHEN 6 THEN 'agent_id,class_id,mac_src,mac_dst,vlan,as_src,as_dst,ip_src,ip_dst,src_port,dst_port,ip_proto,tos,packets,bytes,flows'
+               WHEN 8 THEN 'agent_id,class_id,mac_src,mac_dst,vlan,as_src,as_dst,ip_src,ip_dst,port_src,port_dst,tcp_flags,ip_proto,tos,packets,bytes,flows'
+               WHEN 9 THEN 'tag,class_id,mac_src,mac_dst,vlan,as_src,as_dst,ip_src,ip_dst,port_src,port_dst,tcp_flags,ip_proto,tos,packets,bytes,flows'
+             END AS cols,
+             count(*) AS n,
+             CAST(CASE WHEN v.version = 1 THEN 0
+               ELSE sum(ip_dst % 16) END AS BIGINT) AS sum_tag,
+             CAST(CASE WHEN v.version < 6
+               THEN sum(64000 + ip_src % 32)
+               ELSE sum(ip_src) END AS BIGINT) AS sum_host_src,
+             CAST(sum(port_src) AS BIGINT) AS sum_port_src
+           FROM flows, (SELECT unnest([1, 2, 5, 6, 8, 9]) AS version) v
+           GROUP BY 1, 2""")),
+      doc = "sql_table_version v1-v9 legacy column mapping + AS folding")
   )
 }

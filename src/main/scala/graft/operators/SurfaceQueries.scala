@@ -111,6 +111,50 @@ object SurfaceQueries {
               FROM events GROUP BY 1"""),
       doc = "dynamic print names: time-token partitioned write + readback"),
 
+    // print_latest_file (CONFIG-KEYS:1244-1260; link_latest_output_file
+    // src/util.c:489-537): every print-plugin user has a "latest"
+    // pointer the dashboard tails. Two flushes land disjoint day cohorts
+    // (even days, then odd); after each, every flushed partition is
+    // offered to the pointer, which re-targets only when the candidate's
+    // name is lexicographically newer (the documented %Y%m%d contract).
+    // The query proves the pointer tracked the newest even day after
+    // flush one, the newest day overall after flush two, and that the
+    // final target's rows read back whole.
+    Q("q202_print_latest",
+      (s, d) => {
+        import graft.sinks.FlowSinks
+        val base = java.nio.file.Files.createTempDirectory("q202_print")
+        val table = base.resolve("table").toString
+        val pointer = base.resolve("latest")
+        val src = Tables.events(s, d).selectExpr(
+          "event_id", "ts", "cast(floor(value * 100) as bigint) as b",
+          "cast(date_format(ts, 'yyyyMMdd') as bigint) as day")
+        def day(p: Option[String]): Long =
+          p.map(_.split('=').last.toLong).getOrElse(-1L)
+        FlowSinks.writePartitionedPrint(
+          src.filter(col("day") % 2 === 0).drop("day"), table, "ts")
+        FlowSinks.updateLatestPointer(table, pointer)
+        val afterFirst = day(FlowSinks.readLatestPointer(pointer))
+        FlowSinks.writePartitionedPrint(
+          src.filter(col("day") % 2 === 1).drop("day"), table, "ts")
+        FlowSinks.updateLatestPointer(table, pointer)
+        val target = FlowSinks.readLatestPointer(pointer).get
+        s.read.format("json").load(target)
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"))
+          .withColumn("day_after_first", lit(afterFirst))
+          .withColumn("day_after_second", lit(day(Some(target))))
+      },
+      Some("""WITH e AS (SELECT
+                CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events)
+            SELECT count(*) AS n, CAST(sum(b) AS BIGINT) AS bytes,
+              (SELECT max(day) FROM e WHERE day % 2 = 0)
+                AS day_after_first,
+              (SELECT max(day) FROM e) AS day_after_second
+            FROM e WHERE day = (SELECT max(day) FROM e)"""),
+      doc = "print_latest_file: pointer tracks newest time-token partition"),
+
     // BGP msglog → RIB compaction: latest state per (peer, prefix) by
     // sequence number (docs/MSGLOG_DUMP_FORMATS; dump = this snapshot).
     Q("q52_rib_compact",

@@ -79,6 +79,58 @@ object FlowSinks {
       .write.mode("append").partitionBy("print_day")
       .format(format).save(path)
 
+  /** print_latest_file pointer maintenance (CONFIG-KEYS:1244-1260;
+    * link_latest_output_file, src/util.c:489-537): after each flush the
+    * pointer re-targets the newest output. The reference's NOTES pin the
+    * contract to file-NAME ordering — "a file is reckon as latest if it
+    * is lexicographically greater than an existing one" — which is also
+    * the only deterministic rule when a distributed flush writes many
+    * partitions in the same second, so the comparison here is on names,
+    * not mtimes. The pointer is a symlink when the filesystem allows,
+    * else a one-line text file holding the target path. */
+  def linkLatestOutputFile(pointer: java.nio.file.Path,
+                           candidate: java.nio.file.Path): Unit = {
+    val current = readLatestPointer(pointer)
+    val rewrite = current match {
+      case Some(cur) =>
+        candidate.getFileName.toString >= java.nio.file.Paths.get(cur)
+          .getFileName.toString
+      case None => true
+    }
+    if (rewrite) {
+      java.nio.file.Files.deleteIfExists(pointer)
+      try { java.nio.file.Files.createSymbolicLink(pointer, candidate); () }
+      catch { case _: Exception =>
+        java.nio.file.Files.writeString(pointer, candidate.toString); ()
+      }
+    }
+  }
+
+  /** Resolve the pointer: symlink target or text-file content; None when
+    * the pointer does not exist yet. */
+  def readLatestPointer(pointer: java.nio.file.Path): Option[String] =
+    if (!java.nio.file.Files.exists(pointer,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) None
+    else if (java.nio.file.Files.isSymbolicLink(pointer))
+      Some(java.nio.file.Files.readSymbolicLink(pointer).toString)
+    else Some(java.nio.file.Files.readString(pointer).trim)
+
+  /** Offer every partition directory of a dynamic-name print table to the
+    * latest pointer — the per-flush update the print plugin does for each
+    * purged file (print_plugin.c:1463-1466). */
+  def updateLatestPointer(tablePath: String,
+                          pointer: java.nio.file.Path): Unit = {
+    val dir = java.nio.file.Paths.get(tablePath)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val parts = java.nio.file.Files.list(dir).iterator()
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.startsWith("print_day="))
+          linkLatestOutputFile(pointer, p)
+      }
+    }
+  }
+
   /** UPDATE-then-INSERT upsert statement pair for one aggregate row
     * (sql_common.c:606 semantics: UPDATE counters by key; INSERT when no
     * row matched). Executed per batch inside `foreachBatch` against JDBC;
