@@ -429,6 +429,57 @@ object DaemonQueries {
               CAST(max(CASE WHEN emitted_by = 'B' THEN 1 ELSE 0 END)
                 AS BIGINT) AS failed_over
             FROM picked GROUP BY router"""),
-      doc = "BGP/BMP HA: min-startup active pick, standby failover dedup")
+      doc = "BGP/BMP HA: min-startup active pick, standby failover dedup"),
+
+    // Kafka sink wire proof (kafka_plugin.c via librdkafka; the broker
+    // itself is env-blocked — no jar, no egress — so the PROTOCOL gets
+    // the same byte-level treatment as AMQP q146 and RESP q147):
+    // aggregate rows become per-(topic, partition) RecordBatch v2
+    // payloads inside size-prefixed Produce v9 requests, pipelined like
+    // a socket stream; the decoder walks the stream like the broker's
+    // network thread — flexible varint framing, compact arrays, CRC32C
+    // verification — and the per-topic rollup must reconcile with the
+    // raw-events oracle. A framing, varint, or CRC defect breaks parity.
+    Q("q203_kafka_produce_wire",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.KafkaWire
+        val rows = Tables.events(s, d).selectExpr(
+            "cast(user_id as bigint) as uid", "event_type",
+            "cast(floor(value * 100) as bigint) as b")
+          .as[(Long, String, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(60).zipWithIndex.flatMap { case (batch, corr) =>
+            val byPart = batch.groupBy { case (uid, et, _) =>
+              (s"acct_$et", (uid % 3).toInt)
+            }.toSeq.sortBy(_._1)
+            val pbs = byPart.map { case ((topic, p), recs) =>
+              KafkaWire.PartitionBatch(topic, p, recs.map {
+                case (uid, _, b) =>
+                  KafkaWire.Record(s"k$uid", s"$uid:$b".getBytes("UTF-8"))
+              })
+            }
+            val wire = KafkaWire.encodeProduce(corr, "graft_kafka",
+              pbs, baseTs = 1700000000000L)
+            KafkaWire.decodeStream(wire).iterator.flatMap { pr =>
+              pr.records.map { r =>
+                val Array(uid, b) = new String(r.value, "UTF-8").split(':')
+                (pr.topic, pr.partition.toLong, uid.toLong, b.toLong)
+              }
+            }
+          }
+        }.toDF("topic", "partition", "uid", "b")
+        decoded.groupBy("topic", "partition")
+          .agg(count(lit(1)).as("n"), sum("b").as("sum_b"),
+            countDistinct("uid").as("n_uids"))
+      },
+      Some("""SELECT 'acct_' || event_type AS topic,
+              user_id % 3 AS partition, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_b,
+              count(DISTINCT user_id) AS n_uids
+            FROM events GROUP BY 1, 2"""),
+      doc = "Kafka Produce v9 wire: batches, varints, CRC32C reconciled")
   )
 }

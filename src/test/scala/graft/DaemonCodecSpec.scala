@@ -182,4 +182,43 @@ class DaemonCodecSpec extends AnyFunSuite {
       IsisMsg.decode(b)
     }
   }
+
+  test("Kafka Produce v9 wire: round-trip, CRC guard, garbage tail") {
+    import graft.sinks.KafkaWire
+    import graft.sinks.KafkaWire.{PartitionBatch, Record}
+    val pbs = Seq(
+      PartitionBatch("acct_click", 0,
+        (0 until 5).map(i => Record(s"k$i", s"$i:${i * 7}".getBytes))),
+      PartitionBatch("acct_click", 2,
+        Seq(Record("k9", "9:63".getBytes))),
+      PartitionBatch("acct_error", 1,
+        (0 until 3).map(i => Record(s"e$i", s"$i:1".getBytes))))
+    val wire = KafkaWire.encodeProduce(7, "graft_kafka", pbs, 1700000L)
+    // two pipelined requests on one stream
+    val stream = wire ++ KafkaWire.encodeProduce(8, "graft_kafka",
+      pbs.take(1), 1700001L)
+    val out = KafkaWire.decodeStream(stream)
+    assert(out.map(_.correlationId).distinct == Seq(7, 8))
+    assert(out.forall(_.clientId == "graft_kafka"))
+    assert(out.count(_.correlationId == 7) == 3)
+    val byTp = out.filter(_.correlationId == 7)
+      .map(p => (p.topic, p.partition) -> p.records).toMap
+    assert(byTp(("acct_click", 0)).map(_.key) ==
+      (0 until 5).map(i => s"k$i"))
+    assert(new String(byTp(("acct_click", 2)).head.value) == "9:63")
+    assert(byTp(("acct_error", 1)).size == 3)
+    // flip a byte inside the first record batch: that batch's CRC check
+    // must reject it (empty records), not corrupt the walk
+    val corrupt = stream.clone()
+    corrupt(80) = (corrupt(80) ^ 0x5a).toByte
+    val cOut = KafkaWire.decodeStream(corrupt)
+    assert(cOut.exists(_.records.isEmpty) || cOut.size < out.size)
+    // garbage tail stops the walk without throwing
+    assert(KafkaWire.decodeStream(
+      stream ++ Array[Byte](0, 0, 0, 99, 1, 2)).size == out.size)
+    // batch-level round trip
+    val b = KafkaWire.encodeBatch(Seq(Record("a", "1:2".getBytes)), 5L)
+    assert(KafkaWire.decodeBatch(b).map(_.key) == Seq("a"))
+    assert(KafkaWire.decodeBatch(b.dropRight(1)).isEmpty)
+  }
 }
