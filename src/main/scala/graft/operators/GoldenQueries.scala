@@ -109,6 +109,9 @@ object GoldenReplay {
     }
   }
 
+  def u64bytes(v: Long): Array[Byte] =
+    (7 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+
   def mask6(b: Array[Byte], plen: Int): Array[Byte] = {
     val out = new Array[Byte](16)
     (0 until 16).foreach { i =>
@@ -193,6 +196,52 @@ object GoldenReplay {
     val ulen = ((frame(off + 4) & 0xff) << 8) | (frame(off + 5) & 0xff)
     val end = math.min(frame.length, off + math.max(8, ulen))
     Some((src, dp, java.util.Arrays.copyOfRange(frame, off + 8, end)))
+  }
+
+  /** Ethernet -> IPv4/IPv6 -> TCP segment; returns (dstPort, seq,
+    * payload) for the BMP/BGP session replays. */
+  def tcpSegment(frame: Array[Byte]): Option[(Int, Long, Array[Byte])] = {
+    if (frame.length < 34) return None
+    var et = ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+    var off = 14
+    while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
+      et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
+      off += 4
+    }
+    var proto = -1
+    if (et == 0x0800 && off + 20 <= frame.length) {
+      proto = frame(off + 9) & 0xff
+      off += (frame(off) & 0xf) * 4
+    } else if (et == 0x86dd && off + 40 <= frame.length) {
+      proto = frame(off + 6) & 0xff
+      off += 40
+    } else return None
+    if (proto != 6 || off + 20 > frame.length) return None
+    val dport = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
+    val seq = ((frame(off + 4) & 0xffL) << 24) |
+      ((frame(off + 5) & 0xffL) << 16) | ((frame(off + 6) & 0xffL) << 8) |
+      (frame(off + 7) & 0xffL)
+    val dataOff = ((frame(off + 12) & 0xf0) >> 4) * 4
+    val pay = java.util.Arrays.copyOfRange(frame, off + dataOff,
+      frame.length)
+    if (pay.isEmpty) None else Some((dport, seq, pay))
+  }
+
+  /** Reassemble one TCP direction from a savefile: segments sorted by
+    * sequence number, retransmits/overlaps dropped (the single ordered
+    * stream a collector's socket delivers). */
+  def tcpReassemble(sf: Pcap.Savefile, dport: Int): Array[Byte] = {
+    val segs = sf.packets.flatMap(p => tcpSegment(p.data))
+      .filter(_._1 == dport).sortBy(_._2)
+    val out = new java.io.ByteArrayOutputStream()
+    var expect = -1L
+    segs.foreach { case (_, seq, pay) =>
+      if (expect < 0 || seq >= expect) {
+        out.write(pay, 0, pay.length)
+        expect = seq + pay.length
+      }
+    }
+    out.toByteArray
   }
 
   private def numOf(rec: NetFlowV9.DecodedX, ie: Int): Long =
@@ -565,6 +614,141 @@ object GoldenQueries {
                 "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
                 "custom_primitives" -> cpStruct,
                 "label" -> labelStruct))} g"""),
-      doc = "reference golden replay: multi-source template scoping (test 110)")
+      doc = "reference golden replay: multi-source template scoping (test 110)"),
+
+    // tests/200-BMP-HUAWEI-locrib_instance: a REAL Huawei VRP BMP session
+    // (TCP capture) through the BMP + BGP codecs and the per-peer RIB
+    // lifecycle, reconciled row-for-row against the reference's committed
+    // msglog golden on (msg_type, peer_ip, afi, safi, rd, prefix):
+    //  - route arrivals log route_monitor rows; withdrawals and the
+    //    session-close purge log "internal" (delete) rows
+    //    (bmp_util.c:96-101: log_type DELETE renders "internal")
+    //  - RFC 4724 End-of-RIB markers log as route_monitor rows with a
+    //    null prefix in their MP lane
+    //  - rd: NLRI RD for SAFI 128 (rd_origin bgp), explicit null for
+    //    labeled unicast SAFI 4 (bgp_logdump.c avro branch clears it),
+    //    else the peer-header RD of L3VPN/Loc-RIB peers (origin bmp,
+    //    bmp_msg.c:1235-1248)
+    // Exercises VPNv6/VPNv4, labeled-unicast v4/v6, v6 unicast NLRIs and
+    // the loc-rib peer lane against a capture this repo did not build.
+    Q("q204_golden_bmp_huawei",
+      (s, _) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{BgpMsg, BmpMsg}
+        import GoldenReplay.{ntop4, ntop6, u64bytes}
+        val dir = s"$T/200-BMP-HUAWEI-locrib_instance"
+        val rows = s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap").load(dir)
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val stream = tcpReassemble(Pcap.read(bytes), dport = 1790)
+            val peerIp = "172.21.1.101" // reproducer map, like q196-q199
+            def rdStr(v: Long): String = {
+              val t = ((v >>> 48) & 0xffff).toInt
+              if (t == 0) s"$t:${(v >>> 32) & 0xffff}:${v & 0xffffffffL}"
+              else if (t == 1)
+                s"$t:${ntop4((v >>> 16) & 0xffffffffL)}:${v & 0xffffL}"
+              else s"$t:${(v >>> 16) & 0xffffffffL}:${v & 0xffffL}"
+            }
+            def rdOf(rt: Int, ra: Long, rv: Long): String =
+              if (rt == 0) s"$rt:$ra:$rv"
+              else if (rt == 1) s"$rt:${ntop4(ra)}:$rv"
+              else s"$rt:$ra:$rv"
+            val out = mutable.Buffer[(String, String, Long, Long,
+              String, String)]()
+            val rib = mutable.LinkedHashMap[(Int, Int, String, Long, Long,
+              String, String), Unit]()
+            BmpMsg.decodeStream(stream).foreach {
+              case BmpMsg.Initiation(_) =>
+                out += (("init", "", -1L, -1L, "", ""))
+              case BmpMsg.PeerUp(p) =>
+                val hdrRd = if (p.distinguisher != 0L)
+                  rdStr(p.distinguisher) else ""
+                out += (("peer_up", ntop4(p.peerAddr), -1L, -1L,
+                  hdrRd, ""))
+              case BmpMsg.RouteMonitoring(p, u) =>
+                val pip = ntop4(p.peerAddr)
+                val hdrRd = if (p.distinguisher != 0L)
+                  rdStr(p.distinguisher) else ""
+                val pk = (p.peerType, p.flags)
+                def pfx4(v: Long, plen: Int) = s"${ntop4(v)}/$plen"
+                def pfx6(hi: Long, lo: Long, plen: Int) =
+                  s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+                // (afi, safi, rendered rd per the avro rules, prefix)
+                val routes =
+                  u.nlri.map(r => (1L, 1L, hdrRd, pfx4(r.prefix,
+                    r.plen))) ++
+                  u.nlri6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo,
+                    r.plen))) ++
+                  u.nlriVpn.map(r => (1L, 128L,
+                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
+                    pfx4(r.prefix, r.plen))) ++
+                  u.nlriVpn6.map(r => (2L, 128L,
+                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
+                    pfx6(r.hi, r.lo, r.plen))) ++
+                  u.nlriLab.map(r => (1L, 4L, "", pfx4(r.prefix,
+                    r.plen))) ++
+                  u.nlriLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo,
+                    r.plen)))
+                val withdrawn =
+                  u.withdrawn.map(r => (1L, 1L, hdrRd, pfx4(r.prefix,
+                    r.plen))) ++
+                  u.withdrawn6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo,
+                    r.plen))) ++
+                  u.withdrawnVpn.map(r => (1L, 128L,
+                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
+                    pfx4(r.prefix, r.plen))) ++
+                  u.withdrawnVpn6.map(r => (2L, 128L,
+                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
+                    pfx6(r.hi, r.lo, r.plen))) ++
+                  u.withdrawnLab.map(r => (1L, 4L, "", pfx4(r.prefix,
+                    r.plen))) ++
+                  u.withdrawnLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo,
+                    r.plen)))
+                routes.foreach { case (afi, safi, rd, pfx) =>
+                  out += (("route_monitor", pip, afi, safi, rd, pfx))
+                  rib.put((pk._1, pk._2, pip, afi, safi, rd, pfx), ())
+                }
+                withdrawn.foreach { case (afi, safi, rd, pfx) =>
+                  val k = (pk._1, pk._2, pip, afi, safi, rd, pfx)
+                  if (rib.remove(k).isDefined)
+                    out += (("internal", pip, afi, safi, rd, pfx))
+                }
+                if (routes.isEmpty && withdrawn.isEmpty) {
+                  // End-of-RIB marker for its MP lane (v4 EoR when bare)
+                  val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
+                  out += (("route_monitor", pip, afi.toLong,
+                    safi.toLong, hdrRd, ""))
+                }
+              case _ => ()
+            }
+            // session close: every remaining RIB entry purges as delete
+            rib.keysIterator.foreach {
+              case (_, _, pip, afi, safi, rd, pfx) =>
+                out += (("internal", pip, afi, safi, rd, pfx))
+            }
+            out += (("log_init", "", -1L, -1L, "", ""))
+            out.toSeq
+          }
+          .toDF("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
+            "ip_prefix")
+        rows.groupBy("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
+            "ip_prefix")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT
+            coalesce(bmp_msg_type, event_type) AS bmp_msg_type,
+            coalesce(peer_ip, '') AS peer_ip,
+            coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+            coalesce(rd, '') AS rd,
+            coalesce(ip_prefix, '') AS ip_prefix, count(*) AS n
+            FROM read_json('$T/200-BMP-HUAWEI-locrib_instance/output-bmp-00.json',
+              format='newline_delimited', columns={'bmp_msg_type':'VARCHAR',
+                'event_type':'VARCHAR', 'peer_ip':'VARCHAR',
+                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+                'ip_prefix':'VARCHAR'})
+            GROUP BY 1, 2, 3, 4, 5, 6"""),
+      doc = "reference golden replay: Huawei BMP session msglog (test 200)")
   )
 }

@@ -85,6 +85,16 @@ object BgpMsg {
   final case class ExtCommunity(tpe: Int, sub: Int, admin: Long,
       value: Long)
 
+  /** RFC 8277 labeled-unicast NLRI entry (SAFI 4): one 3-byte label
+    * section + host prefix. */
+  final case class RouteLabeled(label: Long, prefix: Long, plen: Int)
+  final case class RouteLabeled6(label: Long, hi: Long, lo: Long, plen: Int)
+
+  /** RFC 4659 VPN-IPv6 NLRI entry (AFI 2 / SAFI 128): label + RD +
+    * 128-bit prefix. */
+  final case class RouteVpn6(label: Long, rdType: Int, rdAdmin: Long,
+                             rdVal: Long, hi: Long, lo: Long, plen: Int)
+
   final case class Update(
       withdrawn: Seq[Route] = Nil,
       nlri: Seq[Route] = Nil,
@@ -122,7 +132,21 @@ object BgpMsg {
       // plus the LS attribute (29) — reference src/bgp/bgp_ls.c
       nlriLs: Seq[LsNlri] = Nil,
       withdrawnLs: Seq[LsNlri] = Nil,
-      lsAttr: Option[LsAttr] = None)
+      lsAttr: Option[LsAttr] = None,
+      // RFC 8277 labeled unicast (SAFI 4, v4 + v6) and RFC 4659 VPN-IPv6
+      // (AFI 2 / SAFI 128) — the remaining MP families a BMP feed from a
+      // production router carries (reference bgp_msg.c:1281-1340 handles
+      // all labeled safis through one path)
+      nlriLab: Seq[RouteLabeled] = Nil,
+      withdrawnLab: Seq[RouteLabeled] = Nil,
+      nlriLab6: Seq[RouteLabeled6] = Nil,
+      withdrawnLab6: Seq[RouteLabeled6] = Nil,
+      nlriVpn6: Seq[RouteVpn6] = Nil,
+      withdrawnVpn6: Seq[RouteVpn6] = Nil,
+      // last MP_REACH/MP_UNREACH (afi, safi) seen — lets a collector
+      // recognize an RFC 4724 End-of-RIB marker's lane (an empty
+      // MP_UNREACH is otherwise indistinguishable from no MP attr)
+      mpAfiSafi: Option[(Int, Int)] = None)
 
   // ---- encode --------------------------------------------------------
 
@@ -362,6 +386,79 @@ object BgpMsg {
       u.withdrawnVpn.foreach(r => b ++= vpnBytes(r, withdraw = true))
       attrs ++= attr(0x80, 15, b.result())
     }
+    // RFC 4659 VPN-IPv6 (AFI 2 / SAFI 128) + RFC 8277 labeled unicast
+    def rdBytes(rt: Int, ra: Long, rv: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(8)
+      b.putShort(rt.toShort)
+      if (rt == 0) { b.putShort(ra.toShort); b.putInt(rv.toInt) }
+      else { b.putInt(ra.toInt); b.putShort(rv.toShort) }
+      b.array()
+    }
+    def labEntry(lbl: Long, rd: Option[Array[Byte]], pfx: Array[Byte],
+                 bits: Int, withdraw: Boolean): Array[Byte] = {
+      val out = new mutable.ArrayBuilder.ofByte
+      out += (24 + rd.map(_ => 64).getOrElse(0) + bits).toByte
+      val l = if (withdraw) 0x800000L else (lbl << 4) | 1L
+      out += ((l >>> 16) & 0xff).toByte
+      out += ((l >>> 8) & 0xff).toByte
+      out += (l & 0xff).toByte
+      rd.foreach(out ++= _)
+      out ++= pfx.take((bits + 7) / 8)
+      out.result()
+    }
+    if (u.nlriVpn6.nonEmpty || u.withdrawnVpn6.nonEmpty) {
+      def entries(rs: Seq[RouteVpn6], wd: Boolean): Array[Byte] =
+        rs.flatMap(r => labEntry(r.label,
+          Some(rdBytes(r.rdType, r.rdAdmin, r.rdVal)),
+          u64(r.hi) ++ u64(r.lo), r.plen, wd)).toArray
+      if (u.nlriVpn6.nonEmpty) {
+        val b = new mutable.ArrayBuilder.ofByte
+        b += 0; b += 2; b += 128.toByte; b += 24
+        b ++= u64(0L) // next-hop RD, zero
+        val (nh, nl) = u.nextHop6.getOrElse((0L, 0L))
+        b ++= u64(nh); b ++= u64(nl)
+        b += 0
+        b ++= entries(u.nlriVpn6, wd = false)
+        attrs ++= attr(0x80, 14, b.result())
+      }
+      if (u.withdrawnVpn6.nonEmpty) {
+        val b = new mutable.ArrayBuilder.ofByte
+        b += 0; b += 2; b += 128.toByte
+        b ++= entries(u.withdrawnVpn6, wd = true)
+        attrs ++= attr(0x80, 15, b.result())
+      }
+    }
+    if (u.nlriLab.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 1; b += 4; b += 4
+      b ++= u32(u.nextHop.getOrElse(0L)); b += 0
+      u.nlriLab.foreach(r => b ++= labEntry(r.label, None,
+        u32(r.prefix), r.plen, withdraw = false))
+      attrs ++= attr(0x80, 14, b.result())
+    }
+    if (u.withdrawnLab.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 1; b += 4
+      u.withdrawnLab.foreach(r => b ++= labEntry(r.label, None,
+        u32(r.prefix), r.plen, withdraw = true))
+      attrs ++= attr(0x80, 15, b.result())
+    }
+    if (u.nlriLab6.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 2; b += 4; b += 16
+      val (nh, nl) = u.nextHop6.getOrElse((0L, 0L))
+      b ++= u64(nh); b ++= u64(nl); b += 0
+      u.nlriLab6.foreach(r => b ++= labEntry(r.label, None,
+        u64(r.hi) ++ u64(r.lo), r.plen, withdraw = false))
+      attrs ++= attr(0x80, 14, b.result())
+    }
+    if (u.withdrawnLab6.nonEmpty) {
+      val b = new mutable.ArrayBuilder.ofByte
+      b += 0; b += 2; b += 4
+      u.withdrawnLab6.foreach(r => b ++= labEntry(r.label, None,
+        u64(r.hi) ++ u64(r.lo), r.plen, withdraw = true))
+      attrs ++= attr(0x80, 15, b.result())
+    }
     val attrBytes = attrs.result()
     val wd = nlriBytes(u.withdrawn, addPath)
     val nl = nlriBytes(u.nlri, addPath)
@@ -440,6 +537,53 @@ object BgpMsg {
           (0 until (plen + 7) / 8).foreach(i =>
             p |= (buf.get() & 0xffL) << (24 - 8 * i))
           out += RouteVpn(label, rdType, rdAdmin, rdVal, p, plen)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read an RD by wire type (2-byte type, then AS2:val4 / IP4:val2 /
+    * AS4:val2 admin split — reference bgp_msg.c:1311-1335). */
+  private def readRd(buf: ByteBuffer): (Int, Long, Long) = {
+    val t = buf.getShort() & 0xffff
+    t match {
+      case 0 => (t, buf.getShort() & 0xffffL, buf.getInt() & 0xffffffffL)
+      case _ => (t, buf.getInt() & 0xffffffffL, buf.getShort() & 0xffffL)
+    }
+  }
+
+  /** Walk labeled NLRI entries (RFC 8277 SAFI 4 / RFC 4659 VPN-IPv6):
+    * wire plen counts label(24) [+ RD(64)] + prefix bits; one 3-byte
+    * label section, value in the top 20 bits. Returns
+    * (label, rdTypeOrNeg1, rdAdmin, rdVal, hiOrPrefix, lo, hostPlen). */
+  private def readLabeledEntries(buf: ByteBuffer, end: Int, v6: Boolean,
+      hasRd: Boolean): Seq[(Long, Int, Long, Long, Long, Long, Int)] = {
+    val out = mutable.Buffer[(Long, Int, Long, Long, Long, Long, Int)]()
+    var bad = false
+    while (!bad && buf.position() < end) {
+      val wirePlen = buf.get() & 0xff
+      val lbl = ((buf.get() & 0xffL) << 16) | ((buf.get() & 0xffL) << 8) |
+        (buf.get() & 0xffL)
+      var bits = wirePlen - 24
+      val (rt, ra, rv) =
+        if (hasRd) { bits -= 64; readRd(buf) } else (-1, 0L, 0L)
+      val maxBytes = if (v6) 16 else 4
+      if (bits < 0 || (bits + 7) / 8 > maxBytes) bad = true
+      else {
+        val n = (bits + 7) / 8
+        val full = new Array[Byte](16)
+        buf.get(full, 0, n)
+        if (v6) {
+          val hi = (0 until 8).foldLeft(0L)((a, i) =>
+            (a << 8) | (full(i) & 0xffL))
+          val lo = (8 until 16).foldLeft(0L)((a, i) =>
+            (a << 8) | (full(i) & 0xffL))
+          out += ((lbl >> 4, rt, ra, rv, hi, lo, bits))
+        } else {
+          var p = 0L
+          (0 until n).foreach(i => p |= (full(i) & 0xffL) << (24 - 8 * i))
+          out += ((lbl >> 4, rt, ra, rv, p, 0L, bits))
         }
       }
     }
@@ -675,7 +819,30 @@ object BgpMsg {
             buf.get() // reserved
             u = u.copy(nextHopVpn = Some(nh),
               nlriVpn = readRoutesVpn(buf, aEnd, withdraw = false))
+          } else if (afi == 2 && safi == 128 && nhLen >= 24) {
+            // RFC 4659 §3.2.1.1: RD(8, zero) + 16-byte v6 next hop
+            // (+ optional 16-byte link-local when nhLen is 40)
+            buf.getLong()
+            val nh = (buf.getLong(), buf.getLong())
+            buf.position(buf.position() + (nhLen - 24) + 1) // ll + rsvd
+            u = u.copy(nextHop6 = Some(nh),
+              nlriVpn6 = readLabeledEntries(buf, aEnd, v6 = true,
+                hasRd = true).map { case (l, rt, ra, rv, hi, lo, pl) =>
+                  RouteVpn6(l, rt, ra, rv, hi, lo, pl) })
+          } else if (afi == 1 && safi == 4) {
+            buf.position(buf.position() + nhLen + 1)
+            u = u.copy(nlriLab = readLabeledEntries(buf, aEnd,
+              v6 = false, hasRd = false).map {
+                case (l, _, _, _, p, _, pl) => RouteLabeled(l, p, pl) })
+          } else if (afi == 2 && safi == 4 && nhLen >= 16) {
+            val nh = (buf.getLong(), buf.getLong())
+            buf.position(buf.position() + (nhLen - 16) + 1)
+            u = u.copy(nextHop6 = Some(nh),
+              nlriLab6 = readLabeledEntries(buf, aEnd, v6 = true,
+                hasRd = false).map { case (l, _, _, _, hi, lo, pl) =>
+                  RouteLabeled6(l, hi, lo, pl) })
           } // other AFI/SAFI: skip by declared length (position(aEnd))
+          u = u.copy(mpAfiSafi = Some((afi, safi)))
         case 15 => // MP_UNREACH_NLRI (RFC 4760 §4)
           val afi = buf.getShort() & 0xffff
           val safi = buf.get() & 0xff
@@ -686,6 +853,21 @@ object BgpMsg {
           else if (afi == 1 && safi == 128)
             u = u.copy(withdrawnVpn =
               readRoutesVpn(buf, aEnd, withdraw = true))
+          else if (afi == 2 && safi == 128)
+            u = u.copy(withdrawnVpn6 = readLabeledEntries(buf, aEnd,
+              v6 = true, hasRd = true).map {
+                case (l, rt, ra, rv, hi, lo, pl) =>
+                  RouteVpn6(l, rt, ra, rv, hi, lo, pl) })
+          else if (afi == 1 && safi == 4)
+            u = u.copy(withdrawnLab = readLabeledEntries(buf, aEnd,
+              v6 = false, hasRd = false).map {
+                case (l, _, _, _, p, _, pl) => RouteLabeled(l, p, pl) })
+          else if (afi == 2 && safi == 4)
+            u = u.copy(withdrawnLab6 = readLabeledEntries(buf, aEnd,
+              v6 = true, hasRd = false).map {
+                case (l, _, _, _, hi, lo, pl) =>
+                  RouteLabeled6(l, hi, lo, pl) })
+          u = u.copy(mpAfiSafi = Some((afi, safi)))
         case _ => () // unknown attribute: skip by declared length
       }
       buf.position(aEnd)

@@ -202,6 +202,36 @@ class ProtocolSpec extends AnyFunSuite {
       BgpMsg.LsPrefix(1, 0L, 0L, 0L, 0)))
   }
 
+  test("labeled unicast + VPN-IPv6 NLRIs round-trip; EoR lane marker") {
+    import graft.sources.BgpMsg
+    val vpn6 = BgpMsg.RouteVpn6(917584L, 2, 65543L, 105L,
+      0x20010DB800410000L, 0L, 64)
+    val lab4 = BgpMsg.RouteLabeled(65718L, 0xCB007114L, 32)
+    val lab6 = BgpMsg.RouteLabeled6(65720L, 0x20010DB800000000L, 0x12L,
+      128)
+    val u = BgpMsg.Update(nlriVpn6 = Seq(vpn6), origin = Some(0),
+      asPath = Seq(65000L), nextHop6 = Some((0L, 0xc0a80001L)))
+    val back = BgpMsg.decodeStream(BgpMsg.encode(u)).head
+    assert(back.nlriVpn6 == Seq(vpn6))
+    assert(back.mpAfiSafi.contains((2, 128)))
+    val ul = BgpMsg.Update(nlriLab = Seq(lab4), origin = Some(0),
+      nextHop = Some(1L))
+    assert(BgpMsg.decodeStream(BgpMsg.encode(ul)).head.nlriLab ==
+      Seq(lab4))
+    val ul6 = BgpMsg.Update(nlriLab6 = Seq(lab6), origin = Some(0))
+    assert(BgpMsg.decodeStream(BgpMsg.encode(ul6)).head.nlriLab6 ==
+      Seq(lab6))
+    // withdrawals ride MP_UNREACH with the compatibility label
+    val wd = BgpMsg.Update(withdrawnVpn6 = Seq(vpn6.copy(label = 0x80000L)))
+    val wb = BgpMsg.decodeStream(BgpMsg.encode(wd)).head
+    assert(wb.withdrawnVpn6.map(r => (r.rdType, r.rdAdmin, r.rdVal,
+      r.hi, r.lo, r.plen)) ==
+      Seq((2, 65543L, 105L, 0x20010DB800410000L, 0L, 64)))
+    // a bare empty UPDATE (v4 End-of-RIB) decodes to the empty update
+    val eorWire = BgpMsg.encode(BgpMsg.Update())
+    assert(BgpMsg.decodeStream(eorWire).head.nlri.isEmpty)
+  }
+
   test("fragment frames round-trip: v4 id/offset/MF, v6 fragment EH") {
     import graft.sources.Pcap
     val t = Pcap.FlowTuple(0x0A000001L, 0x0A000002L, 17, 1234, 53,
