@@ -244,6 +244,104 @@ object GoldenReplay {
     out.toByteArray
   }
 
+  /** One BMP msglog lane row: (msg_type, peer_ip, afi, safi, rd, prefix,
+    * counter_type, counter_value) with sentinels (-1/""/0) for fields the
+    * message kind does not carry — the comparable projection of the
+    * reference's per-event msglog JSON. */
+  type MsglogRow = (String, String, Long, Long, String, String, Long, Long)
+
+  /** Replay a reassembled BMP session byte stream into msglog rows with
+    * the reference's lifecycle semantics (see q204's scaladoc). */
+  def bmpMsglogRows(stream: Array[Byte]): Seq[MsglogRow] = {
+    import graft.sources.{BgpMsg, BmpMsg}
+    def peerIpOf(p: BmpMsg.PeerHeader): String =
+      if (p.addrHi == 0L && (p.addrLo >>> 32) == 0L) ntop4(p.peerAddr)
+      else ntop6(u64bytes(p.addrHi) ++ u64bytes(p.addrLo))
+    def rdStr(v: Long): String = {
+      val t = ((v >>> 48) & 0xffff).toInt
+      if (t == 0) s"$t:${(v >>> 32) & 0xffff}:${v & 0xffffffffL}"
+      else if (t == 1)
+        s"$t:${ntop4((v >>> 16) & 0xffffffffL)}:${v & 0xffffL}"
+      else s"$t:${(v >>> 16) & 0xffffffffL}:${v & 0xffffL}"
+    }
+    // header RD applies only to L3VPN (1) and Loc-RIB (3) peers
+    // (bmp_peer_hdr_get_rd, bmp_msg.c:1235-1248)
+    def hdrRdOf(p: BmpMsg.PeerHeader): String =
+      if ((p.peerType == 1 || p.peerType == 3) && p.distinguisher != 0L)
+        rdStr(p.distinguisher)
+      else ""
+    def rdOf(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    val out = mutable.Buffer[MsglogRow]()
+    val rib = mutable.LinkedHashMap[(Int, Int, String, Long, Long,
+      String, String), Unit]()
+    BmpMsg.decodeStream(stream).foreach {
+      case BmpMsg.Initiation(_) =>
+        out += (("init", "", -1L, -1L, "", "", -1L, 0L))
+      case BmpMsg.PeerUp(p) =>
+        out += (("peer_up", peerIpOf(p), -1L, -1L, hdrRdOf(p), "",
+          -1L, 0L))
+      case BmpMsg.StatsReport(p, stats) =>
+        // one msglog row per counter TLV (bmp_logdump.c:377)
+        stats.toSeq.sortBy(_._1).foreach { case (ct, cv) =>
+          out += (("stats", peerIpOf(p), -1L, -1L, hdrRdOf(p), "",
+            ct.toLong, cv))
+        }
+      case BmpMsg.RouteMonitoring(p, u) =>
+        val pip = peerIpOf(p)
+        val hdrRd = hdrRdOf(p)
+        def pfx4(v: Long, plen: Int) = s"${ntop4(v)}/$plen"
+        def pfx6(hi: Long, lo: Long, plen: Int) =
+          s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+        // rd per lane: NLRI RD for SAFI 128 (origin bgp), explicit null
+        // for labeled unicast (avro branch clears it), header RD else
+        val routes =
+          u.nlri.map(r => (1L, 1L, hdrRd, pfx4(r.prefix, r.plen))) ++
+          u.nlri6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo, r.plen))) ++
+          u.nlriVpn.map(r => (1L, 128L,
+            rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx4(r.prefix, r.plen))) ++
+          u.nlriVpn6.map(r => (2L, 128L,
+            rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo,
+              r.plen))) ++
+          u.nlriLab.map(r => (1L, 4L, "", pfx4(r.prefix, r.plen))) ++
+          u.nlriLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo, r.plen)))
+        val withdrawn =
+          u.withdrawn.map(r => (1L, 1L, hdrRd, pfx4(r.prefix,
+            r.plen))) ++
+          u.withdrawn6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo,
+            r.plen))) ++
+          u.withdrawnVpn.map(r => (1L, 128L,
+            rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx4(r.prefix, r.plen))) ++
+          u.withdrawnVpn6.map(r => (2L, 128L,
+            rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo,
+              r.plen))) ++
+          u.withdrawnLab.map(r => (1L, 4L, "", pfx4(r.prefix, r.plen))) ++
+          u.withdrawnLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo, r.plen)))
+        routes.foreach { case (afi, safi, rd, pfx) =>
+          out += (("route_monitor", pip, afi, safi, rd, pfx, -1L, 0L))
+          rib.put((p.peerType, p.flags, pip, afi, safi, rd, pfx), ())
+        }
+        withdrawn.foreach { case (afi, safi, rd, pfx) =>
+          if (rib.remove((p.peerType, p.flags, pip, afi, safi, rd,
+              pfx)).isDefined)
+            out += (("internal", pip, afi, safi, rd, pfx, -1L, 0L))
+        }
+        if (routes.isEmpty && withdrawn.isEmpty) {
+          // End-of-RIB marker for its MP lane (v4 EoR when bare)
+          val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
+          out += (("route_monitor", pip, afi.toLong, safi.toLong,
+            hdrRd, "", -1L, 0L))
+        }
+      case _ => ()
+    }
+    // session close: every remaining RIB entry purges as a delete
+    rib.keysIterator.foreach { case (_, _, pip, afi, safi, rd, pfx) =>
+      out += (("internal", pip, afi, safi, rd, pfx, -1L, 0L))
+    }
+    out += (("log_init", "", -1L, -1L, "", "", -1L, 0L))
+    out.toSeq
+  }
+
   private def numOf(rec: NetFlowV9.DecodedX, ie: Int): Long =
     rec.get(ie.toLong) match {
       case Some(v: Long) => v
@@ -475,6 +573,45 @@ object GoldenQueries {
        coalesce(array_to_string(tcp_flags, ','), '') AS tcp_flags,
        packets, bytes"""
 
+  /** Shared BMP-session replay: reassemble the capture's TCP stream,
+    * decode through BmpMsg/BgpMsg, apply the msglog lifecycle
+    * ([[GoldenReplay.bmpMsglogRows]]), aggregate per lane row. */
+  private def bmpReplayQuery(s: SparkSession, test: String): DataFrame = {
+    Graft.tune(s)
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "traffic-*.pcap").load(s"$T/$test")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        GoldenReplay.bmpMsglogRows(
+          GoldenReplay.tcpReassemble(Pcap.read(bytes), dport = 1790))
+      }
+      .toDF("bmp_msg_type", "peer_ip", "afi", "safi", "rd", "ip_prefix",
+        "counter_type", "counter_value")
+      .groupBy("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
+        "ip_prefix", "counter_type")
+      .agg(count(lit(1)).as("n"),
+        sum("counter_value").as("sum_counter_value"))
+  }
+
+  private def bmpReplayOracle(test: String): String =
+    s"""SELECT coalesce(bmp_msg_type, event_type) AS bmp_msg_type,
+          coalesce(peer_ip, '') AS peer_ip,
+          coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+          coalesce(rd, '') AS rd,
+          coalesce(ip_prefix, '') AS ip_prefix,
+          coalesce(counter_type, -1) AS counter_type, count(*) AS n,
+          CAST(coalesce(sum(counter_value), 0) AS BIGINT)
+            AS sum_counter_value
+        FROM read_json('$T/$test/output-bmp-00.json',
+          format='newline_delimited', columns={'bmp_msg_type':'VARCHAR',
+            'event_type':'VARCHAR', 'peer_ip':'VARCHAR',
+            'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+            'ip_prefix':'VARCHAR', 'counter_type':'BIGINT',
+            'counter_value':'BIGINT'})
+        GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+
   val all: Seq[Q] = Seq(
 
     // tests/100-IPFIXv10-CISCO: IPFIX from an ASR9k, templates 260 (v4) +
@@ -632,123 +769,17 @@ object GoldenQueries {
     // Exercises VPNv6/VPNv4, labeled-unicast v4/v6, v6 unicast NLRIs and
     // the loc-rib peer lane against a capture this repo did not build.
     Q("q204_golden_bmp_huawei",
-      (s, _) => {
-        val sp = s
-        import sp.implicits._
-        import graft.sources.{BgpMsg, BmpMsg}
-        import GoldenReplay.{ntop4, ntop6, u64bytes}
-        val dir = s"$T/200-BMP-HUAWEI-locrib_instance"
-        val rows = s.read.format("binaryFile")
-          .option("pathGlobFilter", "traffic-*.pcap").load(dir)
-          .select("content").as[Array[Byte]]
-          .flatMap { bytes =>
-            val stream = tcpReassemble(Pcap.read(bytes), dport = 1790)
-            val peerIp = "172.21.1.101" // reproducer map, like q196-q199
-            def rdStr(v: Long): String = {
-              val t = ((v >>> 48) & 0xffff).toInt
-              if (t == 0) s"$t:${(v >>> 32) & 0xffff}:${v & 0xffffffffL}"
-              else if (t == 1)
-                s"$t:${ntop4((v >>> 16) & 0xffffffffL)}:${v & 0xffffL}"
-              else s"$t:${(v >>> 16) & 0xffffffffL}:${v & 0xffffL}"
-            }
-            def rdOf(rt: Int, ra: Long, rv: Long): String =
-              if (rt == 0) s"$rt:$ra:$rv"
-              else if (rt == 1) s"$rt:${ntop4(ra)}:$rv"
-              else s"$rt:$ra:$rv"
-            val out = mutable.Buffer[(String, String, Long, Long,
-              String, String)]()
-            val rib = mutable.LinkedHashMap[(Int, Int, String, Long, Long,
-              String, String), Unit]()
-            BmpMsg.decodeStream(stream).foreach {
-              case BmpMsg.Initiation(_) =>
-                out += (("init", "", -1L, -1L, "", ""))
-              case BmpMsg.PeerUp(p) =>
-                val hdrRd = if (p.distinguisher != 0L)
-                  rdStr(p.distinguisher) else ""
-                out += (("peer_up", ntop4(p.peerAddr), -1L, -1L,
-                  hdrRd, ""))
-              case BmpMsg.RouteMonitoring(p, u) =>
-                val pip = ntop4(p.peerAddr)
-                val hdrRd = if (p.distinguisher != 0L)
-                  rdStr(p.distinguisher) else ""
-                val pk = (p.peerType, p.flags)
-                def pfx4(v: Long, plen: Int) = s"${ntop4(v)}/$plen"
-                def pfx6(hi: Long, lo: Long, plen: Int) =
-                  s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
-                // (afi, safi, rendered rd per the avro rules, prefix)
-                val routes =
-                  u.nlri.map(r => (1L, 1L, hdrRd, pfx4(r.prefix,
-                    r.plen))) ++
-                  u.nlri6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo,
-                    r.plen))) ++
-                  u.nlriVpn.map(r => (1L, 128L,
-                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
-                    pfx4(r.prefix, r.plen))) ++
-                  u.nlriVpn6.map(r => (2L, 128L,
-                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
-                    pfx6(r.hi, r.lo, r.plen))) ++
-                  u.nlriLab.map(r => (1L, 4L, "", pfx4(r.prefix,
-                    r.plen))) ++
-                  u.nlriLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo,
-                    r.plen)))
-                val withdrawn =
-                  u.withdrawn.map(r => (1L, 1L, hdrRd, pfx4(r.prefix,
-                    r.plen))) ++
-                  u.withdrawn6.map(r => (2L, 1L, hdrRd, pfx6(r.hi, r.lo,
-                    r.plen))) ++
-                  u.withdrawnVpn.map(r => (1L, 128L,
-                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
-                    pfx4(r.prefix, r.plen))) ++
-                  u.withdrawnVpn6.map(r => (2L, 128L,
-                    rdOf(r.rdType, r.rdAdmin, r.rdVal),
-                    pfx6(r.hi, r.lo, r.plen))) ++
-                  u.withdrawnLab.map(r => (1L, 4L, "", pfx4(r.prefix,
-                    r.plen))) ++
-                  u.withdrawnLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo,
-                    r.plen)))
-                routes.foreach { case (afi, safi, rd, pfx) =>
-                  out += (("route_monitor", pip, afi, safi, rd, pfx))
-                  rib.put((pk._1, pk._2, pip, afi, safi, rd, pfx), ())
-                }
-                withdrawn.foreach { case (afi, safi, rd, pfx) =>
-                  val k = (pk._1, pk._2, pip, afi, safi, rd, pfx)
-                  if (rib.remove(k).isDefined)
-                    out += (("internal", pip, afi, safi, rd, pfx))
-                }
-                if (routes.isEmpty && withdrawn.isEmpty) {
-                  // End-of-RIB marker for its MP lane (v4 EoR when bare)
-                  val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
-                  out += (("route_monitor", pip, afi.toLong,
-                    safi.toLong, hdrRd, ""))
-                }
-              case _ => ()
-            }
-            // session close: every remaining RIB entry purges as delete
-            rib.keysIterator.foreach {
-              case (_, _, pip, afi, safi, rd, pfx) =>
-                out += (("internal", pip, afi, safi, rd, pfx))
-            }
-            out += (("log_init", "", -1L, -1L, "", ""))
-            out.toSeq
-          }
-          .toDF("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
-            "ip_prefix")
-        rows.groupBy("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
-            "ip_prefix")
-          .agg(count(lit(1)).as("n"))
-      },
-      Some(s"""SELECT
-            coalesce(bmp_msg_type, event_type) AS bmp_msg_type,
-            coalesce(peer_ip, '') AS peer_ip,
-            coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
-            coalesce(rd, '') AS rd,
-            coalesce(ip_prefix, '') AS ip_prefix, count(*) AS n
-            FROM read_json('$T/200-BMP-HUAWEI-locrib_instance/output-bmp-00.json',
-              format='newline_delimited', columns={'bmp_msg_type':'VARCHAR',
-                'event_type':'VARCHAR', 'peer_ip':'VARCHAR',
-                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
-                'ip_prefix':'VARCHAR'})
-            GROUP BY 1, 2, 3, 4, 5, 6"""),
-      doc = "reference golden replay: Huawei BMP session msglog (test 200)")
+      (s, _) => bmpReplayQuery(s, "200-BMP-HUAWEI-locrib_instance"),
+      Some(bmpReplayOracle("200-BMP-HUAWEI-locrib_instance")),
+      doc = "reference golden replay: Huawei BMP session msglog (test 200)"),
+
+    // tests/201-BMP-CISCO-rd_instance: an IOS XR BMP session — IPv6
+    // peers (full 16-byte peer addresses), RD-instance peers (type 1,
+    // header RD with rd_origin bmp), per-counter stats-report rows, and
+    // explicit withdraw deletes — through the same replay machinery.
+    Q("q205_golden_bmp_cisco",
+      (s, _) => bmpReplayQuery(s, "201-BMP-CISCO-rd_instance"),
+      Some(bmpReplayOracle("201-BMP-CISCO-rd_instance")),
+      doc = "reference golden replay: Cisco BMP rd_instance msglog (test 201)")
   )
 }

@@ -808,9 +808,11 @@ object BgpMsg {
           if (afi == 16388 && safi == 71) {
             buf.position(buf.position() + nhLen + 1) // nh + reserved
             u = u.copy(nlriLs = readLsNlris(buf, aEnd))
-          } else if (afi == 2 && safi == 1 && nhLen == 16) {
+          } else if (afi == 2 && safi == 1 && nhLen >= 16) {
+            // 16-byte global next hop, optionally + 16-byte link-local
+            // (RFC 2545 §3: nhLen 32 when both are sent)
             val nh = (buf.getLong(), buf.getLong())
-            buf.get() // reserved
+            buf.position(buf.position() + (nhLen - 16) + 1) // ll + rsvd
             u = u.copy(nextHop6 = Some(nh),
               nlri6 = readRoutes6(buf, aEnd))
           } else if (afi == 1 && safi == 128 && nhLen == 12) {

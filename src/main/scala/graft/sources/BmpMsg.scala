@@ -18,9 +18,13 @@ object BmpMsg {
   val CommonHeaderLen = 6
   val PerPeerLen = 42
 
+  /** `peerAddr` keeps the low 4 bytes (the v4 view every existing
+    * consumer uses); `addrHi`/`addrLo` carry the full 16-byte peer
+    * address so v6 peers (RFC 7854 §4.2 V flag) render correctly. */
   final case class PeerHeader(peerType: Int, flags: Int, distinguisher: Long,
                               peerAddr: Long, peerAs: Long, bgpId: Long,
-                              tsSec: Long, tsUsec: Long)
+                              tsSec: Long, tsUsec: Long,
+                              addrHi: Long = 0L, addrLo: Long = 0L)
 
   sealed trait Msg
   final case class RouteMonitoring(peer: PeerHeader,
@@ -149,13 +153,14 @@ object BmpMsg {
     val tp = buf.get() & 0xff
     val flags = buf.get() & 0xff
     val dist = buf.getLong()
-    buf.getLong(); buf.getInt()     // peer address high bytes
-    val addr = buf.getInt() & 0xffffffffL
+    val hi = buf.getLong()
+    val lo = buf.getLong()
+    val addr = lo & 0xffffffffL     // v4 view: low 4 bytes
     val as = buf.getInt() & 0xffffffffL
     val bgpId = buf.getInt() & 0xffffffffL
     val tsSec = buf.getInt() & 0xffffffffL
     val tsUsec = buf.getInt() & 0xffffffffL
-    PeerHeader(tp, flags, dist, addr, as, bgpId, tsSec, tsUsec)
+    PeerHeader(tp, flags, dist, addr, as, bgpId, tsSec, tsUsec, hi, lo)
   }
 
   /** Parse a contiguous BMP session stream. */

@@ -757,13 +757,16 @@ class ProtocolSpec extends AnyFunSuite {
     val msgs = BmpMsg.decodeStream(stream)
     assert(msgs.size == 4)
     assert(msgs.head == BmpMsg.Initiation(Seq(1 -> "sys", 2 -> "graft")))
-    assert(msgs(1) == BmpMsg.PeerUp(peer))
-    assert(msgs(2) == BmpMsg.RouteMonitoring(peer, u))
-    assert(msgs(3) == BmpMsg.PeerDown(peer, 1))
+    // the decoded header carries the full 16-byte address view; the
+    // v4-encoding writer puts the address in the low limb
+    val peerBack = peer.copy(addrLo = peer.peerAddr)
+    assert(msgs(1) == BmpMsg.PeerUp(peerBack))
+    assert(msgs(2) == BmpMsg.RouteMonitoring(peerBack, u))
+    assert(msgs(3) == BmpMsg.PeerDown(peerBack, 1))
     // stats report: mixed 32-bit counters and 64-bit gauges (types 7/8)
     val stats = Map(0 -> 12L, 7 -> 5000000000L, 8 -> 42L)
     val back = BmpMsg.decodeStream(BmpMsg.encodeStatsReport(peer, stats))
-    assert(back == Seq(BmpMsg.StatsReport(peer, stats)))
+    assert(back == Seq(BmpMsg.StatsReport(peerBack, stats)))
   }
 
   test("BGP FSM: passive handshake, delivery, notification, hold timer") {
