@@ -239,20 +239,40 @@ object GoldenReplay {
       if (expect < 0 || seq >= expect) {
         out.write(pay, 0, pay.length)
         expect = seq + pay.length
+      } else if (seq + pay.length > expect) {
+        // partial overlap (retransmit with a new tail): keep the tail
+        val skip = (expect - seq).toInt
+        out.write(pay, skip, pay.length - skip)
+        expect = seq + pay.length
       }
     }
     out.toByteArray
   }
 
-  /** One BMP msglog lane row: (msg_type, peer_ip, afi, safi, rd, prefix,
-    * counter_type, counter_value) with sentinels (-1/""/0) for fields the
-    * message kind does not carry — the comparable projection of the
-    * reference's per-event msglog JSON. */
-  type MsglogRow = (String, String, Long, Long, String, String, Long, Long)
+  /** Rendered IP source of the first TCP segment to `dport` — the
+    * session's exporter, for the reproducer-map rewrite. */
+  def tcpSrcIp(sf: Pcap.Savefile, dport: Int): Option[String] =
+    sf.packets.iterator.flatMap { p =>
+      val frame = p.data
+      tcpSegment(frame).filter(_._1 == dport).map { _ =>
+        ntop4(((frame(26) & 0xffL) << 24) | ((frame(27) & 0xffL) << 16) |
+          ((frame(28) & 0xffL) << 8) | (frame(29) & 0xffL))
+      }
+    }.nextOption()
+
+  /** One BMP msglog lane row: (router, msg_type, peer_ip, afi, safi, rd,
+    * prefix, counter_type, counter_value) with sentinels (-1/""/0) for
+    * fields the message kind does not carry — the comparable projection
+    * of the reference's per-event msglog JSON. */
+  type MsglogRow =
+    (String, String, String, Long, Long, String, String, Long, Long)
 
   /** Replay a reassembled BMP session byte stream into msglog rows with
-    * the reference's lifecycle semantics (see q204's scaladoc). */
-  def bmpMsglogRows(stream: Array[Byte]): Seq[MsglogRow] = {
+    * the reference's lifecycle semantics (see q204's scaladoc).
+    * `keepOpen` mirrors the reproducer's socket behavior: an open session
+    * never purges its RIB, so no close deletes are logged. */
+  def bmpMsglogRows(stream: Array[Byte], router: String,
+                    keepOpen: Boolean = false): Seq[MsglogRow] = {
     import graft.sources.{BgpMsg, BmpMsg}
     def peerIpOf(p: BmpMsg.PeerHeader): String =
       if (p.addrHi == 0L && (p.addrLo >>> 32) == 0L) ntop4(p.peerAddr)
@@ -277,15 +297,15 @@ object GoldenReplay {
       String, String), Unit]()
     BmpMsg.decodeStream(stream).foreach {
       case BmpMsg.Initiation(_) =>
-        out += (("init", "", -1L, -1L, "", "", -1L, 0L))
+        out += ((router, "init", "", -1L, -1L, "", "", -1L, 0L))
       case BmpMsg.PeerUp(p) =>
-        out += (("peer_up", peerIpOf(p), -1L, -1L, hdrRdOf(p), "",
-          -1L, 0L))
+        out += ((router, "peer_up", peerIpOf(p), -1L, -1L, hdrRdOf(p),
+          "", -1L, 0L))
       case BmpMsg.StatsReport(p, stats) =>
         // one msglog row per counter TLV (bmp_logdump.c:377)
         stats.toSeq.sortBy(_._1).foreach { case (ct, cv) =>
-          out += (("stats", peerIpOf(p), -1L, -1L, hdrRdOf(p), "",
-            ct.toLong, cv))
+          out += ((router, "stats", peerIpOf(p), -1L, -1L, hdrRdOf(p),
+            "", ct.toLong, cv))
         }
       case BmpMsg.RouteMonitoring(p, u) =>
         val pip = peerIpOf(p)
@@ -318,27 +338,31 @@ object GoldenReplay {
           u.withdrawnLab.map(r => (1L, 4L, "", pfx4(r.prefix, r.plen))) ++
           u.withdrawnLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo, r.plen)))
         routes.foreach { case (afi, safi, rd, pfx) =>
-          out += (("route_monitor", pip, afi, safi, rd, pfx, -1L, 0L))
+          out += ((router, "route_monitor", pip, afi, safi, rd, pfx,
+            -1L, 0L))
           rib.put((p.peerType, p.flags, pip, afi, safi, rd, pfx), ())
         }
         withdrawn.foreach { case (afi, safi, rd, pfx) =>
           if (rib.remove((p.peerType, p.flags, pip, afi, safi, rd,
               pfx)).isDefined)
-            out += (("internal", pip, afi, safi, rd, pfx, -1L, 0L))
+            out += ((router, "internal", pip, afi, safi, rd, pfx,
+              -1L, 0L))
         }
         if (routes.isEmpty && withdrawn.isEmpty) {
           // End-of-RIB marker for its MP lane (v4 EoR when bare)
           val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
-          out += (("route_monitor", pip, afi.toLong, safi.toLong,
+          out += ((router, "route_monitor", pip, afi.toLong, safi.toLong,
             hdrRd, "", -1L, 0L))
         }
       case _ => ()
     }
-    // session close: every remaining RIB entry purges as a delete
-    rib.keysIterator.foreach { case (_, _, pip, afi, safi, rd, pfx) =>
-      out += (("internal", pip, afi, safi, rd, pfx, -1L, 0L))
-    }
-    out += (("log_init", "", -1L, -1L, "", "", -1L, 0L))
+    // session close: every remaining RIB entry purges as a delete — an
+    // open session (keep_open reproducer) never gets here
+    if (!keepOpen)
+      rib.keysIterator.foreach { case (_, _, pip, afi, safi, rd, pfx) =>
+        out += ((router, "internal", pip, afi, safi, rd, pfx, -1L, 0L))
+      }
+    out += ((router, "log_init", "", -1L, -1L, "", "", -1L, 0L))
     out.toSeq
   }
 
@@ -576,7 +600,9 @@ object GoldenQueries {
   /** Shared BMP-session replay: reassemble the capture's TCP stream,
     * decode through BmpMsg/BgpMsg, apply the msglog lifecycle
     * ([[GoldenReplay.bmpMsglogRows]]), aggregate per lane row. */
-  private def bmpReplayQuery(s: SparkSession, test: String): DataFrame = {
+  private def bmpReplayQuery(s: SparkSession, test: String,
+      routerMap: Map[String, String] = Map.empty,
+      keepOpen: Boolean = false): DataFrame = {
     Graft.tune(s)
     val sp = s
     import sp.implicits._
@@ -584,19 +610,23 @@ object GoldenQueries {
       .option("pathGlobFilter", "traffic-*.pcap").load(s"$T/$test")
       .select("content").as[Array[Byte]]
       .flatMap { bytes =>
+        val sf = Pcap.read(bytes)
+        val src = GoldenReplay.tcpSrcIp(sf, 1790).getOrElse("")
+        val router = routerMap.getOrElse(src, "172.21.1.101")
         GoldenReplay.bmpMsglogRows(
-          GoldenReplay.tcpReassemble(Pcap.read(bytes), dport = 1790))
+          GoldenReplay.tcpReassemble(sf, dport = 1790), router, keepOpen)
       }
-      .toDF("bmp_msg_type", "peer_ip", "afi", "safi", "rd", "ip_prefix",
-        "counter_type", "counter_value")
-      .groupBy("bmp_msg_type", "peer_ip", "afi", "safi", "rd",
-        "ip_prefix", "counter_type")
+      .toDF("bmp_router", "bmp_msg_type", "peer_ip", "afi", "safi", "rd",
+        "ip_prefix", "counter_type", "counter_value")
+      .groupBy("bmp_router", "bmp_msg_type", "peer_ip", "afi", "safi",
+        "rd", "ip_prefix", "counter_type")
       .agg(count(lit(1)).as("n"),
         sum("counter_value").as("sum_counter_value"))
   }
 
   private def bmpReplayOracle(test: String): String =
-    s"""SELECT coalesce(bmp_msg_type, event_type) AS bmp_msg_type,
+    s"""SELECT coalesce(bmp_router, '') AS bmp_router,
+          coalesce(bmp_msg_type, event_type) AS bmp_msg_type,
           coalesce(peer_ip, '') AS peer_ip,
           coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
           coalesce(rd, '') AS rd,
@@ -605,12 +635,13 @@ object GoldenQueries {
           CAST(coalesce(sum(counter_value), 0) AS BIGINT)
             AS sum_counter_value
         FROM read_json('$T/$test/output-bmp-00.json',
-          format='newline_delimited', columns={'bmp_msg_type':'VARCHAR',
+          format='newline_delimited', columns={'bmp_router':'VARCHAR',
+            'bmp_msg_type':'VARCHAR',
             'event_type':'VARCHAR', 'peer_ip':'VARCHAR',
             'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
             'ip_prefix':'VARCHAR', 'counter_type':'BIGINT',
             'counter_value':'BIGINT'})
-        GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8"""
 
   val all: Seq[Q] = Seq(
 
@@ -780,6 +811,22 @@ object GoldenQueries {
     Q("q205_golden_bmp_cisco",
       (s, _) => bmpReplayQuery(s, "201-BMP-CISCO-rd_instance"),
       Some(bmpReplayOracle("201-BMP-CISCO-rd_instance")),
-      doc = "reference golden replay: Cisco BMP rd_instance msglog (test 201)")
+      doc = "reference golden replay: Cisco BMP rd_instance msglog (test 201)"),
+
+    // tests/202-BMP-CISCO-HUAWEI-multiple-sources: THREE concurrent BMP
+    // sessions (two IOS XR, one Huawei) into one collector — per-router
+    // row attribution via the reproducer map, keep_open sockets (no
+    // close purge), a capture cut mid-message (the decoder must treat
+    // the tail as still-buffered), and a retransmit with a new tail the
+    // reassembler must keep.
+    Q("q206_golden_bmp_multi",
+      (s, _) => bmpReplayQuery(s, "202-BMP-CISCO-HUAWEI-multiple-sources",
+        routerMap = Map(
+          "192.0.2.61" -> "172.21.1.101",
+          "192.0.2.55" -> "172.21.1.102",
+          "198.51.100.44" -> "172.21.1.103"),
+        keepOpen = true),
+      Some(bmpReplayOracle("202-BMP-CISCO-HUAWEI-multiple-sources")),
+      doc = "reference golden replay: 3-source BMP collector (test 202)")
   )
 }

@@ -815,12 +815,19 @@ object BgpMsg {
             buf.position(buf.position() + (nhLen - 16) + 1) // ll + rsvd
             u = u.copy(nextHop6 = Some(nh),
               nlri6 = readRoutes6(buf, aEnd))
-          } else if (afi == 1 && safi == 128 && nhLen == 12) {
-            buf.getLong() // next-hop RD, always zero (RFC 4364 §4.3.2)
-            val nh = buf.getInt() & 0xffffffffL
+          } else if (afi == 1 && safi == 128) {
+            // next hop forms seen in the wild: RD+IPv4 (12, RFC 4364
+            // §4.3.2), bare IPv4 (4), RD+IPv6 (24, RFC 8950 extended
+            // next hop). Extract the v4 when present, skip otherwise.
+            if (nhLen == 12) {
+              buf.getLong()
+              u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
+            } else if (nhLen == 4) {
+              u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
+            } else buf.position(buf.position() + nhLen)
             buf.get() // reserved
-            u = u.copy(nextHopVpn = Some(nh),
-              nlriVpn = readRoutesVpn(buf, aEnd, withdraw = false))
+            u = u.copy(nlriVpn = readRoutesVpn(buf, aEnd,
+              withdraw = false))
           } else if (afi == 2 && safi == 128 && nhLen >= 24) {
             // RFC 4659 §3.2.1.1: RD(8, zero) + 16-byte v6 next hop
             // (+ optional 16-byte link-local when nhLen is 40)

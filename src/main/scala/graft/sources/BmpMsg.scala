@@ -167,12 +167,18 @@ object BmpMsg {
   def decodeStream(bytes: Array[Byte]): Seq[Msg] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = mutable.Buffer[Msg]()
-    while (buf.remaining() >= CommonHeaderLen) {
+    var truncated = false
+    while (!truncated && buf.remaining() >= CommonHeaderLen) {
       val ver = buf.get() & 0xff
       require(ver == Version, s"unsupported BMP version $ver")
       val len = buf.getInt()
       val msgType = buf.get() & 0xff
       val msgEnd = buf.position() + len - CommonHeaderLen
+      if (msgEnd > buf.limit()) {
+        // incomplete tail (a capture cut mid-message): a live socket
+        // would keep these bytes buffered — stop, never throw
+        truncated = true
+      } else {
       msgType match {
         case 0 =>
           val peer = readPeer(buf)
@@ -232,6 +238,7 @@ object BmpMsg {
         case _ => () // unknown message types: skip by length
       }
       buf.position(msgEnd)
+      }
     }
     out.toSeq
   }
