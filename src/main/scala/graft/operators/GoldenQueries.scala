@@ -250,15 +250,86 @@ object GoldenReplay {
   }
 
   /** Rendered IP source of the first TCP segment to `dport` — the
-    * session's exporter, for the reproducer-map rewrite. */
+    * session's exporter, for the reproducer-map rewrite (v4 or v6
+    * transport). */
   def tcpSrcIp(sf: Pcap.Savefile, dport: Int): Option[String] =
     sf.packets.iterator.flatMap { p =>
       val frame = p.data
-      tcpSegment(frame).filter(_._1 == dport).map { _ =>
-        ntop4(((frame(26) & 0xffL) << 24) | ((frame(27) & 0xffL) << 16) |
-          ((frame(28) & 0xffL) << 8) | (frame(29) & 0xffL))
+      tcpSegment(frame).filter(_._1 == dport).flatMap { _ =>
+        var et = ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+        var off = 14
+        while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
+          et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
+          off += 4
+        }
+        if (et == 0x0800)
+          Some(ntop4(((frame(off + 12) & 0xffL) << 24) |
+            ((frame(off + 13) & 0xffL) << 16) |
+            ((frame(off + 14) & 0xffL) << 8) | (frame(off + 15) & 0xffL)))
+        else if (et == 0x86dd)
+          Some(ntop6(java.util.Arrays.copyOfRange(frame, off + 8,
+            off + 24)))
+        else None
       }
     }.nextOption()
+
+  /** Replay a raw BGP session byte stream (tests/3xx: OPEN/KEEPALIVE
+    * skipped, UPDATEs walked) into msglog rows — same lifecycle as the
+    * BMP replay but without per-peer headers: rd comes from the NLRI
+    * only, End-of-RIB logs with its own log_type. Row shape:
+    * (log_type, peer, afi, safi, rd, prefix). */
+  def bgpMsglogRows(stream: Array[Byte], peer: String,
+      keepOpen: Boolean = false)
+      : Seq[(String, String, Long, Long, String, String)] = {
+    import graft.sources.BgpMsg
+    def rdOf(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    def pfx6(hi: Long, lo: Long, plen: Int) =
+      s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+    val out = mutable.Buffer[(String, String, Long, Long, String, String)]()
+    val rib = mutable.LinkedHashMap[(Long, Long, String, String), Unit]()
+    BgpMsg.decodeStream(stream).foreach { u =>
+      val routes =
+        u.nlri.map(r => (1L, 1L, "", s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.nlri6.map(r => (2L, 1L, "", pfx6(r.hi, r.lo, r.plen))) ++
+        u.nlriVpn.map(r => (1L, 128L, rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.nlriVpn6.map(r => (2L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo, r.plen))) ++
+        u.nlriLab.map(r => (1L, 4L, "", s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.nlriLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo, r.plen)))
+      val withdrawn =
+        u.withdrawn.map(r => (1L, 1L, "",
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.withdrawn6.map(r => (2L, 1L, "", pfx6(r.hi, r.lo, r.plen))) ++
+        u.withdrawnVpn.map(r => (1L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.withdrawnVpn6.map(r => (2L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo, r.plen))) ++
+        u.withdrawnLab.map(r => (1L, 4L, "",
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.withdrawnLab6.map(r => (2L, 4L, "", pfx6(r.hi, r.lo, r.plen)))
+      routes.foreach { case (afi, safi, rd, pfx) =>
+        out += (("update", peer, afi, safi, rd, pfx))
+        rib.put((afi, safi, rd, pfx), ())
+      }
+      withdrawn.foreach { case (afi, safi, rd, pfx) =>
+        if (rib.remove((afi, safi, rd, pfx)).isDefined)
+          out += (("delete", peer, afi, safi, rd, pfx))
+      }
+      if (routes.isEmpty && withdrawn.isEmpty) {
+        val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
+        out += (("end-of-rib", peer, afi.toLong, safi.toLong, "", ""))
+      }
+    }
+    if (!keepOpen)
+      rib.keysIterator.foreach { case (afi, safi, rd, pfx) =>
+        out += (("delete", peer, afi, safi, rd, pfx))
+      }
+    out += (("log_init", peer, -1L, -1L, "", ""))
+    out.toSeq
+  }
 
   /** One BMP msglog lane row: (router, msg_type, peer_ip, afi, safi, rd,
     * prefix, counter_type, counter_value) with sentinels (-1/""/0) for
@@ -827,6 +898,48 @@ object GoldenQueries {
           "198.51.100.44" -> "172.21.1.103"),
         keepOpen = true),
       Some(bmpReplayOracle("202-BMP-CISCO-HUAWEI-multiple-sources")),
-      doc = "reference golden replay: 3-source BMP collector (test 202)")
+      doc = "reference golden replay: 3-source BMP collector (test 202)"),
+
+    // tests/300-BGP-IPv6-CISCO-extNH_enc: a raw BGP session over IPv6
+    // transport (TCP 179) — VPNv4 carried with RFC 8950 extended (IPv6)
+    // next hops, VPNv6, type-1 (IP-administered) RDs, per-lane
+    // End-of-RIB markers logging with their own log_type, keep_open
+    // socket. The msglog rows reconcile against output-bgp-00.json.
+    Q("q207_golden_bgp_extnh",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/300-BGP-IPv6-CISCO-extNH_enc")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val src = GoldenReplay.tcpSrcIp(sf, 179).getOrElse("")
+            val peer = if (src == "2001:4d98:a100:300:0:921:f:1")
+              "cafe::1" else src // reproducer-00.yml network.map
+            GoldenReplay.bgpMsglogRows(
+              GoldenReplay.tcpReassemble(sf, dport = 179), peer,
+              keepOpen = true)
+          }
+          .toDF("log_type", "peer_ip_src", "afi", "safi", "rd",
+            "ip_prefix")
+          .groupBy("log_type", "peer_ip_src", "afi", "safi", "rd",
+            "ip_prefix")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT coalesce(log_type, event_type) AS log_type,
+            coalesce(peer_ip_src, '') AS peer_ip_src,
+            coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+            coalesce(rd, '') AS rd,
+            coalesce(ip_prefix, '') AS ip_prefix, count(*) AS n
+            FROM read_json('$T/300-BGP-IPv6-CISCO-extNH_enc/output-bgp-00.json',
+              format='newline_delimited', columns={'log_type':'VARCHAR',
+                'event_type':'VARCHAR', 'peer_ip_src':'VARCHAR',
+                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+                'ip_prefix':'VARCHAR'})
+            GROUP BY 1, 2, 3, 4, 5, 6"""),
+      doc = "reference golden replay: BGP extNH msglog (test 300)")
   )
 }
