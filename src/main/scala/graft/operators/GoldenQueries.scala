@@ -279,7 +279,7 @@ object GoldenReplay {
     * only, End-of-RIB logs with its own log_type. Row shape:
     * (log_type, peer, afi, safi, rd, prefix). */
   def bgpMsglogRows(stream: Array[Byte], peer: String,
-      keepOpen: Boolean = false)
+      keepOpen: Boolean = false, emitLogInit: Boolean = true)
       : Seq[(String, String, Long, Long, String, String)] = {
     import graft.sources.BgpMsg
     def rdOf(rt: Int, ra: Long, rv: Long): String =
@@ -327,7 +327,9 @@ object GoldenReplay {
       rib.keysIterator.foreach { case (afi, safi, rd, pfx) =>
         out += (("delete", peer, afi, safi, rd, pfx))
       }
-    out += (("log_init", peer, -1L, -1L, "", ""))
+    // one log_init per PEER, not per capture file — a peer reconnecting
+    // in a second capture reuses its open log (caller dedupes)
+    if (emitLogInit) out += (("log_init", peer, -1L, -1L, "", ""))
     out.toSeq
   }
 
@@ -940,6 +942,70 @@ object GoldenQueries {
                 'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
                 'ip_prefix':'VARCHAR'})
             GROUP BY 1, 2, 3, 4, 5, 6"""),
-      doc = "reference golden replay: BGP extNH msglog (test 300)")
+      doc = "reference golden replay: BGP extNH msglog (test 300)"),
+
+    // tests/302-BGP-IPv6-multiple-sources: FOUR captures, THREE peers —
+    // one v6-transport, two v4, and the third peer connecting TWICE
+    // (captures 02+03 share the source): updates from both sessions log,
+    // but the peer's msglog opens once, so log_init dedupes per peer.
+    Q("q208_golden_bgp_multi",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val peers = Map(
+          "2001:4d98:a100:401:0:923:f:1" -> "cafe::1",
+          "10.10.0.35" -> "192.168.100.1",
+          "213.3.223.36" -> "192.168.100.2")
+        val raw = s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/302-BGP-IPv6-multiple-sources")
+          .select(input_file_name().as("file"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (file, bytes) =>
+            val sf = Pcap.read(bytes)
+            val src = GoldenReplay.tcpSrcIp(sf, 179).getOrElse("")
+            GoldenReplay.bgpMsglogRows(
+              GoldenReplay.tcpReassemble(sf, dport = 179),
+              peers.getOrElse(src, src), keepOpen = true,
+              emitLogInit = false).map(r => (file, r._1, r._2, r._3,
+                r._4, r._5, r._6))
+          }
+          .toDF("file", "log_type", "peer_ip_src", "afi", "safi", "rd",
+            "ip_prefix")
+        // the daemon refuses a second connection from an already-
+        // connected peer (keep_open sockets; the test whitelists the
+        // "Refusing new connection" WARN) — only the peer's FIRST
+        // capture contributes
+        val firstFile = raw.groupBy("peer_ip_src")
+          .agg(min("file").as("file"))
+        val rows = raw.join(broadcast(firstFile),
+            Seq("peer_ip_src", "file"))
+          .drop("file")
+        val inits = rows.select("peer_ip_src").distinct()
+          .withColumn("log_type", lit("log_init"))
+          .withColumn("afi", lit(-1L)).withColumn("safi", lit(-1L))
+          .withColumn("rd", lit("")).withColumn("ip_prefix", lit(""))
+          .select("log_type", "peer_ip_src", "afi", "safi", "rd",
+            "ip_prefix")
+        rows.unionByName(inits)
+          .groupBy("log_type", "peer_ip_src", "afi", "safi", "rd",
+            "ip_prefix")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT coalesce(log_type, event_type) AS log_type,
+            coalesce(peer_ip_src, '') AS peer_ip_src,
+            coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+            coalesce(rd, '') AS rd,
+            coalesce(ip_prefix, '') AS ip_prefix, count(*) AS n
+            FROM read_json('$T/302-BGP-IPv6-multiple-sources/output-bgp-00.json',
+              format='newline_delimited', ignore_errors=true,
+              columns={'log_type':'VARCHAR',
+                'event_type':'VARCHAR', 'peer_ip_src':'VARCHAR',
+                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+                'ip_prefix':'VARCHAR'})
+            WHERE coalesce(log_type, event_type) IS NOT NULL
+            GROUP BY 1, 2, 3, 4, 5, 6"""),
+      doc = "reference golden replay: multi-source BGP msglog (test 302)")
   )
 }

@@ -891,8 +891,15 @@ object BgpMsg {
                    addPath: Boolean = false): Seq[Update] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = mutable.Buffer[Update]()
-    while (buf.remaining() >= HeaderLen)
-      decodeOne(buf, addPath).foreach(out += _)
+    var truncated = false
+    while (!truncated && buf.remaining() >= HeaderLen) {
+      // an incomplete trailing message (capture cut mid-message): a
+      // live socket would keep it buffered — stop, never underflow
+      val declared = ((bytes(buf.position() + 16) & 0xff) << 8) |
+        (bytes(buf.position() + 17) & 0xff)
+      if (buf.position() + declared > buf.limit()) truncated = true
+      else decodeOne(buf, addPath).foreach(out += _)
+    }
     out.toSeq
   }
 
