@@ -1414,44 +1414,49 @@ object SurfaceQueries {
         val sp = s
         import sp.implicits._
         import graft.sources.{BgpMsg, BmpMsg}
+        // secondary-sort walk over 64 router sessions with per-peer
+        // RUNNING counters — no full-group materialization, no
+        // post-decode groupBy (the r5 de-weakening shape)
         val rows = Tables.events(s, d).select(
-            (col("user_id") % 8).as("router"), col("event_id"),
+            (col("user_id") % 64).as("router"), col("event_id"),
             (col("user_id") % 4).as("peer"),
-            ((col("user_id") % 8) * 65536 + col("event_id") % 2048)
+            ((col("user_id") % 64) * 65536 + col("event_id") % 2048)
               .as("pfx"),
             (expr("CAST(floor(value * 1000) AS BIGINT)") % 4 =!= 0)
               .as("advertised"))
           .as[(Long, Long, Long, Long, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (router: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            def mon(peer: Long, flags: Int, pfx: Long): Unit = {
-              val m = BmpMsg.encodeRouteMonitoring(
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (router, run) =>
+            val nIn = scala.collection.mutable.Map[Long, Long]()
+            val nOut = scala.collection.mutable.Map[Long, Long]()
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BmpMsg.decodeStream(chunk).foreach {
+                case m: BmpMsg.RouteMonitoring =>
+                  val tgt = if ((m.peer.flags & 0x10) != 0) nOut else nIn
+                  tgt(m.peer.peerAddr) =
+                    tgt.getOrElse(m.peer.peerAddr, 0L) + 1L
+                case _ => ()
+              })
+            def mon(peer: Long, flags: Int, pfx: Long): Unit =
+              wire.write(BmpMsg.encodeRouteMonitoring(
                 BmpMsg.PeerHeader(0, flags, 0L, peer, 65100 + peer,
                   peer, 0L, 0L),
                 BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx << 8, 24)),
-                  origin = Some(0), nextHop = Some(router)))
-              wire.write(m, 0, m.length)
-            }
-            evs.foreach { case (_, _, peer, pfx, adv) =>
+                  origin = Some(0), nextHop = Some(router))))
+            run.foreach { case (_, _, peer, pfx, adv) =>
               mon(peer, 0x00, pfx)              // Adj-RIB-In
               if (adv) mon(peer, 0x10, pfx)     // Adj-RIB-Out (O flag)
             }
-            val msgs = BmpMsg.decodeStream(wire.toByteArray)
-            val byPeer = msgs.collect {
-              case m: BmpMsg.RouteMonitoring => (m.peer.peerAddr,
-                (m.peer.flags & 0x10) != 0, m.update.nlri.head.prefix)
-            }.groupBy(_._1)
-            byPeer.iterator.map { case (peer, ms) =>
-              val nIn = ms.count(!_._2).toLong
-              val nOut = ms.count(_._2).toLong
-              (router, peer, nIn, nOut, nIn - nOut)
-            }
+            wire.flush()
+            nIn.keysIterator.map { peer =>
+              val i = nIn(peer); val o = nOut.getOrElse(peer, 0L)
+              (router, peer, i, o, i - o)
+            }.toSeq
+          }
         }
         decoded.toDF("router", "peer", "n_in", "n_out", "withheld")
       },
-      Some("""WITH e AS (SELECT user_id % 8 AS router,
+      Some("""WITH e AS (SELECT user_id % 64 AS router,
                 user_id % 4 AS peer,
                 CASE WHEN CAST(floor(value * 1000) AS BIGINT) % 4 != 0
                   THEN 1 ELSE 0 END AS adv

@@ -34,6 +34,32 @@ def main(sfdir, benchfile, oraclefile):
         sw += s if s == s else 0; dw += d if d == d else 0
         print(f"{n:26s} {s:8.2f} {d:9.2f} {r:6.2f}")
     print(f"{'TOTAL':26s} {sw:8.2f} {dw:9.2f} {sw/dw:6.2f}")
+    return rows, sw, dw
+
+
+def emit_json(sfdir, benchfile, oraclefile, outfile):
+    """Machine-readable per-query ratio artifact (BENCH_RATIO_r{N}.json)
+    so the per-query 2x criterion is checkable without re-deriving."""
+    rows, sw, dw = main(sfdir, benchfile, oraclefile)
+    def num(v):
+        return None if v != v else round(v, 3)
+    payload = {
+        "sf": sfdir,
+        "total_spark_s": round(sw, 2),
+        "total_duckdb_s": round(dw, 2),
+        "total_ratio": round(sw / dw, 3) if dw else None,
+        "queries": {n: {"spark_s": num(s), "duckdb_s": num(d),
+                        "ratio": num(s / d) if d and d == d and s == s
+                                 else None}
+                    for n, s, d in rows},
+    }
+    with open(outfile, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {outfile}")
+
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    if len(sys.argv) > 4:
+        emit_json(*sys.argv[1:5])
+    else:
+        main(*sys.argv[1:4])
