@@ -112,6 +112,17 @@ object GoldenReplay {
   def u64bytes(v: Long): Array[Byte] =
     (7 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
 
+  /** Render a raw 8-byte RD the way pmacct does (bgp_rd2str,
+    * src/bgp/bgp_util.c: type 0 = 2B admin + 4B value, type 1 = IP admin +
+    * 2B value, type 2 = 4B AS4 admin + 2B value). */
+  def rdStr(v: Long): String = {
+    val t = ((v >>> 48) & 0xffff).toInt
+    if (t == 0) s"$t:${(v >>> 32) & 0xffff}:${v & 0xffffffffL}"
+    else if (t == 1)
+      s"$t:${ntop4((v >>> 16) & 0xffffffffL)}:${v & 0xffffL}"
+    else s"$t:${(v >>> 16) & 0xffffffffL}:${v & 0xffffL}"
+  }
+
   def mask6(b: Array[Byte], plen: Int): Array[Byte] = {
     val out = new Array[Byte](16)
     (0 until 16).foreach { i =>
@@ -152,7 +163,10 @@ object GoldenReplay {
     labelStack(raw).zipWithIndex.map { case (l, i) => s"$i-$l" }
       .mkString(",")
 
-  /** One decoded + pmacct-rendered flow (or sampling-option) record. */
+  /** One decoded + pmacct-rendered flow (or sampling-option) record.
+    * `vrfName*`/`rdFlow` are the option-correlated enrichments resolved at
+    * decode time (nfacctd.c:2273-2393 map build, :4040-4170 flow-side
+    * resolution): empty when the exporter sent no matching option data. */
   final case class GRec(
       peer: String, isOption: Boolean,
       selector: Long, sampPop: Long, sampSize: Long,
@@ -164,7 +178,9 @@ object GoldenReplay {
       vrfIn: Long, vrfOut: Long,
       tsStart: Long, tsEnd: Long,
       packets: Long, bytes: Long,
-      cpTlIp: String, cpTlPlen: Long, cpTlType: Long)
+      cpTlIp: String, cpTlPlen: Long, cpTlType: Long,
+      vrfName: String = "", vrfNameIn: String = "", vrfNameOut: String = "",
+      rdFlow: String = "")
 
   /** Ethernet (+802.1Q walk) -> IPv4/IPv6 -> UDP payload; returns the
     * rendered source IP, UDP dst port and payload (ll.c/nl.c projection,
@@ -350,13 +366,6 @@ object GoldenReplay {
     def peerIpOf(p: BmpMsg.PeerHeader): String =
       if (p.addrHi == 0L && (p.addrLo >>> 32) == 0L) ntop4(p.peerAddr)
       else ntop6(u64bytes(p.addrHi) ++ u64bytes(p.addrLo))
-    def rdStr(v: Long): String = {
-      val t = ((v >>> 48) & 0xffff).toInt
-      if (t == 0) s"$t:${(v >>> 32) & 0xffff}:${v & 0xffffffffL}"
-      else if (t == 1)
-        s"$t:${ntop4((v >>> 16) & 0xffffffffL)}:${v & 0xffffL}"
-      else s"$t:${(v >>> 16) & 0xffffffffL}:${v & 0xffffL}"
-    }
     // header RD applies only to L3VPN (1) and Loc-RIB (3) peers
     // (bmp_peer_hdr_get_rd, bmp_msg.c:1235-1248)
     def hdrRdOf(p: BmpMsg.PeerHeader): String =
@@ -480,13 +489,18 @@ object GoldenReplay {
         case Some(v: Long) => v
         case _ => -1L
       })
-    // v9 absolute times from sysuptime-relative IEs 21/22; IPFIX msec IEs
-    // 152/153; else the export-time fallback (pkt_handlers.c:3843-3930)
+    // v9 absolute times from sysuptime-relative IEs 21/22; IPFIX 21/22
+    // anchored to IE 160 (systemInitTimeMilliseconds — the Huawei VRP
+    // shape, pkt_handlers.c:3862-3868); IPFIX msec IEs 152/153; else the
+    // export-time fallback (pkt_handlers.c:3843-3930)
     val (tsStart, tsEnd) =
       if (ver == 9 && rec.contains(22L)) {
         val first = numOf(rec, 22); val last = numOf(rec, 21)
         (unixSecs - cDiv1000((sysUp - first).toInt),
           unixSecs - cDiv1000((sysUp - last).toInt))
+      } else if (ver == 10 && rec.contains(22L) && rec.contains(160L)) {
+        val boot = numOf(rec, 160) / 1000
+        (boot + numOf(rec, 22) / 1000, boot + numOf(rec, 21) / 1000)
       } else if (rec.contains(152L)) {
         (numOf(rec, 152) / 1000,
           (if (rec.contains(153L)) numOf(rec, 153) else numOf(rec, 152))
@@ -511,11 +525,77 @@ object GoldenReplay {
       cpTlType = numOf(rec, 46))
   }
 
+  /** Per-exporter option-correlation state: vrfid -> VRF name (IEs 234+236,
+    * nfacctd.c:2344-2393) and vrfid -> raw RD maps (IEs 234/235 + 90,
+    * nfacctd.c:2273-2342). The reference scopes these to the
+    * xflow_status_entry (global per exporter under system scoping — the
+    * path every fixture exporter uses). */
+  final class VrfState {
+    val names = mutable.Map[Long, String]()
+    val inRd = mutable.Map[Long, Long]()
+    val outRd = mutable.Map[Long, Long]()
+  }
+
+  private def asciiz(hex: String): String = {
+    val bytes = hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte)
+      .takeWhile(_ != 0).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Apply an option record to the per-exporter VRF maps. */
+  def vrfObserve(st: VrfState, rec: NetFlowV9.DecodedX): Unit = {
+    val inId = numOf(rec, 234); val outId = numOf(rec, 235)
+    rec.get(90L) match { // vrfid -> RD (only when either id is set)
+      case Some(rd: Long) if rec.contains(234L) &&
+          (inId != 0L || outId != 0L) =>
+        if (inId != 0L) st.inRd(inId) = rd
+        if (outId != 0L) st.outRd(outId) = rd
+      case _ => ()
+    }
+    rec.get(236L) match { // ingress vrfid -> name (unconditional insert)
+      case Some(hex: String) if rec.contains(234L) =>
+        st.names(inId) = asciiz(hex)
+      case _ => ()
+    }
+  }
+
+  /** Resolve a flow record's VRF names + RD against the maps
+    * (nfacctd.c:4040-4170): vrf_name prefers the ingress name, falling
+    * back to the egress name when ingress id is 0 or named "default"; the
+    * RD resolves direction-aware with the vrfid:N fallback. */
+  def vrfResolve(g: GRec, rec: NetFlowV9.DecodedX, st: VrfState): GRec = {
+    val inId = g.vrfIn; val outId = g.vrfOut
+    val direction = numOf(rec, 61)
+    val inName =
+      if (rec.contains(234L)) st.names.get(inId).getOrElse("") else ""
+    val outName =
+      if (rec.contains(235L)) st.names.get(outId).getOrElse("") else ""
+    val best =
+      if (outName.nonEmpty && (inId == 0L || inName == "default")) outName
+      else inName
+    val rdFlow: String =
+      if (inId != 0L && (direction == 0L || outId == 0L))
+        st.inRd.get(inId) match {
+          case Some(rd0) =>
+            rdStr(if (rd0 == 0L) st.outRd.getOrElse(outId, rd0) else rd0)
+          case None => s"vrfid:$inId"
+        }
+      else if (outId != 0L && (direction == 1L || inId == 0L))
+        st.outRd.get(outId) match {
+          case Some(rd0) =>
+            rdStr(if (rd0 == 0L) st.inRd.getOrElse(inId, rd0) else rd0)
+          case None => s"vrfid:$outId"
+        }
+      else ""
+    g.copy(vrfName = best, vrfNameIn = inName, vrfNameOut = outName,
+      rdFlow = rdFlow)
+  }
+
   /** Decode every `traffic-*.pcap` of a reference test directory. One task
     * per savefile (binaryFile source) — the per-exporter-socket sharding a
     * real collector has; template state is per (exporter, observation
     * domain) in arrival order, like the reference's template cache keying
-    * (src/nfv9_template.c). */
+    * (src/nfv9_template.c); VRF/RD option maps are per exporter. */
   def decode(s: SparkSession, testDir: String,
              peerMap: Map[String, String]): Dataset[GRec] = {
     import s.implicits._
@@ -525,6 +605,7 @@ object GoldenReplay {
       .flatMap { bytes =>
         val sf = Pcap.read(bytes)
         val caches = mutable.Map[(String, Long), NetFlowV9.TemplateCache]()
+        val vrf = mutable.Map[String, VrfState]()
         sf.packets.flatMap { p =>
           udpPayload(p.data) match {
             case Some((src, dport, pay))
@@ -542,9 +623,13 @@ object GoldenReplay {
                       buf.getInt(12) & 0xffffffffL)
                 val cache = caches.getOrElseUpdate((src, domain),
                   new NetFlowV9.TemplateCache)
+                val st = vrf.getOrElseUpdate(src, new VrfState)
                 val peer = peerMap.getOrElse(src, src)
-                cache.observeX(pay).map(r =>
-                  toGRec(peer, ver, sysUp, unixSecs, r))
+                cache.observeX(pay).map { r =>
+                  val g = toGRec(peer, ver, sysUp, unixSecs, r)
+                  if (g.isOption) { vrfObserve(st, r); g }
+                  else vrfResolve(g, r, st)
+                }
               }
             case _ => Nil
           }
@@ -564,18 +649,57 @@ object GoldenReplay {
       when((c.bitwiseAND(lit(2L))) > 0, "SYN"),
       when((c.bitwiseAND(lit(1L))) > 0, "FIN"))).otherwise("")
 
-  /** vrfid:N RD + origin per the ingress/egress direction rules
-    * (nfacctd.c:4073-4170). Must run over per-record values, i.e. before
-    * aggregation — it is part of the key. */
-  def rdCols(df: DataFrame): DataFrame = {
-    val vin = col("vrfIn"); val vout = col("vrfOut")
-    df // direction IE not threaded: our fixtures are all ingress (61=0/255)
-      .withColumn("mpls_vpn_rd",
-        when(vin =!= 0, concat(lit("vrfid:"), vin.cast("string")))
-          .when(vout =!= 0, concat(lit("vrfid:"), vout.cast("string")))
-          .otherwise("0:0:0"))
+  /** RD + origin columns from the decode-side resolution ([[vrfResolve]]):
+    * the option-correlated RD when the exporter sent IE-90 option data,
+    * the vrfid:N fallback otherwise, 0:0:0/unknown when neither VRF id is
+    * set. Per-record values — the RD is part of the aggregation key. */
+  def rdCols(df: DataFrame): DataFrame =
+    df.withColumn("mpls_vpn_rd",
+        when(col("rdFlow") =!= "", col("rdFlow")).otherwise("0:0:0"))
       .withColumn("mpls_vpn_rd_origin",
-        when(vin =!= 0 || vout =!= 0, "flow").otherwise("unknown"))
+        when(col("rdFlow") =!= "", "flow").otherwise("unknown"))
+
+  /** Parse a fixture's pre_tag_map `set_label` grammar (pretag.c:56 load;
+    * the fixtures use only the `ip` key) into (exporter-ip, label) rules,
+    * applying the test harness's subnet rewrite to the ip operand the same
+    * way it rewrites the reproducer map. A rule without an ip key is the
+    * catch-all; first match wins (rule chain order). */
+  def pretagLabelRules(path: String,
+      rewrite: Map[String, String] = Map.empty)
+      : Seq[(Option[String], String)] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("!"))
+      .flatMap { line =>
+        val kv = line.split("\\s+").map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        kv.get("set_label").map { label =>
+          val ip = kv.get("ip").map(_.split("/")(0))
+            .map(i => rewrite.getOrElse(i, i))
+          (ip, label)
+        }
+      }.toSeq
+    finally src.close()
+  }
+
+  /** `nkey%100.1,pkey%testing` -> the named part (pre_tag_label_encode_as_map
+    * splits labels on ','/'%' — plugin_cmn_json.c compose_label_map). */
+  def labelPart(label: String, key: String): String =
+    label.split(",").collectFirst {
+      case kv if kv.startsWith(key + "%") => kv.substring(key.length + 1)
+    }.getOrElse(label)
+
+  /** Compile label rules to a first-match label Column over peer_ip_src
+    * through PreTagMap's when-chain compiler (pure Catalyst expression). */
+  def pretagLabelCol(rules: Seq[(Option[String], String)],
+                     part: String => String = identity): Column = {
+    import graft.maps.PreTagMap
+    PreTagMap.labelColumn(
+      rules.map { case (ip, label) =>
+        PreTagMap.TagRule(
+          pred = ip.map(col("peer_ip_src") === _).getOrElse(lit(true)),
+          tag = 0L, label = Some(part(label)))
+      })
   }
 }
 
@@ -1006,6 +1130,161 @@ object GoldenQueries {
                 'ip_prefix':'VARCHAR'})
             WHERE coalesce(log_type, event_type) IS NOT NULL
             GROUP BY 1, 2, 3, 4, 5, 6"""),
-      doc = "reference golden replay: multi-source BGP msglog (test 302)")
+      doc = "reference golden replay: multi-source BGP msglog (test 302)"),
+
+    // tests/103-IPFIXv10-CISCO-pretag-JSON_encoding scenario-01: test
+    // 100's pcap with the record timestamps IN the aggregation key
+    // (timestamp_start/end from IEs 152/153, timestamps_secs) and a
+    // pre_tag_map label stamped per exporter — the label rules compile
+    // through PreTagMap's when-chain, the map file parsed with the
+    // harness's 192.168.100.1 -> 172.21.1.101 subnet rewrite applied.
+    Q("q209_golden_pretag_label",
+      (s, _) => {
+        val dir = s"$T/103-IPFIXv10-CISCO-pretag-JSON_encoding"
+        val rules = pretagLabelRules(s"$dir/scenario-01/pretag-00.map",
+          Map("192.168.100.1" -> "172.21.1.101"))
+        val df = rendered(s, dir, Map("138.187.0.13" -> "172.21.1.101"))
+          .withColumn("label", pretagLabelCol(rules))
+        agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+            "label", "tsStart", "tsEnd"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .withColumn("timestamp_end",
+            format_string("%d.000000", col("tsEnd")))
+          .drop("tsStart", "tsEnd")
+          .withColumnRenamed("maskSrc", "mask_src")
+          .withColumnRenamed("maskDst", "mask_dst")
+          .withColumnRenamed("netSrc", "net_src")
+          .withColumnRenamed("netDst", "net_dst")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst, label,
+            timestamp_start, timestamp_end
+            FROM ${readJson(
+              "103-IPFIXv10-CISCO-pretag-JSON_encoding/scenario-01",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "label" -> "VARCHAR", "timestamp_start" -> "VARCHAR",
+                "timestamp_end" -> "VARCHAR"))}"""),
+      doc = "reference golden replay: pretag label + timestamp keys (test 103)"),
+
+    // tests/111-IPFIXv10-NFv9-IPv6-IPv4-mix_sources: one IPFIX exporter on
+    // v4 transport + one on v6 transport into the same collector, pretag
+    // nkey/pkey labels per exporter (pre_tag_label_encode_as_map), custom
+    // primitives WITHOUT mpls_tl_type, vrf_name in the key with no VRF-name
+    // option data (renders empty), vrfid:N RD fallback.
+    Q("q210_golden_mix_sources",
+      (s, _) => {
+        val dir = s"$T/111-IPFIXv10-NFv9-IPv6-IPv4-mix_sources"
+        val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map")
+        val df = rendered(s, dir, Map(
+            "138.187.57.55" -> "172.21.1.101",
+            "2001:4d98:a100:303:0:931:f:1" -> "fd25::101"))
+          .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+          .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+          .withColumn("cp_mpls_tl_prefix_length",
+            col("cpTlPlen").cast("string"))
+          .withColumn("label_nkey",
+            pretagLabelCol(rules, labelPart(_, "nkey")))
+          .withColumn("label_pkey",
+            pretagLabelCol(rules, labelPart(_, "pkey")))
+          .withColumnRenamed("vrfName", "vrf_name")
+        agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+            "cp_vrf_id_ingress", "cp_vrf_id_egress", "cpTlIp",
+            "cp_mpls_tl_prefix_length", "vrf_name",
+            "label_nkey", "label_pkey"))
+          .withColumnRenamed("maskSrc", "mask_src")
+          .withColumnRenamed("maskDst", "mask_dst")
+          .withColumnRenamed("netSrc", "net_src")
+          .withColumnRenamed("netDst", "net_dst")
+          .withColumnRenamed("cpTlIp", "cp_mpls_tl_ipv4_address")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst,
+            coalesce(vrf_name, '') AS vrf_name,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_ipv4_address AS cp_mpls_tl_ipv4_address,
+            g.custom_primitives.mpls_tl_prefix_length AS cp_mpls_tl_prefix_length,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson("111-IPFIXv10-NFv9-IPv6-IPv4-mix_sources",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "vrf_name" -> "VARCHAR",
+                "custom_primitives" ->
+                  """STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR,
+                     mpls_tl_ipv4_address VARCHAR,
+                     mpls_tl_prefix_length VARCHAR)"""
+                    .replaceAll("\\s+", " "),
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: v4+v6 transport mix + map labels (test 111)"),
+
+    // tests/106-IPFIXv10-HUAWEI-vrf_name: Huawei VRP exporting VRF-name
+    // option records (IEs 234+236 -> name map) and VRF-to-RD option
+    // records (IEs 234/235+90 -> in/out RD maps); flow records resolve
+    // ingress/egress/best vrf_name and the direction-aware option RD
+    // (type-2 RD "2:4226809910:14", origin flow) — the full
+    // nfacctd.c:2273-2393 + 4040-4170 correlation against a real golden.
+    Q("q211_golden_vrf_name",
+      (s, _) => {
+        val dir = s"$T/106-IPFIXv10-HUAWEI-vrf_name"
+        val peers = Map("2001:db8:54::1" -> "fd25::101")
+        val df = rendered(s, dir, peers)
+          .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+          .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+          .withColumn("cp_mpls_tl_prefix_length",
+            col("cpTlPlen").cast("string"))
+          .withColumn("cp_mpls_tl_type", col("cpTlType").cast("string"))
+          .withColumn("label", lit(""))
+          .withColumnRenamed("vrfName", "vrf_name")
+          .withColumnRenamed("vrfNameIn", "ingress_vrf_name")
+          .withColumnRenamed("vrfNameOut", "egress_vrf_name")
+        // nfacctd_renormalize: true — rates from the same replay's
+        // sampling options (none in this capture -> no-op join)
+        val sp = s
+        import sp.implicits._
+        val rates = decode(s, dir, peers)
+          .filter(r => r.isOption && r.sampPop > 0)
+          .map(r => (r.peer, r.selector,
+            r.sampPop / math.max(1L, r.sampSize)))
+          .toDF("peer_ip_src", "selector", "rate")
+          .groupBy("peer_ip_src", "selector").agg(max("rate").as("rate"))
+        agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+            "cp_vrf_id_ingress", "cp_vrf_id_egress", "cpTlIp",
+            "cp_mpls_tl_prefix_length", "cp_mpls_tl_type", "label",
+            "vrf_name", "ingress_vrf_name", "egress_vrf_name",
+            "tsStart", "tsEnd"), renorm = Some(rates))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .withColumn("timestamp_end",
+            format_string("%d.000000", col("tsEnd")))
+          .drop("tsStart", "tsEnd")
+          .withColumnRenamed("maskSrc", "mask_src")
+          .withColumnRenamed("maskDst", "mask_dst")
+          .withColumnRenamed("netSrc", "net_src")
+          .withColumnRenamed("netDst", "net_dst")
+          .withColumnRenamed("cpTlIp", "cp_mpls_tl_ipv4_address")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst, label,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(ingress_vrf_name, '') AS ingress_vrf_name,
+            coalesce(egress_vrf_name, '') AS egress_vrf_name,
+            timestamp_start, timestamp_end,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_ipv4_address AS cp_mpls_tl_ipv4_address,
+            g.custom_primitives.mpls_tl_prefix_length AS cp_mpls_tl_prefix_length,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type
+            FROM ${readJson("106-IPFIXv10-HUAWEI-vrf_name",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "label" -> "VARCHAR", "vrf_name" -> "VARCHAR",
+                "ingress_vrf_name" -> "VARCHAR",
+                "egress_vrf_name" -> "VARCHAR",
+                "timestamp_start" -> "VARCHAR",
+                "timestamp_end" -> "VARCHAR",
+                "custom_primitives" -> cpStruct))} g"""),
+      doc = "reference golden replay: Huawei VRF-name/RD option correlation (test 106)")
   )
 }
