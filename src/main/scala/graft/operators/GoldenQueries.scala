@@ -101,7 +101,10 @@ object GoldenReplay {
       }
       i += 1
     }
-    if (bestLen < 2) g.map(_.toHexString).mkString(":")
+    // inet_ntop's v4-mapped special case: ::ffff:a.b.c.d
+    if (bestStart == 0 && bestLen == 5 && g(5) == 0xffff)
+      s"::ffff:${ntop4(((g(6).toLong << 16) | g(7).toLong) & 0xffffffffL)}"
+    else if (bestLen < 2) g.map(_.toHexString).mkString(":")
     else {
       val head = g.take(bestStart).map(_.toHexString).mkString(":")
       val tail = g.drop(bestStart + bestLen).map(_.toHexString).mkString(":")
@@ -380,10 +383,10 @@ object GoldenReplay {
     BmpMsg.decodeStream(stream).foreach {
       case BmpMsg.Initiation(_) =>
         out += ((router, "init", "", -1L, -1L, "", "", -1L, 0L))
-      case BmpMsg.PeerUp(p) =>
+      case BmpMsg.PeerUp(p, _) =>
         out += ((router, "peer_up", peerIpOf(p), -1L, -1L, hdrRdOf(p),
           "", -1L, 0L))
-      case BmpMsg.StatsReport(p, stats) =>
+      case BmpMsg.StatsReport(p, stats, _) =>
         // one msglog row per counter TLV (bmp_logdump.c:377)
         stats.toSeq.sortBy(_._1).foreach { case (ct, cv) =>
           out += ((router, "stats", peerIpOf(p), -1L, -1L, hdrRdOf(p),
@@ -445,6 +448,439 @@ object GoldenReplay {
         out += ((router, "internal", pip, afi, safi, rd, pfx, -1L, 0L))
       }
     out += ((router, "log_init", "", -1L, -1L, "", "", -1L, 0L))
+    out.toSeq
+  }
+
+  // ---- full-attribute BMP replay (msglog + dump) ---------------------
+
+  /** pmacct's attribute renderings (bgp_logdump.c compose_*):
+    * origin letters (pmacct-data.h:435), standard/large communities,
+    * extended communities via ecommunity_ecom2str
+    * (bgp_ecommunity.c:365-490: RT/SoO prefixes, "?" for other
+    * types/encodings). Lists join with ',' — the oracle canonicalizes the
+    * golden's arrays (or space-joined strings) the same way. */
+  def originStr(o: Option[Int]): String =
+    o.map { v => if (v == 0) "i" else if (v == 1) "e" else "u" }
+      .getOrElse("")
+
+  /** pmacct interns communities through *_uniq_sort at parse
+    * (bgp_community.c:183 qsort of u32s; ecommunity/lcommunity sort by
+    * byte-wise memcmp of the 8/12-byte values) — rendering is always the
+    * sorted-unique list. */
+  def sortedComms(cs: Seq[Long]): Seq[Long] = cs.distinct.sorted
+
+  private def ecommMemcmpKey(e: graft.sources.BgpMsg.ExtCommunity): Long =
+    ((e.tpe.toLong & 0xff) << 56) | ((e.sub.toLong & 0xff) << 48) |
+      (if (e.tpe == 0) ((e.admin & 0xffffL) << 32) |
+          (e.value & 0xffffffffL)
+       else ((e.admin & 0xffffffffL) << 16) | (e.value & 0xffffL))
+
+  def sortedEcomms(es: Seq[graft.sources.BgpMsg.ExtCommunity])
+      : Seq[graft.sources.BgpMsg.ExtCommunity] =
+    es.distinct.sortBy(ecommMemcmpKey)
+
+  def sortedLcomms(ls: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    ls.distinct.sorted
+
+  def commsStr(cs: Seq[Long]): String =
+    sortedComms(cs).map(c => s"${c >>> 16}:${c & 0xffff}").mkString(",")
+
+  def lcommsStr(ls: Seq[(Long, Long, Long)]): String =
+    sortedLcomms(ls).map { case (a, b, c) => s"$a:$b:$c" }.mkString(",")
+
+  def ecommsStr(es: Seq[graft.sources.BgpMsg.ExtCommunity]): String =
+    sortedEcomms(es).map { e =>
+      val base = e.tpe & 0x3f
+      if (base > 2 || (e.sub != 2 && e.sub != 3)) "?"
+      else {
+        val p = if (e.sub == 2) "RT:" else "SoO:"
+        if (base == 1) s"$p${ntop4(e.admin)}:${e.value}"
+        else s"$p${e.admin}:${e.value}"
+      }
+    }.mkString(",")
+
+  private val PeerTypeStrs = Array("Global Instance Peer",
+    "RD Instance Peer", "Local Instance Peer", "Loc-RIB Instance Peer")
+
+  def peerTypeStr(t: Int): String =
+    if (t >= 0 && t < PeerTypeStrs.length) PeerTypeStrs(t) else ""
+
+  private val PeerDownReasons = Array("Reserved",
+    "The local system closed the session",
+    "The local system closed the session without a notification message",
+    "The remote system closed the session",
+    "The remote system closed the session without a notification message",
+    "Info for this peer will no longer be sent for configuration reasons")
+
+  def peerDownReasonStr(r: Int): String =
+    if (r >= 0 && r < PeerDownReasons.length) PeerDownReasons(r) else ""
+
+  /** rib-type string + is_* flags from a per-peer header
+    * (bmp_rib_type_set + bmp_logdump.c:409-420 emission: loc-rib peers
+    * carry the F flag at 0x80, others V=0x80 L=0x40 O=0x10). -1 = the
+    * JSON null (field not emitted for that peer class). `routeCtx`:
+    * the reference's goldens render is_filtered 0 on route rows even
+    * when the loc-rib header sets F — only peer events (peer_up/down,
+    * stats) render the flag (test 203: RM headers F=1, route rows 0,
+    * peer_up rows 1). */
+  def ribInfo(p: graft.sources.BmpMsg.PeerHeader,
+              routeCtx: Boolean = false)
+      : (String, Long, Long, Long, Long, Long) =
+    if (p.peerType == 3)
+      ("Loc-Rib", -1L,
+        if (!routeCtx && (p.flags & 0x80) != 0) 1L else 0L, 1L, -1L, -1L)
+    else {
+      val post = if ((p.flags & 0x40) != 0) 1L else 0L
+      if ((p.flags & 0x10) != 0)
+        (if (post == 1L) "Adj-Rib-Out Post-Policy"
+         else "Adj-Rib-Out Pre-Policy", -1L, 0L, -1L, post, 1L)
+      else
+        (if (post == 1L) "Adj-Rib-In Post-Policy"
+         else "Adj-Rib-In Pre-Policy", 1L, 0L, -1L, post, -1L)
+    }
+
+  /** One full-attribute BMP event/dump row — the comparable projection of
+    * the reference's msglog and dump JSON (bgp_logdump.c /
+    * bmp_logdump.c). Sentinels: -1 for JSON-null integers, "" for
+    * JSON-null strings. */
+  final case class BmpAttrRow(
+      bmp_router: String = "", event_kind: String = "",
+      bmp_msg_type: String = "", log_type: String = "",
+      timestamp_event: String = "",
+      peer_ip: String = "", peer_asn: Long = -1L, bgp_id: String = "",
+      afi: Long = -1L, safi: Long = -1L,
+      rd: String = "", rd_origin: String = "",
+      ip_prefix: String = "", bgp_nexthop: String = "",
+      as_path: String = "", comms: String = "", ecomms: String = "",
+      lcomms: String = "", origin: String = "",
+      local_pref: Long = -1L, med: Long = -1L, aigp: Long = -1L,
+      psid_li: Long = -1L, otc: Long = -1L, mpls_label: String = "",
+      rib_type: String = "", is_in: Long = -1L, is_filtered: Long = -1L,
+      is_loc: Long = -1L, is_post: Long = -1L, is_out: Long = -1L,
+      peer_type: Long = -1L, peer_type_str: String = "",
+      local_ip: String = "", local_port: Long = -1L,
+      remote_port: Long = -1L, local_as: Long = -1L,
+      reason_type: Long = -1L, reason_str: String = "",
+      counter_type: Long = -1L, counter_value: Long = 0L,
+      sysdescr: String = "", sysname: String = "")
+
+  /** Replay a reassembled BMP session into full-attribute rows.
+    *
+    * `mode = "log"`: the msglog lifecycle —
+    *  - every announced route logs log_type `update` with its attributes
+    *  - every withdrawal logs log_type `withdraw` (with the in-RIB
+    *    attributes when found, bgp_msg.c:1615-1677), and — when the route
+    *    was in the RIB — also the `delete` row (bmp_msg_type `internal`,
+    *    bmp_util.c:96-101) with the stored attributes
+    *  - End-of-RIB logs log_type `end-of-rib` in its MP lane
+    *  - peer_down logs its reason row and purges the peer's routes as
+    *    `delete` rows; session close (`!keepOpen`) purges everything
+    *  - stats reports log one row per counter TLV
+    *
+    * `mode = "dump"`: the table dump at end-of-stream —
+    *  dump_init, the stored init TLVs, one peer_up row per live session,
+    *  one route_monitor row per RIB entry (stored attributes), dump_close
+    *  (bmp_logdump.c bmp_handle_dump_event). */
+  def bmpAttrRows(stream: Array[Byte], router: String, mode: String,
+                  keepOpen: Boolean = true): Seq[BmpAttrRow] = {
+    import graft.sources.{BgpMsg, BmpMsg}
+    def peerIpOf(p: BmpMsg.PeerHeader): String =
+      if (p.addrHi == 0L && (p.addrLo >>> 32) == 0L) ntop4(p.peerAddr)
+      else ntop6(u64bytes(p.addrHi) ++ u64bytes(p.addrLo))
+    def hdrRdOf(p: BmpMsg.PeerHeader): String =
+      if ((p.peerType == 1 || p.peerType == 3) && p.distinguisher != 0L)
+        rdStr(p.distinguisher)
+      else ""
+    def nlriRd(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    // OPEN-derived ASN of the tree peer (bgp_peer_rem from the peer_up's
+    // received OPEN): route-context rows render peer->as
+    // (bgp_peer_log_msg_extras_bmp, bmp_util.c:93) — while bgp_id stays
+    // the per-MESSAGE header's value (bmed chars) and peer events keep
+    // header values throughout.
+    val peerIdent = mutable.Map[(String, Long), Long]()
+    def withPeer(r: BmpAttrRow, p: BmpMsg.PeerHeader,
+                 routeCtx: Boolean = false): BmpAttrRow = {
+      val (rt, isIn, isF, isLoc, isPost, isOut) = ribInfo(p, routeCtx)
+      val asn =
+        if (routeCtx)
+          peerIdent.getOrElse((peerIpOf(p), p.distinguisher), p.peerAs)
+        else p.peerAs
+      r.copy(peer_ip = peerIpOf(p), peer_asn = asn,
+        bgp_id = ntop4(p.bgpId), rib_type = rt, is_in = isIn,
+        is_filtered = isF, is_loc = isLoc, is_post = isPost,
+        is_out = isOut)
+    }
+    // pmacct attr interning (bgp_util.c:470-487 attrhash_cmp):
+    // origin/nexthop/aspath/comms/ecomms/lcomms/med/local_pref plus
+    // mp_nexthop under host_addr_cmp2's v4-mapped equivalence
+    // (addr.c:400-428) — a route renders the CURRENTLY interned attr's
+    // next-hop form, so plain-v4 and ::ffff:v4 alternate per intern
+    // class. REFERENCE-COUNTED like the reference's hash: when the last
+    // route holding an attr goes away the entry is freed
+    // (bgp_attr_unintern), and a later identical attr re-interns with
+    // its own form.
+    val attrIntern = mutable.Map[Any, (String, Int)]()
+    def mpNhOf(u: BgpMsg.Update): String =
+      u.nextHop6.map { case (h, l) => ntop6(u64bytes(h) ++ u64bytes(l)) }
+        .orElse(u.nextHopVpn.map(ntop4)).getOrElse("")
+    def attrKeyOf(u: BgpMsg.Update): Any = {
+      val mp = mpNhOf(u)
+      val canon = if (mp.startsWith("::ffff:")) mp.substring(7) else mp
+      (u.origin, u.asPath, sortedComms(u.communities),
+        sortedEcomms(u.extCommunities),
+        sortedLcomms(u.largeCommunities), u.med, u.localPref,
+        u.nextHop, canon)
+    }
+    /** Intern + ref; returns the rendered next hop of the class. The
+      * JSON always carries a next hop on attr-bearing rows — "0.0.0.0"
+      * when neither MP nor attr-3 next hop was sent (inet_ntop of the
+      * zero in_addr, bgp_logdump.c). */
+    def internRef(u: BgpMsg.Update, n: Int): String = {
+      val key = attrKeyOf(u)
+      val (render, cnt) =
+        attrIntern.getOrElse(key, (mpNhOf(u), 0))
+      attrIntern(key) = (render, cnt + n)
+      if (render.nonEmpty) render
+      else ntop4(u.nextHop.getOrElse(0L))
+    }
+    def internUnref(u: BgpMsg.Update, n: Int): Unit = {
+      val key = attrKeyOf(u)
+      attrIntern.get(key).foreach { case (render, cnt) =>
+        if (cnt - n <= 0) attrIntern.remove(key)
+        else attrIntern(key) = (render, cnt - n)
+      }
+    }
+    def withAttrs(r: BmpAttrRow, u: BgpMsg.Update, nh: String,
+                  label: Option[Long]): BmpAttrRow =
+      r.copy(bgp_nexthop = nh, as_path = u.asPath.mkString(","),
+        comms = commsStr(u.communities),
+        ecomms = ecommsStr(u.extCommunities),
+        lcomms = lcommsStr(u.largeCommunities),
+        origin = originStr(u.origin),
+        local_pref = u.localPref.getOrElse(-1L),
+        med = u.med.getOrElse(-1L), aigp = u.aigp.getOrElse(-1L),
+        psid_li = u.labelIndex.getOrElse(-1L),
+        otc = u.otc.getOrElse(-1L),
+        mpls_label = label.map(_.toString).getOrElse(""))
+    def pfx6(hi: Long, lo: Long, plen: Int) =
+      s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+
+    // lane entry: (afi, safi, rd, rd_origin, prefix, label, nexthop)
+    type Lane = (Long, Long, String, String, String, Option[Long], String)
+    def announced(p: BmpMsg.PeerHeader, u: BgpMsg.Update,
+                  nh: String): Seq[Lane] = {
+      val hr = hdrRdOf(p); val hro = if (hr.isEmpty) "" else "bmp"
+      u.nlri.map(r => (1L, 1L, hr, hro,
+        s"${ntop4(r.prefix)}/${r.plen}", None: Option[Long], nh)) ++
+      u.nlri6.map(r => (2L, 1L, hr, hro, pfx6(r.hi, r.lo, r.plen),
+        None: Option[Long], nh)) ++
+      u.nlriVpn.map(r => (1L, 128L, nlriRd(r.rdType, r.rdAdmin, r.rdVal),
+        "bgp", s"${ntop4(r.prefix)}/${r.plen}", Some(r.label), nh)) ++
+      u.nlriVpn6.map(r => (2L, 128L, nlriRd(r.rdType, r.rdAdmin, r.rdVal),
+        "bgp", pfx6(r.hi, r.lo, r.plen), Some(r.label), nh)) ++
+      u.nlriLab.map(r => (1L, 4L, "", "", s"${ntop4(r.prefix)}/${r.plen}",
+        Some(r.label), nh)) ++
+      u.nlriLab6.map(r => (2L, 4L, "", "", pfx6(r.hi, r.lo, r.plen),
+        Some(r.label), nh))
+    }
+    def withdrawn(p: BmpMsg.PeerHeader, u: BgpMsg.Update): Seq[Lane] = {
+      val hr = hdrRdOf(p); val hro = if (hr.isEmpty) "" else "bmp"
+      u.withdrawn.map(r => (1L, 1L, hr, hro,
+        s"${ntop4(r.prefix)}/${r.plen}", None: Option[Long], "")) ++
+      u.withdrawn6.map(r => (2L, 1L, hr, hro, pfx6(r.hi, r.lo, r.plen),
+        None: Option[Long], "")) ++
+      u.withdrawnVpn.map(r => (1L, 128L,
+        nlriRd(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+        s"${ntop4(r.prefix)}/${r.plen}", None: Option[Long], "")) ++
+      u.withdrawnVpn6.map(r => (2L, 128L,
+        nlriRd(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+        pfx6(r.hi, r.lo, r.plen), None: Option[Long], "")) ++
+      u.withdrawnLab.map(r => (1L, 4L, "",
+        "", s"${ntop4(r.prefix)}/${r.plen}", None: Option[Long], "")) ++
+      u.withdrawnLab6.map(r => (2L, 4L, "", "", pfx6(r.hi, r.lo, r.plen),
+        None: Option[Long], ""))
+    }
+
+    val base = BmpAttrRow(bmp_router = router)
+    val out = mutable.Buffer[BmpAttrRow]()
+    val log = mode == "log"
+    // RIB value: per-message peer header + update attrs + lane data
+    val rib = mutable.LinkedHashMap[(Int, Int, String, Long, Long, Long,
+      String, String), (BmpMsg.PeerHeader, BgpMsg.Update, Lane)]()
+    var initInfo: Seq[(Int, String)] = Nil
+    val peersUp = mutable.Buffer[(BmpMsg.PeerHeader,
+      Option[BmpMsg.PeerUpBody])]()
+    // peer identity for lookup/down/purge: address + header RD ONLY
+    // (bgp_peer_host_addr_peer_dist_cmp) — peer TYPE is not part of the
+    // key: an FRR loc-rib RM (type 3, 0.0.0.0) resolves to the type-0
+    // peer_up'd session, and every policy lane goes down together
+    def peerKey(p: BmpMsg.PeerHeader) = (peerIpOf(p), p.distinguisher)
+    def purgePeer(p: BmpMsg.PeerHeader): Unit = {
+      val pk = peerKey(p)
+      val gone = rib.keysIterator.filter(k =>
+        k._3 == pk._1 && k._4 == pk._2).toSeq
+      // deletes render with the STORED attributes (bgp_info_delete path)
+      gone.foreach { k =>
+        val (hp, hu, lane) = rib(k)
+        rib.remove(k)
+        internUnref(hu, 1)
+        if (log) out += withAttrs(withPeer(base.copy(event_kind = "log",
+            bmp_msg_type = "internal", log_type = "delete",
+            afi = lane._1, safi = lane._2, rd = lane._3,
+            rd_origin = lane._4, ip_prefix = lane._5), hp,
+            routeCtx = true), hu, lane._7, lane._6)
+      }
+    }
+
+    BmpMsg.decodeStream(stream).foreach {
+      case BmpMsg.Initiation(info) =>
+        initInfo = info
+        if (log) out += base.copy(event_kind = "log",
+          bmp_msg_type = "init",
+          sysdescr = info.collectFirst { case (1, s) => s }.getOrElse(""),
+          sysname = info.collectFirst { case (2, s) => s }.getOrElse(""))
+      case BmpMsg.PeerUp(p, up) =>
+        peersUp += ((p, up))
+        up.foreach(b => peerIdent(peerKey(p)) = b.recvAs)
+        if (log) {
+          val hr = hdrRdOf(p)
+          out += withPeer(base.copy(event_kind = "log",
+              bmp_msg_type = "peer_up", rd = hr,
+              rd_origin = if (hr.isEmpty) "" else "bmp",
+              peer_type = p.peerType,
+              peer_type_str = peerTypeStr(p.peerType),
+              local_ip = up.map(b =>
+                if (b.localHi == 0L && (b.localLo >>> 32) == 0L)
+                  ntop4(b.localLo & 0xffffffffL)
+                else ntop6(u64bytes(b.localHi) ++ u64bytes(b.localLo)))
+                .getOrElse(""),
+              local_port = up.map(_.localPort.toLong).getOrElse(-1L),
+              remote_port = up.map(_.remotePort.toLong).getOrElse(-1L),
+              local_as = up.map(_.localAs).getOrElse(-1L)), p)
+        }
+      case BmpMsg.PeerDown(p, reason) =>
+        if (log) out += withPeer(base.copy(event_kind = "log",
+            bmp_msg_type = "peer_down",
+            peer_type = p.peerType,
+            peer_type_str = peerTypeStr(p.peerType),
+            reason_type = reason,
+            reason_str = peerDownReasonStr(reason)), p)
+        purgePeer(p)
+        val pk = peerKey(p)
+        val kept = peersUp.filterNot { case (q, _) => peerKey(q) == pk }
+        peersUp.clear(); peersUp ++= kept
+      case BmpMsg.StatsReport(p, stats, perAfi) =>
+        if (log) {
+          val statBase = base.copy(event_kind = "log",
+            bmp_msg_type = "stats", rd = hdrRdOf(p),
+            rd_origin = if (hdrRdOf(p).isEmpty) "" else "bmp",
+            peer_type = p.peerType)
+          stats.toSeq.sortBy(_._1).foreach { case (ct, cv) =>
+            out += withPeer(statBase.copy(
+              counter_type = ct.toLong, counter_value = cv), p)
+          }
+          perAfi.foreach { case (ct, afi, safi, cv) =>
+            out += withPeer(statBase.copy(afi = afi.toLong,
+              safi = safi.toLong,
+              counter_type = ct.toLong, counter_value = cv), p)
+          }
+        }
+      case BmpMsg.RouteMonitoring(p, u) =>
+        // a session whose peer went down discards route monitoring until
+        // a fresh peer_up (bmp_msg.c:745-756 "missing peer up message")
+        val pk0 = peerKey(p)
+        val peerKnown = peersUp.exists { case (q, _) => peerKey(q) == pk0 }
+        val ann = if (peerKnown) announced(p, u, "") else Nil
+        val wdr = if (peerKnown) withdrawn(p, u) else Nil
+        ann.foreach { lane0 =>
+          val nh = internRef(u, 1) // one attr ref per route
+          val lane = lane0.copy(_7 = nh)
+          val k = (p.peerType, p.flags, peerIpOf(p), p.distinguisher,
+            lane._1, lane._2, lane._3, lane._5)
+          rib.get(k).foreach { case (_, ou, _) => internUnref(ou, 1) }
+          rib(k) = (p, u, lane)
+          if (log) out += withAttrs(withPeer(base.copy(event_kind = "log",
+              bmp_msg_type = "route_monitor", log_type = "update",
+              afi = lane._1, safi = lane._2, rd = lane._3,
+              rd_origin = lane._4, ip_prefix = lane._5), p,
+              routeCtx = true), u, nh, lane._6)
+        }
+        wdr.foreach { lane =>
+          val k = (p.peerType, p.flags, peerIpOf(p), p.distinguisher,
+            lane._1, lane._2, lane._3, lane._5)
+          // a withdrawal logs ONLY when the route is in the RIB (the
+          // bgp_msg.c:1615-1640 ri search; the ri_local fallback only
+          // runs under skip_rib), rendering the STORED attributes; the
+          // removal itself does not log — `internal` delete rows come
+          // only from peer_down/session purges (bgp_table_info_delete)
+          rib.remove(k).foreach { case (_, su, sl) =>
+            internUnref(su, 1)
+            if (log) out += withAttrs(withPeer(base.copy(
+                event_kind = "log", bmp_msg_type = "route_monitor",
+                log_type = "withdraw", afi = lane._1, safi = lane._2,
+                rd = lane._3, rd_origin = lane._4,
+                ip_prefix = lane._5), p, routeCtx = true),
+              su, sl._7, sl._6)
+          }
+        }
+        if (peerKnown && ann.isEmpty && wdr.isEmpty && log) {
+          // RFC 4724 End-of-RIB in its MP lane
+          val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
+          val hr = hdrRdOf(p)
+          out += withPeer(base.copy(event_kind = "log",
+            bmp_msg_type = "route_monitor", log_type = "end-of-rib",
+            afi = afi.toLong, safi = safi.toLong, rd = hr,
+            rd_origin = if (hr.isEmpty) "" else "bmp"), p,
+            routeCtx = true)
+        }
+      case _ => ()
+    }
+
+    if (mode == "dump") {
+      out += base.copy(event_kind = "dump_init")
+      out += base.copy(event_kind = "dump", bmp_msg_type = "init",
+        timestamp_event = "0.000000",
+        sysdescr = initInfo.collectFirst { case (1, s) => s }
+          .getOrElse(""),
+        sysname = initInfo.collectFirst { case (2, s) => s }.getOrElse(""))
+      peersUp.foreach { case (p, up) =>
+        val hr = hdrRdOf(p)
+        out += withPeer(base.copy(event_kind = "dump",
+            bmp_msg_type = "peer_up",
+            timestamp_event = f"${p.tsSec}%d.${p.tsUsec}%06d",
+            rd = hr, rd_origin = if (hr.isEmpty) "" else "bmp",
+            peer_type = p.peerType,
+            peer_type_str = peerTypeStr(p.peerType),
+            local_ip = up.map(b =>
+              if (b.localHi == 0L && (b.localLo >>> 32) == 0L)
+                ntop4(b.localLo & 0xffffffffL)
+              else ntop6(u64bytes(b.localHi) ++ u64bytes(b.localLo)))
+              .getOrElse(""),
+            local_port = up.map(_.localPort.toLong).getOrElse(-1L),
+            remote_port = up.map(_.remotePort.toLong).getOrElse(-1L),
+            local_as = up.map(_.localAs).getOrElse(-1L)), p)
+      }
+      rib.valuesIterator.foreach { case (p, u, lane) =>
+        out += withAttrs(withPeer(base.copy(event_kind = "dump",
+            bmp_msg_type = "route_monitor", afi = lane._1,
+            safi = lane._2, rd = lane._3, rd_origin = lane._4,
+            ip_prefix = lane._5), p, routeCtx = true), u,
+          lane._7, lane._6)
+      }
+      out += base.copy(event_kind = "dump_close")
+    } else {
+      if (!keepOpen)
+        rib.valuesIterator.toSeq.foreach { case (p, u, lane) =>
+          out += withAttrs(withPeer(base.copy(event_kind = "log",
+              bmp_msg_type = "internal", log_type = "delete",
+              afi = lane._1, safi = lane._2, rd = lane._3,
+              rd_origin = lane._4, ip_prefix = lane._5), p,
+              routeCtx = true), u, lane._7, lane._6)
+        }
+      if (!keepOpen) rib.clear()
+      out += base.copy(event_kind = "log_init")
+    }
     out.toSeq
   }
 
@@ -793,6 +1229,115 @@ object GoldenQueries {
        mpls_vpn_rd, mpls_vpn_rd_origin,
        coalesce(array_to_string(tcp_flags, ','), '') AS tcp_flags,
        packets, bytes"""
+
+  /** Full-attribute BMP replay query: reassemble each capture's TCP
+    * stream, run [[GoldenReplay.bmpAttrRows]], aggregate per full row. */
+  private def bmpAttrQuery(s: SparkSession, test: String, mode: String,
+      routerMap: Map[String, String] = Map.empty,
+      keepOpen: Boolean = true): DataFrame = {
+    Graft.tune(s)
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "traffic-*.pcap").load(s"$T/$test")
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val sf = Pcap.read(bytes)
+        val src = GoldenReplay.tcpSrcIp(sf, 1790).getOrElse("")
+        val router = routerMap.getOrElse(src, "172.21.1.101")
+        GoldenReplay.bmpAttrRows(
+          GoldenReplay.tcpReassemble(sf, dport = 1790), router, mode,
+          keepOpen)
+      }
+      .groupBy(
+        "bmp_router", "event_kind", "bmp_msg_type", "log_type",
+        "timestamp_event", "peer_ip", "peer_asn", "bgp_id", "afi",
+        "safi", "rd", "rd_origin", "ip_prefix", "bgp_nexthop",
+        "as_path", "comms", "ecomms", "lcomms", "origin", "local_pref",
+        "med", "aigp", "psid_li", "otc", "mpls_label", "rib_type",
+        "is_in", "is_filtered", "is_loc", "is_post", "is_out",
+        "peer_type", "peer_type_str", "local_ip", "local_port",
+        "remote_port", "local_as", "reason_type", "reason_str",
+        "counter_type", "counter_value", "sysdescr", "sysname")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The DuckDB projection of a reference msglog/dump golden onto the
+    * [[GoldenReplay.BmpAttrRow]] sentinels. `arrays` = the test's
+    * *_encode_as_array config (else space-joined strings). */
+  private def bmpAttrOracle(goldenFile: String,
+                            arrays: Boolean = true): String = {
+    val listT = if (arrays) "VARCHAR[]" else "VARCHAR"
+    def listCol(c: String) =
+      if (arrays) s"coalesce(array_to_string($c, ','), '') AS $c"
+      else s"replace(coalesce($c, ''), ' ', ',') AS $c"
+    val cols = Seq(
+      "coalesce(bmp_router, '') AS bmp_router",
+      "event_type AS event_kind",
+      "coalesce(bmp_msg_type, '') AS bmp_msg_type",
+      "coalesce(log_type, '') AS log_type",
+      "coalesce(timestamp_event, '') AS timestamp_event",
+      "coalesce(peer_ip, '') AS peer_ip",
+      "coalesce(peer_asn, -1) AS peer_asn",
+      "coalesce(bgp_id, '') AS bgp_id",
+      "coalesce(afi, -1) AS afi", "coalesce(safi, -1) AS safi",
+      "coalesce(rd, '') AS rd",
+      "coalesce(rd_origin, '') AS rd_origin",
+      "coalesce(ip_prefix, '') AS ip_prefix",
+      "coalesce(bgp_nexthop, '') AS bgp_nexthop",
+      listCol("as_path"), listCol("comms"), listCol("ecomms"),
+      listCol("lcomms"),
+      "coalesce(origin, '') AS origin",
+      "coalesce(local_pref, -1) AS local_pref",
+      "coalesce(med, -1) AS med", "coalesce(aigp, -1) AS aigp",
+      "coalesce(psid_li, -1) AS psid_li", "coalesce(otc, -1) AS otc",
+      "coalesce(mpls_label, '') AS mpls_label",
+      "coalesce(bmp_rib_type, '') AS rib_type",
+      "coalesce(is_in, -1) AS is_in",
+      "coalesce(is_filtered, -1) AS is_filtered",
+      "coalesce(is_loc, -1) AS is_loc",
+      "coalesce(is_post, -1) AS is_post",
+      "coalesce(is_out, -1) AS is_out",
+      "coalesce(peer_type, -1) AS peer_type",
+      "coalesce(peer_type_str, '') AS peer_type_str",
+      "coalesce(local_ip, '') AS local_ip",
+      "coalesce(local_port, -1) AS local_port",
+      "coalesce(remote_port, -1) AS remote_port",
+      "coalesce(local_as, -1) AS local_as",
+      "coalesce(reason_type, -1) AS reason_type",
+      "coalesce(reason_str, '') AS reason_str",
+      "coalesce(counter_type, -1) AS counter_type",
+      "CAST(coalesce(counter_value, 0) AS BIGINT) AS counter_value",
+      "coalesce(bmp_init_info_sysdescr, '') AS sysdescr",
+      "coalesce(bmp_init_info_sysname, '') AS sysname")
+    val types = Seq(
+      "event_type" -> "VARCHAR", "bmp_msg_type" -> "VARCHAR",
+      "log_type" -> "VARCHAR", "timestamp_event" -> "VARCHAR",
+      "bmp_router" -> "VARCHAR", "peer_ip" -> "VARCHAR",
+      "peer_asn" -> "BIGINT", "bgp_id" -> "VARCHAR",
+      "afi" -> "BIGINT", "safi" -> "BIGINT", "rd" -> "VARCHAR",
+      "rd_origin" -> "VARCHAR", "ip_prefix" -> "VARCHAR",
+      "bgp_nexthop" -> "VARCHAR", "as_path" -> listT,
+      "comms" -> listT, "ecomms" -> listT, "lcomms" -> listT,
+      "origin" -> "VARCHAR", "local_pref" -> "BIGINT",
+      "med" -> "BIGINT", "aigp" -> "BIGINT", "psid_li" -> "BIGINT",
+      "otc" -> "BIGINT", "mpls_label" -> "VARCHAR",
+      "bmp_rib_type" -> "VARCHAR", "is_in" -> "BIGINT",
+      "is_filtered" -> "BIGINT", "is_loc" -> "BIGINT",
+      "is_post" -> "BIGINT", "is_out" -> "BIGINT",
+      "peer_type" -> "BIGINT", "peer_type_str" -> "VARCHAR",
+      "local_ip" -> "VARCHAR", "local_port" -> "BIGINT",
+      "remote_port" -> "BIGINT", "local_as" -> "BIGINT",
+      "reason_type" -> "BIGINT", "reason_str" -> "VARCHAR",
+      "counter_type" -> "BIGINT", "counter_value" -> "BIGINT",
+      "bmp_init_info_sysdescr" -> "VARCHAR",
+      "bmp_init_info_sysname" -> "VARCHAR")
+      .map { case (n, t) => s"'$n':'$t'" }.mkString(", ")
+    s"""SELECT ${cols.mkString(",\n            ")}, count(*) AS n
+        FROM read_json('$T/$goldenFile', format='newline_delimited',
+          columns={$types})
+        GROUP BY ${(1 to cols.length).mkString(", ")}"""
+  }
 
   /** Shared BMP-session replay: reassemble the capture's TCP stream,
     * decode through BmpMsg/BgpMsg, apply the msglog lifecycle
@@ -1285,6 +1830,53 @@ object GoldenQueries {
                 "timestamp_start" -> "VARCHAR",
                 "timestamp_end" -> "VARCHAR",
                 "custom_primitives" -> cpStruct))} g"""),
-      doc = "reference golden replay: Huawei VRF-name/RD option correlation (test 106)")
+      doc = "reference golden replay: Huawei VRF-name/RD option correlation (test 106)"),
+
+    // tests/203-BMP-HUAWEI-dump msglog, FULL attributes this time: every
+    // route_monitor row reconciles bgp_nexthop, as_path, comms, ecomms
+    // (RT:/SoO: render), lcomms, origin letter, local_pref/med/aigp/
+    // psid_li/otc, the 20-bit mpls_label, the rib-type string + is_*
+    // flag emission rules, and peer_up rows carry the body (local ip/
+    // ports) + the local AS parsed from the SENT OPEN inside the
+    // peer-up message.
+    Q("q212_golden_bmp_attrs",
+      (s, _) => bmpAttrQuery(s, "203-BMP-HUAWEI-dump", mode = "log"),
+      Some(bmpAttrOracle("203-BMP-HUAWEI-dump/output-bmp-00.json")),
+      doc = "reference golden replay: full-attribute BMP msglog (test 203)"),
+
+    // tests/203-BMP-HUAWEI-dump table dump: the same session's RIB
+    // snapshot at end-of-stream — dump_init / init-TLVs / one peer_up
+    // per live lane (18: loc-rib VRF instances × lanes + pre/post
+    // policy) / one route_monitor per stored RIB entry (84) with the
+    // STORED attributes / dump_close (bmp_handle_dump_event,
+    // bmp_logdump.c).
+    Q("q213_golden_bmp_dump",
+      (s, _) => bmpAttrQuery(s, "203-BMP-HUAWEI-dump", mode = "dump"),
+      Some(bmpAttrOracle("203-BMP-HUAWEI-dump/output-bmp-dump-00.json")),
+      doc = "reference golden replay: BMP table dump (test 203)"),
+
+    // tests/204-BMP-CISCO-peer_down: an IOS XR session over v6 transport
+    // with the full down-lifecycle — 65 withdraw events (every withdrawal
+    // logs log_type=withdraw with the in-RIB attributes when found,
+    // bgp_msg.c:1615-1677), 49 internal deletes (in-RIB withdrawals +
+    // the per-peer purges of 3 peer_down events with reason rendering),
+    // 96 per-counter stats rows, space-joined as_path/comms strings (no
+    // *_encode_as_array in this test's config).
+    Q("q214_golden_bmp_peer_down",
+      (s, _) => bmpAttrQuery(s, "204-BMP-CISCO-peer_down", mode = "log",
+        routerMap = Map("2001:db8:90::1" -> "fd25::101")),
+      Some(bmpAttrOracle("204-BMP-CISCO-peer_down/output-bmp-00.json",
+        arrays = false)),
+      doc = "reference golden replay: BMP peer_down lifecycle (test 204)"),
+
+    // tests/205-BMP-6wind-FRR-peer_down: the same lifecycle from a
+    // 6wind/FRR speaker — 336 stats counter rows, 2 peer_downs, VPNv4
+    // routes with med 0 + label stacks, array-encoded paths/comms.
+    Q("q215_golden_bmp_frr_down",
+      (s, _) => bmpAttrQuery(s, "205-BMP-6wind-FRR-peer_down",
+        mode = "log",
+        routerMap = Map("203.0.113.58" -> "172.21.1.101")),
+      Some(bmpAttrOracle("205-BMP-6wind-FRR-peer_down/output-bmp-00.json")),
+      doc = "reference golden replay: FRR BMP peer_down lifecycle (test 205)")
   )
 }

@@ -125,6 +125,9 @@ object BgpMsg {
       // (docs/BGP_BMP_METRICS.md: `aigp`, `psid_li`)
       aigp: Option[Long] = None,
       labelIndex: Option[Long] = None,
+      // RFC 9234 Only-to-Customer (attr 35, 4-byte ASN) — rendered as
+      // `otc` in the reference's BGP/BMP logs (docs/BGP_BMP_METRICS.md)
+      otc: Option[Long] = None,
       // RFC 4360 extended communities (attr 16; reference
       // BGP_ATTR_EXT_COMMUNITIES, src/bgp/bgp_ecommunity.c)
       extCommunities: Seq[ExtCommunity] = Nil,
@@ -694,7 +697,8 @@ object BgpMsg {
     * non-UPDATE message types (position still advances past them).
     * `addPath` must match the session's negotiated capability — the wire
     * format is not self-describing (RFC 7911 §5). */
-  def decodeOne(buf: ByteBuffer, addPath: Boolean = false): Option[Update] = {
+  def decodeOne(buf: ByteBuffer, addPath: Boolean = false,
+                asn16: Boolean = false): Option[Update] = {
     (0 until 16).foreach { _ =>
       require((buf.get() & 0xff) == 0xff, "bad BGP marker")
     }
@@ -717,13 +721,34 @@ object BgpMsg {
       atp match {
         case 1 => u = u.copy(origin = Some(buf.get() & 0xff))
         case 2 =>
+          // `asn16`: an old-speaker session carries 2-byte ASNs in
+          // AS_PATH. Segment lengths are VALIDATED against the attr
+          // length first (aspath_parse, src/bgp/bgp_aspath.c): a
+          // malformed attr yields a NULL aspath — rendered empty — not
+          // a partial/garbled one.
+          val asz = if (asn16) 2 else 4
           val path = mutable.Buffer[Long]()
-          while (buf.position() < aEnd) {
-            buf.get() // segment type (order preserved per segment)
-            val n = buf.get() & 0xff
-            (0 until n).foreach(_ => path += buf.getInt() & 0xffffffffL)
+          var ok = true
+          var pos = buf.position()
+          while (ok && pos < aEnd) {
+            if (pos + 2 > aEnd) ok = false
+            else {
+              val n = buf.get(pos + 1) & 0xff
+              pos += 2 + n * asz
+              if (pos > aEnd) ok = false
+            }
           }
-          u = u.copy(asPath = path.toSeq)
+          if (ok && pos == aEnd) {
+            while (buf.position() < aEnd) {
+              buf.get() // segment type (order preserved per segment)
+              val n = buf.get() & 0xff
+              (0 until n).foreach { _ =>
+                path += (if (asn16) (buf.getShort() & 0xffffL)
+                         else buf.getInt() & 0xffffffffL)
+              }
+            }
+            u = u.copy(asPath = path.toSeq)
+          }
         case 3 => u = u.copy(nextHop = Some(buf.getInt() & 0xffffffffL))
         case 4 => u = u.copy(med = Some(buf.getInt() & 0xffffffffL))
         case 5 => u = u.copy(localPref = Some(buf.getInt() & 0xffffffffL))
@@ -750,11 +775,17 @@ object BgpMsg {
               u = u.copy(aigp = Some(buf.getLong()))
             else buf.position(math.min(aEnd, buf.position() + l - 3))
           }
-        case 40 => // RFC 8669 Prefix-SID: Label-Index TLV (type 1)
+        case 35 => // RFC 9234 Only-to-Customer: 4-byte ASN
+          if (aEnd - buf.position() >= 4)
+            u = u.copy(otc = Some(buf.getInt() & 0xffffffffL))
+        case 40 => // RFC 8669 Prefix-SID: Label-Index TLV (type 1);
+          // length seen both ways in the wild: 7 (RFC — excludes the
+          // 3-byte TLV header) and 10 (header included)
           while (buf.position() + 3 <= aEnd) {
             val t = buf.get() & 0xff
             val l = buf.getShort() & 0xffff
-            if (t == 1 && l == 10 && buf.position() + 7 <= aEnd) {
+            if (t == 1 && (l == 10 || l == 7) &&
+                buf.position() + 7 <= aEnd) {
               buf.get(); buf.getShort() // reserved + flags
               u = u.copy(labelIndex = Some(buf.getInt() & 0xffffffffL))
             } else buf.position(math.min(aEnd, buf.position() + l - 3))
@@ -808,6 +839,16 @@ object BgpMsg {
           if (afi == 16388 && safi == 71) {
             buf.position(buf.position() + nhLen + 1) // nh + reserved
             u = u.copy(nlriLs = readLsNlris(buf, aEnd))
+          } else if (afi == 1 && safi == 1) {
+            // v4 unicast carried in MP_REACH (RFC 4760 allows it; IOS XR
+            // BMP feeds use this shape) — NH 4-byte v4 or 16-byte v6
+            if (nhLen == 4)
+              u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
+            else if (nhLen == 16)
+              u = u.copy(nextHop6 = Some((buf.getLong(), buf.getLong())))
+            else buf.position(buf.position() + nhLen)
+            buf.get() // reserved
+            u = u.copy(nlri = u.nlri ++ readRoutes(buf, aEnd, addPath))
           } else if (afi == 2 && safi == 1 && nhLen >= 16) {
             // 16-byte global next hop, optionally + 16-byte link-local
             // (RFC 2545 §3: nhLen 32 when both are sent)
@@ -824,6 +865,10 @@ object BgpMsg {
               u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
             } else if (nhLen == 4) {
               u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
+            } else if (nhLen == 24 || nhLen == 16) {
+              // RFC 8950: VPNv4 with a v6 next hop ([RD +] 16-byte v6)
+              if (nhLen == 24) buf.getLong()
+              u = u.copy(nextHop6 = Some((buf.getLong(), buf.getLong())))
             } else buf.position(buf.position() + nhLen)
             buf.get() // reserved
             u = u.copy(nlriVpn = readRoutesVpn(buf, aEnd,
@@ -839,7 +884,13 @@ object BgpMsg {
                 hasRd = true).map { case (l, rt, ra, rv, hi, lo, pl) =>
                   RouteVpn6(l, rt, ra, rv, hi, lo, pl) })
           } else if (afi == 1 && safi == 4) {
-            buf.position(buf.position() + nhLen + 1)
+            // labeled-unicast v4 NH: 4-byte v4, or 16-byte v6 (RFC 8950)
+            if (nhLen == 4)
+              u = u.copy(nextHopVpn = Some(buf.getInt() & 0xffffffffL))
+            else if (nhLen == 16)
+              u = u.copy(nextHop6 = Some((buf.getLong(), buf.getLong())))
+            else buf.position(buf.position() + nhLen)
+            buf.get() // reserved
             u = u.copy(nlriLab = readLabeledEntries(buf, aEnd,
               v6 = false, hasRd = false).map {
                 case (l, _, _, _, p, _, pl) => RouteLabeled(l, p, pl) })
@@ -857,6 +908,9 @@ object BgpMsg {
           val safi = buf.get() & 0xff
           if (afi == 16388 && safi == 71)
             u = u.copy(withdrawnLs = readLsNlris(buf, aEnd))
+          else if (afi == 1 && safi == 1)
+            u = u.copy(withdrawn =
+              u.withdrawn ++ readRoutes(buf, aEnd, addPath))
           else if (afi == 2 && safi == 1)
             u = u.copy(withdrawn6 = readRoutes6(buf, aEnd))
           else if (afi == 1 && safi == 128)
@@ -881,7 +935,7 @@ object BgpMsg {
       }
       buf.position(aEnd)
     }
-    u = u.copy(nlri = readRoutes(buf, msgEnd, addPath))
+    u = u.copy(nlri = u.nlri ++ readRoutes(buf, msgEnd, addPath))
     buf.position(msgEnd)
     Some(u)
   }

@@ -29,7 +29,18 @@ object BmpMsg {
   sealed trait Msg
   final case class RouteMonitoring(peer: PeerHeader,
                                    update: BgpMsg.Update) extends Msg
-  final case class PeerUp(peer: PeerHeader) extends Msg
+  /** Peer-up body (RFC 7854 §4.10): local address/ports plus the local
+    * ASN and BGP ID from the SENT OPEN (bmp_msg.c:352-405 parses both
+    * OPENs; `loc_as` is what renders as `local_as` in peer-up logs).
+    * `recvFourOctetAs` is the RECEIVED OPEN's RFC 6793 capability — it
+    * decides whether the session's AS_PATHs carry 2- or 4-byte ASNs
+    * (peer->cap_4as, bgp_msg.c open parse). */
+  final case class PeerUpBody(localHi: Long, localLo: Long,
+      localPort: Int, remotePort: Int, localAs: Long, localBgpId: Long,
+      recvFourOctetAs: Boolean = true,
+      recvAs: Long = 0L, recvBgpId: Long = 0L)
+  final case class PeerUp(peer: PeerHeader,
+      up: Option[PeerUpBody] = None) extends Msg
   final case class PeerDown(peer: PeerHeader, reason: Int) extends Msg
   final case class Initiation(info: Seq[(Int, String)]) extends Msg
   final case class Termination(reason: Int) extends Msg
@@ -40,7 +51,9 @@ object BmpMsg {
   /** Stats report (type 1, RFC 7854 §4.8): per-peer counter TLVs,
     * stat type → value (32-bit counters and 64-bit gauges). */
   final case class StatsReport(peer: PeerHeader,
-                               stats: Map[Int, Long]) extends Msg
+                               stats: Map[Int, Long],
+                               perAfi: Seq[(Int, Int, Int, Long)] = Nil)
+      extends Msg
 
   // ---- encode --------------------------------------------------------
 
@@ -71,21 +84,29 @@ object BmpMsg {
   def encodeRouteMonitoring(p: PeerHeader, u: BgpMsg.Update): Array[Byte] =
     common(0, peerBytes(p) ++ BgpMsg.encode(u))
 
-  def encodePeerUp(p: PeerHeader): Array[Byte] =
-    // local addr(16) + local port(2) + remote port(2); sent/recv OPENs
-    // omitted — length-delimited, so the parser skips to msg end anyway
-    common(3, peerBytes(p) ++ new Array[Byte](20))
+  /** Peer up: local addr(16) + ports(2+2), then optionally the sent and
+    * received OPENs (RFC 7854 §4.10) — omitted by default (the message
+    * is length-delimited, so the parser skips to msg end anyway). */
+  def encodePeerUp(p: PeerHeader,
+      sentOpen: Option[BgpMsg.Open] = None,
+      recvOpen: Option[BgpMsg.Open] = None): Array[Byte] = {
+    val opens = (sentOpen.toSeq ++ recvOpen.toSeq)
+      .flatMap(BgpMsg.encodeOpen)
+    common(3, peerBytes(p) ++ new Array[Byte](20) ++ opens.toArray)
+  }
 
   def encodePeerDown(p: PeerHeader, reason: Int): Array[Byte] =
     common(2, peerBytes(p) :+ reason.toByte)
 
   /** Stats TLVs: 2-byte type, 2-byte length (4 or 8), big-endian value;
     * gauges (types 7/8: routes in rib/loc-rib) encode 8 bytes. */
-  def encodeStatsReport(p: PeerHeader, stats: Map[Int, Long]): Array[Byte] = {
+  def encodeStatsReport(p: PeerHeader, stats: Map[Int, Long],
+      perAfi: Seq[(Int, Int, Int, Long)] = Nil): Array[Byte] = {
     val sorted = stats.toSeq.sortBy(_._1)
     val body = new java.io.ByteArrayOutputStream()
     body.write(peerBytes(p), 0, PerPeerLen)
-    val cnt = ByteBuffer.allocate(4).putInt(sorted.size).array()
+    val cnt = ByteBuffer.allocate(4)
+      .putInt(sorted.size + perAfi.size).array()
     body.write(cnt, 0, 4)
     sorted.foreach { case (tp, v) =>
       val wide = tp == 7 || tp == 8
@@ -93,6 +114,14 @@ object BmpMsg {
       tlv.putShort(tp.toShort).putShort(if (wide) 8 else 4)
       if (wide) tlv.putLong(v) else tlv.putInt(v.toInt)
       body.write(tlv.array(), 0, tlv.array().length)
+    }
+    // RFC 7854 §4.8 per-AFI/SAFI gauges (types 9/10/16/17): len 11 =
+    // 2B afi + 1B safi + 8B value
+    perAfi.foreach { case (tp, afi, safi, v) =>
+      val tlv = ByteBuffer.allocate(15)
+      tlv.putShort(tp.toShort).putShort(11.toShort)
+        .putShort(afi.toShort).put(safi.toByte).putLong(v)
+      body.write(tlv.array(), 0, 15)
     }
     common(1, body.toByteArray)
   }
@@ -163,10 +192,15 @@ object BmpMsg {
     PeerHeader(tp, flags, dist, addr, as, bgpId, tsSec, tsUsec, hi, lo)
   }
 
-  /** Parse a contiguous BMP session stream. */
+  /** Parse a contiguous BMP session stream. Stateful like a collector:
+    * the received OPEN of each peer_up fixes the peer's 4-octet-AS
+    * capability, and later route-monitoring AS_PATHs for that peer parse
+    * 2-byte when it was absent (peer->cap_4as, reference bgp_msg.c). */
   def decodeStream(bytes: Array[Byte]): Seq[Msg] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = mutable.Buffer[Msg]()
+    val cap4as = mutable.Map[(Long, Long, Long), Boolean]()
+    def pk(p: PeerHeader) = (p.addrHi, p.addrLo, p.distinguisher)
     var truncated = false
     while (!truncated && buf.remaining() >= CommonHeaderLen) {
       val ver = buf.get() & 0xff
@@ -182,24 +216,54 @@ object BmpMsg {
       msgType match {
         case 0 =>
           val peer = readPeer(buf)
-          BgpMsg.decodeOne(buf).foreach(u => out += RouteMonitoring(peer, u))
+          val asn16 = !cap4as.getOrElse(pk(peer), true)
+          BgpMsg.decodeOne(buf, asn16 = asn16)
+            .foreach(u => out += RouteMonitoring(peer, u))
         case 1 =>
           val peer = readPeer(buf)
           val n = buf.getInt()
-          val stats = (0 until n).map { _ =>
+          val stats = mutable.Map[Int, Long]()
+          val perAfi = mutable.Buffer[(Int, Int, Int, Long)]()
+          (0 until n).foreach { _ =>
             val tp = buf.getShort() & 0xffff
             val len = buf.getShort() & 0xffff
-            val v =
-              if (len == 8) buf.getLong()
-              else buf.getInt() & 0xffffffffL
-            tp -> v
-          }.toMap
-          out += StatsReport(peer, stats)
+            val tlvEnd = buf.position() + len
+            if (len == 11) {
+              // RFC 7854 §4.8 per-AFI/SAFI gauge: 2B afi + 1B safi + u64
+              val afi = buf.getShort() & 0xffff
+              val safi = buf.get() & 0xff
+              perAfi += ((tp, afi, safi, buf.getLong()))
+            } else if (len == 8) stats(tp) = buf.getLong()
+            else if (len == 4) stats(tp) = buf.getInt() & 0xffffffffL
+            buf.position(tlvEnd)
+          }
+          out += StatsReport(peer, stats.toMap, perAfi.toSeq)
         case 2 =>
           val peer = readPeer(buf)
           out += PeerDown(peer, buf.get() & 0xff)
         case 3 =>
-          out += PeerUp(readPeer(buf))
+          val peer = readPeer(buf)
+          val body =
+            if (msgEnd - buf.position() >= 20) {
+              val hi = buf.getLong(); val lo = buf.getLong()
+              val lp = buf.getShort() & 0xffff
+              val rp = buf.getShort() & 0xffff
+              def open(): Option[BgpMsg.Open] =
+                if (msgEnd - buf.position() >= 19)
+                  scala.util.Try(BgpMsg.decodeMessage(buf)).toOption
+                    .collect { case BgpMsg.OpenMsg(o) => o }
+                else None
+              val sent = open() // local side
+              val recv = open() // remote side: fixes cap_4as
+              cap4as(pk(peer)) = recv.forall(_.fourOctetAs)
+              Some(PeerUpBody(hi, lo, lp, rp,
+                sent.map(_.asn).getOrElse(0L),
+                sent.map(_.bgpId).getOrElse(0L),
+                recv.forall(_.fourOctetAs),
+                recv.map(_.asn).getOrElse(0L),
+                recv.map(_.bgpId).getOrElse(0L)))
+            } else None
+          out += PeerUp(peer, body)
         case 4 =>
           val info = mutable.Buffer[(Int, String)]()
           while (buf.position() + 4 <= msgEnd) {

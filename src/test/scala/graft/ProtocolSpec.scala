@@ -760,13 +760,64 @@ class ProtocolSpec extends AnyFunSuite {
     // the decoded header carries the full 16-byte address view; the
     // v4-encoding writer puts the address in the low limb
     val peerBack = peer.copy(addrLo = peer.peerAddr)
-    assert(msgs(1) == BmpMsg.PeerUp(peerBack))
+    // the zero-filled 20-byte body decodes as an all-zero PeerUpBody
+    assert(msgs(1) ==
+      BmpMsg.PeerUp(peerBack, Some(BmpMsg.PeerUpBody(0, 0, 0, 0, 0, 0))))
     assert(msgs(2) == BmpMsg.RouteMonitoring(peerBack, u))
     assert(msgs(3) == BmpMsg.PeerDown(peerBack, 1))
     // stats report: mixed 32-bit counters and 64-bit gauges (types 7/8)
     val stats = Map(0 -> 12L, 7 -> 5000000000L, 8 -> 42L)
     val back = BmpMsg.decodeStream(BmpMsg.encodeStatsReport(peer, stats))
     assert(back == Seq(BmpMsg.StatsReport(peerBack, stats)))
+  }
+
+  test("BMP peer-up OPENs fix identity + 2-byte AS_PATH sessions") {
+    import graft.sources.{BgpMsg, BmpMsg}
+    val peer = BmpMsg.PeerHeader(0, 0, 0L, 0x0A000001L, 65010L,
+      0x01010101L, 1710000000L, 0L)
+    val peerBack = peer.copy(addrLo = peer.peerAddr)
+    // sent + received OPENs ride the peer-up body; the received one
+    // WITHOUT cap 65 marks the session as 2-byte-AS (peer->cap_4as)
+    val sent = BgpMsg.Open(65100L, 180, 0x0B0B0B0BL)
+    val recv = BgpMsg.Open(65010L, 180, 0x0C0C0C0CL, fourOctetAs = false)
+    val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(0x0A0B0C00L, 24)),
+      origin = Some(0), asPath = Seq(65010L, 64999L))
+    val stream =
+      BmpMsg.encodePeerUp(peer, Some(sent), Some(recv)) ++
+        BmpMsg.encodeRouteMonitoring(peer, u)
+    val msgs = BmpMsg.decodeStream(stream)
+    val up = msgs.head.asInstanceOf[BmpMsg.PeerUp].up.get
+    assert(up.localAs == 65100L && up.recvAs == 65010L)
+    assert(!up.recvFourOctetAs)
+    // ...but the UPDATE was 4-byte-encoded: the 2-byte parse detects the
+    // segment-length mismatch and yields an EMPTY path (aspath_parse
+    // NULL), never a garbled one
+    val rm = msgs(1).asInstanceOf[BmpMsg.RouteMonitoring]
+    assert(rm.update.nlri == u.nlri && rm.update.asPath.isEmpty)
+    // per-AFI/SAFI stats TLVs (len 11) decode alongside plain counters
+    val back2 = BmpMsg.decodeStream(BmpMsg.encodeStatsReport(peer,
+      Map(0 -> 3L), perAfi = Seq((10, 1, 128, 900L), (9, 2, 1, 7L))))
+    assert(back2 == Seq(BmpMsg.StatsReport(peerBack, Map(0 -> 3L),
+      Seq((10, 1, 128, 900L), (9, 2, 1, 7L)))))
+  }
+
+  test("MP_REACH/UNREACH v4-unicast (afi 1/safi 1) rides the MP path") {
+    import graft.sources.BgpMsg
+    import java.nio.ByteBuffer
+    // hand-build an UPDATE whose v4 routes ride MP_REACH (IOS XR BMP
+    // shape): afi 1, safi 1, nhLen 4, reserved, then plain NLRI
+    val mp = Array[Byte](0, 1, 1, 4, 10, 0, 0, 1, 0,
+      24, 10, 11, 12) // 10.11.12.0/24
+    val attr = Array[Byte](0x80.toByte, 14, mp.length.toByte) ++ mp
+    val body = Array[Byte](0, 0,
+      (attr.length >> 8).toByte, attr.length.toByte) ++ attr
+    val msg = Array.fill[Byte](16)(0xff.toByte) ++
+      ByteBuffer.allocate(2).putShort((19 + body.length).toShort)
+        .array() ++ Array[Byte](2) ++ body
+    val u = BgpMsg.decodeOne(ByteBuffer.wrap(msg)).get
+    assert(u.nlri == Seq(BgpMsg.Route(0x0A0B0C00L, 24)))
+    assert(u.nextHopVpn.contains(0x0A000001L))
+    assert(u.mpAfiSafi.contains((1, 1)))
   }
 
   test("BGP FSM: passive handshake, delivery, notification, hold timer") {
