@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Graft, Q}
+import graft.plans.Lpm
 import graft.sources.{NetFlowV9, Pcap}
 
 import java.nio.ByteBuffer
@@ -183,7 +184,21 @@ object GoldenReplay {
       packets: Long, bytes: Long,
       cpTlIp: String, cpTlPlen: Long, cpTlType: Long,
       vrfName: String = "", vrfNameIn: String = "", vrfNameOut: String = "",
-      rdFlow: String = "")
+      rdFlow: String = "",
+      // L2 + tunnel + SRv6 (test 400/500 surface)
+      macSrc: String = "", macDst: String = "", vlanIn: Long = 0L,
+      cos: Long = 0L, etype: String = "",
+      tunnelSrc: String = "", tunnelDst: String = "",
+      tunnelProtoName: String = "0", tunnelTos: Long = 0L,
+      tunnelFlowLabel: Long = 0L, srv6List: String = "",
+      // numeric host views for the BGP/BMP lookup
+      isV6: Boolean = false, srcHi: Long = 0L, srcLo: Long = 0L,
+      dstHi: Long = 0L, dstLo: Long = 0L,
+      // BGP/BMP correlation results (bgp_srcdst_lookup)
+      bgpCommsD: String = "", bgpEcommsD: String = "",
+      bgpPathD: String = "", bgpNetD: String = "", bgpMaskD: Long = 0L,
+      bgpCommsS: String = "", bgpEcommsS: String = "",
+      bgpPathS: String = "", bgpNetS: String = "", bgpMaskS: Long = 0L)
 
   /** Ethernet (+802.1Q walk) -> IPv4/IPv6 -> UDP payload; returns the
     * rendered source IP, UDP dst port and payload (ll.c/nl.c projection,
@@ -582,7 +597,9 @@ object GoldenReplay {
     *  one route_monitor row per RIB entry (stored attributes), dump_close
     *  (bmp_logdump.c bmp_handle_dump_event). */
   def bmpAttrRows(stream: Array[Byte], router: String, mode: String,
-                  keepOpen: Boolean = true): Seq[BmpAttrRow] = {
+                  keepOpen: Boolean = true,
+                  ribOut: mutable.Buffer[RibRoute] = null)
+      : Seq[BmpAttrRow] = {
     import graft.sources.{BgpMsg, BmpMsg}
     def peerIpOf(p: BmpMsg.PeerHeader): String =
       if (p.addrHi == 0L && (p.addrLo >>> 32) == 0L) ntop4(p.peerAddr)
@@ -881,7 +898,107 @@ object GoldenReplay {
       if (!keepOpen) rib.clear()
       out += base.copy(event_kind = "log_init")
     }
+    if (ribOut != null)
+      rib.valuesIterator.foreach { case (p, u, lane) =>
+        val (v6, hi, lo, plen) = parsePrefix(lane._5)
+        ribOut += RibRoute(lane._1.toInt, lane._2.toInt, lane._3,
+          hdrRdOf(p), v6, hi, lo, plen, lane._5.split("/")(0),
+          commsStr(u.communities), ecommsStr(u.extCommunities),
+          lcommsStr(u.largeCommunities), u.asPath.mkString(","),
+          lane._7)
+      }
     out.toSeq
+  }
+
+  // ---- flow × BMP/BGP RIB correlation (bgp_srcdst_lookup) ------------
+
+  /** One end-state RIB route with rendered attributes, for the flow-side
+    * lookup. `hdrRd` is the announcing peer's header RD (pd) — under a
+    * FUNC_TYPE_BMP lookup the flow RD carries RD_ORIGIN_BMP bits and so
+    * memcmp-matches ONLY header PDs (origin BMP, bmp_msg.c:1243), never
+    * NLRI RDs (origin BGP, bgp_msg.c:1338). */
+  final case class RibRoute(afi: Int, safi: Int, rd: String,
+      hdrRd: String, v6: Boolean, hi: Long, lo: Long, plen: Int,
+      netStr: String, comms: String, ecomms: String, lcomms: String,
+      asPath: String, nexthop: String)
+
+  /** "a.b.c.d/len" / "hhhh::/len" → (v6, hi, lo, plen). */
+  def parsePrefix(s: String): (Boolean, Long, Long, Int) = {
+    val Array(addr, len) = s.split("/")
+    val bytes = java.net.InetAddress.getByName(addr).getAddress
+    if (bytes.length == 4)
+      (false, 0L,
+        (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (bytes(i) & 0xffL)),
+        len.toInt)
+    else
+      (true,
+        (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (bytes(i) & 0xffL)),
+        (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (bytes(i) & 0xffL)),
+        len.toInt)
+  }
+
+  /** The collector-side LPM structure over one router's end-state RIB —
+    * per (rd-context, safi, family) [[Lpm.Table]]/[[Lpm.Table6]] (the
+    * engine's own LPM classes; ~pmacct's per-peer bgp tables). Lookup
+    * order mirrors bgp_srcdst_lookup for BMP: a VRF-attributed flow
+    * searches SAFI 128 then retries SAFI 1, both requiring
+    * hdrRd == flow RD; a VRF-less flow does a plain SAFI-1 LPM. */
+  final class BmpRibLookup(routes: Seq[RibRoute]) extends Serializable {
+    private val idx: IndexedSeq[RibRoute] = routes.toIndexedSeq
+    private def tables(sel: RibRoute => Boolean,
+                       key: RibRoute => String)
+        : (Map[String, Lpm.Table], Map[String, Lpm.Table6]) = {
+      val picked = idx.zipWithIndex.filter { case (r, _) => sel(r) }
+      val t4 = picked.filter(!_._1.v6).groupBy(p => key(p._1)).map {
+        case (k, rs) => k -> new Lpm.Table(32,
+          rs.map { case (r, i) => (r.lo, r.plen, i.toLong) })
+      }
+      val t6 = picked.filter(_._1.v6).groupBy(p => key(p._1)).map {
+        case (k, rs) => k -> new Lpm.Table6(
+          rs.map { case (r, i) => (r.hi, r.lo, r.plen, i.toLong) })
+      }
+      (t4, t6)
+    }
+    private val (vpn4, vpn6) =
+      tables(r => r.safi == 128 && r.hdrRd.nonEmpty, _.hdrRd)
+    private val (uni4, uni6) =
+      tables(r => r.safi == 1 && r.hdrRd.nonEmpty, _.hdrRd)
+    private val (any4, any6) = tables(_.safi == 1, _ => "")
+
+    private def one(t4: Map[String, Lpm.Table],
+        t6: Map[String, Lpm.Table6], key: String, v6: Boolean,
+        hi: Long, lo: Long): Option[RibRoute] = {
+      val v = if (v6) t6.get(key).map(_.lookup(hi, lo))
+        else t4.get(key).map(_.lookup(lo))
+      v.filter(_ != Long.MinValue).map(i => idx(i.toInt))
+    }
+
+    def lookup(flowRd: String, v6: Boolean, hi: Long, lo: Long)
+        : Option[RibRoute] =
+      if (flowRd.isEmpty) one(any4, any6, "", v6, hi, lo)
+      else one(vpn4, vpn6, flowRd, v6, hi, lo)
+        .orElse(one(uni4, uni6, flowRd, v6, hi, lo))
+  }
+
+  /** Resolve both flow sides against the exporter's RIB; misses leave the
+    * BGP columns empty and mask 0 (the JSON renders empty arrays and
+    * 0.0.0.0/:: nets). */
+  def bgpResolve(g: GRec, rib: BmpRibLookup): GRec = {
+    val d = rib.lookup(g.rdFlow, g.isV6, g.dstHi, g.dstLo)
+    val s = rib.lookup(g.rdFlow, g.isV6, g.srcHi, g.srcLo)
+    g.copy(
+      bgpCommsD = d.map(_.comms).getOrElse(""),
+      bgpEcommsD = d.map(_.ecomms).getOrElse(""),
+      bgpPathD = d.map(_.asPath).getOrElse(""),
+      bgpNetD = d.map(_.netStr)
+        .getOrElse(if (g.isV6) "::" else "0.0.0.0"),
+      bgpMaskD = d.map(_.plen.toLong).getOrElse(0L),
+      bgpCommsS = s.map(_.comms).getOrElse(""),
+      bgpEcommsS = s.map(_.ecomms).getOrElse(""),
+      bgpPathS = s.map(_.asPath).getOrElse(""),
+      bgpNetS = s.map(_.netStr)
+        .getOrElse(if (g.isV6) "::" else "0.0.0.0"),
+      bgpMaskS = s.map(_.plen.toLong).getOrElse(0L))
   }
 
   private def numOf(rec: NetFlowV9.DecodedX, ie: Int): Long =
@@ -901,25 +1018,113 @@ object GoldenReplay {
     * (pkt_handlers.c:3858 timestamp arithmetic). */
   private def cDiv1000(diff32: Int): Long = (diff32 / 1000).toLong
 
+  /** First-occurrence view of a (possibly repeated) IE. */
+  private def firstNum(rec: NetFlowV9.DecodedX, ie: Int): Long =
+    rec.get(ie.toLong | NetFlowV9.FirstOccur) match {
+      case Some(v: Long) => v
+      case _ => numOf(rec, ie)
+    }
+
+  private def firstBytes(rec: NetFlowV9.DecodedX,
+                         ie: Int): Option[Array[Byte]] =
+    rec.get(ie.toLong | NetFlowV9.FirstOccur) match {
+      case Some(hex: String) =>
+        Some(hex.grouped(2).map(h =>
+          Integer.parseInt(h, 16).toByte).toArray)
+      case _ => bytesOf(rec, ie)
+    }
+
+  def macStr(v: Long): String =
+    (5 to 0 by -1).map(i => f"${(v >>> (8 * i)) & 0xff}%02x")
+      .mkString(":")
+
   def toGRec(peer: String, ver: Int, sysUp: Long, unixSecs: Long,
              rec: NetFlowV9.DecodedX): GRec = {
     val isOption = !rec.contains(1L) // no byte counter: not a flow record
+    // SRv6 flow typing (evaluate_flow_type, nfacctd.c:3610-3635): an
+    // ipv6-first template layer stack + outer L4 proto 4/41 (IP-in-v6)
+    // or 143 (ethernet)
+    val layers: Seq[Int] = rec.get(NetFlowV9.LayersKey) match {
+      case Some(s: String) => s.split(",").toSeq.map(_.toInt)
+      case _ => Nil
+    }
+    val tunProt = firstNum(rec, 4)
+    val srv6Kind: Int = // 0 none, 1 SRV6(eth), 2 inner v4, 3 inner v6
+      if (layers.headOption.contains(6) && rec.contains(4L)) {
+        if (layers.length > 1 && (tunProt == 4L || tunProt == 41L)) {
+          if (layers(1) == 4) 2 else if (layers(1) == 6) 3 else 0
+        } else if (layers.length == 1 && tunProt == 143L) 1 else 0
+      } else 0
     var ipSrc = ""; var ipDst = ""; var netSrc = ""; var netDst = ""
     var maskSrc = 0L; var maskDst = 0L
-    if (rec.contains(8L)) {
+    var isV6 = false
+    var srcHi = 0L; var srcLo = 0L; var dstHi = 0L; var dstLo = 0L
+    def hiOf(b: Array[Byte]) = (0 until 8).foldLeft(0L)((a, i) =>
+      (a << 8) | (b(i) & 0xffL))
+    def loOf(b: Array[Byte]) = (8 until 16).foldLeft(0L)((a, i) =>
+      (a << 8) | (b(i) & 0xffL))
+    // inner hosts: LAST occurrence of the address IEs (OTPL_CP_LAST —
+    // the plain map key); SRV6(eth) has no inner IP layer. A template
+    // carrying BOTH families picks the non-zero one (the reference's
+    // "cheapest check possible" heuristic, nfacctd.c:3637-3650).
+    val useV4 = srv6Kind match {
+      case 1 => false
+      case 2 => true
+      case 3 => false
+      case _ =>
+        if (rec.contains(8L) && rec.contains(27L))
+          numOf(rec, 8) != 0L || numOf(rec, 12) != 0L
+        else rec.contains(8L)
+    }
+    if (srv6Kind != 1 && useV4) {
       val s = numOf(rec, 8); val d = numOf(rec, 12)
       maskSrc = numOf(rec, 9); maskDst = numOf(rec, 13)
       ipSrc = ntop4(s); ipDst = ntop4(d)
+      srcLo = s; dstLo = d
       def net(ip: Long, m: Long): Long =
         if (m <= 0) 0L else ip & ((0xffffffffL << (32 - m)) & 0xffffffffL)
       netSrc = ntop4(net(s, maskSrc)); netDst = ntop4(net(d, maskDst))
-    } else bytesOf(rec, 27).foreach { s6 =>
+    } else if (srv6Kind != 1) bytesOf(rec, 27).foreach { s6 =>
       val d6 = bytesOf(rec, 28).getOrElse(new Array[Byte](16))
       maskSrc = numOf(rec, 29); maskDst = numOf(rec, 30)
       ipSrc = ntop6(s6); ipDst = ntop6(d6)
+      isV6 = true
+      srcHi = hiOf(s6); srcLo = loOf(s6)
+      dstHi = hiOf(d6); dstLo = loOf(d6)
       netSrc = ntop6(mask6(s6, maskSrc.toInt))
       netDst = ntop6(mask6(d6, maskDst.toInt))
     }
+    // etype: IE 256, else the flow's L3 protocol — the OUTER v6 for
+    // SRv6 encaps, the chosen host family otherwise (NF_etype_handler
+    // falls back to pptrs->l3_proto)
+    val etype =
+      if (rec.contains(256L)) f"${numOf(rec, 256)}%x"
+      else if (srv6Kind != 0 || isV6) "86dd"
+      else "800"
+    // tunnel fields: SRv6 encap only — FIRST occurrences (outer header)
+    val (tSrc, tDst, tProto, tTos, tLabel) =
+      if (srv6Kind != 0)
+        (firstBytes(rec, 27).map(ntop6).getOrElse(""),
+          firstBytes(rec, 28).map(ntop6).getOrElse(""),
+          tunProt,
+          if (rec.contains(5L | NetFlowV9.FirstOccur)) firstNum(rec, 5)
+          else 0L,
+          if (rec.contains(31L | NetFlowV9.FirstOccur)) firstNum(rec, 31)
+          else 0L)
+      else ("", "", 0L, 0L, 0L)
+    // SRv6 segment list (IE 497 / Huawei PEN 505): n×16-byte sections
+    val srv6List = (rec.get(497L) match {
+      case Some(hex: String) => Some(hex)
+      case _ => rec.get((2011L << 16) | 505L) match {
+        case Some(hex: String) => Some(hex)
+        case _ => None
+      }
+    }).map { hex =>
+      hex.grouped(32).filter(_.length == 32)
+        .map(h => ntop6(h.grouped(2).map(x =>
+          Integer.parseInt(x, 16).toByte).toArray))
+        .mkString(",")
+    }.getOrElse("")
     val labels = (70 to 79).map(ie =>
       rec.get(ie.toLong) match {
         case Some(v: Long) => v
@@ -950,7 +1155,9 @@ object GoldenReplay {
       maskSrc = maskSrc, maskDst = maskDst,
       portSrc = numOf(rec, 7), portDst = numOf(rec, 11),
       ifaceIn = numOf(rec, 10), ifaceOut = numOf(rec, 14),
-      tos = numOf(rec, 5), protoName = protoName(numOf(rec, 4)),
+      tos = numOf(rec, 5),
+      protoName = // SRv6-over-ethernet has no inner IP protocol
+        protoName(if (srv6Kind == 1) 0L else numOf(rec, 4)),
       tcpFlagsRaw = numOf(rec, 6),
       fwdStatus = fwdStatusStr(numOf(rec, 89)),
       labelStack = labelStackStr(labels),
@@ -958,7 +1165,16 @@ object GoldenReplay {
       tsStart = tsStart, tsEnd = tsEnd,
       packets = numOf(rec, 2), bytes = numOf(rec, 1),
       cpTlIp = ntop4(numOf(rec, 47)), cpTlPlen = numOf(rec, 91),
-      cpTlType = numOf(rec, 46))
+      cpTlType = numOf(rec, 46),
+      macSrc = macStr(numOf(rec, 56)), macDst = macStr(numOf(rec, 80)),
+      vlanIn =
+        if (rec.contains(58L)) numOf(rec, 58) else numOf(rec, 243),
+      cos = numOf(rec, 244), etype = etype,
+      tunnelSrc = tSrc, tunnelDst = tDst,
+      tunnelProtoName = protoName(tProto),
+      tunnelTos = tTos, tunnelFlowLabel = tLabel, srv6List = srv6List,
+      isV6 = isV6, srcHi = srcHi, srcLo = srcLo,
+      dstHi = dstHi, dstLo = dstLo)
   }
 
   /** Per-exporter option-correlation state: vrfid -> VRF name (IEs 234+236,
@@ -1033,7 +1249,9 @@ object GoldenReplay {
     * domain) in arrival order, like the reference's template cache keying
     * (src/nfv9_template.c); VRF/RD option maps are per exporter. */
   def decode(s: SparkSession, testDir: String,
-             peerMap: Map[String, String]): Dataset[GRec] = {
+             peerMap: Map[String, String],
+             bgpRibs: Map[String, BmpRibLookup] = Map.empty)
+      : Dataset[GRec] = {
     import s.implicits._
     s.read.format("binaryFile")
       .option("pathGlobFilter", "traffic-*.pcap").load(testDir)
@@ -1064,7 +1282,11 @@ object GoldenReplay {
                 cache.observeX(pay).map { r =>
                   val g = toGRec(peer, ver, sysUp, unixSecs, r)
                   if (g.isOption) { vrfObserve(st, r); g }
-                  else vrfResolve(g, r, st)
+                  else {
+                    val g1 = vrfResolve(g, r, st)
+                    bgpRibs.get(src).map(bgpResolve(g1, _))
+                      .getOrElse(g1)
+                  }
                 }
               }
             case _ => Nil
@@ -1164,9 +1386,11 @@ object GoldenQueries {
       .withColumnRenamed("labelStack", "mpls_label_stack")
 
   private def rendered(s: SparkSession, dir: String,
-                       peerMap: Map[String, String]): DataFrame = {
+                       peerMap: Map[String, String],
+                       bgpRibs: Map[String, GoldenReplay.BmpRibLookup] =
+                         Map.empty): DataFrame = {
     Graft.tune(s)
-    val recs = decode(s, dir, peerMap)
+    val recs = decode(s, dir, peerMap, bgpRibs)
     GoldenReplay.rdCols(
       baseCols(recs.toDF().filter(!col("isOption"))))
   }
@@ -1877,6 +2101,122 @@ object GoldenQueries {
         mode = "log",
         routerMap = Map("203.0.113.58" -> "172.21.1.101")),
       Some(bmpAttrOracle("205-BMP-6wind-FRR-peer_down/output-bmp-00.json")),
-      doc = "reference golden replay: FRR BMP peer_down lifecycle (test 205)")
+      doc = "reference golden replay: FRR BMP peer_down lifecycle (test 205)"),
+
+    // tests/400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources: the flagship
+    // flow × control-plane correlation — TWO exporters each feeding
+    // IPFIX (UDP) AND a BMP session (TCP) from the same source address.
+    // Flows resolve through the per-router BMP RIB exactly like
+    // bgp_srcdst_lookup under FUNC_TYPE_BMP: the VRF-option RD (origin
+    // BMP after lookup_type_to_bgp_rd_origin) memcmp-matches ONLY
+    // peer-header PDs, SAFI 128 first with a SAFI-1 retry, LPM per side;
+    // nfacctd_net/as bmp take nets/masks/as_path/comms from the match.
+    // Plus the L2 surface (macs, dot1q vlan/cos, etype incl. the
+    // l3-proto fallback) and pretag labels per exporter.
+    Q("q216_golden_flow_bmp",
+      (s, _) => {
+        val dir = s"$T/400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources"
+        val peers = Map("203.0.113.90" -> "172.21.1.101",
+          "203.0.113.91" -> "172.21.1.102")
+        // driver-side BMP feed mirror (pmacct's BMP thread): one RIB
+        // per router from the same captures' TCP sessions; the lookup
+        // tables ship to executors inside the decode closure, broadcast-
+        // style — control-plane state is bounded, flow data is not
+        val ribs: Map[String, GoldenReplay.BmpRibLookup] =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("traffic-") &&
+              f.getName.endsWith(".pcap")).toSeq
+            .flatMap { f =>
+              val sf = Pcap.read(java.nio.file.Files.readAllBytes(f.toPath))
+              GoldenReplay.tcpSrcIp(sf, 1790).map { raw =>
+                val buf = mutable.Buffer[GoldenReplay.RibRoute]()
+                GoldenReplay.bmpAttrRows(
+                  GoldenReplay.tcpReassemble(sf, 1790),
+                  peers.getOrElse(raw, raw), "dump", ribOut = buf)
+                raw -> new GoldenReplay.BmpRibLookup(buf.toSeq)
+              }
+            }.toMap
+        val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map")
+        val df = rendered(s, dir, peers, ribs)
+          .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+          .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+          .withColumn("label_nkey",
+            pretagLabelCol(rules, labelPart(_, "nkey")))
+          .withColumn("label_pkey",
+            pretagLabelCol(rules, labelPart(_, "pkey")))
+          .withColumnRenamed("tunnelProtoName", "tunnel_ip_proto")
+          .withColumnRenamed("vrfName", "vrf_name")
+          .withColumnRenamed("vrfNameIn", "ingress_vrf_name")
+          .withColumnRenamed("vrfNameOut", "egress_vrf_name")
+          .withColumnRenamed("macSrc", "mac_src")
+          .withColumnRenamed("macDst", "mac_dst")
+          .withColumnRenamed("vlanIn", "vlan_in")
+          .withColumnRenamed("bgpCommsD", "comms")
+          .withColumnRenamed("bgpEcommsD", "ecomms")
+          .withColumnRenamed("bgpPathD", "as_path")
+          .withColumnRenamed("bgpCommsS", "comms_src")
+          .withColumnRenamed("bgpEcommsS", "ecomms_src")
+          .withColumnRenamed("bgpPathS", "as_path_src")
+          .withColumnRenamed("bgpNetS", "net_src")
+          .withColumnRenamed("bgpNetD", "net_dst")
+          .withColumnRenamed("bgpMaskS", "mask_src")
+          .withColumnRenamed("bgpMaskD", "mask_dst")
+          .withColumnRenamed("srv6List", "srv6_seg_ipv6_list")
+          .withColumnRenamed("tunnelSrc", "tunnel_ip_src")
+          .withColumnRenamed("tunnelDst", "tunnel_ip_dst")
+          .withColumnRenamed("tunnelTos", "tunnel_tos")
+          .withColumnRenamed("tunnelFlowLabel", "tunnel_flow_label")
+        agg(df, baseKeys ++ Seq("mac_src", "mac_dst", "vlan_in", "cos",
+            "etype", "comms", "ecomms", "as_path", "comms_src",
+            "ecomms_src", "as_path_src", "net_src", "net_dst",
+            "mask_src", "mask_dst", "srv6_seg_ipv6_list", "vrf_name",
+            "ingress_vrf_name", "egress_vrf_name", "tunnel_ip_src",
+            "tunnel_ip_dst", "tunnel_ip_proto", "tunnel_tos",
+            "tunnel_flow_label", "cp_vrf_id_ingress", "cp_vrf_id_egress",
+            "label_nkey", "label_pkey"))
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mac_src, mac_dst, vlan_in, cos, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(ingress_vrf_name, '') AS ingress_vrf_name,
+            coalesce(egress_vrf_name, '') AS egress_vrf_name,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto, tunnel_tos, tunnel_flow_label,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson(
+              "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources",
+              Seq("mac_src" -> "VARCHAR", "mac_dst" -> "VARCHAR",
+                "vlan_in" -> "BIGINT", "cos" -> "BIGINT",
+                "etype" -> "VARCHAR", "comms" -> "VARCHAR[]",
+                "ecomms" -> "VARCHAR[]", "as_path" -> "VARCHAR[]",
+                "comms_src" -> "VARCHAR[]", "ecomms_src" -> "VARCHAR[]",
+                "as_path_src" -> "VARCHAR[]", "net_src" -> "VARCHAR",
+                "net_dst" -> "VARCHAR", "mask_src" -> "BIGINT",
+                "mask_dst" -> "BIGINT",
+                "srv6_seg_ipv6_list" -> "VARCHAR[]",
+                "vrf_name" -> "VARCHAR",
+                "ingress_vrf_name" -> "VARCHAR",
+                "egress_vrf_name" -> "VARCHAR",
+                "tunnel_ip_src" -> "VARCHAR",
+                "tunnel_ip_dst" -> "VARCHAR",
+                "tunnel_ip_proto" -> "VARCHAR",
+                "tunnel_tos" -> "BIGINT",
+                "tunnel_flow_label" -> "BIGINT",
+                "custom_primitives" ->
+                  "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: flow x BMP RIB correlation (test 400)")
   )
 }

@@ -55,12 +55,28 @@ object NetFlowV9 {
     def minLen: Int = if (isVlen) 1 else len
   }
 
+  /** A repeated IE's FIRST occurrence is stored under `key | FirstOccur`
+    * (the plain key keeps the LAST, matching the reference's
+    * OTPL_CP_LAST default; tunnel handlers read OTPL_CP_FIRST —
+    * pkt_handlers.c SRv6/tunnel paths). */
+  val FirstOccur: Long = 1L << 40
+
+  /** Reserved record key carrying the template's L3 layer stack as a
+    * comma-joined string ("6,4" = v6 outer, v4 inner) — the reference's
+    * tpl->layers (nfv9_template.c:938-948: a layer starts at IE 8 or
+    * IE 27 in template order). */
+  val LayersKey: Long = -1L
+
   /** Extended template: mixed fixed/vlen/PEN specs + options scope count
     * (scopeCount > 0 marks an options template, v9 set 1 / IPFIX set 3). */
   final case class TemplateX(id: Int, fields: Seq[FieldSpec],
                              scopeCount: Int = 0) {
     val minRecordLen: Int = fields.map(_.minLen).sum
     def isFixed: Boolean = fields.forall(!_.isVlen)
+    lazy val repeatedKeys: Set[Long] =
+      fields.groupBy(_.key).filter(_._2.size > 1).keySet
+    lazy val layers: Seq[Int] = fields.flatMap(f =>
+      if (f.key == 8L) Some(4) else if (f.key == 27L) Some(6) else None)
   }
 
   final case class Template(id: Int, fields: Seq[(Int, Int)]) {
@@ -399,6 +415,17 @@ object NetFlowV9 {
       while (!truncated && out.size < cap &&
              body.length - off >= t.minRecordLen) {
         val rec = Map.newBuilder[Long, Any]
+        val occ = if (t.repeatedKeys.isEmpty) null
+          else mutable.Map[Long, Int]()
+        def put(key: Long, v: Any): Unit = {
+          // repeated IE: first occurrence also lands at key|FirstOccur,
+          // the plain key keeps the last (builder overwrite)
+          if (occ != null && t.repeatedKeys(key)) {
+            val n = occ.getOrElse(key, 0); occ(key) = n + 1
+            if (n == 0) rec += (key | FirstOccur) -> v
+          }
+          rec += key -> v
+        }
         var ok = true
         t.fields.foreach { f =>
           if (ok) {
@@ -415,8 +442,8 @@ object NetFlowV9 {
                 }
                 if (ok && off + l > body.length) ok = false
                 else if (ok) {
-                  rec += f.key -> new String(body, off, l,
-                    java.nio.charset.StandardCharsets.UTF_8)
+                  put(f.key, new String(body, off, l,
+                    java.nio.charset.StandardCharsets.UTF_8))
                   off += l
                 }
               }
@@ -428,16 +455,19 @@ object NetFlowV9 {
                 v = (v << 8) | (body(off + i) & 0xffL)
               }
               off += f.len
-              rec += f.key -> v
+              put(f.key, v)
             } else {
               // >8-byte fixed IE (e.g. IPv6): canonical hex string
-              rec += f.key -> body.slice(off, off + f.len)
-                .map(b => f"${b & 0xff}%02x").mkString
+              put(f.key, body.slice(off, off + f.len)
+                .map(b => f"${b & 0xff}%02x").mkString)
               off += f.len
             }
           }
         }
-        if (ok) out += rec.result() else truncated = true
+        if (ok) {
+          if (t.layers.nonEmpty) rec += LayersKey -> t.layers.mkString(",")
+          out += rec.result()
+        } else truncated = true
       }
       out.toSeq
     }
