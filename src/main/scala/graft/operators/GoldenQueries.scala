@@ -980,6 +980,50 @@ object GoldenReplay {
         .orElse(one(uni4, uni6, flowRd, v6, hi, lo))
   }
 
+  /** End-state RIB of a RAW BGP session (tests/5xx: bgp_daemon feed).
+    * Under a FUNC_TYPE_BGP lookup the flow RD carries RD_ORIGIN_BGP and
+    * memcmp-matches the NLRI RDs directly — so `hdrRd` (the match key in
+    * [[BmpRibLookup]]) is set to the NLRI RD for SAFI-128 entries and
+    * stays empty for unicast ones (no BMP-style unicast retry exists;
+    * the retry tables are simply empty here). */
+  def bgpRibRoutes(stream: Array[Byte]): Seq[RibRoute] = {
+    import graft.sources.BgpMsg
+    def rdOf(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    def pfx6(hi: Long, lo: Long, plen: Int) =
+      s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+    val rib = mutable.LinkedHashMap[(Long, Long, String, String),
+      BgpMsg.Update]()
+    BgpMsg.decodeStream(stream).foreach { u =>
+      val ann =
+        u.nlri.map(r => (1L, 1L, "", s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.nlri6.map(r => (2L, 1L, "", pfx6(r.hi, r.lo, r.plen))) ++
+        u.nlriVpn.map(r => (1L, 128L, rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.nlriVpn6.map(r => (2L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo, r.plen)))
+      val wdr =
+        u.withdrawn.map(r => (1L, 1L, "",
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.withdrawn6.map(r => (2L, 1L, "", pfx6(r.hi, r.lo, r.plen))) ++
+        u.withdrawnVpn.map(r => (1L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          s"${ntop4(r.prefix)}/${r.plen}")) ++
+        u.withdrawnVpn6.map(r => (2L, 128L,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), pfx6(r.hi, r.lo, r.plen)))
+      ann.foreach(l => rib(l) = u)
+      wdr.foreach(rib.remove)
+    }
+    rib.toSeq.map { case ((afi, safi, rd, pfx), u) =>
+      val (v6, hi, lo, plen) = parsePrefix(pfx)
+      RibRoute(afi.toInt, safi.toInt, rd,
+        hdrRd = if (safi == 128L) rd else "", v6, hi, lo, plen,
+        pfx.split("/")(0), commsStr(u.communities),
+        ecommsStr(u.extCommunities), lcommsStr(u.largeCommunities),
+        u.asPath.mkString(","), "")
+    }
+  }
+
   /** Resolve both flow sides against the exporter's RIB; misses leave the
     * BGP columns empty and mask 0 (the JSON renders empty arrays and
     * 0.0.0.0/:: nets). */
@@ -1489,7 +1533,7 @@ object GoldenQueries {
   /** The DuckDB projection of a reference msglog/dump golden onto the
     * [[GoldenReplay.BmpAttrRow]] sentinels. `arrays` = the test's
     * *_encode_as_array config (else space-joined strings). */
-  private def bmpAttrOracle(goldenFile: String,
+  private def bmpAttrOracle(goldenFiles: Seq[String],
                             arrays: Boolean = true): String = {
     val listT = if (arrays) "VARCHAR[]" else "VARCHAR"
     def listCol(c: String) =
@@ -1558,7 +1602,8 @@ object GoldenQueries {
       "bmp_init_info_sysname" -> "VARCHAR")
       .map { case (n, t) => s"'$n':'$t'" }.mkString(", ")
     s"""SELECT ${cols.mkString(",\n            ")}, count(*) AS n
-        FROM read_json('$T/$goldenFile', format='newline_delimited',
+        FROM read_json([${goldenFiles.map(f => s"'$T/$f'")
+          .mkString(", ")}], format='newline_delimited',
           columns={$types})
         GROUP BY ${(1 to cols.length).mkString(", ")}"""
   }
@@ -2065,7 +2110,7 @@ object GoldenQueries {
     // peer-up message.
     Q("q212_golden_bmp_attrs",
       (s, _) => bmpAttrQuery(s, "203-BMP-HUAWEI-dump", mode = "log"),
-      Some(bmpAttrOracle("203-BMP-HUAWEI-dump/output-bmp-00.json")),
+      Some(bmpAttrOracle(Seq("203-BMP-HUAWEI-dump/output-bmp-00.json"))),
       doc = "reference golden replay: full-attribute BMP msglog (test 203)"),
 
     // tests/203-BMP-HUAWEI-dump table dump: the same session's RIB
@@ -2076,7 +2121,7 @@ object GoldenQueries {
     // bmp_logdump.c).
     Q("q213_golden_bmp_dump",
       (s, _) => bmpAttrQuery(s, "203-BMP-HUAWEI-dump", mode = "dump"),
-      Some(bmpAttrOracle("203-BMP-HUAWEI-dump/output-bmp-dump-00.json")),
+      Some(bmpAttrOracle(Seq("203-BMP-HUAWEI-dump/output-bmp-dump-00.json"))),
       doc = "reference golden replay: BMP table dump (test 203)"),
 
     // tests/204-BMP-CISCO-peer_down: an IOS XR session over v6 transport
@@ -2089,7 +2134,7 @@ object GoldenQueries {
     Q("q214_golden_bmp_peer_down",
       (s, _) => bmpAttrQuery(s, "204-BMP-CISCO-peer_down", mode = "log",
         routerMap = Map("2001:db8:90::1" -> "fd25::101")),
-      Some(bmpAttrOracle("204-BMP-CISCO-peer_down/output-bmp-00.json",
+      Some(bmpAttrOracle(Seq("204-BMP-CISCO-peer_down/output-bmp-00.json"),
         arrays = false)),
       doc = "reference golden replay: BMP peer_down lifecycle (test 204)"),
 
@@ -2100,7 +2145,7 @@ object GoldenQueries {
       (s, _) => bmpAttrQuery(s, "205-BMP-6wind-FRR-peer_down",
         mode = "log",
         routerMap = Map("203.0.113.58" -> "172.21.1.101")),
-      Some(bmpAttrOracle("205-BMP-6wind-FRR-peer_down/output-bmp-00.json")),
+      Some(bmpAttrOracle(Seq("205-BMP-6wind-FRR-peer_down/output-bmp-00.json"))),
       doc = "reference golden replay: FRR BMP peer_down lifecycle (test 205)"),
 
     // tests/400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources: the flagship
@@ -2217,6 +2262,121 @@ object GoldenQueries {
                 "custom_primitives" ->
                   "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
                 "label" -> labelStruct))} g"""),
-      doc = "reference golden replay: flow x BMP RIB correlation (test 400)")
+      doc = "reference golden replay: flow x BMP RIB correlation (test 400)"),
+
+    // tests/400 msglog side: the SAME two BMP sessions' full-attribute
+    // event rows reconcile against BOTH per-router goldens at once —
+    // output-bmp-00 is the live msglog, output-bmp-01 the close-purge
+    // deletes when the reproducer sockets shut (keepOpen = false).
+    Q("q217_golden_bmp_multi_attrs",
+      (s, _) => bmpAttrQuery(s,
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources", mode = "log",
+        routerMap = Map("203.0.113.90" -> "172.21.1.101",
+          "203.0.113.91" -> "172.21.1.102"),
+        keepOpen = false),
+      Some(bmpAttrOracle(Seq(
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources/output-bmp-00.json",
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources/output-bmp-01.json"))),
+      doc = "reference golden replay: 2-router full-attr BMP msglog (test 400)"),
+
+    // tests/500-IPFIXv10-BGP-CISCO-SRv6: flows correlated with a RAW BGP
+    // feed (bgp_daemon) — FUNC_TYPE_BGP lookups match the NLRI RDs
+    // directly (origin BGP both sides), no unicast retry; SRv6 tunnel
+    // fields and record timestamps ride the aggregation key.
+    Q("q218_golden_flow_bgp",
+      (s, _) => {
+        val dir = s"$T/500-IPFIXv10-BGP-CISCO-SRv6"
+        val peers = Map("198.51.100.54" -> "172.21.1.101")
+        val ribs: Map[String, GoldenReplay.BmpRibLookup] =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("traffic-") &&
+              f.getName.endsWith(".pcap")).toSeq
+            .flatMap { f =>
+              val sf = Pcap.read(java.nio.file.Files.readAllBytes(f.toPath))
+              GoldenReplay.tcpSrcIp(sf, 179).map { raw =>
+                raw -> new GoldenReplay.BmpRibLookup(
+                  GoldenReplay.bgpRibRoutes(
+                    GoldenReplay.tcpReassemble(sf, 179)))
+              }
+            }.toMap
+        val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map",
+          Map("192.168.100.1" -> "172.21.1.101"))
+        val df = rendered(s, dir, peers, ribs)
+          .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+          .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+          .withColumn("label_nkey",
+            pretagLabelCol(rules, labelPart(_, "nkey")))
+          .withColumn("label_pkey",
+            pretagLabelCol(rules, labelPart(_, "pkey")))
+          .withColumnRenamed("tunnelProtoName", "tunnel_ip_proto")
+          .withColumnRenamed("vrfName", "vrf_name")
+          .withColumnRenamed("bgpCommsD", "comms")
+          .withColumnRenamed("bgpEcommsD", "ecomms")
+          .withColumnRenamed("bgpPathD", "as_path")
+          .withColumnRenamed("bgpCommsS", "comms_src")
+          .withColumnRenamed("bgpEcommsS", "ecomms_src")
+          .withColumnRenamed("bgpPathS", "as_path_src")
+          .withColumnRenamed("bgpNetS", "net_src")
+          .withColumnRenamed("bgpNetD", "net_dst")
+          .withColumnRenamed("bgpMaskS", "mask_src")
+          .withColumnRenamed("bgpMaskD", "mask_dst")
+          .withColumnRenamed("srv6List", "srv6_seg_ipv6_list")
+          .withColumnRenamed("tunnelSrc", "tunnel_ip_src")
+          .withColumnRenamed("tunnelDst", "tunnel_ip_dst")
+        agg(df, baseKeys.filterNot(_ == "mpls_label_stack") ++ Seq(
+            "etype", "comms", "ecomms", "as_path", "comms_src",
+            "ecomms_src", "as_path_src", "net_src", "net_dst",
+            "mask_src", "mask_dst", "srv6_seg_ipv6_list", "vrf_name",
+            "tunnel_ip_src", "tunnel_ip_dst", "tunnel_ip_proto",
+            "cp_vrf_id_ingress", "cp_vrf_id_egress",
+            "label_nkey", "label_pkey", "tsStart"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .drop("tsStart")
+      },
+      Some(s"""SELECT peer_ip_src, ip_src, ip_dst, port_src, port_dst,
+            iface_in, iface_out, tos, ip_proto, fwd_status,
+            mpls_vpn_rd, mpls_vpn_rd_origin,
+            coalesce(array_to_string(tcp_flags, ','), '') AS tcp_flags,
+            packets, bytes, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto, timestamp_start,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM read_json('$T/500-IPFIXv10-BGP-CISCO-SRv6/output-flow-00.json',
+              format='newline_delimited', columns={
+                'peer_ip_src':'VARCHAR', 'ip_src':'VARCHAR',
+                'ip_dst':'VARCHAR', 'port_src':'BIGINT',
+                'port_dst':'BIGINT', 'iface_in':'BIGINT',
+                'iface_out':'BIGINT', 'tos':'BIGINT',
+                'ip_proto':'VARCHAR', 'fwd_status':'VARCHAR',
+                'mpls_vpn_rd':'VARCHAR', 'mpls_vpn_rd_origin':'VARCHAR',
+                'tcp_flags':'VARCHAR[]', 'packets':'BIGINT',
+                'bytes':'BIGINT', 'etype':'VARCHAR',
+                'comms':'VARCHAR[]', 'ecomms':'VARCHAR[]',
+                'as_path':'VARCHAR[]', 'comms_src':'VARCHAR[]',
+                'ecomms_src':'VARCHAR[]', 'as_path_src':'VARCHAR[]',
+                'net_src':'VARCHAR', 'net_dst':'VARCHAR',
+                'mask_src':'BIGINT', 'mask_dst':'BIGINT',
+                'srv6_seg_ipv6_list':'VARCHAR[]', 'vrf_name':'VARCHAR',
+                'tunnel_ip_src':'VARCHAR', 'tunnel_ip_dst':'VARCHAR',
+                'tunnel_ip_proto':'VARCHAR',
+                'timestamp_start':'VARCHAR',
+                'custom_primitives':
+                  'STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)',
+                'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)'}) g"""),
+      doc = "reference golden replay: flow x raw-BGP RIB correlation (test 500)")
   )
 }
