@@ -2377,6 +2377,149 @@ object GoldenQueries {
                 'custom_primitives':
                   'STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)',
                 'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)'}) g"""),
-      doc = "reference golden replay: flow x raw-BGP RIB correlation (test 500)")
+      doc = "reference golden replay: flow x raw-BGP RIB correlation (test 500)"),
+
+    // tests/800-YANG-telemetry-HUAWEI-udp-notif: pmtelemetryd's UDP-notif
+    // transport — 544 datagrams, 154 of them SEGMENTED (option type 1)
+    // reassembling into 28 messages for 418 total YANG-push JSON
+    // notifications. The comparable projection digs into the decoded
+    // payload (eventTime, push id, datastore kind, interface-table
+    // arity + first row) on both sides: Spark get_json_object vs the
+    // oracle's DuckDB json functions over the golden's telemetry_data.
+    Q("q219_golden_yang_udp_notif",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val notifP = "$['ietf-notification:notification']"
+        val pushP = s"$notifP['ietf-yang-push:push-update']"
+        val ifP = s"$pushP['datastore-contents']['huawei-ifm:ifm']" +
+          "['interfaces']['interface']"
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/800-YANG-telemetry-HUAWEI-udp-notif")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val pkts = sf.packets.flatMap(p =>
+              GoldenReplay.udpPayload(p.data) match {
+                case Some((_, 10003, pay)) =>
+                  graft.sources.UdpNotif.decodeStream(pay)
+                case _ => Nil
+              })
+            graft.sources.UdpNotif.reassemble(pkts).map(k =>
+              ("172.21.1.101", "json",
+                new String(k.payload,
+                  java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          .toDF("telemetry_node", "serialization", "payload")
+          .withColumn("event_time",
+            get_json_object(col("payload"), s"$notifP['eventTime']"))
+          .withColumn("push_id",
+            get_json_object(col("payload"), s"$pushP['id']")
+              .cast("bigint"))
+          .withColumn("kind",
+            when(get_json_object(col("payload"),
+              s"$pushP['datastore-contents']['huawei-ifm:ifm']")
+              .isNotNull, "huawei-ifm:ifm")
+            .when(get_json_object(col("payload"),
+              s"$pushP['datastore-contents']" +
+                "['huawei-network-instance:network-instance']")
+              .isNotNull, "huawei-network-instance:network-instance")
+            .otherwise("huawei-debug:debug"))
+          .withColumn("n_ifaces",
+            coalesce(json_array_length(
+              get_json_object(col("payload"), ifP)), lit(-1)))
+          .withColumn("first_if",
+            coalesce(get_json_object(col("payload"),
+              s"$ifP[0]['name']"), lit("")))
+          .groupBy("telemetry_node", "serialization", "event_time",
+            "push_id", "kind", "n_ifaces", "first_if")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT telemetry_node, serialization,
+            json_extract_string(telemetry_data,
+              '$$."ietf-notification:notification".eventTime')
+              AS event_time,
+            CAST(json_extract(telemetry_data,
+              '$$."ietf-notification:notification"."ietf-yang-push:push-update".id')
+              AS BIGINT) AS push_id,
+            CASE
+              WHEN json_extract(telemetry_data,
+                '$$."ietf-notification:notification"."ietf-yang-push:push-update"."datastore-contents"."huawei-ifm:ifm"')
+                IS NOT NULL THEN 'huawei-ifm:ifm'
+              WHEN json_extract(telemetry_data,
+                '$$."ietf-notification:notification"."ietf-yang-push:push-update"."datastore-contents"."huawei-network-instance:network-instance"')
+                IS NOT NULL
+                THEN 'huawei-network-instance:network-instance'
+              ELSE 'huawei-debug:debug' END AS kind,
+            CAST(coalesce(json_array_length(telemetry_data,
+              '$$."ietf-notification:notification"."ietf-yang-push:push-update"."datastore-contents"."huawei-ifm:ifm".interfaces.interface'),
+              -1) AS BIGINT) AS n_ifaces,
+            coalesce(json_extract_string(telemetry_data,
+              '$$."ietf-notification:notification"."ietf-yang-push:push-update"."datastore-contents"."huawei-ifm:ifm".interfaces.interface[0].name'),
+              '') AS first_if,
+            count(*) AS n
+            FROM read_json(
+              '$T/800-YANG-telemetry-HUAWEI-udp-notif/output-device-00.json',
+              format='newline_delimited', columns={
+                'event_type':'VARCHAR', 'telemetry_node':'VARCHAR',
+                'serialization':'VARCHAR', 'telemetry_data':'JSON'})
+            WHERE event_type = 'log'
+            GROUP BY 1, 2, 3, 4, 5, 6, 7"""),
+      doc = "reference golden replay: YANG-push over UDP-notif (test 800)"),
+
+    // tests/801-YANG-telemetry-IPv6-CISCO-tcp-json: the Cisco v1
+    // telemetry framing over a v6-transport TCP session — 12-byte
+    // header (type@0, encap@2, len@8; telemetry_util.c:91-119), type 1
+    // DATA + encap 2 JSON, decoded as json_string: the payload string
+    // lands VERBATIM in telemetry_data, so the golden compare is exact
+    // string equality on the full message body.
+    Q("q220_golden_yang_cisco_tcp",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/801-YANG-telemetry-IPv6-CISCO-tcp-json")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val stream = GoldenReplay.tcpReassemble(sf, dport = 10005)
+            val buf = ByteBuffer.wrap(stream)
+            val out = mutable.Buffer[(String, String, String)]()
+            var bad = false
+            while (!bad && buf.remaining() >= 12) {
+              val tp = buf.getShort() & 0xffff
+              val encap = buf.getShort() & 0xffff
+              buf.getInt() // flags/version words
+              val len = buf.getInt()
+              if (len < 0 || len > buf.remaining()) bad = true
+              else {
+                val pay = new Array[Byte](len)
+                buf.get(pay)
+                if (tp == 1 && encap == 2)
+                  out += (("fd25::101", "json_string",
+                    new String(pay,
+                      java.nio.charset.StandardCharsets.UTF_8)))
+              }
+            }
+            out
+          }
+          .toDF("telemetry_node", "serialization", "telemetry_data")
+          .groupBy("telemetry_node", "serialization", "telemetry_data")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT telemetry_node, serialization, telemetry_data,
+            count(*) AS n
+            FROM read_json(
+              '$T/801-YANG-telemetry-IPv6-CISCO-tcp-json/output-device-00.json',
+              format='newline_delimited', columns={
+                'event_type':'VARCHAR', 'telemetry_node':'VARCHAR',
+                'serialization':'VARCHAR', 'telemetry_data':'VARCHAR'})
+            WHERE event_type = 'log'
+            GROUP BY 1, 2, 3"""),
+      doc = "reference golden replay: Cisco v1 TCP-JSON telemetry (test 801)")
   )
 }

@@ -85,4 +85,38 @@ object UdpNotif {
     }
     out.toSeq
   }
+
+  /** Reassemble segmented messages (draft §4.2 segmentation option,
+    * type 1: 2-byte value = 15-bit segment number << 1 | Last bit):
+    * group by (observation domain, message id), concatenate in segment
+    * order, emit when the Last-marked segment and all before it have
+    * arrived — at COMPLETION time, like a collector's reorder buffer.
+    * Unsegmented packets pass straight through. */
+  def reassemble(pkts: Seq[Packet]): Seq[Packet] = {
+    val out = mutable.Buffer[Packet]()
+    val partial = mutable.Map[(Long, Long),
+      mutable.Map[Int, (Array[Byte], Boolean)]]()
+    pkts.foreach { p =>
+      p.options.collectFirst { case (1, v) if v.length >= 2 =>
+        val raw = ((v(0) & 0xff) << 8) | (v(1) & 0xff)
+        (raw >>> 1, (raw & 1) != 0)
+      } match {
+        case None => out += p
+        case Some((seg, _)) =>
+          val key = (p.observationDomain, p.messageId)
+          val m = partial.getOrElseUpdate(key, mutable.Map())
+          m(seg) = (p.payload,
+            p.options.collectFirst { case (1, v) if v.length >= 2 =>
+              (v(1) & 1) != 0 }.get)
+          m.collectFirst { case (i, (_, true)) => i }.foreach { lastSeg =>
+            if ((0 to lastSeg).forall(m.contains)) {
+              out += p.copy(options = Nil,
+                payload = (0 to lastSeg).toArray.flatMap(i => m(i)._1))
+              partial.remove(key)
+            }
+          }
+      }
+    }
+    out.toSeq
+  }
 }
