@@ -191,13 +191,17 @@ object GoldenReplay {
       tunnelSrc: String = "", tunnelDst: String = "",
       tunnelProtoName: String = "0", tunnelTos: Long = 0L,
       tunnelFlowLabel: Long = 0L, srv6List: String = "",
+      tunnelSrcPort: Long = 0L, tunnelDstPort: Long = 0L,
+      tunnelTcpFlags: Long = 0L,
       // numeric host views for the BGP/BMP lookup
       isV6: Boolean = false, srcHi: Long = 0L, srcLo: Long = 0L,
       dstHi: Long = 0L, dstLo: Long = 0L,
       // BGP/BMP correlation results (bgp_srcdst_lookup)
       bgpCommsD: String = "", bgpEcommsD: String = "",
+      bgpLcommsD: String = "",
       bgpPathD: String = "", bgpNetD: String = "", bgpMaskD: Long = 0L,
       bgpCommsS: String = "", bgpEcommsS: String = "",
+      bgpLcommsS: String = "",
       bgpPathS: String = "", bgpNetS: String = "", bgpMaskS: Long = 0L)
 
   /** Ethernet (+802.1Q walk) -> IPv4/IPv6 -> UDP payload; returns the
@@ -1033,12 +1037,14 @@ object GoldenReplay {
     g.copy(
       bgpCommsD = d.map(_.comms).getOrElse(""),
       bgpEcommsD = d.map(_.ecomms).getOrElse(""),
+      bgpLcommsD = d.map(_.lcomms).getOrElse(""),
       bgpPathD = d.map(_.asPath).getOrElse(""),
       bgpNetD = d.map(_.netStr)
         .getOrElse(if (g.isV6) "::" else "0.0.0.0"),
       bgpMaskD = d.map(_.plen.toLong).getOrElse(0L),
       bgpCommsS = s.map(_.comms).getOrElse(""),
       bgpEcommsS = s.map(_.ecomms).getOrElse(""),
+      bgpLcommsS = s.map(_.lcomms).getOrElse(""),
       bgpPathS = s.map(_.asPath).getOrElse(""),
       bgpNetS = s.map(_.netStr)
         .getOrElse(if (g.isV6) "::" else "0.0.0.0"),
@@ -1217,6 +1223,9 @@ object GoldenReplay {
       tunnelSrc = tSrc, tunnelDst = tDst,
       tunnelProtoName = protoName(tProto),
       tunnelTos = tTos, tunnelFlowLabel = tLabel, srv6List = srv6List,
+      tunnelSrcPort = if (srv6Kind != 0) firstNum(rec, 7) else 0L,
+      tunnelDstPort = if (srv6Kind != 0) firstNum(rec, 11) else 0L,
+      tunnelTcpFlags = if (srv6Kind != 0) firstNum(rec, 6) else 0L,
       isV6 = isV6, srcHi = srcHi, srcLo = srcLo,
       dstHi = dstHi, dstLo = dstLo)
   }
@@ -1653,6 +1662,72 @@ object GoldenQueries {
             'ip_prefix':'VARCHAR', 'counter_type':'BIGINT',
             'counter_value':'BIGINT'})
         GROUP BY 1, 2, 3, 4, 5, 6, 7, 8"""
+
+  /** Shared builder for the correlated flow tests (4xx BMP / 5xx BGP
+    * feeds): per-router RIBs from the captures' TCP sessions, decode
+    * with VRF + BGP resolution, every output column renamed to its
+    * pmacct JSON name — each query then picks its aggregate keys. */
+  private def correlatedFlow(s: SparkSession, test: String,
+      peers: Map[String, String], feedPort: Int,
+      pretagRewrite: Map[String, String] = Map.empty): DataFrame = {
+    val dir = s"$T/$test"
+    val ribs: Map[String, GoldenReplay.BmpRibLookup] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("traffic-") &&
+          f.getName.endsWith(".pcap")).toSeq
+        .flatMap { f =>
+          val sf = Pcap.read(java.nio.file.Files.readAllBytes(f.toPath))
+          GoldenReplay.tcpSrcIp(sf, feedPort).map { raw =>
+            val stream = GoldenReplay.tcpReassemble(sf, feedPort)
+            raw -> new GoldenReplay.BmpRibLookup(
+              if (feedPort == 179) GoldenReplay.bgpRibRoutes(stream)
+              else {
+                val b = mutable.Buffer[GoldenReplay.RibRoute]()
+                GoldenReplay.bmpAttrRows(stream,
+                  peers.getOrElse(raw, raw), "dump", ribOut = b)
+                b.toSeq
+              })
+          }
+        }.toMap
+    val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map",
+      pretagRewrite)
+    rendered(s, dir, peers, ribs)
+      .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+      .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+      .withColumn("cp_mpls_tl_prefix_length",
+        col("cpTlPlen").cast("string"))
+      .withColumn("cp_mpls_tl_type", col("cpTlType").cast("string"))
+      .withColumn("label_nkey", pretagLabelCol(rules, labelPart(_, "nkey")))
+      .withColumn("label_pkey", pretagLabelCol(rules, labelPart(_, "pkey")))
+      .withColumn("tunnel_tcp_flags", tcpFlagsCol(col("tunnelTcpFlags")))
+      .withColumnRenamed("cpTlIp", "cp_mpls_tl_ipv4_address")
+      .withColumnRenamed("tunnelProtoName", "tunnel_ip_proto")
+      .withColumnRenamed("vrfName", "vrf_name")
+      .withColumnRenamed("vrfNameIn", "ingress_vrf_name")
+      .withColumnRenamed("vrfNameOut", "egress_vrf_name")
+      .withColumnRenamed("macSrc", "mac_src")
+      .withColumnRenamed("macDst", "mac_dst")
+      .withColumnRenamed("vlanIn", "vlan_in")
+      .withColumnRenamed("bgpCommsD", "comms")
+      .withColumnRenamed("bgpEcommsD", "ecomms")
+      .withColumnRenamed("bgpLcommsD", "lcomms")
+      .withColumnRenamed("bgpPathD", "as_path")
+      .withColumnRenamed("bgpCommsS", "comms_src")
+      .withColumnRenamed("bgpEcommsS", "ecomms_src")
+      .withColumnRenamed("bgpLcommsS", "lcomms_src")
+      .withColumnRenamed("bgpPathS", "as_path_src")
+      .withColumnRenamed("bgpNetS", "net_src")
+      .withColumnRenamed("bgpNetD", "net_dst")
+      .withColumnRenamed("bgpMaskS", "mask_src")
+      .withColumnRenamed("bgpMaskD", "mask_dst")
+      .withColumnRenamed("srv6List", "srv6_seg_ipv6_list")
+      .withColumnRenamed("tunnelSrc", "tunnel_ip_src")
+      .withColumnRenamed("tunnelDst", "tunnel_ip_dst")
+      .withColumnRenamed("tunnelTos", "tunnel_tos")
+      .withColumnRenamed("tunnelFlowLabel", "tunnel_flow_label")
+      .withColumnRenamed("tunnelSrcPort", "tunnel_port_src")
+      .withColumnRenamed("tunnelDstPort", "tunnel_port_dst")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -2520,6 +2595,184 @@ object GoldenQueries {
                 'serialization':'VARCHAR', 'telemetry_data':'VARCHAR'})
             WHERE event_type = 'log'
             GROUP BY 1, 2, 3"""),
-      doc = "reference golden replay: Cisco v1 TCP-JSON telemetry (test 801)")
+      doc = "reference golden replay: Cisco v1 TCP-JSON telemetry (test 801)"),
+
+    // tests/401-IPFIXv10-BMP-IPv6-CISCO-MPLS-multiple-sources: two
+    // v6-transport routers each feeding IPFIX + BMP; MPLS label stacks
+    // on the flows, dot1q vlan/cos, per-router RIB correlation.
+    Q("q221_golden_flow_bmp_mpls",
+      (s, _) => {
+        val df = correlatedFlow(s,
+          "401-IPFIXv10-BMP-IPv6-CISCO-MPLS-multiple-sources",
+          Map("2001:db8:90::1" -> "fd25::101",
+            "2001:db8:91::1" -> "fd25::102"), feedPort = 1790)
+        agg(df, baseKeys ++ Seq("mac_src", "mac_dst", "vlan_in", "cos",
+          "etype", "comms", "ecomms", "as_path", "comms_src",
+          "ecomms_src", "as_path_src", "net_src", "net_dst", "mask_src",
+          "mask_dst", "vrf_name", "cp_vrf_id_ingress",
+          "cp_vrf_id_egress", "cp_mpls_tl_type", "label_nkey",
+          "label_pkey"))
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mac_src, mac_dst, vlan_in, cos, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(vrf_name, '') AS vrf_name,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson(
+              "401-IPFIXv10-BMP-IPv6-CISCO-MPLS-multiple-sources",
+              Seq("mac_src" -> "VARCHAR", "mac_dst" -> "VARCHAR",
+                "vlan_in" -> "BIGINT", "cos" -> "BIGINT",
+                "etype" -> "VARCHAR", "comms" -> "VARCHAR[]",
+                "ecomms" -> "VARCHAR[]", "as_path" -> "VARCHAR[]",
+                "comms_src" -> "VARCHAR[]", "ecomms_src" -> "VARCHAR[]",
+                "as_path_src" -> "VARCHAR[]", "net_src" -> "VARCHAR",
+                "net_dst" -> "VARCHAR", "mask_src" -> "BIGINT",
+                "mask_dst" -> "BIGINT", "vrf_name" -> "VARCHAR",
+                "custom_primitives" ->
+                  """STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress
+                     VARCHAR, mpls_tl_type VARCHAR)"""
+                    .replaceAll("\\s+", " "),
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: 2-router flow x BMP + MPLS (test 401)"),
+
+    // tests/501-IPFIXv10-BGP-IPv6-CISCO-MPLS: v6-transport IPFIX + raw
+    // BGP feed, MPLS label stacks + SRv6 tunnel fields + timestamps.
+    Q("q222_golden_flow_bgp_mpls",
+      (s, _) => {
+        val df = correlatedFlow(s, "501-IPFIXv10-BGP-IPv6-CISCO-MPLS",
+          Map("2001:db8:90::1" -> "fd25::101"), feedPort = 179,
+          pretagRewrite = Map("cafe::1" -> "fd25::101"))
+        agg(df, baseKeys ++ Seq("mac_src", "mac_dst", "etype", "comms",
+            "ecomms", "as_path", "comms_src", "ecomms_src",
+            "as_path_src", "net_src", "net_dst", "mask_src", "mask_dst",
+            "srv6_seg_ipv6_list", "vrf_name", "tunnel_ip_src",
+            "tunnel_ip_dst", "tunnel_ip_proto", "cp_vrf_id_ingress",
+            "cp_vrf_id_egress", "cp_mpls_tl_type", "label_nkey",
+            "label_pkey", "tsStart"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .drop("tsStart")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mac_src, mac_dst, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto, timestamp_start,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson("501-IPFIXv10-BGP-IPv6-CISCO-MPLS",
+              Seq("mac_src" -> "VARCHAR", "mac_dst" -> "VARCHAR",
+                "etype" -> "VARCHAR", "comms" -> "VARCHAR[]",
+                "ecomms" -> "VARCHAR[]", "as_path" -> "VARCHAR[]",
+                "comms_src" -> "VARCHAR[]", "ecomms_src" -> "VARCHAR[]",
+                "as_path_src" -> "VARCHAR[]", "net_src" -> "VARCHAR",
+                "net_dst" -> "VARCHAR", "mask_src" -> "BIGINT",
+                "mask_dst" -> "BIGINT",
+                "srv6_seg_ipv6_list" -> "VARCHAR[]",
+                "vrf_name" -> "VARCHAR", "tunnel_ip_src" -> "VARCHAR",
+                "tunnel_ip_dst" -> "VARCHAR",
+                "tunnel_ip_proto" -> "VARCHAR",
+                "timestamp_start" -> "VARCHAR",
+                "custom_primitives" ->
+                  """STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress
+                     VARCHAR, mpls_tl_type VARCHAR)"""
+                    .replaceAll("\\s+", " "),
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: flow x BGP + MPLS tunnels (test 501)"),
+
+    // tests/502-IPFIXv10-BGP-IPv6-CISCO-SRv6-lcomms: adds LARGE
+    // communities (both lookup sides) and the full SRv6 tunnel surface —
+    // outer ports, outer tcpflags array, tos, flow label.
+    Q("q223_golden_flow_bgp_lcomms",
+      (s, _) => {
+        val df = correlatedFlow(s,
+          "502-IPFIXv10-BGP-IPv6-CISCO-SRv6-lcomms",
+          Map("2001:db8:90::1" -> "fd25::101"), feedPort = 179,
+          pretagRewrite = Map("cafe::1" -> "fd25::101"))
+        agg(df, baseKeys ++ Seq("mac_src", "mac_dst", "etype", "comms",
+            "ecomms", "lcomms", "as_path", "comms_src", "ecomms_src",
+            "lcomms_src", "as_path_src", "net_src", "net_dst",
+            "mask_src", "mask_dst", "srv6_seg_ipv6_list", "vrf_name",
+            "tunnel_ip_src", "tunnel_ip_dst", "tunnel_ip_proto",
+            "tunnel_port_src", "tunnel_port_dst", "tunnel_tcp_flags",
+            "tunnel_tos", "tunnel_flow_label", "cp_vrf_id_ingress",
+            "cp_vrf_id_egress", "cp_mpls_tl_ipv4_address",
+            "cp_mpls_tl_prefix_length", "cp_mpls_tl_type",
+            "label_nkey", "label_pkey", "tsStart"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .drop("tsStart")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mac_src, mac_dst, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(lcomms, ','), '') AS lcomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(lcomms_src, ','), '') AS lcomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto, tunnel_port_src, tunnel_port_dst,
+            coalesce(array_to_string(tunnel_tcp_flags, ','), '')
+              AS tunnel_tcp_flags,
+            tunnel_tos, tunnel_flow_label, timestamp_start,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_ipv4_address
+              AS cp_mpls_tl_ipv4_address,
+            g.custom_primitives.mpls_tl_prefix_length
+              AS cp_mpls_tl_prefix_length,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson("502-IPFIXv10-BGP-IPv6-CISCO-SRv6-lcomms",
+              Seq("mac_src" -> "VARCHAR", "mac_dst" -> "VARCHAR",
+                "etype" -> "VARCHAR", "comms" -> "VARCHAR[]",
+                "ecomms" -> "VARCHAR[]", "lcomms" -> "VARCHAR[]",
+                "as_path" -> "VARCHAR[]", "comms_src" -> "VARCHAR[]",
+                "ecomms_src" -> "VARCHAR[]", "lcomms_src" -> "VARCHAR[]",
+                "as_path_src" -> "VARCHAR[]", "net_src" -> "VARCHAR",
+                "net_dst" -> "VARCHAR", "mask_src" -> "BIGINT",
+                "mask_dst" -> "BIGINT",
+                "srv6_seg_ipv6_list" -> "VARCHAR[]",
+                "vrf_name" -> "VARCHAR", "tunnel_ip_src" -> "VARCHAR",
+                "tunnel_ip_dst" -> "VARCHAR",
+                "tunnel_ip_proto" -> "VARCHAR",
+                "tunnel_port_src" -> "BIGINT",
+                "tunnel_port_dst" -> "BIGINT",
+                "tunnel_tcp_flags" -> "VARCHAR[]",
+                "tunnel_tos" -> "BIGINT",
+                "tunnel_flow_label" -> "BIGINT",
+                "timestamp_start" -> "VARCHAR",
+                "custom_primitives" -> cpStruct,
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: flow x BGP + lcomms + SRv6 tunnel (test 502)")
   )
 }
