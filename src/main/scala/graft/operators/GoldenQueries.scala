@@ -781,12 +781,16 @@ object GoldenReplay {
               local_as = up.map(_.localAs).getOrElse(-1L)), p)
         }
       case BmpMsg.PeerDown(p, reason) =>
-        if (log) out += withPeer(base.copy(event_kind = "log",
-            bmp_msg_type = "peer_down",
+        if (log) {
+          val hr = hdrRdOf(p)
+          out += withPeer(base.copy(event_kind = "log",
+            bmp_msg_type = "peer_down", rd = hr,
+            rd_origin = if (hr.isEmpty) "" else "bmp",
             peer_type = p.peerType,
             peer_type_str = peerTypeStr(p.peerType),
             reason_type = reason,
             reason_str = peerDownReasonStr(reason)), p)
+        }
         purgePeer(p)
         val pk = peerKey(p)
         val kept = peersUp.filterNot { case (q, _) => peerKey(q) == pk }
@@ -1689,8 +1693,11 @@ object GoldenQueries {
               })
           }
         }.toMap
-    val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map",
-      pretagRewrite)
+    val pretagFile = new java.io.File(s"$dir/pmacct_mount/pretag-00.map")
+    val rules =
+      if (pretagFile.exists())
+        pretagLabelRules(pretagFile.getPath, pretagRewrite)
+      else Nil
     rendered(s, dir, peers, ribs)
       .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
       .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
@@ -2773,6 +2780,69 @@ object GoldenQueries {
                 "timestamp_start" -> "VARCHAR",
                 "custom_primitives" -> cpStruct,
                 "label" -> labelStruct))} g"""),
-      doc = "reference golden replay: flow x BGP + lcomms + SRv6 tunnel (test 502)")
+      doc = "reference golden replay: flow x BGP + lcomms + SRv6 tunnel (test 502)"),
+
+    // tests/403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf: one router,
+    // a large loc-rib BMP session with a mid-stream VRF peer_down (1089
+    // purge deletes), flows correlated against the surviving RIB with
+    // per-VRF ingress/egress names; no net/mask keys in this aggregate.
+    Q("q224_golden_flow_locrib_vrf",
+      (s, _) => {
+        val df = correlatedFlow(s,
+          "403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf",
+          Map("2001:db8:90::1" -> "fd25::101"), feedPort = 1790)
+        agg(df, baseKeys ++ Seq("comms", "ecomms", "lcomms", "as_path",
+          "comms_src", "ecomms_src", "lcomms_src", "as_path_src",
+          "ingress_vrf_name", "egress_vrf_name", "srv6_seg_ipv6_list",
+          "tunnel_ip_src", "tunnel_ip_dst", "tunnel_ip_proto",
+          "cp_vrf_id_ingress", "cp_vrf_id_egress"))
+      },
+      Some(s"""SELECT $baseOracleCols,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(lcomms, ','), '') AS lcomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(lcomms_src, ','), '') AS lcomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            coalesce(ingress_vrf_name, '') AS ingress_vrf_name,
+            coalesce(egress_vrf_name, '') AS egress_vrf_name,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress
+            FROM ${readJson(
+              "403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf",
+              Seq("comms" -> "VARCHAR[]", "ecomms" -> "VARCHAR[]",
+                "lcomms" -> "VARCHAR[]", "as_path" -> "VARCHAR[]",
+                "comms_src" -> "VARCHAR[]", "ecomms_src" -> "VARCHAR[]",
+                "lcomms_src" -> "VARCHAR[]", "as_path_src" -> "VARCHAR[]",
+                "ingress_vrf_name" -> "VARCHAR",
+                "egress_vrf_name" -> "VARCHAR",
+                "srv6_seg_ipv6_list" -> "VARCHAR[]",
+                "tunnel_ip_src" -> "VARCHAR",
+                "tunnel_ip_dst" -> "VARCHAR",
+                "tunnel_ip_proto" -> "VARCHAR",
+                "custom_primitives" ->
+                  "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: flow x loc-rib VRF peer_down (test 403)"),
+
+    // ...and the same session's 2497-row full-attribute msglog: the
+    // rd:907 VRF peer_down purges its 50 routes mid-stream (reason 6 —
+    // beyond the reason table, so no reason string), and the capture's
+    // own session close purges the remaining 1039 (keepOpen = false).
+    Q("q225_golden_bmp_locrib_vrf",
+      (s, _) => bmpAttrQuery(s,
+        "403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf", mode = "log",
+        routerMap = Map("2001:db8:90::1" -> "fd25::101"),
+        keepOpen = false),
+      Some(bmpAttrOracle(Seq(
+        "403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf/output-bmp-00.json"))),
+      doc = "reference golden replay: loc-rib peer_down msglog (test 403)")
   )
 }
