@@ -184,7 +184,7 @@ object GoldenReplay {
       packets: Long, bytes: Long,
       cpTlIp: String, cpTlPlen: Long, cpTlType: Long,
       vrfName: String = "", vrfNameIn: String = "", vrfNameOut: String = "",
-      rdFlow: String = "",
+      rdFlow: String = "", ifaceNameIn: String = "", ifaceNameOut: String = "",
       // L2 + tunnel + SRv6 (test 400/500 surface)
       macSrc: String = "", macDst: String = "", vlanIn: Long = 0L,
       cos: Long = 0L, etype: String = "",
@@ -207,10 +207,15 @@ object GoldenReplay {
   /** Ethernet (+802.1Q walk) -> IPv4/IPv6 -> UDP payload; returns the
     * rendered source IP, UDP dst port and payload (ll.c/nl.c projection,
     * v6 exporter transport as in test 104). */
-  def udpPayload(frame: Array[Byte]): Option[(String, Int, Array[Byte])] = {
+  def udpPayload(frame: Array[Byte],
+                 linkType: Int = 1): Option[(String, Int, Array[Byte])] = {
     if (frame.length < 34) return None
-    var et = ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
-    var off = 14
+    // Linux cooked capture (SLL, linktype 113): 16-byte pseudo-header
+    // with the protocol at offset 14; Ethernet otherwise
+    var et =
+      if (linkType == 113) ((frame(14) & 0xff) << 8) | (frame(15) & 0xff)
+      else ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+    var off = if (linkType == 113) 16 else 14
     while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
       et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
       off += 4
@@ -238,10 +243,13 @@ object GoldenReplay {
 
   /** Ethernet -> IPv4/IPv6 -> TCP segment; returns (dstPort, seq,
     * payload) for the BMP/BGP session replays. */
-  def tcpSegment(frame: Array[Byte]): Option[(Int, Long, Array[Byte])] = {
+  def tcpSegment(frame: Array[Byte],
+                 linkType: Int = 1): Option[(Int, Long, Array[Byte])] = {
     if (frame.length < 34) return None
-    var et = ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
-    var off = 14
+    var et =
+      if (linkType == 113) ((frame(14) & 0xff) << 8) | (frame(15) & 0xff)
+      else ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+    var off = if (linkType == 113) 16 else 14
     while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
       et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
       off += 4
@@ -269,7 +277,7 @@ object GoldenReplay {
     * sequence number, retransmits/overlaps dropped (the single ordered
     * stream a collector's socket delivers). */
   def tcpReassemble(sf: Pcap.Savefile, dport: Int): Array[Byte] = {
-    val segs = sf.packets.flatMap(p => tcpSegment(p.data))
+    val segs = sf.packets.flatMap(p => tcpSegment(p.data, sf.linkType))
       .filter(_._1 == dport).sortBy(_._2)
     val out = new java.io.ByteArrayOutputStream()
     var expect = -1L
@@ -293,9 +301,12 @@ object GoldenReplay {
   def tcpSrcIp(sf: Pcap.Savefile, dport: Int): Option[String] =
     sf.packets.iterator.flatMap { p =>
       val frame = p.data
-      tcpSegment(frame).filter(_._1 == dport).flatMap { _ =>
-        var et = ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
-        var off = 14
+      tcpSegment(frame, sf.linkType).filter(_._1 == dport).flatMap { _ =>
+        var et =
+          if (sf.linkType == 113)
+            ((frame(14) & 0xff) << 8) | (frame(15) & 0xff)
+          else ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+        var off = if (sf.linkType == 113) 16 else 14
         while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
           et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
           off += 4
@@ -1243,6 +1254,9 @@ object GoldenReplay {
     val names = mutable.Map[Long, String]()
     val inRd = mutable.Map[Long, Long]()
     val outRd = mutable.Map[Long, Long]()
+    // ifindex -> name (IEs 10+82 option records, nfacctd.c:2394-2440);
+    // insert-replace so ID reassignments never go stale (test 112)
+    val ifaceNames = mutable.Map[Long, String]()
   }
 
   private def asciiz(hex: String): String = {
@@ -1264,6 +1278,11 @@ object GoldenReplay {
     rec.get(236L) match { // ingress vrfid -> name (unconditional insert)
       case Some(hex: String) if rec.contains(234L) =>
         st.names(inId) = asciiz(hex)
+      case _ => ()
+    }
+    rec.get(82L) match { // ifindex -> interface name
+      case Some(hex: String) if rec.contains(10L) =>
+        st.ifaceNames(numOf(rec, 10)) = asciiz(hex)
       case _ => ()
     }
   }
@@ -1297,7 +1316,9 @@ object GoldenReplay {
         }
       else ""
     g.copy(vrfName = best, vrfNameIn = inName, vrfNameOut = outName,
-      rdFlow = rdFlow)
+      rdFlow = rdFlow,
+      ifaceNameIn = st.ifaceNames.getOrElse(g.ifaceIn, ""),
+      ifaceNameOut = st.ifaceNames.getOrElse(g.ifaceOut, ""))
   }
 
   /** Decode every `traffic-*.pcap` of a reference test directory. One task
@@ -1318,7 +1339,7 @@ object GoldenReplay {
         val caches = mutable.Map[(String, Long), NetFlowV9.TemplateCache]()
         val vrf = mutable.Map[String, VrfState]()
         sf.packets.flatMap { p =>
-          udpPayload(p.data) match {
+          udpPayload(p.data, sf.linkType) match {
             case Some((src, dport, pay))
                 if CollectorPorts(dport) && pay.length >= 20 =>
               val ver = ((pay(0) & 0xff) << 8) | (pay(1) & 0xff)
@@ -1734,6 +1755,124 @@ object GoldenQueries {
       .withColumnRenamed("tunnelFlowLabel", "tunnel_flow_label")
       .withColumnRenamed("tunnelSrcPort", "tunnel_port_src")
       .withColumnRenamed("tunnelDstPort", "tunnel_port_dst")
+  }
+
+  /** Test 102, one map generation: flow_to_rd_map rules compile to a
+    * first-match when-chain (id=RD keyed ip + in/out ifindex or
+    * mpls_vpn_id — src/pretag.c map family), winning over the
+    * option-derived RD; the sampling_map rate scales the counters
+    * (nfacctd_renormalize). */
+  private def f2rdPhaseQuery(s: SparkSession, phase: Int): DataFrame = {
+    val dir = s"$T/102-NFv9-CISCO-f2rd-pretag-sampling-reload"
+    val mount = s"$dir/pmacct_mount"
+    def kvLines(path: String): Seq[Map[String, String]] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("!"))
+        .map(_.split("\\s+").map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap).toSeq
+      finally src.close()
+    }
+    val rewrite = Map("192.168.100.1" -> "172.21.1.101")
+    val f2rd = kvLines(s"$mount/f2rd-0$phase.map")
+    val rate = kvLines(s"$mount/sampling-0$phase.map").head("id").toLong
+    val rdMapCol = f2rd.foldRight(lit(null).cast("string")) { (r, acc) =>
+      val ip = r("ip").split("/")(0)
+      var cond = col("peer_ip_src") ===
+        rewrite.getOrElse(ip, ip)
+      r.get("in").foreach(v => cond = cond && col("iface_in") === v.toLong)
+      r.get("out").foreach(v =>
+        cond = cond && col("iface_out") === v.toLong)
+      r.get("mpls_vpn_id").foreach(v => cond = cond &&
+        (col("vrfIn") === v.toLong || col("vrfOut") === v.toLong))
+      when(cond, lit(r("id"))).otherwise(acc)
+    }
+    val df = rendered(s, dir, Map("10.10.0.33" -> "172.21.1.101"))
+      .withColumn("rd_map", rdMapCol)
+      .withColumn("mpls_vpn_rd",
+        coalesce(col("rd_map"),
+          when(col("rdFlow") =!= "", col("rdFlow")), lit("0:0:0")))
+      .withColumn("mpls_vpn_rd_origin",
+        when(col("rd_map").isNotNull, "map")
+          .when(col("rdFlow") =!= "", "flow").otherwise("unknown"))
+      .withColumn("packets", col("packets") * rate)
+      .withColumn("bytes", col("bytes") * rate)
+      .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+      .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+      .withColumn("cp_mpls_tl_prefix_length",
+        col("cpTlPlen").cast("string"))
+      .withColumn("cp_mpls_tl_type", col("cpTlType").cast("string"))
+      .withColumnRenamed("vrfName", "vrf_name")
+      .withColumnRenamed("cpTlIp", "cp_mpls_tl_ipv4_address")
+    agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+        "cp_vrf_id_ingress", "cp_vrf_id_egress",
+        "cp_mpls_tl_ipv4_address", "cp_mpls_tl_prefix_length",
+        "cp_mpls_tl_type", "vrf_name", "tsStart", "tsEnd"))
+      .withColumn("timestamp_start",
+        format_string("%d.000000", col("tsStart")))
+      .withColumn("timestamp_end",
+        format_string("%d.000000", col("tsEnd")))
+      .drop("tsStart", "tsEnd")
+      .withColumnRenamed("maskSrc", "mask_src")
+      .withColumnRenamed("maskDst", "mask_dst")
+      .withColumnRenamed("netSrc", "net_src")
+      .withColumnRenamed("netDst", "net_dst")
+  }
+
+  private def f2rdPhaseOracle(phase: Int): String = {
+    val flagBits = Seq("URG" -> 32, "ACK" -> 16, "PSH" -> 8,
+      "RST" -> 4, "SYN" -> 2, "FIN" -> 1)
+    val bitExpr = flagBits.map { case (f, b) =>
+      s"(CASE WHEN list_contains(tcp_flags, '$f') THEN $b ELSE 0 END)"
+    }.mkString(" + ")
+    val renderExpr = flagBits.map { case (f, b) =>
+      s"CASE WHEN (fb & $b) > 0 THEN '$f' END"
+    }.mkString(", ")
+    s"""SELECT peer_ip_src, ip_src, ip_dst, port_src, port_dst,
+        iface_in, iface_out, tos, ip_proto, fwd_status,
+        mpls_label_stack, mpls_vpn_rd, mpls_vpn_rd_origin,
+        mask_src, mask_dst, net_src, net_dst,
+        cp_vrf_id_ingress, cp_vrf_id_egress, cp_mpls_tl_ipv4_address,
+        cp_mpls_tl_prefix_length, cp_mpls_tl_type, vrf_name,
+        timestamp_start, timestamp_end,
+        CASE WHEN fb > 0 AND fb < 64
+          THEN concat_ws(',', $renderExpr) ELSE '' END AS tcp_flags,
+        packets, bytes
+        FROM (
+          SELECT peer_ip_src, ip_src, ip_dst, port_src, port_dst,
+            iface_in, iface_out, tos, ip_proto, fwd_status,
+            coalesce(array_to_string(mpls_label_stack, ','), '')
+              AS mpls_label_stack,
+            mpls_vpn_rd, mpls_vpn_rd_origin, mask_src, mask_dst,
+            net_src, net_dst,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_ipv4_address
+              AS cp_mpls_tl_ipv4_address,
+            g.custom_primitives.mpls_tl_prefix_length
+              AS cp_mpls_tl_prefix_length,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
+            coalesce(vrf_name, '') AS vrf_name,
+            timestamp_start, timestamp_end,
+            bit_or($bitExpr) AS fb,
+            sum(packets) AS packets, sum(bytes) AS bytes
+          FROM read_json(
+            '$T/102-NFv9-CISCO-f2rd-pretag-sampling-reload/output-flow-0$phase.json',
+            format='newline_delimited', columns={
+              'peer_ip_src':'VARCHAR', 'ip_src':'VARCHAR',
+              'ip_dst':'VARCHAR', 'port_src':'BIGINT',
+              'port_dst':'BIGINT', 'iface_in':'BIGINT',
+              'iface_out':'BIGINT', 'tos':'BIGINT',
+              'ip_proto':'VARCHAR', 'fwd_status':'VARCHAR',
+              'mpls_label_stack':'VARCHAR[]', 'mpls_vpn_rd':'VARCHAR',
+              'mpls_vpn_rd_origin':'VARCHAR', 'mask_src':'BIGINT',
+              'mask_dst':'BIGINT', 'net_src':'VARCHAR',
+              'net_dst':'VARCHAR', 'tcp_flags':'VARCHAR[]',
+              'vrf_name':'VARCHAR', 'timestamp_start':'VARCHAR',
+              'timestamp_end':'VARCHAR', 'packets':'BIGINT',
+              'bytes':'BIGINT', 'custom_primitives':'$cpStruct'}) g
+          GROUP BY ALL
+        )"""
   }
 
   val all: Seq[Q] = Seq(
@@ -2831,6 +2970,74 @@ object GoldenQueries {
                   "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
                 "label" -> labelStruct))} g"""),
       doc = "reference golden replay: flow x loc-rib VRF peer_down (test 403)"),
+
+    // tests/102-NFv9-CISCO-f2rd-pretag-sampling-reload: the SAME pcap
+    // replayed under two map generations — q227 with the -00 maps,
+    // q228 after the hot reload (-01: RDs rematched by mpls_vpn_id
+    // instead of ifindex, sampling renormalization 1 -> 1000). The
+    // pretag label is excluded from the compare (the golden bakes in a
+    // map-load race on the first records); the oracle re-aggregates the
+    // label-split rows with bit-level tcpflags union.
+    Q("q227_golden_f2rd_maps",
+      (s, _) => f2rdPhaseQuery(s, phase = 0),
+      Some(f2rdPhaseOracle(phase = 0)),
+      doc = "reference golden replay: flow_to_rd + sampling maps (test 102)"),
+    Q("q228_golden_f2rd_reload",
+      (s, _) => f2rdPhaseQuery(s, phase = 1),
+      Some(f2rdPhaseOracle(phase = 1)),
+      doc = "reference golden replay: map hot-reload generation (test 102)"),
+
+    // tests/112-IPFIXv10-CISCO-options-map-reassignment: option data
+    // records REASSIGN vrf ids to new names/RDs and ifindexes to new
+    // interface names mid-stream — the maps must insert-replace, never
+    // keep stale entries (the cdada_map_insert bug family this test
+    // pins); flows resolve in/out interface names from IEs 10+82
+    // option records.
+    Q("q226_golden_options_reassign",
+      (s, _) => {
+        val dir = s"$T/112-IPFIXv10-CISCO-options-map-reassignment"
+        val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map")
+        val df = rendered(s, dir, Map("2001:db8:90::1" -> "fd25::101"))
+          .withColumn("cp_vrf_id_ingress", col("vrfIn").cast("string"))
+          .withColumn("cp_vrf_id_egress", col("vrfOut").cast("string"))
+          .withColumn("label_nkey",
+            pretagLabelCol(rules, labelPart(_, "nkey")))
+          .withColumn("label_pkey",
+            pretagLabelCol(rules, labelPart(_, "pkey")))
+          .withColumnRenamed("vrfNameIn", "ingress_vrf_name")
+          .withColumnRenamed("vrfNameOut", "egress_vrf_name")
+          .withColumnRenamed("ifaceNameIn", "iface_name_in")
+          .withColumnRenamed("ifaceNameOut", "iface_name_out")
+        agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+            "cp_vrf_id_ingress", "cp_vrf_id_egress", "ingress_vrf_name",
+            "egress_vrf_name", "iface_name_in", "iface_name_out",
+            "label_nkey", "label_pkey"))
+          .withColumnRenamed("maskSrc", "mask_src")
+          .withColumnRenamed("maskDst", "mask_dst")
+          .withColumnRenamed("netSrc", "net_src")
+          .withColumnRenamed("netDst", "net_dst")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst,
+            coalesce(ingress_vrf_name, '') AS ingress_vrf_name,
+            coalesce(egress_vrf_name, '') AS egress_vrf_name,
+            coalesce(iface_name_in, '') AS iface_name_in,
+            coalesce(iface_name_out, '') AS iface_name_out,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson(
+              "112-IPFIXv10-CISCO-options-map-reassignment",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "ingress_vrf_name" -> "VARCHAR",
+                "egress_vrf_name" -> "VARCHAR",
+                "iface_name_in" -> "VARCHAR",
+                "iface_name_out" -> "VARCHAR",
+                "custom_primitives" ->
+                  "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: options-map reassignment (test 112)"),
 
     // ...and the same session's 2497-row full-attribute msglog: the
     // rd:907 VRF peer_down purges its 50 routes mid-stream (reason 6 —
