@@ -860,8 +860,15 @@ object GoldenReplay {
               su, sl._7, sl._6)
           }
         }
-        if (peerKnown && ann.isEmpty && wdr.isEmpty && log) {
-          // RFC 4724 End-of-RIB in its MP lane
+        // RFC 4724 End-of-RIB (bgp_msg.c:804-826): a fully EMPTY
+        // update (v4 EoR), or an MP_UNREACH attribute with zero NLRIs
+        // (its lane's EoR) — an empty MP_REACH or an update carrying
+        // attributes but no NLRI logs nothing
+        val attrless = u.origin.isEmpty && u.asPath.isEmpty &&
+          u.communities.isEmpty && u.nextHop.isEmpty &&
+          u.nextHopVpn.isEmpty && u.nextHop6.isEmpty
+        val isEor = u.mpUnreach || (attrless && u.mpAfiSafi.isEmpty)
+        if (peerKnown && ann.isEmpty && wdr.isEmpty && isEor && log) {
           val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
           val hr = hdrRdOf(p)
           out += withPeer(base.copy(event_kind = "log",
@@ -2970,6 +2977,159 @@ object GoldenQueries {
                   "STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)",
                 "label" -> labelStruct))} g"""),
       doc = "reference golden replay: flow x loc-rib VRF peer_down (test 403)"),
+
+    // tests/206-BMP-high-availability: active/standby collector pair on
+    // one BMP feed — the standby's output is just its log_init, the
+    // active instance carries the full 509-row msglog; the replay
+    // reconciles against BOTH goldens combined (the union IS the
+    // deduplicated event stream the HA pair guarantees). This test's
+    // msglog is the AVRO emission variant, whose schema nulls the
+    // peer-identity/rib-type fields on route rows — the compare
+    // projects those out and keeps the full route/attribute/stats
+    // surface.
+    Q("q230_golden_bmp_ha",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/206-BMP-high-availability")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val stream = GoldenReplay.tcpReassemble(sf, dport = 1790)
+            // the HA queue suppresses duplicate messages within its
+            // retention window — drop back-to-back byte-identical BMP
+            // messages (the capture re-sends each EoR twice)
+            val buf = ByteBuffer.wrap(stream)
+            val out = new java.io.ByteArrayOutputStream()
+            var prev: Array[Byte] = Array.emptyByteArray
+            var bad = false
+            while (!bad && buf.remaining() >= 6) {
+              val start = buf.position()
+              buf.get(); val len = buf.getInt(); buf.get()
+              if (len < 6 || start + len > stream.length) bad = true
+              else {
+                val msg = java.util.Arrays.copyOfRange(stream, start,
+                  start + len)
+                if (!java.util.Arrays.equals(msg, prev))
+                  out.write(msg, 0, msg.length)
+                prev = msg
+                buf.position(start + len)
+              }
+            }
+            GoldenReplay.bmpAttrRows(out.toByteArray, "172.21.1.101",
+              "log")
+          }
+          .groupBy("bmp_router", "event_kind", "bmp_msg_type",
+            "log_type", "timestamp_event", "peer_ip", "afi", "safi",
+            "rd", "rd_origin", "ip_prefix", "bgp_nexthop", "as_path",
+            "comms", "ecomms", "lcomms", "origin", "local_pref", "med",
+            "aigp", "psid_li", "otc", "mpls_label", "local_ip",
+            "local_port", "remote_port", "local_as", "reason_type",
+            "reason_str", "counter_type", "counter_value", "sysdescr",
+            "sysname", "peer_type", "peer_type_str")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT * EXCLUDE (bgp_id, peer_asn, rib_type, is_in,
+            is_filtered, is_loc, is_post, is_out, n), SUM(n) AS n
+          FROM (${bmpAttrOracle(Seq(
+            "206-BMP-high-availability/output-bmp-00.json",
+            "206-BMP-high-availability/output-bmp-01.json"))})
+          GROUP BY ALL"""),
+      doc = "reference golden replay: BMP active/standby HA (test 206)"),
+
+    // tests/301-BGP-CISCO-pretag: pmbgpd msglog with FULL attributes and
+    // bgp_daemon_tag_map labels — 38 VPNv4 updates with per-NLRI labels,
+    // plain-v4 next hops, the whole community/aspath render surface.
+    Q("q229_golden_bgp_pretag",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val rules = pretagLabelRules(
+          s"$T/301-BGP-CISCO-pretag/pmacct_mount/pretag-00.map")
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/301-BGP-CISCO-pretag")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            import graft.sources.BgpMsg
+            val sf = Pcap.read(bytes)
+            val raw = GoldenReplay.tcpSrcIp(sf, 179).getOrElse("")
+            val peer = // reproducer map: the session's replayed source
+              if (raw == "138.190.129.21") "192.168.100.1" else raw
+            val label = rules.collectFirst {
+              case (ip, l) if ip.forall(_ == peer) => l }.getOrElse("")
+            def rdOf(rt: Int, ra: Long, rv: Long): String =
+              if (rt == 1) s"$rt:${GoldenReplay.ntop4(ra)}:$rv"
+              else s"$rt:$ra:$rv"
+            BgpMsg.decodeStream(
+              GoldenReplay.tcpReassemble(sf, dport = 179)).flatMap { u =>
+              val nh = u.nextHopVpn.map(GoldenReplay.ntop4)
+                .orElse(u.nextHop6.map { case (h, l) =>
+                  GoldenReplay.ntop6(GoldenReplay.u64bytes(h) ++
+                    GoldenReplay.u64bytes(l)) })
+                .orElse(u.nextHop.map(GoldenReplay.ntop4)).getOrElse("")
+              u.nlriVpn.map { r =>
+                ("log", "update", peer, 1L, 128L,
+                  rdOf(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+                  s"${GoldenReplay.ntop4(r.prefix)}/${r.plen}",
+                  r.label.toString, nh,
+                  u.asPath.mkString(","),
+                  GoldenReplay.commsStr(u.communities),
+                  GoldenReplay.ecommsStr(u.extCommunities),
+                  GoldenReplay.lcommsStr(u.largeCommunities),
+                  GoldenReplay.originStr(u.origin),
+                  u.localPref.getOrElse(-1L), u.med.getOrElse(-1L),
+                  GoldenReplay.labelPart(label, "nkey"),
+                  GoldenReplay.labelPart(label, "pkey"))
+              }
+            }
+          }
+          .toDF("event_type", "log_type", "peer_ip_src", "afi", "safi",
+            "rd", "rd_origin", "ip_prefix", "mpls_label", "bgp_nexthop",
+            "as_path", "comms", "ecomms", "lcomms", "origin",
+            "local_pref", "med", "label_nkey", "label_pkey")
+          .groupBy("event_type", "log_type", "peer_ip_src", "afi",
+            "safi", "rd", "rd_origin", "ip_prefix", "mpls_label",
+            "bgp_nexthop", "as_path", "comms", "ecomms", "lcomms",
+            "origin", "local_pref", "med", "label_nkey", "label_pkey")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT event_type, log_type,
+            coalesce(peer_ip_src, '') AS peer_ip_src,
+            coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+            coalesce(rd, '') AS rd,
+            coalesce(rd_origin, '') AS rd_origin,
+            coalesce(ip_prefix, '') AS ip_prefix,
+            coalesce(mpls_label, '') AS mpls_label,
+            coalesce(bgp_nexthop, '') AS bgp_nexthop,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(lcomms, ','), '') AS lcomms,
+            coalesce(origin, '') AS origin,
+            coalesce(local_pref, -1) AS local_pref,
+            coalesce(med, -1) AS med,
+            coalesce(g.label.nkey, '') AS label_nkey,
+            coalesce(g.label.pkey, '') AS label_pkey,
+            count(*) AS n
+            FROM read_json('$T/301-BGP-CISCO-pretag/output-bgp-00.json',
+              format='newline_delimited', columns={
+                'event_type':'VARCHAR', 'log_type':'VARCHAR',
+                'peer_ip_src':'VARCHAR', 'afi':'BIGINT',
+                'safi':'BIGINT', 'rd':'VARCHAR', 'rd_origin':'VARCHAR',
+                'ip_prefix':'VARCHAR', 'mpls_label':'VARCHAR',
+                'bgp_nexthop':'VARCHAR', 'as_path':'VARCHAR[]',
+                'comms':'VARCHAR[]', 'ecomms':'VARCHAR[]',
+                'lcomms':'VARCHAR[]', 'origin':'VARCHAR',
+                'local_pref':'BIGINT', 'med':'BIGINT',
+                'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)'})  g
+            WHERE event_type = 'log'
+            GROUP BY ALL"""),
+      doc = "reference golden replay: pmbgpd msglog + tag map (test 301)"),
 
     // tests/102-NFv9-CISCO-f2rd-pretag-sampling-reload: the SAME pcap
     // replayed under two map generations — q227 with the -00 maps,

@@ -146,6 +146,10 @@ object BgpMsg {
       withdrawnLab6: Seq[RouteLabeled6] = Nil,
       nlriVpn6: Seq[RouteVpn6] = Nil,
       withdrawnVpn6: Seq[RouteVpn6] = Nil,
+      // whether an MP_UNREACH attribute was present (End-of-RIB
+      // detection requires it — an empty MP_REACH is NOT an EoR,
+      // bgp_msg.c:804-826)
+      mpUnreach: Boolean = false,
       // last MP_REACH/MP_UNREACH (afi, safi) seen — lets a collector
       // recognize an RFC 4724 End-of-RIB marker's lane (an empty
       // MP_UNREACH is otherwise indistinguishable from no MP attr)
@@ -930,7 +934,7 @@ object BgpMsg {
               v6 = true, hasRd = false).map {
                 case (l, _, _, _, hi, lo, pl) =>
                   RouteLabeled6(l, hi, lo, pl) })
-          u = u.copy(mpAfiSafi = Some((afi, safi)))
+          u = u.copy(mpAfiSafi = Some((afi, safi)), mpUnreach = true)
         case _ => () // unknown attribute: skip by declared length
       }
       buf.position(aEnd)
