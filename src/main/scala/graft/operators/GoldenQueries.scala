@@ -1050,6 +1050,89 @@ object GoldenReplay {
     }
   }
 
+  /** Drop back-to-back byte-identical messages from a framed stream —
+    * the HA queue's duplicate suppression (docs/README_BGP_BMP_HA.md).
+    * `headerLen`/`lenAt`/`lenSize` describe the framing: BMP = 6-byte
+    * header with a 4-byte length at offset 1; BGP = 19-byte header with
+    * a 2-byte length at offset 16. */
+  def dedupConsecutive(stream: Array[Byte], lenAt: Int, lenSize: Int,
+                       minLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev: Array[Byte] = Array.emptyByteArray
+    var pos = 0
+    var bad = false
+    while (!bad && pos + minLen <= stream.length) {
+      var len = 0
+      (0 until lenSize).foreach(i =>
+        len = (len << 8) | (stream(pos + lenAt + i) & 0xff))
+      if (len < minLen || pos + len > stream.length) bad = true
+      else {
+        val msg = java.util.Arrays.copyOfRange(stream, pos, pos + len)
+        if (!java.util.Arrays.equals(msg, prev))
+          out.write(msg, 0, msg.length)
+        prev = msg
+        pos += len
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Full-attribute msglog row of a RAW BGP session (pmbgpd): one row
+    * per announced NLRI across every lane, plus lane End-of-RIB rows —
+    * (log_type, afi, safi, rd, rd_origin, prefix, mpls_label, nexthop,
+    * as_path, comms, ecomms, lcomms, origin, local_pref, med). */
+  def bgpAttrEvents(stream: Array[Byte])
+      : Seq[(String, Long, Long, String, String, String, String, String,
+        String, String, String, String, String, Long, Long)] = {
+    import graft.sources.BgpMsg
+    def rdOf(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    def pfx6(hi: Long, lo: Long, plen: Int) =
+      s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+    BgpMsg.decodeStream(stream).flatMap { u =>
+      val nh4 = u.nextHopVpn.map(ntop4).orElse(u.nextHop.map(ntop4))
+        .orElse(u.nextHop6.map { case (h, l) =>
+          ntop6(u64bytes(h) ++ u64bytes(l)) }).getOrElse("")
+      val nh6 = u.nextHop6.map { case (h, l) =>
+        ntop6(u64bytes(h) ++ u64bytes(l)) }
+        .orElse(u.nextHopVpn.map(ntop4)).getOrElse("")
+      def row(afi: Long, safi: Long, rd: String, rdo: String,
+              pfx: String, label: String, nh: String) =
+        ("update", afi, safi, rd, rdo, pfx, label, nh,
+          u.asPath.mkString(","), commsStr(u.communities),
+          ecommsStr(u.extCommunities),
+          lcommsStr(u.largeCommunities), originStr(u.origin),
+          u.localPref.getOrElse(-1L), u.med.getOrElse(-1L))
+      val rows =
+        u.nlri.map(r => row(1, 1, "", "",
+          s"${ntop4(r.prefix)}/${r.plen}", "", nh4)) ++
+        u.nlri6.map(r => row(2, 1, "", "", pfx6(r.hi, r.lo, r.plen),
+          "", nh6)) ++
+        u.nlriVpn.map(r => row(1, 128,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+          s"${ntop4(r.prefix)}/${r.plen}", r.label.toString, nh4)) ++
+        u.nlriVpn6.map(r => row(2, 128,
+          rdOf(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+          pfx6(r.hi, r.lo, r.plen), r.label.toString, nh6)) ++
+        u.nlriLab.map(r => row(1, 4, "", "",
+          s"${ntop4(r.prefix)}/${r.plen}", r.label.toString, nh4)) ++
+        u.nlriLab6.map(r => row(2, 4, "", "", pfx6(r.hi, r.lo, r.plen),
+          r.label.toString, nh6))
+      val attrless = u.origin.isEmpty && u.asPath.isEmpty &&
+        u.communities.isEmpty && u.nextHop.isEmpty &&
+        u.nextHopVpn.isEmpty && u.nextHop6.isEmpty
+      val withdrawnAny = u.withdrawn.nonEmpty || u.withdrawn6.nonEmpty ||
+        u.withdrawnVpn.nonEmpty || u.withdrawnVpn6.nonEmpty ||
+        u.withdrawnLab.nonEmpty || u.withdrawnLab6.nonEmpty
+      if (rows.isEmpty && !withdrawnAny &&
+          (u.mpUnreach || (attrless && u.mpAfiSafi.isEmpty))) {
+        val (afi, safi) = u.mpAfiSafi.getOrElse((1, 1))
+        Seq(("end-of-rib", afi.toLong, safi.toLong, "", "", "", "", "",
+          "", "", "", "", "", -1L, -1L))
+      } else rows
+    }
+  }
+
   /** Resolve both flow sides against the exporter's RIB; misses leave the
     * BGP columns empty and mask 0 (the JSON renders empty arrays and
     * 0.0.0.0/:: nets). */
@@ -3039,6 +3122,153 @@ object GoldenQueries {
             "206-BMP-high-availability/output-bmp-01.json"))})
           GROUP BY ALL"""),
       doc = "reference golden replay: BMP active/standby HA (test 206)"),
+
+    // tests/402-IPFIXv10-BMP-IPv6-high-availability: an HA collector
+    // pair on a combined IPFIX + BMP feed — flows correlate against the
+    // (idempotently deduplicated) BMP RIB with MPLS stacks, L2 fields
+    // and timestamps in the key.
+    Q("q232_golden_flow_bmp_ha",
+      (s, _) => {
+        val df = correlatedFlow(s,
+          "402-IPFIXv10-BMP-IPv6-high-availability",
+          Map("2001:db8:91::1" -> "fd25::101"), feedPort = 1790)
+        agg(df, baseKeys ++ Seq("mac_src", "mac_dst", "vlan_in", "cos",
+            "etype", "comms", "ecomms", "as_path", "comms_src",
+            "ecomms_src", "as_path_src", "net_src", "net_dst",
+            "mask_src", "mask_dst", "cp_vrf_id_ingress",
+            "cp_vrf_id_egress", "cp_mpls_tl_type", "label_nkey",
+            "label_pkey", "tsStart"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .drop("tsStart")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mac_src, mac_dst, vlan_in, cos, etype,
+            coalesce(array_to_string(comms, ','), '') AS comms,
+            coalesce(array_to_string(ecomms, ','), '') AS ecomms,
+            coalesce(array_to_string(as_path, ','), '') AS as_path,
+            coalesce(array_to_string(comms_src, ','), '') AS comms_src,
+            coalesce(array_to_string(ecomms_src, ','), '') AS ecomms_src,
+            coalesce(array_to_string(as_path_src, ','), '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst, timestamp_start,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM ${readJson(
+              "402-IPFIXv10-BMP-IPv6-high-availability",
+              Seq("mac_src" -> "VARCHAR", "mac_dst" -> "VARCHAR",
+                "vlan_in" -> "BIGINT", "cos" -> "BIGINT",
+                "etype" -> "VARCHAR", "comms" -> "VARCHAR[]",
+                "ecomms" -> "VARCHAR[]", "as_path" -> "VARCHAR[]",
+                "comms_src" -> "VARCHAR[]", "ecomms_src" -> "VARCHAR[]",
+                "as_path_src" -> "VARCHAR[]", "net_src" -> "VARCHAR",
+                "net_dst" -> "VARCHAR", "mask_src" -> "BIGINT",
+                "mask_dst" -> "BIGINT", "timestamp_start" -> "VARCHAR",
+                "custom_primitives" ->
+                  """STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress
+                     VARCHAR, mpls_tl_type VARCHAR)"""
+                    .replaceAll("\\s+", " "),
+                "label" -> labelStruct))} g"""),
+      doc = "reference golden replay: HA flow x BMP correlation (test 402)"),
+
+    // ...and 402's BMP msglog side (avro emission variant, reduced
+    // projection like q230, HA dedup on the stream).
+    Q("q233_golden_bmp_ha_msglog",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/402-IPFIXv10-BMP-IPv6-high-availability")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            GoldenReplay.bmpAttrRows(
+              GoldenReplay.dedupConsecutive(
+                GoldenReplay.tcpReassemble(sf, dport = 1790),
+                lenAt = 1, lenSize = 4, minLen = 6),
+              "fd25::101", "log")
+          }
+          .groupBy("bmp_router", "event_kind", "bmp_msg_type",
+            "log_type", "timestamp_event", "peer_ip", "afi", "safi",
+            "rd", "rd_origin", "ip_prefix", "bgp_nexthop", "as_path",
+            "comms", "ecomms", "lcomms", "origin", "local_pref", "med",
+            "aigp", "psid_li", "otc", "mpls_label", "local_ip",
+            "local_port", "remote_port", "local_as", "reason_type",
+            "reason_str", "counter_type", "counter_value", "sysdescr",
+            "sysname", "peer_type", "peer_type_str")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT * EXCLUDE (bgp_id, peer_asn, rib_type, is_in,
+            is_filtered, is_loc, is_post, is_out, n), SUM(n) AS n
+          FROM (${bmpAttrOracle(Seq(
+            "402-IPFIXv10-BMP-IPv6-high-availability/output-bmp-00.json"))})
+          GROUP BY ALL"""),
+      doc = "reference golden replay: HA BMP msglog avro variant (test 402)"),
+
+    // tests/303-BGP-high-availability: an active/standby pmbgpd pair on
+    // one v6-transport BGP session — the active instance's full-lane
+    // msglog (163 updates + 2 EoR) with HA duplicate suppression
+    // (back-to-back identical messages dropped).
+    Q("q231_golden_bgp_ha",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/303-BGP-high-availability")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val stream = GoldenReplay.dedupConsecutive(
+              GoldenReplay.tcpReassemble(sf, dport = 179),
+              lenAt = 16, lenSize = 2, minLen = 19)
+            GoldenReplay.bgpAttrEvents(stream)
+              .map(r => ("fd25::101", r._1, r._2, r._3, r._4, r._5,
+                r._6, r._7, r._8, r._9, r._10, r._11, r._12, r._13,
+                r._14, r._15))
+          }
+          .toDF("peer_ip_src", "log_type", "afi", "safi", "rd",
+            "rd_origin", "ip_prefix", "mpls_label", "bgp_nexthop",
+            "as_path", "comms", "ecomms", "lcomms", "origin",
+            "local_pref", "med")
+          .groupBy("peer_ip_src", "log_type", "afi", "safi", "rd",
+            "rd_origin", "ip_prefix", "mpls_label", "bgp_nexthop",
+            "as_path", "comms", "ecomms", "lcomms", "origin",
+            "local_pref", "med")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT coalesce(peer_ip_src, '') AS peer_ip_src,
+            log_type, coalesce(afi, -1) AS afi,
+            coalesce(safi, -1) AS safi, coalesce(rd, '') AS rd,
+            coalesce(rd_origin, '') AS rd_origin,
+            coalesce(ip_prefix, '') AS ip_prefix,
+            coalesce(mpls_label, '') AS mpls_label,
+            coalesce(bgp_nexthop, '') AS bgp_nexthop,
+            replace(coalesce(as_path, ''), ' ', ',') AS as_path,
+            replace(coalesce(comms, ''), ' ', ',') AS comms,
+            replace(coalesce(ecomms, ''), ' ', ',') AS ecomms,
+            replace(coalesce(lcomms, ''), ' ', ',') AS lcomms,
+            coalesce(origin, '') AS origin,
+            coalesce(local_pref, -1) AS local_pref,
+            coalesce(med, -1) AS med, count(*) AS n
+            FROM read_json(
+              '$T/303-BGP-high-availability/output-bgp-00.json',
+              format='newline_delimited', columns={
+                'event_type':'VARCHAR', 'log_type':'VARCHAR',
+                'peer_ip_src':'VARCHAR', 'afi':'BIGINT',
+                'safi':'BIGINT', 'rd':'VARCHAR', 'rd_origin':'VARCHAR',
+                'ip_prefix':'VARCHAR', 'mpls_label':'VARCHAR',
+                'bgp_nexthop':'VARCHAR', 'as_path':'VARCHAR',
+                'comms':'VARCHAR', 'ecomms':'VARCHAR',
+                'lcomms':'VARCHAR', 'origin':'VARCHAR',
+                'local_pref':'BIGINT', 'med':'BIGINT'}) g
+            WHERE event_type = 'log'
+            GROUP BY ALL"""),
+      doc = "reference golden replay: BGP active/standby HA msglog (test 303)"),
 
     // tests/301-BGP-CISCO-pretag: pmbgpd msglog with FULL attributes and
     // bgp_daemon_tag_map labels — 38 VPNv4 updates with per-NLRI labels,
