@@ -186,10 +186,11 @@ class CodecPropertySpec extends AnyFunSuite {
         nlri6 = Seq.fill(1 + r.nextInt(3))(r6()),
         withdrawn6 = Seq.fill(r.nextInt(3))(r6()),
         nextHop6 = Some((r.nextLong(), r.nextLong())))
-      // decode additionally reports the MP lane marker; strip it before
-      // comparing with the constructed update
+      // decode additionally reports the MP lane marker and the
+      // MP_UNREACH presence flag; strip them before comparing
       assert(BgpMsg.decodeStream(BgpMsg.encode(u))
-        .map(_.copy(mpAfiSafi = None)) == Seq(u), s"seed $seed")
+        .map(_.copy(mpAfiSafi = None, mpUnreach = false)) == Seq(u),
+        s"seed $seed")
     }
   }
 
@@ -220,7 +221,7 @@ class CodecPropertySpec extends AnyFunSuite {
       // (RFC 3107 §3) and decode label-less (0) — normalize the expected
       // side the same way before comparing
       val got = BgpMsg.decodeStream(BgpMsg.encode(u))
-        .map(_.copy(mpAfiSafi = None))
+        .map(_.copy(mpAfiSafi = None, mpUnreach = false))
       val expect = u.copy(withdrawnVpn =
         u.withdrawnVpn.map(_.copy(label = 0L)))
       assert(got == Seq(expect), s"seed $seed")

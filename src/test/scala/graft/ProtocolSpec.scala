@@ -801,6 +801,34 @@ class ProtocolSpec extends AnyFunSuite {
       Seq((10, 1, 128, 900L), (9, 2, 1, 7L)))))
   }
 
+  test("UDP-notif segmentation reassembles by message id in order") {
+    import graft.sources.UdpNotif
+    def seg(id: Long, n: Int, last: Boolean, body: String) =
+      UdpNotif.Packet(7L, id, 1, body.getBytes,
+        Seq((1, Array((((n << 1) | (if (last) 1 else 0)) >> 8).toByte,
+          (((n << 1) | (if (last) 1 else 0)) & 0xff).toByte))))
+    val plain = UdpNotif.Packet(7L, 9L, 1, "solo".getBytes)
+    // segments arrive out of order and interleaved across messages
+    val out = UdpNotif.reassemble(Seq(
+      seg(1, 1, true, "B1"), plain, seg(2, 0, false, "A2"),
+      seg(1, 0, false, "A1"), seg(2, 1, true, "B2")))
+    assert(out.map(p => new String(p.payload)) ==
+      Seq("solo", "A1B1", "A2B2"))
+    assert(out.map(_.messageId) == Seq(9L, 1L, 2L))
+    // incomplete message (missing last) never emits
+    assert(UdpNotif.reassemble(Seq(seg(3, 0, false, "x"))).isEmpty)
+  }
+
+  test("framed-stream dedup drops back-to-back identical messages") {
+    import graft.operators.GoldenReplay
+    val m1 = Array[Byte](3, 0, 0, 0, 8, 1, 9, 9)
+    val m2 = Array[Byte](3, 0, 0, 0, 7, 2, 5)
+    val stream = m1 ++ m1 ++ m2 ++ m1 ++ m2 ++ m2
+    val out = GoldenReplay.dedupConsecutive(stream, lenAt = 1,
+      lenSize = 4, minLen = 6)
+    assert(out.sameElements(m1 ++ m2 ++ m1 ++ m2))
+  }
+
   test("MP_REACH/UNREACH v4-unicast (afi 1/safi 1) rides the MP path") {
     import graft.sources.BgpMsg
     import java.nio.ByteBuffer
