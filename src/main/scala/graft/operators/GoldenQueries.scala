@@ -507,7 +507,10 @@ object GoldenReplay {
 
   def sortedEcomms(es: Seq[graft.sources.BgpMsg.ExtCommunity])
       : Seq[graft.sources.BgpMsg.ExtCommunity] =
-    es.distinct.sortBy(ecommMemcmpKey)
+    // memcmp compares UNSIGNED bytes — a transitive-opaque (0x80+) type
+    // byte must sort after RT/SoO (0x00/0x02), so flip the sign bit
+    // rather than comparing the packed key as a signed Long
+    es.distinct.sortBy(e => ecommMemcmpKey(e) ^ Long.MinValue)
 
   def sortedLcomms(ls: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
     ls.distinct.sorted
@@ -528,6 +531,24 @@ object GoldenReplay {
         else s"$p${e.admin}:${e.value}"
       }
     }.mkString(",")
+
+  /** Dump-spreading slot assignment: `bgp_table_dump_time_slots` /
+    * `bmp_dump_time_slots` spread table dumps over the refresh interval —
+    * the interval divides into N slots (period = refresh / N,
+    * bgp/bgp.c:763), the dump event fires every period seconds rotating
+    * `current_slot` (bgp_logdump.c:2011), and a router/peer dumps only at
+    * the event whose slot matches
+    * `abs((int) pm_djb2_string_hash(addr_str)) % N`
+    * (bgp_logdump.c:2110, bmp_logdump.c:1881). The hash is Bernstein's
+    * XOR variant on unsigned 64-bit (util.c:3859-3869); the C `(int)`
+    * truncation keeps the low 32 bits — Scala `Long` arithmetic wraps
+    * identically. */
+  def djb2Slot(s: String, slots: Int): Int = {
+    var h = 5381L
+    var i = 0
+    while (i < s.length) { h = (h * 33L) ^ s.charAt(i).toLong; i += 1 }
+    math.abs(h.toInt) % slots
+  }
 
   private val PeerTypeStrs = Array("Global Instance Peer",
     "RD Instance Peer", "Local Instance Peer", "Loc-RIB Instance Peer")
@@ -592,7 +613,26 @@ object GoldenReplay {
       remote_port: Long = -1L, local_as: Long = -1L,
       reason_type: Long = -1L, reason_str: String = "",
       counter_type: Long = -1L, counter_value: Long = 0L,
-      sysdescr: String = "", sysname: String = "")
+      sysdescr: String = "", sysname: String = "",
+      dump_cycle: Long = -1L)
+
+  /** One `bgp_table_dump` output row (dump_init / dump / dump_close)
+    * plus the dump-spreading schedule columns both sides compute
+    * independently (djb2 slot under 8 and 9 slots, and the in-cycle
+    * dump instant offset slot*period for each scenario). */
+  final case class BgpDumpRow(
+      event_type: String, peer_ip_src: String,
+      afi: Long = -1L, safi: Long = -1L,
+      rd: String = "", rd_origin: String = "", ip_prefix: String = "",
+      mpls_label: String = "", bgp_nexthop: String = "",
+      as_path: String = "", as_path_id: Long = -1L,
+      comms: String = "", ecomms: String = "", lcomms: String = "",
+      origin: String = "", local_pref: Long = -1L, med: Long = -1L,
+      aigp: Long = -1L, psid_li: Long = -1L, otc: Long = -1L,
+      label_nkey: String = "", label_pkey: String = "",
+      dump_period: Long = -1L, entries: Long = -1L, tables: Long = -1L,
+      slot8: Long = -1L, slot9: Long = -1L,
+      sched_s01: Long = -1L, sched_s02: Long = -1L)
 
   /** Replay a reassembled BMP session into full-attribute rows.
     *
@@ -610,10 +650,16 @@ object GoldenReplay {
     * `mode = "dump"`: the table dump at end-of-stream —
     *  dump_init, the stored init TLVs, one peer_up row per live session,
     *  one route_monitor row per RIB entry (stored attributes), dump_close
-    *  (bmp_logdump.c bmp_handle_dump_event). */
+    *  (bmp_logdump.c bmp_handle_dump_event). `dumpCycles > 1` replays the
+    *  periodic dump schedule: the parent destroys the router's queued
+    *  session-event list after the dump event that covered it
+    *  (bmp_logdump.c:1874-1884 bmp_dump_se_ll_destroy), so only the FIRST
+    *  dump after init/peer_up arrived carries those rows — every later
+    *  cycle is routes-only. Each row tags its cycle in `dump_cycle`. */
   def bmpAttrRows(stream: Array[Byte], router: String, mode: String,
                   keepOpen: Boolean = true,
-                  ribOut: mutable.Buffer[RibRoute] = null)
+                  ribOut: mutable.Buffer[RibRoute] = null,
+                  dumpCycles: Int = 1)
       : Seq[BmpAttrRow] = {
     import graft.sources.{BgpMsg, BmpMsg}
     def peerIpOf(p: BmpMsg.PeerHeader): String =
@@ -881,37 +927,48 @@ object GoldenReplay {
     }
 
     if (mode == "dump") {
-      out += base.copy(event_kind = "dump_init")
-      out += base.copy(event_kind = "dump", bmp_msg_type = "init",
-        timestamp_event = "0.000000",
-        sysdescr = initInfo.collectFirst { case (1, s) => s }
-          .getOrElse(""),
-        sysname = initInfo.collectFirst { case (2, s) => s }.getOrElse(""))
-      peersUp.foreach { case (p, up) =>
-        val hr = hdrRdOf(p)
-        out += withPeer(base.copy(event_kind = "dump",
-            bmp_msg_type = "peer_up",
-            timestamp_event = f"${p.tsSec}%d.${p.tsUsec}%06d",
-            rd = hr, rd_origin = if (hr.isEmpty) "" else "bmp",
-            peer_type = p.peerType,
-            peer_type_str = peerTypeStr(p.peerType),
-            local_ip = up.map(b =>
-              if (b.localHi == 0L && (b.localLo >>> 32) == 0L)
-                ntop4(b.localLo & 0xffffffffL)
-              else ntop6(u64bytes(b.localHi) ++ u64bytes(b.localLo)))
+      (0 until dumpCycles).foreach { cyc =>
+        val c = cyc.toLong
+        out += base.copy(event_kind = "dump_init", dump_cycle = c)
+        // session events (init TLVs + peer_up info) ride the se_ll
+        // queue, drained by the parent after the first covering dump
+        // event — cycle 0 only here (all messages precede the dumps)
+        if (cyc == 0) {
+          out += base.copy(event_kind = "dump", bmp_msg_type = "init",
+            timestamp_event = "0.000000", dump_cycle = c,
+            sysdescr = initInfo.collectFirst { case (1, s) => s }
               .getOrElse(""),
-            local_port = up.map(_.localPort.toLong).getOrElse(-1L),
-            remote_port = up.map(_.remotePort.toLong).getOrElse(-1L),
-            local_as = up.map(_.localAs).getOrElse(-1L)), p)
+            sysname = initInfo.collectFirst { case (2, s) => s }
+              .getOrElse(""))
+          peersUp.foreach { case (p, up) =>
+            val hr = hdrRdOf(p)
+            out += withPeer(base.copy(event_kind = "dump",
+                bmp_msg_type = "peer_up",
+                timestamp_event = f"${p.tsSec}%d.${p.tsUsec}%06d",
+                dump_cycle = c,
+                rd = hr, rd_origin = if (hr.isEmpty) "" else "bmp",
+                peer_type = p.peerType,
+                peer_type_str = peerTypeStr(p.peerType),
+                local_ip = up.map(b =>
+                  if (b.localHi == 0L && (b.localLo >>> 32) == 0L)
+                    ntop4(b.localLo & 0xffffffffL)
+                  else ntop6(u64bytes(b.localHi) ++ u64bytes(b.localLo)))
+                  .getOrElse(""),
+                local_port = up.map(_.localPort.toLong).getOrElse(-1L),
+                remote_port = up.map(_.remotePort.toLong).getOrElse(-1L),
+                local_as = up.map(_.localAs).getOrElse(-1L)), p)
+          }
+        }
+        rib.valuesIterator.foreach { case (p, u, lane) =>
+          out += withAttrs(withPeer(base.copy(event_kind = "dump",
+              bmp_msg_type = "route_monitor", afi = lane._1,
+              safi = lane._2, rd = lane._3, rd_origin = lane._4,
+              ip_prefix = lane._5, dump_cycle = c), p,
+              routeCtx = true), u,
+            lane._7, lane._6)
+        }
+        out += base.copy(event_kind = "dump_close", dump_cycle = c)
       }
-      rib.valuesIterator.foreach { case (p, u, lane) =>
-        out += withAttrs(withPeer(base.copy(event_kind = "dump",
-            bmp_msg_type = "route_monitor", afi = lane._1,
-            safi = lane._2, rd = lane._3, rd_origin = lane._4,
-            ip_prefix = lane._5), p, routeCtx = true), u,
-          lane._7, lane._6)
-      }
-      out += base.copy(event_kind = "dump_close")
     } else {
       if (!keepOpen)
         rib.valuesIterator.toSeq.foreach { case (p, u, lane) =>
@@ -1131,6 +1188,77 @@ object GoldenReplay {
           "", "", "", "", "", -1L, -1L))
       } else rows
     }
+  }
+
+  /** Final BGP RIB of a single reassembled session with the full rendered
+    * attribute surface — the `bgp_table_dump` content
+    * (bgp_logdump.c bgp_table_dump_event_runner walks every bgp_info of
+    * the live peer's table and renders it through bgp_peer_log_msg).
+    * Announcements upsert by (afi, safi, rd, prefix) — the last update's
+    * attributes win (bgp_update_main replaces the bgp_info's attr);
+    * withdrawals remove the entry. Rows in insertion order:
+    * (afi, safi, rd, rd_origin, prefix, mpls_label, bgp_nexthop, as_path,
+    * comms, ecomms, lcomms, origin, local_pref, med, aigp, psid_li, otc).
+    */
+  def bgpRibRows(stream: Array[Byte])
+      : Seq[(Long, Long, String, String, String, String, String, String,
+        String, String, String, String, Long, Long, Long, Long, Long)] = {
+    import graft.sources.BgpMsg
+    def rdOf(rt: Int, ra: Long, rv: Long): String =
+      if (rt == 1) s"$rt:${ntop4(ra)}:$rv" else s"$rt:$ra:$rv"
+    def pfx6(hi: Long, lo: Long, plen: Int) =
+      s"${ntop6(u64bytes(hi) ++ u64bytes(lo))}/$plen"
+    // value: (rd_origin, mpls_label, bgp_nexthop, attrs-bearing update)
+    val rib = mutable.LinkedHashMap[(Long, Long, String, String),
+      (String, String, String, BgpMsg.Update)]()
+    BgpMsg.decodeStream(stream).foreach { u =>
+      val nh4 = u.nextHopVpn.map(ntop4).orElse(u.nextHop.map(ntop4))
+        .orElse(u.nextHop6.map { case (h, l) =>
+          ntop6(u64bytes(h) ++ u64bytes(l)) }).getOrElse("")
+      val nh6 = u.nextHop6.map { case (h, l) =>
+        ntop6(u64bytes(h) ++ u64bytes(l)) }
+        .orElse(u.nextHopVpn.map(ntop4)).getOrElse("")
+      def put(afi: Long, safi: Long, rd: String, rdo: String,
+              pfx: String, label: String, nh: String): Unit =
+        rib((afi, safi, rd, pfx)) = (rdo, label, nh, u)
+      u.nlri.foreach(r => put(1, 1, "", "",
+        s"${ntop4(r.prefix)}/${r.plen}", "", nh4))
+      u.nlri6.foreach(r => put(2, 1, "", "", pfx6(r.hi, r.lo, r.plen),
+        "", nh6))
+      u.nlriVpn.foreach(r => put(1, 128,
+        rdOf(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+        s"${ntop4(r.prefix)}/${r.plen}", r.label.toString, nh4))
+      u.nlriVpn6.foreach(r => put(2, 128,
+        rdOf(r.rdType, r.rdAdmin, r.rdVal), "bgp",
+        pfx6(r.hi, r.lo, r.plen), r.label.toString, nh6))
+      u.nlriLab.foreach(r => put(1, 4, "",
+        "", s"${ntop4(r.prefix)}/${r.plen}", r.label.toString, nh4))
+      u.nlriLab6.foreach(r => put(2, 4, "", "", pfx6(r.hi, r.lo, r.plen),
+        r.label.toString, nh6))
+      u.withdrawn.foreach(r =>
+        rib.remove((1, 1, "", s"${ntop4(r.prefix)}/${r.plen}")))
+      u.withdrawn6.foreach(r =>
+        rib.remove((2, 1, "", pfx6(r.hi, r.lo, r.plen))))
+      u.withdrawnVpn.foreach(r =>
+        rib.remove((1, 128, rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          s"${ntop4(r.prefix)}/${r.plen}")))
+      u.withdrawnVpn6.foreach(r =>
+        rib.remove((2, 128, rdOf(r.rdType, r.rdAdmin, r.rdVal),
+          pfx6(r.hi, r.lo, r.plen))))
+      u.withdrawnLab.foreach(r =>
+        rib.remove((1, 4, "", s"${ntop4(r.prefix)}/${r.plen}")))
+      u.withdrawnLab6.foreach(r =>
+        rib.remove((2, 4, "", pfx6(r.hi, r.lo, r.plen))))
+    }
+    rib.iterator.map { case ((afi, safi, rd, pfx),
+        (rdo, label, nh, u)) =>
+      (afi, safi, rd, rdo, pfx, label, nh, u.asPath.mkString(","),
+        commsStr(u.communities), ecommsStr(u.extCommunities),
+        lcommsStr(u.largeCommunities), originStr(u.origin),
+        u.localPref.getOrElse(-1L), u.med.getOrElse(-1L),
+        u.aigp.getOrElse(-1L), u.labelIndex.getOrElse(-1L),
+        u.otc.getOrElse(-1L))
+    }.toSeq
   }
 
   /** Resolve both flow sides against the exporter's RIB; misses leave the
@@ -3440,6 +3568,274 @@ object GoldenQueries {
         keepOpen = false),
       Some(bmpAttrOracle(Seq(
         "403-IPFIXv10-BMP-IPv6-CISCO-locrib-peerdown-vrf/output-bmp-00.json"))),
-      doc = "reference golden replay: loc-rib peer_down msglog (test 403)")
+      doc = "reference golden replay: loc-rib peer_down msglog (test 403)"),
+
+    // tests/304-BGP-IPv6-multiple-sources-dump-spreading: the BGP TABLE
+    // DUMP golden — three sessions (two v4, one v6 transport; pcaps from
+    // test 302) build their VPNv4/VPNv6 RIBs, and a dump event renders
+    // dump_init / one row per final RIB entry with the full attribute
+    // surface / dump_close with the entry count (bgp_logdump.c
+    // bgp_table_dump_event_runner), each row carrying the
+    // bgp_daemon_tag_map label (pre_tag_label_encode_as_map). On top of
+    // the golden content, both sides independently compute the
+    // dump-SPREADING schedule the test's scenarios validate
+    // (bgp_table_dump_time_slots 8/refresh 240 and 9/180): the djb2
+    // slot per peer (Scala vs a DuckDB list_reduce re-implementation of
+    // util.c:3859 pm_djb2_string_hash + the C (int) truncation) and the
+    // peer's dump instant offset slot*period within the cycle.
+    Q("q234_golden_bgp_dump_sched",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val dir = s"$T/304-BGP-IPv6-multiple-sources-dump-spreading"
+        val peerOf = Map(
+          "10.10.0.35" -> "172.21.1.101",
+          "213.3.223.36" -> "172.21.1.102",
+          "2001:4d98:a100:401:0:923:f:1" -> "fd25::101")
+        val rules = pretagLabelRules(s"$dir/pmacct_mount/pretag-00.map",
+          Map("192.168.100.1" -> "172.21.1.101",
+            "192.168.100.2" -> "172.21.1.102",
+            "cafe::1" -> "fd25::101"))
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap").load(dir)
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val src = GoldenReplay.tcpSrcIp(sf, 179).getOrElse("")
+            val peer = peerOf.getOrElse(src, src)
+            val label = rules.collectFirst {
+              case (ip, l) if ip.forall(_ == peer) => l }.getOrElse("")
+            val nk = GoldenReplay.labelPart(label, "nkey")
+            val pk = GoldenReplay.labelPart(label, "pkey")
+            val slot8 = GoldenReplay.djb2Slot(peer, 8).toLong
+            val slot9 = GoldenReplay.djb2Slot(peer, 9).toLong
+            val rib = GoldenReplay.bgpRibRows(
+              GoldenReplay.tcpReassemble(sf, dport = 179))
+            val base = GoldenReplay.BgpDumpRow("", peer,
+              label_nkey = nk, label_pkey = pk, slot8 = slot8,
+              slot9 = slot9, sched_s01 = slot8 * 30L,
+              sched_s02 = slot9 * 20L)
+            base.copy(event_type = "dump_init", dump_period = 60L) +:
+              rib.map(r => base.copy(event_type = "dump", afi = r._1,
+                safi = r._2, rd = r._3, rd_origin = r._4,
+                ip_prefix = r._5, mpls_label = r._6, bgp_nexthop = r._7,
+                as_path = r._8, comms = r._9, ecomms = r._10,
+                lcomms = r._11, origin = r._12, local_pref = r._13,
+                med = r._14, aigp = r._15, psid_li = r._16,
+                otc = r._17)) :+
+              base.copy(event_type = "dump_close",
+                entries = rib.size.toLong, tables = 1L)
+          }
+          .groupBy("event_type", "peer_ip_src", "afi", "safi", "rd",
+            "rd_origin", "ip_prefix", "mpls_label", "bgp_nexthop",
+            "as_path", "as_path_id", "comms", "ecomms", "lcomms",
+            "origin", "local_pref", "med", "aigp", "psid_li", "otc",
+            "label_nkey", "label_pkey", "dump_period", "entries",
+            "tables", "slot8", "slot9", "sched_s01", "sched_s02")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH g AS (SELECT * FROM read_json(
+              '$T/304-BGP-IPv6-multiple-sources-dump-spreading/output-bgp-dump-00.json',
+              format='newline_delimited', columns={
+                'event_type':'VARCHAR', 'peer_ip_src':'VARCHAR',
+                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+                'rd_origin':'VARCHAR', 'ip_prefix':'VARCHAR',
+                'mpls_label':'VARCHAR', 'bgp_nexthop':'VARCHAR',
+                'as_path':'VARCHAR', 'as_path_id':'BIGINT',
+                'comms':'VARCHAR', 'ecomms':'VARCHAR',
+                'lcomms':'VARCHAR', 'origin':'VARCHAR',
+                'local_pref':'BIGINT', 'med':'BIGINT', 'aigp':'BIGINT',
+                'psid_li':'BIGINT', 'otc':'BIGINT',
+                'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)',
+                'dump_period':'BIGINT', 'entries':'BIGINT',
+                'tables':'BIGINT'})),
+            h AS (SELECT g.*, list_reduce(
+                list_prepend(CAST(5381 AS HUGEINT),
+                  [CAST(ascii(c) AS HUGEINT)
+                   for c in split(peer_ip_src, '')]),
+                (a, c) -> xor((a * 33) % 18446744073709551616, c))
+                % 4294967296 AS low32 FROM g),
+            i AS (SELECT *, abs(CAST(CASE
+                WHEN low32 >= 2147483648 THEN low32 - 4294967296
+                ELSE low32 END AS BIGINT)) AS i32 FROM h)
+            SELECT event_type,
+              coalesce(peer_ip_src, '') AS peer_ip_src,
+              coalesce(afi, -1) AS afi, coalesce(safi, -1) AS safi,
+              coalesce(rd, '') AS rd,
+              coalesce(rd_origin, '') AS rd_origin,
+              coalesce(ip_prefix, '') AS ip_prefix,
+              coalesce(mpls_label, '') AS mpls_label,
+              coalesce(bgp_nexthop, '') AS bgp_nexthop,
+              replace(coalesce(as_path, ''), ' ', ',') AS as_path,
+              coalesce(as_path_id, -1) AS as_path_id,
+              replace(coalesce(comms, ''), ' ', ',') AS comms,
+              replace(coalesce(ecomms, ''), ' ', ',') AS ecomms,
+              replace(coalesce(lcomms, ''), ' ', ',') AS lcomms,
+              coalesce(origin, '') AS origin,
+              coalesce(local_pref, -1) AS local_pref,
+              coalesce(med, -1) AS med, coalesce(aigp, -1) AS aigp,
+              coalesce(psid_li, -1) AS psid_li,
+              coalesce(otc, -1) AS otc,
+              coalesce(i.label.nkey, '') AS label_nkey,
+              coalesce(i.label.pkey, '') AS label_pkey,
+              coalesce(dump_period, -1) AS dump_period,
+              coalesce(entries, -1) AS entries,
+              coalesce(tables, -1) AS tables,
+              i32 % 8 AS slot8, i32 % 9 AS slot9,
+              (i32 % 8) * 30 AS sched_s01,
+              (i32 % 9) * 20 AS sched_s02,
+              count(*) AS n
+            FROM i GROUP BY ALL"""),
+      doc = "reference golden replay: BGP table dump + slot schedule (test 304)"),
+
+    // tests/207-BMP-CISCO-HUAWEI-multiple-sources-dump-spreading: the
+    // BMP dump golden IS the spread schedule — produced with
+    // bmp_dump_refresh_time 120 / bmp_dump_time_slots 4 (dump_period
+    // 30), covering TWO full cycles. Routers land on djb2 slots 1/2/3
+    // (slot 0 stays empty), so the observed dump instants are
+    // anchor + (cycle*4 + slot - 1)*30s — the oracle reconstructs each
+    // event's offset from the golden's own dump_init timestamps
+    // (rounded; the deadline is epoch-aligned to the period) and checks
+    // it against the slot model computed from the router address alone.
+    // Content-wise the replay exercises the se_ll drain: cycle 0
+    // carries init + peer_up session events, cycle 1 is routes-only
+    // (bmp_logdump.c:1874-1884). bgp_nexthop is excluded: the
+    // reference's own CI ignores it for this test (207_test.py TODO —
+    // nexthop render flaps when the table dump is enabled).
+    Q("q235_golden_bmp_dump_spread",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val slots = 4
+        val period = 30L
+        val rows = s.read.format("binaryFile")
+          .option("pathGlobFilter", "traffic-*.pcap")
+          .load(s"$T/207-BMP-CISCO-HUAWEI-multiple-sources-dump-spreading")
+          .select("content").as[Array[Byte]]
+          .flatMap { bytes =>
+            val sf = Pcap.read(bytes)
+            val src = GoldenReplay.tcpSrcIp(sf, 1790).getOrElse("")
+            val router = Map(
+              "192.0.2.61" -> "172.21.1.101",
+              "192.0.2.55" -> "172.21.1.102",
+              "198.51.100.44" -> "172.21.1.103").getOrElse(src, src)
+            val slot = GoldenReplay.djb2Slot(router, slots).toLong
+            GoldenReplay.bmpAttrRows(
+              GoldenReplay.tcpReassemble(sf, dport = 1790), router,
+              mode = "dump", keepOpen = true, dumpCycles = 2)
+              .map(r => (r, slot))
+          }
+          .toDF("r", "slot")
+          .select(col("r.*"), col("slot"))
+        // the schedule anchors at the first EMITTING event — the lowest
+        // live slot (the daemon's slot-0 event covers no router here);
+        // a 1-row broadcast keeps the anchor in-plan
+        val minSlot = rows.agg(min("slot").as("min_slot"))
+        rows.crossJoin(broadcast(minSlot))
+          .withColumn("sched_offset",
+            (col("dump_cycle") * slots + col("slot") -
+              col("min_slot")) * period)
+          .groupBy(
+            "bmp_router", "event_kind", "bmp_msg_type", "log_type",
+            "timestamp_event", "peer_ip", "peer_asn", "bgp_id", "afi",
+            "safi", "rd", "rd_origin", "ip_prefix",
+            "as_path", "comms", "ecomms", "lcomms", "origin",
+            "local_pref", "med", "aigp", "psid_li", "otc", "mpls_label",
+            "rib_type", "is_in", "is_filtered", "is_loc", "is_post",
+            "is_out", "peer_type", "peer_type_str", "local_ip",
+            "local_port", "remote_port", "local_as", "sysdescr",
+            "sysname", "dump_cycle", "slot", "sched_offset")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH g AS (SELECT *, row_number() OVER () AS rn
+              FROM read_json(
+              '$T/207-BMP-CISCO-HUAWEI-multiple-sources-dump-spreading/output-bmp-dump-00.json',
+              format='newline_delimited', columns={
+                'seq':'BIGINT', 'timestamp':'VARCHAR',
+                'event_type':'VARCHAR', 'bmp_router':'VARCHAR',
+                'bmp_msg_type':'VARCHAR', 'log_type':'VARCHAR',
+                'timestamp_event':'VARCHAR', 'peer_ip':'VARCHAR',
+                'peer_asn':'BIGINT', 'bgp_id':'VARCHAR',
+                'afi':'BIGINT', 'safi':'BIGINT', 'rd':'VARCHAR',
+                'rd_origin':'VARCHAR', 'ip_prefix':'VARCHAR',
+                'as_path':'VARCHAR', 'comms':'VARCHAR',
+                'ecomms':'VARCHAR', 'lcomms':'VARCHAR',
+                'origin':'VARCHAR', 'local_pref':'BIGINT',
+                'med':'BIGINT', 'aigp':'BIGINT', 'psid_li':'BIGINT',
+                'otc':'BIGINT', 'mpls_label':'VARCHAR',
+                'bmp_rib_type':'VARCHAR', 'is_in':'BIGINT',
+                'is_filtered':'BIGINT', 'is_loc':'BIGINT',
+                'is_post':'BIGINT', 'is_out':'BIGINT',
+                'peer_type':'BIGINT', 'peer_type_str':'VARCHAR',
+                'local_ip':'VARCHAR', 'local_port':'BIGINT',
+                'remote_port':'BIGINT', 'local_as':'BIGINT',
+                'bmp_init_info_sysdescr':'VARCHAR',
+                'bmp_init_info_sysname':'VARCHAR'})),
+            c AS (SELECT *, CAST(sum(CASE WHEN event_type = 'dump_init'
+                THEN 1 ELSE 0 END) OVER (PARTITION BY bmp_router
+                ORDER BY seq, rn) - 1 AS BIGINT) AS dump_cycle FROM g),
+            ev AS (SELECT bmp_router, dump_cycle,
+                CAST(timestamp AS DOUBLE) AS its FROM c
+              WHERE event_type = 'dump_init'),
+            anchor AS (SELECT min(its) AS t0 FROM ev),
+            sl AS (SELECT c.*, abs(CAST(CASE
+                WHEN low32 >= 2147483648 THEN low32 - 4294967296
+                ELSE low32 END AS BIGINT)) AS slot4 FROM (
+                SELECT c.*, list_reduce(
+                  list_prepend(CAST(5381 AS HUGEINT),
+                    [CAST(ascii(ch) AS HUGEINT)
+                     for ch in split(bmp_router, '')]),
+                  (a, ch) -> xor((a * 33) % 18446744073709551616, ch))
+                  % 4294967296 AS low32 FROM c) c)
+            SELECT coalesce(sl.bmp_router, '') AS bmp_router,
+              sl.event_type AS event_kind,
+              coalesce(sl.bmp_msg_type, '') AS bmp_msg_type,
+              coalesce(sl.log_type, '') AS log_type,
+              coalesce(sl.timestamp_event, '') AS timestamp_event,
+              coalesce(sl.peer_ip, '') AS peer_ip,
+              coalesce(sl.peer_asn, -1) AS peer_asn,
+              coalesce(sl.bgp_id, '') AS bgp_id,
+              coalesce(sl.afi, -1) AS afi,
+              coalesce(sl.safi, -1) AS safi,
+              coalesce(sl.rd, '') AS rd,
+              coalesce(sl.rd_origin, '') AS rd_origin,
+              coalesce(sl.ip_prefix, '') AS ip_prefix,
+              replace(coalesce(sl.as_path, ''), ' ', ',') AS as_path,
+              replace(coalesce(sl.comms, ''), ' ', ',') AS comms,
+              replace(coalesce(sl.ecomms, ''), ' ', ',') AS ecomms,
+              replace(coalesce(sl.lcomms, ''), ' ', ',') AS lcomms,
+              coalesce(sl.origin, '') AS origin,
+              coalesce(sl.local_pref, -1) AS local_pref,
+              coalesce(sl.med, -1) AS med,
+              coalesce(sl.aigp, -1) AS aigp,
+              coalesce(sl.psid_li, -1) AS psid_li,
+              coalesce(sl.otc, -1) AS otc,
+              coalesce(sl.mpls_label, '') AS mpls_label,
+              coalesce(sl.bmp_rib_type, '') AS rib_type,
+              coalesce(sl.is_in, -1) AS is_in,
+              coalesce(sl.is_filtered, -1) AS is_filtered,
+              coalesce(sl.is_loc, -1) AS is_loc,
+              coalesce(sl.is_post, -1) AS is_post,
+              coalesce(sl.is_out, -1) AS is_out,
+              coalesce(sl.peer_type, -1) AS peer_type,
+              coalesce(sl.peer_type_str, '') AS peer_type_str,
+              coalesce(sl.local_ip, '') AS local_ip,
+              coalesce(sl.local_port, -1) AS local_port,
+              coalesce(sl.remote_port, -1) AS remote_port,
+              coalesce(sl.local_as, -1) AS local_as,
+              coalesce(sl.bmp_init_info_sysdescr, '') AS sysdescr,
+              coalesce(sl.bmp_init_info_sysname, '') AS sysname,
+              sl.dump_cycle AS dump_cycle,
+              sl.slot4 % 4 AS slot,
+              CAST(round(ev.its - anchor.t0) AS BIGINT) AS sched_offset,
+              count(*) AS n
+            FROM sl
+            JOIN ev ON sl.bmp_router = ev.bmp_router
+              AND sl.dump_cycle = ev.dump_cycle
+            CROSS JOIN anchor
+            GROUP BY ALL"""),
+      doc = "reference golden replay: BMP dump spreading, 2 cycles (test 207)")
   )
 }

@@ -819,6 +819,60 @@ class ProtocolSpec extends AnyFunSuite {
     assert(UdpNotif.reassemble(Seq(seg(3, 0, false, "x"))).isEmpty)
   }
 
+  test("dump-spreading djb2 slots match the reference hash") {
+    import graft.operators.GoldenReplay.djb2Slot
+    // pm_djb2_string_hash (util.c:3859) values verified against the
+    // observed tests/207 schedule (slots 1/2/3 of 4, slot 0 empty) and
+    // the tests/304 scenario slot counts 8/9
+    assert(djb2Slot("172.21.1.101", 4) == 1)
+    assert(djb2Slot("172.21.1.102", 4) == 2)
+    assert(djb2Slot("172.21.1.103", 4) == 3)
+    assert(djb2Slot("172.21.1.101", 8) == 5)
+    assert(djb2Slot("172.21.1.102", 9) == 1)
+    assert(djb2Slot("fd25::101", 8) == 0)
+    assert(djb2Slot("fd25::101", 9) == 4)
+  }
+
+  test("BMP dump cycles drain session events after the first dump") {
+    import graft.operators.GoldenReplay
+    import graft.sources.{BgpMsg, BmpMsg}
+    val peer = BmpMsg.PeerHeader(0, 0, 7L, 0x0A000001L, 65010L,
+      0x01010101L, 1710000000L, 500000L)
+    val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(0x0A0B0C00L, 24)),
+      origin = Some(0), nextHop = Some(0x0A000002L))
+    val stream =
+      BmpMsg.encodeInitiation(Seq(1 -> "sys", 2 -> "graft")) ++
+        BmpMsg.encodePeerUp(peer) ++
+        BmpMsg.encodeRouteMonitoring(peer, u)
+    val rows = GoldenReplay.bmpAttrRows(stream, "r1", mode = "dump",
+      dumpCycles = 2)
+    def kinds(c: Long) = rows.filter(_.dump_cycle == c)
+      .map(r => (r.event_kind, r.bmp_msg_type))
+    // cycle 0: the queued init + peer_up session events ride along
+    assert(kinds(0L) == Seq(("dump_init", ""), ("dump", "init"),
+      ("dump", "peer_up"), ("dump", "route_monitor"), ("dump_close", "")))
+    // cycle 1: the se_ll was destroyed after the first covering dump
+    // (bmp_logdump.c:1874-1884) — routes only
+    assert(kinds(1L) == Seq(("dump_init", ""),
+      ("dump", "route_monitor"), ("dump_close", "")))
+    // single-cycle callers see the unchanged shape
+    assert(GoldenReplay.bmpAttrRows(stream, "r1", mode = "dump")
+      .forall(_.dump_cycle == 0L))
+  }
+
+  test("ext-community render sorts by unsigned memcmp order") {
+    import graft.operators.GoldenReplay
+    import graft.sources.BgpMsg.ExtCommunity
+    // a transitive-opaque 0x80-type entry must render AFTER RT/SoO
+    // (memcmp on unsigned bytes) — a signed packed-key sort would put
+    // it first; observed in the tests/304 dump golden ("RT:...,?,?")
+    val es = Seq(ExtCommunity(0x80, 0x06, 0L, 1L),
+      ExtCommunity(0, 2, 60633L, 917L),
+      ExtCommunity(0x80, 0x01, 0L, 2L),
+      ExtCommunity(0, 3, 64530L, 11L))
+    assert(GoldenReplay.ecommsStr(es) == "RT:60633:917,SoO:64530:11,?,?")
+  }
+
   test("framed-stream dedup drops back-to-back identical messages") {
     import graft.operators.GoldenReplay
     val m1 = Array[Byte](3, 0, 0, 0, 8, 1, 9, 9)
