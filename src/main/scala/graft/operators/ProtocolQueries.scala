@@ -115,9 +115,12 @@ object ProtocolQueries {
             col("ip_proto"), col("port_dst"),
             (col("bytes") % 4294967296L).as("octets"), col("packets"))
           .as[(Long, Long, Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        // secondary-sort walk: datagrams build from 20-record batches
+        // as the run streams, decode through the template cache as they
+        // form, and the per-(proto, port) stats FOLD — task memory is
+        // O(batch + distinct keys), never the exporter's record set
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(260, Seq(
               IE.Protocol -> 1, IE.L4DstPort -> 2,
               IE.InBytes -> 4, IE.InPkts -> 4))
@@ -125,25 +128,48 @@ object ProtocolQueries {
             // even exporters speak NetFlow v9, odd exporters IPFIX —
             // nfacctd accepts both concurrently (SURVEY §2.8)
             val ipfix = ex % 2 == 1
-            val dataDgs = recs.grouped(20).map { b =>
-              val rs = b.map(r => Map(
-                IE.Protocol -> r._3, IE.L4DstPort -> r._4,
-                IE.InBytes -> r._5, IE.InPkts -> r._6))
-              if (ipfix) NetFlowV9.encodeDataIpfix(h, tmpl, rs)
-              else NetFlowV9.encodeData(h, tmpl, rs)
-            }.toSeq
-            val tdg = if (ipfix) NetFlowV9.encodeTemplateIpfix(h, tmpl)
-              else NetFlowV9.encodeTemplate(h, tmpl)
-            // template deliberately arrives after two data datagrams
-            val dgs = dataDgs.take(2) ++ Seq(tdg) ++ dataDgs.drop(2)
             val cache = new NetFlowV9.TemplateCache
-            dgs.flatMap(cache.observe).map(m =>
-              (ex, m(IE.Protocol), m(IE.L4DstPort),
-                m(IE.InBytes), m(IE.InPkts)))
+            // (proto, port) -> (n, octets, packets)
+            val agg = scala.collection.mutable.LinkedHashMap[(Long, Long),
+              (Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                val k = (m(IE.Protocol), m(IE.L4DstPort))
+                val (n, o, p) = agg.getOrElse(k, (0L, 0L, 0L))
+                agg(k) = (n + 1, o + m(IE.InBytes), p + m(IE.InPkts))
+              }
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            var nDataDgs = 0
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              val rs = batch.toSeq
+              observe(if (ipfix) NetFlowV9.encodeDataIpfix(h, tmpl, rs)
+                else NetFlowV9.encodeData(h, tmpl, rs))
+              batch.clear()
+              nDataDgs += 1
+              // template deliberately arrives after two data datagrams
+              // — the cache buffers the early records until then
+              if (nDataDgs == 2)
+                observe(if (ipfix) NetFlowV9.encodeTemplateIpfix(h, tmpl)
+                  else NetFlowV9.encodeTemplate(h, tmpl))
+            }
+            run.foreach { r =>
+              batch += Map(
+                IE.Protocol -> r._3, IE.L4DstPort -> r._4,
+                IE.InBytes -> r._5, IE.InPkts -> r._6)
+              if (batch.size == 20) flushBatch()
+            }
+            flushBatch()
+            if (nDataDgs < 2)
+              observe(if (ipfix) NetFlowV9.encodeTemplateIpfix(h, tmpl)
+                else NetFlowV9.encodeTemplate(h, tmpl))
+            agg.iterator.map { case ((proto, port), (n, o, p)) =>
+              (ex, proto, port, n, o, p) }.toSeq
+          }
         }
-        decoded.toDF("exporter", "proto", "port_dst", "octets", "packets")
+        decoded.toDF("exporter", "proto", "port_dst", "n", "octets",
+            "packets")
           .groupBy("proto")
-          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+          .agg(sum("n").as("n"), sum("octets").as("octets"),
             sum("packets").as("packets"))
       },
       Some(FlowView.cte(
@@ -163,13 +189,18 @@ object ProtocolQueries {
         val sp = s
         import sp.implicits._
         import NetFlowV9.IE
-        val rows = flows(s, d).select(
+        val base = flows(s, d).select(
             (col("ip_src") % 16).as("exporter"), col("event_id"),
             col("ip_proto"), (col("bytes") % 4294967296L).as("b"))
-          .as[(Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        // the mid-stream rate change lands at the exporter's halfway
+        // record — the tiny per-exporter count broadcasts so the
+        // streaming handler knows the boundary without buffering
+        val cnts = base.groupBy("exporter").agg(count(lit(1)).as("cnt"))
+        val rows = base.join(broadcast(cnts), Seq("exporter"))
+          .select("exporter", "event_id", "ip_proto", "b", "cnt")
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
             val dataT = NetFlowV9.Template(270,
               Seq(IE.Protocol -> 1, IE.InBytes -> 4))
@@ -177,28 +208,50 @@ object ProtocolQueries {
               Seq(IE.ScopeSystem -> 4, IE.SamplingInterval -> 4))
             def optRecord(rate: Long) = NetFlowV9.encodeData(h, optT,
               Seq(Map(IE.ScopeSystem -> ex, IE.SamplingInterval -> rate)))
-            def dataDgs(rs: Seq[(Long, Long, Long, Long)]) =
-              rs.grouped(20).map(b => NetFlowV9.encodeData(h, dataT,
-                b.map(r => Map(IE.Protocol -> r._3, IE.InBytes -> r._4))))
             val r1 = 1L + (ex % 4) * 50L
             val r2 = r1 + 100L
-            val half = (recs.size + 1) / 2
-            val dgs =
-              Seq(NetFlowV9.encodeOptionTemplate(h, optT, 1),
-                optRecord(r1), NetFlowV9.encodeTemplate(h, dataT)) ++
-                dataDgs(recs.take(half)) ++
-                Seq(optRecord(r2)) ++ dataDgs(recs.drop(half))
             val cache = new NetFlowV9.TemplateCache
             var rate = 1L
-            dgs.iterator.flatMap(cache.observe).flatMap { m =>
-              if (m.contains(IE.SamplingInterval)) {
-                rate = m(IE.SamplingInterval); None
-              } else Some((ex, m(IE.Protocol), m(IE.InBytes) * rate))
+            // proto -> (n, renormalized bytes) folds as datagrams decode
+            val agg = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                if (m.contains(IE.SamplingInterval))
+                  rate = m(IE.SamplingInterval)
+                else {
+                  val (n, b) = agg.getOrElse(m(IE.Protocol), (0L, 0L))
+                  agg(m(IE.Protocol)) =
+                    (n + 1, b + m(IE.InBytes) * rate)
+                }
+              }
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeData(h, dataT, batch.toSeq))
+              batch.clear()
             }
+            var seen = 0L
+            var half = -1L
+            run.foreach { case (_, _, proto, b, cnt) =>
+              if (half < 0) {
+                half = (cnt + 1) / 2
+                observe(NetFlowV9.encodeOptionTemplate(h, optT, 1))
+                observe(optRecord(r1))
+                observe(NetFlowV9.encodeTemplate(h, dataT))
+              }
+              batch += Map(IE.Protocol -> proto, IE.InBytes -> b)
+              seen += 1
+              if (batch.size == 20) flushBatch()
+              if (seen == half) { flushBatch(); observe(optRecord(r2)) }
+            }
+            flushBatch()
+            agg.iterator.map { case (proto, (n, b)) =>
+              (ex, proto, n, b) }.toSeq
+          }
         }
-        decoded.toDF("exporter", "proto", "bytes_renorm")
+        decoded.toDF("exporter", "proto", "n", "bytes_renorm")
           .groupBy("exporter", "proto")
-          .agg(count(lit(1)).as("n"), sum("bytes_renorm").as("bytes_renorm"))
+          .agg(sum("n").as("n"), sum("bytes_renorm").as("bytes_renorm"))
       },
       Some(FlowView.cte(
         """SELECT exporter, proto, count(*) AS n,
@@ -235,9 +288,8 @@ object ProtocolQueries {
             col("event_type"),
             expr("floor(value * 100)").as("b"), col("user_id"))
           .as[(Long, Long, String, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, String, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             // 96 = applicationName (vlen string); PEN 9 type 1 = a
             // Cisco-scoped numeric custom primitive
             val appK = 96L
@@ -245,25 +297,45 @@ object ProtocolQueries {
             val tmpl = TemplateX(280, Seq(
               FieldSpec(96, VarLen), FieldSpec(IE.InBytes, 4), penF))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            val dataDgs = recs.grouped(20).map { batch =>
-              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
-                appK -> r._3, IE.InBytes.toLong -> r._4,
-                penF.key -> r._5)))
-            }.toSeq
-            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
-            // template deliberately arrives after the first data set
-            val dgs = dataDgs.take(1) ++ Seq(tdg) ++ dataDgs.drop(1)
             val cache = new NetFlowV9.TemplateCache
-            dgs.flatMap(cache.observeX).map { m =>
-              (m(appK).asInstanceOf[String],
-                m(IE.InBytes.toLong).asInstanceOf[Long],
-                m(penF.key).asInstanceOf[Long])
+            // app -> (n, bytes, sum_uid) folds as datagrams decode
+            val agg = scala.collection.mutable.LinkedHashMap[String,
+              (Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observeX(dg).foreach { m =>
+                val app = m(appK).asInstanceOf[String]
+                val (n, b, u) = agg.getOrElse(app, (0L, 0L, 0L))
+                agg(app) = (n + 1,
+                  b + m(IE.InBytes.toLong).asInstanceOf[Long],
+                  u + m(penF.key).asInstanceOf[Long])
+              }
+            val batch =
+              scala.collection.mutable.Buffer[Map[Long, Any]]()
+            var nDataDgs = 0
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeDataIpfixX(h, tmpl, batch.toSeq))
+              batch.clear()
+              nDataDgs += 1
+              // template deliberately arrives after the first data set
+              if (nDataDgs == 1)
+                observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
             }
+            run.foreach { r =>
+              batch += Map(appK -> r._3, IE.InBytes.toLong -> r._4,
+                penF.key -> r._5)
+              if (batch.size == 20) flushBatch()
+            }
+            flushBatch()
+            if (nDataDgs < 1)
+              observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
+            agg.iterator.map { case (app, (n, b, u)) =>
+              (app, n, b, u) }.toSeq
+          }
         }
-        decoded.toDF("app", "b", "uid")
+        decoded.toDF("app", "n", "bytes", "sum_uid")
           .groupBy("app")
-          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
-            sum("uid").as("sum_uid"))
+          .agg(sum("n").as("n"), sum("bytes").as("bytes"),
+            sum("sum_uid").as("sum_uid"))
       },
       Some("""SELECT event_type AS app, count(*) AS n,
               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
@@ -294,9 +366,8 @@ object ProtocolQueries {
             col("event_type").as("label"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
           .as[(Long, Long, Long, Long, String, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, String, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val Pen = 43874L
             val tagF = FieldSpec(1, 8, pen = Pen)
             val tag2F = FieldSpec(2, 8, pen = Pen)
@@ -304,25 +375,45 @@ object ProtocolQueries {
             val tmpl = TemplateX(290, Seq(
               tagF, tag2F, labelF, FieldSpec(IE.InBytes, 4)))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            val dataDgs = recs.grouped(25).map { batch =>
-              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
-                tagF.key -> r._3, tag2F.key -> r._4,
-                labelF.key -> r._5, IE.InBytes.toLong -> r._6)))
-            }.toSeq
-            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
-            val dgs = dataDgs.take(1) ++ Seq(tdg) ++ dataDgs.drop(1)
             val cache = new NetFlowV9.TemplateCache
-            dgs.flatMap(cache.observeX).map { m =>
-              (m(tagF.key).asInstanceOf[Long],
-                m(tag2F.key).asInstanceOf[Long],
-                m(labelF.key).asInstanceOf[String],
-                m(IE.InBytes.toLong).asInstanceOf[Long])
+            // label -> (n, sum_tag, sum_tag2, bytes) folds per datagram
+            val agg = scala.collection.mutable.LinkedHashMap[String,
+              (Long, Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observeX(dg).foreach { m =>
+                val lbl = m(labelF.key).asInstanceOf[String]
+                val (n, t, t2, b) = agg.getOrElse(lbl, (0L, 0L, 0L, 0L))
+                agg(lbl) = (n + 1,
+                  t + m(tagF.key).asInstanceOf[Long],
+                  t2 + m(tag2F.key).asInstanceOf[Long],
+                  b + m(IE.InBytes.toLong).asInstanceOf[Long])
+              }
+            val batch =
+              scala.collection.mutable.Buffer[Map[Long, Any]]()
+            var nDataDgs = 0
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeDataIpfixX(h, tmpl, batch.toSeq))
+              batch.clear()
+              nDataDgs += 1
+              if (nDataDgs == 1)
+                observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
             }
+            run.foreach { r =>
+              batch += Map(tagF.key -> r._3, tag2F.key -> r._4,
+                labelF.key -> r._5, IE.InBytes.toLong -> r._6)
+              if (batch.size == 25) flushBatch()
+            }
+            flushBatch()
+            if (nDataDgs < 1)
+              observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
+            agg.iterator.map { case (lbl, (n, t, t2, b)) =>
+              (lbl, n, t, t2, b) }.toSeq
+          }
         }
-        decoded.toDF("tag", "tag2", "label", "b")
+        decoded.toDF("label", "n", "sum_tag", "sum_tag2", "bytes")
           .groupBy("label")
-          .agg(count(lit(1)).as("n"), sum("tag").as("sum_tag"),
-            sum("tag2").as("sum_tag2"), sum("b").as("bytes"))
+          .agg(sum("n").as("n"), sum("sum_tag").as("sum_tag"),
+            sum("sum_tag2").as("sum_tag2"), sum("bytes").as("bytes"))
       },
       Some("""SELECT event_type AS label, count(*) AS n,
               CAST(sum(user_id % 100) AS BIGINT) AS sum_tag,
@@ -984,31 +1075,43 @@ object ProtocolQueries {
             (col("event_id") % 64).as("pk"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("b"))
           .as[(Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = TemplateX((300 + ex).toInt, Seq(
               FieldSpec(IE.L4SrcPort, 2), FieldSpec(IE.InBytes, 4)))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            val dataDgs = recs.grouped(25).map { batch =>
-              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
-                IE.L4SrcPort.toLong -> r._3, IE.InBytes.toLong -> r._4)))
-            }.toSeq
-            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
-            // collector A: normal stream, template first
+            // collector A sees the template first and decodes datagrams
+            // as the run streams; collector B sees data only — its cache
+            // buffers until the receiver feed (A's re-encoded snapshot)
+            // drains it at the end
             val a = new NetFlowV9.TemplateCache
-            val aRecs = (Seq(tdg) ++ dataDgs).flatMap(a.observeX)
-            // collector B: data only — everything buffers
             val b = new NetFlowV9.TemplateCache
-            val bBefore = dataDgs.flatMap(b.observeX).size
+            var aN = 0L; var aBytes = 0L; var bBefore = 0L
+            a.observeX(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
+            val batch =
+              scala.collection.mutable.Buffer[Map[Long, Any]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              val dg = NetFlowV9.encodeDataIpfixX(h, tmpl, batch.toSeq)
+              batch.clear()
+              a.observeX(dg).foreach { m =>
+                aN += 1
+                aBytes += m(IE.InBytes.toLong).asInstanceOf[Long]
+              }
+              bBefore += b.observeX(dg).size
+            }
+            run.foreach { r =>
+              batch += Map(
+                IE.L4SrcPort.toLong -> r._3, IE.InBytes.toLong -> r._4)
+              if (batch.size == 25) flushBatch()
+            }
+            flushBatch()
             // receiver feed: A re-encodes its cache; B drains on it
             val feed = a.templatesSnapshot.map(t =>
               NetFlowV9.encodeTemplateIpfixX(h, t))
             val bAfter = feed.flatMap(b.observeX)
-            Iterator((ex, aRecs.size.toLong, bBefore.toLong,
-              bAfter.size.toLong,
-              aRecs.map(m => m(IE.InBytes.toLong).asInstanceOf[Long]).sum,
+            Iterator((ex, aN, bBefore, bAfter.size.toLong, aBytes,
               bAfter.map(m => m(IE.InBytes.toLong).asInstanceOf[Long]).sum))
+          }
         }
         decoded.toDF("exporter", "a_decoded", "b_before_feed",
             "b_after_feed", "a_bytes", "b_bytes")
@@ -1257,29 +1360,46 @@ object ProtocolQueries {
             (lit(1024L) + (col("port_src") * 7) % 60000).as("pnp"),
             (col("bytes") % 4294967296L).as("octets"))
           .as[(Long, Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2).flatMap { r =>
-              Seq(Map(IE.NatEvent -> 1L, IE.PostNatSrcAddr -> r._3,
-                      IE.PostNatSrcPort -> r._4, IE.InBytes -> 0L),
-                  Map(IE.NatEvent -> 2L, IE.PostNatSrcAddr -> r._3,
-                      IE.PostNatSrcPort -> r._4, IE.InBytes -> r._5))
-            }
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(270, Seq(
               IE.NatEvent -> 1, IE.PostNatSrcAddr -> 4,
               IE.PostNatSrcPort -> 2, IE.InBytes -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
             val cache = new NetFlowV9.TemplateCache
-            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
-              recs.grouped(24).map(b =>
-                NetFlowV9.encodeData(h, tmpl, b)).toSeq
-            dgs.flatMap(cache.observe).map(m =>
-              (m(IE.NatEvent), m(IE.PostNatSrcAddr),
-               m(IE.PostNatSrcPort), m(IE.InBytes)))
+            // (event, post-NAT ip, post-NAT port) -> (n, octets): the
+            // key space is the NAT pool, bounded by the pool size, not
+            // the record count — distinct counting stays downstream
+            val agg = scala.collection.mutable.LinkedHashMap[
+              (Long, Long, Long), (Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                val k = (m(IE.NatEvent), m(IE.PostNatSrcAddr),
+                  m(IE.PostNatSrcPort))
+                val (n, o) = agg.getOrElse(k, (0L, 0L))
+                agg(k) = (n + 1, o + m(IE.InBytes))
+              }
+            observe(NetFlowV9.encodeTemplate(h, tmpl))
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeData(h, tmpl, batch.toSeq))
+              batch.clear()
+            }
+            run.foreach { r =>
+              batch += Map(IE.NatEvent -> 1L, IE.PostNatSrcAddr -> r._3,
+                IE.PostNatSrcPort -> r._4, IE.InBytes -> 0L)
+              batch += Map(IE.NatEvent -> 2L, IE.PostNatSrcAddr -> r._3,
+                IE.PostNatSrcPort -> r._4, IE.InBytes -> r._5)
+              if (batch.size >= 24) flushBatch()
+            }
+            flushBatch()
+            agg.iterator.map { case ((ev, pns, pnp), (n, o)) =>
+              (ev, pns, pnp, n, o) }.toSeq
+          }
         }
-        decoded.toDF("nat_event", "pns", "pnp", "octets")
+        decoded.toDF("nat_event", "pns", "pnp", "n", "octets")
           .groupBy("nat_event")
-          .agg(count(lit(1)).as("n"),
+          .agg(sum("n").as("n"),
             countDistinct(col("pns")).as("n_pool_ips"),
             countDistinct(col("pnp")).as("n_pool_ports"),
             sum("octets").as("octets"))
@@ -1320,29 +1440,45 @@ object ProtocolQueries {
               .otherwise(lit(1L) + col("event_id") % 2).as("fw_event"),
             col("event_id"), (col("bytes") % 4294967296L).as("octets"))
           .as[(Long, Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2).map { r =>
-              val fwd = if (r._3 == 3L) 128L + r._4 % 4 // dropped + reason
-                        else 64L + r._4 % 2             // forwarded
-              Map(IE.FwEvent -> r._3, IE.FwdStatus -> fwd,
-                  IE.InBytes -> r._5)
-            }
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(271, Seq(
               IE.FwEvent -> 1, IE.FwdStatus -> 1, IE.InBytes -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
             val cache = new NetFlowV9.TemplateCache
-            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
-              recs.grouped(30).map(b =>
-                NetFlowV9.encodeData(h, tmpl, b)).toSeq
-            dgs.flatMap(cache.observe).map(m =>
-              (m(IE.FwEvent), m(IE.FwdStatus), m(IE.InBytes)))
+            // (fw_event, fwd_status) spans ≤ 6 classes — the fold is
+            // O(1); distinct reason counting stays downstream
+            val agg = scala.collection.mutable.LinkedHashMap[
+              (Long, Long), (Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                val k = (m(IE.FwEvent), m(IE.FwdStatus))
+                val (n, o) = agg.getOrElse(k, (0L, 0L))
+                agg(k) = (n + 1, o + m(IE.InBytes))
+              }
+            observe(NetFlowV9.encodeTemplate(h, tmpl))
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeData(h, tmpl, batch.toSeq))
+              batch.clear()
+            }
+            run.foreach { r =>
+              val fwd = if (r._3 == 3L) 128L + r._4 % 4 // dropped + reason
+                        else 64L + r._4 % 2             // forwarded
+              batch += Map(IE.FwEvent -> r._3, IE.FwdStatus -> fwd,
+                IE.InBytes -> r._5)
+              if (batch.size == 30) flushBatch()
+            }
+            flushBatch()
+            agg.iterator.map { case ((ev, fwd), (n, o)) =>
+              (ev, fwd, n, o) }.toSeq
+          }
         }
-        decoded.toDF("fw_event", "fwd_status", "octets")
+        decoded.toDF("fw_event", "fwd_status", "n", "octets")
           .groupBy(col("fw_event"),
             (col("fwd_status").cast("long") / 64).cast("long")
               .as("fwd_class"))
-          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+          .agg(sum("n").as("n"), sum("octets").as("octets"),
             countDistinct(col("fwd_status")).as("n_reasons"))
       },
       Some(FlowView.cte(
@@ -1428,31 +1564,47 @@ object ProtocolQueries {
           .agg((sum(col("bytes")) % 4294967296L).as("oc"),
             (sum(col("packets")) % 4294967296L).as("pk"))
           .as[(Long, Long, Long, Long, Long, Long)]
-        val decoded = cacheRows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(r => (r._2, r._3, r._4))
-              .map(r => Map(IE.Ipv4SrcAddr -> r._2, IE.Ipv4DstAddr -> r._3,
-                IE.Protocol -> r._4, IE.InBytes -> r._5, IE.InPkts -> r._6))
+        val decoded = SessionWalk.sessionsAll(cacheRows)
+          .mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(272, Seq(
               IE.Ipv4SrcAddr -> 4, IE.Ipv4DstAddr -> 4, IE.Protocol -> 1,
               IE.InBytes -> 4, IE.InPkts -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            // template before the first data packet, then refreshed every
-            // 4 data packets (pkts_until_template semantics)
-            val dgs = recs.grouped(20).toSeq.zipWithIndex.flatMap {
-              case (b, i) =>
-                val data = NetFlowV9.encodeData(h, tmpl, b)
-                if (i % 4 == 0)
-                  Seq(NetFlowV9.encodeTemplate(h, tmpl), data)
-                else Seq(data)
-            }
             val cache = new NetFlowV9.TemplateCache
-            dgs.flatMap(cache.observe).map(m =>
-              (m(IE.Protocol), m(IE.InBytes), m(IE.InPkts)))
+            val agg = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                val (n, o, p) = agg.getOrElse(m(IE.Protocol), (0L, 0L, 0L))
+                agg(m(IE.Protocol)) =
+                  (n + 1, o + m(IE.InBytes), p + m(IE.InPkts))
+              }
+            // template before the first data packet, then refreshed
+            // every 4 data packets (pkts_until_template semantics)
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            var nDataDgs = 0
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              if (nDataDgs % 4 == 0)
+                observe(NetFlowV9.encodeTemplate(h, tmpl))
+              observe(NetFlowV9.encodeData(h, tmpl, batch.toSeq))
+              batch.clear()
+              nDataDgs += 1
+            }
+            run.foreach { r =>
+              batch += Map(IE.Ipv4SrcAddr -> r._2, IE.Ipv4DstAddr -> r._3,
+                IE.Protocol -> r._4, IE.InBytes -> r._5,
+                IE.InPkts -> r._6)
+              if (batch.size == 20) flushBatch()
+            }
+            flushBatch()
+            agg.iterator.map { case (proto, (n, o, p)) =>
+              (proto, n, o, p) }.toSeq
+          }
         }
-        decoded.toDF("proto", "octets", "packets")
+        decoded.toDF("proto", "n_flows", "octets", "packets")
           .groupBy("proto")
-          .agg(count(lit(1)).as("n_flows"), sum("octets").as("octets"),
+          .agg(sum("n_flows").as("n_flows"), sum("octets").as("octets"),
             sum("packets").as("packets"))
       },
       Some(FlowView.cte(
@@ -1657,24 +1809,40 @@ object ProtocolQueries {
             col("ip_proto"), (col("bytes") % 4294967296L).as("oc"),
             (col("event_id") % 9 === 0).as("corrupt"))
           .as[(Long, Long, Long, Long, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
-            val (bad, good) = recs.partition(_._5)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(273, Seq(
               IE.Protocol -> 1, IE.InBytes -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            def dg(b: Seq[(Long, Long, Long, Long, Boolean)]) =
-              NetFlowV9.encodeData(h, tmpl,
-                b.map(r => Map(IE.Protocol -> r._3, IE.InBytes -> r._4)))
-            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
-              (good.grouped(20).map(dg).toSeq ++
-                bad.grouped(20).map(b => dg(b).take(12)).toSeq) // truncated
             val cache = new NetFlowV9.TemplateCache
-            val out = dgs.flatMap(cache.observe)
-            Iterator.single((ex, recs.size.toLong, out.size.toLong,
-              (recs.size - out.size).toLong,
-              out.map(m => m(IE.InBytes).asInstanceOf[Long]).sum))
+            var nSent = 0L; var nDecoded = 0L; var octets = 0L
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                nDecoded += 1; octets += m(IE.InBytes)
+              }
+            observe(NetFlowV9.encodeTemplate(h, tmpl))
+            // corrupt records batch separately and their datagrams
+            // truncate to 12 bytes — the decoder must drop them whole
+            val good = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            val bad = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            def flush(b: scala.collection.mutable.Buffer[Map[Int, Long]],
+                      truncate: Boolean): Unit = if (b.nonEmpty) {
+              val dg = NetFlowV9.encodeData(h, tmpl, b.toSeq)
+              observe(if (truncate) dg.take(12) else dg)
+              b.clear()
+            }
+            run.foreach { r =>
+              nSent += 1
+              val b = if (r._5) bad else good
+              b += Map(IE.Protocol -> r._3, IE.InBytes -> r._4)
+              if (good.size == 20) flush(good, truncate = false)
+              if (bad.size == 20) flush(bad, truncate = true)
+            }
+            flush(good, truncate = false)
+            flush(bad, truncate = true)
+            Iterator.single((ex, nSent, nDecoded, nSent - nDecoded,
+              octets))
+          }
         }
         decoded.toDF("exporter", "n_sent", "n_decoded", "n_dropped",
           "octets")
@@ -1708,27 +1876,44 @@ object ProtocolQueries {
             expr("t1u div 1000").as("t1ms"),
             (col("bytes") % 4294967296L).as("oc"))
           .as[(Long, Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2).map(r =>
-              Map(IE.FirstSwitchedMsec -> r._3, IE.LastSwitchedMsec -> r._4,
-                IE.InBytes -> r._5))
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = NetFlowV9.Template(275, Seq(
               IE.FirstSwitchedMsec -> 8, IE.LastSwitchedMsec -> 8,
               IE.InBytes -> 4))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
             val cache = new NetFlowV9.TemplateCache
-            val dgs = NetFlowV9.encodeTemplate(h, tmpl) +:
-              recs.grouped(20).map(b =>
-                NetFlowV9.encodeData(h, tmpl, b)).toSeq
-            dgs.flatMap(cache.observe).map(m =>
-              (m(IE.FirstSwitchedMsec), m(IE.LastSwitchedMsec),
-               m(IE.InBytes)))
+            // 5-minute bin -> (n, octets, duration): the fold key space
+            // is the time range, not the record count
+            val agg = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observe(dg).foreach { m =>
+                val bin = (m(IE.FirstSwitchedMsec) / 300000L) * 300L
+                val (n, o, du) = agg.getOrElse(bin, (0L, 0L, 0L))
+                agg(bin) = (n + 1, o + m(IE.InBytes),
+                  du + m(IE.LastSwitchedMsec) - m(IE.FirstSwitchedMsec))
+              }
+            observe(NetFlowV9.encodeTemplate(h, tmpl))
+            val batch = scala.collection.mutable.Buffer[Map[Int, Long]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeData(h, tmpl, batch.toSeq))
+              batch.clear()
+            }
+            run.foreach { r =>
+              batch += Map(IE.FirstSwitchedMsec -> r._3,
+                IE.LastSwitchedMsec -> r._4, IE.InBytes -> r._5)
+              if (batch.size == 20) flushBatch()
+            }
+            flushBatch()
+            agg.iterator.map { case (bin, (n, o, du)) =>
+              (bin, n, o, du) }.toSeq
+          }
         }
-        decoded.toDF("t0ms", "t1ms", "oc")
-          .groupBy(expr("(t0ms div 300000) * 300").as("bin_start"))
-          .agg(count(lit(1)).as("n"), sum("oc").as("octets"),
-            sum(col("t1ms") - col("t0ms")).as("dur_ms"))
+        decoded.toDF("bin_start", "n", "octets", "dur_ms")
+          .groupBy("bin_start")
+          .agg(sum("n").as("n"), sum("octets").as("octets"),
+            sum("dur_ms").as("dur_ms"))
       },
       Some(FlowView.cte(
         """SELECT (t0u // 1000 // 300000) * 300 AS bin_start,
@@ -1810,38 +1995,55 @@ object ProtocolQueries {
           .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
         val revB = FieldSpec(IE.InBytes, 4, pen = 29305L)
         val revP = FieldSpec(IE.InPkts, 4, pen = 29305L)
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (ex: Long,
-           it: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)]) =>
-            val recs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
             val tmpl = TemplateX(300, Seq(
               FieldSpec(IE.Protocol, 1), FieldSpec(IE.L4DstPort, 2),
               FieldSpec(IE.InBytes, 4), FieldSpec(IE.InPkts, 4),
               revB, revP))
             val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
-            val tdg = NetFlowV9.encodeTemplateIpfixX(h, tmpl)
-            val dataDgs = recs.grouped(25).map { batch =>
-              NetFlowV9.encodeDataIpfixX(h, tmpl, batch.map(r => Map(
+            val cache = new NetFlowV9.TemplateCache
+            // proto -> (n, fwd_b, fwd_p, rev_b, rev_p, n_oneway)
+            val agg = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, Long, Long, Long, Long, Long)]()
+            def observe(dg: Array[Byte]): Unit =
+              cache.observeX(dg).foreach { m =>
+                val proto = m(IE.Protocol.toLong).asInstanceOf[Long]
+                val fb = m(IE.InBytes.toLong).asInstanceOf[Long]
+                val fp = m(IE.InPkts.toLong).asInstanceOf[Long]
+                val rb = m(revB.key).asInstanceOf[Long]
+                val rp = m(revP.key).asInstanceOf[Long]
+                val (n, a, b, c, e, ow) =
+                  agg.getOrElse(proto, (0L, 0L, 0L, 0L, 0L, 0L))
+                agg(proto) = (n + 1, a + fb, b + fp, c + rb, e + rp,
+                  ow + (if (rb == 0L) 1L else 0L))
+              }
+            observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
+            val batch =
+              scala.collection.mutable.Buffer[Map[Long, Any]]()
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              observe(NetFlowV9.encodeDataIpfixX(h, tmpl, batch.toSeq))
+              batch.clear()
+            }
+            run.foreach { r =>
+              batch += Map(
                 IE.Protocol.toLong -> r._3, IE.L4DstPort.toLong -> r._4,
                 IE.InBytes.toLong -> r._5, IE.InPkts.toLong -> r._6,
-                revB.key -> r._7, revP.key -> r._8)))
-            }.toSeq
-            val cache = new NetFlowV9.TemplateCache
-            (Seq(tdg) ++ dataDgs).flatMap(cache.observeX).map { m =>
-              (m(IE.Protocol.toLong).asInstanceOf[Long],
-                m(IE.InBytes.toLong).asInstanceOf[Long],
-                m(IE.InPkts.toLong).asInstanceOf[Long],
-                m(revB.key).asInstanceOf[Long],
-                m(revP.key).asInstanceOf[Long])
+                revB.key -> r._7, revP.key -> r._8)
+              if (batch.size == 25) flushBatch()
             }
+            flushBatch()
+            agg.iterator.map { case (proto, (n, fb, fp, rb, rp, ow)) =>
+              (proto, n, fb, fp, rb, rp, ow) }.toSeq
+          }
         }
-        decoded.toDF("proto", "fwd_b", "fwd_p", "rev_b", "rev_p")
+        decoded.toDF("proto", "n", "fwd_b", "fwd_p", "rev_b", "rev_p",
+            "n_oneway")
           .groupBy("proto")
-          .agg(count(lit(1)).as("n"),
+          .agg(sum("n").as("n"),
             sum("fwd_b").as("fwd_bytes"), sum("rev_b").as("rev_bytes"),
             sum("fwd_p").as("fwd_pkts"), sum("rev_p").as("rev_pkts"),
-            sum(when(col("rev_b") === 0L, 1L).otherwise(0L))
-              .as("n_oneway"))
+            sum("n_oneway").as("n_oneway"))
       },
       Some(FlowView.cte(
         """SELECT ip_proto AS proto, count(*) AS n,

@@ -155,9 +155,11 @@ object ScaleQueries {
             col("user_id").cast("long").as("uid"),
             col("event_id").cast("long"), col("event_type"))
           .as[(Long, Long, String)]
-        val classified = rows.groupByKey(_._1).mapGroups {
-          (uid: Long, it: Iterator[(Long, Long, String)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        // the giveup budget makes this the ideal lazy walk: the
+        // classifier consumes at most 3 packets of the sorted run and
+        // the rest drains untouched — no buffering at any group size
+        val classified = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (uid, run) =>
             def mk(e: (Long, Long, String)): Array[Byte] =
               if (e._2 % 7 == 0) {
                 val alt = (e._2 / 7) % 2 == 1 // alternate signature family
@@ -187,11 +189,12 @@ object ScaleQueries {
                 }
               } else Array[Byte](0, 1, 2, 3)
             var last: Array[Byte] = Array.emptyByteArray
-            val packets = evs.iterator.map { e => last = mk(e); last }
+            val packets = run.map { e => last = mk(e); last }
             val (cls, n) = L7.classifyFlow(packets, 3)
             val sni =
               if (cls == "tls") L7.tlsSni(last).orNull else null
-            (cls, n.toLong, sni)
+            Seq((cls, n.toLong, sni))
+          }
         }
         classified.toDF("class", "inspected", "sni")
           .groupBy("class")
@@ -310,15 +313,24 @@ object ScaleQueries {
         val keyed = flows(s, d).select(
             ((col("ip_src") % 256) * 2048 + col("port_dst") * 2 +
               (col("ip_proto") % 2)).as("fkey"),
+            col("t0u"), col("event_id"),
             l7Class(col("ip_proto"), col("port_src"), col("port_dst"))
               .as("cls"),
-            col("t0u"), col("event_id"), col("bytes"))
-          .as[(Long, String, Long, Long, Long)]
-        keyed.groupByKey(_._1).mapGroups { (fkey, it) =>
-          val evs = it.toIndexedSeq.sortBy(e => (e._3, e._4))
-          val decided = evs.take(3).map(_._2).find(_ != "unknown")
-            .getOrElse("unknown") // giveup after budget
-          (decided, evs.size.toLong, evs.map(_._5).sum)
+            col("bytes"))
+          .as[(Long, Long, Long, String, Long)]
+        // (t0u, event_id) is the in-flow order — sessionsAll sorts the
+        // composite; the decision + counters fold in O(1) state
+        SessionWalk.sessionsAll(keyed).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (fkey, run) =>
+            var n = 0L; var bytes = 0L
+            var decided = "unknown" // giveup after budget
+            run.foreach { case (_, _, _, cls, b) =>
+              n += 1; bytes += b
+              if (n <= 3 && decided == "unknown" && cls != "unknown")
+                decided = cls
+            }
+            Seq((decided, n, bytes))
+          }
         }.toDF("class", "n_records", "bytes")
           .groupBy("class")
           .agg(count(lit(1)).as("n_flows"), sum("n_records").as("n_records"),

@@ -30,6 +30,16 @@ object SessionWalk {
       .sortWithinPartitions(col(c(0)), col(c(1)))
   }
 
+  /** Like [[sessions]] but sorted by EVERY column (key first) — for
+    * handlers whose in-run order is a composite of several fields rather
+    * than a single sequence column. */
+  def sessionsAll[T: Encoder](ds: Dataset[T], parts: Int = 64)
+      : Dataset[T] = {
+    val c = ds.columns
+    ds.repartition(parts, col(c(0)))
+      .sortWithinPartitions(c.map(col).toIndexedSeq: _*)
+  }
+
   /** Walk runs of equal keys over an already-sorted iterator. The handler
     * receives each run as a lazy sub-iterator it must consume before the
     * next run begins (any leftover is drained defensively). The handler's

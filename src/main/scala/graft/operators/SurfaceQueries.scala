@@ -221,33 +221,43 @@ object SurfaceQueries {
             (lit(65000L) + col("user_id") % 16).as("oas"),
             col("user_id").cast("long").as("nh"))
           .as[(Long, Long, Long, Boolean, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long,
-           it: Iterator[(Long, Long, Long, Boolean, Long, Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            // the session's contiguous TCP byte stream, built linearly
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, pfx, wd, med, oas, nh) =>
-              val route = BgpMsg.Route(pfx << 8, 24)
-              val msg =
-                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
-                else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
-                  origin = Some(0), asPath = Seq(oas, oas + 1),
-                  nextHop = Some(nh), med = Some(med)))
-              wire.write(msg, 0, msg.length)
-            }
+        // secondary-sort walk (SessionWalk): the shuffle delivers each
+        // session ordered by event_id, the handler encodes and decodes
+        // INCREMENTALLY through a bounded chunk buffer, and the decoded
+        // routes compact in-handler into the per-session RIB — task
+        // memory is O(chunk + distinct prefixes), never the session's
+        // full event set or wire
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
             val peer = sess % 2
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                u.withdrawn.iterator.map(r =>
-                  (peer, r.prefix >> 8, seq.toLong, "withdraw",
-                    0L, 0L, 0L)) ++
-                u.nlri.iterator.map(r =>
-                  (peer, r.prefix >> 8, seq.toLong, "update",
+            // pfx -> (last seq, op, med, oas, nh); latest-wins like the
+            // downstream max_by — the key space is session-local
+            val rib = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, String, Long, Long, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                u.withdrawn.foreach(r =>
+                  rib(r.prefix >> 8) = (seq, "withdraw", 0L, 0L, 0L))
+                u.nlri.foreach(r =>
+                  rib(r.prefix >> 8) = (seq, "update",
                     u.med.getOrElse(0L),
                     u.asPath.headOption.getOrElse(0L),
                     u.nextHop.getOrElse(0L)))
-              }
+              })
+            run.foreach { case (_, _, pfx, wd, med, oas, nh) =>
+              val route = BgpMsg.Route(pfx << 8, 24)
+              wire.write(
+                if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
+                else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
+                  origin = Some(0), asPath = Seq(oas, oas + 1),
+                  nextHop = Some(nh), med = Some(med))))
+            }
+            wire.flush()
+            rib.iterator.map { case (pfx, (sq, op, med, oas, nh)) =>
+              (peer, pfx, sq, op, med, oas, nh) }.toSeq
+          }
         }
         decoded
           .toDF("peer", "prefix", "seq", "op", "med", "oas", "nh")
@@ -318,9 +328,8 @@ object SurfaceQueries {
             expr("CAST(floor(value * 100) AS BIGINT)").as("med"),
             col("user_id").cast("long").as("nh"))
           .as[(Long, Long, Long, Long, Boolean, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long,
-           it: Iterator[(Long, Long, Long, Long, Boolean, Long, Long)]) =>
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
             // capability negotiation gates the wire shape: a collector
             // FSM advertising ADD-PATH accepts the peer's OPEN and only
             // then may path-id NLRI flow on the session
@@ -331,28 +340,34 @@ object SurfaceQueries {
             fsm.onMessage(BgpMsg.KeepaliveMsg, 2L)
             require(fsm.addPathNegotiated, "ADD-PATH must negotiate")
             val ap = fsm.addPathNegotiated
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, pfx, pid, wd, med, _) =>
+            val peer = sess % 2
+            // the ADD-PATH RIB key widens to (pfx, path_id); compaction
+            // happens in-handler as chunks decode — O(chunk + keys)
+            val rib = scala.collection.mutable.LinkedHashMap[(Long, Long),
+              (Long, String, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk, ap).foreach { u =>
+                seq += 1
+                u.withdrawn.foreach(r =>
+                  rib((r.prefix >> 8, r.pathId)) = (seq, "withdraw", 0L))
+                u.nlri.foreach(r =>
+                  rib((r.prefix >> 8, r.pathId)) =
+                    (seq, "update", u.med.getOrElse(0L)))
+              })
+            run.foreach { case (_, _, pfx, pid, wd, med, _) =>
               val route = BgpMsg.Route(pfx << 8, 24, pid)
-              val msg =
+              wire.write(
                 if (wd) BgpMsg.encode(
                   BgpMsg.Update(withdrawn = Seq(route)), ap)
                 else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
                   origin = Some(0), asPath = Seq(65000L + sess),
-                  nextHop = Some(sess), med = Some(med)), ap)
-              wire.write(msg, 0, msg.length)
+                  nextHop = Some(sess), med = Some(med)), ap))
             }
-            val peer = sess % 2
-            BgpMsg.decodeStream(wire.toByteArray, ap).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                u.withdrawn.iterator.map(r =>
-                  (peer, r.prefix >> 8, r.pathId, seq.toLong,
-                    "withdraw", 0L)) ++
-                u.nlri.iterator.map(r =>
-                  (peer, r.prefix >> 8, r.pathId, seq.toLong,
-                    "update", u.med.getOrElse(0L)))
-              }
+            wire.flush()
+            rib.iterator.map { case ((pfx, pid), (sq, op, med)) =>
+              (peer, pfx, pid, sq, op, med) }.toSeq
+          }
         }
         decoded
           .toDF("peer", "prefix", "path_id", "seq", "op", "med")
@@ -416,34 +431,39 @@ object SurfaceQueries {
             (col("event_type") === "error").as("wd"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("med"))
           .as[(Long, Long, Long, Boolean, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, pfx, wd, med) =>
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
+            val peer = sess % 2
+            val rib = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, String, Long, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                u.withdrawn6.foreach(r =>
+                  rib((r.hi >> 16) & 0xffffffL) =
+                    (seq, "withdraw", 0L, 0L))
+                u.nlri6.foreach(r =>
+                  rib((r.hi >> 16) & 0xffffffL) = (seq, "update",
+                    u.med.getOrElse(0L),
+                    u.nextHop6.map(_._2).getOrElse(0L)))
+              })
+            run.foreach { case (_, _, pfx, wd, med) =>
               // 2001:db8::/32-rooted prefixes, /48: pfx occupies the
               // 16 bits below the /32 root, lo half zero
               val r6 = BgpMsg.Route6(0x20010DB800000000L | (pfx << 16),
                 0L, 48)
-              val msg =
+              wire.write(
                 if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn6 = Seq(r6)))
                 else BgpMsg.encode(BgpMsg.Update(
                   nlri6 = Seq(r6), origin = Some(0),
                   asPath = Seq(65000L + sess), med = Some(med),
-                  nextHop6 = Some((0xFE80L << 48, sess))))
-              wire.write(msg, 0, msg.length)
+                  nextHop6 = Some((0xFE80L << 48, sess)))))
             }
-            val peer = sess % 2
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                u.withdrawn6.iterator.map(r =>
-                  (peer, (r.hi >> 16) & 0xffffffL, seq.toLong,
-                    "withdraw", 0L, 0L)) ++
-                u.nlri6.iterator.map(r =>
-                  (peer, (r.hi >> 16) & 0xffffffL, seq.toLong, "update",
-                    u.med.getOrElse(0L),
-                    u.nextHop6.map(_._2).getOrElse(0L)))
-              }
+            wire.flush()
+            rib.iterator.map { case (pfx, (sq, op, med, nh)) =>
+              (peer, pfx, sq, op, med, nh) }.toSeq
+          }
         }
         decoded
           .toDF("peer", "prefix", "seq", "op", "med", "nh_lo")
@@ -506,29 +526,36 @@ object SurfaceQueries {
             (col("user_id") % 4).as("vrf"),
             (col("event_type") === "error").as("wd"))
           .as[(Long, Long, Long, Long, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Long, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, pfx, vrf, wd) =>
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
+            // (vrf, prefix) keys are session-local (the prefix embeds
+            // the session), so the in-handler compaction is exact
+            val rib = scala.collection.mutable.LinkedHashMap[(Long, Long),
+              (Long, String, Long, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                u.withdrawnVpn.foreach(r =>
+                  rib((r.rdVal, r.prefix >> 8)) =
+                    (seq, "withdraw", 0L, 0L))
+                u.nlriVpn.foreach(r =>
+                  rib((r.rdVal, r.prefix >> 8)) = (seq, "update",
+                    r.label, u.nextHopVpn.getOrElse(0L)))
+              })
+            run.foreach { case (_, _, pfx, vrf, wd) =>
               val rv = BgpMsg.RouteVpn(1000L + pfx % 100, 0, 65000L, vrf,
                 pfx << 8, 24)
-              val msg =
+              wire.write(
                 if (wd) BgpMsg.encode(BgpMsg.Update(withdrawnVpn = Seq(rv)))
                 else BgpMsg.encode(BgpMsg.Update(nlriVpn = Seq(rv),
                   origin = Some(0), asPath = Seq(65000L + sess),
-                  nextHopVpn = Some(sess)))
-              wire.write(msg, 0, msg.length)
+                  nextHopVpn = Some(sess))))
             }
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                u.withdrawnVpn.iterator.map(r =>
-                  (r.rdVal, r.prefix >> 8, seq.toLong, "withdraw",
-                    0L, 0L)) ++
-                u.nlriVpn.iterator.map(r =>
-                  (r.rdVal, r.prefix >> 8, seq.toLong, "update",
-                    r.label, u.nextHopVpn.getOrElse(0L)))
-              }
+            wire.flush()
+            rib.iterator.map { case ((vrf, pfx), (sq, op, lbl, nh)) =>
+              (vrf, pfx, sq, op, lbl, nh) }.toSeq
+          }
         }
         decoded
           .toDF("vrf", "prefix", "seq", "op", "label", "nh")
@@ -595,37 +622,45 @@ object SurfaceQueries {
             (col("event_id") % 100).as("lc1"),
             expr("CAST(floor(value * 1000) AS BIGINT) % 1000").as("lc2"))
           .as[(Long, Long, Long, Boolean, Boolean, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Boolean, Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, eid, orig, looped, hasLc, lc1, lc2) =>
+        // the reflector accounting FOLDS as chunks decode — running
+        // counters + a bounded originator set (16 originators/session),
+        // never the session's messages
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
+            var nRoutes = 0L; var nLooped = 0L; var nLc = 0L
+            var lcSum = 0L
+            val origs = scala.collection.mutable.Set[Long]()
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                nRoutes += 1
+                if (u.clusterList.contains(OwnCluster)) nLooped += 1
+                u.originatorId.foreach(origs += _)
+                nLc += u.largeCommunities.size
+                lcSum += u.largeCommunities.map(lc => lc._2 + lc._3).sum
+              })
+            run.foreach { case (_, eid, orig, looped, hasLc, lc1, lc2) =>
               val cl = Seq(sess * 10 + 1) ++
                 (if (looped) Seq(OwnCluster) else Nil)
-              val msg = BgpMsg.encode(BgpMsg.Update(
+              wire.write(BgpMsg.encode(BgpMsg.Update(
                 nlri = Seq(BgpMsg.Route(eid % 65536, 32)),
                 origin = Some(0), asPath = Seq(65100L + sess),
                 nextHop = Some(sess), originatorId = Some(orig),
                 clusterList = cl,
                 largeCommunities =
-                  if (hasLc) Seq((64512L, lc1, lc2)) else Nil))
-              wire.write(msg, 0, msg.length)
+                  if (hasLc) Seq((64512L, lc1, lc2)) else Nil)))
             }
-            BgpMsg.decodeStream(wire.toByteArray).iterator.map { u =>
-              (sess,
-                if (u.clusterList.contains(OwnCluster)) 1L else 0L,
-                u.originatorId.getOrElse(-1L),
-                u.largeCommunities.size.toLong,
-                u.largeCommunities.map(lc => lc._2 + lc._3).sum)
-            }
+            wire.flush()
+            Seq((sess, nRoutes, nLooped, origs.size.toLong, nLc, lcSum))
+          }
         }
-        decoded.toDF("peer", "looped", "orig", "n_lc", "lc_sum")
+        decoded.toDF("peer", "n_routes", "n_looped", "n_originators",
+            "n_large_comms", "lc_local_sum")
           .groupBy("peer")
-          .agg(count(lit(1)).as("n_routes"),
-            sum("looped").as("n_looped"),
-            countDistinct(col("orig")).as("n_originators"),
-            sum("n_lc").as("n_large_comms"),
-            sum("lc_sum").as("lc_local_sum"))
+          .agg(sum("n_routes").as("n_routes"),
+            sum("n_looped").as("n_looped"),
+            sum("n_originators").as("n_originators"),
+            sum("n_large_comms").as("n_large_comms"),
+            sum("lc_local_sum").as("lc_local_sum"))
       },
       Some("""SELECT user_id % 16 AS peer, count(*) AS n_routes,
               CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
@@ -659,15 +694,26 @@ object SurfaceQueries {
             (col("event_id") % 6 === 0).as("mirror"),
             (col("event_id") % 12 === 0).as("lost"))
           .as[(Long, Long, Long, Boolean, Boolean)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Boolean)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
             val peer = BmpMsg.PeerHeader(0, 0, 0L, sess, 65000L + sess,
               sess, 0L, 0L)
-            val wire = new java.io.ByteArrayOutputStream()
-            def w(b: Array[Byte]): Unit = wire.write(b, 0, b.length)
+            // station accounting folds as chunks decode — O(1) state
+            var nRoutes = 0L; var nPdus = 0L; var nLost = 0L
+            var reason = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BmpMsg.decodeStream(chunk).foreach {
+                case _: BmpMsg.RouteMonitoring => nRoutes += 1
+                case m: BmpMsg.RouteMirror =>
+                  if (m.mirrored.nonEmpty) nPdus += 1
+                  if (m.infoCode.contains(1)) nLost += 1
+                case BmpMsg.Termination(r) =>
+                  if (reason < 0) reason = r.toLong
+                case _ => ()
+              })
+            def w(b: Array[Byte]): Unit = wire.write(b)
             w(BmpMsg.encodeInitiation(Seq(1 -> s"monitor-$sess")))
-            evs.foreach { case (_, _, pfx, mirror, lost) =>
+            run.foreach { case (_, _, pfx, mirror, lost) =>
               val u = BgpMsg.Update(nlri = Seq(BgpMsg.Route(pfx, 32)),
                 origin = Some(0), asPath = Seq(65000L + sess),
                 nextHop = Some(sess))
@@ -680,16 +726,9 @@ object SurfaceQueries {
             }
             w(BmpMsg.encodeTermination((sess % 3).toInt,
               Seq(0 -> "bye")))
-            val msgs = BmpMsg.decodeStream(wire.toByteArray)
-            val nRoutes = msgs.count(_.isInstanceOf[BmpMsg.RouteMonitoring])
-            val mirrors = msgs.collect { case m: BmpMsg.RouteMirror => m }
-            val nPdus = mirrors.count(_.mirrored.nonEmpty)
-            val nLost = mirrors.count(_.infoCode.contains(1))
-            val reason = msgs.collect {
-              case BmpMsg.Termination(r) => r.toLong
-            }.headOption.getOrElse(-1L)
-            Iterator.single((sess, nRoutes.toLong, nPdus.toLong,
-              nLost.toLong, reason))
+            wire.flush()
+            Iterator.single((sess, nRoutes, nPdus, nLost, reason))
+          }
         }
         decoded.toDF("peer", "n_routes", "n_mirror_pdus", "n_mirror_lost",
           "term_reason")
@@ -721,16 +760,31 @@ object SurfaceQueries {
             (col("event_type") === "error").as("wd"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("med"))
           .as[(Long, Long, Long, Boolean, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
             val peer = BmpMsg.PeerHeader(0, 0, sess % 4, sess,
               65000L + sess, sess, 0L, 0L)
-            val wire = new java.io.ByteArrayOutputStream()
-            def w(b: Array[Byte]): Unit = wire.write(b, 0, b.length)
+            // per-peer RIB compacts in-handler as chunks decode —
+            // O(chunk + session-local prefixes)
+            val rib = scala.collection.mutable.LinkedHashMap[(Long, Long),
+              (Long, String, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BmpMsg.decodeStream(chunk).foreach {
+                case BmpMsg.RouteMonitoring(p, u) =>
+                  seq += 1
+                  u.withdrawn.foreach(r =>
+                    rib((p.peerAs, r.prefix >> 8)) =
+                      (seq, "withdraw", 0L))
+                  u.nlri.foreach(r =>
+                    rib((p.peerAs, r.prefix >> 8)) = (seq, "update",
+                      u.med.getOrElse(0L)))
+                case _ => seq += 1
+              })
+            def w(b: Array[Byte]): Unit = wire.write(b)
             w(BmpMsg.encodeInitiation(Seq(1 -> "graft-monitor")))
             w(BmpMsg.encodePeerUp(peer))
-            evs.foreach { case (_, _, pfx, wd, med) =>
+            run.foreach { case (_, _, pfx, wd, med) =>
               val route = BgpMsg.Route(pfx << 8, 24)
               val u =
                 if (wd) BgpMsg.Update(withdrawn = Seq(route))
@@ -738,17 +792,10 @@ object SurfaceQueries {
                   med = Some(med))
               w(BmpMsg.encodeRouteMonitoring(peer, u))
             }
-            BmpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .collect { case (BmpMsg.RouteMonitoring(p, u), seq) =>
-                (p, u, seq)
-              }
-              .flatMap { case (p, u, seq) =>
-                u.withdrawn.iterator.map(r =>
-                  (p.peerAs, r.prefix >> 8, seq.toLong, "withdraw", 0L)) ++
-                u.nlri.iterator.map(r =>
-                  (p.peerAs, r.prefix >> 8, seq.toLong, "update",
-                    u.med.getOrElse(0L)))
-              }
+            wire.flush()
+            rib.iterator.map { case ((as, pfx), (sq, op, med)) =>
+              (as, pfx, sq, op, med) }.toSeq
+          }
         }
         decoded.toDF("peer_as", "prefix", "seq", "op", "med")
           .groupBy("peer_as", "prefix")
@@ -1003,29 +1050,34 @@ object SurfaceQueries {
             (col("event_type") === "error").as("wd"),
             expr("CAST(floor(value * 1000) AS BIGINT)").as("aigp"))
           .as[(Long, Long, Long, Boolean, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (sess: Long, it: Iterator[(Long, Long, Long, Boolean, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, pfx, wd, aigp) =>
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (sess, run) =>
+            val peer = sess % 2
+            val rib = scala.collection.mutable.LinkedHashMap[Long,
+              (Long, String, Long, Long)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                u.withdrawn.foreach(r =>
+                  rib(r.prefix >> 8) = (seq, "withdraw", 0L, 0L))
+                u.nlri.foreach(r =>
+                  rib(r.prefix >> 8) = (seq, "update",
+                    u.aigp.getOrElse(0L), u.labelIndex.getOrElse(0L)))
+              })
+            run.foreach { case (_, _, pfx, wd, aigp) =>
               val route = BgpMsg.Route(pfx << 8, 24)
-              val msg =
+              wire.write(
                 if (wd) BgpMsg.encode(BgpMsg.Update(withdrawn = Seq(route)))
                 else BgpMsg.encode(BgpMsg.Update(nlri = Seq(route),
                   origin = Some(0), asPath = Seq(65000L + sess),
                   nextHop = Some(sess), aigp = Some(aigp),
-                  labelIndex = Some(pfx % 1024)))
-              wire.write(msg, 0, msg.length)
+                  labelIndex = Some(pfx % 1024))))
             }
-            val peer = sess % 2
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                u.withdrawn.iterator.map(r =>
-                  (peer, r.prefix >> 8, seq.toLong, "withdraw", 0L, 0L)) ++
-                u.nlri.iterator.map(r =>
-                  (peer, r.prefix >> 8, seq.toLong, "update",
-                    u.aigp.getOrElse(0L), u.labelIndex.getOrElse(0L)))
-              }
+            wire.flush()
+            rib.iterator.map { case (pfx, (sq, op, aigp, li)) =>
+              (peer, pfx, sq, op, aigp, li) }.toSeq
+          }
         }
         decoded
           .toDF("peer", "prefix", "seq", "op", "aigp", "psid_li")
@@ -1084,38 +1136,47 @@ object SurfaceQueries {
             (col("event_id") % 1000 + 1).as("igp"),
             (col("event_id") % 5000 + 1).as("te"))
           .as[(Long, Long, Long, Boolean, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (local: Long, it: Iterator[(Long, Long, Long, Boolean, Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, _, remote, wd, igp, te) =>
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (local, run) =>
+            // topology RIB per (local, remote) link compacts in-handler
+            val rib = scala.collection.mutable.LinkedHashMap[(Long, Long),
+              (Long, String, Long, Long, String)]()
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                val a = u.lsAttr.getOrElse(BgpMsg.LsAttr())
+                u.withdrawnLs.foreach {
+                  case l: BgpMsg.LsLink =>
+                    rib((l.localId, l.remoteId)) =
+                      (seq, "withdraw", 0L, 0L, "")
+                  case _ => ()
+                }
+                u.nlriLs.foreach {
+                  case l: BgpMsg.LsLink =>
+                    rib((l.localId, l.remoteId)) = (seq, "update",
+                      a.igpMetric.getOrElse(0L), a.teMetric.getOrElse(0L),
+                      a.nodeName.getOrElse(""))
+                  case _ => ()
+                }
+              })
+            run.foreach { case (_, _, remote, wd, igp, te) =>
               val link = BgpMsg.LsLink(2, 65000L + local, local,
                 65000L + remote, remote,
                 167772160L + (local * 24 + remote) % 256,
                 167772161L + (local * 24 + remote) % 256)
-              val msg =
+              wire.write(
                 if (wd) BgpMsg.encode(BgpMsg.Update(withdrawnLs = Seq(link)))
                 else BgpMsg.encode(BgpMsg.Update(nlriLs = Seq(link),
                   nextHop = Some(local),
                   lsAttr = Some(BgpMsg.LsAttr(
                     nodeName = Some(s"node$local"),
-                    igpMetric = Some(igp), teMetric = Some(te)))))
-              wire.write(msg, 0, msg.length)
+                    igpMetric = Some(igp), teMetric = Some(te))))))
             }
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                val a = u.lsAttr.getOrElse(BgpMsg.LsAttr())
-                u.withdrawnLs.iterator.collect {
-                  case l: BgpMsg.LsLink =>
-                    (l.localId, l.remoteId, seq.toLong, "withdraw",
-                      0L, 0L, "")
-                } ++
-                u.nlriLs.iterator.collect { case l: BgpMsg.LsLink =>
-                  (l.localId, l.remoteId, seq.toLong, "update",
-                    a.igpMetric.getOrElse(0L), a.teMetric.getOrElse(0L),
-                    a.nodeName.getOrElse(""))
-                }
-              }
+            wire.flush()
+            rib.iterator.map { case ((l, r), (sq, op, igp, te, nm)) =>
+              (l, r, sq, op, igp, te, nm) }.toSeq
+          }
         }
         decoded
           .toDF("local_nd", "remote_nd", "seq", "op", "igp", "te", "name")
@@ -1168,12 +1229,29 @@ object SurfaceQueries {
             (col("event_id") % 100).as("metric"),
             (col("event_id") % 3).as("mt"))
           .as[(Long, Long, Long, Long, Long)]
-        val decoded = rows.groupByKey(_._1).flatMapGroups {
-          (local: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, eid, hi, metric, mt) =>
-              val m = BgpMsg.encode(BgpMsg.Update(
+        // prefixes compact per (node, hi) in-handler; link MT counts
+        // FOLD into three counters and ride out in the metric column —
+        // O(chunk + distinct prefixes), never the session's events
+        val decoded = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (local, run) =>
+            val pfxRib = scala.collection.mutable.LinkedHashMap[
+              (Long, Long), (Long, Long)]()
+            val mtCnt = new Array[Long](3)
+            var seq = -1L
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                val metric = u.lsAttr.flatMap(_.pfxMetric).getOrElse(0L)
+                u.nlriLs.foreach {
+                  case p: BgpMsg.LsPrefix6 if p.plen == 64 =>
+                    pfxRib((p.localId, p.hi)) = (seq, metric)
+                  case l: BgpMsg.LsLink =>
+                    if (l.mtId >= 0 && l.mtId < 3) mtCnt(l.mtId.toInt) += 1
+                  case _ => ()
+                }
+              })
+            run.foreach { case (_, eid, hi, metric, mt) =>
+              wire.write(BgpMsg.encode(BgpMsg.Update(
                 nlriLs = Seq(
                   BgpMsg.LsPrefix6(2, 65000L + local, local, hi, 0L, 64),
                   BgpMsg.LsLink(2, 65000L + local, local,
@@ -1181,19 +1259,14 @@ object SurfaceQueries {
                     167772160L + eid % 256, 167772161L + eid % 256,
                     mtId = mt)),
                 nextHop = Some(local),
-                lsAttr = Some(BgpMsg.LsAttr(pfxMetric = Some(metric)))))
-              wire.write(m, 0, m.length)
+                lsAttr = Some(BgpMsg.LsAttr(pfxMetric = Some(metric))))))
             }
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                val metric = u.lsAttr.flatMap(_.pfxMetric).getOrElse(0L)
-                u.nlriLs.iterator.collect {
-                  case p: BgpMsg.LsPrefix6 if p.plen == 64 =>
-                    ("pfx", p.localId, p.hi, seq.toLong, metric, -1L)
-                  case l: BgpMsg.LsLink =>
-                    ("link", l.localId, 0L, seq.toLong, 0L, l.mtId)
-                }
-              }
+            wire.flush()
+            pfxRib.iterator.map { case ((nd, hi), (sq, metric)) =>
+              ("pfx", nd, hi, sq, metric, -1L) }.toSeq ++
+              (0 until 3).map(mt =>
+                ("link", local, 0L, 0L, mtCnt(mt), mt.toLong))
+          }
         }.toDF("kind", "local_nd", "hi", "seq", "metric", "mt")
         val rib = decoded.filter(col("kind") === "pfx")
           .groupBy("local_nd", "hi")
@@ -1202,9 +1275,12 @@ object SurfaceQueries {
           .agg(count(lit(1)).as("n_pfx"), sum("metric").as("sum_metric"))
         val links = decoded.filter(col("kind") === "link")
           .groupBy("local_nd")
-          .agg(sum(when(col("mt") === 0L, 1L).otherwise(0L)).as("n_mt0"),
-            sum(when(col("mt") === 1L, 1L).otherwise(0L)).as("n_mt1"),
-            sum(when(col("mt") === 2L, 1L).otherwise(0L)).as("n_mt2"))
+          .agg(sum(when(col("mt") === 0L, col("metric")).otherwise(0L))
+              .as("n_mt0"),
+            sum(when(col("mt") === 1L, col("metric")).otherwise(0L))
+              .as("n_mt1"),
+            sum(when(col("mt") === 2L, col("metric")).otherwise(0L))
+              .as("n_mt2"))
         rib.join(links, Seq("local_nd"))
       },
       Some("""WITH m AS (SELECT user_id % 24 AS local_nd,
@@ -1484,11 +1560,30 @@ object SurfaceQueries {
         val rows = Tables.events(s, d).select(
             (col("user_id") % 64).as("k"), col("event_id"))
           .as[(Long, Long)]
-        val rib = rows.groupByKey(_._1).flatMapGroups {
-          (k: Long, it: Iterator[(Long, Long)]) =>
-            val evs = it.toIndexedSeq.sortBy(_._2)
-            val wire = new java.io.ByteArrayOutputStream()
-            evs.foreach { case (_, eid) =>
+        val rib = SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (k, run) =>
+            // one prefix per session — latest-wins post-processed attrs
+            // fold to a single record as chunks decode
+            var seq = -1L
+            var last: Option[(Long, Long, Long, Long)] = None
+            // collector post-processing on the decoded attributes
+            def skipSubAs(p: Seq[Long]): Long =
+              p.find(a => a < 64512L || a > 65534L).getOrElse(p.head)
+            val wire = new SessionWalk.ChunkedWire(chunk =>
+              BgpMsg.decodeStream(chunk).foreach { u =>
+                seq += 1
+                val pat = u.communities
+                  .map(c => (c >>> 16, c & 0xffffL))
+                  .find(_._1 == 65123L) // stdcomm_pattern "65123:*"
+                val peerAs = pat.map(_._1)
+                  .getOrElse(skipSubAs(u.asPath))
+                val originAs = pat.map(_._2)
+                  .getOrElse(u.asPath.last)
+                val trimmed = u.asPath.take(3) // aspath_radius = 3
+                u.nlri.foreach(_ => last = Some((seq,
+                  peerAs, originAs, trimmed.size.toLong)))
+              })
+            run.foreach { case (_, eid) =>
               val priv = eid % 3 == 0
               val short = !priv && eid % 7 == 0
               val path =
@@ -1501,27 +1596,14 @@ object SurfaceQueries {
                 if (eid % 5 == 0)
                   Seq((65123L << 16) | (7000L + eid % 100))
                 else Seq((65000L << 16) | 1L)
-              val m = BgpMsg.encode(BgpMsg.Update(
+              wire.write(BgpMsg.encode(BgpMsg.Update(
                 nlri = Seq(BgpMsg.Route(k << 24, 8)), origin = Some(0),
-                asPath = path, nextHop = Some(k), communities = comms))
-              wire.write(m, 0, m.length)
+                asPath = path, nextHop = Some(k), communities = comms)))
             }
-            // collector post-processing on the decoded attributes
-            def skipSubAs(p: Seq[Long]): Long =
-              p.find(a => a < 64512L || a > 65534L).getOrElse(p.head)
-            BgpMsg.decodeStream(wire.toByteArray).iterator.zipWithIndex
-              .flatMap { case (u, seq) =>
-                val pat = u.communities
-                  .map(c => (c >>> 16, c & 0xffffL))
-                  .find(_._1 == 65123L) // stdcomm_pattern "65123:*"
-                val peerAs = pat.map(_._1)
-                  .getOrElse(skipSubAs(u.asPath))
-                val originAs = pat.map(_._2)
-                  .getOrElse(u.asPath.last)
-                val trimmed = u.asPath.take(3) // aspath_radius = 3
-                u.nlri.iterator.map(r => (r.prefix >> 24, seq.toLong,
-                  peerAs, originAs, trimmed.size.toLong))
-              }
+            wire.flush()
+            last.iterator.map { case (sq, peerAs, originAs, rl) =>
+              (k, sq, peerAs, originAs, rl) }.toSeq
+          }
         }.toDF("k", "seq", "peer_as", "origin_as", "radius_len")
           .groupBy("k")
           .agg(expr("max_by(peer_as, seq)").as("peer_as"),
