@@ -487,6 +487,51 @@ object ScaleQueries {
               SigRules.sampleFamilies.size + " ", " ", " END")} AS class,
             count(*) AS n, count(*) AS n_correct
             FROM events GROUP BY 1"""),
-      doc = "data-driven L7 signature table at nDPI breadth (~37 families)")
+      doc = "data-driven L7 signature table at nDPI breadth (~52 families)"),
+
+    // Bucketed at-rest layout: the co-located fact-fact join. At 100 TB
+    // the orders×lineitem join is THE dominant shuffle — both sides are
+    // fact-scale, so neither broadcasts, and every ad-hoc join pays a
+    // full exchange+sort of both tables. Bucketing both tables on the
+    // join key at write time (16 buckets here; thousands at scale) moves
+    // that cost to write time ONCE: every later join reads bucket i
+    // against bucket i with ZERO exchange and, with sortBy, zero sort.
+    // This is the archive layout the print/SQL sinks should use for any
+    // key that gets re-joined (pmacct's SQL tables are keyed the same
+    // way for UPDATE-then-INSERT locality, sql_common.c cache keys).
+    // The merge hint pins a sort-merge join so the plan demonstrates
+    // bucket co-location rather than degenerating to a broadcast at
+    // this test SF; PlanSpec asserts no Exchange feeds the join.
+    Q("q236_bucket_join",
+      (s, d) => {
+        import graft.core.AggregatePlanner.sumScaled
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        def bucketed(name: String, df: org.apache.spark.sql.DataFrame,
+                     key: String): org.apache.spark.sql.DataFrame = {
+          val tbl = s"graft_b_$name"
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          df.write.format("parquet")
+            .bucketBy(16, key).sortBy(key)
+            .option("path", s"$wh/$name")
+            .mode("overwrite").saveAsTable(tbl)
+          s.table(tbl)
+        }
+        val o = bucketed("orders", Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+        val l = bucketed("lineitem", Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice"), "l_orderkey")
+        o.hint("merge")
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sumScaled(col("l_extendedprice"), 2).as("revenue_c"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1"""),
+      doc = "bucketed at-rest layout: exchange-free fact-fact merge join")
   )
 }

@@ -95,6 +95,26 @@ class PlanSpec extends AnyFunSuite {
     assert(read.count() == 10L)
   }
 
+  test("bucketed tables merge-join with zero exchange below the join") {
+    // q236 writes orders+lineitem bucketed on the join key; the later
+    // join must read bucket i against bucket i in place — the only
+    // exchange in the whole plan is the final groupBy. At 100 TB this
+    // is the difference between re-shuffling both fact tables per join
+    // and never shuffling them again after the one-time bucketed write.
+    val q = SparkEntry.queries("q236_bucket_join")(spark, d)
+    q.collect() // run the bucketed writes + finalize AQE
+    val full = q.queryExecution.executedPlan.toString
+    // the AQE dump prints the plan twice; assert on the final plan only
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"bucket co-location demo must keep the merge join:\n$plan")
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"$exchanges exchanges — the bucketed join is shuffling:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scans are not bucket-aware:\n$plan")
+  }
+
   test("vec_dot matches the zip_with fold bit-for-bit and stays in codegen") {
     import spark.implicits._
     val df = Seq((Array(1.5, -2.25, 3.125, 0.1), Array(0.5, 4.0, -1.75, 0.3)))
