@@ -121,7 +121,48 @@ object SigRules {
       (h(9) & 0xff) == 0),
     // Telnet: IAC negotiation (0xFF WILL/WONT/DO/DONT opt)
     "telnet" -> (h => h.length >= 3 && (h(0) & 0xff) == 0xff &&
-      (h(1) & 0xff) >= 0xfb && (h(1) & 0xff) <= 0xfe))
+      (h(1) & 0xff) >= 0xfb && (h(1) & 0xff) <= 0xfe),
+    // BGP: 16-byte all-ones marker, u16 length == packet, type 1..4
+    "bgp" -> (h => h.length >= 19 &&
+      (0 until 16).forall(i => (h(i) & 0xff) == 0xff) &&
+      (((h(16) & 0xff) << 8) | (h(17) & 0xff)) == h.length &&
+      (h(18) & 0xff) >= 1 && (h(18) & 0xff) <= 4),
+    // DNP3 link layer: 0x05 0x64 start octets, length >= 5
+    "dnp3" -> (h => h.length >= 10 && (h(0) & 0xff) == 0x05 &&
+      (h(1) & 0xff) == 0x64 && (h(2) & 0xff) >= 5),
+    // Modbus/TCP MBAP: protocol id 0, u16 length == remaining bytes,
+    // function code 1..127
+    "modbus" -> (h => h.length >= 8 && h(2) == 0 && h(3) == 0 &&
+      (((h(4) & 0xff) << 8) | (h(5) & 0xff)) == h.length - 6 &&
+      (h(7) & 0xff) >= 1 && (h(7) & 0xff) <= 127),
+    // IKEv1/v2 (ISAKMP): version 0x10/0x20 at offset 17, exchange type
+    // set, u32 length at 24 == packet length (RFC 7296 §3.1)
+    "ike" -> (h => h.length >= 28 &&
+      ((h(17) & 0xff) == 0x10 || (h(17) & 0xff) == 0x20) &&
+      (((h(24) & 0xffL) << 24) | ((h(25) & 0xffL) << 16) |
+        ((h(26) & 0xffL) << 8) | (h(27) & 0xffL)) == h.length),
+    // RTCP SR/RR/SDES/BYE/APP: V=2 (10xx xxxx), packet type 200..204,
+    // u16 length-in-words consistent with the packet
+    "rtcp" -> (h => h.length >= 8 && (h(0) & 0xc0) == 0x80 &&
+      (h(1) & 0xff) >= 200 && (h(1) & 0xff) <= 204 &&
+      ((((h(2) & 0xff) << 8) | (h(3) & 0xff)) + 1) * 4 == h.length),
+    // L2TP control: T+L bits set, version 2, u16 length == packet
+    "l2tp" -> (h => h.length >= 12 && (h(0) & 0xcb) == 0xc8 &&
+      (h(1) & 0x0f) == 2 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length),
+    // TACACS+: major version 0xc, type 1..3, u32 body length at 8
+    "tacacs" -> (h => h.length >= 12 &&
+      ((h(0) & 0xff) == 0xc0 || (h(0) & 0xff) == 0xc1) &&
+      (h(1) & 0xff) >= 1 && (h(1) & 0xff) <= 3 &&
+      (((h(8) & 0xffL) << 24) | ((h(9) & 0xffL) << 16) |
+        ((h(10) & 0xffL) << 8) | (h(11) & 0xffL)) == h.length - 12),
+    // SOCKS5 greeting: version 5, nmethods >= 1, len == 2 + nmethods
+    "socks5" -> (h => h.length >= 3 && (h(0) & 0xff) == 5 &&
+      (h(1) & 0xff) >= 1 && h.length == 2 + (h(1) & 0xff)),
+    // CoAP: version 1 (01xx xxxx), TKL <= 8, code class 0/2/4/5
+    "coap" -> (h => h.length >= 4 && (h(0) & 0xc0) == 0x40 &&
+      (h(0) & 0x0f) <= 8 &&
+      Set(0, 2, 4, 5).contains((h(1) & 0xff) >> 5)))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -171,6 +212,23 @@ object SigRules {
     Rule("telnet", Seq(Heur("telnet"))),
     Rule("tftp", Seq(Heur("tftp"))),
     Rule("syslog", Seq(Heur("syslog"))),
+    Rule("vnc", Seq(Ascii("RFB 003."))),
+    Rule("xmpp", Seq(AnyOf(Seq(Seq(Ascii("<?xml")),
+      Seq(Ascii("<stream:stream")))))),
+    Rule("git", Seq(Ascii("git-upload-pack", off = 4))),
+    Rule("stomp", Seq(AnyOf(Seq(Seq(Ascii("STOMP\n")),
+      Seq(Ascii("CONNECT\naccept-version")))))),
+    Rule("gnutella", Seq(Ascii("GNUTELLA "))),
+    Rule("http_connect", Seq(Ascii("CONNECT "))),
+    Rule("bgp", Seq(Heur("bgp"))),
+    Rule("dnp3", Seq(Heur("dnp3"))),
+    Rule("modbus", Seq(Heur("modbus"))),
+    Rule("ike", Seq(Heur("ike"))),
+    Rule("rtcp", Seq(Heur("rtcp"))),
+    Rule("l2tp", Seq(Heur("l2tp"))),
+    Rule("tacacs", Seq(Heur("tacacs"))),
+    Rule("socks5", Seq(Heur("socks5"))),
+    Rule("coap", Seq(Heur("coap"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     Rule("quic", Seq(Heur("quic"))),
     Rule("stun", Seq(Heur("stun"))),
@@ -267,6 +325,50 @@ object SigRules {
         Array[Byte](0, 1) ++ s"file$s".getBytes ++ Array[Byte](0) ++
           "octet".getBytes ++ Array[Byte](0)
       case "syslog" => s"<134>Aug 13 00:00:0${s % 10} host app: m".getBytes
+      case "vnc" => "RFB 003.008\n".getBytes
+      case "xmpp" =>
+        s"<?xml version='1.0'?><stream:stream to='s$s'>".getBytes
+      case "git" =>
+        val body = s"git-upload-pack /repo$s.git\u0000host=example\u0000"
+        f"${body.length + 4}%04x$body".getBytes
+      case "stomp" =>
+        s"STOMP\naccept-version:1.2\nhost:h$s\n\n\u0000".getBytes
+      case "gnutella" => "GNUTELLA CONNECT/0.6\r\n".getBytes
+      case "http_connect" =>
+        s"CONNECT host$s.example:443 HTTP/1.1\r\n".getBytes
+      case "bgp" => // OPEN: marker, len 29, type 1, ver 4, AS, hold, id
+        Array.fill[Byte](16)(0xff.toByte) ++ Array[Byte](0, 29, 1, 4,
+          (s % 250).toByte, (1 + s % 200).toByte, 0, 90,
+          10, 0, (s % 256 - 128).toByte, 1, 0)
+      case "dnp3" => // link frame: start 05 64, len, ctrl, dst, src, crc
+        Array[Byte](0x05, 0x64, (5 + s % 10).toByte, 0xc4.toByte,
+          (s % 100).toByte, 0, (1 + s % 100).toByte, 0,
+          (s % 50).toByte, (s % 60).toByte)
+      case "modbus" => // MBAP: tid, proto 0, len 6, unit 1, read-holding
+        Array[Byte](0xa1.toByte, (s % 250).toByte, 0, 0, 0, 6, 1, 3,
+          0, (s % 100).toByte, 0, 10)
+      case "ike" => // IKEv2 SA_INIT header, zero responder SPI, len 28
+        Array.fill[Byte](8)((0x9a + s % 5).toByte) ++
+          Array.fill[Byte](8)(0) ++
+          Array[Byte](33, 0x20, 34, 0x08, 0, 0, 0, (s % 100).toByte,
+            0, 0, 0, 28)
+      case "rtcp" => // SR: V=2, PT=200, length 6 words = 28 bytes
+        Array[Byte](0x80.toByte, 200.toByte, 0, 6) ++
+          Array.fill[Byte](24)((s % 13).toByte)
+      case "l2tp" => // SCCRQ control header, ver 2, len 12
+        Array[Byte](0xc8.toByte, 0x02, 0, 12, 0, 0, 0, 0,
+          0, (s % 120).toByte, 0, 0)
+      case "tacacs" => // authen START, seq 1, session id, body len 8
+        Array[Byte](0xc0.toByte, 1, 1, 0, (s % 256 - 128).toByte,
+          (s % 97).toByte, (s % 89).toByte, (s % 83).toByte,
+          0, 0, 0, 8) ++ Array.fill[Byte](8)((s % 7).toByte)
+      case "socks5" => // greeting: ver 5, nmethods, method list
+        val n = 1 + (s % 3).toInt
+        Array[Byte](5, n.toByte) ++
+          (0 until n).map(i => (i * 2).toByte).toArray
+      case "coap" => // CON GET, TKL 2, msgid (hi byte pinned nonzero)
+        Array[Byte](0x42, 0x01, 0xa5.toByte, (s % 250).toByte,
+          (s % 11).toByte, (s % 19).toByte)
       case "dot" =>
         val dns = sample("dns", s)
         Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
