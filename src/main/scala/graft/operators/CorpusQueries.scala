@@ -443,6 +443,105 @@ object CorpusQueries {
               CAST(max(score) AS BIGINT) AS max_score,
               CAST(sum(score) AS BIGINT) AS sum_score
             FROM r, n GROUP BY 1"""),
-      doc = "exact curriculum shards: range sort + zipWithIndex ranks")
+      doc = "exact curriculum shards: range sort + zipWithIndex ranks"),
+
+    // URL canonicalization + per-domain capping (the CCNet/RefinedWeb
+    // crawl-shaping pass): strip fragment, lowercase scheme/host, drop
+    // the scheme-default port, strip "www.", trim trailing path slashes,
+    // remove tracking query params (utm_*, ref, fbclid, gclid), then
+    // exact-dedup on the canonical URL (representative = min doc_id) and
+    // cap each registrable domain to its first 10 canonical URLs. The
+    // cap runs through TopK.perKey's bounded heap — only O(domains × 10)
+    // candidate rows reach the shuffle, never a full window sort — and
+    // everything upstream is pure codegen'd string expressions, the
+    // shape that holds on a 100 TB crawl. URLs are synthesized
+    // deterministically from (source, doc_id) since the test corpus
+    // carries none; the canonicalizer itself is general.
+    Q("q237_url_canonical",
+      (s, d) => {
+        val canon = Tables.documents(s, d).selectExpr(
+          "doc_id",
+          """concat('HTTPS://WWW.', source, doc_id % 7,
+              '.Ex', doc_id % 3, '.COM:443/Path', doc_id % 13,
+              '/?utm_source=feed', doc_id, '&utm_campaign=c&ref=r',
+              doc_id % 5, '#sec', doc_id % 4) as url""")
+          .selectExpr("doc_id", "regexp_replace(url, '#.*$', '') as u")
+          .selectExpr("doc_id",
+            "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme",
+            "regexp_extract(u, '://([^/?]+)', 1) as hostport",
+            "regexp_extract(u, '://[^/?]+(/[^?]*)', 1) as path",
+            "regexp_extract(u, '\\\\?(.*)$', 1) as qs")
+          .selectExpr("doc_id", "scheme", "path", "qs",
+            """lower(case
+                 when scheme = 'https' then regexp_replace(hostport, ':443$', '')
+                 when scheme = 'http' then regexp_replace(hostport, ':80$', '')
+                 else hostport end) as host""")
+          .selectExpr("doc_id", "scheme", "path", "qs",
+            "regexp_replace(host, '^www\\\\.', '') as host")
+          .selectExpr("doc_id",
+            """concat(scheme, '://', host,
+                regexp_replace(path, '/+$', ''),
+                case when size(filter(split(qs, '&'),
+                    p -> p != '' and not p rlike
+                      '^(utm_[A-Za-z]+|ref|fbclid|gclid)=')) > 0
+                  then concat('?', array_join(filter(split(qs, '&'),
+                    p -> p != '' and not p rlike
+                      '^(utm_[A-Za-z]+|ref|fbclid|gclid)='), '&'))
+                  else '' end) as canonical""",
+            "regexp_extract(host, '([^.]+\\\\.[^.]+)$', 1) as domain")
+        val dedup = canon.groupBy("canonical", "domain")
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+        val kept = graft.plans.TopK.perKey(
+          dedup.withColumn("neg_rep", -col("rep")),
+          Seq("domain"), "neg_rep", "rep", 10)
+        dedup.groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"), sum("n").as("n_docs"))
+          .join(kept.groupBy("domain")
+            .agg(count(lit(1)).as("n_kept"),
+              sum("rep").as("kept_doc_sum")), Seq("domain"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+              'HTTPS://WWW.' || source || (doc_id % 7) ||
+              '.Ex' || (doc_id % 3) || '.COM:443/Path' || (doc_id % 13) ||
+              '/?utm_source=feed' || doc_id || '&utm_campaign=c&ref=r' ||
+              (doc_id % 5) || '#sec' || (doc_id % 4) AS url
+            FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS uu
+              FROM u),
+            s2 AS (SELECT doc_id,
+              lower(regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                AS scheme,
+              regexp_extract(uu, '://([^/?]+)', 1) AS hostport,
+              regexp_extract(uu, '://[^/?]+(/[^?]*)', 1) AS path,
+              regexp_extract(uu, '\?(.*)$', 1) AS qs
+            FROM s1),
+            s3 AS (SELECT doc_id, scheme, path, qs,
+              regexp_replace(lower(CASE
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                ELSE hostport END), '^www\.', '') AS host
+            FROM s2),
+            c AS (SELECT doc_id,
+              scheme || '://' || host || regexp_replace(path, '/+$', '') ||
+              CASE WHEN len(list_filter(string_split(qs, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[A-Za-z]+|ref|fbclid|gclid)='))) > 0
+                THEN '?' || array_to_string(list_filter(string_split(qs, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[A-Za-z]+|ref|fbclid|gclid)=')), '&')
+                ELSE '' END AS canonical,
+              regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM s3),
+            d AS (SELECT canonical, domain, min(doc_id) AS rep,
+              count(*) AS n FROM c GROUP BY 1, 2),
+            k AS (SELECT *, row_number() OVER
+              (PARTITION BY domain ORDER BY rep) AS rn FROM d)
+            SELECT domain, count(*) AS n_urls,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(CASE WHEN rn <= 10 THEN 1 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN rn <= 10 THEN rep END) AS BIGINT)
+                AS kept_doc_sum
+            FROM k GROUP BY 1"""),
+      doc = "URL canonicalization + dedup + bounded per-domain cap")
   )
 }

@@ -82,7 +82,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(names == Seq("q149_line_dedup", "q150_length_band",
       "q151_chunking", "q152_keywords", "q159_split_shuffle",
       "q160_filter_funnel", "q165_substr_dedup",
-      "q166_dsir_importance", "q182_curriculum"))
+      "q166_dsir_importance", "q182_curriculum", "q237_url_canonical"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }
