@@ -331,4 +331,23 @@ class StateSpec extends AnyFunSuite {
     assert(SigRules.classify(SigRules.default,
       Array.empty[Byte]) == "unknown")
   }
+
+  test("SigRules: classify never throws on arbitrary or truncated bytes") {
+    import graft.functions.SigRules
+    // every heuristic indexes into the payload head; a missing bounds
+    // guard is an executor-killing ArrayIndexOutOfBounds on real
+    // traffic. Fuzz: deterministic pseudo-random payloads of every
+    // length 0..64, plus every family sample truncated at every point.
+    val rnd = new scala.util.Random(0xda7a)
+    (0 until 2000).foreach { _ =>
+      val h = Array.fill[Byte](rnd.nextInt(65))(rnd.nextInt().toByte)
+      SigRules.classify(SigRules.default, h) // must not throw
+    }
+    SigRules.sampleFamilies.foreach { f =>
+      val full = SigRules.sample(f, 42L)
+      (0 to full.length).foreach { n =>
+        SigRules.classify(SigRules.default, full.take(n))
+      }
+    }
+  }
 }
