@@ -237,6 +237,76 @@ object SigRules {
     Rule("ntp", Seq(Heur("ntp"))),
     Rule("dns", Seq(Heur("dns"))))
 
+  // ---- text form: pmacct-map-style rule lines --------------------------
+  // One rule per line: `proto=NAME pred pred ...`, preds space-separated.
+  //   ascii:OFF:TEXT   b:OFF:VAL:MASK   minlen:N   lenis:N
+  //   u16len:OFF:BASE  heur:NAME        any=ALT|ALT (ALT = pred+pred+...)
+  // TEXT is %XX-escaped (anything outside [A-Za-z0-9._~/-]), so ':', '+',
+  // '|', '%' and whitespace survive the round trip. This is the same
+  // load-a-map-file contract as pre_tag_map (`maps/PreTagMap`): users
+  // extend the classifier by editing a file, never recompiling.
+
+  private def esc(s: String): String = s.flatMap { c =>
+    if (c.isLetterOrDigit && c < 128 || "._~/-".contains(c)) c.toString
+    else f"%%${c.toInt}%02X"
+  }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 3 <= s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(s(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  private def renderPred(p: Pred): String = p match {
+    case Ascii(s, off) => s"ascii:$off:${esc(s)}"
+    case B(off, v, m) => s"b:$off:$v:$m"
+    case MinLen(n) => s"minlen:$n"
+    case LenIs(n) => s"lenis:$n"
+    case U16SelfLen(off, base) => s"u16len:$off:$base"
+    case Heur(name) => s"heur:$name"
+    case AnyOf(alts) =>
+      "any=" + alts.map(_.map(renderPred).mkString("+")).mkString("|")
+  }
+
+  private def parsePred(tok: String): Pred =
+    if (tok.startsWith("any="))
+      AnyOf(tok.drop(4).split('|').toSeq
+        .map(_.split('+').toSeq.map(parsePred)))
+    else tok.split(':').toSeq match {
+      case Seq("ascii", off, s) => Ascii(unesc(s), off.toInt)
+      case Seq("ascii", off) => Ascii("", off.toInt) // empty TEXT
+      case Seq("b", off, v, m) => B(off.toInt, v.toInt, m.toInt)
+      case Seq("minlen", n) => MinLen(n.toInt)
+      case Seq("lenis", n) => LenIs(n.toInt)
+      case Seq("u16len", off, base) => U16SelfLen(off.toInt, base.toInt)
+      case Seq("heur", name) =>
+        require(heuristics.contains(name), s"unknown heuristic: $name")
+        Heur(name)
+      case other => throw new IllegalArgumentException(
+        s"bad predicate token: $tok")
+    }
+
+  /** Render a rule table as map-file lines (inverse of [[parse]]). */
+  def render(rules: Seq[Rule]): Seq[String] =
+    rules.map(r => (s"proto=${esc(r.proto)}" +: r.preds.map(renderPred))
+      .mkString(" "))
+
+  /** Parse map-file lines ('!' comments and blanks skipped) into a rule
+    * table. Fails fast on malformed lines — a silently-dropped rule
+    * would change classification order. */
+  def parse(lines: Seq[String]): Seq[Rule] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("!"))
+      .map { line =>
+        val toks = line.split("\\s+").toSeq
+        require(toks.head.startsWith("proto="), s"bad rule line: $line")
+        Rule(unesc(toks.head.drop(6)), toks.tail.map(parsePred))
+      }
+
   private def evalPred(p: Pred, h: Array[Byte]): Boolean = p match {
     case Ascii(s, off) => h.length >= off + s.length &&
       s.indices.forall(i => h(off + i) == s.charAt(i).toByte)

@@ -465,7 +465,10 @@ object ScaleQueries {
         import graft.functions.SigRules
         val families = SigRules.sampleFamilies.toIndexedSeq
         val nf = families.size
-        val rules = s.sparkContext.broadcast(SigRules.default)
+        // route the table through its map-file text form (render→parse)
+        // so the gated path proves the extend-by-editing-a-file contract
+        val rules = s.sparkContext.broadcast(
+          SigRules.parse(SigRules.render(SigRules.default)))
         val rows = Tables.events(s, d).select(
             col("event_id"), col("user_id"))
           .as[(Long, Long)]

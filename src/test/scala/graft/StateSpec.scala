@@ -332,6 +332,27 @@ class StateSpec extends AnyFunSuite {
       Array.empty[Byte]) == "unknown")
   }
 
+  test("SigRules: the map-file text form round-trips the whole table") {
+    import graft.functions.SigRules
+    val lines = SigRules.render(SigRules.default)
+    // structural identity: order, labels, every predicate
+    assert(SigRules.parse(lines) == SigRules.default)
+    // comments/blank lines are skipped like every other map loader
+    assert(SigRules.parse("! comment" +: "" +: lines)
+      == SigRules.default)
+    // escaping survives hostile label/ascii content
+    val hairy = Seq(SigRules.Rule("we ird%proto",
+      Seq(SigRules.Pred.Ascii("GET /a b%c|d+e:f\r\n", 3),
+        SigRules.Pred.AnyOf(Seq(
+          Seq(SigRules.Pred.Ascii("x y")),
+          Seq(SigRules.Pred.B(0, 0xff), SigRules.Pred.MinLen(9)))))))
+    assert(SigRules.parse(SigRules.render(hairy)) == hairy)
+    // unknown heuristic names fail fast, not silently drop
+    intercept[IllegalArgumentException] {
+      SigRules.parse(Seq("proto=x heur:nope"))
+    }
+  }
+
   test("SigRules: classify never throws on arbitrary or truncated bytes") {
     import graft.functions.SigRules
     // every heuristic indexes into the payload head; a missing bounds
