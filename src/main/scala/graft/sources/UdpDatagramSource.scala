@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress}
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, StandardSocketOptions}
 import java.util
 import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable
@@ -24,19 +24,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.readStream
   *     .format("graft.sources.UdpDatagramSource")
   *     .option("port", "9995")
+  *     .option("shards", "4")        // optional SO_REUSEPORT fan-in
   *     .load()                       // exporter STRING, payload BINARY,
   *                                   // arrival_us LONG
   * }}}
   *
-  * Shape: the listener thread binds on the driver — the collector host,
-  * exactly pmacct's single-socket model — and buffered datagrams ship to
-  * executors inside the planned partitions (the same receiver pattern as
-  * Spark's own socket source). Offsets are monotone datagram counts, so
-  * every datagram is delivered exactly once per query; downstream the
-  * per-exporter template decode (`NetFlowV9.TemplateCache` in keyed
-  * state) and the aggregation pipeline run distributed as usual. At
-  * scale, one such stream runs per listener endpoint and the union feeds
-  * the engine (§2.8 union of sources).
+  * Shape: the listener threads bind on the driver — the collector host —
+  * and buffered datagrams ship to executors inside the planned
+  * partitions (the same receiver pattern as Spark's own socket source).
+  * Offsets are monotone datagram counts, so every datagram is delivered
+  * exactly once per query; downstream the per-exporter template decode
+  * (`NetFlowV9.TemplateCache` in keyed state) and the aggregation
+  * pipeline run distributed as usual.
+  *
+  * `shards=N` (default 1) is the reference's SO_REUSEPORT balancer
+  * (`src/ebpf/ebpf_rp_balancer.c`, CONFIG-KEYS `*_dedicated_sockets`):
+  * N sockets bind the SAME port with SO_REUSEPORT and the kernel hash-
+  * balances datagrams across them by source 4-tuple — one exporter
+  * always lands on one shard, so per-exporter arrival order is
+  * preserved, and the single-thread recvfrom bottleneck (pmacct's
+  * reason for the same feature) disappears. At scale, one such stream
+  * runs per listener endpoint and the union feeds the engine (§2.8
+  * union of sources).
   */
 class UdpDatagramSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -46,7 +55,8 @@ class UdpDatagramSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new UdpTable(properties.getOrDefault("port", "0").toInt,
       properties.getOrDefault("maxBufferedDatagrams", "1048576").toInt,
-      properties.getOrDefault("numPartitions", "8").toInt)
+      properties.getOrDefault("numPartitions", "8").toInt,
+      properties.getOrDefault("shards", "1").toInt)
 }
 
 object UdpDatagramSource {
@@ -73,7 +83,8 @@ object UdpDatagramSource {
   }
 }
 
-private class UdpTable(port: Int, maxBuffered: Int, numPartitions: Int)
+private class UdpTable(port: Int, maxBuffered: Int, numPartitions: Int,
+                       shards: Int)
     extends Table with SupportsRead {
   override def name(): String = s"udp:$port"
   override def schema(): StructType = UdpDatagramSource.schema
@@ -86,7 +97,7 @@ private class UdpTable(port: Int, maxBuffered: Int, numPartitions: Int)
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming only")
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new UdpMicroBatchStream(port, maxBuffered, numPartitions)
+          new UdpMicroBatchStream(port, maxBuffered, numPartitions, shards)
       }
     }
 }
@@ -95,30 +106,39 @@ private case class UdpOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
+/** Per-shard datagram counts (shards > 1). Serialized as `[a,b,...]` —
+  * distinguishable from the single-socket count on deserialize. */
+private case class UdpShardOffset(counts: Vector[Long]) extends Offset {
+  override def json(): String = counts.mkString("[", ",", "]")
+  def total: Long = counts.sum
+}
+
 private case class UdpPartition(
     rows: Array[(String, Array[Byte], Long)]) extends InputPartition
 
-private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
-                                           numPartitions: Int = 8)
-    extends MicroBatchStream {
-
-  private val buffer = mutable.ArrayBuffer[(String, Array[Byte], Long)]()
-  /** absolute offset of buffer(0): committed batches are trimmed, so
-    * memory holds only not-yet-committed datagrams */
-  private var trimmed = 0L
-  /** datagrams dropped once the in-flight cap is hit (a real collector's
-    * socket-buffer overflow, surfaced instead of unbounded memory) */
-  @volatile private var dropped = 0L
+/** One reuseport socket + its receive buffer. Committed batches are
+  * trimmed, so memory holds only not-yet-committed datagrams; once the
+  * in-flight cap is hit, datagrams drop (a real collector's socket-
+  * buffer overflow, surfaced instead of unbounded memory). */
+private[sources] final class UdpShard(bindPort: Int, reusePort: Boolean,
+                                      maxBuffered: Int, tag: String) {
+  private[sources] val buffer =
+    mutable.ArrayBuffer[(String, Array[Byte], Long)]()
+  /** absolute offset of buffer(0) */
+  private[sources] var trimmed = 0L
+  @volatile private[sources] var dropped = 0L
   @volatile private var running = true
 
-  private val socket = new DatagramSocket(null)
+  private[sources] val socket = new DatagramSocket(null)
   socket.setReuseAddress(true)
+  if (reusePort)
+    socket.setOption[java.lang.Boolean](
+      StandardSocketOptions.SO_REUSEPORT, true)
   socket.setReceiveBufferSize(1 << 22)
-  socket.bind(new InetSocketAddress(port))
+  socket.bind(new InetSocketAddress(bindPort))
   private[sources] val boundPort = socket.getLocalPort
-  UdpDatagramSource.registerBound(boundPort, socket)
 
-  private val listener = new Thread(s"graft-udp-$boundPort") {
+  private val listener = new Thread(s"graft-udp-$tag") {
     override def run(): Unit = {
       val buf = new Array[Byte](65536)
       val pkt = new DatagramPacket(buf, buf.length)
@@ -142,19 +162,97 @@ private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
   listener.setDaemon(true)
   listener.start()
 
-  override def initialOffset(): Offset = UdpOffset(0L)
-  override def latestOffset(): Offset =
-    UdpOffset(buffer.synchronized(trimmed + buffer.size))
-  override def deserializeOffset(json: String): Offset =
-    UdpOffset(json.toLong)
+  def count: Long = buffer.synchronized(trimmed + buffer.size)
 
-  /** One socket, many workers (the reference's collector model,
-    * `src/nfacctd.c:1525` + `docs/INTERNALS:86-190`): the batch slice is
-    * split into up to `numPartitions` InputPartitions KEYED BY EXPORTER
-    * HASH, so decode parallelizes across cores/executors while every
-    * exporter's datagrams stay on one task — per-exporter template state
-    * (NetFlow v9/IPFIX) needs no cross-partition coordination and
-    * per-exporter arrival order is preserved within the batch.
+  def slice(s: Long, e: Long): Array[(String, Array[Byte], Long)] =
+    buffer.synchronized {
+      if (s < trimmed || e > trimmed + buffer.size)
+        throw new IllegalStateException(
+          s"udp:$tag asked for offsets [$s,$e) but only [" +
+            s"$trimmed,${trimmed + buffer.size}) is buffered. Datagrams " +
+            "are held in driver memory only; this source cannot recover " +
+            "a pre-restart checkpoint offset (same contract as Spark's " +
+            "socket source).")
+      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+    }
+
+  def commitUpTo(upTo: Long): Unit = buffer.synchronized {
+    val drop = math.min((upTo - trimmed).toInt, buffer.size)
+    if (drop > 0) {
+      buffer.remove(0, drop)
+      trimmed += drop
+    }
+  }
+
+  def stop(): Unit = {
+    running = false
+    socket.close()
+  }
+}
+
+private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
+                                           numPartitions: Int = 8,
+                                           shards: Int = 1)
+    extends MicroBatchStream {
+  require(shards >= 1, s"shards must be >= 1, got $shards")
+  if (shards > 1) {
+    // fail fast with a clear message where the kernel/JVM can't balance
+    val probe = new DatagramSocket(null)
+    val ok = try probe.supportedOptions()
+      .contains(StandardSocketOptions.SO_REUSEPORT)
+    finally probe.close()
+    require(ok, "shards > 1 needs SO_REUSEPORT (Linux >= 3.9); " +
+      "this platform does not support it — use shards=1")
+  }
+
+  private val shardArr: Array[UdpShard] = {
+    val perShardCap = math.max(1, maxBuffered / shards)
+    val first = new UdpShard(port, shards > 1, perShardCap, s"$port-0")
+    val rest = (1 until shards).map(i =>
+      new UdpShard(first.boundPort, reusePort = true, perShardCap,
+        s"${first.boundPort}-$i"))
+    (first +: rest).toArray
+  }
+  private[sources] val boundPort = shardArr(0).boundPort
+  private[sources] def shardPorts: Seq[Int] = shardArr.map(_.boundPort).toSeq
+  private[sources] def droppedTotal: Long = shardArr.map(_.dropped).sum
+  UdpDatagramSource.registerBound(boundPort, shardArr(0).socket)
+
+  private def toCounts(o: Offset): Vector[Long] = o match {
+    case UdpOffset(c) =>
+      require(shards == 1,
+        s"single-count offset $c against a $shards-shard stream")
+      Vector(c)
+    case UdpShardOffset(cs) =>
+      require(cs.size == shards,
+        s"offset has ${cs.size} shard counts, stream has $shards")
+      cs
+  }
+
+  override def initialOffset(): Offset =
+    if (shards == 1) UdpOffset(0L)
+    else UdpShardOffset(Vector.fill(shards)(0L))
+  override def latestOffset(): Offset =
+    if (shards == 1) UdpOffset(shardArr(0).count)
+    else UdpShardOffset(shardArr.map(_.count).toVector)
+  override def deserializeOffset(json: String): Offset =
+    if (json.startsWith("["))
+      UdpShardOffset(json.stripPrefix("[").stripSuffix("]")
+        .split(',').iterator.filter(_.nonEmpty).map(_.trim.toLong).toVector)
+    else UdpOffset(json.toLong)
+
+  /** Few sockets, many workers (the reference's collector model,
+    * `src/nfacctd.c:1525` + `docs/INTERNALS:86-190`): each shard's batch
+    * slice is split into InputPartitions KEYED BY EXPORTER HASH, so
+    * decode parallelizes across cores/executors while every exporter's
+    * datagrams stay on one task — per-exporter template state (NetFlow
+    * v9/IPFIX) needs no cross-partition coordination and per-exporter
+    * arrival order is preserved within the batch. With shards > 1 the
+    * kernel's reuseport hash pins each exporter 4-tuple to one shard,
+    * so the co-location guarantee holds across the whole batch (caveat,
+    * same as the reference's balancer: an exporter behind a NAT that
+    * re-binds its source port re-hashes; stateful decode downstream
+    * keys by exporter in `groupByKey` and is unaffected).
     *
     * Datagrams live only in driver memory: a restarted query whose
     * checkpoint offset falls outside the current buffer CANNOT be served.
@@ -162,27 +260,24 @@ private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
     * fail fast rather than silently returning an empty/wrong slice. */
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[UdpOffset].count
-    val e = end.asInstanceOf[UdpOffset].count
-    val slice = buffer.synchronized {
-      if (s < trimmed || e > trimmed + buffer.size)
-        throw new IllegalStateException(
-          s"udp:$boundPort asked for offsets [$s,$e) but only [" +
-            s"$trimmed,${trimmed + buffer.size}) is buffered. Datagrams " +
-            "are held in driver memory only; this source cannot recover " +
-            "a pre-restart checkpoint offset (same contract as Spark's " +
-            "socket source).")
-      buffer.slice((s - trimmed).toInt, (e - trimmed).toInt).toArray
+    val ss = toCounts(start)
+    val es = toCounts(end)
+    val perShardGroups = math.max(1, numPartitions / shards)
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    var i = 0
+    while (i < shards) {
+      val slice = shardArr(i).slice(ss(i), es(i))
+      if (slice.nonEmpty) {
+        val n = math.max(1, math.min(perShardGroups, slice.length))
+        val groups = Array.fill(n)(
+          mutable.ArrayBuffer.empty[(String, Array[Byte], Long)])
+        slice.foreach(r => groups(math.floorMod(r._1.hashCode, n)) += r)
+        groups.iterator.filter(_.nonEmpty)
+          .foreach(g => parts += UdpPartition(g.toArray))
+      }
+      i += 1
     }
-    if (slice.isEmpty) Array.empty
-    else {
-      val n = math.max(1, math.min(numPartitions, slice.length))
-      val groups = Array.fill(n)(
-        mutable.ArrayBuffer.empty[(String, Array[Byte], Long)])
-      slice.foreach(r => groups(math.floorMod(r._1.hashCode, n)) += r)
-      groups.iterator.filter(_.nonEmpty)
-        .map(g => UdpPartition(g.toArray): InputPartition).toArray
-    }
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -204,21 +299,15 @@ private[sources] class UdpMicroBatchStream(port: Int, maxBuffered: Int,
     }
 
   /** Committed batches leave memory — the source runs indefinitely with
-    * at most `maxBufferedDatagrams` in flight. */
+    * at most `maxBufferedDatagrams` in flight across all shards. */
   override def commit(end: Offset): Unit = {
-    val upTo = end.asInstanceOf[UdpOffset].count
-    buffer.synchronized {
-      val drop = math.min((upTo - trimmed).toInt, buffer.size)
-      if (drop > 0) {
-        buffer.remove(0, drop)
-        trimmed += drop
-      }
-    }
+    val es = toCounts(end)
+    var i = 0
+    while (i < shards) { shardArr(i).commitUpTo(es(i)); i += 1 }
   }
 
   override def stop(): Unit = {
-    running = false
     UdpDatagramSource.unregister(boundPort)
-    socket.close()
+    shardArr.foreach(_.stop())
   }
 }

@@ -584,6 +584,90 @@ object StreamingQueries {
             FROM a JOIN b USING (exporter)
             WHERE tb <= ta AND tb > ta - 600000000
             GROUP BY exporter"""),
-      doc = "stream-stream interval join: option stream x flow stream")
+      doc = "stream-stream interval join: option stream x flow stream"),
+
+    // LIVE sharded ingest e2e — the reference's SO_REUSEPORT balancer
+    // (src/ebpf/ebpf_rp_balancer.c, CONFIG-KEYS *_dedicated_sockets):
+    // 4 kernel-balanced sockets on ONE port feed one MicroBatchStream
+    // with per-shard vector offsets. The flows corpus is packed into
+    // NetFlow v5 datagrams and sent from 8 exporter sockets (the
+    // driver plays the router farm — test rig, not the operator);
+    // every datagram must land exactly once through the stream, then
+    // the landed wire decodes DISTRIBUTED (mapPartitions over the
+    // sink) and aggregates against the flows oracle. A dropped,
+    // duplicated, or mis-sliced datagram anywhere in the shard/offset
+    // machinery breaks parity.
+    Q("q238_udp_sharded_ingest",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sources.{NetFlowV5, UdpDatagramSource, V5Header, V5Record}
+        import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+        val name = "q238_sink_" + sinkId.incrementAndGet()
+        // the wire corpus: 1/16th of flows, keyed to 8 exporters
+        val recs = flows(s, d).filter(expr("event_id % 16 = 0"))
+          .select(col("ip_src"), col("ip_dst"), col("port_src") % 65536,
+            col("port_dst"), col("tcp_flags"), col("ip_proto"),
+            col("bytes") % 4294967296L, col("packets"),
+            expr("t0u div 1000 % 4294967296"),
+            expr("t1u div 1000 % 4294967296"), col("event_id") % 8)
+          .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+               Long, Long)]
+          .collect() // driver = the exporting routers (sender side only)
+        val probe = new DatagramSocket(0)
+        val port = probe.getLocalPort
+        probe.close()
+        val q = s.readStream.format("graft.sources.UdpDatagramSource")
+          .option("port", port.toString)
+          .option("shards", "4").option("numPartitions", "8")
+          .load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        var sent = 0L
+        try {
+          require(UdpDatagramSource.awaitBound(port), "listener not up")
+          val addr = InetAddress.getLoopbackAddress
+          recs.groupBy(_._11).toSeq.sortBy(_._1).foreach {
+            case (_, rows) =>
+              val sock = new DatagramSocket() // one socket per exporter:
+              try {                           // kernel pins it to a shard
+                rows.grouped(NetFlowV5.MaxRecords).foreach { batch =>
+                  val v5 = batch.map { case (sa, da, spp, dp, fl, pr,
+                                             oc, pk, fi, la, _) =>
+                    V5Record(sa, da, 0L, 1, 2, pk, oc, fi, la, spp.toInt,
+                      dp.toInt, fl.toInt, pr.toInt, 0, 0, 0, 0, 0)
+                  }
+                  val wire = NetFlowV5.encode(
+                    V5Header(5, v5.size, 0L, 0L, 0L, 0L, 0, 0, 1), v5)
+                  sock.send(new DatagramPacket(wire, wire.length, addr,
+                    port))
+                  sent += 1
+                  // pace bursts under the per-shard kernel rcvbuf
+                  if (sent % 64 == 0) Thread.sleep(2)
+                }
+              } finally sock.close()
+          }
+          val deadline = System.currentTimeMillis() + 60000
+          while (s.table(name).count() < sent &&
+                 System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+        } finally q.stop()
+        s.table(name).select("payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap(w => NetFlowV5.decode(w)._2))
+          .toDF()
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"), sum("octets").as("octets"),
+            sum("packets").as("packets"),
+            expr("bit_or(tcpFlags)").as("flags_or"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 4294967296) AS BIGINT) AS octets,
+           CAST(sum(packets) AS BIGINT) AS packets,
+           bit_or(tcp_flags) AS flags_or
+           FROM flows WHERE event_id % 16 = 0 GROUP BY 1""")),
+      doc = "live SO_REUSEPORT sharded UDP ingest, exactly-once to sink")
   )
 }

@@ -50,6 +50,60 @@ class UdpPartitionSpec extends AnyFunSuite {
     } finally st.stop()
   }
 
+  test("sharded reuseport group: every datagram delivered exactly once") {
+    // pmacct's SO_REUSEPORT balancer (src/ebpf/ebpf_rp_balancer.c):
+    // 4 sockets on ONE port; kernel hash-balances by source 4-tuple
+    val st = new UdpMicroBatchStream(0, 1 << 16, numPartitions = 8,
+      shards = 4)
+    try {
+      assert(st.shardPorts.length == 4)
+      assert(st.shardPorts.distinct == Seq(st.boundPort),
+        "all shards must share the one listener port")
+      assert(UdpDatagramSource.awaitBound(st.boundPort))
+      val socks = Seq.fill(8)(new DatagramSocket())
+      sendFrom(socks, st.boundPort, 5)
+      socks.foreach(_.close())
+      val deadline = System.currentTimeMillis() + 15000
+      def total() = st.latestOffset().asInstanceOf[UdpShardOffset].total
+      while (total() < 40 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val end = st.latestOffset().asInstanceOf[UdpShardOffset]
+      assert(end.total == 40, s"lost datagrams: $end")
+      // offsets round-trip through their json form (checkpoint format)
+      assert(st.deserializeOffset(end.json()) == end)
+      val parts = st.planInputPartitions(st.initialOffset(), end)
+        .map(_.asInstanceOf[UdpPartition])
+      assert(parts.map(_.rows.length).sum == 40)
+      // exporter co-location survives sharding: the kernel pins each
+      // source socket to one shard, planning groups by exporter hash
+      val homes = parts.zipWithIndex.flatMap { case (p, i) =>
+        p.rows.map(_._1 -> i)
+      }.groupBy(_._1).values
+      assert(homes.forall(_.map(_._2).distinct.length == 1))
+      // commit trims every shard's buffer
+      st.commit(end)
+      assert(st.latestOffset() == end)
+      assert(st.planInputPartitions(end, end).isEmpty)
+    } finally st.stop()
+  }
+
+  test("sharded offsets reject a single-count checkpoint (shape change)") {
+    val st = new UdpMicroBatchStream(0, 1 << 16, numPartitions = 8,
+      shards = 2)
+    try {
+      // a checkpoint written by a 1-socket incarnation cannot be
+      // reinterpreted against a sharded group — fail fast, not guess
+      intercept[IllegalArgumentException] {
+        st.planInputPartitions(UdpOffset(0), st.latestOffset())
+      }
+      // and a count-vector of the wrong width is equally fatal
+      intercept[IllegalArgumentException] {
+        st.planInputPartitions(UdpShardOffset(Vector(0L, 0L, 0L)),
+          st.latestOffset())
+      }
+    } finally st.stop()
+  }
+
   test("offset outside the driver buffer fails fast (not recoverable)") {
     val st = new UdpMicroBatchStream(0, 1 << 16, numPartitions = 4)
     try {
