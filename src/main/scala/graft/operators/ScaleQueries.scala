@@ -535,6 +535,74 @@ object ScaleQueries {
              AS revenue_c
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            GROUP BY 1"""),
-      doc = "bucketed at-rest layout: exchange-free fact-fact merge join")
+      doc = "bucketed at-rest layout: exchange-free fact-fact merge join"),
+
+    // The archive MAINTENANCE loop for q236's layout: new data arrives
+    // as a stream, each micro-batch appends INTO the bucketed table
+    // (per-batch bucket files — correct immediately, just fragmenting),
+    // and a periodic compaction rewrites the table to one sorted file
+    // per bucket. The compaction pays the bucket shuffle once
+    // (repartition on the bucket key = the same Murmur3 hash bucketing
+    // uses, so every task holds exactly one bucket — NOTE it must read
+    // the raw files, not the catalog table: against the bucketed table
+    // the planner elides the repartition as already-satisfied while the
+    // scan tasks still mix buckets); afterwards every join reads bucket
+    // i against bucket i with no exchange — only the bounded per-bucket
+    // sort remains (Spark does not yet exploit sortBy metadata in merge
+    // joins). This is how the 100 TB archive absorbs a live feed
+    // without ever re-shuffling history: the stream fragments only the
+    // newest data, compaction folds it in, queries never re-exchange.
+    Q("q239_bucket_stream_compact",
+      (s, d) => {
+        import graft.core.AggregatePlanner.sumScaled
+        import org.apache.spark.sql.streaming.Trigger
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_bstream").toString
+        // incoming feed: lineitem as 3 arrival files -> 3 micro-batches
+        val src = s"$wh/incoming"
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+          .repartition(3).write.parquet(src)
+        val schema = s.read.parquet(src).schema
+        s.sql("DROP TABLE IF EXISTS graft_bs_orders")
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.format("parquet").bucketBy(16, "o_orderkey")
+          .sortBy("o_orderkey").option("path", s"$wh/orders")
+          .mode("overwrite").saveAsTable("graft_bs_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bs_lineitem")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.format("parquet")
+              .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+              .option("path", s"$wh/lineitem")
+              .mode("append").saveAsTable("graft_bs_lineitem")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // compaction: one bucket per task -> one sorted file per bucket
+        // (raw-path read, so the bucket shuffle really materializes)
+        s.sql("DROP TABLE IF EXISTS graft_bs_lineitem_c")
+        s.read.parquet(s"$wh/lineitem")
+          .repartition(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.format("parquet").bucketBy(16, "l_orderkey")
+          .sortBy("l_orderkey").option("path", s"$wh/lineitem_c")
+          .mode("overwrite").saveAsTable("graft_bs_lineitem_c")
+        val o = s.table("graft_bs_orders")
+        val l = s.table("graft_bs_lineitem_c")
+        o.hint("merge")
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sumScaled(col("l_extendedprice"), 2).as("revenue_c"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1"""),
+      doc = "streaming append into bucketed archive + compaction")
   )
 }

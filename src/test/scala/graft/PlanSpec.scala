@@ -115,6 +115,33 @@ class PlanSpec extends AnyFunSuite {
       s"scans are not bucket-aware:\n$plan")
   }
 
+  test("streamed bucket appends compact to one sorted file per bucket") {
+    // q239: micro-batches append per-batch bucket files (fragmenting),
+    // compaction folds them to exactly one sorted file per bucket, and
+    // the downstream merge join then reads bucket i against bucket i
+    // with zero exchange (only the bounded per-bucket sort remains —
+    // Spark does not exploit sortBy metadata in merge joins). This is
+    // the archive-maintenance loop: only the newest data fragments,
+    // history never re-shuffles.
+    val q = SparkEntry.queries("q239_bucket_stream_compact")(spark, d)
+    q.collect()
+    // 3 micro-batch appends fragmented the live table...
+    assert(spark.table("graft_bs_lineitem").inputFiles.length > 16,
+      "appends should land per-batch bucket files")
+    // ...and compaction folded them to exactly one file per bucket
+    assert(spark.table("graft_bs_lineitem_c").inputFiles.length == 16,
+      "compaction must produce exactly one file per bucket")
+    val full = q.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"compacted join must stay a merge join:\n$plan")
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"$exchanges exchanges — the compacted join is shuffling:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scans are not bucket-aware:\n$plan")
+  }
+
   test("vec_dot matches the zip_with fold bit-for-bit and stays in codegen") {
     import spark.implicits._
     val df = Seq((Array(1.5, -2.25, 3.125, 0.1), Array(0.5, 4.0, -1.75, 0.3)))
