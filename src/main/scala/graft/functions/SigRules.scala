@@ -220,6 +220,26 @@ object SigRules {
       Seq(Ascii("CONNECT\naccept-version")))))),
     Rule("gnutella", Seq(Ascii("GNUTELLA "))),
     Rule("http_connect", Seq(Ascii("CONNECT "))),
+    // FTP-unique verbs only: USER/PASS/RETR/LIST are shared with POP3
+    // (payload alone can't split them; nDPI uses flow context there)
+    Rule("ftp", Seq(AnyOf(Seq(Seq(Ascii("STOR ")), Seq(Ascii("CWD ")),
+      Seq(Ascii("PASV")), Seq(Ascii("TYPE I")), Seq(Ascii("FEAT")))))),
+    // DSI OpenSession: flags 0 (request), command 4, dataOffset 0
+    Rule("afp", Seq(MinLen(16), B(0, 0), B(1, 4), B(4, 0), B(5, 0),
+      B(6, 0), B(7, 0))),
+    // SCCRQ: u16 total length, control message 1, magic 0x1A2B3C4D
+    Rule("pptp", Seq(U16SelfLen(0, 0), B(2, 0), B(3, 1), B(4, 0x1a),
+      B(5, 0x2b), B(6, 0x3c), B(7, 0x4d))),
+    // NBNS name query: QDCOUNT 1, first-level-encoded name (len 0x20)
+    Rule("netbios", Seq(MinLen(50), B(4, 0), B(5, 1), B(12, 0x20))),
+    Rule("zabbix", Seq(Ascii("ZBXD"), B(4, 1))),
+    Rule("teamspeak", Seq(Ascii("TS3INIT1"))),
+    Rule("svn", Seq(Ascii("( success"))),
+    // ONC RPC call: msg_type CALL (0), rpcvers 2
+    Rule("sunrpc", Seq(MinLen(24), B(4, 0), B(5, 0), B(6, 0), B(7, 0),
+      B(8, 0), B(9, 0), B(10, 0), B(11, 2))),
+    // BVLC: type 0x81, u16 length spans the whole payload
+    Rule("bacnet", Seq(MinLen(4), B(0, 0x81), U16SelfLen(2, 0))),
     Rule("bgp", Seq(Heur("bgp"))),
     Rule("dnp3", Seq(Heur("dnp3"))),
     Rule("modbus", Seq(Heur("modbus"))),
@@ -439,6 +459,31 @@ object SigRules {
       case "coap" => // CON GET, TKL 2, msgid (hi byte pinned nonzero)
         Array[Byte](0x42, 0x01, 0xa5.toByte, (s % 250).toByte,
           (s % 11).toByte, (s % 19).toByte)
+      case "afp" => // DSI OpenSession + one 6-byte option
+        Array[Byte](0, 4, (s % 100).toByte, (s % 90).toByte, 0, 0, 0, 0,
+          0, 0, 0, 6, 0, 0, 0, 0, 1, 4) ++
+          Array.fill[Byte](4)((s % 19).toByte)
+      case "ftp" => s"STOR up$s.dat\r\n".getBytes
+      case "pptp" => // SCCRQ: len 16, ctrl-msg 1, magic cookie
+        Array[Byte](0, 16, 0, 1, 0x1a, 0x2b, 0x3c, 0x4d,
+          0, 1, 0, 0, (s % 100).toByte, 0, 0, 0)
+      case "netbios" => // NBNS query, 32-byte first-level-encoded name
+        Array[Byte]((0xB0 + s % 16).toByte, (s % 97).toByte, 0x01, 0x10,
+          0, 1, 0, 0, 0, 0, 0, 0, 0x20) ++
+          (0 until 32).map(i => ('A' + (i + s) % 16).toByte).toArray ++
+          Array[Byte](0, 0, 0x20, 0, 1)
+      case "zabbix" => "ZBXD".getBytes ++ Array[Byte](1) ++
+        Array[Byte](13, 0, 0, 0, 0, 0, 0, 0) ++
+        ("{\"request\":\"p" + s).take(13).getBytes
+      case "teamspeak" => "TS3INIT1".getBytes ++
+        Array.fill[Byte](20)((s % 23).toByte)
+      case "svn" => "( success ( 2 2 ( ) ( edit-pipeline ) ) ) ".getBytes
+      case "sunrpc" => // call: xid, CALL(0), rpcvers 2, NFS prog, v3
+        Array[Byte]((0x70 + s % 16).toByte, (s % 89).toByte,
+          (s % 83).toByte, (s % 79).toByte, 0, 0, 0, 0, 0, 0, 0, 2,
+          0, 1, 0x86.toByte, 0xa3.toByte, 0, 0, 0, 3, 0, 0, 0, 0)
+      case "bacnet" => // BVLC original-unicast-NPDU, u16 len = total
+        Array[Byte](0x81.toByte, 0x0a, 0, 8, 1, 4, (s % 100).toByte, 0)
       case "dot" =>
         val dns = sample("dns", s)
         Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
