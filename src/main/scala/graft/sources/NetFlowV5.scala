@@ -62,15 +62,23 @@ object NetFlowV5 {
     buf.array()
   }
 
+  /** Decode one datagram. NEVER throws: a collector drops a malformed
+    * datagram and keeps running (the reference length-checks and skips,
+    * `src/nfacctd.c` process_v5_packet len guard) — a short header or
+    * wrong version yields an empty result, a short body yields the
+    * records that fit. */
   def decode(datagram: Array[Byte]): (V5Header, Seq[V5Record]) = {
+    val empty = (V5Header(0, 0, 0L, 0L, 0L, 0L, 0, 0, 0), Nil)
+    if (datagram.length < HeaderLen) return empty
     val buf = ByteBuffer.wrap(datagram)
     def u8(): Int = buf.get() & 0xff
     def u16(): Int = buf.getShort() & 0xffff
     def u32(): Long = buf.getInt() & 0xffffffffL
     val h = V5Header(u16(), u16(), u32(), u32(), u32(), u32(),
       u8(), u8(), u16())
-    require(h.version == 5, s"not a v5 datagram: version=${h.version}")
-    val recs = (0 until h.count).map { _ =>
+    if (h.version != 5) return empty
+    val fit = math.min(h.count, (datagram.length - HeaderLen) / RecordLen)
+    val recs = (0 until fit).map { _ =>
       val (sa, da, nh) = (u32(), u32(), u32())
       val (iin, iout) = (u16(), u16())
       val (pk, oc, fi, la) = (u32(), u32(), u32(), u32())

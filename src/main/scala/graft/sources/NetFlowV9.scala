@@ -317,8 +317,9 @@ object NetFlowV9 {
       if (datagram.length < 4) return Seq.empty // runt: discard, no throw
       val buf = ByteBuffer.wrap(datagram)
       val version = buf.getShort() & 0xffff
-      require(version == 9 || version == 10,
-        s"not a v9/IPFIX datagram: version=$version")
+      // wrong version: discard like a runt (the reference counts it in
+      // tot_bad_datagrams and keeps collecting) — never throw
+      if (version != 9 && version != 10) return Seq.empty
       val ipfix = version == 10
       val (headerLen, templateSetId) =
         if (ipfix) (IpfixHeaderLen, 2) else (HeaderLen, 0)
@@ -341,7 +342,7 @@ object NetFlowV9 {
           // set header lies beyond the datagram: truncated mid-set —
           // stop here, keep whatever earlier sets produced
           truncatedDg = true
-        } else {
+        } else try {
         if (setId == templateSetId) {
           while (buf.position() + 4 <= setEnd) {
             val tid = buf.getShort() & 0xffff
@@ -387,6 +388,12 @@ object NetFlowV9 {
           }
         }
         buf.position(setEnd)
+        } catch {
+          // a template spec list whose PEN extensions overrun the set
+          // (crafted field count) must not kill the task: stop at this
+          // set, keep earlier output — same skip-and-count contract
+          case _: java.nio.BufferUnderflowException => truncatedDg = true
+          case _: IllegalArgumentException => truncatedDg = true
         }
       }
       out.toSeq

@@ -70,7 +70,13 @@ object Pcap {
 
   final case class Savefile(linkType: Int, packets: Seq[Packet])
 
+  /** Read a savefile. NEVER throws: a replay job over a directory of
+    * capture files must not die on one corrupt file (libpcap flags the
+    * error and yields nothing further) — not-a-pcap returns an empty
+    * savefile, a record truncated mid-file keeps the packets before
+    * it. */
   def read(bytes: Array[Byte]): Savefile = {
+    if (bytes.length < 24) return Savefile(0, Nil)
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magicBe = be.getInt(0) & 0xffffffffL
     val (order, nanos) = magicBe match {
@@ -78,22 +84,25 @@ object Pcap {
       case MagicNanos => (ByteOrder.BIG_ENDIAN, true)
       case 0xd4c3b2a1L => (ByteOrder.LITTLE_ENDIAN, false)
       case 0x4d3cb2a1L => (ByteOrder.LITTLE_ENDIAN, true)
-      case m => throw new IllegalArgumentException(
-        f"not a pcap savefile: magic 0x$m%08x")
+      case _ => return Savefile(0, Nil) // not a pcap savefile
     }
     val buf = ByteBuffer.wrap(bytes).order(order)
     buf.position(20)
     val linkType = buf.getInt()
     val out = mutable.Buffer[Packet]()
-    while (buf.remaining() >= 16) {
+    var truncated = false
+    while (!truncated && buf.remaining() >= 16) {
       val sec = buf.getInt() & 0xffffffffL
       val frac = buf.getInt() & 0xffffffffL
       val incl = buf.getInt()
       val orig = buf.getInt() & 0xffffffffL
-      val data = new Array[Byte](incl)
-      buf.get(data)
-      val us = sec * 1000000L + (if (nanos) frac / 1000L else frac)
-      out += Packet(us, orig, data)
+      if (incl < 0 || incl > buf.remaining()) truncated = true
+      else {
+        val data = new Array[Byte](incl)
+        buf.get(data)
+        val us = sec * 1000000L + (if (nanos) frac / 1000L else frac)
+        out += Packet(us, orig, data)
+      }
     }
     Savefile(linkType, out.toSeq)
   }

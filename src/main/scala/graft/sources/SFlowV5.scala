@@ -163,13 +163,19 @@ object SFlowV5 {
     buf.array()
   }
 
+  /** Decode one datagram. NEVER throws: a malformed or truncated
+    * datagram yields what was decodable before the damage (the
+    * reference length-checks and drops, `src/sfacctd.c` sample bounds;
+    * one bad packet must not fail a collector task). */
   def decode(datagram: Array[Byte]): SFlowDatagram = {
+    val empty = SFlowDatagram(0L, 0L, 0L, 0L, Nil, Nil)
+    if (datagram.length < 28) return empty
     val buf = ByteBuffer.wrap(datagram)
     def u32(): Long = buf.getInt() & 0xffffffffL
     val version = u32()
-    require(version == 5, s"not an sFlow v5 datagram: version=$version")
+    if (version != 5) return empty
     val addrType = u32()
-    require(addrType == 1, s"only IPv4 agents supported: type=$addrType")
+    if (addrType != 1) return empty // only IPv4 agents supported
     val agentIp = u32()
     val subAgent = u32()
     val seq = u32()
@@ -177,7 +183,7 @@ object SFlowV5 {
     val nSamples = u32().toInt
     val samples = mutable.Buffer[SFlowSample]()
     val counters = mutable.Buffer[SFlowIfCounters]()
-    (0 until nSamples).foreach { _ =>
+    try (0 until nSamples).foreach { _ =>
       val tag = u32()
       val len = u32().toInt
       val end = buf.position() + len
@@ -212,6 +218,10 @@ object SFlowV5 {
             val frameLen = u32()
             u32() // stripped
             val hdrLen = u32().toInt
+            // crafted length: cap the allocation at what the buffer
+            // holds before allocating (no multi-GB Array from 4 bytes)
+            if (hdrLen < 0 || hdrLen > buf.remaining())
+              throw new java.nio.BufferUnderflowException
             val hdr = new Array[Byte](hdrLen)
             buf.get(hdr)
             sample = Some(SFlowSample(sseq, src, rate, pool, drops,
@@ -245,6 +255,11 @@ object SFlowV5 {
           tagRec = tagRec, class2 = class2))
       }
       buf.position(end)
+    } catch {
+      // truncated mid-sample (or a crafted length running past the
+      // buffer): keep the samples decoded before the damage
+      case _: java.nio.BufferUnderflowException => ()
+      case _: IllegalArgumentException => ()
     }
     SFlowDatagram(agentIp, subAgent, seq, uptime, samples.toSeq,
       counters.toSeq)
@@ -323,15 +338,19 @@ object SFlowV5 {
     buf.array()
   }
 
+  /** Decode one legacy datagram. NEVER throws — truncation mid-walk
+    * keeps what was decoded (the reference aborts the packet, not the
+    * collector, `src/sfacctd.c:1494-1538`). */
   def decodeV2V4(datagram: Array[Byte]): SFlowV2V4Datagram = {
+    val empty = SFlowV2V4Datagram(0L, 0L, 0L, 0L, Nil, Nil)
+    if (datagram.length < 24) return empty
     val buf = ByteBuffer.wrap(datagram)
     def u32(): Long = buf.getInt() & 0xffffffffL
     def u64(): Long = buf.getLong()
     val version = u32()
-    require(version == 2 || version == 4,
-      s"not an sFlow v2/v4 datagram: version=$version")
+    if (version != 2 && version != 4) return empty
     val addrType = u32()
-    require(addrType == 1, s"only IPv4 agents supported: type=$addrType")
+    if (addrType != 1) return empty // only IPv4 agents supported
     val agentIp = u32()
     val seq = u32()
     val uptime = u32()
@@ -340,7 +359,7 @@ object SFlowV5 {
     val counters = mutable.Buffer[SFlowIfCounters]()
     var idx = 0
     var aborted = false
-    while (idx < nSamples && !aborted && buf.remaining() >= 4) {
+    try while (idx < nSamples && !aborted && buf.remaining() >= 4) {
       u32() match {
         case 1L => // flow sample
           val (sseq, src, rate, pool, drops) =
@@ -387,6 +406,10 @@ object SFlowV5 {
         case _ => aborted = true // unexpected sampleType; abort packet
       }
       idx += 1
+    } catch {
+      // truncated mid-sample: abort the packet, keep earlier samples
+      case _: java.nio.BufferUnderflowException => ()
+      case _: IllegalArgumentException => ()
     }
     SFlowV2V4Datagram(version, agentIp, seq, uptime, samples.toSeq,
       counters.toSeq)

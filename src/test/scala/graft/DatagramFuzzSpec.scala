@@ -1,0 +1,171 @@
+package graft
+
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corruption sweep over every DATAGRAM codec: a UDP collector drops a
+  * malformed datagram and keeps running (the reference length-checks
+  * and skips — e.g. `src/nfacctd.c` template/record length guards,
+  * `src/sfacctd.c` sample bounds), so `decode` of arbitrary or
+  * truncated bytes must NEVER throw out of the codec and kill the
+  * task. Session codecs (BGP/BMP/AMQP/RESP byte streams) are allowed
+  * to throw — the reference resets the session — but must return or
+  * throw promptly on every mutation (no hangs, no unbounded
+  * allocation); CodecPropertySpec covers rtr/zmtp/grpc/BGP-LS the
+  * same way.
+  *
+  * Sweep: every truncation point of a valid wire image, plus a seeded
+  * single-bit flip at every offset.
+  */
+class DatagramFuzzSpec extends AnyFunSuite {
+
+  private def sweep(name: String, bytes: Array[Byte],
+                    dec: Array[Byte] => Any,
+                    mayThrow: Boolean = false): Unit = {
+    (0 to bytes.length).foreach { n =>
+      val cut = java.util.Arrays.copyOf(bytes, n)
+      try dec(cut) catch {
+        case e: Throwable if !mayThrow =>
+          fail(s"$name threw on truncation at $n: $e")
+        case _: Throwable => ()
+      }
+    }
+    val r = new Random(43)
+    bytes.indices.foreach { i =>
+      val mut = bytes.clone()
+      mut(i) = (mut(i) ^ (1 << r.nextInt(8))).toByte
+      try dec(mut) catch {
+        case e: Throwable if !mayThrow =>
+          fail(s"$name threw on bit flip at $i: $e")
+        case _: Throwable => ()
+      }
+    }
+    // and pure noise, seeded, a few lengths
+    Seq(0, 1, 3, 16, 64, 1400).foreach { len =>
+      val noise = new Array[Byte](len)
+      new Random(len * 31 + 7).nextBytes(noise)
+      try dec(noise) catch {
+        case e: Throwable if !mayThrow =>
+          fail(s"$name threw on noise len=$len: $e")
+        case _: Throwable => ()
+      }
+    }
+  }
+
+  test("NetFlow v5 decode never throws on corrupt datagrams") {
+    import graft.sources.{NetFlowV5, V5Header, V5Record}
+    val wire = NetFlowV5.encode(V5Header(5, 2, 1L, 2L, 3L, 4L, 0, 0, 1),
+      Seq.fill(2)(V5Record(1, 2, 3, 1, 2, 3, 4, 5, 6, 7, 8, 9, 6,
+        0, 0, 0, 0, 0)))
+    sweep("nfv5", wire, NetFlowV5.decode)
+  }
+
+  test("NetFlow v9 template cache never throws on corrupt datagrams") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val t = NetFlowV9.Template(500, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 42L)
+    val wire = NetFlowV9.encodeTemplate(h, t) ++
+      NetFlowV9.encodeData(h, t,
+        Seq(Map(IE.Protocol -> 6L, IE.InBytes -> 10L)))
+    // fresh cache per mutation: corrupt templates must not poison
+    // later decodes either way, and observe must never throw
+    sweep("nfv9", wire, b => {
+      val c = new NetFlowV9.TemplateCache
+      c.observe(b)
+      c.observe(wire) // cache still serviceable after garbage
+    })
+  }
+
+  test("sFlow v5 and v2/v4 decode never throw on corrupt datagrams") {
+    import graft.sources._
+    val v5 = SFlowV5.encode(SFlowDatagram(0x0A000001L, 1L, 2L, 3L,
+      Seq(SFlowSample(1L, 2L, 1024L, 10L, 0L, 5L, 6L, 1L, 128L,
+        Seq.fill(32)(3.toByte),
+        gateway = Some(SFlowGateway(9L, 65000L, 65001L, 65002L,
+          Seq(65003L, 65004L), Seq(0x10001L), 100L)),
+        tagRec = Some((7L, 8L)), class2 = Some((1L, 2L)))),
+      Seq(SFlowIfCounters(1L, 2L, 3L, 1000L, 10L, 11L, 12L, 13L))))
+    sweep("sflow5", v5, SFlowV5.decode)
+    val v2 = SFlowV5.encodeV2V4(SFlowV2V4Datagram(2L, 0x0A000002L, 1L,
+      2L, Seq(SFlowV2V4Sample(1L, 2L, 1024L, 10L, 0L, 5L, 6L, 128L,
+        6L, 0x0A000003L, 0x0A000004L, 1234L, 80L, 0x12L, 0L)),
+      Seq(SFlowIfCounters(1L, 2L, 3L, 1000L, 10L, 11L, 12L, 13L))))
+    sweep("sflow24", v2, SFlowV5.decodeV2V4)
+  }
+
+  test("NFLOG netlink decode never throws on corrupt streams") {
+    import graft.sources.Nflog
+    val wire = Nflog.encode(5, 2, 0x0800, 3, 7L, 1700000000000000L,
+      1, 2, "pfx", Array.fill[Byte](48)(0x11),
+      Some(Array.fill[Byte](14)(0x22)), 9L)
+    sweep("nflog", wire, Nflog.decode)
+  }
+
+  test("UDP-notif decode and reassembly never throw on corrupt packets") {
+    import graft.sources.UdpNotif
+    val wire = UdpNotif.encode(UdpNotif.Packet(1L, 42L, 0,
+      """{"a":1}""".getBytes)) ++
+      UdpNotif.encode(UdpNotif.Packet(1L, 43L, 0,
+        Array.fill[Byte](600)(7)))
+    sweep("udpnotif", wire, b => {
+      val pkts = UdpNotif.decodeStream(b)
+      UdpNotif.reassemble(pkts)
+    })
+  }
+
+  test("pcap savefile read + parse chain never throws on corrupt files") {
+    import graft.sources.Pcap
+    val tuples = (1 to 5).map(i => Pcap.FlowTuple(0x0A000000L + i,
+      0x0B000000L + i, if (i % 2 == 0) 17 else 6, 1000 + i, 80,
+      100L + i, 1710000000000000L + i))
+    val wire = Pcap.write(tuples.map(Pcap.frame))
+    sweep("pcap", wire, b => {
+      val sf = Pcap.read(b)
+      sf.packets.foreach { p =>
+        Pcap.parse(p, sf.linkType)
+        Pcap.parseL2(p)
+        Pcap.parseFrag(p)
+        Pcap.parseFrag6(p)
+        Pcap.parseVxlan(p)
+        Pcap.parseGtp(p)
+      }
+    })
+  }
+
+  test("IS-IS LSP decode never throws on corrupt PDUs") {
+    import graft.sources.IsisMsg
+    val wire = IsisMsg.encode(IsisMsg.Lsp(2, 0x1234567890L, 0, 0,
+      100L, 3600, "r1",
+      Seq(IsisMsg.Reach(0x0A0B0C00L, 24, 10L))))
+    sweep("isis", wire, IsisMsg.decode)
+  }
+
+  test("PROXY header decode never throws and honors its Option contract") {
+    import graft.sources.ProxyHdr
+    val wire = "PROXY TCP4 1.2.3.4 5.6.7.8 1234 80\r\npayload".getBytes
+    sweep("proxyhdr", wire, b => ProxyHdr.decode(b))
+  }
+
+  test("session codecs stay bounded under corruption (may throw)") {
+    import graft.sources.{BmpMsg, BgpMsg}
+    import graft.sinks.{Amqp, Resp}
+    val peer = BmpMsg.PeerHeader(0, 0, 0L, 0x0A000001L, 65001L,
+      0x01010101L, 1700000000L, 0)
+    val bmp = BmpMsg.encodeInitiation(Seq(1 -> "sys")) ++
+      BmpMsg.encodePeerUp(peer,
+        Some(BgpMsg.Open(65001L, 180, 0x01010101L)),
+        Some(BgpMsg.Open(65002L, 180, 0x02020202L))) ++
+      BmpMsg.encodeRouteMonitoring(peer, BgpMsg.Update(
+        nlri = Seq(BgpMsg.Route(0x0A0B0C00L, 24)),
+        nextHop = Some(9L), asPath = Seq(65001L)))
+    sweep("bmp", bmp, BmpMsg.decodeStream, mayThrow = true)
+    val amqp = Amqp.publishFrames(Amqp.Publish(1, "ex", "rk",
+      "application/json", """{"b":1}""".getBytes), frameMax = 64)
+      .reduce(_ ++ _)
+    sweep("amqp", amqp, Amqp.decode, mayThrow = true)
+    val resp = Resp.command(Seq("SETEX", "k", "60", "v")) ++
+      Resp.command(Seq("PING"))
+    sweep("resp", resp, Resp.decode, mayThrow = true)
+  }
+}

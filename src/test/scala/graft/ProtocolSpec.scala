@@ -343,8 +343,12 @@ class ProtocolSpec extends AnyFunSuite {
     val back = SFlowV5.decodeV2V4(dg)
     assert(back.version == 4L && back.agentIp == 0x0A000001L)
     assert(back.samples == Seq(s, s.copy(seq = 8L)) && back.counters == Seq(c))
-    intercept[IllegalArgumentException](SFlowV5.decodeV2V4(
-      SFlowV5.encode(graft.sources.SFlowDatagram(1L, 0L, 1L, 0L, Seq.empty))))
+    // a v5 datagram fed to the legacy decoder is rejected as an EMPTY
+    // result, not a throw — one stray packet must not kill a collector
+    // task (DatagramFuzzSpec holds the never-throw contract)
+    val rej = SFlowV5.decodeV2V4(
+      SFlowV5.encode(graft.sources.SFlowDatagram(1L, 0L, 1L, 0L, Seq.empty)))
+    assert(rej.samples.isEmpty && rej.counters.isEmpty && rej.version == 0L)
   }
 
   test("sFlow v2/v4: unknown sample tag aborts the packet, keeps prior samples") {
