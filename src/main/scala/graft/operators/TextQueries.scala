@@ -336,6 +336,55 @@ object TextQueries {
             SELECT CAST(1 AS BIGINT) AS rank, pair, pcnt AS cnt FROM b1
             UNION ALL SELECT CAST(2 AS BIGINT), pair, pcnt FROM b2
             UNION ALL SELECT CAST(3 AS BIGINT), pair, pcnt FROM b3"""),
-      doc = "BPE merge learning: 3 argmax-merge rounds, greedy replace")
+      doc = "BPE merge learning: 3 argmax-merge rounds, greedy replace"),
+
+    // Hashed linear quality classifier — the fastText/CCNet-shaped
+    // filter stage (Joulin et al. hashing-trick linear model; CCNet
+    // keeps/drops documents by a linear score over hashed token
+    // features). The weight VECTOR is the model: here a 64-bucket
+    // array literal (a real deployment broadcasts trained weights the
+    // same way — training is out of scope, the pipeline stage is the
+    // deliverable). Everything is codegen'd HOFs over the md5 token
+    // hash both engines share: hash token → bucket → element_at into
+    // the weight vector → sequential sum → threshold. No UDF, no
+    // shuffle before the final 2-row rollup.
+    Q("q240_quality_classifier",
+      (s, d) => {
+        import graft.text.TextOps
+        val ws = (0 until 64).map(b =>
+          (b * 2654435761L % 2001L - 1000L).toString)
+        val sparkScore =
+          s"""aggregate(transform(${TextOps.sparkToks},
+              t -> element_at(array(${ws.mkString(",")}),
+                cast(${TextOps.sparkTokHash("t")} % 64 as int) + 1)),
+              0L, (a, x) -> a + x)"""
+        Tables.documents(s, d)
+          .selectExpr(s"$sparkScore AS score",
+            s"size(${TextOps.sparkToks}) AS n_tok")
+          .selectExpr(
+            "CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label",
+            "score", "n_tok")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_toks"),
+            sum("score").as("score_sum"))
+      },
+      {
+        import graft.text.TextOps
+        val ws = (0 until 64).map(b =>
+          (b * 2654435761L % 2001L - 1000L).toString)
+        Some(s"""WITH t AS (SELECT
+              list_reduce([0::BIGINT] || list_transform(${TextOps.duckToks},
+                t -> list_extract([${ws.mkString(",")}],
+                  (${TextOps.duckTokHash("t")} % 64)::INT + 1)),
+                (a, x) -> a + x) AS score,
+              len(${TextOps.duckToks}) AS n_tok
+            FROM documents)
+            SELECT CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END
+                AS label,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks,
+              CAST(sum(score) AS BIGINT) AS score_sum
+            FROM t GROUP BY 1""")
+      },
+      doc = "hashed linear quality classifier (fastText/CCNet-shaped)")
   )
 }
