@@ -229,8 +229,16 @@ object Mmdb {
       }
     }
 
-    /** Decode one typed value at `off`; `sectionStart` anchors pointers. */
-    private def decodeValue(off: Int, sectionStart: Int): (Any, Int) = {
+    /** Decode one typed value at `off`; `sectionStart` anchors pointers.
+      * `budget` caps nesting (containers + pointer hops): the spec says
+      * data-section pointers never point at pointers, so legal depth is
+      * shallow — a crafted pointer cycle in a corrupt .mmdb must become
+      * an orderly IllegalArgumentException, not a StackOverflowError
+      * that kills the executor. */
+    private def decodeValue(off: Int, sectionStart: Int,
+                            budget: Int = 64): (Any, Int) = {
+      if (budget <= 0) throw new IllegalArgumentException(
+        s"mmdb nesting/pointer chain too deep at $off (corrupt db?)")
       val ctrl = u8(off)
       var tp = ctrl >>> 5
       var p = off + 1
@@ -248,7 +256,8 @@ object Mmdb {
           case _ => (((u8(p).toLong << 24) | (u8(p + 1) << 16)
             | (u8(p + 2) << 8) | u8(p + 3)), p + 4)
         }
-        val (v, _) = decodeValue(sectionStart + ptr.toInt, sectionStart)
+        val (v, _) = decodeValue(sectionStart + ptr.toInt, sectionStart,
+          budget - 1)
         return (v, np)
       }
       if (size == 29) { size = 29 + u8(p); p += 1 }
@@ -276,8 +285,8 @@ object Mmdb {
           var q = p
           val m = Map.newBuilder[String, Any]
           (0 until size).foreach { _ =>
-            val (k, q1) = decodeValue(q, sectionStart)
-            val (v, q2) = decodeValue(q1, sectionStart)
+            val (k, q1) = decodeValue(q, sectionStart, budget - 1)
+            val (v, q2) = decodeValue(q1, sectionStart, budget - 1)
             m += k.asInstanceOf[String] -> v
             q = q2
           }
@@ -286,7 +295,7 @@ object Mmdb {
           var q = p
           val a = Seq.newBuilder[Any]
           (0 until size).foreach { _ =>
-            val (v, q1) = decodeValue(q, sectionStart)
+            val (v, q1) = decodeValue(q, sectionStart, budget - 1)
             a += v
             q = q1
           }

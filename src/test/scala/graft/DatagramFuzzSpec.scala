@@ -147,6 +147,32 @@ class DatagramFuzzSpec extends AnyFunSuite {
     sweep("proxyhdr", wire, b => ProxyHdr.decode(b))
   }
 
+  test("mmdb reader stays bounded on corrupt databases (no stack death)") {
+    import graft.maps.Mmdb
+    val db = Mmdb.build(Seq(
+      (0x0A000000L, 8, Map[String, Any]("id" -> 1L, "cc" -> "ZZ")),
+      (0xC0A80000L, 16, Map[String, Any]("id" -> 2L, "cc" -> "YY"))))
+    // a GeoIP enrich task reading a corrupt/crafted .mmdb may reject it
+    // (the reference errors out on a bad db) but must fail ORDERLY —
+    // never a StackOverflowError from a pointer cycle, never a hang
+    val probes = Seq(0x0A000001L, 0xC0A80001L, 0x7F000001L)
+    val r = new Random(19)
+    (0 to db.length).foreach { n =>
+      val cut = java.util.Arrays.copyOf(db, n)
+      try { val rd = new Mmdb.Reader(cut); probes.foreach(rd.lookup) }
+      catch { case e: Exception => () } // orderly exceptions only
+    }
+    db.indices.foreach { i =>
+      val mut = db.clone()
+      mut(i) = (mut(i) ^ (1 << r.nextInt(8))).toByte
+      try { val rd = new Mmdb.Reader(mut); probes.foreach(rd.lookup) }
+      catch { case e: Exception => () }
+    }
+    // and the valid db still resolves after the sweep
+    val rd = new Mmdb.Reader(db)
+    assert(rd.lookup(0x0A000001L).map(_("id")) == Some(1L))
+  }
+
   test("session codecs stay bounded under corruption (may throw)") {
     import graft.sources.{BmpMsg, BgpMsg}
     import graft.sinks.{Amqp, Resp}
