@@ -293,6 +293,13 @@ object NetFlowV9 {
     /** (set body, record budget from its datagram header) per template. */
     private val pending =
       mutable.Map[Int, mutable.Buffer[(Array[Byte], Int)]]()
+    /** Datagrams discarded (runt / wrong version) or cut short mid-set —
+      * the reference's tot_bad_datagrams health counter
+      * (`src/xflow_status.h:106`). Session-local, NOT persisted by
+      * save/load: a restart resets health accounting, matching the
+      * reference's in-memory xflow_status table. */
+    private var bad = 0L
+    def badDatagrams: Long = bad
 
     /** Fixed-numeric view of [[observeX]]: standard-IE Long values only
       * (the API the fixed-template queries consume). */
@@ -314,19 +321,19 @@ object NetFlowV9 {
     /** Decode one datagram; returns records decodable NOW (including any
       * previously-buffered data whose template just arrived). */
     def observeX(datagram: Array[Byte]): Seq[DecodedX] = {
-      if (datagram.length < 4) return Seq.empty // runt: discard, no throw
+      if (datagram.length < 4) { bad += 1; return Seq.empty } // runt
       val buf = ByteBuffer.wrap(datagram)
       val version = buf.getShort() & 0xffff
-      // wrong version: discard like a runt (the reference counts it in
-      // tot_bad_datagrams and keeps collecting) — never throw
-      if (version != 9 && version != 10) return Seq.empty
+      // wrong version: discard like a runt (counted in badDatagrams,
+      // the reference's tot_bad_datagrams) — never throw
+      if (version != 9 && version != 10) { bad += 1; return Seq.empty }
       val ipfix = version == 10
       val (headerLen, templateSetId) =
         if (ipfix) (IpfixHeaderLen, 2) else (HeaderLen, 0)
       // a datagram truncated inside its own header is DISCARDED, never
       // thrown (tot_bad_datagrams accounting, src/xflow_status.h:106 —
       // one bad packet must not fail a collector task)
-      if (datagram.length < headerLen) return Seq.empty
+      if (datagram.length < headerLen) { bad += 1; return Seq.empty }
       // v9's header count caps decoded records — the only way to tell a
       // trailing 2-byte pad from a phantom 2-byte record (RFC 3954 count
       // covers template + data records in the packet)
@@ -396,6 +403,7 @@ object NetFlowV9 {
           case _: IllegalArgumentException => truncatedDg = true
         }
       }
+      if (truncatedDg) bad += 1
       out.toSeq
     }
 

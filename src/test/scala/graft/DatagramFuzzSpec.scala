@@ -147,6 +147,26 @@ class DatagramFuzzSpec extends AnyFunSuite {
     sweep("proxyhdr", wire, b => ProxyHdr.decode(b))
   }
 
+  test("template cache counts discarded datagrams (tot_bad_datagrams)") {
+    import graft.sources.NetFlowV9
+    import NetFlowV9.IE
+    val c = new NetFlowV9.TemplateCache
+    val t = NetFlowV9.Template(501, Seq(IE.Protocol -> 1, IE.InBytes -> 4))
+    val h = NetFlowV9.V9Header(0L, 0L, 0L, 7L)
+    val tpl = NetFlowV9.encodeTemplate(h, t)
+    val data = NetFlowV9.encodeData(h, t,
+      Seq(Map(IE.Protocol -> 6L, IE.InBytes -> 10L)))
+    c.observe(tpl)
+    assert(c.observe(data).nonEmpty && c.badDatagrams == 0L)
+    c.observe(Array[Byte](1, 2))                // runt
+    c.observe("not netflow at all".getBytes)    // wrong version
+    c.observe(java.util.Arrays.copyOf(tpl, 25)) // cut mid-set
+    assert(c.badDatagrams == 3L,
+      "each discard must land in the health counter")
+    // the cache stays serviceable and good datagrams still decode
+    assert(c.observe(data).nonEmpty && c.badDatagrams == 3L)
+  }
+
   test("mmdb reader stays bounded on corrupt databases (no stack death)") {
     import graft.maps.Mmdb
     val db = Mmdb.build(Seq(
