@@ -2056,6 +2056,56 @@ object ProtocolQueries {
            CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_oneway
            FROM flows GROUP BY 1""")),
-      doc = "RFC 5103 biflows: reverse-PEN 29305 IEs in one record")
+      doc = "RFC 5103 biflows: reverse-PEN 29305 IEs in one record"),
+
+    // Bad-datagram health accounting (xflow_status tot_bad_datagrams,
+    // src/xflow_status.h:106): every 7th event's v9 datagram arrives
+    // CUT INSIDE ITS HEADER. The hardened TemplateCache must (a) not
+    // die, (b) decode every intact datagram, and (c) account each
+    // discard in badDatagrams — the oracle checks flows AND discards
+    // per exporter, so a codec that silently swallowed good data or
+    // miscounted bad data breaks parity. SessionWalk shape: 64 session
+    // keys, lazy run iterator, O(record) task memory.
+    Q("q241_bad_datagram_accounting",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        import graft.operators.SessionWalk
+        val rows = Tables.events(s, d).select(
+            (col("user_id") % 64).as("exporter"), col("event_id"))
+          .as[(Long, Long)]
+        SessionWalk.sessions(rows).mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
+            val t = NetFlowV9.Template(700,
+              Seq(IE.Protocol -> 1, IE.InBytes -> 8))
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val cache = new NetFlowV9.TemplateCache
+            cache.observe(NetFlowV9.encodeTemplate(h, t))
+            var flows = 0L
+            var sumB = 0L
+            run.foreach { case (_, eid) =>
+              val dg = NetFlowV9.encodeData(h, t,
+                Seq(Map(IE.Protocol -> 6L, IE.InBytes -> eid)))
+              val wire = if (eid % 7 == 0) java.util.Arrays.copyOf(dg, 10)
+                         else dg
+              val out = cache.observe(wire)
+              flows += out.size
+              out.foreach(m => sumB += m(IE.InBytes))
+            }
+            Iterator.single((ex, flows, sumB, cache.badDatagrams))
+          }
+        }.toDF("exporter", "n_flows", "sum_b", "n_bad")
+          .groupBy("exporter")
+          .agg(sum("n_flows").as("n_flows"), sum("sum_b").as("sum_b"),
+            sum("n_bad").as("n_bad"))
+      },
+      Some("""SELECT user_id % 64 AS exporter,
+          count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS n_flows,
+          CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id
+            ELSE 0 END) AS BIGINT) AS sum_b,
+          count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_bad
+          FROM events GROUP BY 1"""),
+      doc = "bad-datagram accounting: discards counted, intact flows kept")
   )
 }
