@@ -162,7 +162,90 @@ object SigRules {
     // CoAP: version 1 (01xx xxxx), TKL <= 8, code class 0/2/4/5
     "coap" -> (h => h.length >= 4 && (h(0) & 0xc0) == 0x40 &&
       (h(0) & 0x0f) <= 8 &&
-      Set(0, 2, 4, 5).contains((h(1) & 0xff) >> 5)))
+      Set(0, 2, 4, 5).contains((h(1) & 0xff) >> 5)),
+    // RTP: V=2 with no padding and zero CSRC (first byte 0x80/0x90 —
+    // the common wire shapes), PT in the static-audio/video or dynamic
+    // ranges (NOT 200..204 = RTCP), 12-byte fixed header present
+    "rtp" -> (h => h.length >= 12 &&
+      ((h(0) & 0xff) == 0x80 || (h(0) & 0xff) == 0x90) && {
+        val pt = h(1) & 0x7f
+        pt <= 34 || (pt >= 96 && pt <= 127)
+      }),
+    // Diameter (RFC 6733): version 1, u24 length == packet, reserved
+    // command-flag bits zero. MUST sit before radius in the table:
+    // both carry a self-length at bytes 2..3 when len < 64 KiB, and
+    // RADIUS code 1 == the Diameter version byte — the >=24 floor plus
+    // reserved-bits check is the (heuristic) tiebreak, same ambiguity
+    // nDPI resolves by port context.
+    "diameter" -> (h => h.length >= 24 && (h(0) & 0xff) == 1 &&
+      (((h(1) & 0xff) << 16) | ((h(2) & 0xff) << 8) |
+        (h(3) & 0xff)) == h.length && (h(4) & 0x0f) == 0),
+    // OSPFv2: version 2, type 1..5, u16 packet length, AuType 0..2
+    // (RFC 2328 A.3.1). Also before radius (shared self-length shape).
+    "ospf" -> (h => h.length >= 24 && (h(0) & 0xff) == 2 &&
+      (h(1) & 0xff) >= 1 && (h(1) & 0xff) <= 5 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length &&
+      (((h(14) & 0xff) << 8) | (h(15) & 0xff)) <= 2),
+    // RIPv1/v2 (RFC 2453 §4): command 1..2, version 1..2, zero pad,
+    // body = whole 20-byte route entries
+    "rip" -> (h => h.length >= 24 && (h(0) & 0xff) >= 1 &&
+      (h(0) & 0xff) <= 2 && (h(1) & 0xff) >= 1 && (h(1) & 0xff) <= 2 &&
+      h(2) == 0 && h(3) == 0 && (h.length - 4) % 20 == 0),
+    // GTPv1: version 1 + protocol-type GTP (top nibble 0x3), u16
+    // length == packet minus the 8-byte mandatory header
+    "gtp" -> (h => h.length >= 12 && (h(0) & 0xf0) == 0x30 &&
+      (h(1) & 0xff) != 0 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length - 8),
+    // DCE/RPC CO (C706 12.6): rpc_vers 5, minor 0..1, ptype 0..19,
+    // LITTLE-endian frag_length == packet (drep is LE on the wire)
+    "dcerpc" -> (h => h.length >= 16 && (h(0) & 0xff) == 5 &&
+      (h(1) & 0xff) <= 1 && (h(2) & 0xff) <= 19 &&
+      (((h(9) & 0xff) << 8) | (h(8) & 0xff)) == h.length),
+    // MongoDB wire: LE msgLength == packet, opcode OP_MSG 2013 /
+    // OP_QUERY 2004 / OP_REPLY 1 at LE offset 12
+    "mongodb" -> (h => h.length >= 16 && {
+      def le32(i: Int): Long = (h(i) & 0xffL) |
+        ((h(i + 1) & 0xffL) << 8) | ((h(i + 2) & 0xffL) << 16) |
+        ((h(i + 3) & 0xffL) << 24)
+      le32(0) == h.length &&
+        Set(1L, 2004L, 2013L).contains(le32(12))
+    }),
+    // Cassandra CQL v4+: request version byte 0x04/0x05, flags 0,
+    // STARTUP/OPTIONS opcode, u32 body length == packet minus header
+    "cassandra" -> (h => h.length >= 9 &&
+      ((h(0) & 0xff) == 4 || (h(0) & 0xff) == 5) && h(1) == 0 &&
+      ((h(4) & 0xff) == 1 || (h(4) & 0xff) == 5) &&
+      (((h(5) & 0xffL) << 24) | ((h(6) & 0xffL) << 16) |
+        ((h(7) & 0xffL) << 8) | (h(8) & 0xffL)) == h.length - 9),
+    // Kafka request: u32 size == packet-4, small api_key/api_version
+    // (the Produce-v9 framing proven byte-level by q203)
+    "kafka" -> (h => h.length >= 12 &&
+      (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) == h.length - 4 &&
+      (((h(4) & 0xff) << 8) | (h(5) & 0xff)) <= 67 &&
+      (((h(6) & 0xff) << 8) | (h(7) & 0xff)) <= 15),
+    // SMPP bind/enquire: u32 command_length == packet, request
+    // command_id in {bind_rx, bind_tx, bind_trx, enquire_link},
+    // status 0 on requests
+    "smpp" -> (h => h.length >= 16 && {
+      def be32(i: Int): Long = ((h(i) & 0xffL) << 24) |
+        ((h(i + 1) & 0xffL) << 16) | ((h(i + 2) & 0xffL) << 8) |
+        (h(i + 3) & 0xffL)
+      be32(0) == h.length &&
+        Set(1L, 2L, 9L, 0x15L).contains(be32(4)) && be32(8) == 0
+    }),
+    // OpenFlow HELLO: version 1..6, type 0, u16 length == packet.
+    // After diameter/radius in the table: a RADIUS packet whose id
+    // byte is 0 shares the (version, 0, self-length) shape.
+    "openflow" -> (h => h.length >= 8 && (h(0) & 0xff) >= 1 &&
+      (h(0) & 0xff) <= 6 && h(1) == 0 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length),
+    // BFD control (RFC 5880 §4.1): version 1 (top 3 bits 001),
+    // detect-mult >= 1, length byte == packet, 24-byte minimum
+    "bfd" -> (h => h.length >= 24 && (h(0) & 0xe0) == 0x20 &&
+      (h(2) & 0xff) >= 1 && (h(3) & 0xff) == h.length),
+    // IEC-104 u8 APDU self-length (start byte 0x68 checked as data)
+    "iec104len" -> (h => h.length >= 2 && (h(1) & 0xff) == h.length - 2))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -171,11 +254,16 @@ object SigRules {
   val default: Seq[Rule] = Seq(
     Rule("doh", Seq(AnyOf(Seq(Seq(Ascii("POST /dns-query")),
       Seq(Ascii("GET /dns-query")))))),
+    // the h2c connection preface — fixed 24 ASCII bytes, RFC 7540 §3.5
+    Rule("http2", Seq(Ascii("PRI * HTTP/2.0"))),
     Rule("http", Seq(AnyOf(Seq(Seq(Ascii("GET ")), Seq(Ascii("POST ")),
       Seq(Ascii("PUT ")), Seq(Ascii("HEAD ")), Seq(Ascii("HTTP/")))))),
     Rule("tls", Seq(MinLen(3), B(0, 0x16), B(1, 0x03),
       AnyOf(Seq(Seq(B(2, 0x00)), Seq(B(2, 0x01)), Seq(B(2, 0x02)),
         Seq(B(2, 0x03)), Seq(B(2, 0x04)))))),
+    // DTLS record: same content type, version 0xFEFF/0xFEFD (1.0/1.2)
+    Rule("dtls", Seq(MinLen(13), B(0, 0x16), B(1, 0xfe),
+      AnyOf(Seq(Seq(B(2, 0xff)), Seq(B(2, 0xfd)))))),
     Rule("ssh", Seq(Ascii("SSH-"))),
     Rule("rtsp", Seq(AnyOf(Seq(Seq(Ascii("RTSP/")), Seq(Ascii("SETUP ")),
       Seq(Ascii("DESCRIBE ")))))),
@@ -184,6 +272,8 @@ object SigRules {
     Rule("bittorrent", Seq(Heur("bittorrent"))),
     Rule("smtp", Seq(AnyOf(Seq(Seq(Ascii("220 ")), Seq(Ascii("EHLO ")),
       Seq(Ascii("HELO ")), Seq(Ascii("MAIL FROM:")))))),
+    // NNTP greeting: 200 (posting allowed) / 201 (read-only)
+    Rule("nntp", Seq(AnyOf(Seq(Seq(Ascii("200 ")), Seq(Ascii("201 ")))))),
     Rule("imap", Seq(AnyOf(Seq(Seq(Ascii("* OK")),
       Seq(Ascii("a001 LOGIN")))))),
     Rule("pop3", Seq(AnyOf(Seq(Seq(Ascii("+OK")), Seq(Ascii("USER ")),
@@ -206,6 +296,11 @@ object SigRules {
     Rule("postgres", Seq(Heur("postgres"))),
     Rule("ldap", Seq(Heur("ldap"))),
     Rule("kerberos", Seq(Heur("kerberos"))),
+    // diameter and ospf MUST precede radius: all three carry a
+    // self-length at bytes 2..3 and overlap on the first byte
+    // (RADIUS codes 1/2 == Diameter version / OSPF version)
+    Rule("diameter", Seq(Heur("diameter"))),
+    Rule("ospf", Seq(Heur("ospf"))),
     Rule("radius", Seq(Heur("radius"))),
     Rule("wireguard", Seq(Heur("wireguard"))),
     Rule("openvpn", Seq(Heur("openvpn"))),
@@ -213,6 +308,10 @@ object SigRules {
     Rule("tftp", Seq(Heur("tftp"))),
     Rule("syslog", Seq(Heur("syslog"))),
     Rule("vnc", Seq(Ascii("RFB 003."))),
+    // bare <hello> (the XML declaration is optional, RFC 6241 §8.1);
+    // a declared netconf hello starting "<?xml" lands on xmpp — the
+    // same first-packet ambiguity nDPI resolves by port
+    Rule("netconf", Seq(Ascii("<hello"))),
     Rule("xmpp", Seq(AnyOf(Seq(Seq(Ascii("<?xml")),
       Seq(Ascii("<stream:stream")))))),
     Rule("git", Seq(Ascii("git-upload-pack", off = 4))),
@@ -245,10 +344,44 @@ object SigRules {
     Rule("modbus", Seq(Heur("modbus"))),
     Rule("ike", Seq(Heur("ike"))),
     Rule("rtcp", Seq(Heur("rtcp"))),
+    Rule("rtp", Seq(Heur("rtp"))), // after rtcp: PT ranges disjoint
     Rule("l2tp", Seq(Heur("l2tp"))),
     Rule("tacacs", Seq(Heur("tacacs"))),
     Rule("socks5", Seq(Heur("socks5"))),
+    // before coap: 0x68 = 0110_1000 satisfies CoAP's loose
+    // version/TKL bit check — exact-byte rules precede bit patterns
+    // IEC 60870-5-104 APCI: start 0x68, u8 APDU length == packet-2
+    Rule("iec104", Seq(MinLen(6), B(0, 0x68), Heur("iec104len"))),
     Rule("coap", Seq(Heur("coap"))),
+    // TDS prelogin: type 0x12, status EOM, u16 BE length == packet
+    Rule("mssql", Seq(MinLen(9), B(0, 0x12), B(1, 0x01),
+      U16SelfLen(2, 0))),
+    // AJP13 request: 0x12 0x34 magic + u16 data length == packet-4
+    Rule("ajp", Seq(MinLen(6), B(0, 0x12), B(1, 0x34),
+      U16SelfLen(2, 4))),
+    // LDP: u16 version 1, u16 PDU length == packet-4 (RFC 5036 §3.5)
+    Rule("ldp", Seq(MinLen(10), B(0, 0), B(1, 1), U16SelfLen(2, 4))),
+    // PCEP Open: version 1 (0x20), type 1, u16 length (RFC 5440 §6.2)
+    Rule("pcep", Seq(MinLen(8), B(0, 0x20), B(1, 1), U16SelfLen(2, 0))),
+    // VXLAN: I flag set, reserved bytes zero, inner Ethernet follows
+    Rule("vxlan", Seq(MinLen(22), B(0, 0x08), B(1, 0), B(2, 0),
+      B(3, 0), B(7, 0))),
+    // Bitcoin mainnet magic + "version" command name
+    Rule("bitcoin", Seq(B(0, 0xf9), B(1, 0xbe), B(2, 0xb4),
+      B(3, 0xd9), Ascii("version", off = 4))),
+    // Source-engine A2S_INFO probe (telnet's IAC check needs byte 1
+    // in 0xFB..0xFE, so the all-ones head never lands there)
+    Rule("steam", Seq(B(0, 0xff), B(1, 0xff), B(2, 0xff), B(3, 0xff),
+      Ascii("TSource Engine Query", off = 4))),
+    Rule("dcerpc", Seq(Heur("dcerpc"))),
+    Rule("mongodb", Seq(Heur("mongodb"))),
+    Rule("cassandra", Seq(Heur("cassandra"))),
+    Rule("kafka", Seq(Heur("kafka"))),
+    Rule("smpp", Seq(Heur("smpp"))),
+    Rule("openflow", Seq(Heur("openflow"))),
+    Rule("rip", Seq(Heur("rip"))),
+    Rule("gtp", Seq(Heur("gtp"))),
+    Rule("bfd", Seq(Heur("bfd"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     Rule("quic", Seq(Heur("quic"))),
     Rule("stun", Seq(Heur("stun"))),
@@ -354,8 +487,15 @@ object SigRules {
     val s = math.abs(seed)
     proto match {
       case "doh" => s"POST /dns-query HTTP/1.1\r\nHost: h$s\r\n".getBytes
+      case "http2" => // preface + empty SETTINGS frame
+        "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes ++
+          Array[Byte](0, 0, 0, 4, 0, 0, 0, 0, (s % 120).toByte)
       case "http" => s"GET /p$s HTTP/1.1\r\nHost: x\r\n".getBytes
       case "tls" => L7.clientHello(s"host$s.example")
+      case "dtls" => // DTLS 1.2 record header + handshake head
+        Array[Byte](0x16, 0xfe.toByte, 0xfd.toByte, 0, 0,
+          0, 0, 0, 0, 0, (s % 120).toByte, 0, 7,
+          1, 0, 0, 3, 0, 0, 0)
       case "ssh" => s"SSH-2.0-graft_$s\r\n".getBytes
       case "rtsp" => s"SETUP rtsp://cam$s/track1 RTSP/1.0\r\n".getBytes
       case "sip" => s"INVITE sip:u$s@example SIP/2.0\r\n".getBytes
@@ -363,6 +503,7 @@ object SigRules {
         Array[Byte](19) ++ "BitTorrent protocol".getBytes ++
           Array.fill[Byte](8)(0) ++ Array.fill[Byte](40)((s % 97).toByte)
       case "smtp" => s"EHLO mx$s.example\r\n".getBytes
+      case "nntp" => s"200 news$s.example InterNetNews ready\r\n".getBytes
       case "imap" => "* OK IMAP4rev1 ready\r\n".getBytes
       case "pop3" => "+OK POP3 ready\r\n".getBytes
       case "irc" => s"NICK user$s\r\n".getBytes
@@ -484,6 +625,80 @@ object SigRules {
           0, 1, 0x86.toByte, 0xa3.toByte, 0, 0, 0, 3, 0, 0, 0, 0)
       case "bacnet" => // BVLC original-unicast-NPDU, u16 len = total
         Array[Byte](0x81.toByte, 0x0a, 0, 8, 1, 4, (s % 100).toByte, 0)
+      case "netconf" =>
+        s"""<hello xmlns="urn:ietf:params:xml:ns:netconf:base:1.0"><capabilities><capability>c$s</capability>""".getBytes
+      case "diameter" => // CER: ver 1, u24 len 28, request flag, cmd 257
+        Array[Byte](1, 0, 0, 28, 0x80.toByte, 0, 1, 1, 0, 0, 0, 0,
+          (s % 97).toByte, (s % 89).toByte, (s % 83).toByte,
+          (s % 79).toByte, (s % 73).toByte, (s % 71).toByte,
+          (s % 67).toByte, (s % 61).toByte) ++ Array.fill[Byte](8)(0)
+      case "ospf" => // hello: ver 2, type 1, len 32, AuType 0
+        Array[Byte](2, 1, 0, 32, 10, 0, 0, (1 + s % 250).toByte,
+          0, 0, 0, (s % 50).toByte, (s % 97).toByte, (s % 89).toByte,
+          0, 0) ++ Array.fill[Byte](16)(0)
+      case "rtp" => // V=2 cc=0, dynamic PT, nonzero seq/ssrc
+        Array[Byte](0x80.toByte, (96 + s % 32).toByte, 0x1f,
+          (1 + s % 250).toByte, 0, 0, (s % 120).toByte, 1,
+          (1 + s % 100).toByte, (s % 97).toByte, (s % 89).toByte, 2,
+          (s % 13).toByte, (s % 11).toByte, (s % 7).toByte, 0)
+      case "mssql" => // TDS prelogin: type 0x12, EOM, len 16
+        Array[Byte](0x12, 0x01, 0, 16, 0, 0, 1, 0) ++
+          Array.fill[Byte](8)((s % 19).toByte)
+      case "ajp" => // forward request: magic, u16 data len, method
+        Array[Byte](0x12, 0x34, 0, 2, 2, (s % 120).toByte)
+      case "ldp" => // hello PDU: ver 1, len 10, LSR id, label space 0
+        Array[Byte](0, 1, 0, 10, 10, 0, 0, (1 + s % 250).toByte,
+          0, 0, 0x01.toByte, 0, 0, 0)
+      case "pcep" => // Open: ver 1, type 1, len 8, OPEN object head
+        Array[Byte](0x20, 1, 0, 8, 1, 0x10, 0, 4)
+      case "iec104" => // STARTDT act U-frame: 0x68, len 4
+        Array[Byte](0x68, 4, 0x07, 0, 0, 0)
+      case "vxlan" => // header + inner Ethernet (IPv4 ethertype)
+        Array[Byte](0x08, 0, 0, 0, (s % 97).toByte, (s % 89).toByte,
+          (1 + s % 250).toByte, 0) ++
+          Array.fill[Byte](12)((s % 23).toByte) ++
+          Array[Byte](0x08, 0)
+      case "bitcoin" => // magic + "version" command + len + checksum
+        Array[Byte](0xf9.toByte, 0xbe.toByte, 0xb4.toByte,
+          0xd9.toByte) ++ "version".getBytes ++
+          Array.fill[Byte](5)(0) ++
+          Array[Byte](4, 0, 0, 0, (s % 97).toByte, (s % 89).toByte,
+            (s % 83).toByte, (s % 79).toByte, 1, 0, 0, 0)
+      case "steam" => // A2S_INFO probe
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+          0xff.toByte) ++ "TSource Engine Query".getBytes ++
+          Array[Byte](0)
+      case "dcerpc" => // bind: ver 5.0, ptype 11, LE drep, LE len 16
+        Array[Byte](5, 0, 11, 3, 0x10, 0, 0, 0, 16, 0, 0, 0,
+          (s % 97).toByte, (s % 89).toByte, (s % 83).toByte, 0)
+      case "mongodb" => // OP_MSG: LE len 26, reqid, respTo 0, op 2013
+        Array[Byte](26, 0, 0, 0, (0x50 + s % 40).toByte,
+          (s % 97).toByte, 0, 0, 0, 0, 0, 0, 0xdd.toByte, 7, 0, 0,
+          0, 0, 0, 0, 0, 5, 0, 0, 0, 0)
+      case "cassandra" => // STARTUP: ver 4, stream, u32 body len 4
+        Array[Byte](4, 0, 0, (s % 120).toByte, 1, 0, 0, 0, 4,
+          0, 0, (s % 97).toByte, (s % 89).toByte)
+      case "kafka" => // request: u32 size 16, Produce v9, client id
+        Array[Byte](0, 0, 0, 16, 0, 0, 0, 9, (s % 97).toByte,
+          (s % 89).toByte, (s % 83).toByte, (s % 79).toByte,
+          0, 2, 'g', 'r', (s % 73).toByte, (s % 71).toByte, 0, 0)
+      case "smpp" => // bind_transceiver: u32 len 23, cmd 9, status 0
+        Array[Byte](0, 0, 0, 23, 0, 0, 0, 9, 0, 0, 0, 0,
+          0, 0, 0, (1 + s % 250).toByte) ++ "sys".getBytes ++
+          Array[Byte](0, (s % 19).toByte, (s % 17).toByte, 0)
+      case "openflow" => // HELLO: ver 4 (1.3), type 0, len 8, xid
+        Array[Byte](4, 0, 0, 8, 0x7f, (s % 97).toByte,
+          (s % 89).toByte, (s % 83).toByte)
+      case "rip" => // v2 response, one 20-byte route entry
+        Array[Byte](2, 2, 0, 0, 0, 2, 0, 0, 10, 0, (s % 250).toByte,
+          0, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0, 0, 0, 0, 0,
+          0, 0, 0, (1 + s % 15).toByte)
+      case "gtp" => // GTPv1-C echo request with S flag, len 4
+        Array[Byte](0x32, 1, 0, 4, 0, 0, 0, 0,
+          (s % 97).toByte, (s % 89).toByte, 0, 0)
+      case "bfd" => // control: ver 1, state up, mult 3, len 24
+        Array[Byte](0x20, 0x40, 3, 24, 0, 0, 0, (1 + s % 250).toByte,
+          0, 0, 0, 0) ++ Array.fill[Byte](12)((s % 29).toByte)
       case "dot" =>
         val dns = sample("dns", s)
         Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
