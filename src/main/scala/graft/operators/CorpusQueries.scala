@@ -542,6 +542,84 @@ object CorpusQueries {
               CAST(sum(CASE WHEN rn <= 10 THEN rep END) AS BIGINT)
                 AS kept_doc_sum
             FROM k GROUP BY 1"""),
-      doc = "URL canonicalization + dedup + bounded per-domain cap")
+      doc = "URL canonicalization + dedup + bounded per-domain cap"),
+
+    // The CCNet/KenLM filter stage: score every document by an n-gram
+    // language-model log-probability and keep the fluent tail. Model:
+    // word-bigram counts with add-one smoothing, trained here over the
+    // corpus itself (at 100 TB the model trains ONCE on a reference
+    // sample and ships to executors; self-training keeps this oracle
+    // self-contained). Scale shape: bigram instances collapse to
+    // per-doc (w1,w2,cnt) rows BEFORE the model joins, so the two
+    // shuffle joins move distinct-bigrams-per-doc, not every token
+    // position; the w1 join is zipf-skewed ("the" is hot) — AQE skew
+    // splitting handles it, and Graft.tune enables AQE. Per-bigram
+    // log-probs floor-scale to 1e4 BIGINTs before summing (the repo's
+    // scaled-integer parity rule: floor-then-sum makes accumulation
+    // order irrelevant; at 1e4 a 1-ulp libm divergence between
+    // Math.log and DuckDB's std::log sits ~9 orders of magnitude
+    // below the grid).
+    Q("q243_lm_perplexity_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 2")
+        val bi = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2))) AS b")
+          .selectExpr("doc_id", "source", "b.w1 AS w1", "b.w2 AS w2")
+        val biDoc = bi.groupBy("doc_id", "source", "w1", "w2")
+          .agg(count(lit(1)).as("cnt"))
+        val cAb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val cA = bi.groupBy("w1").agg(count(lit(1)).as("c_a"))
+        val vocab = docs.selectExpr("explode(toks) AS tok")
+          .agg(countDistinct("tok").as("v"))
+        val scored = biDoc
+          .join(cAb, Seq("w1", "w2"))
+          .join(cA, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .selectExpr("doc_id", "source", "cnt",
+            "cnt * CAST(floor(10000.0 * ln((c_ab + 1.0) / (c_a + v)))" +
+              " AS BIGINT) AS lp")
+          .groupBy("doc_id", "source")
+          .agg(sum("cnt").as("n_bi"), sum("lp").as("lp_sum"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("lp_sum") >= col("n_bi") * -33900L, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+            bi AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i + 1])) AS w2
+              FROM t2),
+            bd AS (SELECT doc_id, source, w1, w2, count(*) AS cnt
+              FROM bi GROUP BY 1, 2, 3, 4),
+            cab AS (SELECT w1, w2, count(*) AS c_ab
+              FROM bi GROUP BY 1, 2),
+            ca AS (SELECT w1, count(*) AS c_a FROM bi GROUP BY 1),
+            voc AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM t2)),
+            sc AS (SELECT doc_id, source,
+              CAST(sum(cnt) AS BIGINT) AS n_bi,
+              CAST(sum(cnt * CAST(floor(10000.0 *
+                ln((c_ab + 1.0) / (c_a + v))) AS BIGINT)) AS BIGINT)
+                AS lp_sum
+              FROM bd JOIN cab USING (w1, w2) JOIN ca USING (w1)
+              CROSS JOIN voc
+              GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n_bi * -33900 THEN 1 END)
+                AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+            FROM sc GROUP BY 1"""),
+      doc = "CCNet-style bigram-LM perplexity scoring + fluency filter")
   )
 }

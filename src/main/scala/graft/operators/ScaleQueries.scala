@@ -492,6 +492,65 @@ object ScaleQueries {
             FROM events GROUP BY 1"""),
       doc = "data-driven L7 signature table at nDPI breadth (~83 families)"),
 
+    // The extend-WITHOUT-recompiling contract, end-to-end through a
+    // REAL FILE: a user adds a proprietary protocol by writing one
+    // map line — the query renders the stock table to pmacct-map-style
+    // lines, prepends a custom rule ("acme", a protocol SigRules knows
+    // nothing about), round-trips the whole thing through a file on
+    // disk, and the parsed table must classify a corpus interleaving
+    // every stock family PLUS the custom one. User rules load FIRST:
+    // first-match-wins makes prepend the deterministic way to extend
+    // or override without auditing the stock order — the same contract
+    // as pre_tag_map entries (maps/PreTagMap, reference
+    // pretag_handlers.c first-match walk).
+    Q("q242_l7_rule_file",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.SigRules
+        val custom = SigRules.Rule("acme",
+          Seq(SigRules.Pred.Ascii("ACME/1 ")))
+        val path = java.nio.file.Files.createTempFile("sigmap", ".map")
+        val loaded =
+          try {
+            val lines =
+              "! user rules first: first-match-wins" +:
+                (SigRules.render(Seq(custom)) ++
+                  ("! stock table" +: SigRules.render(SigRules.default)))
+            java.nio.file.Files.write(path,
+              lines.mkString("\n").getBytes("UTF-8"))
+            SigRules.parse(new String(
+              java.nio.file.Files.readAllBytes(path), "UTF-8")
+              .split("\n").toSeq)
+          } finally java.nio.file.Files.deleteIfExists(path)
+        val families = ("acme" +: SigRules.sampleFamilies).toIndexedSeq
+        val nf = families.size
+        val rules = s.sparkContext.broadcast(loaded)
+        val rows = Tables.events(s, d).select(
+            col("event_id"), col("user_id")).as[(Long, Long)]
+        rows.mapPartitions { it =>
+          val table = rules.value
+          it.map { case (eid, uid) =>
+            val family = families((eid % nf).toInt)
+            val payload =
+              if (family == "acme") s"ACME/1 ping $uid".getBytes
+              else SigRules.sample(family, uid)
+            val got = SigRules.classify(table, payload)
+            (got, if (got == family) 1L else 0L)
+          }
+        }.toDF("class", "ok")
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+      },
+      Some(s"""SELECT ${("acme" +: SigRules.sampleFamilies).zipWithIndex
+            .map { case (f, i) => s"WHEN ${i} THEN '$f'" }
+            .mkString("CASE event_id % " +
+              (SigRules.sampleFamilies.size + 1) + " ", " ", " END")}
+              AS class,
+            count(*) AS n, count(*) AS n_correct
+            FROM events GROUP BY 1"""),
+      doc = "user-extended L7 rules loaded from a map file on disk"),
+
     // Bucketed at-rest layout: the co-located fact-fact join. At 100 TB
     // the orders×lineitem join is THE dominant shuffle — both sides are
     // fact-scale, so neither broadcasts, and every ad-hoc join pays a

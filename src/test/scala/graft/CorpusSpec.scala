@@ -82,7 +82,8 @@ class CorpusSpec extends AnyFunSuite {
     assert(names == Seq("q149_line_dedup", "q150_length_band",
       "q151_chunking", "q152_keywords", "q159_split_shuffle",
       "q160_filter_funnel", "q165_substr_dedup",
-      "q166_dsir_importance", "q182_curriculum", "q237_url_canonical"))
+      "q166_dsir_importance", "q182_curriculum", "q237_url_canonical",
+      "q243_lm_perplexity_filter"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }
