@@ -385,6 +385,115 @@ object TextQueries {
               CAST(sum(score) AS BIGINT) AS score_sum
             FROM t GROUP BY 1""")
       },
-      doc = "hashed linear quality classifier (fastText/CCNet-shaped)")
+      doc = "hashed linear quality classifier (fastText/CCNet-shaped)"),
+
+    // The published Gopher quality-rule set (Rae et al. 2021, App. A —
+    // the heuristic battery MassiveWeb/RedPajama/Dolma all reuse):
+    // word-count bounds, mean word length 3..10, symbol-to-word ratio,
+    // >=80% words alphabetic, bullet/ellipsis line ratios, >=2 of the
+    // 8 canonical stop words. Every ratio is evaluated as an exact
+    // INTEGER cross-multiplication (3*chars <= 10*words, never a float
+    // division), so both engines agree cell-for-cell; all seven rules
+    // are one codegen'd projection per document + one aggregate —
+    // per-rule failure counts cost nothing extra at 100 TB.
+    Q("q244_gopher_rules",
+      (s, d) => {
+        // the canonical list is {the,be,to,of,and,that,have,with};
+        // the driver corpus draws from a tech vocab whose only
+        // function words are "the"/"a" — two members are swapped in
+        // so the >=2-of-8 rule can actually split this corpus (a
+        // constant-false rule would hide implementation bugs)
+        val stops = Seq("the", "a", "to", "of", "and",
+          "that", "have", "with")
+        val stopHits = stops.map(w =>
+          s"CAST(array_contains(wl, '$w') AS INT)").mkString(" + ")
+        Tables.documents(s, d)
+          .selectExpr("source",
+            "filter(split(text, '\\\\s+'), w -> w != '') AS ws",
+            "split(text, '\\n') AS lines")
+          .selectExpr("source", "ws", "lines",
+            "transform(ws, w -> lower(w)) AS wl",
+            "size(ws) AS n_w",
+            "aggregate(ws, 0L, (a, w) -> a + length(w)) AS chars",
+            "size(filter(ws, w -> w rlike '[a-zA-Z]')) AS alpha_w",
+            "size(filter(ws, w -> w rlike '#|\\\\.\\\\.\\\\.')) AS sym_w",
+            "size(lines) AS n_l",
+            "size(filter(lines, l -> l rlike '^\\\\s*[-*•]'))" +
+              " AS bull_l",
+            "size(filter(lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)" +
+              "\\\\s*$')) AS ell_l")
+          .selectExpr("source",
+            "CAST(n_w >= 50 AND n_w <= 100000 AS INT) AS r_count",
+            "CAST(3 * n_w <= chars AND chars <= 10 * n_w AS INT)" +
+              " AS r_meanlen",
+            "CAST(10 * sym_w <= n_w AS INT) AS r_symbol",
+            "CAST(5 * alpha_w >= 4 * n_w AS INT) AS r_alpha",
+            "CAST(10 * bull_l <= 9 * n_l AS INT) AS r_bullet",
+            "CAST(10 * ell_l <= 3 * n_l AS INT) AS r_ellipsis",
+            s"CAST(($stopHits) >= 2 AS INT) AS r_stop")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("1 - r_count")).as("f_count"),
+            sum(expr("1 - r_meanlen")).as("f_meanlen"),
+            sum(expr("1 - r_symbol")).as("f_symbol"),
+            sum(expr("1 - r_alpha")).as("f_alpha"),
+            sum(expr("1 - r_bullet")).as("f_bullet"),
+            sum(expr("1 - r_ellipsis")).as("f_ellipsis"),
+            sum(expr("1 - r_stop")).as("f_stop"),
+            sum(expr("CAST(r_count + r_meanlen + r_symbol + r_alpha" +
+              " + r_bullet + r_ellipsis + r_stop = 7 AS INT)"))
+              .as("n_keep"))
+      },
+      {
+        val stops = Seq("the", "a", "to", "of", "and",
+          "that", "have", "with")
+        val stopHits = stops.map(w =>
+          s"CAST(list_contains(wl, '$w') AS INT)").mkString(" + ")
+        Some(s"""WITH t AS (SELECT source,
+              list_filter(string_split_regex(text, '\\s+'),
+                w -> w <> '') AS ws,
+              string_split(text, chr(10)) AS lines
+              FROM documents),
+            f AS (SELECT source,
+              list_transform(ws, w -> lower(w)) AS wl,
+              len(ws) AS n_w,
+              list_reduce([0::BIGINT] ||
+                list_transform(ws, w -> len(w)::BIGINT),
+                (a, x) -> a + x) AS chars,
+              len(list_filter(ws,
+                w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_w,
+              len(list_filter(ws,
+                w -> regexp_matches(w, '#|\\.\\.\\.'))) AS sym_w,
+              len(lines) AS n_l,
+              len(list_filter(lines,
+                l -> regexp_matches(l, '^\\s*[-*•]'))) AS bull_l,
+              len(list_filter(lines,
+                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))
+                AS ell_l
+              FROM t),
+            r AS (SELECT source,
+              CAST(n_w >= 50 AND n_w <= 100000 AS INT) AS r_count,
+              CAST(3 * n_w <= chars AND chars <= 10 * n_w AS INT)
+                AS r_meanlen,
+              CAST(10 * sym_w <= n_w AS INT) AS r_symbol,
+              CAST(5 * alpha_w >= 4 * n_w AS INT) AS r_alpha,
+              CAST(10 * bull_l <= 9 * n_l AS INT) AS r_bullet,
+              CAST(10 * ell_l <= 3 * n_l AS INT) AS r_ellipsis,
+              CAST(($stopHits) >= 2 AS INT) AS r_stop
+              FROM f)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(1 - r_count) AS BIGINT) AS f_count,
+              CAST(sum(1 - r_meanlen) AS BIGINT) AS f_meanlen,
+              CAST(sum(1 - r_symbol) AS BIGINT) AS f_symbol,
+              CAST(sum(1 - r_alpha) AS BIGINT) AS f_alpha,
+              CAST(sum(1 - r_bullet) AS BIGINT) AS f_bullet,
+              CAST(sum(1 - r_ellipsis) AS BIGINT) AS f_ellipsis,
+              CAST(sum(1 - r_stop) AS BIGINT) AS f_stop,
+              CAST(sum(CAST(r_count + r_meanlen + r_symbol + r_alpha
+                + r_bullet + r_ellipsis + r_stop = 7 AS INT))
+                AS BIGINT) AS n_keep
+            FROM r GROUP BY source""")
+      },
+      doc = "Gopher quality-rule battery (Rae et al. 2021 Appendix A)")
   )
 }

@@ -287,6 +287,85 @@ object SimilarityQueries {
                 (PARTITION BY qid ORDER BY qscore DESC, cid) AS rank
               FROM sc)
             SELECT qid, cid, rank, qscore FROM r WHERE rank <= 5"""),
-      doc = "int8 scalar-quantized ANN: exact integer dot, 4x memory cut")
+      doc = "int8 scalar-quantized ANN: exact integer dot, 4x memory cut"),
+
+    // Lloyd's k-means over the embedding column — the mixture-balance
+    // clustering stage (SemDeDup/DSIR pipelines cluster the corpus
+    // before sampling). Determinism across engines comes from EXACT
+    // integer arithmetic end-to-end: components quantize to 1e6-scaled
+    // BIGINTs, distances are integer squared-L2, and the centroid
+    // update is integer FLOOR division computed as
+    // (s - ((s % c) + c) % c) / c — identical on both engines, where a
+    // naive s DIV c would diverge on negative sums (Spark truncates
+    // toward zero). Two assignment rounds with one centroid update
+    // between; k=8 centroids broadcast each round (k x 64 longs — the
+    // only state that moves), members never collect. At 100 TB each
+    // round is one scan + one k-row-group aggregate: the canonical
+    // distributed-Lloyd shape.
+    Q("q245_kmeans_embeddings",
+      (s, d) => {
+        val n = Tables.embeddings(s, d)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+              "* 1000000) AS BIGINT)) AS v")
+        def assign(cents: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("dist").asc, col("cid").asc)
+          n.crossJoin(broadcast(cents))
+            .selectExpr("vec_id", "v", "cid",
+              "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+                "0L, (acc, z) -> acc + z) AS dist")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("vec_id", "v", "cid", "dist")
+        }
+        def update(asg: org.apache.spark.sql.DataFrame) = asg
+          .selectExpr("cid", "posexplode(v) AS (pos, x)")
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS m")
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+            " t -> t.m) AS cv"))
+        val c0 = n.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS cid", "v AS cv")
+        // every intermediate is consumed exactly once (c1 feeds one
+        // broadcast), so no persist is needed — contrast q85/q116
+        // where reuse across legs makes persist mandatory
+        assign(update(assign(c0)))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"), sum("dist").as("sse"))
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+              unnest(v) AS x FROM n),
+            c0 AS (SELECT vec_id AS cid, pos, x AS m FROM long
+              WHERE vec_id < 8),
+            d1 AS (SELECT l.vec_id, c.cid,
+                CAST(sum((l.x - c.m) * (l.x - c.m)) AS BIGINT) AS dist
+              FROM long l JOIN c0 c USING (pos) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS m
+              FROM a1 a JOIN long l USING (vec_id) GROUP BY 1, 2),
+            d2 AS (SELECT l.vec_id, c.cid,
+                CAST(sum((l.x - c.m) * (l.x - c.m)) AS BIGINT) AS dist
+              FROM long l JOIN c1 c USING (pos) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid,
+                dist, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1)
+            SELECT cid, count(*) AS n_members,
+              CAST(sum(dist) AS BIGINT) AS sse
+            FROM a2 GROUP BY cid"""),
+      doc = "distributed Lloyd k-means: exact integer distances/updates")
   )
 }
