@@ -570,11 +570,19 @@ object CorpusQueries {
               "i -> struct(element_at(toks, i) AS w1, " +
               "element_at(toks, i + 1) AS w2))) AS b")
           .selectExpr("doc_id", "source", "b.w1 AS w1", "b.w2 AS w2")
+        // ONE tokenization pass: the raw bigram stream collapses to the
+        // per-doc (w1,w2,cnt) table, and the model (c_ab, c_a) plus the
+        // vocabulary all derive from THAT — sums of per-doc counts equal
+        // global counts, and every token of a >=2-token doc appears as
+        // some bigram's w1 or w2. Without this the corpus would
+        // tokenize 4x (once per aggregate). Persisted: four consumers.
         val biDoc = bi.groupBy("doc_id", "source", "w1", "w2")
-          .agg(count(lit(1)).as("cnt"))
-        val cAb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-        val cA = bi.groupBy("w1").agg(count(lit(1)).as("c_a"))
-        val vocab = docs.selectExpr("explode(toks) AS tok")
+          .agg(count(lit(1)).as("cnt")).persist()
+        biDoc.count()
+        val cAb = biDoc.groupBy("w1", "w2").agg(sum("cnt").as("c_ab"))
+        val cA = biDoc.groupBy("w1").agg(sum("cnt").as("c_a"))
+        val vocab = biDoc.select(col("w1").as("tok"))
+          .union(biDoc.select(col("w2").as("tok")))
           .agg(countDistinct("tok").as("v"))
         val scored = biDoc
           .join(cAb, Seq("w1", "w2"))

@@ -366,6 +366,80 @@ object SimilarityQueries {
             SELECT cid, count(*) AS n_members,
               CAST(sum(dist) AS BIGINT) AS sse
             FROM a2 GROUP BY cid"""),
-      doc = "distributed Lloyd k-means: exact integer distances/updates")
+      doc = "distributed Lloyd k-means: exact integer distances/updates"),
+
+    // Recall@5 of the IVF cell probe against the exact brute-force
+    // baseline — the standard ANN quality metric, computed in-engine:
+    // the same query set runs both paths (q42's exact top-5, q43's
+    // cell-restricted top-5) and the join of the two result sets
+    // yields per-query hit counts. Both rankings order by the
+    // bit-identical sequential-fold cosine, so recall is deterministic.
+    // Only integers leave the query (hit counts, rank sums) — the
+    // doubles stay internal. At scale both legs broadcast the query
+    // set and stream the candidates; the metric join is per-query
+    // top-k rows only.
+    Q("q246_ann_recall",
+      (s, d) => {
+        val n = vectors(s, d)
+        val q = n.filter(col("vec_id") < 8)
+          .selectExpr("vec_id as qid", "label as qlabel", "v as qv",
+            "nrm as qnrm")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val exact = n.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("cid"), col("rank"))
+        val ivf = n.join(broadcast(q),
+            col("label") === col("qlabel") &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("sim", sparkSim / (col("qnrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("cid"))
+        val hits = exact.join(ivf, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"),
+            sum("rank").as("rs"))
+        val nIvf = ivf.groupBy("qid").agg(count(lit(1)).as("ni"))
+        q.select("qid")
+          .join(nIvf, Seq("qid"), "left")
+          .join(hits, Seq("qid"), "left")
+          .selectExpr("qid",
+            "coalesce(ni, CAST(0 AS BIGINT)) AS n_ivf",
+            "coalesce(h, CAST(0 AS BIGINT)) AS n_hits",
+            "coalesce(rs, CAST(0 AS BIGINT)) AS hit_rank_sum")
+      },
+      Some(s"""WITH $duckVecs,
+            q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+                nrm AS qnrm FROM n WHERE vec_id < 8),
+            esc AS (SELECT q.qid, n.vec_id AS cid,
+                $duckDot / (q.qnrm * n.nrm) AS sim
+              FROM q JOIN n ON n.vec_id != q.qid),
+            exact AS (SELECT qid, cid, rank FROM (SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, cid) AS rank FROM esc)
+              WHERE rank <= 5),
+            isc AS (SELECT q.qid, n.vec_id AS cid,
+                $duckDot / (q.qnrm * n.nrm) AS sim
+              FROM q JOIN n ON n.label = q.qlabel
+                AND n.vec_id != q.qid),
+            ivf AS (SELECT qid, cid FROM (SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, cid) AS rank FROM isc)
+              WHERE rank <= 5),
+            hits AS (SELECT e.qid, count(*) AS h,
+                CAST(sum(e.rank) AS BIGINT) AS rs
+              FROM exact e JOIN ivf i USING (qid, cid) GROUP BY 1),
+            ni AS (SELECT qid, count(*) AS ni FROM ivf GROUP BY 1)
+            SELECT q.qid, coalesce(ni.ni, 0) AS n_ivf,
+              coalesce(hits.h, 0) AS n_hits,
+              coalesce(hits.rs, 0) AS hit_rank_sum
+            FROM q LEFT JOIN ni USING (qid)
+            LEFT JOIN hits ON hits.qid = q.qid"""),
+      doc = "ANN recall@5: IVF cell probe scored against exact kNN " +
+        "(the driver's synthetic labels are similarity-uncorrelated, " +
+        "so measured recall ~0.1 — the metric exposing a bad coarse " +
+        "quantizer is exactly its job)")
   )
 }
