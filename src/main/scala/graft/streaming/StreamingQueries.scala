@@ -58,8 +58,9 @@ object StreamingQueries {
         val name = "q45_sink_" + sinkId.incrementAndGet()
         // glob (not the bare file path): the file stream source needs a
         // directory/glob basePath to list for new files.
-        val agg = s.readStream.schema(schema).parquet(s"$d/events.*")
-          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        val agg = Tables.normalizeEventTs(
+            s.readStream.schema(schema).parquet(s"$d/events.*"))
+          .withColumn("ets", col("ts"))
           .withWatermark("ets", "10 minutes")
           .groupBy(window(col("ets"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -207,9 +208,10 @@ object StreamingQueries {
         Graft.tune(s)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = "q62_sink_" + sinkId.incrementAndGet()
-        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
+        val q = Tables.normalizeEventTs(
+            s.readStream.schema(schema).parquet(s"$d/events.*"))
           .select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tu"))
+            expr("unix_micros(ts)").as("tu"))
           .dropDuplicates("user_id", "event_type")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -404,8 +406,9 @@ object StreamingQueries {
         Graft.tune(s)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = "q76_sink_" + sinkId.incrementAndGet()
-        val q = s.readStream.schema(schema).parquet(s"$d/events.*")
-          .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        val q = Tables.normalizeEventTs(
+            s.readStream.schema(schema).parquet(s"$d/events.*"))
+          .withColumn("ets", col("ts"))
           .withWatermark("ets", "1 hour")
           .groupBy(window(col("ets"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -436,10 +439,8 @@ object StreamingQueries {
         Graft.tune(s)
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = "q136_sink_" + sinkId.incrementAndGet()
-        val fl = FlowView.fromEvents(
-          s.readStream.schema(schema).parquet(s"$d/events.*")
-            // nanos BIGINT -> micros TimestampType, as Tables.events does
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        val fl = FlowView.fromEvents(Tables.normalizeEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events.*")))
         val agg = graft.operators.ProRating.explodeBins(fl,
             col("t0u"), col("t1u"), 300,
             Seq("bytes_w" -> col("bytes")))
@@ -482,9 +483,8 @@ object StreamingQueries {
         import graft.maps.Dims
         import graft.plans.Lpm
         val t = new Lpm.Table(16, Dims.networkPrefixes)
-        val fl = FlowView.fromEvents(
-          s.readStream.schema(schema).parquet(s"$d/events.*")
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        val fl = FlowView.fromEvents(Tables.normalizeEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events.*")))
         val agg = fl
           .withColumn("dst_as", coalesce(Lpm.lpm(col("ip_dst"), t), lit(0L)))
           .withColumn("ets", expr("timestamp_micros(t0u)"))
@@ -533,8 +533,8 @@ object StreamingQueries {
           s.read.parquet(s"$d/events.parquet").rdd.getNumPartitions
         s.conf.set("spark.sql.shuffle.partitions",
           math.max(2, math.min(scanParts, prevParts.toInt)))
-        def src() = s.readStream.schema(schema).parquet(s"$d/events.*")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src() = Tables.normalizeEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events.*"))
         // Banded range join: equality on (exporter, 10-min time band)
         // with the option side exploded into its two candidate bands,
         // range residual after. With only 8 exporters a bare
