@@ -2106,6 +2106,152 @@ object ProtocolQueries {
             ELSE 0 END) AS BIGINT) AS sum_b,
           count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_bad
           FROM events GROUP BY 1"""),
-      doc = "bad-datagram accounting: discards counted, intact flows kept")
+      doc = "bad-datagram accounting: discards counted, intact flows kept"),
+
+    // nfprobe IPFIX (v10) export — the reference's DEFAULT nfprobe_version
+    // (CONFIG-KEYS:2542-2549). Beyond the v9 sibling (q125), IPFIX is
+    // where the pmacct CUSTOM types live: tag/tag2/label ride only under
+    // the pmacct PEN 43874 (src/nfprobe_plugin/netflow9.c:152-156
+    // "supported in IPFIX only with pmacct PEN"; nfv9_template.h:31), the
+    // label as a variable-length IE whose value INCLUDES the trailing NUL
+    // (flow_to_flowset_label_handler, netflow9.c:476-496: len=strlen+1).
+    // Sampling renorm arrives via the IPFIX options template (set id 3,
+    // sampler scope) carrying SAMPLER_ID/MODE/INTERVAL (netflow9.c:
+    // 1563-1571), matched to data records through IE 48; flows that
+    // arrive BEFORE the option record buffer their raw counts and
+    // renormalize when it lands — the reference's renormalization module
+    // keyed off the sampler table. Exporter side re-sends both templates
+    // every 4 data sets (NF9_DEFAULT_TEMPLATE_INTERVAL rhythm, id 1024 /
+    // 4096 per netflow9.c:199-201); re-registration must stay idempotent.
+    // SessionWalk shape: 64 session keys, lazy run iterator, O(chunk +
+    // distinct (proto,label)) task memory.
+    Q("q247_nfprobe_ipfix",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.{FieldSpec, IE, TemplateX, VarLen}
+        val cacheRows = flows(s, d)
+          .groupBy((col("ip_src") % 64).as("exporter"), col("ip_src"),
+            col("ip_dst"), col("ip_proto"))
+          .agg((sum(col("bytes")) % 4294967296L).as("oc"),
+            (sum(col("packets")) % 4294967296L).as("pk"),
+            (max(col("ip_dst")) % 100000L).as("tag"))
+          .as[(Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = SessionWalk.sessionsAll(cacheRows)
+          .mapPartitions { it =>
+          SessionWalk.mapRuns(it)(_._1) { (ex, run) =>
+            val PmacctPen = 43874L
+            val tagF = FieldSpec(1, 8, pen = PmacctPen)   // NF9_CUST_TAG
+            val labF = FieldSpec(3, VarLen, pen = PmacctPen) // NF9_CUST_LABEL
+            val tmpl = TemplateX(1024, Seq(
+              FieldSpec(IE.Ipv4SrcAddr, 4), FieldSpec(IE.Ipv4DstAddr, 4),
+              FieldSpec(IE.Protocol, 1), FieldSpec(IE.InBytes, 4),
+              FieldSpec(IE.InPkts, 4), FieldSpec(48, 1), // samplerId
+              tagF, labF))
+            // options: scope = samplerId, then mode + interval
+            val optTmpl = TemplateX(4096, Seq(
+              FieldSpec(48, 1), FieldSpec(49, 1), FieldSpec(50, 4)),
+              scopeCount = 1)
+            val interval = 1L + ex % 3
+            val h = NetFlowV9.V9Header(0L, 0L, 0L, ex)
+            val cache = new NetFlowV9.TemplateCache
+            // sampler table + pre-option buffer, as the collector keeps
+            val samplers = scala.collection.mutable.Map[Long, Long]()
+            val held = scala.collection.mutable.ArrayBuffer[
+              (Long, String, Long, Long, Long, Long)]()
+            val agg = scala.collection.mutable.LinkedHashMap[
+              (Long, String), (Long, Long, Long, Long)]()
+            def fold(proto: Long, label: String, oc: Long, pk: Long,
+                     tag: Long, ivl: Long): Unit = {
+              val k = (proto, label)
+              val (n, o, p, t) = agg.getOrElse(k, (0L, 0L, 0L, 0L))
+              agg(k) = (n + 1, o + oc * ivl, p + pk * ivl, t + tag)
+            }
+            def observe(dg: Array[Byte]): Unit =
+              cache.observeX(dg).foreach { m =>
+                if (m.contains(50L)) {
+                  // option record: register sampler, renorm held flows
+                  val sid = m(48L).asInstanceOf[Long]
+                  val ivl = m(50L).asInstanceOf[Long]
+                  samplers(sid) = ivl
+                  held.foreach { case (pr, lb, oc, pk, tg, s2) =>
+                    if (s2 == sid) fold(pr, lb, oc, pk, tg, ivl) }
+                  held.filterInPlace(_._6 != sid)
+                } else {
+                  // C-string vlen: strip the wire's trailing NUL
+                  val label = m(labF.key).asInstanceOf[String]
+                    .stripSuffix("\u0000")
+                  val proto = m(IE.Protocol.toLong).asInstanceOf[Long]
+                  val oc = m(IE.InBytes.toLong).asInstanceOf[Long]
+                  val pk = m(IE.InPkts.toLong).asInstanceOf[Long]
+                  val tag = m(tagF.key).asInstanceOf[Long]
+                  val sid = m(48L).asInstanceOf[Long]
+                  samplers.get(sid) match {
+                    case Some(ivl) => fold(proto, label, oc, pk, tag, ivl)
+                    case None => held += ((proto, label, oc, pk, tag, sid))
+                  }
+                }
+              }
+            val batch = scala.collection.mutable.Buffer[Map[Long, Any]]()
+            var nDataDgs = 0
+            def sendTemplates(): Unit = {
+              observe(NetFlowV9.encodeTemplateIpfixX(h, tmpl))
+              observe(NetFlowV9.encodeOptionsTemplateIpfix(h, optTmpl))
+            }
+            def flushBatch(): Unit = if (batch.nonEmpty) {
+              if (nDataDgs % 4 == 0) sendTemplates()
+              observe(NetFlowV9.encodeDataIpfixX(h, tmpl, batch.toSeq))
+              batch.clear()
+              nDataDgs += 1
+            }
+            var optionSent = false
+            run.foreach { r =>
+              batch += Map[Long, Any](
+                IE.Ipv4SrcAddr.toLong -> r._2, IE.Ipv4DstAddr.toLong -> r._3,
+                IE.Protocol.toLong -> r._4, IE.InBytes.toLong -> r._5,
+                IE.InPkts.toLong -> r._6, 48L -> 1L,
+                tagF.key -> r._7,
+                labF.key -> (s"et${r._4}" + "\u0000"))
+              if (batch.size == 20) {
+                flushBatch()
+                // the option DATA record lands only after the first two
+                // data sets — early flows must buffer, then renorm
+                if (!optionSent && nDataDgs >= 2) {
+                  observe(NetFlowV9.encodeDataIpfixX(h, optTmpl,
+                    Seq(Map[Long, Any](48L -> 1L, 49L -> 2L,
+                      50L -> interval))))
+                  optionSent = true
+                }
+              }
+            }
+            flushBatch()
+            if (!optionSent)
+              observe(NetFlowV9.encodeDataIpfixX(h, optTmpl,
+                Seq(Map[Long, Any](48L -> 1L, 49L -> 2L,
+                  50L -> interval))))
+            agg.iterator.map { case ((proto, label), (n, o, p, t)) =>
+              (proto, label, n, o, p, t) }.toSeq
+          }
+        }
+        decoded.toDF("proto", "label", "n_flows", "octets", "packets",
+            "sum_tag")
+          .groupBy("proto", "label")
+          .agg(sum("n_flows").as("n_flows"), sum("octets").as("octets"),
+            sum("packets").as("packets"), sum("sum_tag").as("sum_tag"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, 'et' || ip_proto AS label,
+           count(*) AS n_flows,
+           CAST(sum(oc * ivl) AS BIGINT) AS octets,
+           CAST(sum(pk * ivl) AS BIGINT) AS packets,
+           CAST(sum(tg) AS BIGINT) AS sum_tag
+           FROM (SELECT ip_proto,
+                   CAST(sum(bytes) AS BIGINT) % 4294967296 AS oc,
+                   CAST(sum(packets) AS BIGINT) % 4294967296 AS pk,
+                   CAST(max(ip_dst) AS BIGINT) % 100000 AS tg,
+                   1 + (ip_src % 64) % 3 AS ivl
+                 FROM flows GROUP BY ip_src, ip_dst, ip_proto)
+           GROUP BY 1, 2""")),
+      doc = "nfprobe IPFIX export: PEN tag + vlen label, sampler options")
   )
 }
