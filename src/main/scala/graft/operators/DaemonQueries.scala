@@ -480,6 +480,111 @@ object DaemonQueries {
                 AS sum_b,
               count(DISTINCT user_id) AS n_uids
             FROM events GROUP BY 1, 2"""),
-      doc = "Kafka Produce v9 wire: batches, varints, CRC32C reconciled")
+      doc = "Kafka Produce v9 wire: batches, varints, CRC32C reconciled"),
+
+    // Kafka LIVE end-to-end (kafka_plugin.c producer → broker → consumer;
+    // the real broker stays env-blocked, so the q238-style live gate runs
+    // against an in-process broker speaking the same public wire protocol
+    // the q203 codec proved): executor tasks open real loopback sockets
+    // and speak Produce v9 with acks (one connection per task, acks=1
+    // librdkafka-style); the broker assigns base offsets by REWRITING the
+    // batch header in place (legal exactly because RecordBatch CRC32C
+    // excludes baseOffset) and serves Fetch v4 from the stored bytes
+    // verbatim (the zero-copy path). The consumer side mirrors a consumer
+    // group: the partition assignment comes from the broker's metadata
+    // view, each task pages its partitions by offset with a LAZY unfold
+    // (O(fetch page) memory, socket closed when the log is drained), and
+    // the landed rows persist to a spill-store before the broker closes —
+    // the returned plan reads the landed data, as a downstream job would.
+    // The oracle checks offset CONTINUITY per partition (max_off = n-1)
+    // on top of content parity: a lost batch, a double append, or an
+    // offset-rewrite defect breaks it.
+    Q("q248_kafka_live",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files.createTempDirectory("q248_kafka")
+          .resolve("landed").toString
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid", "event_type",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, String, Long)]
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, String, Long)]) =>
+              val (sock, in, out) = KafkaMiniBroker.connect(port)
+              try {
+                var corr = 0
+                it.grouped(60).foreach { batch =>
+                  val pbs = batch.groupBy { case (uid, et, _) =>
+                    (s"acct_$et", (uid % 4).toInt)
+                  }.toSeq.sortBy(_._1).map { case ((topic, p), recs) =>
+                    KafkaWire.PartitionBatch(topic, p, recs.map {
+                      case (uid, _, b) =>
+                        KafkaWire.Record(s"k$uid",
+                          s"$uid:$b".getBytes("UTF-8"))
+                    })
+                  }
+                  val acks = KafkaWire.decodeProduceResponse(
+                    KafkaMiniBroker.exchange(in, out,
+                      KafkaWire.encodeProduce(corr, "graft_live", pbs,
+                        baseTs = 1700000000000L)))
+                  require(acks.nonEmpty && acks.forall(_._3 == 0),
+                    "produce not acked")
+                  corr += 1
+                }
+              } finally sock.close()
+          }
+          // consumer group: assignment = broker metadata, tasks page
+          // their partitions by offset over their own connections
+          val assign = broker.partitionEnds
+          val landed = s.sparkContext
+            .parallelize(assign, math.max(1, math.min(assign.size, 16)))
+            .mapPartitions { parts =>
+              parts.flatMap { case (topic, p, hw) =>
+                val (sock, in, out) = KafkaMiniBroker.connect(port)
+                var corr = 0
+                Iterator.unfold(0L) { off =>
+                  if (off >= hw) { sock.close(); None }
+                  else {
+                    val (_, rs) = KafkaWire.decodeFetchResponse(
+                      KafkaMiniBroker.exchange(in, out,
+                        KafkaWire.encodeFetch(corr, "graft_consumer",
+                          topic, p, off, 4096)))
+                    corr += 1
+                    val batches = KafkaWire.decodeBatches(rs)
+                    require(batches.nonEmpty, s"stuck fetch at $off/$hw")
+                    val recs = batches.flatMap { case (base, rr) =>
+                      rr.zipWithIndex.map { case (r, i) =>
+                        val Array(uid, b) =
+                          new String(r.value, "UTF-8").split(':')
+                        (topic, p.toLong, base + i, uid.toLong, b.toLong)
+                      }
+                    }
+                    val nextOff = batches.map { case (base, rr) =>
+                      base + rr.size }.max
+                    Some((recs, nextOff))
+                  }
+                }.flatten
+              }
+            }.toDF("topic", "partition", "off", "uid", "b")
+          landed.write.mode("overwrite").parquet(store)
+        } finally broker.close()
+        s.read.parquet(store)
+          .groupBy("topic", "partition")
+          .agg(count(lit(1)).as("n"), max("off").as("max_off"),
+            sum("b").as("sum_b"), countDistinct("uid").as("n_uids"))
+      },
+      Some("""SELECT 'acct_' || event_type AS topic,
+              user_id % 4 AS partition, count(*) AS n,
+              count(*) - 1 AS max_off,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_b,
+              count(DISTINCT user_id) AS n_uids
+            FROM events GROUP BY 1, 2"""),
+      doc = "Kafka live gate: socket Produce/Fetch, offset continuity")
   )
 }

@@ -1,0 +1,190 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/** In-process Kafka broker speaking the subset of the PUBLIC wire
+  * protocol (kafka.apache.org/protocol) the engine's producer and
+  * consumer paths use: Produce v9 (flexible) and Fetch v4. The sandbox
+  * stand-in for the env-blocked real broker (no kafka jar, no egress —
+  * documented since r4), playing the same role the in-process UDP
+  * senders play for q238's live collector gate: real sockets, real
+  * frames, so the q248 end-to-end proof exercises every byte the
+  * reference's librdkafka path (src/kafka_common.c) puts on the wire.
+  *
+  * Log semantics mirrored from the real broker:
+  *  - append assigns baseOffset = log-end offset and REWRITES the first
+  *    8 bytes of the producer's RecordBatch in place — legal because the
+  *    batch CRC32C covers attributes..end and deliberately excludes
+  *    baseOffset/batchLength/epoch (that exclusion exists precisely so
+  *    brokers can do this without re-CRCing);
+  *  - fetch serves stored batch bytes VERBATIM from the requested offset
+  *    (a real broker is zero-copy here), at least one batch per response
+  *    even when it exceeds maxBytes (the v3+ large-message rule), plus
+  *    the partition high watermark;
+  *  - per-partition appends serialize on the partition log (one leader
+  *    per partition), concurrent producers to different partitions don't
+  *    contend.
+  *
+  * One connection = one blocking request/response loop (the broker's
+  * network-thread model, minus pipelining — the gate's clients await
+  * each ack like acks=1 librdkafka does). Bootstrap/metadata discovery
+  * is out of scope: the gate connects straight to the one "leader".
+  */
+final class KafkaMiniBroker {
+
+  private final class PartitionLog {
+    val batches = mutable.ArrayBuffer[Array[Byte]]()   // raw, offset-patched
+    val baseOffsets = mutable.ArrayBuffer[Long]()
+    var logEnd: Long = 0L
+  }
+
+  private val logs = mutable.Map[(String, Int), PartitionLog]()
+  private var server: ServerSocket = _
+  @volatile private var running = false
+  private val threads = mutable.Buffer[Thread]()
+
+  /** Bind an ephemeral loopback port, start the accept loop, return the
+    * port (the gate's "bootstrap"). */
+  def start(): Int = synchronized {
+    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => serve(sock), "kafka-mini-conn")
+          t.setDaemon(true); t.start()
+          threads.synchronized { threads += t }
+        } catch { case _: Exception => /* closed */ }
+      }
+    }, "kafka-mini-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def close(): Unit = synchronized {
+    running = false
+    if (server != null) server.close()
+  }
+
+  /** Snapshot of (topic, partition, highWatermark) — what Metadata +
+    * ListOffsets would tell a consumer group; read driver-side to build
+    * the fetch assignment. */
+  def partitionEnds: Seq[(String, Int, Long)] = logs.synchronized {
+    logs.toSeq.map { case ((t, p), l) => (t, p, l.logEnd) }.sortBy(x => (x._1, x._2))
+  }
+
+  private def log(topic: String, partition: Int): PartitionLog =
+    logs.synchronized {
+      logs.getOrElseUpdate((topic, partition), new PartitionLog)
+    }
+
+  /** Append a raw producer batch: assign the base offset, patch it into
+    * the batch header, advance the log end by the batch's record count
+    * (RecordBatch v2 keeps it at byte 57). */
+  private def append(topic: String, partition: Int,
+                     batch: Array[Byte]): Long = {
+    val l = log(topic, partition)
+    l.synchronized {
+      val base = l.logEnd
+      val bb = java.nio.ByteBuffer.wrap(batch)
+      bb.putLong(0, base)
+      val nRecords = if (batch.length >= 61) bb.getInt(57) else 0
+      l.batches += batch
+      l.baseOffsets += base
+      l.logEnd = base + math.max(0, nRecords)
+      base
+    }
+  }
+
+  /** Serve fetch: batches whose range reaches past `offset`, verbatim,
+    * stopping after maxBytes but never before the first batch. */
+  private def read(topic: String, partition: Int, offset: Long,
+                   maxBytes: Int): (Long, Array[Byte]) = {
+    val l = log(topic, partition)
+    l.synchronized {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < l.batches.length &&
+             (out.size() == 0 || out.size() < maxBytes)) {
+        val nRecords = java.nio.ByteBuffer.wrap(l.batches(i)).getInt(57)
+        if (l.baseOffsets(i) + nRecords > offset)
+          out.write(l.batches(i))
+        i += 1
+      }
+      (l.logEnd, out.toByteArray)
+    }
+  }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (running) {
+        val size = in.readInt()
+        if (size < 8 || size > 64 * 1024 * 1024)
+          throw new java.io.IOException(s"bad frame size $size")
+        val payload = new Array[Byte](size)
+        in.readFully(payload)
+        val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+        val resp: Array[Byte] = apiKey match {
+          case 0 =>
+            KafkaWire.parseProduce(payload) match {
+              case Some(req) =>
+                val acks = req.batches.map { case (t, p, batch) =>
+                  (t, p, 0.toShort, append(t, p, batch))
+                }
+                KafkaWire.encodeProduceResponse(req.correlationId, acks)
+              case None => null
+            }
+          case 1 =>
+            KafkaWire.parseFetch(payload) match {
+              case Some(req) =>
+                val (hw, rs) = read(req.topic, req.partition, req.offset,
+                  req.maxBytes)
+                KafkaWire.encodeFetchResponse(req.correlationId, req.topic,
+                  req.partition, hw, rs)
+              case None => null
+            }
+          case _ => null
+        }
+        if (resp == null)
+          throw new java.io.IOException(s"unsupported request api=$apiKey")
+        out.write(resp)
+        out.flush()
+      }
+    } catch {
+      case _: Exception => /* connection closed / malformed: drop, like a
+        broker closing on protocol error */
+    } finally {
+      try sock.close() catch { case _: Exception => }
+    }
+  }
+}
+
+object KafkaMiniBroker {
+
+  /** Client-side request/response exchange over an open socket pair:
+    * write the size-prefixed request, read one size-prefixed response
+    * payload. */
+  def exchange(in: DataInputStream, out: DataOutputStream,
+               request: Array[Byte]): Array[Byte] = {
+    out.write(request); out.flush()
+    val size = in.readInt()
+    require(size >= 4 && size <= 64 * 1024 * 1024, s"bad response size $size")
+    val payload = new Array[Byte](size)
+    in.readFully(payload)
+    payload
+  }
+
+  /** One producer/consumer connection to the broker. */
+  def connect(port: Int): (Socket, DataInputStream, DataOutputStream) = {
+    val sock = new Socket(InetAddress.getLoopbackAddress, port)
+    sock.setTcpNoDelay(true)
+    (sock, new DataInputStream(sock.getInputStream),
+      new DataOutputStream(sock.getOutputStream))
+  }
+}

@@ -188,6 +188,228 @@ object KafkaWire {
                             topic: String, partition: Int,
                             records: Seq[Record])
 
+  // ---- broker-side parse + responses (the live-gate surface) ---------
+
+  /** A Produce v9 request parsed to its RAW batch bytes — what a broker
+    * appends to the log verbatim after rewriting baseOffset (the CRC
+    * covers attributes..end and deliberately EXCLUDES baseOffset /
+    * batchLength / epoch, which is what makes the rewrite legal). */
+  final case class RawProduce(correlationId: Int, clientId: String,
+                              batches: Seq[(String, Int, Array[Byte])])
+
+  /** Parse one Produce v9 request payload (no size prefix). Returns None
+    * for a different api key/version or a malformed body. */
+  def parseProduce(payload: Array[Byte]): Option[RawProduce] = try {
+    val buf = ByteBuffer.wrap(payload)
+    val apiKey = buf.getShort(); val apiVersion = buf.getShort()
+    if (apiKey != 0 || apiVersion != 9) return None
+    val corr = buf.getInt()
+    val cidLen = buf.getShort() & 0xffff
+    val cid = new Array[Byte](cidLen); buf.get(cid)
+    readUVarint(buf)                       // header tagged fields
+    val txLen = readUVarint(buf)
+    if (txLen > 1) buf.position(buf.position() + txLen - 1)
+    buf.getShort(); buf.getInt()           // acks, timeout
+    val out = mutable.Buffer[(String, Int, Array[Byte])]()
+    val nTopics = readUVarint(buf) - 1
+    (0 until nTopics).foreach { _ =>
+      val tLen = readUVarint(buf) - 1
+      val t = new Array[Byte](tLen); buf.get(t)
+      val nParts = readUVarint(buf) - 1
+      (0 until nParts).foreach { _ =>
+        val partition = buf.getInt()
+        val rLen = readUVarint(buf) - 1
+        val batch = new Array[Byte](math.max(0, rLen)); buf.get(batch)
+        readUVarint(buf)                   // partition tagged fields
+        out += ((new String(t, "UTF-8"), partition, batch))
+      }
+      readUVarint(buf)                     // topic tagged fields
+    }
+    Some(RawProduce(corr, new String(cid, "UTF-8"), out.toSeq))
+  } catch { case _: Exception => None }
+
+  /** Produce v9 response (flexible; response header v1): per-partition
+    * (topic, partition, error, baseOffset). Size-prefixed socket bytes.
+    * Layout per the public spec: responses first, throttle LAST. */
+  def encodeProduceResponse(corr: Int,
+      results: Seq[(String, Int, Short, Long)]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr); writeUVarint(b, 0)          // response header v1
+    val byTopic = results.groupBy(_._1).toSeq.sortBy(_._1)
+    writeUVarint(b, byTopic.size + 1)
+    byTopic.foreach { case (topic, parts) =>
+      val t = topic.getBytes("UTF-8")
+      writeUVarint(b, t.length + 1); b ++= t
+      writeUVarint(b, parts.size + 1)
+      parts.foreach { case (_, p, err, off) =>
+        i32(p); i16(err); i64(off)
+        i64(-1L)                           // log_append_time
+        i64(0L)                            // log_start_offset
+        writeUVarint(b, 1)                 // record_errors: empty
+        writeUVarint(b, 0)                 // error_message: null
+        writeUVarint(b, 0)                 // partition tagged fields
+      }
+      writeUVarint(b, 0)                   // topic tagged fields
+    }
+    i32(0)                                 // throttle_time_ms (last)
+    writeUVarint(b, 0)                     // body tagged fields
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Decode a Produce v9 response payload (no size prefix) back to
+    * (topic, partition, error, baseOffset) acks. */
+  def decodeProduceResponse(payload: Array[Byte])
+      : Seq[(String, Int, Short, Long)] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation id
+    readUVarint(buf)                       // header tagged fields
+    val out = mutable.Buffer[(String, Int, Short, Long)]()
+    val nTopics = readUVarint(buf) - 1
+    (0 until nTopics).foreach { _ =>
+      val tLen = readUVarint(buf) - 1
+      val t = new Array[Byte](tLen); buf.get(t)
+      val nParts = readUVarint(buf) - 1
+      (0 until nParts).foreach { _ =>
+        val p = buf.getInt(); val err = buf.getShort()
+        val off = buf.getLong()
+        buf.getLong(); buf.getLong()       // append time, log start
+        val nErrs = readUVarint(buf) - 1
+        (0 until nErrs).foreach { _ => buf.getInt(); readUVarint(buf) }
+        val msgLen = readUVarint(buf)      // error_message (null = 0)
+        if (msgLen > 1) buf.position(buf.position() + msgLen - 1)
+        readUVarint(buf)                   // partition tagged fields
+        out += ((new String(t, "UTF-8"), p, err, off))
+      }
+      readUVarint(buf)                     // topic tagged fields
+    }
+    out.toSeq
+  }
+
+  /** Fetch v4 request for ONE (topic, partition) from `offset`
+    * (non-flexible encoding — v4 predates flexible versions; both header
+    * and body use plain i16/i32 arrays). Size-prefixed socket bytes. */
+  def encodeFetch(corr: Int, clientId: String, topic: String,
+                  partition: Int, offset: Long, maxBytes: Int)
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val bytes = s.getBytes("UTF-8"); i16(bytes.length); b ++= bytes
+    }
+    i16(1); i16(4)                         // Fetch, version 4
+    i32(corr); str(clientId)               // request header v1
+    i32(-1)                                // replica_id: consumer
+    i32(0)                                 // max_wait_ms
+    i32(1)                                 // min_bytes
+    i32(maxBytes)                          // max_bytes (request level)
+    b += 0                                 // isolation_level: read_uncommitted
+    i32(1); str(topic)                     // one topic
+    i32(1); i32(partition)                 // one partition
+    i64(offset); i32(maxBytes)             // fetch_offset, partition_max_bytes
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  final case class FetchReq(correlationId: Int, clientId: String,
+                            topic: String, partition: Int,
+                            offset: Long, maxBytes: Int)
+
+  /** Parse one Fetch v4 request payload (no size prefix); only the first
+    * (topic, partition) is served — the live gate fetches one at a time. */
+  def parseFetch(payload: Array[Byte]): Option[FetchReq] = try {
+    val buf = ByteBuffer.wrap(payload)
+    val apiKey = buf.getShort(); val apiVersion = buf.getShort()
+    if (apiKey != 1 || apiVersion != 4) return None
+    val corr = buf.getInt()
+    val cidLen = buf.getShort() & 0xffff
+    val cid = new Array[Byte](cidLen); buf.get(cid)
+    buf.getInt(); buf.getInt(); buf.getInt()  // replica, max_wait, min_bytes
+    val reqMax = buf.getInt()
+    buf.get()                              // isolation
+    val nTopics = buf.getInt()
+    if (nTopics < 1) return None
+    val tLen = buf.getShort() & 0xffff
+    val t = new Array[Byte](tLen); buf.get(t)
+    val nParts = buf.getInt()
+    if (nParts < 1) return None
+    val partition = buf.getInt()
+    val offset = buf.getLong()
+    val pMax = buf.getInt()
+    Some(FetchReq(corr, new String(cid, "UTF-8"), new String(t, "UTF-8"),
+      partition, offset, math.min(reqMax, pMax)))
+  } catch { case _: Exception => None }
+
+  /** Fetch v4 response for one (topic, partition): throttle, then the
+    * topic/partition envelope around (error, high watermark, last stable
+    * offset, no aborted txns, record set). Size-prefixed socket bytes. */
+  def encodeFetchResponse(corr: Int, topic: String, partition: Int,
+                          hw: Long, recordSet: Array[Byte]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr)                              // response header v0
+    i32(0)                                 // throttle_time_ms
+    i32(1)                                 // one topic
+    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(1)                                 // one partition
+    i32(partition); i16(0)                 // error_code: none
+    i64(hw); i64(hw)                       // high watermark, last stable
+    i32(0)                                 // aborted_transactions: empty
+    i32(recordSet.length); b ++= recordSet
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Decode a Fetch v4 response payload (no size prefix) →
+    * (highWatermark, recordSet bytes). */
+  def decodeFetchResponse(payload: Array[Byte]): (Long, Array[Byte]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt(); buf.getInt()             // correlation, throttle
+    val nTopics = buf.getInt()
+    require(nTopics >= 1, "empty fetch response")
+    val tLen = buf.getShort() & 0xffff
+    buf.position(buf.position() + tLen)
+    buf.getInt()                           // partition count
+    buf.getInt()                           // partition index
+    val err = buf.getShort()
+    require(err == 0, s"fetch error $err")
+    val hw = buf.getLong()
+    buf.getLong()                          // last stable offset
+    val nAborted = buf.getInt()
+    buf.position(buf.position() + nAborted * 12)
+    val rsLen = buf.getInt()
+    val rs = new Array[Byte](math.max(0, rsLen)); buf.get(rs)
+    (hw, rs)
+  }
+
+  /** Split a fetched record set into its RecordBatches:
+    * (absolute baseOffset, decoded records) per batch — the consumer-side
+    * walk that turns log bytes back into offset-addressed records. */
+  def decodeBatches(recordSet: Array[Byte]): Seq[(Long, Seq[Record])] = {
+    val out = mutable.Buffer[(Long, Seq[Record])]()
+    val buf = ByteBuffer.wrap(recordSet)
+    var ok = true
+    while (ok && buf.remaining() >= 12) {
+      val baseOffset = buf.getLong(buf.position())
+      val batchLen = buf.getInt(buf.position() + 8)
+      val total = 12 + batchLen
+      if (batchLen <= 0 || buf.remaining() < total) ok = false
+      else {
+        val batch = new Array[Byte](total)
+        buf.get(batch)
+        out += ((baseOffset, decodeBatch(batch)))
+      }
+    }
+    out.toSeq
+  }
+
   /** Walk a socket stream of size-prefixed Produce v9 requests like the
     * broker's network thread; short/garbage tails stop the walk, CRC-bad
     * batches drop (decodeBatch contract). */

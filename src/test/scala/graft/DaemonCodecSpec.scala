@@ -221,4 +221,65 @@ class DaemonCodecSpec extends AnyFunSuite {
     assert(KafkaWire.decodeBatch(b).map(_.key) == Seq("a"))
     assert(KafkaWire.decodeBatch(b.dropRight(1)).isEmpty)
   }
+
+  test("KafkaMiniBroker: live Produce/Fetch round trip, offsets, limits") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    import KafkaWire.{PartitionBatch, Record}
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      val (sock, in, out) = KafkaMiniBroker.connect(port)
+      try {
+        // two produces to one partition: base offsets chain 0 -> 3
+        val acks1 = KafkaWire.decodeProduceResponse(
+          KafkaMiniBroker.exchange(in, out, KafkaWire.encodeProduce(
+            0, "spec", Seq(PartitionBatch("t", 0, (0 until 3).map(i =>
+              Record(s"k$i", s"v$i".getBytes)))), 1L)))
+        val acks2 = KafkaWire.decodeProduceResponse(
+          KafkaMiniBroker.exchange(in, out, KafkaWire.encodeProduce(
+            1, "spec", Seq(
+              PartitionBatch("t", 0, Seq(Record("k3", "v3".getBytes))),
+              PartitionBatch("t", 1, Seq(Record("x", "y".getBytes)))), 2L)))
+        assert(acks1 == Seq(("t", 0, 0.toShort, 0L)))
+        assert(acks2.toSet ==
+          Set(("t", 0, 0.toShort, 3L), ("t", 1, 0.toShort, 0L)))
+        assert(broker.partitionEnds == Seq(("t", 0, 4L), ("t", 1, 1L)))
+        // fetch from 0: both batches, absolute offsets from the rewrite
+        val (hw, rs) = KafkaWire.decodeFetchResponse(
+          KafkaMiniBroker.exchange(in, out,
+            KafkaWire.encodeFetch(2, "spec", "t", 0, 0L, 1 << 20)))
+        assert(hw == 4L)
+        val batches = KafkaWire.decodeBatches(rs)
+        assert(batches.map(_._1) == Seq(0L, 3L))
+        assert(batches.flatMap(_._2).map(_.key) ==
+          Seq("k0", "k1", "k2", "k3"))
+        // CRC still verifies after the broker's baseOffset rewrite
+        assert(batches.forall(_._2.nonEmpty))
+        // fetch from mid-log: only the batch containing offset 3
+        val (_, rs2) = KafkaWire.decodeFetchResponse(
+          KafkaMiniBroker.exchange(in, out,
+            KafkaWire.encodeFetch(3, "spec", "t", 0, 3L, 1 << 20)))
+        assert(KafkaWire.decodeBatches(rs2).map(_._1) == Seq(3L))
+        // tiny maxBytes: at least the first batch still returned
+        val (_, rs3) = KafkaWire.decodeFetchResponse(
+          KafkaMiniBroker.exchange(in, out,
+            KafkaWire.encodeFetch(4, "spec", "t", 0, 0L, 1)))
+        assert(KafkaWire.decodeBatches(rs3).map(_._1) == Seq(0L))
+        // empty partition fetch: hw 0, no batches
+        val (hw4, rs4) = KafkaWire.decodeFetchResponse(
+          KafkaMiniBroker.exchange(in, out,
+            KafkaWire.encodeFetch(5, "spec", "nope", 9, 0L, 64)))
+        assert(hw4 == 0L && rs4.isEmpty)
+      } finally sock.close()
+      // a protocol the broker doesn't speak: connection drops, client sees
+      // EOF instead of a hang
+      val (sock2, in2, out2) = KafkaMiniBroker.connect(port)
+      try {
+        intercept[java.io.IOException] {
+          KafkaMiniBroker.exchange(in2, out2,
+            Array[Byte](0, 0, 0, 8, 0, 18, 0, 3, 0, 0, 0, 7))
+        }
+      } finally sock2.close()
+    } finally broker.close()
+  }
 }
