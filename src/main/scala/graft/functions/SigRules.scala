@@ -56,6 +56,23 @@ object SigRules {
     "bittorrent" -> (h => h.length >= 11 && (h(0) & 0xff) == 19 &&
       "BitTorrent".indices.forall(i =>
         h(i + 1) == "BitTorrent".charAt(i).toByte)),
+    // WebSocket upgrade: an HTTP GET whose visible head carries the
+    // Upgrade header (canonical client casing; nDPI scans the same
+    // header, case-folded with flow context we don't keep)
+    "websocket" -> (h => h.length >= 4 && h(0) == 'G' && h(1) == 'E' &&
+      h(2) == 'T' && h(3) == ' ' &&
+      new String(h, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("Upgrade: websocket")),
+    // X11 setup request: byte order 'l' (LE) or 'B' (BE), pad, then
+    // protocol-major-version 11 in that byte order
+    "x11" -> (h => h.length >= 12 && h(1) == 0 &&
+      ((h(0) == 'l' && (h(2) & 0xff) == 11 && h(3) == 0) ||
+       (h(0) == 'B' && h(2) == 0 && (h(3) & 0xff) == 11))),
+    // PTPv2 (IEEE 1588): messageType 0..0xd, versionPTP 2, u16
+    // messageLength spanning the whole payload (34-byte fixed header)
+    "ptp" -> (h => h.length >= 34 && (h(0) & 0x0f) <= 0x0d &&
+      (h(1) & 0x0f) == 2 &&
+      ((h(2) & 0xff) << 8 | (h(3) & 0xff)) == h.length),
     // syslog priority tag: '<' digits '>' within the first 5 bytes
     "syslog" -> (h => h.length >= 3 && h(0) == '<' && {
       var i = 1
@@ -256,6 +273,8 @@ object SigRules {
       Seq(Ascii("GET /dns-query")))))),
     // the h2c connection preface — fixed 24 ASCII bytes, RFC 7540 §3.5
     Rule("http2", Seq(Ascii("PRI * HTTP/2.0"))),
+    // before http: a websocket upgrade IS a GET until the header scan
+    Rule("websocket", Seq(Heur("websocket"))),
     Rule("http", Seq(AnyOf(Seq(Seq(Ascii("GET ")), Seq(Ascii("POST ")),
       Seq(Ascii("PUT ")), Seq(Ascii("HEAD ")), Seq(Ascii("HTTP/")))))),
     Rule("tls", Seq(MinLen(3), B(0, 0x16), B(1, 0x03),
@@ -269,6 +288,11 @@ object SigRules {
       Seq(Ascii("DESCRIBE ")))))),
     Rule("sip", Seq(AnyOf(Seq(Seq(Ascii("INVITE ")),
       Seq(Ascii("SIP/2.0")))))),
+    // MGCP gateway-control verbs (RFC 3435 §3.2; NTFY is distinct from
+    // SSDP's "NOTIFY * ")
+    Rule("mgcp", Seq(AnyOf(Seq(Seq(Ascii("CRCX ")), Seq(Ascii("MDCX ")),
+      Seq(Ascii("DLCX ")), Seq(Ascii("RQNT ")), Seq(Ascii("NTFY ")),
+      Seq(Ascii("AUEP ")))))),
     Rule("bittorrent", Seq(Heur("bittorrent"))),
     Rule("smtp", Seq(AnyOf(Seq(Seq(Ascii("220 ")), Seq(Ascii("EHLO ")),
       Seq(Ascii("HELO ")), Seq(Ascii("MAIL FROM:")))))),
@@ -334,6 +358,14 @@ object SigRules {
     Rule("zabbix", Seq(Ascii("ZBXD"), B(4, 1))),
     Rule("teamspeak", Seq(Ascii("TS3INIT1"))),
     Rule("svn", Seq(Ascii("( success"))),
+    // X11 setup: byte-order marker + protocol major 11 — before sunrpc,
+    // whose zero-run check an auth-less 'l' setup could also satisfy
+    Rule("x11", Seq(Heur("x11"))),
+    // NFS = an ONC RPC call to program 100003 — the program-number
+    // specialization MUST precede the generic sunrpc rule
+    Rule("nfs", Seq(MinLen(28), B(4, 0), B(5, 0), B(6, 0), B(7, 0),
+      B(8, 0), B(9, 0), B(10, 0), B(11, 2),
+      B(12, 0), B(13, 1), B(14, 0x86), B(15, 0xa3))),
     // ONC RPC call: msg_type CALL (0), rpcvers 2
     Rule("sunrpc", Seq(MinLen(24), B(4, 0), B(5, 0), B(6, 0), B(7, 0),
       B(8, 0), B(9, 0), B(10, 0), B(11, 2))),
@@ -353,6 +385,11 @@ object SigRules {
     // IEC 60870-5-104 APCI: start 0x68, u8 APDU length == packet-2
     Rule("iec104", Seq(MinLen(6), B(0, 0x68), Heur("iec104len"))),
     Rule("coap", Seq(Heur("coap"))),
+    // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
+    // around Q.931 — protocol discriminator 0x08, call-ref length 2.
+    // Disjoint from rdp's TPKT: rdp pins byte 5 to the X.224 CR 0xE0
+    Rule("h323", Seq(MinLen(8), B(0, 0x03), B(1, 0x00),
+      U16SelfLen(2, 0), B(4, 0x08), B(5, 0x02))),
     // TDS prelogin: type 0x12, status EOM, u16 BE length == packet
     Rule("mssql", Seq(MinLen(9), B(0, 0x12), B(1, 0x01),
       U16SelfLen(2, 0))),
@@ -382,6 +419,7 @@ object SigRules {
     Rule("rip", Seq(Heur("rip"))),
     Rule("gtp", Seq(Heur("gtp"))),
     Rule("bfd", Seq(Heur("bfd"))),
+    Rule("ptp", Seq(Heur("ptp"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     Rule("quic", Seq(Heur("quic"))),
     Rule("stun", Seq(Heur("stun"))),
@@ -619,10 +657,33 @@ object SigRules {
       case "teamspeak" => "TS3INIT1".getBytes ++
         Array.fill[Byte](20)((s % 23).toByte)
       case "svn" => "( success ( 2 2 ( ) ( edit-pipeline ) ) ) ".getBytes
-      case "sunrpc" => // call: xid, CALL(0), rpcvers 2, NFS prog, v3
+      case "sunrpc" => // call: xid, CALL(0), rpcvers 2, portmapper prog
         Array[Byte]((0x70 + s % 16).toByte, (s % 89).toByte,
           (s % 83).toByte, (s % 79).toByte, 0, 0, 0, 0, 0, 0, 0, 2,
-          0, 1, 0x86.toByte, 0xa3.toByte, 0, 0, 0, 3, 0, 0, 0, 0)
+          0, 1, 0x86.toByte, 0xa0.toByte, 0, 0, 0, 2, 0, 0, 0, 0)
+      case "nfs" => // call: xid, CALL(0), rpcvers 2, prog 100003, v3
+        Array[Byte]((0x60 + s % 16).toByte, (s % 89).toByte,
+          (s % 83).toByte, (s % 79).toByte, 0, 0, 0, 0, 0, 0, 0, 2,
+          0, 1, 0x86.toByte, 0xa3.toByte, 0, 0, 0, 3, 0, 0, 0, 1,
+          0, 0, 0, 0)
+      case "websocket" =>
+        (s"GET /chat$s HTTP/1.1\r\nHost: h\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n").getBytes
+      case "x11" => // setup request in either byte order
+        if (s % 2 == 0)
+          Array[Byte]('l', 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        else
+          Array[Byte]('B', 0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0)
+      case "h323" => // TPKT + Q.931 SETUP head, self-length
+        val body = Array[Byte](0x08, 0x02, (s % 120).toByte,
+          (1 + s % 100).toByte, 0x05) ++ Array.fill[Byte](9)((s % 7).toByte)
+        Array[Byte](3, 0, 0, (4 + body.length).toByte) ++ body
+      case "ptp" => // Sync: type 0, version 2, len 44, domain, flags
+        Array[Byte](0, 2, 0, 44, (s % 4).toByte, 0, 0, 0) ++
+          Array.fill[Byte](36)((s % 9).toByte)
+      case "mgcp" =>
+        val verbs = Seq("CRCX", "MDCX", "DLCX", "RQNT", "NTFY", "AUEP")
+        s"${verbs((s % verbs.size).toInt)} ${1000 + s % 9000} aaln/1@gw-$s MGCP 1.0\r\n".getBytes
       case "bacnet" => // BVLC original-unicast-NPDU, u16 len = total
         Array[Byte](0x81.toByte, 0x0a, 0, 8, 1, 4, (s % 100).toByte, 0)
       case "netconf" =>
