@@ -545,30 +545,12 @@ object DaemonQueries {
             .parallelize(assign, math.max(1, math.min(assign.size, 16)))
             .mapPartitions { parts =>
               parts.flatMap { case (topic, p, hw) =>
-                val (sock, in, out) = KafkaMiniBroker.connect(port)
-                var corr = 0
-                Iterator.unfold(0L) { off =>
-                  if (off >= hw) { sock.close(); None }
-                  else {
-                    val (_, rs) = KafkaWire.decodeFetchResponse(
-                      KafkaMiniBroker.exchange(in, out,
-                        KafkaWire.encodeFetch(corr, "graft_consumer",
-                          topic, p, off, 4096)))
-                    corr += 1
-                    val batches = KafkaWire.decodeBatches(rs)
-                    require(batches.nonEmpty, s"stuck fetch at $off/$hw")
-                    val recs = batches.flatMap { case (base, rr) =>
-                      rr.zipWithIndex.map { case (r, i) =>
-                        val Array(uid, b) =
-                          new String(r.value, "UTF-8").split(':')
-                        (topic, p.toLong, base + i, uid.toLong, b.toLong)
-                      }
-                    }
-                    val nextOff = batches.map { case (base, rr) =>
-                      base + rr.size }.max
-                    Some((recs, nextOff))
-                  }
-                }.flatten
+                KafkaMiniBroker.consume(port, topic, p, hw).map {
+                  case (off, r) =>
+                    val Array(uid, b) =
+                      new String(r.value, "UTF-8").split(':')
+                    (topic, p.toLong, off, uid.toLong, b.toLong)
+                }
               }
             }.toDF("topic", "partition", "off", "uid", "b")
           landed.write.mode("overwrite").parquet(store)
@@ -585,6 +567,218 @@ object DaemonQueries {
                 AS sum_b,
               count(DISTINCT user_id) AS n_uids
             FROM events GROUP BY 1, 2"""),
-      doc = "Kafka live gate: socket Produce/Fetch, offset continuity")
+      doc = "Kafka live gate: socket Produce/Fetch, offset continuity"),
+
+    // Reference test 900-kafka-connection-loss REPLAY (the last
+    // env-blocked golden family, now replayable against the live
+    // mini-broker): the kafka plugin keeps purging while the broker is
+    // up, and when it goes away each purge attempt logs EXACTLY the two
+    // golden error lanes from output-log-01.txt — the outq check, then
+    // the producer close (src/kafka_common.c p_kafka_check_outq_len /
+    // p_kafka_close) — drops that purge's data, and the daemon KEEPS
+    // accounting (test 900's core assertion: connection loss never
+    // kills nfacctd). When the broker returns (restart keeps the log —
+    // the durable-log semantics of a real broker), purges resume on the
+    // same partition offsets. Six purge cycles, broker down for cycles
+    // 2-3; the driver plays the plugin's single writer (check-then-
+    // purge, matching the reference's sequential purge timeline), the
+    // purge itself is the distributed produce of q248. The oracle pins
+    // (a) consumed flows = exactly the four up-cycles' data, and (b)
+    // the log lanes: first-occurrence order (purge < outq < close) and
+    // per-lane counts — a reconnect that double-logged, a purge that
+    // silently lost an up-cycle, or a crash mid-loss breaks parity.
+    Q("q249_kafka_conn_loss",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files.createTempDirectory("q249_kafka")
+          .resolve("landed").toString
+        val log = scala.collection.mutable.Buffer[String]()
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid", "event_type",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, String, Long)].cache()
+          (0 until 6).foreach { epoch =>
+            if (epoch == 2) broker.close()
+            if (epoch == 4) broker.start(port)
+            // the plugin's pre-purge liveness check: p_kafka_check_outq_len
+            val up =
+              try { KafkaMiniBroker.connect(port)._1.close(); true }
+              catch { case _: java.io.IOException => false }
+            if (!up) {
+              log += "Connection failed to Kafka: p_kafka_check_outq_len()"
+              log += "Connection failed to Kafka: p_kafka_close()"
+              // purge dropped; daemon continues (test 900's assertion)
+            } else {
+              log += "purge"
+              rows.filter(_._1 % 6 == epoch).repartition(4)
+                .foreachPartition { (it: Iterator[(Long, String, Long)]) =>
+                  val (sock, in, out) = KafkaMiniBroker.connect(port)
+                  try {
+                    var corr = 0
+                    it.grouped(60).foreach { batch =>
+                      val pbs = batch.groupBy { case (uid, et, _) =>
+                        (s"acct_$et", (uid % 4).toInt)
+                      }.toSeq.sortBy(_._1).map { case ((topic, p), recs) =>
+                        KafkaWire.PartitionBatch(topic, p, recs.map {
+                          case (uid, _, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                      val acks = KafkaWire.decodeProduceResponse(
+                        KafkaMiniBroker.exchange(in, out,
+                          KafkaWire.encodeProduce(corr, "graft_loss", pbs,
+                            baseTs = 1700000000000L)))
+                      require(acks.nonEmpty && acks.forall(_._3 == 0),
+                        "produce not acked")
+                      corr += 1
+                    }
+                  } finally sock.close()
+                }
+            }
+          }
+          rows.unpersist()
+          val assign = broker.partitionEnds
+          val landed = s.sparkContext
+            .parallelize(assign, math.max(1, math.min(assign.size, 16)))
+            .mapPartitions { parts =>
+              parts.flatMap { case (topic, p, hw) =>
+                KafkaMiniBroker.consume(port, topic, p, hw).map {
+                  case (_, r) =>
+                    val Array(_, b) =
+                      new String(r.value, "UTF-8").split(':')
+                    (topic, p.toLong, b.toLong)
+                }
+              }
+            }.toDF("topic", "partition", "b")
+          landed.write.mode("overwrite").parquet(store)
+        } finally broker.close()
+        val logDf = log.toSeq.zipWithIndex
+          .groupBy(_._1).toSeq
+          .map { case (line, occ) =>
+            ("log", line, occ.size.toLong, occ.map(_._2).min.toLong) }
+          .toDF("kind", "key", "n", "v")
+        s.read.parquet(store)
+          .groupBy(concat(col("topic"), lit("/"), col("partition"))
+            .as("key"))
+          .agg(count(lit(1)).as("n"), sum("b").as("v"))
+          .select(lit("flow").as("kind"), col("key"), col("n"), col("v"))
+          .unionByName(logDf)
+      },
+      Some("""SELECT 'flow' AS kind,
+              'acct_' || event_type || '/' || (user_id % 4) AS key,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE user_id % 6 NOT IN (2, 3) GROUP BY 2
+            UNION ALL SELECT 'log',
+              'Connection failed to Kafka: p_kafka_check_outq_len()',
+              CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+            UNION ALL SELECT 'log',
+              'Connection failed to Kafka: p_kafka_close()',
+              CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+            UNION ALL SELECT 'log', 'purge',
+              CAST(4 AS BIGINT), CAST(0 AS BIGINT)"""),
+      doc = "test 900 replay: broker loss logs golden lanes, purges resume"),
+
+    // Reference test 901-redis-connection-loss REPLAY (the other
+    // env-blocked family, against the live RESP mini-server): TWO
+    // channels hold their own connections — the core process and the
+    // kafka plugin, exactly the two lanes the goldens name
+    // (nfacctd_core/core/redis, nfacctd_kafka/kafka/redis) — and SETEX
+    // their heartbeats each cycle (redis_common.c:171-232). When redis
+    // goes away, each channel WARNs "Can't connect to redis server"
+    // (output-log-01.txt, kafka lane first) and the daemon keeps
+    // running; when it returns, channels log the reconnect INFO lane
+    // from output-log-00.txt and heartbeats resume on the SAME keys.
+    // The kafka channel's heartbeat value carries its purge-cycle row
+    // count (a distributed count per cycle — the plugin heartbeats
+    // alongside its purges), so the final keyspace reconciles against
+    // the events table, not just literals: 4 refreshes per key, last
+    // value = the last up-cycle's row count.
+    Q("q250_redis_conn_loss",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{Resp, RespMiniServer}
+        val server = new RespMiniServer
+        val port = server.start()
+        val log = scala.collection.mutable.Buffer[String]()
+        val coreKey = Resp.healthKey("graft", 0, "nfacctd_core", "core")
+        val kafkaKey = Resp.healthKey("graft", 0, "nfacctd_kafka", "kafka")
+        try {
+          val rows = Tables.events(s, d)
+            .selectExpr("cast(user_id as bigint) as uid")
+            .as[Long].cache()
+          // channel = held connection + the golden log lane names
+          final class Chan(val tag: String) {
+            var conn: Option[RespMiniServer.Conn] = None
+            def connect(): Unit = {
+              log += s"INFO $tag: connecting to redis server"
+              conn = Some(new RespMiniServer.Conn(port))
+            }
+            def heartbeat(key: String, value: String): Boolean = {
+              try {
+                if (conn.isEmpty) conn = {
+                  log += s"INFO $tag: connecting to redis server"
+                  Some(new RespMiniServer.Conn(port))
+                }
+                conn.get.call(Seq("SETEX", key, "3", value))
+                true
+              } catch {
+                case _: java.io.IOException =>
+                  log += s"WARN $tag: Can't connect to redis server"
+                  conn.foreach(_.close()); conn = None
+                  false
+              }
+            }
+          }
+          val core = new Chan("nfacctd_core/core/redis")
+          val kafka = new Chan("nfacctd_kafka/kafka/redis")
+          core.connect(); kafka.connect()
+          (0 until 6).foreach { epoch =>
+            if (epoch == 2) server.close()
+            if (epoch == 4) server.start(port)
+            // the kafka plugin heartbeats alongside its purge: the value
+            // is this cycle's row count (distributed aggregation)
+            val n = rows.filter(_ % 6 == epoch).count()
+            kafka.heartbeat(kafkaKey, n.toString)
+            core.heartbeat(coreKey, "0")
+          }
+          rows.unpersist()
+        } finally server.close()
+        val hbDf = server.snapshot
+          .map { case (k, v, n) => ("hb", k, n, v.toLong) }
+          .toDF("kind", "key", "n", "v")
+        val logDf = log.toSeq.zipWithIndex
+          .groupBy(_._1).toSeq
+          .map { case (line, occ) =>
+            ("log", line, occ.size.toLong, occ.map(_._2).min.toLong) }
+          .toDF("kind", "key", "n", "v")
+        hbDf.unionByName(logDf)
+      },
+      Some("""SELECT 'hb' AS kind,
+              'graft+0+process+nfacctd_kafka+kafka' AS key,
+              CAST(4 AS BIGINT) AS n,
+              (SELECT count(*) FROM events WHERE user_id % 6 = 5) AS v
+            UNION ALL SELECT 'hb', 'graft+0+process+nfacctd_core+core',
+              4, 0
+            UNION ALL SELECT 'log',
+              'INFO nfacctd_core/core/redis: connecting to redis server',
+              3, 0
+            UNION ALL SELECT 'log',
+              'INFO nfacctd_kafka/kafka/redis: connecting to redis server',
+              3, 1
+            UNION ALL SELECT 'log',
+              'WARN nfacctd_kafka/kafka/redis: Can''t connect to redis server',
+              2, 2
+            UNION ALL SELECT 'log',
+              'WARN nfacctd_core/core/redis: Can''t connect to redis server',
+              2, 3"""),
+      doc = "test 901 replay: redis loss WARN lanes, heartbeats resume")
   )
 }

@@ -45,10 +45,16 @@ final class KafkaMiniBroker {
   @volatile private var running = false
   private val threads = mutable.Buffer[Thread]()
 
-  /** Bind an ephemeral loopback port, start the accept loop, return the
-    * port (the gate's "bootstrap"). */
-  def start(): Int = synchronized {
-    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  /** Bind a loopback port (0 = ephemeral), start the accept loop, return
+    * the port (the gate's "bootstrap"). Callable again after [[close]]:
+    * the partition logs survive a restart — the in-memory stand-in for
+    * the real broker's durable log, which is what the connection-loss
+    * replay (q249, reference test 900) leans on. */
+  def start(port: Int = 0): Int = synchronized {
+    server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new java.net.InetSocketAddress(
+      InetAddress.getLoopbackAddress, port), 64)
     running = true
     val acceptor = new Thread(() => {
       while (running) {
@@ -186,5 +192,29 @@ object KafkaMiniBroker {
     sock.setTcpNoDelay(true)
     (sock, new DataInputStream(sock.getInputStream),
       new DataOutputStream(sock.getOutputStream))
+  }
+
+  /** Consumer-side page walk of one partition: absolute-offset records
+    * from 0 to `hw`, lazily unfolded one Fetch page at a time (O(page)
+    * memory); opens its own connection, closed when the log drains. */
+  def consume(port: Int, topic: String, partition: Int, hw: Long,
+              maxBytes: Int = 4096): Iterator[(Long, KafkaWire.Record)] = {
+    if (hw <= 0) return Iterator.empty
+    val (sock, in, out) = connect(port)
+    var corr = 0
+    Iterator.unfold(0L) { off =>
+      if (off >= hw) { sock.close(); None }
+      else {
+        val (_, rs) = KafkaWire.decodeFetchResponse(exchange(in, out,
+          KafkaWire.encodeFetch(corr, "graft_consumer", topic, partition,
+            off, maxBytes)))
+        corr += 1
+        val batches = KafkaWire.decodeBatches(rs)
+        require(batches.nonEmpty, s"stuck fetch at $off/$hw")
+        val recs = batches.flatMap { case (base, rr) =>
+          rr.zipWithIndex.map { case (r, i) => (base + i, r) } }
+        Some((recs, batches.map { case (b, rr) => b + rr.size }.max))
+      }
+    }.flatten
   }
 }
