@@ -603,12 +603,21 @@ object DaemonQueries {
               "cast(floor(value * 100) as bigint) as b")
             .as[(Long, String, Long)].cache()
           (0 until 6).foreach { epoch =>
-            if (epoch == 2) broker.close()
+            if (epoch == 2) broker.stop()
             if (epoch == 4) broker.start(port)
-            // the plugin's pre-purge liveness check: p_kafka_check_outq_len
-            val up =
-              try { KafkaMiniBroker.connect(port)._1.close(); true }
-              catch { case _: java.io.IOException => false }
+            // the plugin's pre-purge liveness check
+            // (p_kafka_check_outq_len): a dead broker may still accept
+            // the connect — only a ROUND TRIP proves it, so probe with a
+            // fetch of a health partition the broker serves empty
+            val up = try {
+              val (sock, in, out) = KafkaMiniBroker.connect(port)
+              try {
+                KafkaWire.decodeFetchResponse(KafkaMiniBroker.exchange(
+                  in, out, KafkaWire.encodeFetch(0, "health", "__health",
+                    0, 0L, 64)))
+                true
+              } finally sock.close()
+            } catch { case _: java.io.IOException => false }
             if (!up) {
               log += "Connection failed to Kafka: p_kafka_check_outq_len()"
               log += "Connection failed to Kafka: p_kafka_close()"
@@ -741,7 +750,7 @@ object DaemonQueries {
           val kafka = new Chan("nfacctd_kafka/kafka/redis")
           core.connect(); kafka.connect()
           (0 until 6).foreach { epoch =>
-            if (epoch == 2) server.close()
+            if (epoch == 2) server.stop()
             if (epoch == 4) server.start(port)
             // the kafka plugin heartbeats alongside its purge: the value
             // is this cycle's row count (distributed aggregation)

@@ -43,26 +43,38 @@ final class KafkaMiniBroker {
   private val logs = mutable.Map[(String, Int), PartitionLog]()
   private var server: ServerSocket = _
   @volatile private var running = false
-  private val threads = mutable.Buffer[Thread]()
+  /** Protocol-level "the broker process is gone": new connections are
+    * reset on accept, live ones severed. Modeled ABOVE the socket bind —
+    * rebinding a freed ephemeral port races the kernel's own port
+    * allocator under load (any outgoing connection can grab it), so the
+    * listener stays bound across a stop/start cycle and down-ness lives
+    * in the accept path, which is also what a dead host looks like to a
+    * client: connect may complete, the first round trip dies. */
+  @volatile private var down = false
+  private val conns = mutable.Set[Socket]()
 
-  /** Bind a loopback port (0 = ephemeral), start the accept loop, return
-    * the port (the gate's "bootstrap"). Callable again after [[close]]:
-    * the partition logs survive a restart — the in-memory stand-in for
-    * the real broker's durable log, which is what the connection-loss
-    * replay (q249, reference test 900) leans on. */
+  /** Bind a loopback port (0 = ephemeral) on first call and start the
+    * accept loop; on a later call (after [[stop]]) just lift the down
+    * flag — the partition logs survive, the in-memory stand-in for the
+    * real broker's durable log (q249, reference test 900, leans on
+    * both). Returns the port (the gate's "bootstrap"). */
   def start(port: Int = 0): Int = synchronized {
+    if (server != null && !server.isClosed) { down = false; return server.getLocalPort }
     server = new ServerSocket()
     server.setReuseAddress(true)
     server.bind(new java.net.InetSocketAddress(
       InetAddress.getLoopbackAddress, port), 64)
     running = true
+    down = false
     val acceptor = new Thread(() => {
       while (running) {
         try {
           val sock = server.accept()
-          val t = new Thread(() => serve(sock), "kafka-mini-conn")
-          t.setDaemon(true); t.start()
-          threads.synchronized { threads += t }
+          if (down) sock.close()
+          else {
+            val t = new Thread(() => serve(sock), "kafka-mini-conn")
+            t.setDaemon(true); t.start()
+          }
         } catch { case _: Exception => /* closed */ }
       }
     }, "kafka-mini-acceptor")
@@ -71,7 +83,19 @@ final class KafkaMiniBroker {
     server.getLocalPort
   }
 
+  /** The broker "process" goes away: reset new connections, sever live
+    * ones. The listener socket itself stays bound (see [[down]]). */
+  def stop(): Unit = {
+    down = true
+    conns.synchronized {
+      conns.foreach(s => try s.close() catch { case _: Exception => })
+      conns.clear()
+    }
+  }
+
+  /** Final shutdown: stop + release the listener. */
   def close(): Unit = synchronized {
+    stop()
     running = false
     if (server != null) server.close()
   }
@@ -107,10 +131,15 @@ final class KafkaMiniBroker {
   }
 
   /** Serve fetch: batches whose range reaches past `offset`, verbatim,
-    * stopping after maxBytes but never before the first batch. */
+    * stopping after maxBytes but never before the first batch. A fetch
+    * of an unknown partition serves an empty log WITHOUT creating one
+    * (so health probes don't pollute [[partitionEnds]]). */
   private def read(topic: String, partition: Int, offset: Long,
                    maxBytes: Int): (Long, Array[Byte]) = {
-    val l = log(topic, partition)
+    val l = logs.synchronized {
+      logs.getOrElse((topic, partition), null)
+    }
+    if (l == null) return (0L, Array.emptyByteArray)
     l.synchronized {
       val out = new java.io.ByteArrayOutputStream()
       var i = 0
@@ -126,10 +155,11 @@ final class KafkaMiniBroker {
   }
 
   private def serve(sock: Socket): Unit = {
+    conns.synchronized { conns += sock }
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      while (running) {
+      while (running && !down) {
         val size = in.readInt()
         if (size < 8 || size > 64 * 1024 * 1024)
           throw new java.io.IOException(s"bad frame size $size")
@@ -166,6 +196,7 @@ final class KafkaMiniBroker {
       case _: Exception => /* connection closed / malformed: drop, like a
         broker closing on protocol error */
     } finally {
+      conns.synchronized { conns -= sock }
       try sock.close() catch { case _: Exception => }
     }
   }

@@ -21,20 +21,32 @@ final class RespMiniServer {
 
   private var server: ServerSocket = _
   @volatile private var running = false
+  /** Protocol-level down-ness: the listener stays bound (rebinding a
+    * freed ephemeral port races the kernel's port allocator under
+    * load); while down, new connections reset on accept and live ones
+    * are severed — what a dead redis-server looks like to a client. */
+  @volatile private var down = false
   private val conns = mutable.Set[Socket]()
 
+  /** Bind on first call; later calls (after [[stop]]) lift the down
+    * flag with the keyspace retained. */
   def start(port: Int = 0): Int = synchronized {
+    if (server != null && !server.isClosed) { down = false; return server.getLocalPort }
     server = new ServerSocket()
     server.setReuseAddress(true)
     server.bind(new java.net.InetSocketAddress(
       InetAddress.getLoopbackAddress, port), 16)
     running = true
+    down = false
     val acceptor = new Thread(() => {
       while (running) {
         try {
           val sock = server.accept()
-          val t = new Thread(() => serve(sock), "resp-mini-conn")
-          t.setDaemon(true); t.start()
+          if (down) sock.close()
+          else {
+            val t = new Thread(() => serve(sock), "resp-mini-conn")
+            t.setDaemon(true); t.start()
+          }
         } catch { case _: Exception => /* closed */ }
       }
     }, "resp-mini-acceptor")
@@ -43,16 +55,22 @@ final class RespMiniServer {
     server.getLocalPort
   }
 
-  /** Stop accepting AND sever live connections — a process going away
-    * kills its established sockets too; held client connections must
-    * see EOF/reset on their next heartbeat, not a half-served reply. */
-  def close(): Unit = synchronized {
-    running = false
-    if (server != null) server.close()
+  /** The server "process" goes away: sever live connections — a held
+    * client connection must see EOF/reset on its next heartbeat, not a
+    * half-served reply. */
+  def stop(): Unit = {
+    down = true
     conns.synchronized {
       conns.foreach(s => try s.close() catch { case _: Exception => })
       conns.clear()
     }
+  }
+
+  /** Final shutdown: stop + release the listener. */
+  def close(): Unit = synchronized {
+    stop()
+    running = false
+    if (server != null) server.close()
   }
 
   /** Snapshot (key, lastValue, nSetex) sorted by key. */
@@ -75,7 +93,7 @@ final class RespMiniServer {
         in.read()                            // the \n
         sb.toString
       }
-      while (running) {
+      while (running && !down) {
         val head = line()
         if (head.isEmpty || head.charAt(0) != '*')
           throw new java.io.IOException(s"bad RESP head: $head")
