@@ -280,6 +280,53 @@ class DaemonCodecSpec extends AnyFunSuite {
             Array[Byte](0, 0, 0, 8, 0, 18, 0, 3, 0, 0, 0, 7))
         }
       } finally sock2.close()
+      // stop(): held connections sever, new round trips die, the log
+      // SURVIVES a start() on the same port — durable-log semantics
+      broker.stop()
+      intercept[java.io.IOException] {
+        val (s3, i3, o3) = KafkaMiniBroker.connect(port)
+        try KafkaMiniBroker.exchange(i3, o3,
+          KafkaWire.encodeFetch(9, "spec", "t", 0, 0L, 64))
+        finally s3.close()
+      }
+      assert(broker.start(port) == port)
+      val (s4, i4, o4) = KafkaMiniBroker.connect(port)
+      try {
+        val (hwBack, _) = KafkaWire.decodeFetchResponse(
+          KafkaMiniBroker.exchange(i4, o4,
+            KafkaWire.encodeFetch(10, "spec", "t", 0, 0L, 1 << 20)))
+        assert(hwBack == 4L)
+      } finally s4.close()
     } finally broker.close()
+  }
+
+  test("RespMiniServer: SETEX keyspace, down/up cycle, severed conns") {
+    import graft.sinks.{Resp, RespMiniServer}
+    val server = new RespMiniServer
+    val port = server.start()
+    try {
+      val c = new RespMiniServer.Conn(port)
+      assert(c.call(Seq("PING")) == "+PONG")
+      assert(c.call(Seq("SETEX", "k1", "3", "v1")) == "+OK")
+      assert(c.call(Seq("SETEX", "k1", "3", "v2")) == "+OK")
+      // Conn.call is the simple-string health path: -ERR surfaces as an
+      // exception (bulk GET replies are the server's other client's
+      // concern; the health code never GETs)
+      intercept[java.io.IOException] { c.call(Seq("FLUSHALL")) }
+      val c2 = new RespMiniServer.Conn(port)
+      assert(c2.call(Seq("SETEX", "k2", "3", "x")) == "+OK")
+      server.stop()
+      // held connection severed mid-air; new round trips die too
+      intercept[java.io.IOException] { c2.call(Seq("PING")) }
+      intercept[java.io.IOException] {
+        new RespMiniServer.Conn(port).call(Seq("PING"))
+      }
+      // keyspace survives the restart; refresh counts kept
+      assert(server.start(port) == port)
+      val c3 = new RespMiniServer.Conn(port)
+      assert(c3.call(Seq("SETEX", "k1", "3", "v3")) == "+OK")
+      c3.close()
+      assert(server.snapshot == Seq(("k1", "v3", 3L), ("k2", "x", 1L)))
+    } finally server.close()
   }
 }
