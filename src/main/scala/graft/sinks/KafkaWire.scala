@@ -55,6 +55,17 @@ object KafkaWire {
     (raw >>> 1) ^ -(raw & 1)
   }
 
+  /** Bounded read: a corrupt length must fail BEFORE the allocation —
+    * a flipped bit in a varint could otherwise request a huge array
+    * (the 64 MB frame guard bounds the buffer, not a parsed length). */
+  private def takeBytes(buf: ByteBuffer, len: Int): Array[Byte] = {
+    if (len < 0 || len > buf.remaining())
+      throw new IllegalArgumentException(s"length $len > remaining")
+    val a = new Array[Byte](len)
+    buf.get(a)
+    a
+  }
+
   // ---- record batch v2 ----------------------------------------------
 
   /** Encode a RecordBatch v2 (magic 2) with CRC32C. */
@@ -118,24 +129,29 @@ object KafkaWire {
     val out = mutable.Buffer[Record]()
     var i = 0
     var ok = true
-    while (ok && i < n && buf.remaining() > 0) {
-      val len = readVarint(buf)
-      val end = buf.position() + len
-      if (len < 3 || end > buf.limit()) ok = false
-      else {
-        buf.get()                          // record attributes
-        readVarint(buf)                    // ts delta
-        readVarint(buf)                    // offset delta
-        val klen = readVarint(buf)
-        val k = new Array[Byte](math.max(0, klen)); buf.get(k)
-        val vlen = readVarint(buf)
-        val v = new Array[Byte](math.max(0, vlen)); buf.get(v)
-        readVarint(buf)                    // headers count (0)
-        buf.position(end)
-        out += Record(new String(k, "UTF-8"), v)
+    // CRC passing means corruption can't reach this walk, but a
+    // CRC-valid CRAFTED batch still can: any parse failure → Nil,
+    // never a thrown task death
+    try {
+      while (ok && i < n && buf.remaining() > 0) {
+        val len = readVarint(buf)
+        val end = buf.position() + len
+        if (len < 3 || end > buf.limit()) ok = false
+        else {
+          buf.get()                          // record attributes
+          readVarint(buf)                    // ts delta
+          readVarint(buf)                    // offset delta
+          val klen = readVarint(buf)
+          val k = takeBytes(buf, math.max(0, klen))
+          val vlen = readVarint(buf)
+          val v = takeBytes(buf, math.max(0, vlen))
+          readVarint(buf)                    // headers count (0)
+          buf.position(end)
+          out += Record(new String(k, "UTF-8"), v)
+        }
+        i += 1
       }
-      i += 1
-    }
+    } catch { case _: RuntimeException => ok = false }
     if (ok) out.toSeq else Nil
   }
 
@@ -205,7 +221,7 @@ object KafkaWire {
     if (apiKey != 0 || apiVersion != 9) return None
     val corr = buf.getInt()
     val cidLen = buf.getShort() & 0xffff
-    val cid = new Array[Byte](cidLen); buf.get(cid)
+    val cid = takeBytes(buf, cidLen)
     readUVarint(buf)                       // header tagged fields
     val txLen = readUVarint(buf)
     if (txLen > 1) buf.position(buf.position() + txLen - 1)
@@ -214,12 +230,12 @@ object KafkaWire {
     val nTopics = readUVarint(buf) - 1
     (0 until nTopics).foreach { _ =>
       val tLen = readUVarint(buf) - 1
-      val t = new Array[Byte](tLen); buf.get(t)
+      val t = takeBytes(buf, tLen)
       val nParts = readUVarint(buf) - 1
       (0 until nParts).foreach { _ =>
         val partition = buf.getInt()
         val rLen = readUVarint(buf) - 1
-        val batch = new Array[Byte](math.max(0, rLen)); buf.get(batch)
+        val batch = takeBytes(buf, math.max(0, rLen))
         readUVarint(buf)                   // partition tagged fields
         out += ((new String(t, "UTF-8"), partition, batch))
       }
@@ -271,7 +287,7 @@ object KafkaWire {
     val nTopics = readUVarint(buf) - 1
     (0 until nTopics).foreach { _ =>
       val tLen = readUVarint(buf) - 1
-      val t = new Array[Byte](tLen); buf.get(t)
+      val t = takeBytes(buf, tLen)
       val nParts = readUVarint(buf) - 1
       (0 until nParts).foreach { _ =>
         val p = buf.getInt(); val err = buf.getShort()
@@ -328,14 +344,14 @@ object KafkaWire {
     if (apiKey != 1 || apiVersion != 4) return None
     val corr = buf.getInt()
     val cidLen = buf.getShort() & 0xffff
-    val cid = new Array[Byte](cidLen); buf.get(cid)
+    val cid = takeBytes(buf, cidLen)
     buf.getInt(); buf.getInt(); buf.getInt()  // replica, max_wait, min_bytes
     val reqMax = buf.getInt()
     buf.get()                              // isolation
     val nTopics = buf.getInt()
     if (nTopics < 1) return None
     val tLen = buf.getShort() & 0xffff
-    val t = new Array[Byte](tLen); buf.get(t)
+    val t = takeBytes(buf, tLen)
     val nParts = buf.getInt()
     if (nParts < 1) return None
     val partition = buf.getInt()
@@ -385,7 +401,7 @@ object KafkaWire {
     val nAborted = buf.getInt()
     buf.position(buf.position() + nAborted * 12)
     val rsLen = buf.getInt()
-    val rs = new Array[Byte](math.max(0, rsLen)); buf.get(rs)
+    val rs = takeBytes(buf, math.max(0, rsLen))
     (hw, rs)
   }
 
@@ -426,7 +442,7 @@ object KafkaWire {
         val apiVersion = buf.getShort()
         val corr = buf.getInt()
         val cidLen = buf.getShort() & 0xffff
-        val cid = new Array[Byte](cidLen); buf.get(cid)
+        val cid = takeBytes(buf, cidLen)
         readUVarint(buf)                   // header tagged fields
         if (apiKey != 0 || apiVersion != 9) buf.position(end)
         else {
@@ -437,13 +453,13 @@ object KafkaWire {
           val nTopics = readUVarint(buf) - 1
           (0 until nTopics).foreach { _ =>
             val tLen = readUVarint(buf) - 1
-            val t = new Array[Byte](tLen); buf.get(t)
+            val t = takeBytes(buf, tLen)
             val topic = new String(t, "UTF-8")
             val nParts = readUVarint(buf) - 1
             (0 until nParts).foreach { _ =>
               val partition = buf.getInt()
               val rLen = readUVarint(buf) - 1
-              val batch = new Array[Byte](math.max(0, rLen)); buf.get(batch)
+              val batch = takeBytes(buf, math.max(0, rLen))
               readUVarint(buf)             // partition tagged fields
               out += Produced(corr, new String(cid, "UTF-8"), topic,
                 partition, decodeBatch(batch))

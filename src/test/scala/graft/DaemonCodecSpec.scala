@@ -300,6 +300,39 @@ class DaemonCodecSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("KafkaWire: broker-side parsers never throw on corrupt requests") {
+    import graft.sinks.KafkaWire
+    import KafkaWire.{PartitionBatch, Record}
+    val produce = KafkaWire.encodeProduce(7, "fuzz", Seq(
+      PartitionBatch("t", 0, Seq(Record("k", "v".getBytes)))), 1L).drop(4)
+    val fetch = KafkaWire.encodeFetch(8, "fuzz", "t", 0, 5L, 64).drop(4)
+    // truncation at every boundary
+    (0 until produce.length).foreach { cut =>
+      KafkaWire.parseProduce(produce.take(cut))
+    }
+    (0 until fetch.length).foreach { cut =>
+      KafkaWire.parseFetch(fetch.take(cut))
+    }
+    // seeded bit flips: parse either succeeds or returns None — never
+    // throws (the broker drops the connection on protocol error, it
+    // must not die)
+    val rnd = new scala.util.Random(0xfeed)
+    (0 until 500).foreach { _ =>
+      val p = produce.clone()
+      p(rnd.nextInt(p.length)) =
+        (p(rnd.nextInt(p.length)) ^ (1 << rnd.nextInt(8))).toByte
+      KafkaWire.parseProduce(p)
+      val f = fetch.clone()
+      f(rnd.nextInt(f.length)) =
+        (f(rnd.nextInt(f.length)) ^ (1 << rnd.nextInt(8))).toByte
+      KafkaWire.parseFetch(f)
+    }
+    // round trips still hold on the clean payloads
+    assert(KafkaWire.parseProduce(produce).exists(_.correlationId == 7))
+    assert(KafkaWire.parseFetch(fetch).exists(r =>
+      r.topic == "t" && r.offset == 5L))
+  }
+
   test("RespMiniServer: SETEX keyspace, down/up cycle, severed conns") {
     import graft.sinks.{Resp, RespMiniServer}
     val server = new RespMiniServer
