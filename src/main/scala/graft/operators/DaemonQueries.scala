@@ -515,11 +515,9 @@ object DaemonQueries {
             .as[(Long, String, Long)]
           rows.repartition(8).foreachPartition {
             (it: Iterator[(Long, String, Long)]) =>
-              val (sock, in, out) = KafkaMiniBroker.connect(port)
-              try {
-                var corr = 0
-                it.grouped(60).foreach { batch =>
-                  val pbs = batch.groupBy { case (uid, et, _) =>
+              KafkaMiniBroker.produceAll(port, "graft_live",
+                it.grouped(60).map { batch =>
+                  batch.groupBy { case (uid, et, _) =>
                     (s"acct_$et", (uid % 4).toInt)
                   }.toSeq.sortBy(_._1).map { case ((topic, p), recs) =>
                     KafkaWire.PartitionBatch(topic, p, recs.map {
@@ -528,15 +526,7 @@ object DaemonQueries {
                           s"$uid:$b".getBytes("UTF-8"))
                     })
                   }
-                  val acks = KafkaWire.decodeProduceResponse(
-                    KafkaMiniBroker.exchange(in, out,
-                      KafkaWire.encodeProduce(corr, "graft_live", pbs,
-                        baseTs = 1700000000000L)))
-                  require(acks.nonEmpty && acks.forall(_._3 == 0),
-                    "produce not acked")
-                  corr += 1
-                }
-              } finally sock.close()
+                })
           }
           // consumer group: assignment = broker metadata, tasks page
           // their partitions by offset over their own connections
@@ -626,11 +616,9 @@ object DaemonQueries {
               log += "purge"
               rows.filter(_._1 % 6 == epoch).repartition(4)
                 .foreachPartition { (it: Iterator[(Long, String, Long)]) =>
-                  val (sock, in, out) = KafkaMiniBroker.connect(port)
-                  try {
-                    var corr = 0
-                    it.grouped(60).foreach { batch =>
-                      val pbs = batch.groupBy { case (uid, et, _) =>
+                  KafkaMiniBroker.produceAll(port, "graft_loss",
+                    it.grouped(60).map { batch =>
+                      batch.groupBy { case (uid, et, _) =>
                         (s"acct_$et", (uid % 4).toInt)
                       }.toSeq.sortBy(_._1).map { case ((topic, p), recs) =>
                         KafkaWire.PartitionBatch(topic, p, recs.map {
@@ -639,15 +627,7 @@ object DaemonQueries {
                               s"$uid:$b".getBytes("UTF-8"))
                         })
                       }
-                      val acks = KafkaWire.decodeProduceResponse(
-                        KafkaMiniBroker.exchange(in, out,
-                          KafkaWire.encodeProduce(corr, "graft_loss", pbs,
-                            baseTs = 1700000000000L)))
-                      require(acks.nonEmpty && acks.forall(_._3 == 0),
-                        "produce not acked")
-                      corr += 1
-                    }
-                  } finally sock.close()
+                    })
                 }
             }
           }

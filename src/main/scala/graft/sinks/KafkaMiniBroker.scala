@@ -185,6 +185,31 @@ final class KafkaMiniBroker {
                   req.partition, hw, rs)
               case None => null
             }
+          case 2 =>
+            KafkaWire.parseListOffsets(payload) match {
+              case Some((corr, topic, p, ts)) =>
+                val l = logs.synchronized { logs.get((topic, p)) }
+                // -1 latest = log end; -2 earliest = 0 (nothing expires)
+                val off = if (ts == -2L) 0L
+                          else l.map(x => x.synchronized(x.logEnd))
+                            .getOrElse(0L)
+                KafkaWire.encodeListOffsetsResponse(corr, topic, p, off)
+              case None => null
+            }
+          case 3 =>
+            KafkaWire.parseMetadata(payload) match {
+              case Some((corr, wanted)) =>
+                val all = logs.synchronized {
+                  logs.keys.toSeq.groupBy(_._1)
+                    .map { case (t, ks) => (t, ks.map(_._2).sorted) }
+                    .toSeq.sortBy(_._1)
+                }
+                val topics = if (wanted.isEmpty) all
+                             else all.filter(t => wanted.contains(t._1))
+                KafkaWire.encodeMetadataResponse(corr, "127.0.0.1",
+                  server.getLocalPort, topics)
+              case None => null
+            }
           case _ => null
         }
         if (resp == null)
@@ -226,26 +251,74 @@ object KafkaMiniBroker {
   }
 
   /** Consumer-side page walk of one partition: absolute-offset records
-    * from 0 to `hw`, lazily unfolded one Fetch page at a time (O(page)
-    * memory); opens its own connection, closed when the log drains. */
-  def consume(port: Int, topic: String, partition: Int, hw: Long,
-              maxBytes: Int = 4096): Iterator[(Long, KafkaWire.Record)] = {
-    if (hw <= 0) return Iterator.empty
+    * in [from, until), lazily unfolded one Fetch page at a time (O(page)
+    * memory); opens its own connection, closed when the range drains.
+    * Range edges matter for the checkpointed source: a batch may span
+    * the boundary, so records outside [from, until) are filtered, and
+    * the walk stops at the first page reaching `until`. */
+  def consumeRange(port: Int, topic: String, partition: Int,
+                   from: Long, until: Long, maxBytes: Int = 4096)
+      : Iterator[(Long, KafkaWire.Record)] = {
+    if (until <= from) return Iterator.empty
     val (sock, in, out) = connect(port)
     var corr = 0
-    Iterator.unfold(0L) { off =>
-      if (off >= hw) { sock.close(); None }
+    Iterator.unfold(from) { off =>
+      if (off >= until) { sock.close(); None }
       else {
         val (_, rs) = KafkaWire.decodeFetchResponse(exchange(in, out,
           KafkaWire.encodeFetch(corr, "graft_consumer", topic, partition,
             off, maxBytes)))
         corr += 1
         val batches = KafkaWire.decodeBatches(rs)
-        require(batches.nonEmpty, s"stuck fetch at $off/$hw")
+        require(batches.nonEmpty, s"stuck fetch at $off/$until")
         val recs = batches.flatMap { case (base, rr) =>
-          rr.zipWithIndex.map { case (r, i) => (base + i, r) } }
+          rr.zipWithIndex.map { case (r, i) => (base + i, r) }
+        }.filter { case (o, _) => o >= from && o < until }
         Some((recs, batches.map { case (b, rr) => b + rr.size }.max))
       }
     }.flatten
+  }
+
+  /** Back-compat walk of [0, hw). */
+  def consume(port: Int, topic: String, partition: Int, hw: Long,
+              maxBytes: Int = 4096): Iterator[(Long, KafkaWire.Record)] =
+    consumeRange(port, topic, partition, 0L, hw, maxBytes)
+
+  /** Producer-task body: one connection, one Produce request per batch
+    * group, every ack checked (acks=1) — shared by the live gates. */
+  def produceAll(port: Int, clientId: String,
+                 it: Iterator[Seq[KafkaWire.PartitionBatch]],
+                 baseTs: Long = 1700000000000L): Unit = {
+    if (!it.hasNext) return
+    val (sock, in, out) = connect(port)
+    try {
+      var corr = 0
+      it.foreach { pbs =>
+        val acks = KafkaWire.decodeProduceResponse(exchange(in, out,
+          KafkaWire.encodeProduce(corr, clientId, pbs, baseTs)))
+        require(acks.nonEmpty && acks.forall(_._3 == 0),
+          "produce not acked")
+        corr += 1
+      }
+    } finally sock.close()
+  }
+
+  /** The consumer's discovery round: Metadata for the partition map +
+    * ListOffsets(latest) per partition, over one connection — what a
+    * real client does before its first fetch. */
+  def discoverEnds(port: Int, topics: Seq[String] = Nil)
+      : Seq[(String, Int, Long)] = {
+    val (sock, in, out) = connect(port)
+    try {
+      val meta = KafkaWire.decodeMetadataResponse(exchange(in, out,
+        KafkaWire.encodeMetadata(0, "graft_consumer", topics)))
+      meta.flatMap { case (t, parts) =>
+        parts.map { p =>
+          val off = KafkaWire.decodeListOffsetsResponse(exchange(in, out,
+            KafkaWire.encodeListOffsets(1, "graft_consumer", t, p, -1L)))
+          (t, p, off)
+        }
+      }
+    } finally sock.close()
   }
 }

@@ -426,6 +426,160 @@ object KafkaWire {
     out.toSeq
   }
 
+  // ---- Metadata v0 + ListOffsets v1 (consumer discovery) -------------
+  // The calls a real consumer makes before its first fetch: Metadata for
+  // the partition map, ListOffsets(-1) for the log-end offsets. Both in
+  // their non-flexible versions (plain i16/i32 arrays).
+
+  /** Metadata v0 request; empty `topics` = all topics (the v0 rule). */
+  def encodeMetadata(corr: Int, clientId: String,
+                     topics: Seq[String]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(3); i16(0); i32(corr); str(clientId)
+    i32(topics.size); topics.foreach(str)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Parse a Metadata v0 request payload → requested topics (empty =
+    * all). None for other keys/versions or malformed bodies. */
+  def parseMetadata(payload: Array[Byte]): Option[(Int, Seq[String])] =
+    try {
+      val buf = ByteBuffer.wrap(payload)
+      if (buf.getShort() != 3 || buf.getShort() != 0) return None
+      val corr = buf.getInt()
+      val cidLen = buf.getShort() & 0xffff
+      buf.position(buf.position() + cidLen)
+      val n = buf.getInt()
+      if (n < 0 || n > (1 << 16)) return None
+      Some((corr, (0 until n).map { _ =>
+        new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      }))
+    } catch { case _: Exception => None }
+
+  /** Metadata v0 response: one broker (node 0) + the topic/partition
+    * map, every partition led by node 0 with itself as replica+isr. */
+  def encodeMetadataResponse(corr: Int, host: String, port: Int,
+      topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr)
+    i32(1); i32(0); str(host); i32(port)   // brokers: [node 0]
+    i32(topics.size)
+    topics.foreach { case (t, parts) =>
+      i16(0); str(t)                       // topic error, name
+      i32(parts.size)
+      parts.foreach { p =>
+        i16(0); i32(p); i32(0)             // error, partition, leader
+        i32(1); i32(0)                     // replicas [0]
+        i32(1); i32(0)                     // isr [0]
+      }
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Decode a Metadata v0 response payload → (topic, partitions). */
+  def decodeMetadataResponse(payload: Array[Byte])
+      : Seq[(String, Seq[Int])] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation id
+    val nBrokers = buf.getInt()
+    (0 until nBrokers).foreach { _ =>
+      buf.getInt()                         // node
+      locally { val skipLen = buf.getShort() & 0xffff; buf.position(buf.position() + skipLen) }
+      buf.getInt()                         // port
+    }
+    val nTopics = buf.getInt()
+    (0 until nTopics).map { _ =>
+      buf.getShort()                       // topic error
+      val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      val nParts = buf.getInt()
+      val parts = (0 until nParts).map { _ =>
+        buf.getShort()                     // error
+        val p = buf.getInt()
+        buf.getInt()                       // leader
+        locally { val skipN = buf.getInt(); buf.position(buf.position() + 4 * skipN) }  // replicas
+        locally { val skipN = buf.getInt(); buf.position(buf.position() + 4 * skipN) }  // isr
+        p
+      }
+      (t, parts)
+    }
+  }
+
+  /** ListOffsets v1 request for ONE (topic, partition); timestamp -1 =
+    * latest (the log-end offset a consumer seeks before fetching). */
+  def encodeListOffsets(corr: Int, clientId: String, topic: String,
+                        partition: Int, timestamp: Long): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(2); i16(1); i32(corr); str(clientId)
+    i32(-1)                                // replica_id: consumer
+    i32(1); str(topic)
+    i32(1); i32(partition); i64(timestamp)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Parse a ListOffsets v1 request → (corr, topic, partition, ts). */
+  def parseListOffsets(payload: Array[Byte])
+      : Option[(Int, String, Int, Long)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 2 || buf.getShort() != 1) return None
+    val corr = buf.getInt()
+    locally { val skipLen = buf.getShort() & 0xffff; buf.position(buf.position() + skipLen) }
+    buf.getInt()                           // replica id
+    if (buf.getInt() < 1) return None
+    val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    if (buf.getInt() < 1) return None
+    Some((corr, t, buf.getInt(), buf.getLong()))
+  } catch { case _: Exception => None }
+
+  /** ListOffsets v1 response for one (topic, partition). */
+  def encodeListOffsetsResponse(corr: Int, topic: String, partition: Int,
+                                offset: Long): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr)
+    i32(1)
+    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(1); i32(partition); i16(0)         // error: none
+    i64(-1L)                               // timestamp
+    i64(offset)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Decode a ListOffsets v1 response → the offset. */
+  def decodeListOffsetsResponse(payload: Array[Byte]): Long = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation
+    require(buf.getInt() >= 1, "empty ListOffsets response")
+    locally { val skipLen = buf.getShort() & 0xffff; buf.position(buf.position() + skipLen) }
+    require(buf.getInt() >= 1, "no partitions in ListOffsets response")
+    buf.getInt()                           // partition
+    val err = buf.getShort()
+    require(err == 0, s"ListOffsets error $err")
+    buf.getLong()                          // timestamp
+    buf.getLong()
+  }
+
   /** Walk a socket stream of size-prefixed Produce v9 requests like the
     * broker's network thread; short/garbage tails stop the walk, CRC-bad
     * batches drop (decodeBatch contract). */

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.KafkaMiniBroker
+
+/** Structured Streaming source over the Kafka wire protocol — the
+  * connector shape a user runs with spark-sql-kafka against a real
+  * broker (kafka_plugin.c's consumers on the other end), expressed as a
+  * DataSourceV2 `MicroBatchStream` against [[KafkaMiniBroker]]:
+  *
+  *  - the DRIVER tracks only offsets: Metadata + ListOffsets(latest)
+  *    over the wire pick up the partition map and log ends per trigger
+  *    (`latestOffset`), and each micro-batch is the per-partition range
+  *    (start, end] — no data ever moves through the driver (unlike
+  *    [[UdpDatagramSource]], whose datagrams have no addressable store);
+  *  - EXECUTORS fetch their ranges directly from the broker over their
+  *    own sockets (`KafkaMiniBroker.consumeRange`, lazy page walk,
+  *    O(fetch page) memory), one InputPartition per topic-partition —
+  *    the real connector's parallelism unit;
+  *  - offsets serialize into the checkpoint, so a RESTARTED query
+  *    resumes exactly after the last committed batch: the broker's log
+  *    is the durable store, ranges re-fetch deterministically, and the
+  *    source is exactly-once where the UDP source is documented
+  *    fail-fast. q251 gates precisely that: run 1 drains the log, more
+  *    records land, run 2 on the same checkpoint emits ONLY the new
+  *    ones.
+  *
+  * Options: `port` (the broker), optional `topics` (comma filter,
+  * default all discovered). Schema mirrors the real connector's:
+  * (topic, partition, offset, key, value).
+  */
+class KafkaMiniSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaMiniSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val port = properties.get("port")
+    require(port != null, "option 'port' is required")
+    val topics = Option(properties.get("topics"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new KafkaMiniTable(port.toInt, topics)
+  }
+}
+
+object KafkaMiniSource {
+  val schema: StructType = new StructType()
+    .add("topic", StringType).add("partition", IntegerType)
+    .add("offset", LongType)
+    .add("key", StringType).add("value", BinaryType)
+}
+
+private class KafkaMiniTable(port: Int, topics: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"kafkamini:$port"
+  override def schema(): StructType = KafkaMiniSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = KafkaMiniSource.schema
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException("streaming only")
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new KafkaMiniMicroBatchStream(port, topics)
+      }
+    }
+}
+
+/** Per-partition end offsets. JSON is `topic/partition=end` entries
+  * ';'-joined sorted by key, ONE line — Spark's offset log is
+  * line-based, a multi-line offset would corrupt it. Topic names with
+  * '/', '=', ';' or '\n' are rejected at planning (ours never carry
+  * them). */
+private[sources] case class KafkaOffsets(ends: Map[(String, Int), Long])
+    extends Offset {
+  override def json(): String =
+    ends.toSeq.sortBy { case ((t, p), _) => (t, p) }
+      .map { case ((t, p), o) => s"$t/$p=$o" }.mkString(";")
+}
+
+private[sources] object KafkaOffsets {
+  def parse(json: String): KafkaOffsets =
+    KafkaOffsets(json.split(';').iterator.filter(_.nonEmpty).map { ln =>
+      val eq = ln.lastIndexOf('=')
+      val slash = ln.lastIndexOf('/', eq - 1)
+      ((ln.substring(0, slash), ln.substring(slash + 1, eq).toInt),
+        ln.substring(eq + 1).toLong)
+    }.toMap)
+}
+
+private case class KafkaRangePartition(port: Int, topic: String,
+    partition: Int, from: Long, until: Long) extends InputPartition
+
+private[sources] class KafkaMiniMicroBatchStream(port: Int,
+    topics: Seq[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def ends(): Map[(String, Int), Long] =
+    KafkaMiniBroker.discoverEnds(port, topics)
+      .map { case (t, p, o) =>
+        require(!t.contains('/') && !t.contains('=') &&
+          !t.contains(';') && !t.contains('\n'),
+          s"unsupported topic name: $t")
+        ((t, p), o)
+      }.toMap
+
+  /** Trigger.AvailableNow bound: the log ends snapshotted when the
+    * trigger starts — batches drain up to here, then the query stops
+    * (the same contract the real Kafka connector implements). */
+  private var availableNowBound: Option[Map[(String, Int), Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(ends())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** First planning on a FRESH checkpoint starts at the earliest offset
+    * (0 — the mini broker never truncates); a restarted query never
+    * calls this, it resumes from the checkpointed [[KafkaOffsets]]. */
+  override def initialOffset(): Offset =
+    KafkaOffsets(ends().map { case (k, _) => (k, 0L) })
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    KafkaOffsets(availableNowBound.getOrElse(ends()))
+
+  override def reportLatestOffset(): Offset = KafkaOffsets(ends())
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaOffsets].ends
+    val e = end.asInstanceOf[KafkaOffsets].ends
+    e.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
+      case ((t, p), until) =>
+        val from = s.getOrElse((t, p), 0L)
+        if (until > from)
+          Some(KafkaRangePartition(port, t, p, from, until))
+        else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val kp = p.asInstanceOf[KafkaRangePartition]
+        new PartitionReader[InternalRow] {
+          private val it = KafkaMiniBroker.consumeRange(kp.port, kp.topic,
+            kp.partition, kp.from, kp.until)
+          private var cur: (Long, graft.sinks.KafkaWire.Record) = _
+          override def next(): Boolean = {
+            if (it.hasNext) { cur = it.next(); true } else false
+          }
+          override def get(): InternalRow = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(kp.topic), kp.partition,
+              cur._1, UTF8String.fromString(cur._2.key), cur._2.value))
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  /** The broker's log is the durable store; nothing to release. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

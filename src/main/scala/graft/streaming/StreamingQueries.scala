@@ -668,6 +668,89 @@ object StreamingQueries {
            CAST(sum(packets) AS BIGINT) AS packets,
            bit_or(tcp_flags) AS flags_or
            FROM flows WHERE event_id % 16 = 0 GROUP BY 1""")),
-      doc = "live SO_REUSEPORT sharded UDP ingest, exactly-once to sink")
+      doc = "live SO_REUSEPORT sharded UDP ingest, exactly-once to sink"),
+
+    // Structured Streaming over the Kafka WIRE (the connector shape a
+    // user runs with spark-sql-kafka against a real broker, expressed as
+    // a DataSourceV2 MicroBatchStream — sources/KafkaMiniSource): the
+    // driver tracks ONLY offsets (Metadata + ListOffsets(latest) per
+    // trigger), executors fetch their (start, end] partition ranges
+    // directly from the broker over their own sockets — data never
+    // moves through the driver, the 100 TB ingest shape. The gate is
+    // checkpointed EXACTLY-ONCE RESUME: run 1 drains the log through a
+    // checkpoint; more records land; run 2 — a NEW query on the SAME
+    // checkpoint — must emit ONLY the new records (offset ranges
+    // re-planned from the committed WAL, never re-read, never skipped).
+    // Oracle pins both runs' counts and sums; a source that re-read
+    // (dup), fast-forwarded (loss), or mis-split ranges breaks parity.
+    Q("q251_kafka_stream_source",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q251_kafka")
+        val ckpt = base.resolve("ckpt").toString
+        val store1 = base.resolve("run1").toString
+        val store2 = base.resolve("run2").toString
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid", "event_type",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, String, Long)].cache()
+          def produce(ds: org.apache.spark.sql.Dataset[
+              (Long, String, Long)], mark: Long): Unit =
+            ds.repartition(8).foreachPartition {
+              (it: Iterator[(Long, String, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (uid, et, _) =>
+                      (s"acct_$et", (uid % 4).toInt)
+                    }.toSeq.sortBy(_._1).map { case ((t, p), recs) =>
+                      KafkaWire.PartitionBatch(t, p, recs.map {
+                        case (uid, _, b) =>
+                          KafkaWire.Record(s"k$uid",
+                            s"$uid:${b + mark}".getBytes("UTF-8"))
+                      })
+                    }
+                  })
+            }
+          def run(store: String): Unit = {
+            val q = s.readStream.format("graft.sources.KafkaMiniSource")
+              .option("port", port.toString).load()
+              .selectExpr("topic", "partition", "offset",
+                "cast(value as string) as v")
+              .writeStream.option("checkpointLocation", ckpt)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.mode("append").parquet(store)
+              }
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          produce(rows, 0L)
+          run(store1)
+          produce(rows.filter(_._1 % 9 == 0), 1000000L)
+          run(store2)
+          rows.unpersist()
+        } finally broker.close()
+        def agg(store: String, run: String) =
+          s.read.parquet(store)
+            .select(expr("cast(split(v, ':')[1] as bigint)").as("b"))
+            .groupBy().agg(count(lit(1)).as("n"), sum("b").as("sum_b"))
+            .select(lit(run).as("run"), col("n"), col("sum_b"))
+        agg(store1, "run1").unionByName(agg(store2, "run2"))
+      },
+      Some("""SELECT 'run1' AS run, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_b
+              FROM events
+            UNION ALL SELECT 'run2', count(*),
+              CAST(sum(CAST(floor(value * 100) AS BIGINT) + 1000000)
+                AS BIGINT)
+              FROM events WHERE user_id % 9 = 0"""),
+      doc = "DataSourceV2 Kafka source: checkpointed exactly-once resume")
   )
 }
