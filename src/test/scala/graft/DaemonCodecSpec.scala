@@ -271,6 +271,13 @@ class DaemonCodecSpec extends AnyFunSuite {
             KafkaWire.encodeFetch(5, "spec", "nope", 9, 0L, 64)))
         assert(hw4 == 0L && rs4.isEmpty)
       } finally sock.close()
+      // consumer discovery: Metadata partition map + ListOffsets(latest)
+      // agree with the broker's own view
+      assert(KafkaMiniBroker.discoverEnds(port) ==
+        Seq(("t", 0, 4L), ("t", 1, 1L)))
+      assert(KafkaMiniBroker.discoverEnds(port, Seq("t")) ==
+        Seq(("t", 0, 4L), ("t", 1, 1L)))
+      assert(KafkaMiniBroker.discoverEnds(port, Seq("absent")).isEmpty)
       // a protocol the broker doesn't speak: connection drops, client sees
       // EOF instead of a hang
       val (sock2, in2, out2) = KafkaMiniBroker.connect(port)
