@@ -275,6 +275,8 @@ object SigRules {
     Rule("http2", Seq(Ascii("PRI * HTTP/2.0"))),
     // before http: a websocket upgrade IS a GET until the header scan
     Rule("websocket", Seq(Heur("websocket"))),
+    // before http: IPP rides HTTP POST to the /ipp* endpoint
+    Rule("ipp", Seq(Ascii("POST /ipp"))),
     Rule("http", Seq(AnyOf(Seq(Seq(Ascii("GET ")), Seq(Ascii("POST ")),
       Seq(Ascii("PUT ")), Seq(Ascii("HEAD ")), Seq(Ascii("HTTP/")))))),
     Rule("tls", Seq(MinLen(3), B(0, 0x16), B(1, 0x03),
@@ -358,6 +360,20 @@ object SigRules {
     Rule("zabbix", Seq(Ascii("ZBXD"), B(4, 1))),
     Rule("teamspeak", Seq(Ascii("TS3INIT1"))),
     Rule("svn", Seq(Ascii("( success"))),
+    // ADB CNXN banner (system version + maxdata follow the magic)
+    Rule("adb", Seq(Ascii("CNXN"), MinLen(24))),
+    Rule("cvs", Seq(Ascii("BEGIN AUTH REQUEST\n"))),
+    // HL7 over MLLP: 0x0B start block, then the MSH segment
+    Rule("hl7", Seq(B(0, 0x0b), Ascii("MSH|", off = 1))),
+    // DICOM A-ASSOCIATE-RQ: PDU type 1, reserved 0, u32 PDU length
+    // (high half zero for any real association), protocol version 1 at
+    // bytes 6-7 (PS3.8 §9.3.2). The zero length-high-half keeps an
+    // OpenFlow hello with xid 1 (01 00 len xid) out of this rule.
+    Rule("dicom", Seq(MinLen(10), B(0, 0x01), B(1, 0x00), B(2, 0x00),
+      B(3, 0x00), B(6, 0x00), B(7, 0x01))),
+    Rule("mpd", Seq(Ascii("OK MPD "))),
+    // Ceph messenger banner ("ceph v027" classic / "ceph v2\n" msgr2)
+    Rule("ceph", Seq(Ascii("ceph v"))),
     // X11 setup: byte-order marker + protocol major 11 — before sunrpc,
     // whose zero-run check an auth-less 'l' setup could also satisfy
     Rule("x11", Seq(Heur("x11"))),
@@ -657,6 +673,22 @@ object SigRules {
       case "teamspeak" => "TS3INIT1".getBytes ++
         Array.fill[Byte](20)((s % 23).toByte)
       case "svn" => "( success ( 2 2 ( ) ( edit-pipeline ) ) ) ".getBytes
+      case "ipp" =>
+        s"POST /ipp/print HTTP/1.1\r\nHost: p$s\r\nContent-Type: application/ipp\r\n".getBytes
+      case "adb" =>
+        "CNXN".getBytes ++ Array[Byte](0, 0, 0, 1, 0, 16, 0, 0) ++
+          Array.fill[Byte](12)((s % 31).toByte)
+      case "cvs" =>
+        s"BEGIN AUTH REQUEST\n/repo/p$s\nuser\nAscrambled\nEND AUTH REQUEST\n".getBytes
+      case "hl7" =>
+        Array[Byte](0x0b) ++ (s"MSH|^~\\&|app$s|fac|rcv|fac2|2024|" +
+          s"|ADT^A01|$s|P|2.5\r").getBytes
+      case "dicom" => // A-ASSOCIATE-RQ: type 1, u32 len, version 1
+        val body = Array.fill[Byte](68)((s % 5).toByte)
+        Array[Byte](1, 0, 0, 0, 0, (2 + body.length).toByte, 0, 1) ++ body
+      case "mpd" => s"OK MPD 0.23.$s\n".getBytes
+      case "ceph" => (if (s % 2 == 0) "ceph v027" else "ceph v2\n").getBytes ++
+        Array.fill[Byte](8)((s % 11).toByte)
       case "sunrpc" => // call: xid, CALL(0), rpcvers 2, portmapper prog
         Array[Byte]((0x70 + s % 16).toByte, (s % 89).toByte,
           (s % 83).toByte, (s % 79).toByte, 0, 0, 0, 0, 0, 0, 0, 2,
