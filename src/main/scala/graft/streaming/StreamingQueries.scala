@@ -732,7 +732,14 @@ object StreamingQueries {
           }
           produce(rows, 0L)
           run(store1)
+          // run 2's new data: more records on the EXISTING topics plus a
+          // topic that did not exist when the checkpoint was written —
+          // resume must both continue old partitions from their
+          // committed offsets AND discover the new topic from 0 (the
+          // real connector's subscribe-pattern discovery)
           produce(rows.filter(_._1 % 9 == 0), 1000000L)
+          produce(rows.filter(_._1 % 27 == 0)
+            .map { case (u, _, b) => (u, "late", b) }, 1000000L)
           run(store2)
           rows.unpersist()
         } finally broker.close()
@@ -748,9 +755,12 @@ object StreamingQueries {
                 AS sum_b
               FROM events
             UNION ALL SELECT 'run2', count(*),
-              CAST(sum(CAST(floor(value * 100) AS BIGINT) + 1000000)
-                AS BIGINT)
-              FROM events WHERE user_id % 9 = 0"""),
+              CAST(sum(b2 + 1000000) AS BIGINT)
+              FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS b2
+                      FROM events WHERE user_id % 9 = 0
+                    UNION ALL
+                    SELECT CAST(floor(value * 100) AS BIGINT)
+                      FROM events WHERE user_id % 27 = 0)"""),
       doc = "DataSourceV2 Kafka source: checkpointed exactly-once resume")
   )
 }
