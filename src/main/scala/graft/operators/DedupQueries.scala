@@ -568,6 +568,69 @@ object DedupQueries {
            UNION ALL SELECT * FROM ${duckSweep(4, 2)}
            UNION ALL SELECT * FROM ${duckSweep(2, 4)}"""
       },
-      doc = "LSH band/row S-curve sweep over one signature table")
+      doc = "LSH band/row S-curve sweep over one signature table"),
+
+    // Asymmetric CONTAINMENT dedup: a doc absorbed into a near-superset
+    // (page vs page+boilerplate, excerpt vs article) — where symmetric
+    // Jaccard fails by construction (|A∩B|/|A∪B| is small when |A|<<|B|
+    // even at full containment). Directed measure: c = |A∩B| / |A| with
+    // A the smaller side. Candidate generation is PREFIX FILTERING, the
+    // scale path: each doc blocks on its 2 smallest shingle hashes — if
+    // A is ~contained in B they share A's minimum hash with high
+    // probability — so pairs form only inside tiny min-hash buckets,
+    // never all-pairs; the shuffle carries 8-byte keys. Both engines
+    // run the identical candidate rule, so the oracle is exact.
+    Q("q252_containment_dedup",
+      (s, d) => {
+        val docs = SigTable.sigs(s, d)
+          .selectExpr("doc_id", "hs as gs", "size(hs) as sz")
+        val keys = docs.select(col("doc_id"),
+          explode(expr("slice(array_sort(gs), 1, 2)")).as("bk"))
+        val cand = keys.as("a").join(keys.as("b"),
+            col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+        cand
+          .join(docs.selectExpr("doc_id as ia", "gs as gsa", "sz as sza"),
+            Seq("ia"))
+          .join(docs.selectExpr("doc_id as ib", "gs as gsb", "sz as szb"),
+            Seq("ib"))
+          .select(
+            expr("size(array_intersect(gsa, gsb)) / " +
+              "cast(least(sza, szb) as double)").as("cont"),
+            // tie on size -> the lower id (ia) is the absorbed side
+            expr("CASE WHEN sza <= szb THEN ia ELSE ib END").as("small"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("cont") >= 0.8, 1L).otherwise(0L)).as("n_cont80"),
+            sum(when(col("cont") >= 0.9, 1L).otherwise(0L)).as("n_cont90"),
+            countDistinct(when(col("cont") >= 0.9, col("small")))
+              .as("n_absorbed"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              list_distinct(list_transform(${duckShingles(duckToks)},
+                g -> ${duckTokHash("g")} % $P)) AS gs FROM documents),
+            tt AS (SELECT doc_id, gs, len(gs) AS sz FROM t),
+            k AS (SELECT doc_id, unnest(list_sort(gs)[1:2]) AS bk FROM tt),
+            cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              FROM k a JOIN k b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id),
+            p AS (SELECT
+              len(list_intersect(x.gs, y.gs))::DOUBLE
+                / least(x.sz, y.sz) AS cont,
+              CASE WHEN x.sz <= y.sz THEN x.doc_id
+                ELSE y.doc_id END AS small
+              FROM cand JOIN tt x ON cand.ia = x.doc_id
+                        JOIN tt y ON cand.ib = y.doc_id)
+            SELECT count(*) AS n_cand,
+              CAST(sum(CASE WHEN cont >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_cont80,
+              CAST(sum(CASE WHEN cont >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_cont90,
+              count(DISTINCT CASE WHEN cont >= 0.9 THEN small END)
+                AS n_absorbed
+            FROM p"""),
+      doc = "asymmetric containment dedup via min-hash prefix filtering")
   )
 }
