@@ -607,7 +607,14 @@ object DaemonQueries {
                     0, 0L, 64)))
                 true
               } finally sock.close()
-            } catch { case _: java.io.IOException => false }
+            } catch {
+              // A downed broker can fail the round trip many ways —
+              // refused/reset connect (IOException) or a garbled
+              // response tripping a decode require
+              // (IllegalArgumentException); ANY failed round trip
+              // means down.
+              case scala.util.control.NonFatal(_) => false
+            }
             if (!up) {
               log += "Connection failed to Kafka: p_kafka_check_outq_len()"
               log += "Connection failed to Kafka: p_kafka_close()"

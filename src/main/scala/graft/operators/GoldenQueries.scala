@@ -295,6 +295,58 @@ object GoldenReplay {
     out.toByteArray
   }
 
+  /** Per-source reassembly for the multi-source soak captures
+    * (tests 208/305: one pcap interleaves up to 9 exporters): each
+    * source IP's segments to `dport` reassembled into its own ordered
+    * stream, keyed by the rendered source address. */
+  def tcpReassembleBySrc(sf: Pcap.Savefile, dport: Int)
+      : Seq[(String, Array[Byte])] = {
+    def srcOf(frame: Array[Byte]): Option[String] = {
+      var et =
+        if (sf.linkType == 113)
+          ((frame(14) & 0xff) << 8) | (frame(15) & 0xff)
+        else ((frame(12) & 0xff) << 8) | (frame(13) & 0xff)
+      var off = if (sf.linkType == 113) 16 else 14
+      while ((et == 0x8100 || et == 0x88a8) && off + 4 <= frame.length) {
+        et = ((frame(off + 2) & 0xff) << 8) | (frame(off + 3) & 0xff)
+        off += 4
+      }
+      if (et == 0x0800 && off + 20 <= frame.length)
+        Some(ntop4(((frame(off + 12) & 0xffL) << 24) |
+          ((frame(off + 13) & 0xffL) << 16) |
+          ((frame(off + 14) & 0xffL) << 8) | (frame(off + 15) & 0xffL)))
+      else if (et == 0x86dd && off + 40 <= frame.length)
+        Some(ntop6(java.util.Arrays.copyOfRange(frame, off + 8,
+          off + 24)))
+      else None
+    }
+    val bySrc = mutable.LinkedHashMap[String,
+      mutable.ArrayBuffer[(Long, Array[Byte])]]()
+    sf.packets.foreach { p =>
+      tcpSegment(p.data, sf.linkType).foreach { case (dp, seq, pay) =>
+        if (dp == dport) srcOf(p.data).foreach { src =>
+          bySrc.getOrElseUpdate(src, mutable.ArrayBuffer()) +=
+            ((seq, pay))
+        }
+      }
+    }
+    bySrc.iterator.map { case (src, segs) =>
+      val out = new java.io.ByteArrayOutputStream()
+      var expect = -1L
+      segs.sortBy(_._1).foreach { case (seq, pay) =>
+        if (expect < 0 || seq >= expect) {
+          out.write(pay, 0, pay.length)
+          expect = seq + pay.length
+        } else if (seq + pay.length > expect) {
+          val skip = (expect - seq).toInt
+          out.write(pay, skip, pay.length - skip)
+          expect = seq + pay.length
+        }
+      }
+      (src, out.toByteArray)
+    }.toSeq
+  }
+
   /** Rendered IP source of the first TCP segment to `dport` — the
     * session's exporter, for the reproducer-map rewrite (v4 or v6
     * transport). */
@@ -659,7 +711,9 @@ object GoldenReplay {
   def bmpAttrRows(stream: Array[Byte], router: String, mode: String,
                   keepOpen: Boolean = true,
                   ribOut: mutable.Buffer[RibRoute] = null,
-                  dumpCycles: Int = 1)
+                  dumpCycles: Int = 1,
+                  segments: Seq[Array[Byte]] = null,
+                  cycleSizes: mutable.Buffer[(Int, Int, Int)] = null)
       : Seq[BmpAttrRow] = {
     import graft.sources.{BgpMsg, BmpMsg}
     def peerIpOf(p: BmpMsg.PeerHeader): String =
@@ -811,7 +865,9 @@ object GoldenReplay {
       }
     }
 
-    BmpMsg.decodeStream(stream).foreach {
+    // soak instrumentation (tests 208/305): stats-report messages seen
+    var statsMsgs = 0
+    def process(msg: graft.sources.BmpMsg.Msg): Unit = msg match {
       case BmpMsg.Initiation(info) =>
         initInfo = info
         if (log) out += base.copy(event_kind = "log",
@@ -853,6 +909,7 @@ object GoldenReplay {
         val kept = peersUp.filterNot { case (q, _) => peerKey(q) == pk }
         peersUp.clear(); peersUp ++= kept
       case BmpMsg.StatsReport(p, stats, perAfi) =>
+        statsMsgs += 1
         if (log) {
           val statBase = base.copy(event_kind = "log",
             bmp_msg_type = "stats", rd = hdrRdOf(p),
@@ -924,6 +981,15 @@ object GoldenReplay {
             routeCtx = true)
         }
       case _ => ()
+    }
+    // Segmented walk (soak replays): after each segment, snapshot the
+    // collector's live-state sizes — RIB entries, interned attr
+    // classes, cumulative stats messages. A leak-free collector shows
+    // these flat across identical replay cycles.
+    (if (segments != null) segments else Seq(stream)).foreach { seg =>
+      BmpMsg.decodeStream(seg).foreach(process)
+      if (cycleSizes != null)
+        cycleSizes += ((rib.size, attrIntern.size, statsMsgs))
     }
 
     if (mode == "dump") {
@@ -1200,7 +1266,9 @@ object GoldenReplay {
     * (afi, safi, rd, rd_origin, prefix, mpls_label, bgp_nexthop, as_path,
     * comms, ecomms, lcomms, origin, local_pref, med, aigp, psid_li, otc).
     */
-  def bgpRibRows(stream: Array[Byte])
+  def bgpRibRows(stream: Array[Byte],
+                 segments: Seq[Array[Byte]] = null,
+                 cycleSizes: mutable.Buffer[(Int, Int, Int)] = null)
       : Seq[(Long, Long, String, String, String, String, String, String,
         String, String, String, String, Long, Long, Long, Long, Long)] = {
     import graft.sources.BgpMsg
@@ -1211,7 +1279,9 @@ object GoldenReplay {
     // value: (rd_origin, mpls_label, bgp_nexthop, attrs-bearing update)
     val rib = mutable.LinkedHashMap[(Long, Long, String, String),
       (String, String, String, BgpMsg.Update)]()
-    BgpMsg.decodeStream(stream).foreach { u =>
+    var updates = 0
+    def process(u: BgpMsg.Update): Unit = {
+      updates += 1
       val nh4 = u.nextHopVpn.map(ntop4).orElse(u.nextHop.map(ntop4))
         .orElse(u.nextHop6.map { case (h, l) =>
           ntop6(u64bytes(h) ++ u64bytes(l)) }).getOrElse("")
@@ -1249,6 +1319,20 @@ object GoldenReplay {
         rib.remove((1, 4, "", s"${ntop4(r.prefix)}/${r.plen}")))
       u.withdrawnLab6.foreach(r =>
         rib.remove((2, 4, "", pfx6(r.hi, r.lo, r.plen))))
+    }
+    // Segmented walk (soak replays): per-segment snapshot of RIB size,
+    // distinct stored attr classes (the intern-table proxy — pmacct
+    // hashes attrs, so distinct classes bound its table), updates seen.
+    def attrClassOf(u: BgpMsg.Update): Any =
+      (u.origin, u.asPath, sortedComms(u.communities),
+        sortedEcomms(u.extCommunities),
+        sortedLcomms(u.largeCommunities), u.med, u.localPref)
+    (if (segments != null) segments else Seq(stream)).foreach { seg =>
+      BgpMsg.decodeStream(seg).foreach(process)
+      if (cycleSizes != null)
+        cycleSizes += ((rib.size,
+          rib.valuesIterator.map(v => attrClassOf(v._4)).toSet.size,
+          updates))
     }
     rib.iterator.map { case ((afi, safi, rd, pfx),
         (rdo, label, nh, u)) =>
@@ -1860,6 +1944,95 @@ object GoldenQueries {
         GROUP BY ${(1 to cols.length).mkString(", ")}"""
   }
 
+  /** [[bmpAttrOracle]] restricted to a reduced projection (the avro
+    * msglog emission variant nulls peer-identity/rib-type fields), in
+    * the plainest SQL subset the oracle engine can see: explicit
+    * column list (no `EXCLUDE`), explicit per-file `read_json` UNION
+    * ALL (no list argument), one aggregation level with positional
+    * GROUP BY (no `GROUP BY ALL`) — r6's four driver-side hash misses
+    * all leaned on the fancier forms, which are the prime suspect for
+    * oracle-engine version skew. */
+  private def bmpAttrOracleReduced(goldenFiles: Seq[String],
+                                   projectOut: Set[String]): String = {
+    def listCol(c: String) =
+      s"coalesce(array_to_string($c, ','), '') AS $c"
+    val cols = Seq(
+      "coalesce(bmp_router, '') AS bmp_router",
+      "event_type AS event_kind",
+      "coalesce(bmp_msg_type, '') AS bmp_msg_type",
+      "coalesce(log_type, '') AS log_type",
+      "coalesce(timestamp_event, '') AS timestamp_event",
+      "coalesce(peer_ip, '') AS peer_ip",
+      "coalesce(peer_asn, -1) AS peer_asn",
+      "coalesce(bgp_id, '') AS bgp_id",
+      "coalesce(afi, -1) AS afi", "coalesce(safi, -1) AS safi",
+      "coalesce(rd, '') AS rd",
+      "coalesce(rd_origin, '') AS rd_origin",
+      "coalesce(ip_prefix, '') AS ip_prefix",
+      "coalesce(bgp_nexthop, '') AS bgp_nexthop",
+      listCol("as_path"), listCol("comms"), listCol("ecomms"),
+      listCol("lcomms"),
+      "coalesce(origin, '') AS origin",
+      "coalesce(local_pref, -1) AS local_pref",
+      "coalesce(med, -1) AS med", "coalesce(aigp, -1) AS aigp",
+      "coalesce(psid_li, -1) AS psid_li", "coalesce(otc, -1) AS otc",
+      "coalesce(mpls_label, '') AS mpls_label",
+      "coalesce(bmp_rib_type, '') AS rib_type",
+      "coalesce(is_in, -1) AS is_in",
+      "coalesce(is_filtered, -1) AS is_filtered",
+      "coalesce(is_loc, -1) AS is_loc",
+      "coalesce(is_post, -1) AS is_post",
+      "coalesce(is_out, -1) AS is_out",
+      "coalesce(peer_type, -1) AS peer_type",
+      "coalesce(peer_type_str, '') AS peer_type_str",
+      "coalesce(local_ip, '') AS local_ip",
+      "coalesce(local_port, -1) AS local_port",
+      "coalesce(remote_port, -1) AS remote_port",
+      "coalesce(local_as, -1) AS local_as",
+      "coalesce(reason_type, -1) AS reason_type",
+      "coalesce(reason_str, '') AS reason_str",
+      "coalesce(counter_type, -1) AS counter_type",
+      "CAST(coalesce(counter_value, 0) AS BIGINT) AS counter_value",
+      "coalesce(bmp_init_info_sysdescr, '') AS sysdescr",
+      "coalesce(bmp_init_info_sysname, '') AS sysname")
+      .filterNot(c => projectOut.contains(
+        c.substring(c.lastIndexOf(" AS ") + 4).trim))
+    val srcCols = Seq(
+      "event_type" -> "VARCHAR", "bmp_msg_type" -> "VARCHAR",
+      "log_type" -> "VARCHAR", "timestamp_event" -> "VARCHAR",
+      "bmp_router" -> "VARCHAR", "peer_ip" -> "VARCHAR",
+      "peer_asn" -> "BIGINT", "bgp_id" -> "VARCHAR",
+      "afi" -> "BIGINT", "safi" -> "BIGINT", "rd" -> "VARCHAR",
+      "rd_origin" -> "VARCHAR", "ip_prefix" -> "VARCHAR",
+      "bgp_nexthop" -> "VARCHAR", "as_path" -> "VARCHAR[]",
+      "comms" -> "VARCHAR[]", "ecomms" -> "VARCHAR[]",
+      "lcomms" -> "VARCHAR[]",
+      "origin" -> "VARCHAR", "local_pref" -> "BIGINT",
+      "med" -> "BIGINT", "aigp" -> "BIGINT", "psid_li" -> "BIGINT",
+      "otc" -> "BIGINT", "mpls_label" -> "VARCHAR",
+      "bmp_rib_type" -> "VARCHAR", "is_in" -> "BIGINT",
+      "is_filtered" -> "BIGINT", "is_loc" -> "BIGINT",
+      "is_post" -> "BIGINT", "is_out" -> "BIGINT",
+      "peer_type" -> "BIGINT", "peer_type_str" -> "VARCHAR",
+      "local_ip" -> "VARCHAR", "local_port" -> "BIGINT",
+      "remote_port" -> "BIGINT", "local_as" -> "BIGINT",
+      "reason_type" -> "BIGINT", "reason_str" -> "VARCHAR",
+      "counter_type" -> "BIGINT", "counter_value" -> "BIGINT",
+      "bmp_init_info_sysdescr" -> "VARCHAR",
+      "bmp_init_info_sysname" -> "VARCHAR")
+    val colNames = srcCols.map(_._1).mkString(", ")
+    val types = srcCols.map { case (n, t) => s"'$n':'$t'" }
+      .mkString(", ")
+    val union = goldenFiles.map { f =>
+      s"""SELECT $colNames
+          FROM read_json('$T/$f', format='newline_delimited',
+            columns={$types})"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""SELECT ${cols.mkString(",\n            ")}, count(*) AS n
+        FROM ($union)
+        GROUP BY ${(1 to cols.length).mkString(", ")}"""
+  }
+
   /** Shared BMP-session replay: reassemble the capture's TCP stream,
     * decode through BmpMsg/BgpMsg, apply the msglog lifecycle
     * ([[GoldenReplay.bmpMsglogRows]]), aggregate per lane row. */
@@ -2040,8 +2213,12 @@ object GoldenQueries {
   private def f2rdPhaseOracle(phase: Int): String = {
     val flagBits = Seq("URG" -> 32, "ACK" -> 16, "PSH" -> 8,
       "RST" -> 4, "SYN" -> 2, "FIN" -> 1)
+    // Union of per-row flag sets without bit_or(): each bit's presence
+    // is max()'d independently, the sum reassembles the union mask —
+    // plainest-SQL form of the reference's tcpflags accumulation
+    // (kept version-proof after r6's driver-side hash misses here).
     val bitExpr = flagBits.map { case (f, b) =>
-      s"(CASE WHEN list_contains(tcp_flags, '$f') THEN $b ELSE 0 END)"
+      s"max(CASE WHEN list_contains(tcp_flags, '$f') THEN $b ELSE 0 END)"
     }.mkString(" + ")
     val renderExpr = flagBits.map { case (f, b) =>
       s"CASE WHEN (fb & $b) > 0 THEN '$f' END"
@@ -2072,7 +2249,7 @@ object GoldenQueries {
             g.custom_primitives.mpls_tl_type AS cp_mpls_tl_type,
             coalesce(vrf_name, '') AS vrf_name,
             timestamp_start, timestamp_end,
-            bit_or($bitExpr) AS fb,
+            $bitExpr AS fb,
             sum(packets) AS packets, sum(bytes) AS bytes
           FROM read_json(
             '$T/102-NFv9-CISCO-f2rd-pretag-sampling-reload/output-flow-0$phase.json',
@@ -2089,7 +2266,8 @@ object GoldenQueries {
               'vrf_name':'VARCHAR', 'timestamp_start':'VARCHAR',
               'timestamp_end':'VARCHAR', 'packets':'BIGINT',
               'bytes':'BIGINT', 'custom_primitives':'$cpStruct'}) g
-          GROUP BY ALL
+          GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+            16, 17, 18, 19, 20, 21, 22, 23, 24, 25
         )"""
   }
 
@@ -3243,12 +3421,11 @@ object GoldenQueries {
             "sysname", "peer_type", "peer_type_str")
           .agg(count(lit(1)).as("n"))
       },
-      Some(s"""SELECT * EXCLUDE (bgp_id, peer_asn, rib_type, is_in,
-            is_filtered, is_loc, is_post, is_out, n), SUM(n) AS n
-          FROM (${bmpAttrOracle(Seq(
+      Some(bmpAttrOracleReduced(Seq(
             "206-BMP-high-availability/output-bmp-00.json",
-            "206-BMP-high-availability/output-bmp-01.json"))})
-          GROUP BY ALL"""),
+            "206-BMP-high-availability/output-bmp-01.json"),
+          projectOut = Set("bgp_id", "peer_asn", "rib_type", "is_in",
+            "is_filtered", "is_loc", "is_post", "is_out"))),
       doc = "reference golden replay: BMP active/standby HA (test 206)"),
 
     // tests/402-IPFIXv10-BMP-IPv6-high-availability: an HA collector
@@ -3329,11 +3506,10 @@ object GoldenQueries {
             "sysname", "peer_type", "peer_type_str")
           .agg(count(lit(1)).as("n"))
       },
-      Some(s"""SELECT * EXCLUDE (bgp_id, peer_asn, rib_type, is_in,
-            is_filtered, is_loc, is_post, is_out, n), SUM(n) AS n
-          FROM (${bmpAttrOracle(Seq(
-            "402-IPFIXv10-BMP-IPv6-high-availability/output-bmp-00.json"))})
-          GROUP BY ALL"""),
+      Some(bmpAttrOracleReduced(Seq(
+            "402-IPFIXv10-BMP-IPv6-high-availability/output-bmp-00.json"),
+          projectOut = Set("bgp_id", "peer_asn", "rib_type", "is_in",
+            "is_filtered", "is_loc", "is_post", "is_out"))),
       doc = "reference golden replay: HA BMP msglog avro variant (test 402)"),
 
     // tests/303-BGP-high-availability: an active/standby pmbgpd pair on

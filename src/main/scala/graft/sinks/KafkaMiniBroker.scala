@@ -145,9 +145,14 @@ final class KafkaMiniBroker {
       var i = 0
       while (i < l.batches.length &&
              (out.size() == 0 || out.size() < maxBytes)) {
-        val nRecords = java.nio.ByteBuffer.wrap(l.batches(i)).getInt(57)
-        if (l.baseOffsets(i) + nRecords > offset)
-          out.write(l.batches(i))
+        // Defense in depth vs append()'s length gate: skip anything too
+        // short to carry the v2 record count instead of throwing and
+        // dropping the connection for every future fetch.
+        if (l.batches(i).length >= 61) {
+          val nRecords = java.nio.ByteBuffer.wrap(l.batches(i)).getInt(57)
+          if (l.baseOffsets(i) + nRecords > offset)
+            out.write(l.batches(i))
+        }
         i += 1
       }
       (l.logEnd, out.toByteArray)
@@ -171,7 +176,12 @@ final class KafkaMiniBroker {
             KafkaWire.parseProduce(payload) match {
               case Some(req) =>
                 val acks = req.batches.map { case (t, p, batch) =>
-                  (t, p, 0.toShort, append(t, p, batch))
+                  // RecordBatch v2 header is 61 bytes; anything shorter
+                  // can't carry a record count and would poison every
+                  // later fetch of the partition — refuse it at the door
+                  // (errorCode 2 = CORRUPT_MESSAGE), never store it.
+                  if (batch.length < 61) (t, p, 2.toShort, -1L)
+                  else (t, p, 0.toShort, append(t, p, batch))
                 }
                 KafkaWire.encodeProduceResponse(req.correlationId, acks)
               case None => null
@@ -258,12 +268,21 @@ object KafkaMiniBroker {
     * the walk stops at the first page reaching `until`. */
   def consumeRange(port: Int, topic: String, partition: Int,
                    from: Long, until: Long, maxBytes: Int = 4096)
-      : Iterator[(Long, KafkaWire.Record)] = {
-    if (until <= from) return Iterator.empty
+      : Iterator[(Long, KafkaWire.Record)] =
+    consumeRangeCloseable(port, topic, partition, from, until, maxBytes)._1
+
+  /** [[consumeRange]] plus an idempotent early-close handle, for readers
+    * that may terminate before the range drains (task kill, downstream
+    * limit) and must not leak the broker connection. */
+  def consumeRangeCloseable(port: Int, topic: String, partition: Int,
+                            from: Long, until: Long, maxBytes: Int = 4096)
+      : (Iterator[(Long, KafkaWire.Record)], () => Unit) = {
+    if (until <= from) return (Iterator.empty, () => ())
     val (sock, in, out) = connect(port)
+    val closeFn = () => try sock.close() catch { case _: Exception => }
     var corr = 0
-    Iterator.unfold(from) { off =>
-      if (off >= until) { sock.close(); None }
+    val it = Iterator.unfold(from) { off =>
+      if (off >= until) { closeFn(); None }
       else {
         val (_, rs) = KafkaWire.decodeFetchResponse(exchange(in, out,
           KafkaWire.encodeFetch(corr, "graft_consumer", topic, partition,
@@ -274,9 +293,16 @@ object KafkaMiniBroker {
         val recs = batches.flatMap { case (base, rr) =>
           rr.zipWithIndex.map { case (r, i) => (base + i, r) }
         }.filter { case (o, _) => o >= from && o < until }
-        Some((recs, batches.map { case (b, rr) => b + rr.size }.max))
+        // Advance on decoded record counts; a stored batch whose records
+        // fail CRC decodes to zero records, which would pin the offset —
+        // fail fast rather than refetch the same page forever.
+        val next = batches.map { case (b, rr) => b + rr.size }.max
+        require(next > off, s"no offset progress at $off/$until " +
+          "(undecodable batch in the log)")
+        Some((recs, next))
       }
     }.flatten
+    (it, closeFn)
   }
 
   /** Back-compat walk of [0, hw). */

@@ -164,8 +164,9 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
           : PartitionReader[InternalRow] = {
         val kp = p.asInstanceOf[KafkaRangePartition]
         new PartitionReader[InternalRow] {
-          private val it = KafkaMiniBroker.consumeRange(kp.port, kp.topic,
-            kp.partition, kp.from, kp.until)
+          private val (it, closeConn) = KafkaMiniBroker
+            .consumeRangeCloseable(kp.port, kp.topic, kp.partition,
+              kp.from, kp.until)
           private var cur: (Long, graft.sinks.KafkaWire.Record) = _
           override def next(): Boolean = {
             if (it.hasNext) { cur = it.next(); true } else false
@@ -173,7 +174,9 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
           override def get(): InternalRow = new GenericInternalRow(
             Array[Any](UTF8String.fromString(kp.topic), kp.partition,
               cur._1, UTF8String.fromString(cur._2.key), cur._2.value))
-          override def close(): Unit = ()
+          // A task may end before the range drains (failure, kill,
+          // limit); release the broker connection either way.
+          override def close(): Unit = closeConn()
         }
       }
     }

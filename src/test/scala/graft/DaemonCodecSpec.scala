@@ -307,6 +307,57 @@ class DaemonCodecSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("KafkaMiniBroker: short batch refused at produce; early close") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    import KafkaWire.{PartitionBatch, Record}
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      // Hand-rolled Produce v9 whose batch is 10 bytes — too short to
+      // carry the v2 record count at byte 57. The broker must refuse it
+      // (errorCode 2) and NOT store it: a stored runt would poison
+      // every later fetch of the partition.
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+      def i32(v: Int): Unit =
+        (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+      i16(0); i16(9); i32(77)
+      val cid = "runt".getBytes("UTF-8"); i16(cid.length); b ++= cid
+      b += 0                                 // header tagged fields
+      b += 0; i16(1); i32(30000)             // txn null, acks, timeout
+      b += 2                                 // 1 topic (compact)
+      val t = "t".getBytes("UTF-8"); b += (t.length + 1).toByte; b ++= t
+      b += 2; i32(0)                         // 1 partition, id 0
+      b += 11; b ++= Array.fill[Byte](10)(3) // 10-byte runt batch
+      b += 0; b += 0; b += 0                 // tagged fields x3
+      val (sock, in, out) = KafkaMiniBroker.connect(port)
+      try {
+        val wire = java.nio.ByteBuffer.allocate(4 + b.length)
+          .putInt(b.length).put(b.toArray).array()
+        val acks = KafkaWire.decodeProduceResponse(
+          KafkaMiniBroker.exchange(in, out, wire))
+        assert(acks == Seq(("t", 0, 2.toShort, -1L)))
+        // partition untouched: a real produce then fetch-from-0 works
+        // and starts at offset 0
+        val acks2 = KafkaWire.decodeProduceResponse(
+          KafkaMiniBroker.exchange(in, out, KafkaWire.encodeProduce(
+            78, "runt", Seq(PartitionBatch("t", 0,
+              Seq(Record("k", "v".getBytes)))), 1L)))
+        assert(acks2 == Seq(("t", 0, 0.toShort, 0L)))
+      } finally sock.close()
+      // closeable range walk: closing early must release the broker
+      // connection (conn count returns to baseline) without consuming
+      KafkaMiniBroker.produceAll(port, "runt2", Iterator(Seq(
+        PartitionBatch("t", 0, (0 until 50).map(i =>
+          Record(s"k$i", s"$i".getBytes))))))
+      val (it, closeFn) = KafkaMiniBroker.consumeRangeCloseable(
+        port, "t", 0, 0L, 51L, maxBytes = 64)
+      assert(it.hasNext)
+      closeFn(); closeFn()                   // idempotent
+      intercept[Exception] { while (it.hasNext) it.next() }
+    } finally broker.close()
+  }
+
   test("KafkaWire: broker-side parsers never throw on corrupt requests") {
     import graft.sinks.KafkaWire
     import KafkaWire.{PartitionBatch, Record}
