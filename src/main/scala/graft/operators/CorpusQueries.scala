@@ -628,6 +628,85 @@ object CorpusQueries {
                 AS n_keep,
               CAST(sum(lp_sum) AS BIGINT) AS lp_total
             FROM sc GROUP BY 1"""),
-      doc = "CCNet-style bigram-LM perplexity scoring + fluency filter")
+      doc = "CCNet-style bigram-LM perplexity scoring + fluency filter"),
+
+    // q243's 100 TB shape made concrete (the variant its own comment
+    // promises): the bigram model trains on a deterministic 1-in-10
+    // document sample, then ships to every task as BROADCAST tables —
+    // scoring the full corpus is a map-side lookup (two broadcast hash
+    // joins inside whole-stage codegen) with NO model-side shuffle of
+    // the corpus bigram stream. The single full-corpus exchange left is
+    // the per-doc aggregation, which partial-aggregates map-side.
+    // Unseen bigrams smooth to (0 + 1)/(c_a + v); unseen w1 to 1/v.
+    // PlanSpec asserts the broadcast plan.
+    Q("q255_lm_perplexity_bcast",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 2")
+        val bi = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2))) AS b")
+          .selectExpr("doc_id", "source", "b.w1 AS w1", "b.w2 AS w2")
+        // the training sample: tokenized once, reused by all three
+        // model aggregates (at 100 TB this is the small side by
+        // construction — the sample rate keeps the model broadcastable)
+        val sample = bi.where("doc_id % 10 = 0")
+          .select("w1", "w2").persist()
+        val cAb = sample.groupBy("w1", "w2")
+          .agg(count(lit(1)).as("c_ab"))
+        val cA = sample.groupBy("w1").agg(count(lit(1)).as("c_a"))
+        val vocab = sample.select(col("w1").as("tok"))
+          .union(sample.select(col("w2").as("tok")))
+          .agg(countDistinct("tok").as("v"))
+        bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
+          .join(broadcast(cA), Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .selectExpr("doc_id", "source",
+            "CAST(floor(10000.0 * ln((coalesce(c_ab, 0) + 1.0) / " +
+              "(coalesce(c_a, 0) + v))) AS BIGINT) AS lp")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("lp_sum") >= col("n_bi") * -33900L, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+            bi AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i + 1])) AS w2
+              FROM t2),
+            smp AS (SELECT w1, w2 FROM bi WHERE doc_id % 10 = 0),
+            cab AS (SELECT w1, w2, count(*) AS c_ab
+              FROM smp GROUP BY 1, 2),
+            ca AS (SELECT w1, count(*) AS c_a FROM smp GROUP BY 1),
+            voc AS (SELECT count(DISTINCT tok) AS v FROM (
+              SELECT w1 AS tok FROM smp
+              UNION ALL SELECT w2 FROM smp) u),
+            sc AS (SELECT doc_id, source,
+              CAST(count(*) AS BIGINT) AS n_bi,
+              CAST(sum(CAST(floor(10000.0 *
+                ln((coalesce(c_ab, 0) + 1.0) /
+                    (coalesce(c_a, 0) + v))) AS BIGINT)) AS BIGINT)
+                AS lp_sum
+              FROM bi LEFT JOIN cab USING (w1, w2)
+              LEFT JOIN ca USING (w1)
+              CROSS JOIN voc
+              GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n_bi * -33900 THEN 1 END)
+                AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+            FROM sc GROUP BY 1"""),
+      doc = "bigram-LM scoring with a sample-trained BROADCAST model" +
+        " (q243's 100 TB path)")
   )
 }

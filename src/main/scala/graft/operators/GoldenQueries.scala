@@ -347,6 +347,42 @@ object GoldenReplay {
     }.toSeq
   }
 
+  /** Soak-cycle count from the reproducer configs (tests 208/305):
+    * every `repro-*.yml` repeats its pcap list with `count: [1,..,N]`
+    * round-robin — the last element is the number of load cycles. Tiny
+    * driver-side config read, same category as the pretag map files.
+    * Requires every reproducer to agree (they do in both fixtures). */
+  def soakCycles(cfgDir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val re = """count:\s*\[([0-9, ]+)\]""".r
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(cfgDir))
+      .iterator().asScala.filter(_.toString.endsWith(".yml"))
+      .toSeq.sortBy(_.toString)
+    val counts = files.flatMap { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      re.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').last.trim.toInt)
+    }
+    require(counts.nonEmpty && counts.distinct.size == 1,
+      s"inconsistent soak repeat counts: $counts")
+    counts.head
+  }
+
+  /** The reproducer-SELECTED source set (tests 208/305): each
+    * `repro-*.yml` replays only its `select.ip.src` router — the
+    * capture files carry more sources than the test reproduces, so the
+    * replay must filter to this set exactly as the reproducer does. */
+  def soakSrcs(cfgDir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val re = """src_ip:\s+(\S+)""".r
+    java.nio.file.Files.list(java.nio.file.Paths.get(cfgDir))
+      .iterator().asScala.filter(_.toString.endsWith(".yml"))
+      .flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        re.findAllMatchIn(txt).map(_.group(1))
+      }.toSet
+  }
+
   /** Rendered IP source of the first TCP segment to `dport` — the
     * session's exporter, for the reproducer-map rewrite (v4 or v6
     * transport). */
@@ -4012,6 +4048,170 @@ object GoldenQueries {
               AND sl.dump_cycle = ev.dump_cycle
             CROSS JOIN anchor
             GROUP BY ALL"""),
-      doc = "reference golden replay: BMP dump spreading, 2 cycles (test 207)")
+      doc = "reference golden replay: BMP dump spreading, 2 cycles (test 207)"),
+
+    // tests/208-BMP-mem-leak-test: the BMP soak fixture. 9 reproducers
+    // (7 v4 + 2 v6 routers in ONE interleaved capture set) replay
+    // init + peer_up once, then [route-monitoring + stats] × N
+    // (repro-*.yml `count: [1,1,N,N]`, round-robin) and the reference
+    // asserts the daemon's RSS stays < 100 MiB (208_test.py:34-36) —
+    // i.e. identical load cycles must not grow collector state. The
+    // Spark analogue replays the same segmented stream per router and
+    // snapshots the live-state sizes after every cycle
+    // (bmpAttrRows cycleSizes): RIB entries and interned attr classes
+    // must be FLAT across cycles (distinct-count 1 — pmacct's
+    // bgp_attr intern table is refcounted, bgp_attr.c attrhash), and
+    // the cumulative stats-message counter must grow LINEARLY
+    // (constant per-cycle delta). Cycle count and the log lane are
+    // derived from the fixture's own files on both sides (yml counts /
+    // output-log-00.txt), not hard-coded.
+    Q("q253_golden_bmp_soak",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val dir = s"$T/208-BMP-mem-leak-test"
+        val cycles =
+          GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs")
+        val srcs =
+          GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
+        val order = Seq("init", "peer-up", "route-monitoring", "stats")
+        val lanes = s.read.format("binaryFile")
+          .option("pathGlobFilter", "bmp-multi-sources-*.pcap").load(dir)
+          .select("path", "content").as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val idx = order.indexWhere(n =>
+              path.endsWith(s"bmp-multi-sources-$n.pcap"))
+            GoldenReplay.tcpReassembleBySrc(Pcap.read(bytes), dport = 1790)
+              .filter { case (src, _) => srcs.contains(src) }
+              .map { case (src, stream) => (src, idx, stream) }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (src, it) =>
+            val byIdx = it.map(t => t._2 -> t._3).toMap
+            def seg(i: Int) = byIdx.getOrElse(i, Array.emptyByteArray)
+            val segments = (seg(0) ++ seg(1)) +:
+              Seq.fill(cycles)(seg(2) ++ seg(3))
+            val sizes = mutable.Buffer[(Int, Int, Int)]()
+            GoldenReplay.bmpAttrRows(Array.emptyByteArray, src,
+              mode = "state", segments = segments, cycleSizes = sizes)
+            val cyc = sizes.drop(1) // snapshots after each load cycle
+            val statsD = sizes.map(_._3).sliding(2)
+              .map(w => w(1) - w(0)).toSeq.distinct.size
+            Iterator(
+              ("rib_flat", src, cycles.toLong,
+                cyc.map(_._1).distinct.size.toLong),
+              ("attr_flat", src, cycles.toLong,
+                cyc.map(_._2).distinct.size.toLong),
+              ("stats_linear", src, cycles.toLong, statsD.toLong))
+          }
+          .toDF("kind", "key", "n", "v")
+        val logLane = lanes.filter(col("kind") === "rib_flat")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("log").as("kind"),
+            lit("WARN nfacctd_core/core/BMP: Unable to get kafka_host")
+              .as("key"),
+            col("n"), lit(1L).as("v"))
+        lanes.unionByName(logLane)
+      },
+      Some(s"""WITH cfg AS (SELECT unnest(string_split(content, chr(10)))
+                AS line FROM read_text(
+                '$T/208-BMP-mem-leak-test/traffic-reproducer-configs/repro-*.yml')),
+              srcs AS (SELECT DISTINCT
+                trim(regexp_extract(line, 'src_ip:[ ]+([^ ]+)', 1)) AS src
+                FROM cfg WHERE line LIKE '%src_ip:%'),
+              cyc AS (SELECT CAST(
+                regexp_extract(min(line), ',([0-9]+)\\]', 1) AS BIGINT)
+                AS n FROM cfg WHERE line LIKE '%count:%'),
+              logn AS (SELECT count(*) AS c FROM (
+                SELECT unnest(string_split(content, chr(10))) AS line
+                FROM read_text(
+                '$T/208-BMP-mem-leak-test/output-log-00.txt')) t
+                WHERE line LIKE '%Unable to get kafka_host%')
+            SELECT 'rib_flat' AS kind, src AS key, cyc.n AS n,
+              CAST(1 AS BIGINT) AS v FROM srcs, cyc
+            UNION ALL SELECT 'attr_flat', src, cyc.n, 1 FROM srcs, cyc
+            UNION ALL SELECT 'stats_linear', src, cyc.n, 1 FROM srcs, cyc
+            UNION ALL SELECT 'log',
+              'WARN nfacctd_core/core/BMP: Unable to get kafka_host',
+              c, 1 FROM logn"""),
+      doc = "reference soak replay: BMP state flat across load cycles" +
+        " (test 208)"),
+
+    // tests/305-BGP-mem-leak-test: the BGP soak twin — 4 v6 routers,
+    // open × 1 then [update + keepalive] × N (`count: [1,N]`, N=300).
+    // Same invariants over bgpRibRows cycleSizes: RIB size and the
+    // distinct-attr-class count (the proxy for pmacct's refcounted
+    // attr intern table) flat across identical cycles, the cumulative
+    // update counter linear.
+    Q("q254_golden_bgp_soak",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val dir = s"$T/305-BGP-mem-leak-test"
+        val cycles =
+          GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs")
+        val srcs =
+          GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
+        val lanes = s.read.format("binaryFile")
+          .option("pathGlobFilter", "bgp-multi-sources-*.pcap").load(dir)
+          .select("path", "content").as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val idx = if (path.endsWith("-open.pcap")) 0 else 1
+            GoldenReplay.tcpReassembleBySrc(Pcap.read(bytes), dport = 179)
+              .filter { case (src, _) => srcs.contains(src) }
+              .map { case (src, stream) => (src, idx, stream) }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (src, it) =>
+            val byIdx = it.map(t => t._2 -> t._3).toMap
+            def seg(i: Int) = byIdx.getOrElse(i, Array.emptyByteArray)
+            val segments = seg(0) +: Seq.fill(cycles)(seg(1))
+            val sizes = mutable.Buffer[(Int, Int, Int)]()
+            GoldenReplay.bgpRibRows(Array.emptyByteArray,
+              segments = segments, cycleSizes = sizes)
+            val cyc = sizes.drop(1)
+            val updD = sizes.map(_._3).sliding(2)
+              .map(w => w(1) - w(0)).toSeq.distinct.size
+            Iterator(
+              ("rib_flat", src, cycles.toLong,
+                cyc.map(_._1).distinct.size.toLong),
+              ("attr_flat", src, cycles.toLong,
+                cyc.map(_._2).distinct.size.toLong),
+              ("updates_linear", src, cycles.toLong, updD.toLong))
+          }
+          .toDF("kind", "key", "n", "v")
+        val logLane = lanes.filter(col("kind") === "rib_flat")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("log").as("kind"),
+            lit("WARN nfacctd_core/core/BGP: Unable to get kafka_host")
+              .as("key"),
+            col("n"), lit(1L).as("v"))
+        lanes.unionByName(logLane)
+      },
+      Some(s"""WITH cfg AS (SELECT unnest(string_split(content, chr(10)))
+                AS line FROM read_text(
+                '$T/305-BGP-mem-leak-test/traffic-reproducer-configs/repro-*.yml')),
+              srcs AS (SELECT DISTINCT
+                trim(regexp_extract(line, 'src_ip:[ ]+([^ ]+)', 1)) AS src
+                FROM cfg WHERE line LIKE '%src_ip:%'),
+              cyc AS (SELECT CAST(
+                regexp_extract(min(line), ',([0-9]+)\\]', 1) AS BIGINT)
+                AS n FROM cfg WHERE line LIKE '%count:%'),
+              logn AS (SELECT count(*) AS c FROM (
+                SELECT unnest(string_split(content, chr(10))) AS line
+                FROM read_text(
+                '$T/305-BGP-mem-leak-test/output-log-00.txt')) t
+                WHERE line LIKE '%Unable to get kafka_host%')
+            SELECT 'rib_flat' AS kind, src AS key, cyc.n AS n,
+              CAST(1 AS BIGINT) AS v FROM srcs, cyc
+            UNION ALL SELECT 'attr_flat', src, cyc.n, 1 FROM srcs, cyc
+            UNION ALL SELECT 'updates_linear', src, cyc.n, 1 FROM srcs, cyc
+            UNION ALL SELECT 'log',
+              'WARN nfacctd_core/core/BGP: Unable to get kafka_host',
+              c, 1 FROM logn"""),
+      doc = "reference soak replay: BGP RIB flat across load cycles" +
+        " (test 305)")
   )
 }

@@ -162,4 +162,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)") && plan.contains("vec_dot"),
       s"vec_dot fell out of codegen:\n$plan")
   }
+
+  test("broadcast-model LM scoring joins the model map-side only") {
+    val q = SparkEntry.queries("q255_lm_perplexity_bcast")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // both model joins (c_ab, c_a) and the vocab scalar must broadcast;
+    // a sort-merge join anywhere means the corpus bigram stream was
+    // shuffled against the model — the exact q243 cost this variant
+    // exists to remove
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus stream shuffled against the model:\n$plan")
+  }
 }

@@ -371,4 +371,55 @@ class StateSpec extends AnyFunSuite {
       }
     }
   }
+
+  // Soak analogue of tests 208/305 (the reference asserts RSS < 100 MiB
+  // over ~8 min of repeated BMP load, 208_test.py:34-36): replaying the
+  // SAME load segment N times must leave every live-state size exactly
+  // where cycle 1 left it — RIB entries and interned attr classes flat,
+  // the cumulative stats counter advancing by a constant per-cycle delta.
+  // Direct JVM-level twin of the gated q253/q254 invariant, with the
+  // absolute sizes asserted (bounded, nonzero) rather than projected.
+  test("BMP soak: collector state flat across identical load cycles") {
+    import graft.operators.GoldenReplay
+    import graft.sources.Pcap
+    import java.nio.file.{Files, Paths}
+    val dir = "/root/reference/tests/208-BMP-mem-leak-test"
+    val srcs = GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
+    def bySrc(name: String) = GoldenReplay.tcpReassembleBySrc(
+      Pcap.read(Files.readAllBytes(Paths.get(s"$dir/$name"))),
+      dport = 1790).toMap
+    val init = bySrc("bmp-multi-sources-init.pcap")
+    val pu = bySrc("bmp-multi-sources-peer-up.pcap")
+    val rm = bySrc("bmp-multi-sources-route-monitoring.pcap")
+    val st = bySrc("bmp-multi-sources-stats.pcap")
+    val cycles = 5
+    var checked = 0
+    var statsSeen = 0
+    srcs.toSeq.sorted.foreach { src =>
+      def seg(m: Map[String, Array[Byte]]) =
+        m.getOrElse(src, Array.emptyByteArray)
+      val segments = (seg(init) ++ seg(pu)) +:
+        Seq.fill(cycles)(seg(rm) ++ seg(st))
+      val sizes = scala.collection.mutable.Buffer[(Int, Int, Int)]()
+      GoldenReplay.bmpAttrRows(Array.emptyByteArray, src, mode = "state",
+        segments = segments, cycleSizes = sizes)
+      val cyc = sizes.drop(1)
+      assert(cyc.size == cycles)
+      // flat and nonzero: the load cycles carry real routes whose
+      // re-announcement must upsert, not accumulate
+      assert(cyc.map(_._1).distinct.size == 1 && cyc.head._1 > 0,
+        s"$src RIB sizes ${cyc.map(_._1)}")
+      assert(cyc.map(_._2).distinct.size == 1 && cyc.head._2 > 0,
+        s"$src attr-intern sizes ${cyc.map(_._2)}")
+      // constant per-cycle delta (some routers — the v6 pair — carry no
+      // stats in the capture, so 0 is a valid constant)
+      val deltas = sizes.map(_._3).sliding(2).map(w => w(1) - w(0)).toSeq
+      assert(deltas.distinct.size == 1 && deltas.head >= 0,
+        s"$src stats deltas $deltas")
+      if (deltas.head > 0) statsSeen += 1
+      checked += 1
+    }
+    assert(checked == 9) // 7 v4 + 2 v6 reproducer-selected routers
+    assert(statsSeen > 0) // the load cycles do exercise the stats path
+  }
 }
