@@ -383,6 +383,77 @@ object GoldenReplay {
       }.toSet
   }
 
+  /** Per-message completion times for a BMP feed: walk the capture's
+    * TCP segments to `dport` in order, split the byte stream on the
+    * 6-byte BMP common header, and stamp each message with the capture
+    * time of the segment that completed it. This is the arrival
+    * timeline the HA retention queue operates on (ha.c:131-138 newNode
+    * stamps enqueue time per message). */
+  def bmpMessageTimes(sf: Pcap.Savefile, dport: Int)
+      : Seq[(Int, Long)] = {
+    val cum = mutable.ArrayBuffer[(Long, Long)]() // (bytes so far, tsUs)
+    val out = new java.io.ByteArrayOutputStream()
+    sf.packets.foreach { p =>
+      tcpSegment(p.data, sf.linkType).foreach { case (dp, _, pay) =>
+        if (dp == dport && pay.nonEmpty) {
+          out.write(pay, 0, pay.length)
+          cum += ((out.size().toLong, p.tsUs))
+        }
+      }
+    }
+    val stream = out.toByteArray
+    val msgs = mutable.ArrayBuffer[(Int, Long)]()
+    var pos = 0
+    var ci = 0
+    var bad = false
+    while (!bad && pos + 6 <= stream.length) {
+      val len = ((stream(pos + 1) & 0xff) << 24) |
+        ((stream(pos + 2) & 0xff) << 16) |
+        ((stream(pos + 3) & 0xff) << 8) | (stream(pos + 4) & 0xff)
+      if (len < 6 || pos + len > stream.length) bad = true
+      else {
+        val end = pos + len
+        while (ci < cum.length && cum(ci)._1 < end) ci += 1
+        if (ci < cum.length) msgs += ((stream(pos + 5) & 0xff, cum(ci)._2))
+        pos = end
+      }
+    }
+    msgs.toSeq
+  }
+
+  /** The HA stand-by queue's retained window (ha.c:170-190
+    * bmp_bgp_ha_queue_pop): entries pop from the FRONT while the front
+    * is older than `timeoutSec` (relative to `nowUs`) or the queue
+    * exceeds `maxSize` (-1 = unlimited, the default). Returns the
+    * retained messages in arrival order — what a standby→active
+    * transition would dump (bmp_bgp_ha_queue_dump). */
+  def haRetained(msgs: Seq[(Int, Long)], nowUs: Long, timeoutSec: Int,
+                 maxSize: Int): Seq[(Int, Long)] = {
+    val q = mutable.Queue[(Int, Long)](msgs: _*)
+    val timeoutUs = timeoutSec * 1000000L
+    while (q.nonEmpty && (nowUs - q.head._2 > timeoutUs ||
+        (maxSize > 0 && q.size > maxSize)))
+      q.dequeue()
+    q.toSeq
+  }
+
+  /** HA knobs out of an nfacctd conf (tests/206 base + scenario
+    * variants): (ha_cluster_name, ha_cluster_id, queue timeout secs,
+    * queue max size or -1). Driver-side tiny-file read, like the
+    * pretag maps. */
+  def haConf(path: String): (String, Int, Int, Int) = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8")
+    def kv(key: String): Option[String] =
+      s"""(?m)^$key:\\s*(\\S+)""".r.findFirstMatchIn(txt).map(_.group(1))
+    (kv("bmp_daemon_ha_cluster_name").getOrElse(""),
+      kv("bmp_daemon_ha_cluster_id").map(_.toInt).getOrElse(0),
+      kv("bmp_daemon_ha_queue_message_timeout").map(_.toInt)
+        .getOrElse(15),
+      kv("bmp_daemon_ha_queue_max_size").map(_.toInt).getOrElse(-1))
+  }
+
   /** Rendered IP source of the first TCP segment to `dport` — the
     * session's exporter, for the reproducer-map rewrite (v4 or v6
     * transport). */
@@ -4212,6 +4283,85 @@ object GoldenQueries {
               'WARN nfacctd_core/core/BGP: Unable to get kafka_host',
               c, 1 FROM logn"""),
       doc = "reference soak replay: BGP RIB flat across load cycles" +
-        " (test 305)")
+        " (test 305)"),
+
+    // tests/206-BMP-high-availability scenario variants: the base run
+    // and scenario-01/02 differ ONLY in the HA knobs (README: queue max
+    // size 1000 vs unlimited; retention 15 s vs 10 s) plus the election
+    // namespace (ha_cluster_name:ha_cluster_id — the redis key prefix
+    // every instance SETEXes its startup timestamp under,
+    // ha.c:276-278,300-306; instances sharing a namespace elect ONE
+    // active). This gate reads all six conf files on BOTH sides (Spark
+    // driver-side like the map files; DuckDB via read_text) and checks
+    // (a) the parsed knob surface per instance, including the defaults
+    // for absent keys (timeout 15, max unlimited — ha.c:52-53), and
+    // (b) that in every scenario both instances land in ONE shared
+    // election domain (n=2 per domain key). The retention-window
+    // semantics over the replayed message timeline are pinned in
+    // GoldenSpec (bmpMessageTimes/haRetained — 15 s vs 10 s windows
+    // retain different suffixes of the same feed).
+    Q("q258_golden_bmp_ha_scenarios",
+      (s, _) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val dir = s"$T/206-BMP-high-availability"
+        val files = Seq(
+          ("base", s"$dir/nfacctd-00.conf"),
+          ("base", s"$dir/nfacctd-01.conf"),
+          ("scenario-01", s"$dir/scenario-01/nfacctd-00.conf"),
+          ("scenario-01", s"$dir/scenario-01/nfacctd-01.conf"),
+          ("scenario-02", s"$dir/scenario-02/nfacctd-00.conf"),
+          ("scenario-02", s"$dir/scenario-02/nfacctd-01.conf"))
+        val parsed = files.map { case (sc, path) =>
+          val inst = path.split('/').last.stripSuffix(".conf")
+          val (nm, id, to, mx) = GoldenReplay.haConf(path)
+          (sc, inst, nm, id.toLong, to.toLong, mx.toLong)
+        }
+        val df = parsed.toDF("scenario", "instance", "ha_name", "ha_id",
+          "timeout", "maxsize")
+        val conf = df.select(lit("conf").as("kind"),
+          concat_ws("/", col("scenario"), col("instance")).as("key"),
+          col("timeout").as("n"), col("maxsize").as("v"))
+        val dom = df
+          .groupBy(concat(col("scenario"), lit("/"), col("ha_name"),
+            lit(":"), col("ha_id")).as("key"), col("ha_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("domain").as("kind"), col("key"), col("n"),
+            col("ha_id").as("v"))
+        conf.unionByName(dom)
+      },
+      Some(s"""WITH f AS (
+              SELECT filename, content FROM read_text(
+                '$T/206-BMP-high-availability/nfacctd-*.conf')
+              UNION ALL SELECT filename, content FROM read_text(
+                '$T/206-BMP-high-availability/scenario-01/nfacctd-*.conf')
+              UNION ALL SELECT filename, content FROM read_text(
+                '$T/206-BMP-high-availability/scenario-02/nfacctd-*.conf')),
+            p AS (SELECT
+              CASE WHEN filename LIKE '%scenario-01%' THEN 'scenario-01'
+                   WHEN filename LIKE '%scenario-02%' THEN 'scenario-02'
+                   ELSE 'base' END AS scenario,
+              regexp_extract(filename, '(nfacctd-[0-9]+)[.]conf', 1)
+                AS instance,
+              regexp_extract(content,
+                'bmp_daemon_ha_cluster_name:[ ]+([^ \n]+)', 1) AS ha_name,
+              CAST(regexp_extract(content,
+                'bmp_daemon_ha_cluster_id:[ ]+([0-9]+)', 1) AS BIGINT)
+                AS ha_id,
+              CAST(coalesce(nullif(regexp_extract(content,
+                'bmp_daemon_ha_queue_message_timeout:[ ]+([0-9]+)', 1),
+                ''), '15') AS BIGINT) AS timeout,
+              CAST(coalesce(nullif(regexp_extract(content,
+                'bmp_daemon_ha_queue_max_size:[ ]+([0-9]+)', 1),
+                ''), '-1') AS BIGINT) AS maxsize
+              FROM f)
+            SELECT 'conf' AS kind, scenario || '/' || instance AS key,
+              timeout AS n, maxsize AS v FROM p
+            UNION ALL
+            SELECT 'domain', scenario || '/' || ha_name || ':' || ha_id,
+              count(*), ha_id FROM p GROUP BY 2, ha_id"""),
+      doc = "test 206 scenario variants: HA knob surface + shared" +
+        " election domain")
   )
 }

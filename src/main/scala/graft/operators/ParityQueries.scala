@@ -355,6 +355,136 @@ object ParityQueries {
              CAST(sum(port_src) AS BIGINT) AS sum_port_src
            FROM flows, (SELECT unnest([1, 2, 5, 6, 8, 9]) AS version) v
            GROUP BY 1, 2""")),
-      doc = "sql_table_version v1-v9 legacy column mapping + AS folding")
+      doc = "sql_table_version v1-v9 legacy column mapping + AS folding"),
+
+    // sql_use_copy (CONFIG-KEYS:1502-1514; pgsql_plugin.c:699
+    // copy_clause, :851 COPY-IN + PQputCopyData): the PostgreSQL bulk
+    // path renders each purge as ONE `COPY t (...) FROM STDIN
+    // DELIMITER ','` statement plus raw delimiter-joined text lines.
+    // The gate renders the aggregated flow cache per partition (the
+    // sink's foreachPartition shape), PARSES the wire body back, and
+    // re-aggregates — the round-trip totals must equal the base table's,
+    // and every line must carry exactly the declared column count.
+    Q("q256_sql_pg_copy",
+      (s, d) => {
+        import graft.sinks.SqlBulk
+        val sp = s
+        import sp.implicits._
+        val cols = Seq("ip_src", "ip_dst", "port_dst", "ip_proto",
+          "packets", "bytes")
+        val cache = flows(s, d)
+          .groupBy("ip_src", "ip_dst", "port_dst", "ip_proto")
+          .agg(sum("packets").as("packets"), sum("bytes").as("bytes"))
+        val stmt = SqlBulk.pgCopyStatement("acct", cols)
+        val lines = cache
+          .as[(Long, Long, Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map(r => SqlBulk.pgCopyLine(
+              Seq(r._1, r._2, r._3, r._4, r._5, r._6)))
+          }
+        val parsed = lines.map { l =>
+          val a = SqlBulk.parsePgCopyLine(l)
+          (a.length.toLong, a(2).toLong, a(4).toLong, a(5).toLong)
+        }.toDF("arity", "port_dst", "packets", "bytes")
+        val rt = parsed
+          .groupBy(col("port_dst").cast("string").as("key"))
+          .agg(count(lit(1)).as("n"), sum("bytes").as("v"))
+          .select(lit("rt").as("kind"), col("key"), col("n"), col("v"))
+        val pk = parsed
+          .groupBy(col("port_dst").cast("string").as("key"))
+          .agg(count(lit(1)).as("n"), sum("packets").as("v"))
+          .select(lit("rt_pkts").as("kind"), col("key"), col("n"),
+            col("v"))
+        val form = parsed.agg(count(lit(1)).as("n"),
+            count(when(col("arity") =!= cols.length, 1)).as("v"))
+          .select(lit("copy_stmt").as("kind"), lit(stmt).as("key"),
+            col("n"), col("v"))
+        rt.unionByName(pk).unionByName(form)
+      },
+      Some(FlowView.cte(
+        """, c AS (SELECT ip_src, ip_dst, port_dst, ip_proto,
+             CAST(sum(packets) AS BIGINT) AS packets,
+             CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows GROUP BY 1, 2, 3, 4)
+           SELECT 'rt' AS kind, CAST(port_dst AS VARCHAR) AS key,
+             count(*) AS n, CAST(sum(bytes) AS BIGINT) AS v
+           FROM c GROUP BY 2
+           UNION ALL
+           SELECT 'rt_pkts', CAST(port_dst AS VARCHAR),
+             count(*), CAST(sum(packets) AS BIGINT)
+           FROM c GROUP BY 2
+           UNION ALL
+           SELECT 'copy_stmt',
+             'COPY acct (ip_src, ip_dst, port_dst, ip_proto, packets, bytes) FROM STDIN DELIMITER '',''',
+             count(*), 0 FROM c""")),
+      doc = "sql_use_copy: PostgreSQL COPY wire-form round-trip"),
+
+    // sql_multi_values (CONFIG-KEYS:1520-1530; mysql_plugin.c:360-407):
+    // the MySQL bulk path packs row tuples into multi-values INSERT
+    // statements bounded by a byte budget, flushing on overflow. The
+    // gate packs per partition with a deliberately tight 512-byte
+    // buffer (so every partition flushes many statements), parses the
+    // statements back, re-aggregates, and counts two violation classes
+    // the packing contract forbids: statements over budget and
+    // statements not bearing the INSERT header. SqlBulkSpec pins the
+    // exact packing sequence on a hand-built fixture.
+    Q("q257_sql_mysql_multi",
+      (s, d) => {
+        import graft.sinks.SqlBulk
+        val sp = s
+        import sp.implicits._
+        val cols = Seq("ip_src", "ip_dst", "port_dst", "ip_proto",
+          "packets", "bytes")
+        val bufBytes = 512
+        val header = SqlBulk.mysqlInsertHeader("acct", cols)
+        val cache = flows(s, d)
+          .groupBy("ip_src", "ip_dst", "port_dst", "ip_proto")
+          .agg(sum("packets").as("packets"), sum("bytes").as("bytes"))
+        val stmts = cache
+          .as[(Long, Long, Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            SqlBulk.mysqlMultiValues("acct", cols,
+              it.map(r => Seq(r._1, r._2, r._3, r._4, r._5, r._6)),
+              bufBytes)
+          }
+        val parsed = stmts.flatMap { st =>
+          val over = if (st.length > bufBytes) 1L else 0L
+          val badHdr = if (st.startsWith(header)) 0L else 1L
+          SqlBulk.parseMysqlMultiValues(st).map { t =>
+            (t(2).toLong, t(4).toLong, t(5).toLong, over, badHdr)
+          }
+        }.toDF("port_dst", "packets", "bytes", "over", "bad_hdr")
+        val rt = parsed
+          .groupBy(col("port_dst").cast("string").as("key"))
+          .agg(count(lit(1)).as("n"), sum("bytes").as("v"))
+          .select(lit("rt").as("kind"), col("key"), col("n"), col("v"))
+        val pk = parsed
+          .groupBy(col("port_dst").cast("string").as("key"))
+          .agg(count(lit(1)).as("n"), sum("packets").as("v"))
+          .select(lit("rt_pkts").as("kind"), col("key"), col("n"),
+            col("v"))
+        val form = parsed.agg(count(lit(1)).as("n"),
+            (sum("over") + sum("bad_hdr")).as("v"))
+          .select(lit("insert_hdr").as("kind"), lit(header).as("key"),
+            col("n"), col("v"))
+        rt.unionByName(pk).unionByName(form)
+      },
+      Some(FlowView.cte(
+        """, c AS (SELECT ip_src, ip_dst, port_dst, ip_proto,
+             CAST(sum(packets) AS BIGINT) AS packets,
+             CAST(sum(bytes) AS BIGINT) AS bytes
+           FROM flows GROUP BY 1, 2, 3, 4)
+           SELECT 'rt' AS kind, CAST(port_dst AS VARCHAR) AS key,
+             count(*) AS n, CAST(sum(bytes) AS BIGINT) AS v
+           FROM c GROUP BY 2
+           UNION ALL
+           SELECT 'rt_pkts', CAST(port_dst AS VARCHAR),
+             count(*), CAST(sum(packets) AS BIGINT)
+           FROM c GROUP BY 2
+           UNION ALL
+           SELECT 'insert_hdr',
+             'INSERT INTO acct (ip_src, ip_dst, port_dst, ip_proto, packets, bytes) VALUES',
+             count(*), 0 FROM c""")),
+      doc = "sql_multi_values: MySQL multi-INSERT packing round-trip")
   )
 }

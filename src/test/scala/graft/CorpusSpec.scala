@@ -83,7 +83,7 @@ class CorpusSpec extends AnyFunSuite {
       "q151_chunking", "q152_keywords", "q159_split_shuffle",
       "q160_filter_funnel", "q165_substr_dedup",
       "q166_dsir_importance", "q182_curriculum", "q237_url_canonical",
-      "q243_lm_perplexity_filter"))
+      "q243_lm_perplexity_filter", "q255_lm_perplexity_bcast"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }

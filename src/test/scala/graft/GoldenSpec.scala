@@ -173,4 +173,47 @@ class GoldenSpec extends AnyFunSuite {
         .withColumn("label_nkey", col("label.nkey"))
         .withColumn("label_pkey", col("label.pkey")))
   }
+
+  // Test 206's scenario axis (README "Scenarios"): the HA stand-by
+  // queue's retention knobs applied to the SAME replayed feed. The
+  // arrival timeline comes from the capture (segment completion times,
+  // the enqueue stamps of ha.c:131-138); the knobs come from the
+  // scenario conf files; the pop rule is ha.c:170-190 (front older than
+  // timeout OR queue over max). The retained set must always be an
+  // arrival-order SUFFIX, and the three configs carve three different
+  // windows out of the one feed.
+  test("206 HA scenarios: retention knobs bound the failover dump") {
+    import graft.operators.GoldenReplay
+    import graft.sources.Pcap
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = "/root/reference/tests/206-BMP-high-availability"
+    val sf = Pcap.read(JFiles.readAllBytes(
+      JPaths.get(s"$dir/traffic-00.pcap")))
+    val msgs = GoldenReplay.bmpMessageTimes(sf, dport = 1790)
+    assert(msgs.size == 295) // the full BMP feed
+    val tEnd = msgs.map(_._2).max
+    val base = GoldenReplay.haConf(s"$dir/nfacctd-00.conf")
+    val s01 = GoldenReplay.haConf(s"$dir/scenario-01/nfacctd-00.conf")
+    val s02 = GoldenReplay.haConf(s"$dir/scenario-02/nfacctd-00.conf")
+    assert(base == ("nfacctd_bmp", 13, 15, 1000))
+    assert(s01 == ("nfacctd_bmp", 0, 15, -1))
+    assert(s02 == ("nfacctd_bmp", 0, 10, -1))
+    val rBase = GoldenReplay.haRetained(msgs, tEnd, base._3, base._4)
+    val r01 = GoldenReplay.haRetained(msgs, tEnd, s01._3, s01._4)
+    val r02 = GoldenReplay.haRetained(msgs, tEnd, s02._3, s02._4)
+    // 15 s window retains 104 of 295 (the pop rule is strictly
+    // older-than, ha.c:178, so the age-exactly-15s message stays); the
+    // 1000-message cap never binds on this feed, so base == scenario-01;
+    // the 10 s window narrows to 77 — the semantic difference the
+    // scenario axis exists to test
+    assert(rBase.size == 104 && r01 == rBase, s"base=${rBase.size}")
+    assert(r02.size == 77, s"s02=${r02.size}")
+    // retention always keeps an arrival-order suffix
+    assert(rBase == msgs.takeRight(rBase.size))
+    assert(r02 == msgs.takeRight(r02.size))
+    // the max-size rule alone pops oldest-first: a cap of 50 keeps the
+    // NEWEST 50 regardless of age
+    assert(GoldenReplay.haRetained(msgs, tEnd, base._3, 50) ==
+      msgs.takeRight(50))
+  }
 }
