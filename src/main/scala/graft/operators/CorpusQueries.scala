@@ -650,16 +650,17 @@ object CorpusQueries {
               "i -> struct(element_at(toks, i) AS w1, " +
               "element_at(toks, i + 1) AS w2))) AS b")
           .selectExpr("doc_id", "source", "b.w1 AS w1", "b.w2 AS w2")
-        // the training sample: tokenized once, reused by all three
-        // model aggregates (at 100 TB this is the small side by
-        // construction — the sample rate keeps the model broadcastable)
-        val sample = bi.where("doc_id % 10 = 0")
-          .select("w1", "w2").persist()
-        val cAb = sample.groupBy("w1", "w2")
-          .agg(count(lit(1)).as("c_ab"))
-        val cA = sample.groupBy("w1").agg(count(lit(1)).as("c_a"))
-        val vocab = sample.select(col("w1").as("tok"))
-          .union(sample.select(col("w2").as("tok")))
+        // the model IS the persisted table: the sample's bigram stream
+        // collapses straight to (w1, w2, c_ab) — model-sized, like
+        // q243's biDoc — and c_a / vocab derive from it. Persisting the
+        // raw exploded sample instead caches corpus-scale rows that
+        // outlive the query and pressure every later one in the session.
+        val cAb = bi.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
+        cAb.count()
+        val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
+        val vocab = cAb.select(col("w1").as("tok"))
+          .union(cAb.select(col("w2").as("tok")))
           .agg(countDistinct("tok").as("v"))
         bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
           .join(broadcast(cA), Seq("w1"), "left")
