@@ -116,6 +116,68 @@ object SigRules {
         tagOff < h.length && (h(tagOff) & 0xff) >= 0x60 &&
           (h(tagOff) & 0xff) <= 0x78
       }),
+    // NetFlow v5: version 5, count 1..30, datagram is exactly the
+    // 24-byte header + 48 bytes per record (the self-length that makes
+    // this a strong signature; sources/NetFlowV5.scala decodes it)
+    "netflow5" -> (h => h.length >= 72 && h(0) == 0 &&
+      (h(1) & 0xff) == 5 && {
+        val c = ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        c >= 1 && c <= 30 && h.length == 24 + 48 * c
+      }),
+    // NetFlow v9: version 9, sane record count; flowsets are
+    // self-describing so no datagram self-length exists (weaker — runs
+    // after the self-length flow families)
+    "netflow9" -> (h => h.length >= 24 && h(0) == 0 &&
+      (h(1) & 0xff) == 9 && {
+        val c = ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        c >= 1 && c <= 1024
+      }),
+    // IPFIX: version 10, u16 message length == datagram length
+    "ipfix" -> (h => h.length >= 16 && h(0) == 0 &&
+      (h(1) & 0xff) == 10 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length),
+    // sFlow v5 (and the v2/v4 legacy forms): u32 version 2/4/5, then
+    // u32 agent-address type 1 (IPv4) or 2 (IPv6)
+    "sflow" -> (h => h.length >= 12 && h(0) == 0 && h(1) == 0 &&
+      h(2) == 0 && ((h(3) & 0xff) == 2 || (h(3) & 0xff) == 4 ||
+        (h(3) & 0xff) == 5) && h(4) == 0 && h(5) == 0 && h(6) == 0 &&
+      ((h(7) & 0xff) == 1 || (h(7) & 0xff) == 2)),
+    // BMP common header: version 3, u32 per-message length covering at
+    // least the header and no more than the buffer, msg type 0..6
+    "bmp" -> (h => h.length >= 6 && (h(0) & 0xff) == 3 && {
+      val len = ((h(1) & 0xffL) << 24) | ((h(2) & 0xffL) << 16) |
+        ((h(3) & 0xffL) << 8) | (h(4) & 0xffL)
+      len >= 6L && len <= h.length && (h(5) & 0xff) <= 6
+    }),
+    // ZMTP 3.x greeting (ZeroMQ): 0xFF signature + 8 padding bytes +
+    // 0x7F, then version-major 3 (sources/Zmtp.scala speaks this)
+    "zeromq" -> (h => h.length >= 11 && (h(0) & 0xff) == 0xff &&
+      (h(9) & 0xff) == 0x7f && (h(10) & 0xff) == 3),
+    // GENEVE (RFC 8926): version 0, the six reserved flag bits zero,
+    // inner protocol Transparent-Ethernet/IPv4/IPv6
+    "geneve" -> (h => h.length >= 8 && (h(0) & 0xc0) == 0 &&
+      (h(1) & 0x3f) == 0 && {
+        val pt = ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        pt == 0x6558 || pt == 0x0800 || pt == 0x86dd
+      }),
+    // mDNS: DNS query shape whose FIRST question ends in the "local"
+    // label (RFC 6762 §3) — the only payload-level discriminator from
+    // unicast DNS (nDPI additionally keys on port 5353)
+    "mdns" -> (h => L7.looksDns(h) && {
+      var i = 12
+      var last = ""
+      var ok = true
+      while (ok && i < h.length && h(i) != 0) {
+        val l = h(i) & 0xff
+        if (l > 63 || i + 1 + l > h.length) ok = false
+        else {
+          last = new String(h, i + 1, l,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          i += 1 + l
+        }
+      }
+      ok && i < h.length && last == "local"
+    }),
     // WireGuard: message type 1..4, 3 reserved zero bytes, initiation=148
     "wireguard" -> (h => h.length >= 16 && (h(0) & 0xff) >= 1 &&
       (h(0) & 0xff) <= 4 && h(1) == 0 && h(2) == 0 && h(3) == 0 &&
@@ -419,6 +481,10 @@ object SigRules {
     // VXLAN: I flag set, reserved bytes zero, inner Ethernet follows
     Rule("vxlan", Seq(MinLen(22), B(0, 0x08), B(1, 0), B(2, 0),
       B(3, 0), B(7, 0))),
+    // GENEVE sits next to its sibling encap; disjoint from vxlan on
+    // byte 0 (vxlan's I-flag 0x08 fails geneve's reserved-bits test
+    // only at byte 1 — but vxlan fires first anyway)
+    Rule("geneve", Seq(Heur("geneve"))),
     // Bitcoin mainnet magic + "version" command name
     Rule("bitcoin", Seq(B(0, 0xf9), B(1, 0xbe), B(2, 0xb4),
       B(3, 0xd9), Ascii("version", off = 4))),
@@ -436,12 +502,22 @@ object SigRules {
     Rule("gtp", Seq(Heur("gtp"))),
     Rule("bfd", Seq(Heur("bfd"))),
     Rule("ptp", Seq(Heur("ptp"))),
+    // the flow-telemetry protocols this engine itself decodes: the
+    // self-length forms (v5, IPFIX) precede the weaker v9 count check
+    Rule("netflow5", Seq(Heur("netflow5"))),
+    Rule("ipfix", Seq(Heur("ipfix"))),
+    Rule("netflow9", Seq(Heur("netflow9"))),
+    Rule("sflow", Seq(Heur("sflow"))),
+    Rule("bmp", Seq(Heur("bmp"))),
+    Rule("zeromq", Seq(Heur("zeromq"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     Rule("quic", Seq(Heur("quic"))),
     Rule("stun", Seq(Heur("stun"))),
     Rule("dhcp", Seq(Heur("dhcp"))),
     Rule("snmp", Seq(Heur("snmp"))),
     Rule("ntp", Seq(Heur("ntp"))),
+    // mDNS must precede dns: it is dns plus the .local discriminator
+    Rule("mdns", Seq(Heur("mdns"))),
     Rule("dns", Seq(Heur("dns"))))
 
   // ---- text form: pmacct-map-style rule lines --------------------------
@@ -820,6 +896,34 @@ object SigRules {
         // with a binary rule's first-byte signature (0x6a/0x38/...)
         Array[Byte]((0xA0 + s % 32).toByte, (s % 97).toByte, 1, 0, 0, 1,
           0, 0, 0, 0, 0, 0, 3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+      case "mdns" => // QM question for _svc._tcp.local, id 0 (RFC 6762)
+        Array[Byte](0, (s % 120).toByte, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+          4, '_', 's', 'v', 'c', 4, '_', 't', 'c', 'p',
+          5, 'l', 'o', 'c', 'a', 'l', 0, 0, 12, 0, 1)
+      case "netflow5" => // header + one 48-byte record, count 1
+        Array[Byte](0, 5, 0, 1) ++
+          Array.fill[Byte](20)((1 + s % 8).toByte) ++
+          Array.fill[Byte](48)((s % 7).toByte)
+      case "netflow9" => // header + a minimal data flowset
+        Array[Byte](0, 9, 0, 1) ++
+          Array.fill[Byte](16)((1 + s % 8).toByte) ++
+          Array[Byte](1, 0, 0, 8) ++ Array.fill[Byte](4)((s % 5).toByte)
+      case "ipfix" => // u16 length covers the whole message
+        Array[Byte](0, 10, 0, 32) ++
+          Array.fill[Byte](28)((1 + s % 8).toByte)
+      case "sflow" => // v5, IPv4 agent
+        Array[Byte](0, 0, 0, 5, 0, 0, 0, 1) ++
+          Array.fill[Byte](8)((1 + s % 9).toByte)
+      case "bmp" => // 6-byte initiation header, type 4
+        Array[Byte](3, 0, 0, 0, 6, 4)
+      case "zeromq" => // ZMTP 3.1 greeting head + NULL mechanism bytes
+        Array[Byte](0xff.toByte, 0, 0, 0, 0, 0, 0, 0,
+          (1 + s % 120).toByte, 0x7f, 3, 1) ++
+          "NULL".getBytes ++ Array.fill[Byte](16)(0)
+      case "geneve" => // ver 0, no options, inner Ethernet
+        Array[Byte](0, 0, 0x65, 0x58) ++
+          Array[Byte]((s % 100).toByte, (s % 50).toByte, 1, 0) ++
+          Array.fill[Byte](14)((s % 11).toByte)
       case other => s"?$other$s".getBytes
     }
   }
