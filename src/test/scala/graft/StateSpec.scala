@@ -398,8 +398,8 @@ class StateSpec extends AnyFunSuite {
     srcs.toSeq.sorted.foreach { src =>
       def seg(m: Map[String, Array[Byte]]) =
         m.getOrElse(src, Array.emptyByteArray)
-      val segments = (seg(init) ++ seg(pu)) +:
-        Seq.fill(cycles)(seg(rm) ++ seg(st))
+      val load = seg(rm) ++ seg(st)
+      val segments = (seg(init) ++ seg(pu)) +: Seq.fill(cycles)(load)
       val sizes = scala.collection.mutable.Buffer[(Int, Int, Int)]()
       GoldenReplay.bmpAttrRows(Array.emptyByteArray, src, mode = "state",
         segments = segments, cycleSizes = sizes)
