@@ -202,7 +202,11 @@ object GoldenReplay {
       bgpPathD: String = "", bgpNetD: String = "", bgpMaskD: Long = 0L,
       bgpCommsS: String = "", bgpEcommsS: String = "",
       bgpLcommsS: String = "",
-      bgpPathS: String = "", bgpNetS: String = "", bgpMaskS: Long = 0L)
+      bgpPathS: String = "", bgpNetS: String = "", bgpMaskS: Long = 0L,
+      // export-time + NAT event surface (test 100 scenario-01)
+      tsExport: Long = 0L, natEvent: Long = 0L,
+      postNatSrc: String = "", postNatDst: String = "",
+      postNatPortSrc: Long = 0L, postNatPortDst: Long = 0L)
 
   /** Ethernet (+802.1Q walk) -> IPv4/IPv6 -> UDP payload; returns the
     * rendered source IP, UDP dst port and payload (ll.c/nl.c projection,
@@ -1667,7 +1671,16 @@ object GoldenReplay {
       tunnelDstPort = if (srv6Kind != 0) firstNum(rec, 11) else 0L,
       tunnelTcpFlags = if (srv6Kind != 0) firstNum(rec, 6) else 0L,
       isV6 = isV6, srcHi = srcHi, srcLo = srcLo,
-      dstHi = dstHi, dstLo = dstLo)
+      dstHi = dstHi, dstLo = dstLo,
+      // timestamp_export renders the datagram header's export time
+      // (plugin_cmn_json timestamp_export <- nfacctd.c entry->exp_time);
+      // post-NAT IEs 225-228 + natEvent 230 default to ""/0 when the
+      // template doesn't carry them (pkt_handlers NAT handlers)
+      tsExport = unixSecs, natEvent = numOf(rec, 230),
+      postNatSrc = if (rec.contains(225L)) ntop4(numOf(rec, 225)) else "",
+      postNatDst = if (rec.contains(226L)) ntop4(numOf(rec, 226)) else "",
+      postNatPortSrc = numOf(rec, 227),
+      postNatPortDst = numOf(rec, 228))
   }
 
   /** Per-exporter option-correlation state: vrfid -> VRF name (IEs 234+236,
@@ -4379,6 +4392,109 @@ object GoldenQueries {
             SELECT 'domain', scenario || '/' || ha_name || ':' || ha_id,
               count(*), ha_id FROM p GROUP BY 2, ha_id"""),
       doc = "test 206 scenario variants: HA knob surface + shared" +
-        " election domain")
+        " election domain"),
+
+    // tests/103 scenario-02 + scenario-05 (each with its OWN committed
+    // golden): the pre_tag_label_encode_as_map corners q209's
+    // scenario-01 replay doesn't touch — the label splits into
+    // nkey/pkey JSON-map fields (CONFIG-KEYS pre_tag_label_encode_as_
+    // map; scenario-02), and a long nkey value rides through unclipped
+    // (scenario-05, 'a-long18181-node-id-10'). Same pcap, same
+    // aggregation as q209; the per-scenario map files drive the labels.
+    // (Scenario-03/04 replicate these goldens over the avro emission
+    // path, whose binary round-trip q92 gates.)
+    Q("q259_golden_pretag_label_map",
+      (s, _) => {
+        val dir = s"$T/103-IPFIXv10-CISCO-pretag-JSON_encoding"
+        def lane(scenario: String): DataFrame = {
+          val rules = pretagLabelRules(s"$dir/$scenario/pretag-00.map",
+            Map("192.168.100.1" -> "172.21.1.101"))
+          val df = rendered(s, dir, Map("138.187.0.13" -> "172.21.1.101"))
+            .withColumn("label_nkey",
+              pretagLabelCol(rules, labelPart(_, "nkey")))
+            .withColumn("label_pkey",
+              pretagLabelCol(rules, labelPart(_, "pkey")))
+          agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc",
+              "netDst", "label_nkey", "label_pkey", "tsStart", "tsEnd"))
+            .withColumn("timestamp_start",
+              format_string("%d.000000", col("tsStart")))
+            .withColumn("timestamp_end",
+              format_string("%d.000000", col("tsEnd")))
+            .drop("tsStart", "tsEnd")
+            .withColumnRenamed("maskSrc", "mask_src")
+            .withColumnRenamed("maskDst", "mask_dst")
+            .withColumnRenamed("netSrc", "net_src")
+            .withColumnRenamed("netDst", "net_dst")
+            .withColumn("scenario", lit(scenario))
+        }
+        lane("scenario-02").unionByName(lane("scenario-05"))
+      },
+      Some(Seq("scenario-02", "scenario-05").map { sc =>
+        s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey,
+            timestamp_start, timestamp_end, '$sc' AS scenario
+            FROM ${readJson(
+              s"103-IPFIXv10-CISCO-pretag-JSON_encoding/$sc",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "label" -> "STRUCT(nkey VARCHAR, pkey VARCHAR)",
+                "timestamp_start" -> "VARCHAR",
+                "timestamp_end" -> "VARCHAR"))} g"""
+      }.mkString("\n            UNION ALL\n            ")),
+      doc = "reference golden replay: map-encoded + long pretag labels" +
+        " (test 103 scenarios 02/05)"),
+
+    // tests/100 scenario-01 (own golden): test 100's feed under the NAT
+    // event aggregate — post_nat_* hosts/ports + nat_event in the key
+    // (rendered from IEs 225-228/230, all absent in this traffic so the
+    // defaults ""/0 must render exactly), plus timestamp_export — the
+    // IPFIX header's export time — joining start/end in the key, with
+    // stitching enabled (its stamp_* outputs are compare-ignored by the
+    // reference's own CI, 100_test.py:25).
+    Q("q260_golden_nat_export",
+      (s, _) => {
+        val df = rendered(s, s"$T/100-IPFIXv10-CISCO",
+          Map("138.187.0.13" -> "172.21.1.101"))
+        agg(df, baseKeys ++ Seq("maskSrc", "maskDst", "netSrc", "netDst",
+            "postNatSrc", "postNatDst", "postNatPortSrc",
+            "postNatPortDst", "natEvent", "tsStart", "tsEnd",
+            "tsExport"))
+          .withColumn("timestamp_start",
+            format_string("%d.000000", col("tsStart")))
+          .withColumn("timestamp_end",
+            format_string("%d.000000", col("tsEnd")))
+          .withColumn("timestamp_export",
+            format_string("%d.000000", col("tsExport")))
+          .drop("tsStart", "tsEnd", "tsExport")
+          .withColumnRenamed("maskSrc", "mask_src")
+          .withColumnRenamed("maskDst", "mask_dst")
+          .withColumnRenamed("netSrc", "net_src")
+          .withColumnRenamed("netDst", "net_dst")
+          .withColumnRenamed("postNatSrc", "post_nat_ip_src")
+          .withColumnRenamed("postNatDst", "post_nat_ip_dst")
+          .withColumnRenamed("postNatPortSrc", "post_nat_port_src")
+          .withColumnRenamed("postNatPortDst", "post_nat_port_dst")
+          .withColumnRenamed("natEvent", "nat_event")
+      },
+      Some(s"""SELECT $baseOracleCols,
+            mask_src, mask_dst, net_src, net_dst,
+            coalesce(post_nat_ip_src, '') AS post_nat_ip_src,
+            coalesce(post_nat_ip_dst, '') AS post_nat_ip_dst,
+            post_nat_port_src, post_nat_port_dst, nat_event,
+            timestamp_start, timestamp_end, timestamp_export
+            FROM ${readJson("100-IPFIXv10-CISCO/scenario-01",
+              Seq("mask_src" -> "BIGINT", "mask_dst" -> "BIGINT",
+                "net_src" -> "VARCHAR", "net_dst" -> "VARCHAR",
+                "post_nat_ip_src" -> "VARCHAR",
+                "post_nat_ip_dst" -> "VARCHAR",
+                "post_nat_port_src" -> "BIGINT",
+                "post_nat_port_dst" -> "BIGINT",
+                "nat_event" -> "BIGINT",
+                "timestamp_start" -> "VARCHAR",
+                "timestamp_end" -> "VARCHAR",
+                "timestamp_export" -> "VARCHAR"))}"""),
+      doc = "reference golden replay: NAT-event aggregate + export time" +
+        " (test 100 scenario-01)")
   )
 }
