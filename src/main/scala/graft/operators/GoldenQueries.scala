@@ -4495,6 +4495,71 @@ object GoldenQueries {
                 "timestamp_end" -> "VARCHAR",
                 "timestamp_export" -> "VARCHAR"))}"""),
       doc = "reference golden replay: NAT-event aggregate + export time" +
-        " (test 100 scenario-01)")
+        " (test 100 scenario-01)"),
+
+    // tests/500 scenario-01 (own golden): the same feed and aggregate as
+    // q218, with as_path_encode_as_array / bgp_comms_encode_as_array
+    // DROPPED — the BGP attribute fields render as single strings whose
+    // separators are underscores (compose_json_std_comm / _as_path,
+    // plugin_cmn_json.c:741-810: the stored space-joined form with ' '
+    // substituted by '_'). The replay reuses q218's correlated plan and
+    // maps its canonical comma-joined attribute columns to the string
+    // render; the oracle reads the scenario's own golden with the
+    // fields typed as plain VARCHARs.
+    Q("q261_golden_bgp_string_render",
+      (s, _) => {
+        val base = all.find(_.name == "q218_golden_flow_bgp").get
+          .run(s, "")
+        Seq("comms", "ecomms", "as_path", "comms_src", "ecomms_src",
+          "as_path_src").foldLeft(base) { (df, c) =>
+          df.withColumn(c, translate(col(c), ",", "_"))
+        }
+      },
+      Some(s"""SELECT peer_ip_src, ip_src, ip_dst, port_src, port_dst,
+            iface_in, iface_out, tos, ip_proto, fwd_status,
+            mpls_vpn_rd, mpls_vpn_rd_origin,
+            coalesce(array_to_string(tcp_flags, ','), '') AS tcp_flags,
+            packets, bytes, etype,
+            coalesce(comms, '') AS comms,
+            coalesce(ecomms, '') AS ecomms,
+            coalesce(as_path, '') AS as_path,
+            coalesce(comms_src, '') AS comms_src,
+            coalesce(ecomms_src, '') AS ecomms_src,
+            coalesce(as_path_src, '') AS as_path_src,
+            net_src, net_dst, mask_src, mask_dst,
+            coalesce(array_to_string(srv6_seg_ipv6_list, ','), '')
+              AS srv6_seg_ipv6_list,
+            coalesce(vrf_name, '') AS vrf_name,
+            coalesce(tunnel_ip_src, '') AS tunnel_ip_src,
+            coalesce(tunnel_ip_dst, '') AS tunnel_ip_dst,
+            tunnel_ip_proto, timestamp_start,
+            g.custom_primitives.vrf_id_ingress AS cp_vrf_id_ingress,
+            g.custom_primitives.vrf_id_egress AS cp_vrf_id_egress,
+            g.label.nkey AS label_nkey, g.label.pkey AS label_pkey
+            FROM read_json(
+              '$T/500-IPFIXv10-BGP-CISCO-SRv6/scenario-01/output-flow-00.json',
+              format='newline_delimited', columns={
+                'peer_ip_src':'VARCHAR', 'ip_src':'VARCHAR',
+                'ip_dst':'VARCHAR', 'port_src':'BIGINT',
+                'port_dst':'BIGINT', 'iface_in':'BIGINT',
+                'iface_out':'BIGINT', 'tos':'BIGINT',
+                'ip_proto':'VARCHAR', 'fwd_status':'VARCHAR',
+                'mpls_vpn_rd':'VARCHAR', 'mpls_vpn_rd_origin':'VARCHAR',
+                'tcp_flags':'VARCHAR[]', 'packets':'BIGINT',
+                'bytes':'BIGINT', 'etype':'VARCHAR',
+                'comms':'VARCHAR', 'ecomms':'VARCHAR',
+                'as_path':'VARCHAR', 'comms_src':'VARCHAR',
+                'ecomms_src':'VARCHAR', 'as_path_src':'VARCHAR',
+                'net_src':'VARCHAR', 'net_dst':'VARCHAR',
+                'mask_src':'BIGINT', 'mask_dst':'BIGINT',
+                'srv6_seg_ipv6_list':'VARCHAR[]', 'vrf_name':'VARCHAR',
+                'tunnel_ip_src':'VARCHAR', 'tunnel_ip_dst':'VARCHAR',
+                'tunnel_ip_proto':'VARCHAR',
+                'timestamp_start':'VARCHAR',
+                'custom_primitives':
+                  'STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)',
+                'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)'}) g"""),
+      doc = "reference golden replay: BGP attrs string render" +
+        " (test 500 scenario-01)")
   )
 }
