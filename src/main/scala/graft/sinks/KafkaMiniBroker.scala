@@ -40,6 +40,30 @@ final class KafkaMiniBroker {
     var logEnd: Long = 0L
   }
 
+  /** One transactional.id's coordinator state (KIP-98 subset): the
+    * current (producerId, producerEpoch), the OPEN transaction's
+    * buffered batches (invisible to fetch until EndTxn commit — the
+    * read_committed contract, realized here by staging instead of the
+    * real broker's abort-marker/LSO machinery), and the committed flag
+    * that makes a replayed commit idempotent (error 48, which a
+    * recovering writer treats as already-done — the Flink/Kafka-sink
+    * restore protocol). */
+  private final class TxnState {
+    var pid: Long = -1L
+    var epoch: Short = 0
+    val buffered = mutable.ArrayBuffer[(String, Int, Array[Byte])]()
+    var committed = false
+  }
+  private val txns = mutable.Map[String, TxnState]()
+  private val pidToTxn = mutable.Map[Long, String]()
+  private var nextPid = 1000L
+  /** (committed, aborted-or-fence-discarded, fenced-request) counters —
+    * the gate's txn lanes. */
+  @volatile private var txnCommitted = 0
+  @volatile private var txnAborted = 0
+  @volatile private var txnFenced = 0
+  def txnStats: (Int, Int, Int) = (txnCommitted, txnAborted, txnFenced)
+
   private val logs = mutable.Map[(String, Int), PartitionLog]()
   private var server: ServerSocket = _
   @volatile private var running = false
@@ -181,9 +205,87 @@ final class KafkaMiniBroker {
                   // later fetch of the partition — refuse it at the door
                   // (errorCode 2 = CORRUPT_MESSAGE), never store it.
                   if (batch.length < 61) (t, p, 2.toShort, -1L)
-                  else (t, p, 0.toShort, append(t, p, batch))
+                  else {
+                    val (pid, ep, isTxn) = KafkaWire.batchTxnInfo(batch)
+                    if (isTxn) {
+                      // transactional produce: validate identity, stage
+                      // until EndTxn — never visible to fetch before the
+                      // commit (read_committed)
+                      txns.synchronized {
+                        pidToTxn.get(pid).map(txns) match {
+                          case Some(st) if st.pid == pid &&
+                              st.epoch.toInt == ep =>
+                            if (st.committed) (t, p, 48.toShort, -1L)
+                            else {
+                              st.buffered += ((t, p, batch)); (t, p, 0.toShort, -1L)
+                            }
+                          case Some(_) =>
+                            txnFenced += 1; (t, p, 47.toShort, -1L)
+                          case None =>
+                            // a fenced producer's pid was evicted on
+                            // re-init — same rejection, same count
+                            txnFenced += 1; (t, p, 47.toShort, -1L)
+                        }
+                      }
+                    }
+                    else (t, p, 0.toShort, append(t, p, batch))
+                  }
                 }
                 KafkaWire.encodeProduceResponse(req.correlationId, acks)
+              case None => null
+            }
+          case 22 =>
+            KafkaWire.parseInitProducerId(payload) match {
+              case Some((corr, _, txnId)) =>
+                txns.synchronized {
+                  val st = txns.getOrElseUpdate(txnId, new TxnState)
+                  if (st.pid >= 0) pidToTxn.remove(st.pid)
+                  // re-init FENCES any live producer of this id: epoch
+                  // bumps and the zombie's open transaction is discarded
+                  // (the recovery path a crashed writer's retry takes)
+                  if (st.buffered.nonEmpty) txnAborted += 1
+                  st.buffered.clear()
+                  st.pid = nextPid; nextPid += 1
+                  st.epoch = (st.epoch + 1).toShort
+                  pidToTxn(st.pid) = txnId
+                  KafkaWire.encodeInitProducerIdResponse(corr, 0, st.pid,
+                    st.epoch.toInt)
+                }
+              case None => null
+            }
+          case 26 =>
+            KafkaWire.parseEndTxn(payload) match {
+              case Some((corr, txnId, pid, ep, commit)) =>
+                txns.synchronized {
+                  txns.get(txnId) match {
+                    case Some(st) if st.pid == pid &&
+                        st.epoch.toInt == ep =>
+                      if (st.committed)
+                        KafkaWire.encodeEndTxnResponse(corr, 48)
+                      else if (commit) {
+                        // atomic visibility: batches append in produce
+                        // order under the txn lock, then the commit-once
+                        // marker makes any replay idempotent
+                        st.buffered.foreach { case (t, p, b) =>
+                          append(t, p, b)
+                        }
+                        st.buffered.clear()
+                        st.committed = true
+                        txnCommitted += 1
+                        KafkaWire.encodeEndTxnResponse(corr, 0)
+                      } else {
+                        if (st.buffered.nonEmpty) txnAborted += 1
+                        st.buffered.clear()
+                        KafkaWire.encodeEndTxnResponse(corr, 0)
+                      }
+                    case Some(_) =>
+                      // stale epoch: a fenced zombie trying to commit
+                      txnFenced += 1
+                      KafkaWire.encodeEndTxnResponse(corr, 47)
+                    case None =>
+                      KafkaWire.encodeEndTxnResponse(corr, 48)
+                  }
+                }
               case None => null
             }
           case 1 =>
@@ -328,6 +430,25 @@ object KafkaMiniBroker {
       }
     } finally sock.close()
   }
+
+  /** Transactional producer handshake over an open connection:
+    * InitProducerId for the transactional.id → (producerId, epoch).
+    * Re-initializing the same id fences any live producer holding it. */
+  def initProducer(in: DataInputStream, out: DataOutputStream,
+                   txnId: String): (Long, Int) = {
+    val (err, pid, epoch) = KafkaWire.decodeInitProducerIdResponse(
+      exchange(in, out, KafkaWire.encodeInitProducerId(0, "graft_txn",
+        txnId)))
+    require(err == 0, s"InitProducerId failed: error $err")
+    (pid, epoch)
+  }
+
+  /** EndTxn round trip; returns the error code (0 ok, 47 fenced,
+    * 48 invalid state = already committed / unknown). */
+  def endTxn(in: DataInputStream, out: DataOutputStream, txnId: String,
+             pid: Long, epoch: Int, commit: Boolean): Int =
+    KafkaWire.decodeEndTxnResponse(exchange(in, out,
+      KafkaWire.encodeEndTxn(1, "graft_txn", txnId, pid, epoch, commit)))
 
   /** The consumer's discovery round: Metadata for the partition map +
     * ListOffsets(latest) per partition, over one connection — what a

@@ -68,18 +68,25 @@ object KafkaWire {
 
   // ---- record batch v2 ----------------------------------------------
 
-  /** Encode a RecordBatch v2 (magic 2) with CRC32C. */
-  def encodeBatch(records: Seq[Record], baseTs: Long): Array[Byte] = {
+  /** Encode a RecordBatch v2 (magic 2) with CRC32C. Transactional
+    * batches (KIP-98) carry the producer id/epoch assigned by
+    * InitProducerId and set attributes bit 4 — the broker validates the
+    * epoch (zombie fencing) and the batch stays invisible to consumers
+    * until the EndTxn commit. */
+  def encodeBatch(records: Seq[Record], baseTs: Long,
+                  producerId: Long = -1L, producerEpoch: Int = -1,
+                  transactional: Boolean = false): Array[Byte] = {
     val body = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { body += (v >> 8).toByte; body += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s =>
       body += (v >> s).toByte)
     def i64(v: Long): Unit = (56 to 0 by -8).foreach(s =>
       body += (v >> s).toByte)
-    i16(0)                       // attributes: no compression
+    i16(if (transactional) 0x10 else 0) // attributes: bit 4 = txn
     i32(records.size - 1)        // lastOffsetDelta
     i64(baseTs); i64(baseTs)     // base/max timestamp
-    i64(-1L); i16(-1); i32(-1)   // producer id/epoch, base sequence
+    i64(producerId); i16(producerEpoch)
+    i32(if (transactional) 0 else -1)   // base sequence
     i32(records.size)
     records.zipWithIndex.foreach { case (r, i) =>
       val rec = mutable.ArrayBuffer[Byte]()
@@ -105,6 +112,16 @@ object KafkaWire {
     head.putInt(crc.getValue.toInt)        // CRC32C over attributes..end
     head.put(body.toArray)
     head.array()
+  }
+
+  /** The producer identity stamped in a RecordBatch v2 header:
+    * (producerId@43, producerEpoch@51, transactional attributes bit).
+    * What the broker reads to validate a transactional produce. */
+  def batchTxnInfo(bytes: Array[Byte]): (Long, Int, Boolean) = {
+    if (bytes.length < 61) return (-1L, -1, false)
+    val buf = ByteBuffer.wrap(bytes)
+    val attrs = buf.getShort(21)
+    (buf.getLong(43), buf.getShort(51).toInt, (attrs & 0x10) != 0)
   }
 
   /** Decode + CRC-verify a RecordBatch v2; malformed or CRC-bad batches
@@ -160,7 +177,9 @@ object KafkaWire {
   /** One Produce v9 request (flexible encoding) carrying the batches,
     * size-prefixed like the socket bytes. */
   def encodeProduce(correlationId: Int, clientId: String,
-                    batches: Seq[PartitionBatch], baseTs: Long)
+                    batches: Seq[PartitionBatch], baseTs: Long,
+                    txnId: Option[String] = None,
+                    producerId: Long = -1L, producerEpoch: Int = -1)
       : Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
@@ -176,7 +195,12 @@ object KafkaWire {
     i16(cid.length); b ++= cid             // header client_id: non-compact
     writeUVarint(b, 0)                     // header tagged fields
     // body
-    writeUVarint(b, 0)                     // transactional_id: null
+    txnId match {                          // transactional_id
+      case Some(t) =>
+        val tb = t.getBytes("UTF-8")
+        writeUVarint(b, tb.length + 1); b ++= tb
+      case None => writeUVarint(b, 0)      // null
+    }
     i16(1)                                 // acks
     i32(30000)                             // timeout_ms
     val byTopic = batches.groupBy(_.topic).toSeq.sortBy(_._1)
@@ -186,7 +210,8 @@ object KafkaWire {
       writeUVarint(b, parts.size + 1)
       parts.sortBy(_.partition).foreach { p =>
         i32(p.partition)
-        val batch = encodeBatch(p.records, baseTs)
+        val batch = encodeBatch(p.records, baseTs, producerId,
+          producerEpoch, transactional = txnId.isDefined)
         writeUVarint(b, batch.length + 1)  // compact nullable bytes
         b ++= batch
         writeUVarint(b, 0)                 // partition tagged fields
@@ -211,7 +236,8 @@ object KafkaWire {
     * covers attributes..end and deliberately EXCLUDES baseOffset /
     * batchLength / epoch, which is what makes the rewrite legal). */
   final case class RawProduce(correlationId: Int, clientId: String,
-                              batches: Seq[(String, Int, Array[Byte])])
+                              batches: Seq[(String, Int, Array[Byte])],
+                              txnId: Option[String] = None)
 
   /** Parse one Produce v9 request payload (no size prefix). Returns None
     * for a different api key/version or a malformed body. */
@@ -224,7 +250,9 @@ object KafkaWire {
     val cid = takeBytes(buf, cidLen)
     readUVarint(buf)                       // header tagged fields
     val txLen = readUVarint(buf)
-    if (txLen > 1) buf.position(buf.position() + txLen - 1)
+    val txnId =
+      if (txLen > 1) Some(new String(takeBytes(buf, txLen - 1), "UTF-8"))
+      else None
     buf.getShort(); buf.getInt()           // acks, timeout
     val out = mutable.Buffer[(String, Int, Array[Byte])]()
     val nTopics = readUVarint(buf) - 1
@@ -241,8 +269,98 @@ object KafkaWire {
       }
       readUVarint(buf)                     // topic tagged fields
     }
-    Some(RawProduce(corr, new String(cid, "UTF-8"), out.toSeq))
+    Some(RawProduce(corr, new String(cid, "UTF-8"), out.toSeq, txnId))
   } catch { case _: Exception => None }
+
+  // ---- transactions: InitProducerId v0 + EndTxn v0 (KIP-98) ----------
+
+  /** InitProducerId v0 (api 22): register/resume the transactional.id,
+    * get a (producerId, producerEpoch) pair. Re-initializing an id bumps
+    * the epoch — the zombie-fencing primitive. */
+  def encodeInitProducerId(corr: Int, clientId: String,
+                           txnId: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i16(22); i16(0); i32(corr)
+    val cid = clientId.getBytes("UTF-8"); i16(cid.length); b ++= cid
+    val t = txnId.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(60000)                             // transaction_timeout_ms
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, clientId, transactionalId). */
+  def parseInitProducerId(payload: Array[Byte])
+      : Option[(Int, String, String)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 22 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    val cid = takeBytes(buf, buf.getShort() & 0xffff)
+    val txn = takeBytes(buf, buf.getShort() & 0xffff)
+    Some((corr, new String(cid, "UTF-8"), new String(txn, "UTF-8")))
+  } catch { case _: Exception => None }
+
+  /** InitProducerId v0 response: error, producerId, producerEpoch. */
+  def encodeInitProducerIdResponse(corr: Int, error: Int, pid: Long,
+                                   epoch: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 4 + 4 + 2 + 8 + 2)
+    b.putInt(20); b.putInt(corr); b.putInt(0) // size, corr, throttle
+    b.putShort(error.toShort); b.putLong(pid); b.putShort(epoch.toShort)
+    b.array()
+  }
+
+  /** Client-side: (error, producerId, producerEpoch). */
+  def decodeInitProducerIdResponse(payload: Array[Byte])
+      : (Int, Long, Int) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt(); buf.getInt()             // corr, throttle
+    (buf.getShort().toInt, buf.getLong(), buf.getShort().toInt)
+  }
+
+  /** EndTxn v0 (api 26): commit or abort the open transaction of
+    * (transactional.id, producerId, producerEpoch). */
+  def encodeEndTxn(corr: Int, clientId: String, txnId: String,
+                   pid: Long, epoch: Int, commit: Boolean): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i16(26); i16(0); i32(corr)
+    val cid = clientId.getBytes("UTF-8"); i16(cid.length); b ++= cid
+    val t = txnId.getBytes("UTF-8"); i16(t.length); b ++= t
+    i64(pid); i16(epoch)
+    b += (if (commit) 1 else 0).toByte
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, txnId, pid, epoch, commit). */
+  def parseEndTxn(payload: Array[Byte])
+      : Option[(Int, String, Long, Int, Boolean)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 26 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff)  // client id
+    val txn = takeBytes(buf, buf.getShort() & 0xffff)
+    val pid = buf.getLong(); val epoch = buf.getShort().toInt
+    val commit = buf.get() != 0
+    Some((corr, new String(txn, "UTF-8"), pid, epoch, commit))
+  } catch { case _: Exception => None }
+
+  /** EndTxn v0 response: throttle + error. */
+  def encodeEndTxnResponse(corr: Int, error: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 4 + 4 + 2)
+    b.putInt(10); b.putInt(corr); b.putInt(0)
+    b.putShort(error.toShort); b.array()
+  }
+
+  /** Client-side: the error code (0 ok; 47 fenced; 48 invalid state). */
+  def decodeEndTxnResponse(payload: Array[Byte]): Int = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt(); buf.getInt()
+    buf.getShort().toInt
+  }
 
   /** Produce v9 response (flexible; response header v1): per-partition
     * (topic, partition, error, baseOffset). Size-prefixed socket bytes.

@@ -761,6 +761,129 @@ object StreamingQueries {
                     UNION ALL
                     SELECT CAST(floor(value * 100) AS BIGINT)
                       FROM events WHERE user_id % 27 = 0)"""),
-      doc = "DataSourceV2 Kafka source: checkpointed exactly-once resume")
+      doc = "DataSourceV2 Kafka source: checkpointed exactly-once resume"),
+
+    // q251's write-side twin: the exactly-once transactional SINK
+    // (sinks/KafkaMiniSink — DataSourceV2 StreamingWrite over the
+    // KIP-98 wire subset: InitProducerId / transactional Produce /
+    // EndTxn). The gate drives every leg of the exactly-once argument
+    // against the live broker:
+    //  1. a ZOMBIE attempt stages records under the exact
+    //     transactional.id the stream's (epoch 0, partition 0) writer
+    //     will use, then "dies" uncommitted — the stream's writer must
+    //     fence it (InitProducerId epoch bump discards the stage), so
+    //     the zombie's rows MUST NOT appear in the consumed log;
+    //  2. the streaming query writes the corpus through per-task
+    //     transactions (4 spark partitions → 4 txns, records hashed
+    //     across 2 kafka partitions, atomic cross-partition commits);
+    //  3. the zombie's stale EndTxn is rejected (47, fenced lane);
+    //  4. an epoch REPLAY (driver restart before checkpoint) is
+    //     simulated by re-running a committed txn id: produce and
+    //     commit both answer 48 — the already-committed signal the
+    //     writer treats as done (no duplicates);
+    //  5. read_committed: everything consumed comes from committed
+    //     transactions only; totals reconcile against the events table.
+    Q("q262_kafka_txn_sink",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base262 = java.nio.file.Files.createTempDirectory("q262_txn")
+        val ckpt = base262.resolve("ckpt").toString
+        val store = base262.resolve("landed").toString
+        val topic = "acct_txn"
+        val lanes = try {
+          // 1. the zombie attempt: stages 5 rows under e0-p0, no commit
+          val (zs, zin, zout) = KafkaMiniBroker.connect(port)
+          val (zpid, zep) = KafkaMiniBroker.initProducer(zin, zout,
+            "q262-e0-p0")
+          val zacks = KafkaWire.decodeProduceResponse(
+            KafkaMiniBroker.exchange(zin, zout, KafkaWire.encodeProduce(
+              0, "zombie", Seq(KafkaWire.PartitionBatch(topic, 0,
+                (1 to 5).map(i => KafkaWire.Record(s"ghost$i",
+                  s"ghost$i".getBytes("UTF-8"))))), 1L,
+              txnId = Some("q262-e0-p0"), producerId = zpid,
+              producerEpoch = zep)))
+          require(zacks.forall(_._3 == 0), "zombie stage rejected")
+
+          // 2. the stream: events → (key, value) → transactional sink
+          val schema = s.read.parquet(s"$d/events.parquet").schema
+          val q = Tables.normalizeEventTs(
+              s.readStream.schema(schema).parquet(s"$d/events.*"))
+            .selectExpr("event_type as key",
+              "cast(concat(cast(user_id as string), ':', " +
+                "cast(cast(floor(value * 100) as bigint) as string)) " +
+                "as binary) as value")
+            .repartition(4)
+            .writeStream.format("graft.sinks.KafkaMiniSink")
+            .option("port", port.toString).option("topic", topic)
+            .option("partitions", "2").option("txnprefix", "q262")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+
+          // 3. the zombie wakes up and tries to commit: fenced
+          val zErr = KafkaMiniBroker.endTxn(zin, zout, "q262-e0-p0",
+            zpid, zep, commit = true)
+          zs.close()
+
+          // 4. epoch replay: the same txn id re-runs end to end — both
+          // produce and commit must answer 48 (already committed)
+          val (rs, rin, rout) = KafkaMiniBroker.connect(port)
+          val (rpid, rep) = KafkaMiniBroker.initProducer(rin, rout,
+            "q262-e0-p0")
+          val racks = KafkaWire.decodeProduceResponse(
+            KafkaMiniBroker.exchange(rin, rout, KafkaWire.encodeProduce(
+              0, "replay", Seq(KafkaWire.PartitionBatch(topic, 0,
+                Seq(KafkaWire.Record("dup", "dup".getBytes("UTF-8"))))),
+              1L, txnId = Some("q262-e0-p0"), producerId = rpid,
+              producerEpoch = rep)))
+          val rErr = KafkaMiniBroker.endTxn(rin, rout, "q262-e0-p0",
+            rpid, rep, commit = true)
+          rs.close()
+
+          // 5. read_committed consume of both partitions, distributed
+          val ends = broker.partitionEnds.filter(_._1 == topic)
+          val landed = s.sparkContext
+            .parallelize(ends, math.max(1, ends.size))
+            .mapPartitions { parts =>
+              parts.flatMap { case (t, p, hw) =>
+                KafkaMiniBroker.consume(port, t, p, hw).map {
+                  case (_, r) =>
+                    val v = new String(r.value, "UTF-8")
+                    (r.key, v.split(':')(1).toLong)
+                }
+              }
+            }.toDF("key", "b")
+          landed.write.mode("overwrite").parquet(store)
+          val (c, a, f) = broker.txnStats
+          Seq(
+            ("txn", "committed", c.toLong, 0L),
+            ("txn", "zombie_stage_discarded", a.toLong, 0L),
+            ("txn", "fenced", f.toLong, if (zErr == 47) 1L else 0L),
+            ("txn", "replay_already_committed",
+              racks.count(_._3 == 48).toLong,
+              if (rErr == 48) 1L else 0L))
+            .toDF("kind", "key", "n", "v")
+        } finally broker.close()
+        s.read.parquet(store).groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum("b").as("v"))
+          .select(lit("flow").as("kind"), col("key"), col("n"), col("v"))
+          .unionByName(lanes)
+      },
+      Some("""SELECT 'flow' AS kind, event_type AS key, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS v
+              FROM events GROUP BY 2
+            UNION ALL SELECT 'txn', 'committed',
+              CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL SELECT 'txn', 'zombie_stage_discarded', 1, 0
+            UNION ALL SELECT 'txn', 'fenced', 1, 1
+            UNION ALL SELECT 'txn', 'replay_already_committed', 1, 1"""),
+      doc = "DataSourceV2 Kafka sink: transactional exactly-once write" +
+        " (fencing, atomic commit, replay dedup)")
   )
 }

@@ -420,4 +420,90 @@ class DaemonCodecSpec extends AnyFunSuite {
       assert(server.snapshot == Seq(("k1", "v3", 3L), ("k2", "x", 1L)))
     } finally server.close()
   }
+
+  // KIP-98 subset: the transactional protocol the exactly-once sink
+  // rides (KafkaMiniSink). Wire round-trips + the broker's coordinator
+  // semantics: staging until commit, atomic visibility, abort discard,
+  // zombie fencing on re-init, stale-epoch rejection, commit-once.
+  test("Kafka transactions: fencing, atomic commit, commit-once") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    import graft.sinks.KafkaWire.{PartitionBatch, Record}
+
+    // wire round-trips
+    val ip = KafkaWire.encodeInitProducerId(7, "c", "txn-a")
+    val Some((7, "c", "txn-a")) =
+      KafkaWire.parseInitProducerId(java.util.Arrays.copyOfRange(
+        ip, 4, ip.length)): @unchecked
+    val et = KafkaWire.encodeEndTxn(8, "c", "txn-a", 55L, 3, commit = true)
+    val Some((8, "txn-a", 55L, 3, true)) =
+      KafkaWire.parseEndTxn(java.util.Arrays.copyOfRange(
+        et, 4, et.length)): @unchecked
+    val b = KafkaWire.encodeBatch(Seq(Record("k", Array[Byte](1))),
+      1L, producerId = 42L, producerEpoch = 2, transactional = true)
+    assert(KafkaWire.batchTxnInfo(b) == ((42L, 2, true)))
+    assert(KafkaWire.decodeBatch(b).map(_.key) == Seq("k")) // CRC holds
+
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      def conn() = KafkaMiniBroker.connect(port)
+      def produce(in: java.io.DataInputStream,
+                  out: java.io.DataOutputStream, txn: String, pid: Long,
+                  ep: Int, n: Int, tag: String) = {
+        KafkaWire.decodeProduceResponse(KafkaMiniBroker.exchange(in, out,
+          KafkaWire.encodeProduce(0, "spec", Seq(PartitionBatch(
+            "t", 0, (1 to n).map(i => Record(s"$tag$i",
+              s"$tag$i".getBytes)))), 1L, txnId = Some(txn),
+            producerId = pid, producerEpoch = ep)))
+      }
+      // attempt 1 opens txn, stages 3 records, dies without commit
+      val (s1, in1, out1) = conn()
+      val (pid1, ep1) = KafkaMiniBroker.initProducer(in1, out1, "w-p0")
+      assert(produce(in1, out1, "w-p0", pid1, ep1, 3, "dead").forall(_._3 == 0))
+      // nothing visible before any commit
+      assert(KafkaMiniBroker.discoverEnds(port).isEmpty)
+
+      // attempt 2 re-inits the SAME id: epoch bumps, zombie txn dropped
+      val (s2, in2, out2) = conn()
+      val (pid2, ep2) = KafkaMiniBroker.initProducer(in2, out2, "w-p0")
+      assert(pid2 != pid1 && ep2 == ep1 + 1)
+      // the zombie's stale identity is now fenced on produce and commit
+      assert(produce(in1, out1, "w-p0", pid1, ep1, 1, "z").forall(_._3 == 47))
+      assert(KafkaMiniBroker.endTxn(in1, out1, "w-p0", pid1, ep1,
+        commit = true) == 47)
+      s1.close()
+
+      // attempt 2 stages 2 records and commits: atomic visibility
+      assert(produce(in2, out2, "w-p0", pid2, ep2, 2, "live").forall(_._3 == 0))
+      assert(KafkaMiniBroker.discoverEnds(port).isEmpty) // still staged
+      assert(KafkaMiniBroker.endTxn(in2, out2, "w-p0", pid2, ep2,
+        commit = true) == 0)
+      val keys = KafkaMiniBroker.consume(port, "t", 0, 2L)
+        .map(_._2.key).toSeq
+      assert(keys == Seq("live1", "live2")) // zombie rows never landed
+
+      // replayed epoch: re-commit answers 48 (already committed), and a
+      // produce into the committed txn is refused with 48 too
+      assert(KafkaMiniBroker.endTxn(in2, out2, "w-p0", pid2, ep2,
+        commit = true) == 48)
+      val (s3, in3, out3) = conn()
+      val (pid3, ep3) = KafkaMiniBroker.initProducer(in3, out3, "w-p0")
+      assert(produce(in3, out3, "w-p0", pid3, ep3, 1, "re").forall(_._3 == 48))
+      assert(KafkaMiniBroker.endTxn(in3, out3, "w-p0", pid3, ep3,
+        commit = true) == 48)
+      s3.close(); s2.close()
+
+      // abort path: stage then abort leaves the log untouched
+      val (s4, in4, out4) = conn()
+      val (pid4, ep4) = KafkaMiniBroker.initProducer(in4, out4, "w-p1")
+      assert(produce(in4, out4, "w-p1", pid4, ep4, 2, "ab").forall(_._3 == 0))
+      assert(KafkaMiniBroker.endTxn(in4, out4, "w-p1", pid4, ep4,
+        commit = false) == 0)
+      s4.close()
+      assert(KafkaMiniBroker.consume(port, "t", 0, 2L).size == 2)
+
+      val (c, a, f) = broker.txnStats
+      assert(c == 1 && a == 2 && f >= 2, s"stats=($c,$a,$f)")
+    } finally broker.close()
+  }
 }
