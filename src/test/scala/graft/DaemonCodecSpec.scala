@@ -389,6 +389,39 @@ class DaemonCodecSpec extends AnyFunSuite {
     assert(KafkaWire.parseProduce(produce).exists(_.correlationId == 7))
     assert(KafkaWire.parseFetch(fetch).exists(r =>
       r.topic == "t" && r.offset == 5L))
+
+    // the transaction APIs get the same treatment: truncations + flips
+    val init = KafkaWire.encodeInitProducerId(9, "fuzz", "txn-x").drop(4)
+    val endt = KafkaWire.encodeEndTxn(10, "fuzz", "txn-x", 5L, 1,
+      commit = true).drop(4)
+    (0 until init.length).foreach(c =>
+      KafkaWire.parseInitProducerId(init.take(c)))
+    (0 until endt.length).foreach(c => KafkaWire.parseEndTxn(endt.take(c)))
+    (0 until 500).foreach { _ =>
+      val a = init.clone()
+      a(rnd.nextInt(a.length)) =
+        (a(rnd.nextInt(a.length)) ^ (1 << rnd.nextInt(8))).toByte
+      KafkaWire.parseInitProducerId(a)
+      val e = endt.clone()
+      e(rnd.nextInt(e.length)) =
+        (e(rnd.nextInt(e.length)) ^ (1 << rnd.nextInt(8))).toByte
+      KafkaWire.parseEndTxn(e)
+    }
+    assert(KafkaWire.parseInitProducerId(init)
+      .exists(x => x._1 == 9 && x._3 == "txn-x"))
+    assert(KafkaWire.parseEndTxn(endt)
+      .exists(x => x._2 == "txn-x" && x._5))
+    // a transactional produce from an unknown producer id must be
+    // refused by the broker without touching the log — covered at the
+    // state-machine level by the transactions test; here just prove the
+    // txn fields survive the produce parse round trip
+    val tp = KafkaWire.encodeProduce(11, "fuzz", Seq(
+      PartitionBatch("t", 0, Seq(Record("k", "v".getBytes)))), 1L,
+      txnId = Some("txn-x"), producerId = 99L, producerEpoch = 2).drop(4)
+    val parsed = KafkaWire.parseProduce(tp)
+    assert(parsed.exists(_.txnId.contains("txn-x")))
+    assert(parsed.exists(p =>
+      KafkaWire.batchTxnInfo(p.batches.head._3) == ((99L, 2, true))))
   }
 
   test("RespMiniServer: SETEX keyspace, down/up cycle, severed conns") {
