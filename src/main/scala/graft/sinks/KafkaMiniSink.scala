@@ -65,7 +65,8 @@ object KafkaMiniSink {
     override def name(): String = s"kafka-mini-sink($topic)"
     override def schema(): StructType = KafkaMiniSink.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.STREAMING_WRITE)
+      util.EnumSet.of(TableCapability.STREAMING_WRITE,
+        TableCapability.BATCH_WRITE)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val cols = info.schema().fields.map(_.name).toSeq
       require(cols == Seq("key", "value"),
@@ -74,6 +75,23 @@ object KafkaMiniSink {
         override def build(): Write = new Write {
           override def toStreaming: StreamingWrite =
             new TxnStreamingWrite(port, topic, nParts, prefix)
+          // batch writes ride the same per-task transactions under a
+          // fixed epoch tag — a re-run of the same job (same prefix)
+          // dedups via the commit-once markers exactly like a replayed
+          // streaming epoch
+          override def toBatch: org.apache.spark.sql.connector.write
+              .BatchWrite =
+            new org.apache.spark.sql.connector.write.BatchWrite {
+              override def createBatchWriterFactory(
+                  info: PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write
+                    .DataWriterFactory =
+                new TxnBatchWriterFactory(port, topic, nParts, prefix)
+              override def commit(
+                  messages: Array[WriterCommitMessage]): Unit = ()
+              override def abort(
+                  messages: Array[WriterCommitMessage]): Unit = ()
+            }
         }
       }
     }
@@ -105,6 +123,17 @@ object KafkaMiniSink {
                               epochId: Long): DataWriter[InternalRow] =
       new TxnWriter(port, topic, nParts,
         s"$prefix-e$epochId-p$partitionId")
+  }
+
+  /** Batch-path factory: the same transactional writers pinned to
+    * epoch 0 — a job rerun with the same prefix replays the same txn
+    * ids and dedups on the commit-once markers. */
+  private final class TxnBatchWriterFactory(port: Int, topic: String,
+                                            nParts: Int, prefix: String)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int,
+                              taskId: Long): DataWriter[InternalRow] =
+      new TxnWriter(port, topic, nParts, s"$prefix-e0-p$partitionId")
   }
 
   /** One task's transactional writer. Buffers rows, then on commit runs

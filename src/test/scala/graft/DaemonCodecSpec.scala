@@ -424,6 +424,39 @@ class DaemonCodecSpec extends AnyFunSuite {
       KafkaWire.batchTxnInfo(p.batches.head._3) == ((99L, 2, true))))
   }
 
+  // The sink's batch path: same per-task transactions under epoch 0 —
+  // re-running the identical job (same txn prefix) must be a no-op via
+  // the commit-once markers, the batch twin of the streaming replay leg
+  // q262 gates.
+  test("KafkaMiniSink batch write is transactional and rerun-idempotent") {
+    import graft.sinks.KafkaMiniBroker
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      def writeOnce(): Unit =
+        (1 to 10).map(i => (s"k$i", s"v$i".getBytes("UTF-8")))
+          .toDF("key", "value").repartition(2)
+          .write.format("graft.sinks.KafkaMiniSink")
+          .option("port", port.toString).option("topic", "bt")
+          .option("partitions", "2").option("txnprefix", "batch-x")
+          .mode("append").save()
+      writeOnce()
+      def landed(): Seq[String] = broker.partitionEnds
+        .filter(_._1 == "bt")
+        .flatMap { case (t, p, hw) =>
+          KafkaMiniBroker.consume(port, t, p, hw).map(_._2.key)
+        }
+      val first = landed()
+      assert(first.sorted == (1 to 10).map(i => s"k$i").sorted.toSeq)
+      writeOnce() // identical rerun: fenced into the committed markers
+      assert(landed().size == 10, "rerun duplicated the batch")
+      val (c, _, _) = broker.txnStats
+      assert(c == 2) // one commit per nonempty partition, first run only
+    } finally broker.close()
+  }
+
   test("RespMiniServer: SETEX keyspace, down/up cycle, severed conns") {
     import graft.sinks.{Resp, RespMiniServer}
     val server = new RespMiniServer
