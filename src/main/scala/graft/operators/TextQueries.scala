@@ -494,6 +494,59 @@ object TextQueries {
                 AS BIGINT) AS n_keep
             FROM r GROUP BY source""")
       },
-      doc = "Gopher quality-rule battery (Rae et al. 2021 Appendix A)")
+      doc = "Gopher quality-rule battery (Rae et al. 2021 Appendix A)"),
+
+    // Count-Min-sketch heavy hitters — the third mergeable sketch in
+    // the family (bloom q61, HLL q90): one corpus pass builds the CMS
+    // via Spark's codegen'd `count_min_sketch` aggregate (map-side
+    // partial merge — the mergeability IS the 100 TB shape: per-
+    // partition sketches combine associatively, the driver holds one
+    // ~KB blob, never the token stream). The candidate set is the
+    // small distinct-token table (the same tiny-dimension shape q31's
+    // vocab uses); each candidate's sketch estimate is checked against
+    // the CMS contract — overestimate-only, within eps*N — and the
+    // gate pins zero violations plus the exact counts themselves.
+    // Driver-side probing of 50 candidates against one small sketch is
+    // sketch-API plumbing, not data movement. eps is deliberately
+    // COARSE (2%): the synthetic corpus has ~31 distinct tokens, so a
+    // fine sketch would estimate exactly; a 2%-width sketch forces real
+    // counter collisions and the gate checks the contract where it has
+    // teeth (overestimate-only, within eps * totalCount; seed pinned,
+    // so the collision pattern is deterministic on the gate data).
+    Q("q263_cms_heavy_hitters",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val toks = Tables.documents(s, d)
+          .selectExpr(s"explode($sparkToks) AS tok")
+        val skBytes = toks
+          .agg(expr("count_min_sketch(tok, 0.02d, 0.999d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val nTokens = cms.totalCount()
+        val slack = math.ceil(0.02 * nTokens).toLong
+        // top-50 by exact count, token as the deterministic tie-break
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("tok")).limit(50)
+          .as[(String, Long)].collect()
+        val rows = top.toSeq.map { case (tok, exact) =>
+          val est = cms.estimateCount(tok.getBytes("UTF-8"))
+          val bad = if (est >= exact && est - exact <= slack) 0L else 1L
+          ("hh", tok, exact, bad)
+        }
+        rows.toDF("kind", "key", "n", "v")
+          .unionByName(Seq(("sketch", "bounds", rows.size.toLong,
+            rows.map(_._4).sum)).toDF("kind", "key", "n", "v"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($duckToks) AS tok
+              FROM documents),
+            c AS (SELECT tok, count(*) AS exact FROM t GROUP BY 1
+              ORDER BY exact DESC, tok LIMIT 50)
+            SELECT 'hh' AS kind, tok AS key, exact AS n,
+              CAST(0 AS BIGINT) AS v FROM c
+            UNION ALL SELECT 'sketch', 'bounds',
+              (SELECT count(*) FROM c), 0"""),
+      doc = "Count-Min heavy hitters: mergeable sketch + eps-bound gate")
   )
 }
