@@ -547,6 +547,37 @@ object TextQueries {
               CAST(0 AS BIGINT) AS v FROM c
             UNION ALL SELECT 'sketch', 'bounds',
               (SELECT count(*) FROM c), 0"""),
-      doc = "Count-Min heavy hitters: mergeable sketch + eps-bound gate")
+      doc = "Count-Min heavy hitters: mergeable sketch + eps-bound gate"),
+
+    // Stratified EXACT-k reservoir — the curation sampler that keeps
+    // precisely k documents per stratum (q87's mixture keeps a RATE;
+    // audits and eval-set carving need exact counts): rank each doc by
+    // the engine's deterministic replayable uniform and keep the k
+    // smallest per language via the bounded per-key heap
+    // (plans/TopK.perKey) — O(k) state per stratum, no global sort, no
+    // full-partition window; the 100 TB shape. The integer NUMERATOR of
+    // the uniform is the rank key, so both engines order on exact
+    // integers (no float comparison at the boundary).
+    Q("q264_stratified_reservoir",
+      (s, d) => {
+        import graft.plans.TopK
+        val docs = Tables.documents(s, d)
+          .selectExpr("lang", "doc_id", "n_chars",
+            "-((doc_id * 2654435761L) % 1000003L + 1L) AS neg_u")
+        TopK.perKey(docs, Seq("lang"), "neg_u", "doc_id", 100)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"),
+            max(-col("neg_u")).as("edge_u"))
+      },
+      Some("""WITH u AS (SELECT lang, doc_id, n_chars,
+              (doc_id * 2654435761) % 1000003 + 1 AS u FROM documents),
+            r AS (SELECT lang, n_chars, u, row_number() OVER (
+                PARTITION BY lang ORDER BY u, doc_id) AS rn FROM u)
+            SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+              CAST(max(u) AS BIGINT) AS edge_u
+            FROM r WHERE rn <= 100 GROUP BY 1"""),
+      doc = "stratified exact-k reservoir via bounded per-key heap")
   )
 }
