@@ -118,7 +118,7 @@ object SqlBulk {
     val tup = """\(([^)]*)\)""".r
     tup.findAllMatchIn(body)
       .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("'")
-        .stripSuffix("'")))
+        .stripSuffix("'").replace("''", "'")))
       .toSeq
   }
 

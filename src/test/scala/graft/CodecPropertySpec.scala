@@ -306,4 +306,52 @@ class CodecPropertySpec extends AnyFunSuite {
       try BgpMsg.decodeStream(mut) catch { case _: Throwable => () }
     }
   }
+
+  test("SqlBulk: random rows round-trip both wire forms (100 seeds)") {
+    import graft.sinks.SqlBulk
+    for (seed <- 0 until 100) {
+      val r = new Random(seed)
+      val nCols = 2 + r.nextInt(4)
+      val cols = (0 until nCols).map(i => s"c$i")
+      def cell(): Any = r.nextInt(3) match {
+        case 0 => r.nextLong()
+        case 1 => r.nextInt(100000)
+        // strings with quotes (escaped in INSERT) but no delimiter —
+        // the COPY contract; spaces and unicode exercise the parsers
+        case _ => Seq("plain", "it's", "two words", "uber", "x" * r.nextInt(9))(r.nextInt(5)) + r.nextInt(10)
+      }
+      val rows = Seq.fill(1 + r.nextInt(20))(Seq.fill(nCols)(cell()))
+
+      // COPY: every line parses back to the rendered strings
+      rows.foreach { row =>
+        val line = SqlBulk.pgCopyLine(row)
+        assert(SqlBulk.parsePgCopyLine(line) == row.map(_.toString),
+          s"seed $seed")
+      }
+
+      // multi-values: regardless of the byte budget, the union of the
+      // parsed tuples equals the input in order, every statement fits
+      // the budget and bears the header
+      val header = SqlBulk.mysqlInsertHeader("t", cols)
+      val budget = header.length + 20 + r.nextInt(400)
+      val canFit = rows.forall(row =>
+        7 + row.map {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case x => x.toString
+        }.mkString(" (", ", ", ")").length < budget - header.length)
+      if (canFit) {
+        val stmts = SqlBulk.mysqlMultiValues("t", cols, rows.iterator,
+          budget).toSeq
+        assert(stmts.forall(st => st.startsWith(header) &&
+          st.length <= budget), s"seed $seed")
+        val parsed = stmts.flatMap(SqlBulk.parseMysqlMultiValues)
+        assert(parsed == rows.map(_.map(_.toString)), s"seed $seed")
+      } else {
+        // a row that can never fit is the documented hard error
+        assertThrows[IllegalArgumentException] {
+          SqlBulk.mysqlMultiValues("t", cols, rows.iterator, budget).toSeq
+        }
+      }
+    }
+  }
 }
