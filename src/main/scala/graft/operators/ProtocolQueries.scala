@@ -1118,16 +1118,32 @@ object ProtocolQueries {
           .select(col("exporter"), col("a_decoded"), col("b_before_feed"),
             col("b_after_feed"), col("a_bytes"), col("b_bytes"))
       },
-      Some("""SELECT user_id % 8 AS exporter,
-              count(*) AS a_decoded,
+      // B's pre-feed buffer is BOUNDED (MaxPendingPerTemplate = 64 data
+      // sets per missing template, oldest dropped — the real collector's
+      // memory guard): when the feed finally arrives, B drains only the
+      // newest 64 datagrams of the run. The oracle models exactly that —
+      // records batch 25 per datagram in (exporter, event_id) run order
+      // (SessionWalk's sort), and only the last-64-datagram tail counts
+      // toward b_after_feed/b_bytes. (Caught at sf0.1: the old oracle
+      // assumed B drains everything, which only held while a run fit the
+      // buffer.)
+      Some("""WITH e AS (SELECT user_id % 8 AS exporter,
+                CAST(floor(value * 100) AS BIGINT) AS b,
+                row_number() OVER (PARTITION BY user_id % 8
+                  ORDER BY event_id) - 1 AS rn,
+                count(*) OVER (PARTITION BY user_id % 8) AS n
+              FROM events),
+            k AS (SELECT exporter, b, rn // 25 AS dg,
+                (n + 24) // 25 AS nd FROM e)
+            SELECT exporter, count(*) AS a_decoded,
               CAST(0 AS BIGINT) AS b_before_feed,
-              count(*) AS b_after_feed,
-              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                AS a_bytes,
-              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+              count(CASE WHEN dg >= nd - 64 THEN 1 END) AS b_after_feed,
+              CAST(sum(b) AS BIGINT) AS a_bytes,
+              CAST(sum(CASE WHEN dg >= nd - 64 THEN b END) AS BIGINT)
                 AS b_bytes
-              FROM events GROUP BY 1"""),
-      doc = "templates_receiver: cross-collector template feed drains buffers"),
+              FROM k GROUP BY 1"""),
+      doc = "templates_receiver: cross-collector template feed drains" +
+        " the bounded buffer"),
 
     // aggregate_unknown_etype (CONFIG-KEYS): frames whose EtherType has
     // no L3 decoder (ARP, LLDP, proprietary) are dropped by default;
