@@ -578,6 +578,70 @@ object TextQueries {
               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
               CAST(max(u) AS BIGINT) AS edge_u
             FROM r WHERE rn <= 100 GROUP BY 1"""),
-      doc = "stratified exact-k reservoir via bounded per-key heap")
+      doc = "stratified exact-k reservoir via bounded per-key heap"),
+
+    // Approximate quantiles — the fourth sketch family (bloom q61, HLL
+    // q90, CMS q263): per-source document-length p50/p90/p99 via
+    // Spark's codegen'd `percentile_approx` (a mergeable KLL-style
+    // sketch — partial per-partition summaries combine, the 100 TB
+    // shape). Like q90's HLL band, the gate checks the sketch's OWN
+    // contract in-engine: each approximate value must sit within the
+    // rank window [floor(q*n) - n/acc, ceil(q*n) + n/acc] of the true
+    // order statistics (verified by conditional counts against the
+    // corpus, approx values broadcast back); the oracle pins zero
+    // violations plus the exact per-source stats.
+    Q("q265_quantile_sketch",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val acc = 1000
+        val docs = Tables.documents(s, d).select("source", "n_chars")
+        val approx = docs.groupBy("source")
+          .agg(expr(s"percentile_approx(n_chars, array(0.5D, 0.9D, " +
+            s"0.99D), $acc)").as("qv"))
+          .selectExpr("source", "qv[0] AS p50", "qv[1] AS p90",
+            "qv[2] AS p99")
+        val checked = docs.join(broadcast(approx), Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L))
+              .as("le50"),
+            sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L))
+              .as("lt50"),
+            sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L))
+              .as("le90"),
+            sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L))
+              .as("lt90"),
+            sum(when(col("n_chars") <= col("p99"), 1L).otherwise(0L))
+              .as("le99"),
+            sum(when(col("n_chars") < col("p99"), 1L).otherwise(0L))
+              .as("lt99"))
+        val viol = checked.selectExpr("source", "n",
+          "CAST(n / " + acc + " + 1 AS BIGINT) AS slack",
+          "CAST(floor(0.5 * n) AS BIGINT) AS r50",
+          "CAST(floor(0.9 * n) AS BIGINT) AS r90",
+          "CAST(floor(0.99 * n) AS BIGINT) AS r99",
+          "le50", "lt50", "le90", "lt90", "le99", "lt99")
+          .selectExpr("source", "n",
+            "CAST(le50 < r50 - slack OR lt50 > r50 + slack AS INT) + " +
+              "CAST(le90 < r90 - slack OR lt90 > r90 + slack AS INT) + " +
+              "CAST(le99 < r99 - slack OR lt99 > r99 + slack AS INT)" +
+              " AS violations")
+        val stats = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("v"))
+          .select(lit("stats").as("kind"), col("source").as("key"),
+            col("n"), col("v"))
+        viol.select(lit("qok").as("kind"), col("source").as("key"),
+            lit(3L).as("n"), col("violations").cast("long").as("v"))
+          .unionByName(stats)
+      },
+      Some("""SELECT 'qok' AS kind, source AS key, CAST(3 AS BIGINT)
+                AS n, CAST(0 AS BIGINT) AS v
+              FROM (SELECT DISTINCT source FROM documents) s
+            UNION ALL
+            SELECT 'stats', source, count(*),
+              CAST(sum(n_chars) AS BIGINT)
+            FROM documents GROUP BY 2"""),
+      doc = "approx-quantile sketch gated by its own rank window")
   )
 }
