@@ -440,6 +440,149 @@ object SimilarityQueries {
       doc = "ANN recall@5: IVF cell probe scored against exact kNN " +
         "(the driver's synthetic labels are similarity-uncorrelated, " +
         "so measured recall ~0.1 — the metric exposing a bad coarse " +
-        "quantizer is exactly its job)")
+        "quantizer is exactly its job)"),
+
+    // Product quantization + ADC — the memory-bound ANN scale path
+    // (Jégou et al., TPAMI 2011): the 64-dim vectors split into M=4
+    // subspaces of 16 dims, each trained with one integer-exact Lloyd
+    // round (q245's arithmetic: scaled-int coordinates, floor-div
+    // means, cid-asc tie-breaks) to K=8 centroids; every vector stores
+    // only its 4 codes. Queries score the WHOLE corpus through a
+    // per-query lookup table (query-to-centroid partial distances —
+    // the Asymmetric Distance Computation), never touching raw data
+    // vectors: at 100 TB the codes table is ~1/128th the corpus and
+    // the LUT join is a broadcast of (queries x M x K) rows. The gate
+    // mirrors the entire pipeline in DuckDB (all integer arithmetic,
+    // deterministic ties) and scores ADC top-5 against exact top-5.
+    Q("q266_pq_adc",
+      (s, d) => {
+        val sub = 16 // dims per subspace (64 / M)
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+          .withColumn("m", expr(s"pos DIV $sub")).persist()
+        val c0 = longF.filter(col("vec_id") < 8)
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        // ADC lookup table: query-to-centroid partial distances
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longF.join(
+            broadcast(qs.withColumnRenamed("m", "qm")),
+            Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val hits = exactTop.join(adcTop, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val sp = s
+        import sp.implicits._
+        val recall = qs.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(5 AS BIGINT) AS n",
+            "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val book = codes.groupBy("m")
+          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        recall.unionByName(book)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            lm AS (SELECT vec_id, pos, pos // 16 AS m, x FROM long),
+            c0 AS (SELECT m, vec_id AS cid, pos, x AS cm FROM lm
+              WHERE vec_id < 8),
+            d1 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM a1 a JOIN lm l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            d2 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m,
+                cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, m, pos, x AS qx FROM lm
+              WHERE vec_id % 97 = 0),
+            lut AS (SELECT q.qid, q.m, c.cid,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS pd
+              FROM qs q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist
+              FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            hits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN adctop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1)
+            SELECT 'recall' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n,
+              CAST(coalesce(h.h, 0) AS BIGINT) AS v
+            FROM (SELECT DISTINCT qid FROM qs) q
+            LEFT JOIN hits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'codebook', CAST(m AS VARCHAR),
+              count(DISTINCT cid), count(*)
+            FROM codes GROUP BY 2"""),
+      doc = "product quantization + ADC: coded corpus scan, integer" +
+        "-exact, recall@5 vs exact")
   )
 }
