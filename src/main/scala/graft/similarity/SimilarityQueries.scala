@@ -498,12 +498,12 @@ object SimilarityQueries {
           .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 5).select("qid", "vec_id")
-        val hits = exactTop.join(adcTop, Seq("qid", "vec_id"))
+        val hits = exactTop.join(broadcast(adcTop), Seq("qid", "vec_id"))
           .groupBy("qid").agg(count(lit(1)).as("h"))
         val sp = s
         import sp.implicits._
         val recall = qs.select("qid").distinct()
-          .join(hits, Seq("qid"), "left")
+          .join(broadcast(hits), Seq("qid"), "left")
           .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
             "CAST(5 AS BIGINT) AS n",
             "coalesce(h, CAST(0 AS BIGINT)) AS v")

@@ -163,6 +163,19 @@ class PlanSpec extends AnyFunSuite {
       s"vec_dot fell out of codegen:\n$plan")
   }
 
+  test("PQ/ADC scans the coded corpus with broadcast-only joins") {
+    val q = SparkEntry.queries("q266_pq_adc")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // centroids, codes-side LUT and the query set are all broadcast;
+    // a sort-merge join would mean the corpus (raw or coded) was
+    // shuffled against model-sized tables — the cost ADC exists to
+    // avoid
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled against model tables:\n$plan")
+  }
+
   test("broadcast-model LM scoring joins the model map-side only") {
     val q = SparkEntry.queries("q255_lm_perplexity_bcast")(spark, d)
     val plan = q.queryExecution.executedPlan.toString
