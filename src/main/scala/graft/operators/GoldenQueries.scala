@@ -2386,7 +2386,8 @@ object GoldenQueries {
             coalesce(vrf_name, '') AS vrf_name,
             timestamp_start, timestamp_end,
             $bitExpr AS fb,
-            sum(packets) AS packets, sum(bytes) AS bytes
+            CAST(sum(packets) AS BIGINT) AS packets,
+            CAST(sum(bytes) AS BIGINT) AS bytes
           FROM read_json(
             '$T/102-NFv9-CISCO-f2rd-pretag-sampling-reload/output-flow-0$phase.json',
             format='newline_delimited', columns={
@@ -4505,7 +4506,12 @@ object GoldenQueries {
     // substituted by '_'). The replay reuses q218's correlated plan and
     // maps its canonical comma-joined attribute columns to the string
     // render; the oracle reads the scenario's own golden with the
-    // fields typed as plain VARCHARs.
+    // fields typed as plain VARCHARs. LIMITATION: translate() rewrites
+    // EVERY comma, but the reference only substitutes the spaces
+    // BETWEEN path elements — an AS_SET segment ("{65001,65002}")
+    // keeps its interior commas there. This fixture's paths carry no
+    // AS_SETs, so the renders agree; a golden with one would need a
+    // separator-only split/join instead.
     Q("q261_golden_bgp_string_render",
       (s, _) => {
         val base = all.find(_.name == "q218_golden_flow_bgp").get

@@ -460,8 +460,14 @@ object SimilarityQueries {
         val n = Tables.embeddings(s, d).selectExpr("vec_id",
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
             "* 1000000) AS BIGINT)) AS v")
+        // longF is the corpus-scale exploded long-form (64 rows per
+        // vector): deliberately NOT persisted — caching corpus-scale
+        // rows outlives the query and pressures the whole session
+        // (q255's cache-leak lesson; only model-sized tables persist).
+        // Each downstream pass re-runs the cheap codegen'd
+        // scan+posexplode instead.
         val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
-          .withColumn("m", expr(s"pos DIV $sub")).persist()
+          .withColumn("m", expr(s"pos DIV $sub"))
         val c0 = longF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
         def assign(c: org.apache.spark.sql.DataFrame) = {
@@ -473,11 +479,15 @@ object SimilarityQueries {
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).select("vec_id", "m", "cid")
         }
+        // the trained codebook IS the persisted table: M*K*sub = 512
+        // rows (model-sized, like q255's cAb) — every downstream
+        // branch (codes, LUT) reuses it without re-running training
         val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
           .groupBy("m", "cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
             "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist()
         val codes = assign(c1)
         val qs = longF.filter(col("vec_id") % 97 === 0)
           .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")

@@ -75,18 +75,23 @@ object KafkaMiniSink {
         override def build(): Write = new Write {
           override def toStreaming: StreamingWrite =
             new TxnStreamingWrite(port, topic, nParts, prefix)
-          // batch writes ride the same per-task transactions under a
-          // fixed epoch tag — a re-run of the same job (same prefix)
-          // dedups via the commit-once markers exactly like a replayed
+          // batch writes ride the same per-task transactions, with the
+          // write's queryId (a fresh UUID per logical batch job) folded
+          // into the txn-id prefix: two DIFFERENT batch jobs can never
+          // collide on txn ids (a collision would hit the commit-once
+          // marker and silently drop the second job's data), while task
+          // RETRIES within one job share the queryId and still dedup
+          // via fencing + commit-once, exactly like a replayed
           // streaming epoch
           override def toBatch: org.apache.spark.sql.connector.write
               .BatchWrite =
             new org.apache.spark.sql.connector.write.BatchWrite {
               override def createBatchWriterFactory(
-                  info: PhysicalWriteInfo)
+                  pinfo: PhysicalWriteInfo)
                   : org.apache.spark.sql.connector.write
                     .DataWriterFactory =
-                new TxnBatchWriterFactory(port, topic, nParts, prefix)
+                new TxnBatchWriterFactory(port, topic, nParts,
+                  s"$prefix-j${info.queryId()}")
               override def commit(
                   messages: Array[WriterCommitMessage]): Unit = ()
               override def abort(
@@ -126,8 +131,10 @@ object KafkaMiniSink {
   }
 
   /** Batch-path factory: the same transactional writers pinned to
-    * epoch 0 — a job rerun with the same prefix replays the same txn
-    * ids and dedups on the commit-once markers. */
+    * epoch 0 under a per-job prefix (queryId folded in upstream) — a
+    * task retry within the job replays its own txn id and dedups on
+    * the commit-once marker; a separate job run gets fresh ids and
+    * appends. */
   private final class TxnBatchWriterFactory(port: Int, topic: String,
                                             nParts: Int, prefix: String)
       extends org.apache.spark.sql.connector.write.DataWriterFactory {

@@ -44,9 +44,11 @@ object SqlBulk {
     vals.map(cell(_, quote = false)).mkString(delim.toString)
   }
 
-  /** Parse a COPY line back (round-trip gate). */
+  /** Parse a COPY line back (round-trip gate). The -1 limit keeps
+    * trailing empty fields — a null last column renders as "" and must
+    * parse back with the full arity. */
   def parsePgCopyLine(line: String, delim: Char = ','): Seq[String] =
-    line.split(delim).toSeq
+    line.split(java.util.regex.Pattern.quote(delim.toString), -1).toSeq
 
   /** The multi-values statement header:
     * `INSERT INTO t (c1, ...) VALUES` (mysql_plugin.c:365-366). */
@@ -83,8 +85,13 @@ object SqlBulk {
         while (out == null && (pending != null || rows.hasNext)) {
           val row = if (pending != null) pending else renderRow(rows.next())
           pending = null
+          // mysql_plugin.c:378 admits on the FULL values_clause length
+          // alone (7 + row < remaining) — the 7-byte " VALUES" reserve
+          // already covers the 1-byte separator comma, so no extra
+          // subtraction: a boundary-length row the reference admits
+          // packs here too
           val remaining = bufBytes - sb.length
-          if (7 + row.length < remaining - (if (elems > 0) 1 else 0)) {
+          if (7 + row.length < remaining) {
             if (elems > 0) sb.append(',')
             sb.append(row)
             elems += 1

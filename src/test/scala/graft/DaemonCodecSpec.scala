@@ -424,11 +424,14 @@ class DaemonCodecSpec extends AnyFunSuite {
       KafkaWire.batchTxnInfo(p.batches.head._3) == ((99L, 2, true))))
   }
 
-  // The sink's batch path: same per-task transactions under epoch 0 —
-  // re-running the identical job (same txn prefix) must be a no-op via
-  // the commit-once markers, the batch twin of the streaming replay leg
-  // q262 gates.
-  test("KafkaMiniSink batch write is transactional and rerun-idempotent") {
+  // The sink's batch path: per-task transactions under a per-JOB txn
+  // prefix (the write's queryId is folded in). Two separate batch jobs
+  // with the same user prefix must both land — distinct queryIds mean
+  // distinct txn ids, so the second job can never be swallowed by the
+  // first job's commit-once markers (the silent-drop hazard of a fixed
+  // epoch-0 prefix). Within-job retry dedup is q262's streaming leg;
+  // here we pin the cross-job append semantics.
+  test("KafkaMiniSink batch writes: distinct jobs never collide on txn ids") {
     import graft.sinks.KafkaMiniBroker
     val spark = SparkSuite.spark
     import spark.implicits._
@@ -450,10 +453,11 @@ class DaemonCodecSpec extends AnyFunSuite {
         }
       val first = landed()
       assert(first.sorted == (1 to 10).map(i => s"k$i").sorted.toSeq)
-      writeOnce() // identical rerun: fenced into the committed markers
-      assert(landed().size == 10, "rerun duplicated the batch")
+      writeOnce() // a NEW logical job: fresh queryId, fresh txn ids
+      assert(landed().size == 20,
+        "second batch job was silently dropped by txn-id collision")
       val (c, _, _) = broker.txnStats
-      assert(c == 2) // one commit per nonempty partition, first run only
+      assert(c == 4) // one commit per nonempty partition per job
     } finally broker.close()
   }
 

@@ -77,6 +77,17 @@ def main(sfdir, outdir, only=None):
                 mism = pd.Series(mism, index=ev.index)
             elif ev.dtype == object or gv.dtype == object:
                 mism = ev.astype(str) != gv.astype(str)
+            elif ev.dtype != gv.dtype:
+                # The driver hashes cell STRING renders, so a dtype
+                # mismatch (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+                # float64 vs Spark BIGINT) renders "147.0" vs "147"
+                # and misses there. Never coerce across dtypes: compare
+                # canonical reprs so the mismatch fails HERE too. (r7:
+                # the old fall-through to pandas `!=` silently coerced
+                # int64<->float64 and let q227/q228 pass locally while
+                # the driver missed them.)
+                mism = (ev.astype(str) != gv.astype(str)) \
+                    & ~(ev.isna() & gv.isna()).to_numpy()
             else:
                 try:
                     mism = (ev != gv) & ~(ev.isna() & gv.isna())
