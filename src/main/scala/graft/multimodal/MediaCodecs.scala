@@ -143,6 +143,10 @@ object MediaCodecs {
     else if (b.length >= 12 && ascii(b, 0) == "RIFF" && ascii(b, 8) == "WAVE")
       decodeWav(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      Jpeg.dims(b).map { case (w, h, nc) =>
+        Meta("jpeg", w, h, nc, 0, 8, 0L, b.length.toLong)
+      }
     else None
 
   private def ascii(b: Array[Byte], off: Int): String =

@@ -360,6 +360,88 @@ object MultimodalQueries {
             SELECT cell, count(*) AS n,
               CAST(sum(lum) AS BIGINT) AS sum_lum
             FROM px GROUP BY cell"""),
-      doc = "nearest-neighbor 4x4 resize over decoded BMP pixels")
+      doc = "nearest-neighbor 4x4 resize over decoded BMP pixels"),
+
+    // BASELINE JPEG through the full T.81 pipeline (Jpeg.scala): per
+    // document, a (1+id%3)x(1+id%2)-block image whose 8x8 blocks carry
+    // CONSTANT per-block YCbCr from doc_id arithmetic, encoded with the
+    // real encoder (FDCT, quant, Annex-K Huffman, byte stuffing) and
+    // decoded by the real decoder (marker walk, canonical Huffman,
+    // dequant, IDCT, fixed-point YCbCr->RGB). Constant blocks are
+    // DC-only and the DC quant step of 8 makes the sample roundtrip
+    // EXACT, so the oracle regenerates every pixel from the arithmetic
+    // plus the same fixed-point color formula (floor-division idiom) —
+    // a huffman/predictor/IDCT/stuffing defect anywhere moves the
+    // sums. Per-partition batch shape as q110/q178.
+    Q("q267_jpeg_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val wb = (1 + id % 3).toInt
+            val hb = (1 + id % 2).toInt
+            val w = wb * 8
+            val h = hb * 8
+            val planes = Array.fill(3)(new Array[Int](w * h))
+            for (by <- 0 until hb; bx <- 0 until wb) {
+              val yv = ((id * 5 + 17 * bx + 29 * by) % 256).toInt
+              val cb = ((id + 7 * bx + 3 * by) % 256).toInt
+              val cr = ((id * 3 + 11 * bx + 13 * by) % 256).toInt
+              for (py <- by * 8 until by * 8 + 8;
+                   px <- bx * 8 until bx * 8 + 8) {
+                planes(0)(py * w + px) = yv
+                planes(1)(py * w + px) = cb
+                planes(2)(py * w + px) = cr
+              }
+            }
+            val dec = Jpeg.decode(Jpeg.encode(w, h, planes)).get
+            val px = Jpeg.rgb(dec)
+            (0 until dec.width * dec.height).iterator.map { i =>
+              val r = px(3 * i) & 0xff
+              val g = px(3 * i + 1) & 0xff
+              val b = px(3 * i + 2) & 0xff
+              (r + g + b, r.toLong, g.toLong, b.toLong)
+            }
+          })
+          .toDF("lum", "r", "g", "b")
+          .groupBy(expr("lum DIV 192").as("bucket"))
+          .agg(count(lit(1)).as("n_px"),
+            sum("lum").as("sum_lum"), sum("r").as("sum_r"),
+            sum("g").as("sum_g"), sum("b").as("sum_b"))
+      },
+      Some("""WITH blocks AS (SELECT doc_id, bx, by,
+                (doc_id * 5 + 17 * bx + 29 * by) % 256 AS y,
+                (doc_id + 7 * bx + 3 * by) % 256 AS cb,
+                (doc_id * 3 + 11 * bx + 13 * by) % 256 AS cr
+              FROM documents,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT)))
+                  AS gx(bx),
+                unnest(generate_series(0, CAST(doc_id % 2 AS BIGINT)))
+                  AS gy(by)),
+            fx AS (SELECT doc_id,
+                y * 65536 + 91881 * (cr - 128) + 32768 AS xr,
+                y * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768 AS xg,
+                y * 65536 + 116130 * (cb - 128) + 32768 AS xb
+              FROM blocks),
+            px AS (SELECT
+                GREATEST(0, LEAST(255,
+                  (xr - ((xr % 65536) + 65536) % 65536) // 65536)) AS r,
+                GREATEST(0, LEAST(255,
+                  (xg - ((xg % 65536) + 65536) % 65536) // 65536)) AS g,
+                GREATEST(0, LEAST(255,
+                  (xb - ((xb % 65536) + 65536) % 65536) // 65536)) AS b
+              FROM fx)
+            SELECT (r + g + b) // 192 AS bucket,
+              64 * count(*) AS n_px,
+              CAST(64 * sum(r + g + b) AS BIGINT) AS sum_lum,
+              CAST(64 * sum(r) AS BIGINT) AS sum_r,
+              CAST(64 * sum(g) AS BIGINT) AS sum_g,
+              CAST(64 * sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY 1"""),
+      doc = "baseline JPEG (T.81) encode/decode to RGB histogram, " +
+        "integer-exact via DC-only blocks + fixed-point color")
   )
 }

@@ -1,0 +1,195 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Jpeg, MediaCodecs}
+
+/** Baseline-JPEG codec gates. The load-bearing property is the one
+  * q267 rides: per-8x8-block-CONSTANT images roundtrip EXACTLY through
+  * the full pipeline (FDCT → quant(DC=8) → Annex-K Huffman → byte
+  * stuffing → Huffman decode → dequant → IDCT), because a constant
+  * block is DC-only and the DC quant step of 8 stores v−128 verbatim.
+  * Everything else — generic content, restarts, grayscale, stuffing,
+  * malformed bytes — bounds the codec the way MediaCodecSpec bounds
+  * the other containers.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  /** Build a wb*8 x hb*8 3-plane image with constant per-block YCbCr
+    * from a deterministic seed (the q267 generating arithmetic). */
+  private def blockImage(seed: Long, wb: Int, hb: Int)
+      : (Int, Int, Array[Array[Int]]) = {
+    val w = wb * 8
+    val h = hb * 8
+    val planes = Array.fill(3)(new Array[Int](w * h))
+    for (by <- 0 until hb; bx <- 0 until wb) {
+      val y = ((seed * 5 + 17 * bx + 29 * by) % 256).toInt
+      val cb = ((seed + 7 * bx + 3 * by) % 256).toInt
+      val cr = ((seed * 3 + 11 * bx + 13 * by) % 256).toInt
+      for (py <- by * 8 until by * 8 + 8; px <- bx * 8 until bx * 8 + 8) {
+        planes(0)(py * w + px) = y
+        planes(1)(py * w + px) = cb
+        planes(2)(py * w + px) = cr
+      }
+    }
+    (w, h, planes)
+  }
+
+  test("per-block-constant images roundtrip exactly (q267's contract)") {
+    for (seed <- Seq(0L, 1L, 7L, 63L, 200L, 255L); wb <- 1 to 3;
+         hb <- 1 to 2) {
+      val (w, h, planes) = blockImage(seed, wb, hb)
+      val jpg = Jpeg.encode(w, h, planes)
+      val d = Jpeg.decode(jpg).getOrElse(fail(s"decode failed seed=$seed"))
+      assert(d.width == w && d.height == h && d.planes.length == 3)
+      for (c <- 0 until 3)
+        assert(d.planes(c).sameElements(planes(c)),
+          s"plane $c mismatch seed=$seed ${wb}x$hb")
+    }
+  }
+
+  test("extreme values (0/255) and single-block images roundtrip") {
+    for (v <- Seq(0, 1, 127, 128, 254, 255)) {
+      val planes = Array.fill(3)(Array.fill(64)(v))
+      val d = Jpeg.decode(Jpeg.encode(8, 8, planes)).get
+      assert(d.planes.forall(_.forall(_ == v)), s"v=$v")
+    }
+  }
+
+  test("generic content roundtrips within the flat-quant error bound") {
+    // xorshift-ish deterministic noise; AC quant step 1 bounds per-pixel
+    // reconstruction error by the coefficient rounding (≤0.5 each) →
+    // |err| ≤ 8 worst-case, typically ≤2
+    var s = 0x2545f49L
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt }
+    for ((w, h) <- Seq((8, 8), (16, 8), (24, 16), (13, 9), (17, 23))) {
+      val planes = Array.fill(3)(Array.fill(w * h)(next()))
+      val jpg = Jpeg.encode(w, h, planes,
+        qLuma = Jpeg.QuantFlat1, qChroma = Jpeg.QuantFlat1)
+      val d = Jpeg.decode(jpg).getOrElse(fail(s"decode failed ${w}x$h"))
+      assert(d.width == w && d.height == h)
+      // DC step 8 moves a constantish component ≤4; AC rounding ≤0.5
+      // per coefficient across 63 coefficients → total ≤ 4 + 63/16 ≈ 8
+      for (c <- 0 until 3; i <- 0 until w * h) {
+        val err = math.abs(d.planes(c)(i) - planes(c)(i))
+        assert(err <= 12, s"err=$err at $i plane $c ${w}x$h")
+      }
+    }
+  }
+
+  test("grayscale (1 component) decode path") {
+    val plane = Array.tabulate(16 * 8)(i => (i * 7) % 256)
+    // constant blocks for exactness
+    val (w, h) = (16, 8)
+    val p2 = new Array[Int](w * h)
+    for (by <- 0 until 1; bx <- 0 until 2;
+         py <- 0 until 8; px <- 0 until 8)
+      p2((by * 8 + py) * w + bx * 8 + px) = 40 + 100 * bx
+    val d = Jpeg.decode(Jpeg.encode(w, h, Array(p2))).get
+    assert(d.planes.length == 1)
+    assert(d.planes(0).sameElements(p2))
+    val rgb = Jpeg.rgb(d)
+    assert((rgb(0) & 0xff) == 40 && (rgb(1) & 0xff) == 40 &&
+      (rgb(2) & 0xff) == 40)
+    assert(plane.length == w * h) // silence unused warning
+  }
+
+  test("restart markers reset DC prediction and re-align the stream") {
+    val (w, h, planes) = blockImage(42L, 3, 2)
+    val jpg = Jpeg.encode(w, h, planes, restartInterval = 2)
+    // DRI segment present
+    assert(jpg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdd))
+    // at least one RSTn in the stream
+    assert(jpg.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7))
+    val d = Jpeg.decode(jpg).get
+    for (c <- 0 until 3) assert(d.planes(c).sameElements(planes(c)))
+  }
+
+  test("byte stuffing: a stream containing FF00 still decodes correctly") {
+    // deterministic sweep over flat-quant noise images (dense, varied
+    // huffman output) until a scan carries a stuffed FF00; the decode
+    // must unstuff it and stay within the flat-quant error bound
+    var s = 0xdeadbeefL
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt }
+    var found = false
+    var tries = 0
+    while (!found && tries < 200) {
+      val (w, h) = (24, 16)
+      val planes = Array.fill(3)(Array.fill(w * h)(next()))
+      val jpg = Jpeg.encode(w, h, planes,
+        qLuma = Jpeg.QuantFlat1, qChroma = Jpeg.QuantFlat1)
+      val hasStuff = jpg.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+      if (hasStuff) {
+        found = true
+        val d = Jpeg.decode(jpg).getOrElse(fail("stuffed stream rejected"))
+        for (c <- 0 until 3; i <- 0 until w * h)
+          assert(math.abs(d.planes(c)(i) - planes(c)(i)) <= 12)
+      }
+      tries += 1
+    }
+    assert(found, "no stuffed byte in 200 deterministic noise images")
+  }
+
+  test("fixed-point YCbCr->RGB matches the floor-division formula") {
+    def fl(x: Long): Long = {
+      val r = ((x % 65536) + 65536) % 65536
+      (x - r) / 65536
+    }
+    for (y <- 0 to 255 by 17; cb <- 0 to 255 by 23; cr <- 0 to 255 by 29) {
+      val (r, g, b) = Jpeg.ycbcrToRgb(y, cb, cr)
+      def clamp(v: Long): Long = math.max(0L, math.min(255L, v))
+      assert(r == clamp(fl(y * 65536L + 91881L * (cr - 128) + 32768L)))
+      assert(g == clamp(fl(y * 65536L - 22554L * (cb - 128) -
+        46802L * (cr - 128) + 32768L)))
+      assert(b == clamp(fl(y * 65536L + 116130L * (cb - 128) + 32768L)))
+    }
+  }
+
+  test("dims probe and MediaCodecs dispatch") {
+    val (w, h, planes) = blockImage(9L, 2, 2)
+    val jpg = Jpeg.encode(w, h, planes)
+    assert(Jpeg.dims(jpg).contains((16, 16, 3)))
+    val meta = MediaCodecs.decode(jpg)
+    assert(meta.exists(m => m.format == "jpeg" && m.width == 16 &&
+      m.height == 16 && m.channels == 3 && m.bits == 8))
+  }
+
+  test("malformed input returns None, never throws") {
+    val (w, h, planes) = blockImage(3L, 2, 1)
+    val good = Jpeg.encode(w, h, planes)
+    // every truncation point: decode fails OR (cut fell after the last
+    // scan bit, e.g. only EOI lost — tolerated like real decoders)
+    // yields the EXACT image; truncation never produces wrong pixels
+    for (n <- 0 until good.length) {
+      val r = Jpeg.decode(good.take(n))
+      assert(r.isEmpty || (0 until 3).forall(c =>
+        r.get.planes(c).sameElements(planes(c))),
+        s"truncation at $n produced wrong pixels")
+    }
+    // single-byte corruptions across the header section must not throw
+    // (they may still decode if the byte is don't-care, e.g. APP0 text)
+    for (i <- 0 until math.min(good.length, 160)) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x55).toByte
+      Jpeg.decode(bad) // must not throw
+    }
+    // non-baseline SOF2 (progressive) is rejected
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty)
+    // subsampled (non-1x1) component is rejected, not mis-decoded
+    val sub = good.clone()
+    sub(sofAt + 11) = 0x22.toByte // comp 1 sampling h=2,v=2
+    assert(Jpeg.decode(sub).isEmpty)
+    // garbage
+    assert(Jpeg.decode(Array.empty[Byte]).isEmpty)
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Jpeg.decode("not a jpeg".getBytes("US-ASCII")).isEmpty)
+  }
+}
