@@ -56,12 +56,14 @@ object L7 {
       v == 1L || (v & 0xffffff00L) == 0xff000000L
     }
 
-  /** NTP heuristic (RFC 5905 §7.3): 48-byte packet, version 3/4,
-    * client/server mode. */
+  /** NTP heuristic (RFC 5905 §7.3): 48-byte packet, version 3/4, any
+    * association mode that uses the standard header — symmetric
+    * active/passive (1/2), client/server (3/4), broadcast (5). Modes
+    * 6/7 (control/private) use different frames and stay out. */
   def looksNtp(head: Array[Byte]): Boolean = head.length == 48 && {
     val vn = (head(0) & 0x38) >> 3
     val mode = head(0) & 7
-    (vn == 3 || vn == 4) && (mode == 3 || mode == 4)
+    (vn == 3 || vn == 4) && mode >= 1 && mode <= 5
   }
 
   /** SNMP heuristic (BER): SEQUENCE, version INTEGER 0..3. */

@@ -179,9 +179,18 @@ object SigRules {
       ok && i < h.length && last == "local"
     }),
     // WireGuard: message type 1..4, 3 reserved zero bytes, initiation=148
-    "wireguard" -> (h => h.length >= 16 && (h(0) & 0xff) >= 1 &&
+    // WireGuard: reserved bytes zero + the FIXED frame length of each
+    // message type (init 148, response 92, cookie 64; data = 16-byte
+    // header + AEAD payload) — the length pins are what keep other
+    // small-type/zero-reserved UDP frames (e.g. PCP) out
+    "wireguard" -> (h => h.length >= 32 && (h(0) & 0xff) >= 1 &&
       (h(0) & 0xff) <= 4 && h(1) == 0 && h(2) == 0 && h(3) == 0 &&
-      ((h(0) & 0xff) != 1 || h.length == 148)),
+      ((h(0) & 0xff) match {
+        case 1 => h.length == 148
+        case 2 => h.length == 92
+        case 3 => h.length == 64
+        case _ => h.length % 16 == 0
+      })),
     // MQTT CONNECT: packet type 0x10, protocol name "MQTT" (len 4) after
     // the 1-byte remaining-length varint
     "mqtt" -> (h => h.length >= 8 && (h(0) & 0xff) == 0x10 &&
@@ -191,9 +200,21 @@ object SigRules {
     "smb" -> (h => h.length >= 8 && h(0) == 0 &&
       ((h(4) & 0xff) == 0xff || (h(4) & 0xff) == 0xfe) &&
       h(5) == 'S' && h(6) == 'M' && h(7) == 'B'),
-    // TFTP RRQ/WRQ: u16 opcode 1..2, then a filename and a mode string
+    // TFTP RRQ/WRQ (RFC 1350 §5): u16 opcode 1..2, printable filename,
+    // NUL, then one of the three defined mode strings, NUL, end — the
+    // full frame grammar, not just the opcode (a loose h(2)!=0 check
+    // also matched HSRP coup frames)
     "tftp" -> (h => h.length >= 6 && h(0) == 0 &&
-      ((h(1) & 0xff) == 1 || (h(1) & 0xff) == 2) && h(2) != 0),
+      ((h(1) & 0xff) == 1 || (h(1) & 0xff) == 2) && {
+        val nul = h.indexWhere(_ == 0, 2)
+        nul > 2 && (2 until nul).forall(i =>
+          (h(i) & 0xff) >= 0x20 && (h(i) & 0xff) <= 0x7e) &&
+        h.length > nul + 2 && h(h.length - 1) == 0 && {
+          val mode = new String(h, nul + 1, h.length - nul - 2,
+            java.nio.charset.StandardCharsets.US_ASCII).toLowerCase
+          mode == "netascii" || mode == "octet" || mode == "mail"
+        }
+      }),
     // OpenVPN: P_CONTROL_HARD_RESET_CLIENT_V2 (opcode 7<<3, key id 0) +
     // 8-byte session id + empty ack-packet-id array on the first packet
     "openvpn" -> (h => h.length >= 14 && (h(0) & 0xff) == 0x38 &&
@@ -324,7 +345,72 @@ object SigRules {
     "bfd" -> (h => h.length >= 24 && (h(0) & 0xe0) == 0x20 &&
       (h(2) & 0xff) >= 1 && (h(3) & 0xff) == h.length),
     // IEC-104 u8 APDU self-length (start byte 0x68 checked as data)
-    "iec104len" -> (h => h.length >= 2 && (h(1) & 0xff) == h.length - 2))
+    "iec104len" -> (h => h.length >= 2 && (h(1) & 0xff) == h.length - 2),
+    // TURN (RFC 8656): a ChannelData frame (channel 0x4000..0x7FFF +
+    // u16 self-length) or a STUN message whose de-interleaved METHOD
+    // (RFC 5389 §6 bit layout) is TURN-specific — Allocate(3)/
+    // Refresh(4)/Send(6)/Data(7)/CreatePermission(8)/ChannelBind(9)
+    "turn" -> (h =>
+      (h.length >= 8 && (h(0) & 0xc0) == 0x40 &&
+        (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length - 4) ||
+      (L7.looksStun(h) && {
+        val t = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+        val m = ((t & 0x3e00) >> 2) | ((t & 0x00e0) >> 1) | (t & 0x000f)
+        m >= 3 && m <= 9 && m != 5
+      })),
+    // Teredo (RFC 4380 §5.1): clear IPv6-in-UDP — the raw inner packet
+    // (version 6, u16 payload length spanning the remainder) or an
+    // origin indication (0x0000 + obfuscated port/address) before it
+    "teredo" -> (h => {
+      def ip6At(o: Int): Boolean = h.length >= o + 40 &&
+        (h(o) & 0xf0) == 0x60 &&
+        (((h(o + 4) & 0xff) << 8) | (h(o + 5) & 0xff)) ==
+          h.length - o - 40
+      ip6At(0) || (h.length >= 48 && h(0) == 0 && h(1) == 0 && ip6At(8))
+    }),
+    // NAT-PMP (RFC 6886): version 0 + opcode with that opcode's fixed
+    // frame length (req 0→2, 1/2→12; resp 128→12, 129/130→16)
+    "natpmp" -> (h => h.length >= 2 && h(0) == 0 && {
+      val op = h(1) & 0xff
+      (op == 0 && h.length == 2) ||
+        ((op == 1 || op == 2) && h.length == 12) ||
+        (op == 128 && h.length == 12) ||
+        ((op == 129 || op == 130) && h.length == 16)
+    }),
+    // PCP (RFC 6887 §7.1): version 2, ANNOUNCE/MAP/PEER opcode, 24-byte
+    // header floor, length a multiple of 4, reserved byte zero
+    "pcp" -> (h => h.length >= 24 && h.length % 4 == 0 &&
+      (h(0) & 0xff) == 2 && (h(1) & 0x7f) <= 2 && h(2) == 0),
+    // DHCPv6 (RFC 8415 §8): msg-type 1..13, 3-byte txn id, then an
+    // option chain (u16 code 1..143, u16 len) consuming the payload
+    // EXACTLY — the structural walk is the discriminator
+    "dhcpv6" -> (h => h.length >= 8 && (h(0) & 0xff) >= 1 &&
+      (h(0) & 0xff) <= 13 && {
+        var o = 4
+        var n = 0
+        var ok = true
+        while (ok && o + 4 <= h.length) {
+          val code = ((h(o) & 0xff) << 8) | (h(o + 1) & 0xff)
+          val len = ((h(o + 2) & 0xff) << 8) | (h(o + 3) & 0xff)
+          if (code < 1 || code > 143) ok = false
+          else { o += 4 + len; n += 1 }
+        }
+        ok && n >= 1 && o == h.length
+      }),
+    // Babel (RFC 8966 §4.2): magic 42, version 2, u16 body length
+    // spanning the rest of the datagram
+    "babel" -> (h => h.length >= 4 && (h(0) & 0xff) == 42 &&
+      (h(1) & 0xff) == 2 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length - 4),
+    // PPTP data: enhanced GRE (RFC 2637 §4.1) — K bit set (S/A
+    // optional), version 1, protocol type 0x880B (PPP)
+    "pptp_gre" -> (h => h.length >= 8 && (h(0) & 0xef) == 0x20 &&
+      (h(1) & 0x7f) == 0x01 && (h(2) & 0xff) == 0x88 &&
+      (h(3) & 0xff) == 0x0b),
+    // HSRP v0 (RFC 2281 §5.1): 20-byte frame, version 0, opcode ≤ 2,
+    // a defined state value, reserved byte zero
+    "hsrp" -> (h => h.length == 20 && h(0) == 0 && (h(1) & 0xff) <= 2 &&
+      Set(0, 1, 2, 4, 8, 16).contains(h(2) & 0xff) && h(7) == 0))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -458,10 +544,19 @@ object SigRules {
     Rule("l2tp", Seq(Heur("l2tp"))),
     Rule("tacacs", Seq(Heur("tacacs"))),
     Rule("socks5", Seq(Heur("socks5"))),
+    // before coap: "RT" (0x52) satisfies CoAP's loose version/TKL bit
+    // check too — the exact 4-byte magic must win
+    // RTPS (OMG DDSI-RTPS 2.x §8.3.3): magic + protocol major 2,
+    // vendor id + 12-byte GUID prefix complete the 20-byte header
+    Rule("rtps", Seq(MinLen(20), Ascii("RTPS"), B(4, 2))),
     // before coap: 0x68 = 0110_1000 satisfies CoAP's loose
     // version/TKL bit check — exact-byte rules precede bit patterns
     // IEC 60870-5-104 APCI: start 0x68, u8 APDU length == packet-2
     Rule("iec104", Seq(MinLen(6), B(0, 0x68), Heur("iec104len"))),
+    // before coap for the same reason: a raw IPv6 version nibble (0x6x)
+    // sits in CoAP's loose 2-bit version band, and a 40-byte
+    // self-consistent IPv6 header is the far stronger signal
+    Rule("teredo", Seq(Heur("teredo"))),
     Rule("coap", Seq(Heur("coap"))),
     // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
     // around Q.931 — protocol discriminator 0x08, call-ref length 2.
@@ -502,6 +597,12 @@ object SigRules {
     Rule("gtp", Seq(Heur("gtp"))),
     Rule("bfd", Seq(Heur("bfd"))),
     Rule("ptp", Seq(Heur("ptp"))),
+    // the NAT-traversal / tunnel tier (families SNI can never resolve)
+    Rule("natpmp", Seq(Heur("natpmp"))),
+    Rule("pcp", Seq(Heur("pcp"))),
+    Rule("babel", Seq(Heur("babel"))),
+    Rule("pptp_gre", Seq(Heur("pptp_gre"))),
+    Rule("hsrp", Seq(Heur("hsrp"))),
     // the flow-telemetry protocols this engine itself decodes: the
     // self-length forms (v5, IPFIX) precede the weaker v9 count check
     Rule("netflow5", Seq(Heur("netflow5"))),
@@ -512,8 +613,13 @@ object SigRules {
     Rule("zeromq", Seq(Heur("zeromq"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     Rule("quic", Seq(Heur("quic"))),
+    // TURN before stun: a TURN message IS a STUN frame with a
+    // TURN-allocated method — the specialization must win
+    Rule("turn", Seq(Heur("turn"))),
     Rule("stun", Seq(Heur("stun"))),
     Rule("dhcp", Seq(Heur("dhcp"))),
+    // after dhcp (the v4 shape is length-gated at 240 so cannot shadow)
+    Rule("dhcpv6", Seq(Heur("dhcpv6"))),
     Rule("snmp", Seq(Heur("snmp"))),
     Rule("ntp", Seq(Heur("ntp"))),
     // mDNS must precede dns: it is dns plus the .local discriminator
@@ -738,6 +844,72 @@ object SigRules {
       case "pptp" => // SCCRQ: len 16, ctrl-msg 1, magic cookie
         Array[Byte](0, 16, 0, 1, 0x1a, 0x2b, 0x3c, 0x4d,
           0, 1, 0, 0, (s % 100).toByte, 0, 0, 0)
+      case "turn" =>
+        if (s % 2 == 0) {
+          // ChannelData on channel 0x4Exx: the 0xE TKL nibble keeps the
+          // earlier CoAP bit-check from firing on the frame
+          val data = Array.fill[Byte]((4 + s % 9).toInt)((s % 31).toByte)
+          Array[Byte](0x4e, (s % 200).toByte, 0, data.length.toByte) ++
+            data
+        } else // Allocate request + REQUESTED-TRANSPORT(UDP) attribute
+          Array[Byte](0, 3, 0, 8, 0x21, 0x12, 0xa4.toByte, 0x42) ++
+            Array.fill[Byte](12)((s % 251).toByte) ++
+            Array[Byte](0, 0x19, 0, 4, 17, 0, 0, 0)
+      case "teredo" =>
+        // inner IPv6: traffic class/flow label zero, next header 59
+        // (no-next), hop limit 64, src aa.., dst bb..
+        val pay = (2 + s % 7).toInt
+        val ip6 = Array[Byte](0x60, 0, 0, 0, (pay >> 8).toByte,
+          pay.toByte, 59, 64) ++
+          Array.fill[Byte](16)(0xaa.toByte) ++
+          Array.fill[Byte](16)(0xbb.toByte) ++
+          Array.fill[Byte](pay)((s % 23).toByte)
+        if (s % 2 == 0) ip6 // raw IPv6-in-UDP
+        else // origin indication (0x0000, port, address) first
+          Array[Byte](0, 0, (s % 120).toByte, 1, 10, 0,
+            (s % 100).toByte, 2) ++ ip6
+      case "rtps" => // header: magic, PROTOCOLVERSION 2.x, vendor, GUID
+        "RTPS".getBytes("US-ASCII") ++
+          Array[Byte](2, (1 + s % 4).toByte, 1, (s % 100).toByte) ++
+          Array.fill[Byte](12)((s % 97).toByte)
+      case "natpmp" => (s % 3).toInt match {
+        case 0 => Array[Byte](0, 0) // public-address request
+        case 1 => // map-UDP request: ports 5000+, lifetime 3600
+          Array[Byte](0, 1, 0, 0, 0x13, (0x88 + s % 3).toByte,
+            0x13, (s % 90).toByte, 0, 0, 0x0e, 0x10)
+        case _ => // map-TCP response: result 0, epoch, ports, lifetime
+          Array[Byte](0, 0x82.toByte, 0, 0,
+            (s % 100).toByte, (s % 50).toByte, (s % 25).toByte, 1,
+            0x13, 0x88.toByte, 0x13, 0x89.toByte, 0, 0, 0x0e, 0x10)
+      }
+      case "pcp" => // common header + 4..12 pad (28..36 bytes: a 24-byte
+        // frame would satisfy rip's (len-4)%20 check upstream)
+        Array[Byte](2, (s % 3).toByte, 0, 0, 0, 0, 0x0e, 0x10) ++
+          Array.fill[Byte](16)((0x10 + s % 30).toByte) ++
+          Array.fill[Byte](4 * (1 + s % 3).toInt)((s % 41).toByte)
+      case "babel" =>
+        val body = Array.fill[Byte]((4 + s % 12).toInt)((s % 29).toByte)
+        Array[Byte](42, 2, 0, body.length.toByte) ++ body
+      case "pptp_gre" => // K+S flags, A + ver 1, PPP, len, call id, seq
+        val pay = (4 + s % 8).toInt
+        Array[Byte](0x30, 0x81.toByte, 0x88.toByte, 0x0b,
+          (pay >> 8).toByte, pay.toByte,
+          (s % 100).toByte, (s % 90).toByte, (s % 80).toByte, 1) ++
+          Array.fill[Byte](pay)((s % 17).toByte)
+      case "hsrp" => // hello/coup from active/standby, default auth
+        Array[Byte](0, (s % 2).toByte,
+          (if (s % 2 == 0) 16 else 8).toByte, 3, 10,
+          (100 + s % 100).toByte, (s % 250).toByte, 0) ++
+          "cisco".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0) ++
+          Array[Byte](10, 0, (s % 200).toByte, (1 + s % 250).toByte)
+      case "dhcpv6" => // Solicit/Request: nonzero txn id + Client-ID
+        // option (txn bytes pinned >= 0x10: a small second byte would
+        // satisfy radius's self-length shape upstream)
+        val duid = Array.fill[Byte]((6 + s % 6).toInt)((s % 67).toByte)
+        Array[Byte]((if (s % 2 == 0) 1 else 3).toByte,
+          (0x10 + s % 100).toByte, (0x20 + s % 90).toByte,
+          (1 + s % 120).toByte,
+          0, 1, 0, duid.length.toByte) ++ duid
       case "netbios" => // NBNS query, 32-byte first-level-encoded name
         Array[Byte]((0xB0 + s % 16).toByte, (s % 97).toByte, 0x01, 0x10,
           0, 1, 0, 0, 0, 0, 0, 0, 0x20) ++
@@ -888,7 +1060,7 @@ object SigRules {
         Array[Byte](0x30, 10, 0x02, 1, 1, 4, 6) ++ "public".getBytes
       case "ntp" =>
         val b = new Array[Byte](48)
-        b(0) = 0x23 // v4, client
+        b(0) = (0x20 | (1 + s % 5).toInt).toByte // v4, mode 1..5
         b(12) = (s % 100).toByte
         b
       case "dns" =>
