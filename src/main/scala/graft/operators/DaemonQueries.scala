@@ -681,6 +681,111 @@ object DaemonQueries {
               CAST(4 AS BIGINT), CAST(0 AS BIGINT)"""),
       doc = "test 900 replay: broker loss logs golden lanes, purges resume"),
 
+    // Consumer-GROUP recovery through the broker (the way pmacct's
+    // librdkafka consumers actually restart — kafka_common.c configures
+    // `group.id`, and a restarted consumer's first moves are
+    // FindCoordinator + OffsetFetch, trusting the broker's committed
+    // offsets over any local state): generation A drains wave-0 records
+    // from offset 0 and commits its next-offsets per partition; the
+    // broker then STOPS AND RESTARTS (committed offsets must ride the
+    // durable log exactly like the records do); wave 1 lands; a FRESH
+    // generation B — no checkpoint, no memory of A — OffsetFetches its
+    // start and must read EXACTLY wave 1: a re-read (offset too low),
+    // a skip (too high), or offsets lost in the restart all break the
+    // per-(gen, partition) count/sum/offset-range parity. Each task
+    // fetches and commits only ITS partition over its own connection —
+    // the per-partition commit discipline a real consumer group runs.
+    Q("q268_kafka_group_resume",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files
+          .createTempDirectory("q268_kafka").resolve("landed").toString
+        val group = "graft_cg"
+        val nParts = 4
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          def produceWave(parity: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_group",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 4).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          // one consumer generation: every task recovers its partition's
+          // start from the coordinator, drains to the log end, commits
+          // last+1 — then forgets everything
+          def generation(gen: Int): org.apache.spark.sql.DataFrame =
+            s.sparkContext.parallelize(0 until nParts, nParts)
+              .mapPartitions { ps =>
+                ps.flatMap { p =>
+                  val committed = KafkaMiniBroker.fetchCommitted(
+                    port, group, "acct", Seq(p))(p)
+                  // -1 = nothing committed: auto.offset.reset=earliest
+                  val start = math.max(committed, 0L)
+                  val hw = KafkaMiniBroker.discoverEnds(port, Seq("acct"))
+                    .collectFirst { case ("acct", `p`, end) => end }
+                    .getOrElse(0L)
+                  val got = KafkaMiniBroker.consumeRange(
+                    port, "acct", p, start, hw).map { case (off, r) =>
+                      val Array(uid, b) =
+                        new String(r.value, "UTF-8").split(':')
+                      (gen.toLong, p.toLong, off, uid.toLong, b.toLong)
+                    }.toVector
+                  KafkaMiniBroker.commitOffsets(port, group, "acct",
+                    Seq((p, hw)))
+                  got.iterator
+                }
+              }.toDF("gen", "partition", "off", "uid", "b")
+          produceWave(0)
+          val genA = generation(0)
+          genA.write.mode("overwrite").parquet(s"$store/a")
+          // the "restart": sever everything; committed offsets and the
+          // log both survive, as on a real broker's disk
+          broker.stop()
+          broker.start(port)
+          produceWave(1)
+          val genB = generation(1)
+          genB.write.mode("overwrite").parquet(s"$store/b")
+          rows.unpersist()
+        } finally broker.close()
+        s.read.parquet(s"$store/a")
+          .unionByName(s.read.parquet(s"$store/b"))
+          .groupBy("gen", "partition")
+          .agg(count(lit(1)).as("n"), sum("b").as("sum_b"),
+            min("off").as("min_off"), max("off").as("max_off"))
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS gen,
+                user_id % 4 AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT gen, part, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2)
+            SELECT a.gen, a.part AS partition, a.n, a.sum_b,
+              CASE WHEN a.gen = 0 THEN 0 ELSE z.n END AS min_off,
+              CASE WHEN a.gen = 0 THEN a.n - 1
+                   ELSE z.n + a.n - 1 END AS max_off
+            FROM agg a LEFT JOIN agg z
+              ON z.part = a.part AND z.gen = 0"""),
+      doc = "consumer-group offset-commit recovery: FindCoordinator + " +
+        "OffsetFetch resume across a broker restart, exactly-once"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

@@ -64,6 +64,12 @@ final class KafkaMiniBroker {
   @volatile private var txnFenced = 0
   def txnStats: (Int, Int, Int) = (txnCommitted, txnAborted, txnFenced)
 
+  /** Consumer-group committed offsets, (group, topic, partition) →
+    * offset — the __consumer_offsets stand-in. Like the partition logs,
+    * the map survives a stop/start cycle (the durable-log semantics a
+    * restarted consumer's OffsetFetch recovery depends on). */
+  private val groupOffsets = mutable.Map[(String, String, Int), Long]()
+
   private val logs = mutable.Map[(String, Int), PartitionLog]()
   private var server: ServerSocket = _
   @volatile private var running = false
@@ -322,6 +328,37 @@ final class KafkaMiniBroker {
                   server.getLocalPort, topics)
               case None => null
             }
+          case 10 =>
+            KafkaWire.parseFindCoordinator(payload) match {
+              case Some((corr, _)) =>
+                // single-broker cluster: this node coordinates every
+                // group
+                KafkaWire.encodeFindCoordinatorResponse(corr, 0, 0,
+                  "127.0.0.1", server.getLocalPort)
+              case None => null
+            }
+          case 8 =>
+            KafkaWire.parseOffsetCommit(payload) match {
+              case Some((corr, group, topic, offs)) =>
+                val acks = groupOffsets.synchronized {
+                  offs.map { case (p, off) =>
+                    groupOffsets((group, topic, p)) = off
+                    (p, 0)
+                  }
+                }
+                KafkaWire.encodeOffsetCommitResponse(corr, topic, acks)
+              case None => null
+            }
+          case 9 =>
+            KafkaWire.parseOffsetFetch(payload) match {
+              case Some((corr, group, topic, parts)) =>
+                val rows = groupOffsets.synchronized {
+                  parts.map(p =>
+                    (p, groupOffsets.getOrElse((group, topic, p), -1L), 0))
+                }
+                KafkaWire.encodeOffsetFetchResponse(corr, topic, rows)
+              case None => null
+            }
           case _ => null
         }
         if (resp == null)
@@ -466,6 +503,45 @@ object KafkaMiniBroker {
           (t, p, off)
         }
       }
+    } finally sock.close()
+  }
+
+  /** Consumer-group recovery round: FindCoordinator for the group, then
+    * OffsetFetch — the exact first moves a restarted librdkafka
+    * consumer makes. Returns (partition → committed offset); missing
+    * partitions (nothing ever committed) come back -1. */
+  def fetchCommitted(port: Int, group: String, topic: String,
+                     parts: Seq[Int]): Map[Int, Long] = {
+    val (sock, in, out) = connect(port)
+    try {
+      val (err, _, host, coordPort) = KafkaWire.decodeFindCoordinatorResponse(
+        exchange(in, out,
+          KafkaWire.encodeFindCoordinator(0, "graft_consumer", group)))
+      require(err == 0, s"FindCoordinator error $err")
+      // single-broker: the coordinator IS this connection's peer — a
+      // multi-node client would re-connect to (host, coordPort) here
+      require(host.nonEmpty && coordPort == port,
+        s"unexpected coordinator $host:$coordPort")
+      KafkaWire.decodeOffsetFetchResponse(exchange(in, out,
+        KafkaWire.encodeOffsetFetch(1, "graft_consumer", group, topic,
+          parts)))
+        .map { case (p, off, e) =>
+          require(e == 0, s"OffsetFetch error $e on partition $p"); p -> off
+        }.toMap
+    } finally sock.close()
+  }
+
+  /** Commit each partition's NEXT offset to read (the Kafka convention:
+    * committed offset = last processed + 1) under the group. */
+  def commitOffsets(port: Int, group: String, topic: String,
+                    offsets: Seq[(Int, Long)]): Unit = {
+    val (sock, in, out) = connect(port)
+    try {
+      val acks = KafkaWire.decodeOffsetCommitResponse(exchange(in, out,
+        KafkaWire.encodeOffsetCommit(0, "graft_consumer", group, topic,
+          offsets)))
+      require(acks.size == offsets.size && acks.forall(_._2 == 0),
+        s"OffsetCommit rejected: $acks")
     } finally sock.close()
   }
 }

@@ -698,6 +698,199 @@ object KafkaWire {
     buf.getLong()
   }
 
+  // ---- consumer groups: FindCoordinator v0 + OffsetCommit/Fetch v0 ---
+  // The offset-commit recovery path pmacct's librdkafka consumers use
+  // (kafka_common.c consumer config `group.id`): a restarted consumer
+  // asks the group coordinator for its last committed offsets instead
+  // of trusting any local state. v0 = the original non-flexible
+  // encodings (plain i16-length strings and i32 arrays).
+
+  /** FindCoordinator v0 (api 10): group key → coordinator node. */
+  def encodeFindCoordinator(corr: Int, clientId: String,
+                            group: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(10); i16(0); i32(corr); str(clientId)
+    str(group)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, groupId). */
+  def parseFindCoordinator(payload: Array[Byte])
+      : Option[(Int, String)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 10 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = takeBytes(buf, buf.getShort() & 0xffff)
+    Some((corr, new String(g, "UTF-8")))
+  } catch { case _: Exception => None }
+
+  /** FindCoordinator v0 response: error, node id, host, port. */
+  def encodeFindCoordinatorResponse(corr: Int, error: Int, nodeId: Int,
+                                    host: String, port: Int)
+      : Array[Byte] = {
+    val h = host.getBytes("UTF-8")
+    val b = ByteBuffer.allocate(4 + 4 + 2 + 4 + 2 + h.length + 4)
+    b.putInt(4 + 2 + 4 + 2 + h.length + 4); b.putInt(corr)
+    b.putShort(error.toShort); b.putInt(nodeId)
+    b.putShort(h.length.toShort); b.put(h); b.putInt(port)
+    b.array()
+  }
+
+  /** Client-side: (error, nodeId, host, port). */
+  def decodeFindCoordinatorResponse(payload: Array[Byte])
+      : (Int, Int, String, Int) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation
+    val err = buf.getShort().toInt
+    val node = buf.getInt()
+    val host = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    (err, node, host, buf.getInt())
+  }
+
+  /** OffsetCommit v0 (api 8) for one topic: commit each (partition,
+    * offset) under the group. */
+  def encodeOffsetCommit(corr: Int, clientId: String, group: String,
+                         topic: String, offsets: Seq[(Int, Long)])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(8); i16(0); i32(corr); str(clientId)
+    str(group)
+    i32(1); str(topic)                     // one topic
+    i32(offsets.size)
+    offsets.foreach { case (p, off) =>
+      i32(p); i64(off); str("")            // partition, offset, metadata
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, topic, Seq(partition, offset)). */
+  def parseOffsetCommit(payload: Array[Byte])
+      : Option[(Int, String, String, Seq[(Int, Long)])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 8 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val nTopics = buf.getInt()
+    if (nTopics < 1) return None
+    val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val nParts = buf.getInt()
+    val offs = (0 until nParts).map { _ =>
+      val p = buf.getInt(); val off = buf.getLong()
+      takeBytes(buf, buf.getShort() & 0xffff) // metadata
+      (p, off)
+    }
+    Some((corr, g, t, offs))
+  } catch { case _: Exception => None }
+
+  /** OffsetCommit v0 response: per-partition error codes. */
+  def encodeOffsetCommitResponse(corr: Int, topic: String,
+                                 parts: Seq[(Int, Int)]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr)
+    i32(1)
+    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(parts.size)
+    parts.foreach { case (p, err) => i32(p); i16(err) }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: per-partition (partition, error). */
+  def decodeOffsetCommitResponse(payload: Array[Byte])
+      : Seq[(Int, Int)] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation
+    require(buf.getInt() >= 1, "empty OffsetCommit response")
+    locally { val l = buf.getShort() & 0xffff; buf.position(buf.position() + l) }
+    val n = buf.getInt()
+    (0 until n).map(_ => (buf.getInt(), buf.getShort().toInt))
+  }
+
+  /** OffsetFetch v0 (api 9) for one topic's partitions. */
+  def encodeOffsetFetch(corr: Int, clientId: String, group: String,
+                        topic: String, parts: Seq[Int]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(9); i16(0); i32(corr); str(clientId)
+    str(group)
+    i32(1); str(topic)
+    i32(parts.size); parts.foreach(i32)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, topic, partitions). */
+  def parseOffsetFetch(payload: Array[Byte])
+      : Option[(Int, String, String, Seq[Int])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 9 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val nTopics = buf.getInt()
+    if (nTopics < 1) return None
+    val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val n = buf.getInt()
+    Some((corr, g, t, (0 until n).map(_ => buf.getInt())))
+  } catch { case _: Exception => None }
+
+  /** OffsetFetch v0 response: (partition, offset, error) per partition;
+    * offset -1 = nothing committed (the consumer falls back to its
+    * auto.offset.reset policy, exactly like librdkafka). */
+  def encodeOffsetFetchResponse(corr: Int, topic: String,
+                                parts: Seq[(Int, Long, Int)])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr)
+    i32(1)
+    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(parts.size)
+    parts.foreach { case (p, off, err) =>
+      i32(p); i64(off); i16(0) /* metadata "" */ ; i16(err)
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: (partition, committedOffset, error) per partition. */
+  def decodeOffsetFetchResponse(payload: Array[Byte])
+      : Seq[(Int, Long, Int)] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                           // correlation
+    require(buf.getInt() >= 1, "empty OffsetFetch response")
+    locally { val l = buf.getShort() & 0xffff; buf.position(buf.position() + l) }
+    val n = buf.getInt()
+    (0 until n).map { _ =>
+      val p = buf.getInt(); val off = buf.getLong()
+      locally { val l = buf.getShort() & 0xffff; buf.position(buf.position() + l) }
+      (p, off, buf.getShort().toInt)
+    }
+  }
+
   /** Walk a socket stream of size-prefixed Produce v9 requests like the
     * broker's network thread; short/garbage tails stop the walk, CRC-bad
     * batches drop (decodeBatch contract). */

@@ -491,6 +491,54 @@ class DaemonCodecSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  // Consumer-group subset: FindCoordinator v0 + OffsetCommit/Fetch v0 —
+  // the broker-side offset store a restarted consumer recovers from.
+  test("Kafka consumer groups: commit, fetch, restart survival") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+
+    // wire round-trips (strip the 4-byte size prefix for the parses)
+    val fc = KafkaWire.encodeFindCoordinator(3, "c", "g1")
+    val Some((3, "g1")) = KafkaWire.parseFindCoordinator(
+      java.util.Arrays.copyOfRange(fc, 4, fc.length)): @unchecked
+    val oc = KafkaWire.encodeOffsetCommit(4, "c", "g1", "t",
+      Seq((0, 17L), (2, 5L)))
+    val Some((4, "g1", "t", Seq((0, 17L), (2, 5L)))) =
+      KafkaWire.parseOffsetCommit(java.util.Arrays.copyOfRange(
+        oc, 4, oc.length)): @unchecked
+    val of = KafkaWire.encodeOffsetFetch(5, "c", "g1", "t", Seq(0, 1, 2))
+    val Some((5, "g1", "t", Seq(0, 1, 2))) =
+      KafkaWire.parseOffsetFetch(java.util.Arrays.copyOfRange(
+        of, 4, of.length)): @unchecked
+
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      // nothing committed yet: -1 per partition (auto.offset.reset lane)
+      assert(KafkaMiniBroker.fetchCommitted(port, "g1", "t",
+        Seq(0, 1)) == Map(0 -> -1L, 1 -> -1L))
+      KafkaMiniBroker.commitOffsets(port, "g1", "t", Seq((0, 42L), (1, 7L)))
+      assert(KafkaMiniBroker.fetchCommitted(port, "g1", "t",
+        Seq(0, 1)) == Map(0 -> 42L, 1 -> 7L))
+      // groups and topics are independent keyspaces
+      assert(KafkaMiniBroker.fetchCommitted(port, "g2", "t",
+        Seq(0))(0) == -1L)
+      assert(KafkaMiniBroker.fetchCommitted(port, "g1", "u",
+        Seq(0))(0) == -1L)
+      // re-commit overwrites (latest wins, like __consumer_offsets)
+      KafkaMiniBroker.commitOffsets(port, "g1", "t", Seq((0, 50L)))
+      assert(KafkaMiniBroker.fetchCommitted(port, "g1", "t",
+        Seq(0))(0) == 50L)
+      // offsets survive a broker stop/start (durable-log semantics)
+      broker.stop()
+      intercept[Exception] {
+        KafkaMiniBroker.fetchCommitted(port, "g1", "t", Seq(0))
+      }
+      broker.start(port)
+      assert(KafkaMiniBroker.fetchCommitted(port, "g1", "t",
+        Seq(0, 1)) == Map(0 -> 50L, 1 -> 7L))
+    } finally broker.close()
+  }
+
   // KIP-98 subset: the transactional protocol the exactly-once sink
   // rides (KafkaMiniSink). Wire round-trips + the broker's coordinator
   // semantics: staging until commit, atomic visibility, abort discard,
