@@ -372,6 +372,18 @@ object GoldenReplay {
     counts.head
   }
 
+  /** Soak-scale multiplier (`-Dgraft.soak.mult=K` / `GRAFT_SOAK_MULT`):
+    * q253/q254 replay `fixture-count × K` load cycles. The gates stay
+    * oracle-green at any K — their `n` column reports the FIXTURE
+    * count (the load unit the fixture defines) and the flatness/
+    * linearity verdicts are K-invariant when the state machine is
+    * correct. StateSpec pins K=10 directly; the knob lets a soak run
+    * go far past that without touching code. */
+  def soakMult: Int =
+    sys.props.get("graft.soak.mult")
+      .orElse(sys.env.get("GRAFT_SOAK_MULT"))
+      .map(_.toInt).filter(_ >= 1).getOrElse(1)
+
   /** The reproducer-SELECTED source set (tests 208/305): each
     * `repro-*.yml` replays only its `select.ip.src` router — the
     * capture files carry more sources than the test reproduces, so the
@@ -4172,8 +4184,9 @@ object GoldenQueries {
         val sp = s
         import sp.implicits._
         val dir = s"$T/208-BMP-mem-leak-test"
-        val cycles =
+        val fixtureCycles =
           GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs")
+        val cycles = fixtureCycles * GoldenReplay.soakMult
         val srcs =
           GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
         val order = Seq("init", "peer-up", "route-monitoring", "stats")
@@ -4199,12 +4212,14 @@ object GoldenQueries {
             val cyc = sizes.drop(1) // snapshots after each load cycle
             val statsD = sizes.map(_._3).sliding(2)
               .map(w => w(1) - w(0)).toSeq.distinct.size
+            // n reports the FIXTURE count (the oracle's load unit);
+            // the verdicts are soakMult-invariant
             Iterator(
-              ("rib_flat", src, cycles.toLong,
+              ("rib_flat", src, fixtureCycles.toLong,
                 cyc.map(_._1).distinct.size.toLong),
-              ("attr_flat", src, cycles.toLong,
+              ("attr_flat", src, fixtureCycles.toLong,
                 cyc.map(_._2).distinct.size.toLong),
-              ("stats_linear", src, cycles.toLong, statsD.toLong))
+              ("stats_linear", src, fixtureCycles.toLong, statsD.toLong))
           }
           .toDF("kind", "key", "n", "v")
         val logLane = lanes.filter(col("kind") === "rib_flat")
@@ -4251,8 +4266,9 @@ object GoldenQueries {
         val sp = s
         import sp.implicits._
         val dir = s"$T/305-BGP-mem-leak-test"
-        val cycles =
+        val fixtureCycles =
           GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs")
+        val cycles = fixtureCycles * GoldenReplay.soakMult
         val srcs =
           GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
         val lanes = s.read.format("binaryFile")
@@ -4276,12 +4292,14 @@ object GoldenQueries {
             val cyc = sizes.drop(1)
             val updD = sizes.map(_._3).sliding(2)
               .map(w => w(1) - w(0)).toSeq.distinct.size
+            // n reports the FIXTURE count (the oracle's load unit);
+            // the verdicts are soakMult-invariant
             Iterator(
-              ("rib_flat", src, cycles.toLong,
+              ("rib_flat", src, fixtureCycles.toLong,
                 cyc.map(_._1).distinct.size.toLong),
-              ("attr_flat", src, cycles.toLong,
+              ("attr_flat", src, fixtureCycles.toLong,
                 cyc.map(_._2).distinct.size.toLong),
-              ("updates_linear", src, cycles.toLong, updD.toLong))
+              ("updates_linear", src, fixtureCycles.toLong, updD.toLong))
           }
           .toDF("kind", "key", "n", "v")
         val logLane = lanes.filter(col("kind") === "rib_flat")

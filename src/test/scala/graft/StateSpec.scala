@@ -422,4 +422,84 @@ class StateSpec extends AnyFunSuite {
     assert(checked == 9) // 7 v4 + 2 v6 reproducer-selected routers
     assert(statsSeen > 0) // the load cycles do exercise the stats path
   }
+
+  // The soak invariants at 10x the FIXTURE cycle counts (the
+  // graft.soak.mult scale q253/q254 expose): flat state across 100 BMP
+  // cycles x 9 routers and 3000 BGP cycles x 4 routers proves the
+  // upsert/intern machinery doesn't merely look flat at the fixture's
+  // small N — and the whole 10x replay must stay inside a strict
+  // wall-clock budget (decode-once + per-cycle replay keeps cost
+  // linear in cycles, never in cycles x parse).
+  test("soak invariants hold at 10x fixture cycles within budget") {
+    import graft.operators.GoldenReplay
+    import graft.sources.Pcap
+    import java.nio.file.{Files, Paths}
+    val t0 = System.nanoTime()
+
+    // BMP (test 208): fixture 10 -> 100 cycles
+    locally {
+      val dir = "/root/reference/tests/208-BMP-mem-leak-test"
+      val cycles =
+        GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs") * 10
+      val srcs = GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
+      def bySrc(name: String) = GoldenReplay.tcpReassembleBySrc(
+        Pcap.read(Files.readAllBytes(Paths.get(s"$dir/$name"))),
+        dport = 1790).toMap
+      val init = bySrc("bmp-multi-sources-init.pcap")
+      val pu = bySrc("bmp-multi-sources-peer-up.pcap")
+      val rm = bySrc("bmp-multi-sources-route-monitoring.pcap")
+      val st = bySrc("bmp-multi-sources-stats.pcap")
+      srcs.toSeq.sorted.foreach { src =>
+        def seg(m: Map[String, Array[Byte]]) =
+          m.getOrElse(src, Array.emptyByteArray)
+        val load = seg(rm) ++ seg(st)
+        val segments =
+          (seg(init) ++ seg(pu)) +: Seq.fill(cycles)(load)
+        val sizes = scala.collection.mutable.Buffer[(Int, Int, Int)]()
+        GoldenReplay.bmpAttrRows(Array.emptyByteArray, src,
+          mode = "state", segments = segments, cycleSizes = sizes)
+        val cyc = sizes.drop(1)
+        assert(cyc.size == cycles)
+        assert(cyc.map(_._1).distinct.size == 1 && cyc.head._1 > 0,
+          s"$src RIB not flat at 10x")
+        assert(cyc.map(_._2).distinct.size == 1 && cyc.head._2 > 0,
+          s"$src attr intern not flat at 10x")
+        val deltas = sizes.map(_._3).sliding(2).map(w => w(1) - w(0)).toSeq
+        assert(deltas.distinct.size == 1, s"$src stats not linear at 10x")
+      }
+    }
+
+    // BGP (test 305): fixture 300 -> 3000 cycles
+    locally {
+      val dir = "/root/reference/tests/305-BGP-mem-leak-test"
+      val cycles =
+        GoldenReplay.soakCycles(s"$dir/traffic-reproducer-configs") * 10
+      val srcs = GoldenReplay.soakSrcs(s"$dir/traffic-reproducer-configs")
+      def bySrc(name: String) = GoldenReplay.tcpReassembleBySrc(
+        Pcap.read(Files.readAllBytes(Paths.get(s"$dir/$name"))),
+        dport = 179).toMap
+      val open = bySrc("bgp-multi-sources-open.pcap")
+      val upd = bySrc("bgp-multi-sources-update-keepalive.pcap")
+      srcs.toSeq.sorted.foreach { src =>
+        def seg(m: Map[String, Array[Byte]]) =
+          m.getOrElse(src, Array.emptyByteArray)
+        val segments = seg(open) +: Seq.fill(cycles)(seg(upd))
+        val sizes = scala.collection.mutable.Buffer[(Int, Int, Int)]()
+        GoldenReplay.bgpRibRows(Array.emptyByteArray,
+          segments = segments, cycleSizes = sizes)
+        val cyc = sizes.drop(1)
+        assert(cyc.size == cycles)
+        assert(cyc.map(_._1).distinct.size == 1 && cyc.head._1 > 0,
+          s"$src RIB not flat at 10x")
+        assert(cyc.map(_._2).distinct.size == 1 && cyc.head._2 > 0,
+          s"$src attr classes not flat at 10x")
+        val deltas = sizes.map(_._3).sliding(2).map(w => w(1) - w(0)).toSeq
+        assert(deltas.distinct.size == 1, s"$src updates not linear at 10x")
+      }
+    }
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"10x soak took $secs%.1f s — state machine " +
+      "cost is no longer linear in cycles")
+  }
 }
