@@ -1986,10 +1986,27 @@ object GoldenQueries {
     * stream, run [[GoldenReplay.bmpAttrRows]], aggregate per full row. */
   private def bmpAttrQuery(s: SparkSession, test: String, mode: String,
       routerMap: Map[String, String] = Map.empty,
-      keepOpen: Boolean = true): DataFrame = {
+      keepOpen: Boolean = true,
+      exclude: Set[String] = Set.empty): DataFrame = {
     Graft.tune(s)
     val sp = s
     import sp.implicits._
+    // `exclude` drops run-dependent keys (timestamps, ephemeral ports)
+    // when the golden under comparison comes from a DIFFERENT
+    // reproduction run than the capture (the scenario-variant dirs
+    // re-run the reproducer, so wall-clock fields diverge while every
+    // protocol-derived field must still match)
+    val keys = Seq(
+      "bmp_router", "event_kind", "bmp_msg_type", "log_type",
+      "timestamp_event", "peer_ip", "peer_asn", "bgp_id", "afi",
+      "safi", "rd", "rd_origin", "ip_prefix", "bgp_nexthop",
+      "as_path", "comms", "ecomms", "lcomms", "origin", "local_pref",
+      "med", "aigp", "psid_li", "otc", "mpls_label", "rib_type",
+      "is_in", "is_filtered", "is_loc", "is_post", "is_out",
+      "peer_type", "peer_type_str", "local_ip", "local_port",
+      "remote_port", "local_as", "reason_type", "reason_str",
+      "counter_type", "counter_value", "sysdescr", "sysname")
+      .filterNot(exclude)
     s.read.format("binaryFile")
       .option("pathGlobFilter", "traffic-*.pcap").load(s"$T/$test")
       .select("content").as[Array[Byte]]
@@ -2001,16 +2018,7 @@ object GoldenQueries {
           GoldenReplay.tcpReassemble(sf, dport = 1790), router, mode,
           keepOpen)
       }
-      .groupBy(
-        "bmp_router", "event_kind", "bmp_msg_type", "log_type",
-        "timestamp_event", "peer_ip", "peer_asn", "bgp_id", "afi",
-        "safi", "rd", "rd_origin", "ip_prefix", "bgp_nexthop",
-        "as_path", "comms", "ecomms", "lcomms", "origin", "local_pref",
-        "med", "aigp", "psid_li", "otc", "mpls_label", "rib_type",
-        "is_in", "is_filtered", "is_loc", "is_post", "is_out",
-        "peer_type", "peer_type_str", "local_ip", "local_port",
-        "remote_port", "local_as", "reason_type", "reason_str",
-        "counter_type", "counter_value", "sysdescr", "sysname")
+      .groupBy(keys.head, keys.tail: _*)
       .agg(count(lit(1)).as("n"))
   }
 
@@ -2018,12 +2026,13 @@ object GoldenQueries {
     * [[GoldenReplay.BmpAttrRow]] sentinels. `arrays` = the test's
     * *_encode_as_array config (else space-joined strings). */
   private def bmpAttrOracle(goldenFiles: Seq[String],
-                            arrays: Boolean = true): String = {
+                            arrays: Boolean = true,
+                            exclude: Set[String] = Set.empty): String = {
     val listT = if (arrays) "VARCHAR[]" else "VARCHAR"
     def listCol(c: String) =
       if (arrays) s"coalesce(array_to_string($c, ','), '') AS $c"
       else s"replace(coalesce($c, ''), ' ', ',') AS $c"
-    val cols = Seq(
+    val allCols = Seq(
       "coalesce(bmp_router, '') AS bmp_router",
       "event_type AS event_kind",
       "coalesce(bmp_msg_type, '') AS bmp_msg_type",
@@ -2062,6 +2071,10 @@ object GoldenQueries {
       "CAST(coalesce(counter_value, 0) AS BIGINT) AS counter_value",
       "coalesce(bmp_init_info_sysdescr, '') AS sysdescr",
       "coalesce(bmp_init_info_sysname, '') AS sysname")
+    val alias = "(?s).* AS (\\w+)$".r
+    val cols = allCols.filterNot { c =>
+      c match { case alias(a) => exclude(a); case _ => false }
+    }
     val types = Seq(
       "event_type" -> "VARCHAR", "bmp_msg_type" -> "VARCHAR",
       "log_type" -> "VARCHAR", "timestamp_event" -> "VARCHAR",
@@ -4584,6 +4597,34 @@ object GoldenQueries {
                   'STRUCT(vrf_id_ingress VARCHAR, vrf_id_egress VARCHAR)',
                 'label':'STRUCT(nkey VARCHAR, pkey VARCHAR)'}) g"""),
       doc = "reference golden replay: BGP attrs string render" +
-        " (test 500 scenario-01)")
+        " (test 500 scenario-01)"),
+
+    // tests/400 scenario-01 (own goldens): the BMP-MSGLOG face of the
+    // string-render axis q261 gates on the flow side — the scenario
+    // drops as_path/bgp_comms_encode_as_array, so the msglog renders
+    // attribute lists as SPACE-joined strings (compose_json_std_comm /
+    // _as_path, plugin_cmn_json.c:741-810) and an absent lcomms as
+    // null instead of []. Same captures, same q217 replay; the oracle
+    // reads the scenario's OWN two goldens with the fields typed as
+    // plain VARCHARs and normalizes the space join back to the
+    // canonical comma form. The scenario outputs come from a separate
+    // reproduction run, so the run-dependent keys (wall-clock
+    // timestamp_event, the reproducer's ephemeral TCP ports) are
+    // excluded from the comparison on BOTH sides; every
+    // protocol-derived field still participates.
+    Q("q269_golden_bmp_string_render",
+      (s, _) => bmpAttrQuery(s,
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources", mode = "log",
+        routerMap = Map("203.0.113.90" -> "172.21.1.101",
+          "203.0.113.91" -> "172.21.1.102"),
+        keepOpen = false,
+        exclude = Set("timestamp_event", "local_port", "remote_port")),
+      Some(bmpAttrOracle(Seq(
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources/scenario-01/output-bmp-00.json",
+        "400-IPFIXv10-BMP-CISCO-SRv6-multiple-sources/scenario-01/output-bmp-01.json"),
+        arrays = false,
+        exclude = Set("timestamp_event", "local_port", "remote_port"))),
+      doc = "reference golden replay: BMP msglog string render" +
+        " (test 400 scenario-01)")
   )
 }
