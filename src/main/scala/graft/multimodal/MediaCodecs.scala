@@ -147,6 +147,11 @@ object MediaCodecs {
       Jpeg.dims(b).map { case (w, h, nc) =>
         Meta("jpeg", w, h, nc, 0, 8, 0L, b.length.toLong)
       }
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G')
+      Png.dims(b).map { case (w, h, nc) =>
+        Meta("png", w, h, nc, 0, 8, 0L, b.length.toLong)
+      }
     else None
 
   private def ascii(b: Array[Byte], off: Int): String =

@@ -442,6 +442,67 @@ object MultimodalQueries {
               CAST(64 * sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY 1"""),
       doc = "baseline JPEG (T.81) encode/decode to RGB histogram, " +
-        "integer-exact via DC-only blocks + fixed-point color")
+        "integer-exact via DC-only blocks + fixed-point color"),
+
+    // PNG through the full lossless pipeline (Png.scala: scanline
+    // filters -> fixed-Huffman LZ77 deflate -> zlib -> CRC-guarded
+    // chunks, then the inverse): per document an RGB or RGBA image of
+    // ARBITRARY per-pixel values — lossless means the gate needs no
+    // DC-only structure like q267; every byte must survive — with the
+    // five filter types swept across rows (y % 5), so Sub/Up/Average/
+    // Paeth reconstruction is on the hot path for every image. The
+    // position-weighted checksum pins pixel ORDER, which a filter or
+    // stride defect scrambles even when value histograms survive.
+    Q("q270_png_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (4 + id % 9).toInt
+            val h = (3 + id % 6).toInt
+            val ch = (3 + id % 2).toInt
+            val px = new Array[Byte](w * h * ch)
+            for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+              px((y * w + x) * ch + c) =
+                (((id * (c + 2) + x * 19 + y * 41 + c * 7) % 256)
+                  & 0xff).toByte
+            val img = Png.Image(w, h, ch, px)
+            val back = Png.decode(Png.encode(img)).get
+            val st = back.width * back.channels
+            (0 until back.height).iterator.flatMap { y =>
+              (0 until back.width).iterator.flatMap { x =>
+                (0 until back.channels).iterator.map { c =>
+                  val v =
+                    (back.pixels(y * st + x * back.channels + c)
+                      & 0xff).toLong
+                  (c.toLong, v, v * ((y * back.width + x) % 17 + 1))
+                }
+              }
+            }
+          })
+          .toDF("channel", "v", "wv")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("sum_v"),
+            sum("wv").as("wsum"))
+      },
+      Some("""WITH px AS (SELECT
+                c AS channel,
+                (doc_id * (c + 2) + x * 19 + y * 41 + c * 7) % 256 AS v,
+                (y * (4 + doc_id % 9) + x) % 17 + 1 AS wgt
+              FROM documents,
+                unnest(generate_series(0, CAST(3 + doc_id % 6 - 1 AS BIGINT)))
+                  AS gy(y),
+                unnest(generate_series(0, CAST(4 + doc_id % 9 - 1 AS BIGINT)))
+                  AS gx(x),
+                unnest(generate_series(0, CAST(3 + doc_id % 2 - 1 AS BIGINT)))
+                  AS gc(c))
+            SELECT channel, count(*) AS n_px,
+              CAST(sum(v) AS BIGINT) AS sum_v,
+              CAST(sum(v * wgt) AS BIGINT) AS wsum
+            FROM px GROUP BY 1"""),
+      doc = "PNG (RFC 2083) encode/decode: filters + DEFLATE + zlib, " +
+        "bit-exact on arbitrary pixels")
   )
 }
