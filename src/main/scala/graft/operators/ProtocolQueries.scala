@@ -456,6 +456,88 @@ object ProtocolQueries {
               FROM events GROUP BY 1"""),
       doc = "Avro sink: schema-from-projection + binary round-trip"),
 
+    // The kafka_avro_schema_registry path END-TO-END against LIVE
+    // in-process services (CONFIG-KEYS:1885; the reference links
+    // libserdes for exactly these moves): every PRODUCER task registers
+    // the projection's schema over HTTP (the registry must dedupe to
+    // ONE global id no matter how many tasks race), encodes its rows to
+    // single-record Avro binary, frames them in the Confluent wire
+    // format (magic 0 + u32 schema id), and produces to the live
+    // broker. The CONSUMER side fetches per partition, unwraps the
+    // frame, resolves the schema BY ID over HTTP (one resolution per
+    // task, cached — the serdes consumer shape), decodes, aggregates.
+    // schema_id rides the output so the oracle pins the dedupe: any
+    // re-registration handing out a second id breaks parity.
+    Q("q271_avro_schema_registry",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{AvroSink, KafkaMiniBroker, KafkaWire,
+          SchemaRegistryMini}
+        val registry = new SchemaRegistryMini
+        val regPort = registry.start()
+        val broker = new KafkaMiniBroker
+        val brokerPort = broker.start()
+        val store = java.nio.file.Files
+          .createTempDirectory("q271_avro").resolve("landed").toString
+        try {
+          val proj = Tables.events(s, d).selectExpr(
+            "event_type", "cast(user_id as bigint) as user_id",
+            "cast(floor(value * 100) as bigint) as b")
+          val schemaJson = AvroSink.avroSchema(proj.schema).toString
+          proj.repartition(8).rdd.foreachPartition { rows =>
+            // producer task: register (dedupes), encode, frame, produce
+            val id = SchemaRegistryMini.register(regPort,
+              "daisy.flow-value", schemaJson)
+            val enc = graft.sinks.AvroSink.rowEncoder(schemaJson)
+            KafkaMiniBroker.produceAll(brokerPort, "graft_avro",
+              rows.grouped(60).map { batch =>
+                batch.groupBy { r =>
+                  (r.getLong(1) % 4).toInt
+                }.toSeq.sortBy(_._1).map { case (p, recs) =>
+                  KafkaWire.PartitionBatch("daisy.flow", p, recs.map {
+                    r => KafkaWire.Record(s"k${r.getLong(1)}",
+                      SchemaRegistryMini.wrap(id, enc(r)))
+                  })
+                }
+              })
+          }
+          val assign = broker.partitionEnds
+          val landed = s.sparkContext
+            .parallelize(assign, math.max(1, assign.size))
+            .mapPartitions { parts =>
+              // consumer task: resolve schemas by id over HTTP, cached
+              val cache = scala.collection.mutable.Map[Int, String]()
+              parts.flatMap { case (topic, p, hw) =>
+                KafkaMiniBroker.consume(brokerPort, topic, p, hw)
+                  .map { case (_, rec) =>
+                    val (id, avro) = SchemaRegistryMini
+                      .unwrap(rec.value).get
+                    val sch = cache.getOrElseUpdate(id,
+                      SchemaRegistryMini.fetchById(regPort, id).get)
+                    val r = AvroSink.decode(avro, sch)
+                    (String.valueOf(r.get(0)),
+                      r.get(1).asInstanceOf[Long],
+                      r.get(2).asInstanceOf[Long], id.toLong)
+                  }
+              }
+            }.toDF("event_type", "user_id", "b", "schema_id")
+          landed.write.mode("overwrite").parquet(store)
+        } finally { broker.close(); registry.close() }
+        s.read.parquet(store)
+          .groupBy("event_type", "schema_id")
+          .agg(count(lit(1)).as("n"), sum("b").as("bytes"),
+            countDistinct("user_id").as("n_users"))
+      },
+      Some("""SELECT event_type, CAST(1 AS BIGINT) AS schema_id,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS bytes,
+              count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1"""),
+      doc = "Confluent schema-registry Avro: live HTTP register/dedupe" +
+        " + wire framing + broker round-trip"),
+
     // sFlow v5: encode flow samples into datagrams per partition, decode,
     // and renormalize counters by the per-sample sampling rate — sFlow's
     // defining ingest semantic (src/sfacctd.c renormalization). Oracle

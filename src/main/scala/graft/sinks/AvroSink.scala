@@ -86,7 +86,7 @@ object AvroSink {
 
   /** Per-partition single-record binary encoder: parse the schema once,
     * reuse the buffer (the executor-side hot path for Avro frames). */
-  private[sinks] def rowEncoder(schemaJson: String): Row => Array[Byte] = {
+  def rowEncoder(schemaJson: String): Row => Array[Byte] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val writer = new GenericDatumWriter[GenericRecord](schema)
     val out = new ByteArrayOutputStream()
