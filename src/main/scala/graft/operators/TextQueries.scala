@@ -642,6 +642,54 @@ object TextQueries {
             SELECT 'stats', source, count(*),
               CAST(sum(n_chars) AS BIGINT)
             FROM documents GROUP BY 2"""),
-      doc = "approx-quantile sketch gated by its own rank window")
+      doc = "approx-quantile sketch gated by its own rank window"),
+
+    // Multi-pattern content scan (the banned-phrase / PII-scrub stage a
+    // training pipeline runs over every document): ONE Aho–Corasick
+    // pass per doc finds every occurrence of every pattern — O(text),
+    // independent of pattern count — with the automaton built once and
+    // BROADCAST, the 100 TB shape (vs N per-pattern substring scans,
+    // which cost N corpus passes). The pattern set deliberately nests
+    // ('he' in 'the', 'or' in 'for'/'work') to put the output-link
+    // chain on the hot path, and every pattern is border-free (no
+    // proper prefix = suffix) so occurrences can't overlap — which is
+    // what lets DuckDB mirror the exact counts with replace()-deletion
+    // arithmetic.
+    Q("q272_multipattern_scan",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val patterns = Seq("the", "he", "and", "data", "net", "work",
+          "or", "ing", "ion", "for", "with", "ter", "est", "ment",
+          "pro", "com", "stream", "of the")
+        val ac = s.sparkContext.broadcast(
+          graft.text.AhoCorasick.build(patterns))
+        Tables.documents(s, d).selectExpr("doc_id", "lower(text) AS t")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val a = ac.value
+            it.flatMap { case (_, t) =>
+              val c = a.countAll(t)
+              c.indices.iterator.map(i =>
+                (a.patterns(i), c(i), if (c(i) > 0) 1L else 0L))
+            }
+          }.toDF("pattern", "occ", "hit")
+          .groupBy("pattern")
+          .agg(sum("hit").as("n_docs_hit"), sum("occ").as("n_occ"))
+      },
+      Some("""WITH pats AS (SELECT unnest(['the', 'he', 'and', 'data',
+                'net', 'work', 'or', 'ing', 'ion', 'for', 'with',
+                'ter', 'est', 'ment', 'pro', 'com', 'stream',
+                'of the']) AS pattern),
+            c AS (SELECT pattern,
+                (len(t) - len(replace(t, pattern, ''))) // len(pattern)
+                  AS occ
+              FROM (SELECT lower(text) AS t FROM documents), pats)
+            SELECT pattern,
+              count(CASE WHEN occ > 0 THEN 1 END) AS n_docs_hit,
+              CAST(sum(occ) AS BIGINT) AS n_occ
+            FROM c GROUP BY 1"""),
+      doc = "Aho-Corasick multi-pattern scrub scan: one broadcast " +
+        "automaton pass per document")
   )
 }
