@@ -503,6 +503,69 @@ object MultimodalQueries {
               CAST(sum(v * wgt) AS BIGINT) AS wsum
             FROM px GROUP BY 1"""),
       doc = "PNG (RFC 2083) encode/decode: filters + DEFLATE + zlib, " +
-        "bit-exact on arbitrary pixels")
+        "bit-exact on arbitrary pixels"),
+
+    // GIF through the full LZW pipeline (Gif.scala: palette + variable
+    // width codes + clear/EOI + sub-block framing + optional 4-pass
+    // interlace): per document a paletted image whose palette AND
+    // index plane come from doc_id arithmetic; odd docs encode
+    // INTERLACED so the de-interlace path is half the corpus. GIF is
+    // lossless, so the oracle regenerates every pixel through the same
+    // palette lookup; the position-weighted checksum pins row order —
+    // exactly what a broken interlace pass scrambles.
+    Q("q273_gif_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (5 + id % 8).toInt
+            val h = (4 + id % 5).toInt
+            val nPal = (4 + id % 13).toInt
+            val pal = Array.tabulate(nPal)(i =>
+              ((id * 37 + i * 1103) % 16777216).toInt)
+            val idx = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              idx(y * w + x) = ((id + x * 3 + y * 7) % nPal).toByte
+            val bytes = Gif.encode(Gif.Image(w, h, pal, idx),
+              interlaced = id % 2 == 1)
+            val back = Gif.decode(bytes).get
+            val px = Gif.rgb(back)
+            (0 until back.width * back.height).iterator.map { i =>
+              val r = px(3 * i) & 0xff
+              val g = px(3 * i + 1) & 0xff
+              val b = px(3 * i + 2) & 0xff
+              (r + g + b, r.toLong, g.toLong, b.toLong,
+                (r + g + b).toLong * (i % 13 + 1))
+            }
+          })
+          .toDF("lum", "r", "g", "b", "wv")
+          .groupBy(expr("lum DIV 192").as("bucket"))
+          .agg(count(lit(1)).as("n_px"), sum("r").as("sum_r"),
+            sum("g").as("sum_g"), sum("b").as("sum_b"),
+            sum("wv").as("wsum"))
+      },
+      Some("""WITH px AS (SELECT
+                (doc_id * 37 +
+                  ((doc_id + x * 3 + y * 7) % (4 + doc_id % 13)) * 1103)
+                  % 16777216 AS c,
+                y * (5 + doc_id % 8) + x AS i
+              FROM documents,
+                unnest(generate_series(0, CAST(4 + doc_id % 5 - 1 AS BIGINT)))
+                  AS gy(y),
+                unnest(generate_series(0, CAST(5 + doc_id % 8 - 1 AS BIGINT)))
+                  AS gx(x)),
+            ch AS (SELECT (c // 65536) % 256 AS r,
+                (c // 256) % 256 AS g, c % 256 AS b, i
+              FROM px)
+            SELECT (r + g + b) // 192 AS bucket, count(*) AS n_px,
+              CAST(sum(r) AS BIGINT) AS sum_r,
+              CAST(sum(g) AS BIGINT) AS sum_g,
+              CAST(sum(b) AS BIGINT) AS sum_b,
+              CAST(sum((r + g + b) * (i % 13 + 1)) AS BIGINT) AS wsum
+            FROM ch GROUP BY 1"""),
+      doc = "GIF (LZW) encode/decode incl. interlace, lossless exact " +
+        "through the palette")
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Gif
+
+/** GIF/LZW gates. javax.imageio (JDK) is the independent reference
+  * decoder: every GIF our encoder writes must decode identically
+  * there, pixel for pixel — cross-validation of the whole container
+  * AND the variable-width LZW stream. Plus direct LZW pair tests
+  * (KwKwK, dictionary-full clear) and corruption fuzz. */
+class GifSpec extends AnyFunSuite {
+
+  private def mkImage(w: Int, h: Int, nPal: Int, seed: Long): Gif.Image = {
+    var s = seed
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    val pal = Array.tabulate(nPal)(i =>
+      (next() % 0x1000000).toInt & 0xffffff)
+    val idx = Array.fill(w * h)((next() % nPal).toByte)
+    Gif.Image(w, h, pal, idx)
+  }
+
+  test("roundtrip: sequential and interlaced, palettes 2..256") {
+    for (nPal <- Seq(2, 3, 16, 256); il <- Seq(false, true)) {
+      val img = mkImage(23, 17, nPal, nPal * 7L + (if (il) 1 else 0))
+      val bytes = Gif.encode(img, interlaced = il)
+      val back = Gif.decode(bytes).getOrElse(fail(s"pal=$nPal il=$il"))
+      assert(back.width == 23 && back.height == 17)
+      assert(back.indices.sameElements(img.indices), s"pal=$nPal il=$il")
+      assert(back.palette.take(nPal).sameElements(img.palette))
+    }
+  }
+
+  test("javax.imageio decodes our GIFs pixel-identically") {
+    // heights stay >= 5: the JDK decoder mis-assembles interlaced
+    // images shorter than the first full pass stride (empty pass 2) —
+    // verified by probing its row order at h=3/4 vs the spec's
+    // Appendix E passes, which this codec follows exactly
+    for (nPal <- Seq(2, 16, 256); il <- Seq(false, true)) {
+      val img = mkImage(31, 13, nPal, nPal + 13L)
+      val bytes = Gif.encode(img, interlaced = il)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected pal=$nPal il=$il")
+      assert(bi.getWidth == 31 && bi.getHeight == 13)
+      for (y <- 0 until 13; x <- 0 until 31) {
+        val want = 0xff000000 | img.palette(
+          img.indices(y * 31 + x) & 0xff)
+        assert(bi.getRGB(x, y) == want,
+          s"($x,$y) pal=$nPal il=$il: got ${bi.getRGB(x, y).toHexString}")
+      }
+    }
+  }
+
+  test("LZW pair: KwKwK and dictionary-full clear paths") {
+    // KwKwK: 'abababab...' forces code == nextCode on decode
+    val kwk = "abababababababab".getBytes("US-ASCII").map(b =>
+      (b - 'a').toByte)
+    val c = Gif.lzwCompress(kwk, 2)
+    assert(Gif.lzwDecompress(c, 2, 1000).exists(_.sameElements(kwk)))
+    // long low-entropy stream pushes the dictionary to 4096 -> clear
+    var s = 5L
+    val big = Array.fill(200000) {
+      s = s * 48271 % 2147483647; (s % 4).toByte
+    }
+    val cb = Gif.lzwCompress(big, 2)
+    assert(cb.length < big.length, "no compression on repetitive data")
+    assert(Gif.lzwDecompress(cb, 2, big.length + 1)
+      .exists(_.sameElements(big)))
+    // and through the full container (256-wide palette, 8-bit codes)
+    val img = Gif.Image(400, 120, Array.tabulate(256)(i => i * 0x010203),
+      Array.tabulate(400 * 120)(i => ((i / 7) % 256).toByte))
+    assert(Gif.decode(Gif.encode(img))
+      .exists(_.indices.sameElements(img.indices)))
+  }
+
+  test("dims probe") {
+    val img = mkImage(9, 4, 16, 3L)
+    assert(Gif.dims(Gif.encode(img)).contains((9, 4, 16)))
+  }
+
+  test("malformed input returns None, never throws") {
+    val img = mkImage(11, 7, 8, 9L)
+    val good = Gif.encode(img)
+    for (n <- 0 until good.length)
+      assert(Gif.decode(good.take(n)).isEmpty, s"truncated at $n decoded")
+    for (i <- good.indices) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x2a).toByte
+      val r = Gif.decode(bad) // must not throw; may decode if benign
+      r.foreach(im => assert(im.width > 0 && im.height > 0 &&
+        im.indices.length == im.width * im.height))
+    }
+    assert(Gif.decode("GIF89a".getBytes).isEmpty)
+    assert(Gif.decode(Array.emptyByteArray).isEmpty)
+    // LZW bomb guard: output capped
+    val big = Array.fill(100000)(1.toByte)
+    val c = Gif.lzwCompress(big, 2)
+    assert(Gif.lzwDecompress(c, 2, 500).isEmpty)
+  }
+}
