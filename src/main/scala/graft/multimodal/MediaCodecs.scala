@@ -152,6 +152,10 @@ object MediaCodecs {
       Png.dims(b).map { case (w, h, nc) =>
         Meta("png", w, h, nc, 0, 8, 0L, b.length.toLong)
       }
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Gif.dims(b).map { case (w, h, _) =>
+        Meta("gif", w, h, 3, 0, 8, 0L, b.length.toLong) // palette RGB
+      }
     else None
 
   private def ascii(b: Array[Byte], off: Int): String =

@@ -75,9 +75,13 @@ class GifSpec extends AnyFunSuite {
       .exists(_.indices.sameElements(img.indices)))
   }
 
-  test("dims probe") {
+  test("dims probe and MediaCodecs dispatch") {
     val img = mkImage(9, 4, 16, 3L)
-    assert(Gif.dims(Gif.encode(img)).contains((9, 4, 16)))
+    val bytes = Gif.encode(img)
+    assert(Gif.dims(bytes).contains((9, 4, 16)))
+    val meta = graft.multimodal.MediaCodecs.decode(bytes)
+    assert(meta.exists(m => m.format == "gif" && m.width == 9 &&
+      m.height == 4 && m.channels == 3))
   }
 
   test("malformed input returns None, never throws") {
