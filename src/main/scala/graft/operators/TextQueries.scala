@@ -690,6 +690,74 @@ object TextQueries {
               CAST(sum(occ) AS BIGINT) AS n_occ
             FROM c GROUP BY 1"""),
       doc = "Aho-Corasick multi-pattern scrub scan: one broadcast " +
-        "automaton pass per document")
+        "automaton pass per document"),
+
+    // HTML main-text extraction (the CommonCrawl stage BEFORE every
+    // quality/dedup filter): each document renders into a full page —
+    // title, a script whose string literal carries tag/entity traps, a
+    // style block, nav/footer boilerplate, and one <p> per text line
+    // with &/<,> escaped — and HtmlExtract must recover exactly the
+    // title + nav + collapsed nonblank lines + footer. The oracle
+    // computes every expected line length from the RAW text alone, so
+    // a tag-walk, raw-text-skip, entity, or whitespace defect breaks
+    // parity; the position-weighted sum pins line ORDER.
+    Q("q274_html_extract",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "source", "text")
+          .as[(Long, String, String)]
+          .mapPartitions(_.flatMap { case (id, source, text) =>
+            def esc(t: String): String = t.replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            val body = text.split("\n", -1)
+              .map(l => s"<p>${esc(l)}</p>").mkString
+            val html =
+              s"""<html><head><title>Doc $id</title>""" +
+                """<script>var x = "<p>&amp; trap</p>";</script>""" +
+                """<style>p { color: red; }</style></head>""" +
+                """<body><div id="nav">home &amp; about&#33;</div>""" +
+                body +
+                """<div class="foot">(c) footer</div></body></html>"""
+            val lines = graft.text.HtmlExtract.lines(html)
+            lines.iterator.zipWithIndex.map { case (l, i) =>
+              (source, l.length.toLong, l.length.toLong * (i + 1))
+            }
+          })
+          .toDF("source", "len", "wlen")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_lines"), sum("len").as("n_chars"),
+            sum("wlen").as("wsum"))
+      },
+      Some("""WITH raw AS (SELECT doc_id, source,
+                string_split(text, chr(10)) AS ls FROM documents),
+            ex AS (SELECT doc_id, source, unnest(ls) AS l,
+                generate_subscripts(ls, 1) AS pos FROM raw),
+            coll AS (SELECT doc_id, source, pos,
+                regexp_replace(regexp_replace(l, '\s+', ' ', 'g'),
+                  '^ +| +$', '', 'g') AS cl
+              FROM ex),
+            keep AS (SELECT doc_id, source, cl,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS ci
+              FROM coll WHERE len(cl) > 0),
+            perdoc AS (SELECT r.doc_id, r.source,
+                coalesce(k.nc, 0) AS nc, coalesce(k.cchars, 0) AS cchars,
+                coalesce(k.cw, 0) AS cw,
+                4 + len(CAST(r.doc_id AS VARCHAR)) AS lt
+              FROM (SELECT DISTINCT doc_id, source FROM raw) r
+              LEFT JOIN (SELECT doc_id, count(*) AS nc,
+                  sum(len(cl)) AS cchars,
+                  sum(len(cl) * (2 + ci)) AS cw
+                FROM keep GROUP BY 1) k ON r.doc_id = k.doc_id)
+            SELECT source,
+              CAST(sum(3 + nc) AS BIGINT) AS n_lines,
+              CAST(sum(lt + 13 + cchars + 10) AS BIGINT) AS n_chars,
+              CAST(sum(lt * 1 + 13 * 2 + cw + 10 * (3 + nc)) AS BIGINT)
+                AS wsum
+            FROM perdoc GROUP BY 1"""),
+      doc = "HTML main-text extraction: tag walk + raw-text skip + " +
+        "entities + block lines, gated from raw-text arithmetic")
   )
 }
