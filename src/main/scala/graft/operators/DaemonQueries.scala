@@ -786,6 +786,82 @@ object DaemonQueries {
       doc = "consumer-group offset-commit recovery: FindCoordinator + " +
         "OffsetFetch resume across a broker restart, exactly-once"),
 
+    // The OTHER half of consumer-group coordination: partition
+    // ASSIGNMENT from the broker's membership protocol, not from
+    // driver-side metadata. Two executor tasks JoinGroup concurrently
+    // (the broker's join barrier holds until the declared round
+    // fills), the broker elects the first joiner leader, the LEADER
+    // TASK computes the range assignment client-side and SyncGroups it
+    // back as real ConsumerProtocolAssignment bytes, and every member
+    // consumes exactly its returned share. The gate's invariant is the
+    // one consumer groups exist for: the union of what the members
+    // read equals the topic exactly once — an assignment overlap
+    // duplicates rows, a gap loses them, and n_members pins exactly
+    // one owner per partition. generation rides the output so a
+    // double-completed join round also breaks parity.
+    Q("q275_kafka_group_assign",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files
+          .createTempDirectory("q275_kafka").resolve("landed").toString
+        val group = "graft_assign"
+        try {
+          Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long)].repartition(8)
+            .foreachPartition { (it: Iterator[(Long, Long)]) =>
+              KafkaMiniBroker.produceAll(port, "graft_assign",
+                it.grouped(60).map { batch =>
+                  batch.groupBy { case (uid, _) => (uid % 4).toInt }
+                    .toSeq.sortBy(_._1).map { case (p, recs) =>
+                      KafkaWire.PartitionBatch("acct", p, recs.map {
+                        case (uid, b) =>
+                          KafkaWire.Record(s"k$uid",
+                            s"$uid:$b".getBytes("UTF-8"))
+                      })
+                    }
+                })
+            }
+          broker.expectGroupMembers(group, 2)
+          val landed = s.sparkContext.parallelize(0 until 2, 2)
+            .mapPartitions { ms =>
+              ms.flatMap { _ =>
+                val (me, gen, parts) =
+                  KafkaMiniBroker.groupAssign(port, group, "acct")
+                parts.iterator.flatMap { p =>
+                  val hw = KafkaMiniBroker.discoverEnds(port, Seq("acct"))
+                    .collectFirst { case ("acct", `p`, end) => end }
+                    .getOrElse(0L)
+                  KafkaMiniBroker.consumeRange(port, "acct", p, 0L, hw)
+                    .map { case (_, r) =>
+                      val Array(uid, b) =
+                        new String(r.value, "UTF-8").split(':')
+                      (p.toLong, me, gen.toLong, uid.toLong, b.toLong)
+                    }
+                }
+              }
+            }.toDF("partition", "member", "gen", "uid", "b")
+          landed.write.mode("overwrite").parquet(store)
+        } finally broker.close()
+        s.read.parquet(store)
+          .groupBy("partition", "gen")
+          .agg(count(lit(1)).as("n"), sum("b").as("sum_b"),
+            countDistinct("member").as("n_members"))
+      },
+      Some("""SELECT user_id % 4 AS partition, CAST(1 AS BIGINT) AS gen,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_b,
+              CAST(1 AS BIGINT) AS n_members
+              FROM events GROUP BY 1"""),
+      doc = "consumer-group ASSIGNMENT from the broker: JoinGroup " +
+        "barrier + leader-computed range + SyncGroup, exactly-once"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

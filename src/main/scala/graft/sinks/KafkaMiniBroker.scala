@@ -70,6 +70,33 @@ final class KafkaMiniBroker {
     * restarted consumer's OffsetFetch recovery depends on). */
   private val groupOffsets = mutable.Map[(String, String, Int), Long]()
 
+  /** One group's membership round (JoinGroup/SyncGroup coordinator
+    * state): members joined so far, the generation, and the leader's
+    * synced assignments. The broker is policy-free — it elects the
+    * FIRST joiner leader and relays bytes; the assignment itself is
+    * computed client-side, as in real Kafka. */
+  private final class GroupState {
+    var generation = 0
+    /** Join rounds complete when this many members have joined — the
+      * deterministic stand-in for the real broker's rebalance timeout
+      * (wall-clock waits would make gates racy). Declared up front via
+      * [[expectGroupMembers]]; -1 = complete on the first join. */
+    var expected = -1
+    var roundComplete = false
+    val members = mutable.LinkedHashMap[String, Array[Byte]]()
+    var nextMemberN = 0
+    var assignments: Map[String, Array[Byte]] = null
+  }
+  private val groups = mutable.Map[String, GroupState]()
+
+  /** Declare how many members the next join round of `group` waits
+    * for (see [[GroupState.expected]]). */
+  def expectGroupMembers(group: String, n: Int): Unit =
+    groups.synchronized {
+      val st = groups.getOrElseUpdate(group, new GroupState)
+      st.synchronized { st.expected = n }
+    }
+
   private val logs = mutable.Map[(String, Int), PartitionLog]()
   private var server: ServerSocket = _
   @volatile private var running = false
@@ -328,6 +355,79 @@ final class KafkaMiniBroker {
                   server.getLocalPort, topics)
               case None => null
             }
+          case 11 =>
+            KafkaWire.parseJoinGroup(payload) match {
+              case Some((corr, g, member, meta)) =>
+                val st = groups.synchronized {
+                  groups.getOrElseUpdate(g, new GroupState)
+                }
+                st.synchronized {
+                  // a join after a stable round starts a REBALANCE:
+                  // membership re-forms, the old assignments die
+                  if (st.roundComplete) {
+                    st.assignments = null
+                    st.members.clear()
+                    st.roundComplete = false
+                  }
+                  val id = if (member.nonEmpty) member
+                    else { st.nextMemberN += 1; s"member-${st.nextMemberN}" }
+                  st.members(id) = meta
+                  // the completing joiner bumps the generation ONCE
+                  if (!st.roundComplete &&
+                    (st.expected < 0 || st.members.size >= st.expected)) {
+                    st.roundComplete = true
+                    st.generation += 1
+                    st.notifyAll()
+                  }
+                  // barrier: wait for the round to fill (15 s guard)
+                  val deadline = System.nanoTime() + 15000000000L
+                  while (!st.roundComplete && System.nanoTime() < deadline)
+                    st.wait(100)
+                  if (!st.roundComplete)
+                    KafkaWire.encodeJoinGroupResponse(corr, 27, -1, "",
+                      id, Nil) // REBALANCE_IN_PROGRESS: round never filled
+                  else {
+                    val leader = st.members.head._1
+                    KafkaWire.encodeJoinGroupResponse(corr, 0,
+                      st.generation, leader, id,
+                      if (id == leader) st.members.toSeq else Nil)
+                  }
+                }
+              case None => null
+            }
+          case 14 =>
+            KafkaWire.parseSyncGroup(payload) match {
+              case Some((corr, g, gen, member, as)) =>
+                groups.synchronized { groups.get(g) } match {
+                  case None =>
+                    KafkaWire.encodeSyncGroupResponse(corr, 25,
+                      Array.emptyByteArray) // UNKNOWN_MEMBER_ID
+                  case Some(st) => st.synchronized {
+                    if (gen != st.generation ||
+                      !st.members.contains(member))
+                      KafkaWire.encodeSyncGroupResponse(corr, 22,
+                        Array.emptyByteArray) // ILLEGAL_GENERATION
+                    else {
+                      if (as.nonEmpty) {
+                        st.assignments = as.toMap
+                        st.notifyAll()
+                      }
+                      val deadline = System.nanoTime() + 15000000000L
+                      while (st.assignments == null &&
+                        System.nanoTime() < deadline)
+                        st.wait(100)
+                      if (st.assignments == null)
+                        KafkaWire.encodeSyncGroupResponse(corr, 27,
+                          Array.emptyByteArray)
+                      else
+                        KafkaWire.encodeSyncGroupResponse(corr, 0,
+                          st.assignments.getOrElse(member,
+                            Array.emptyByteArray))
+                    }
+                  }
+                }
+              case None => null
+            }
           case 10 =>
             KafkaWire.parseFindCoordinator(payload) match {
               case Some((corr, _)) =>
@@ -528,6 +628,42 @@ object KafkaMiniBroker {
         .map { case (p, off, e) =>
           require(e == 0, s"OffsetFetch error $e on partition $p"); p -> off
         }.toMap
+    } finally sock.close()
+  }
+
+  /** One member's full membership round: JoinGroup (blocking until the
+    * declared round fills), leader-side RANGE assignment over the
+    * topic's partitions (contiguous chunks across sorted members —
+    * the range assignor's semantics, computed CLIENT-side exactly as
+    * Kafka's consumer does, the broker only relays bytes), SyncGroup.
+    * Returns (memberId, generation, assigned partitions). */
+  def groupAssign(port: Int, group: String, topic: String)
+      : (String, Int, Seq[Int]) = {
+    val (sock, in, out) = connect(port)
+    try {
+      val (err, gen, leader, me, members) =
+        KafkaWire.decodeJoinGroupResponse(exchange(in, out,
+          KafkaWire.encodeJoinGroup(0, "graft_consumer", group, "",
+            topic)))
+      require(err == 0, s"JoinGroup error $err")
+      val assignments: Seq[(String, Array[Byte])] =
+        if (me == leader) {
+          val parts = discoverEnds(port, Seq(topic))
+            .collect { case (`topic`, p, _) => p }.sorted
+          val ms = members.map(_._1).sorted
+          val per = (parts.size + ms.size - 1) / math.max(1, ms.size)
+          ms.zipWithIndex.map { case (m, i) =>
+            (m, KafkaWire.encodeAssignment(topic,
+              parts.slice(i * per, (i + 1) * per)))
+          }
+        } else Nil
+      val (serr, mine) = KafkaWire.decodeSyncGroupResponse(
+        exchange(in, out, KafkaWire.encodeSyncGroup(1, "graft_consumer",
+          group, gen, me, assignments)))
+      require(serr == 0, s"SyncGroup error $serr")
+      val ps = KafkaWire.decodeAssignment(mine).map(_._2)
+        .getOrElse(Seq.empty)
+      (me, gen, ps)
     } finally sock.close()
   }
 

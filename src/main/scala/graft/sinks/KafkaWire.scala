@@ -937,4 +937,184 @@ object KafkaWire {
     }
     out.toSeq
   }
+  // ---- group membership: JoinGroup/SyncGroup v0 + Heartbeat v0 ------
+  // The coordination half of the consumer-group story (OffsetCommit/
+  // Fetch above are the offsets half): members JOIN, the broker elects
+  // the FIRST joiner leader and hands it the member list, the leader
+  // computes assignments client-side (the Kafka design: the broker is
+  // policy-free) and SYNCs them back, every member receives its share.
+  // Assignments travel as the real ConsumerProtocolAssignment bytes.
+
+  /** JoinGroup v0 (api 11) request. memberId is empty on first join. */
+  def encodeJoinGroup(corr: Int, clientId: String, group: String,
+                      memberId: String, topic: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(11); i16(0); i32(corr); str(clientId)
+    str(group); i32(30000); str(memberId); str("consumer")
+    i32(1)                                  // one supported protocol
+    str("range")
+    // ConsumerProtocolSubscription v0: version, [topic], userdata
+    val meta = mutable.ArrayBuffer[Byte]()
+    meta += 0; meta += 0                    // version 0
+    meta += 0; meta += 0; meta += 0; meta += 1 // one topic
+    val t = topic.getBytes("UTF-8")
+    meta += (t.length >> 8).toByte; meta += t.length.toByte; meta ++= t
+    (0 until 4).foreach(_ => meta += 0xff.toByte) // null userdata
+    i32(meta.length); b ++= meta            // metadata as bytes
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, memberId, protocol metadata). */
+  def parseJoinGroup(payload: Array[Byte])
+      : Option[(Int, String, String, Array[Byte])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 11 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    buf.getInt()                            // session timeout
+    val member = new String(takeBytes(buf, buf.getShort() & 0xffff),
+      "UTF-8")
+    takeBytes(buf, buf.getShort() & 0xffff) // protocol type
+    val n = buf.getInt()
+    if (n < 1) return None
+    takeBytes(buf, buf.getShort() & 0xffff) // protocol name
+    val meta = takeBytes(buf, buf.getInt())
+    Some((corr, g, member, meta))
+  } catch { case _: Exception => None }
+
+  /** JoinGroup v0 response; `members` non-empty only for the leader. */
+  def encodeJoinGroupResponse(corr: Int, error: Int, generation: Int,
+                              leaderId: String, memberId: String,
+                              members: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr)
+    i16(error); i32(generation); str("range"); str(leaderId)
+    str(memberId)
+    i32(members.size)
+    members.foreach { case (m, meta) =>
+      str(m); i32(meta.length); b ++= meta
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: (error, generation, leaderId, memberId, members). */
+  def decodeJoinGroupResponse(payload: Array[Byte])
+      : (Int, Int, String, String, Seq[(String, Array[Byte])]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    val err = buf.getShort().toInt
+    val gen = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // protocol
+    val leader = new String(takeBytes(buf, buf.getShort() & 0xffff),
+      "UTF-8")
+    val me = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val n = buf.getInt()
+    val ms = (0 until n).map { _ =>
+      val m = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      (m, takeBytes(buf, buf.getInt()))
+    }
+    (err, gen, leader, me, ms)
+  }
+
+  /** SyncGroup v0 (api 14): the leader carries every member's
+    * assignment; followers carry none. */
+  def encodeSyncGroup(corr: Int, clientId: String, group: String,
+                      generation: Int, memberId: String,
+                      assignments: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(14); i16(0); i32(corr); str(clientId)
+    str(group); i32(generation); str(memberId)
+    i32(assignments.size)
+    assignments.foreach { case (m, a) => str(m); i32(a.length); b ++= a }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, generation, memberId,
+    * assignments). */
+  def parseSyncGroup(payload: Array[Byte])
+      : Option[(Int, String, Int, String, Seq[(String, Array[Byte])])] =
+    try {
+      val buf = ByteBuffer.wrap(payload)
+      if (buf.getShort() != 14 || buf.getShort() != 0) return None
+      val corr = buf.getInt()
+      takeBytes(buf, buf.getShort() & 0xffff) // client id
+      val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      val gen = buf.getInt()
+      val me = new String(takeBytes(buf, buf.getShort() & 0xffff),
+        "UTF-8")
+      val n = buf.getInt()
+      val as = (0 until n).map { _ =>
+        val m = new String(takeBytes(buf, buf.getShort() & 0xffff),
+          "UTF-8")
+        (m, takeBytes(buf, buf.getInt()))
+      }
+      Some((corr, g, gen, me, as))
+    } catch { case _: Exception => None }
+
+  /** SyncGroup v0 response: error + this member's assignment bytes. */
+  def encodeSyncGroupResponse(corr: Int, error: Int,
+                              assignment: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 4 + 2 + 4 + assignment.length)
+    b.putInt(4 + 2 + 4 + assignment.length); b.putInt(corr)
+    b.putShort(error.toShort)
+    b.putInt(assignment.length); b.put(assignment)
+    b.array()
+  }
+
+  /** Client-side: (error, assignment bytes). */
+  def decodeSyncGroupResponse(payload: Array[Byte])
+      : (Int, Array[Byte]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    val err = buf.getShort().toInt
+    (err, takeBytes(buf, buf.getInt()))
+  }
+
+  /** ConsumerProtocolAssignment v0: version, [(topic, [partitions])],
+    * null userdata — the real bytes a Kafka consumer's leader sends. */
+  def encodeAssignment(topic: String, partitions: Seq[Int])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i16(0)                                  // version
+    i32(1)                                  // one topic
+    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+    i32(partitions.size); partitions.foreach(i32)
+    i32(-1)                                 // null userdata
+    val out = new Array[Byte](b.length)
+    b.copyToArray(out); out
+  }
+
+  /** Decode ConsumerProtocolAssignment v0 → (topic, partitions). */
+  def decodeAssignment(bytes: Array[Byte]): Option[(String, Seq[Int])] =
+    try {
+      val buf = ByteBuffer.wrap(bytes)
+      if (buf.getShort() != 0) return None
+      if (buf.getInt() < 1) return None
+      val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      val n = buf.getInt()
+      Some((t, (0 until n).map(_ => buf.getInt())))
+    } catch { case _: Exception => None }
 }

@@ -422,6 +422,32 @@ class DaemonCodecSpec extends AnyFunSuite {
     assert(parsed.exists(_.txnId.contains("txn-x")))
     assert(parsed.exists(p =>
       KafkaWire.batchTxnInfo(p.batches.head._3) == ((99L, 2, true))))
+
+    // the consumer-group APIs too: truncations + flips on all five
+    val cg = Seq(
+      KafkaWire.encodeFindCoordinator(1, "fuzz", "g").drop(4),
+      KafkaWire.encodeOffsetCommit(2, "fuzz", "g", "t",
+        Seq((0, 1L))).drop(4),
+      KafkaWire.encodeOffsetFetch(3, "fuzz", "g", "t", Seq(0, 1)).drop(4),
+      KafkaWire.encodeJoinGroup(4, "fuzz", "g", "m", "t").drop(4),
+      KafkaWire.encodeSyncGroup(5, "fuzz", "g", 1, "m",
+        Seq(("m", KafkaWire.encodeAssignment("t", Seq(0))))).drop(4))
+    def parseAny(b: Array[Byte]): Unit = {
+      KafkaWire.parseFindCoordinator(b); KafkaWire.parseOffsetCommit(b)
+      KafkaWire.parseOffsetFetch(b); KafkaWire.parseJoinGroup(b)
+      KafkaWire.parseSyncGroup(b); ()
+    }
+    cg.foreach { req =>
+      (0 until req.length).foreach(c => parseAny(req.take(c)))
+      (0 until 200).foreach { _ =>
+        val x = req.clone()
+        x(rnd.nextInt(x.length)) =
+          (x(rnd.nextInt(x.length)) ^ (1 << rnd.nextInt(8))).toByte
+        parseAny(x)
+      }
+    }
+    (0 until 64).foreach(c => KafkaWire.decodeAssignment(
+      KafkaWire.encodeAssignment("t", Seq(0, 1)).take(c)))
   }
 
   // The sink's batch path: per-task transactions under a per-JOB txn
@@ -536,6 +562,61 @@ class DaemonCodecSpec extends AnyFunSuite {
       broker.start(port)
       assert(KafkaMiniBroker.fetchCommitted(port, "g1", "t",
         Seq(0, 1)) == Map(0 -> 50L, 1 -> 7L))
+    } finally broker.close()
+  }
+
+  // Group membership subset: JoinGroup/SyncGroup v0 — the broker-
+  // coordinated partition-assignment half of the consumer-group story
+  // (offsets half above). The broker elects the first joiner leader
+  // and relays assignment bytes; policy is client-side, as in Kafka.
+  test("Kafka group membership: join barrier, leader assign, rebalance") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+
+    // wire round-trips
+    val jg = KafkaWire.encodeJoinGroup(5, "c", "g", "", "t")
+    val Some((5, "g", "", meta)) = KafkaWire.parseJoinGroup(
+      java.util.Arrays.copyOfRange(jg, 4, jg.length)): @unchecked
+    assert(meta.length > 0)
+    val asn = KafkaWire.encodeAssignment("t", Seq(0, 2, 3))
+    assert(KafkaWire.decodeAssignment(asn).contains(("t", Seq(0, 2, 3))))
+    val sg = KafkaWire.encodeSyncGroup(6, "c", "g", 1, "m1",
+      Seq(("m1", asn)))
+    val Some((6, "g", 1, "m1", Seq(("m1", back)))) =
+      KafkaWire.parseSyncGroup(java.util.Arrays.copyOfRange(
+        sg, 4, sg.length)): @unchecked
+    assert(back.sameElements(asn))
+
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      // seed a 4-partition topic so Metadata/ListOffsets see it
+      KafkaMiniBroker.produceAll(port, "seed", Iterator(
+        (0 until 4).map(p => KafkaWire.PartitionBatch("t", p,
+          Seq(KafkaWire.Record(s"k$p", Array[Byte](1)))))))
+      broker.expectGroupMembers("g", 3)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val futures = (0 until 3).map(_ => pool.submit(
+          new java.util.concurrent.Callable[(String, Int, Seq[Int])] {
+            def call() = KafkaMiniBroker.groupAssign(port, "g", "t")
+          }))
+        val rs = futures.map(_.get(20, java.util.concurrent.TimeUnit.SECONDS))
+        assert(rs.map(_._2).distinct == Seq(1)) // one generation
+        assert(rs.map(_._1).distinct.size == 3) // distinct member ids
+        // assignment is a disjoint, complete cover of the partitions
+        val all = rs.flatMap(_._3)
+        assert(all.sorted == Seq(0, 1, 2, 3))
+        // REBALANCE: a second full round bumps the generation and
+        // re-covers the partitions
+        val futures2 = (0 until 3).map(_ => pool.submit(
+          new java.util.concurrent.Callable[(String, Int, Seq[Int])] {
+            def call() = KafkaMiniBroker.groupAssign(port, "g", "t")
+          }))
+        val rs2 = futures2.map(_.get(20,
+          java.util.concurrent.TimeUnit.SECONDS))
+        assert(rs2.map(_._2).distinct == Seq(2))
+        assert(rs2.flatMap(_._3).sorted == Seq(0, 1, 2, 3))
+      } finally pool.shutdownNow()
     } finally broker.close()
   }
 
