@@ -209,18 +209,23 @@ object Jpeg {
   }
 
   /** Encode a baseline JFIF file. `planes` holds 1 (gray) or 3 (Y,Cb,Cr)
-    * full-resolution sample planes, row-major, values 0..255. Sampling
-    * is 4:4:4. `restartInterval` > 0 emits DRI + RSTn markers every n
-    * MCUs. */
+    * full-resolution sample planes, row-major, values 0..255.
+    * `subsample420` switches the 3-component layout to 4:2:0 (luma 2x2,
+    * chroma box-averaged to half resolution — the shape most real JPEG
+    * files use); default is 4:4:4. `restartInterval` > 0 emits DRI +
+    * RSTn markers every n MCUs. */
   def encode(width: Int, height: Int, planes: Array[Array[Int]],
              qLuma: Array[Int] = QuantExactDcLuma,
              qChroma: Array[Int] = QuantExactDcChroma,
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0,
+             subsample420: Boolean = false): Array[Byte] = {
     require(planes.length == 1 || planes.length == 3,
       s"1 or 3 planes, got ${planes.length}")
     require(width > 0 && height > 0 &&
       planes.forall(_.length == width * height), "plane size mismatch")
+    require(!subsample420 || planes.length == 3, "4:2:0 needs YCbCr")
     val nc = planes.length
+    val sub = subsample420 && nc == 3
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -237,11 +242,13 @@ object Jpeg {
     qts.foreach { case (id, q) =>
       u8(id); Zigzag.foreach(z => u8(q(z)))
     }
-    // SOF0: baseline, 8-bit, 1x1 sampling throughout
+    // SOF0: baseline, 8-bit; luma 2x2 when subsampled, else 1x1
     marker(0xc0); u16(8 + 3 * nc)
     u8(8); u16(height); u16(width); u8(nc)
     (0 until nc).foreach { c =>
-      u8(c + 1); u8(0x11); u8(if (c == 0) 0 else 1)
+      u8(c + 1)
+      u8(if (c == 0 && sub) 0x22 else 0x11)
+      u8(if (c == 0) 0 else 1)
     }
     // DHT: all tables for the components present
     val hts: Seq[(Int, Array[Int], Array[Int])] =
@@ -273,89 +280,167 @@ object Jpeg {
       AcLumaVals.zipWithIndex.toMap, AcChromaVals.zipWithIndex.toMap)
     var bw = new BitWriter(out)
     val pred = new Array[Int](nc)
-    val mbw = (width + 7) / 8
-    val mbh = (height + 7) / 8
-    var mcu = 0
-    var rst = 0
-    var by = 0
-    while (by < mbh) {
-      var bx = 0
-      while (bx < mbw) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          bw.flush()
-          marker(0xd0 + rst % 8); rst += 1
-          java.util.Arrays.fill(pred, 0)
-          bw = new BitWriter(out)
+
+    // gather an (edge-replicated) level-shifted 8x8 block from a plane
+    def gather(plane: Array[Int], pw: Int, ph: Int,
+               bx: Int, by: Int): Array[Int] = {
+      val blk = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(bx * 8 + x, pw - 1)
+          val sy = math.min(by * 8 + y, ph - 1)
+          blk(y * 8 + x) = plane(sy * pw + sx) - 128
+          x += 1
         }
-        var c = 0
-        while (c < nc) {
-          val tsel = if (c == 0) 0 else 1
-          val q = if (c == 0) qLuma else qChroma
-          // gather the (edge-replicated) block, level-shift
-          val blk = new Array[Int](64)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val sx = math.min(bx * 8 + x, width - 1)
-              val sy = math.min(by * 8 + y, height - 1)
-              blk(y * 8 + x) = planes(c)(sy * width + sx) - 128
-              x += 1
-            }
-            y += 1
-          }
-          val f = fdct(blk)
-          val zz = new Array[Int](64)
-          zz(0) = math.round(f(0) / q(0)).toInt
-          var i = 1
-          while (i < 64) {
-            // AC categories stop at 10 in baseline: clamp to ±1023
-            // (only reachable with tiny quant steps on extreme blocks)
-            val v = math.round(f(Zigzag(i)) / q(Zigzag(i))).toInt
-            zz(i) = math.max(-1023, math.min(1023, v))
-            i += 1
-          }
-          // DC: category + diff bits (negatives in one's complement)
-          val diff = zz(0) - pred(c)
-          pred(c) = zz(0)
-          val cat = magCat(diff)
-          val (dcode, dlen) = dcCodes(tsel)(cat)
-          bw.put(dcode, dlen)
-          if (cat > 0) {
-            val bitsV = if (diff >= 0) diff else diff + (1 << cat) - 1
-            bw.put(bitsV, cat)
-          }
-          // AC: run/size with ZRL and EOB
-          var k = 1
-          var run = 0
-          while (k < 64) {
-            val v = zz(k)
-            if (v == 0) run += 1
-            else {
-              while (run > 15) {
-                val (zc, zl) = acCodes(tsel)(acValIdx(tsel)(0xf0))
-                bw.put(zc, zl); run -= 16
-              }
-              val scat = magCat(v)
-              val rs = (run << 4) | scat
-              val (ac, al) = acCodes(tsel)(acValIdx(tsel)(rs))
-              bw.put(ac, al)
-              val bitsV = if (v >= 0) v else v + (1 << scat) - 1
-              bw.put(bitsV, scat)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) {
-            val (ec, el) = acCodes(tsel)(acValIdx(tsel)(0x00))
-            bw.put(ec, el)
-          }
-          c += 1
-        }
-        mcu += 1
-        bx += 1
+        y += 1
       }
-      by += 1
+      blk
+    }
+
+    def emitBlock(blk: Array[Int], comp: Int): Unit = {
+      val tsel = if (comp == 0) 0 else 1
+      val q = if (comp == 0) qLuma else qChroma
+      val f = fdct(blk)
+      val zz = new Array[Int](64)
+      zz(0) = math.round(f(0) / q(0)).toInt
+      var i = 1
+      while (i < 64) {
+        // AC categories stop at 10 in baseline: clamp to ±1023
+        // (only reachable with tiny quant steps on extreme blocks)
+        val v = math.round(f(Zigzag(i)) / q(Zigzag(i))).toInt
+        zz(i) = math.max(-1023, math.min(1023, v))
+        i += 1
+      }
+      // DC: category + diff bits (negatives in one's complement)
+      val diff = zz(0) - pred(comp)
+      pred(comp) = zz(0)
+      val cat = magCat(diff)
+      val (dcode, dlen) = dcCodes(tsel)(cat)
+      bw.put(dcode, dlen)
+      if (cat > 0) {
+        val bitsV = if (diff >= 0) diff else diff + (1 << cat) - 1
+        bw.put(bitsV, cat)
+      }
+      // AC: run/size with ZRL and EOB
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val (zc, zl) = acCodes(tsel)(acValIdx(tsel)(0xf0))
+            bw.put(zc, zl); run -= 16
+          }
+          val scat = magCat(v)
+          val rs = (run << 4) | scat
+          val (ac, al) = acCodes(tsel)(acValIdx(tsel)(rs))
+          bw.put(ac, al)
+          val bitsV = if (v >= 0) v else v + (1 << scat) - 1
+          bw.put(bitsV, scat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) {
+        val (ec, el) = acCodes(tsel)(acValIdx(tsel)(0x00))
+        bw.put(ec, el)
+      }
+    }
+
+    def restartMaybe(mcu: Int, rst: Int): Int = {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + rst % 8)
+        java.util.Arrays.fill(pred, 0)
+        bw = new BitWriter(out)
+        rst + 1
+      } else rst
+    }
+
+    if (!sub) {
+      val mbw = (width + 7) / 8
+      val mbh = (height + 7) / 8
+      var mcu = 0
+      var rst = 0
+      var by = 0
+      while (by < mbh) {
+        var bx = 0
+        while (bx < mbw) {
+          rst = restartMaybe(mcu, rst)
+          var c = 0
+          while (c < nc) {
+            emitBlock(gather(planes(c), width, height, bx, by), c)
+            c += 1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // 4:2:0: chroma box-averaged to half resolution (rounded), MCU =
+      // four luma blocks + one Cb + one Cr
+      val cw = (width + 1) / 2
+      val chh = (height + 1) / 2
+      def half(plane: Array[Int]): Array[Int] = {
+        val o = new Array[Int](cw * chh)
+        var y = 0
+        while (y < chh) {
+          var x = 0
+          while (x < cw) {
+            var sum = 0
+            var n = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val sx = 2 * x + dx
+                val sy = 2 * y + dy
+                if (sx < width && sy < height) {
+                  sum += plane(sy * width + sx); n += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            o(y * cw + x) = (sum + n / 2) / n
+            x += 1
+          }
+          y += 1
+        }
+        o
+      }
+      val cb = half(planes(1))
+      val cr = half(planes(2))
+      val mw = (width + 15) / 16
+      val mh = (height + 15) / 16
+      var mcu = 0
+      var rst = 0
+      var my = 0
+      while (my < mh) {
+        var mx = 0
+        while (mx < mw) {
+          rst = restartMaybe(mcu, rst)
+          var j = 0
+          while (j < 2) {
+            var i = 0
+            while (i < 2) {
+              emitBlock(gather(planes(0), width, height,
+                2 * mx + i, 2 * my + j), 0)
+              i += 1
+            }
+            j += 1
+          }
+          emitBlock(gather(cb, cw, chh, mx, my), 1)
+          emitBlock(gather(cr, cw, chh, mx, my), 2)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -446,6 +531,7 @@ object Jpeg {
     var compDc: Array[Int] = null   // huffman DC table id (from SOS)
     var compAc: Array[Int] = null
     var restartInterval = 0
+    var samp420 = false
 
     def u16(o: Int): Int =
       if (o + 1 >= b.length) -1
@@ -506,13 +592,20 @@ object Jpeg {
             if (width <= 0 || height <= 0 ||
               (nc != 1 && nc != 3) || len != 8 + 3 * nc) return None
             compQ = new Array[Int](nc)
+            val samps = new Array[Int](nc)
             var i = 0
             while (i < nc) {
               val o = seg + 6 + 3 * i
-              if ((b(o + 1) & 0xff) != 0x11) return None // 4:4:4 only
+              samps(i) = b(o + 1) & 0xff
               compQ(i) = b(o + 2) & 0x0f
               i += 1
             }
+            // 4:4:4 (all 1x1) or 4:2:0 (luma 2x2, chroma 1x1); other
+            // sampling layouts are rejected, never mis-decoded
+            if (samps.forall(_ == 0x11)) samp420 = false
+            else if (nc == 3 && samps(0) == 0x22 &&
+              samps(1) == 0x11 && samps(2) == 0x11) samp420 = true
+            else return None
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline SOF
@@ -532,7 +625,8 @@ object Jpeg {
               i += 1
             }
             return decodeScan(b, segEnd, width, height, nc, quant,
-              dcTabs, acTabs, compQ, compDc, compAc, restartInterval)
+              dcTabs, acTabs, compQ, compDc, compAc, restartInterval,
+              samp420)
           case _ => () // APPn, COM, others: skip
         }
         pos = segEnd
@@ -546,69 +640,134 @@ object Jpeg {
                          dcTabs: Array[HuffDec], acTabs: Array[HuffDec],
                          compQ: Array[Int], compDc: Array[Int],
                          compAc: Array[Int],
-                         restartInterval: Int): Option[Decoded] = {
+                         restartInterval: Int,
+                         samp420: Boolean): Option[Decoded] = {
     var i = 0
     while (i < nc) {
       if (quant(compQ(i)) == null || dcTabs(compDc(i)) == null ||
         acTabs(compAc(i)) == null) return None
       i += 1
     }
-    val planes = Array.fill(nc)(new Array[Int](width * height))
     val br = new BitReader(b, scanStart)
     val pred = new Array[Int](nc)
-    val mbw = (width + 7) / 8
-    val mbh = (height + 7) / 8
     val zz = new Array[Int](64)
     val blk = new Array[Double](64)
-    var mcu = 0
-    var by = 0
-    while (by < mbh) {
-      var bx = 0
-      while (bx < mbw) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          if (!br.restart()) return None
-          java.util.Arrays.fill(pred, 0)
+
+    // entropy-decode one block of component `c`, IDCT it into `plane`
+    // (dims pw x ph) at block position (bx, by); false on any error
+    def readBlock(c: Int, plane: Array[Int], pw: Int, ph: Int,
+                  bx: Int, by: Int): Boolean = {
+      java.util.Arrays.fill(zz, 0)
+      val cat = huffDecode(br, dcTabs(compDc(c)))
+      if (cat < 0 || cat > 15 || br.truncated) return false
+      val diff = extend(br.bits(cat), cat)
+      pred(c) += diff
+      zz(0) = pred(c)
+      var k = 1
+      while (k < 64) {
+        val rs = huffDecode(br, acTabs(compAc(c)))
+        if (rs < 0 || br.truncated) return false
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else k = 64            // EOB
+        } else {
+          k += run
+          if (k > 63) return false
+          zz(k) = extend(br.bits(size), size)
+          k += 1
         }
-        var c = 0
-        while (c < nc) {
-          java.util.Arrays.fill(zz, 0)
-          // DC
-          val cat = huffDecode(br, dcTabs(compDc(c)))
-          if (cat < 0 || cat > 15 || br.truncated) return None
-          val diff = extend(br.bits(cat), cat)
-          pred(c) += diff
-          zz(0) = pred(c)
-          // AC
-          var k = 1
-          while (k < 64) {
-            val rs = huffDecode(br, acTabs(compAc(c)))
-            if (rs < 0 || br.truncated) return None
-            val run = rs >> 4
-            val size = rs & 0x0f
-            if (size == 0) {
-              if (run == 15) k += 16 // ZRL
-              else k = 64            // EOB
-            } else {
-              k += run
-              if (k > 63) return None
-              zz(k) = extend(br.bits(size), size)
-              k += 1
-            }
-          }
-          if (br.truncated) return None
-          // dequant into natural order + IDCT
-          val q = quant(compQ(c))
-          var j = 0
-          while (j < 64) { blk(Zigzag(j)) = zz(j).toDouble * q(Zigzag(j)); j += 1 }
-          idctInto(blk, planes(c), width, height, bx, by)
-          c += 1
-        }
-        mcu += 1
-        bx += 1
       }
-      by += 1
+      if (br.truncated) return false
+      val q = quant(compQ(c))
+      var j = 0
+      while (j < 64) {
+        blk(Zigzag(j)) = zz(j).toDouble * q(Zigzag(j)); j += 1
+      }
+      idctInto(blk, plane, pw, ph, bx, by)
+      true
     }
-    Some(Decoded(width, height, planes))
+
+    def restartMaybe(mcu: Int): Boolean = {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return false
+        java.util.Arrays.fill(pred, 0)
+      }
+      true
+    }
+
+    if (!samp420) {
+      val planes = Array.fill(nc)(new Array[Int](width * height))
+      val mbw = (width + 7) / 8
+      val mbh = (height + 7) / 8
+      var mcu = 0
+      var by = 0
+      while (by < mbh) {
+        var bx = 0
+        while (bx < mbw) {
+          if (!restartMaybe(mcu)) return None
+          var c = 0
+          while (c < nc) {
+            if (!readBlock(c, planes(c), width, height, bx, by))
+              return None
+            c += 1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      Some(Decoded(width, height, planes))
+    } else {
+      // 4:2:0 MCU = 4 luma blocks (2x2) + Cb + Cr at half resolution;
+      // chroma upsampled by replication into the full-res planes the
+      // Decoded contract promises
+      val cw = (width + 1) / 2
+      val chh = (height + 1) / 2
+      val yP = new Array[Int](width * height)
+      val cbH = new Array[Int](cw * chh)
+      val crH = new Array[Int](cw * chh)
+      val mw = (width + 15) / 16
+      val mh = (height + 15) / 16
+      var mcu = 0
+      var my = 0
+      while (my < mh) {
+        var mx = 0
+        while (mx < mw) {
+          if (!restartMaybe(mcu)) return None
+          var j = 0
+          while (j < 2) {
+            var i2 = 0
+            while (i2 < 2) {
+              if (!readBlock(0, yP, width, height, 2 * mx + i2,
+                2 * my + j)) return None
+              i2 += 1
+            }
+            j += 1
+          }
+          if (!readBlock(1, cbH, cw, chh, mx, my)) return None
+          if (!readBlock(2, crH, cw, chh, mx, my)) return None
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      def up(h: Array[Int]): Array[Int] = {
+        val o = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            o(y * width + x) = h((y / 2) * cw + (x / 2))
+            x += 1
+          }
+          y += 1
+        }
+        o
+      }
+      Some(Decoded(width, height, Array(yP, up(cbH), up(crH))))
+    }
   }
 
   /** Separable-enough double IDCT of one dequantized block, written

@@ -566,6 +566,91 @@ object MultimodalQueries {
               CAST(sum((r + g + b) * (i % 13 + 1)) AS BIGINT) AS wsum
             FROM ch GROUP BY 1"""),
       doc = "GIF (LZW) encode/decode incl. interlace, lossless exact " +
-        "through the palette")
+        "through the palette"),
+
+    // JPEG 4:2:0 — the chroma-subsampled layout most real files use
+    // (q267 gates 4:4:4): luma constant per 8x8 block, chroma constant
+    // per 16x16 MCU, so the box-average downsample and replication
+    // upsample are identity on the fixture and the WHOLE subsampled
+    // pipeline (2x2-luma MCU interleave, separate chroma block dims,
+    // upsample) stays integer-exact. Same fixed-point color formula
+    // and oracle idiom as q267; an MCU-interleave or upsample defect
+    // moves pixels between chroma regions and breaks the sums.
+    Q("q276_jpeg_420",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val mw = (1 + id % 2).toInt
+            val mh = (1 + id % 3).toInt
+            val w = mw * 16
+            val h = mh * 16
+            val planes = Array.fill(3)(new Array[Int](w * h))
+            for (by <- 0 until 2 * mh; bx <- 0 until 2 * mw) {
+              val yv = ((id * 5 + 17 * bx + 29 * by) % 256).toInt
+              for (py <- by * 8 until by * 8 + 8;
+                   px <- bx * 8 until bx * 8 + 8)
+                planes(0)(py * w + px) = yv
+            }
+            for (my <- 0 until mh; mx <- 0 until mw) {
+              val cb = ((id + 7 * mx + 3 * my) % 256).toInt
+              val cr = ((id * 3 + 11 * mx + 13 * my) % 256).toInt
+              for (py <- my * 16 until my * 16 + 16;
+                   px <- mx * 16 until mx * 16 + 16) {
+                planes(1)(py * w + px) = cb
+                planes(2)(py * w + px) = cr
+              }
+            }
+            val dec = Jpeg.decode(
+              Jpeg.encode(w, h, planes, subsample420 = true)).get
+            val px = Jpeg.rgb(dec)
+            (0 until dec.width * dec.height).iterator.map { i =>
+              val r = px(3 * i) & 0xff
+              val g = px(3 * i + 1) & 0xff
+              val b = px(3 * i + 2) & 0xff
+              (r + g + b, r.toLong, g.toLong, b.toLong)
+            }
+          })
+          .toDF("lum", "r", "g", "b")
+          .groupBy(expr("lum DIV 192").as("bucket"))
+          .agg(count(lit(1)).as("n_px"),
+            sum("lum").as("sum_lum"), sum("r").as("sum_r"),
+            sum("g").as("sum_g"), sum("b").as("sum_b"))
+      },
+      Some("""WITH blocks AS (SELECT doc_id, bx, by,
+                (doc_id * 5 + 17 * bx + 29 * by) % 256 AS y,
+                (doc_id + 7 * (bx // 2) + 3 * (by // 2)) % 256 AS cb,
+                (doc_id * 3 + 11 * (bx // 2) + 13 * (by // 2)) % 256
+                  AS cr
+              FROM documents,
+                unnest(generate_series(0,
+                  CAST(2 * (1 + doc_id % 2) - 1 AS BIGINT))) AS gx(bx),
+                unnest(generate_series(0,
+                  CAST(2 * (1 + doc_id % 3) - 1 AS BIGINT))) AS gy(by)),
+            fx AS (SELECT doc_id,
+                y * 65536 + 91881 * (cr - 128) + 32768 AS xr,
+                y * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768 AS xg,
+                y * 65536 + 116130 * (cb - 128) + 32768 AS xb
+              FROM blocks),
+            px AS (SELECT
+                GREATEST(0, LEAST(255,
+                  (xr - ((xr % 65536) + 65536) % 65536) // 65536)) AS r,
+                GREATEST(0, LEAST(255,
+                  (xg - ((xg % 65536) + 65536) % 65536) // 65536)) AS g,
+                GREATEST(0, LEAST(255,
+                  (xb - ((xb % 65536) + 65536) % 65536) // 65536)) AS b
+              FROM fx)
+            SELECT (r + g + b) // 192 AS bucket,
+              64 * count(*) AS n_px,
+              CAST(64 * sum(r + g + b) AS BIGINT) AS sum_lum,
+              CAST(64 * sum(r) AS BIGINT) AS sum_r,
+              CAST(64 * sum(g) AS BIGINT) AS sum_g,
+              CAST(64 * sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY 1"""),
+      doc = "JPEG 4:2:0 chroma subsampling: MCU interleave + box " +
+        "downsample + replication upsample, integer-exact")
   )
 }

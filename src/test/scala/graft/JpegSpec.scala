@@ -94,6 +94,56 @@ class JpegSpec extends AnyFunSuite {
     assert(plane.length == w * h) // silence unused warning
   }
 
+  test("4:2:0: constant-structured images roundtrip exactly") {
+    // luma constant per 8x8 block, chroma constant per 16x16 MCU: the
+    // box-average + replication upsample are identity on constants, so
+    // the full subsampled pipeline must be integer-exact
+    for (seed <- Seq(1L, 9L, 77L); mw <- 1 to 2; mh <- 1 to 2) {
+      val w = mw * 16
+      val h = mh * 16
+      val planes = Array.fill(3)(new Array[Int](w * h))
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val yv = ((seed * 5 + 17 * bx + 29 * by) % 256).toInt
+        for (py <- by * 8 until by * 8 + 8; px <- bx * 8 until bx * 8 + 8)
+          planes(0)(py * w + px) = yv
+      }
+      for (my <- 0 until mh; mx <- 0 until mw) {
+        val cb = ((seed + 7 * mx + 3 * my) % 256).toInt
+        val cr = ((seed * 3 + 11 * mx + 13 * my) % 256).toInt
+        for (py <- my * 16 until my * 16 + 16;
+             px <- mx * 16 until mx * 16 + 16) {
+          planes(1)(py * w + px) = cb
+          planes(2)(py * w + px) = cr
+        }
+      }
+      val jpg = Jpeg.encode(w, h, planes, subsample420 = true)
+      val d = Jpeg.decode(jpg).getOrElse(fail(s"420 decode $seed"))
+      for (c <- 0 until 3)
+        assert(d.planes(c).sameElements(planes(c)),
+          s"420 plane $c seed=$seed ${mw}x$mh")
+    }
+  }
+
+  test("4:2:0: noise luma + constant chroma within the flat-quant bound") {
+    var s = 0xabcdefL
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt }
+    for ((w, h) <- Seq((16, 16), (32, 16), (17, 23))) { // incl. ragged
+      val planes = Array(
+        Array.fill(w * h)(next()),
+        Array.fill(w * h)(99), Array.fill(w * h)(163))
+      val jpg = Jpeg.encode(w, h, planes, qLuma = Jpeg.QuantFlat1,
+        qChroma = Jpeg.QuantFlat1, subsample420 = true)
+      val d = Jpeg.decode(jpg).getOrElse(fail(s"420 noise ${w}x$h"))
+      for (i <- 0 until w * h) {
+        assert(math.abs(d.planes(0)(i) - planes(0)(i)) <= 12,
+          s"luma err at $i ${w}x$h")
+        assert(d.planes(1)(i) == 99 && d.planes(2)(i) == 163,
+          s"chroma drift at $i ${w}x$h")
+      }
+    }
+  }
+
   test("restart markers reset DC prediction and re-align the stream") {
     val (w, h, planes) = blockImage(42L, 3, 2)
     val jpg = Jpeg.encode(w, h, planes, restartInterval = 2)
@@ -183,10 +233,15 @@ class JpegSpec extends AnyFunSuite {
       i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(Jpeg.decode(prog).isEmpty)
-    // subsampled (non-1x1) component is rejected, not mis-decoded
+    // unsupported sampling (3x3) is rejected, not mis-decoded; and a
+    // 4:2:0 HEADER over a 4:4:4-encoded scan must fail cleanly too
     val sub = good.clone()
-    sub(sofAt + 11) = 0x22.toByte // comp 1 sampling h=2,v=2
+    sub(sofAt + 11) = 0x33.toByte // comp 1 sampling h=3,v=3
     assert(Jpeg.decode(sub).isEmpty)
+    val lie = good.clone()
+    lie(sofAt + 11) = 0x22.toByte // 4:2:0 header, 4:4:4 entropy data
+    Jpeg.decode(lie) // must not throw (usually None; never wrong dims)
+      .foreach(d => assert(d.width == w && d.height == h))
     // garbage
     assert(Jpeg.decode(Array.empty[Byte]).isEmpty)
     assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
