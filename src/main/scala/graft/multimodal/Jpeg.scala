@@ -1,21 +1,25 @@
 package graft.multimodal
 
-/** Baseline JPEG (ITU-T T.81 / JFIF T.871) codec — pure-spec, no image
+/** JPEG (ITU-T T.81 / JFIF T.871) codec — pure-spec, no image
   * libraries: the remaining first-class multimodal format after
   * WAV/BMP/PPM in [[MediaCodecs]] (a real training-data pipeline meets
   * JPEG before any of those). The reference treats media as opaque
   * payload bytes; this decoder is the feature-extraction half the
   * Spark pipeline adds on top.
   *
-  * Scope — baseline sequential DCT, the profile every camera/JFIF file
-  * carries:
+  * Scope — the profiles real camera/web JFIF files carry:
   *  - markers: SOI, APPn/COM (skipped), DQT (8/16-bit entries), DHT,
-  *    DRI, SOF0, SOS, RSTn, EOI;
-  *  - 8-bit precision, 1 (grayscale) or 3 (YCbCr) components, all
-  *    sampling factors 1x1 (4:4:4 — no chroma subsampling; subsampled
-  *    files are rejected with None, not mis-decoded);
+  *    DRI, SOF0, SOF2, SOS, RSTn, EOI;
+  *  - 8-bit precision, 1 (grayscale) or 3 (YCbCr) components, 4:4:4
+  *    or 4:2:0 chroma subsampling (box downsample / replication
+  *    upsample); other layouts rejected with None, never mis-decoded;
+  *  - BASELINE sequential decoding with restart-marker predictor
+  *    resets, and PROGRESSIVE (SOF2) decoding with full spectral
+  *    selection AND successive approximation per Annex G — DC
+  *    first/refine, AC first/refine with EOB-run coding — validated
+  *    against javax.imageio's progressive writer output;
   *  - entropy: canonical Huffman per Annex C/F with FF00 byte
-  *    unstuffing and restart-marker predictor resets;
+  *    unstuffing;
   *  - dequant + double-precision separable IDCT + level shift/clamp.
   *
   * Color: the fixed-point YCbCr→RGB below (libjpeg's classic 16-bit
@@ -447,6 +451,172 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a PROGRESSIVE (SOF2) JFIF file — spectral selection only
+    * (Ah=Al=0, the simple legal progressive form): scan 1 carries every
+    * component's DC coefficients interleaved, then per component two
+    * AC band scans (1..5, 6..63) with single-block EOBs (EOB runs are
+    * emitted but never merged, so the Annex K baseline tables suffice —
+    * they carry no EOBn symbols above n=0). Coefficients are identical
+    * to [[encode]]'s, so a correct decoder produces pixel-identical
+    * output for the two files. 4:4:4 / grayscale only. */
+  def encodeProgressive(width: Int, height: Int,
+                        planes: Array[Array[Int]],
+                        qLuma: Array[Int] = QuantExactDcLuma,
+                        qChroma: Array[Int] = QuantExactDcChroma)
+      : Array[Byte] = {
+    require(planes.length == 1 || planes.length == 3)
+    require(width > 0 && height > 0 &&
+      planes.forall(_.length == width * height))
+    val nc = planes.length
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16v(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xe0); u16v(16)
+    "JFIF".foreach(c => u8(c)); u8(0)
+    u8(1); u8(1); u8(0); u16v(1); u16v(1); u8(0); u8(0)
+    val qts = if (nc == 1) Seq((0, qLuma)) else Seq((0, qLuma), (1, qChroma))
+    marker(0xdb); u16v(2 + qts.size * 65)
+    qts.foreach { case (id, q) => u8(id); Zigzag.foreach(z => u8(q(z))) }
+    marker(0xc2); u16v(8 + 3 * nc)        // SOF2
+    u8(8); u16v(height); u16v(width); u8(nc)
+    (0 until nc).foreach { c =>
+      u8(c + 1); u8(0x11); u8(if (c == 0) 0 else 1)
+    }
+    val hts: Seq[(Int, Array[Int], Array[Int])] =
+      if (nc == 1) Seq((0x00, DcLumaBits, DcLumaVals),
+        (0x10, AcLumaBits, AcLumaVals))
+      else Seq((0x00, DcLumaBits, DcLumaVals),
+        (0x10, AcLumaBits, AcLumaVals),
+        (0x01, DcChromaBits, DcChromaVals),
+        (0x11, AcChromaBits, AcChromaVals))
+    marker(0xc4); u16v(2 + hts.map(17 + _._3.length).sum)
+    hts.foreach { case (tc, bits, vals) =>
+      u8(tc); bits.foreach(u8); vals.foreach(u8)
+    }
+    // quantized coefficient blocks per component (natural order),
+    // identical arithmetic to the baseline path
+    val mbw = (width + 7) / 8
+    val mbh = (height + 7) / 8
+    val dcCodes = Array(buildCodes(DcLumaBits, DcLumaVals),
+      buildCodes(DcChromaBits, DcChromaVals))
+    val acCodes = Array(buildCodes(AcLumaBits, AcLumaVals),
+      buildCodes(AcChromaBits, AcChromaVals))
+    val acValIdx = Array(
+      AcLumaVals.zipWithIndex.toMap, AcChromaVals.zipWithIndex.toMap)
+    val coefZz = Array.ofDim[Array[Int]](nc, mbw * mbh)
+    var c = 0
+    while (c < nc) {
+      val q = if (c == 0) qLuma else qChroma
+      var bi = 0
+      while (bi < mbw * mbh) {
+        val bx = bi % mbw
+        val by = bi / mbw
+        val blk = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, width - 1)
+            val sy = math.min(by * 8 + y, height - 1)
+            blk(y * 8 + x) = planes(c)(sy * width + sx) - 128
+            x += 1
+          }
+          y += 1
+        }
+        val f = fdct(blk)
+        val zz = new Array[Int](64)
+        zz(0) = math.round(f(0) / q(0)).toInt
+        var i = 1
+        while (i < 64) {
+          val v = math.round(f(Zigzag(i)) / q(Zigzag(i))).toInt
+          zz(i) = math.max(-1023, math.min(1023, v))
+          i += 1
+        }
+        coefZz(c)(bi) = zz
+        bi += 1
+      }
+      c += 1
+    }
+    def sos(comps: Seq[Int], ss: Int, se: Int): Unit = {
+      marker(0xda); u16v(6 + 2 * comps.size)
+      u8(comps.size)
+      comps.foreach { ci =>
+        u8(ci + 1); u8(if (ci == 0) 0x00 else 0x11)
+      }
+      u8(ss); u8(se); u8(0)
+    }
+    // scan 1: interleaved DC
+    sos(0 until nc, 0, 0)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nc)
+      var bi = 0
+      while (bi < mbw * mbh) {
+        var ci = 0
+        while (ci < nc) {
+          val tsel = if (ci == 0) 0 else 1
+          val dc = coefZz(ci)(bi)(0)
+          val diff = dc - pred(ci)
+          pred(ci) = dc
+          val cat = magCat(diff)
+          val (dcode, dlen) = dcCodes(tsel)(cat)
+          bw.put(dcode, dlen)
+          if (cat > 0) {
+            val bitsV = if (diff >= 0) diff else diff + (1 << cat) - 1
+            bw.put(bitsV, cat)
+          }
+          ci += 1
+        }
+        bi += 1
+      }
+      bw.flush()
+    }
+    // per component: AC band scans (1..5), (6..63)
+    (0 until nc).foreach { ci =>
+      Seq((1, 5), (6, 63)).foreach { case (ss, se) =>
+        sos(Seq(ci), ss, se)
+        val bw = new BitWriter(out)
+        val tsel = if (ci == 0) 0 else 1
+        var bi = 0
+        while (bi < mbw * mbh) {
+          val zz = coefZz(ci)(bi)
+          var last = se
+          while (last >= ss && zz(last) == 0) last -= 1
+          var k = ss
+          var run = 0
+          while (k <= last) {
+            val v = zz(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acCodes(tsel)(acValIdx(tsel)(0xf0))
+                bw.put(zc, zl); run -= 16
+              }
+              val scat = magCat(v)
+              val (ac, al2) = acCodes(tsel)(acValIdx(tsel)(
+                (run << 4) | scat))
+              bw.put(ac, al2)
+              val bitsV = if (v >= 0) v else v + (1 << scat) - 1
+              bw.put(bitsV, scat)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) { // EOB for this block (run of exactly 1)
+            val (ec, el) = acCodes(tsel)(acValIdx(tsel)(0x00))
+            bw.put(ec, el)
+          }
+          bi += 1
+        }
+        bw.flush()
+      }
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // --------------------------------------------------------------- decode
 
   /** Decoded image: full-resolution sample planes (1 = gray, 3 = YCbCr),
@@ -532,24 +702,72 @@ object Jpeg {
     var compAc: Array[Int] = null
     var restartInterval = 0
     var samp420 = false
+    var progressive = false
+    // progressive state: full DCT coefficient planes per component,
+    // accumulated across scans, IDCT'd once at EOI
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
 
     def u16(o: Int): Int =
       if (o + 1 >= b.length) -1
       else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
-    while (pos + 3 < b.length) {
+    while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       val m = b(pos + 1) & 0xff
       pos += 2
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) {
         // SOI repeat / stray RST between segments: no payload
       } else if (m == 0xd9) {
-        return None // EOI before SOS
+        // EOI: in progressive mode this is where the accumulated
+        // coefficients become pixels; in baseline it's premature
+        if (!progressive || !sawScan) return None
+        val blk = new Array[Double](64)
+        val comp = Array.tabulate(nc) { c =>
+          val g = ProgGrid(width, height, samp420, c)
+          val q = quant(compQ(c))
+          if (q == null) return None
+          val plane = new Array[Int](g.cw * g.ch)
+          var by = 0
+          while (by < g.bnH) {
+            var bx = 0
+            while (bx < g.bnW) {
+              val base = (by * g.biW + bx) * 64
+              var j = 0
+              while (j < 64) {
+                blk(j) = coefs(c)(base + j).toDouble * q(j); j += 1
+              }
+              idctInto(blk, plane, g.cw, g.ch, bx, by)
+              bx += 1
+            }
+            by += 1
+          }
+          plane
+        }
+        if (!samp420) return Some(Decoded(width, height, comp))
+        // replication-upsample chroma to the full-res contract
+        val g1 = ProgGrid(width, height, samp420, 1)
+        def up(hp: Array[Int]): Array[Int] = {
+          val o = new Array[Int](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              o(y * width + x) = hp((y / 2) * g1.cw + (x / 2))
+              x += 1
+            }
+            y += 1
+          }
+          o
+        }
+        return Some(Decoded(width, height,
+          Array(comp(0), up(comp(1)), up(comp(2)))))
       } else {
         val len = u16(pos)
         if (len < 2 || pos + len > b.length) return None
         val seg = pos + 2
         val segEnd = pos + len
+        var scanEnd = -1 // set by a progressive SOS (entropy data end)
         m match {
           case 0xdb => // DQT
             var o = seg
@@ -585,12 +803,14 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               o += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            progressive = m == 0xc2
             if (len < 8 || (b(seg) & 0xff) != 8) return None
             height = u16(seg + 1); width = u16(seg + 3)
             nc = b(seg + 5) & 0xff
             if (width <= 0 || height <= 0 ||
               (nc != 1 && nc != 3) || len != 8 + 3 * nc) return None
+            if (width.toLong * height > (1 << 26)) return None
             compQ = new Array[Int](nc)
             val samps = new Array[Int](nc)
             var i = 0
@@ -606,33 +826,306 @@ object Jpeg {
             else if (nc == 3 && samps(0) == 0x22 &&
               samps(1) == 0x11 && samps(2) == 0x11) samp420 = true
             else return None
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            if (progressive) {
+              // coefficient buffers sized by the INTERLEAVED grid
+              // (MCU-padded); non-interleaved scans and the finalize
+              // walk the component's own (possibly smaller) grid
+              coefs = Array.tabulate(nc) { c =>
+                val g = ProgGrid(width, height, samp420, c)
+                new Array[Int](g.biW * g.biH * 64)
+              }
+            }
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                0xcb | 0xcd | 0xce | 0xcf =>
-            return None // non-baseline SOF
+            return None // non-baseline/progressive SOF
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = u16(seg)
           case 0xda => // SOS — entropy data follows
             if (nc == 0 || compQ == null) return None
             val ns = b(seg) & 0xff
-            if (ns != nc || len != 6 + 2 * ns) return None
-            compDc = new Array[Int](nc)
-            compAc = new Array[Int](nc)
-            var i = 0
-            while (i < nc) {
-              compDc(i) = (b(seg + 1 + 2 * i + 1) & 0xff) >> 4
-              compAc(i) = b(seg + 1 + 2 * i + 1) & 0x0f
-              i += 1
+            if (len != 6 + 2 * ns || ns < 1 || ns > nc) return None
+            if (!progressive) {
+              if (ns != nc) return None
+              compDc = new Array[Int](nc)
+              compAc = new Array[Int](nc)
+              var i = 0
+              while (i < nc) {
+                compDc(i) = (b(seg + 1 + 2 * i + 1) & 0xff) >> 4
+                compAc(i) = b(seg + 1 + 2 * i + 1) & 0x0f
+                i += 1
+              }
+              return decodeScan(b, segEnd, width, height, nc, quant,
+                dcTabs, acTabs, compQ, compDc, compAc, restartInterval,
+                samp420)
+            } else {
+              if (restartInterval != 0) return None // out of scope
+              // scan components by their SOF ids (encoder writes 1..nc)
+              val scomps = new Array[Int](ns)
+              val sdc = new Array[Int](ns)
+              val sac = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val id = b(seg + 1 + 2 * i) & 0xff
+                if (id < 1 || id > nc) return None
+                scomps(i) = id - 1
+                sdc(i) = (b(seg + 1 + 2 * i + 1) & 0xff) >> 4
+                sac(i) = b(seg + 1 + 2 * i + 1) & 0x0f
+                i += 1
+              }
+              val ssSel = b(seg + 1 + 2 * ns) & 0xff
+              val seSel = b(seg + 2 + 2 * ns) & 0xff
+              val ah = (b(seg + 3 + 2 * ns) & 0xff) >> 4
+              val al = b(seg + 3 + 2 * ns) & 0x0f
+              progScan(b, segEnd, width, height, scomps, sdc, sac,
+                ssSel, seSel, ah, al, coefs, dcTabs, acTabs,
+                samp420) match {
+                case Some(next) => sawScan = true; scanEnd = next
+                case None => return None
+              }
             }
-            return decodeScan(b, segEnd, width, height, nc, quant,
-              dcTabs, acTabs, compQ, compDc, compAc, restartInterval,
-              samp420)
           case _ => () // APPn, COM, others: skip
         }
-        pos = segEnd
+        pos = if (scanEnd >= 0) scanEnd else segEnd
       }
     }
     None // no SOS reached
+  }
+
+  /** Per-component block-grid geometry for progressive decoding:
+    * pixel dims (cw x ch), the MCU-padded INTERLEAVED grid (biW x biH
+    * — coefficient storage), and the component's own non-interleaved
+    * grid (bnW x bnH — AC scans and the final IDCT). For 4:4:4 the two
+    * grids coincide; for 4:2:0 luma the interleaved grid pads to even
+    * block counts (T.81 A.2.4 dummy blocks). */
+  private final case class ProgGrid(width: Int, height: Int,
+                                    samp420: Boolean, comp: Int) {
+    val h: Int = if (samp420 && comp == 0) 2 else 1
+    val v: Int = h
+    private val hmax = if (samp420) 2 else 1
+    val cw: Int = (width * h + hmax - 1) / hmax
+    val ch: Int = (height * v + hmax - 1) / hmax
+    val mcuW: Int = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcuH: Int = (height + 8 * hmax - 1) / (8 * hmax)
+    val biW: Int = mcuW * h
+    val biH: Int = mcuH * v
+    val bnW: Int = (cw + 7) / 8
+    val bnH: Int = (ch + 7) / 8
+  }
+
+  /** One progressive scan (T.81 G.2): DC first/refine, AC first/refine
+    * with EOB-run coding — full spectral selection AND successive
+    * approximation, the coefficient-domain algorithms of Annex G
+    * reimplemented from the spec. Coefficients land in natural order
+    * in `coefs` at their FINAL magnitudes for the bits received so far
+    * (values arrive shifted left by Al; refinement scans add the
+    * next-lower bit). Returns the byte offset of the next marker. */
+  private def progScan(b: Array[Byte], scanStart: Int, width: Int,
+                       height: Int, scomps: Array[Int], sdc: Array[Int],
+                       sac: Array[Int], ss: Int, se: Int, ah: Int,
+                       al: Int, coefs: Array[Array[Int]],
+                       dcTabs: Array[HuffDec], acTabs: Array[HuffDec],
+                       samp420: Boolean): Option[Int] = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return None
+    val isDc = ss == 0
+    if (isDc && se != 0) return None         // DC scans are (0,0)
+    if (!isDc && scomps.length != 1) return None // AC scans: 1 component
+    val br = new BitReader(b, scanStart)
+    val grids = scomps.map(c => ProgGrid(width, height, samp420, c))
+    val pred = new Array[Int](scomps.length)
+    // non-interleaved walks use the single component's own grid
+    val g0 = grids(0)
+    val nb = g0.bnW * g0.bnH
+    @inline def nIdx(bi: Int): Int =
+      ((bi / g0.bnW) * g0.biW + bi % g0.bnW) * 64
+
+    // interleaved scans (ns > 1) walk MCUs, each carrying every scan
+    // component's h x v blocks (T.81 A.2.3); single-component scans
+    // walk that component's own grid. `perBlock` runs the DC action
+    // for one (scan-component, coefficient-base) pair.
+    def dcWalk(perBlock: (Int, Int) => Boolean): Boolean = {
+      if (scomps.length > 1) {
+        val mcuW = g0.mcuW
+        val mcuH = g0.mcuH
+        var my = 0
+        while (my < mcuH) {
+          var mx = 0
+          while (mx < mcuW) {
+            var ci = 0
+            while (ci < scomps.length) {
+              val g = grids(ci)
+              var j = 0
+              while (j < g.v) {
+                var i = 0
+                while (i < g.h) {
+                  val base =
+                    ((my * g.v + j) * g.biW + (mx * g.h + i)) * 64
+                  if (!perBlock(ci, base)) return false
+                  i += 1
+                }
+                j += 1
+              }
+              ci += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        var bi = 0
+        while (bi < nb) {
+          if (!perBlock(0, nIdx(bi))) return false
+          bi += 1
+        }
+      }
+      true
+    }
+
+    if (isDc && ah == 0) {
+      // DC first: diffs at magnitude Al (predictors reset per scan)
+      val tabs = new Array[HuffDec](sdc.length)
+      var ti = 0
+      while (ti < sdc.length) {
+        if (dcTabs(sdc(ti)) == null) return None
+        tabs(ti) = dcTabs(sdc(ti))
+        ti += 1
+      }
+      if (!dcWalk { (ci, base) =>
+        val cat = huffDecode(br, tabs(ci))
+        if (cat < 0 || cat > 15 || br.truncated) false
+        else {
+          val diff = extend(br.bits(cat), cat)
+          if (br.truncated) false
+          else {
+            pred(ci) += diff
+            coefs(scomps(ci))(base) = pred(ci) << al
+            true
+          }
+        }
+      }) return None
+    } else if (isDc) {
+      // DC refinement: one bit per block per component
+      if (!dcWalk { (ci, base) =>
+        val bit = br.bit()
+        if (br.truncated) false
+        else {
+          if (bit == 1) coefs(scomps(ci))(base) |= 1 << al
+          true
+        }
+      }) return None
+    } else if (ah == 0) {
+      // AC first: band values at magnitude Al, EOB-run coded
+      val c = scomps(0)
+      val tab = acTabs(sac(0))
+      if (tab == null) return None
+      var eobrun = 0
+      var bi = 0
+      while (bi < nb) {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          val base = nIdx(bi)
+          var k = ss
+          var done = false
+          while (!done && k <= se) {
+            val rs = huffDecode(br, tab)
+            if (rs < 0 || br.truncated) return None
+            val r = rs >> 4
+            val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1 +
+                  (if (r > 0) br.bits(r) else 0)
+                if (br.truncated) return None
+                done = true
+              }
+            } else {
+              k += r
+              if (k > se) return None
+              coefs(c)(base + Zigzag(k)) = extend(br.bits(s), s) << al
+              if (br.truncated) return None
+              k += 1
+            }
+          }
+        }
+        bi += 1
+      }
+    } else {
+      // AC refinement (G.1.2.3): correction bits on known-nonzero
+      // coefficients, newly-significant values at ±2^Al, EOB runs
+      // refining the rest of each block
+      val c = scomps(0)
+      val tab = acTabs(sac(0))
+      if (tab == null) return None
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var eobrun = 0
+      var bi = 0
+      while (bi < nb) {
+        val base = nIdx(bi)
+        var k = ss
+        if (eobrun == 0) {
+          var break = false
+          while (!break && k <= se) {
+            val rs = huffDecode(br, tab)
+            if (rs < 0 || br.truncated) return None
+            var r = rs >> 4
+            var ins = 0
+            if ((rs & 0x0f) != 0) {
+              if ((rs & 0x0f) != 1) return None // only ±1 refines
+              ins = if (br.bit() == 1) p1 else m1
+              if (br.truncated) return None
+            } else if (r != 15) {
+              eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+              if (br.truncated) return None
+              break = true // remaining coeffs refined below
+            }
+            if (!break) {
+              // advance over the run: correction bits on nonzero
+              // history, count zeros against r, then place `ins`
+              var placed = false
+              while (!placed && k <= se) {
+                val z = base + Zigzag(k)
+                if (coefs(c)(z) != 0) {
+                  val bit = br.bit()
+                  if (br.truncated) return None
+                  if (bit == 1 && (coefs(c)(z) & p1) == 0)
+                    coefs(c)(z) +=
+                      (if (coefs(c)(z) >= 0) p1 else m1)
+                } else {
+                  if (r == 0) {
+                    if (ins != 0) coefs(c)(z) = ins
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && ins != 0) return None // run past band end
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // refine every remaining nonzero coefficient in the band
+          while (k <= se) {
+            val z = base + Zigzag(k)
+            if (coefs(c)(z) != 0) {
+              val bit = br.bit()
+              if (br.truncated) return None
+              if (bit == 1 && (coefs(c)(z) & p1) == 0)
+                coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        bi += 1
+      }
+    }
+    // the scan's entropy bytes are fully consumed; skip any residual
+    // pad byte to the next marker
+    var p = br.pos
+    while (p < b.length && (b(p) & 0xff) != 0xff) p += 1
+    Some(p)
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int, width: Int,

@@ -651,6 +651,86 @@ object MultimodalQueries {
               CAST(64 * sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY 1"""),
       doc = "JPEG 4:2:0 chroma subsampling: MCU interleave + box " +
-        "downsample + replication upsample, integer-exact")
+        "downsample + replication upsample, integer-exact"),
+
+    // PROGRESSIVE JPEG (SOF2) — q267's fixture through the multi-scan
+    // pipeline: an interleaved DC scan then per-component AC band
+    // scans, accumulated in the coefficient domain and IDCT'd at EOI.
+    // The progressive encoder emits the SAME quantized coefficients as
+    // the baseline path, so the DC-only fixture decodes integer-exact
+    // and the oracle is q267's arithmetic verbatim — a scan-order,
+    // EOB-run, band-bound, or coefficient-accumulation defect breaks
+    // the sums. (Successive approximation — which our encoder never
+    // emits — is gated in JpegSpec against javax.imageio's writer.)
+    Q("q277_jpeg_progressive",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val wb = (1 + id % 3).toInt
+            val hb = (1 + id % 2).toInt
+            val w = wb * 8
+            val h = hb * 8
+            val planes = Array.fill(3)(new Array[Int](w * h))
+            for (by <- 0 until hb; bx <- 0 until wb) {
+              val yv = ((id * 5 + 17 * bx + 29 * by) % 256).toInt
+              val cb = ((id + 7 * bx + 3 * by) % 256).toInt
+              val cr = ((id * 3 + 11 * bx + 13 * by) % 256).toInt
+              for (py <- by * 8 until by * 8 + 8;
+                   px <- bx * 8 until bx * 8 + 8) {
+                planes(0)(py * w + px) = yv
+                planes(1)(py * w + px) = cb
+                planes(2)(py * w + px) = cr
+              }
+            }
+            val dec = Jpeg.decode(Jpeg.encodeProgressive(w, h, planes)).get
+            val px = Jpeg.rgb(dec)
+            (0 until dec.width * dec.height).iterator.map { i =>
+              val r = px(3 * i) & 0xff
+              val g = px(3 * i + 1) & 0xff
+              val b = px(3 * i + 2) & 0xff
+              (r + g + b, r.toLong, g.toLong, b.toLong)
+            }
+          })
+          .toDF("lum", "r", "g", "b")
+          .groupBy(expr("lum DIV 192").as("bucket"))
+          .agg(count(lit(1)).as("n_px"),
+            sum("lum").as("sum_lum"), sum("r").as("sum_r"),
+            sum("g").as("sum_g"), sum("b").as("sum_b"))
+      },
+      Some("""WITH blocks AS (SELECT doc_id, bx, by,
+                (doc_id * 5 + 17 * bx + 29 * by) % 256 AS y,
+                (doc_id + 7 * bx + 3 * by) % 256 AS cb,
+                (doc_id * 3 + 11 * bx + 13 * by) % 256 AS cr
+              FROM documents,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT)))
+                  AS gx(bx),
+                unnest(generate_series(0, CAST(doc_id % 2 AS BIGINT)))
+                  AS gy(by)),
+            fx AS (SELECT doc_id,
+                y * 65536 + 91881 * (cr - 128) + 32768 AS xr,
+                y * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768 AS xg,
+                y * 65536 + 116130 * (cb - 128) + 32768 AS xb
+              FROM blocks),
+            px AS (SELECT
+                GREATEST(0, LEAST(255,
+                  (xr - ((xr % 65536) + 65536) % 65536) // 65536)) AS r,
+                GREATEST(0, LEAST(255,
+                  (xg - ((xg % 65536) + 65536) % 65536) // 65536)) AS g,
+                GREATEST(0, LEAST(255,
+                  (xb - ((xb % 65536) + 65536) % 65536) // 65536)) AS b
+              FROM fx)
+            SELECT (r + g + b) // 192 AS bucket,
+              64 * count(*) AS n_px,
+              CAST(64 * sum(r + g + b) AS BIGINT) AS sum_lum,
+              CAST(64 * sum(r) AS BIGINT) AS sum_r,
+              CAST(64 * sum(g) AS BIGINT) AS sum_g,
+              CAST(64 * sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY 1"""),
+      doc = "progressive JPEG (SOF2): multi-scan coefficient " +
+        "accumulation, integer-exact on the q267 fixture")
   )
 }

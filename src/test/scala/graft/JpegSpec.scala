@@ -144,6 +144,102 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive (SOF2) decodes pixel-identical to baseline") {
+    // our progressive encoder emits the SAME quantized coefficients as
+    // the baseline path, so the two decodes must agree EXACTLY —
+    // constant-block images and flat-quant noise alike
+    for (seed <- Seq(3L, 42L); wb <- 1 to 3; hb <- 1 to 2) {
+      val (w, h, planes) = blockImage(seed, wb, hb)
+      val base = Jpeg.decode(Jpeg.encode(w, h, planes)).get
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, planes))
+        .getOrElse(fail(s"progressive decode seed=$seed ${wb}x$hb"))
+      for (c <- 0 until 3)
+        assert(prog.planes(c).sameElements(base.planes(c)),
+          s"seed=$seed ${wb}x$hb plane $c")
+    }
+    var s = 0x5eedL
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt }
+    for ((w, h) <- Seq((8, 8), (24, 16), (13, 9))) {
+      val planes = Array.fill(3)(Array.fill(w * h)(next()))
+      val base = Jpeg.decode(Jpeg.encode(w, h, planes,
+        qLuma = Jpeg.QuantFlat1, qChroma = Jpeg.QuantFlat1)).get
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, planes,
+        qLuma = Jpeg.QuantFlat1, qChroma = Jpeg.QuantFlat1)).get
+      for (c <- 0 until 3)
+        assert(prog.planes(c).sameElements(base.planes(c)),
+          s"noise ${w}x$h plane $c")
+    }
+    // grayscale progressive too
+    val g = Array.tabulate(16 * 16)(i => (i * 3) % 256)
+    val pb = Jpeg.decode(Jpeg.encode(16, 16, Array(g),
+      qLuma = Jpeg.QuantFlat1)).get
+    val pp = Jpeg.decode(Jpeg.encodeProgressive(16, 16, Array(g),
+      qLuma = Jpeg.QuantFlat1)).get
+    assert(pp.planes(0).sameElements(pb.planes(0)))
+  }
+
+  test("progressive: ImageIO-written files (successive approximation)") {
+    // javax.imageio's progressive writer uses successive approximation
+    // and merged EOB runs — the paths our spectral-selection-only
+    // encoder never emits. Decode ITS files and compare against its
+    // own decode of the same bytes (tolerance covers IDCT and color
+    // rounding differences between independent implementations).
+    var s = 0x77L
+    def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt }
+    var tested = 0
+    for ((w, h) <- Seq((32, 24), (17, 13))) {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // GRAY noise: luma carries rich AC content (exercising the SA
+      // refinement scans) while chroma stays ~neutral — the writer's
+      // fancy (triangular) chroma upsampling vs our replication would
+      // otherwise dominate the comparison on chroma-noisy content
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 8 + y * 3 + next() % 64) & 0xff
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+        params)
+      writer.dispose(); ios.close()
+      val bytes = out.toByteArray
+      // confirm it IS progressive (SOF2 present)
+      val sof2 = bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+      if (sof2) {
+        tested += 1
+        val ours = Jpeg.decode(bytes)
+          .getOrElse(fail(s"rejected ImageIO progressive ${w}x$h"))
+        val theirs = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(ours.width == w && ours.height == h)
+        val rgb = Jpeg.rgb(ours)
+        var maxd = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val t = theirs.getRGB(x, y)
+          val i = y * w + x
+          maxd = math.max(maxd, math.abs(((t >> 16) & 0xff) -
+            (rgb(3 * i) & 0xff)))
+          maxd = math.max(maxd, math.abs(((t >> 8) & 0xff) -
+            (rgb(3 * i + 1) & 0xff)))
+          maxd = math.max(maxd,
+            math.abs((t & 0xff) - (rgb(3 * i + 2) & 0xff)))
+        }
+        assert(maxd <= 4, s"${w}x$h max per-channel delta $maxd")
+      }
+    }
+    assert(tested > 0, "ImageIO never produced a SOF2 file")
+  }
+
   test("restart markers reset DC prediction and re-align the stream") {
     val (w, h, planes) = blockImage(42L, 3, 2)
     val jpg = Jpeg.encode(w, h, planes, restartInterval = 2)
