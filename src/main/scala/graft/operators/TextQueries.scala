@@ -354,13 +354,13 @@ object TextQueries {
         val ws = (0 until 64).map(b =>
           (b * 2654435761L % 2001L - 1000L).toString)
         val sparkScore =
-          s"""aggregate(transform(${TextOps.sparkToks},
+          s"""aggregate(transform(${sparkToks},
               t -> element_at(array(${ws.mkString(",")}),
                 cast(${TextOps.sparkTokHash("t")} % 64 as int) + 1)),
               0L, (a, x) -> a + x)"""
         Tables.documents(s, d)
           .selectExpr(s"$sparkScore AS score",
-            s"size(${TextOps.sparkToks}) AS n_tok")
+            s"size(${sparkToks}) AS n_tok")
           .selectExpr(
             "CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label",
             "score", "n_tok")
@@ -373,11 +373,11 @@ object TextQueries {
         val ws = (0 until 64).map(b =>
           (b * 2654435761L % 2001L - 1000L).toString)
         Some(s"""WITH t AS (SELECT
-              list_reduce([0::BIGINT] || list_transform(${TextOps.duckToks},
+              list_reduce([0::BIGINT] || list_transform(${duckToks},
                 t -> list_extract([${ws.mkString(",")}],
                   (${TextOps.duckTokHash("t")} % 64)::INT + 1)),
                 (a, x) -> a + x) AS score,
-              len(${TextOps.duckToks}) AS n_tok
+              len(${duckToks}) AS n_tok
             FROM documents)
             SELECT CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END
                 AS label,
@@ -758,6 +758,71 @@ object TextQueries {
                 AS wsum
             FROM perdoc GROUP BY 1"""),
       doc = "HTML main-text extraction: tag walk + raw-text skip + " +
-        "entities + block lines, gated from raw-text arithmetic")
+        "entities + block lines, gated from raw-text arithmetic"),
+
+    // Misra-Gries heavy hitters as a NATIVE TypedImperativeAggregate
+    // (plans/MisraGries) — the deterministic-bound counter summary
+    // next to CMS (q263): k-1 counters, every token with frequency
+    // > N/k guaranteed present, estimates under-count by at most N/k
+    // and never over. The aggregate's partial buffers merge with the
+    // PODS-2012 rule through Spark's ordinary partial/final shuffle —
+    // the exact shape a 100 TB heavy-hitter pass runs, with
+    // map-side-combined k-sized state instead of a token-cardinality
+    // shuffle. The summary CONTENT is merge-order dependent, so the
+    // gate (q263/q265's sketch-contract pattern) pins the invariants,
+    // which hold under any merge tree: per source, every exact heavy
+    // hitter found, zero bound violations, counter budget respected.
+    Q("q278_misra_gries",
+      (s, d) => {
+        val k = 64
+        val toks = Tables.documents(s, d)
+          .selectExpr("source", s"explode(${sparkToks}) AS tok")
+        val mg = toks.groupBy("source")
+          .agg(graft.plans.MisraGries(col("tok"), k).as("mg"))
+        val entries = mg.select(col("source"),
+          explode(col("mg")).as(Seq("tok", "est")))
+        val exact = toks.groupBy("source", "tok")
+          .agg(count(lit(1)).as("cnt"))
+        val totals = toks.groupBy("source")
+          .agg(count(lit(1)).as("n"))
+        val heavy = exact.join(broadcast(totals), Seq("source"))
+          .filter(col("cnt") * k > col("n"))
+        val heavyFound = heavy
+          .join(entries, Seq("source", "tok"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("heavy_found"))
+        val verdicts = entries
+          .join(exact, Seq("source", "tok"), "left")
+          .join(broadcast(totals), Seq("source"))
+          .groupBy("source")
+          .agg(
+            sum(when(col("est") > coalesce(col("cnt"), lit(0L)), 1L)
+              .otherwise(0L)).as("over_viol"),
+            sum(when((coalesce(col("cnt"), lit(0L)) - col("est")) * k >
+              col("n"), 1L).otherwise(0L)).as("bound_viol"),
+            count(lit(1)).as("n_counters"))
+        heavy.groupBy("source").agg(count(lit(1)).as("n_heavy"))
+          .join(heavyFound, Seq("source"), "left")
+          .join(verdicts, Seq("source"))
+          .select(col("source"), col("n_heavy"),
+            coalesce(col("heavy_found"), lit(0L)).as("heavy_found"),
+            (col("over_viol") + col("bound_viol")).as("violations"),
+            when(col("n_counters") <= k - 1, 1L).otherwise(0L)
+              .as("size_ok"))
+      },
+      Some(s"""WITH toks AS (SELECT source,
+                unnest(${duckToks}) AS tok FROM documents),
+            exact AS (SELECT source, tok, count(*) AS cnt
+              FROM toks GROUP BY 1, 2),
+            totals AS (SELECT source, count(*) AS n
+              FROM toks GROUP BY 1)
+            SELECT e.source, count(*) AS n_heavy,
+              count(*) AS heavy_found,
+              CAST(0 AS BIGINT) AS violations,
+              CAST(1 AS BIGINT) AS size_ok
+            FROM exact e JOIN totals t ON e.source = t.source
+            WHERE e.cnt * 64 > t.n
+            GROUP BY 1"""),
+      doc = "Misra-Gries heavy hitters: native TypedImperativeAggregate" +
+        " with mergeable k-counter summaries, invariant-gated")
   )
 }

@@ -423,6 +423,67 @@ class StateSpec extends AnyFunSuite {
     assert(statsSeen > 0) // the load cycles do exercise the stats path
   }
 
+  test("MisraGries: MG guarantee under updates, merges, and Spark agg") {
+    import graft.plans.{MisraGries, MisraGriesAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // deterministic zipf-ish stream: token t_i with weight ~ 1/(i+1)
+    def stream(n: Int, seed: Long): Seq[String] = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val u = ((s >>> 33) % 1000).toInt
+        val t = if (u < 300) 0 else if (u < 500) 1 else if (u < 620) 2
+          else if (u < 700) 3 else 4 + (u % 40)
+        s"t$t"
+      }
+    }
+    val k = 8
+    val data = stream(20000, 42L)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+
+    def checkInvariants(summary: Map[String, Long]): Unit = {
+      assert(summary.size <= k - 1, s"${summary.size} counters")
+      exact.foreach { case (item, c) =>
+        if (c > n / k)
+          assert(summary.contains(item), s"heavy $item ($c) missing")
+      }
+      summary.foreach { case (item, est) =>
+        val c = exact.getOrElse(item, 0L)
+        assert(est <= c, s"$item overcounted: $est > $c")
+        assert(c - est <= n / k, s"$item bound: $c - $est > ${n / k}")
+      }
+    }
+
+    val agg = MisraGriesAgg(BoundReference(0, StringType,
+      nullable = true), k)
+    def run(items: Seq[String]) = {
+      val b = agg.createAggregationBuffer()
+      items.foreach(i => agg.update(b,
+        InternalRow(UTF8String.fromString(i))))
+      b
+    }
+    // sequential updates
+    checkInvariants(run(data).toMap)
+    // arbitrary merge tree incl. serialize round-trips (the shuffle)
+    val parts = data.grouped(3000).map(run).toSeq
+    val merged = parts.map(p => agg.deserialize(agg.serialize(p)))
+      .reduce(agg.merge)
+    checkInvariants(merged.toMap)
+
+    // Spark end-to-end over shuffled partitions
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val m = data.toDF("tok").repartition(7)
+      .agg(MisraGries(org.apache.spark.sql.functions.col("tok"), k))
+      .head().getAs[Map[String, Long]](0)
+    checkInvariants(m)
+  }
+
   // The soak invariants at 10x the FIXTURE cycle counts (the
   // graft.soak.mult scale q253/q254 expose): flat state across 100 BMP
   // cycles x 9 routers and 3000 BGP cycles x 4 routers proves the
