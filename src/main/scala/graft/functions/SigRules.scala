@@ -410,7 +410,22 @@ object SigRules {
     // HSRP v0 (RFC 2281 §5.1): 20-byte frame, version 0, opcode ≤ 2,
     // a defined state value, reserved byte zero
     "hsrp" -> (h => h.length == 20 && h(0) == 0 && (h(1) & 0xff) <= 2 &&
-      Set(0, 1, 2, 4, 8, 16).contains(h(2) & 0xff) && h(7) == 0))
+      Set(0, 1, 2, 4, 8, 16).contains(h(2) & 0xff) && h(7) == 0),
+    // GTPv2-C (3GPP TS 29.274 §5.1): version 2 in the top 3 bits,
+    // spare flag bits zero, nonzero message type, u16 length spanning
+    // everything after the 4-byte mandatory header
+    "gtpv2" -> (h => h.length >= 8 && (h(0) & 0xe0) == 0x40 &&
+      (h(0) & 0x07) == 0 && (h(1) & 0xff) != 0 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length - 4),
+    // SRT handshake (public Haivision spec §3.2.1): control packet
+    // (F bit set) of control type 0, followed by the handshake CIF
+    // whose version field is 4 or 5
+    "srt" -> (h => h.length >= 40 && (h(0) & 0xff) == 0x80 &&
+      (h(1) & 0xff) == 0 && h(2) == 0 && h(3) == 0 && {
+        val ver = ((h(16) & 0xffL) << 24) | ((h(17) & 0xffL) << 16) |
+          ((h(18) & 0xffL) << 8) | (h(19) & 0xffL)
+        ver == 4L || ver == 5L
+      }))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -539,6 +554,10 @@ object SigRules {
     Rule("dnp3", Seq(Heur("dnp3"))),
     Rule("modbus", Seq(Heur("modbus"))),
     Rule("ike", Seq(Heur("ike"))),
+    // before rtcp/rtp: an SRT control packet's 0x80 first byte
+    // satisfies RTP's loose V=2 check (PT 0 = PCMU); the 0x8000
+    // control type + CIF version pin it first
+    Rule("srt", Seq(Heur("srt"))),
     Rule("rtcp", Seq(Heur("rtcp"))),
     Rule("rtp", Seq(Heur("rtp"))), // after rtcp: PT ranges disjoint
     Rule("l2tp", Seq(Heur("l2tp"))),
@@ -557,6 +576,9 @@ object SigRules {
     // sits in CoAP's loose 2-bit version band, and a 40-byte
     // self-consistent IPv6 header is the far stronger signal
     Rule("teredo", Seq(Heur("teredo"))),
+    // GTPv2's 0x4x first byte also lands in CoAP's band: the u16
+    // self-length wins the ambiguity, so it goes first
+    Rule("gtpv2", Seq(Heur("gtpv2"))),
     Rule("coap", Seq(Heur("coap"))),
     // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
     // around Q.931 — protocol discriminator 0x08, call-ref length 2.
@@ -910,6 +932,19 @@ object SigRules {
           (0x10 + s % 100).toByte, (0x20 + s % 90).toByte,
           (1 + s % 120).toByte,
           0, 1, 0, duid.length.toByte) ++ duid
+      case "gtpv2" => // Create Session Request: TEID flag, seq, spare
+        val body = Array[Byte](
+          (s % 100).toByte, (s % 90).toByte, (s % 80).toByte, 1, // TEID
+          (s % 70).toByte, (s % 60).toByte, 1, 0) // seq + spare
+        Array[Byte](0x48, 32, 0, body.length.toByte) ++ body
+      case "srt" => // handshake induction: ctrl type 0, CIF version 4
+        Array[Byte](0x80.toByte, 0, 0, 0,
+          0, 0, 0, 0,                       // type-specific info
+          (s % 100).toByte, (s % 90).toByte, 0, 1, // timestamp
+          0, 0, 0, 0,                       // dest socket id
+          0, 0, 0, (4 + s % 2).toByte,      // CIF version 4/5
+          0, 2, (s % 50).toByte, (s % 40).toByte) ++
+          Array.fill[Byte](24)((s % 23).toByte)
       case "netbios" => // NBNS query, 32-byte first-level-encoded name
         Array[Byte]((0xB0 + s % 16).toByte, (s % 97).toByte, 0x01, 0x10,
           0, 1, 0, 0, 0, 0, 0, 0, 0x20) ++
