@@ -77,6 +77,17 @@ object GraftFunctions {
     graft.plans.LpmLookup6(args(0), args(1), table)
   }
 
+  private def misraGriesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 2, "misra_gries(col, k)")
+    val k = args(1) match {
+      case e if e.foldable => String.valueOf(e.eval(null)).toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"misra_gries k must be a literal, got $other")
+    }
+    graft.plans.MisraGriesAgg(args.head, k).toAggregateExpression()
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
@@ -86,7 +97,8 @@ object GraftFunctions {
     "graft_ts_compose" -> fromTemplate(Formatters.tsCompose(Arg0)),
     "graft_mac" -> fromTemplate(Formatters.macFormat(Arg0)),
     "graft_lpm" -> lpmBuilder,
-    "graft_lpm6" -> lpm6Builder)
+    "graft_lpm6" -> lpm6Builder,
+    "misra_gries" -> misraGriesBuilder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -787,17 +787,21 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
         val heavy = exact.join(broadcast(totals), Seq("source"))
           .filter(col("cnt") * k > col("n"))
+        // the summary side is tiny (≤ k-1 rows per source): broadcast
+        // it into both probes so the token-cardinality side never
+        // shuffles for the join; inner join is sound — every summary
+        // token occurred at least once, so exact always has it
         val heavyFound = heavy
-          .join(entries, Seq("source", "tok"), "left_semi")
+          .join(broadcast(entries), Seq("source", "tok"), "left_semi")
           .groupBy("source").agg(count(lit(1)).as("heavy_found"))
-        val verdicts = entries
-          .join(exact, Seq("source", "tok"), "left")
+        val verdicts = broadcast(entries)
+          .join(exact, Seq("source", "tok"))
           .join(broadcast(totals), Seq("source"))
           .groupBy("source")
           .agg(
-            sum(when(col("est") > coalesce(col("cnt"), lit(0L)), 1L)
+            sum(when(col("est") > col("cnt"), 1L)
               .otherwise(0L)).as("over_viol"),
-            sum(when((coalesce(col("cnt"), lit(0L)) - col("est")) * k >
+            sum(when((col("cnt") - col("est")) * k >
               col("n"), 1L).otherwise(0L)).as("bound_viol"),
             count(lit(1)).as("n_counters"))
         heavy.groupBy("source").agg(count(lit(1)).as("n_heavy"))

@@ -74,6 +74,19 @@ class PipelineSpec extends AnyFunSuite {
           graft_lpm6(${0x3001L << 48}, 0, 'spec_nets6') AS miss""")
       .as[(Option[Long], Option[Long])].head()
     assert(r6 == ((Some(88L), None)))
+    // the Misra-Gries aggregate through SQL text: 'a' x4, 'b' x2, 'c'
+    // with k=3 -> 2 counters; 'a' (freq > N/3) must be present with an
+    // under-estimate
+    val mg = spark.sql(
+      """SELECT misra_gries(t, 3) FROM VALUES ('a'), ('a'), ('b'),
+         ('a'), ('c'), ('a'), ('b') AS v(t)""")
+      .head().getAs[Map[String, Long]](0)
+    assert(mg.size <= 2 && mg.contains("a"))
+    assert(mg("a") <= 4 && 4 - mg("a") <= 7 / 3)
+    val bad = intercept[Exception](
+      spark.sql("SELECT misra_gries(t, id) FROM VALUES ('a', 1) AS v(t, id)")
+        .collect())
+    assert(bad.getMessage.contains("literal"))
   }
 
   test("typed Dataset[FlowRecord] round-trips the flow view") {
