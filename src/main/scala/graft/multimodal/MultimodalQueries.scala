@@ -469,7 +469,11 @@ object MultimodalQueries {
                 (((id * (c + 2) + x * 19 + y * 41 + c * 7) % 256)
                   & 0xff).toByte
             val img = Png.Image(w, h, ch, px)
-            val back = Png.decode(Png.encode(img)).get
+            // odd docs write Adam7-interlaced: the seven-pass
+            // reduced-image scatter/gather is on the hot path for half
+            // the corpus, and losslessness keeps the oracle identical
+            val back = Png.decode(
+              Png.encode(img, interlaced = id % 2 == 1)).get
             val st = back.width * back.channels
             (0 until back.height).iterator.flatMap { y =>
               (0 until back.width).iterator.flatMap { x =>

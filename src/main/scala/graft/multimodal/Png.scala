@@ -6,12 +6,13 @@ package graft.multimodal
   * bit-exact for ARBITRARY pixel data, so the q270 gate sweeps every
   * scanline filter over unconstrained per-pixel arithmetic.
   *
-  * Decoder scope: 8-bit gray / RGB / gray+alpha / RGBA, no interlace
-  * (Adam7 rejected with None, never mis-decoded), chunk CRC32 enforced,
-  * zlib adler32 enforced, full inflate — stored, fixed-Huffman, and
-  * dynamic-Huffman blocks with the code-length-code machinery.
-  * Encoder (fixture side): real fixed-Huffman LZ77 compressor (greedy
-  * matches, 32 KiB window) + per-row filter selection.
+  * Decoder scope: 8-bit gray / RGB / gray+alpha / RGBA, sequential or
+  * Adam7-interlaced (seven reduced images, each its own filter chain),
+  * chunk CRC32 enforced, zlib adler32 enforced, full inflate — stored,
+  * fixed-Huffman, and dynamic-Huffman blocks with the
+  * code-length-code machinery. Encoder (fixture side): real
+  * fixed-Huffman LZ77 compressor (greedy matches, 32 KiB window) +
+  * per-row filter selection + optional Adam7 writing.
   *
   * Everything bounds-checked: malformed input yields None, never an
   * exception — the same discipline as the other byte codecs.
@@ -369,29 +370,27 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit image; `filterOf(y)` picks each row's filter
-    * (0..4) so tests can sweep all five. */
-  def encode(img: Image, filterOf: Int => Int = _ % 5): Array[Byte] = {
-    require(Seq(1, 2, 3, 4).contains(img.channels), "1..4 channels")
-    require(img.pixels.length == img.width * img.height * img.channels)
-    val colorType = img.channels match {
-      case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6
-    }
-    val bpp = img.channels
-    val stride = img.width * bpp
-    // filter scanlines
-    val raw = new Array[Byte]((stride + 1) * img.height)
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Filtered scanline serialization of one (sub-)image — each row a
+    * filter byte + filtered samples. */
+  private def filterSub(px: Array[Byte], w: Int, h: Int, bpp: Int,
+                        filterOf: Int => Int): Array[Byte] = {
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
-    while (y < img.height) {
+    while (y < h) {
       val f = filterOf(y) % 5
       raw(y * (stride + 1)) = f.toByte
       var x = 0
       while (x < stride) {
-        val cur = img.pixels(y * stride + x) & 0xff
-        val left = if (x >= bpp) img.pixels(y * stride + x - bpp) & 0xff else 0
-        val up = if (y > 0) img.pixels((y - 1) * stride + x) & 0xff else 0
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
         val ul = if (y > 0 && x >= bpp)
-          img.pixels((y - 1) * stride + x - bpp) & 0xff else 0
+          px((y - 1) * stride + x - bpp) & 0xff else 0
         val v = f match {
           case 0 => cur
           case 1 => cur - left
@@ -404,6 +403,82 @@ object Png {
       }
       y += 1
     }
+    raw
+  }
+
+  /** Reconstruct one (sub-)image from filtered scanlines at `off`;
+    * None on a bad filter byte. Returns (pixels, bytes consumed). */
+  private def unfilterSub(raw: Array[Byte], off: Int, w: Int, h: Int,
+                          bpp: Int): Option[Array[Byte]] = {
+    val stride = w * bpp
+    if (off + (stride + 1) * h > raw.length) return None
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(off + y * (stride + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(off + y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          px((y - 1) * stride + x - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) / 2)
+          case _ => v + paeth(left, up, ul)
+        }
+        px(y * stride + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(px)
+  }
+
+  /** Encode an 8-bit image; `filterOf(y)` picks each row's filter
+    * (0..4) so tests can sweep all five; `interlaced` writes the
+    * seven Adam7 reduced images (each with its own filter chain). */
+  def encode(img: Image, filterOf: Int => Int = _ % 5,
+             interlaced: Boolean = false): Array[Byte] = {
+    require(Seq(1, 2, 3, 4).contains(img.channels), "1..4 channels")
+    require(img.pixels.length == img.width * img.height * img.channels)
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6
+    }
+    val bpp = img.channels
+    val raw: Array[Byte] =
+      if (!interlaced) filterSub(img.pixels, img.width, img.height,
+        bpp, filterOf)
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        Adam7.foreach { case (x0, y0, xs, ys) =>
+          val pw = if (img.width > x0) (img.width - x0 + xs - 1) / xs else 0
+          val ph = if (img.height > y0) (img.height - y0 + ys - 1) / ys else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * bpp)
+            var sy = 0
+            while (sy < ph) {
+              var sx = 0
+              while (sx < pw) {
+                val gy = y0 + sy * ys
+                val gx = x0 + sx * xs
+                System.arraycopy(img.pixels,
+                  (gy * img.width + gx) * bpp,
+                  sub, (sy * pw + sx) * bpp, bpp)
+                sx += 1
+              }
+              sy += 1
+            }
+            val fr = filterSub(sub, pw, ph, bpp, filterOf)
+            out.write(fr, 0, fr.length)
+          }
+        }
+        out.toByteArray
+      }
     val idat = zlibCompress(raw)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature, 0, Signature.length)
@@ -418,7 +493,8 @@ object Png {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(img.width).putInt(img.height)
     ihdr.put(8.toByte).put(colorType.toByte)
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    ihdr.put(0.toByte).put(0.toByte)       // deflate / adaptive filters
+    ihdr.put((if (interlaced) 1 else 0).toByte)
     chunk("IHDR", ihdr.array())
     chunk("IDAT", idat)
     chunk("IEND", Array.emptyByteArray)
@@ -434,6 +510,7 @@ object Png {
     var width = 0
     var height = 0
     var channels = -1
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var seenIhdr = false
     var seenIend = false
@@ -458,7 +535,8 @@ object Png {
           val filt = h.get() & 0xff
           val interlace = h.get() & 0xff
           if (width <= 0 || height <= 0 || depth != 8 || channels < 0 ||
-            comp != 0 || filt != 0 || interlace != 0) return None
+            comp != 0 || filt != 0 || interlace > 1) return None
+          interlaced = interlace == 1
           if (width.toLong * height * channels > (1 << 26)) return None
         case "IDAT" =>
           if (!seenIhdr) return None
@@ -473,35 +551,43 @@ object Png {
     val bpp = channels
     val stride = width * bpp
     zlibDecompress(idat.toByteArray).flatMap { raw =>
-      if (raw.length != (stride + 1) * height) None
-      else {
+      if (!interlaced) {
+        if (raw.length != (stride + 1) * height) None
+        else unfilterSub(raw, 0, width, height, bpp)
+          .map(px => Image(width, height, channels, px))
+      } else {
+        // Adam7: seven reduced images, each its own filter chain,
+        // concatenated in pass order; scatter back to the full grid
         val px = new Array[Byte](stride * height)
-        var badFilter = false
-        var y = 0
-        while (y < height && !badFilter) {
-          val f = raw(y * (stride + 1)) & 0xff
-          if (f > 4) badFilter = true
-          var x = 0
-          while (x < stride && !badFilter) {
-            val v = raw(y * (stride + 1) + 1 + x) & 0xff
-            val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
-            val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-            val ul = if (y > 0 && x >= bpp)
-              px((y - 1) * stride + x - bpp) & 0xff else 0
-            val rec = f match {
-              case 0 => v
-              case 1 => v + left
-              case 2 => v + up
-              case 3 => v + ((left + up) / 2)
-              case _ => v + paeth(left, up, ul)
+        var off = 0
+        var ok = true
+        Adam7.foreach { case (x0, y0, xs, ys) =>
+          if (ok) {
+            val pw = if (width > x0) (width - x0 + xs - 1) / xs else 0
+            val ph = if (height > y0) (height - y0 + ys - 1) / ys else 0
+            if (pw > 0 && ph > 0) {
+              unfilterSub(raw, off, pw, ph, bpp) match {
+                case None => ok = false
+                case Some(sub) =>
+                  off += (pw * bpp + 1) * ph
+                  var sy = 0
+                  while (sy < ph) {
+                    var sx = 0
+                    while (sx < pw) {
+                      System.arraycopy(sub, (sy * pw + sx) * bpp, px,
+                        ((y0 + sy * ys) * width + (x0 + sx * xs)) * bpp,
+                        bpp)
+                      sx += 1
+                    }
+                    sy += 1
+                  }
+              }
             }
-            px(y * stride + x) = (rec & 0xff).toByte
-            x += 1
           }
-          y += 1
         }
-        if (badFilter) None
-        else Some(Image(width, height, channels, px))
+        if (ok && off == raw.length)
+          Some(Image(width, height, channels, px))
+        else None
       }
     }
   }

@@ -93,6 +93,40 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace roundtrips bit-exact; ImageIO agrees") {
+    // dims sweep covers empty passes (1x1 has only pass 1; 3x3 skips
+    // pass 2; ragged dims exercise every ceil boundary)
+    for (ch <- Seq(1, 3, 4);
+         (w, h) <- Seq((1, 1), (3, 3), (5, 7), (8, 8), (17, 13))) {
+      val img = Png.Image(w, h, ch, noise(w * h * ch, ch * 31 + w))
+      val bytes = Png.encode(img, interlaced = true)
+      val back = Png.decode(bytes)
+        .getOrElse(fail(s"interlaced decode $ch ${w}x$h"))
+      assert(back.pixels.sameElements(img.pixels), s"$ch ${w}x$h")
+      // lossless + independent implementation: ImageIO must read our
+      // interlaced file pixel-identically (RGB/RGBA only — its gray
+      // reader is also exact but getRGB converts, so skip ch=1)
+      if (ch >= 3) {
+        val bi = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(bi != null, s"ImageIO rejected interlaced $ch ${w}x$h")
+        for (y <- 0 until h; x <- 0 until w) {
+          val i = (y * w + x) * ch
+          val want = (if (ch == 4) (img.pixels(i + 3) & 0xff) << 24
+            else 0xff000000) |
+            ((img.pixels(i) & 0xff) << 16) |
+            ((img.pixels(i + 1) & 0xff) << 8) | (img.pixels(i + 2) & 0xff)
+          assert(bi.getRGB(x, y) == want, s"($x,$y) $ch ${w}x$h")
+        }
+      }
+    }
+    // a truncated interlaced stream (a whole missing pass) must fail
+    val img = Png.Image(16, 16, 3, noise(16 * 16 * 3, 5L))
+    val good = Png.encode(img, interlaced = true)
+    for (n <- 0 until good.length)
+      assert(Png.decode(good.take(n)).isEmpty)
+  }
+
   test("dims probe and MediaCodecs dispatch") {
     val img = Png.Image(12, 5, 3, noise(12 * 5 * 3, 1L))
     val bytes = Png.encode(img)
