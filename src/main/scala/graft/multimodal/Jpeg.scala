@@ -688,9 +688,11 @@ object Jpeg {
   /** Decode a baseline JFIF/JPEG byte stream. None on anything outside
     * the supported profile or any malformed structure. */
   def decode(b: Array[Byte]): Option[Decoded] = {
-    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
-      return None
-    var pos = 2
+    if (b.length < 4 || (b(0) & 0xff) != 0xff) return None
+    var soi = 1 // fill bytes (B.1.1.2) may precede the SOI code itself
+    while (soi < b.length && (b(soi) & 0xff) == 0xff) soi += 1
+    if (soi >= b.length || (b(soi) & 0xff) != 0xd8) return None
+    var pos = soi + 1
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[HuffDec](4)
     val acTabs = new Array[HuffDec](4)
@@ -714,7 +716,11 @@ object Jpeg {
 
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
-      val m = b(pos + 1) & 0xff
+      // T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+      // fill bytes — skip padding until the marker code itself.
+      var m = b(pos + 1) & 0xff
+      while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff }
+      if (m == 0xff) return None
       pos += 2
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) {
         // SOI repeat / stray RST between segments: no payload
@@ -1337,12 +1343,16 @@ object Jpeg {
   /** (width, height, components) from the SOF0 header alone — the
     * metadata probe [[MediaCodecs.decode]] rides. */
   def dims(b: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
-      return None
-    var pos = 2
+    if (b.length < 4 || (b(0) & 0xff) != 0xff) return None
+    var soi = 1 // fill bytes (B.1.1.2) may precede the SOI code itself
+    while (soi < b.length && (b(soi) & 0xff) == 0xff) soi += 1
+    if (soi >= b.length || (b(soi) & 0xff) != 0xd8) return None
+    var pos = soi + 1
     while (pos + 3 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
-      val m = b(pos + 1) & 0xff
+      var m = b(pos + 1) & 0xff
+      while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff }
+      if (m == 0xff) return None
       pos += 2
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) ()
       else {

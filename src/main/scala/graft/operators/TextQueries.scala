@@ -781,10 +781,16 @@ object TextQueries {
           .agg(graft.plans.MisraGries(col("tok"), k).as("mg"))
         val entries = mg.select(col("source"),
           explode(col("mg")).as(Seq("tok", "est")))
+        // ONE ground-truth corpus pass: the per-(source,tok) exact
+        // counts are key-cardinality-sized (vocabulary, not corpus),
+        // so they persist for the verification legs, and `totals`
+        // derives from them instead of re-aggregating the exploded
+        // token stream — the whole gate reads the corpus exactly
+        // twice (sketch pass + this pass), never three times.
         val exact = toks.groupBy("source", "tok")
-          .agg(count(lit(1)).as("cnt"))
-        val totals = toks.groupBy("source")
-          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("cnt")).persist()
+        val totals = exact.groupBy("source")
+          .agg(sum("cnt").as("n"))
         val heavy = exact.join(broadcast(totals), Seq("source"))
           .filter(col("cnt") * k > col("n"))
         // the summary side is tiny (≤ k-1 rows per source): broadcast

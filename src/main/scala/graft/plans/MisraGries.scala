@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.graft.{ColumnBridge, ExpectsInputTypesBridge}
 import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,9 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGriesAgg(child: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with ExpectsInputTypesBridge {
 
   require(k >= 2, "misra_gries needs k >= 2")
+
+  // Mis-typed calls fail at ANALYSIS time, not with a runtime
+  // ClassCastException in update()'s UTF8String cast.
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty

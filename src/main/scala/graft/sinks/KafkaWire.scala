@@ -127,7 +127,7 @@ object KafkaWire {
   /** Decode + CRC-verify a RecordBatch v2; malformed or CRC-bad batches
     * return Nil like a broker rejecting the produce. */
   def decodeBatch(bytes: Array[Byte]): Seq[Record] = {
-    if (bytes.length < 57) return Nil // 21-byte prefix + 36 fixed body
+    if (bytes.length < 61) return Nil // 21-byte prefix + fixed body through recordCount
     val buf = ByteBuffer.wrap(bytes)
     buf.getLong()                          // baseOffset
     val batchLen = buf.getInt()
@@ -900,8 +900,9 @@ object KafkaWire {
     var ok = true
     while (ok && buf.remaining() >= 4) {
       val size = buf.getInt()
+      val mark = out.length
       if (size < 10 || size > buf.remaining()) ok = false
-      else {
+      else try {
         val end = buf.position() + size
         val apiKey = buf.getShort()
         val apiVersion = buf.getShort()
@@ -933,6 +934,13 @@ object KafkaWire {
           }
           buf.position(end)
         }
+      } catch {
+        // A malformed interior frame (e.g. a compact-varint length past
+        // the buffer) ends the walk like a garbage tail, never throws;
+        // the failing frame contributes nothing.
+        case _: RuntimeException =>
+          out.remove(mark, out.length - mark)
+          ok = false
       }
     }
     out.toSeq

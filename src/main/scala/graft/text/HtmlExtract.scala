@@ -77,12 +77,17 @@ object HtmlExtract {
         val semi = html.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val body = html.substring(i + 1, semi)
+          // Astral code points (&#128512;) become surrogate PAIRS via
+          // Character.toChars; out-of-range values stay literal text.
+          def cp(v: Int): Option[String] =
+            if (Character.isValidCodePoint(v)) Some(new String(Character.toChars(v)))
+            else None
           val dec: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X"))
-              try Some(Integer.parseInt(body.drop(2), 16).toChar.toString)
+              try cp(Integer.parseInt(body.drop(2), 16))
               catch { case _: Exception => None }
             else if (body.startsWith("#"))
-              try Some(Integer.parseInt(body.drop(1)).toChar.toString)
+              try cp(Integer.parseInt(body.drop(1)))
               catch { case _: Exception => None }
             else Named.get(body)
           dec match {

@@ -10,6 +10,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * crosses that boundary to register custom Catalyst expressions
   * (e.g. [[graft.plans.LpmLookup]]).
   */
+/** `AbstractDataType` (the `inputTypes` element type) is
+  * `private[sql]`; expressions outside this package that want
+  * analysis-time input-type checks via `ExpectsInputTypes` mix in this
+  * bridge trait and override the public `expectedInputTypes` instead. */
+trait ExpectsInputTypesBridge
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  def expectedInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  final override def inputTypes
+      : Seq[org.apache.spark.sql.types.AbstractDataType] =
+    expectedInputTypes
+}
+
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

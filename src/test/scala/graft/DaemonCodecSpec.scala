@@ -220,6 +220,31 @@ class DaemonCodecSpec extends AnyFunSuite {
     val b = KafkaWire.encodeBatch(Seq(Record("a", "1:2".getBytes)), 5L)
     assert(KafkaWire.decodeBatch(b).map(_.key) == Seq("a"))
     assert(KafkaWire.decodeBatch(b.dropRight(1)).isEmpty)
+    // a crafted 57-60 byte batch whose CRC validates must return Nil,
+    // not underflow in the fixed-header reads (header through the
+    // record count is 61 bytes)
+    (57 to 60).foreach { len =>
+      val short = new Array[Byte](len)
+      val sb = java.nio.ByteBuffer.wrap(short)
+      sb.putLong(0L); sb.putInt(len - 12); sb.putInt(-1); sb.put(2.toByte)
+      val crc = new java.util.zip.CRC32C
+      crc.update(short, 21, len - 21)
+      sb.putInt(crc.getValue.toInt)
+      assert(KafkaWire.decodeBatch(short).isEmpty)
+    }
+    // a malformed INTERIOR frame (varint topic count pointing past the
+    // buffer) stops the walk without throwing and contributes nothing
+    val bad = java.nio.ByteBuffer.allocate(4 + 24)
+    bad.putInt(24)
+    bad.putShort(0); bad.putShort(9); bad.putInt(42)     // Produce v9
+    bad.putShort(2); bad.put("ab".getBytes)              // clientId
+    bad.put(0.toByte)                                    // header tags
+    bad.put(0.toByte)                                    // txn id null
+    bad.putShort(-1); bad.putInt(1000)                   // acks, timeout
+    bad.put(0x7f.toByte)                                 // 126 topics (!)
+    bad.put(0x7f.toByte); bad.put(0x7f.toByte)           // garbage varints
+    assert(KafkaWire.decodeStream(bad.array() ++ stream).isEmpty)
+    assert(KafkaWire.decodeStream(stream ++ bad.array()).size == out.size)
   }
 
   test("KafkaMiniBroker: live Produce/Fetch round trip, offsets, limits") {

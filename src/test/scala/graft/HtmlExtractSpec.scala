@@ -25,6 +25,11 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(HtmlExtract.text("<p>5 &notanentity; &#xZZ; & co</p>") ==
       "5 &notanentity; &#xZZ; & co")
     assert(HtmlExtract.text("<p>x&nbsp;y</p>") == "x y")
+    // astral code points decode to surrogate PAIRS, not truncated
+    // BMP chars; out-of-range values stay literal
+    assert(HtmlExtract.text("<p>hi &#128512; &#x1F600;</p>") ==
+      "hi 😀 😀")
+    assert(HtmlExtract.text("<p>&#1114112; end</p>") == "&#1114112; end")
   }
 
   test("whitespace collapses, blank lines drop") {

@@ -47,6 +47,27 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("fill bytes before markers are legal padding (T.81 B.1.1.2)") {
+    val planes = Array.fill(3)(Array.fill(64)(90))
+    val jpg = Jpeg.encode(8, 8, planes)
+    // pad every marker except the in-entropy RSTs with extra 0xFFs:
+    // insert a fill byte before each 0xFFD8/0xFFDB/0xFFC0/0xFFC4/0xFFDA
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    while (i < jpg.length) {
+      if (i + 1 < jpg.length && (jpg(i) & 0xff) == 0xff &&
+          Set(0xd8, 0xdb, 0xc0, 0xc4, 0xda)((jpg(i + 1) & 0xff))) {
+        out += 0xff.toByte; out += 0xff.toByte
+      }
+      out += jpg(i); i += 1
+    }
+    val d = Jpeg.decode(out.toArray)
+      .getOrElse(fail("padded file must decode"))
+    assert(d.planes.forall(_.forall(_ == 90)))
+    // truncation inside fill padding still returns None cleanly
+    assert(Jpeg.decode(out.toArray.take(3)).isEmpty)
+  }
+
   test("extreme values (0/255) and single-block images roundtrip") {
     for (v <- Seq(0, 1, 127, 128, 254, 255)) {
       val planes = Array.fill(3)(Array.fill(64)(v))

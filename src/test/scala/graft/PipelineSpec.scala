@@ -87,6 +87,12 @@ class PipelineSpec extends AnyFunSuite {
       spark.sql("SELECT misra_gries(t, id) FROM VALUES ('a', 1) AS v(t, id)")
         .collect())
     assert(bad.getMessage.contains("literal"))
+    // non-string input fails at ANALYSIS time, not with a runtime
+    // ClassCastException inside the aggregate
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT misra_gries(id, 3) FROM VALUES (1), (2) AS v(id)")
+        .collect())
+    assert(mistyped.getMessage.toLowerCase.contains("type"))
   }
 
   test("typed Dataset[FlowRecord] round-trips the flow view") {
