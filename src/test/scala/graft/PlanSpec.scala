@@ -176,6 +176,36 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled against model tables:\n$plan")
   }
 
+  test("q278 gate reads the exploded corpus at most twice") {
+    // the MG sketch pass and the ground-truth exact pass are the two
+    // irreducible corpus reads; totals/heavy derive from the CACHED
+    // exact aggregate, so no third explode of the token stream may
+    // appear outside the cache (the r8 review's triple-scan finding)
+    val q = SparkEntry.queries("q278_misra_gries")(spark, d)
+    val plan = q.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    def liveScans(p: SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        liveScans(a.inputPlan)
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        0 // cached: materializes once regardless of fan-out
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        0 // reused: the shared exchange is counted where it lives
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case other => other.children.map(liveScans).sum
+    }
+    // the sketch leg is broadcast into two probes; its two textual
+    // copies are identical exchanges AQE's reuse collapses at runtime,
+    // and the cached exact pass reads the corpus once more -> at most
+    // 2 distinct corpus reads execute (pre-fix: 6 uncached subtrees)
+    val live = liveScans(plan)
+    assert(live <= 2, s"corpus scanned $live times outside the cache:\n$plan")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "exact counts must be cached for the verification legs")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"summary joins must broadcast:\n$plan")
+  }
+
   test("broadcast-model LM scoring joins the model map-side only") {
     val q = SparkEntry.queries("q255_lm_perplexity_bcast")(spark, d)
     val plan = q.queryExecution.executedPlan.toString
