@@ -86,6 +86,38 @@ final class KafkaMiniBroker {
     val members = mutable.LinkedHashMap[String, Array[Byte]]()
     var nextMemberN = 0
     var assignments: Map[String, Array[Byte]] = null
+    /** Members of the PREVIOUS stable generation during a rebalance:
+      * their heartbeats answer 27 (rejoin!) rather than 25 (gone). */
+    val prevMembers = mutable.Set[String]()
+    /** Liveness bookkeeping for the session-timeout sweep: last
+      * heartbeat/join/commit nanoTime and the per-member session
+      * timeout each member declared in its JoinGroup. */
+    val lastSeen = mutable.Map[String, Long]()
+    val timeoutMs = mutable.Map[String, Int]()
+    /** Members the sweep has thrown out (their commits/heartbeats get
+      * 25 forever) and a counter the gates read. */
+    val evicted = mutable.Set[String]()
+
+    /** Session-timeout sweep (the coordinator's liveness rule): a
+      * stable group drops every member whose last heartbeat is older
+      * than its own session timeout — the group re-forms without it,
+      * assignments die, survivors learn via heartbeat error 27. */
+    def sweep(now: Long): Unit = if (roundComplete) {
+      val dead = members.keysIterator.filter { m =>
+        now - lastSeen.getOrElse(m, now) >
+          timeoutMs.getOrElse(m, Int.MaxValue).toLong * 1000000L
+      }.toVector
+      if (dead.nonEmpty) {
+        dead.foreach { m =>
+          members.remove(m); evicted += m
+          lastSeen.remove(m); timeoutMs.remove(m)
+        }
+        prevMembers ++= members.keys // survivors must rejoin
+        members.clear()
+        assignments = null
+        roundComplete = false
+      }
+    }
   }
   private val groups = mutable.Map[String, GroupState]()
 
@@ -95,6 +127,16 @@ final class KafkaMiniBroker {
     groups.synchronized {
       val st = groups.getOrElseUpdate(group, new GroupState)
       st.synchronized { st.expected = n }
+    }
+
+  /** Gate observability: (generation, live members, evicted members)
+    * of a group — what the coordinator currently believes. */
+  def groupSnapshot(group: String): (Int, Set[String], Set[String]) =
+    groups.synchronized { groups.get(group) } match {
+      case None => (0, Set.empty, Set.empty)
+      case Some(st) => st.synchronized {
+        (st.generation, st.members.keySet.toSet, st.evicted.toSet)
+      }
     }
 
   private val logs = mutable.Map[(String, Int), PartitionLog]()
@@ -357,26 +399,36 @@ final class KafkaMiniBroker {
             }
           case 11 =>
             KafkaWire.parseJoinGroup(payload) match {
-              case Some((corr, g, member, meta)) =>
+              case Some((corr, g, member, meta, sessionTimeout)) =>
                 val st = groups.synchronized {
                   groups.getOrElseUpdate(g, new GroupState)
                 }
                 st.synchronized {
                   // a join after a stable round starts a REBALANCE:
-                  // membership re-forms, the old assignments die
+                  // membership re-forms, the old assignments die, and
+                  // prior members answer 27 on heartbeat until they
+                  // rejoin (or 25 once the sweep evicts them)
                   if (st.roundComplete) {
                     st.assignments = null
+                    st.prevMembers ++= st.members.keys
                     st.members.clear()
                     st.roundComplete = false
                   }
                   val id = if (member.nonEmpty) member
                     else { st.nextMemberN += 1; s"member-${st.nextMemberN}" }
                   st.members(id) = meta
-                  // the completing joiner bumps the generation ONCE
+                  st.prevMembers -= id
+                  st.lastSeen(id) = System.nanoTime()
+                  st.timeoutMs(id) = sessionTimeout
+                  // the completing joiner bumps the generation ONCE;
+                  // prior members that never rejoined are OUT — their
+                  // ids die with the old generation (heartbeats → 25)
                   if (!st.roundComplete &&
                     (st.expected < 0 || st.members.size >= st.expected)) {
                     st.roundComplete = true
                     st.generation += 1
+                    st.evicted ++= st.prevMembers
+                    st.prevMembers.clear()
                     st.notifyAll()
                   }
                   // barrier: wait for the round to fill (15 s guard)
@@ -428,6 +480,27 @@ final class KafkaMiniBroker {
                 }
               case None => null
             }
+          case 12 =>
+            KafkaWire.parseHeartbeat(payload) match {
+              case Some((corr, g, gen, member)) =>
+                val stOpt = groups.synchronized { groups.get(g) }
+                val err = stOpt match {
+                  case None => 25            // UNKNOWN_MEMBER_ID
+                  case Some(st) => st.synchronized {
+                    st.sweep(System.nanoTime())
+                    if (st.members.contains(member)) {
+                      st.lastSeen(member) = System.nanoTime()
+                      if (!st.roundComplete) 27 // REBALANCE_IN_PROGRESS
+                      else if (gen != st.generation) 22 // ILLEGAL_GENERATION
+                      else 0
+                    } else if (!st.roundComplete &&
+                      st.prevMembers.contains(member)) 27
+                    else 25
+                  }
+                }
+                KafkaWire.encodeHeartbeatResponse(corr, err)
+              case None => null
+            }
           case 10 =>
             KafkaWire.parseFindCoordinator(payload) match {
               case Some((corr, _)) =>
@@ -440,6 +513,8 @@ final class KafkaMiniBroker {
           case 8 =>
             KafkaWire.parseOffsetCommit(payload) match {
               case Some((corr, group, topic, offs)) =>
+                // v0: no group identity beyond the name — ungated, the
+                // simple-consumer path (q268's generations use it)
                 val acks = groupOffsets.synchronized {
                   offs.map { case (p, off) =>
                     groupOffsets((group, topic, p)) = off
@@ -447,7 +522,31 @@ final class KafkaMiniBroker {
                   }
                 }
                 KafkaWire.encodeOffsetCommitResponse(corr, topic, acks)
-              case None => null
+              case None => KafkaWire.parseOffsetCommitV1(payload) match {
+                case Some((corr, group, gen, member, topic, offs)) =>
+                  // v1: FENCED — an evicted member (25) or a stale
+                  // generation (22) cannot overwrite committed offsets
+                  val stOpt = groups.synchronized { groups.get(group) }
+                  val err = stOpt match {
+                    case None => 25
+                    case Some(st) => st.synchronized {
+                      st.sweep(System.nanoTime())
+                      if (!st.members.contains(member)) 25
+                      else if (gen != st.generation) 22
+                      else { st.lastSeen(member) = System.nanoTime(); 0 }
+                    }
+                  }
+                  val acks =
+                    if (err != 0) offs.map { case (p, _) => (p, err) }
+                    else groupOffsets.synchronized {
+                      offs.map { case (p, off) =>
+                        groupOffsets((group, topic, p)) = off
+                        (p, 0)
+                      }
+                    }
+                  KafkaWire.encodeOffsetCommitResponse(corr, topic, acks)
+                case None => null
+              }
             }
           case 9 =>
             KafkaWire.parseOffsetFetch(payload) match {
@@ -637,14 +736,15 @@ object KafkaMiniBroker {
     * the range assignor's semantics, computed CLIENT-side exactly as
     * Kafka's consumer does, the broker only relays bytes), SyncGroup.
     * Returns (memberId, generation, assigned partitions). */
-  def groupAssign(port: Int, group: String, topic: String)
+  def groupAssign(port: Int, group: String, topic: String,
+                  memberId: String = "", sessionTimeoutMs: Int = 30000)
       : (String, Int, Seq[Int]) = {
     val (sock, in, out) = connect(port)
     try {
       val (err, gen, leader, me, members) =
         KafkaWire.decodeJoinGroupResponse(exchange(in, out,
-          KafkaWire.encodeJoinGroup(0, "graft_consumer", group, "",
-            topic)))
+          KafkaWire.encodeJoinGroup(0, "graft_consumer", group, memberId,
+            topic, sessionTimeoutMs)))
       require(err == 0, s"JoinGroup error $err")
       val assignments: Seq[(String, Array[Byte])] =
         if (me == leader) {
@@ -665,6 +765,31 @@ object KafkaMiniBroker {
         .getOrElse(Seq.empty)
       (me, gen, ps)
     } finally sock.close()
+  }
+
+  /** One Heartbeat round trip; returns the coordinator's error code
+    * (0 alive, 27 rebalance in progress → rejoin, 25 evicted, 22
+    * stale generation). */
+  def heartbeat(port: Int, group: String, generation: Int,
+                memberId: String): Int = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeHeartbeatResponse(exchange(in, out,
+      KafkaWire.encodeHeartbeat(0, "graft_consumer", group, generation,
+        memberId)))
+    finally sock.close()
+  }
+
+  /** Generation-fenced OffsetCommit v1; returns per-partition error
+    * codes so gates can observe a REJECTED commit (22/25) instead of
+    * requiring success. */
+  def commitOffsetsFenced(port: Int, group: String, generation: Int,
+                          memberId: String, topic: String,
+                          offsets: Seq[(Int, Long)]): Seq[(Int, Int)] = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeOffsetCommitResponse(exchange(in, out,
+      KafkaWire.encodeOffsetCommitV1(0, "graft_consumer", group,
+        generation, memberId, topic, offsets)))
+    finally sock.close()
   }
 
   /** Commit each partition's NEXT offset to read (the Kafka convention:

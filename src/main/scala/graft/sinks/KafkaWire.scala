@@ -953,9 +953,13 @@ object KafkaWire {
   // policy-free) and SYNCs them back, every member receives its share.
   // Assignments travel as the real ConsumerProtocolAssignment bytes.
 
-  /** JoinGroup v0 (api 11) request. memberId is empty on first join. */
+  /** JoinGroup v0 (api 11) request. memberId is empty on first join;
+    * a REJOIN after a rebalance signal carries the existing id. The
+    * session timeout is what the coordinator's liveness sweep holds
+    * each member to (heartbeats overdue by more than it → eviction). */
   def encodeJoinGroup(corr: Int, clientId: String, group: String,
-                      memberId: String, topic: String): Array[Byte] = {
+                      memberId: String, topic: String,
+                      sessionTimeoutMs: Int = 30000): Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
@@ -963,7 +967,7 @@ object KafkaWire {
       val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
     }
     i16(11); i16(0); i32(corr); str(clientId)
-    str(group); i32(30000); str(memberId); str("consumer")
+    str(group); i32(sessionTimeoutMs); str(memberId); str("consumer")
     i32(1)                                  // one supported protocol
     str("range")
     // ConsumerProtocolSubscription v0: version, [topic], userdata
@@ -978,15 +982,16 @@ object KafkaWire {
     out.putInt(b.length); out.put(b.toArray); out.array()
   }
 
-  /** Broker-side parse: (corr, group, memberId, protocol metadata). */
+  /** Broker-side parse: (corr, group, memberId, protocol metadata,
+    * session timeout ms). */
   def parseJoinGroup(payload: Array[Byte])
-      : Option[(Int, String, String, Array[Byte])] = try {
+      : Option[(Int, String, String, Array[Byte], Int)] = try {
     val buf = ByteBuffer.wrap(payload)
     if (buf.getShort() != 11 || buf.getShort() != 0) return None
     val corr = buf.getInt()
     takeBytes(buf, buf.getShort() & 0xffff) // client id
     val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
-    buf.getInt()                            // session timeout
+    val sessionTimeout = buf.getInt()
     val member = new String(takeBytes(buf, buf.getShort() & 0xffff),
       "UTF-8")
     takeBytes(buf, buf.getShort() & 0xffff) // protocol type
@@ -994,7 +999,7 @@ object KafkaWire {
     if (n < 1) return None
     takeBytes(buf, buf.getShort() & 0xffff) // protocol name
     val meta = takeBytes(buf, buf.getInt())
-    Some((corr, g, member, meta))
+    Some((corr, g, member, meta, sessionTimeout))
   } catch { case _: Exception => None }
 
   /** JoinGroup v0 response; `members` non-empty only for the leader. */
@@ -1124,5 +1129,111 @@ object KafkaWire {
       val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
       val n = buf.getInt()
       Some((t, (0 until n).map(_ => buf.getInt())))
+    } catch { case _: Exception => None }
+
+  // ---- Heartbeat v0 (api 12) — the liveness + rebalance channel ----
+  // A stable member's heartbeats keep it alive in the coordinator's
+  // session-timeout sweep AND are how it LEARNS a rebalance started:
+  // error 27 (REBALANCE_IN_PROGRESS) tells it to rejoin, 25
+  // (UNKNOWN_MEMBER_ID) that it was evicted, 22 (ILLEGAL_GENERATION)
+  // that its generation is stale.
+
+  /** Heartbeat v0 request: (group, generation, memberId). */
+  def encodeHeartbeat(corr: Int, clientId: String, group: String,
+                      generation: Int, memberId: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(12); i16(0); i32(corr); str(clientId)
+    str(group); i32(generation); str(memberId)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, generation, memberId). */
+  def parseHeartbeat(payload: Array[Byte])
+      : Option[(Int, String, Int, String)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 12 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val gen = buf.getInt()
+    val member = new String(takeBytes(buf, buf.getShort() & 0xffff),
+      "UTF-8")
+    Some((corr, g, gen, member))
+  } catch { case _: Exception => None }
+
+  /** Heartbeat v0 response: just an error code. */
+  def encodeHeartbeatResponse(corr: Int, error: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 6)
+    b.putInt(6); b.putInt(corr); b.putShort(error.toShort)
+    b.array()
+  }
+
+  /** Client-side: the error code. */
+  def decodeHeartbeatResponse(payload: Array[Byte]): Int = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    buf.getShort().toInt
+  }
+
+  // ---- OffsetCommit v1 — generation-FENCED commits ------------------
+  // v0 carries no group identity beyond the name, so any zombie can
+  // overwrite committed offsets. v1 adds (generation, memberId): the
+  // coordinator rejects a commit from an evicted member (25) or a
+  // stale generation (22) — the fence that makes offsets safe across
+  // rebalances.
+
+  /** OffsetCommit v1 (api 8 v1) for one topic. */
+  def encodeOffsetCommitV1(corr: Int, clientId: String, group: String,
+                           generation: Int, memberId: String,
+                           topic: String, offsets: Seq[(Int, Long)])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(8); i16(1); i32(corr); str(clientId)
+    str(group); i32(generation); str(memberId)
+    i32(1); str(topic)                     // one topic
+    i32(offsets.size)
+    offsets.foreach { case (p, off) =>
+      i32(p); i64(off); i64(-1L); str("")  // partition, offset, ts, meta
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, generation, memberId, topic,
+    * Seq(partition, offset)). */
+  def parseOffsetCommitV1(payload: Array[Byte])
+      : Option[(Int, String, Int, String, String, Seq[(Int, Long)])] =
+    try {
+      val buf = ByteBuffer.wrap(payload)
+      if (buf.getShort() != 8 || buf.getShort() != 1) return None
+      val corr = buf.getInt()
+      takeBytes(buf, buf.getShort() & 0xffff) // client id
+      val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      val gen = buf.getInt()
+      val member = new String(takeBytes(buf, buf.getShort() & 0xffff),
+        "UTF-8")
+      val nTopics = buf.getInt()
+      if (nTopics < 1) return None
+      val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+      val nParts = buf.getInt()
+      val offs = (0 until nParts).map { _ =>
+        val p = buf.getInt(); val off = buf.getLong()
+        buf.getLong()                        // timestamp
+        takeBytes(buf, buf.getShort() & 0xffff) // metadata
+        (p, off)
+      }
+      Some((corr, g, gen, member, t, offs))
     } catch { case _: Exception => None }
 }

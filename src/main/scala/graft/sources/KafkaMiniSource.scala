@@ -50,7 +50,10 @@ class KafkaMiniSource extends TableProvider {
     val topics = Option(properties.get("topics"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    new KafkaMiniTable(port.toInt, topics)
+    val group = Option(properties.get("group")).filter(_.nonEmpty)
+    require(group.isEmpty || topics.size == 1,
+      "group mode subscribes exactly one topic")
+    new KafkaMiniTable(port.toInt, topics, group)
   }
 }
 
@@ -61,7 +64,8 @@ object KafkaMiniSource {
     .add("key", StringType).add("value", BinaryType)
 }
 
-private class KafkaMiniTable(port: Int, topics: Seq[String])
+private class KafkaMiniTable(port: Int, topics: Seq[String],
+                             group: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"kafkamini:$port"
   override def schema(): StructType = KafkaMiniSource.schema
@@ -74,7 +78,7 @@ private class KafkaMiniTable(port: Int, topics: Seq[String])
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming only")
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new KafkaMiniMicroBatchStream(port, topics)
+          new KafkaMiniMicroBatchStream(port, topics, group)
       }
     }
 }
@@ -105,17 +109,62 @@ private case class KafkaRangePartition(port: Int, topic: String,
     partition: Int, from: Long, until: Long) extends InputPartition
 
 private[sources] class KafkaMiniMicroBatchStream(port: Int,
-    topics: Seq[String])
+    topics: Seq[String], group: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def ends(): Map[(String, Int), Long] =
-    KafkaMiniBroker.discoverEnds(port, topics)
+  // ---- broker-coordinated planning (group mode) --------------------
+  // With option `group`, the stream is a MEMBER of a consumer group:
+  // its partition plan is whatever the membership protocol assigned it
+  // (JoinGroup barrier → leader-computed range → SyncGroup), not the
+  // full Metadata partition map — pmacct's consumer model
+  // (CONFIG-KEYS kafka group.id; src/kafka_common.c registers a
+  // group.id and lets the broker coordinate). Each planning round
+  // HEARTBEATS first: error 27/25/22 means a rebalance — rejoin, adopt
+  // the new assignment, and resume newly-acquired partitions from the
+  // group's broker-committed offsets (the fenced commit this stream
+  // writes in commit()). The driver still moves only offsets; data
+  // stays on executor sockets.
+  private var memberId: String = ""
+  private var generation: Int = 0
+  private var assigned: Set[Int] = Set.empty
+  private var joined = false
+  private def groupTopic: String = topics.head
+
+  private def ensureMembership(): Unit = group.foreach { g =>
+    val rejoin = !joined ||
+      KafkaMiniBroker.heartbeat(port, g, generation, memberId) != 0
+    if (rejoin) {
+      // rejoin with the existing memberId (a rebalance keeps ids);
+      // an evicted/fresh member sends the empty id and gets a new one
+      val keepId = if (joined) memberId else ""
+      val (me, gen, parts) =
+        KafkaMiniBroker.groupAssign(port, g, groupTopic, keepId)
+      memberId = me; generation = gen; assigned = parts.toSet
+      joined = true
+    }
+  }
+
+  /** Broker-committed start offsets for `parts` (−1 → earliest = 0). */
+  private def committedStarts(parts: Seq[Int]): Map[(String, Int), Long] =
+    group match {
+      case Some(g) if parts.nonEmpty =>
+        KafkaMiniBroker.fetchCommitted(port, g, groupTopic, parts)
+          .map { case (p, off) => ((groupTopic, p), math.max(off, 0L)) }
+      case _ => Map.empty
+    }
+
+  private def ends(): Map[(String, Int), Long] = {
+    ensureMembership()
+    val all = KafkaMiniBroker.discoverEnds(port, topics)
       .map { case (t, p, o) =>
         require(!t.contains('/') && !t.contains('=') &&
           !t.contains(';') && !t.contains('\n'),
           s"unsupported topic name: $t")
         ((t, p), o)
       }.toMap
+    if (group.isEmpty) all
+    else all.filter { case ((t, p), _) => t == groupTopic && assigned(p) }
+  }
 
   /** Trigger.AvailableNow bound: the log ends snapshotted when the
     * trigger starts — batches drain up to here, then the query stops
@@ -127,18 +176,45 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** First planning on a FRESH checkpoint starts at the earliest offset
-    * (0 — the mini broker never truncates); a restarted query never
-    * calls this, it resumes from the checkpointed [[KafkaOffsets]]. */
-  override def initialOffset(): Offset =
-    KafkaOffsets(ends().map { case (k, _) => (k, 0L) })
+  /** First planning on a FRESH checkpoint: earliest (0 — the mini
+    * broker never truncates), except in group mode, where the group's
+    * broker-COMMITTED offsets win (a fresh member trusts the
+    * coordinator over local state — the librdkafka restart semantics
+    * q268 gates). A restarted query never calls this; it resumes from
+    * the checkpointed [[KafkaOffsets]]. */
+  override def initialOffset(): Offset = {
+    val e = ends()
+    val committed = committedStarts(e.keys.map(_._2).toSeq)
+    KafkaOffsets(e.map { case (k, _) => (k, committed.getOrElse(k, 0L)) })
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-control latestOffset(start, limit) is used")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // Group mode: fence-commit `start` BEFORE the heartbeat/rejoin in
+    // ends(). Spark only invokes commit(N) when batch N+1 runs, so a
+    // drained stream's last offsets would never reach the coordinator;
+    // `start` is safe to commit here because latestOffset is only
+    // called after every previously planned batch has fully run (a
+    // restarted query re-executes its WAL batch first). Committing
+    // before the heartbeat is the real consumer's revocation ordering:
+    // commit what you processed, then learn about the rebalance. A
+    // commit the coordinator rejects (the round already re-formed) is
+    // the same at-least-once handover window real Kafka has.
+    if (group.isDefined) commitOwned(start)
     KafkaOffsets(availableNowBound.getOrElse(ends()))
+  }
+
+  private def commitOwned(off: Offset): Unit = group.foreach { g =>
+    val offs = off.asInstanceOf[KafkaOffsets].ends.collect {
+      case ((t, p), o) if t == groupTopic => (p, o)
+    }.toSeq.sortBy(_._1)
+    if (offs.nonEmpty && joined)
+      KafkaMiniBroker.commitOffsetsFenced(port, g, generation, memberId,
+        groupTopic, offs)
+  }
 
   override def reportLatestOffset(): Offset = KafkaOffsets(ends())
 
@@ -149,9 +225,16 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaOffsets].ends
     val e = end.asInstanceOf[KafkaOffsets].ends
+    // partitions in `end` but not in `start` were ACQUIRED in a
+    // rebalance: they resume from the group's committed offsets (what
+    // the previous owner fenced-committed), never from 0 — a re-read
+    // here is exactly the duplicate a consumer group exists to prevent
+    val acquired = committedStarts(
+      e.keys.filterNot(s.contains).map(_._2).toSeq)
     e.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
       case ((t, p), until) =>
-        val from = s.getOrElse((t, p), 0L)
+        val from = s.getOrElse((t, p),
+          acquired.getOrElse((t, p), 0L))
         if (until > from)
           Some(KafkaRangePartition(port, t, p, from, until))
         else None
@@ -181,7 +264,13 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
       }
     }
 
-  /** The broker's log is the durable store; nothing to release. */
-  override def commit(end: Offset): Unit = ()
+  /** The broker's log is the durable store; in group mode the batch's
+    * end offsets also FENCE-commit to the coordinator (OffsetCommit
+    * v1 with this member's generation), so the next owner of any
+    * partition we lose resumes exactly here. A rejected commit
+    * (rebalanced underneath us) is not an error: the checkpoint still
+    * owns OUR sink's exactly-once story, and the new owner's reads
+    * start from the last commit that did land. */
+  override def commit(end: Offset): Unit = commitOwned(end)
   override def stop(): Unit = ()
 }

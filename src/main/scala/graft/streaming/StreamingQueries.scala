@@ -884,6 +884,152 @@ object StreamingQueries {
             UNION ALL SELECT 'txn', 'fenced', 1, 1
             UNION ALL SELECT 'txn', 'replay_already_committed', 1, 1"""),
       doc = "DataSourceV2 Kafka sink: transactional exactly-once write" +
-        " (fencing, atomic commit, replay dedup)")
+        " (fencing, atomic commit, replay dedup)"),
+
+    // BROKER-COORDINATED partition planning in the DataSourceV2 source
+    // (q275 proved the membership protocol; this runs it in the
+    // connector): with option `group`, the stream is a consumer-group
+    // MEMBER — its partition plan is the JoinGroup/SyncGroup range
+    // assignment, each planning round heartbeats (error 27 → rejoin),
+    // and batch ends fence-commit (OffsetCommit v1) so the next owner
+    // of a lost partition resumes exactly where this one stopped.
+    // That is pmacct's consumer model: kafka_common.c registers a
+    // group.id and takes whatever the broker's coordinator assigns.
+    // The gate is a LIVE MID-STREAM REBALANCE: consumer A (gen 1,
+    // sole member) drains wave 0 of all 4 partitions and commits;
+    // consumer B joins while A runs — A's heartbeat turns 27, both
+    // re-form as gen 2, range assignment splits 0,1/2,3; wave 1 lands
+    // and A reads only its half while B resumes the other half FROM
+    // A'S COMMITTED OFFSETS (min_off = wave-0 end, never 0). The
+    // union of both sinks is the topic exactly once; any re-read,
+    // skip, or overlapping ownership breaks count/sum/offset parity.
+    Q("q279_kafka_group_source",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q279_kafka")
+        val group = "graft_cgrp"
+        val outA = base.resolve("a").toString
+        val outB = base.resolve("b").toString
+        var gen = -1
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          val nWave = Array(0, 1).map(w =>
+            rows.filter(_._1 % 2 == w).count())
+          def produceWave(parity: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_cgrp_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 4).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          // pre-seed both sinks so polls/reads never hit an empty dir
+          val seed = Seq.empty[(Int, Long, String)]
+            .toDF("partition", "offset", "v")
+          seed.write.parquet(outA); seed.write.parquet(outB)
+          def consumer(ckpt: String, out: String)
+              : org.apache.spark.sql.streaming.StreamingQuery =
+            s.readStream.format("graft.sources.KafkaMiniSource")
+              .option("port", port.toString).option("topics", "acct")
+              .option("group", group).load()
+              .selectExpr("partition", "offset",
+                "cast(value as string) as v")
+              .writeStream.option("checkpointLocation",
+                base.resolve(ckpt).toString)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.mode("append").parquet(out)
+              }
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          def pollUntil(what: String)(cond: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 90000
+            while (!cond && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(cond, s"q279 timed out waiting for $what")
+          }
+          produceWave(0)
+          broker.expectGroupMembers(group, 1)
+          val qa = consumer("ckA", outA)
+          try {
+            // A (generation 1) owns everything; wave 0 fully landed
+            // AND fence-committed before B exists
+            pollUntil("wave-0 drain")(
+              s.read.parquet(outA).count() == nWave(0))
+            pollUntil("wave-0 commits")(
+              KafkaMiniBroker.fetchCommitted(port, group, "acct",
+                0 until 4).values.sum ==
+                nWave(0))
+            broker.expectGroupMembers(group, 2)
+            val qb = consumer("ckB", outB)
+            try {
+              // B's join forces the live rebalance; A heartbeats into
+              // 27, rejoins, and gen 2 splits the topic 0,1 / 2,3
+              pollUntil("gen-2 re-form")(
+                broker.groupSnapshot(group) match {
+                  case (g2, members, _) => g2 == 2 && members.size == 2
+                })
+              produceWave(1)
+              pollUntil("wave-1 drain")(
+                s.read.parquet(outA).count() +
+                  s.read.parquet(outB).count() == nWave(0) + nWave(1))
+            } finally qb.stop()
+          } finally qa.stop()
+          gen = broker.groupSnapshot(group)._1
+          rows.unpersist()
+        } finally broker.close()
+        def lane(out: String, who: String) =
+          s.read.parquet(out)
+            .select(col("partition"), col("offset"),
+              expr("cast(split(v, ':')[1] as bigint)").as("b"))
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("sum_b"),
+              min("offset").as("min_off"), max("offset").as("max_off"))
+            .select(lit(who).as("consumer"), col("partition"), col("n"),
+              col("sum_b"), col("min_off"), col("max_off"))
+        lane(outA, "a").unionByName(lane(outB, "b"))
+          .withColumn("gen", lit(gen.toLong))
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS wave,
+                CAST(user_id % 4 AS INT) AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT wave, part, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2)
+            SELECT 'a' AS consumer, a0.part AS partition,
+              CASE WHEN a0.part < 2 THEN a0.n + a1.n ELSE a0.n END AS n,
+              CASE WHEN a0.part < 2 THEN a0.sum_b + a1.sum_b
+                   ELSE a0.sum_b END AS sum_b,
+              CAST(0 AS BIGINT) AS min_off,
+              CASE WHEN a0.part < 2 THEN a0.n + a1.n - 1
+                   ELSE a0.n - 1 END AS max_off,
+              CAST(2 AS BIGINT) AS gen
+            FROM agg a0 JOIN agg a1
+              ON a1.part = a0.part AND a1.wave = 1
+            WHERE a0.wave = 0
+            UNION ALL
+            SELECT 'b', a1.part,
+              a1.n, a1.sum_b, a0.n, a0.n + a1.n - 1, 2
+            FROM agg a1 JOIN agg a0
+              ON a0.part = a1.part AND a0.wave = 0
+            WHERE a1.wave = 1 AND a1.part >= 2"""),
+      doc = "broker-coordinated source planning: live rebalance, " +
+        "fenced commits, committed-offset handover, exactly-once union")
   )
 }

@@ -598,10 +598,21 @@ class DaemonCodecSpec extends AnyFunSuite {
     import graft.sinks.{KafkaMiniBroker, KafkaWire}
 
     // wire round-trips
-    val jg = KafkaWire.encodeJoinGroup(5, "c", "g", "", "t")
-    val Some((5, "g", "", meta)) = KafkaWire.parseJoinGroup(
+    val jg = KafkaWire.encodeJoinGroup(5, "c", "g", "", "t", 12345)
+    val Some((5, "g", "", meta, 12345)) = KafkaWire.parseJoinGroup(
       java.util.Arrays.copyOfRange(jg, 4, jg.length)): @unchecked
     assert(meta.length > 0)
+    val hb = KafkaWire.encodeHeartbeat(7, "c", "g", 3, "m1")
+    assert(KafkaWire.parseHeartbeat(
+      java.util.Arrays.copyOfRange(hb, 4, hb.length))
+      .contains((7, "g", 3, "m1")))
+    assert(KafkaWire.decodeHeartbeatResponse(java.util.Arrays.copyOfRange(
+      KafkaWire.encodeHeartbeatResponse(7, 27), 4, 10)) == 27)
+    val oc1 = KafkaWire.encodeOffsetCommitV1(8, "c", "g", 3, "m1", "t",
+      Seq((0, 5L), (2, 9L)))
+    assert(KafkaWire.parseOffsetCommitV1(
+      java.util.Arrays.copyOfRange(oc1, 4, oc1.length))
+      .contains((8, "g", 3, "m1", "t", Seq((0, 5L), (2, 9L)))))
     val asn = KafkaWire.encodeAssignment("t", Seq(0, 2, 3))
     assert(KafkaWire.decodeAssignment(asn).contains(("t", Seq(0, 2, 3))))
     val sg = KafkaWire.encodeSyncGroup(6, "c", "g", 1, "m1",
