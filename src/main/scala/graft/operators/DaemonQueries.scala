@@ -862,6 +862,184 @@ object DaemonQueries {
       doc = "consumer-group ASSIGNMENT from the broker: JoinGroup " +
         "barrier + leader-computed range + SyncGroup, exactly-once"),
 
+    // The FAILURE half of group coordination — the rebalance-storm
+    // semantics real consumer fleets live with: a member that stops
+    // heartbeating past its own session timeout is EVICTED by the
+    // coordinator's sweep (liveness is judged on the heartbeat channel
+    // only, like the real broker's timer — a slow consume/commit cycle
+    // can't evict anyone), the survivor learns via heartbeat error 27,
+    // re-forms the group as a bumped generation and inherits the dead
+    // member's partitions from COMMITTED offsets; the zombie's
+    // heartbeats and commits are fenced forever (25), and even a live
+    // member's commit under a stale generation is rejected (22) — the
+    // errors kafka protocol names REBALANCE_IN_PROGRESS,
+    // UNKNOWN_MEMBER_ID, ILLEGAL_GENERATION. The flow lanes prove the
+    // takeover is exactly-once (partition 1, never consumed by the
+    // stalled member, is drained IN FULL by the survivor), and the
+    // unpoisoned lane proves rejected commits never touched the
+    // committed offsets.
+    Q("q280_kafka_group_evict",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files
+          .createTempDirectory("q280_kafka").resolve("landed").toString
+        val group = "graft_evict"
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          def produceWave(parity: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_evict_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 2).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          produceWave(0)
+          // deterministic ids: the live member L joins FIRST (becomes
+          // member-1 = leader = owner of partition 0), the stalled
+          // member S joins once L is visible mid-round; S declares a
+          // 300 ms session timeout and then never heartbeats again
+          broker.expectGroupMembers(group, 2)
+          @volatile var live: (String, Int, Seq[Int]) = null
+          @volatile var stalled: (String, Int, Seq[Int]) = null
+          val tL = new Thread(() => {
+            live = KafkaMiniBroker.groupAssign(port, group, "acct",
+              sessionTimeoutMs = 30000)
+          })
+          tL.start()
+          val joinWait = System.currentTimeMillis() + 15000
+          while (broker.groupSnapshot(group)._2.isEmpty &&
+            System.currentTimeMillis() < joinWait) Thread.sleep(10)
+          require(broker.groupSnapshot(group)._2.nonEmpty,
+            "q280: L never registered")
+          stalled = KafkaMiniBroker.groupAssign(port, group, "acct",
+            sessionTimeoutMs = 300)
+          tL.join(15000)
+          require(live != null && live._2 == 1 && stalled._2 == 1,
+            s"q280: bad generation 1 ($live, $stalled)")
+          val (lId, _, lParts) = live
+          val (sId, _, _) = stalled
+          require(lId == "member-1" && lParts == Seq(0),
+            s"q280: L must lead with partition 0, got $lId=$lParts")
+          // phase 1: L drains ITS partition and fence-commits; S reads
+          // nothing, ever
+          def drain(phase: String, gen: Int, parts: Seq[Int])
+              : org.apache.spark.sql.DataFrame =
+            s.sparkContext.parallelize(parts, parts.size)
+              .mapPartitions { ps =>
+                ps.flatMap { p =>
+                  val committed = KafkaMiniBroker.fetchCommitted(
+                    port, group, "acct", Seq(p))(p)
+                  val start = math.max(committed, 0L)
+                  val hw = KafkaMiniBroker.discoverEnds(port, Seq("acct"))
+                    .collectFirst { case ("acct", `p`, end) => end }
+                    .getOrElse(0L)
+                  val got = KafkaMiniBroker.consumeRange(
+                    port, "acct", p, start, hw).map { case (_, r) =>
+                      val Array(uid, b) =
+                        new String(r.value, "UTF-8").split(':')
+                      (phase, p.toLong, uid.toLong, b.toLong)
+                    }.toVector
+                  val acks = KafkaMiniBroker.commitOffsetsFenced(port,
+                    group, gen, lId, "acct", Seq((p, hw)))
+                  require(acks.forall(_._2 == 0),
+                    s"q280: live commit rejected: $acks")
+                  got.iterator
+                }
+              }.toDF("phase", "partition", "uid", "b")
+          drain("p1", 1, lParts).write.mode("overwrite")
+            .parquet(s"$store/p1")
+          // S goes silent past its session timeout; the survivor's
+          // next heartbeat runs the sweep, sees the rebalance (27),
+          // and re-forms the group alone as generation 2
+          Thread.sleep(500)
+          broker.expectGroupMembers(group, 1)
+          val hbRebalance = KafkaMiniBroker.heartbeat(port, group, 1, lId)
+          val (_, gen2, lParts2) = KafkaMiniBroker.groupAssign(port,
+            group, "acct", memberId = lId)
+          val hbStable = KafkaMiniBroker.heartbeat(port, group, gen2, lId)
+          val (genSnap, membersSnap, evictedSnap) =
+            broker.groupSnapshot(group)
+          // zombie lanes: the evicted member's heartbeat and commit,
+          // and a stale-generation commit from the LIVE member
+          val hbZombie = KafkaMiniBroker.heartbeat(port, group, 1, sId)
+          val commitZombie = KafkaMiniBroker.commitOffsetsFenced(port,
+            group, 1, sId, "acct", Seq((1, 999999L)))
+          val commitStaleGen = KafkaMiniBroker.commitOffsetsFenced(port,
+            group, 1, lId, "acct", Seq((0, 999999L)))
+          produceWave(1)
+          drain("p2", gen2, lParts2).write.mode("append")
+            .parquet(s"$store/p1")
+          // rejected commits must not have poisoned the offsets the
+          // phase-2 drain started from
+          val afterRejects = KafkaMiniBroker.fetchCommitted(port, group,
+            "acct", Seq(0, 1))
+          val poisoned = afterRejects.values.count(_ == 999999L)
+          rows.unpersist()
+          val lanes = Seq(
+            ("gen", "phase1", 1L, 1L),
+            ("gen", "phase2", 1L, gen2.toLong),
+            ("gen", "snapshot", membersSnap.size.toLong, genSnap.toLong),
+            ("evict", "count", 1L, evictedSnap.size.toLong),
+            ("hb", "rebalance_signal", 1L, hbRebalance.toLong),
+            ("hb", "stable", 1L, hbStable.toLong),
+            ("hb", "evicted_member", 1L, hbZombie.toLong),
+            ("commit", "evicted_member", 1L,
+              commitZombie.map(_._2).max.toLong),
+            ("commit", "stale_generation", 1L,
+              commitStaleGen.map(_._2).max.toLong),
+            ("commit", "poisoned", 1L, poisoned.toLong))
+            .toDF("kind", "key", "n", "v")
+          s.read.parquet(s"$store/p1")
+            .groupBy(concat(col("phase"), lit("/"), col("partition"))
+              .as("key"))
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .select(lit("flow").as("kind"), col("key"), col("n"),
+              col("v"))
+            .unionByName(lanes)
+        } finally broker.close()
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS wave,
+                user_id % 2 AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT wave, part, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2)
+            SELECT 'flow' AS kind, 'p1/0' AS key, n, sum_b AS v
+              FROM agg WHERE wave = 0 AND part = 0
+            UNION ALL SELECT 'flow', 'p2/0', n, sum_b
+              FROM agg WHERE wave = 1 AND part = 0
+            UNION ALL SELECT 'flow', 'p2/1', CAST(sum(n) AS BIGINT),
+              CAST(sum(sum_b) AS BIGINT) FROM agg WHERE part = 1
+            UNION ALL SELECT 'gen', 'phase1', 1, 1
+            UNION ALL SELECT 'gen', 'phase2', 1, 2
+            UNION ALL SELECT 'gen', 'snapshot', 1, 2
+            UNION ALL SELECT 'evict', 'count', 1, 1
+            UNION ALL SELECT 'hb', 'rebalance_signal', 1, 27
+            UNION ALL SELECT 'hb', 'stable', 1, 0
+            UNION ALL SELECT 'hb', 'evicted_member', 1, 25
+            UNION ALL SELECT 'commit', 'evicted_member', 1, 25
+            UNION ALL SELECT 'commit', 'stale_generation', 1, 22
+            UNION ALL SELECT 'commit', 'poisoned', 1, 0"""),
+      doc = "group liveness: session-timeout eviction, generation " +
+        "fencing, exactly-once takeover of the dead member's partition"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

@@ -526,11 +526,13 @@ final class KafkaMiniBroker {
                 case Some((corr, group, gen, member, topic, offs)) =>
                   // v1: FENCED — an evicted member (25) or a stale
                   // generation (22) cannot overwrite committed offsets
+                  // no sweep here: liveness is judged on the HEARTBEAT
+                  // channel only (the real broker's timer), so a slow
+                  // consume-and-commit cycle can never evict anyone
                   val stOpt = groups.synchronized { groups.get(group) }
                   val err = stOpt match {
                     case None => 25
                     case Some(st) => st.synchronized {
-                      st.sweep(System.nanoTime())
                       if (!st.members.contains(member)) 25
                       else if (gen != st.generation) 22
                       else { st.lastSeen(member) = System.nanoTime(); 0 }

@@ -332,6 +332,57 @@ class DaemonCodecSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("KafkaMiniBroker: session-timeout eviction + generation fencing") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      KafkaMiniBroker.produceAll(port, "t", Iterator(Seq(
+        KafkaWire.PartitionBatch("t", 0,
+          Seq(KafkaWire.Record("k", "v".getBytes))))))
+      broker.expectGroupMembers("g", 2)
+      @volatile var a: (String, Int, Seq[Int]) = null
+      val t = new Thread(() => {
+        a = KafkaMiniBroker.groupAssign(port, "g", "t",
+          sessionTimeoutMs = 30000)
+      })
+      t.start()
+      val dl = System.currentTimeMillis() + 10000
+      while (broker.groupSnapshot("g")._2.isEmpty &&
+        System.currentTimeMillis() < dl) Thread.sleep(5)
+      val b = KafkaMiniBroker.groupAssign(port, "g", "t",
+        sessionTimeoutMs = 200)
+      t.join(10000)
+      assert(a._1 == "member-1" && b._1 == "member-2")
+      assert(a._2 == 1 && b._2 == 1)
+      // alive inside the window
+      assert(KafkaMiniBroker.heartbeat(port, "g", 1, a._1) == 0)
+      assert(KafkaMiniBroker.commitOffsetsFenced(port, "g", 1, a._1,
+        "t", Seq((0, 1L))).forall(_._2 == 0))
+      // b overdue: a's next heartbeat sweeps it out and signals 27
+      Thread.sleep(350)
+      assert(KafkaMiniBroker.heartbeat(port, "g", 1, a._1) == 27)
+      broker.expectGroupMembers("g", 1)
+      val (_, g2, parts2) = KafkaMiniBroker.groupAssign(port, "g", "t",
+        memberId = a._1)
+      assert(g2 == 2 && parts2 == Seq(0))
+      assert(broker.groupSnapshot("g") ==
+        ((2, Set(a._1), Set(b._1))))
+      // fencing: evicted member 25 everywhere; stale generation 22;
+      // rejected commits leave offsets untouched
+      assert(KafkaMiniBroker.heartbeat(port, "g", 2, b._1) == 25)
+      assert(KafkaMiniBroker.heartbeat(port, "g", 2, a._1) == 0)
+      assert(KafkaMiniBroker.commitOffsetsFenced(port, "g", 2, b._1,
+        "t", Seq((0, 9L))).forall(_._2 == 25))
+      assert(KafkaMiniBroker.commitOffsetsFenced(port, "g", 1, a._1,
+        "t", Seq((0, 9L))).forall(_._2 == 22))
+      assert(KafkaMiniBroker.fetchCommitted(port, "g", "t",
+        Seq(0)) == Map(0 -> 1L))
+      assert(KafkaMiniBroker.commitOffsetsFenced(port, "g", 2, a._1,
+        "t", Seq((0, 1L))).forall(_._2 == 0))
+    } finally broker.close()
+  }
+
   test("KafkaMiniBroker: short batch refused at produce; early close") {
     import graft.sinks.{KafkaMiniBroker, KafkaWire}
     import KafkaWire.{PartitionBatch, Record}
