@@ -176,6 +176,28 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled against model tables:\n$plan")
   }
 
+  test("codec lanes: mapPartitions decode + at most 2 exchanges, no SMJ") {
+    // the r8 media/text codec gates are mapPartitions-shaped decode
+    // drives whose only shuffle is the final verification aggregate;
+    // pin that shape so a refactor can't silently grow a join or a
+    // second corpus shuffle into them (recorded sweep: BENCH_NOTES r9)
+    val lanes = Seq("q267_jpeg_decode", "q270_png_decode",
+      "q272_multipattern_scan", "q273_gif_decode", "q274_html_extract",
+      "q276_jpeg_420", "q277_jpeg_progressive")
+    lanes.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name grew a sort-merge join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name grew a cartesian product:\n$plan")
+      val exchanges = "(?<!Reused)Exchange".r
+        .findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"$name has $exchanges exchanges past the decode:\n$plan")
+    }
+  }
+
   test("q278 gate reads the exploded corpus at most twice") {
     // the MG sketch pass and the ground-truth exact pass are the two
     // irreducible corpus reads; totals/heavy derive from the CACHED
