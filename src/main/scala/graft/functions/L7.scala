@@ -48,12 +48,14 @@ object L7 {
   }
 
   /** QUIC long-header heuristic (RFC 9000 §17.2): long-header + fixed
-    * bit set, version v1 or an IETF draft version. */
+    * bit set, version v1, v2 (RFC 9369 — its own version constant
+    * 0x6b3343cf; packet-type bits are remapped but the long-header and
+    * fixed bits are unchanged) or an IETF draft version. */
   def looksQuic(head: Array[Byte]): Boolean = head.length >= 5 &&
     (head(0) & 0xc0) == 0xc0 && {
       val v = ((head(1) & 0xffL) << 24) | ((head(2) & 0xffL) << 16) |
         ((head(3) & 0xffL) << 8) | (head(4) & 0xffL)
-      v == 1L || (v & 0xffffff00L) == 0xff000000L
+      v == 1L || v == 0x6b3343cfL || (v & 0xffffff00L) == 0xff000000L
     }
 
   /** NTP heuristic (RFC 5905 §7.3): 48-byte packet, version 3/4, any

@@ -191,11 +191,79 @@ object SigRules {
         case 3 => h.length == 64
         case _ => h.length % 16 == 0
       })),
-    // MQTT CONNECT: packet type 0x10, protocol name "MQTT" (len 4) after
-    // the 1-byte remaining-length varint
-    "mqtt" -> (h => h.length >= 8 && (h(0) & 0xff) == 0x10 &&
+    // MQTT 3.1.1 CONNECT: packet type 0x10, protocol name "MQTT"
+    // (len 4) after the 1-byte remaining-length varint, protocol
+    // level 4 (level 5 is the v5 family below — with name "MQTT" the
+    // only levels ever issued are 4 and 5; 3.1's name was "MQIsdp")
+    "mqtt" -> (h => h.length >= 9 && (h(0) & 0xff) == 0x10 &&
       (h(2) & 0xff) == 0 && (h(3) & 0xff) == 4 &&
-      h(4) == 'M' && h(5) == 'Q' && h(6) == 'T' && h(7) == 'T'),
+      h(4) == 'M' && h(5) == 'Q' && h(6) == 'T' && h(7) == 'T' &&
+      (h(8) & 0xff) == 4),
+    // MQTT v5 CONNECT (MQTT 5.0 §3.1): protocol level 5 plus a VALID
+    // properties block — the varint properties length (§3.1.2.11) must
+    // decode and fit inside the payload; v3.1.1 has no properties
+    // field at all, so this cannot shadow it. Connect-flags reserved
+    // bit (bit 0) must be 0 per §3.1.2.3.
+    "mqtt5" -> (h => h.length >= 13 && (h(0) & 0xff) == 0x10 &&
+      (h(2) & 0xff) == 0 && (h(3) & 0xff) == 4 &&
+      h(4) == 'M' && h(5) == 'Q' && h(6) == 'T' && h(7) == 'T' &&
+      (h(8) & 0xff) == 5 && (h(9) & 0x01) == 0 && {
+        // properties length varint at offset 12 (flags 9, keepalive
+        // 10..11); ≤ 4 varint bytes, must land inside the payload
+        var i = 12; var len = 0; var shift = 0; var done = false
+        while (!done && i < h.length && shift <= 21) {
+          val b = h(i) & 0xff
+          len |= (b & 0x7f) << shift; shift += 7; i += 1
+          if ((b & 0x80) == 0) done = true
+        }
+        done && i + len <= h.length
+      }),
+    // CAPWAP (RFC 5415 §4): preamble version 0 type 0, then the 32-bit
+    // header word — HLEN (5 bits, 4-byte words) covering at least the
+    // 8-byte fixed header and fitting the payload, WBID 0/1
+    // (reserved/IEEE 802.11), the 3 reserved flag bits zero; or
+    // preamble type 1 (CAPWAP-DTLS): a DTLS handshake record follows
+    // the one-byte preamble
+    "capwap" -> (h => h.length >= 8 && {
+      if ((h(0) & 0xff) == 0) {
+        val hlen = (h(1) >> 3) & 0x1f
+        val wbid = (h(2) >> 1) & 0x1f
+        hlen >= 2 && hlen * 4 <= h.length && wbid <= 1 &&
+          (h(3) & 0x07) == 0
+      } else (h(0) & 0xff) == 1 && (h(1) & 0xff) == 0x16 &&
+        (h(2) & 0xff) == 0xfe &&
+        ((h(3) & 0xff) == 0xff || (h(3) & 0xff) == 0xfd)
+    }),
+    // WS-Discovery (SOAP-over-UDP 3702): an XML declaration whose
+    // visible head names one of the two WS-Discovery namespaces; must
+    // precede the generic "<?xml" → xmpp fallback in the table
+    "wsd" -> (h => h.length >= 5 && h(0) == '<' && h(1) == '?' &&
+      h(2) == 'x' && h(3) == 'm' && h(4) == 'l' && {
+        val s = new String(h,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        s.contains("schemas.xmlsoap.org/ws/2005/04/discovery") ||
+        s.contains("docs.oasis-open.org/ws-dd/ns/discovery")
+      }),
+    // collectd binary protocol: a chain of (type u16, len u16) parts
+    // that tiles the payload EXACTLY, starting with part type 0x0000
+    // (host) — len includes the 4-byte part header; known part types
+    // stop at 0x0210 (encrypted). The full-tiling walk is the
+    // discriminator: no other family's frames tile this way.
+    "collectd" -> (h => h.length >= 9 && h(0) == 0 && h(1) == 0 && {
+      var i = 0
+      var parts = 0
+      var ok = true
+      while (ok && i < h.length) {
+        if (i + 4 > h.length) ok = false
+        else {
+          val t = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
+          val l = ((h(i + 2) & 0xff) << 8) | (h(i + 3) & 0xff)
+          if (l < 5 || i + l > h.length || t > 0x0210) ok = false
+          else { parts += 1; i += l }
+        }
+      }
+      ok && i == h.length && parts >= 2
+    }),
     // SMB over NetBIOS session: 0x00 + 3-byte length + (0xFF|0xFE)"SMB"
     "smb" -> (h => h.length >= 8 && h(0) == 0 &&
       ((h(4) & 0xff) == 0xff || (h(4) & 0xff) == 0xfe) &&
@@ -480,6 +548,9 @@ object SigRules {
     Rule("ssdp", Seq(AnyOf(Seq(Seq(Ascii("M-SEARCH ")),
       Seq(Ascii("NOTIFY * ")))))),
     Rule("smb", Seq(Heur("smb"))),
+    // v5 before v4: both are CONNECT+"MQTT" frames; the level byte +
+    // properties walk is the specialization and must win
+    Rule("mqtt5", Seq(Heur("mqtt5"))),
     Rule("mqtt", Seq(Heur("mqtt"))),
     Rule("mysql", Seq(Heur("mysql"))),
     Rule("postgres", Seq(Heur("postgres"))),
@@ -501,6 +572,9 @@ object SigRules {
     // a declared netconf hello starting "<?xml" lands on xmpp — the
     // same first-packet ambiguity nDPI resolves by port
     Rule("netconf", Seq(Ascii("<hello"))),
+    // WS-Discovery before xmpp: both start "<?xml", the discovery
+    // namespace is the specialization
+    Rule("wsd", Seq(Heur("wsd"))),
     Rule("xmpp", Seq(AnyOf(Seq(Seq(Ascii("<?xml")),
       Seq(Ascii("<stream:stream")))))),
     Rule("git", Seq(Ascii("git-upload-pack", off = 4))),
@@ -618,6 +692,11 @@ object SigRules {
     Rule("rip", Seq(Heur("rip"))),
     Rule("gtp", Seq(Heur("gtp"))),
     Rule("bfd", Seq(Heur("bfd"))),
+    // NOTE: BFD ECHO (the other ROADMAP candidate) is deliberately NOT
+    // a family: RFC 5880 §5 defines no echo wire format — contents are
+    // local to the sender and looped back verbatim, so the only honest
+    // detector is the port (3785), which this table doesn't see. nDPI
+    // keys BFD echo on the port for the same reason.
     Rule("ptp", Seq(Heur("ptp"))),
     // the NAT-traversal / tunnel tier (families SNI can never resolve)
     Rule("natpmp", Seq(Heur("natpmp"))),
@@ -646,7 +725,13 @@ object SigRules {
     Rule("ntp", Seq(Heur("ntp"))),
     // mDNS must precede dns: it is dns plus the .local discriminator
     Rule("mdns", Seq(Heur("mdns"))),
-    Rule("dns", Seq(Heur("dns"))))
+    Rule("dns", Seq(Heur("dns"))),
+    // LAST: both start 0x00 like a DNS id of 0x00xx, so the
+    // query-count/flag gates of mdns/dns must get first refusal (the
+    // port context nDPI additionally keys on — 5247, 25826 — is not
+    // visible to this table)
+    Rule("collectd", Seq(Heur("collectd"))),
+    Rule("capwap", Seq(Heur("capwap"))))
 
   // ---- text form: pmacct-map-style rule lines --------------------------
   // One rule per line: `proto=NAME pred pred ...`, preds space-separated.
@@ -780,6 +865,27 @@ object SigRules {
       case "mqtt" =>
         Array[Byte](0x10, 14, 0, 4) ++ "MQTT".getBytes ++
           Array[Byte](4, 2, 0, 60, 0, 2) ++ s"c$s".take(2).getBytes
+      case "mqtt5" =>
+        // level 5 + a 5-byte properties block (session-expiry u32)
+        Array[Byte](0x10, 20, 0, 4) ++ "MQTT".getBytes ++
+          Array[Byte](5, 2, 0, 60, 5, 0x11, 0, 0, 0,
+            (s % 120).toByte, 0, 2) ++ s"c$s".take(2).getBytes
+      case "capwap" =>
+        // plain preamble, HLEN 2 (8-byte header), WBID 1 (802.11),
+        // then a Discovery Request control header (msg type 1)
+        Array[Byte](0, 0x10, 0x02, 0, 0, 0, 0, 0,
+          0, 0, 0, 1, (s % 100).toByte, 0, 0, 0)
+      case "wsd" =>
+        ("<?xml version=\"1.0\" encoding=\"utf-8\"?>" +
+          "<soap:Envelope xmlns:wsd=" +
+          "\"http://schemas.xmlsoap.org/ws/2005/04/discovery\">" +
+          s"<wsd:Probe/><!--$s--></soap:Envelope>").getBytes
+      case "collectd" =>
+        // host part (type 0) + time part (type 1) tiling exactly
+        val host = s"h$s.example".getBytes :+ 0.toByte
+        Array[Byte](0, 0, 0, (4 + host.length).toByte) ++ host ++
+          Array[Byte](0, 1, 0, 12, 0, 0, 0, 0, 0, 0,
+            (s % 100).toByte, 1)
       case "mysql" =>
         val ver = s"5.7.$s".getBytes
         val body = Array[Byte](10) ++ ver ++ Array[Byte](0) ++
@@ -1079,7 +1185,10 @@ object SigRules {
         val dns = sample("dns", s)
         Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
       case "quic" =>
-        Array[Byte](0xc3.toByte, 0, 0, 0, 1) ++
+        // alternate v1 and v2 (RFC 9369's 0x6b3343cf) by seed
+        val ver = if (s % 2 == 0) Array[Byte](0, 0, 0, 1)
+          else Array[Byte](0x6b, 0x33, 0x43, 0xcf.toByte)
+        Array[Byte](0xc3.toByte) ++ ver ++
           Array.fill[Byte](40)((s % 17).toByte)
       case "stun" =>
         Array[Byte](0, 1, 0, 8, 0x21, 0x12, 0xa4.toByte, 0x42.toByte) ++
