@@ -88,6 +88,18 @@ object GraftFunctions {
     graft.plans.MisraGriesAgg(args.head, k).toAggregateExpression()
   }
 
+  private def qdigestBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 3, "qdigest_quantile(col, q, k)")
+    def lit(e: Expression, what: String): String = e match {
+      case x if x.foldable => String.valueOf(x.eval(null))
+      case other => throw new IllegalArgumentException(
+        s"qdigest_quantile $what must be a literal, got $other")
+    }
+    graft.plans.QDigestAgg(args.head,
+      lit(args(1), "q").toDouble, lit(args(2), "k").toInt)
+      .toAggregateExpression()
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
@@ -98,7 +110,8 @@ object GraftFunctions {
     "graft_mac" -> fromTemplate(Formatters.macFormat(Arg0)),
     "graft_lpm" -> lpmBuilder,
     "graft_lpm6" -> lpm6Builder,
-    "misra_gries" -> misraGriesBuilder)
+    "misra_gries" -> misraGriesBuilder,
+    "qdigest_quantile" -> qdigestBuilder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

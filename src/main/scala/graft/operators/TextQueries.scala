@@ -833,6 +833,72 @@ object TextQueries {
             WHERE e.cnt * 64 > t.n
             GROUP BY 1"""),
       doc = "Misra-Gries heavy hitters: native TypedImperativeAggregate" +
-        " with mergeable k-counter summaries, invariant-gated")
+        " with mergeable k-counter summaries, invariant-gated"),
+
+    // Q-digest quantiles as a NATIVE TypedImperativeAggregate
+    // (plans/QDigest) — the in-repo replacement for q265's
+    // percentile_approx dependency, completing the sketch family as
+    // first-class code (bloom q61, HLL q90, CMS q263, MG q278). Unlike
+    // KLL/t-digest the guarantee is DETERMINISTIC and survives any
+    // merge tree: a rank query over universe [0, 2^20) with
+    // compression k errs by at most bits/k · n ranks (Shrivastava et
+    // al., SenSys 2004). The gate mirrors q265's pattern — the three
+    // estimates broadcast back against the corpus and must sit inside
+    // their own rank windows with the sketch's OWN slack, exact stats
+    // pinned alongside; also registered in SQL as
+    // qdigest_quantile(col, q, k).
+    Q("q281_qdigest_native",
+      (s, d) => {
+        val k = 2000
+        val bits = 20
+        val docs = Tables.documents(s, d).select(col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        val approx = docs.groupBy("source")
+          .agg(graft.plans.QDigest(col("n_chars"), 0.5, k).as("p50"),
+            graft.plans.QDigest(col("n_chars"), 0.9, k).as("p90"),
+            graft.plans.QDigest(col("n_chars"), 0.99, k).as("p99"))
+        val checked = docs.join(broadcast(approx), Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L))
+              .as("le50"),
+            sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L))
+              .as("lt50"),
+            sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L))
+              .as("le90"),
+            sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L))
+              .as("lt90"),
+            sum(when(col("n_chars") <= col("p99"), 1L).otherwise(0L))
+              .as("le99"),
+            sum(when(col("n_chars") < col("p99"), 1L).otherwise(0L))
+              .as("lt99"))
+        val viol = checked.selectExpr("source", "n",
+          s"CAST(floor(n * $bits / $k) + 1 AS BIGINT) AS slack",
+          "CAST(ceil(0.5 * n) AS BIGINT) AS r50",
+          "CAST(ceil(0.9 * n) AS BIGINT) AS r90",
+          "CAST(ceil(0.99 * n) AS BIGINT) AS r99",
+          "le50", "lt50", "le90", "lt90", "le99", "lt99")
+          .selectExpr("source",
+            "CAST(le50 < r50 - slack OR lt50 > r50 + slack AS INT) + " +
+              "CAST(le90 < r90 - slack OR lt90 > r90 + slack AS INT) + " +
+              "CAST(le99 < r99 - slack OR lt99 > r99 + slack AS INT)" +
+              " AS violations")
+        val stats = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("v"))
+          .select(lit("stats").as("kind"), col("source").as("key"),
+            col("n"), col("v"))
+        viol.select(lit("qok").as("kind"), col("source").as("key"),
+            lit(3L).as("n"), col("violations").cast("long").as("v"))
+          .unionByName(stats)
+      },
+      Some("""SELECT 'qok' AS kind, source AS key, CAST(3 AS BIGINT)
+                AS n, CAST(0 AS BIGINT) AS v
+              FROM (SELECT DISTINCT source FROM documents) s
+            UNION ALL
+            SELECT 'stats', source, count(*),
+              CAST(sum(n_chars) AS BIGINT)
+            FROM documents GROUP BY 2"""),
+      doc = "native q-digest quantile sketch gated by its own " +
+        "deterministic rank-error contract")
   )
 }

@@ -484,6 +484,80 @@ class StateSpec extends AnyFunSuite {
     checkInvariants(m)
   }
 
+  test("QDigest: rank-error contract under updates, merges, Spark, SQL") {
+    import graft.plans.{QDigest, QDigestAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+
+    // skewed deterministic stream over [0, 2^20)
+    def stream(n: Int, seed: Long): Seq[Long] = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val u = (s >>> 33) % 1048576L
+        if (u % 3 == 0) u % 1000 else u // heavy head, long tail
+      }
+    }
+    val k = 512 // slack ≈ 2% of n: the bound is genuinely exercised
+    val bits = 20
+    val data = stream(50000, 7L)
+    val sorted = data.sorted.toIndexedSeq
+    val n = data.size.toLong
+    val slack = n * bits / k + 1
+
+    def checkQuantile(v: Long, q: Double): Unit = {
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val le = sorted.count(_ <= v).toLong
+      val lt = sorted.count(_ < v).toLong
+      assert(le >= target - slack && lt <= target + slack,
+        s"q=$q v=$v rank window [$lt, $le] vs target $target ± $slack")
+    }
+
+    def agg(q: Double) = QDigestAgg(BoundReference(0, LongType,
+      nullable = true), q, k, bits)
+    def run(q: Double, items: Seq[Long]) = {
+      val a = agg(q)
+      val b = a.createAggregationBuffer()
+      items.foreach(i => a.update(b, InternalRow(i)))
+      b
+    }
+    Seq(0.01, 0.5, 0.9, 0.99).foreach { q =>
+      // sequential
+      checkQuantile(run(q, data).quantile(q).asInstanceOf[Long], q)
+      // arbitrary merge tree incl. serialize round-trips (the shuffle)
+      val a = agg(q)
+      val parts = data.grouped(7000).map(run(q, _)).toSeq
+      val merged = parts.map(p => a.deserialize(a.serialize(p)))
+        .reduce(a.merge)
+      checkQuantile(merged.quantile(q).asInstanceOf[Long], q)
+      // post-compress size bound: 3k nodes (the paper's bound; the
+      // amortized cap keeps intermediate state ≤ 6k)
+      merged.compress()
+      assert(merged.size <= 3 * k, s"digest size ${merged.size}")
+    }
+    // empty digest → null
+    assert(agg(0.5).eval(agg(0.5).createAggregationBuffer()) == null)
+
+    // Spark end-to-end over shuffled partitions + the SQL surface
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val df = data.toDF("v").repartition(7)
+    val viaCol = df.agg(QDigest(org.apache.spark.sql.functions.col("v"),
+      0.9, k)).head().getLong(0)
+    checkQuantile(viaCol, 0.9)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("qdigest_probe")
+    val viaSql = spark.sql(
+      s"SELECT qdigest_quantile(v, 0.9D, $k) FROM qdigest_probe")
+      .head().getLong(0)
+    checkQuantile(viaSql, 0.9)
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT qdigest_quantile(t, 0.5D, 64) FROM " +
+        "VALUES ('a') AS x(t)").collect())
+    assert(mistyped.getMessage.toLowerCase.contains("type"))
+  }
+
   // The soak invariants at 10x the FIXTURE cycle counts (the
   // graft.soak.mult scale q253/q254 expose): flat state across 100 BMP
   // cycles x 9 routers and 3000 BGP cycles x 4 routers proves the
