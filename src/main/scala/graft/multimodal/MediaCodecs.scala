@@ -142,6 +142,10 @@ object MediaCodecs {
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b.length >= 12 && ascii(b, 0) == "RIFF" && ascii(b, 8) == "WAVE")
       decodeWav(b)
+    else if (b.length >= 12 && ascii(b, 0) == "RIFF" && ascii(b, 8) == "WEBP")
+      Webp.dims(b).map { case (w, h, nc) =>
+        Meta("webp", w, h, nc, 0, 8, 0L, b.length.toLong)
+      }
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       Jpeg.dims(b).map { case (w, h, nc) =>

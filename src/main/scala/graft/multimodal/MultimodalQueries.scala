@@ -735,6 +735,115 @@ object MultimodalQueries {
               CAST(64 * sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY 1"""),
       doc = "progressive JPEG (SOF2): multi-scan coefficient " +
-        "accumulation, integer-exact on the q267 fixture")
+        "accumulation, integer-exact on the q267 fixture"),
+
+    // WebP lossless (VP8L) through the whole codec (Webp.scala: RIFF
+    // container + canonical prefix codes + LZ77 plane-code distances
+    // + color cache + meta tiling + all four transforms): per document
+    // an ARGB image whose pixels come from doc_id arithmetic; the
+    // ENCODER PROFILE cycles with doc_id so every sixth of the corpus
+    // exercises a different path — plain, subtract-green, palette
+    // (2..16 colors, sub-byte packed), one of the 14 spatial
+    // predictors, the cross-color transform, and cache+meta tiling.
+    // VP8L is lossless, so the oracle regenerates every pixel from
+    // the same arithmetic; the position-weighted checksum pins row
+    // order (what a broken transform inverse or misaligned prefix
+    // code scrambles first).
+    Q("q282_webp_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val mode6 = (id % 6).toInt
+            val w = if (mode6 == 5) (5 + id % 8).toInt
+              else (4 + id % 9).toInt
+            val h = if (mode6 == 5) (3 + id % 2).toInt
+              else (3 + id % 4).toInt
+            val px = new Array[Int](w * h)
+            if (mode6 == 2) {
+              val nc = (2 + id % 15).toInt
+              val pal = Array.tabulate(nc) { k =>
+                0xff000000 |
+                  (((id + k * 37) % 256).toInt << 16) |
+                  (((id * 2 + k * 59) % 256).toInt << 8) |
+                  ((id * 3 + k * 83) % 256).toInt
+              }
+              for (y <- 0 until h; x <- 0 until w)
+                px(y * w + x) = pal(((id + x * 3 + y * 7) % nc).toInt)
+            } else {
+              for (y <- 0 until h; x <- 0 until w)
+                px(y * w + x) = 0xff000000 |
+                  (((id * 3 + x * 19 + y * 41) % 256).toInt << 16) |
+                  (((id * 5 + x * 7 + y * 13) % 256).toInt << 8) |
+                  ((id * 7 + x * 11 + y * 3) % 256).toInt
+            }
+            val im = Webp.Image(w, h, px)
+            val bytes = mode6 match {
+              case 0 => Webp.encode(im, Webp.ModePlain)
+              case 1 => Webp.encode(im, Webp.ModeSubGreen)
+              case 2 => Webp.encode(im, Webp.ModePalette)
+              case 3 => Webp.encode(im,
+                Webp.ModePredictor + ((id / 6) % 14).toInt)
+              case 4 => Webp.encode(im, Webp.ModeColor)
+              case _ => Webp.encode(im, Webp.ModePlain,
+                cacheBits = (1 + id % 8).toInt, metaSplit = true)
+            }
+            val back = Webp.decode(bytes)
+              .getOrElse(sys.error(s"webp decode failed doc $id"))
+            (0 until h).iterator.flatMap { y =>
+              (0 until w).iterator.flatMap { x =>
+                val p = back.argb(y * w + x)
+                val wgt = (y * w + x) % 17 + 1
+                Iterator(
+                  (0L, ((p >> 16) & 0xff).toLong, wgt.toLong),
+                  (1L, ((p >> 8) & 0xff).toLong, wgt.toLong),
+                  (2L, (p & 0xff).toLong, wgt.toLong),
+                  (3L, (p >>> 24).toLong, wgt.toLong))
+              }
+            }.map { case (c, v, wgt) => (c, v, v * wgt) }
+          })
+          .toDF("channel", "v", "wv")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("sum_v"),
+            sum("wv").as("wsum"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+                CAST(doc_id % 6 AS BIGINT) AS m,
+                CASE WHEN doc_id % 6 = 5 THEN 5 + doc_id % 8
+                     ELSE 4 + doc_id % 9 END AS w,
+                CASE WHEN doc_id % 6 = 5 THEN 3 + doc_id % 2
+                     ELSE 3 + doc_id % 4 END AS h
+              FROM documents),
+            px AS (SELECT doc_id, m, w, x, y,
+                CASE WHEN m = 2
+                  THEN (doc_id + ((doc_id + x * 3 + y * 7)
+                    % (2 + doc_id % 15)) * 37) % 256
+                  ELSE (doc_id * 3 + x * 19 + y * 41) % 256 END AS r,
+                CASE WHEN m = 2
+                  THEN (doc_id * 2 + ((doc_id + x * 3 + y * 7)
+                    % (2 + doc_id % 15)) * 59) % 256
+                  ELSE (doc_id * 5 + x * 7 + y * 13) % 256 END AS g,
+                CASE WHEN m = 2
+                  THEN (doc_id * 3 + ((doc_id + x * 3 + y * 7)
+                    % (2 + doc_id % 15)) * 83) % 256
+                  ELSE (doc_id * 7 + x * 11 + y * 3) % 256 END AS b,
+                (y * w + x) % 17 + 1 AS wgt
+              FROM dims,
+                unnest(generate_series(0, CAST(h - 1 AS BIGINT)))
+                  AS gy(y),
+                unnest(generate_series(0, CAST(w - 1 AS BIGINT)))
+                  AS gx(x)),
+            ch AS (SELECT 0 AS channel, r AS v, wgt FROM px
+              UNION ALL SELECT 1, g, wgt FROM px
+              UNION ALL SELECT 2, b, wgt FROM px
+              UNION ALL SELECT 3, 255, wgt FROM px)
+            SELECT channel, count(*) AS n_px,
+              CAST(sum(v) AS BIGINT) AS sum_v,
+              CAST(sum(v * wgt) AS BIGINT) AS wsum
+            FROM ch GROUP BY 1"""),
+      doc = "WebP lossless (VP8L): prefix codes + LZ77 + cache + meta" +
+        " + all four transforms, bit-exact on arbitrary pixels")
   )
 }
