@@ -179,6 +179,105 @@ object ProtocolQueries {
            FROM flows GROUP BY 1""")),
       doc = "NetFlow v9 template cache with data-before-template buffering"),
 
+    // The tmp_asa_bi_flow knob (CONFIG-KEYS:3712, handler
+    // src/pkt_handlers.c:3240-3330): Cisco ASA bi-flow exports carry
+    // FOUR counters (initiator/responder x bytes/packets) where pmacct
+    // has two, so the documented hack maps initiatorOctets (IE 231) →
+    // the bytes counter and responderOctets (IE 232) → the PACKETS
+    // counter — but ONLY as the last fallback of the counter
+    // precedence chain (IN_* > FLOW_* > OUT_* > L2 > ASA), and only
+    // with the knob on. The gate decodes one mixed feed through the
+    // template cache and evaluates BOTH knob positions: ASA-template
+    // records must account initiator/responder with the knob on and
+    // fall through to zero with it off, while standard-template
+    // records that ALSO carry decoy 231/232 fields must keep their
+    // IN_BYTES/IN_PKTS counters either way (precedence, not
+    // field-presence, decides).
+    Q("q283_asa_bi_flow",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import NetFlowV9.IE
+        val rows = flows(s, d).select(
+            col("event_id"), col("ip_proto"), col("port_dst"),
+            (col("bytes") % 4294967296L).as("octets"), col("packets"))
+          .as[(Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          val h = NetFlowV9.V9Header(0L, 0L, 0L, 7L)
+          val stdT = NetFlowV9.Template(260, Seq(
+            IE.Protocol -> 1, IE.L4DstPort -> 2,
+            IE.InBytes -> 4, IE.InPkts -> 4,
+            IE.InitiatorOctets -> 4, IE.ResponderOctets -> 4))
+          val asaT = NetFlowV9.Template(261, Seq(
+            IE.Protocol -> 1, IE.L4DstPort -> 2,
+            IE.InitiatorOctets -> 4, IE.ResponderOctets -> 4))
+          val cache = new NetFlowV9.TemplateCache
+          cache.observe(NetFlowV9.encodeTemplate(h, stdT))
+          cache.observe(NetFlowV9.encodeTemplate(h, asaT))
+          // (lane, kind) -> (n, sum_bytes, sum_pkts)
+          val agg = scala.collection.mutable.LinkedHashMap[
+            (String, String), (Long, Long, Long)]()
+          def fold(m: Map[Int, Long]): Unit = {
+            val kind = if (m.contains(IE.InBytes)) "std" else "asa"
+            Seq(true, false).foreach { knob =>
+              val (b, p) = NetFlowV9.counters(m, asaBiFlow = knob)
+              val lane = if (knob) "on" else "off"
+              val (n, sb, sp0) = agg.getOrElse((lane, kind), (0L, 0L, 0L))
+              agg((lane, kind)) = (n + 1, sb + b, sp0 + p)
+            }
+          }
+          val std = scala.collection.mutable.Buffer[Map[Int, Long]]()
+          val asa = scala.collection.mutable.Buffer[Map[Int, Long]]()
+          def flush(t: NetFlowV9.Template,
+                    b: scala.collection.mutable.Buffer[Map[Int, Long]])
+              : Unit = if (b.nonEmpty) {
+            cache.observe(NetFlowV9.encodeData(h, t, b.toSeq))
+              .foreach(fold)
+            b.clear()
+          }
+          it.foreach { case (eid, proto, port, octets, pkts) =>
+            if (eid % 2 == 0)
+              asa += Map(IE.Protocol -> proto, IE.L4DstPort -> port,
+                IE.InitiatorOctets -> octets,
+                IE.ResponderOctets -> (pkts * 131 + 7))
+            else
+              std += Map(IE.Protocol -> proto, IE.L4DstPort -> port,
+                IE.InBytes -> octets, IE.InPkts -> pkts,
+                // decoy ASA counters: precedence must ignore them
+                IE.InitiatorOctets -> 12345L,
+                IE.ResponderOctets -> 54321L)
+            if (asa.size == 20) flush(asaT, asa)
+            if (std.size == 20) flush(stdT, std)
+          }
+          flush(asaT, asa); flush(stdT, std)
+          agg.iterator.map { case ((lane, kind), (n, sb, sp0)) =>
+            (lane, kind, n, sb, sp0) }
+        }
+        decoded.toDF("lane", "kind", "n", "sum_bytes", "sum_pkts")
+          .groupBy("lane", "kind")
+          .agg(sum("n").as("n"), sum("sum_bytes").as("sum_bytes"),
+            sum("sum_pkts").as("sum_pkts"))
+      },
+      Some(FlowView.cte(
+        """, base AS (SELECT event_id % 2 AS m,
+              bytes % 4294967296 AS b, packets AS p,
+              packets * 131 + 7 AS rb FROM flows)
+           SELECT 'on' AS lane, 'asa' AS kind, count(*) AS n,
+             CAST(sum(b) AS BIGINT) AS sum_bytes,
+             CAST(sum(rb) AS BIGINT) AS sum_pkts
+           FROM base WHERE m = 0
+           UNION ALL SELECT 'on', 'std', count(*),
+             CAST(sum(b) AS BIGINT), CAST(sum(p) AS BIGINT)
+           FROM base WHERE m = 1
+           UNION ALL SELECT 'off', 'asa', count(*),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           FROM base WHERE m = 0
+           UNION ALL SELECT 'off', 'std', count(*),
+             CAST(sum(b) AS BIGINT), CAST(sum(p) AS BIGINT)
+           FROM base WHERE m = 1""")),
+      doc = "tmp_asa_bi_flow: ASA initiator/responder counters via the" +
+        " precedence chain, both knob positions gated"),
+
     // NetFlow v9 OPTION records in-stream: the exporter announces its
     // sampling rate via an options template + option data record; data
     // records decoded afterwards renormalize by the rate in effect, and a

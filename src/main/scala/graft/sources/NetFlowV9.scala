@@ -580,5 +580,41 @@ object NetFlowV9 {
     val LastSwitchedSec = 151
     val FirstSwitchedMsec = 152
     val LastSwitchedMsec = 153
+    // the full counter-precedence family (src/pkt_handlers.c:3240-3330)
+    val OutBytes = 23
+    val OutPkts = 24
+    val FlowBytes = 85
+    val FlowPkts = 86
+    val L2OctetDelta = 352    // layer2OctetDeltaCount
+    // Cisco ASA bi-flow counters (RFC 5103 biflow export as the ASA
+    // emits it — initiator/responder octets, IEs 231/232)
+    val InitiatorOctets = 231
+    val ResponderOctets = 232
+  }
+
+  /** The v9/IPFIX counter precedence chain of the reference's data
+    * handler (`src/pkt_handlers.c:3240-3330`): bytes from IN_BYTES >
+    * FLOW_BYTES > OUT_BYTES > layer2OctetDeltaCount, packets from
+    * IN_PKTS > FLOW_PKTS > OUT_PKTS. With `asaBiFlow` (the
+    * `tmp_asa_bi_flow` knob, CONFIG-KEYS:3712) the ASA bi-flow
+    * counters join as the LAST fallback — and per the documented
+    * hack, responder BYTES ride the PACKETS counter (four counters
+    * squeezed into pmacct's two: initiatorOctets → bytes,
+    * responderOctets → packets). Returns (bytes, packets); a record
+    * with none of the family present yields (0, 0), exactly the
+    * not-accounted case the reference falls through on. */
+  def counters(m: Map[Int, Long], asaBiFlow: Boolean): (Long, Long) = {
+    val bytes = m.get(IE.InBytes)
+      .orElse(m.get(IE.FlowBytes))
+      .orElse(m.get(IE.OutBytes))
+      .orElse(m.get(IE.L2OctetDelta))
+      .orElse(if (asaBiFlow) m.get(IE.InitiatorOctets) else None)
+      .getOrElse(0L)
+    val pkts = m.get(IE.InPkts)
+      .orElse(m.get(IE.FlowPkts))
+      .orElse(m.get(IE.OutPkts))
+      .orElse(if (asaBiFlow) m.get(IE.ResponderOctets) else None)
+      .getOrElse(0L)
+    (bytes, pkts)
   }
 }
