@@ -1040,6 +1040,158 @@ object DaemonQueries {
       doc = "group liveness: session-timeout eviction, generation " +
         "fencing, exactly-once takeover of the dead member's partition"),
 
+    // The CLEAN twin of q280: LeaveGroup (api 13) — a closing consumer
+    // tells the coordinator it's gone NOW (the consumer-close path;
+    // KafkaMiniSource.stop() runs it too), the group re-forms without
+    // waiting out any session timeout, and because the leaver
+    // COMMITTED before leaving, the survivor inherits its partition
+    // with ZERO re-read — contrast with q280, where the evicted
+    // member's never-committed partition replays from offset 0. The
+    // departed id is fenced exactly like an evicted one (heartbeat 25,
+    // stale commit 25, offsets unpoisoned).
+    Q("q284_kafka_group_leave",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val store = java.nio.file.Files
+          .createTempDirectory("q284_kafka").resolve("landed").toString
+        val group = "graft_leave"
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          def produceWave(parity: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_leave_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 2).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          produceWave(0)
+          broker.expectGroupMembers(group, 2)
+          @volatile var live: (String, Int, Seq[Int]) = null
+          val tL = new Thread(() => {
+            live = KafkaMiniBroker.groupAssign(port, group, "acct")
+          })
+          tL.start()
+          val joinWait = System.currentTimeMillis() + 15000
+          while (broker.groupSnapshot(group)._2.isEmpty &&
+            System.currentTimeMillis() < joinWait) Thread.sleep(10)
+          require(broker.groupSnapshot(group)._2.nonEmpty,
+            "q284: L never registered")
+          val departing = KafkaMiniBroker.groupAssign(port, group, "acct")
+          tL.join(15000)
+          require(live != null && live._2 == 1 && departing._2 == 1,
+            s"q284: bad generation 1 ($live, $departing)")
+          val (lId, _, lParts) = live
+          val (mId, _, mParts) = departing
+          require(lId == "member-1" && lParts == Seq(0) &&
+            mParts == Seq(1), s"q284: bad split $lParts/$mParts")
+          def drain(phase: String, gen: Int, member: String,
+                    parts: Seq[Int]): org.apache.spark.sql.DataFrame =
+            s.sparkContext.parallelize(parts, parts.size)
+              .mapPartitions { ps =>
+                ps.flatMap { p =>
+                  val committed = KafkaMiniBroker.fetchCommitted(
+                    port, group, "acct", Seq(p))(p)
+                  val start = math.max(committed, 0L)
+                  val hw = KafkaMiniBroker.discoverEnds(port, Seq("acct"))
+                    .collectFirst { case ("acct", `p`, end) => end }
+                    .getOrElse(0L)
+                  val got = KafkaMiniBroker.consumeRange(
+                    port, "acct", p, start, hw).map { case (_, r) =>
+                      val Array(uid, b) =
+                        new String(r.value, "UTF-8").split(':')
+                      (phase, p.toLong, uid.toLong, b.toLong)
+                    }.toVector
+                  val acks = KafkaMiniBroker.commitOffsetsFenced(port,
+                    group, gen, member, "acct", Seq((p, hw)))
+                  require(acks.forall(_._2 == 0),
+                    s"q284: commit rejected: $acks")
+                  got.iterator
+                }
+              }.toDF("phase", "partition", "uid", "b")
+          // phase 1: BOTH members drain and commit their own shares
+          drain("p1", 1, lId, lParts)
+            .unionByName(drain("p1", 1, mId, mParts))
+            .write.mode("overwrite").parquet(s"$store/p1")
+          // M closes cleanly; the group re-forms immediately
+          val leaveAck = KafkaMiniBroker.leaveGroup(port, group, mId)
+          broker.expectGroupMembers(group, 1)
+          val hbRebalance = KafkaMiniBroker.heartbeat(port, group, 1, lId)
+          val (_, gen2, lParts2) = KafkaMiniBroker.groupAssign(port,
+            group, "acct", memberId = lId)
+          val hbStable = KafkaMiniBroker.heartbeat(port, group, gen2, lId)
+          // departed-id fencing
+          val hbDeparted = KafkaMiniBroker.heartbeat(port, group, 1, mId)
+          val commitDeparted = KafkaMiniBroker.commitOffsetsFenced(port,
+            group, 1, mId, "acct", Seq((1, 999999L)))
+          val (genSnap, membersSnap, _) = broker.groupSnapshot(group)
+          produceWave(1)
+          drain("p2", gen2, lId, lParts2).write.mode("append")
+            .parquet(s"$store/p1")
+          val afterRejects = KafkaMiniBroker.fetchCommitted(port, group,
+            "acct", Seq(0, 1))
+          val poisoned = afterRejects.values.count(_ == 999999L)
+          rows.unpersist()
+          val lanes = Seq(
+            ("gen", "phase1", 1L, 1L),
+            ("gen", "phase2", 1L, gen2.toLong),
+            ("gen", "snapshot", membersSnap.size.toLong, genSnap.toLong),
+            ("leave", "ack", 1L, leaveAck.toLong),
+            ("hb", "rebalance_signal", 1L, hbRebalance.toLong),
+            ("hb", "stable", 1L, hbStable.toLong),
+            ("hb", "departed_member", 1L, hbDeparted.toLong),
+            ("commit", "departed_member", 1L,
+              commitDeparted.map(_._2).max.toLong),
+            ("commit", "poisoned", 1L, poisoned.toLong))
+            .toDF("kind", "key", "n", "v")
+          s.read.parquet(s"$store/p1")
+            .groupBy(concat(col("phase"), lit("/"), col("partition"))
+              .as("key"))
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .select(lit("flow").as("kind"), col("key"), col("n"),
+              col("v"))
+            .unionByName(lanes)
+        } finally broker.close()
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS wave,
+                user_id % 2 AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT wave, part, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2)
+            SELECT 'flow' AS kind,
+              'p1/' || CAST(part AS VARCHAR) AS key, n, sum_b AS v
+              FROM agg WHERE wave = 0
+            UNION ALL SELECT 'flow', 'p2/' || CAST(part AS VARCHAR),
+              n, sum_b FROM agg WHERE wave = 1
+            UNION ALL SELECT 'gen', 'phase1', 1, 1
+            UNION ALL SELECT 'gen', 'phase2', 1, 2
+            UNION ALL SELECT 'gen', 'snapshot', 1, 2
+            UNION ALL SELECT 'leave', 'ack', 1, 0
+            UNION ALL SELECT 'hb', 'rebalance_signal', 1, 27
+            UNION ALL SELECT 'hb', 'stable', 1, 0
+            UNION ALL SELECT 'hb', 'departed_member', 1, 25
+            UNION ALL SELECT 'commit', 'departed_member', 1, 25
+            UNION ALL SELECT 'commit', 'poisoned', 1, 0"""),
+      doc = "LeaveGroup: graceful-shutdown rebalance with clean " +
+        "committed-offset handover — zero re-read, departed id fenced"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

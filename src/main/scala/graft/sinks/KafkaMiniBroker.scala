@@ -501,6 +501,33 @@ final class KafkaMiniBroker {
                 KafkaWire.encodeHeartbeatResponse(corr, err)
               case None => null
             }
+          case 13 =>
+            KafkaWire.parseLeaveGroup(payload) match {
+              case Some((corr, g, member)) =>
+                val stOpt = groups.synchronized { groups.get(g) }
+                val err = stOpt match {
+                  case None => 25            // UNKNOWN_MEMBER_ID
+                  case Some(st) => st.synchronized {
+                    if (!st.members.contains(member)) 25
+                    else {
+                      // a clean leave re-forms the group NOW: the
+                      // leaver's id dies, survivors must rejoin (27 on
+                      // their next heartbeat), no session-timeout wait
+                      st.members.remove(member)
+                      st.lastSeen.remove(member)
+                      st.timeoutMs.remove(member)
+                      st.evicted += member
+                      st.prevMembers ++= st.members.keys
+                      st.members.clear()
+                      st.assignments = null
+                      st.roundComplete = false
+                      0
+                    }
+                  }
+                }
+                KafkaWire.encodeLeaveGroupResponse(corr, err)
+              case None => null
+            }
           case 10 =>
             KafkaWire.parseFindCoordinator(payload) match {
               case Some((corr, _)) =>
@@ -778,6 +805,15 @@ object KafkaMiniBroker {
     try KafkaWire.decodeHeartbeatResponse(exchange(in, out,
       KafkaWire.encodeHeartbeat(0, "graft_consumer", group, generation,
         memberId)))
+    finally sock.close()
+  }
+
+  /** One LeaveGroup round trip (the graceful consumer-close path);
+    * returns the coordinator's error code (0 left, 25 unknown). */
+  def leaveGroup(port: Int, group: String, memberId: String): Int = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeLeaveGroupResponse(exchange(in, out,
+      KafkaWire.encodeLeaveGroup(0, "graft_consumer", group, memberId)))
     finally sock.close()
   }
 

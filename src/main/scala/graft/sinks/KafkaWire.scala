@@ -1181,6 +1181,48 @@ object KafkaWire {
     buf.getShort().toInt
   }
 
+  // ---- LeaveGroup v0 (api 13) — the graceful-shutdown path ----------
+  // A closing consumer tells the coordinator it's gone NOW: the group
+  // re-forms immediately instead of waiting out the session timeout
+  // (q280's eviction lane). The leaver's committed offsets are the
+  // clean handover point for whoever inherits its partitions.
+
+  /** LeaveGroup v0 request: (group, memberId). */
+  def encodeLeaveGroup(corr: Int, clientId: String, group: String,
+                       memberId: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(13); i16(0); i32(corr); str(clientId)
+    str(group); str(memberId)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, memberId). */
+  def parseLeaveGroup(payload: Array[Byte])
+      : Option[(Int, String, String)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 13 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val g = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val member = new String(takeBytes(buf, buf.getShort() & 0xffff),
+      "UTF-8")
+    Some((corr, g, member))
+  } catch { case _: Exception => None }
+
+  /** LeaveGroup v0 response: just an error code. */
+  def encodeLeaveGroupResponse(corr: Int, error: Int): Array[Byte] =
+    encodeHeartbeatResponse(corr, error) // same (corr, i16) shape
+
+  /** Client-side: the error code. */
+  def decodeLeaveGroupResponse(payload: Array[Byte]): Int =
+    decodeHeartbeatResponse(payload)
+
   // ---- OffsetCommit v1 — generation-FENCED commits ------------------
   // v0 carries no group identity beyond the name, so any zombie can
   // overwrite committed offsets. v1 adds (generation, memberId): the

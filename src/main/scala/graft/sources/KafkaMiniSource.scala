@@ -272,5 +272,13 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     * owns OUR sink's exactly-once story, and the new owner's reads
     * start from the last commit that did land. */
   override def commit(end: Offset): Unit = commitOwned(end)
-  override def stop(): Unit = ()
+  /** A stopping group-mode stream LEAVES cleanly (the consumer-close
+    * path real clients run): the group re-forms immediately instead of
+    * waiting out our session timeout, and our committed offsets are
+    * the handover point. Best-effort — a dead broker can't object. */
+  override def stop(): Unit = group.foreach { g =>
+    if (joined)
+      try KafkaMiniBroker.leaveGroup(port, g, memberId)
+      catch { case _: Exception => () }
+  }
 }

@@ -988,9 +988,13 @@ object StreamingQueries {
               pollUntil("wave-1 drain")(
                 s.read.parquet(outA).count() +
                   s.read.parquet(outB).count() == nWave(0) + nWave(1))
+              gen = broker.groupSnapshot(group)._1
+              // the stops below LEAVE the group cleanly (the source's
+              // consumer-close path); a survivor's interim rejoin must
+              // re-form instantly, not wait on a two-member barrier
+              broker.expectGroupMembers(group, 1)
             } finally qb.stop()
           } finally qa.stop()
-          gen = broker.groupSnapshot(group)._1
           rows.unpersist()
         } finally broker.close()
         def lane(out: String, who: String) =
