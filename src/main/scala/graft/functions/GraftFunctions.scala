@@ -89,14 +89,17 @@ object GraftFunctions {
   }
 
   private def qdigestBuilder: Seq[Expression] => Expression = { args =>
-    require(args.size == 3, "qdigest_quantile(col, q, k)")
+    require(args.size == 3 || args.size == 4,
+      "qdigest_quantile(col, q, k[, bits])")
     def lit(e: Expression, what: String): String = e match {
       case x if x.foldable => String.valueOf(x.eval(null))
       case other => throw new IllegalArgumentException(
         s"qdigest_quantile $what must be a literal, got $other")
     }
+    val bits =
+      if (args.size == 4) lit(args(3), "bits").toInt else 20
     graft.plans.QDigestAgg(args.head,
-      lit(args(1), "q").toDouble, lit(args(2), "k").toInt)
+      lit(args(1), "q").toDouble, lit(args(2), "k").toInt, bits)
       .toAggregateExpression()
   }
 

@@ -44,13 +44,18 @@ object Webp {
 
   // ------------------------------------------------------------ bits
 
-  private final class BitIn(b: Array[Byte], var pos: Int) {
+  private final class BitIn(b: Array[Byte], var pos: Int,
+                            limit: Int = -1) {
+    // Reads stop at `limit` (the end of the VP8L chunk payload), not at
+    // b.length — bit reads past the chunk must set `bad` rather than
+    // consume trailing RIFF chunk bytes.
+    private val end = if (limit < 0) b.length else math.min(limit, b.length)
     private var acc = 0
     private var nbits = 0
     var bad = false
     def bit(): Int = {
       if (nbits == 0) {
-        if (pos >= b.length) { bad = true; return 0 }
+        if (pos >= end) { bad = true; return 0 }
         acc = b(pos) & 0xff; pos += 1; nbits = 8
       }
       val v = acc & 1
@@ -655,7 +660,7 @@ object Webp {
   def decode(b: Array[Byte]): Option[Image] = {
     val payload = vp8lPayload(b).getOrElse(return None)
     if (payload._2 < 5) return None
-    val in = new BitIn(b, payload._1)
+    val in = new BitIn(b, payload._1, payload._1 + payload._2)
     if (in.bits(8) != 0x2f) return None
     val w = in.bits(14) + 1
     val h = in.bits(14) + 1
@@ -670,7 +675,7 @@ object Webp {
   def dims(b: Array[Byte]): Option[(Int, Int, Int)] = {
     val payload = vp8lPayload(b).getOrElse(return None)
     if (payload._2 < 5) return None
-    val in = new BitIn(b, payload._1)
+    val in = new BitIn(b, payload._1, payload._1 + payload._2)
     if (in.bits(8) != 0x2f) return None
     val w = in.bits(14) + 1
     val h = in.bits(14) + 1

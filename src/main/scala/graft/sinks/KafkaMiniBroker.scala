@@ -418,6 +418,9 @@ final class KafkaMiniBroker {
                     else { st.nextMemberN += 1; s"member-${st.nextMemberN}" }
                   st.members(id) = meta
                   st.prevMembers -= id
+                  // a rejoining id is live again — groupSnapshot must
+                  // not report it as both live and evicted
+                  st.evicted -= id
                   st.lastSeen(id) = System.nanoTime()
                   st.timeoutMs(id) = sessionTimeout
                   // the completing joiner bumps the generation ONCE;

@@ -131,12 +131,13 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
   private def groupTopic: String = topics.head
 
   private def ensureMembership(): Unit = group.foreach { g =>
-    val rejoin = !joined ||
-      KafkaMiniBroker.heartbeat(port, g, generation, memberId) != 0
-    if (rejoin) {
-      // rejoin with the existing memberId (a rebalance keeps ids);
-      // an evicted/fresh member sends the empty id and gets a new one
-      val keepId = if (joined) memberId else ""
+    val hb = if (joined)
+      KafkaMiniBroker.heartbeat(port, g, generation, memberId) else -1
+    if (!joined || hb != 0) {
+      // a rebalance (27) or stale generation (22) keeps the memberId;
+      // an evicted member (25) is UNKNOWN to the broker — real-broker
+      // semantics demand it rejoin with the empty id and get a new one
+      val keepId = if (joined && hb != 25) memberId else ""
       val (me, gen, parts) =
         KafkaMiniBroker.groupAssign(port, g, groupTopic, keepId)
       memberId = me; generation = gen; assigned = parts.toSet

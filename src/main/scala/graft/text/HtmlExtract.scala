@@ -79,8 +79,13 @@ object HtmlExtract {
           val body = html.substring(i + 1, semi)
           // Astral code points (&#128512;) become surrogate PAIRS via
           // Character.toChars; out-of-range values stay literal text.
+          // The surrogate range (&#55296;..&#57343;) is out-of-range
+          // too — decoding it would emit lone surrogates (ill-formed
+          // UTF-16) downstream.
           def cp(v: Int): Option[String] =
-            if (Character.isValidCodePoint(v)) Some(new String(Character.toChars(v)))
+            if (Character.isValidCodePoint(v) &&
+              !(v >= Character.MIN_SURROGATE && v <= Character.MAX_SURROGATE))
+              Some(new String(Character.toChars(v)))
             else None
           val dec: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X"))

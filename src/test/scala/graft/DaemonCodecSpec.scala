@@ -380,6 +380,25 @@ class DaemonCodecSpec extends AnyFunSuite {
         Seq(0)) == Map(0 -> 1L))
       assert(KafkaMiniBroker.commitOffsetsFenced(port, "g", 2, a._1,
         "t", Seq((0, 1L))).forall(_._2 == 0))
+      // an evicted id that REJOINS is live again — the snapshot must
+      // not report it as both live and evicted
+      broker.expectGroupMembers("g", 2)
+      @volatile var a2: (String, Int, Seq[Int]) = null
+      val t2 = new Thread(() => {
+        a2 = KafkaMiniBroker.groupAssign(port, "g", "t", memberId = a._1)
+      })
+      t2.start()
+      val dl2 = System.currentTimeMillis() + 10000
+      while (!broker.groupSnapshot("g")._2.contains(a._1) &&
+        System.currentTimeMillis() < dl2) Thread.sleep(5)
+      val bBack = KafkaMiniBroker.groupAssign(port, "g", "t",
+        memberId = b._1)
+      t2.join(10000)
+      assert(a2._2 == 3 && bBack._2 == 3)
+      val (g3, live3, evicted3) = broker.groupSnapshot("g")
+      assert(g3 == 3 && live3 == Set(a._1, b._1))
+      assert(evicted3.intersect(live3).isEmpty,
+        s"rejoined ids still reported evicted: $evicted3")
     } finally broker.close()
   }
 

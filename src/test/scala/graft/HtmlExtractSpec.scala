@@ -30,6 +30,12 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(HtmlExtract.text("<p>hi &#128512; &#x1F600;</p>") ==
       "hi 😀 😀")
     assert(HtmlExtract.text("<p>&#1114112; end</p>") == "&#1114112; end")
+    // surrogate-range references would decode to LONE surrogates
+    // (ill-formed UTF-16) — they stay literal like out-of-range
+    assert(HtmlExtract.text("<p>&#55296; &#xD800; &#xDFFF; e</p>") ==
+      "&#55296; &#xD800; &#xDFFF; e")
+    assert(HtmlExtract.text("<p>&#55296;</p>").forall(c =>
+      !Character.isSurrogate(c)))
   }
 
   test("whitespace collapses, blank lines drop") {

@@ -556,6 +556,17 @@ class StateSpec extends AnyFunSuite {
       spark.sql("SELECT qdigest_quantile(t, 0.5D, 64) FROM " +
         "VALUES ('a') AS x(t)").collect())
     assert(mistyped.getMessage.toLowerCase.contains("type"))
+
+    // the optional 4th SQL arg widens the universe: values above the
+    // 20-bit default would clamp to 2^20-1; bits=24 keeps them exact
+    val big = spark.sql("SELECT qdigest_quantile(v, 0.5D, 64, 24) " +
+      "FROM VALUES (5000000L), (5000000L), (5000000L) AS x(v)")
+      .head().getLong(0)
+    assert(big == 5000000L, s"bits=24 median $big")
+    val clamped = spark.sql("SELECT qdigest_quantile(v, 0.5D, 64) " +
+      "FROM VALUES (5000000L), (5000000L), (5000000L) AS x(v)")
+      .head().getLong(0)
+    assert(clamped == (1L << 20) - 1, s"default-bits clamp $clamped")
   }
 
   // The soak invariants at 10x the FIXTURE cycle counts (the

@@ -128,6 +128,28 @@ class WebpSpec extends AnyFunSuite {
     assert(Webp.dims("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("entropy stream is bounded by the VP8L chunk length") {
+    // Rebuild the container with the VP8L chunk DECLARED two bytes
+    // short and the stolen bytes parked in a trailing XTRA chunk: a
+    // spec decoder must reject (the entropy stream may not read into
+    // the next chunk), not decode by consuming the trailing bytes.
+    val bytes = Webp.encode(img(9, 7, 42L))
+    val payloadLen = ((bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
+      ((bytes(18) & 0xff) << 16) | ((bytes(19) & 0xff) << 24))
+    assert(payloadLen > 7)
+    val payload = bytes.slice(20, 20 + payloadLen)
+    val cut = 6 // header fits; the entropy stream does not
+    def u32le(v: Int): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val body = "WEBP".getBytes ++ "VP8L".getBytes ++ u32le(cut) ++
+      payload.take(cut) ++ (if ((cut & 1) == 1) Array(0.toByte) else Array.empty[Byte]) ++
+      "XTRA".getBytes ++ u32le(payload.length - cut) ++ payload.drop(cut)
+    val riff = "RIFF".getBytes ++ u32le(body.length) ++ body
+    assert(Webp.decode(riff).isEmpty)
+    // the untampered container still decodes
+    assert(Webp.decode(bytes).nonEmpty)
+  }
+
   test("fuzz: truncation and bit flips never throw, never wrong pixels") {
     val im = img(9, 7, 99L)
     for (mode <- Seq(Webp.ModePlain, Webp.ModeSubGreen,
