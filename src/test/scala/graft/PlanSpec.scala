@@ -198,6 +198,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 lanes: qdigest + ASA biflow keep broadcast-only shapes") {
+    // q281: the native q-digest rides Spark's partial/final aggregate
+    // shuffle; the verification probe joins the per-source digest back
+    // BROADCAST — a sort-merge join would shuffle the corpus against a
+    // group-cardinality summary. q283: a decode drive like the codec
+    // lanes — no joins at all may grow into it. The remaining round-9
+    // lanes (q279/q280/q284) are live-socket group-membership drives
+    // whose plans are driver-orchestrated socket I/O + a final tiny
+    // aggregate — no corpus plan to pin (BENCH_NOTES r10).
+    Seq("q281_qdigest_native", "q283_asa_bi_flow").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name grew a sort-merge join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name grew a cartesian product:\n$plan")
+    }
+    val p281 = SparkEntry.queries("q281_qdigest_native")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p281.contains("qdigest_quantile"),
+      s"q281 no longer runs the native aggregate:\n$p281")
+    assert(p281.contains("BroadcastHashJoin"),
+      s"q281 verification probe must broadcast the digests:\n$p281")
+  }
+
   test("q278 gate reads the exploded corpus at most twice") {
     // the MG sketch pass and the ground-truth exact pass are the two
     // irreducible corpus reads; totals/heavy derive from the CACHED
