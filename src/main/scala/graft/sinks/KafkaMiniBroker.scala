@@ -771,31 +771,66 @@ object KafkaMiniBroker {
   def groupAssign(port: Int, group: String, topic: String,
                   memberId: String = "", sessionTimeoutMs: Int = 30000)
       : (String, Int, Seq[Int]) = {
+    val (me, gen, byTopic) = groupAssignTopics(port, group, Seq(topic),
+      memberId, sessionTimeoutMs)
+    (me, gen, byTopic.collectFirst { case (`topic`, ps) => ps }
+      .getOrElse(Seq.empty))
+  }
+
+  /** Multi-topic membership round. The leader decodes every member's
+    * ConsumerProtocolSubscription and range-assigns EACH topic over
+    * the members subscribed to it (Kafka's RangeAssignor is per-topic:
+    * n = parts/subscribers, the first parts%subscribers members take
+    * one extra) — subscriptions in a group need not be identical.
+    * Returns (memberId, generation, [(topic, partitions)]). */
+  def groupAssignTopics(port: Int, group: String, topics: Seq[String],
+                        memberId: String = "",
+                        sessionTimeoutMs: Int = 30000)
+      : (String, Int, Seq[(String, Seq[Int])]) = {
     val (sock, in, out) = connect(port)
     try {
       val (err, gen, leader, me, members) =
         KafkaWire.decodeJoinGroupResponse(exchange(in, out,
-          KafkaWire.encodeJoinGroup(0, "graft_consumer", group, memberId,
-            topic, sessionTimeoutMs)))
+          KafkaWire.encodeJoinGroupTopics(0, "graft_consumer", group,
+            memberId, topics, sessionTimeoutMs)))
       require(err == 0, s"JoinGroup error $err")
       val assignments: Seq[(String, Array[Byte])] =
         if (me == leader) {
-          val parts = discoverEnds(port, Seq(topic))
-            .collect { case (`topic`, p, _) => p }.sorted
-          val ms = members.map(_._1).sorted
-          val per = (parts.size + ms.size - 1) / math.max(1, ms.size)
-          ms.zipWithIndex.map { case (m, i) =>
-            (m, KafkaWire.encodeAssignment(topic,
-              parts.slice(i * per, (i + 1) * per)))
+          val subs = members.map { case (m, meta) =>
+            (m, KafkaWire.decodeSubscription(meta).getOrElse(Seq.empty))
+          }
+          val allTopics = subs.flatMap(_._2).distinct.sorted
+          val ends = discoverEnds(port, allTopics)
+          val perMember = mutable.Map[String, Vector[(String, Seq[Int])]]()
+            .withDefaultValue(Vector.empty)
+          allTopics.foreach { t =>
+            val parts = ends.collect { case (`t`, p, _) => p }.sorted
+            val ms = subs.collect { case (m, ts) if ts.contains(t) => m }
+              .sorted
+            if (ms.nonEmpty) {
+              val n = parts.size / ms.size
+              val extra = parts.size % ms.size
+              var at = 0
+              ms.zipWithIndex.foreach { case (m, i) =>
+                val take = n + (if (i < extra) 1 else 0)
+                val slice = parts.slice(at, at + take)
+                at += take
+                if (slice.nonEmpty)
+                  perMember(m) = perMember(m) :+ ((t, slice))
+              }
+            }
+          }
+          members.map { case (m, _) =>
+            (m, KafkaWire.encodeAssignment(perMember(m)))
           }
         } else Nil
       val (serr, mine) = KafkaWire.decodeSyncGroupResponse(
         exchange(in, out, KafkaWire.encodeSyncGroup(1, "graft_consumer",
           group, gen, me, assignments)))
       require(serr == 0, s"SyncGroup error $serr")
-      val ps = KafkaWire.decodeAssignment(mine).map(_._2)
+      val byTopic = KafkaWire.decodeAssignmentAll(mine)
         .getOrElse(Seq.empty)
-      (me, gen, ps)
+      (me, gen, byTopic)
     } finally sock.close()
   }
 

@@ -959,7 +959,17 @@ object KafkaWire {
     * each member to (heartbeats overdue by more than it → eviction). */
   def encodeJoinGroup(corr: Int, clientId: String, group: String,
                       memberId: String, topic: String,
-                      sessionTimeoutMs: Int = 30000): Array[Byte] = {
+                      sessionTimeoutMs: Int = 30000): Array[Byte] =
+    encodeJoinGroupTopics(corr, clientId, group, memberId, Seq(topic),
+      sessionTimeoutMs)
+
+  /** JoinGroup v0 with a MULTI-topic subscription — the
+    * ConsumerProtocolSubscription topic array is the real consumer's
+    * subscription set; the leader-side assignor reads it back per
+    * member (subscriptions in a group need not be identical). */
+  def encodeJoinGroupTopics(corr: Int, clientId: String, group: String,
+                            memberId: String, topics: Seq[String],
+                            sessionTimeoutMs: Int = 30000): Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
@@ -970,17 +980,33 @@ object KafkaWire {
     str(group); i32(sessionTimeoutMs); str(memberId); str("consumer")
     i32(1)                                  // one supported protocol
     str("range")
-    // ConsumerProtocolSubscription v0: version, [topic], userdata
+    // ConsumerProtocolSubscription v0: version, [topics], userdata
     val meta = mutable.ArrayBuffer[Byte]()
-    meta += 0; meta += 0                    // version 0
-    meta += 0; meta += 0; meta += 0; meta += 1 // one topic
-    val t = topic.getBytes("UTF-8")
-    meta += (t.length >> 8).toByte; meta += t.length.toByte; meta ++= t
+    def m16(v: Int): Unit = {
+      meta += (v >> 8).toByte; meta += v.toByte
+    }
+    m16(0)                                  // version 0
+    (24 to 0 by -8).foreach(s => meta += (topics.size >> s).toByte)
+    topics.foreach { topic =>
+      val t = topic.getBytes("UTF-8"); m16(t.length); meta ++= t
+    }
     (0 until 4).foreach(_ => meta += 0xff.toByte) // null userdata
     i32(meta.length); b ++= meta            // metadata as bytes
     val out = ByteBuffer.allocate(4 + b.length)
     out.putInt(b.length); out.put(b.toArray); out.array()
   }
+
+  /** Decode ConsumerProtocolSubscription v0 → subscribed topics (the
+    * leader-side read of each member's JoinGroup metadata). */
+  def decodeSubscription(bytes: Array[Byte]): Option[Seq[String]] =
+    try {
+      val buf = ByteBuffer.wrap(bytes)
+      if (buf.getShort() != 0) return None
+      val n = buf.getInt()
+      if (n < 0 || n > 1024) return None
+      Some((0 until n).map(_ =>
+        new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")))
+    } catch { case _: Exception => None }
 
   /** Broker-side parse: (corr, group, memberId, protocol metadata,
     * session timeout ms). */
@@ -1107,28 +1133,46 @@ object KafkaWire {
   /** ConsumerProtocolAssignment v0: version, [(topic, [partitions])],
     * null userdata — the real bytes a Kafka consumer's leader sends. */
   def encodeAssignment(topic: String, partitions: Seq[Int])
-      : Array[Byte] = {
+      : Array[Byte] = encodeAssignment(Seq((topic, partitions)))
+
+  /** Multi-topic ConsumerProtocolAssignment v0 — one (topic,
+    * [partitions]) entry per assigned topic. */
+  def encodeAssignment(entries: Seq[(String, Seq[Int])]): Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
     i16(0)                                  // version
-    i32(1)                                  // one topic
-    val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
-    i32(partitions.size); partitions.foreach(i32)
+    i32(entries.size)
+    entries.foreach { case (topic, partitions) =>
+      val t = topic.getBytes("UTF-8"); i16(t.length); b ++= t
+      i32(partitions.size); partitions.foreach(i32)
+    }
     i32(-1)                                 // null userdata
     val out = new Array[Byte](b.length)
     b.copyToArray(out); out
   }
 
-  /** Decode ConsumerProtocolAssignment v0 → (topic, partitions). */
+  /** Decode ConsumerProtocolAssignment v0 → (topic, partitions) of the
+    * FIRST entry (the single-topic consumers' view). */
   def decodeAssignment(bytes: Array[Byte]): Option[(String, Seq[Int])] =
+    decodeAssignmentAll(bytes).flatMap(_.headOption)
+
+  /** Decode ConsumerProtocolAssignment v0 → every (topic, partitions)
+    * entry. An empty assignment (zero topics) is a VALID outcome for a
+    * member a rebalance left with nothing. */
+  def decodeAssignmentAll(bytes: Array[Byte])
+      : Option[Seq[(String, Seq[Int])]] =
     try {
       val buf = ByteBuffer.wrap(bytes)
       if (buf.getShort() != 0) return None
-      if (buf.getInt() < 1) return None
-      val t = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
-      val n = buf.getInt()
-      Some((t, (0 until n).map(_ => buf.getInt())))
+      val nt = buf.getInt()
+      if (nt < 0 || nt > 1024) return None
+      Some((0 until nt).map { _ =>
+        val t = new String(takeBytes(buf, buf.getShort() & 0xffff),
+          "UTF-8")
+        val n = buf.getInt()
+        (t, (0 until n).map(_ => buf.getInt()))
+      })
     } catch { case _: Exception => None }
 
   // ---- Heartbeat v0 (api 12) — the liveness + rebalance channel ----

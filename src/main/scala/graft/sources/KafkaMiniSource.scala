@@ -51,8 +51,8 @@ class KafkaMiniSource extends TableProvider {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val group = Option(properties.get("group")).filter(_.nonEmpty)
-    require(group.isEmpty || topics.size == 1,
-      "group mode subscribes exactly one topic")
+    require(group.isEmpty || topics.nonEmpty,
+      "group mode needs an explicit topic subscription")
     new KafkaMiniTable(port.toInt, topics, group)
   }
 }
@@ -126,9 +126,8 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
   // stays on executor sockets.
   private var memberId: String = ""
   private var generation: Int = 0
-  private var assigned: Set[Int] = Set.empty
+  private var assigned: Set[(String, Int)] = Set.empty
   private var joined = false
-  private def groupTopic: String = topics.head
 
   private def ensureMembership(): Unit = group.foreach { g =>
     val hb = if (joined)
@@ -138,19 +137,27 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
       // an evicted member (25) is UNKNOWN to the broker — real-broker
       // semantics demand it rejoin with the empty id and get a new one
       val keepId = if (joined && hb != 25) memberId else ""
-      val (me, gen, parts) =
-        KafkaMiniBroker.groupAssign(port, g, groupTopic, keepId)
-      memberId = me; generation = gen; assigned = parts.toSet
+      // the subscription is the FULL topic list; the leader's range
+      // assignor splits each topic independently across subscribers
+      val (me, gen, byTopic) =
+        KafkaMiniBroker.groupAssignTopics(port, g, topics, keepId)
+      memberId = me; generation = gen
+      assigned = byTopic.flatMap { case (t, ps) =>
+        ps.map(p => (t, p))
+      }.toSet
       joined = true
     }
   }
 
   /** Broker-committed start offsets for `parts` (−1 → earliest = 0). */
-  private def committedStarts(parts: Seq[Int]): Map[(String, Int), Long] =
+  private def committedStarts(parts: Seq[(String, Int)])
+      : Map[(String, Int), Long] =
     group match {
       case Some(g) if parts.nonEmpty =>
-        KafkaMiniBroker.fetchCommitted(port, g, groupTopic, parts)
-          .map { case (p, off) => ((groupTopic, p), math.max(off, 0L)) }
+        parts.groupBy(_._1).flatMap { case (t, tps) =>
+          KafkaMiniBroker.fetchCommitted(port, g, t, tps.map(_._2))
+            .map { case (p, off) => ((t, p), math.max(off, 0L)) }
+        }
       case _ => Map.empty
     }
 
@@ -164,7 +171,7 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
         ((t, p), o)
       }.toMap
     if (group.isEmpty) all
-    else all.filter { case ((t, p), _) => t == groupTopic && assigned(p) }
+    else all.filter { case ((t, p), _) => assigned((t, p)) }
   }
 
   /** Trigger.AvailableNow bound: the log ends snapshotted when the
@@ -185,7 +192,7 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     * the checkpointed [[KafkaOffsets]]. */
   override def initialOffset(): Offset = {
     val e = ends()
-    val committed = committedStarts(e.keys.map(_._2).toSeq)
+    val committed = committedStarts(e.keys.toSeq)
     KafkaOffsets(e.map { case (k, _) => (k, committed.getOrElse(k, 0L)) })
   }
 
@@ -209,12 +216,14 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
   }
 
   private def commitOwned(off: Offset): Unit = group.foreach { g =>
-    val offs = off.asInstanceOf[KafkaOffsets].ends.collect {
-      case ((t, p), o) if t == groupTopic => (p, o)
-    }.toSeq.sortBy(_._1)
-    if (offs.nonEmpty && joined)
-      KafkaMiniBroker.commitOffsetsFenced(port, g, generation, memberId,
-        groupTopic, offs)
+    if (joined)
+      off.asInstanceOf[KafkaOffsets].ends.toSeq
+        .groupBy { case ((t, _), _) => t }.toSeq.sortBy(_._1)
+        .foreach { case (t, offs) =>
+          KafkaMiniBroker.commitOffsetsFenced(port, g, generation,
+            memberId, t,
+            offs.map { case ((_, p), o) => (p, o) }.sortBy(_._1))
+        }
   }
 
   override def reportLatestOffset(): Offset = KafkaOffsets(ends())
@@ -231,7 +240,7 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     // the previous owner fenced-committed), never from 0 — a re-read
     // here is exactly the duplicate a consumer group exists to prevent
     val acquired = committedStarts(
-      e.keys.filterNot(s.contains).map(_._2).toSeq)
+      e.keys.filterNot(s.contains).toSeq)
     e.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
       case ((t, p), until) =>
         val from = s.getOrElse((t, p),

@@ -1034,6 +1034,145 @@ object StreamingQueries {
               ON a0.part = a1.part AND a0.wave = 0
             WHERE a1.wave = 1 AND a1.part >= 2"""),
       doc = "broker-coordinated source planning: live rebalance, " +
-        "fenced commits, committed-offset handover, exactly-once union")
+        "fenced commits, committed-offset handover, exactly-once union"),
+
+    // Multi-topic group subscription: the subscription set travels as
+    // the real ConsumerProtocolSubscription topic ARRAY, and the
+    // leader's RangeAssignor splits EACH topic independently over its
+    // subscribers (Kafka's per-topic range semantics) — 'acct' (4
+    // partitions) goes 0,1/2,3 and 'audit' (2 partitions) goes 0/1
+    // across the same two members. Both members join one barrier round
+    // (no interim single-member generation), drain their per-topic
+    // shares concurrently, and fence-commit PER TOPIC. The gate checks
+    // the union of both sinks is each topic exactly once, every
+    // (topic, partition) is owned by exactly ONE consumer, and the
+    // coordinator's committed offset per (topic, partition) equals its
+    // high-water mark.
+    Q("q285_kafka_group_multitopic",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q285_kafka")
+        val group = "graft_mtgrp"
+        val outA = base.resolve("a").toString
+        val outB = base.resolve("b").toString
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          val nAcct = rows.count()
+          val nAudit = rows.filter(_._1 % 2 == 1).count()
+          // acct: every row, partitioned uid%4; audit: odd event ids,
+          // partitioned uid%2 — two topics with different partition
+          // maps under ONE subscription
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long, Long)]) =>
+              KafkaMiniBroker.produceAll(port, "graft_mt_src",
+                it.grouped(60).flatMap { batch =>
+                  val acct = batch.groupBy { case (_, uid, _) =>
+                    (uid % 4).toInt }.toSeq.sortBy(_._1).map {
+                      case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) => KafkaWire.Record(s"k$uid",
+                            s"$uid:$b".getBytes("UTF-8"))
+                        })
+                    }
+                  val audit = batch.filter(_._1 % 2 == 1)
+                    .groupBy { case (_, uid, _) => (uid % 2).toInt }
+                    .toSeq.sortBy(_._1).map { case (p, recs) =>
+                      KafkaWire.PartitionBatch("audit", p, recs.map {
+                        case (_, uid, b) => KafkaWire.Record(s"k$uid",
+                          s"$uid:$b".getBytes("UTF-8"))
+                      })
+                    }
+                  Iterator(acct) ++
+                    (if (audit.nonEmpty) Iterator(audit)
+                     else Iterator.empty)
+                })
+          }
+          val seed = Seq.empty[(String, Int, Long, String)]
+            .toDF("topic", "partition", "offset", "v")
+          seed.write.parquet(outA); seed.write.parquet(outB)
+          def consumer(ckpt: String, out: String)
+              : org.apache.spark.sql.streaming.StreamingQuery =
+            s.readStream.format("graft.sources.KafkaMiniSource")
+              .option("port", port.toString)
+              .option("topics", "acct,audit")
+              .option("group", group).load()
+              .selectExpr("topic", "partition", "offset",
+                "cast(value as string) as v")
+              .writeStream.option("checkpointLocation",
+                base.resolve(ckpt).toString)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.mode("append").parquet(out)
+              }
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          def pollUntil(what: String)(cond: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 90000
+            while (!cond && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(cond, s"q285 timed out waiting for $what")
+          }
+          // one join barrier: neither member's round completes until
+          // both have joined — no single-member generation ever forms
+          broker.expectGroupMembers(group, 2)
+          val qa = consumer("ckA", outA)
+          val qb = consumer("ckB", outB)
+          val committed =
+            try {
+              pollUntil("both topics drained")(
+                s.read.parquet(outA).count() +
+                  s.read.parquet(outB).count() == nAcct + nAudit)
+              pollUntil("per-topic commits")(
+                KafkaMiniBroker.fetchCommitted(port, group, "acct",
+                  0 until 4).values.sum == nAcct &&
+                KafkaMiniBroker.fetchCommitted(port, group, "audit",
+                  0 until 2).values.sum == nAudit)
+              (KafkaMiniBroker.fetchCommitted(port, group, "acct",
+                  0 until 4).toSeq.map { case (p, o) => ("acct", p, o) } ++
+                KafkaMiniBroker.fetchCommitted(port, group, "audit",
+                  0 until 2).toSeq.map { case (p, o) => ("audit", p, o) })
+                .toDF("topic", "partition", "committed")
+            } finally { qb.stop(); qa.stop() }
+          rows.unpersist()
+          def lane(out: String, who: String) =
+            s.read.parquet(out).select(lit(who).as("consumer"),
+              col("topic"), col("partition"), col("offset"),
+              expr("cast(split(v, ':')[1] as bigint)").as("b"))
+          lane(outA, "a").unionByName(lane(outB, "b"))
+            .groupBy("topic", "partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("sum_b"),
+              min("offset").as("min_off"), max("offset").as("max_off"),
+              countDistinct("consumer").as("n_consumers"))
+            .join(broadcast(committed), Seq("topic", "partition"))
+            .select(col("topic"), col("partition"), col("n"),
+              col("sum_b"), col("min_off"), col("max_off"),
+              col("committed"), col("n_consumers"))
+        } finally broker.close()
+      },
+      Some("""WITH base AS (SELECT event_id,
+                CAST(user_id % 4 AS INT) AS p4,
+                CAST(user_id % 2 AS INT) AS p2,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            u AS (SELECT 'acct' AS topic, p4 AS partition,
+                count(*) AS n, CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2
+              UNION ALL
+              SELECT 'audit', p2, count(*), CAST(sum(b) AS BIGINT)
+              FROM base WHERE event_id % 2 = 1 GROUP BY 1, 2)
+            SELECT topic, partition, n, sum_b,
+              CAST(0 AS BIGINT) AS min_off, n - 1 AS max_off,
+              n AS committed, CAST(1 AS BIGINT) AS n_consumers
+            FROM u"""),
+      doc = "multi-topic group subscription: per-topic range " +
+        "assignment, per-topic fenced commits, exactly-once union")
   )
 }

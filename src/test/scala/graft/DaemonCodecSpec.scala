@@ -685,6 +685,24 @@ class DaemonCodecSpec extends AnyFunSuite {
       .contains((8, "g", 3, "m1", "t", Seq((0, 5L), (2, 9L)))))
     val asn = KafkaWire.encodeAssignment("t", Seq(0, 2, 3))
     assert(KafkaWire.decodeAssignment(asn).contains(("t", Seq(0, 2, 3))))
+    // multi-topic subscription + assignment round-trips
+    assert(KafkaWire.decodeSubscription(meta).contains(Seq("t")))
+    val jg2 = KafkaWire.encodeJoinGroupTopics(5, "c", "g", "",
+      Seq("ta", "tb"), 12345)
+    val Some((_, _, _, meta2, _)) = KafkaWire.parseJoinGroup(
+      java.util.Arrays.copyOfRange(jg2, 4, jg2.length)): @unchecked
+    assert(KafkaWire.decodeSubscription(meta2).contains(Seq("ta", "tb")))
+    val multiAsn = KafkaWire.encodeAssignment(
+      Seq(("ta", Seq(0, 1)), ("tb", Seq(2))))
+    assert(KafkaWire.decodeAssignmentAll(multiAsn)
+      .contains(Seq(("ta", Seq(0, 1)), ("tb", Seq(2)))))
+    assert(KafkaWire.decodeAssignment(multiAsn)
+      .contains(("ta", Seq(0, 1))))
+    // an empty assignment is valid (a member left with nothing)
+    assert(KafkaWire.decodeAssignmentAll(
+      KafkaWire.encodeAssignment(Seq.empty)).contains(Seq.empty))
+    (0 until 40).foreach(c =>
+      KafkaWire.decodeAssignmentAll(multiAsn.take(c)))
     val sg = KafkaWire.encodeSyncGroup(6, "c", "g", 1, "m1",
       Seq(("m1", asn)))
     val Some((6, "g", 1, "m1", Seq(("m1", back)))) =
@@ -722,6 +740,48 @@ class DaemonCodecSpec extends AnyFunSuite {
           java.util.concurrent.TimeUnit.SECONDS))
         assert(rs2.map(_._2).distinct == Seq(2))
         assert(rs2.flatMap(_._3).sorted == Seq(0, 1, 2, 3))
+      } finally pool.shutdownNow()
+    } finally broker.close()
+  }
+
+  test("Kafka group: per-topic range assignment, uneven subscriptions") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    try {
+      // ta: 3 partitions, tb: 2 partitions
+      KafkaMiniBroker.produceAll(port, "seed", Iterator(
+        (0 until 3).map(p => KafkaWire.PartitionBatch("ta", p,
+          Seq(KafkaWire.Record(s"a$p", Array[Byte](1))))) ++
+        (0 until 2).map(p => KafkaWire.PartitionBatch("tb", p,
+          Seq(KafkaWire.Record(s"b$p", Array[Byte](1)))))))
+      // member 1 subscribes BOTH topics, member 2 only ta: the range
+      // assignor is per-topic over each topic's OWN subscribers — tb
+      // must land entirely on the sole subscriber
+      broker.expectGroupMembers("g", 2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        type R = (String, Int, Seq[(String, Seq[Int])])
+        val fBoth = pool.submit(new java.util.concurrent.Callable[R] {
+          def call() = KafkaMiniBroker.groupAssignTopics(port, "g",
+            Seq("ta", "tb"))
+        })
+        // wait until the first joiner is registered so member ids are
+        // deterministic (member-1 = both-topics subscriber)
+        val dl = System.currentTimeMillis() + 10000
+        while (broker.groupSnapshot("g")._2.isEmpty &&
+          System.currentTimeMillis() < dl) Thread.sleep(5)
+        val fTa = pool.submit(new java.util.concurrent.Callable[R] {
+          def call() = KafkaMiniBroker.groupAssignTopics(port, "g",
+            Seq("ta"))
+        })
+        val both = fBoth.get(20, java.util.concurrent.TimeUnit.SECONDS)
+        val taOnly = fTa.get(20, java.util.concurrent.TimeUnit.SECONDS)
+        assert(both._1 == "member-1" && taOnly._1 == "member-2")
+        // ta has 2 subscribers: 3 parts → member-1 gets 2 (the extra),
+        // member-2 gets 1; tb's only subscriber takes both partitions
+        assert(both._3 == Seq(("ta", Seq(0, 1)), ("tb", Seq(0, 1))))
+        assert(taOnly._3 == Seq(("ta", Seq(2))))
       } finally pool.shutdownNow()
     } finally broker.close()
   }
