@@ -593,6 +593,222 @@ object SimilarityQueries {
               count(DISTINCT cid), count(*)
             FROM codes GROUP BY 2"""),
       doc = "product quantization + ADC: coded corpus scan, integer" +
-        "-exact, recall@5 vs exact")
+        "-exact, recall@5 vs exact"),
+
+    // IVF+PQ composed — the full FAISS-IVFPQ shape (Jégou et al.,
+    // TPAMI 2011 §V): a COARSE quantizer splits the corpus into cells
+    // (4 centroids over the full 64-dim vectors, one integer-exact
+    // Lloyd round seeded from vec_id < 4), every vector stores its
+    // cell plus the PQ codes of its RESIDUAL (x − coarse centroid;
+    // M=4 × 16-dim subspaces, K=8, one Lloyd round on residuals seeded
+    // from vec_id < 8 — ONE codebook shared across cells, the standard
+    // IVFPQ layout), and each query probes only its nprobe=2 nearest
+    // cells, scanning those cells' codes through a per-(query, cell)
+    // residual LUT. At 100 TB the scan is nprobe/ncells of the codes
+    // table (itself ~1/128th the corpus) and everything else —
+    // coarse centroids, PQ codebook, LUTs — is broadcast-sized.
+    // All arithmetic is scaled-integer with cid-asc tie-breaks, so
+    // DuckDB mirrors the ENTIRE pipeline bit-for-bit; recall@5 is
+    // scored against exact top-5 over the full corpus, charging
+    // cell misses to the coarse quantizer like q246 does.
+    Q("q286_ivf_pq",
+      (s, d) => {
+        val sub = 16
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        // corpus-scale long form: NOT persisted (q255's cache-leak
+        // lesson) — only the two codebooks below persist
+        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+        val floorMean = "(sx - ((sx % c) + c) % c) DIV c AS cm"
+        // ---- coarse quantizer: 4 cells over full vectors ----------
+        val cc0 = longF.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS cell", "pos", "x AS cm")
+        def assignCell(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("dist").asc, col("cell").asc)
+          longF.join(broadcast(c), Seq("pos"))
+            .groupBy("vec_id", "cell")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "cell")
+        }
+        val cc1 = assignCell(cc0).join(longF, Seq("vec_id"))
+          .groupBy("cell", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("cell", "pos", floorMean)
+          .persist() // 4 * 64 = 256 rows: model-sized
+        val cells = assignCell(cc1)
+        // ---- residual long form + PQ codebook on residuals --------
+        val resF = longF.join(cells, Seq("vec_id"))
+          .join(broadcast(cc1), Seq("cell", "pos"))
+          .selectExpr("vec_id", "cell", "pos", s"pos DIV $sub AS m",
+            "x - cm AS r")
+        val p0 = resF.filter(col("vec_id") < 8)
+          .selectExpr("m", "vec_id AS cid", "pos", "r AS pm")
+        def assignPq(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          resF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "cell", "m", "cid")
+            .agg(sum(expr("(r - pm) * (r - pm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "cell", "m", "cid")
+        }
+        val p1 = assignPq(p0)
+          .join(resF.select("vec_id", "m", "pos", "r"), Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("r").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            floorMean.replace("cm", "pm"))
+          .persist() // 4 * 8 * 16 = 512 rows: model-sized
+        val codes = assignPq(p1) // (vec_id, cell, m, cid)
+        // ---- queries: nprobe=2 cells, residual LUT, in-cell ADC ---
+        val qs = longF.filter(col("vec_id") % 89 === 0)
+          .selectExpr("vec_id AS qid", "pos", "x AS qx")
+        val wProbe = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = qs.join(broadcast(cc1), Seq("pos"))
+          .groupBy("qid", "cell")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("dist"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2).select("qid", "cell")
+        val qRes = qs.join(broadcast(probes), Seq("qid"))
+          .join(broadcast(cc1), Seq("cell", "pos"))
+          .selectExpr("qid", "cell", "pos", s"pos DIV $sub AS m",
+            "qx - cm AS qr")
+        val lut = qRes.join(broadcast(p1), Seq("m", "pos"))
+          .groupBy("qid", "cell", "m", "cid")
+          .agg(sum(expr("(qr - pm) * (qr - pm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val adcTop = codes.join(broadcast(lut), Seq("cell", "m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longF.join(broadcast(qs), Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val hits = exactTop.join(broadcast(adcTop), Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val recall = qs.select("qid").distinct()
+          .join(broadcast(hits), Seq("qid"), "left")
+          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(5 AS BIGINT) AS n",
+            "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val cellRows = cells.groupBy("cell")
+          .agg(count(lit(1)).as("v"))
+          .selectExpr("'cell' AS kind", "CAST(cell AS STRING) AS key",
+            "CAST(4 AS BIGINT) AS n", "v")
+        recall.unionByName(cellRows)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            cc0 AS (SELECT vec_id AS cell, pos, x AS cm FROM long
+              WHERE vec_id < 4),
+            cd1 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM long l JOIN cc0 c ON l.pos = c.pos GROUP BY 1, 2),
+            ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd1)
+              WHERE rn = 1),
+            cc1 AS (SELECT a.cell, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM ca1 a JOIN long l ON l.vec_id = a.vec_id
+              GROUP BY 1, 2),
+            cd2 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM long l JOIN cc1 c ON l.pos = c.pos GROUP BY 1, 2),
+            cells AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd2)
+              WHERE rn = 1),
+            res AS (SELECT l.vec_id, s.cell, l.pos, l.pos // 16 AS m,
+                l.x - c.cm AS r
+              FROM long l JOIN cells s ON s.vec_id = l.vec_id
+              JOIN cc1 c ON c.cell = s.cell AND c.pos = l.pos),
+            p0 AS (SELECT m, vec_id AS cid, pos, r AS pm FROM res
+              WHERE vec_id < 8),
+            pd1 AS (SELECT l.vec_id, l.cell, l.m, c.cid,
+                CAST(sum((l.r - c.pm) * (l.r - c.pm)) AS BIGINT) AS dist
+              FROM res l JOIN p0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3, 4),
+            pa1 AS (SELECT vec_id, cell, m, cid FROM (SELECT vec_id,
+                cell, m, cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM pd1)
+              WHERE rn = 1),
+            p1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.r) - ((sum(l.r) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS pm
+              FROM pa1 a JOIN res l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            pd2 AS (SELECT l.vec_id, l.cell, l.m, c.cid,
+                CAST(sum((l.r - c.pm) * (l.r - c.pm)) AS BIGINT) AS dist
+              FROM res l JOIN p1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3, 4),
+            codes AS (SELECT vec_id, cell, m, cid FROM (SELECT vec_id,
+                cell, m, cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM pd2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, pos, x AS qx FROM long
+              WHERE vec_id % 89 = 0),
+            qcd AS (SELECT q.qid, c.cell,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS dist
+              FROM qs q JOIN cc1 c ON q.pos = c.pos GROUP BY 1, 2),
+            probes AS (SELECT qid, cell FROM (SELECT qid, cell,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, cell ASC) AS rn FROM qcd)
+              WHERE rn <= 2),
+            qres AS (SELECT q.qid, p.cell, q.pos, q.pos // 16 AS m,
+                q.qx - c.cm AS qr
+              FROM qs q JOIN probes p ON p.qid = q.qid
+              JOIN cc1 c ON c.cell = p.cell AND c.pos = q.pos),
+            lut AS (SELECT l.qid, l.cell, l.m, c.cid,
+                CAST(sum((l.qr - c.pm) * (l.qr - c.pm)) AS BIGINT)
+                  AS pd
+              FROM qres l JOIN p1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3, 4),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist
+              FROM codes k JOIN lut l ON l.cell = k.cell
+                AND l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM long l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            hits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN adctop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1)
+            SELECT 'recall' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n,
+              CAST(coalesce(h.h, 0) AS BIGINT) AS v
+            FROM (SELECT DISTINCT qid FROM qs) q
+            LEFT JOIN hits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'cell', CAST(cell AS VARCHAR), CAST(4 AS BIGINT),
+              count(*)
+            FROM cells GROUP BY 2"""),
+      doc = "IVF+PQ composed ANN: coarse cells, residual product " +
+        "codes, nprobe=2 in-cell ADC, integer-exact, recall@5 vs exact")
   )
 }

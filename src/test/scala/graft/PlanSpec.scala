@@ -176,6 +176,24 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled against model tables:\n$plan")
   }
 
+  test("IVF+PQ: model joins broadcast; shuffles only on corpus keys") {
+    val q = SparkEntry.queries("q286_ivf_pq")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // coarse centroids, PQ codebook, probes and LUTs are all
+    // broadcast-sized. The ONE legitimate shuffle join is Lloyd's
+    // rejoin of the argmin assignment with the residual long form —
+    // corpus × corpus co-partitioned on (vec_id, m), the correct
+    // 100 TB plan. Any other SMJ means a model table was shuffled.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"IVF+PQ joins must broadcast:\n$plan")
+    plan.split("\n").filter(_.contains("SortMergeJoin")).foreach { ln =>
+      assert(ln.contains("vec_id"),
+        s"non-training sort-merge join in the IVF+PQ pipeline: $ln")
+    }
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the IVF+PQ pipeline:\n$plan")
+  }
+
   test("codec lanes: mapPartitions decode + at most 2 exchanges, no SMJ") {
     // the r8 media/text codec gates are mapPartitions-shaped decode
     // drives whose only shuffle is the final verification aggregate;
