@@ -103,6 +103,18 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  private def tdigestBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 3, "tdigest_quantile(col, q, delta)")
+    def lit(e: Expression, what: String): String = e match {
+      case x if x.foldable => String.valueOf(x.eval(null))
+      case other => throw new IllegalArgumentException(
+        s"tdigest_quantile $what must be a literal, got $other")
+    }
+    graft.plans.TDigestAgg(args.head,
+      lit(args(1), "q").toDouble, lit(args(2), "delta").toInt)
+      .toAggregateExpression()
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
@@ -114,7 +126,8 @@ object GraftFunctions {
     "graft_lpm" -> lpmBuilder,
     "graft_lpm6" -> lpm6Builder,
     "misra_gries" -> misraGriesBuilder,
-    "qdigest_quantile" -> qdigestBuilder)
+    "qdigest_quantile" -> qdigestBuilder,
+    "tdigest_quantile" -> tdigestBuilder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

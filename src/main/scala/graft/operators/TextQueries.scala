@@ -899,6 +899,66 @@ object TextQueries {
               CAST(sum(n_chars) AS BIGINT)
             FROM documents GROUP BY 2"""),
       doc = "native q-digest quantile sketch gated by its own " +
-        "deterministic rank-error contract")
+        "deterministic rank-error contract"),
+
+    // The centroid-based quantile family next to q281's tree-based
+    // q-digest: a native merging t-digest (plans/TDigest) — universe-
+    // free (no bits sizing), (sum, weight) centroids under the k0
+    // uniform cap, valid under ANY shuffle merge tree. Gated q281-
+    // style by its own rank contract (6n/δ + 1 — documented merging-
+    // digest slack, StateSpec-fuzzed margin) via conditional counts,
+    // exact per-source stats pinned alongside.
+    Q("q287_tdigest_native",
+      (s, d) => {
+        val delta = 400
+        val docs = Tables.documents(s, d).select(col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        val approx = docs.groupBy("source")
+          .agg(graft.plans.TDigest(col("n_chars"), 0.5, delta).as("p50"),
+            graft.plans.TDigest(col("n_chars"), 0.9, delta).as("p90"),
+            graft.plans.TDigest(col("n_chars"), 0.99, delta).as("p99"))
+        val checked = docs.join(broadcast(approx), Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L))
+              .as("le50"),
+            sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L))
+              .as("lt50"),
+            sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L))
+              .as("le90"),
+            sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L))
+              .as("lt90"),
+            sum(when(col("n_chars") <= col("p99"), 1L).otherwise(0L))
+              .as("le99"),
+            sum(when(col("n_chars") < col("p99"), 1L).otherwise(0L))
+              .as("lt99"))
+        val viol = checked.selectExpr("source", "n",
+          s"CAST(floor(6 * n / $delta) + 1 AS BIGINT) AS slack",
+          "CAST(ceil(0.5 * n) AS BIGINT) AS r50",
+          "CAST(ceil(0.9 * n) AS BIGINT) AS r90",
+          "CAST(ceil(0.99 * n) AS BIGINT) AS r99",
+          "le50", "lt50", "le90", "lt90", "le99", "lt99")
+          .selectExpr("source",
+            "CAST(le50 < r50 - slack OR lt50 > r50 + slack AS INT) + " +
+              "CAST(le90 < r90 - slack OR lt90 > r90 + slack AS INT) + " +
+              "CAST(le99 < r99 - slack OR lt99 > r99 + slack AS INT)" +
+              " AS violations")
+        val stats = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("v"))
+          .select(lit("stats").as("kind"), col("source").as("key"),
+            col("n"), col("v"))
+        viol.select(lit("qok").as("kind"), col("source").as("key"),
+            lit(3L).as("n"), col("violations").cast("long").as("v"))
+          .unionByName(stats)
+      },
+      Some("""SELECT 'qok' AS kind, source AS key, CAST(3 AS BIGINT)
+                AS n, CAST(0 AS BIGINT) AS v
+              FROM (SELECT DISTINCT source FROM documents) s
+            UNION ALL
+            SELECT 'stats', source, count(*),
+              CAST(sum(n_chars) AS BIGINT)
+            FROM documents GROUP BY 2"""),
+      doc = "native merging t-digest quantile sketch gated by its " +
+        "documented rank-error contract")
   )
 }

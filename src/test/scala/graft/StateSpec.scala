@@ -484,6 +484,108 @@ class StateSpec extends AnyFunSuite {
     checkInvariants(m)
   }
 
+  test("TDigest: rank contract under adversarial merge trees, Spark, SQL") {
+    import graft.plans.{TDigest, TDigestAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+
+    def stream(n: Int, seed: Long): Seq[Long] = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val u = (s >>> 33) % 10000000L
+        if (u % 3 == 0) u % 1000 else u // heavy head, long tail
+      }
+    }
+    val delta = 400
+    def agg(q: Double) = TDigestAgg(BoundReference(0, LongType,
+      nullable = true), q, delta)
+    def run(q: Double, items: Seq[Long]) = {
+      val a = agg(q)
+      val b = a.createAggregationBuffer()
+      items.foreach(i => a.update(b, InternalRow(i)))
+      b
+    }
+    // the gate's contract (6n/δ + 1) must hold with MARGIN across
+    // adversarial merge trees: left-fold, balanced, skewed chunk
+    // sizes, several seeds — the merging digest's observed error
+    // should sit well inside the documented slack
+    var worstFrac = 0.0
+    Seq(7L, 21L, 99L).foreach { seed =>
+      val data = stream(40000, seed)
+      val sorted = data.sorted.toIndexedSeq
+      val n = data.size.toLong
+      val slack = 6L * n / delta + 1
+      def check(v: Long, q: Double): Unit = {
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val le = sorted.count(_ <= v).toLong
+        val lt = sorted.count(_ < v).toLong
+        assert(le >= target - slack && lt <= target + slack,
+          s"seed=$seed q=$q v=$v rank [$lt, $le] vs $target ± $slack")
+        val err = math.max(0L,
+          math.max(target - le, lt - target)).toDouble / n
+        worstFrac = math.max(worstFrac, err)
+      }
+      Seq(0.01, 0.5, 0.9, 0.99).foreach { q =>
+        val a = agg(q)
+        check(run(q, data).quantile(q).asInstanceOf[Long], q)
+        // left-fold of uneven chunks incl. serialize round-trips
+        val parts = Seq(17000, 9000, 6000, 4000, 2500, 1000, 500)
+        var at = 0
+        val chunks = parts.map { sz =>
+          val c = run(q, data.slice(at, at + sz)); at += sz; c
+        }
+        assert(at == data.size)
+        val folded = chunks.map(c => a.deserialize(a.serialize(c)))
+          .reduce(a.merge)
+        check(folded.quantile(q).asInstanceOf[Long], q)
+        assert(folded.size <= 3 * delta,
+          s"digest grew to ${folded.size} centroids")
+        // balanced tree
+        def tree(cs: Seq[TDigestAgg.Digest]): TDigestAgg.Digest =
+          if (cs.size == 1) cs.head
+          else tree(cs.grouped(2).map {
+            case Seq(x, y) => a.merge(x, y)
+            case Seq(x) => x
+          }.toSeq)
+        val balanced = tree(data.grouped(5000).map(run(q, _)).toSeq)
+        check(balanced.quantile(q).asInstanceOf[Long], q)
+      }
+    }
+    // the documented slack is not vacuous: observed error stays well
+    // inside it (6/δ = 1.5%; typical merging-digest error ~2/δ)
+    assert(worstFrac <= 3.0 / delta,
+      s"observed rank error $worstFrac exceeds 3/delta margin")
+    // empty digest → null
+    assert(agg(0.5).eval(agg(0.5).createAggregationBuffer()) == null)
+
+    // Spark end-to-end over shuffled partitions + the SQL surface
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val data = stream(40000, 7L)
+    val sorted = data.sorted.toIndexedSeq
+    val slack = 6L * data.size / delta + 1
+    def checkSpark(v: Long, q: Double): Unit = {
+      val target = math.max(1L, math.ceil(q * data.size).toLong)
+      val le = sorted.count(_ <= v).toLong
+      val lt = sorted.count(_ < v).toLong
+      assert(le >= target - slack && lt <= target + slack)
+    }
+    val df = data.toDF("v").repartition(7)
+    checkSpark(df.agg(TDigest(org.apache.spark.sql.functions.col("v"),
+      0.9, delta)).head().getLong(0), 0.9)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tdigest_probe")
+    checkSpark(spark.sql(
+      s"SELECT tdigest_quantile(v, 0.9D, $delta) FROM tdigest_probe")
+      .head().getLong(0), 0.9)
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT tdigest_quantile(t, 0.5D, 64) FROM " +
+        "VALUES ('a') AS x(t)").collect())
+    assert(mistyped.getMessage.toLowerCase.contains("type"))
+  }
+
   test("QDigest: rank-error contract under updates, merges, Spark, SQL") {
     import graft.plans.{QDigest, QDigestAgg}
     import org.apache.spark.sql.catalyst.expressions.BoundReference
