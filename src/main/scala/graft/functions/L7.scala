@@ -50,12 +50,48 @@ object L7 {
   /** QUIC long-header heuristic (RFC 9000 §17.2): long-header + fixed
     * bit set, version v1, v2 (RFC 9369 — its own version constant
     * 0x6b3343cf; packet-type bits are remapped but the long-header and
-    * fixed bits are unchanged) or an IETF draft version. */
+    * fixed bits are unchanged) or an IETF draft version. Version 0 is
+    * a VERSION NEGOTIATION packet (RFC 9000 §17.2.1): only the long-
+    * header bit is fixed (the server echoes arbitrary low bits), the
+    * connection-id length bytes stay in-range (≤ 20, RFC 9000 §17.2),
+    * and the tail after both ids is a non-empty whole number of 4-byte
+    * supported-version entries. */
   def looksQuic(head: Array[Byte]): Boolean = head.length >= 5 &&
-    (head(0) & 0xc0) == 0xc0 && {
+    (head(0) & 0x80) == 0x80 && {
       val v = ((head(1) & 0xffL) << 24) | ((head(2) & 0xffL) << 16) |
         ((head(3) & 0xffL) << 8) | (head(4) & 0xffL)
-      v == 1L || v == 0x6b3343cfL || (v & 0xffffff00L) == 0xff000000L
+      if (v == 0L) {
+        // VN: DCID len, DCID, SCID len, SCID, then 4-byte versions
+        head.length >= 7 && {
+          val dl = head(5) & 0xff
+          dl <= 20 && head.length >= 7 + dl && {
+            val sl = head(6 + dl) & 0xff
+            val tail = head.length - (7 + dl + sl)
+            sl <= 20 && tail >= 4 && tail % 4 == 0
+          }
+        }
+      } else (head(0) & 0xc0) == 0xc0 &&
+        (v == 1L || v == 0x6b3343cfL ||
+          (v & 0xffffff00L) == 0xff000000L)
+    }
+
+  /** NBNS name-encoding walk (RFC 1002 §4.1): QDCOUNT 1, a 0x20-length
+    * first-level-encoded name whose 32 bytes are ALL nibble characters
+    * 'A'..'P', the zero terminator, then QTYPE NB (0x20) or NBSTAT
+    * (0x21) and QCLASS IN — the full structural grammar, not just the
+    * length byte (a DNS query for a 32-char label would satisfy that). */
+  def looksNbns(head: Array[Byte]): Boolean = head.length >= 50 &&
+    head(4) == 0 && head(5) == 1 && (head(12) & 0xff) == 0x20 && {
+      var i = 13
+      var ok = true
+      while (i < 45 && ok) {
+        val c = head(i) & 0xff
+        ok = c >= 'A' && c <= 'P'
+        i += 1
+      }
+      ok && head(45) == 0 && head(46) == 0 &&
+        ((head(47) & 0xff) == 0x20 || (head(47) & 0xff) == 0x21) &&
+        head(48) == 0 && head(49) == 1
     }
 
   /** NTP heuristic (RFC 5905 §7.3): 48-byte packet, version 3/4, any

@@ -49,6 +49,7 @@ object SigRules {
       ((h(0) & 0xff) << 8 | (h(1) & 0xff)) == h.length - 2 &&
       L7.looksDns(java.util.Arrays.copyOfRange(h, 2, h.length))),
     "quic" -> L7.looksQuic,
+    "netbios" -> L7.looksNbns,
     "ntp" -> L7.looksNtp,
     "snmp" -> L7.looksSnmp,
     "stun" -> L7.looksStun,
@@ -592,8 +593,11 @@ object SigRules {
     // SCCRQ: u16 total length, control message 1, magic 0x1A2B3C4D
     Rule("pptp", Seq(U16SelfLen(0, 0), B(2, 0), B(3, 1), B(4, 0x1a),
       B(5, 0x2b), B(6, 0x3c), B(7, 0x4d))),
-    // NBNS name query: QDCOUNT 1, first-level-encoded name (len 0x20)
-    Rule("netbios", Seq(MinLen(50), B(4, 0), B(5, 1), B(12, 0x20))),
+    // NBNS name query: the full RFC 1002 first-level-encoding walk
+    // (QDCOUNT 1, 32 nibble chars 'A'..'P', terminator, NB/NBSTAT, IN)
+    // — the old length-byte-only form also claimed DNS queries whose
+    // first label happened to be 32 chars long
+    Rule("netbios", Seq(Heur("netbios"))),
     Rule("zabbix", Seq(Ascii("ZBXD"), B(4, 1))),
     Rule("teamspeak", Seq(Ascii("TS3INIT1"))),
     Rule("svn", Seq(Ascii("( success"))),
@@ -1185,11 +1189,25 @@ object SigRules {
         val dns = sample("dns", s)
         Array[Byte]((dns.length >> 8).toByte, dns.length.toByte) ++ dns
       case "quic" =>
-        // alternate v1 and v2 (RFC 9369's 0x6b3343cf) by seed
-        val ver = if (s % 2 == 0) Array[Byte](0, 0, 0, 1)
-          else Array[Byte](0x6b, 0x33, 0x43, 0xcf.toByte)
-        Array[Byte](0xc3.toByte) ++ ver ++
-          Array.fill[Byte](40)((s % 17).toByte)
+        // cycle v1, v2 (RFC 9369's 0x6b3343cf) and a VERSION
+        // NEGOTIATION packet (version 0, low header bits arbitrary,
+        // DCID/SCID, then 4-byte supported-version entries) by seed
+        if (s % 3 == 2) {
+          val dcid = Array.fill[Byte](8)((s % 19).toByte)
+          val scid = Array.fill[Byte](5)((s % 13).toByte)
+          // low header bits arbitrary per spec, but steer clear of
+          // 0x80/0x90 — an RTP v2 header with PT 0 is byte-identical
+          // that far (nDPI's port-context ambiguity; rtp sits earlier)
+          Array[Byte]((0x81 | (s % 0x0e)).toByte, 0, 0, 0, 0,
+            dcid.length.toByte) ++ dcid ++
+            Array[Byte](scid.length.toByte) ++ scid ++
+            Array[Byte](0, 0, 0, 1, 0x6b, 0x33, 0x43, 0xcf.toByte)
+        } else {
+          val ver = if (s % 3 == 0) Array[Byte](0, 0, 0, 1)
+            else Array[Byte](0x6b, 0x33, 0x43, 0xcf.toByte)
+          Array[Byte](0xc3.toByte) ++ ver ++
+            Array.fill[Byte](40)((s % 17).toByte)
+        }
       case "stun" =>
         Array[Byte](0, 1, 0, 8, 0x21, 0x12, 0xa4.toByte, 0x42.toByte) ++
           Array.fill[Byte](12)((s % 29).toByte) ++

@@ -330,6 +330,26 @@ class StateSpec extends AnyFunSuite {
       Array[Byte](1, 2, 3)) == "unknown")
     assert(SigRules.classify(SigRules.default,
       Array.empty[Byte]) == "unknown")
+
+    // QUIC version negotiation: version 0 accepted with only the
+    // long-header bit fixed — but the version list must be non-empty
+    // whole 4-byte entries and the cid lengths in-range
+    import graft.functions.L7
+    def vn(tail: Array[Byte], dl: Int = 4): Array[Byte] =
+      Array[Byte](0x85.toByte, 0, 0, 0, 0, dl.toByte) ++
+        Array.fill[Byte](dl)(7) ++ Array[Byte](3, 1, 2, 3) ++ tail
+    assert(L7.looksQuic(vn(Array[Byte](0, 0, 0, 1))))
+    assert(!L7.looksQuic(vn(Array.empty)))           // no versions
+    assert(!L7.looksQuic(vn(Array[Byte](0, 0, 1)))) // ragged list
+    assert(!L7.looksQuic(vn(Array[Byte](0, 0, 0, 1), dl = 21)))
+    // NBNS walk: a name byte outside the 'A'..'P' nibble alphabet or
+    // a non-NB qtype fails — the old length-byte-only rule passed both
+    val good = SigRules.sample("netbios", 5L)
+    assert(SigRules.classify(SigRules.default, good) == "netbios")
+    val badName = good.clone(); badName(20) = 'z'.toByte
+    assert(SigRules.classify(SigRules.default, badName) != "netbios")
+    val badType = good.clone(); badType(47) = 0x10
+    assert(SigRules.classify(SigRules.default, badType) != "netbios")
   }
 
   test("SigRules: the map-file text form round-trips the whole table") {
