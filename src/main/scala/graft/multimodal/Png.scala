@@ -120,8 +120,16 @@ object Png {
   /** RFC 1951 inflate. None on any malformed structure; `maxOut` caps
     * the output (decompression-bomb guard). */
   def inflate(data: Array[Byte], maxOut: Int = 1 << 26)
-      : Option[Array[Byte]] = {
+      : Option[Array[Byte]] = inflateFrom(data, 0, maxOut).map(_._1)
+
+  /** RFC 1951 inflate starting at byte `from`, also returning the
+    * offset just past the final block (byte-aligned) — what a
+    * multi-member container (gzip, .warc.gz) walks members with. */
+  def inflateFrom(data: Array[Byte], from: Int, maxOut: Int = 1 << 26)
+      : Option[(Array[Byte], Int)] = {
+    if (from < 0 || from > data.length) return None
     val in = new BitIn(data)
+    in.pos = from
     val out = new java.io.ByteArrayOutputStream()
     val window = new Array[Byte](32768)
     var wpos = 0
@@ -223,7 +231,7 @@ object Png {
         case _ => return None
       }
     }
-    Some(out.toByteArray)
+    Some((out.toByteArray, in.pos))
   }
 
   // ------------------------------------------------------------ deflate

@@ -959,6 +959,63 @@ object TextQueries {
               CAST(sum(n_chars) AS BIGINT)
             FROM documents GROUP BY 2"""),
       doc = "native merging t-digest quantile sketch gated by its " +
-        "documented rank-error contract")
+        "documented rank-error contract"),
+
+    // WARC + gzip members (text/Warc): the container a crawl corpus
+    // ships in — each doc renders into its own `.warc.gz` (warcinfo
+    // member + HTTP-response member, the Common Crawl per-record-
+    // member layout), then the reader walks the concatenated gzip
+    // members (RFC 1952 framing over the repo's own RFC 1951 inflate,
+    // CRC32 + ISIZE enforced), parses the WARC record grammar, splits
+    // the HTTP header block, and must recover every doc's body, URI
+    // doc id and byte counts exactly. mapPartitions, O(doc) memory,
+    // no state — a poisoned shard yields its decodable prefix, never
+    // a throw (WarcSpec fuzzes that).
+    Q("q288_warc_pipeline",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "source", "text")
+          .as[(Long, String, String)]
+          .mapPartitions(_.flatMap { case (id, source, text) =>
+            import graft.text.Warc
+            val body = text.getBytes("UTF-8")
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1")
+            val info = Warc.record(Seq(
+              ("WARC-Type", "warcinfo"),
+              ("WARC-Record-ID", s"<urn:uuid:info-$id>")),
+              "software: graft\r\n".getBytes("ISO-8859-1"))
+            val resp = Warc.record(Seq(
+              ("WARC-Type", "response"),
+              ("WARC-Target-URI", s"https://corpus.example/$id"),
+              ("WARC-Record-ID", s"<urn:uuid:resp-$id>"),
+              ("Content-Type", "application/http; msgtype=response")),
+              http ++ body)
+            val file = Warc.gzip(info) ++ Warc.gzip(resp)
+            val back = Warc.readAuto(file)
+            back.iterator.filter(_.warcType == "response").flatMap { r =>
+              Warc.httpSplit(r.payload).iterator.map { case (status, b) =>
+                require(status.startsWith("HTTP/1.1 200"), status)
+                val uriId = r.targetUri.substring(
+                  r.targetUri.lastIndexOf('/') + 1).toLong
+                (source, new String(b, "UTF-8").length.toLong,
+                  b.length.toLong, uriId)
+              }
+            }
+          })
+          .toDF("source", "chars", "bytes", "uri_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"),
+            sum("bytes").as("sum_bytes"), sum("uri_id").as("sum_ids"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+              CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY source"""),
+      doc = "WARC/1.1 + gzip-member container round-trip: CC-shaped " +
+        ".warc.gz build, member walk, record grammar, HTTP split")
   )
 }
