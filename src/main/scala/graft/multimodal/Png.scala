@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import scala.collection.mutable
+
 /** PNG (W3C/RFC 2083) + DEFLATE (RFC 1951) + zlib (RFC 1950) — pure-spec
   * codecs, no image or compression libraries: the lossless half of the
   * multimodal tier next to [[Jpeg]]. Unlike JPEG, PNG roundtrips are
@@ -307,6 +309,223 @@ object Png {
     out.toByteArray
   }
 
+  /** Optimal code lengths for `freq`, limited to `limit` bits and
+    * COMPLETE (Kraft sum exactly 1 over the used symbols — RFC 1951
+    * decoders, zlib included, reject an incomplete lit/len code):
+    * heap Huffman depths, the zlib `gen_bitlen` overflow fold back
+    * under the limit, then lengths reassigned most-frequent-shortest
+    * (symbol-asc ties) from the adjusted histogram. All-zero when no
+    * symbol is used; a single used symbol gets length 1 (the CALLER
+    * must pad the alphabet if the downstream decoder demands
+    * completeness there too). */
+  private def huffLengths(freq: Array[Int], limit: Int): Array[Int] = {
+    val lens = new Array[Int](freq.length)
+    val active = (0 until freq.length).filter(freq(_) > 0)
+    if (active.isEmpty) return lens
+    if (active.size == 1) { lens(active.head) = 1; return lens }
+    // heap Huffman: (weight, tiebreak seq) — deterministic tree
+    final case class N(w: Long, seq: Int, sym: Int, l: N, r: N)
+    val ord = Ordering.by[N, (Long, Int)](n => (n.w, n.seq))
+    val pq = mutable.PriorityQueue.empty[N](ord.reverse)
+    var seq = 0
+    active.foreach { s =>
+      pq.enqueue(N(freq(s), seq, s, null, null)); seq += 1
+    }
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      pq.enqueue(N(a.w + b.w, seq, -1, a, b)); seq += 1
+    }
+    val depth = mutable.Map[Int, Int]()
+    def walk(n: N, d: Int): Unit =
+      if (n.sym >= 0) depth(n.sym) = math.max(d, 1)
+      else { walk(n.l, d + 1); walk(n.r, d + 1) }
+    walk(pq.dequeue(), 0)
+    // histogram with the zlib overflow adjustment
+    val blCount = new Array[Int](limit + 1)
+    var overflow = 0
+    active.foreach { s =>
+      val d = depth(s)
+      if (d > limit) { blCount(limit) += 1; overflow += 1 }
+      else blCount(d) += 1
+    }
+    while (overflow > 0) {
+      var bits = limit - 1
+      while (blCount(bits) == 0) bits -= 1
+      blCount(bits) -= 1
+      blCount(bits + 1) += 2
+      blCount(limit) -= 1
+      overflow -= 2
+    }
+    // reassign: most frequent symbols take the shortest lengths
+    val bySym = active.sortBy(s => (-freq(s), s))
+    var len = 1
+    var taken = 0
+    bySym.foreach { s =>
+      while (taken >= blCount(len)) { len += 1; taken = 0 }
+      lens(s) = len
+      taken += 1
+    }
+    lens
+  }
+
+  /** Canonical codes (RFC 1951 §3.2.2) for a length array. */
+  private def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = lens.max
+    val codes = new Array[Int](lens.length)
+    if (maxLen == 0) return codes
+    val blCount = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var code = 0
+    (1 to maxLen).foreach { bits =>
+      code = (code + blCount(bits - 1)) << 1
+      nextCode(bits) = code
+    }
+    lens.indices.foreach { s =>
+      if (lens(s) > 0) { codes(s) = nextCode(lens(s)); nextCode(lens(s)) += 1 }
+    }
+    codes
+  }
+
+  /** Real DYNAMIC-Huffman DEFLATE compressor: the same greedy LZ77 as
+    * [[deflateFixed]], but with per-block code tables built from the
+    * actual symbol frequencies (canonical, length-limited, complete)
+    * and shipped through the code-length code with the 16/17/18 run
+    * encodings — the block type real compressors emit. Cross-validated
+    * against the JDK's independent inflater (PngSpec/WarcSpec). */
+  def deflateDynamic(data: Array[Byte]): Array[Byte] = {
+    // ---- LZ77 tokenize (packed ints: bit31 = match) ----------------
+    val tokens = new mutable.ArrayBuffer[Int]()
+    val litFreq = new Array[Int](286)
+    val distFreq = new Array[Int](30)
+    val n = data.length
+    val head = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    while (i < n) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + 3 <= n) {
+        val key = ((data(i) & 0xff) << 16) | ((data(i + 1) & 0xff) << 8) |
+          (data(i + 2) & 0xff)
+        val prev = head.get(key)
+        if (prev != null) {
+          val d = i - prev
+          if (d >= 1 && d <= 32768) {
+            var l = 0
+            while (i + l < n && l < 258 && data(prev + l) == data(i + l))
+              l += 1
+            if (l >= 3) { bestLen = l; bestDist = d }
+          }
+        }
+        head.put(key, i)
+      }
+      if (bestLen >= 3) {
+        var li = LenBase.length - 1
+        while (LenBase(li) > bestLen) li -= 1
+        var di = DistBase.length - 1
+        while (DistBase(di) > bestDist) di -= 1
+        litFreq(257 + li) += 1
+        distFreq(di) += 1
+        tokens += (0x80000000 | (li << 26) |
+          ((bestLen - LenBase(li)) << 21) | (di << 16) |
+          (bestDist - DistBase(di)))
+        i += bestLen
+      } else {
+        val v = data(i) & 0xff
+        litFreq(v) += 1
+        tokens += v
+        i += 1
+      }
+    }
+    litFreq(256) += 1 // EOB
+    // completeness padding: decoders reject single-code lit or dist
+    // tables, so unused low symbols borrow a 1-count
+    if (litFreq.count(_ > 0) < 2) litFreq(0) += 1
+    var pad = 0
+    while (distFreq.count(_ > 0) < 2) { distFreq(pad) += 1; pad += 1 }
+    val litLens = huffLengths(litFreq, 15)
+    val distLens = huffLengths(distFreq, 15)
+    val litCodes = canonicalCodes(litLens)
+    val distCodes = canonicalCodes(distLens)
+    val hlit = math.max(257, litLens.lastIndexWhere(_ > 0) + 1)
+    val hdist = math.max(1, distLens.lastIndexWhere(_ > 0) + 1)
+    // ---- code-length-code: RLE the joined length array -------------
+    val joined = litLens.take(hlit) ++ distLens.take(hdist)
+    val rle = new mutable.ArrayBuffer[(Int, Int)]() // (sym, extraVal)
+    var j = 0
+    while (j < joined.length) {
+      val v = joined(j)
+      var run = 1
+      while (j + run < joined.length && joined(j + run) == v) run += 1
+      if (v == 0) {
+        var left = run
+        while (left >= 11) {
+          val take = math.min(left, 138); rle += ((18, take - 11))
+          left -= take
+        }
+        if (left >= 3) { rle += ((17, left - 3)); left = 0 }
+        while (left > 0) { rle += ((0, 0)); left -= 1 }
+      } else {
+        rle += ((v, 0))
+        var left = run - 1
+        while (left >= 3) {
+          val take = math.min(left, 6); rle += ((16, take - 3))
+          left -= take
+        }
+        while (left > 0) { rle += ((v, 0)); left -= 1 }
+      }
+      j += run
+    }
+    val clcFreq = new Array[Int](19)
+    rle.foreach { case (s, _) => clcFreq(s) += 1 }
+    val clcLens = huffLengths(clcFreq, 7)
+    val clcCodes = canonicalCodes(clcLens)
+    var hclen = 19
+    while (hclen > 4 && clcLens(ClcOrder(hclen - 1)) == 0) hclen -= 1
+    // ---- emit ------------------------------------------------------
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nbits = 0
+    def put(v: Int, nb: Int): Unit = {
+      acc |= v << nbits
+      nbits += nb
+      while (nbits >= 8) { out.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+    }
+    def putHuff(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { put((code >> k) & 1, 1); k -= 1 }
+    }
+    put(1, 1); put(2, 2) // final block, dynamic
+    put(hlit - 257, 5); put(hdist - 1, 5); put(hclen - 4, 4)
+    (0 until hclen).foreach(k => put(clcLens(ClcOrder(k)), 3))
+    rle.foreach { case (s, extra) =>
+      putHuff(clcCodes(s), clcLens(s))
+      s match {
+        case 16 => put(extra, 2)
+        case 17 => put(extra, 3)
+        case 18 => put(extra, 7)
+        case _ =>
+      }
+    }
+    tokens.foreach { t =>
+      if (t >= 0) putHuff(litCodes(t), litLens(t))
+      else {
+        val li = (t >> 26) & 0x1f
+        val lex = (t >> 21) & 0x1f
+        val di = (t >> 16) & 0x1f
+        val dex = t & 0xffff
+        val sym = 257 + li
+        putHuff(litCodes(sym), litLens(sym))
+        put(lex, LenExtra(li))
+        putHuff(distCodes(di), distLens(di))
+        put(dex, DistExtra(di))
+      }
+    }
+    putHuff(litCodes(256), litLens(256))
+    if (nbits > 0) out.write(acc & 0xff)
+    out.toByteArray
+  }
+
   // --------------------------------------------------------------- zlib
 
   def adler32(data: Array[Byte]): Long = {
@@ -320,9 +539,14 @@ object Png {
     (b << 16) | a
   }
 
+  /** The production deflate: dynamic tables once the data can amortize
+    * the table cost, the fixed tables below that. */
+  def deflate(data: Array[Byte]): Array[Byte] =
+    if (data.length < 64) deflateFixed(data) else deflateDynamic(data)
+
   /** zlib wrap (RFC 1950): CMF/FLG + deflate stream + adler32. */
   def zlibCompress(data: Array[Byte]): Array[Byte] = {
-    val body = deflateFixed(data)
+    val body = deflate(data)
     val out = java.nio.ByteBuffer.allocate(2 + body.length + 4)
     out.put(0x78.toByte)                 // CM=8, CINFO=7
     out.put(0x01.toByte)                 // FCHECK making 0x7801 % 31 == 0

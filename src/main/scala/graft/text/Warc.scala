@@ -14,7 +14,7 @@ import graft.multimodal.Png
   * scan task).
   *
   * DEFLATE rides the repo's own RFC 1951 machinery
-  * ([[graft.multimodal.Png.inflateFrom]] / `deflateFixed`), so the
+  * ([[graft.multimodal.Png.inflateFrom]] / `deflate`), so the
   * gzip layer here is only the RFC 1952 member framing: header with
   * flag walk (FEXTRA/FNAME/FCOMMENT/FHCRC), raw deflate body, CRC32 +
   * ISIZE trailer — both enforced on decode.
@@ -36,9 +36,9 @@ object Warc {
   }
 
   /** One RFC 1952 member: minimal header (no optional fields), the
-    * repo's fixed-Huffman deflate, CRC32 + ISIZE trailer. */
+    * repo's deflate (dynamic tables past 64 B), CRC32 + ISIZE trailer. */
   def gzip(data: Array[Byte]): Array[Byte] = {
-    val body = Png.deflateFixed(data)
+    val body = Png.deflate(data)
     val out = new java.io.ByteArrayOutputStream(body.length + 18)
     out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
     (0 until 4).foreach(_ => out.write(0)) // MTIME unknown

@@ -63,6 +63,45 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("JDK Inflater decodes our DYNAMIC-table output; beats fixed") {
+    for ((data, label) <- Seq(
+      (texty(6000), "texty"), (noise(2048, 3L), "noise"),
+      (Array.emptyByteArray, "empty"),
+      (Array[Byte](42), "one-byte"),
+      (Array.fill[Byte](70000)(7), "constant-long"),
+      (Array.tabulate[Byte](300)(i => (i % 2).toByte), "two-symbol"))) {
+      val comp = Png.deflateDynamic(data)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(comp)
+      val out = new Array[Byte](data.length + 16)
+      val n = inf.inflate(out)
+      assert(inf.finished(), s"$label not finished")
+      inf.end()
+      assert(n == data.length &&
+        java.util.Arrays.equals(out, 0, n, data, 0, data.length),
+        s"$label roundtrip")
+      // our own inflate agrees
+      assert(Png.inflate(comp).exists(_.sameElements(data)), label)
+    }
+    // frequency-tuned tables beat the fixed ones on skewed data
+    val skewed = texty(20000)
+    assert(Png.deflateDynamic(skewed).length <
+      Png.deflateFixed(skewed).length)
+    // seeded sweep: arbitrary content roundtrips through the JDK
+    (0 until 40).foreach { s =>
+      val data = noise(1 + (s * 997) % 5000, s.toLong)
+      val comp = Png.deflateDynamic(data)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(comp)
+      val out = new Array[Byte](data.length + 16)
+      val n = inf.inflate(out)
+      assert(inf.finished() && n == data.length &&
+        java.util.Arrays.equals(out, 0, n, data, 0, data.length),
+        s"seed $s")
+      inf.end()
+    }
+  }
+
   test("our inflate decodes our deflate; zlib wrap verifies adler32") {
     for (data <- Seq(texty(3000), noise(1000, 11L))) {
       assert(Png.inflate(Png.deflateFixed(data))
