@@ -160,6 +160,11 @@ object MediaCodecs {
       Gif.dims(b).map { case (w, h, _) =>
         Meta("gif", w, h, 3, 0, 8, 0L, b.length.toLong) // palette RGB
       }
+    else if (b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      Tiff.dims(b).map { case (w, h, nc) =>
+        Meta("tiff", w, h, nc, 0, 8, 0L, b.length.toLong)
+      }
     else None
 
   private def ascii(b: Array[Byte], off: Int): String =

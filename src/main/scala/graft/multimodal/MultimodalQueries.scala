@@ -844,6 +844,74 @@ object MultimodalQueries {
               CAST(sum(v * wgt) AS BIGINT) AS wsum
             FROM ch GROUP BY 1"""),
       doc = "WebP lossless (VP8L): prefix codes + LZ77 + cache + meta" +
-        " + all four transforms, bit-exact on arbitrary pixels")
+        " + all four transforms, bit-exact on arbitrary pixels"),
+
+    // TIFF 6.0 (multimodal/Tiff): the tagged scanned-document /
+    // geo-raster container — IFD walk, strip layout, PackBits and
+    // TIFF-LZW (MSB-first, EARLY code-width change, table reset) plus
+    // the horizontal-differencing predictor. Per doc the compression
+    // cycles none/PackBits/LZW (+predictor on half the LZW docs) and
+    // the strip height varies, so every strip/compression path is on
+    // the corpus hot path; losslessness keeps the oracle the plain
+    // pixel arithmetic. Cross-validated against javax.imageio's
+    // independent TIFF plugin in both directions (TiffSpec).
+    Q("q289_tiff_decode",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (5 + id % 8).toInt
+            val h = (3 + id % 5).toInt
+            val ch = (1 + id % 3).toInt // gray / gray+alpha / rgb
+            val px = new Array[Byte](w * h * ch)
+            for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+              px((y * w + x) * ch + c) =
+                (((id * (c + 3) + x * 23 + y * 37 + c * 11) % 256)
+                  & 0xff).toByte
+            val comp = (id % 3) match {
+              case 0 => Tiff.CompNone
+              case 1 => Tiff.CompPackBits
+              case _ => Tiff.CompLzw
+            }
+            val pred = comp == Tiff.CompLzw && id % 2 == 1
+            val bytes = Tiff.encode(Tiff.Image(w, h, ch, px), comp,
+              predictor = pred, rowsPerStrip = (2 + id % 4).toInt)
+            val back = Tiff.decode(bytes).get
+            val st = back.width * back.channels
+            (0 until back.height).iterator.flatMap { y =>
+              (0 until back.width).iterator.flatMap { x =>
+                (0 until back.channels).iterator.map { c =>
+                  val v =
+                    (back.pixels(y * st + x * back.channels + c)
+                      & 0xff).toLong
+                  (c.toLong, v, v * ((y * back.width + x) % 17 + 1))
+                }
+              }
+            }
+          })
+          .toDF("channel", "v", "wv")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("sum_v"),
+            sum("wv").as("wsum"))
+      },
+      Some("""WITH px AS (SELECT
+                c AS channel,
+                (doc_id * (c + 3) + x * 23 + y * 37 + c * 11) % 256 AS v,
+                (y * (5 + doc_id % 8) + x) % 17 + 1 AS wgt
+              FROM documents,
+                unnest(generate_series(0, CAST(3 + doc_id % 5 - 1 AS BIGINT)))
+                  AS gy(y),
+                unnest(generate_series(0, CAST(5 + doc_id % 8 - 1 AS BIGINT)))
+                  AS gx(x),
+                unnest(generate_series(0, CAST(1 + doc_id % 3 - 1 AS BIGINT)))
+                  AS gc(c))
+            SELECT channel, count(*) AS n_px,
+              CAST(sum(v) AS BIGINT) AS sum_v,
+              CAST(sum(v * wgt) AS BIGINT) AS wsum
+            FROM px GROUP BY 1"""),
+      doc = "TIFF 6.0 encode/decode: IFD + strips + PackBits + " +
+        "TIFF-LZW + predictor, bit-exact on arbitrary pixels")
   )
 }

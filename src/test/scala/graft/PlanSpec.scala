@@ -201,7 +201,8 @@ class PlanSpec extends AnyFunSuite {
     // second corpus shuffle into them (recorded sweep: BENCH_NOTES r9)
     val lanes = Seq("q267_jpeg_decode", "q270_png_decode",
       "q272_multipattern_scan", "q273_gif_decode", "q274_html_extract",
-      "q276_jpeg_420", "q277_jpeg_progressive", "q282_webp_decode")
+      "q276_jpeg_420", "q277_jpeg_progressive", "q282_webp_decode",
+      "q288_warc_pipeline", "q289_tiff_decode")
     lanes.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
