@@ -715,6 +715,50 @@ object ProtocolQueries {
            FROM flows GROUP BY 1""")),
       doc = "pcap savefile write/read/parse round-trip in the pipeline"),
 
+    // pcapng (sources/Pcap.readNg): the Wireshark-era savefile that
+    // libpcap — and therefore the reference's pcap_savefile path —
+    // reads transparently: SHB sections (byte-order magic), IDBs with
+    // the if_tsresol option, EPBs with 64-bit interface timestamps.
+    // Alternate slices write µs-resolution and ns-resolution captures
+    // (the ns leg exercises the tsresol divisor), and every file goes
+    // through the classic-vs-ng sniffing dispatch the libpcap user
+    // gets for free. Oracle identical to q94's: losslessness of the
+    // container is the invariant.
+    Q("q290_pcapng",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sources.Pcap
+        val rows = flows(s, d).select(
+            col("ip_src"), col("ip_dst"), col("ip_proto"),
+            (col("port_src") % 65536).as("sport"), col("port_dst"),
+            (col("bytes") % 65536).as("iplen"), col("t0u"))
+          .as[(Long, Long, Long, Long, Long, Long, Long)]
+        val decoded = rows.mapPartitions { it =>
+          it.grouped(50).zipWithIndex.flatMap { case (batch, slice) =>
+            val pkts = batch.map { case (sa, da, pr, spp, dp, len, t) =>
+              Pcap.frame(Pcap.FlowTuple(sa & 0xffffffffL,
+                da & 0xffffffffL, pr.toInt, spp.toInt, dp.toInt, len, t))
+            }
+            val bytes = Pcap.writeNg(pkts, nanos = slice % 2 == 1)
+            val sf = Pcap.readAuto(bytes)
+            sf.packets.flatMap(p => Pcap.parse(p, sf.linkType))
+              .map(f => (f.proto.toLong, f.ipLen, f.tsUs))
+          }
+        }
+        decoded.toDF("proto", "iplen", "tsus")
+          .groupBy("proto")
+          .agg(count(lit(1)).as("n"), sum("iplen").as("ip_bytes"),
+            max("tsus").as("max_ts_us"))
+      },
+      Some(FlowView.cte(
+        """SELECT ip_proto AS proto, count(*) AS n,
+           CAST(sum(bytes % 65536) AS BIGINT) AS ip_bytes,
+           max(t0u) AS max_ts_us
+           FROM flows GROUP BY 1""")),
+      doc = "pcapng write/read/parse: SHB + IDB(if_tsresol) + EPB, " +
+        "µs and ns legs, classic-vs-ng sniffing"),
+
     // GPB streaming telemetry: each event encodes as a nested protobuf
     // message (outer: sensor path + row message; inner: typed fields),
     // framed under the v1-shaped telemetry envelope, concatenated into a

@@ -107,6 +107,161 @@ object Pcap {
     Savefile(linkType, out.toSeq)
   }
 
+  // ------------------------------------------------------------- pcapng
+  // pcapng (the Wireshark-era savefile libpcap reads transparently, so
+  // the reference's pcap_savefile path accepts it unannounced): block
+  // stream of (type, total length, body, total length), byte order
+  // from the SHB's 0x1A2B3C4D magic, per-interface timestamp
+  // resolution via the if_tsresol option (default 10^-6).
+
+  val NgShb = 0x0a0d0d0aL
+  private val NgIdb = 1L
+  private val NgSpb = 3L
+  private val NgEpb = 6L
+
+  /** Read a pcapng capture: SHB sections, IDBs (per-interface
+    * linktype + tsresol), EPB/SPB packets. Lenient: a malformed block
+    * ends the walk with everything before it; linkType reports the
+    * FIRST interface's. */
+  def readNg(bytes: Array[Byte]): Savefile = {
+    var order: ByteOrder = null
+    var at = 0
+    var linkType = -1
+    val ifResolUs = mutable.Buffer[Long]() // divisor from units to µs
+    val ifSnap = mutable.Buffer[Long]()
+    val out = mutable.Buffer[Packet]()
+    def u32(o: Int, ord: ByteOrder): Long =
+      if (o + 4 > bytes.length) -1L
+      else ByteBuffer.wrap(bytes, o, 4).order(ord).getInt() & 0xffffffffL
+    var ok = bytes.length >= 12 && (u32(0, ByteOrder.BIG_ENDIAN) == NgShb)
+    while (ok && at + 12 <= bytes.length) {
+      val btype = u32(at, if (order == null) ByteOrder.BIG_ENDIAN else order)
+      if (btype == NgShb) {
+        // byte-order magic decides this section's endianness
+        val bom = u32(at + 8, ByteOrder.BIG_ENDIAN)
+        order = if (bom == 0x1a2b3c4dL) ByteOrder.BIG_ENDIAN
+          else if (bom == 0x4d3c2b1aL) ByteOrder.LITTLE_ENDIAN
+          else null
+        if (order == null) ok = false
+      }
+      if (ok) {
+        val total = u32(at + 4, order)
+        if (total < 12 || total % 4 != 0 || at + total > bytes.length)
+          ok = false
+        else {
+          btype match {
+            case NgIdb if at + 12 <= bytes.length =>
+              val lt = ByteBuffer.wrap(bytes, at + 8, 2).order(order)
+                .getShort() & 0xffff
+              if (linkType < 0) linkType = lt
+              val snap = u32(at + 12, order)
+              // walk options for if_tsresol (code 9, 1 byte)
+              var resolUs = 1L // 10^-6 default → divide by 1 for µs
+              var o = at + 16
+              var more = true
+              while (more && o + 4 <= at + total.toInt - 4) {
+                val code = ByteBuffer.wrap(bytes, o, 2).order(order)
+                  .getShort() & 0xffff
+                val olen = ByteBuffer.wrap(bytes, o + 2, 2).order(order)
+                  .getShort() & 0xffff
+                if (code == 0) more = false
+                else {
+                  if (code == 9 && olen >= 1) {
+                    val r = bytes(o + 4) & 0xff
+                    // high bit: power of 2 (unsupported → keep µs);
+                    // else 10^-r — µs divisor for r >= 6
+                    if ((r & 0x80) == 0 && r >= 6 && r <= 9)
+                      resolUs = math.pow(10, r - 6).toLong
+                  }
+                  o += 4 + ((olen + 3) & ~3)
+                }
+              }
+              ifResolUs += resolUs
+              ifSnap += snap
+            case NgEpb if at + 28 <= bytes.length =>
+              val ifId = u32(at + 8, order).toInt
+              val tsHi = u32(at + 12, order)
+              val tsLo = u32(at + 16, order)
+              val incl = u32(at + 20, order)
+              val orig = u32(at + 24, order)
+              if (ifId < 0 || ifId >= ifResolUs.size ||
+                incl < 0 || at + 28 + incl > at + total - 4) ok = false
+              else {
+                val data = new Array[Byte](incl.toInt)
+                System.arraycopy(bytes, at + 28, data, 0, incl.toInt)
+                val units = (tsHi << 32) | tsLo
+                out += Packet(units / ifResolUs(ifId), orig, data)
+              }
+            case NgSpb if at + 16 <= bytes.length &&
+                ifResolUs.nonEmpty =>
+              val orig = u32(at + 8, order)
+              val snap = ifSnap.head
+              val incl = math.min(orig,
+                if (snap > 0) snap else orig)
+              if (incl < 0 || at + 12 + incl > at + total - 4) ok = false
+              else {
+                val data = new Array[Byte](incl.toInt)
+                System.arraycopy(bytes, at + 12, data, 0, incl.toInt)
+                out += Packet(0L, orig, data) // SPB carries no timestamp
+              }
+            case _ => // unknown/meta block: skip by total length
+          }
+          if (ok) at += total.toInt
+        }
+      }
+    }
+    Savefile(math.max(linkType, 0), out.toSeq)
+  }
+
+  /** Write a pcapng capture: one SHB + one IDB (+ if_tsresol when
+    * `nanos`) + one EPB per packet, little-endian. */
+  def writeNg(packets: Seq[Packet], linkType: Int = LinkEthernet,
+              nanos: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def block(btype: Long, body: Array[Byte]): Unit = {
+      val pad = (4 - body.length % 4) % 4
+      val total = 12 + body.length + pad
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(btype.toInt); b.putInt(total)
+      b.put(body); (0 until pad).foreach(_ => b.put(0.toByte))
+      b.putInt(total)
+      out.write(b.array(), 0, total)
+    }
+    val shb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    shb.putInt(0x1a2b3c4d); shb.putShort(1); shb.putShort(0)
+    shb.putLong(-1L) // section length unknown
+    block(NgShb, shb.array())
+    val idbLen = if (nanos) 16 else 8
+    val idb = ByteBuffer.allocate(idbLen).order(ByteOrder.LITTLE_ENDIAN)
+    idb.putShort(linkType.toShort); idb.putShort(0)
+    idb.putInt(0) // snaplen unlimited
+    if (nanos) {
+      idb.putShort(9); idb.putShort(1) // if_tsresol = 10^-9
+      idb.put(9.toByte)
+      (0 until 3).foreach(_ => idb.put(0.toByte)) // pad to 32 bits
+    }
+    block(NgIdb, idb.array())
+    packets.foreach { p =>
+      val units = if (nanos) p.tsUs * 1000L else p.tsUs
+      val epb = ByteBuffer.allocate(20 + p.data.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      epb.putInt(0)
+      epb.putInt((units >>> 32).toInt); epb.putInt(units.toInt)
+      epb.putInt(p.data.length); epb.putInt(p.origLen.toInt)
+      epb.put(p.data)
+      block(NgEpb, epb.array())
+    }
+    out.toByteArray
+  }
+
+  /** Sniff classic pcap vs pcapng and dispatch — the libpcap behavior
+    * the reference's pcap_savefile users get for free. */
+  def readAuto(bytes: Array[Byte]): Savefile =
+    if (bytes.length >= 4 &&
+      (ByteBuffer.wrap(bytes).getInt(0) & 0xffffffffL) == NgShb)
+      readNg(bytes)
+    else read(bytes)
+
   // ---- link-layer + IPv4 + L4 parse (ll.c / nl.c projection) ----------
 
   /** Build a minimal Ethernet+IPv4+L4 frame (fixture generation). */

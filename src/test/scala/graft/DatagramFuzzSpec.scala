@@ -114,6 +114,44 @@ class DatagramFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("pcapng read + roundtrip: resolutions, BE section, fuzz") {
+    import graft.sources.Pcap
+    val tuples = (1 to 5).map(i => Pcap.FlowTuple(0x0A000000L + i,
+      0x0B000000L + i, if (i % 2 == 0) 17 else 6, 1000 + i, 80,
+      100L + i, 1710000000000000L + i))
+    val pkts = tuples.map(Pcap.frame)
+    // µs and ns resolutions roundtrip; auto-sniff picks ng vs classic
+    for (nanos <- Seq(false, true)) {
+      val sf = Pcap.readAuto(Pcap.writeNg(pkts, nanos = nanos))
+      assert(sf.linkType == Pcap.LinkEthernet)
+      assert(sf.packets == pkts, s"nanos=$nanos")
+    }
+    assert(Pcap.readAuto(Pcap.write(pkts)).packets == pkts)
+    // a hand-built BIG-endian section: SHB + IDB + one EPB
+    val data = pkts.head.data
+    val pad = (4 - data.length % 4) % 4
+    val total = 32 + data.length + pad
+    val be = java.nio.ByteBuffer.allocate(28 + 20 + total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.putInt(0x0a0d0d0a); be.putInt(28); be.putInt(0x1a2b3c4d)
+    be.putShort(1); be.putShort(0); be.putLong(-1L); be.putInt(28)
+    be.putInt(1); be.putInt(20); be.putShort(1); be.putShort(0)
+    be.putInt(0); be.putInt(20)
+    be.putInt(6); be.putInt(total); be.putInt(0)
+    val units = pkts.head.tsUs
+    be.putInt((units >>> 32).toInt); be.putInt(units.toInt)
+    be.putInt(data.length); be.putInt(pkts.head.origLen.toInt)
+    be.put(data); (0 until pad).foreach(_ => be.put(0.toByte))
+    be.putInt(total)
+    val beSf = Pcap.readNg(be.array())
+    assert(beSf.packets == Seq(pkts.head), "big-endian section")
+    // fuzz the ng reader
+    sweep("pcapng", Pcap.writeNg(pkts, nanos = true), b => {
+      val sf = Pcap.readAuto(b)
+      sf.packets.foreach(p => Pcap.parse(p, sf.linkType))
+    })
+  }
+
   test("pcap savefile read + parse chain never throws on corrupt files") {
     import graft.sources.Pcap
     val tuples = (1 to 5).map(i => Pcap.FlowTuple(0x0A000000L + i,
