@@ -1016,6 +1016,66 @@ object TextQueries {
               CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY source"""),
       doc = "WARC/1.1 + gzip-member container round-trip: CC-shaped " +
-        ".warc.gz build, member walk, record grammar, HTTP split")
+        ".warc.gz build, member walk, record grammar, HTTP split"),
+
+    // robots.txt (RFC 9309, text/Robots): the crawl-admission filter —
+    // per host a deterministic robots body exercises group selection
+    // (named bot vs the `*` fallback), longest-match precedence
+    // (Allow under a broader Disallow), the `*` wildcard and the `$`
+    // end anchor; each doc's path cycles through the decision cases
+    // for BOTH a named agent and a fallback agent. parse+decide run
+    // inside mapPartitions (ruleset is broadcast-sized per host); the
+    // oracle mirrors the per-case ground truth.
+    Q("q291_robots_filter",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "source").as[(Long, String)]
+          .mapPartitions(_.map { case (id, source) =>
+            import graft.text.Robots
+            val h = id % 7
+            val robots =
+              s"""# host $h
+                 |User-agent: graftbot
+                 |Disallow: /private$h/
+                 |Allow: /private$h/ok/
+                 |Disallow: /*.json$$
+                 |Crawl-delay: 3
+                 |
+                 |User-agent: *
+                 |Disallow: /
+                 |Allow: /pub/
+                 |""".stripMargin
+            val groups = Robots.parse(robots)
+            val path = (id % 6) match {
+              case 0 => s"/private$h/data$id"
+              case 1 => s"/private$h/ok/p$id"
+              case 2 => s"/tmp/f$id"
+              case 3 => s"/files/r$id.json"
+              case 4 => s"/files/r$id.jsonx"
+              case _ => s"/pub/a$id"
+            }
+            val named = Robots.allowed(groups, "graftbot/1.0", path)
+            val fallback = Robots.allowed(groups, "otherbot", path)
+            (source, if (named) 1L else 0L, if (named) id else 0L,
+              if (fallback) 1L else 0L)
+          })
+          .toDF("source", "ok", "okid", "okOther")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_allowed"),
+            sum("okid").as("sum_allowed_ids"),
+            sum("okOther").as("n_allowed_fallback"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 6 IN (0, 3) THEN 0 ELSE 1
+                END) AS BIGINT) AS n_allowed,
+              CAST(sum(CASE WHEN doc_id % 6 IN (0, 3) THEN 0
+                ELSE doc_id END) AS BIGINT) AS sum_allowed_ids,
+              CAST(sum(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_allowed_fallback
+            FROM documents GROUP BY source"""),
+      doc = "robots.txt RFC 9309: group selection, longest-match, " +
+        "wildcard + $ anchor, named vs fallback agents")
   )
 }
