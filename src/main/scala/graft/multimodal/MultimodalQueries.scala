@@ -912,6 +912,111 @@ object MultimodalQueries {
               CAST(sum(v * wgt) AS BIGINT) AS wsum
             FROM px GROUP BY 1"""),
       doc = "TIFF 6.0 encode/decode: IFD + strips + PackBits + " +
-        "TIFF-LZW + predictor, bit-exact on arbitrary pixels")
+        "TIFF-LZW + predictor, bit-exact on arbitrary pixels"),
+
+    // MP3 frame-header walk (multimodal/Mp3): audio METADATA without
+    // audio decode — ID3v2 skip (syncsafe size), chained frame lengths
+    // from the public bitrate/samplerate tables, per-frame padding,
+    // MPEG-1 vs MPEG-2 Layer II/III coefficients. Each doc synthesizes
+    // a CBR stream (version/layer/bitrate/samplerate from doc_id,
+    // padding alternating per frame, an ID3v2 tag up front) and the
+    // walker must recover every frame's length and sample count; the
+    // oracle mirrors the header arithmetic. The pipeline shape for
+    // "how many hours of audio is this 100 TB corpus".
+    Q("q292_mp3_walk",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val cls = (id % 3).toInt
+            val brIdx = (1 + id % 14).toInt
+            val srIdx = (id % 3).toInt
+            val nf = (3 + id % 5).toInt
+            // header bytes: sync, version/layer, bitrate/sr/padding
+            val verBits = if (cls == 1) 2 else 3
+            val layerBits = if (cls == 2) 2 else 1 // 1=III, 2=II
+            val stream = new java.io.ByteArrayOutputStream()
+            // ID3v2 tag with a zero body
+            val id3Body = (id % 50).toInt
+            stream.write('I'); stream.write('D'); stream.write('3')
+            stream.write(4); stream.write(0); stream.write(0)
+            stream.write(0); stream.write(0)
+            stream.write((id3Body >> 7) & 0x7f)
+            stream.write(id3Body & 0x7f)
+            (0 until id3Body).foreach(_ => stream.write(0))
+            (0 until nf).foreach { i =>
+              val pad = ((id + i) % 2).toInt
+              val b1 = 0xe0 | (verBits << 3) | (layerBits << 1) | 1
+              val b2 = (brIdx << 4) | (srIdx << 2) | (pad << 1)
+              stream.write(0xff); stream.write(b1)
+              stream.write(b2); stream.write(0)
+              // filler to the computed frame length
+              val hdr = graft.multimodal.Mp3.header(
+                stream.toByteArray, stream.size - 4)
+              val len = hdr.get.frameLen
+              (0 until len - 4).foreach(_ => stream.write(1))
+            }
+            graft.multimodal.Mp3.frames(stream.toByteArray)
+              .iterator.map { f =>
+                (f.version.toLong, f.layer.toLong, f.frameLen.toLong,
+                  f.samples.toLong, f.bitrateKbps.toLong)
+              }
+          })
+          .toDF("version", "layer", "flen", "samples", "br")
+          .groupBy("version", "layer")
+          .agg(count(lit(1)).as("n_frames"), sum("flen").as("sum_len"),
+            sum("samples").as("sum_samples"), sum("br").as("sum_br"))
+      },
+      Some("""WITH brt AS (SELECT * FROM (VALUES
+              (0, 1, 32),(0, 2, 40),(0, 3, 48),(0, 4, 56),(0, 5, 64),
+              (0, 6, 80),(0, 7, 96),(0, 8, 112),(0, 9, 128),(0,10, 160),
+              (0,11, 192),(0,12, 224),(0,13, 256),(0,14, 320),
+              (1, 1, 8),(1, 2, 16),(1, 3, 24),(1, 4, 32),(1, 5, 40),
+              (1, 6, 48),(1, 7, 56),(1, 8, 64),(1, 9, 80),(1,10, 96),
+              (1,11, 112),(1,12, 128),(1,13, 144),(1,14, 160),
+              (2, 1, 32),(2, 2, 48),(2, 3, 56),(2, 4, 64),(2, 5, 80),
+              (2, 6, 96),(2, 7, 112),(2, 8, 128),(2, 9, 160),(2,10, 192),
+              (2,11, 224),(2,12, 256),(2,13, 320),(2,14, 384))
+              AS t(cls, idx, br)),
+            docs AS (SELECT doc_id,
+                CAST(doc_id % 3 AS INT) AS cls,
+                CAST(1 + doc_id % 14 AS INT) AS bridx,
+                CAST(doc_id % 3 AS INT) AS sridx,
+                CAST(3 + doc_id % 5 AS INT) AS nf
+              FROM documents),
+            envo AS (SELECT d.doc_id, d.cls, d.nf, b.br,
+                CASE WHEN d.cls = 1 THEN
+                  CASE d.sridx WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                    ELSE 16000 END
+                ELSE
+                  CASE d.sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END END AS sr,
+                CASE WHEN d.cls = 1 THEN 576 ELSE 1152 END AS samples,
+                CASE WHEN d.cls = 1 THEN 72 ELSE 144 END AS coef,
+                CASE WHEN d.doc_id % 2 = 0 THEN d.nf // 2
+                  ELSE (d.nf + 1) // 2 END AS n_pads
+              FROM docs d JOIN brt b ON b.cls = d.cls
+                AND b.idx = d.bridx),
+            agg AS (SELECT
+                CAST(CASE WHEN cls = 1 THEN 2 ELSE 3 END AS BIGINT)
+                  AS version,
+                CAST(CASE WHEN cls = 2 THEN 2 ELSE 3 END AS BIGINT)
+                  AS layer,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(nf * (coef * br * 1000 // sr) + n_pads AS BIGINT)
+                  AS sum_len,
+                CAST(nf * samples AS BIGINT) AS sum_samples,
+                CAST(nf * br AS BIGINT) AS sum_br
+              FROM envo)
+            SELECT version, layer, CAST(sum(n_frames) AS BIGINT)
+                AS n_frames,
+              CAST(sum(sum_len) AS BIGINT) AS sum_len,
+              CAST(sum(sum_samples) AS BIGINT) AS sum_samples,
+              CAST(sum(sum_br) AS BIGINT) AS sum_br
+            FROM agg GROUP BY 1, 2"""),
+      doc = "MP3 frame-header walk: ID3v2 skip, bitrate/samplerate " +
+        "tables, padding, MPEG-1/2 Layer II/III frame chaining")
   )
 }

@@ -99,4 +99,46 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     assert(MediaCodecs.bmpPixels24(Array[Byte](7, 7)).isEmpty)
   }
+
+  test("MP3 header walk: tables, ID3 skip, resync, truncation") {
+    import graft.multimodal.Mp3
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, no padding:
+    // frameLen = 144 * 128000 / 44100 = 417
+    def frame(pad: Int): Array[Byte] = {
+      val len = 144 * 128000 / 44100 + pad
+      val b = new Array[Byte](len)
+      b(0) = 0xff.toByte; b(1) = 0xfb.toByte
+      b(2) = ((9 << 4) | (0 << 2) | (pad << 1)).toByte
+      b
+    }
+    val f = Mp3.header(frame(0), 0).get
+    assert(f.bitrateKbps == 128 && f.sampleRate == 44100 &&
+      f.frameLen == 417 && f.samples == 1152 && f.layer == 3)
+    assert(Mp3.header(frame(1), 0).get.frameLen == 418)
+    // MPEG-2.5 Layer III: 8000 Hz needs verBits 0 -> coefficient 72
+    val v25 = Array[Byte](0xff.toByte, 0xe2.toByte,
+      ((2 << 4) | (2 << 2)).toByte, 0)
+    val f25 = Mp3.header(v25, 0).get
+    assert(f25.sampleRate == 8000 && f25.samples == 576 &&
+      f25.frameLen == 72 * 16000 / 8000)
+    // Layer I: slot size 4
+    val l1 = Array[Byte](0xff.toByte, 0xfe.toByte, ((4 << 4)).toByte, 0)
+    assert(Mp3.header(l1, 0).get.frameLen == (12 * 128000 / 44100) * 4)
+    // stream walk: ID3v2 + junk between frames resyncs
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20)
+    val stream = id3 ++ frame(0) ++ Array[Byte](0, 0, 0) ++ frame(1)
+    val walked = Mp3.frames(stream)
+    assert(walked.size == 2 && walked(1).padding)
+    // truncated tail frame doesn't count; never throws
+    (0 until stream.length by 5).foreach(n =>
+      assert(Mp3.frames(stream.take(n)).size <= 2))
+    // reserved version bits / bad bitrate index / bad sr rejected
+    assert(Mp3.header(Array[Byte](0xff.toByte, 0xea.toByte, 0x90.toByte,
+      0), 0).isEmpty) // verBits 1 reserved
+    assert(Mp3.header(Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte,
+      0), 0).isEmpty) // bitrate idx 15
+    assert(Mp3.header(Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte,
+      0), 0).isEmpty) // srIdx 3
+  }
 }
