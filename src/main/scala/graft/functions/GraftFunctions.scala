@@ -115,6 +115,17 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  private def hllBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 2, "hll_distinct(col, p)")
+    val p = args(1) match {
+      case e if e.foldable => String.valueOf(e.eval(null)).toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"hll_distinct p must be a literal, got $other")
+    }
+    graft.plans.HllAgg(args.head, p).toAggregateExpression()
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
@@ -127,7 +138,8 @@ object GraftFunctions {
     "graft_lpm6" -> lpm6Builder,
     "misra_gries" -> misraGriesBuilder,
     "qdigest_quantile" -> qdigestBuilder,
-    "tdigest_quantile" -> tdigestBuilder)
+    "tdigest_quantile" -> tdigestBuilder,
+    "hll_distinct" -> hllBuilder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -209,6 +209,42 @@ object EngineQueries {
                  FROM flows GROUP BY 1)""")),
       doc = "approximate flows counter (HLL) gated by a ±5% tolerance band"),
 
+    // q90's sketch as FIRST-CLASS code: the native HyperLogLog
+    // TypedImperativeAggregate (plans/Hll) replaces the
+    // approx_count_distinct dependency — dense 2^12 registers,
+    // register-max merges through Spark's partial/final shuffle,
+    // linear-counting small-range correction, in-repo 64-bit hash.
+    // Same per-bin tolerance gate as q90 (max(±5%, ±5): σ at p=12 is
+    // ~1.6%), plus the SQL surface via hll_distinct(col, 12).
+    Q("q293_hll_native",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        flows(s, d)
+          .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
+            .as("bin_start"))
+          .agg(count(lit(1)).as("n_records"),
+            graft.plans.Hll(
+              concat_ws("|", col("ip_src"), col("ip_dst"),
+                col("port_src"), col("port_dst"), col("ip_proto")), 12)
+              .as("n_approx"),
+            countDistinct(col("ip_src"), col("ip_dst"), col("port_src"),
+              col("port_dst"), col("ip_proto")).as("n_exact"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_bins"),
+            sum("n_records").as("n_records"),
+            sum(when(abs(col("n_approx") - col("n_exact")) >
+              greatest(col("n_exact") * 0.05, lit(5.0)), 1L)
+              .otherwise(0L)).as("n_violations"))
+      },
+      Some(FlowView.cte(
+        """SELECT count(*) AS n_bins, CAST(sum(nr) AS BIGINT) AS n_records,
+           CAST(0 AS BIGINT) AS n_violations
+           FROM (SELECT ((t0u - t0u % 3600000000) // 3600000000) * 3600
+                   AS bin_start, count(*) AS nr
+                 FROM flows GROUP BY 1)""")),
+      doc = "native HyperLogLog aggregate gated by the q90 tolerance " +
+        "band — the sketch family fully in-repo"),
+
     // Multi-version source multiplexing: v5-shaped and v9-shaped decoder
     // outputs unioned by name with missing-column fill (SURVEY §2.8;
     // tests/110-IPFIXv10-NFv9-multiple-sources).

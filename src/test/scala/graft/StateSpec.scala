@@ -504,6 +504,60 @@ class StateSpec extends AnyFunSuite {
     checkInvariants(m)
   }
 
+  test("Hll: error contract under merges, linear counting, Spark, SQL") {
+    import graft.plans.{Hll, HllAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val p = 12
+    val agg = HllAgg(BoundReference(0, StringType, nullable = true), p)
+    def run(items: Iterator[String]): Array[Byte] = {
+      val b = agg.createAggregationBuffer()
+      items.foreach(s => agg.update(b, InternalRow(UTF8String.fromString(s))))
+      b
+    }
+    // band: 4σ at σ = 1.04/sqrt(2^p) ≈ 1.63% — generous enough to be
+    // deterministic for these fixed streams, tight enough to mean HLL
+    def check(est: Long, exact: Long): Unit = {
+      val band = math.max(5.0, 4 * 1.04 / math.sqrt(1 << p) * exact)
+      assert(math.abs(est - exact) <= band, s"est $est vs $exact ± $band")
+    }
+    // small range: linear counting exact-ish
+    check(agg.eval(run((1 to 100).iterator.map("v" + _)))
+      .asInstanceOf[Long], 100)
+    // large range + duplicates
+    val big = run((1 to 300000).iterator.map(i => "k" + (i % 120000)))
+    check(agg.eval(big).asInstanceOf[Long], 120000)
+    // merge tree == single-pass (register max is exact under merge)
+    val parts = (0 until 8).map(j =>
+      run((1 to 300000).iterator.filter(_ % 8 == j)
+        .map(i => "k" + (i % 120000))))
+    val merged = parts.map(x => agg.deserialize(agg.serialize(x)))
+      .reduce(agg.merge)
+    assert(agg.eval(merged) == agg.eval(big),
+      "merged registers must equal the single-pass registers")
+    // empty → 0
+    assert(agg.eval(agg.createAggregationBuffer()) == 0L)
+
+    // Spark end-to-end + SQL surface + type gate
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val df = (1 to 50000).map(i => "u" + (i % 20000)).toDF("v")
+      .repartition(7)
+    check(df.agg(Hll(org.apache.spark.sql.functions.col("v"), p))
+      .head().getLong(0), 20000)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("hll_probe")
+    check(spark.sql(s"SELECT hll_distinct(v, $p) FROM hll_probe")
+      .head().getLong(0), 20000)
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT hll_distinct(t, 12) FROM VALUES (7) AS x(t)")
+        .collect())
+    assert(mistyped.getMessage.toLowerCase.contains("type"))
+  }
+
   test("TDigest: rank contract under adversarial merge trees, Spark, SQL") {
     import graft.plans.{TDigest, TDigestAgg}
     import org.apache.spark.sql.catalyst.expressions.BoundReference
