@@ -1192,6 +1192,144 @@ object DaemonQueries {
       doc = "LeaveGroup: graceful-shutdown rebalance with clean " +
         "committed-offset handover — zero re-read, departed id fenced"),
 
+    // DescribeGroups v0 (api 15) + ListGroups v0 (api 16): the
+    // observability half of the consumer-group protocol — what
+    // `kafka-consumer-groups.sh --describe` speaks. A two-member group
+    // with UNEVEN subscriptions (member-1 both topics, member-2 one)
+    // forms over the real wire, then the gate reads the coordinator
+    // back through DescribeGroups: Stable state, range protocol, both
+    // members with their subscription METADATA and assignment BYTES
+    // (decoded and reconciled against the per-topic range split), an
+    // unknown group answering Dead, and ListGroups enumerating the
+    // group. High-water marks per partition come from the produced
+    // events rows, so the data path stays oracle-derived.
+    Q("q294_kafka_describe_groups",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val group = "graft_describe"
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long, Long)]) =>
+              KafkaMiniBroker.produceAll(port, "graft_desc_src",
+                it.grouped(60).flatMap { batch =>
+                  val acct = batch.groupBy { case (_, uid, _) =>
+                    (uid % 4).toInt }.toSeq.sortBy(_._1).map {
+                      case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, bb) => KafkaWire.Record(s"k$uid",
+                            s"$uid:$bb".getBytes("UTF-8"))
+                        })
+                    }
+                  val audit = batch.filter(_._1 % 2 == 1)
+                    .groupBy { case (_, uid, _) => (uid % 2).toInt }
+                    .toSeq.sortBy(_._1).map { case (p, recs) =>
+                      KafkaWire.PartitionBatch("audit", p, recs.map {
+                        case (_, uid, bb) => KafkaWire.Record(s"k$uid",
+                          s"$uid:$bb".getBytes("UTF-8"))
+                      })
+                    }
+                  Iterator(acct) ++ (if (audit.nonEmpty)
+                    Iterator(audit) else Iterator.empty)
+                })
+          }
+          rows.unpersist()
+          // two members, deterministic ids: the both-topics subscriber
+          // joins first (member-1 = leader)
+          broker.expectGroupMembers(group, 2)
+          type R = (String, Int, Seq[(String, Seq[Int])])
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          val (mBoth, mOne) =
+            try {
+              val fBoth = pool.submit(
+                new java.util.concurrent.Callable[R] {
+                  def call() = KafkaMiniBroker.groupAssignTopics(port,
+                    group, Seq("acct", "audit"))
+                })
+              val dl = System.currentTimeMillis() + 15000
+              while (broker.groupSnapshot(group)._2.isEmpty &&
+                System.currentTimeMillis() < dl) Thread.sleep(5)
+              val fOne = pool.submit(
+                new java.util.concurrent.Callable[R] {
+                  def call() = KafkaMiniBroker.groupAssignTopics(port,
+                    group, Seq("acct"))
+                })
+              (fBoth.get(20, java.util.concurrent.TimeUnit.SECONDS),
+                fOne.get(20, java.util.concurrent.TimeUnit.SECONDS))
+            } finally pool.shutdownNow()
+          require(mBoth._1 == "member-1" && mOne._1 == "member-2",
+            s"q294: join order (${mBoth._1}, ${mOne._1})")
+          // the wire reads
+          val descs = KafkaMiniBroker.describeGroups(port,
+            Seq(group, "ghost_group"))
+          val listed = KafkaMiniBroker.listGroups(port)
+          val hw = KafkaMiniBroker.discoverEnds(port,
+            Seq("acct", "audit"))
+          val desc = descs.head
+          val ghost = descs(1)
+          val assignRows = desc.members.flatMap { m =>
+            val rank = m.memberId.stripPrefix("member-")
+            KafkaWire.decodeAssignmentAll(m.assignment)
+              .getOrElse(Seq.empty).map { case (t, ps) =>
+                ("assign", s"$rank/$t", ps.size.toLong,
+                  ps.map(_.toLong).sum)
+              }
+          }
+          val metaRows = desc.members.map { m =>
+            val subs = KafkaWire.decodeSubscription(m.metadata)
+              .getOrElse(Seq.empty)
+            ("meta", m.memberId.stripPrefix("member-"),
+              subs.size.toLong, 1L)
+          }
+          val wire = Seq(
+            ("desc", desc.state, 1L, 1L),
+            ("desc", desc.protocolType, 1L, 1L),
+            ("desc", desc.protocol, 1L, 1L),
+            ("members", "n", desc.members.size.toLong, 1L),
+            ("ghost", ghost.state, 1L,
+              ghost.members.size.toLong),
+            ("list", "has_group",
+              listed.count(_._1 == group).toLong,
+              listed.count { case (g, pt) =>
+                g == group && pt == "consumer" }.toLong)) ++
+            assignRows ++ metaRows ++
+            hw.map { case (t, p, end) => ("hw", s"$t/$p", 1L, end) }
+          wire.toDF("kind", "key", "n", "v")
+        } finally broker.close()
+      },
+      Some("""WITH base AS (SELECT event_id,
+                CAST(user_id % 4 AS INT) AS p4,
+                CAST(user_id % 2 AS INT) AS p2
+              FROM events),
+            hw AS (SELECT 'acct/' || CAST(p4 AS VARCHAR) AS key,
+                count(*) AS c FROM base GROUP BY 1
+              UNION ALL
+              SELECT 'audit/' || CAST(p2 AS VARCHAR), count(*)
+              FROM base WHERE event_id % 2 = 1 GROUP BY 1)
+            SELECT 'desc' AS kind, 'Stable' AS key,
+              CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS v
+            UNION ALL SELECT 'desc', 'consumer', 1, 1
+            UNION ALL SELECT 'desc', 'range', 1, 1
+            UNION ALL SELECT 'members', 'n', 2, 1
+            UNION ALL SELECT 'ghost', 'Dead', 1, 0
+            UNION ALL SELECT 'list', 'has_group', 1, 1
+            UNION ALL SELECT 'assign', '1/acct', 2, 1
+            UNION ALL SELECT 'assign', '1/audit', 2, 1
+            UNION ALL SELECT 'assign', '2/acct', 2, 5
+            UNION ALL SELECT 'meta', '1', 2, 1
+            UNION ALL SELECT 'meta', '2', 1, 1
+            UNION ALL SELECT 'hw', key, 1, CAST(c AS BIGINT) FROM hw"""),
+      doc = "DescribeGroups + ListGroups: coordinator state, " +
+        "membership with metadata/assignment bytes, Dead for unknown"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

@@ -531,6 +531,54 @@ final class KafkaMiniBroker {
                 KafkaWire.encodeLeaveGroupResponse(corr, err)
               case None => null
             }
+          case 15 =>
+            KafkaWire.parseDescribeGroups(payload) match {
+              case Some((corr, gids)) =>
+                val descs = gids.map { g =>
+                  groups.synchronized { groups.get(g) } match {
+                    case None =>
+                      // real brokers answer Dead, not an error, for an
+                      // unknown group id
+                      KafkaWire.GroupDescription(0, g, "Dead", "", "",
+                        Nil)
+                    case Some(st) => st.synchronized {
+                      st.sweep(System.nanoTime())
+                      val state =
+                        if (st.members.isEmpty && st.roundComplete)
+                          "Empty"
+                        else if (!st.roundComplete &&
+                          st.members.isEmpty && st.prevMembers.isEmpty)
+                          "Empty"
+                        else if (!st.roundComplete)
+                          "PreparingRebalance"
+                        else "Stable"
+                      val asn = Option(st.assignments)
+                        .getOrElse(Map.empty[String, Array[Byte]])
+                      val members = st.members.toSeq.sortBy(_._1)
+                        .map { case (id, meta) =>
+                          KafkaWire.GroupMember(id, "graft_consumer",
+                            "/127.0.0.1", meta,
+                            asn.getOrElse(id, Array.emptyByteArray))
+                        }
+                      KafkaWire.GroupDescription(0, g, state,
+                        "consumer", if (state == "Stable") "range"
+                        else "", members)
+                    }
+                  }
+                }
+                KafkaWire.encodeDescribeGroupsResponse(corr, descs)
+              case None => null
+            }
+          case 16 =>
+            KafkaWire.parseListGroups(payload) match {
+              case Some(corr) =>
+                val gs = groups.synchronized {
+                  groups.keysIterator.toSeq.sorted
+                    .map(g => (g, "consumer"))
+                }
+                KafkaWire.encodeListGroupsResponse(corr, gs)
+              case None => null
+            }
           case 10 =>
             KafkaWire.parseFindCoordinator(payload) match {
               case Some((corr, _)) =>
@@ -843,6 +891,24 @@ object KafkaMiniBroker {
     try KafkaWire.decodeHeartbeatResponse(exchange(in, out,
       KafkaWire.encodeHeartbeat(0, "graft_consumer", group, generation,
         memberId)))
+    finally sock.close()
+  }
+
+  /** DescribeGroups round trip: coordinator state + full membership
+    * with subscription metadata and assignment bytes per member. */
+  def describeGroups(port: Int, groupIds: Seq[String])
+      : Seq[KafkaWire.GroupDescription] = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeDescribeGroupsResponse(exchange(in, out,
+      KafkaWire.encodeDescribeGroups(0, "graft_admin", groupIds)))
+    finally sock.close()
+  }
+
+  /** ListGroups round trip: every group id the coordinator holds. */
+  def listGroups(port: Int): Seq[(String, String)] = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeListGroupsResponse(exchange(in, out,
+      KafkaWire.encodeListGroups(0, "graft_admin")))._2
     finally sock.close()
   }
 

@@ -1267,6 +1267,144 @@ object KafkaWire {
   def decodeLeaveGroupResponse(payload: Array[Byte]): Int =
     decodeHeartbeatResponse(payload)
 
+  // ---- DescribeGroups v0 (api 15) + ListGroups v0 (api 16) ----------
+  // The observability half of the group story: what `kafka-consumer-
+  // groups.sh --describe` speaks. DescribeGroups returns coordinator
+  // state + full membership (with each member's subscription METADATA
+  // and current ASSIGNMENT bytes); ListGroups enumerates group ids.
+
+  final case class GroupMember(memberId: String, clientId: String,
+                               clientHost: String,
+                               metadata: Array[Byte],
+                               assignment: Array[Byte])
+  final case class GroupDescription(error: Int, group: String,
+                                    state: String, protocolType: String,
+                                    protocol: String,
+                                    members: Seq[GroupMember])
+
+  /** DescribeGroups v0 request: the group-id list. */
+  def encodeDescribeGroups(corr: Int, clientId: String,
+                           groupIds: Seq[String]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(15); i16(0); i32(corr); str(clientId)
+    i32(groupIds.size); groupIds.foreach(str)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, groupIds). */
+  def parseDescribeGroups(payload: Array[Byte])
+      : Option[(Int, Seq[String])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 15 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val n = buf.getInt()
+    if (n < 0 || n > 1024) return None
+    Some((corr, (0 until n).map(_ =>
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8"))))
+  } catch { case _: Exception => None }
+
+  /** DescribeGroups v0 response. */
+  def encodeDescribeGroupsResponse(corr: Int,
+                                   gs: Seq[GroupDescription])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    def bytes(x: Array[Byte]): Unit = { i32(x.length); b ++= x }
+    i32(corr)
+    i32(gs.size)
+    gs.foreach { g =>
+      i16(g.error); str(g.group); str(g.state); str(g.protocolType)
+      str(g.protocol)
+      i32(g.members.size)
+      g.members.foreach { m =>
+        str(m.memberId); str(m.clientId); str(m.clientHost)
+        bytes(m.metadata); bytes(m.assignment)
+      }
+    }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side decode. */
+  def decodeDescribeGroupsResponse(payload: Array[Byte])
+      : Seq[GroupDescription] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    def str(): String =
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    (0 until buf.getInt()).map { _ =>
+      val err = buf.getShort().toInt
+      val g = str(); val state = str(); val pt = str(); val proto = str()
+      val members = (0 until buf.getInt()).map { _ =>
+        val id = str(); val cid = str(); val host = str()
+        val meta = takeBytes(buf, buf.getInt())
+        val asn = takeBytes(buf, buf.getInt())
+        GroupMember(id, cid, host, meta, asn)
+      }
+      GroupDescription(err, g, state, pt, proto, members)
+    }
+  }
+
+  /** ListGroups v0 request (header only). */
+  def encodeListGroups(corr: Int, clientId: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(16); i16(0); i32(corr); str(clientId)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: the correlation id. */
+  def parseListGroups(payload: Array[Byte]): Option[Int] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 16 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    Some(corr)
+  } catch { case _: Exception => None }
+
+  /** ListGroups v0 response: [(group, protocolType)]. */
+  def encodeListGroupsResponse(corr: Int,
+                               gs: Seq[(String, String)]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr); i16(0)
+    i32(gs.size)
+    gs.foreach { case (g, pt) => str(g); str(pt) }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side decode: (error, [(group, protocolType)]). */
+  def decodeListGroupsResponse(payload: Array[Byte])
+      : (Int, Seq[(String, String)]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    val err = buf.getShort().toInt
+    def str(): String =
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    (err, (0 until buf.getInt()).map(_ => (str(), str())))
+  }
+
   // ---- OffsetCommit v1 — generation-FENCED commits ------------------
   // v0 carries no group identity beyond the name, so any zombie can
   // overwrite committed offsets. v1 adds (generation, memberId): the
