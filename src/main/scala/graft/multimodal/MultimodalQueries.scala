@@ -1017,6 +1017,71 @@ object MultimodalQueries {
               CAST(sum(sum_br) AS BIGINT) AS sum_br
             FROM agg GROUP BY 1, 2"""),
       doc = "MP3 frame-header walk: ID3v2 skip, bitrate/samplerate " +
-        "tables, padding, MPEG-1/2 Layer II/III frame chaining")
+        "tables, padding, MPEG-1/2 Layer II/III frame chaining"),
+
+    // MP4 / ISO BMFF box walk (multimodal/Mp4): video-container
+    // METADATA without codec decode — per doc a synthesized file
+    // (ftyp + moov(mvhd + traks(tkhd/hdlr/stsd)) + mdat) whose
+    // timescale, duration, track dims and sample-entry fourccs all
+    // derive from doc_id; the walker recovers movie duration (exact:
+    // duration = k·timescale), handler kinds and codec fourccs. The
+    // "how many hours of video, in which codecs" pass for an opaque
+    // 100 TB blob corpus.
+    Q("q295_mp4_walk",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            import graft.multimodal.Mp4
+            val ts = Seq(600L, 1000L, 90000L)((id % 3).toInt)
+            val secs = 1 + id % 50
+            val w = (16 * (1 + id % 40)).toInt
+            val h = (16 * (1 + id % 23)).toInt
+            val vFcc = if (id % 2 == 0) "avc1" else "hev1"
+            val traks = Seq(
+              Mp4.trak(1, secs * ts, "vide", vFcc, w, h)) ++
+              (if (id % 3 == 0)
+                Seq(Mp4.trak(2, secs * ts, "soun", "mp4a", 0, 0))
+              else Seq.empty)
+            val bytes = Mp4.file(ts, secs * ts, traks,
+              mdatLen = (id % 97).toInt)
+            val meta = Mp4.parse(bytes).get
+            val durRow = Iterator(("dur", 1L, meta.durationUs / 1000000L,
+              meta.timescale))
+            val trkRows = meta.tracks.iterator.map { t =>
+              (s"trk:${t.kind}/${t.fourcc}", 1L, t.width.toLong,
+                t.height.toLong)
+            }
+            durRow ++ trkRows
+          })
+          .toDF("kind", "one", "a", "b")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), sum("a").as("sum_a"),
+            sum("b").as("sum_b"))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600
+                  WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+                1 + doc_id % 50 AS secs,
+                16 * (1 + doc_id % 40) AS w,
+                16 * (1 + doc_id % 23) AS h,
+                CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1'
+                  END AS vfcc
+              FROM documents),
+            rows AS (
+              SELECT 'dur' AS kind, secs AS a, ts AS b FROM docs
+              UNION ALL
+              SELECT 'trk:vide/' || vfcc, w, h FROM docs
+              UNION ALL
+              SELECT 'trk:soun/mp4a', 0, 0 FROM docs
+              WHERE doc_id % 3 = 0)
+            SELECT kind, count(*) AS n,
+              CAST(sum(a) AS BIGINT) AS sum_a,
+              CAST(sum(b) AS BIGINT) AS sum_b
+            FROM rows GROUP BY 1"""),
+      doc = "MP4/ISO-BMFF box walk: moov/mvhd/tkhd/hdlr/stsd " +
+        "metadata — duration, dims, codec fourccs, no codec decode")
   )
 }

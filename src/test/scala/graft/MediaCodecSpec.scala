@@ -141,4 +141,50 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Mp3.header(Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte,
       0), 0).isEmpty) // srIdx 3
   }
+
+  test("MP4 box walk: metadata, largesize, to-EOF, v1 mvhd, fuzz") {
+    import graft.multimodal.Mp4
+    val f = Mp4.file(1000, 42000, Seq(
+      Mp4.trak(1, 42000, "vide", "avc1", 640, 360),
+      Mp4.trak(2, 42000, "soun", "mp4a", 0, 0)), mdatLen = 50)
+    val m = Mp4.parse(f).get
+    assert(m.timescale == 1000 && m.duration == 42000)
+    assert(m.durationUs == 42000000L)
+    assert(m.tracks == Seq(Mp4.Track("vide", "avc1", 640, 360),
+      Mp4.Track("soun", "mp4a", 0, 0)))
+    // 64-bit largesize wrapping of mdat + a to-EOF trailing box
+    val moovOnly = Mp4.file(600, 600, Seq(
+      Mp4.trak(1, 600, "vide", "hev1", 32, 16)), 0)
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(moovOnly)
+    val payload = new Array[Byte](10)
+    val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+    bb.putInt(1); bb.put("mdat".getBytes)
+    bb.putLong(16L + payload.length); bb.put(payload)
+    big.write(bb.array())
+    big.write(Array[Byte](0, 0, 0, 0)); big.write("free".getBytes)
+    big.write(Array[Byte](1, 2, 3)) // size-0: runs to EOF
+    val m2 = Mp4.parse(big.toByteArray).get
+    assert(m2.tracks.head.fourcc == "hev1")
+    // v1 mvhd (64-bit duration)
+    val v1 = java.nio.ByteBuffer.allocate(108)
+    v1.putLong(0); v1.putLong(0)             // creation, modification
+    v1.putInt(90000); v1.putLong(900000L)    // timescale, duration
+    val mvhd1 = Mp4.fullBox("mvhd", 1, v1.array())
+    val f1 = Mp4.box("moov", mvhd1)
+    val m3 = Mp4.parse(f1).get
+    assert(m3.timescale == 90000 && m3.duration == 900000L &&
+      m3.durationUs == 10000000L)
+    // no moov / junk / truncation: None or valid, never a throw
+    assert(Mp4.parse("nope".getBytes).isEmpty)
+    (0 until f.length by 7).foreach(n => Mp4.parse(f.take(n)))
+    var s = 7L
+    (0 until 200).foreach { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val i = ((s >>> 33) % f.length).toInt
+      val flipped = f.clone()
+      flipped(i) = (flipped(i) ^ (1 << ((s >>> 17) & 7)).toByte).toByte
+      Mp4.parse(flipped)
+    }
+  }
 }
