@@ -1330,6 +1330,147 @@ object DaemonQueries {
       doc = "DescribeGroups + ListGroups: coordinator state, " +
         "membership with metadata/assignment bytes, Dead for unknown"),
 
+    // SASL/PLAIN (SaslHandshake v1 api 17 + SaslAuthenticate v0 api
+    // 36): the auth path the reference's QUICKSTART documents for
+    // Confluent Cloud (librdkafka `sasl.mechanisms PLAIN` +
+    // sasl.username/password through kafka_config_file). The broker in
+    // require-SASL mode severs any unauthenticated request (the real
+    // broker's posture); the gate drives every lane over live
+    // sockets: mechanism negotiation (PLAIN in, SCRAM refused 33),
+    // wrong password 58 + the connection dead to further requests,
+    // unauthenticated produce severed, and the full produce → fetch
+    // data path on authenticated EXECUTOR connections reconciling the
+    // events table.
+    Q("q296_kafka_sasl",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        broker.requireSasl("pmacct", "arealpassword")
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long)]
+          // authenticated EXECUTOR-side produce
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long)]) =>
+              val (sock, in, out) = KafkaMiniBroker.connect(port)
+              try {
+                require(KafkaMiniBroker.authenticate(in, out,
+                  "pmacct", "arealpassword") == 0, "login refused")
+                it.grouped(60).zipWithIndex.foreach { case (batch, i) =>
+                  val byPart = batch.groupBy { case (uid, _) =>
+                    (uid % 2).toInt }.toSeq.sortBy(_._1).map {
+                      case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (uid, bb) => KafkaWire.Record(s"k$uid",
+                            s"$uid:$bb".getBytes("UTF-8"))
+                        })
+                    }
+                  val acks = KafkaWire.decodeProduceResponse(
+                    KafkaMiniBroker.exchange(in, out,
+                      KafkaWire.encodeProduce(i, "graft_sasl", byPart,
+                        0L)))
+                  require(acks.forall(_._3 == 0), s"produce: $acks")
+                }
+              } finally sock.close()
+          }
+          // auth protocol lanes (driver side, one socket each)
+          def lane[T](f: (java.io.DataInputStream,
+              java.io.DataOutputStream) => T): T = {
+            val (sock, in, out) = KafkaMiniBroker.connect(port)
+            try f(in, out) finally sock.close()
+          }
+          val mechRefused = lane { (in, out) =>
+            KafkaWire.decodeSaslHandshakeResponse(
+              KafkaMiniBroker.exchange(in, out,
+                KafkaWire.encodeSaslHandshake(0, "c", "SCRAM-SHA-256")))
+          }
+          val badPass = lane { (in, out) =>
+            val e = KafkaMiniBroker.authenticate(in, out, "pmacct",
+              "wrong")
+            // the unauthenticated connection is DEAD to further use
+            val severed =
+              try {
+                KafkaMiniBroker.exchange(in, out,
+                  KafkaWire.encodeListGroups(9, "c"))
+                false
+              } catch { case _: java.io.IOException => true }
+            (e, severed)
+          }
+          val unauthSevered = lane { (in, out) =>
+            try {
+              KafkaMiniBroker.exchange(in, out,
+                KafkaWire.encodeListGroups(9, "c"))
+              false
+            } catch { case _: java.io.IOException => true }
+          }
+          // authenticated fetch-back of both partitions
+          val fetched = lane { (in, out) =>
+            require(KafkaMiniBroker.authenticate(in, out, "pmacct",
+              "arealpassword") == 0)
+            (0 until 2).flatMap { p =>
+              var off = 0L
+              var done = false
+              val recs = scala.collection.mutable.Buffer[(Int, Long)]()
+              while (!done) {
+                val (hw, rs) = KafkaWire.decodeFetchResponse(
+                  KafkaMiniBroker.exchange(in, out,
+                    KafkaWire.encodeFetch(7, "c", "acct", p, off,
+                      1 << 20)))
+                val batches = KafkaWire.decodeBatches(rs)
+                batches.foreach { case (base, rr) =>
+                  rr.zipWithIndex.foreach { case (r, k) =>
+                    if (base + k >= off) {
+                      val v = new String(r.value, "UTF-8")
+                      recs += ((p,
+                        v.substring(v.indexOf(':') + 1).toLong))
+                    }
+                  }
+                  off = math.max(off,
+                    base + rr.size)
+                }
+                if (rs.isEmpty || off >= hw) done = true
+              }
+              recs
+            }
+          }
+          val flowRows = fetched.toDF("partition", "b")
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .selectExpr("'flow' AS kind",
+              "CAST(partition AS STRING) AS key", "n", "v")
+          val lanes = Seq(
+            ("sasl", "mech_refused", 1L, mechRefused._1.toLong),
+            ("sasl", "mech_offered_plain",
+              mechRefused._2.count(_ == "PLAIN").toLong, 1L),
+            ("sasl", "bad_password", 1L, badPass._1.toLong),
+            ("sasl", "bad_password_severed", 1L,
+              if (badPass._2) 1L else 0L),
+            ("sasl", "unauth_severed", 1L,
+              if (unauthSevered) 1L else 0L))
+            .toDF("kind", "key", "n", "v")
+          flowRows.unionByName(lanes)
+        } finally broker.close()
+      },
+      Some("""SELECT 'flow' AS kind,
+              CAST(CAST(user_id % 2 AS INT) AS VARCHAR) AS key,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS v
+            FROM events GROUP BY 2
+            UNION ALL SELECT 'sasl', 'mech_refused', 1, 33
+            UNION ALL SELECT 'sasl', 'mech_offered_plain', 1, 1
+            UNION ALL SELECT 'sasl', 'bad_password', 1, 58
+            UNION ALL SELECT 'sasl', 'bad_password_severed', 1, 1
+            UNION ALL SELECT 'sasl', 'unauth_severed', 1, 1"""),
+      doc = "SASL/PLAIN: mechanism negotiation, RFC 4616 token, " +
+        "auth-failed 58, unauthenticated connections severed, " +
+        "authenticated executor produce/fetch path"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

@@ -258,8 +258,16 @@ final class KafkaMiniBroker {
     }
   }
 
+  /** SASL/PLAIN credentials; when set, every connection must
+    * handshake + authenticate before any other API (unauthenticated
+    * requests sever the connection — the real broker's posture). */
+  @volatile private var saslCreds: Option[(String, String)] = None
+  def requireSasl(user: String, pass: String): Unit =
+    saslCreds = Some((user, pass))
+
   private def serve(sock: Socket): Unit = {
     conns.synchronized { conns += sock }
+    var authenticated = saslCreds.isEmpty
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -270,7 +278,37 @@ final class KafkaMiniBroker {
         val payload = new Array[Byte](size)
         in.readFully(payload)
         val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+        if (!authenticated && apiKey != 17 && apiKey != 36)
+          throw new java.io.IOException("unauthenticated request")
         val resp: Array[Byte] = apiKey match {
+          case 17 =>
+            KafkaWire.parseSaslHandshake(payload) match {
+              case Some((corr, mech)) =>
+                KafkaWire.encodeSaslHandshakeResponse(corr,
+                  if (mech == "PLAIN") 0
+                  else 33, // UNSUPPORTED_SASL_MECHANISM
+                  Seq("PLAIN"))
+              case None => null
+            }
+          case 36 =>
+            KafkaWire.parseSaslAuthenticate(payload) match {
+              case Some((corr, token)) =>
+                // RFC 4616: [authzid] NUL authcid NUL passwd
+                val parts = {
+                  val s = new String(token, "UTF-8")
+                  s.split("\u0000", -1)
+                }
+                val ok = saslCreds.exists { case (u, p) =>
+                  parts.length == 3 && parts(1) == u && parts(2) == p
+                }
+                if (ok) {
+                  authenticated = true
+                  KafkaWire.encodeSaslAuthenticateResponse(corr, 0, "")
+                } else
+                  KafkaWire.encodeSaslAuthenticateResponse(corr,
+                    58, "Authentication failed") // SASL_AUTH_FAILED
+              case None => null
+            }
           case 0 =>
             KafkaWire.parseProduce(payload) match {
               case Some(req) =>
@@ -892,6 +930,21 @@ object KafkaMiniBroker {
       KafkaWire.encodeHeartbeat(0, "graft_consumer", group, generation,
         memberId)))
     finally sock.close()
+  }
+
+  /** SASL/PLAIN login on an open connection: SaslHandshake v1 then
+    * SaslAuthenticate v0 with the RFC 4616 token. Returns the
+    * authenticate error code (0 = in). */
+  def authenticate(in: DataInputStream, out: DataOutputStream,
+                   user: String, pass: String): Int = {
+    val (herr, mechs) = KafkaWire.decodeSaslHandshakeResponse(
+      exchange(in, out,
+        KafkaWire.encodeSaslHandshake(0, "graft_consumer", "PLAIN")))
+    require(herr == 0 && mechs.contains("PLAIN"),
+      s"handshake refused: $herr $mechs")
+    KafkaWire.decodeSaslAuthenticateResponse(exchange(in, out,
+      KafkaWire.encodeSaslAuthenticate(1, "graft_consumer",
+        KafkaWire.saslPlainToken(user, pass))))._1
   }
 
   /** DescribeGroups round trip: coordinator state + full membership

@@ -1405,6 +1405,117 @@ object KafkaWire {
     (err, (0 until buf.getInt()).map(_ => (str(), str())))
   }
 
+  // ---- SaslHandshake v1 (api 17) + SaslAuthenticate v0 (api 36) -----
+  // The auth path the reference documents for Confluent Cloud
+  // (QUICKSTART: kafka_config_file `security.protocol SASL_SSL` +
+  // `sasl.mechanisms PLAIN` via librdkafka): the client handshakes a
+  // mechanism, then ships the RFC 4616 PLAIN token ([authzid] NUL
+  // authcid NUL passwd) inside a SaslAuthenticate frame.
+
+  /** SaslHandshake v1 request: the mechanism name. */
+  def encodeSaslHandshake(corr: Int, clientId: String,
+                          mechanism: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(17); i16(1); i32(corr); str(clientId); str(mechanism)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, mechanism). */
+  def parseSaslHandshake(payload: Array[Byte])
+      : Option[(Int, String)] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 17 || buf.getShort() != 1) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    Some((corr,
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")))
+  } catch { case _: Exception => None }
+
+  /** SaslHandshake response: error + enabled mechanisms. */
+  def encodeSaslHandshakeResponse(corr: Int, error: Int,
+                                  mechanisms: Seq[String]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr); i16(error)
+    i32(mechanisms.size); mechanisms.foreach(str)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: (error, enabled mechanisms). */
+  def decodeSaslHandshakeResponse(payload: Array[Byte])
+      : (Int, Seq[String]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    val err = buf.getShort().toInt
+    (err, (0 until buf.getInt()).map(_ =>
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")))
+  }
+
+  /** The RFC 4616 PLAIN token: [authzid] NUL authcid NUL passwd. */
+  def saslPlainToken(user: String, pass: String): Array[Byte] =
+    Array[Byte](0) ++ user.getBytes("UTF-8") ++
+      Array[Byte](0) ++ pass.getBytes("UTF-8")
+
+  /** SaslAuthenticate v0 request: the auth bytes. */
+  def encodeSaslAuthenticate(corr: Int, clientId: String,
+                             token: Array[Byte]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(36); i16(0); i32(corr); str(clientId)
+    i32(token.length); b ++= token
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, token). */
+  def parseSaslAuthenticate(payload: Array[Byte])
+      : Option[(Int, Array[Byte])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 36 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    Some((corr, takeBytes(buf, buf.getInt())))
+  } catch { case _: Exception => None }
+
+  /** SaslAuthenticate v0 response: error, message, server bytes. */
+  def encodeSaslAuthenticateResponse(corr: Int, error: Int,
+                                     message: String): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr); i16(error); str(message)
+    i32(0)                                  // empty server auth bytes
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: (error, message). */
+  def decodeSaslAuthenticateResponse(payload: Array[Byte])
+      : (Int, String) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()                            // correlation
+    val err = buf.getShort().toInt
+    (err, new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8"))
+  }
+
   // ---- OffsetCommit v1 — generation-FENCED commits ------------------
   // v0 carries no group identity beyond the name, so any zombie can
   // overwrite committed offsets. v1 adds (generation, memberId): the
