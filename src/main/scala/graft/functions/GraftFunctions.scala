@@ -115,6 +115,17 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  private def kmvBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 2, "kmv_sketch(col, k)")
+    val k = args(1) match {
+      case e if e.foldable => String.valueOf(e.eval(null)).toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"kmv_sketch k must be a literal, got $other")
+    }
+    graft.plans.KmvAgg(args.head, k).toAggregateExpression()
+  }
+
   private def hllBuilder: Seq[Expression] => Expression = { args =>
     require(args.size == 2, "hll_distinct(col, p)")
     val p = args(1) match {
@@ -139,7 +150,8 @@ object GraftFunctions {
     "misra_gries" -> misraGriesBuilder,
     "qdigest_quantile" -> qdigestBuilder,
     "tdigest_quantile" -> tdigestBuilder,
-    "hll_distinct" -> hllBuilder)
+    "hll_distinct" -> hllBuilder,
+    "kmv_sketch" -> kmvBuilder)
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -1076,6 +1076,96 @@ object TextQueries {
                 END) AS BIGINT) AS n_allowed_fallback
             FROM documents GROUP BY source"""),
       doc = "robots.txt RFC 9309: group selection, longest-match, " +
-        "wildcard + $ anchor, named vs fallback agents")
+        "wildcard + $ anchor, named vs fallback agents"),
+
+    // KMV / bottom-k theta sketch (plans/Kmv, SQL kmv_sketch): the
+    // SET-OPERATION member of the sketch family — the sketch VALUE is
+    // an ascending array of the k smallest distinct 63-bit hashes, so
+    // union and Jaccard run downstream as plain codegen'd array
+    // expressions (array_union/array_sort/slice/array_intersect), no
+    // further custom code. Per event_type cardinality, pairwise union
+    // and intersection estimates are checked against exact values:
+    // with k=256 the sf0.01 sketches (150 distinct users) are EXACT
+    // (sub-k inputs keep the whole hash set) and the sf0.1 sketches
+    // (1500 distinct) exercise the (k−1)/u_k estimator inside its
+    // band; StateSpec carries the tight statistical contract + the
+    // merge-tree BIT-INVARIANCE (k smallest distinct values cannot
+    // depend on merge order).
+    Q("q297_kmv_sketch",
+      (s, d) => {
+        val k = 256
+        val ev = Tables.events(s, d).selectExpr("event_type",
+          "cast(user_id as string) as u")
+        val sk = ev.groupBy("event_type")
+          .agg(graft.plans.Kmv(col("u"), k).as("s"),
+            countDistinct("u").as("exact"))
+          .persist() // type-cardinality-sized (5 rows x k longs)
+        def est(sc: org.apache.spark.sql.Column) = when(size(sc) < k, size(sc).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9.223372036854776e18) /
+            element_at(sc, k).cast("double"))
+        val cardRows = sk
+          .select(lit("card").as("key0"), col("event_type").as("key"),
+            col("exact").as("n"),
+            when(abs(est(col("s")) - col("exact")) >
+              greatest(lit(5.0), col("exact") * 0.30), 1L)
+              .otherwise(0L).as("v"))
+        val a = sk.selectExpr("event_type AS ta", "s AS sa",
+          "exact AS ea")
+        val b = sk.selectExpr("event_type AS tb", "s AS sb",
+          "exact AS eb")
+        val interExact = ev.distinct()
+          .join(ev.distinct().withColumnRenamed("event_type", "tb"),
+            Seq("u"))
+          .filter(col("event_type") < col("tb"))
+          .groupBy(col("event_type").as("ta"), col("tb"))
+          .agg(count(lit(1)).as("inter_exact"))
+        val pairs = a.join(b, col("ta") < col("tb"))
+          .join(broadcast(interExact), Seq("ta", "tb"), "left")
+          .withColumn("inter_exact",
+            coalesce(col("inter_exact"), lit(0L)))
+          .withColumn("ux", expr(
+            s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+          .withColumn("u_est", est(col("ux")))
+          .withColumn("u_exact", col("ea") + col("eb") -
+            col("inter_exact"))
+          .withColumn("jacc", expr(
+            "size(array_intersect(array_intersect(ux, sa), sb))")
+            .cast("double") / size(col("ux")))
+          .withColumn("i_est", col("jacc") * col("u_est"))
+        val pairRows = pairs.select(lit("pair").as("key0"),
+          concat(col("ta"), lit("|"), col("tb")).as("key"),
+          col("u_exact").as("n"),
+          (when(abs(col("u_est") - col("u_exact")) >
+            greatest(lit(5.0), col("u_exact") * 0.30), 1L)
+            .otherwise(0L) +
+           when(abs(col("i_est") - col("inter_exact")) >
+            greatest(lit(10.0), col("u_exact") * 0.15), 1L)
+            .otherwise(0L)).as("v"))
+        cardRows.unionByName(pairRows)
+          .select(col("key0").as("kind"), col("key"), col("n"),
+            col("v"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type,
+                CAST(user_id AS VARCHAR) AS u FROM events),
+            c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+            inter AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                count(*) AS i
+              FROM d x JOIN d y ON x.u = y.u
+                AND x.event_type < y.event_type
+              GROUP BY 1, 2),
+            pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                a.n AS na, b.n AS nb
+              FROM c a JOIN c b ON a.event_type < b.event_type)
+            SELECT 'card' AS kind, event_type AS key,
+              CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS v
+            FROM c
+            UNION ALL
+            SELECT 'pair', p.ta || '|' || p.tb,
+              CAST(p.na + p.nb - coalesce(i.i, 0) AS BIGINT), 0
+            FROM pairs p LEFT JOIN inter i
+              ON i.ta = p.ta AND i.tb = p.tb"""),
+      doc = "KMV bottom-k sketch: set-operation cardinality — union " +
+        "and Jaccard/intersection as plain array expressions, exact " +
+        "below k, banded estimator above")
   )
 }

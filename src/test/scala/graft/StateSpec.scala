@@ -504,6 +504,85 @@ class StateSpec extends AnyFunSuite {
     checkInvariants(m)
   }
 
+  test("Kmv: merge-tree bit-invariance, estimator bands, Spark, SQL") {
+    import graft.plans.{Kmv, KmvAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val k = 1024
+    val agg = KmvAgg(BoundReference(0, StringType, nullable = true), k)
+    def run(items: Iterator[String]) = {
+      val b = agg.createAggregationBuffer()
+      items.foreach(s =>
+        agg.update(b, InternalRow(UTF8String.fromString(s))))
+      b
+    }
+    def sketch(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      b.asScala.toSeq.map(_.longValue())
+    }
+    def estimate(s: Seq[Long]): Double =
+      if (s.size < k) s.size.toDouble
+      else (k - 1).toDouble * 9.223372036854776e18 / s.last.toDouble
+    // sub-k input: the sketch IS the full hash set (exact)
+    val small = run((1 to 500).iterator.map("v" + _))
+    assert(small.size == 500 && estimate(sketch(small)) == 500.0)
+    // estimator band on a large stream with duplicates: the observed
+    // error for a FIXED hash is deterministic; 1/sqrt(k-2) ~ 3.1%,
+    // assert within 4 sigma
+    val exact = 120000
+    val big = run((1 to 400000).iterator.map(i => "k" + (i % exact)))
+    val err = math.abs(estimate(sketch(big)) - exact) / exact
+    assert(err <= 4.0 / math.sqrt(k - 2.0), s"kmv error $err")
+    // merge-tree BIT-invariance: k smallest distinct values cannot
+    // depend on arrival or merge order
+    val single = sketch(big)
+    Seq(7, 13).foreach { parts =>
+      val chunks = (0 until parts).map(j =>
+        run((1 to 400000).iterator.filter(_ % parts == j)
+          .map(i => "k" + (i % exact))))
+      val folded = chunks.map(c => agg.deserialize(agg.serialize(c)))
+        .reduce(agg.merge)
+      assert(sketch(folded) == single, s"merge tree $parts diverged")
+    }
+    // empty → empty array
+    assert(agg.eval(agg.createAggregationBuffer())
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+
+    // Spark end-to-end + SQL + type gate; union/Jaccard downstream as
+    // plain array expressions over two sketches
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // consecutive pairs send the SAME user to each group: A and B
+    // hold identical 9000-user sets (9000 is even, so `i % 9000`
+    // would parity-split them into disjoint halves)
+    val df = (1 to 60000).map { i =>
+      (if (i % 2 == 0) "A" else "B", "u" + ((i / 2) % 9000))
+    }.toDF("grp", "u").repartition(7)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("kmv_probe")
+    val two = spark.sql(
+      s"""SELECT grp, kmv_sketch(u, $k) AS s FROM kmv_probe GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // A sees even i -> u(i%9000) even+odd both? i even -> i%9000 spans
+    // all residues; exact per group = 9000, union = 9000
+    val estA = estimate(two("A"))
+    assert(math.abs(estA - 9000) / 9000 <= 4.0 / math.sqrt(k - 2.0))
+    val union = (two("A") ++ two("B")).distinct.sorted.take(k)
+    val uEst = estimate(union)
+    assert(math.abs(uEst - 9000) / 9000 <= 4.0 / math.sqrt(k - 2.0))
+    val jacc = union.count(h =>
+      two("A").contains(h) && two("B").contains(h)).toDouble / union.size
+    assert(jacc >= 0.85, s"jaccard of identical sets measured $jacc")
+    val mistyped = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT kmv_sketch(t, 64) FROM VALUES (7) AS x(t)")
+        .collect())
+    assert(mistyped.getMessage.toLowerCase.contains("type"))
+  }
+
   test("Hll: error contract under merges, linear counting, Spark, SQL") {
     import graft.plans.{Hll, HllAgg}
     import org.apache.spark.sql.catalyst.expressions.BoundReference
