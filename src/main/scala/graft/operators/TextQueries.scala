@@ -1166,6 +1166,59 @@ object TextQueries {
               ON i.ta = p.ta AND i.tb = p.tb"""),
       doc = "KMV bottom-k sketch: set-operation cardinality — union " +
         "and Jaccard/intersection as plain array expressions, exact " +
-        "below k, banded estimator above")
+        "below k, banded estimator above"),
+
+    // Unicode NFC normalization — the text-cleaning stage every
+    // multilingual corpus pipeline runs before dedup/tokenization
+    // (byte-distinct but canonically-equal strings poison exact-hash
+    // dedup). Each doc's text is decorated with a doc_id-derived
+    // suffix mixing combining sequences (e + U+0301), precomposed
+    // forms (U+00E9), and a singleton (U+212B ANGSTROM SIGN → Å);
+    // Spark normalizes with the JDK's Normalizer, the oracle with
+    // DuckDB's own nfc_normalize — two INDEPENDENT Unicode
+    // implementations must agree on changed-doc counts and
+    // post-normalization code-point lengths.
+    Q("q298_nfc_normalize",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "source", "text")
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, source, text) =>
+            val suffix = (id % 4) match {
+              case 0 => " e\u0301tat"   // combining acute -> U+00E9
+              case 1 => " \u00e9tat"    // already NFC
+              case 2 => " \u212b unit"  // singleton ANGSTROM -> U+00C5
+              case _ => ""
+            }
+            val raw = text + suffix
+            val norm = java.text.Normalizer.normalize(raw,
+              java.text.Normalizer.Form.NFC)
+            (source,
+              if (norm != raw) 1L else 0L,
+              norm.codePointCount(0, norm.length).toLong)
+          })
+          .toDF("source", "changed", "n_cp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("changed").as("n_changed"),
+            sum("n_cp").as("sum_cp"))
+      },
+      Some("""WITH deco AS (SELECT source,
+                text || CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ' e' || chr(769) || 'tat'
+                  WHEN 1 THEN ' ' || chr(233) || 'tat'
+                  WHEN 2 THEN ' ' || chr(8491) || ' unit'
+                  ELSE '' END AS raw
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN nfc_normalize(raw) != raw THEN 1
+                ELSE 0 END) AS BIGINT) AS n_changed,
+              CAST(sum(length(nfc_normalize(raw))) AS BIGINT) AS sum_cp
+            FROM deco GROUP BY 1"""),
+      doc = "Unicode NFC normalization: JDK Normalizer vs DuckDB " +
+        "nfc_normalize — combining sequences, precomposed forms, " +
+        "singletons")
   )
 }
