@@ -437,43 +437,75 @@ object Tiff {
     val predictor = tag1(m, r, 317, 1L).toInt
     if (predictor != 1 && predictor != 2) return None
     if (predictor == 2 && comp != CompLzw) return None
-    val rps = {
-      val v = tag1(m, r, 278, 0xffffffffL)
-      if (v <= 0 || v > h) h else v.toInt
-    }
-    val offs = m.get(273).flatMap(e => tagValues(r, e))
-      .getOrElse(return None)
-    val counts = m.get(279).flatMap(e => tagValues(r, e))
-      .getOrElse(return None)
-    val nStrips = (h + rps - 1) / rps
-    if (offs.length < nStrips || counts.length < nStrips) return None
     val rowBytes = w * ch
     val px = new Array[Byte](w * h * ch)
-    (0 until nStrips).foreach { s =>
-      val y0 = s * rps
-      val rows = math.min(rps, h - y0)
-      val expect = rows * rowBytes
-      val off = offs(s)
-      val len = counts(s)
+    def decompress(off: Long, len: Long, expect: Int)
+        : Option[Array[Byte]] = {
       if (off < 0 || len < 0 || off + len > b.length) return None
-      val raw: Array[Byte] = comp match {
+      comp match {
         case CompNone =>
-          if (len < expect) return None
-          java.util.Arrays.copyOfRange(b, off.toInt,
-            off.toInt + expect)
-        case CompPackBits =>
-          unpackBits(b, off.toInt, len.toInt, expect)
-            .getOrElse(return None)
-        case CompLzw =>
-          lzwDecode(b, off.toInt, len.toInt, expect)
-            .getOrElse(return None)
-        case _ => return None
+          if (len < expect) None
+          else Some(java.util.Arrays.copyOfRange(b, off.toInt,
+            off.toInt + expect))
+        case CompPackBits => unpackBits(b, off.toInt, len.toInt, expect)
+        case CompLzw => lzwDecode(b, off.toInt, len.toInt, expect)
+        case _ => None
       }
-      (0 until rows).foreach { ry =>
-        val row = java.util.Arrays.copyOfRange(raw, ry * rowBytes,
-          (ry + 1) * rowBytes)
-        if (predictor == 2) predictDecode(row, ch)
-        System.arraycopy(row, 0, px, (y0 + ry) * rowBytes, rowBytes)
+    }
+    if (m.contains(322)) {
+      // tiled layout (TIFF 6.0 §15): a tw x th grid, every tile FULL
+      // size with right/bottom padding discarded on copy-out
+      val tw = tag1(m, r, 322).toInt
+      val th = tag1(m, r, 323).toInt
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
+        return None
+      val offs = m.get(324).flatMap(e => tagValues(r, e))
+        .getOrElse(return None)
+      val counts = m.get(325).flatMap(e => tagValues(r, e))
+        .getOrElse(return None)
+      val across = (w + tw - 1) / tw
+      val downN = (h + th - 1) / th
+      if (offs.length < across * downN ||
+        counts.length < across * downN) return None
+      val tileRow = tw * ch
+      (0 until downN).foreach { ty =>
+        (0 until across).foreach { tx =>
+          val idx = ty * across + tx
+          val raw = decompress(offs(idx), counts(idx), th * tileRow)
+            .getOrElse(return None)
+          val copyW = math.min(tw, w - tx * tw) * ch
+          val copyH = math.min(th, h - ty * th)
+          (0 until copyH).foreach { ry =>
+            val row = java.util.Arrays.copyOfRange(raw, ry * tileRow,
+              (ry + 1) * tileRow)
+            if (predictor == 2) predictDecode(row, ch)
+            System.arraycopy(row, 0, px,
+              (ty * th + ry) * rowBytes + tx * tw * ch, copyW)
+          }
+        }
+      }
+    } else {
+      val rps = {
+        val v = tag1(m, r, 278, 0xffffffffL)
+        if (v <= 0 || v > h) h else v.toInt
+      }
+      val offs = m.get(273).flatMap(e => tagValues(r, e))
+        .getOrElse(return None)
+      val counts = m.get(279).flatMap(e => tagValues(r, e))
+        .getOrElse(return None)
+      val nStrips = (h + rps - 1) / rps
+      if (offs.length < nStrips || counts.length < nStrips) return None
+      (0 until nStrips).foreach { s =>
+        val y0 = s * rps
+        val rows = math.min(rps, h - y0)
+        val raw = decompress(offs(s), counts(s), rows * rowBytes)
+          .getOrElse(return None)
+        (0 until rows).foreach { ry =>
+          val row = java.util.Arrays.copyOfRange(raw, ry * rowBytes,
+            (ry + 1) * rowBytes)
+          if (predictor == 2) predictDecode(row, ch)
+          System.arraycopy(row, 0, px, (y0 + ry) * rowBytes, rowBytes)
+        }
       }
     }
     if (photo == 0) { // WhiteIsZero: invert the gray channel

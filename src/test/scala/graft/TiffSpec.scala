@@ -155,6 +155,41 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("tiled layout: ImageIO tiled writes decode pixel-identically") {
+    import javax.imageio.ImageIO
+    for (compName <- Seq(null, "LZW"); gray <- Seq(true, false)) {
+      val w = 70; val h = 37 // not tile-aligned: padding discarded
+      val typ = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val bi = new java.awt.image.BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until (if (gray) 1 else 3))
+        bi.getRaster.setSample(x, y, c, (x * 7 + y * 31 + c * 11) % 256)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(32, 16, 0, 0)
+      if (compName != null) {
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(compName)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+        param)
+      ios.close(); writer.dispose()
+      val got = Tiff.decode(bo.toByteArray)
+      assert(got.nonEmpty, s"tiled comp=$compName gray=$gray")
+      val im = got.get
+      assert(im.width == w && im.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until im.channels)
+        assert((im.pixels((y * w + x) * im.channels + c) & 0xff) ==
+          bi.getRaster.getSample(x, y, c),
+          s"($x,$y,$c) tiled comp=$compName gray=$gray")
+    }
+  }
+
   test("fuzz: truncation and bit flips never throw, never wrong size") {
     for (comp <- Seq(Tiff.CompNone, Tiff.CompPackBits, Tiff.CompLzw)) {
       val bytes = Tiff.encode(img(9, 7, 3, 99L), comp)
