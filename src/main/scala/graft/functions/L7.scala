@@ -117,6 +117,40 @@ object L7 {
     (head(6) & 0xff) == 0xa4 && (head(7) & 0xff) == 0x42 &&
     (((head(2) & 0xff) << 8 | (head(3) & 0xff)) % 4) == 0
 
+  /** STUN attribute walk (RFC 5389 §15): (type, value) pairs from a
+    * STUN message, values padded to 32 bits on the wire. Empty on a
+    * malformed header or a ragged attribute. */
+  def stunAttrs(head: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    if (!looksStun(head)) return Seq.empty
+    val msgLen = ((head(2) & 0xff) << 8) | (head(3) & 0xff)
+    if (20 + msgLen > head.length) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var at = 20
+    val end = 20 + msgLen
+    while (at + 4 <= end) {
+      val typ = ((head(at) & 0xff) << 8) | (head(at + 1) & 0xff)
+      val len = ((head(at + 2) & 0xff) << 8) | (head(at + 3) & 0xff)
+      if (at + 4 + len > end) return Seq.empty
+      out += ((typ, java.util.Arrays.copyOfRange(head, at + 4,
+        at + 4 + len)))
+      at += 4 + ((len + 3) & ~3)
+    }
+    out.toSeq
+  }
+
+  /** XOR-MAPPED-ADDRESS (RFC 5389 §15.2) → (ipv4, port): the NAT's
+    * reflexive address, port XORed with the magic's high half and the
+    * address with the full magic — the value a NAT-traversal flow
+    * correlator extracts. None when absent or not IPv4. */
+  def stunXorMapped(head: Array[Byte]): Option[(Long, Int)] =
+    stunAttrs(head).collectFirst {
+      case (0x0020, v) if v.length >= 8 && (v(1) & 0xff) == 1 =>
+        val port = (((v(2) & 0xff) << 8) | (v(3) & 0xff)) ^ 0x2112
+        val ip = (((v(4) & 0xffL) << 24) | ((v(5) & 0xffL) << 16) |
+          ((v(6) & 0xffL) << 8) | (v(7) & 0xffL)) ^ 0x2112a442L
+        (ip & 0xffffffffL, port)
+    }
+
   /** DHCP/BOOTP heuristic (RFC 2131): op 1/2, htype 1 (Ethernet),
     * hlen 6, magic cookie at offset 236. */
   def looksDhcp(head: Array[Byte]): Boolean = head.length >= 240 &&

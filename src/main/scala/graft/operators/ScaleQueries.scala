@@ -37,6 +37,57 @@ object ScaleQueries {
     // would register, and data flows joining an expectation inherit the
     // parent class. The oracle derives expectations arithmetically —
     // regex or octet-math defects in any parser break parity.
+    // STUN attribute walk (RFC 5389 §15, functions/L7.stunAttrs): per
+    // flow a Binding Success response carries the flow's (ip_src,
+    // port_src) as XOR-MAPPED-ADDRESS — port XORed with the magic's
+    // high half, address with the full magic — behind a SOFTWARE
+    // attribute with an odd length (the 32-bit padding walk) and a
+    // DECOY plain MAPPED-ADDRESS holding a different address, so
+    // reading the wrong attribute or mis-XORing flips the totals. The
+    // NAT-reflexive extraction a traversal correlator runs.
+    Q("q299_stun_reflexive",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.L7
+        flows(s, d).select(
+            (col("ip_src") % 0x100000000L).as("ip"),
+            (col("port_src") % 65536).as("port"))
+          .as[(Long, Long)]
+          .mapPartitions(_.flatMap { case (ip, port) =>
+            val b = java.nio.ByteBuffer.allocate(20 + 12 + 12 + 12)
+            b.putShort(0x0101)        // binding success
+            b.putShort(36)            // message length (3 attrs)
+            b.putInt(0x2112a442)      // magic
+            (0 until 3).foreach(_ => b.putInt((ip ^ port).toInt))
+            b.putShort(0x8022.toShort); b.putShort(5)  // SOFTWARE
+            b.put("graft".getBytes); b.put(0.toByte)
+            b.put(0.toByte); b.put(0.toByte)
+            b.putShort(0x0001); b.putShort(8)          // decoy MAPPED
+            b.put(0.toByte); b.put(1.toByte)
+            b.putShort(((port + 1) % 65536).toInt.toShort)
+            b.putInt((ip + 1).toInt)
+            b.putShort(0x0020); b.putShort(8)          // XOR-MAPPED
+            b.put(0.toByte); b.put(1.toByte)
+            b.putShort((port ^ 0x2112).toInt.toShort)
+            b.putInt((ip ^ 0x2112a442L).toInt)
+            L7.stunXorMapped(b.array()).iterator.map {
+              case (rip, rport) => (rip, rport.toLong)
+            }
+          })
+          .toDF("ip", "port")
+          .groupBy((col("ip") % 256).as("net"))
+          .agg(count(lit(1)).as("n"), sum("port").as("sum_port"),
+            sum("ip").as("sum_ip"))
+      },
+      Some(FlowView.cte(
+        """SELECT (ip_src % 4294967296) % 256 AS net, count(*) AS n,
+           CAST(sum(port_src % 65536) AS BIGINT) AS sum_port,
+           CAST(sum(ip_src % 4294967296) AS BIGINT) AS sum_ip
+           FROM flows GROUP BY 1""")),
+      doc = "STUN RFC 5389 attribute walk: XOR-MAPPED-ADDRESS " +
+        "reflexive extraction past padded and decoy attributes"),
+
     Q("q98_conntrack_parse",
       (s, d) => {
         val sp = s

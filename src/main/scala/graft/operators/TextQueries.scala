@@ -1219,6 +1219,88 @@ object TextQueries {
             FROM deco GROUP BY 1"""),
       doc = "Unicode NFC normalization: JDK Normalizer vs DuckDB " +
         "nfc_normalize — combining sequences, precomposed forms, " +
-        "singletons")
+        "singletons"),
+
+    // sitemaps.org XML (text/Sitemap) — the robots.txt companion: a
+    // crawl-discovery pipeline reads the sitemap index, fans out to
+    // child sitemaps, and feeds <loc> URLs into the frontier. Per doc
+    // either an index (every 5th) or a urlset whose entries carry
+    // entity-escaped locs (&amp;), CDATA locs, lastmod and priority;
+    // the walker must recover every URL's doc-derived id, the kind
+    // split, and the lastmod counts. Oracle mirrors the arithmetic.
+    Q("q300_sitemap",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            import graft.text.Sitemap
+            val xml = if (id % 5 == 0) {
+              val kids = (0 until (2 + id % 3).toInt).map { k =>
+                s"<sitemap><loc>https://x/maps/${id * 10 + k}.xml" +
+                  "</loc></sitemap>"
+              }.mkString
+              "<?xml version=\"1.0\"?><sitemapindex xmlns=\"" +
+                "http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+                kids + "</sitemapindex>"
+            } else {
+              val urls = (0 until (2 + id % 3).toInt).map { k =>
+                val loc =
+                  if ((id + k) % 4 == 0)
+                    s"<loc><![CDATA[https://x/p?id=${id * 10 + k}&v=1]]></loc>"
+                  else
+                    s"<loc>https://x/p?id=${id * 10 + k}&amp;v=1</loc>"
+                val lastmod =
+                  if ((id + k) % 2 == 0)
+                    s"<lastmod>2026-0${1 + (id + k) % 9}-01</lastmod>"
+                  else ""
+                s"<url>$loc$lastmod" +
+                  s"<priority>0.${(id + k) % 10}</priority></url>"
+              }.mkString
+              "<?xml version=\"1.0\"?><urlset xmlns=\"" +
+                "http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+                urls + "</urlset>"
+            }
+            val doc = Sitemap.parse(xml)
+            doc.entries.iterator.map { e =>
+              val uid = e.loc.substring(e.loc.lastIndexOf('=') match {
+                case -1 => e.loc.lastIndexOf('/') + 1
+                case _ =>
+                  e.loc.indexOf("id=") + 3
+              })
+              val idNum = uid.takeWhile(_.isDigit) match {
+                case "" => e.loc.substring(e.loc.lastIndexOf('/') + 1)
+                  .takeWhile(_.isDigit).toLong
+                case x => x.toLong
+              }
+              (doc.kind, idNum,
+                if (e.lastmod.nonEmpty) 1L else 0L)
+            }
+          })
+          .toDF("kind", "uid", "has_lastmod")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_urls"), sum("uid").as("sum_ids"),
+            sum("has_lastmod").as("n_lastmod"))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                CAST(2 + doc_id % 3 AS INT) AS nk,
+                doc_id % 5 = 0 AS isidx
+              FROM documents),
+            entries AS (SELECT d.doc_id, d.isidx,
+                d.doc_id * 10 + k.k AS uid,
+                CASE WHEN NOT d.isidx AND (d.doc_id + k.k) % 2 = 0
+                  THEN 1 ELSE 0 END AS has_lastmod
+              FROM docs d,
+                unnest(generate_series(0, CAST(d.nk - 1 AS BIGINT)))
+                  AS k(k))
+            SELECT CASE WHEN isidx THEN 'sitemapindex' ELSE 'urlset'
+                END AS kind,
+              count(*) AS n_urls,
+              CAST(sum(uid) AS BIGINT) AS sum_ids,
+              CAST(sum(has_lastmod) AS BIGINT) AS n_lastmod
+            FROM entries GROUP BY 1"""),
+      doc = "sitemaps.org XML: urlset + sitemapindex walk, entity " +
+        "and CDATA locs, lastmod/priority extraction")
   )
 }

@@ -114,6 +114,43 @@ class DatagramFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("STUN attribute walk: padding, decoys, XOR decode, fuzz") {
+    import graft.functions.L7
+    // binding success: SOFTWARE (odd len -> padding), decoy
+    // MAPPED-ADDRESS, then the real XOR-MAPPED-ADDRESS
+    val ip = 0x0a0b0c0dL
+    val port = 4321
+    val b = java.nio.ByteBuffer.allocate(56)
+    b.putShort(0x0101); b.putShort(36); b.putInt(0x2112a442)
+    (0 until 3).foreach(_ => b.putInt(7))
+    b.putShort(0x8022.toShort); b.putShort(5)
+    b.put("graft".getBytes); b.put(Array[Byte](0, 0, 0))
+    b.putShort(0x0001); b.putShort(8)
+    b.put(0.toByte); b.put(1.toByte)
+    b.putShort((port + 1).toShort); b.putInt((ip + 1).toInt)
+    b.putShort(0x0020); b.putShort(8)
+    b.put(0.toByte); b.put(1.toByte)
+    b.putShort((port ^ 0x2112).toShort)
+    b.putInt((ip ^ 0x2112a442L).toInt)
+    val wire = b.array()
+    val attrs = L7.stunAttrs(wire)
+    assert(attrs.map(_._1) == Seq(0x8022, 0x0001, 0x0020))
+    assert(L7.stunXorMapped(wire).contains((ip, port)))
+    // the decoy alone (no XOR attr) yields None, not the wrong value
+    assert(L7.stunXorMapped(wire.take(20 + 12 + 12) ++
+      Array[Byte](0, 0, 0, 0)).isEmpty)
+    // truncation / bit flips: never throw
+    (0 until wire.length).foreach(n => L7.stunXorMapped(wire.take(n)))
+    var s = 5L
+    (0 until 200).foreach { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val i = ((s >>> 33) % wire.length).toInt
+      val f = wire.clone()
+      f(i) = (f(i) ^ (1 << ((s >>> 17) & 7)).toByte).toByte
+      L7.stunXorMapped(f)
+    }
+  }
+
   test("pcapng read + roundtrip: resolutions, BE section, fuzz") {
     import graft.sources.Pcap
     val tuples = (1 to 5).map(i => Pcap.FlowTuple(0x0A000000L + i,

@@ -72,4 +72,36 @@ class RobotsSpec extends AnyFunSuite {
     // no groups at all: allowed
     assert(Robots.allowed(Seq.empty, "any", "/p"))
   }
+
+  test("sitemap: urlset, index, entities, CDATA, malformed tails") {
+    import graft.text.Sitemap
+    val u = Sitemap.parse(
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://x/a?b=1&amp;c=2</loc>
+        |  <lastmod>2026-01-01</lastmod><priority>0.5</priority></url>
+        |<url><loc><![CDATA[https://x/raw?b=1&c=2]]></loc></url>
+        |</urlset>""".stripMargin)
+    assert(u.kind == "urlset")
+    assert(u.entries == Seq(
+      Sitemap.Entry("https://x/a?b=1&c=2", "2026-01-01", "0.5"),
+      Sitemap.Entry("https://x/raw?b=1&c=2", "", "")))
+    val i = Sitemap.parse("<sitemapindex><sitemap>" +
+      "<loc>https://x/m1.xml</loc></sitemap><sitemap>" +
+      "<loc>https://x/m2.xml</loc></sitemap></sitemapindex>")
+    assert(i.kind == "sitemapindex" && i.entries.map(_.loc) ==
+      Seq("https://x/m1.xml", "https://x/m2.xml"))
+    // junk, truncation: never throws, prefix survives
+    assert(Sitemap.parse("not xml").kind == "")
+    val full = "<urlset><url><loc>https://x/1</loc></url>" +
+      "<url><loc>https://x/2</loc></url></urlset>"
+    (0 until full.length by 3).foreach { n =>
+      val doc = Sitemap.parse(full.take(n))
+      assert(doc.entries.size <= 2)
+    }
+    // an entry with no loc is skipped, later entries survive
+    assert(Sitemap.parse("<urlset><url><lastmod>x</lastmod></url>" +
+      "<url><loc>https://x/ok</loc></url></urlset>")
+      .entries.map(_.loc) == Seq("https://x/ok"))
+  }
 }
