@@ -202,7 +202,9 @@ class PlanSpec extends AnyFunSuite {
     val lanes = Seq("q267_jpeg_decode", "q270_png_decode",
       "q272_multipattern_scan", "q273_gif_decode", "q274_html_extract",
       "q276_jpeg_420", "q277_jpeg_progressive", "q282_webp_decode",
-      "q288_warc_pipeline", "q289_tiff_decode")
+      "q288_warc_pipeline", "q289_tiff_decode", "q291_robots_filter",
+      "q292_mp3_walk", "q295_mp4_walk", "q298_nfc_normalize",
+      "q299_stun_reflexive", "q300_sitemap")
     lanes.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
