@@ -1471,6 +1471,104 @@ object DaemonQueries {
         "auth-failed 58, unauthenticated connections severed, " +
         "authenticated executor produce/fetch path"),
 
+    // DeleteGroups v0 (api 42) — the admin tail of the group family:
+    // a consumed-out group (all members left; committed offsets
+    // retained) deletes cleanly and its offsets DIE with it (a
+    // re-created group starts from earliest, not the ghost's
+    // position); a live group refuses 68 (NON_EMPTY_GROUP) and keeps
+    // its offsets; an unknown id answers 69. ListGroups reflects the
+    // removal. The drained data itself reconciles the events table.
+    Q("q301_kafka_delete_groups",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val gDone = "graft_del_done"
+        val gLive = "graft_del_live"
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long)].cache()
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long)]) =>
+              KafkaMiniBroker.produceAll(port, "graft_del_src",
+                it.grouped(60).map { batch =>
+                  batch.groupBy { case (uid, _) => (uid % 2).toInt }
+                    .toSeq.sortBy(_._1).map { case (p, recs) =>
+                      KafkaWire.PartitionBatch("acct", p, recs.map {
+                        case (uid, bb) => KafkaWire.Record(s"k$uid",
+                          s"$uid:$bb".getBytes("UTF-8"))
+                      })
+                    }
+                })
+          }
+          rows.unpersist()
+          // gDone: one member drains both partitions, commits, leaves
+          broker.expectGroupMembers(gDone, 1)
+          val (mId, _, parts) =
+            KafkaMiniBroker.groupAssign(port, gDone, "acct")
+          val drained = parts.flatMap { p =>
+            val hw = KafkaMiniBroker.discoverEnds(port, Seq("acct"))
+              .collectFirst { case ("acct", `p`, end) => end }
+              .getOrElse(0L)
+            val got = KafkaMiniBroker.consumeRange(port, "acct", p,
+              0L, hw).map { case (_, r) =>
+                val v = new String(r.value, "UTF-8")
+                (p.toLong, v.substring(v.indexOf(':') + 1).toLong)
+              }.toVector
+            KafkaMiniBroker.commitOffsets(port, gDone, "acct",
+              Seq((p, hw)))
+            got
+          }
+          val before = KafkaMiniBroker.fetchCommitted(port, gDone,
+            "acct", 0 until 2).values.sum
+          require(KafkaMiniBroker.leaveGroup(port, gDone, mId) == 0)
+          // gLive: a member that stays
+          broker.expectGroupMembers(gLive, 1)
+          KafkaMiniBroker.groupAssign(port, gLive, "acct")
+          val results = KafkaMiniBroker.deleteGroups(port,
+            Seq(gDone, gLive, "ghost")).toMap
+          val after = KafkaMiniBroker.fetchCommitted(port, gDone,
+            "acct", 0 until 2).values.sum
+          val listed = KafkaMiniBroker.listGroups(port).map(_._1).toSet
+          val lanes = Seq(
+            ("del", "done", 1L, results(gDone).toLong),
+            ("del", "live", 1L, results(gLive).toLong),
+            ("del", "ghost", 1L, results("ghost").toLong),
+            ("offsets", "before", 2L, before),
+            ("offsets", "after", 2L, after),
+            ("list", "done_gone", 1L,
+              if (listed.contains(gDone)) 1L else 0L),
+            ("list", "live_kept", 1L,
+              if (listed.contains(gLive)) 1L else 0L))
+          drained.toDF("partition", "b")
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .selectExpr("'flow' AS kind",
+              "CAST(partition AS STRING) AS key", "n", "v")
+            .unionByName(lanes.toDF("kind", "key", "n", "v"))
+        } finally broker.close()
+      },
+      Some("""SELECT 'flow' AS kind,
+              CAST(CAST(user_id % 2 AS INT) AS VARCHAR) AS key,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS v
+            FROM events GROUP BY 2
+            UNION ALL SELECT 'del', 'done', 1, 0
+            UNION ALL SELECT 'del', 'live', 1, 68
+            UNION ALL SELECT 'del', 'ghost', 1, 69
+            UNION ALL SELECT 'offsets', 'before', 2,
+              (SELECT count(*) FROM events)
+            UNION ALL SELECT 'offsets', 'after', 2, -2
+            UNION ALL SELECT 'list', 'done_gone', 1, 0
+            UNION ALL SELECT 'list', 'live_kept', 1, 1"""),
+      doc = "DeleteGroups: empty-group removal kills its committed " +
+        "offsets, live group 68, unknown 69, ListGroups reflects"),
+
     // Reference test 901-redis-connection-loss REPLAY (the other
     // env-blocked family, against the live RESP mini-server): TWO
     // channels hold their own connections — the core process and the

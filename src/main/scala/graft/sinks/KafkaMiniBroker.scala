@@ -569,6 +569,30 @@ final class KafkaMiniBroker {
                 KafkaWire.encodeLeaveGroupResponse(corr, err)
               case None => null
             }
+          case 42 =>
+            KafkaWire.parseDeleteGroups(payload) match {
+              case Some((corr, gids)) =>
+                val results = gids.map { g =>
+                  groups.synchronized { groups.get(g) } match {
+                    case None => (g, 69)   // GROUP_ID_NOT_FOUND
+                    case Some(st) => st.synchronized {
+                      if (st.members.nonEmpty) (g, 68) // NON_EMPTY_GROUP
+                      else {
+                        groups.synchronized { groups.remove(g) }
+                        // the group's committed offsets die with it
+                        groupOffsets.synchronized {
+                          groupOffsets.keysIterator
+                            .filter(_._1 == g).toVector
+                            .foreach(groupOffsets.remove)
+                        }
+                        (g, 0)
+                      }
+                    }
+                  }
+                }
+                KafkaWire.encodeDeleteGroupsResponse(corr, results)
+              case None => null
+            }
           case 15 =>
             KafkaWire.parseDescribeGroups(payload) match {
               case Some((corr, gids)) =>
@@ -929,6 +953,16 @@ object KafkaMiniBroker {
     try KafkaWire.decodeHeartbeatResponse(exchange(in, out,
       KafkaWire.encodeHeartbeat(0, "graft_consumer", group, generation,
         memberId)))
+    finally sock.close()
+  }
+
+  /** DeleteGroups round trip: per-group error codes (0 deleted, 68
+    * non-empty, 69 unknown). */
+  def deleteGroups(port: Int, groupIds: Seq[String])
+      : Seq[(String, Int)] = {
+    val (sock, in, out) = connect(port)
+    try KafkaWire.decodeDeleteGroupsResponse(exchange(in, out,
+      KafkaWire.encodeDeleteGroups(0, "graft_admin", groupIds)))
     finally sock.close()
   }
 

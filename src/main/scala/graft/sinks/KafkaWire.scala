@@ -1405,6 +1405,69 @@ object KafkaWire {
     (err, (0 until buf.getInt()).map(_ => (str(), str())))
   }
 
+  // ---- DeleteGroups v0 (api 42) --------------------------------------
+  // The admin tail of the group family: a consumed-out group (all
+  // members left, offsets retained) is removed along with its
+  // committed offsets; a LIVE group refuses with NON_EMPTY_GROUP (68),
+  // an unknown id with GROUP_ID_NOT_FOUND (69).
+
+  /** DeleteGroups v0 request: the group-id list. */
+  def encodeDeleteGroups(corr: Int, clientId: String,
+                         groupIds: Seq[String]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i16(42); i16(0); i32(corr); str(clientId)
+    i32(groupIds.size); groupIds.foreach(str)
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, groupIds). */
+  def parseDeleteGroups(payload: Array[Byte])
+      : Option[(Int, Seq[String])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 42 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    val n = buf.getInt()
+    if (n < 0 || n > 1024) return None
+    Some((corr, (0 until n).map(_ =>
+      new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8"))))
+  } catch { case _: Exception => None }
+
+  /** DeleteGroups v0 response: throttle + [(group, error)]. */
+  def encodeDeleteGroupsResponse(corr: Int,
+                                 results: Seq[(String, Int)])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def str(s: String): Unit = {
+      val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
+    }
+    i32(corr); i32(0) // throttle_time_ms
+    i32(results.size)
+    results.foreach { case (g, e) => str(g); i16(e) }
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side decode: [(group, error)]. */
+  def decodeDeleteGroupsResponse(payload: Array[Byte])
+      : Seq[(String, Int)] = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt(); buf.getInt()              // correlation, throttle
+    (0 until buf.getInt()).map { _ =>
+      val g = new String(takeBytes(buf, buf.getShort() & 0xffff),
+        "UTF-8")
+      (g, buf.getShort().toInt)
+    }
+  }
+
   // ---- SaslHandshake v1 (api 17) + SaslAuthenticate v0 (api 36) -----
   // The auth path the reference documents for Confluent Cloud
   // (QUICKSTART: kafka_config_file `security.protocol SASL_SSL` +
