@@ -97,6 +97,11 @@ final class KafkaMiniBroker {
     /** Members the sweep has thrown out (their commits/heartbeats get
       * 25 forever) and a counter the gates read. */
     val evicted = mutable.Set[String]()
+    /** Set (under both the groups and this lock) when DeleteGroups
+      * removes the group from the map: a joiner that fetched this state
+      * before removal must not resurrect it — it re-fetches a fresh one
+      * instead (the delete-then-recreate semantics of q301). */
+    var dead = false
 
     /** Session-timeout sweep (the coordinator's liveness rule): a
       * stable group drops every member whose last heartbeat is older
@@ -438,10 +443,17 @@ final class KafkaMiniBroker {
           case 11 =>
             KafkaWire.parseJoinGroup(payload) match {
               case Some((corr, g, member, meta, sessionTimeout)) =>
+                var joinResp: Array[Byte] = null
+                while (joinResp == null) {
                 val st = groups.synchronized {
                   groups.getOrElseUpdate(g, new GroupState)
                 }
-                st.synchronized {
+                joinResp = st.synchronized {
+                  if (st.dead) null // DeleteGroups won the race between our
+                  // map fetch and this lock: the state is detached — loop
+                  // and re-fetch (re-creating the group, as a join after a
+                  // completed delete legitimately does)
+                  else {
                   // a join after a stable round starts a REBALANCE:
                   // membership re-forms, the old assignments die, and
                   // prior members answer 27 on heartbeat until they
@@ -485,7 +497,10 @@ final class KafkaMiniBroker {
                       st.generation, leader, id,
                       if (id == leader) st.members.toSeq else Nil)
                   }
+                  }
                 }
+                }
+                joinResp
               case None => null
             }
           case 14 =>
@@ -573,22 +588,25 @@ final class KafkaMiniBroker {
             KafkaWire.parseDeleteGroups(payload) match {
               case Some((corr, gids)) =>
                 val results = gids.map { g =>
-                  groups.synchronized { groups.get(g) } match {
-                    case None => (g, 69)   // GROUP_ID_NOT_FOUND
-                    case Some(st) => st.synchronized {
-                      if (st.members.nonEmpty) (g, 68) // NON_EMPTY_GROUP
-                      else {
-                        groups.synchronized { groups.remove(g) }
-                        // the group's committed offsets die with it
-                        groupOffsets.synchronized {
-                          groupOffsets.keysIterator
-                            .filter(_._1 == g).toVector
-                            .foreach(groupOffsets.remove)
-                        }
-                        (g, 0)
+                  // lock order groups → st (matching expectGroupMembers);
+                  // the emptiness check and removal happen under both
+                  // locks so a racing JoinGroup can't slip between them
+                  val err = groups.synchronized {
+                    groups.get(g) match {
+                      case None => 69 // GROUP_ID_NOT_FOUND
+                      case Some(st) => st.synchronized {
+                        if (st.members.nonEmpty) 68 // NON_EMPTY_GROUP
+                        else { st.dead = true; groups.remove(g); 0 }
                       }
                     }
                   }
+                  // the group's committed offsets die with it
+                  if (err == 0) groupOffsets.synchronized {
+                    groupOffsets.keysIterator
+                      .filter(_._1 == g).toVector
+                      .foreach(groupOffsets.remove)
+                  }
+                  (g, err)
                 }
                 KafkaWire.encodeDeleteGroupsResponse(corr, results)
               case None => null

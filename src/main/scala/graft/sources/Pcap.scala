@@ -127,7 +127,13 @@ object Pcap {
     var order: ByteOrder = null
     var at = 0
     var linkType = -1
-    val ifResolUs = mutable.Buffer[Long]() // divisor from units to µs
+    // per-interface units→µs conversion as an exact rational:
+    // µs = (units / den) * num + (units % den) * num / den
+    // (two-part form so num·(units % den) stays inside a Long).
+    // num = -1 marks an UNSUPPORTED if_tsresol — that interface's
+    // packets are dropped rather than mis-scaled.
+    val ifResolNum = mutable.Buffer[Long]()
+    val ifResolDen = mutable.Buffer[Long]()
     val ifSnap = mutable.Buffer[Long]()
     val out = mutable.Buffer[Packet]()
     def u32(o: Int, ord: ByteOrder): Long =
@@ -156,7 +162,8 @@ object Pcap {
               if (linkType < 0) linkType = lt
               val snap = u32(at + 12, order)
               // walk options for if_tsresol (code 9, 1 byte)
-              var resolUs = 1L // 10^-6 default → divide by 1 for µs
+              var resolNum = 1L // 10^-6 default → units already µs
+              var resolDen = 1L
               var o = at + 16
               var more = true
               while (more && o + 4 <= at + total.toInt - 4) {
@@ -168,15 +175,31 @@ object Pcap {
                 else {
                   if (code == 9 && olen >= 1) {
                     val r = bytes(o + 4) & 0xff
-                    // high bit: power of 2 (unsupported → keep µs);
-                    // else 10^-r — µs divisor for r >= 6
-                    if ((r & 0x80) == 0 && r >= 6 && r <= 9)
-                      resolUs = math.pow(10, r - 6).toLong
+                    def pow10(e: Int): Long = {
+                      var v = 1L; var i = 0
+                      while (i < e) { v *= 10; i += 1 }; v
+                    }
+                    if ((r & 0x80) != 0) {
+                      // high bit: units of 2^-p seconds. µs = units·10^6/2^p,
+                      // reduced by gcd(10^6, 2^p) = 2^min(6,p). Cap p at 40
+                      // so the two-part rational stays overflow-free.
+                      val p = r & 0x7f
+                      if (p <= 40) {
+                        val sh = math.min(p, 6)
+                        resolNum = 1000000L >> sh
+                        resolDen = 1L << (p - sh)
+                      } else { resolNum = -1; resolDen = 1 }
+                    } else if (r <= 6) {      // coarser than µs: multiply up
+                      resolNum = pow10(6 - r); resolDen = 1
+                    } else if (r <= 15) {     // finer than µs: divide down
+                      resolNum = 1; resolDen = pow10(r - 6)
+                    } else { resolNum = -1; resolDen = 1 } // unsupported
                   }
                   o += 4 + ((olen + 3) & ~3)
                 }
               }
-              ifResolUs += resolUs
+              ifResolNum += resolNum
+              ifResolDen += resolDen
               ifSnap += snap
             case NgEpb if at + 28 <= bytes.length =>
               val ifId = u32(at + 8, order).toInt
@@ -184,16 +207,20 @@ object Pcap {
               val tsLo = u32(at + 16, order)
               val incl = u32(at + 20, order)
               val orig = u32(at + 24, order)
-              if (ifId < 0 || ifId >= ifResolUs.size ||
+              if (ifId < 0 || ifId >= ifResolNum.size ||
                 incl < 0 || at + 28 + incl > at + total - 4) ok = false
-              else {
+              else if (ifResolNum(ifId) >= 0) {
+                // (an interface with an unsupported if_tsresol drops its
+                // packets here — a wrong timestamp is worse than a gap)
                 val data = new Array[Byte](incl.toInt)
                 System.arraycopy(bytes, at + 28, data, 0, incl.toInt)
                 val units = (tsHi << 32) | tsLo
-                out += Packet(units / ifResolUs(ifId), orig, data)
+                val num = ifResolNum(ifId); val den = ifResolDen(ifId)
+                val us = (units / den) * num + (units % den) * num / den
+                out += Packet(us, orig, data)
               }
             case NgSpb if at + 16 <= bytes.length &&
-                ifResolUs.nonEmpty =>
+                ifResolNum.nonEmpty =>
               val orig = u32(at + 8, order)
               val snap = ifSnap.head
               val incl = math.min(orig,

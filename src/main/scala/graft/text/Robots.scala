@@ -64,30 +64,36 @@ object Robots {
     groups.toSeq
   }
 
-  /** `*`-wildcard / `$`-anchored rule match against a URL path. */
+  /** `*`-wildcard / `$`-anchored rule match against a URL path.
+    *
+    * Middle segments place greedily-leftmost (leftmost leaves maximal room
+    * for later segments). The FINAL segment of a `$`-anchored pattern must
+    * instead sit exactly at the end of the path — checked via endsWith with
+    * its start at/after the position the preceding segments reached, so a
+    * recurring segment (pattern `*.json$` vs path `/a.json/b.json`) still
+    * matches.
+    */
   def matches(pattern: String, path: String): Boolean = {
     if (pattern.isEmpty) return false // empty Disallow: no match
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.dropRight(1) else pattern
     val parts = p.split("\\*", -1)
-    var at = 0
-    var i = 0
-    while (i < parts.length) {
-      val seg = parts(i)
-      if (i == 0) {
-        if (!path.startsWith(seg)) return false
-        at = seg.length
-      } else {
-        val found = path.indexOf(seg, at)
-        if (found < 0) return false
-        at = found + seg.length
-      }
+    if (parts.length == 1)
+      return if (anchored) path == parts(0) else path.startsWith(parts(0))
+    if (!path.startsWith(parts(0))) return false
+    var at = parts(0).length
+    var i = 1
+    val lastIdx = parts.length - 1
+    while (i < lastIdx) {
+      val found = path.indexOf(parts(i), at)
+      if (found < 0) return false
+      at = found + parts(i).length
       i += 1
     }
-    // a trailing '*' already allows anything; otherwise $ pins the end
-    if (anchored && parts.last.nonEmpty) at == path.length
-    else if (anchored) true
-    else true
+    val last = parts(lastIdx)
+    if (last.isEmpty) true // a trailing '*' allows anything, anchored or not
+    else if (anchored) path.endsWith(last) && path.length - last.length >= at
+    else path.indexOf(last, at) >= 0
   }
 
   /** RFC 9309 §2.2.1 group choice + §2.2.2 rule precedence. */

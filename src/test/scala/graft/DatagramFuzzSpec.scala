@@ -187,6 +187,44 @@ class DatagramFuzzSpec extends AnyFunSuite {
       val sf = Pcap.readAuto(b)
       sf.packets.foreach(p => Pcap.parse(p, sf.linkType))
     })
+    // if_tsresol forms beyond the 10^-6..10^-9 band: coarse decimal
+    // (multiplied up to µs), power-of-2 (exact rational), unsupported
+    // (packets dropped rather than mis-scaled)
+    def ngResol(resol: Int, units: Long): Pcap.Savefile = {
+      val d = pkts.head.data
+      val pad = (4 - d.length % 4) % 4
+      val epbTot = 32 + d.length + pad
+      val bb = java.nio.ByteBuffer.allocate(28 + 32 + epbTot)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x0a0d0d0a); bb.putInt(28); bb.putInt(0x1a2b3c4d)
+      bb.putShort(1); bb.putShort(0); bb.putLong(-1L); bb.putInt(28)
+      bb.putInt(1); bb.putInt(32); bb.putShort(1); bb.putShort(0)
+      bb.putInt(0)                             // snaplen 0 = unlimited
+      bb.putShort(9); bb.putShort(1)           // if_tsresol option
+      bb.put(resol.toByte); bb.put(0.toByte); bb.putShort(0) // value+pad
+      bb.putShort(0); bb.putShort(0)           // opt_endofopt
+      bb.putInt(32)
+      bb.putInt(6); bb.putInt(epbTot); bb.putInt(0)
+      bb.putInt((units >>> 32).toInt); bb.putInt(units.toInt)
+      bb.putInt(d.length); bb.putInt(pkts.head.origLen.toInt)
+      bb.put(d); (0 until pad).foreach(_ => bb.put(0.toByte))
+      bb.putInt(epbTot)
+      Pcap.readNg(bb.array())
+    }
+    // 10^-3 (milliseconds): units multiply UP to µs
+    assert(ngResol(3, 1710000000123L).packets.map(_.tsUs) ==
+      Seq(1710000000123000L))
+    // 10^0 (whole seconds)
+    assert(ngResol(0, 1710000001L).packets.map(_.tsUs) ==
+      Seq(1710000001000000L))
+    // 2^-10: µs = floor(units·10^6 / 1024), exact under the two-part
+    // rational (1025 → 1000976, not 1000977 or a µs-misread 1025)
+    assert(ngResol(0x80 | 10, 1025L).packets.map(_.tsUs) == Seq(1000976L))
+    assert(ngResol(0x80 | 20, 1L << 20).packets.map(_.tsUs) ==
+      Seq(1000000L))
+    // unsupported resolutions drop the interface's packets
+    assert(ngResol(0x80 | 60, 123L).packets.isEmpty)
+    assert(ngResol(20, 123L).packets.isEmpty)
   }
 
   test("pcap savefile read + parse chain never throws on corrupt files") {

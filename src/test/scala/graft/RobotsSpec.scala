@@ -58,6 +58,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.matches("/p/*.php", "/q/y.php"))
     assert(Robots.matches("/*.json$", "/a/b.json"))
     assert(!Robots.matches("/*.json$", "/a/b.jsonx"))
+    // recurring final segment: greedy-leftmost placement must not cause a
+    // false negative when the segment also occurs at the end (RFC 9309 /
+    // Google reference matcher behavior)
+    assert(Robots.matches("/*.json$", "/a.json/b.json"))
+    assert(!Robots.matches("/*.json$", "/a.json/b.jsonx"))
+    assert(Robots.matches("/*ab*ab$", "/abab"))  // segments may not overlap...
+    assert(Robots.matches("/*ab*ab$", "/xabyab"))
+    assert(!Robots.matches("/*ab*ab$", "/ab"))   // ...or double-count one hit
+    // single-segment anchored pattern is exact equality
+    assert(Robots.matches("/exact$", "/exact"))
+    assert(!Robots.matches("/exact$", "/exact/sub"))
     assert(Robots.matches("/a*$", "/a/anything"))
     assert(!Robots.matches("", "/anything")) // empty Disallow: allow all
     val g = Robots.parse(
