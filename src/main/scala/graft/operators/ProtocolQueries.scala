@@ -538,8 +538,9 @@ object ProtocolQueries {
           "floor(value * 100) as b")
         val schemaJson = AvroSink.avroSchema(proj.schema).toString
         AvroSink.encode(proj).mapPartitions { it =>
+          val dec = AvroSink.rowDecoder(schemaJson) // schema parses ONCE
           it.map { bytes =>
-            val r = AvroSink.decode(bytes, schemaJson)
+            val r = dec(bytes)
             (String.valueOf(r.get(0)), r.get(1).asInstanceOf[Long],
               r.get(2).asInstanceOf[Long])
           }
@@ -605,16 +606,19 @@ object ProtocolQueries {
           val landed = s.sparkContext
             .parallelize(assign, math.max(1, assign.size))
             .mapPartitions { parts =>
-              // consumer task: resolve schemas by id over HTTP, cached
-              val cache = scala.collection.mutable.Map[Int, String]()
+              // consumer task: resolve schemas by id over HTTP, cached —
+              // the cache holds the PARSED per-schema decoder, not the
+              // JSON (one schema parse per id per task, not per record)
+              val cache = scala.collection.mutable
+                .Map[Int, Array[Byte] => org.apache.avro.generic.GenericRecord]()
               parts.flatMap { case (topic, p, hw) =>
                 KafkaMiniBroker.consume(brokerPort, topic, p, hw)
                   .map { case (_, rec) =>
                     val (id, avro) = SchemaRegistryMini
                       .unwrap(rec.value).get
-                    val sch = cache.getOrElseUpdate(id,
-                      SchemaRegistryMini.fetchById(regPort, id).get)
-                    val r = AvroSink.decode(avro, sch)
+                    val dec = cache.getOrElseUpdate(id, AvroSink.rowDecoder(
+                      SchemaRegistryMini.fetchById(regPort, id).get))
+                    val r = dec(avro)
                     (String.valueOf(r.get(0)),
                       r.get(1).asInstanceOf[Long],
                       r.get(2).asInstanceOf[Long], id.toLong)
