@@ -1663,6 +1663,149 @@ object DaemonQueries {
             UNION ALL SELECT 'log',
               'WARN nfacctd_core/core/redis: Can''t connect to redis server',
               2, 3"""),
-      doc = "test 901 replay: redis loss WARN lanes, heartbeats resume")
+      doc = "test 901 replay: redis loss WARN lanes, heartbeats resume"),
+
+    // SCRAM-SHA-256 (RFC 5802/7677 over SaslHandshake/SaslAuthenticate;
+    // reference CONFIG-KEYS:1966-1990 sasl.mechanisms SCRAM-SHA-256/512
+    // via librdkafka — the Confluent-Cloud QUICKSTART path beyond
+    // PLAIN). The broker is SCRAM-required and stores only the
+    // password-DERIVED (salt, i, StoredKey, ServerKey); the gate
+    // drives live sockets through: PLAIN handshake refused 33 (SCRAM
+    // advertised), the un-enabled SCRAM-SHA-512 also 33, the full
+    // two-round-trip challenge-response (client proof verified
+    // server-side, server signature verified CLIENT-side — mutual
+    // auth), wrong password failing the proof with 58 + the
+    // connection dead, and the authenticated executor produce → fetch
+    // data path reconciling the events table.
+    Q("q302_kafka_scram",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        broker.requireScram("pmacct", "arealpassword", "SCRAM-SHA-256")
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long)]
+          // SCRAM-authenticated EXECUTOR-side produce
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long)]) =>
+              val (sock, in, out) = KafkaMiniBroker.connect(port)
+              try {
+                require(KafkaMiniBroker.authenticateScram(in, out,
+                  "pmacct", "arealpassword") == 0, "login refused")
+                it.grouped(60).zipWithIndex.foreach { case (batch, i) =>
+                  val byPart = batch.groupBy { case (uid, _) =>
+                    (uid % 2).toInt }.toSeq.sortBy(_._1).map {
+                      case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (uid, bb) => KafkaWire.Record(s"k$uid",
+                            s"$uid:$bb".getBytes("UTF-8"))
+                        })
+                    }
+                  val acks = KafkaWire.decodeProduceResponse(
+                    KafkaMiniBroker.exchange(in, out,
+                      KafkaWire.encodeProduce(i, "graft_scram", byPart,
+                        0L)))
+                  require(acks.forall(_._3 == 0), s"produce: $acks")
+                }
+              } finally sock.close()
+          }
+          def lane[T](f: (java.io.DataInputStream,
+              java.io.DataOutputStream) => T): T = {
+            val (sock, in, out) = KafkaMiniBroker.connect(port)
+            try f(in, out) finally sock.close()
+          }
+          // PLAIN is NOT an enabled mechanism on a SCRAM broker
+          val plainRefused = lane { (in, out) =>
+            KafkaWire.decodeSaslHandshakeResponse(
+              KafkaMiniBroker.exchange(in, out,
+                KafkaWire.encodeSaslHandshake(0, "c", "PLAIN")))
+          }
+          // ...nor is the un-configured SCRAM flavor
+          val mech512Refused = lane { (in, out) =>
+            KafkaWire.decodeSaslHandshakeResponse(
+              KafkaMiniBroker.exchange(in, out,
+                KafkaWire.encodeSaslHandshake(0, "c",
+                  "SCRAM-SHA-512")))._1
+          }
+          // wrong password: the proof fails server-side with 58 and
+          // the connection is dead to further requests
+          val badPass = lane { (in, out) =>
+            val e = KafkaMiniBroker.authenticateScram(in, out,
+              "pmacct", "wrong")
+            val severed =
+              try {
+                KafkaMiniBroker.exchange(in, out,
+                  KafkaWire.encodeListGroups(9, "c"))
+                false
+              } catch { case _: java.io.IOException => true }
+            (e, severed)
+          }
+          // authenticated fetch-back of both partitions (mutual auth:
+          // authenticateScram returns 0 only after verifying the
+          // broker's v= signature)
+          val fetched = lane { (in, out) =>
+            require(KafkaMiniBroker.authenticateScram(in, out,
+              "pmacct", "arealpassword") == 0)
+            (0 until 2).flatMap { p =>
+              var off = 0L
+              var done = false
+              val recs = scala.collection.mutable.Buffer[(Int, Long)]()
+              while (!done) {
+                val (hw, rs) = KafkaWire.decodeFetchResponse(
+                  KafkaMiniBroker.exchange(in, out,
+                    KafkaWire.encodeFetch(7, "c", "acct", p, off,
+                      1 << 20)))
+                val batches = KafkaWire.decodeBatches(rs)
+                batches.foreach { case (base, rr) =>
+                  rr.zipWithIndex.foreach { case (r, k) =>
+                    if (base + k >= off) {
+                      val v = new String(r.value, "UTF-8")
+                      recs += ((p,
+                        v.substring(v.indexOf(':') + 1).toLong))
+                    }
+                  }
+                  off = math.max(off, base + rr.size)
+                }
+                if (rs.isEmpty || off >= hw) done = true
+              }
+              recs
+            }
+          }
+          val flowRows = fetched.toDF("partition", "b")
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .selectExpr("'flow' AS kind",
+              "CAST(partition AS STRING) AS key", "n", "v")
+          val lanes = Seq(
+            ("scram", "plain_refused", 1L, plainRefused._1.toLong),
+            ("scram", "mech_offered_scram256",
+              plainRefused._2.count(_ == "SCRAM-SHA-256").toLong, 1L),
+            ("scram", "sha512_refused", 1L, mech512Refused.toLong),
+            ("scram", "bad_password", 1L, badPass._1.toLong),
+            ("scram", "bad_password_severed", 1L,
+              if (badPass._2) 1L else 0L))
+            .toDF("kind", "key", "n", "v")
+          flowRows.unionByName(lanes)
+        } finally broker.close()
+      },
+      Some("""SELECT 'flow' AS kind,
+              CAST(CAST(user_id % 2 AS INT) AS VARCHAR) AS key,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS v
+            FROM events GROUP BY 2
+            UNION ALL SELECT 'scram', 'plain_refused', 1, 33
+            UNION ALL SELECT 'scram', 'mech_offered_scram256', 1, 1
+            UNION ALL SELECT 'scram', 'sha512_refused', 1, 33
+            UNION ALL SELECT 'scram', 'bad_password', 1, 58
+            UNION ALL SELECT 'scram', 'bad_password_severed', 1, 1"""),
+      doc = "SCRAM-SHA-256: RFC 5802/7677 challenge-response, mutual " +
+        "auth, PLAIN/SHA-512 refused 33, wrong proof 58 + severed, " +
+        "authenticated executor produce/fetch path")
   )
 }

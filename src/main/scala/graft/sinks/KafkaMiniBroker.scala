@@ -270,9 +270,31 @@ final class KafkaMiniBroker {
   def requireSasl(user: String, pass: String): Unit =
     saslCreds = Some((user, pass))
 
+  /** SCRAM credentials (reference CONFIG-KEYS sasl.mechanisms
+    * SCRAM-SHA-256/512): the broker stores only (salt, i, StoredKey,
+    * ServerKey) — password-derived, never the password. When set
+    * without [[requireSasl]], PLAIN is NOT an enabled mechanism and
+    * its handshake gets 33. */
+  @volatile private var scramCreds
+      : Option[(String, Scram.Credential)] = None
+  def requireScram(user: String, pass: String,
+                   mechanism: String = "SCRAM-SHA-256",
+                   iterations: Int = 4096): Unit = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    scramCreds =
+      Some((user, Scram.credential(mechanism, pass, salt, iterations)))
+  }
+
+  private def enabledMechs: Seq[String] =
+    saslCreds.map(_ => "PLAIN").toSeq ++
+      scramCreds.map(_._2.mechanism).toSeq
+
   private def serve(sock: Socket): Unit = {
     conns.synchronized { conns += sock }
-    var authenticated = saslCreds.isEmpty
+    var authenticated = saslCreds.isEmpty && scramCreds.isEmpty
+    var handshookMech: String = null
+    var scramSrv: Scram.Server = null
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -289,14 +311,37 @@ final class KafkaMiniBroker {
           case 17 =>
             KafkaWire.parseSaslHandshake(payload) match {
               case Some((corr, mech)) =>
+                val ok = enabledMechs.contains(mech)
+                if (ok) { handshookMech = mech; scramSrv = null }
                 KafkaWire.encodeSaslHandshakeResponse(corr,
-                  if (mech == "PLAIN") 0
+                  if (ok) 0
                   else 33, // UNSUPPORTED_SASL_MECHANISM
-                  Seq("PLAIN"))
+                  enabledMechs)
               case None => null
             }
           case 36 =>
             KafkaWire.parseSaslAuthenticate(payload) match {
+              case Some((corr, token))
+                  if handshookMech != null &&
+                    handshookMech.startsWith("SCRAM-") =>
+                if (scramSrv == null) {
+                  val snonce = java.util.UUID.randomUUID().toString
+                    .replace("-", "")
+                  scramSrv = new Scram.Server(
+                    u => scramCreds.collect {
+                      case (su, c) if su == u => c
+                    }, snonce)
+                }
+                scramSrv.step(token) match {
+                  case Right((reply, done)) =>
+                    if (done) authenticated = true
+                    KafkaWire.encodeSaslAuthenticateResponse(corr, 0,
+                      "", reply)
+                  case Left(why) =>
+                    scramSrv = null // conversation is dead; start over
+                    KafkaWire.encodeSaslAuthenticateResponse(corr,
+                      58, why) // SASL_AUTHENTICATION_FAILED
+                }
               case Some((corr, token)) =>
                 // RFC 4616: [authzid] NUL authcid NUL passwd
                 val parts = {
@@ -997,6 +1042,36 @@ object KafkaMiniBroker {
     KafkaWire.decodeSaslAuthenticateResponse(exchange(in, out,
       KafkaWire.encodeSaslAuthenticate(1, "graft_consumer",
         KafkaWire.saslPlainToken(user, pass))))._1
+  }
+
+  /** SCRAM login on an open connection (RFC 5802/7677 over Kafka
+    * SaslAuthenticate frames): handshake the mechanism, then the two
+    * challenge-response round-trips. Returns 0 when BOTH directions
+    * authenticated (the server's v= signature verified), the server's
+    * error code on refusal, or -1 when the server-final signature is
+    * wrong (a broker that doesn't hold ServerKey — MITM posture). */
+  def authenticateScram(in: DataInputStream, out: DataOutputStream,
+                        user: String, pass: String,
+                        mechanism: String = "SCRAM-SHA-256"): Int = {
+    val (herr, mechs) = KafkaWire.decodeSaslHandshakeResponse(
+      exchange(in, out,
+        KafkaWire.encodeSaslHandshake(0, "graft_consumer", mechanism)))
+    require(herr == 0 && mechs.contains(mechanism),
+      s"handshake refused: $herr $mechs")
+    val cnonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cl = new Scram.Client(mechanism, user, pass, cnonce)
+    val (e1, _, serverFirst) =
+      KafkaWire.decodeSaslAuthenticateResponseFull(exchange(in, out,
+        KafkaWire.encodeSaslAuthenticate(1, "graft_consumer",
+          cl.firstMessage)))
+    if (e1 != 0) return e1
+    val (e2, _, serverFinal) =
+      KafkaWire.decodeSaslAuthenticateResponseFull(exchange(in, out,
+        KafkaWire.encodeSaslAuthenticate(2, "graft_consumer",
+          cl.finalMessage(serverFirst))))
+    if (e2 != 0) e2
+    else if (cl.verifyServerFinal(serverFinal)) 0
+    else -1
   }
 
   /** DescribeGroups round trip: coordinator state + full membership

@@ -1555,9 +1555,13 @@ object KafkaWire {
     Some((corr, takeBytes(buf, buf.getInt())))
   } catch { case _: Exception => None }
 
-  /** SaslAuthenticate v0 response: error, message, server bytes. */
+  /** SaslAuthenticate v0 response: error, message, server auth bytes
+    * (PLAIN sends none; SCRAM's server-first / server-final challenges
+    * ride here). */
   def encodeSaslAuthenticateResponse(corr: Int, error: Int,
-                                     message: String): Array[Byte] = {
+                                     message: String,
+                                     authBytes: Array[Byte] =
+                                       Array.emptyByteArray): Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
@@ -1565,7 +1569,7 @@ object KafkaWire {
       val x = s.getBytes("UTF-8"); i16(x.length); b ++= x
     }
     i32(corr); i16(error); str(message)
-    i32(0)                                  // empty server auth bytes
+    i32(authBytes.length); b ++= authBytes
     val out = ByteBuffer.allocate(4 + b.length)
     out.putInt(b.length); out.put(b.toArray); out.array()
   }
@@ -1573,10 +1577,20 @@ object KafkaWire {
   /** Client-side: (error, message). */
   def decodeSaslAuthenticateResponse(payload: Array[Byte])
       : (Int, String) = {
+    val (e, m, _) = decodeSaslAuthenticateResponseFull(payload)
+    (e, m)
+  }
+
+  /** Client-side with the server auth bytes (the SCRAM challenge). */
+  def decodeSaslAuthenticateResponseFull(payload: Array[Byte])
+      : (Int, String, Array[Byte]) = {
     val buf = ByteBuffer.wrap(payload)
     buf.getInt()                            // correlation
     val err = buf.getShort().toInt
-    (err, new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8"))
+    val msg = new String(takeBytes(buf, buf.getShort() & 0xffff), "UTF-8")
+    val ab = if (buf.remaining() >= 4) takeBytes(buf, buf.getInt())
+             else Array.emptyByteArray
+    (err, msg, ab)
   }
 
   // ---- OffsetCommit v1 — generation-FENCED commits ------------------

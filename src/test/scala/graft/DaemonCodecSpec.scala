@@ -871,4 +871,103 @@ class DaemonCodecSpec extends AnyFunSuite {
       assert(c == 1 && a == 2 && f >= 2, s"stats=($c,$a,$f)")
     } finally broker.close()
   }
+
+  test("SCRAM-SHA-256: RFC 7677 §3 official test vector") {
+    import graft.sinks.Scram
+    import java.util.Base64
+    // the RFC's exchange: user/pencil, fixed nonces, salt, i=4096
+    val cnonce = "rOprNGfwEbeRWgbNEkqO"
+    val snonce = "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val cred = Scram.credential("SCRAM-SHA-256", "pencil", salt, 4096)
+    val cl = new Scram.Client("SCRAM-SHA-256", "user", "pencil", cnonce)
+    assert(new String(cl.firstMessage, "UTF-8") ==
+      "n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val srv = new Scram.Server(
+      u => if (u == "user") Some(cred) else None, snonce)
+    val Right((serverFirst, false)) = srv.step(cl.firstMessage)
+    assert(new String(serverFirst, "UTF-8") ==
+      "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    val clientFinal = cl.finalMessage(serverFirst)
+    assert(new String(clientFinal, "UTF-8") ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    val Right((serverFinal, true)) = srv.step(clientFinal)
+    assert(new String(serverFinal, "UTF-8") ==
+      "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    assert(cl.verifyServerFinal(serverFinal))
+  }
+
+  test("SCRAM: wrong password, unknown user, tampered signature, 512") {
+    import graft.sinks.Scram
+    val salt = Array.tabulate[Byte](16)(_.toByte)
+    for (mech <- Seq("SCRAM-SHA-256", "SCRAM-SHA-512")) {
+      val cred = Scram.credential(mech, "right", salt, 1024)
+      def srv() = new Scram.Server(
+        u => if (u == "alice") Some(cred) else None, "SNONCE99")
+      // good run
+      val c1 = new Scram.Client(mech, "alice", "right", "CN1")
+      val s1 = srv()
+      val Right((sf1, false)) = s1.step(c1.firstMessage)
+      val Right((fin1, true)) = s1.step(c1.finalMessage(sf1))
+      assert(c1.verifyServerFinal(fin1))
+      // wrong password: server refuses the proof
+      val c2 = new Scram.Client(mech, "alice", "wrong", "CN2")
+      val s2 = srv()
+      val Right((sf2, false)) = s2.step(c2.firstMessage)
+      assert(s2.step(c2.finalMessage(sf2)).isLeft)
+      // unknown user refused at client-first
+      val c3 = new Scram.Client(mech, "mallory", "right", "CN3")
+      assert(srv().step(c3.firstMessage).isLeft)
+      // tampered server-final signature detected client-side
+      val c4 = new Scram.Client(mech, "alice", "right", "CN4")
+      val s4 = srv()
+      val Right((sf4, false)) = s4.step(c4.firstMessage)
+      val Right((fin4, true)) = s4.step(c4.finalMessage(sf4))
+      val bad = fin4.clone(); bad(bad.length - 5) =
+        (bad(bad.length - 5) ^ 1).toByte
+      assert(!c4.verifyServerFinal(bad))
+      // a server nonce that fails to extend the client's is refused
+      val c5 = new Scram.Client(mech, "alice", "right", "CN5")
+      intercept[IllegalArgumentException] {
+        c5.finalMessage("r=EVIL,s=AAAA,i=1024".getBytes("UTF-8"))
+      }
+    }
+  }
+
+  test("KafkaMiniBroker SCRAM: live challenge-response, PLAIN refused") {
+    import graft.sinks.{KafkaMiniBroker, KafkaWire}
+    val broker = new KafkaMiniBroker
+    val port = broker.start()
+    broker.requireScram("pmacct", "s3cret", "SCRAM-SHA-512")
+    try {
+      // PLAIN handshake refused with 33, SCRAM-SHA-512 advertised
+      val (s1, in1, out1) = KafkaMiniBroker.connect(port)
+      val (he, mechs) = KafkaWire.decodeSaslHandshakeResponse(
+        KafkaMiniBroker.exchange(in1, out1,
+          KafkaWire.encodeSaslHandshake(0, "c", "PLAIN")))
+      assert(he == 33 && mechs == Seq("SCRAM-SHA-512"))
+      s1.close()
+      // full SCRAM login, then an authenticated produce works
+      val (s2, in2, out2) = KafkaMiniBroker.connect(port)
+      assert(KafkaMiniBroker.authenticateScram(in2, out2,
+        "pmacct", "s3cret", "SCRAM-SHA-512") == 0)
+      val acks = KafkaWire.decodeProduceResponse(
+        KafkaMiniBroker.exchange(in2, out2,
+          KafkaWire.encodeProduce(5, "c", Seq(KafkaWire.PartitionBatch(
+            "t", 0, Seq(KafkaWire.Record("k", "v".getBytes)))), 0L)))
+      assert(acks.forall(_._3 == 0))
+      s2.close()
+      // wrong password refused with 58; connection dead afterwards
+      val (s3, in3, out3) = KafkaMiniBroker.connect(port)
+      assert(KafkaMiniBroker.authenticateScram(in3, out3,
+        "pmacct", "nope", "SCRAM-SHA-512") == 58)
+      intercept[java.io.IOException] {
+        KafkaMiniBroker.exchange(in3, out3,
+          KafkaWire.encodeListGroups(9, "c"))
+      }
+      s3.close()
+    } finally broker.close()
+  }
 }
