@@ -494,7 +494,191 @@ object SigRules {
         val ver = ((h(16) & 0xffL) << 24) | ((h(17) & 0xffL) << 16) |
           ((h(18) & 0xffL) << 8) | (h(19) & 0xffL)
         ver == 4L || ver == 5L
-      }))
+      }),
+    // RTCP XR (RFC 3611): V=2, PT=207, RTCP self-length, first report
+    // block type 1..7 whose own u16 block length fits the packet
+    "rtcp_xr" -> (h => h.length >= 16 && (h(0) & 0xc0) == 0x80 &&
+      (h(1) & 0xff) == 207 &&
+      ((((h(2) & 0xff) << 8) | (h(3) & 0xff)) + 1) * 4 == h.length && {
+        val bt = h(8) & 0xff
+        val bl = ((h(10) & 0xff) << 8) | (h(11) & 0xff)
+        bt >= 1 && bt <= 7 && 12 + bl * 4 <= h.length
+      }),
+    // QUIC Retry (RFC 9000 §17.2.5): long header type 3, known
+    // version, valid CID lengths, >=1 token byte, 16-byte integrity tag
+    "quic_retry" -> (h => h.length >= 24 && (h(0) & 0xf0) == 0xf0 && {
+      val v = ((h(1) & 0xffL) << 24) | ((h(2) & 0xffL) << 16) |
+        ((h(3) & 0xffL) << 8) | (h(4) & 0xffL)
+      (v == 1L || v == 0x6b3343cfL ||
+        (v & 0xffffff00L) == 0xff000000L) && {
+        val dl = h(5) & 0xff
+        dl <= 20 && h.length >= 7 + dl && {
+          val sl = h(6 + dl) & 0xff
+          sl <= 20 && h.length >= 7 + dl + sl + 17
+        }
+      }
+    }),
+    // S7comm (ISO-on-TCP industrial): TPKT v3 self-length, COTP DT
+    // (li 2, 0xF0, EOT), S7 protocol id 0x32, ROSCTR job/ack/
+    // ack-data/userdata
+    "s7comm" -> (h => h.length >= 17 && (h(0) & 0xff) == 3 &&
+      h(1) == 0 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length &&
+      (h(4) & 0xff) == 2 && (h(5) & 0xff) == 0xf0 &&
+      (h(6) & 0xff) == 0x80 && (h(7) & 0xff) == 0x32 &&
+      Set(1, 2, 3, 7).contains(h(8) & 0xff)),
+    // EtherNet/IP encapsulation: LE command from the defined set,
+    // LE length == payload - 24-byte header, status 0
+    "enip" -> (h => h.length >= 24 && {
+      val cmd = (h(0) & 0xff) | ((h(1) & 0xff) << 8)
+      val len = (h(2) & 0xff) | ((h(3) & 0xff) << 8)
+      val status = (h(8) & 0xff) | ((h(9) & 0xff) << 8) |
+        ((h(10) & 0xff) << 16) | ((h(11) & 0xff) << 24)
+      Set(0x01, 0x04, 0x63, 0x64, 0x65, 0x66, 0x6f, 0x70, 0x72)
+        .contains(cmd) && len == h.length - 24 && status == 0
+    }),
+    // Oracle TNS CONNECT: u16 BE packet length == payload, packet
+    // checksum 0, type 1, TNS version >= 0x134 opening the data
+    "tns" -> (h => h.length >= 16 &&
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)) == h.length &&
+      h(2) == 0 && h(3) == 0 && (h(4) & 0xff) == 1 &&
+      (((h(8) & 0xff) << 8) | (h(9) & 0xff)) >= 0x134),
+    // VRRP v2/v3 (RFC 3768/5798 §5.1): type 1 (advertisement), VRID
+    // nonzero, count nonzero, exact v4-address tiling; v2 pins the
+    // auth type to the defined 0..2, v3 the reserved rsvd bits to 0
+    "vrrp" -> (h => h.length >= 8 && (h(0) & 0x0f) == 1 && {
+      val ver = (h(0) >> 4) & 0x0f
+      val count = h(3) & 0xff
+      (h(1) & 0xff) >= 1 && count >= 1 && h.length == 8 + 4 * count &&
+        (if (ver == 2) (h(4) & 0xff) <= 2
+         else ver == 3 && (h(4) & 0xf0) == 0)
+    }),
+    // Thrift strict binary (THRIFT-110 versioned wire): 0x8001,
+    // message type 1..4, sane i32 length + printable method name;
+    // framed variant = i32 frame length then the same
+    "thrift" -> { h =>
+      def strict(o: Int): Boolean =
+        h.length >= o + 8 && (h(o) & 0xff) == 0x80 &&
+          (h(o + 1) & 0xff) == 0x01 && (h(o + 2) & 0xff) == 0 &&
+          (h(o + 3) & 0xff) >= 1 && (h(o + 3) & 0xff) <= 4 && {
+            val nl = ((h(o + 4) & 0xff) << 24) |
+              ((h(o + 5) & 0xff) << 16) |
+              ((h(o + 6) & 0xff) << 8) | (h(o + 7) & 0xff)
+            nl >= 1 && nl <= 128 && h.length >= o + 8 + nl &&
+              (0 until nl).forall { i =>
+                val c = h(o + 8 + i) & 0xff; c >= 0x21 && c <= 0x7e
+              }
+          }
+      strict(0) || (h.length >= 12 && {
+        val fl = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
+          ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        fl == h.length - 4 && strict(4)
+      })
+    },
+    // Minecraft handshake (public protocol doc): varint frame length
+    // tiling the payload exactly, packet id 0, varint protocol
+    // version, printable varint-prefixed hostname, u16 port, next
+    // state 1 (status) or 2 (login) closing the frame
+    "minecraft" -> { h =>
+      def varint(i0: Int): (Int, Int) = {
+        var i = i0; var v = 0; var sh = 0
+        while (i < h.length && sh <= 28) {
+          val b = h(i) & 0xff
+          v |= (b & 0x7f) << sh; sh += 7; i += 1
+          if ((b & 0x80) == 0) return (v, i)
+        }
+        (-1, i)
+      }
+      h.length >= 10 && {
+        val (flen, i1) = varint(0)
+        flen >= 7 && i1 + flen == h.length && h(i1) == 0 && {
+          val (pv, i2) = varint(i1 + 1)
+          pv >= 4 && pv < 4096 && {
+            val (hl, i3) = varint(i2)
+            hl >= 1 && hl <= 255 && i3 + hl + 3 == h.length &&
+              (0 until hl).forall { k =>
+                val c = h(i3 + k) & 0xff; c >= 0x21 && c <= 0x7e
+              } && {
+                val ns = h(h.length - 1) & 0xff
+                ns == 1 || ns == 2
+              }
+          }
+        }
+      }
+    },
+    // SSRP (MS-SQLR §2.2.2) CLNT_UCAST_INST: 0x04 + printable
+    // instance name, 1..255 bytes total
+    "ssrp" -> (h => h.length >= 2 && h.length <= 256 &&
+      (h(0) & 0xff) == 4 &&
+      (1 until h.length).forall { i =>
+        val c = h(i) & 0xff; c >= 0x20 && c <= 0x7e
+      }),
+    // IBM MQ TSH: eyecatcher, u32 segment length == payload in the
+    // declared byte order (1 big / 2 little), segment type 1..0x10
+    "ibmmq" -> (h => h.length >= 12 && h(0) == 'T' && h(1) == 'S' &&
+      h(2) == 'H' && h(3) == ' ' && {
+        val bo = h(8) & 0xff
+        val len =
+          if (bo == 2)
+            (h(4) & 0xff) | ((h(5) & 0xff) << 8) |
+              ((h(6) & 0xff) << 16) | ((h(7) & 0xff) << 24)
+          else
+            ((h(4) & 0xff) << 24) | ((h(5) & 0xff) << 16) |
+              ((h(6) & 0xff) << 8) | (h(7) & 0xff)
+        (bo == 1 || bo == 2) && len == h.length &&
+          (h(9) & 0xff) >= 1 && (h(9) & 0xff) <= 0x10
+      }),
+    // LLDP (IEEE 802.1AB §8): the mandatory TLV opening — Chassis ID
+    // (1), Port ID (2), TTL (3) in order; 7-bit type + 9-bit length
+    "lldp" -> { h =>
+      var i = 0
+      var idx = 0
+      var ok = h.length >= 8
+      val want = Array(1, 2, 3)
+      while (ok && idx < 3) {
+        if (i + 2 > h.length) ok = false
+        else {
+          val t = (h(i) >> 1) & 0x7f
+          val l = ((h(i) & 1) << 8) | (h(i + 1) & 0xff)
+          if (t != want(idx) || l < 1 || i + 2 + l > h.length)
+            ok = false
+          else { i += 2 + l; idx += 1 }
+        }
+      }
+      ok
+    },
+    // Erlang epmd PORT_PLEASE2_REQ: u16 BE length == payload-2,
+    // opcode 'z' (122), printable node name
+    "epmd" -> (h => h.length >= 5 &&
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)) == h.length - 2 &&
+      (h(2) & 0xff) == 122 &&
+      (3 until h.length).forall { i =>
+        val c = h(i) & 0xff; c >= 0x21 && c <= 0x7e
+      }),
+    // Wake-on-LAN magic packet: 6×0xFF then 16 repetitions of the MAC
+    "wol" -> (h => h.length >= 102 &&
+      (0 until 6).forall(i => (h(i) & 0xff) == 0xff) &&
+      (1 until 16).forall(r =>
+        (0 until 6).forall(i => h(6 + r * 6 + i) == h(6 + i)))),
+    // FIX (Financial Information eXchange): BeginString tag, SOH,
+    // then the BodyLength tag 9= — the mandated first two fields
+    "fix" -> (h => h.length >= 12 && h(0) == '8' && h(1) == '=' &&
+      h(2) == 'F' && h(3) == 'I' && h(4) == 'X' && {
+        val soh = h.indexWhere(_ == 1, 5)
+        soh > 5 && soh + 2 < h.length && h(soh + 1) == '9' &&
+          h(soh + 2) == '='
+      }),
+    // 9P2000 Tversion: u32 LE size == payload, type 100, NOTAG,
+    // version string counted-prefixed and opening "9P"
+    "ninep" -> (h => h.length >= 19 && {
+      val size = (h(0) & 0xffL) | ((h(1) & 0xffL) << 8) |
+        ((h(2) & 0xffL) << 16) | ((h(3) & 0xffL) << 24)
+      size == h.length && (h(4) & 0xff) == 100 &&
+        (h(5) & 0xff) == 0xff && (h(6) & 0xff) == 0xff && {
+          val vl = (h(11) & 0xff) | ((h(12) & 0xff) << 8)
+          13 + vl == h.length && vl >= 6 && h(13) == '9' && h(14) == 'P'
+        }
+    }))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -539,12 +723,24 @@ object SigRules {
     Rule("irc", Seq(Ascii("NICK "))),
     Rule("amqp", Seq(Ascii("AMQP"), B(4, 0x00))),
     Rule("rsync", Seq(Ascii("@RSYNCD:"))),
+    // NBD server greeting (oldstyle and newstyle both open with it)
+    Rule("nbd", Seq(Ascii("NBDMAGIC"))),
     Rule("nats", Seq(AnyOf(Seq(Seq(Ascii("CONNECT {")),
       Seq(Ascii("INFO {")))))),
     Rule("memcached", Seq(AnyOf(Seq(Seq(Ascii("get ")), Seq(Ascii("set ")),
       Seq(Ascii("stats\r\n")))))),
     Rule("redis", Seq(B(0, '*'), MinLen(4),
       AnyOf((1 to 9).map(d => Seq(B(1, '0' + d)): Seq[Pred])))),
+    // ZooKeeper four-letter admin words — exact-length frames, so they
+    // cannot shadow any longer ASCII family
+    Rule("zookeeper", Seq(LenIs(4), AnyOf(Seq(Seq(Ascii("ruok")),
+      Seq(Ascii("mntr")), Seq(Ascii("srvr")), Seq(Ascii("conf")))))),
+    // NSQ magic: two spaces + protocol version
+    Rule("nsq", Seq(LenIs(4), Ascii("  V2"))),
+    // FIX: BeginString + SOH + BodyLength — the mandated field order
+    Rule("fix", Seq(Heur("fix"))),
+    // IBM MQ TSH eyecatcher + byte-order-aware segment self-length
+    Rule("ibmmq", Seq(Heur("ibmmq"))),
     Rule("rdp", Seq(MinLen(7), B(0, 3), B(1, 0), B(5, 0xE0))),
     Rule("ssdp", Seq(AnyOf(Seq(Seq(Ascii("M-SEARCH ")),
       Seq(Ascii("NOTIFY * ")))))),
@@ -557,6 +753,11 @@ object SigRules {
     Rule("postgres", Seq(Heur("postgres"))),
     Rule("ldap", Seq(Heur("ldap"))),
     Rule("kerberos", Seq(Heur("kerberos"))),
+    // S7comm MUST precede radius: TPKT's u16 self-length sits at the
+    // same bytes 2..3 and its version byte 3 is RADIUS code 3 — the
+    // COTP/S7 walk is the specialization (it also precedes h323, the
+    // other TPKT rider, pinning COTP DT 0xF0 vs Q.931's 0x08)
+    Rule("s7comm", Seq(Heur("s7comm"))),
     // diameter and ospf MUST precede radius: all three carry a
     // self-length at bytes 2..3 and overlap on the first byte
     // (RADIUS codes 1/2 == Diameter version / OSPF version)
@@ -631,11 +832,21 @@ object SigRules {
     Rule("bgp", Seq(Heur("bgp"))),
     Rule("dnp3", Seq(Heur("dnp3"))),
     Rule("modbus", Seq(Heur("modbus"))),
+    // EtherNet/IP: LE command set + LE self-length, the industrial
+    // sibling of modbus
+    Rule("enip", Seq(Heur("enip"))),
     Rule("ike", Seq(Heur("ike"))),
     // before rtcp/rtp: an SRT control packet's 0x80 first byte
     // satisfies RTP's loose V=2 check (PT 0 = PCMU); the 0x8000
     // control type + CIF version pin it first
     Rule("srt", Seq(Heur("srt"))),
+    // before rtp for the same reason as srt: a strict-binary Thrift
+    // frame's 0x80 first byte satisfies RTP's loose V=2 check, and the
+    // printable-method-name walk is the far stronger signal
+    Rule("thrift", Seq(Heur("thrift"))),
+    // XR (PT 207) before the PT 200..204 sender/receiver-report rule —
+    // disjoint PT values, the specialization reads better first
+    Rule("rtcp_xr", Seq(Heur("rtcp_xr"))),
     Rule("rtcp", Seq(Heur("rtcp"))),
     Rule("rtp", Seq(Heur("rtp"))), // after rtcp: PT ranges disjoint
     Rule("l2tp", Seq(Heur("l2tp"))),
@@ -666,6 +877,10 @@ object SigRules {
     // TDS prelogin: type 0x12, status EOM, u16 BE length == packet
     Rule("mssql", Seq(MinLen(9), B(0, 0x12), B(1, 0x01),
       U16SelfLen(2, 0))),
+    // the SQL-Server discovery sidecar: 0x04 + printable instance
+    Rule("ssrp", Seq(Heur("ssrp"))),
+    // Oracle TNS CONNECT: BE self-length + type 1 + version floor
+    Rule("tns", Seq(Heur("tns"))),
     // AJP13 request: 0x12 0x34 magic + u16 data length == packet-4
     Rule("ajp", Seq(MinLen(6), B(0, 0x12), B(1, 0x34),
       U16SelfLen(2, 4))),
@@ -687,8 +902,22 @@ object SigRules {
     // in 0xFB..0xFE, so the all-ones head never lands there)
     Rule("steam", Seq(B(0, 0xff), B(1, 0xff), B(2, 0xff), B(3, 0xff),
       Ascii("TSource Engine Query", off = 4))),
+    // the Quake-3-lineage OOB commands share steam's all-ones head
+    Rule("quake", Seq(B(0, 0xff), B(1, 0xff), B(2, 0xff), B(3, 0xff),
+      AnyOf(Seq(Seq(Ascii("getstatus", off = 4)),
+        Seq(Ascii("getinfo", off = 4)),
+        Seq(Ascii("getchallenge", off = 4)),
+        Seq(Ascii("rcon ", off = 4)))))),
+    // WOL also opens all-ones; the 16×MAC repetition is the pin
+    Rule("wol", Seq(Heur("wol"))),
+    // Minecraft handshake: strict varint frame walk (cannot shadow
+    // mqtt — the frame length must tile the payload exactly)
+    Rule("minecraft", Seq(Heur("minecraft"))),
     Rule("dcerpc", Seq(Heur("dcerpc"))),
     Rule("mongodb", Seq(Heur("mongodb"))),
+    // 9P Tversion shares mongodb's LE self-length; type/NOTAG/"9P"
+    // pins keep the two disjoint at byte 4 onward
+    Rule("ninep", Seq(Heur("ninep"))),
     Rule("cassandra", Seq(Heur("cassandra"))),
     Rule("kafka", Seq(Heur("kafka"))),
     Rule("smpp", Seq(Heur("smpp"))),
@@ -708,6 +937,11 @@ object SigRules {
     Rule("babel", Seq(Heur("babel"))),
     Rule("pptp_gre", Seq(Heur("pptp_gre"))),
     Rule("hsrp", Seq(Heur("hsrp"))),
+    Rule("vrrp", Seq(Heur("vrrp"))),
+    // LLDP's mandatory chassis/port/TTL TLV walk
+    Rule("lldp", Seq(Heur("lldp"))),
+    // Erlang epmd port-please: u16 self-length + 'z' + node name
+    Rule("epmd", Seq(Heur("epmd"))),
     // the flow-telemetry protocols this engine itself decodes: the
     // self-length forms (v5, IPFIX) precede the weaker v9 count check
     Rule("netflow5", Seq(Heur("netflow5"))),
@@ -717,6 +951,10 @@ object SigRules {
     Rule("bmp", Seq(Heur("bmp"))),
     Rule("zeromq", Seq(Heur("zeromq"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
+    // Retry before the generic long-header rule: a Retry packet IS a
+    // valid QUIC long header — the type-3 + integrity-tag shape is the
+    // specialization (RFC 9000 §17.2.5)
+    Rule("quic_retry", Seq(Heur("quic_retry"))),
     Rule("quic", Seq(Heur("quic"))),
     // TURN before stun: a TURN message IS a STUN frame with a
     // TURN-allocated method — the specialization must win
@@ -1258,6 +1496,86 @@ object SigRules {
         Array[Byte](0, 0, 0x65, 0x58) ++
           Array[Byte]((s % 100).toByte, (s % 50).toByte, 1, 0) ++
           Array.fill[Byte](14)((s % 11).toByte)
+      case "rtcp_xr" => // XR with one receiver-reference-time block
+        Array[Byte](0x80.toByte, 0xcf.toByte, 0, 4, // len 4 → 20 bytes
+          (s % 100).toByte, (s % 90).toByte, 0, 1,  // SSRC
+          4, 0, 0, 2,                               // BT 4, len 2
+          0, 0, (s % 80).toByte, 0, 0, 0, 0, 1)     // NTP timestamp
+      case "quic_retry" =>
+        Array[Byte]((0xf0 | (s % 16)).toByte, 0, 0, 0, 1, // v1
+          8) ++ Array.fill[Byte](8)((s % 97).toByte) ++   // DCID
+          Array[Byte](8) ++ Array.fill[Byte](8)((s % 89).toByte) ++
+          s"tok$s".take(6).getBytes ++                    // retry token
+          Array.fill[Byte](16)((s % 83).toByte)           // integrity tag
+      case "s7comm" => // job setup-communication, exact TPKT tiling
+        val par = Array[Byte](0xf0.toByte, 0, 0, 1, 0, 1, 1, 0xe0.toByte)
+        Array[Byte](3, 0, 0, (17 + par.length).toByte,
+          2, 0xf0.toByte, 0x80.toByte,
+          0x32, 1, 0, 0, (s % 100).toByte, (s % 90).toByte,
+          0, par.length.toByte, 0, 0) ++ par
+      case "enip" => // RegisterSession: LE cmd 0x65, LE len 4, status 0
+        Array[Byte](0x65, 0, 4, 0,
+          (s % 100).toByte, (s % 90).toByte, 0, 0,  // session handle
+          0, 0, 0, 0) ++                            // status 0
+          Array.fill[Byte](8)((s % 11).toByte) ++   // sender context
+          Array[Byte](0, 0, 0, 0,                   // options 0
+            1, 0, 0, 0)                             // proto ver 1, opts
+      case "tns" => // CONNECT, version 0x136, NUL-padded connect data
+        val body = Array[Byte](1, 0x36, 1, 0x2c, 0, 0, 0x08, 0,
+          0x7f, 0xff.toByte) ++
+          s"(DESCRIPTION=(CID=c$s))".getBytes
+        Array[Byte](((body.length + 8) >> 8).toByte,
+          ((body.length + 8) & 0xff).toByte, 0, 0, 1, 0,
+          (s % 100).toByte, (s % 90).toByte) ++ body
+      case "vrrp" => // v2 advertisement, one virtual address
+        Array[Byte](0x21, (1 + s % 254).toByte, (s % 120).toByte, 1,
+          0, 1, (s % 100).toByte, (s % 90).toByte,
+          10, (s % 250).toByte, (s % 240).toByte, 1)
+      case "thrift" => // strict-binary CALL of method "ping" + seqid
+        Array[Byte](0x80.toByte, 1, 0, 1, 0, 0, 0, 4) ++
+          "ping".getBytes ++
+          Array[Byte](0, 0, (s % 100).toByte, (s % 90).toByte)
+      case "minecraft" => // status handshake to mc.example
+        val host = "mc.example".getBytes
+        val body = Array[Byte](0,                      // packet id
+            0xfb.toByte, 5,                            // proto 763
+            host.length.toByte) ++ host ++
+          Array[Byte](0x63, 0xdd.toByte, 1)            // port, status
+        Array[Byte](body.length.toByte) ++ body
+      case "ssrp" => (4.toByte +: s"SQL$s".getBytes.toSeq).toArray
+      case "ibmmq" => // big-endian TSH, INITIAL_DATA segment
+        val tail = Array.fill[Byte](18)((s % 29).toByte)
+        "TSH ".getBytes ++
+          Array[Byte](0, 0, 0, (10 + tail.length).toByte, 1, 1) ++ tail
+      case "lldp" => // chassis(MAC) + port(ifName) + TTL 120 + end
+        val mac = Array.tabulate[Byte](6)(i => ((s + i) % 97).toByte)
+        Array[Byte](0x02, 7, 4) ++ mac ++
+          Array[Byte](0x04, 4, 5) ++ s"e$s".padTo(3, 'x').take(3).getBytes ++
+          Array[Byte](0x06, 2, 0, 0x78, 0, 0)
+      case "epmd" => // PORT_PLEASE2_REQ for a seed-varied node
+        val node = s"node$s@h".getBytes
+        Array[Byte](0, (node.length + 1).toByte, 122) ++ node
+      case "wol" =>
+        val mac = Array.tabulate[Byte](6)(i => ((s + 7 * i) % 251).toByte)
+        Array.fill[Byte](6)(0xff.toByte) ++
+          Array.tabulate[Byte](96)(i => mac(i % 6))
+      case "fix" =>
+        s"8=FIX.4.2\u00019=42\u000135=A\u000149=c$s\u000156=srv\u0001"
+          .getBytes
+      case "zookeeper" =>
+        Seq("ruok", "mntr", "srvr", "conf")((s % 4).toInt).getBytes
+      case "nsq" => "  V2".getBytes
+      case "nbd" => "NBDMAGIC".getBytes ++
+        "IHAVEOPT".getBytes ++ Array[Byte](0, (s % 120).toByte)
+      case "ninep" => // Tversion NOTAG msize 8192 "9P2000"
+        val ver = "9P2000".getBytes
+        val size = 13 + ver.length
+        Array[Byte](size.toByte, 0, 0, 0, 100, 0xff.toByte, 0xff.toByte,
+          0, 0x20, 0, 0, ver.length.toByte, 0) ++ ver
+      case "quake" =>
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+          Seq("getstatus", "getinfo x", "getchallenge",
+            s"rcon p$s status")((s % 4).toInt).getBytes
       case other => s"?$other$s".getBytes
     }
   }
