@@ -903,4 +903,118 @@ class StateSpec extends AnyFunSuite {
     assert(secs < 60.0, f"10x soak took $secs%.1f s — state machine " +
       "cost is no longer linear in cycles")
   }
+
+  // The SPARK-side twin of the two soak tests above (VERDICT r10 #4):
+  // the reference's 208/305 leak checks gate the DAEMON's RSS under
+  // repeated identical load (208_test.py memory_utilization_max_MiB);
+  // the engine's RSS analog is the streaming STATE STORE. Keyed by
+  // (router, prefix) — the RIB shape a collector holds — six identical
+  // announce cycles must leave StateOperatorProgress.numRowsTotal flat
+  // (an upsert, never an append) and the provider's reported state
+  // memory bounded (versions are retained, so "bounded", not "equal").
+  test("mem-leak analogs through Spark state stores: rows flat, " +
+    "memory bounded across 6 identical cycles (tests 208 + 305)") {
+    import graft.operators.GoldenReplay
+    import graft.sources.{BgpMsg, BmpMsg, Pcap}
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val T = "/root/reference/tests"
+
+    def attrsOf(u: BgpMsg.Update): Long =
+      (u.origin, u.asPath, u.nextHop, u.nextHop6, u.med, u.localPref,
+        u.communities, u.largeCommunities).hashCode().toLong
+    def rows(router: String, u: BgpMsg.Update)
+        : Seq[(String, String, Long, Boolean)] = {
+      val a = attrsOf(u)
+      u.nlri.map(r => (router, s"4:$r", a, false)) ++
+        u.nlri6.map(r => (router, s"6:$r", a, false)) ++
+        // VPN/labeled keys EXCLUDE the label: a withdraw carries the
+        // 0x800000 marker there, and must still remove the announce's
+        // entry (the (afi, safi, rd, prefix) key bgpRibRows also uses)
+        u.nlriVpn.map(r => (router,
+          s"v4:${r.rdType}:${r.rdAdmin}:${r.rdVal}:${r.prefix}/${r.plen}",
+          a, false)) ++
+        u.nlriVpn6.map(r => (router,
+          s"v6:${r.rdType}:${r.rdAdmin}:${r.rdVal}:${r.hi}:${r.lo}/${r.plen}",
+          a, false)) ++
+        u.nlriLab.map(r => (router, s"l4:${r.prefix}/${r.plen}", a,
+          false)) ++
+        u.nlriLab6.map(r => (router, s"l6:${r.hi}:${r.lo}/${r.plen}", a,
+          false)) ++
+        u.withdrawn.map(r => (router, s"4:$r", 0L, true)) ++
+        u.withdrawn6.map(r => (router, s"6:$r", 0L, true)) ++
+        u.withdrawnVpn.map(r => (router,
+          s"v4:${r.rdType}:${r.rdAdmin}:${r.rdVal}:${r.prefix}/${r.plen}",
+          0L, true)) ++
+        u.withdrawnVpn6.map(r => (router,
+          s"v6:${r.rdType}:${r.rdAdmin}:${r.rdVal}:${r.hi}:${r.lo}/${r.plen}",
+          0L, true)) ++
+        u.withdrawnLab.map(r => (router, s"l4:${r.prefix}/${r.plen}", 0L,
+          true)) ++
+        u.withdrawnLab6.map(r => (router, s"l6:${r.hi}:${r.lo}/${r.plen}",
+          0L, true))
+    }
+
+    // 208: BMP route-monitoring per router (TCP port 1790)
+    val bmpLoad = GoldenReplay.tcpReassembleBySrc(
+      Pcap.read(Files.readAllBytes(Paths.get(s"$T/208-BMP-mem-leak-test/" +
+        "bmp-multi-sources-route-monitoring.pcap"))), dport = 1790)
+      .flatMap { case (src, stream) =>
+        BmpMsg.decodeStream(stream).collect {
+          case BmpMsg.RouteMonitoring(peer, u) =>
+            rows(s"bmp/$src/${peer.peerAddr}", u)
+        }.flatten
+      }
+    // 305: raw BGP updates per router (TCP port 179)
+    val bgpLoad = GoldenReplay.tcpReassembleBySrc(
+      Pcap.read(Files.readAllBytes(Paths.get(s"$T/305-BGP-mem-leak-test/" +
+        "bgp-multi-sources-update-keepalive.pcap"))), dport = 179)
+      .flatMap { case (src, stream) =>
+        BgpMsg.decodeStream(stream).flatMap(u => rows(s"bgp/$src", u))
+      }
+    val load = (bmpLoad ++ bgpLoad).toSeq
+    assert(load.nonEmpty && load.exists(!_._4))
+    assert(load.exists(_._1.startsWith("bmp/")) &&
+      load.exists(_._1.startsWith("bgp/")))
+
+    val mem = MemoryStream[(String, String, Long, Boolean)](spark)
+    val rib = mem.toDS()
+      .groupByKey { case (router, prefix, _, _) => (router, prefix) }
+      .flatMapGroupsWithState[Long, Int](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (_: (String, String),
+         it: Iterator[(String, String, Long, Boolean)],
+         st: GroupState[Long]) =>
+          it.foreach { case (_, _, attrs, withdraw) =>
+            if (withdraw) { if (st.exists) st.remove() }
+            else st.update(attrs)
+          }
+          Iterator.single(1)
+      }
+    val q = rib.writeStream.format("memory").queryName("rib_soak")
+      .outputMode("update").start()
+    val rowTotals = scala.collection.mutable.Buffer[Long]()
+    val memBytes = scala.collection.mutable.Buffer[Long]()
+    try {
+      for (_ <- 0 until 6) {
+        mem.addData(load)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty)
+        rowTotals += so(0).numRowsTotal
+        memBytes += so(0).memoryUsedBytes
+      }
+    } finally q.stop()
+    // rows: FLAT and nonzero — a leak (append instead of upsert, or a
+    // cycle-dependent key) grows this every cycle
+    assert(rowTotals.distinct.size == 1 && rowTotals.head > 0,
+      s"state rows not flat: $rowTotals")
+    // memory: bounded — the provider retains a version window, so the
+    // honest assertion is no-growth-trend, not equality
+    assert(memBytes.max <= math.max(memBytes.min, 1L) * 3,
+      s"state memory grows: $memBytes")
+    assert(memBytes.last <= memBytes.head * 2,
+      s"state memory trend: $memBytes")
+  }
 }
