@@ -914,6 +914,89 @@ object MultimodalQueries {
       doc = "TIFF 6.0 encode/decode: IFD + strips + PackBits + " +
         "TIFF-LZW + predictor, bit-exact on arbitrary pixels"),
 
+    // The TIFF WIDTH axis (VERDICT r10 #5): 16-bit samples and the
+    // BigTIFF (version 43) container — 8-byte offsets, 20-byte IFD
+    // entries, LONG8 strip arrays — cycled against the classic layout
+    // on the same corpus. Each doc picks bits from doc_id%2, container
+    // from (doc_id DIV 2)%2 and compression from doc_id%3; the decoded
+    // samples (big-endian-normalized u16s for 16-bit) reconcile per
+    // (bits, container, channel) against the generator arithmetic, so
+    // a byte-order slip, a mis-sized IFD entry or a truncated LONG8
+    // array shifts a group sum. 16-bit lanes are ImageIO
+    // cross-validated in TiffSpec; BigTIFF structure is pinned there
+    // too (the JDK plugin reads only classic TIFF).
+    Q("q303_tiff_wide",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = (4 + id % 5).toInt
+            val h = (3 + id % 4).toInt
+            val ch = (1 + id % 3).toInt
+            val bits = if (id % 2 == 0) 8 else 16
+            val big = (id / 2) % 2 == 1
+            val m = if (bits == 8) 256 else 65536
+            val bs = bits / 8
+            val px = new Array[Byte](w * h * ch * bs)
+            for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+              val v = ((id * (c + 3) + x * 23 + y * 37) % m).toInt
+              val o = ((y * w + x) * ch + c) * bs
+              if (bs == 1) px(o) = (v & 0xff).toByte
+              else {
+                px(o) = ((v >> 8) & 0xff).toByte
+                px(o + 1) = (v & 0xff).toByte
+              }
+            }
+            val comp = (id % 3) match {
+              case 0 => Tiff.CompNone
+              case 1 => Tiff.CompPackBits
+              case _ => Tiff.CompLzw
+            }
+            val bytes = Tiff.encode(Tiff.Image(w, h, ch, px, bits),
+              comp, rowsPerStrip = (2 + id % 3).toInt, big = big)
+            require((bytes(2) & 0xff) == (if (big) 43 else 42))
+            val back = Tiff.decode(bytes).get
+            require(back.bits == bits && back.width == w &&
+              back.height == h && back.channels == ch)
+            (0 until h).iterator.flatMap { y =>
+              (0 until w).iterator.flatMap { x =>
+                (0 until ch).iterator.map { c =>
+                  val o = ((y * w + x) * ch + c) * bs
+                  val v =
+                    if (bs == 1) (back.pixels(o) & 0xff).toLong
+                    else (((back.pixels(o) & 0xff) << 8) |
+                      (back.pixels(o + 1) & 0xff)).toLong
+                  (bits.toLong, (id / 2) % 2, c.toLong, v)
+                }
+              }
+            }
+          })
+          .toDF("bits", "big", "channel", "v")
+          .groupBy("bits", "big", "channel")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("sum_v"))
+      },
+      Some("""WITH px AS (SELECT
+                CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+                (doc_id // 2) % 2 AS big,
+                c AS channel,
+                (doc_id * (c + 3) + x * 23 + y * 37) %
+                  (CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 65536 END) AS v
+              FROM documents,
+                unnest(generate_series(0, CAST(3 + doc_id % 4 - 1 AS BIGINT)))
+                  AS gy(y),
+                unnest(generate_series(0, CAST(4 + doc_id % 5 - 1 AS BIGINT)))
+                  AS gx(x),
+                unnest(generate_series(0, CAST(1 + doc_id % 3 - 1 AS BIGINT)))
+                  AS gc(c))
+            SELECT CAST(bits AS BIGINT) AS bits,
+              CAST(big AS BIGINT) AS big, channel,
+              count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v
+            FROM px GROUP BY 1, 2, 3"""),
+      doc = "16-bit samples + BigTIFF container cycled vs classic " +
+        "8-bit: byte-order-normalized samples reconcile per lane"),
+
     // MP3 frame-header walk (multimodal/Mp3): audio METADATA without
     // audio decode — ID3v2 skip (syncsafe size), chained frame lengths
     // from the public bitrate/samplerate tables, per-frame padding,

@@ -23,8 +23,11 @@ import scala.collection.mutable
   */
 object Tiff {
 
+  /** `bits` ∈ {8, 16}; 16-bit samples travel BIG-ENDIAN in `pixels`
+    * regardless of the container's byte order (the decoder normalizes,
+    * the encoder swaps on write). */
   final case class Image(width: Int, height: Int, channels: Int,
-                         pixels: Array[Byte])
+                         pixels: Array[Byte], bits: Int = 8)
 
   val CompNone = 1
   val CompLzw = 5
@@ -244,16 +247,24 @@ object Tiff {
 
   /** Little-endian TIFF with `rowsPerStrip`-row strips. `predictor`
     * applies horizontal differencing (only meaningful under LZW, where
-    * the spec defines tag 317). */
+    * the spec defines tag 317; 8-bit only — the spec differences per
+    * SAMPLE, this codec per byte). `big` writes the BigTIFF (version
+    * 43) layout: 8-byte offsets, 20-byte IFD entries, LONG8 strip
+    * arrays. 16-bit samples write little-endian (swapped from the
+    * canonical big-endian [[Image]] order). */
   def encode(img: Image, compression: Int = CompNone,
              predictor: Boolean = false,
-             rowsPerStrip: Int = 8): Array[Byte] = {
+             rowsPerStrip: Int = 8,
+             big: Boolean = false): Array[Byte] = {
     require(img.channels >= 1 && img.channels <= 4)
-    require(img.pixels.length == img.width * img.height * img.channels)
-    require(!predictor || compression == CompLzw,
-      "predictor is a TIFF-LZW feature")
+    require(img.bits == 8 || img.bits == 16)
+    val bs = img.bits / 8
+    require(img.pixels.length ==
+      img.width * img.height * img.channels * bs)
+    require(!predictor || (compression == CompLzw && img.bits == 8),
+      "predictor is an 8-bit TIFF-LZW feature here")
     val ch = img.channels
-    val rowBytes = img.width * ch
+    val rowBytes = img.width * ch * bs
     val nStrips = math.max(1,
       (img.height + rowsPerStrip - 1) / rowsPerStrip)
     val strips = (0 until nStrips).map { s =>
@@ -263,6 +274,13 @@ object Tiff {
       (y0 until y1).foreach { y =>
         val src = java.util.Arrays.copyOfRange(img.pixels,
           y * rowBytes, (y + 1) * rowBytes)
+        if (bs == 2) { // canonical BE -> the file's little-endian
+          var i = 0
+          while (i + 1 < src.length) {
+            val t = src(i); src(i) = src(i + 1); src(i + 1) = t
+            i += 2
+          }
+        }
         val row = if (predictor) predictEncode(src, ch) else src
         System.arraycopy(row, 0, raw, (y - y0) * rowBytes, rowBytes)
       }
@@ -275,66 +293,83 @@ object Tiff {
     }
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
-    out.write('I'); out.write('I'); u16(42)
-    // layout: header(8) | strip data | external arrays | IFD
-    var at = 8
+    def u32(v: Long): Unit = {
+      u16((v & 0xffff).toInt); u16(((v >>> 16) & 0xffff).toInt)
+    }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    val headerLen = if (big) 16 else 8
+    out.write('I'); out.write('I'); u16(if (big) 43 else 42)
+    if (big) { u16(8); u16(0) } // offset size + pad
+    // layout: header | strip data | external arrays | IFD
+    var at = headerLen
     val stripOffsets = strips.map { s => val o = at; at += s.length; o }
-    // external value areas
-    val extras = mutable.ArrayBuffer[(Int, Array[Int], Int)]() // (offset, values, type)
-    def extShorts(vs: Array[Int]): Int = {
+    // external value areas: (offset, values, type)
+    val extras = mutable.ArrayBuffer[(Int, Array[Long], Int)]()
+    def ext(vs: Array[Long], typ: Int, width: Int): Long = {
       if (at % 2 == 1) at += 1 // spec: values sit on word boundaries
-      val o = at; extras += ((o, vs, 3)); at += 2 * vs.length
-      o
+      val o = at; extras += ((o, vs, typ)); at += width * vs.length
+      o.toLong
     }
-    def extLongs(vs: Array[Int]): Int = {
-      if (at % 2 == 1) at += 1
-      val o = at; extras += ((o, vs, 4)); at += 4 * vs.length
-      o
-    }
-    val bpsVal =
-      if (ch == 1) (3, 1, 8)
-      else if (ch == 2) (3, 2, 8 | (8 << 16)) // two shorts fit inline
-      else (3, ch, extShorts(Array.fill(ch)(8)))
-    val soVal =
-      if (nStrips == 1) (4, 1, stripOffsets.head)
-      else (4, nStrips, extLongs(stripOffsets.toArray))
-    val sbcVal =
-      if (nStrips == 1) (4, 1, strips.head.length)
-      else (4, nStrips, extLongs(strips.map(_.length).toArray))
+    val inlineCap = if (big) 8 else 4
+    // (type, count, value-or-offset, inlineShorts)
+    def shortsVal(vs: Array[Long]): (Int, Int, Long, Array[Long]) =
+      if (2 * vs.length <= inlineCap) (3, vs.length, -1L, vs)
+      else (3, vs.length, ext(vs, 3, 2), null)
+    def offsetsVal(vs: Array[Long]): (Int, Int, Long, Array[Long]) =
+      if (big) {
+        if (vs.length == 1) (16, 1, vs.head, null)
+        else (16, vs.length, ext(vs, 16, 8), null)
+      } else {
+        if (vs.length == 1) (4, 1, vs.head, null)
+        else (4, vs.length, ext(vs, 4, 4), null)
+      }
+    val bpsVal = shortsVal(Array.fill(ch)(img.bits.toLong))
+    val soVal = offsetsVal(stripOffsets.map(_.toLong).toArray)
+    val sbcVal = offsetsVal(strips.map(_.length.toLong).toArray)
     val photometric = if (ch <= 2) 1 else 2
     // IFD entries sorted by tag (the spec mandates ascending order)
-    val entries = mutable.ArrayBuffer[(Int, Int, Int, Int)]() // tag,type,count,value
-    entries += ((256, 4, 1, img.width))
-    entries += ((257, 4, 1, img.height))
-    entries += ((258, bpsVal._1, bpsVal._2, bpsVal._3))
-    entries += ((259, 3, 1, compression))
-    entries += ((262, 3, 1, photometric))
-    entries += ((273, soVal._1, soVal._2, soVal._3))
-    entries += ((277, 3, 1, ch))
-    entries += ((278, 4, 1, rowsPerStrip))
-    entries += ((279, sbcVal._1, sbcVal._2, sbcVal._3))
-    entries += ((284, 3, 1, 1))
+    val entries =
+      mutable.ArrayBuffer[(Int, Int, Int, Long, Array[Long])]()
+    def add(tag: Int, typ: Int, count: Int, value: Long,
+            inlineShorts: Array[Long] = null): Unit =
+      entries += ((tag, typ, count, value, inlineShorts))
+    add(256, 4, 1, img.width)
+    add(257, 4, 1, img.height)
+    add(258, bpsVal._1, bpsVal._2, bpsVal._3, bpsVal._4)
+    add(259, 3, 1, compression)
+    add(262, 3, 1, photometric)
+    add(273, soVal._1, soVal._2, soVal._3, soVal._4)
+    add(277, 3, 1, ch)
+    add(278, 4, 1, rowsPerStrip)
+    add(279, sbcVal._1, sbcVal._2, sbcVal._3, sbcVal._4)
+    add(284, 3, 1, 1)
     if (ch == 2 || ch == 4)
-      entries += ((338, 3, 1, 2)) // extra sample = unassociated alpha
-    if (predictor) entries += ((317, 3, 1, 2))
+      add(338, 3, 1, 2) // extra sample = unassociated alpha
+    if (predictor) add(317, 3, 1, 2)
     val sorted = entries.sortBy(_._1)
     val ifdAt = if (at % 2 == 1) at + 1 else at
-    // header
-    u32(ifdAt)
+    // header: first-IFD offset
+    if (big) u64(ifdAt) else u32(ifdAt)
     strips.foreach(s => out.write(s, 0, s.length))
     extras.foreach { case (o, vs, t) =>
       while (out.size() < o) out.write(0) // pad to the word boundary
-      vs.foreach(v => if (t == 3) u16(v) else u32(v))
+      vs.foreach(v => if (t == 3) u16(v.toInt)
+        else if (t == 4) u32(v) else u64(v))
     }
     while (out.size() < ifdAt) out.write(0)
-    u16(sorted.size)
-    sorted.foreach { case (tag, typ, count, value) =>
-      u16(tag); u16(typ); u32(count)
-      if (typ == 3 && count == 1) { u16(value); u16(0) }
-      else u32(value) // count-2 shorts travel packed in `value`
+    if (big) u64(sorted.size) else u16(sorted.size)
+    val valWidth = if (big) 8 else 4
+    sorted.foreach { case (tag, typ, count, value, inlineShorts) =>
+      u16(tag); u16(typ)
+      if (big) u64(count) else u32(count)
+      val before = out.size()
+      if (inlineShorts != null) inlineShorts.foreach(v => u16(v.toInt))
+      else if (typ == 16) u64(value)
+      else if (typ == 3) u16(value.toInt)
+      else u32(value)
+      while (out.size() < before + valWidth) out.write(0)
     }
-    u32(0) // no next IFD
+    if (big) u64(0) else u32(0) // no next IFD
     out.toByteArray
   }
 
@@ -351,35 +386,51 @@ object Tiff {
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
       else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    /** BigTIFF 8-byte field; -1 on overrun or a value beyond Int
+      * addressing (in-memory buffers cap far below 2^31 anyway). */
+    def u64(o: Int): Long =
+      if (o + 8 > b.length) -1L
+      else {
+        val hi = u32(if (le) o + 4 else o)
+        val lo = u32(if (le) o else o + 4)
+        if (hi != 0L || lo < 0) -1L else lo
+      }
   }
 
   private final case class Entry(typ: Int, count: Long, at: Int,
                                  inline: Boolean)
 
-  /** First-IFD tag map; values resolved lazily via [[tagValues]]. */
-  private def ifdEntries(b: Array[Byte], r: Reader)
+  /** First-IFD tag map for classic (42) or BigTIFF (43) layouts;
+    * values resolved lazily via [[tagValues]]. */
+  private def ifdEntries(b: Array[Byte], r: Reader, big: Boolean)
       : Option[Map[Int, Entry]] = {
-    val ifd = r.u32(4)
-    if (ifd < 8 || ifd + 2 > b.length) return None
-    val n = r.u16(ifd.toInt)
+    val ifd = if (big) r.u64(8) else r.u32(4)
+    val headLen = if (big) 8 else 2 // entry-count field
+    val entLen = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4
+    if (ifd < 8 || ifd + headLen > b.length) return None
+    val n = (if (big) r.u64(ifd.toInt) else r.u16(ifd.toInt).toLong).toInt
     if (n < 0 || n > 512) return None
     val m = mutable.Map[Int, Entry]()
     (0 until n).foreach { k =>
-      val e = ifd.toInt + 2 + 12 * k
-      if (e + 12 > b.length) return None
+      val e = ifd.toInt + headLen + entLen * k
+      if (e + entLen > b.length) return None
       val tag = r.u16(e)
       val typ = r.u16(e + 2)
-      val count = r.u32(e + 4)
+      val count = if (big) r.u64(e + 4) else r.u32(e + 4)
+      if (count < 0) return None
       val sz = typ match {
         case 1 | 2 | 6 | 7 => 1L
         case 3 | 8 => 2L
         case 4 | 9 | 11 => 4L
-        case _ => 8L
+        case _ => 8L // incl. 16/17/18 (LONG8/SLONG8/IFD8)
       }
       val total = sz * count
-      if (total <= 4) m(tag) = Entry(typ, count, e + 8, inline = true)
+      val valAt = e + (if (big) 12 else 8)
+      if (total <= inlineCap)
+        m(tag) = Entry(typ, count, valAt, inline = true)
       else {
-        val off = r.u32(e + 8)
+        val off = if (big) r.u64(valAt) else r.u32(valAt)
         if (off < 0 || off + total > b.length) return None
         m(tag) = Entry(typ, count, off.toInt, inline = false)
       }
@@ -399,6 +450,9 @@ object Tiff {
         case 4 =>
           val x = r.u32(e.at + 4 * i); if (x < 0) return None
           out(i) = x
+        case 16 =>
+          val x = r.u64(e.at + 8 * i); if (x < 0) return None
+          out(i) = x
         case 1 =>
           out(i) = 0 // BYTE values unused by this decoder's tags
         case _ => return None
@@ -412,33 +466,48 @@ object Tiff {
     m.get(tag).flatMap(e => tagValues(r, e).flatMap(_.headOption))
       .getOrElse(default)
 
-  /** Decode the first IFD's image. None outside the supported profile
-    * or on any malformed structure. */
+  /** Decode the first IFD's image (classic 42 or BigTIFF 43 header).
+    * None outside the supported profile or on any malformed
+    * structure. */
   def decode(b: Array[Byte]): Option[Image] = {
     if (b.length < 8) return None
     val le = b(0) == 'I' && b(1) == 'I'
     val be = b(0) == 'M' && b(1) == 'M'
     if (!le && !be) return None
     val r = new Reader(b, le)
-    if (r.u16(2) != 42) return None
-    val m = ifdEntries(b, r).getOrElse(return None)
+    val version = r.u16(2)
+    val big = version == 43
+    if (version != 42 && !big) return None
+    // BigTIFF header: u16 offset size (always 8), u16 zero pad
+    if (big && (b.length < 16 || r.u16(4) != 8 || r.u16(6) != 0))
+      return None
+    val m = ifdEntries(b, r, big).getOrElse(return None)
     val w = tag1(m, r, 256).toInt
     val h = tag1(m, r, 257).toInt
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
     val ch = math.max(1, tag1(m, r, 277, 1L)).toInt
     if (ch > 4) return None
-    val bits = m.get(258).flatMap(e => tagValues(r, e))
+    val bitsArr = m.get(258).flatMap(e => tagValues(r, e))
       .getOrElse(Array.fill(ch)(8L))
-    if (!bits.forall(_ == 8L)) return None
+    val bits =
+      if (bitsArr.forall(_ == 8L)) 8
+      else if (bitsArr.forall(_ == 16L)) 16
+      else return None
+    val bs = bits / 8
     val comp = tag1(m, r, 259, 1L).toInt
     val photo = tag1(m, r, 262, if (ch <= 2) 1L else 2L).toInt
     if (photo > 2) return None
     if (tag1(m, r, 284, 1L).toInt != 1) return None // chunky only
+    // SampleFormat (339): unsigned only (the default)
+    if (tag1(m, r, 339, 1L).toInt != 1) return None
     val predictor = tag1(m, r, 317, 1L).toInt
     if (predictor != 1 && predictor != 2) return None
     if (predictor == 2 && comp != CompLzw) return None
-    val rowBytes = w * ch
-    val px = new Array[Byte](w * h * ch)
+    // predictor 2 differencing is per SAMPLE; this decoder applies it
+    // bytewise, which is only the same thing at 8 bits
+    if (predictor == 2 && bits != 8) return None
+    val rowBytes = w * ch * bs
+    val px = new Array[Byte](w * h * ch * bs)
     def decompress(off: Long, len: Long, expect: Int)
         : Option[Array[Byte]] = {
       if (off < 0 || len < 0 || off + len > b.length) return None
@@ -467,20 +536,20 @@ object Tiff {
       val downN = (h + th - 1) / th
       if (offs.length < across * downN ||
         counts.length < across * downN) return None
-      val tileRow = tw * ch
+      val tileRow = tw * ch * bs
       (0 until downN).foreach { ty =>
         (0 until across).foreach { tx =>
           val idx = ty * across + tx
           val raw = decompress(offs(idx), counts(idx), th * tileRow)
             .getOrElse(return None)
-          val copyW = math.min(tw, w - tx * tw) * ch
+          val copyW = math.min(tw, w - tx * tw) * ch * bs
           val copyH = math.min(th, h - ty * th)
           (0 until copyH).foreach { ry =>
             val row = java.util.Arrays.copyOfRange(raw, ry * tileRow,
               (ry + 1) * tileRow)
             if (predictor == 2) predictDecode(row, ch)
             System.arraycopy(row, 0, px,
-              (ty * th + ry) * rowBytes + tx * tw * ch, copyW)
+              (ty * th + ry) * rowBytes + tx * tw * ch * bs, copyW)
           }
         }
       }
@@ -508,15 +577,25 @@ object Tiff {
         }
       }
     }
+    // canonical sample order: 16-bit samples normalize to big-endian
+    // whatever byte order the container used
+    if (bs == 2 && le) {
+      var i = 0
+      while (i + 1 < px.length) {
+        val t = px(i); px(i) = px(i + 1); px(i + 1) = t
+        i += 2
+      }
+    }
     if (photo == 0) { // WhiteIsZero: invert the gray channel
       if (ch > 2) return None
       var i = 0
       while (i < px.length) {
-        if (i % ch == 0) px(i) = (~px(i)).toByte
+        // ~ per byte flips the full u16 too — only the gray SAMPLE
+        if ((i / bs) % ch == 0) px(i) = (~px(i)).toByte
         i += 1
       }
     }
-    Some(Image(w, h, ch, px))
+    Some(Image(w, h, ch, px, bits))
   }
 
   /** (width, height, channels) from the IFD alone. */
@@ -526,8 +605,12 @@ object Tiff {
     val be = b(0) == 'M' && b(1) == 'M'
     if (!le && !be) return None
     val r = new Reader(b, le)
-    if (r.u16(2) != 42) return None
-    val m = ifdEntries(b, r).getOrElse(return None)
+    val version = r.u16(2)
+    val big = version == 43
+    if (version != 42 && !big) return None
+    if (big && (b.length < 16 || r.u16(4) != 8 || r.u16(6) != 0))
+      return None
+    val m = ifdEntries(b, r, big).getOrElse(return None)
     val w = tag1(m, r, 256).toInt
     val h = tag1(m, r, 257).toInt
     val ch = math.max(1, tag1(m, r, 277, 1L)).toInt

@@ -191,11 +191,14 @@ class TiffSpec extends AnyFunSuite {
   }
 
   test("fuzz: truncation and bit flips never throw, never wrong size") {
-    for (comp <- Seq(Tiff.CompNone, Tiff.CompPackBits, Tiff.CompLzw)) {
-      val bytes = Tiff.encode(img(9, 7, 3, 99L), comp)
+    def sane(d: Tiff.Image): Unit =
+      assert(d.pixels.length ==
+        d.width * d.height * d.channels * (d.bits / 8))
+    for (comp <- Seq(Tiff.CompNone, Tiff.CompPackBits, Tiff.CompLzw);
+         big <- Seq(false, true); bits <- Seq(8, 16)) {
+      val bytes = Tiff.encode(img16(9, 7, 3, 99L, bits), comp, big = big)
       (0 until bytes.length by 3).foreach { n =>
-        Tiff.decode(bytes.take(n)).foreach(d =>
-          assert(d.pixels.length == d.width * d.height * d.channels))
+        Tiff.decode(bytes.take(n)).foreach(sane)
       }
       var s = 12345L
       (0 until 300).foreach { _ =>
@@ -203,13 +206,112 @@ class TiffSpec extends AnyFunSuite {
         val i = ((s >>> 33) % bytes.length).toInt
         val flipped = bytes.clone()
         flipped(i) = (flipped(i) ^ (1 << ((s >>> 17) & 7)).toByte).toByte
-        Tiff.decode(flipped).foreach(d =>
-          assert(d.pixels.length == d.width * d.height * d.channels))
+        Tiff.decode(flipped).foreach(sane)
       }
     }
     // big-endian header with a truncated IFD; junk magics
     assert(Tiff.decode("MM__0000".getBytes).isEmpty)
     assert(Tiff.decode("XX".getBytes).isEmpty)
     assert(Tiff.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  private def img16(w: Int, h: Int, ch: Int, seed: Long,
+                    bits: Int): Tiff.Image = {
+    if (bits == 8) img(w, h, ch, seed)
+    else {
+      var s = seed
+      val px = Array.fill(w * h * ch * 2) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) & 0xff).toByte
+      }
+      Tiff.Image(w, h, ch, px, bits = 16)
+    }
+  }
+
+  test("16-bit + BigTIFF: roundtrips across compressions, channels, " +
+    "strip layouts, both container versions") {
+    for (ch <- 1 to 4; comp <- Seq(Tiff.CompNone, Tiff.CompPackBits,
+        Tiff.CompLzw); big <- Seq(false, true); bits <- Seq(8, 16)) {
+      val im = img16(19, 11, ch, ch * 131L + comp + bits, bits)
+      val bytes = Tiff.encode(im, comp, rowsPerStrip = 4, big = big)
+      // header version pins the layout actually written
+      assert((bytes(2) & 0xff) == (if (big) 43 else 42))
+      val back = Tiff.decode(bytes)
+      assert(back.exists(b => b.width == 19 && b.height == 11 &&
+        b.channels == ch && b.bits == bits &&
+        b.pixels.sameElements(im.pixels)),
+        s"ch=$ch comp=$comp big=$big bits=$bits")
+      assert(Tiff.dims(bytes).contains((19, 11, ch)))
+    }
+  }
+
+  test("ImageIO reads our 16-bit files; we read its 16-bit output") {
+    import javax.imageio.ImageIO
+    // ours -> ImageIO: 16-bit gray, uncompressed + LZW (the JDK reader
+    // exposes USHORT rasters; samples must match our big-endian u16s)
+    for (comp <- Seq(Tiff.CompNone, Tiff.CompLzw)) {
+      val w = 23; val h = 9
+      val px = new Array[Byte](w * h * 2)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 2500 + y * 7919) % 65536
+        px((y * w + x) * 2) = ((v >> 8) & 0xff).toByte
+        px((y * w + x) * 2 + 1) = (v & 0xff).toByte
+      }
+      val bytes = Tiff.encode(Tiff.Image(w, h, 1, px, bits = 16), comp)
+      val bi = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected 16-bit comp=$comp")
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (x * 2500 + y * 7919) % 65536
+        assert(bi.getRaster.getSample(x, y, 0) == expect,
+          s"($x,$y) comp=$comp")
+      }
+    }
+    // ImageIO -> ours: TYPE_USHORT_GRAY, LZW and none
+    for (compName <- Seq(null, "LZW")) {
+      val w = 17; val h = 13
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, (x * 3001 + y * 499) % 65536)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      if (compName != null) {
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(compName)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+        param)
+      ios.close(); writer.dispose()
+      val got = Tiff.decode(bo.toByteArray)
+      assert(got.exists(g => g.width == w && g.height == h &&
+        g.channels == 1 && g.bits == 16), s"16-bit comp=$compName")
+      val im = got.get
+      for (y <- 0 until h; x <- 0 until w) {
+        val mine = ((im.pixels((y * w + x) * 2) & 0xff) << 8) |
+          (im.pixels((y * w + x) * 2 + 1) & 0xff)
+        assert(mine == bi.getRaster.getSample(x, y, 0),
+          s"($x,$y) comp=$compName")
+      }
+    }
+  }
+
+  test("BigTIFF structure: 8-byte offsets honored, truncated headers " +
+    "refused") {
+    val im = img16(33, 21, 3, 7L, 16)
+    val bytes = Tiff.encode(im, Tiff.CompLzw, rowsPerStrip = 5,
+      big = true)
+    // offset size field 8, pad 0, 64-bit first-IFD pointer
+    assert(bytes(4) == 8 && bytes(5) == 0 && bytes(6) == 0 &&
+      bytes(7) == 0)
+    assert(Tiff.decode(bytes).exists(_.pixels.sameElements(im.pixels)))
+    // declared offset size != 8 refused
+    val badOs = bytes.clone(); badOs(4) = 4
+    assert(Tiff.decode(badOs).isEmpty)
+    // 16-byte-header floor enforced
+    assert(Tiff.decode(bytes.take(12)).isEmpty)
   }
 }
