@@ -70,6 +70,54 @@ final class KafkaMiniBroker {
     * restarted consumer's OffsetFetch recovery depends on). */
   private val groupOffsets = mutable.Map[(String, String, Int), Long]()
 
+  /** KIP-848 next-generation group (ConsumerGroupHeartbeat, api 68):
+    * the BROKER owns the assignor. No join/sync barrier — the group
+    * keeps a per-member (epoch, owned) ledger plus a target assignment
+    * recomputed on membership change, and each heartbeat reconciles
+    * ONE member: it may own target(me) minus whatever other members
+    * still hold. A joiner therefore never stops the world; owners
+    * release partitions one heartbeat at a time and the joiner picks
+    * them up as they free. */
+  private final class Group848 {
+    var epoch = 1
+    /** join-ordered: memberId → (memberEpoch last sent, owned). */
+    val members =
+      mutable.LinkedHashMap[String, (Int, Set[(String, Int)])]()
+    var nextId = 0
+    var target: Map[String, Set[(String, Int)]] = Map.empty
+    /** Range assignor over the subscribed topics in join order. */
+    def recomputeTarget(parts: Seq[(String, Int)]): Unit = {
+      val ids = members.keysIterator.toIndexedSeq
+      target =
+        if (ids.isEmpty) Map.empty
+        else parts.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+          case (_, tps) =>
+            val sorted = tps.sortBy(_._2)
+            val per = (sorted.size + ids.size - 1) / ids.size
+            ids.zipWithIndex.map { case (id, i) =>
+              id -> sorted.slice(i * per, (i + 1) * per).toSet
+            }
+        }.groupBy(_._1).map { case (id, xs) =>
+          id -> xs.iterator.map(_._2).foldLeft(
+            Set.empty[(String, Int)])(_ ++ _)
+        }
+    }
+  }
+  private val groups848 = mutable.Map[String, Group848]()
+
+  /** (epoch, members → owned) snapshot for gates. */
+  def group848Snapshot(group: String)
+      : (Int, Map[String, Set[(String, Int)]]) =
+    groups848.synchronized {
+      groups848.get(group) match {
+        case Some(g) => g.synchronized {
+          (g.epoch, g.members.map { case (id, (_, owned)) =>
+            id -> owned }.toMap)
+        }
+        case None => (0, Map.empty)
+      }
+    }
+
   /** One group's membership round (JoinGroup/SyncGroup coordinator
     * state): members joined so far, the generation, and the leader's
     * synced assignments. The broker is policy-free — it elects the
@@ -713,6 +761,62 @@ final class KafkaMiniBroker {
                   "127.0.0.1", server.getLocalPort)
               case None => null
             }
+          case 68 =>
+            KafkaWire.parseConsumerGroupHeartbeat(payload) match {
+              case Some((corr, g, member, epoch, topics, _)) =>
+                // (the wire's owned-partitions report is parsed but the
+                // ledger tracks grants: members adopt/release on the
+                // response, synchronously, before their next planning)
+                val gr = groups848.synchronized {
+                  groups848.getOrElseUpdate(g, new Group848)
+                }
+                gr.synchronized {
+                  if (epoch == -1) {
+                    // leave: membership shrinks, nobody else pauses
+                    if (gr.members.remove(member).isDefined)
+                      gr.epoch += 1
+                    KafkaWire.encodeConsumerGroupHeartbeatResponse(
+                      corr, 0, member, -1, Nil)
+                  } else {
+                    val isNew = member.isEmpty
+                    val id =
+                      if (isNew) { gr.nextId += 1; s"m848-${gr.nextId}" }
+                      else member
+                    if (!isNew && !gr.members.contains(id))
+                      KafkaWire.encodeConsumerGroupHeartbeatResponse(
+                        corr, 25, id, gr.epoch, Nil) // UNKNOWN_MEMBER
+                    else {
+                      if (isNew) {
+                        gr.members(id) = (gr.epoch, Set.empty)
+                        gr.epoch += 1
+                      }
+                      val parts = logs.synchronized {
+                        logs.keysIterator
+                          .filter(k => topics.contains(k._1)).toSeq
+                      }
+                      gr.recomputeTarget(parts)
+                      val myTarget =
+                        gr.target.getOrElse(id, Set.empty)
+                      // reconcile THIS member: it may own its target
+                      // minus whatever other members still hold — the
+                      // response both grants and (by omission) revokes
+                      val heldByOthers = gr.members.iterator
+                        .filter(_._1 != id)
+                        .flatMap(_._2._2).toSet
+                      val grant = myTarget -- heldByOthers
+                      gr.members(id) = (gr.epoch, grant)
+                      val byTopic = grant.groupBy(_._1).toSeq
+                        .sortBy(_._1)
+                        .map { case (t, ps) =>
+                          (t, ps.map(_._2).toSeq.sorted)
+                        }
+                      KafkaWire.encodeConsumerGroupHeartbeatResponse(
+                        corr, 0, id, gr.epoch, byTopic)
+                    }
+                  }
+                }
+              case None => null
+            }
           case 8 =>
             KafkaWire.parseOffsetCommit(payload) match {
               case Some((corr, group, topic, offs)) =>
@@ -733,13 +837,24 @@ final class KafkaMiniBroker {
                   // channel only (the real broker's timer), so a slow
                   // consume-and-commit cycle can never evict anyone
                   val stOpt = groups.synchronized { groups.get(group) }
-                  val err = stOpt match {
-                    case None => 25
-                    case Some(st) => st.synchronized {
+                  val gr848 = if (stOpt.isDefined) None
+                    else groups848.synchronized { groups848.get(group) }
+                  val err = (stOpt, gr848) match {
+                    case (Some(st), _) => st.synchronized {
                       if (!st.members.contains(member)) 25
                       else if (gen != st.generation) 22
                       else { st.lastSeen(member) = System.nanoTime(); 0 }
                     }
+                    case (None, Some(gr)) => gr.synchronized {
+                      // KIP-848 fencing: `generation` carries the
+                      // member epoch; a stale epoch is STALE_MEMBER_
+                      // EPOCH-shaped (22 here), an unknown member 25
+                      gr.members.get(member) match {
+                        case None => 25
+                        case Some((ep, _)) => if (gen != ep) 22 else 0
+                      }
+                    }
+                    case _ => 25
                   }
                   val acks =
                     if (err != 0) offs.map { case (p, _) => (p, err) }
@@ -1072,6 +1187,26 @@ object KafkaMiniBroker {
     if (e2 != 0) e2
     else if (cl.verifyServerFinal(serverFinal)) 0
     else -1
+  }
+
+  /** One KIP-848 heartbeat round trip: returns (error, memberId,
+    * memberEpoch, assignment by topic). memberId "" joins; memberEpoch
+    * −1 leaves. */
+  def heartbeat848(port: Int, group: String, memberId: String,
+                   memberEpoch: Int, topics: Seq[String],
+                   owned: Seq[(String, Seq[Int])])
+      : (Int, String, Int, Seq[(String, Seq[Int])]) = {
+    val (sock, in, out) = connect(port)
+    try {
+      val (err, id, ep, wire) =
+        KafkaWire.decodeConsumerGroupHeartbeatResponse(exchange(in, out,
+          KafkaWire.encodeConsumerGroupHeartbeat(0, "graft_848", group,
+            memberId, memberEpoch, topics, owned)))
+      val uuidOf = topics.map(t => KafkaWire.topicUuid(t) -> t).toMap
+      (err, id, ep, wire.flatMap { case (hi, lo, ps) =>
+        uuidOf.get((hi, lo)).map(t => (t, ps))
+      })
+    } finally sock.close()
   }
 
   /** DescribeGroups round trip: coordinator state + full membership

@@ -1648,4 +1648,178 @@ object KafkaWire {
       }
       Some((corr, g, gen, member, t, offs))
     } catch { case _: Exception => None }
+
+  // ---- ConsumerGroupHeartbeat v0 (api 68) — KIP-848 ------------------
+  // The next-generation group protocol: no JoinGroup/SyncGroup barrier.
+  // Each member heartbeats (member epoch + currently-owned partitions)
+  // and the BROKER-side assignor answers with that member's target
+  // assignment; reconciliation is per-member and incremental, so a
+  // joiner never stops the world. Api 68 is flexible-versions-only:
+  // compact (uvarint-length) strings/arrays, tagged-field buffers, and
+  // topics addressed by UUID.
+
+  private def writeUvarint(b: mutable.ArrayBuffer[Byte], v0: Int): Unit = {
+    var v = v0
+    while ((v & ~0x7f) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    b += v.toByte
+  }
+  private def readUvarint(buf: ByteBuffer): Int = {
+    var v = 0; var sh = 0
+    var cont = true
+    while (cont) {
+      val x = buf.get() & 0xff
+      v |= (x & 0x7f) << sh; sh += 7
+      cont = (x & 0x80) != 0
+      if (sh > 35) throw new IllegalArgumentException("uvarint overflow")
+    }
+    v
+  }
+  private def compactStr(b: mutable.ArrayBuffer[Byte], s: String): Unit = {
+    val x = s.getBytes("UTF-8"); writeUvarint(b, x.length + 1); b ++= x
+  }
+  private def readCompactStr(buf: ByteBuffer): String = {
+    val n = readUvarint(buf) - 1
+    if (n <= 0) "" else new String(takeBytes(buf, n), "UTF-8")
+  }
+
+  /** Deterministic topic UUID both sides derive from the name (the
+    * mini broker's topic-id registry). */
+  def topicUuid(topic: String): (Long, Long) = {
+    val u = java.util.UUID.nameUUIDFromBytes(
+      ("graft-topic:" + topic).getBytes("UTF-8"))
+    (u.getMostSignificantBits, u.getLeastSignificantBits)
+  }
+
+  /** Client-side request: member epoch −1 leaves the group; owned is
+    * the member's CURRENT assignment (post-revocation report). */
+  def encodeConsumerGroupHeartbeat(corr: Int, clientId: String,
+      group: String, memberId: String, memberEpoch: Int,
+      topics: Seq[String], owned: Seq[(String, Seq[Int])])
+      : Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    // flexible request header (v2): classic nullable client id + tags
+    i16(68); i16(0); i32(corr)
+    val cid = clientId.getBytes("UTF-8"); i16(cid.length); b ++= cid
+    writeUvarint(b, 0) // header tagged fields
+    compactStr(b, group)
+    compactStr(b, memberId)
+    i32(memberEpoch)
+    writeUvarint(b, 0) // instance id: null
+    writeUvarint(b, 0) // rack id: null
+    i32(30000)         // rebalance timeout
+    writeUvarint(b, topics.size + 1) // subscribed topic names
+    topics.foreach(t => compactStr(b, t))
+    writeUvarint(b, 0) // server assignor: null (broker default)
+    writeUvarint(b, owned.size + 1) // owned topic_partitions
+    owned.foreach { case (t, ps) =>
+      val (hi, lo) = topicUuid(t)
+      i64(hi); i64(lo)
+      writeUvarint(b, ps.size + 1)
+      ps.foreach(i32)
+      writeUvarint(b, 0) // struct tagged fields
+    }
+    writeUvarint(b, 0) // request tagged fields
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Broker-side parse: (corr, group, memberId, memberEpoch,
+    * subscribed topics, owned (topicUuidHi, topicUuidLo, partitions)). */
+  def parseConsumerGroupHeartbeat(payload: Array[Byte])
+      : Option[(Int, String, String, Int, Seq[String],
+        Seq[(Long, Long, Seq[Int])])] = try {
+    val buf = ByteBuffer.wrap(payload)
+    if (buf.getShort() != 68 || buf.getShort() != 0) return None
+    val corr = buf.getInt()
+    takeBytes(buf, buf.getShort() & 0xffff) // client id
+    readUvarint(buf)                        // header tags
+    val group = readCompactStr(buf)
+    val member = readCompactStr(buf)
+    val epoch = buf.getInt()
+    readUvarint(buf)                        // instance id (null)
+    readUvarint(buf)                        // rack id (null)
+    buf.getInt()                            // rebalance timeout
+    val nt = readUvarint(buf) - 1
+    val topics = (0 until math.max(0, nt)).map(_ => readCompactStr(buf))
+    readUvarint(buf)                        // server assignor (null)
+    val no = readUvarint(buf) - 1
+    val owned = (0 until math.max(0, no)).map { _ =>
+      val hi = buf.getLong(); val lo = buf.getLong()
+      val np = readUvarint(buf) - 1
+      val ps = (0 until math.max(0, np)).map(_ => buf.getInt())
+      readUvarint(buf)                      // struct tags
+      (hi, lo, ps)
+    }
+    Some((corr, group, member, epoch, topics, owned))
+  } catch { case _: Exception => None }
+
+  /** Broker response: error 0 with (memberId, memberEpoch, assignment
+    * by topic name — resolved from the deterministic topic UUIDs the
+    * wire carries). */
+  def encodeConsumerGroupHeartbeatResponse(corr: Int, error: Int,
+      memberId: String, memberEpoch: Int,
+      assignment: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val b = mutable.ArrayBuffer[Byte]()
+    def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
+    def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    i32(corr)
+    writeUvarint(b, 0) // response header (v1) tagged fields
+    i32(0)             // throttle
+    i16(error)
+    writeUvarint(b, 0) // error message: null
+    compactStr(b, memberId)
+    i32(memberEpoch)
+    i32(1000)          // heartbeat interval ms
+    if (error != 0) b += 0xff.toByte // assignment: null marker
+    else {
+      b += 1.toByte    // assignment struct present
+      writeUvarint(b, assignment.size + 1)
+      assignment.foreach { case (t, ps) =>
+        val (hi, lo) = topicUuid(t)
+        i64(hi); i64(lo)
+        writeUvarint(b, ps.size + 1)
+        ps.foreach(i32)
+        writeUvarint(b, 0)
+      }
+      writeUvarint(b, 0) // assignment struct tags
+    }
+    writeUvarint(b, 0)   // response tags
+    val out = ByteBuffer.allocate(4 + b.length)
+    out.putInt(b.length); out.put(b.toArray); out.array()
+  }
+
+  /** Client-side: (error, memberId, memberEpoch, assignment by
+    * (uuidHi, uuidLo, partitions)). */
+  def decodeConsumerGroupHeartbeatResponse(payload: Array[Byte])
+      : (Int, String, Int, Seq[(Long, Long, Seq[Int])]) = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt()       // correlation
+    readUvarint(buf)   // header tags
+    buf.getInt()       // throttle
+    val err = buf.getShort().toInt
+    readUvarint(buf)   // error message (null)
+    val member = readCompactStr(buf)
+    val epoch = buf.getInt()
+    buf.getInt()       // heartbeat interval
+    val marker = buf.get()
+    val assignment =
+      if (marker == 0xff.toByte || err != 0) Nil
+      else {
+        val n = readUvarint(buf) - 1
+        val as = (0 until math.max(0, n)).map { _ =>
+          val hi = buf.getLong(); val lo = buf.getLong()
+          val np = readUvarint(buf) - 1
+          val ps = (0 until math.max(0, np)).map(_ => buf.getInt())
+          readUvarint(buf)
+          (hi, lo, ps: Seq[Int])
+        }
+        readUvarint(buf) // struct tags
+        as
+      }
+    (err, member, epoch, assignment)
+  }
 }

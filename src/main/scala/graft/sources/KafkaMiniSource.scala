@@ -53,7 +53,11 @@ class KafkaMiniSource extends TableProvider {
     val group = Option(properties.get("group")).filter(_.nonEmpty)
     require(group.isEmpty || topics.nonEmpty,
       "group mode needs an explicit topic subscription")
-    new KafkaMiniTable(port.toInt, topics, group)
+    val protocol = Option(properties.get("protocol")).getOrElse("classic")
+    require(protocol == "classic" || protocol == "consumer",
+      s"unknown group protocol '$protocol' (classic | consumer)")
+    new KafkaMiniTable(port.toInt, topics, group,
+      nextGen = protocol == "consumer")
   }
 }
 
@@ -62,10 +66,38 @@ object KafkaMiniSource {
     .add("topic", StringType).add("partition", IntegerType)
     .add("offset", LongType)
     .add("key", StringType).add("value", BinaryType)
+
+  /** Driver-side assignment history per (group, member) — the KIP-848
+    * gate reads it to pin the no-stop-the-world property (an
+    * incumbent's assignment timeline must never pass through ∅ while a
+    * member joins). Planning runs on the driver, so a plain
+    * synchronized buffer suffices. */
+  private val assignments =
+    scala.collection.mutable.Map[(String, String),
+      scala.collection.mutable.Buffer[Set[(String, Int)]]]()
+  private[sources] def logAssignment(group: String, member: String,
+                                     assigned: Set[(String, Int)]): Unit =
+    assignments.synchronized {
+      val buf = assignments.getOrElseUpdate((group, member),
+        scala.collection.mutable.Buffer.empty)
+      if (buf.isEmpty || buf.last != assigned) buf += assigned
+    }
+  def assignmentHistory(group: String)
+      : Map[String, Seq[Set[(String, Int)]]] =
+    assignments.synchronized {
+      assignments.toSeq.collect { case ((g, m), h) if g == group =>
+        m -> h.toSeq
+      }.toMap
+    }
+  def clearAssignmentHistory(group: String): Unit =
+    assignments.synchronized {
+      assignments.keysIterator.filter(_._1 == group).toVector
+        .foreach(assignments.remove)
+    }
 }
 
 private class KafkaMiniTable(port: Int, topics: Seq[String],
-                             group: Option[String])
+                             group: Option[String], nextGen: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"kafkamini:$port"
   override def schema(): StructType = KafkaMiniSource.schema
@@ -78,7 +110,7 @@ private class KafkaMiniTable(port: Int, topics: Seq[String],
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming only")
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new KafkaMiniMicroBatchStream(port, topics, group)
+          new KafkaMiniMicroBatchStream(port, topics, group, nextGen)
       }
     }
 }
@@ -109,7 +141,8 @@ private case class KafkaRangePartition(port: Int, topic: String,
     partition: Int, from: Long, until: Long) extends InputPartition
 
 private[sources] class KafkaMiniMicroBatchStream(port: Int,
-    topics: Seq[String], group: Option[String] = None)
+    topics: Seq[String], group: Option[String] = None,
+    nextGen: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // ---- broker-coordinated planning (group mode) --------------------
@@ -129,7 +162,37 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
   private var assigned: Set[(String, Int)] = Set.empty
   private var joined = false
 
-  private def ensureMembership(): Unit = group.foreach { g =>
+  private def ensureMembership(): Unit =
+    if (nextGen) ensureMembership848()
+    else ensureMembershipClassic()
+
+  // ---- KIP-848 membership (ConsumerGroupHeartbeat, api 68) ---------
+  // No join barrier: every planning round is ONE heartbeat reporting
+  // the currently-owned partitions; the broker's assignor answers with
+  // this member's reconciled assignment (grants AND, by omission,
+  // revocations). A joining member therefore never pauses the
+  // incumbents — their untouched partitions keep flowing in the same
+  // round. `generation` carries the member epoch, which also fences
+  // the offset commits (the commit path runs BEFORE the heartbeat, so
+  // revoked partitions hand their offsets over first — the same
+  // ordering the classic lane uses).
+  private def ensureMembership848(): Unit = group.foreach { g =>
+    val ownedByTopic = assigned.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, ps) => (t, ps.map(_._2).toSeq.sorted) }
+    var r = KafkaMiniBroker.heartbeat848(port, g,
+      if (joined) memberId else "", if (joined) generation else 0,
+      topics, ownedByTopic)
+    if (r._1 == 25) // fenced/unknown: rejoin fresh
+      r = KafkaMiniBroker.heartbeat848(port, g, "", 0, topics, Nil)
+    require(r._1 == 0, s"ConsumerGroupHeartbeat error ${r._1}")
+    memberId = r._2
+    generation = r._3
+    assigned = r._4.flatMap { case (t, ps) => ps.map(p => (t, p)) }.toSet
+    joined = true
+    KafkaMiniSource.logAssignment(g, memberId, assigned)
+  }
+
+  private def ensureMembershipClassic(): Unit = group.foreach { g =>
     val hb = if (joined)
       KafkaMiniBroker.heartbeat(port, g, generation, memberId) else -1
     if (!joined || hb != 0) {
@@ -288,7 +351,11 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     * the handover point. Best-effort — a dead broker can't object. */
   override def stop(): Unit = group.foreach { g =>
     if (joined)
-      try KafkaMiniBroker.leaveGroup(port, g, memberId)
-      catch { case _: Exception => () }
+      try {
+        if (nextGen) // KIP-848 leave: member epoch −1
+          KafkaMiniBroker.heartbeat848(port, g, memberId, -1, topics,
+            Nil)
+        else KafkaMiniBroker.leaveGroup(port, g, memberId)
+      } catch { case _: Exception => () }
   }
 }

@@ -1173,6 +1173,168 @@ object StreamingQueries {
               n AS committed, CAST(1 AS BIGINT) AS n_consumers
             FROM u"""),
       doc = "multi-topic group subscription: per-topic range " +
-        "assignment, per-topic fenced commits, exactly-once union")
+        "assignment, per-topic fenced commits, exactly-once union"),
+
+    // KIP-848 next-generation rebalance (ConsumerGroupHeartbeat api 68,
+    // broker-side assignor, flexible wire: compact strings, tagged
+    // fields, topic UUIDs). The classic protocol (q279) stops the
+    // world on a join: every member rejoins a barrier and owns nothing
+    // until sync. Here reconciliation is per-member and INCREMENTAL —
+    // a mid-stream joiner triggers only deltas: the incumbent's next
+    // heartbeat revokes its surplus (after its commits fence the
+    // offsets over), the joiner's next heartbeat picks those up, and
+    // the incumbent's retained partitions NEVER pass through an empty
+    // assignment. The gate pins exactly that timeline from the
+    // assignment history (A: 4 parts → 2 parts, never ∅; B: ∅ → 2),
+    // plus the member-epoch bump and the exactly-once union of both
+    // sinks against the events table.
+    Q("q304_kafka_kip848",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        import graft.sources.KafkaMiniSource
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q304_kafka")
+        val group = "graft_848grp"
+        KafkaMiniSource.clearAssignmentHistory(group)
+        val outA = base.resolve("a").toString
+        val outB = base.resolve("b").toString
+        var kipLanes: Seq[(String, String, Long, Long)] = Nil
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          val nWave = Array(0, 1).map(w =>
+            rows.filter(_._1 % 2 == w).count())
+          def produceWave(parity: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_848_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 4).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          val seed = Seq.empty[(Int, Long, String)]
+            .toDF("partition", "offset", "v")
+          seed.write.parquet(outA); seed.write.parquet(outB)
+          def consumer(ckpt: String, out: String)
+              : org.apache.spark.sql.streaming.StreamingQuery =
+            s.readStream.format("graft.sources.KafkaMiniSource")
+              .option("port", port.toString).option("topics", "acct")
+              .option("group", group)
+              .option("protocol", "consumer") // the KIP-848 path
+              .load()
+              .selectExpr("partition", "offset",
+                "cast(value as string) as v")
+              .writeStream.option("checkpointLocation",
+                base.resolve(ckpt).toString)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.mode("append").parquet(out)
+              }
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          def pollUntil(what: String)(cond: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 90000
+            while (!cond && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(cond, s"q304 timed out waiting for $what")
+          }
+          produceWave(0)
+          val qa = consumer("ckA", outA)
+          try {
+            // A alone: owns all 4 partitions, drains + commits wave 0
+            pollUntil("wave-0 drain")(
+              s.read.parquet(outA).count() == nWave(0))
+            pollUntil("wave-0 commits")(
+              KafkaMiniBroker.fetchCommitted(port, group, "acct",
+                0 until 4).values.sum == nWave(0))
+            val qb = consumer("ckB", outB)
+            try {
+              // incremental reconciliation: A 4→2 parts, B picks up
+              // {2,3} — no barrier, no empty incumbent assignment
+              pollUntil("848 reconciliation")(
+                broker.group848Snapshot(group) match {
+                  case (_, members) =>
+                    members.size == 2 &&
+                      members.values.toSet ==
+                        Set(Set(("acct", 0), ("acct", 1)),
+                          Set(("acct", 2), ("acct", 3)))
+                })
+              produceWave(1)
+              pollUntil("wave-1 drain")(
+                s.read.parquet(outA).count() +
+                  s.read.parquet(outB).count() == nWave(0) + nWave(1))
+              val (epoch, _) = broker.group848Snapshot(group)
+              val hist = KafkaMiniSource.assignmentHistory(group)
+              val aHist = hist.values
+                .find(h => h.headOption.exists(_.size == 4))
+                .getOrElse(Seq.empty)
+              val bHist = hist.values
+                .find(h => h.headOption.exists(_.size < 4))
+                .getOrElse(Seq.empty)
+              kipLanes = Seq(
+                ("kip", "a_never_empty", 1L,
+                  if (aHist.nonEmpty && aHist.forall(_.nonEmpty)) 1L
+                  else 0L),
+                ("kip", "a_first_parts", 1L,
+                  aHist.headOption.map(_.size.toLong).getOrElse(-1L)),
+                ("kip", "a_final_parts", 1L,
+                  aHist.lastOption.map(_.size.toLong).getOrElse(-1L)),
+                ("kip", "b_final_parts", 1L,
+                  bHist.lastOption.map(_.size.toLong).getOrElse(-1L)),
+                // epoch: 1 init, +1 per join = 3 with two members
+                ("kip", "epoch_after_two_joins", 1L, epoch.toLong))
+            } finally qb.stop()
+          } finally qa.stop()
+          rows.unpersist()
+        } finally broker.close()
+        def lane(out: String, who: String) =
+          s.read.parquet(out)
+            .select(col("partition"),
+              expr("cast(split(v, ':')[1] as bigint)").as("b"))
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .selectExpr(s"'flow_$who' AS kind",
+              "CAST(partition AS STRING) AS key", "n", "v")
+        lane(outA, "a").unionByName(lane(outB, "b"))
+          .unionByName(kipLanes.toDF("kind", "key", "n", "v"))
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS wave,
+                CAST(user_id % 4 AS INT) AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT wave, part, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS sum_b
+              FROM base GROUP BY 1, 2)
+            SELECT 'flow_a' AS kind, CAST(a0.part AS VARCHAR) AS key,
+              CASE WHEN a0.part < 2 THEN a0.n + a1.n ELSE a0.n END AS n,
+              CASE WHEN a0.part < 2 THEN a0.sum_b + a1.sum_b
+                   ELSE a0.sum_b END AS v
+            FROM agg a0 JOIN agg a1
+              ON a1.part = a0.part AND a1.wave = 1
+            WHERE a0.wave = 0
+            UNION ALL
+            SELECT 'flow_b', CAST(a1.part AS VARCHAR), a1.n, a1.sum_b
+            FROM agg a1 WHERE a1.wave = 1 AND a1.part >= 2
+            UNION ALL SELECT 'kip', 'a_never_empty', 1, 1
+            UNION ALL SELECT 'kip', 'a_first_parts', 1, 4
+            UNION ALL SELECT 'kip', 'a_final_parts', 1, 2
+            UNION ALL SELECT 'kip', 'b_final_parts', 1, 2
+            UNION ALL SELECT 'kip', 'epoch_after_two_joins', 1, 3"""),
+      doc = "KIP-848 incremental rebalance: broker-side assignor, " +
+        "per-member reconciliation, incumbent never pauses, " +
+        "epoch-fenced commits, exactly-once union")
   )
 }
