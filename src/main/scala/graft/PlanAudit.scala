@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Global plan audit (VERDICT r10 #8): build EVERY registered query and
+  * assert the fleet-wide physical-plan invariants that PlanSpec pins
+  * per-lane, so new queries are born covered:
+  *
+  *   - no CartesianProduct anywhere;
+  *   - no SortMergeJoin outside the pinned exceptions (the bucketed
+  *     at-rest lanes, where an exchange-free merge join is the POINT,
+  *     and the IVF training rejoin, co-partitioned by construction);
+  *   - no BroadcastNestedLoopJoin outside pinned model-sized lanes;
+  *   - Exchange count per final plan within a loose global ceiling
+  *     (streaming/socket lanes return small reconciliation frames; a
+  *     runaway exchange count flags a lane for a real audit).
+  *
+  * Usage: runMain graft.PlanAudit [qname ...] — no args sweeps all.
+  * Prints one line per query and a final VIOLATIONS block; exits 1 on
+  * any violation. NOTE the sweep EXECUTES each query builder (many
+  * lanes replay fixtures or drive live sockets to produce their result
+  * frame), so a full run costs about one Verify pass.
+  */
+object PlanAudit {
+
+  /** Lanes where a SortMergeJoin is the asserted-correct shape. */
+  val smjAllowed: Set[String] = Set(
+    "q236_bucket_join",        // bucketBy+sortBy merge join, 0 exchanges
+    "q239_bucket_stream_compact", // same layout after compaction
+    "q286_ivf_pq",             // Lloyd rejoin co-partitioned on (vec_id, m)
+    // corpus-scale × corpus-scale keyed joins — broadcast would be
+    // WRONG at 100 TB, the keyed shuffle join is the designed shape:
+    "q116_semantic_dedup",     // assigned(N) left-join drops(≤N) on vec_id
+    "q144_quality_keeplist"    // corpus left-ANTI drop-list(≤N) on doc_id
+  )
+
+  /** Model-sized nested-loop joins (inequality pairs over ≤ dozens of
+    * rows, broadcast) that are cheaper than any shuffle alternative. */
+  val bnljAllowed: Set[String] = Set(
+    "q297_kmv_sketch",         // 5-row sketch table inequality pairs
+    "q281_qdigest",            // rank-band self-pairs on a tiny frame
+    "q103_sequence_packing",   // bin pairing over the bounded bin table
+    "q165_substring_dedup",    // window-hash band pairs, blocked
+    "q182_curriculum",         // stage boundary pairs over ≤10 stages
+    "q116_semantic_dedup"      // broadcast-centroid assign (k=√N cap),
+                               // ×2 in lineage on both self-join sides
+  )
+
+  /** Verification harnesses that UNION several independently
+    * aggregated branches (a parameter sweep, a multi-lane
+    * reconciliation): each leg pays its own partial-agg exchange, so
+    * the per-plan total exceeds the ceiling while every individual
+    * pipeline stays 1–2 exchanges deep. Audited by reading the lanes,
+    * not waived blind. */
+  val multiBranchAllowed: Set[String] = Set(
+    "q175_lsh_sweep",          // (bands, rows) parameter sweep union
+    "q243_lm_perplexity_filter", // DELIBERATE full-shuffle exact-model
+                               // reference lane (broadcast twin: q255)
+    "q255_lm_perplexity_bcast", // model build + 3 verification legs
+    "q278_misra_gries",        // exact-vs-sketch: both read the corpus
+    "q252_containment_dedup",  // prefix-filter blocking + 2 verify legs
+    "q297_kmv_sketch",         // per-source sketch + distinct-truth legs
+    "q72_dedup_keeplist",      // dedup chain + keeplist reconciliation
+    "q74_incremental_dedup",   // generation-over-generation union
+    "q144_quality_keeplist"    // quality chain + anti-join verification
+  )
+
+  /** Iterative lanes (per-generation persist loops) whose FINAL plan
+    * text carries every generation's lineage — exchange counts over
+    * the concatenated lineage are not a per-pass metric there (their
+    * per-pass shapes are pinned in PlanSpec instead). */
+  val iterativeLanes: Set[String] = Set(
+    "q85_dedup_clusters",      // LSH cluster convergence generations
+    "q286_ivf_pq",             // Lloyd iterations
+    "q245_kmeans_embeddings",  // Lloyd iterations
+    "q266_pq_adc"              // per-subspace codebook training passes
+  )
+
+  /** Loose global ceiling on SHUFFLE Exchange nodes in one final
+    * plan. */
+  val exchangeCeiling = 8
+
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.core.Graft.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val violations = scala.collection.mutable.Buffer[String]()
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString()
+        val smj = "SortMergeJoin".r.findAllIn(plan).size
+        val cart = "CartesianProduct".r.findAllIn(plan).size
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        // SHUFFLE exchanges only: BroadcastExchange is the good kind,
+        // ReusedExchange re-reads one already paid for
+        val ex = "(?<!Broadcast)(?<!Reused)Exchange".r
+          .findAllIn(plan).size
+        val flags = scala.collection.mutable.Buffer[String]()
+        if (cart > 0) flags += s"CARTESIAN x$cart"
+        if (smj > 0 && !smjAllowed(n)) flags += s"SMJ x$smj"
+        // a broadcast nested loop over a model-sized panel is cheaper
+        // than any shuffle; a PILE of them deserves a real audit
+        if (bnlj > 2 && !bnljAllowed(n)) flags += s"BNLJ x$bnlj"
+        if (ex > exchangeCeiling && !iterativeLanes(n) &&
+          !multiBranchAllowed(n))
+          flags += s"EXCHANGES $ex"
+        println(f"$n%-34s smj=$smj cart=$cart bnlj=$bnlj ex=$ex" +
+          (if (flags.nonEmpty) "  <<< " + flags.mkString(", ") else ""))
+        flags.foreach(f => violations += s"$n: $f")
+      } catch {
+        case e: Throwable =>
+          println(f"$n%-34s BUILD FAILED: ${e.getMessage}")
+          violations += s"$n: build failed (${e.getClass.getSimpleName})"
+      }
+    }
+    println(s"\n== ${names.size} plans audited, " +
+      s"${violations.size} violations ==")
+    violations.foreach(v => println(s"VIOLATION $v"))
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

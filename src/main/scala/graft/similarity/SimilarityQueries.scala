@@ -398,13 +398,16 @@ object SimilarityQueries {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("vec_id").as("cid"))
-        val hits = exact.join(ivf, Seq("qid", "cid"))
+        // every frame below is ≤ k·|Q| rows (5×8) AT ANY CORPUS SCALE —
+        // the query set is fixed — so the reconciliation joins are
+        // broadcast by construction, not by runtime stats
+        val hits = exact.join(broadcast(ivf), Seq("qid", "cid"))
           .groupBy("qid").agg(count(lit(1)).as("h"),
             sum("rank").as("rs"))
         val nIvf = ivf.groupBy("qid").agg(count(lit(1)).as("ni"))
         q.select("qid")
-          .join(nIvf, Seq("qid"), "left")
-          .join(hits, Seq("qid"), "left")
+          .join(broadcast(nIvf), Seq("qid"), "left")
+          .join(broadcast(hits), Seq("qid"), "left")
           .selectExpr("qid",
             "coalesce(ni, CAST(0 AS BIGINT)) AS n_ivf",
             "coalesce(h, CAST(0 AS BIGINT)) AS n_hits",

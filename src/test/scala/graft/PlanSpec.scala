@@ -219,6 +219,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 lanes: q303 codec shape, q246 broadcast-only " +
+    "reconciliation, global-audit invariants hold on new lanes") {
+    // q303 joins the codec-lane family: mapPartitions decode + one
+    // verification aggregate, nothing else may grow into it
+    val p303 = SparkEntry.queries("q303_tiff_wide")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p303.contains("SortMergeJoin") &&
+      !p303.contains("CartesianProduct"), p303)
+    assert("(?<!Reused)Exchange".r.findAllIn(p303).size <= 2, p303)
+    // q246's reconciliation frames are ≤ k·|Q| rows at ANY corpus
+    // scale — the joins must be broadcast by hint, not runtime stats
+    val p246 = SparkEntry.queries("q246_ann_recall")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p246.contains("SortMergeJoin"),
+      s"q246 reconciliation fell back to sort-merge:\n$p246")
+    assert(!p246.contains("CartesianProduct"), p246)
+  }
+
   test("round-9 lanes: qdigest + ASA biflow keep broadcast-only shapes") {
     // q281: the native q-digest rides Spark's partial/final aggregate
     // shuffle; the verification probe joins the per-source digest back
