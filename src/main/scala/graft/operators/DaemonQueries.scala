@@ -1806,6 +1806,139 @@ object DaemonQueries {
             UNION ALL SELECT 'scram', 'bad_password_severed', 1, 1"""),
       doc = "SCRAM-SHA-256: RFC 5802/7677 challenge-response, mutual " +
         "auth, PLAIN/SHA-512 refused 33, wrong proof 58 + severed, " +
-        "authenticated executor produce/fetch path")
+        "authenticated executor produce/fetch path"),
+
+    // KIP-848 liveness + static membership (the depth behind q304's
+    // protocol): the broker-side session timeout (group.consumer.
+    // session.timeout.ms is a GROUP config) evicts a silent member on
+    // the next sweep and the SURVIVOR absorbs the freed partitions on
+    // its own next heartbeat — epoch bumps, nobody rejoins, nobody
+    // pauses; the evicted identity answers 25 forever. Static
+    // membership (KIP-345 on the new wire: group.instance.id travels
+    // in the api-68 request) lets a member that crashed WITHOUT a
+    // leave come back under the empty member id and resume its OLD
+    // identity, assignment and epoch — zero rebalance for anyone. The
+    // full choreography runs over live sockets; the survivor's final
+    // whole-topic drain reconciles the events table.
+    Q("q305_kafka_848_session",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val g = "graft_848sess"
+        val topics = Seq("acct")
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long)]
+          rows.repartition(8).foreachPartition {
+            (it: Iterator[(Long, Long)]) =>
+              KafkaMiniBroker.produceAll(port, "graft_848s_src",
+                it.grouped(60).map { batch =>
+                  batch.groupBy { case (uid, _) => (uid % 4).toInt }
+                    .toSeq.sortBy(_._1).map { case (p, recs) =>
+                      KafkaWire.PartitionBatch("acct", p, recs.map {
+                        case (uid, b) => KafkaWire.Record(s"k$uid",
+                          s"$uid:$b".getBytes("UTF-8"))
+                      })
+                    }
+                })
+          }
+          def hb(member: String, epoch: Int,
+                 owned: Seq[(String, Seq[Int])],
+                 iid: Option[String] = None) =
+            KafkaMiniBroker.heartbeat848(port, g, member, epoch,
+              topics, owned, iid)
+          def nParts(a: Seq[(String, Seq[Int])]): Long =
+            a.map(_._2.size).sum.toLong
+          // A joins statically, owns everything
+          val (ea, aId, aEp, aAsg) = hb("", 0, Nil, Some("repro-a"))
+          require(ea == 0)
+          // B joins: the incumbent still holds all 4 — the joiner's
+          // first grant is EMPTY (incremental, no stop-the-world)
+          val (eb, bId, bEp, bAsg0) = hb("", 0, Nil, Some("repro-b"))
+          require(eb == 0)
+          // A's next heartbeat revokes its surplus...
+          val (_, _, aEp2, aAsg2) = hb(aId, aEp, aAsg)
+          // ...and B's next heartbeat picks it up
+          val (_, _, bEp2, bAsg2) = hb(bId, bEp, Nil)
+          // static comeback: B crashes WITHOUT leaving and returns
+          // under its instance id — same member id, same assignment,
+          // same epoch (nobody rebalanced)
+          val (es, bId2, bEp3, bAsg3) = hb("", 0, Nil, Some("repro-b"))
+          require(es == 0)
+          val staticSameId = bId2 == bId
+          val staticEpochStable = bEp3 == bEp2
+          // session timeout: B goes silent, A keeps heartbeating; the
+          // sweep evicts B and A absorbs {2,3} on its OWN heartbeat
+          broker.set848SessionTimeout(g, 250)
+          var aEp3 = aEp2
+          var aAsg3 = aAsg2
+          val deadline = System.currentTimeMillis() + 30000
+          while (nParts(aAsg3) < 4 &&
+            System.currentTimeMillis() < deadline) {
+            Thread.sleep(100)
+            val r = hb(aId, aEp3, aAsg3)
+            require(r._1 == 0, s"survivor fenced: ${r._1}")
+            aEp3 = r._3; aAsg3 = r._4
+          }
+          // the evicted identity is UNKNOWN from here on
+          val deadErr = hb(bId, bEp3, bAsg3)._1
+          val epochBumped = aEp3 > bEp3
+          // survivor's whole-topic drain reconciles the corpus
+          val drained = (0 until 4).flatMap { p =>
+            val hw = KafkaMiniBroker.discoverEnds(port, topics)
+              .collectFirst { case ("acct", `p`, end) => end }
+              .getOrElse(0L)
+            KafkaMiniBroker.consumeRange(port, "acct", p, 0L, hw)
+              .map { case (_, r) =>
+                val v = new String(r.value, "UTF-8")
+                (p.toLong, v.substring(v.indexOf(':') + 1).toLong)
+              }
+          }
+          val flow = drained.toDF("partition", "b")
+            .groupBy("partition")
+            .agg(count(lit(1)).as("n"), sum("b").as("v"))
+            .selectExpr("'flow' AS kind",
+              "CAST(partition AS STRING) AS key", "n", "v")
+          val lanes = Seq(
+            ("848", "a_initial_parts", 1L, nParts(aAsg)),
+            ("848", "b_join_grant", 1L, nParts(bAsg0)),
+            ("848", "a_after_join_parts", 1L, nParts(aAsg2)),
+            ("848", "b_after_release_parts", 1L, nParts(bAsg2)),
+            ("848", "static_same_id", 1L, if (staticSameId) 1L else 0L),
+            ("848", "static_same_parts", 1L, nParts(bAsg3)),
+            ("848", "static_epoch_stable", 1L,
+              if (staticEpochStable) 1L else 0L),
+            ("848", "evict_epoch_bumped", 1L,
+              if (epochBumped) 1L else 0L),
+            ("848", "a_after_evict_parts", 1L, nParts(aAsg3)),
+            ("848", "dead_member_fenced", 1L, deadErr.toLong))
+            .toDF("kind", "key", "n", "v")
+          flow.unionByName(lanes)
+        } finally broker.close()
+      },
+      Some("""SELECT 'flow' AS kind,
+              CAST(CAST(user_id % 4 AS INT) AS VARCHAR) AS key,
+              count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS v
+            FROM events GROUP BY 2
+            UNION ALL SELECT '848', 'a_initial_parts', 1, 4
+            UNION ALL SELECT '848', 'b_join_grant', 1, 0
+            UNION ALL SELECT '848', 'a_after_join_parts', 1, 2
+            UNION ALL SELECT '848', 'b_after_release_parts', 1, 2
+            UNION ALL SELECT '848', 'static_same_id', 1, 1
+            UNION ALL SELECT '848', 'static_same_parts', 1, 2
+            UNION ALL SELECT '848', 'static_epoch_stable', 1, 1
+            UNION ALL SELECT '848', 'evict_epoch_bumped', 1, 1
+            UNION ALL SELECT '848', 'a_after_evict_parts', 1, 4
+            UNION ALL SELECT '848', 'dead_member_fenced', 1, 25"""),
+      doc = "KIP-848 depth: broker-side session-timeout eviction " +
+        "absorbed incrementally by the survivor, static membership " +
+        "(group.instance.id) resuming identity with zero rebalance")
   )
 }

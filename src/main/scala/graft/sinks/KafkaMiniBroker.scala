@@ -85,6 +85,34 @@ final class KafkaMiniBroker {
       mutable.LinkedHashMap[String, (Int, Set[(String, Int)])]()
     var nextId = 0
     var target: Map[String, Set[(String, Int)]] = Map.empty
+    /** liveness ledger + the broker-side session timeout (KIP-848's
+      * group.consumer.session.timeout.ms — a GROUP config, not a
+      * request field). */
+    val lastSeenNs = mutable.Map[String, Long]()
+    var sessionTimeoutMs: Int = Int.MaxValue
+    /** KIP-345 static membership on the new wire: instance id →
+      * member id. A static member that comes back with the empty
+      * member id resumes its OLD identity and assignment — no epoch
+      * bump, nobody rebalances. */
+    val instanceIds = mutable.Map[String, String]()
+    /** Evict members whose last heartbeat is older than the session
+      * timeout: membership shrinks, the epoch bumps, and survivors
+      * absorb the freed partitions INCREMENTALLY on their own next
+      * heartbeats — nobody pauses (contrast GroupState.sweep, which
+      * forces every survivor through a new join barrier). */
+    def sweep(now: Long): Unit = {
+      val dead = members.keysIterator.filter { m =>
+        now - lastSeenNs.getOrElse(m, now) >
+          sessionTimeoutMs.toLong * 1000000L
+      }.toVector
+      if (dead.nonEmpty) {
+        dead.foreach { m =>
+          members.remove(m); lastSeenNs.remove(m)
+          instanceIds.filterInPlace((_, id) => id != m)
+        }
+        epoch += 1
+      }
+    }
     /** Range assignor over the subscribed topics in join order. */
     def recomputeTarget(parts: Seq[(String, Int)]): Unit = {
       val ids = members.keysIterator.toIndexedSeq
@@ -104,6 +132,14 @@ final class KafkaMiniBroker {
     }
   }
   private val groups848 = mutable.Map[String, Group848]()
+
+  /** Set the KIP-848 group's broker-side session timeout. */
+  def set848SessionTimeout(group: String, ms: Int): Unit = {
+    val gr = groups848.synchronized {
+      groups848.getOrElseUpdate(group, new Group848)
+    }
+    gr.synchronized { gr.sessionTimeoutMs = ms }
+  }
 
   /** (epoch, members → owned) snapshot for gates. */
   def group848Snapshot(group: String)
@@ -763,7 +799,7 @@ final class KafkaMiniBroker {
             }
           case 68 =>
             KafkaWire.parseConsumerGroupHeartbeat(payload) match {
-              case Some((corr, g, member, epoch, topics, _)) =>
+              case Some((corr, g, member, epoch, instanceId, topics, _)) =>
                 // (the wire's owned-partitions report is parsed but the
                 // ledger tracks grants: members adopt/release on the
                 // response, synchronously, before their next planning)
@@ -771,17 +807,27 @@ final class KafkaMiniBroker {
                   groups848.getOrElseUpdate(g, new Group848)
                 }
                 gr.synchronized {
+                  gr.sweep(System.nanoTime())
                   if (epoch == -1) {
                     // leave: membership shrinks, nobody else pauses
                     if (gr.members.remove(member).isDefined)
                       gr.epoch += 1
+                    gr.lastSeenNs.remove(member)
+                    gr.instanceIds.filterInPlace((_, id) => id != member)
                     KafkaWire.encodeConsumerGroupHeartbeatResponse(
                       corr, 0, member, -1, Nil)
                   } else {
-                    val isNew = member.isEmpty
+                    // static membership: an empty member id with a
+                    // KNOWN instance id resumes the OLD identity — no
+                    // epoch bump, no rebalance for anyone
+                    val staticBack = member.isEmpty &&
+                      instanceId.exists(gr.instanceIds.contains)
+                    val isNew = member.isEmpty && !staticBack
                     val id =
-                      if (isNew) { gr.nextId += 1; s"m848-${gr.nextId}" }
-                      else member
+                      if (staticBack) gr.instanceIds(instanceId.get)
+                      else if (isNew) {
+                        gr.nextId += 1; s"m848-${gr.nextId}"
+                      } else member
                     if (!isNew && !gr.members.contains(id))
                       KafkaWire.encodeConsumerGroupHeartbeatResponse(
                         corr, 25, id, gr.epoch, Nil) // UNKNOWN_MEMBER
@@ -789,7 +835,9 @@ final class KafkaMiniBroker {
                       if (isNew) {
                         gr.members(id) = (gr.epoch, Set.empty)
                         gr.epoch += 1
+                        instanceId.foreach(gr.instanceIds(_) = id)
                       }
+                      gr.lastSeenNs(id) = System.nanoTime()
                       val parts = logs.synchronized {
                         logs.keysIterator
                           .filter(k => topics.contains(k._1)).toSeq
@@ -1194,14 +1242,15 @@ object KafkaMiniBroker {
     * −1 leaves. */
   def heartbeat848(port: Int, group: String, memberId: String,
                    memberEpoch: Int, topics: Seq[String],
-                   owned: Seq[(String, Seq[Int])])
+                   owned: Seq[(String, Seq[Int])],
+                   instanceId: Option[String] = None)
       : (Int, String, Int, Seq[(String, Seq[Int])]) = {
     val (sock, in, out) = connect(port)
     try {
       val (err, id, ep, wire) =
         KafkaWire.decodeConsumerGroupHeartbeatResponse(exchange(in, out,
           KafkaWire.encodeConsumerGroupHeartbeat(0, "graft_848", group,
-            memberId, memberEpoch, topics, owned)))
+            memberId, memberEpoch, topics, owned, instanceId)))
       val uuidOf = topics.map(t => KafkaWire.topicUuid(t) -> t).toMap
       (err, id, ep, wire.flatMap { case (hi, lo, ps) =>
         uuidOf.get((hi, lo)).map(t => (t, ps))

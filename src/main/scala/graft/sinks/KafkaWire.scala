@@ -1691,10 +1691,13 @@ object KafkaWire {
   }
 
   /** Client-side request: member epoch −1 leaves the group; owned is
-    * the member's CURRENT assignment (post-revocation report). */
+    * the member's CURRENT assignment (post-revocation report);
+    * instanceId Some(_) requests STATIC membership (KIP-848 carries
+    * KIP-345's group.instance.id on the new wire). */
   def encodeConsumerGroupHeartbeat(corr: Int, clientId: String,
       group: String, memberId: String, memberEpoch: Int,
-      topics: Seq[String], owned: Seq[(String, Seq[Int])])
+      topics: Seq[String], owned: Seq[(String, Seq[Int])],
+      instanceId: Option[String] = None)
       : Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
@@ -1707,7 +1710,10 @@ object KafkaWire {
     compactStr(b, group)
     compactStr(b, memberId)
     i32(memberEpoch)
-    writeUvarint(b, 0) // instance id: null
+    instanceId match {
+      case Some(iid) => compactStr(b, iid)
+      case None => writeUvarint(b, 0) // instance id: null
+    }
     writeUvarint(b, 0) // rack id: null
     i32(30000)         // rebalance timeout
     writeUvarint(b, topics.size + 1) // subscribed topic names
@@ -1727,9 +1733,10 @@ object KafkaWire {
   }
 
   /** Broker-side parse: (corr, group, memberId, memberEpoch,
-    * subscribed topics, owned (topicUuidHi, topicUuidLo, partitions)). */
+    * instanceId, subscribed topics,
+    * owned (topicUuidHi, topicUuidLo, partitions)). */
   def parseConsumerGroupHeartbeat(payload: Array[Byte])
-      : Option[(Int, String, String, Int, Seq[String],
+      : Option[(Int, String, String, Int, Option[String], Seq[String],
         Seq[(Long, Long, Seq[Int])])] = try {
     val buf = ByteBuffer.wrap(payload)
     if (buf.getShort() != 68 || buf.getShort() != 0) return None
@@ -1739,7 +1746,10 @@ object KafkaWire {
     val group = readCompactStr(buf)
     val member = readCompactStr(buf)
     val epoch = buf.getInt()
-    readUvarint(buf)                        // instance id (null)
+    val iidLen = readUvarint(buf) - 1       // instance id
+    val instanceId =
+      if (iidLen <= 0) None
+      else Some(new String(takeBytes(buf, iidLen), "UTF-8"))
     readUvarint(buf)                        // rack id (null)
     buf.getInt()                            // rebalance timeout
     val nt = readUvarint(buf) - 1
@@ -1753,7 +1763,7 @@ object KafkaWire {
       readUvarint(buf)                      // struct tags
       (hi, lo, ps)
     }
-    Some((corr, group, member, epoch, topics, owned))
+    Some((corr, group, member, epoch, instanceId, topics, owned))
   } catch { case _: Exception => None }
 
   /** Broker response: error 0 with (memberId, memberEpoch, assignment
