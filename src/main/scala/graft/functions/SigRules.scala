@@ -678,7 +678,40 @@ object SigRules {
           val vl = (h(11) & 0xff) | ((h(12) & 0xff) << 8)
           13 + vl == h.length && vl >= 6 && h(13) == '9' && h(14) == 'P'
         }
-    }))
+    }),
+    // DTLS 1.3 unified header (RFC 9147 §4): 001CSLEE fixed bits with
+    // C=0 (no CID on a first flight) and L=1 — the 16-bit length must
+    // then span exactly the remaining record payload
+    "dtls13" -> (h => h.length >= 6 && (h(0) & 0xe0) == 0x20 &&
+      (h(0) & 0x10) == 0 && (h(0) & 0x04) != 0 && {
+        // header: flags, u16 seq (S=1) or u8 (S=0), u16 length
+        val seqLen = if ((h(0) & 0x08) != 0) 2 else 1
+        val lo = 1 + seqLen
+        lo + 2 <= h.length &&
+          (((h(lo) & 0xff) << 8) | (h(lo + 1) & 0xff)) ==
+            h.length - lo - 2
+      }),
+    // SOCKS4/4a CONNECT/BIND: version 4, command 1..2, u16 port,
+    // 4-byte address, NUL-terminated printable userid tail
+    "socks4" -> (h => h.length >= 9 && (h(0) & 0xff) == 4 &&
+      ((h(1) & 0xff) == 1 || (h(1) & 0xff) == 2) &&
+      h(h.length - 1) == 0 &&
+      (8 until h.length - 1).forall { i =>
+        val c = h(i) & 0xff; c >= 0x20 && c <= 0x7e
+      }),
+    // BitTorrent DHT (BEP 5 KRPC): a bencoded dict opening "d1:" whose
+    // top level carries the message-type key "1:y" and closes with 'e'
+    "btdht" -> (h => h.length >= 16 && h(0) == 'd' && h(1) == '1' &&
+      h(2) == ':' && h(h.length - 1) == 'e' && {
+        val s = new String(h,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        s.contains("1:y1:") && s.contains("1:t")
+      }),
+    // uTP SYN (BEP 29): type 4 / version 1, extension 0..2, 20-byte
+    // header, ack_nr 0 on the first packet (the connection opener —
+    // later frames are only port/flow-context detectable, as in nDPI)
+    "utp" -> (h => h.length >= 20 && (h(0) & 0xff) == 0x41 &&
+      (h(1) & 0xff) <= 2 && h(18) == 0 && h(19) == 0))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -701,6 +734,8 @@ object SigRules {
     // DTLS record: same content type, version 0xFEFF/0xFEFD (1.0/1.2)
     Rule("dtls", Seq(MinLen(13), B(0, 0x16), B(1, 0xfe),
       AnyOf(Seq(Seq(B(2, 0xff)), Seq(B(2, 0xfd)))))),
+    // the 1.3 unified header shares nothing with the plaintext record
+    Rule("dtls13", Seq(Heur("dtls13"))),
     Rule("ssh", Seq(Ascii("SSH-"))),
     Rule("rtsp", Seq(AnyOf(Seq(Seq(Ascii("RTSP/")), Seq(Ascii("SETUP ")),
       Seq(Ascii("DESCRIBE ")))))),
@@ -712,6 +747,8 @@ object SigRules {
       Seq(Ascii("DLCX ")), Seq(Ascii("RQNT ")), Seq(Ascii("NTFY ")),
       Seq(Ascii("AUEP ")))))),
     Rule("bittorrent", Seq(Heur("bittorrent"))),
+    // the DHT sidecar: bencoded KRPC over UDP
+    Rule("btdht", Seq(Heur("btdht"))),
     Rule("smtp", Seq(AnyOf(Seq(Seq(Ascii("220 ")), Seq(Ascii("EHLO ")),
       Seq(Ascii("HELO ")), Seq(Ascii("MAIL FROM:")))))),
     // NNTP greeting: 200 (posting allowed) / 201 (read-only)
@@ -721,6 +758,12 @@ object SigRules {
     Rule("pop3", Seq(AnyOf(Seq(Seq(Ascii("+OK")), Seq(Ascii("USER ")),
       Seq(Ascii("RETR ")))))),
     Rule("irc", Seq(Ascii("NICK "))),
+    // AMQP 1.0 (ISO 19464 §2.2): protocol ids 0 (AMQP) / 2 (TLS) /
+    // 3 (SASL) with major version 1 — MUST precede the 0-9-1 rule,
+    // whose byte-4 pin alone would also claim the plain 1.0 header
+    Rule("amqp1", Seq(Ascii("AMQP"), MinLen(8),
+      AnyOf(Seq(Seq(B(4, 0x00)), Seq(B(4, 0x02)), Seq(B(4, 0x03)))),
+      B(5, 0x01), B(6, 0x00), B(7, 0x00))),
     Rule("amqp", Seq(Ascii("AMQP"), B(4, 0x00))),
     Rule("rsync", Seq(Ascii("@RSYNCD:"))),
     // NBD server greeting (oldstyle and newstyle both open with it)
@@ -852,6 +895,7 @@ object SigRules {
     Rule("l2tp", Seq(Heur("l2tp"))),
     Rule("tacacs", Seq(Heur("tacacs"))),
     Rule("socks5", Seq(Heur("socks5"))),
+    Rule("socks4", Seq(Heur("socks4"))),
     // before coap: "RT" (0x52) satisfies CoAP's loose version/TKL bit
     // check too — the exact 4-byte magic must win
     // RTPS (OMG DDSI-RTPS 2.x §8.3.3): magic + protocol major 2,
@@ -868,6 +912,11 @@ object SigRules {
     // GTPv2's 0x4x first byte also lands in CoAP's band: the u16
     // self-length wins the ambiguity, so it goes first
     Rule("gtpv2", Seq(Heur("gtpv2"))),
+    // uTP's 0x41 SYN byte is in the band too; the 20-byte header +
+    // zero ack_nr pin beats CoAP's loose class check (a ≥20-byte CoAP
+    // GET with TKL 1 and two zero option bytes is the residual
+    // ambiguity — nDPI resolves the same pair by port)
+    Rule("utp", Seq(Heur("utp"))),
     Rule("coap", Seq(Heur("coap"))),
     // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
     // around Q.931 — protocol discriminator 0x08, call-ref length 2.
@@ -1565,6 +1614,23 @@ object SigRules {
       case "zookeeper" =>
         Seq("ruok", "mntr", "srvr", "conf")((s % 4).toInt).getBytes
       case "nsq" => "  V2".getBytes
+      case "dtls13" => // unified header, S=1 L=1, 8-byte ciphertext
+        Array[Byte](0x2c, (s % 120).toByte, (s % 90).toByte, 0, 8) ++
+          Array.fill[Byte](8)((s % 97).toByte)
+      case "socks4" =>
+        Array[Byte](4, 1, 0x1f, 0x90.toByte, 10, 0,
+          (s % 250).toByte, 1) ++ s"user$s".getBytes ++ Array[Byte](0)
+      case "amqp1" =>
+        "AMQP".getBytes ++ Array[Byte]((s % 2 * 3).toByte, 1, 0, 0)
+      case "btdht" =>
+        (s"d1:ad2:id20:${"A" * 20}e1:q4:ping1:t2:t${s % 10}1:y1:qe")
+          .getBytes
+      case "utp" => // SYN: type 4 ver 1, ext 0, conn id, ts, wnd
+        Array[Byte](0x41, 0, (s % 120).toByte, (s % 90).toByte,
+          (s % 50).toByte, (s % 40).toByte, (s % 30).toByte, 1,
+          0, 0, 0, 0,
+          0, 1, 0, 0,
+          (s % 20).toByte, 1, 0, 0)
       case "nbd" => "NBDMAGIC".getBytes ++
         "IHAVEOPT".getBytes ++ Array[Byte](0, (s % 120).toByte)
       case "ninep" => // Tversion NOTAG msize 8192 "9P2000"
