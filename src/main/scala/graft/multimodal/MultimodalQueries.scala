@@ -954,8 +954,14 @@ object MultimodalQueries {
               case 1 => Tiff.CompPackBits
               case _ => Tiff.CompLzw
             }
+            // every fifth doc rides the TILED layout (one zero-padded
+            // 16x16 tile at these dims); LZW docs alternate the
+            // per-SAMPLE predictor — both lossless, so the oracle
+            // arithmetic is untouched
             val bytes = Tiff.encode(Tiff.Image(w, h, ch, px, bits),
-              comp, rowsPerStrip = (2 + id % 3).toInt, big = big)
+              comp, predictor = comp == Tiff.CompLzw && id % 4 == 3,
+              rowsPerStrip = (2 + id % 3).toInt, big = big,
+              tile = if (id % 5 == 4) Some((16, 16)) else None)
             require((bytes(2) & 0xff) == (if (big) 43 else 42))
             val back = Tiff.decode(bytes).get
             require(back.bits == bits && back.width == w &&

@@ -243,6 +243,50 @@ object Tiff {
     while (i < row.length) { row(i) = (row(i) + row(i - ch)).toByte; i += 1 }
   }
 
+  /** Predictor 2 at 16 bits differences per SAMPLE (TIFF 6.0 §14 —
+    * "the size of a sample is defined by BitsPerSample"), so the u16s
+    * are read/written in the FILE's byte order, never bytewise. */
+  private def predictEncode16LE(row: Array[Byte], ch: Int): Array[Byte] = {
+    val out = row.clone()
+    val stride = 2 * ch
+    var i = row.length - 2
+    while (i >= stride) {
+      val cur = (row(i) & 0xff) | ((row(i + 1) & 0xff) << 8)
+      val prev = (row(i - stride) & 0xff) |
+        ((row(i - stride + 1) & 0xff) << 8)
+      val d = (cur - prev) & 0xffff
+      out(i) = (d & 0xff).toByte
+      out(i + 1) = ((d >> 8) & 0xff).toByte
+      i -= 2
+    }
+    out
+  }
+
+  private def predictDecode16(row: Array[Byte], ch: Int,
+                              le: Boolean): Unit = {
+    val stride = 2 * ch
+    var i = stride
+    while (i + 1 < row.length) {
+      val cur =
+        if (le) (row(i) & 0xff) | ((row(i + 1) & 0xff) << 8)
+        else ((row(i) & 0xff) << 8) | (row(i + 1) & 0xff)
+      val prev =
+        if (le) (row(i - stride) & 0xff) |
+          ((row(i - stride + 1) & 0xff) << 8)
+        else ((row(i - stride) & 0xff) << 8) |
+          (row(i - stride + 1) & 0xff)
+      val v = (cur + prev) & 0xffff
+      if (le) {
+        row(i) = (v & 0xff).toByte
+        row(i + 1) = ((v >> 8) & 0xff).toByte
+      } else {
+        row(i) = ((v >> 8) & 0xff).toByte
+        row(i + 1) = (v & 0xff).toByte
+      }
+      i += 2
+    }
+  }
+
   // ---------------------------------------------------------- encode
 
   /** Little-endian TIFF with `rowsPerStrip`-row strips. `predictor`
@@ -255,41 +299,78 @@ object Tiff {
   def encode(img: Image, compression: Int = CompNone,
              predictor: Boolean = false,
              rowsPerStrip: Int = 8,
-             big: Boolean = false): Array[Byte] = {
+             big: Boolean = false,
+             tile: Option[(Int, Int)] = None): Array[Byte] = {
     require(img.channels >= 1 && img.channels <= 4)
     require(img.bits == 8 || img.bits == 16)
     val bs = img.bits / 8
     require(img.pixels.length ==
       img.width * img.height * img.channels * bs)
-    require(!predictor || (compression == CompLzw && img.bits == 8),
-      "predictor is an 8-bit TIFF-LZW feature here")
+    require(!predictor || compression == CompLzw,
+      "predictor is a TIFF-LZW feature")
     val ch = img.channels
     val rowBytes = img.width * ch * bs
+    /** one serialized row in FILE byte order, UNPREDICTED (the
+      * predictor applies per compressed segment — per strip row or per
+      * TILE row — never across a tile boundary). */
+    def fileRow(y: Int): Array[Byte] = {
+      val src = java.util.Arrays.copyOfRange(img.pixels,
+        y * rowBytes, (y + 1) * rowBytes)
+      if (bs == 2) { // canonical BE -> the file's little-endian
+        var i = 0
+        while (i + 1 < src.length) {
+          val t = src(i); src(i) = src(i + 1); src(i + 1) = t
+          i += 2
+        }
+      }
+      src
+    }
+    def predict(row: Array[Byte]): Array[Byte] =
+      if (!predictor) row
+      else if (bs == 2) predictEncode16LE(row, ch)
+      else predictEncode(row, ch)
+    def compress(raw: Array[Byte]): Array[Byte] = compression match {
+      case CompNone => raw
+      case CompPackBits => packBits(raw)
+      case CompLzw => lzwEncode(raw)
+      case other => throw new IllegalArgumentException(s"comp $other")
+    }
     val nStrips = math.max(1,
       (img.height + rowsPerStrip - 1) / rowsPerStrip)
-    val strips = (0 until nStrips).map { s =>
-      val y0 = s * rowsPerStrip
-      val y1 = math.min(img.height, y0 + rowsPerStrip)
-      val raw = new Array[Byte]((y1 - y0) * rowBytes)
-      (y0 until y1).foreach { y =>
-        val src = java.util.Arrays.copyOfRange(img.pixels,
-          y * rowBytes, (y + 1) * rowBytes)
-        if (bs == 2) { // canonical BE -> the file's little-endian
-          var i = 0
-          while (i + 1 < src.length) {
-            val t = src(i); src(i) = src(i + 1); src(i + 1) = t
-            i += 2
+    val strips = tile match {
+      case None => (0 until nStrips).map { s =>
+        val y0 = s * rowsPerStrip
+        val y1 = math.min(img.height, y0 + rowsPerStrip)
+        val raw = new Array[Byte]((y1 - y0) * rowBytes)
+        (y0 until y1).foreach { y =>
+          System.arraycopy(predict(fileRow(y)), 0, raw,
+            (y - y0) * rowBytes, rowBytes)
+        }
+        compress(raw)
+      }
+      case Some((tw, th)) =>
+        // tiled layout (TIFF 6.0 §15): every tile FULL size, edges
+        // zero-padded; tile dims must be multiples of 16
+        require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+          "tile dims must be positive multiples of 16")
+        val across = (img.width + tw - 1) / tw
+        val downN = (img.height + th - 1) / th
+        val tileRow = tw * ch * bs
+        (0 until downN).flatMap { ty =>
+          (0 until across).map { tx =>
+            val raw = new Array[Byte](th * tileRow)
+            val copyW = math.min(tw, img.width - tx * tw) * ch * bs
+            val copyH = math.min(th, img.height - ty * th)
+            (0 until copyH).foreach { ry =>
+              val seg = new Array[Byte](tileRow)
+              System.arraycopy(fileRow(ty * th + ry),
+                tx * tw * ch * bs, seg, 0, copyW)
+              System.arraycopy(predict(seg), 0, raw, ry * tileRow,
+                tileRow)
+            }
+            compress(raw)
           }
         }
-        val row = if (predictor) predictEncode(src, ch) else src
-        System.arraycopy(row, 0, raw, (y - y0) * rowBytes, rowBytes)
-      }
-      compression match {
-        case CompNone => raw
-        case CompPackBits => packBits(raw)
-        case CompLzw => lzwEncode(raw)
-        case other => throw new IllegalArgumentException(s"comp $other")
-      }
     }
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -338,10 +419,18 @@ object Tiff {
     add(258, bpsVal._1, bpsVal._2, bpsVal._3, bpsVal._4)
     add(259, 3, 1, compression)
     add(262, 3, 1, photometric)
-    add(273, soVal._1, soVal._2, soVal._3, soVal._4)
+    tile match {
+      case None =>
+        add(273, soVal._1, soVal._2, soVal._3, soVal._4)
+        add(278, 4, 1, rowsPerStrip)
+        add(279, sbcVal._1, sbcVal._2, sbcVal._3, sbcVal._4)
+      case Some((tw, th)) =>
+        add(322, 4, 1, tw)
+        add(323, 4, 1, th)
+        add(324, soVal._1, soVal._2, soVal._3, soVal._4)
+        add(325, sbcVal._1, sbcVal._2, sbcVal._3, sbcVal._4)
+    }
     add(277, 3, 1, ch)
-    add(278, 4, 1, rowsPerStrip)
-    add(279, sbcVal._1, sbcVal._2, sbcVal._3, sbcVal._4)
     add(284, 3, 1, 1)
     if (ch == 2 || ch == 4)
       add(338, 3, 1, 2) // extra sample = unassociated alpha
@@ -503,9 +592,11 @@ object Tiff {
     val predictor = tag1(m, r, 317, 1L).toInt
     if (predictor != 1 && predictor != 2) return None
     if (predictor == 2 && comp != CompLzw) return None
-    // predictor 2 differencing is per SAMPLE; this decoder applies it
-    // bytewise, which is only the same thing at 8 bits
-    if (predictor == 2 && bits != 8) return None
+    def applyPredictor(row: Array[Byte]): Unit =
+      if (predictor == 2) {
+        if (bs == 2) predictDecode16(row, ch, le)
+        else predictDecode(row, ch)
+      }
     val rowBytes = w * ch * bs
     val px = new Array[Byte](w * h * ch * bs)
     def decompress(off: Long, len: Long, expect: Int)
@@ -547,7 +638,7 @@ object Tiff {
           (0 until copyH).foreach { ry =>
             val row = java.util.Arrays.copyOfRange(raw, ry * tileRow,
               (ry + 1) * tileRow)
-            if (predictor == 2) predictDecode(row, ch)
+            applyPredictor(row)
             System.arraycopy(row, 0, px,
               (ty * th + ry) * rowBytes + tx * tw * ch * bs, copyW)
           }
@@ -572,7 +663,7 @@ object Tiff {
         (0 until rows).foreach { ry =>
           val row = java.util.Arrays.copyOfRange(raw, ry * rowBytes,
             (ry + 1) * rowBytes)
-          if (predictor == 2) predictDecode(row, ch)
+          applyPredictor(row)
           System.arraycopy(row, 0, px, (y0 + ry) * rowBytes, rowBytes)
         }
       }

@@ -299,6 +299,60 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit predictor 2: per-SAMPLE differencing roundtrips and " +
+    "compresses gradients") {
+    for (ch <- Seq(1, 3); big <- Seq(false, true)) {
+      val im = img16(31, 14, ch, 17L * ch, 16)
+      val bytes = Tiff.encode(im, Tiff.CompLzw, predictor = true,
+        big = big)
+      assert(Tiff.decode(bytes).exists(b => b.bits == 16 &&
+        b.pixels.sameElements(im.pixels)), s"ch=$ch big=$big")
+    }
+    // a smooth 16-bit ramp (values cross byte boundaries, so bytewise
+    // differencing would corrupt it; per-sample differencing makes it
+    // tiny under LZW)
+    val w = 128; val h = 8
+    val px = new Array[Byte](w * h * 2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 513 // strides past 0xFF so the hi byte moves
+      px((y * w + x) * 2) = ((v >> 8) & 0xff).toByte
+      px((y * w + x) * 2 + 1) = (v & 0xff).toByte
+    }
+    val grad = Tiff.Image(w, h, 1, px, bits = 16)
+    val withP = Tiff.encode(grad, Tiff.CompLzw, predictor = true)
+    val withoutP = Tiff.encode(grad, Tiff.CompLzw)
+    assert(Tiff.decode(withP).exists(_.pixels.sameElements(px)))
+    assert(withP.length < withoutP.length,
+      s"predictor ${withP.length} !< plain ${withoutP.length}")
+  }
+
+  test("tiled writer: roundtrips 8/16-bit x classic/BigTIFF, " +
+    "predictor restarts per tile, ImageIO reads the classic files") {
+    for (bits <- Seq(8, 16); big <- Seq(false, true);
+         comp <- Seq(Tiff.CompNone, Tiff.CompLzw);
+         pred <- Seq(false, true) if !pred || comp == Tiff.CompLzw) {
+      val im = img16(70, 37, 3, bits + comp + 7L, bits) // not aligned
+      val bytes = Tiff.encode(im, comp, predictor = pred,
+        big = big, tile = Some((32, 16)))
+      assert(Tiff.decode(bytes).exists(b => b.bits == bits &&
+        b.pixels.sameElements(im.pixels)),
+        s"bits=$bits big=$big comp=$comp pred=$pred")
+    }
+    // a tile-boundary-sensitive pattern: a predictor leaking across
+    // the tile edge would corrupt column 32 of every row
+    val im8 = textureImg(64, 16, 1)
+    val t = Tiff.encode(im8, Tiff.CompLzw, predictor = true,
+      tile = Some((32, 16)))
+    assert(Tiff.decode(t).exists(_.pixels.sameElements(im8.pixels)))
+    // classic tiled output is readable by the independent JDK plugin
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t))
+    assert(bi != null && bi.getWidth == 64 && bi.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 64)
+      assert(bi.getRaster.getSample(x, y, 0) ==
+        (im8.pixels(y * 64 + x) & 0xff), s"($x,$y)")
+  }
+
   test("BigTIFF structure: 8-byte offsets honored, truncated headers " +
     "refused") {
     val im = img16(33, 21, 3, 7L, 16)
