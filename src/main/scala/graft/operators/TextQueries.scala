@@ -1301,6 +1301,122 @@ object TextQueries {
               CAST(sum(has_lastmod) AS BIGINT) AS n_lastmod
             FROM entries GROUP BY 1"""),
       doc = "sitemaps.org XML: urlset + sitemapindex walk, entity " +
-        "and CDATA locs, lastmod/priority extraction")
+        "and CDATA locs, lastmod/priority extraction"),
+
+    // A TRAINED quality/topic classifier as a pipeline operator — the
+    // nearest-centroid (Rocchio) family fastText-style filters reduce
+    // to when the features are hashed bag-of-words counts. Train:
+    // per-class summed bucket-count vectors (integers — one
+    // aggregation over the 80% train split). Score: integer dot
+    // products of each held-out doc against the 5 centroids through a
+    // BROADCAST of the 5×64-row model. The argmax over dot_l / T_l
+    // (length-normalized) is computed EXACTLY: a pairwise tournament
+    // on cross-multiplied integers (dot_i·T_j vs dot_j·T_i, lang
+    // tiebreak), so no float log-prob boundary can ever diverge
+    // between engines. (At 100 TB the products need DECIMAL(38) or
+    // log-space scoring with a margin gate — the 63-bit headroom here
+    // is sf-bounded, documented.) Output: train-split class profile +
+    // the held-out confusion matrix.
+    Q("q306_rocchio_classifier",
+      (s, d) => {
+        val B = 64
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(expr("doc_id % 5 != 0"))
+        val test = docs.filter(expr("doc_id % 5 = 0"))
+        def buckets(df: org.apache.spark.sql.DataFrame) =
+          df.selectExpr("doc_id", "lang",
+            s"explode(transform($sparkToks, " +
+              s"t -> ${sparkTokHash("t")} % $B)) as b")
+        // the model: 5 langs × 64 buckets of integer counts + totals
+        val cent = buckets(train).groupBy("lang", "b")
+          .agg(count(lit(1)).as("c"))
+        val totals = cent.groupBy("lang")
+          .agg(sum("c").as("t_l"))
+        val model = broadcast(cent.join(totals, "lang")
+          .select(col("lang").as("clang"), col("b"), col("c"),
+            col("t_l")))
+        // integer dots per (doc, class); docs with zero overlap score 0
+        val dots = buckets(test)
+          .groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("db"))
+          .join(model, Seq("b"))
+          .groupBy(col("doc_id"), col("lang"), col("clang"))
+          .agg(sum(expr("db * c")).as("dot"), first("t_l").as("t_l"))
+        // every class must appear for every doc (zero-overlap classes
+        // too) so the tournament is complete: re-key on the broadcast
+        // class list with a left join
+        val classes = broadcast(totals
+          .select(col("lang").as("clang"), col("t_l").as("t_all")))
+        val full = test.select("doc_id", "lang").crossJoin(classes)
+          .join(dots.select("doc_id", "clang", "dot"),
+            Seq("doc_id", "clang"), "left")
+          .select(col("doc_id"), col("lang"), col("clang"),
+            coalesce(col("dot"), lit(0L)).as("dot"), col("t_all"))
+        // exact pairwise tournament: i wins over j iff
+        // dot_i·T_j > dot_j·T_i, ties to the smaller lang
+        val x = full.as("x")
+        val y = full.as("y")
+        val wins = x.join(y,
+            col("x.doc_id") === col("y.doc_id") &&
+              col("x.clang") =!= col("y.clang"))
+          .withColumn("win",
+            when(col("x.dot") * col("y.t_all") >
+              col("y.dot") * col("x.t_all"), 1L)
+              .when(col("x.dot") * col("y.t_all") ===
+                col("y.dot") * col("x.t_all") &&
+                col("x.clang") < col("y.clang"), 1L)
+              .otherwise(0L))
+          .groupBy(col("x.doc_id").as("doc_id"),
+            col("x.lang").as("actual"), col("x.clang").as("predicted"))
+          .agg(sum("win").as("nw"))
+          .filter(col("nw") === 4)
+        val confusion = wins.groupBy("actual", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .selectExpr("'confusion' AS kind", "actual",
+            "predicted AS predicted", "n")
+        val profile = totals
+          .selectExpr("'train' AS kind", "lang AS actual",
+            "lang AS predicted", "t_l AS n")
+        confusion.unionByName(profile)
+      },
+      Some(s"""WITH tb AS (SELECT doc_id, lang,
+                unnest(list_transform($duckToks,
+                  t -> ${duckTokHash("t")} % 64)) AS b
+              FROM documents),
+            cent AS (SELECT lang AS clang, b, count(*) AS c
+              FROM tb WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+            totals AS (SELECT clang, CAST(sum(c) AS BIGINT) AS t_all
+              FROM cent GROUP BY 1),
+            db AS (SELECT doc_id, lang, b, count(*) AS db
+              FROM tb WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+            dots AS (SELECT db.doc_id, db.lang, cent.clang,
+                CAST(sum(db.db * cent.c) AS BIGINT) AS dot
+              FROM db JOIN cent ON cent.b = db.b
+              GROUP BY 1, 2, 3),
+            full_s AS (SELECT d.doc_id, d.lang, t.clang,
+                COALESCE(dots.dot, 0) AS dot, t.t_all
+              FROM (SELECT DISTINCT doc_id, lang FROM documents
+                    WHERE doc_id % 5 = 0) d
+              CROSS JOIN totals t
+              LEFT JOIN dots ON dots.doc_id = d.doc_id
+                AND dots.clang = t.clang),
+            wins AS (SELECT x.doc_id, x.lang AS actual,
+                x.clang AS predicted,
+                sum(CASE WHEN x.dot * y.t_all > y.dot * x.t_all
+                      THEN 1
+                    WHEN x.dot * y.t_all = y.dot * x.t_all
+                      AND x.clang < y.clang THEN 1
+                    ELSE 0 END) AS nw
+              FROM full_s x JOIN full_s y
+                ON y.doc_id = x.doc_id AND y.clang != x.clang
+              GROUP BY 1, 2, 3)
+            SELECT 'confusion' AS kind, actual, predicted,
+              count(*) AS n
+            FROM wins WHERE nw = 4 GROUP BY 2, 3
+            UNION ALL
+            SELECT 'train', clang, clang, t_all FROM totals"""),
+      doc = "trained nearest-centroid classifier: hashed-BoW integer " +
+        "centroids, broadcast model, exact cross-multiplied argmax, " +
+        "held-out confusion matrix")
   )
 }
