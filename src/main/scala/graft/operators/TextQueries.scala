@@ -1417,6 +1417,60 @@ object TextQueries {
             SELECT 'train', clang, clang, t_all FROM totals"""),
       doc = "trained nearest-centroid classifier: hashed-BoW integer " +
         "centroids, broadcast model, exact cross-multiplied argmax, " +
-        "held-out confusion matrix")
+        "held-out confusion matrix"),
+
+    // Leakage-safe corpus splitting: train/val/test assigned by a hash
+    // of the provenance DOMAIN (the source field — registrable domain
+    // in a web corpus), never per-document, so near-duplicate pages
+    // from one site can never straddle the held-out boundary. The
+    // contract is VERIFIED from the assigned rows, not assumed: the
+    // straddle count (domains present in >1 split) must come out 0,
+    // and per-split doc/domain/token masses quantify the 80/10/10
+    // hash-realized proportions. One pass, one aggregation — the split
+    // column is a pure function of the row, so at 100 TB this is a
+    // mapper plus a 3-row rollup (plus the distinct-domain rollup).
+    Q("q307_leakage_split",
+      (s, d) => {
+        val splitExpr = s"""CASE
+          WHEN ${sparkTokHash("source")} % 100 < 80 THEN 'train'
+          WHEN ${sparkTokHash("source")} % 100 < 90 THEN 'val'
+          ELSE 'test' END"""
+        val assigned = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"size($sparkToks) as ntok", s"$splitExpr as split")
+        val perSplit = assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_domains"),
+            sum("ntok").as("n_tokens"))
+          .selectExpr("'split' AS kind", "split AS key", "n_docs",
+            "n_domains", "n_tokens")
+        val straddle = assigned.groupBy("source")
+          .agg(countDistinct("split").as("nsp"))
+          .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L))
+            .as("n_leaky"))
+          .selectExpr("'leakage' AS kind", "'straddling_domains' AS key",
+            "n_leaky AS n_docs", "CAST(0 AS BIGINT) AS n_domains",
+            "CAST(0 AS BIGINT) AS n_tokens")
+        perSplit.unionByName(straddle)
+      },
+      Some(s"""WITH assigned AS (SELECT doc_id, source,
+                len($duckToks) AS ntok,
+                CASE WHEN ${duckTokHash("source")} % 100 < 80
+                  THEN 'train'
+                WHEN ${duckTokHash("source")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents)
+            SELECT 'split' AS kind, split AS key, count(*) AS n_docs,
+              count(DISTINCT source) AS n_domains,
+              CAST(sum(ntok) AS BIGINT) AS n_tokens
+            FROM assigned GROUP BY 2
+            UNION ALL
+            SELECT 'leakage', 'straddling_domains',
+              CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              0, 0
+            FROM (SELECT source, count(DISTINCT split) AS nsp
+                  FROM assigned GROUP BY 1)"""),
+      doc = "leakage-safe split: domain-keyed train/val/test " +
+        "assignment with a verified zero-straddle contract")
   )
 }
