@@ -31,7 +31,10 @@ object PlanAudit {
     // corpus-scale × corpus-scale keyed joins — broadcast would be
     // WRONG at 100 TB, the keyed shuffle join is the designed shape:
     "q116_semantic_dedup",     // assigned(N) left-join drops(≤N) on vec_id
-    "q144_quality_keeplist"    // corpus left-ANTI drop-list(≤N) on doc_id
+    "q144_quality_keeplist",   // corpus left-ANTI drop-list(≤N) on doc_id
+    "q306_rocchio_classifier"  // held-out(N) ⟕ per-class dots(5N) on
+                               // (doc_id, clang) + the 5×5-per-doc
+                               // tournament self-join, co-keyed on doc_id
   )
 
   /** Model-sized nested-loop joins (inequality pairs over ≤ dozens of
@@ -62,7 +65,11 @@ object PlanAudit {
     "q297_kmv_sketch",         // per-source sketch + distinct-truth legs
     "q72_dedup_keeplist",      // dedup chain + keeplist reconciliation
     "q74_incremental_dedup",   // generation-over-generation union
-    "q144_quality_keeplist"    // quality chain + anti-join verification
+    "q144_quality_keeplist",   // quality chain + anti-join verification
+    "q306_rocchio_classifier", // train leg + score leg + tournament +
+                               // confusion/profile rollups
+    "q308_image_dhash"         // hash build + band self-join + three
+                               // verification rollups
   )
 
   /** Iterative lanes (per-generation persist loops) whose FINAL plan

@@ -631,6 +631,158 @@ object DedupQueries {
               count(DISTINCT CASE WHEN cont >= 0.9 THEN small END)
                 AS n_absorbed
             FROM p"""),
-      doc = "asymmetric containment dedup via min-hash prefix filtering")
+      doc = "asymmetric containment dedup via min-hash prefix filtering"),
+
+    // PERCEPTUAL near-dup for the image modality — the dHash pipeline
+    // a multimodal training corpus runs before embedding: decode (a
+    // REAL PNG roundtrip sits on the hot path; losslessness enforced
+    // per doc) → 4×4 box-REDUCE to a 9×8 grid (sums, never means — the
+    // shared denominator cancels, so the comparisons stay integer) →
+    // 64-bit difference hash (bit = right cell > left cell), carried
+    // as two 32-bit halves to stay inside signed BIGINT on both
+    // engines → band-keyed LSH join (4×16-bit bands, the q38 shape —
+    // candidates only ever meet inside a bucket) → Hamming ≤ 6 via
+    // bit_count(xor). Odd docs perturb one source pixel of their even
+    // twin (≤2 dHash bits move, ≥3 bands stay equal), so every twin
+    // pair must surface; the oracle reproduces the whole integer
+    // pipeline from the generator arithmetic.
+    Q("q308_image_dhash",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.multimodal.Png
+        val hashes = Tables.documents(s, d)
+          .selectExpr("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 36; val h = 32
+            val base = id / 2
+            // md5-mixed pixels (the TextOps 60-bit hash idiom): random
+            // enough that distinct bases share no dHash bands — a
+            // linear pattern here collapsed the hash space and blew
+            // the candidate set up quadratically
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def g(sb: String): Long = {
+              val hex = md.digest(sb.getBytes("UTF-8"))
+                .map(b => f"$b%02x").mkString
+              java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            }
+            val px = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w) {
+              var v = g(s"p:$base:$x:$y") % 256
+              if (id % 2 == 1 && x == 5 && y == 5) v = (v + 40) % 256
+              px(y * w + x) = (v & 0xff).toByte
+            }
+            // the codec leg: a lossless PNG roundtrip feeds the hash
+            val back = Png.decode(Png.encode(
+              Png.Image(w, h, 1, px))).get
+            require(back.pixels.sameElements(px), s"png drift doc $id")
+            val cells = Array.ofDim[Long](8, 9) // [y][x] 4x4 box sums
+            for (cy <- 0 until 8; cx <- 0 until 9) {
+              var sum = 0L
+              for (dy <- 0 until 4; dx <- 0 until 4)
+                sum += back.pixels((cy * 4 + dy) * w + cx * 4 + dx) & 0xff
+              cells(cy)(cx) = sum
+            }
+            var hi = 0L; var lo = 0L
+            for (cy <- 0 until 8; cx <- 0 until 8) {
+              val bit = if (cells(cy)(cx + 1) > cells(cy)(cx)) 1L else 0L
+              val i = cy * 8 + cx
+              if (i < 32) lo |= bit << i else hi |= bit << (i - 32)
+            }
+            (id, hi, lo)
+          }).toDF("doc_id", "hi", "lo").persist()
+        hashes.count()
+        val bands = hashes.selectExpr("doc_id", "hi", "lo",
+          """explode(array(
+             named_struct('bi', 0, 'bv', lo % 65536),
+             named_struct('bi', 1, 'bv', lo div 65536),
+             named_struct('bi', 2, 'bv', hi % 65536),
+             named_struct('bi', 3, 'bv', hi div 65536))) as band""")
+          .selectExpr("doc_id", "hi", "lo", "band.bi as bi",
+            "band.bv as bv")
+        val a = bands.as("a"); val b = bands.as("b")
+        val pairs = a.join(b,
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .selectExpr("a.doc_id as ida", "b.doc_id as idb",
+            """bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo)
+               as hamming""")
+          .filter(col("hamming") <= 6)
+          .select("ida", "idb", "hamming").distinct()
+        val pairRows = pairs.agg(count(lit(1)).as("n"),
+            sum(expr("idb - ida")).as("v"))
+          .selectExpr("'pairs' AS kind", "n",
+            "CAST(coalesce(v, 0) AS BIGINT) AS v")
+        // twin coverage: every (2k, 2k+1) pair must be found
+        val twins = pairs.filter(col("idb") === col("ida") + 1 &&
+            expr("ida % 2 = 0"))
+          .agg(count(lit(1)).as("n"))
+          .selectExpr("'twins' AS kind", "n", "CAST(0 AS BIGINT) AS v")
+        val checksum = hashes
+          .agg(count(lit(1)).as("n"),
+            sum(expr("hi + lo")).as("v"))
+          .selectExpr("'hashes' AS kind", "n",
+            "CAST(v AS BIGINT) AS v")
+        val out = pairRows.unionByName(twins).unionByName(checksum)
+          .cache()
+        out.count()
+        hashes.unpersist()
+        out
+      },
+      Some("""WITH px AS (SELECT doc_id, x, y,
+                CASE WHEN doc_id % 2 = 1 AND x = 5 AND y = 5
+                  THEN ((('0x' || substr(md5('p:' ||
+                    CAST(doc_id // 2 AS VARCHAR) || ':' ||
+                    CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+                    1, 15))::BIGINT) % 256 + 40) % 256
+                  ELSE (('0x' || substr(md5('p:' ||
+                    CAST(doc_id // 2 AS VARCHAR) || ':' ||
+                    CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+                    1, 15))::BIGINT) % 256 END AS v
+              FROM documents,
+                unnest(generate_series(0, 35)) AS gx(x),
+                unnest(generate_series(0, 31)) AS gy(y)),
+            cells AS (SELECT doc_id, x // 4 AS cx, y // 4 AS cy,
+                CAST(sum(v) AS BIGINT) AS cs
+              FROM px WHERE x < 36 AND y < 32 GROUP BY 1, 2, 3),
+            bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+                CASE WHEN r.cs > l.cs THEN 1 ELSE 0 END AS bit
+              FROM cells l JOIN cells r ON r.doc_id = l.doc_id
+                AND r.cy = l.cy AND r.cx = l.cx + 1
+              WHERE l.cx < 8),
+            hashes AS (SELECT doc_id,
+                CAST(sum(CASE WHEN i >= 32
+                  THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END)
+                  AS BIGINT) AS hi,
+                CAST(sum(CASE WHEN i < 32
+                  THEN bit * (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS lo
+              FROM bits GROUP BY 1),
+            bands AS (SELECT doc_id, hi, lo, bi,
+                CASE bi WHEN 0 THEN lo % 65536
+                  WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536
+                  ELSE hi // 65536 END AS bv
+              FROM hashes, unnest(generate_series(0, 3)) AS gb(bi)),
+            pairs AS (SELECT DISTINCT a.doc_id AS ida,
+                b.doc_id AS idb,
+                bit_count(xor(a.hi, b.hi)) +
+                  bit_count(xor(a.lo, b.lo)) AS hamming
+              FROM bands a JOIN bands b
+                ON b.bi = a.bi AND b.bv = a.bv
+                AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hi, b.hi)) +
+                bit_count(xor(a.lo, b.lo)) <= 6)
+            SELECT 'pairs' AS kind, count(*) AS n,
+              CAST(COALESCE(sum(idb - ida), 0) AS BIGINT) AS v
+            FROM pairs
+            UNION ALL
+            SELECT 'twins', count(*), 0 FROM pairs
+            WHERE idb = ida + 1 AND ida % 2 = 0
+            UNION ALL
+            SELECT 'hashes', count(*), CAST(sum(hi + lo) AS BIGINT)
+            FROM hashes"""),
+      doc = "perceptual image near-dup: PNG-decode -> box-reduce -> " +
+        "64-bit dHash -> band-keyed LSH join -> Hamming filter")
   )
 }
