@@ -783,6 +783,77 @@ object DedupQueries {
             SELECT 'hashes', count(*), CAST(sum(hi + lo) AS BIGINT)
             FROM hashes"""),
       doc = "perceptual image near-dup: PNG-decode -> box-reduce -> " +
-        "64-bit dHash -> band-keyed LSH join -> Hamming filter")
+        "64-bit dHash -> band-keyed LSH join -> Hamming filter"),
+
+    // Content-defined chunking over the TOKEN stream — the
+    // sub-document dedup unit (FastCDC/rsync lineage, re-based on
+    // tokens so the byte-encoding question never arises): a Gear-style
+    // window hash over the last 4 token hashes cuts a boundary when
+    // its low 4 bits are zero (expected chunk ≈16 tokens; no min/max
+    // clamp — that sequential refinement is DOCUMENTED out, everything
+    // here is per-position arithmetic). Chunk identity is a
+    // polynomial fold of its token-hash slice; identical passages
+    // shared across documents collapse to one chunk hash corpus-wide.
+    // Entirely array expressions — one tokenize pass, no UDFs, and the
+    // only shuffle is the final distinct/agg pair.
+    Q("q309_cdc_chunk_dedup",
+      (s, d) => {
+        val mask = 16L
+        val mod = 1L << 50
+        val sparkCut = "(element_at(__hs, i) * 8 + " +
+          "element_at(__hs, i - 1) * 4 + " +
+          "element_at(__hs, i - 2) * 2 + " +
+          s"element_at(__hs, i - 3)) % $mask = 0"
+        val chunksExpr = s"""element_at(transform(array($sparkHps),
+          __hs -> CASE WHEN size(__hs) = 0 THEN array(-1L)
+            ELSE element_at(transform(
+              array(concat(array(0),
+                filter(sequence(4, size(__hs)),
+                  i -> i < size(__hs) AND $sparkCut),
+                array(size(__hs)))),
+              __bd -> transform(sequence(1, size(__bd) - 1),
+                j -> aggregate(
+                  slice(__hs, element_at(__bd, j) + 1,
+                    element_at(__bd, j + 1) - element_at(__bd, j)),
+                  0L, (a, x) -> (a * 31 + x) % $mod))), 1)
+            END), 1)"""
+        Tables.documents(s, d)
+          .selectExpr("doc_id", s"explode($chunksExpr) as ch")
+          .filter(col("ch") =!= -1L)
+          .groupBy("ch")
+          .agg(countDistinct("doc_id").as("nd"),
+            count(lit(1)).as("nc"))
+          .agg(sum("nc").as("n_chunks"),
+            count(lit(1)).as("n_distinct_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L))
+              .as("n_crossdoc_chunks"),
+            sum(when(col("nc") > 1, col("nc") - 1).otherwise(0L))
+              .as("n_dedupable"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckHps AS hs
+                FROM documents),
+            b AS (SELECT doc_id, hs,
+                [0] || list_filter(range(4, len(hs) + 1),
+                  i -> i < len(hs) AND
+                    (hs[i] * 8 + hs[i - 1] * 4 + hs[i - 2] * 2 +
+                      hs[i - 3]) % 16 = 0) || [len(hs)] AS bd
+              FROM t WHERE len(hs) > 0),
+            ch AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(bd)),
+                  j -> list_reduce([0::BIGINT] || hs[bd[j] + 1:bd[j + 1]],
+                    (a, x) -> (a * 31 + x) % ${1L << 50}))) AS ch
+              FROM b),
+            g AS (SELECT ch, count(DISTINCT doc_id) AS nd,
+                count(*) AS nc
+              FROM ch GROUP BY 1)
+            SELECT CAST(sum(nc) AS BIGINT) AS n_chunks,
+              count(*) AS n_distinct_chunks,
+              CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_crossdoc_chunks,
+              CAST(sum(CASE WHEN nc > 1 THEN nc - 1 ELSE 0 END)
+                AS BIGINT) AS n_dedupable
+            FROM g"""),
+      doc = "content-defined chunking dedup: Gear window boundaries " +
+        "over the token stream, corpus-wide chunk-hash dedup masses")
   )
 }
