@@ -812,6 +812,101 @@ object SimilarityQueries {
               count(*)
             FROM cells GROUP BY 2"""),
       doc = "IVF+PQ composed ANN: coarse cells, residual product " +
-        "codes, nprobe=2 in-cell ADC, integer-exact, recall@5 vs exact")
+        "codes, nprobe=2 in-cell ADC, integer-exact, recall@5 vs exact"),
+
+    // Johnson–Lindenstrauss random projection 64→16 with a measured
+    // distance-preservation audit — the dimensionality-reduction step
+    // a 100 TB embedding corpus runs before clustering/ANN to cut the
+    // shuffle volume 4×. The ±1 sign matrix derives from md5 bits
+    // (computed ONCE on the driver, embedded as literals in both
+    // dialects), projections and squared distances are the repo's
+    // sequential-double-fold idiom (bit-identical engines), and the
+    // audited quantity E[‖ya−yb‖²] = k·‖a−b‖² lands as a per-band
+    // histogram of r = d²p/(k·d²o) over the deterministic (v, v+1)
+    // pair set plus a scaled-integer distortion mass (float SUMS never
+    // cross the oracle boundary — only floors of identical doubles).
+    Q("q310_jl_projection",
+      (s, d) => {
+        val dim = 64; val k = 16
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sgn(i: Int, j: Int): Double = {
+          val hex = md.digest(s"r:$i:$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            % 2 == 0) 1.0 else -1.0
+        }
+        val rows = (0 until k).map(j =>
+          (0 until dim).map(i => s"${sgn(i, j)}D"))
+        val sparkSigns = rows.map(r =>
+          s"array(${r.mkString(",")})").mkString("array(", ",", ")")
+        val proj = s"""transform(sequence(1, $k),
+          j -> aggregate(zip_with(v, element_at($sparkSigns, j),
+            (x, sg) -> x * sg), 0D, (a, z) -> a + z))"""
+        val e = vectors(s, d).selectExpr("vec_id", "v",
+          s"$proj as y")
+        val a = e.as("a"); val b = e.as("b")
+        val paired = a.join(b,
+            col("a.vec_id") + 1 === col("b.vec_id") &&
+              expr("a.vec_id % 2 = 0"))
+          .selectExpr(
+            """aggregate(zip_with(a.v, b.v, (x, yv) -> (x - yv) * (x - yv)),
+               0D, (acc, z) -> acc + z) as d2o""",
+            """aggregate(zip_with(a.y, b.y, (x, yv) -> (x - yv) * (x - yv)),
+               0D, (acc, z) -> acc + z) as d2p""")
+          .selectExpr(s"CASE WHEN d2o = 0D THEN -1D ELSE d2p / ($k * d2o) END as r")
+        paired.selectExpr(
+            """CASE WHEN r < 0D THEN 'degenerate'
+               WHEN r < 0.5D THEN 'lt_050' WHEN r < 0.8D THEN 'lt_080'
+               WHEN r < 1.25D THEN 'near_1' WHEN r < 2D THEN 'lt_200'
+               ELSE 'ge_200' END as band""",
+            "CAST(floor(r * 1000000D) AS BIGINT) as rs")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_pairs"), sum("rs").as("distortion_mass"))
+      },
+      Some {
+        val dim = 64; val k = 16
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sgn(i: Int, j: Int): Double = {
+          val hex = md.digest(s"r:$i:$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            % 2 == 0) 1.0 else -1.0
+        }
+        // UNROLLED projection sums: indexing a 16×64 literal per
+        // element re-materializes it (the first form ran minutes in
+        // DuckDB); a left-assoc `0 + t1 + t2 + …` chain is the same
+        // fold order as Spark's aggregate(zip_with(...), 0D, +)
+        def yj(j: Int): String =
+          s"(0.0::DOUBLE + ${(0 until dim).map(i =>
+            s"v[${i + 1}] * (${sgn(i, j)})").mkString(" + ")})"
+        val ylist = (0 until k).map(yj).mkString("[", ",", "]")
+        s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          p AS (SELECT vec_id, v, $ylist AS y FROM e),
+          pr AS (SELECT
+              list_reduce([0.0::DOUBLE] ||
+                list_transform(range(1, len(a.v) + 1),
+                  i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+                (acc, z) -> acc + z) AS d2o,
+              list_reduce([0.0::DOUBLE] ||
+                list_transform(range(1, len(a.y) + 1),
+                  i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])),
+                (acc, z) -> acc + z) AS d2p
+            FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+              AND a.vec_id % 2 = 0),
+          rr AS (SELECT CASE WHEN d2o = 0 THEN -1.0
+              ELSE d2p / ($k * d2o) END AS r FROM pr)
+          SELECT CASE WHEN r < 0 THEN 'degenerate'
+              WHEN r < 0.5 THEN 'lt_050' WHEN r < 0.8 THEN 'lt_080'
+              WHEN r < 1.25 THEN 'near_1' WHEN r < 2 THEN 'lt_200'
+              ELSE 'ge_200' END AS band,
+            count(*) AS n_pairs,
+            CAST(sum(CAST(floor(r * 1000000) AS BIGINT)) AS BIGINT)
+              AS distortion_mass
+          FROM rr GROUP BY 1"""
+      },
+      doc = "Johnson-Lindenstrauss 64->16 sign projection with a " +
+        "measured distance-preservation histogram")
   )
 }
