@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 import graft.text.TextOps._
@@ -1471,6 +1472,46 @@ object TextQueries {
             FROM (SELECT source, count(DISTINCT split) AS nsp
                   FROM assigned GROUP BY 1)"""),
       doc = "leakage-safe split: domain-keyed train/val/test " +
-        "assignment with a verified zero-straddle contract")
+        "assignment with a verified zero-straddle contract"),
+
+    // Deterministic stratified sampling — the balanced-subset
+    // extraction a corpus runs for eval sets and ablations: every
+    // (lang, source) stratum contributes EXACTLY min(5, |stratum|)
+    // documents, chosen by md5-hash priority (reproducible across
+    // runs, machines, and engines — no RNG state anywhere). One
+    // window rank per stratum; at 100 TB this is the classic
+    // top-k-per-key shuffle on the stratum key, nothing else. The
+    // gate pins per-stratum sample sizes, the exact sampled id mass
+    // (the hash order itself, not just counts), and the token mass
+    // the sample carries.
+    Q("q311_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("pri"), col("doc_id"))
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "lang", "source",
+            s"size($sparkToks) as ntok",
+            s"${sparkTokHash("cast(doc_id as string)")} as pri")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("id_mass"),
+            sum("ntok").as("token_mass"))
+      },
+      Some(s"""WITH pri AS (SELECT doc_id, lang, source,
+                len($duckToks) AS ntok,
+                ${duckTokHash("CAST(doc_id AS VARCHAR)")} AS pri
+              FROM documents),
+            rk AS (SELECT *, row_number() OVER
+                (PARTITION BY lang, source ORDER BY pri, doc_id)
+                AS rk
+              FROM pri)
+            SELECT lang, source, count(*) AS n_sampled,
+              CAST(sum(doc_id) AS BIGINT) AS id_mass,
+              CAST(sum(ntok) AS BIGINT) AS token_mass
+            FROM rk WHERE rk <= 5 GROUP BY 1, 2"""),
+      doc = "deterministic stratified sampling: exact per-stratum " +
+        "top-k by hash priority, reproducible with no RNG state")
   )
 }
