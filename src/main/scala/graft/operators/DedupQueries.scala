@@ -656,22 +656,26 @@ object DedupQueries {
           .mapPartitions(_.map { id =>
             val w = 36; val h = 32
             val base = id / 2
-            // md5-mixed pixels (the TextOps 60-bit hash idiom): random
-            // enough that distinct bases share no dHash bands — a
-            // linear pattern here collapsed the hash space and blew
-            // the candidate set up quadratically
+            // md5-mixed pixels (random enough that distinct bases
+            // share no dHash bands — a linear pattern collapsed the
+            // hash space and blew candidates up quadratically). ONE
+            // digest feeds 16 pixels (byte k = hex pair k), 3 digests
+            // per row — the per-pixel-digest-with-hex-formatting first
+            // cut was the whole lane's cost (38 s at sf0.1, 476 s at
+            // 100×; this form is ~12× fewer digests and zero string
+            // work)
             val md = java.security.MessageDigest.getInstance("MD5")
-            def g(sb: String): Long = {
-              val hex = md.digest(sb.getBytes("UTF-8"))
-                .map(b => f"$b%02x").mkString
-              java.lang.Long.parseLong(hex.substring(0, 15), 16)
-            }
             val px = new Array[Byte](w * h)
-            for (y <- 0 until h; x <- 0 until w) {
-              var v = g(s"p:$base:$x:$y") % 256
-              if (id % 2 == 1 && x == 5 && y == 5) v = (v + 40) % 256
-              px(y * w + x) = (v & 0xff).toByte
+            for (y <- 0 until h; g <- 0 until 3) {
+              val dig = md.digest(s"p:$base:$y:$g".getBytes("UTF-8"))
+              var k = 0
+              while (k < 16 && g * 16 + k < w) {
+                px(y * w + g * 16 + k) = dig(k)
+                k += 1
+              }
             }
+            if (id % 2 == 1)
+              px(5 * w + 5) = (((px(5 * w + 5) & 0xff) + 40) % 256).toByte
             // the codec leg: a lossless PNG roundtrip feeds the hash
             val back = Png.decode(Png.encode(
               Png.Image(w, h, 1, px))).get
@@ -733,12 +737,12 @@ object DedupQueries {
                 CASE WHEN doc_id % 2 = 1 AND x = 5 AND y = 5
                   THEN ((('0x' || substr(md5('p:' ||
                     CAST(doc_id // 2 AS VARCHAR) || ':' ||
-                    CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
-                    1, 15))::BIGINT) % 256 + 40) % 256
-                  ELSE (('0x' || substr(md5('p:' ||
+                    CAST(y AS VARCHAR) || ':' || CAST(x // 16 AS VARCHAR)),
+                    1 + 2 * (x % 16), 2))::BIGINT) + 40) % 256
+                  ELSE ('0x' || substr(md5('p:' ||
                     CAST(doc_id // 2 AS VARCHAR) || ':' ||
-                    CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
-                    1, 15))::BIGINT) % 256 END AS v
+                    CAST(y AS VARCHAR) || ':' || CAST(x // 16 AS VARCHAR)),
+                    1 + 2 * (x % 16), 2))::BIGINT END AS v
               FROM documents,
                 unnest(generate_series(0, 35)) AS gx(x),
                 unnest(generate_series(0, 31)) AS gy(y)),
