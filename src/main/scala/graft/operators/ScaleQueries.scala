@@ -602,6 +602,71 @@ object ScaleQueries {
             FROM events GROUP BY 1"""),
       doc = "user-extended L7 rules loaded from a map file on disk"),
 
+    // QUIC deep inspection (VERDICT r10 #1's nDPI-depth sibling): the
+    // rule table can only say "quic" — classifying WHICH application
+    // rides the QUIC flow requires decrypting the Initial packet, which
+    // is possible by design (keys derive from the destination connection
+    // id with a published salt, RFC 9001 §5.2; upstream nDPI does
+    // exactly this, reference src/classifier.c:33 → nDPI QUIC
+    // dissector). Each event seals a spec-correct 1200-byte client
+    // Initial (HKDF initial secrets → AES-128-GCM AEAD → header
+    // protection, QuicCrypto — the RFC 9001 Appendix A vectors pin the
+    // schedule in QuicSpec), then the inspection path must remove
+    // header protection, open the AEAD, reassemble the CRYPTO stream,
+    // and read SNI + ALPN out of the ClientHello. n_ok counts flows
+    // whose recovered SNI matches the flow's own uid-derived hostname —
+    // any drift in seal OR open breaks it. Per-flow work is O(1200 B)
+    // crypto in a mapPartitions; the rollup is one partial agg — at
+    // 100 TB this is a pure map lane like the media decodes.
+    Q("q312_quic_inspect",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.QuicCrypto
+        Tables.events(s, d).select(col("event_id"), col("user_id"))
+          .as[(Long, Long)]
+          .mapPartitions(_.map { case (eid, uid) =>
+            val alpn = (eid % 3) match {
+              case 0 => Seq("h3")
+              case 1 => Seq("hq-interop", "h3") // preference order kept
+              case _ => Seq("doq")
+            }
+            val sni = s"host${uid % 5}.example"
+            val dcid = java.nio.ByteBuffer.allocate(8)
+              .putLong(0x6772616674L ^ uid).array() // varies per flow
+            val dg = QuicCrypto.sealClientInitial(dcid,
+              Array[Byte](1, 2), pn = eid % 0x3fffffff,
+              QuicCrypto.clientHelloHs(sni, alpn))
+            QuicCrypto.inspect(dg) match {
+              case Some((gotSni, gotAlpn)) =>
+                val app = gotAlpn.headOption match {
+                  case Some("h3") => "http3"
+                  case Some("hq-interop") => "hq"
+                  case Some("doq") => "doq"
+                  case _ => "quic"
+                }
+                (app, gotSni.orNull,
+                  if (gotSni.contains(sni)) 1L else 0L)
+              case None => ("undecryptable", null, 0L)
+            }
+          })
+          .toDF("app", "sni", "ok")
+          .groupBy("app")
+          .agg(count(lit(1)).as("n_flows"),
+            countDistinct("sni").as("n_snis"),
+            sum("ok").as("n_ok"))
+      },
+      Some("""SELECT CASE event_id % 3 WHEN 0 THEN 'http3'
+                WHEN 1 THEN 'hq' ELSE 'doq' END AS app,
+              count(*) AS n_flows,
+              count(DISTINCT 'host' || CAST(user_id % 5 AS VARCHAR) ||
+                '.example') AS n_snis,
+              CAST(count(*) AS BIGINT) AS n_ok
+              FROM events GROUP BY 1"""),
+      doc = "QUIC v1 Initial decryption (RFC 9001): HKDF initial keys " +
+        "from the DCID, header-protection removal, AEAD open, CRYPTO " +
+        "reassembly, ClientHello SNI+ALPN classification"),
+
     // Bucketed at-rest layout: the co-located fact-fact join. At 100 TB
     // the orders×lineitem join is THE dominant shuffle — both sides are
     // fact-scale, so neither broadcasts, and every ad-hoc join pays a
