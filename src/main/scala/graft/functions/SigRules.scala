@@ -315,6 +315,30 @@ object SigRules {
     "rtcp" -> (h => h.length >= 8 && (h(0) & 0xc0) == 0x80 &&
       (h(1) & 0xff) >= 200 && (h(1) & 0xff) <= 204 &&
       ((((h(2) & 0xff) << 8) | (h(3) & 0xff)) + 1) * 4 == h.length),
+    // RTCP compound datagram (RFC 3550 §6.1): subpacket lengths tile
+    // the datagram EXACTLY, every subpacket V=2 with PT 200..207, the
+    // first is SR/RR, and an SDES is present — the well-formedness
+    // rules §6.1 states for compound packets
+    "rtcp_compound" -> (h => {
+      var off = 0; var n = 0; var ok = h.length >= 8
+      var first = -1; var sdes = false
+      while (ok && off + 4 <= h.length) {
+        if ((h(off) & 0xc0) != 0x80) ok = false
+        else {
+          val pt = h(off + 1) & 0xff
+          val len = ((((h(off + 2) & 0xff) << 8) |
+            (h(off + 3) & 0xff)) + 1) * 4
+          if (pt < 200 || pt > 207) ok = false
+          else {
+            if (n == 0) first = pt
+            if (pt == 202) sdes = true
+            off += len; n += 1
+          }
+        }
+      }
+      ok && off == h.length && n >= 2 &&
+        (first == 200 || first == 201) && sdes
+    }),
     // L2TP control: T+L bits set, version 2, u16 length == packet
     "l2tp" -> (h => h.length >= 12 && (h(0) & 0xcb) == 0xc8 &&
       (h(1) & 0x0f) == 2 &&
@@ -889,6 +913,7 @@ object SigRules {
     Rule("thrift", Seq(Heur("thrift"))),
     // XR (PT 207) before the PT 200..204 sender/receiver-report rule —
     // disjoint PT values, the specialization reads better first
+    Rule("rtcp_compound", Seq(Heur("rtcp_compound"))),
     Rule("rtcp_xr", Seq(Heur("rtcp_xr"))),
     Rule("rtcp", Seq(Heur("rtcp"))),
     Rule("rtp", Seq(Heur("rtp"))), // after rtcp: PT ranges disjoint
@@ -999,6 +1024,11 @@ object SigRules {
     Rule("sflow", Seq(Heur("sflow"))),
     Rule("bmp", Seq(Heur("bmp"))),
     Rule("zeromq", Seq(Heur("zeromq"))),
+    // nanomsg/NNG SP handshake (sp-protocol draft §4): "\0SP\0" +
+    // u16 protocol id (family nibble 1..7, pair low bit) + u16 zero
+    Rule("nanomsg", Seq(LenIs(8), B(0, 0), Ascii("SP", 1), B(3, 0),
+      B(4, 0), AnyOf(Seq(16, 17, 32, 33, 48, 49, 80, 81, 98, 99, 112)
+        .map(v => Seq[Pred](B(5, v)))), B(6, 0), B(7, 0))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     // Retry before the generic long-header rule: a Retry packet IS a
     // valid QUIC long header — the type-3 + integrity-tag shape is the
@@ -1241,6 +1271,14 @@ object SigRules {
       case "rtcp" => // SR: V=2, PT=200, length 6 words = 28 bytes
         Array[Byte](0x80.toByte, 200.toByte, 0, 6) ++
           Array.fill[Byte](24)((s % 13).toByte)
+      case "rtcp_compound" => // SR + SDES(CNAME) + BYE, exact tiling
+        Array[Byte](0x80.toByte, 200.toByte, 0, 6) ++
+          Array.fill[Byte](24)((s % 13).toByte) ++
+          Array[Byte](0x81.toByte, 202.toByte, 0, 3,
+            (s % 97).toByte, (s % 89).toByte, (s % 83).toByte, 1,
+            1, 2, 'c', ('0' + s % 10).toByte, 0, 0, 0, 0) ++
+          Array[Byte](0x81.toByte, 203.toByte, 0, 1,
+            (s % 97).toByte, (s % 89).toByte, (s % 83).toByte, 1)
       case "l2tp" => // SCCRQ control header, ver 2, len 12
         Array[Byte](0xc8.toByte, 0x02, 0, 12, 0, 0, 0, 0,
           0, (s % 120).toByte, 0, 0)
@@ -1541,6 +1579,8 @@ object SigRules {
         Array[Byte](0xff.toByte, 0, 0, 0, 0, 0, 0, 0,
           (1 + s % 120).toByte, 0x7f, 3, 1) ++
           "NULL".getBytes ++ Array.fill[Byte](16)(0)
+      case "nanomsg" => // SP handshake, req/rep by seed parity
+        Array[Byte](0, 'S', 'P', 0, 0, (48 + s % 2).toByte, 0, 0)
       case "geneve" => // ver 0, no options, inner Ethernet
         Array[Byte](0, 0, 0x65, 0x58) ++
           Array[Byte]((s % 100).toByte, (s % 50).toByte, 1, 0) ++

@@ -504,7 +504,7 @@ object ScaleQueries {
 
     // nDPI-breadth widening (VERDICT r5 #3): the signature table is now
     // DATA — a broadcast Seq[SigRules.Rule] like a PreTagMap rule table,
-    // 145 families (reference: the nDPI dissector registry, src/ndpi/
+    // 147 families (reference: the nDPI dissector registry, src/ndpi/
     // ndpi.c via src/classifier.c:33). The corpus cycles every family;
     // each event builds a valid seed-varied payload of its family and the
     // broadcast table must classify EVERY one back to its own label —
@@ -541,7 +541,7 @@ object ScaleQueries {
               SigRules.sampleFamilies.size + " ", " ", " END")} AS class,
             count(*) AS n, count(*) AS n_correct
             FROM events GROUP BY 1"""),
-      doc = "data-driven L7 signature table at nDPI breadth (145 families)"),
+      doc = "data-driven L7 signature table at nDPI breadth (147 families)"),
 
     // The extend-WITHOUT-recompiling contract, end-to-end through a
     // REAL FILE: a user adds a proprietary protocol by writing one
