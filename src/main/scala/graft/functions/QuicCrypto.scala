@@ -19,6 +19,14 @@ import javax.crypto.{Cipher, Mac}
   * (RFC 9000 §16/§19). AES-GCM and HMAC-SHA256 come from the JDK — an
   * independent implementation, so the spec's Appendix A vectors
   * cross-validate the derivation chain end to end.
+  *
+  * QUIC v2 (RFC 9369) is the same protocol with deliberately different
+  * constants — a new initial salt (§3.3.1), "quicv2 *" key-derivation
+  * labels (§3.3.2), and remapped long-header packet-type bits (§3.2) —
+  * introduced exactly to break version-ossified middlebox parsers. The
+  * v2 path here shares every moving part with the Appendix-A-pinned v1
+  * machinery; only those constants differ, and QuicSpec proves the
+  * difference is effective (a v2 Initial re-labeled as v1 fails AEAD).
   */
 object QuicCrypto {
 
@@ -62,28 +70,49 @@ object QuicCrypto {
     hkdfExpand(secret, info, len)
   }
 
-  // ---- Initial keys (RFC 9001 §5.2) ----------------------------------
+  // ---- Initial keys (RFC 9001 §5.2 / RFC 9369 §3.3) -------------------
 
   /** QUIC v1 initial salt (RFC 9001 §5.2). */
   val initialSaltV1: Array[Byte] = hex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
 
+  /** QUIC v2 initial salt (RFC 9369 §3.3.1). */
+  val initialSaltV2: Array[Byte] = hex("0dede3def700a6db819381be6e269dcbf9bd2ed9")
+
+  /** Version fields on the wire. */
+  val VersionV1 = 0x00000001
+  val VersionV2 = 0x6b3343cf // RFC 9369 §3.1
+
+  /** Long-header packet-type bits for an Initial: v2 remaps them
+    * (RFC 9369 §3.2 — Initial 0b01 where v1 uses 0b00) precisely so
+    * version-blind middleboxes can't pattern-match the header. */
+  private def initialTypeBits(version: Int): Int =
+    if (version == VersionV2) 0x1 else 0x0
+
   final case class Keys(key: Array[Byte], iv: Array[Byte], hp: Array[Byte])
 
-  /** Per-direction Initial packet-protection keys for a connection id. */
-  def initialKeys(dcid: Array[Byte], client: Boolean): Keys = {
-    val initial = hkdfExtract(initialSaltV1, dcid)
+  /** Per-direction Initial packet-protection keys for a connection id.
+    * v2 changes the salt AND the key-derivation labels ("quicv2 key" /
+    * "quicv2 iv" / "quicv2 hp", RFC 9369 §3.3.2); the per-direction
+    * "client in"/"server in" secrets keep their names. */
+  def initialKeys(dcid: Array[Byte], client: Boolean,
+                  version: Int = VersionV1): Keys = {
+    val v2 = version == VersionV2
+    val initial = hkdfExtract(if (v2) initialSaltV2 else initialSaltV1, dcid)
     val secret = expandLabel(initial,
       if (client) "client in" else "server in", Array.emptyByteArray, 32)
+    val pfx = if (v2) "quicv2" else "quic"
     Keys(
-      key = expandLabel(secret, "quic key", Array.emptyByteArray, 16),
-      iv = expandLabel(secret, "quic iv", Array.emptyByteArray, 12),
-      hp = expandLabel(secret, "quic hp", Array.emptyByteArray, 16))
+      key = expandLabel(secret, s"$pfx key", Array.emptyByteArray, 16),
+      iv = expandLabel(secret, s"$pfx iv", Array.emptyByteArray, 12),
+      hp = expandLabel(secret, s"$pfx hp", Array.emptyByteArray, 16))
   }
 
   /** The client initial secret itself (exposed for spec vectors). */
-  def clientInitialSecret(dcid: Array[Byte]): Array[Byte] =
-    expandLabel(hkdfExtract(initialSaltV1, dcid), "client in",
-      Array.emptyByteArray, 32)
+  def clientInitialSecret(dcid: Array[Byte],
+                          version: Int = VersionV1): Array[Byte] =
+    expandLabel(hkdfExtract(
+      if (version == VersionV2) initialSaltV2 else initialSaltV1, dcid),
+      "client in", Array.emptyByteArray, 32)
 
   // ---- Header protection (RFC 9001 §5.4) ------------------------------
 
@@ -157,9 +186,11 @@ object QuicCrypto {
     * RFC 9000 §14.1). */
   def sealClientInitial(dcid: Array[Byte], scid: Array[Byte], pn: Long,
                         cryptoData: Array[Byte],
-                        minLen: Int = 1200): Array[Byte] = {
+                        minLen: Int = 1200,
+                        version: Int = VersionV1): Array[Byte] = {
     require(pn >= 0 && pn <= 0xffffffffL, "pn must fit 4 bytes")
-    val keys = initialKeys(dcid, client = true)
+    require(version == VersionV1 || version == VersionV2, "v1 or v2")
+    val keys = initialKeys(dcid, client = true, version)
     val frames = Array[Byte](0x06) ++ varint(0) ++
       varint(cryptoData.length.toLong) ++ cryptoData
     // pad the PLAINTEXT so the sealed datagram reaches minLen
@@ -170,8 +201,9 @@ object QuicCrypto {
     val lengthField = plainLen + 16 + 4 // payload + tag + pn bytes
     require(lengthField < 16384, "length varint must fit 2 bytes")
     val hdr = java.nio.ByteBuffer.allocate(hdrLen)
-    hdr.put(0xc3.toByte) // long header, Initial, pn_len-1 = 3
-    hdr.putInt(1) // version 1
+    // long header + fixed bit, version-specific Initial type, pn_len-1=3
+    hdr.put((0xc3 | (initialTypeBits(version) << 4)).toByte)
+    hdr.putInt(version)
     hdr.put(dcid.length.toByte).put(dcid)
     hdr.put(scid.length.toByte).put(scid)
     hdr.put(varint(0)) // token length
@@ -199,11 +231,13 @@ object QuicCrypto {
   def openClientInitial(d: Array[Byte]): Option[(Long, Array[Byte])] = {
     if (d.length < 7 + 16 + 4) return None
     val first = d(0) & 0xff
-    // long header (0x80), fixed bit (0x40), type Initial (00)
-    if ((first & 0xf0) != 0xc0) return None
+    // long header (0x80) + fixed bit (0x40)
+    if ((first & 0xc0) != 0xc0) return None
     val version = ((d(1) & 0xff) << 24) | ((d(2) & 0xff) << 16) |
       ((d(3) & 0xff) << 8) | (d(4) & 0xff)
-    if (version != 1) return None
+    if (version != VersionV1 && version != VersionV2) return None
+    // the Initial type bits are version-specific (RFC 9369 §3.2)
+    if (((first >> 4) & 0x3) != initialTypeBits(version)) return None
     var off = 5
     val dcidLen = d(off) & 0xff
     if (dcidLen > 20 || off + 1 + dcidLen > d.length) return None
@@ -222,7 +256,7 @@ object QuicCrypto {
     val pnOff = off
     if (pnOff + 20 > d.length || pnOff + length > d.length ||
         length < 20) return None
-    val keys = initialKeys(dcid, client = true)
+    val keys = initialKeys(dcid, client = true, version)
     val mask = hpMask(keys.hp, java.util.Arrays.copyOfRange(
       d, pnOff + 4, pnOff + 20))
     val clearFirst = first ^ (mask(0) & 0x0f)
@@ -377,6 +411,16 @@ object QuicCrypto {
   def inspect(datagram: Array[Byte]): Option[(Option[String], Seq[String])] =
     openClientInitial(datagram).map { case (_, frames) =>
       clientHelloInfo(cryptoStream(frames))
+    }
+
+  /** inspect plus the wire version that was opened (1 or 2) — v2 flows
+    * classify identically, they just derive from the v2 salt/labels. */
+  def inspectVer(datagram: Array[Byte])
+      : Option[(Int, Option[String], Seq[String])] =
+    inspect(datagram).map { case (sni, alpn) =>
+      val v = ((datagram(1) & 0xff) << 24) | ((datagram(2) & 0xff) << 16) |
+        ((datagram(3) & 0xff) << 8) | (datagram(4) & 0xff)
+      (if (v == VersionV2) 2 else 1, sni, alpn)
     }
 
   def hex(s: String): Array[Byte] =

@@ -87,6 +87,40 @@ class QuicSpec extends AnyFunSuite {
       assert(QuicCrypto.openClientInitial(dg.take(n)).isEmpty)
   }
 
+  test("QUIC v2: seal → open roundtrip, remapped type bits on the wire") {
+    val hs = QuicCrypto.clientHelloHs("v2.example", Seq("h3"))
+    val dcid = hex("8394c8f03e515708")
+    val dg = QuicCrypto.sealClientInitial(dcid, hex("c0ffee"), 7L, hs,
+      version = QuicCrypto.VersionV2)
+    // version field + Initial type bits 0b01 (RFC 9369 §3.2) in the clear
+    assert(toHex(dg.slice(1, 5)) == "6b3343cf")
+    assert(((dg(0) >> 4) & 0x3) == 0x1)
+    assert(QuicCrypto.inspectVer(dg).contains(
+      (2, Some("v2.example"), Seq("h3"))))
+    // v1 of the same flow differs in every protected byte except headers
+    val dg1 = QuicCrypto.sealClientInitial(dcid, hex("c0ffee"), 7L, hs)
+    assert(QuicCrypto.inspectVer(dg1).contains(
+      (1, Some("v2.example"), Seq("h3"))))
+    assert(!dg.sameElements(dg1))
+  }
+
+  test("QUIC v2: the salt/label change is effective, not cosmetic") {
+    val dg = QuicCrypto.sealClientInitial(hex("0102030405"), hex(""), 0L,
+      QuicCrypto.clientHelloHs("a.example", Seq("h3")),
+      version = QuicCrypto.VersionV2)
+    // forge the packet to CLAIM v1: same bytes, version field 1 and the
+    // v1 Initial type bits — it parses, but v1 initial keys (different
+    // salt AND labels) must fail header protection + AEAD
+    val forged = dg.clone()
+    forged(0) = (forged(0) & 0xef).toByte // type bits 0b01 → 0b00
+    forged(1) = 0; forged(2) = 0; forged(3) = 0; forged(4) = 1
+    assert(QuicCrypto.openClientInitial(forged).isEmpty)
+    // a v2 Initial wearing v1 type bits under version v2 is malformed
+    val badType = dg.clone()
+    badType(0) = (badType(0) & 0xef).toByte
+    assert(QuicCrypto.openClientInitial(badType).isEmpty)
+  }
+
   test("CRYPTO reassembly: out-of-order offsets + interleaved frames") {
     val data = (0 until 300).map(_.toByte).toArray
     val f = Array[Byte](0x00, 0x00, 0x01) ++ // padding, ping
