@@ -735,7 +735,70 @@ object SigRules {
     // header, ack_nr 0 on the first packet (the connection opener —
     // later frames are only port/flow-context detectable, as in nDPI)
     "utp" -> (h => h.length >= 20 && (h(0) & 0xff) == 0x41 &&
-      (h(1) & 0xff) <= 2 && h(18) == 0 && h(19) == 0))
+      (h(1) & 0xff) <= 2 && h(18) == 0 && h(19) == 0),
+    // KNXnet/IP (EN 13321-2): header length 0x06, protocol version
+    // 0x10, a known service-family type, u16 total length == datagram
+    "knx" -> (h => h.length >= 6 && (h(0) & 0xff) == 0x06 &&
+      (h(1) & 0xff) == 0x10 && {
+        val svc = ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        val tot = ((h(4) & 0xff) << 8) | (h(5) & 0xff)
+        tot == h.length &&
+          ((svc >= 0x0201 && svc <= 0x020b) || // core (search/connect)
+            svc == 0x0310 || svc == 0x0311 || // device management
+            svc == 0x0420 || svc == 0x0421) // tunneling
+      }),
+    // OPC UA binary (OPC 10000-6 §7.1): 3-ASCII message type + final
+    // chunk marker 'F', u32 LE message size spanning the whole chunk
+    "opcua" -> (h => h.length >= 8 && {
+      val t = new String(h, 0, 3,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      (t == "HEL" || t == "ACK" || t == "ERR" || t == "OPN" ||
+        t == "CLO" || t == "MSG") && h(3) == 'F' &&
+        ((h(4) & 0xffL) | ((h(5) & 0xffL) << 8) | ((h(6) & 0xffL) << 16) |
+          ((h(7) & 0xffL) << 24)) == h.length
+    }),
+    // Omron FINS/TCP: "FINS" magic, u32 BE length counting everything
+    // after the 8-byte magic+length, command 0..3 (address handshake /
+    // frame send family)
+    "fins" -> (h => h.length >= 16 && h(0) == 'F' && h(1) == 'I' &&
+      h(2) == 'N' && h(3) == 'S' && {
+        def u32(i: Int): Long = ((h(i) & 0xffL) << 24) |
+          ((h(i + 1) & 0xffL) << 16) | ((h(i + 2) & 0xffL) << 8) |
+          (h(i + 3) & 0xffL)
+        u32(4) == h.length - 8 && u32(8) <= 3
+      }),
+    // RMCP (ASF 2.0 spec): version 0x06, reserved 0, class ASF (0x06,
+    // body opens with the ASF IANA enterprise number 4542) or IPMI
+    // (0x07, body opens with an auth-type octet <= 6)
+    "rmcp" -> (h => h.length >= 12 && (h(0) & 0xff) == 0x06 &&
+      h(1) == 0 && {
+        val cls = h(3) & 0x7f
+        def u32(i: Int): Long = ((h(i) & 0xffL) << 24) |
+          ((h(i + 1) & 0xffL) << 16) | ((h(i + 2) & 0xffL) << 8) |
+          (h(i + 3) & 0xffL)
+        (cls == 0x06 && u32(4) == 4542L) ||
+          (cls == 0x07 && (h(4) & 0xff) <= 6)
+      }),
+    // SLPv2 (RFC 2608 §8): version 2, function 1..11, 3-byte length ==
+    // datagram, reserved flag bits zero, language tag present
+    "slp" -> (h => h.length >= 16 && (h(0) & 0xff) == 2 &&
+      (h(1) & 0xff) >= 1 && (h(1) & 0xff) <= 11 &&
+      (((h(2) & 0xff) << 16) | ((h(3) & 0xff) << 8) | (h(4) & 0xff))
+        == h.length &&
+      (h(5) & 0x1f) == 0 && h(6) == 0),
+    // Ubiquiti discovery v1: version 1, cmd 0, u16 BE length of the
+    // TLV body, and the TLVs (u8 type, u16 len) must tile it exactly
+    "ubnt" -> (h => h.length >= 4 && h(0) == 1 && h(1) == 0 &&
+      (((h(2) & 0xff) << 8) | (h(3) & 0xff)) == h.length - 4 &&
+      h.length > 4 && {
+        var off = 4
+        var ok = true
+        while (ok && off < h.length) {
+          if (off + 3 > h.length) ok = false
+          else off += 3 + (((h(off + 1) & 0xff) << 8) | (h(off + 2) & 0xff))
+        }
+        ok && off == h.length
+      }))
 
   /** The default table. Order = match priority; most-specific ASCII
     * prefixes first (DoH before HTTP), binary heuristics after, the
@@ -942,6 +1005,12 @@ object SigRules {
     // GET with TKL 1 and two zero option bytes is the residual
     // ambiguity — nDPI resolves the same pair by port)
     Rule("utp", Seq(Heur("utp"))),
+    // before coap: OPC UA "HELF" (0x48) and FINS "FINS" (0x46) both
+    // parse as a CoAP CON header byte — but each proves itself with a
+    // self-length check CoAP can't offer, so the specializations go
+    // first (the quic_retry-before-quic policy)
+    Rule("opcua", Seq(Heur("opcua"))),
+    Rule("fins", Seq(Heur("fins"))),
     Rule("coap", Seq(Heur("coap"))),
     // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
     // around Q.931 — protocol discriminator 0x08, call-ref length 2.
@@ -1029,6 +1098,15 @@ object SigRules {
     Rule("nanomsg", Seq(LenIs(8), B(0, 0), Ascii("SP", 1), B(3, 0),
       B(4, 0), AnyOf(Seq(16, 17, 32, 33, 48, 49, 80, 81, 98, 99, 112)
         .map(v => Seq[Pred](B(5, v)))), B(6, 0), B(7, 0))),
+    Rule("knx", Seq(Heur("knx"))),
+    Rule("rmcp", Seq(Heur("rmcp"))),
+    Rule("slp", Seq(Heur("slp"))),
+    Rule("ubnt", Seq(Heur("ubnt"))),
+    // Dropbox LAN-sync discovery: UDP-broadcast JSON opening with the
+    // fixed host_int key (what nDPI's dissector scans for)
+    Rule("dropbox", Seq(Ascii("{\"host_int\""))),
+    // Spotify Connect discovery beacon: fixed "SpotUdp" magic
+    Rule("spotify", Seq(Ascii("SpotUdp"))),
     Rule("dot", Seq(Heur("dnsTcp"))),
     // Retry before the generic long-header rule: a Retry packet IS a
     // valid QUIC long header — the type-3 + integrity-tag shape is the
@@ -1581,6 +1659,45 @@ object SigRules {
           "NULL".getBytes ++ Array.fill[Byte](16)(0)
       case "nanomsg" => // SP handshake, req/rep by seed parity
         Array[Byte](0, 'S', 'P', 0, 0, (48 + s % 2).toByte, 0, 0)
+      case "knx" => // SEARCH_REQUEST with one HPAI, total 14
+        Array[Byte](0x06, 0x10, 0x02, 0x01, 0, 14,
+          0x08, 0x01, 192.toByte, 168.toByte, (1 + s % 250).toByte,
+          (2 + s % 200).toByte, 0x0e, 0x57)
+      case "opcua" => { // HEL chunk, LE self-size, seed-varied buffers
+        val url = s"opc.tcp://plc${s % 100}".getBytes
+        def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val body = le32(0) ++ le32(65536 + s % 1000) ++
+          le32(65536 + s % 999) ++ le32(1 << 20) ++ le32(0) ++
+          le32(url.length) ++ url
+        "HELF".getBytes ++ le32(8L + body.length) ++ body
+      }
+      case "fins" => // node-address-data-send (cmd 0), client node
+        Array[Byte]('F', 'I', 'N', 'S', 0, 0, 0, 12, // 12 B follow
+          0, 0, 0, 0, // command 0
+          0, 0, 0, 0, // error code
+          0, 0, 0, (1 + s % 250).toByte) // client node address
+      case "rmcp" => // ASF presence ping, enterprise 4542, seed tag
+        Array[Byte](0x06, 0, 0xff.toByte, 0x06, 0, 0, 0x11, 0xbe.toByte,
+          0x80.toByte, (s % 250).toByte, 0, 0)
+      case "slp" => { // AttrRqst (fn 6): v2 header + url "svc:test"
+        val url = "svc:test".getBytes
+        val total = 16 + 2 + 2 + url.length + 2 + 2 + 2
+        Array[Byte](2, 6, 0, 0, total.toByte, 0, 0, 0, 0, 0,
+          (s % 250).toByte, (s % 199).toByte, 0, 2, 'e', 'n',
+          0, 0, 0, url.length.toByte) ++ url ++
+          Array[Byte](0, 0, 0, 0, 0, 0)
+      }
+      case "ubnt" => // discovery reply, one hwaddr+ip TLV (type 2)
+        Array[Byte](1, 0, 0, 13, 2, 0, 10,
+          0x24, 0xa4.toByte, 0x3c, (s % 250).toByte, (s % 199).toByte,
+          (s % 251).toByte, 10, 0, (s % 250).toByte, (1 + s % 200).toByte)
+      case "dropbox" => // LAN-sync discovery JSON beacon
+        s"""{"host_int": ${100000 + s % 899999}, "version": [1, 8], "displayname": ""}"""
+          .getBytes
+      case "spotify" => // Connect discovery beacon
+        "SpotUdp".getBytes ++ Array[Byte]((s % 250).toByte,
+          (s % 199).toByte, 0, 0, 0, 1, 0, 4)
       case "geneve" => // ver 0, no options, inner Ethernet
         Array[Byte](0, 0, 0x65, 0x58) ++
           Array[Byte]((s % 100).toByte, (s % 50).toByte, 1, 0) ++
