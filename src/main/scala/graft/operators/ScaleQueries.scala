@@ -504,7 +504,7 @@ object ScaleQueries {
 
     // nDPI-breadth widening (VERDICT r5 #3): the signature table is now
     // DATA — a broadcast Seq[SigRules.Rule] like a PreTagMap rule table,
-    // 147 families (reference: the nDPI dissector registry, src/ndpi/
+    // 155 families (reference: the nDPI dissector registry, src/ndpi/
     // ndpi.c via src/classifier.c:33). The corpus cycles every family;
     // each event builds a valid seed-varied payload of its family and the
     // broadcast table must classify EVERY one back to its own label —
@@ -541,7 +541,7 @@ object ScaleQueries {
               SigRules.sampleFamilies.size + " ", " ", " END")} AS class,
             count(*) AS n, count(*) AS n_correct
             FROM events GROUP BY 1"""),
-      doc = "data-driven L7 signature table at nDPI breadth (147 families)"),
+      doc = "data-driven L7 signature table at nDPI breadth (155 families)"),
 
     // The extend-WITHOUT-recompiling contract, end-to-end through a
     // REAL FILE: a user adds a proprietary protocol by writing one
@@ -634,38 +634,44 @@ object ScaleQueries {
             val sni = s"host${uid % 5}.example"
             val dcid = java.nio.ByteBuffer.allocate(8)
               .putLong(0x6772616674L ^ uid).array() // varies per flow
+            // half the flows ride QUIC v2 (RFC 9369): same protocol,
+            // different salt/labels/type bits — the classifier must
+            // handle both on one wire without being told which
+            val wireVer = if (eid % 2 == 0) QuicCrypto.VersionV1
+              else QuicCrypto.VersionV2
             val dg = QuicCrypto.sealClientInitial(dcid,
               Array[Byte](1, 2), pn = eid % 0x3fffffff,
-              QuicCrypto.clientHelloHs(sni, alpn))
-            QuicCrypto.inspect(dg) match {
-              case Some((gotSni, gotAlpn)) =>
+              QuicCrypto.clientHelloHs(sni, alpn), version = wireVer)
+            QuicCrypto.inspectVer(dg) match {
+              case Some((gotVer, gotSni, gotAlpn)) =>
                 val app = gotAlpn.headOption match {
                   case Some("h3") => "http3"
                   case Some("hq-interop") => "hq"
                   case Some("doq") => "doq"
                   case _ => "quic"
                 }
-                (app, gotSni.orNull,
+                (app, gotVer.toLong, gotSni.orNull,
                   if (gotSni.contains(sni)) 1L else 0L)
-              case None => ("undecryptable", null, 0L)
+              case None => ("undecryptable", 0L, null, 0L)
             }
           })
-          .toDF("app", "sni", "ok")
-          .groupBy("app")
+          .toDF("app", "ver", "sni", "ok")
+          .groupBy("app", "ver")
           .agg(count(lit(1)).as("n_flows"),
             countDistinct("sni").as("n_snis"),
             sum("ok").as("n_ok"))
       },
       Some("""SELECT CASE event_id % 3 WHEN 0 THEN 'http3'
                 WHEN 1 THEN 'hq' ELSE 'doq' END AS app,
+              CASE event_id % 2 WHEN 0 THEN 1 ELSE 2 END AS ver,
               count(*) AS n_flows,
               count(DISTINCT 'host' || CAST(user_id % 5 AS VARCHAR) ||
                 '.example') AS n_snis,
               CAST(count(*) AS BIGINT) AS n_ok
-              FROM events GROUP BY 1"""),
-      doc = "QUIC v1 Initial decryption (RFC 9001): HKDF initial keys " +
-        "from the DCID, header-protection removal, AEAD open, CRYPTO " +
-        "reassembly, ClientHello SNI+ALPN classification"),
+              FROM events GROUP BY 1, 2"""),
+      doc = "QUIC v1+v2 Initial decryption (RFC 9001/9369): HKDF " +
+        "initial keys from the DCID, header-protection removal, AEAD " +
+        "open, CRYPTO reassembly, ClientHello SNI+ALPN classification"),
 
     // Bucketed at-rest layout: the co-located fact-fact join. At 100 TB
     // the orders×lineitem join is THE dominant shuffle — both sides are
