@@ -719,6 +719,89 @@ object CorpusQueries {
               CAST(sum(lp_sum) AS BIGINT) AS lp_total
             FROM sc GROUP BY 1"""),
       doc = "bigram-LM scoring with a sample-trained BROADCAST model" +
-        " (q243's 100 TB path)")
+        " (q243's 100 TB path)"),
+
+    // BM25 sparse retrieval (Robertson/Spärck Jones; the ranking the
+    // reference's IMT client "-T" top-N sorts are a degenerate form of,
+    // and the lexical half of every RAG/dedup-audit pipeline). Scale
+    // shape: the query set is MODEL-sized → broadcast-join it against
+    // the exploded token stream FIRST, so only query-term postings ever
+    // reach an aggregation (at 100 TB the corpus pass is one map-side
+    // tokenize+filter); df/N/avgdl are tiny aggregates; the final
+    // per-query top-k runs through TopK.perKey's bounded heap, not a
+    // window sort (every doc matches some query term here — a window
+    // would sort the whole corpus on 6 reducers). Scoring is quantized
+    // floor(1e4·idf·tf_norm) per posting — identical FP expression text
+    // in both dialects, the q243-proven parity recipe.
+    Q("q313_bm25_retrieval",
+      (s, d) => {
+        val qterms: Seq[(Long, String)] = Seq(
+          0L -> "spark", 0L -> "join",
+          1L -> "fast", 1L -> "filter", 1L -> "query",
+          2L -> "window", 2L -> "agg",
+          3L -> "stream", 3L -> "merge",
+          4L -> "slow", 4L -> "scan", 4L -> "hash",
+          5L -> "batch", 5L -> "table")
+        val sp = s
+        import sp.implicits._
+        val q = qterms.toDF("query_id", "term")
+        val tokd = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${TextOps.sparkToks} AS toks")
+        val stats = tokd.selectExpr("size(toks) AS dl")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("dl").as("sum_dl"))
+        val tf = tokd
+          .selectExpr("doc_id", "size(toks) AS dl",
+            "explode(toks) AS term")
+          .join(broadcast(q), Seq("term"))
+          .groupBy("query_id", "term", "doc_id", "dl")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term")
+          .agg(countDistinct("doc_id").as("df_t"))
+        val scored = tf
+          .join(broadcast(df_), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .selectExpr("query_id", "doc_id",
+            "CAST(floor(10000.0 * ln(1.0 + (n_docs - df_t + 0.5) / " +
+              "(df_t + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +
+              "(CAST(dl AS DOUBLE) * n_docs / sum_dl)))) AS BIGINT) AS sc")
+          .groupBy("query_id", "doc_id")
+          .agg(sum("sc").as("score"))
+        graft.plans.TopK.perKey(scored, Seq("query_id"),
+          orderCol = "score", tiebreakCol = "doc_id", k = 3)
+      },
+      Some(s"""WITH qt(query_id, term) AS (VALUES
+              (0, 'spark'), (0, 'join'),
+              (1, 'fast'), (1, 'filter'), (1, 'query'),
+              (2, 'window'), (2, 'agg'),
+              (3, 'stream'), (3, 'merge'),
+              (4, 'slow'), (4, 'scan'), (4, 'hash'),
+              (5, 'batch'), (5, 'table')),
+            t AS (SELECT doc_id, ${TextOps.duckToks} AS toks
+              FROM documents),
+            st AS (SELECT count(*) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+            tok AS (SELECT doc_id, len(toks) AS dl,
+              unnest(toks) AS term FROM t),
+            tf AS (SELECT query_id, term, doc_id, dl,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM tok JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df_t
+              FROM tf GROUP BY 1),
+            sc AS (SELECT query_id, doc_id,
+              CAST(sum(CAST(floor(10000.0 * ln(1.0 + (n_docs - df_t
+                + 0.5) / (df_t + 0.5)) * (tf * 2.2) / (tf + 1.2 *
+                (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs /
+                sum_dl)))) AS BIGINT)) AS BIGINT) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN st
+              GROUP BY 1, 2),
+            rk AS (SELECT query_id, doc_id, score, row_number() OVER
+                (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rnk
+              FROM sc)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+            FROM rk WHERE rnk <= 3"""),
+      doc = "BM25 sparse retrieval: broadcast query terms prune the " +
+        "token stream map-side; bounded-heap top-k per query")
   )
 }
