@@ -799,10 +799,19 @@ final class KafkaMiniBroker {
             }
           case 68 =>
             KafkaWire.parseConsumerGroupHeartbeat(payload) match {
-              case Some((corr, g, member, epoch, instanceId, topics, _)) =>
+              case Some((corr, g, member, epoch, instanceId, topics,
+                  regexOpt, _)) =>
                 // (the wire's owned-partitions report is parsed but the
                 // ledger tracks grants: members adopt/release on the
                 // response, synchronously, before their next planning)
+                // KIP-848 regex subscriptions resolve BROKER-side,
+                // re-evaluated against the live topic registry on every
+                // heartbeat — a newly created matching topic flows into
+                // the target assignment with no client resubscribe
+                val regexCompiled = regexOpt.map { r =>
+                  try Right(java.util.regex.Pattern.compile(r))
+                  catch { case _: Exception => Left(r) }
+                }
                 val gr = groups848.synchronized {
                   groups848.getOrElseUpdate(g, new Group848)
                 }
@@ -831,6 +840,10 @@ final class KafkaMiniBroker {
                     if (!isNew && !gr.members.contains(id))
                       KafkaWire.encodeConsumerGroupHeartbeatResponse(
                         corr, 25, id, gr.epoch, Nil) // UNKNOWN_MEMBER
+                    else if (regexCompiled.exists(_.isLeft))
+                      // an uncompilable pattern is a malformed request
+                      KafkaWire.encodeConsumerGroupHeartbeatResponse(
+                        corr, 42, id, gr.epoch, Nil) // INVALID_REQUEST
                     else {
                       if (isNew) {
                         gr.members(id) = (gr.epoch, Set.empty)
@@ -838,9 +851,12 @@ final class KafkaMiniBroker {
                         instanceId.foreach(gr.instanceIds(_) = id)
                       }
                       gr.lastSeenNs(id) = System.nanoTime()
+                      val re = regexCompiled.flatMap(_.toOption)
                       val parts = logs.synchronized {
                         logs.keysIterator
-                          .filter(k => topics.contains(k._1)).toSeq
+                          .filter(k => topics.contains(k._1) ||
+                            re.exists(_.matcher(k._1).matches()))
+                          .toSeq
                       }
                       gr.recomputeTarget(parts)
                       val myTarget =
@@ -1243,15 +1259,25 @@ object KafkaMiniBroker {
   def heartbeat848(port: Int, group: String, memberId: String,
                    memberEpoch: Int, topics: Seq[String],
                    owned: Seq[(String, Seq[Int])],
-                   instanceId: Option[String] = None)
+                   instanceId: Option[String] = None,
+                   topicRegex: Option[String] = None)
       : (Int, String, Int, Seq[(String, Seq[Int])]) = {
     val (sock, in, out) = connect(port)
     try {
       val (err, id, ep, wire) =
         KafkaWire.decodeConsumerGroupHeartbeatResponse(exchange(in, out,
           KafkaWire.encodeConsumerGroupHeartbeat(0, "graft_848", group,
-            memberId, memberEpoch, topics, owned, instanceId)))
-      val uuidOf = topics.map(t => KafkaWire.topicUuid(t) -> t).toMap
+            memberId, memberEpoch, topics, owned, instanceId,
+            topicRegex)))
+      // regex grants can name topics the client never listed — resolve
+      // their UUIDs from a Metadata round, the real client's topic-id
+      // resolution path
+      val known =
+        if (topicRegex.isEmpty) topics
+        else topics ++ KafkaWire.decodeMetadataResponse(exchange(in, out,
+          KafkaWire.encodeMetadata(1, "graft_848", Nil))).map(_._1)
+      val uuidOf = known.distinct
+        .map(t => KafkaWire.topicUuid(t) -> t).toMap
       (err, id, ep, wire.flatMap { case (hi, lo, ps) =>
         uuidOf.get((hi, lo)).map(t => (t, ps))
       })

@@ -1693,18 +1693,24 @@ object KafkaWire {
   /** Client-side request: member epoch −1 leaves the group; owned is
     * the member's CURRENT assignment (post-revocation report);
     * instanceId Some(_) requests STATIC membership (KIP-848 carries
-    * KIP-345's group.instance.id on the new wire). */
+    * KIP-345's group.instance.id on the new wire). A regex
+    * subscription (KIP-848's SubscribedTopicRegex, request v1 —
+    * resolved BROKER-side against the live topic registry, so new
+    * matching topics join the member's assignment with no
+    * resubscribe) forces version 1 on the wire. */
   def encodeConsumerGroupHeartbeat(corr: Int, clientId: String,
       group: String, memberId: String, memberEpoch: Int,
       topics: Seq[String], owned: Seq[(String, Seq[Int])],
-      instanceId: Option[String] = None)
+      instanceId: Option[String] = None,
+      topicRegex: Option[String] = None)
       : Array[Byte] = {
     val b = mutable.ArrayBuffer[Byte]()
     def i16(v: Int): Unit = { b += (v >> 8).toByte; b += v.toByte }
     def i32(v: Int): Unit = (24 to 0 by -8).foreach(s => b += (v >> s).toByte)
     def i64(v: Long): Unit = (56 to 0 by -8).foreach(s => b += (v >> s).toByte)
+    val version = if (topicRegex.isDefined) 1 else 0
     // flexible request header (v2): classic nullable client id + tags
-    i16(68); i16(0); i32(corr)
+    i16(68); i16(version); i32(corr)
     val cid = clientId.getBytes("UTF-8"); i16(cid.length); b ++= cid
     writeUvarint(b, 0) // header tagged fields
     compactStr(b, group)
@@ -1718,6 +1724,10 @@ object KafkaWire {
     i32(30000)         // rebalance timeout
     writeUvarint(b, topics.size + 1) // subscribed topic names
     topics.foreach(t => compactStr(b, t))
+    if (version >= 1) topicRegex match { // subscribed topic regex
+      case Some(re) => compactStr(b, re)
+      case None => writeUvarint(b, 0)
+    }
     writeUvarint(b, 0) // server assignor: null (broker default)
     writeUvarint(b, owned.size + 1) // owned topic_partitions
     owned.foreach { case (t, ps) =>
@@ -1733,13 +1743,15 @@ object KafkaWire {
   }
 
   /** Broker-side parse: (corr, group, memberId, memberEpoch,
-    * instanceId, subscribed topics,
+    * instanceId, subscribed topics, subscribed topic regex (v1+),
     * owned (topicUuidHi, topicUuidLo, partitions)). */
   def parseConsumerGroupHeartbeat(payload: Array[Byte])
       : Option[(Int, String, String, Int, Option[String], Seq[String],
-        Seq[(Long, Long, Seq[Int])])] = try {
+        Option[String], Seq[(Long, Long, Seq[Int])])] = try {
     val buf = ByteBuffer.wrap(payload)
-    if (buf.getShort() != 68 || buf.getShort() != 0) return None
+    if (buf.getShort() != 68) return None
+    val version = buf.getShort().toInt
+    if (version != 0 && version != 1) return None
     val corr = buf.getInt()
     takeBytes(buf, buf.getShort() & 0xffff) // client id
     readUvarint(buf)                        // header tags
@@ -1754,6 +1766,13 @@ object KafkaWire {
     buf.getInt()                            // rebalance timeout
     val nt = readUvarint(buf) - 1
     val topics = (0 until math.max(0, nt)).map(_ => readCompactStr(buf))
+    val regex =
+      if (version < 1) None
+      else {
+        val rl = readUvarint(buf) - 1
+        if (rl <= 0) None
+        else Some(new String(takeBytes(buf, rl), "UTF-8"))
+      }
     readUvarint(buf)                        // server assignor (null)
     val no = readUvarint(buf) - 1
     val owned = (0 until math.max(0, no)).map { _ =>
@@ -1763,7 +1782,7 @@ object KafkaWire {
       readUvarint(buf)                      // struct tags
       (hi, lo, ps)
     }
-    Some((corr, group, member, epoch, instanceId, topics, owned))
+    Some((corr, group, member, epoch, instanceId, topics, regex, owned))
   } catch { case _: Exception => None }
 
   /** Broker response: error 0 with (memberId, memberEpoch, assignment

@@ -51,13 +51,22 @@ class KafkaMiniSource extends TableProvider {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val group = Option(properties.get("group")).filter(_.nonEmpty)
-    require(group.isEmpty || topics.nonEmpty,
-      "group mode needs an explicit topic subscription")
     val protocol = Option(properties.get("protocol")).getOrElse("classic")
     require(protocol == "classic" || protocol == "consumer",
       s"unknown group protocol '$protocol' (classic | consumer)")
+    // KIP-848 SubscribedTopicRegex: broker-resolved, so it exists only
+    // on the consumer-protocol wire (the classic protocol's pattern
+    // subscriptions are a client-side fiction this source doesn't fake)
+    val topicRegex = Option(
+      new CaseInsensitiveStringMap(properties).get("topicregex"))
+      .filter(_.nonEmpty)
+    require(topicRegex.isEmpty ||
+      (protocol == "consumer" && group.nonEmpty),
+      "topicRegex requires protocol=consumer group mode")
+    require(group.isEmpty || topics.nonEmpty || topicRegex.nonEmpty,
+      "group mode needs a topic or topicRegex subscription")
     new KafkaMiniTable(port.toInt, topics, group,
-      nextGen = protocol == "consumer")
+      nextGen = protocol == "consumer", topicRegex = topicRegex)
   }
 }
 
@@ -97,7 +106,8 @@ object KafkaMiniSource {
 }
 
 private class KafkaMiniTable(port: Int, topics: Seq[String],
-                             group: Option[String], nextGen: Boolean)
+                             group: Option[String], nextGen: Boolean,
+                             topicRegex: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"kafkamini:$port"
   override def schema(): StructType = KafkaMiniSource.schema
@@ -110,7 +120,8 @@ private class KafkaMiniTable(port: Int, topics: Seq[String],
         override def toBatch: Batch =
           throw new UnsupportedOperationException("streaming only")
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new KafkaMiniMicroBatchStream(port, topics, group, nextGen)
+          new KafkaMiniMicroBatchStream(port, topics, group, nextGen,
+            topicRegex)
       }
     }
 }
@@ -142,7 +153,7 @@ private case class KafkaRangePartition(port: Int, topic: String,
 
 private[sources] class KafkaMiniMicroBatchStream(port: Int,
     topics: Seq[String], group: Option[String] = None,
-    nextGen: Boolean = false)
+    nextGen: Boolean = false, topicRegex: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // ---- broker-coordinated planning (group mode) --------------------
@@ -181,9 +192,10 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
       .map { case (t, ps) => (t, ps.map(_._2).toSeq.sorted) }
     var r = KafkaMiniBroker.heartbeat848(port, g,
       if (joined) memberId else "", if (joined) generation else 0,
-      topics, ownedByTopic)
+      topics, ownedByTopic, topicRegex = topicRegex)
     if (r._1 == 25) // fenced/unknown: rejoin fresh
-      r = KafkaMiniBroker.heartbeat848(port, g, "", 0, topics, Nil)
+      r = KafkaMiniBroker.heartbeat848(port, g, "", 0, topics, Nil,
+        topicRegex = topicRegex)
     require(r._1 == 0, s"ConsumerGroupHeartbeat error ${r._1}")
     memberId = r._2
     generation = r._3
@@ -226,7 +238,13 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
 
   private def ends(): Map[(String, Int), Long] = {
     ensureMembership()
-    val all = KafkaMiniBroker.discoverEnds(port, topics)
+    // a regex subscription learns its topic set FROM the assignment —
+    // discovery covers the explicit list plus whatever the broker's
+    // regex resolution granted this member
+    val discover =
+      if (topicRegex.isEmpty) topics
+      else (topics ++ assigned.map(_._1)).distinct
+    val all = KafkaMiniBroker.discoverEnds(port, discover)
       .map { case (t, p, o) =>
         require(!t.contains('/') && !t.contains('=') &&
           !t.contains(';') && !t.contains('\n'),

@@ -1335,6 +1335,130 @@ object StreamingQueries {
             UNION ALL SELECT 'kip', 'epoch_after_two_joins', 1, 3"""),
       doc = "KIP-848 incremental rebalance: broker-side assignor, " +
         "per-member reconciliation, incumbent never pauses, " +
-        "epoch-fenced commits, exactly-once union")
+        "epoch-fenced commits, exactly-once union"),
+
+    // KIP-848 regex subscriptions (SubscribedTopicRegex, heartbeat v1):
+    // the pattern is resolved BROKER-side against the live topic
+    // registry on every heartbeat, so a topic created AFTER the
+    // consumer joined flows into its assignment with no resubscribe —
+    // the property this gate pins. One member subscribes "metrics_.*";
+    // metrics_a and a decoy other_log exist at join (the decoy must
+    // never be assigned or read), then metrics_b is created mid-stream
+    // and its records must drain through the SAME subscription. The
+    // assignment timeline must grow 2→4 partitions and never be empty.
+    Q("q314_kafka_848_regex",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        import graft.sources.KafkaMiniSource
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q314_kafka")
+        val group = "graft_848re"
+        KafkaMiniSource.clearAssignmentHistory(group)
+        val outDir = base.resolve("out").toString
+        var kipLanes: Seq[(String, String, Long, Long)] = Nil
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          val nWave = Array(0, 1, 2).map(w =>
+            rows.filter(_._1 % 3 == w).count())
+          def produceWave(wave: Int, topic: String): Unit =
+            rows.filter(_._1 % 3 == wave).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_848_re_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) => (uid % 2).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch(topic, p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          Seq.empty[(String, Int, Long, String)]
+            .toDF("topic", "partition", "offset", "v")
+            .write.parquet(outDir)
+          def pollUntil(what: String)(cond: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 90000
+            while (!cond && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(cond, s"q314 timed out waiting for $what")
+          }
+          produceWave(0, "metrics_a")
+          produceWave(2, "other_log") // regex must never match this
+          val q = s.readStream.format("graft.sources.KafkaMiniSource")
+            .option("port", port.toString)
+            .option("topicRegex", "metrics_.*")
+            .option("group", group)
+            .option("protocol", "consumer")
+            .load()
+            .selectExpr("topic", "partition", "offset",
+              "cast(value as string) as v")
+            .writeStream.option("checkpointLocation",
+              base.resolve("ck").toString)
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                b.write.mode("append").parquet(outDir)
+            }
+            .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          try {
+            pollUntil("metrics_a drain")(
+              s.read.parquet(outDir).count() == nWave(0))
+            // the new topic appears AFTER the member joined: the next
+            // broker-side regex resolution must grow the assignment
+            produceWave(1, "metrics_b")
+            pollUntil("metrics_b drain via regex")(
+              s.read.parquet(outDir).count() == nWave(0) + nWave(1))
+            val hist = KafkaMiniSource.assignmentHistory(group)
+              .values.headOption.getOrElse(Seq.empty)
+            kipLanes = Seq(
+              ("kip", "first_assign_parts", 1L,
+                hist.headOption.map(_.size.toLong).getOrElse(-1L)),
+              ("kip", "final_assign_parts", 1L,
+                hist.lastOption.map(_.size.toLong).getOrElse(-1L)),
+              ("kip", "assign_never_empty", 1L,
+                if (hist.nonEmpty && hist.forall(_.nonEmpty)) 1L else 0L),
+              ("kip", "decoy_assigned", 1L,
+                if (hist.exists(_.exists(_._1 == "other_log"))) 1L
+                else 0L))
+          } finally q.stop()
+          rows.unpersist()
+        } finally broker.close()
+        s.read.parquet(outDir)
+          .select(col("topic"), col("partition"),
+            expr("cast(split(v, ':')[1] as bigint)").as("b"))
+          .groupBy("topic", "partition")
+          .agg(count(lit(1)).as("n"), sum("b").as("v"))
+          .selectExpr("concat('flow_', topic) AS kind",
+            "CAST(partition AS STRING) AS key", "n", "v")
+          .unionByName(kipLanes.toDF("kind", "key", "n", "v"))
+      },
+      Some("""WITH base AS (SELECT event_id % 3 AS w,
+                CAST(user_id % 2 AS INT) AS part,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events)
+            SELECT 'flow_metrics_a' AS kind,
+              CAST(part AS VARCHAR) AS key, count(*) AS n,
+              CAST(sum(b) AS BIGINT) AS v
+            FROM base WHERE w = 0 GROUP BY 1, 2
+            UNION ALL
+            SELECT 'flow_metrics_b', CAST(part AS VARCHAR), count(*),
+              CAST(sum(b) AS BIGINT)
+            FROM base WHERE w = 1 GROUP BY 1, 2
+            UNION ALL SELECT 'kip', 'first_assign_parts', 1, 2
+            UNION ALL SELECT 'kip', 'final_assign_parts', 1, 4
+            UNION ALL SELECT 'kip', 'assign_never_empty', 1, 1
+            UNION ALL SELECT 'kip', 'decoy_assigned', 1, 0"""),
+      doc = "KIP-848 regex subscription: broker-resolved " +
+        "SubscribedTopicRegex picks up a mid-stream topic with no " +
+        "resubscribe; decoy topic never assigned")
   )
 }
