@@ -802,6 +802,127 @@ object CorpusQueries {
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
             FROM rk WHERE rnk <= 3"""),
       doc = "BM25 sparse retrieval: broadcast query terms prune the " +
-        "token stream map-side; bounded-heap top-k per query")
+        "token stream map-side; bounded-heap top-k per query"),
+
+    // Exact substring dedup via distributed suffix prefix-doubling —
+    // the Lee-et-al. "Deduplicating Training Data Makes Language
+    // Models Better" shape done EXACTLY, where q165 approximates with
+    // strided windows. Every suffix position gets an equality-class id
+    // per doubling round: r_j(pos) keys the 2^j-token window at pos, so
+    // after round j, two positions share r_j iff their windows are
+    // IDENTICAL. No global sort is needed for dedup (only the *array*
+    // order would need it): a class id only has to be injective per
+    // window value. And because a training corpus's windows never
+    // cross document boundaries, the whole doubling recursion is
+    // ROW-LOCAL: each round is one Catalyst array-transform over the
+    // doc's rank arrays (whole-stage codegen, zero exchanges) — the
+    // only shuffles in the lane are the three class-counting
+    // aggregations at the probe windows. O(n log w) work total; at
+    // 100 TB this is a pure map lane plus three hash aggs, and the
+    // exploded-positions/self-join variant of the same recursion is
+    // what you would switch to if single documents outgrew rows.
+    // Out-of-range halves (suffix shorter than the window) take a
+    // unique negative id, so short suffixes stay singletons and never
+    // fake a duplicate. The gate reads the dup profile at w=8/16/32
+    // (distinct duplicated windows, positions inside them, docs
+    // affected) — the oracle recomputes all three by brute-force
+    // window-string grouping, so any defect in the doubling recursion
+    // shows as a count drift.
+    Q("q315_suffix_prefix_doubling",
+      (s, d) => {
+        // Equality-class ids are a 128-bit MIX PAIR (two independent
+        // splitmix64 lanes). A pair collision would merge two distinct
+        // windows and drift every downstream count, so the brute-force
+        // oracle below doubles as the collision check; the bit-exact
+        // alternative (class id = min pos over the class) costs a
+        // sorted exchange per round. Token hashes come from the SHARED
+        // TextOps expression (dialect-paired with the oracle); the
+        // doubling recursion runs per document inside one typed
+        // flatMap — expressing it as nested Catalyst lambdas doubles
+        // the expression tree per round (each rank references the
+        // previous one four times), which is exponential at plan time.
+        val sp = s
+        import sp.implicits._
+        val th = Tables.documents(s, d).selectExpr("doc_id AS doc",
+            s"transform(${TextOps.sparkToks}, " +
+              s"t -> ${TextOps.sparkTokHash("t")}) AS hs")
+          .as[(Long, Seq[Long])]
+        val cells = th.flatMap { case (doc, hsSeq) =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^ (z >>> 31)
+          }
+          def mix4(a: Long, b: Long, c2: Long, d2: Long,
+                   seed: Long): Long =
+            mix(mix(mix(mix(seed ^ a) ^ b) ^ c2) ^ d2)
+          val n = hsSeq.length
+          var ra = hsSeq.toArray
+          var rb = ra.map(h => mix(h ^ 0x5851f42d4c957f2dL))
+          val out = scala.collection.mutable
+            .ArrayBuffer[(Long, Long, Long, Long)]()
+          var k = 1
+          var j = 1
+          while (j <= 5 && n > 0) {
+            val na = new Array[Long](n)
+            val nb = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val (sa, sb) =
+                if (i + k < n) (ra(i + k), rb(i + k))
+                else { // short suffix: unique id, stays a singleton
+                  val u = -(doc * 1048576L + i) - 1L
+                  (u, u)
+                }
+              na(i) = mix4(ra(i), rb(i), sa, sb, 0x2545f4914f6cdd1dL)
+              nb(i) = mix4(ra(i), rb(i), sa, sb, 0x9e6c63d0a9feb4edL)
+              i += 1
+            }
+            ra = na; rb = nb; k <<= 1
+            if (j >= 3) { // probe windows 8, 16, 32
+              val w = (1 << j).toLong
+              var p = 0
+              while (p < n) { out += ((w, doc, ra(p), rb(p))); p += 1 }
+            }
+            j += 1
+          }
+          out
+        }.toDF("w", "doc", "ka", "kb")
+        // positions partition into (w, class, doc) cells; dup classes
+        // span >= 2 docs; one aggregate tree covers all three windows
+        val byCell = cells.groupBy("w", "ka", "kb", "doc")
+          .agg(count(lit(1)).as("npd"))
+        val dupClasses = byCell.groupBy("w", "ka", "kb")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+        byCell.join(dupClasses, Seq("w", "ka", "kb"))
+          .groupBy("w")
+          .agg(countDistinct(col("ka"), col("kb")).as("dup_windows"),
+            sum("npd").as("dup_positions"),
+            countDistinct("doc").as("docs_affected"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id,
+              list_transform(${TextOps.duckToks},
+                t -> ${TextOps.duckTokHash("t")}) AS hs
+              FROM documents),
+            ws(w) AS (VALUES (8), (16), (32)),
+            wins AS (SELECT w, doc_id,
+              unnest(list_transform(range(1, greatest(len(hs) - w + 2, 1)),
+                i -> list_aggr(list_transform(list_slice(hs, i, i + w - 1),
+                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
+              FROM th, ws),
+            grp AS (SELECT w, win, count(DISTINCT doc_id) AS nd,
+                count(*) AS np
+              FROM wins GROUP BY 1, 2),
+            dup AS (SELECT w, win, np FROM grp WHERE nd >= 2),
+            aff AS (SELECT wi.w, count(DISTINCT wi.doc_id) AS da
+              FROM wins wi JOIN dup d_ ON wi.w = d_.w AND wi.win = d_.win
+              GROUP BY 1)
+            SELECT CAST(g.w AS BIGINT) AS w, count(*) AS dup_windows,
+              CAST(sum(g.np) AS BIGINT) AS dup_positions,
+              CAST(coalesce(max(a.da), 0) AS BIGINT) AS docs_affected
+            FROM dup g LEFT JOIN aff a ON a.w = g.w GROUP BY 1"""),
+      doc = "exact substring dedup via distributed suffix " +
+        "prefix-doubling (Lee et al. exact, vs q165's approximation)")
   )
 }
