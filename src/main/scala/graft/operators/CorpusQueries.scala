@@ -843,7 +843,13 @@ object CorpusQueries {
         // previous one four times), which is exponential at plan time.
         val sp = s
         import sp.implicits._
-        val th = Tables.documents(s, d).selectExpr("doc_id AS doc",
+        // CPU-bound per-doc chain: spread it over every core even when
+        // the scan yields few input splits (test-data artifact; a real
+        // 100 TB scan has thousands of tasks and the repartition is a
+        // cheap doc_id+text reshuffle either way)
+        val th = Tables.documents(s, d).select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id AS doc",
             s"transform(${TextOps.sparkToks}, " +
               s"t -> ${TextOps.sparkTokHash("t")}) AS hs")
           .as[(Long, Seq[Long])]
@@ -861,7 +867,7 @@ object CorpusQueries {
           var ra = hsSeq.toArray
           var rb = ra.map(h => mix(h ^ 0x5851f42d4c957f2dL))
           val out = scala.collection.mutable
-            .ArrayBuffer[(Long, Long, Long, Long)]()
+            .ArrayBuffer[(Long, Long, Long, Long, Long)]()
           var k = 1
           var j = 1
           while (j <= 5 && n > 0) {
@@ -881,25 +887,53 @@ object CorpusQueries {
             }
             ra = na; rb = nb; k <<= 1
             if (j >= 3) { // probe windows 8, 16, 32
+              // pre-aggregate (class → positions) inside the doc: the
+              // shuffle carries one row per DISTINCT window per doc,
+              // and within-doc self-repeats collapse before the wire
               val w = (1 << j).toLong
+              // boxed values: a java map's miss returns null, and
+              // null.asInstanceOf[Long] silently unboxes to 0
+              val m = new java.util.HashMap[(Long, Long),
+                java.lang.Long]()
               var p = 0
-              while (p < n) { out += ((w, doc, ra(p), rb(p))); p += 1 }
+              while (p < n) {
+                val k2 = (ra(p), rb(p))
+                val prev = m.get(k2)
+                m.put(k2, if (prev == null) 1L else prev + 1L)
+                p += 1
+              }
+              m.forEach((k2, v) =>
+                out += ((w, doc, k2._1, k2._2, v.longValue)))
             }
             j += 1
           }
           out
-        }.toDF("w", "doc", "ka", "kb")
-        // positions partition into (w, class, doc) cells; dup classes
-        // span >= 2 docs; one aggregate tree covers all three windows
-        val byCell = cells.groupBy("w", "ka", "kb", "doc")
-          .agg(count(lit(1)).as("npd"))
-        val dupClasses = byCell.groupBy("w", "ka", "kb")
-          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-        byCell.join(dupClasses, Seq("w", "ka", "kb"))
-          .groupBy("w")
-          .agg(countDistinct(col("ka"), col("kb")).as("dup_windows"),
-            sum("npd").as("dup_positions"),
-            countDistinct("doc").as("docs_affected"))
+        }.toDF("w", "doc", "ka", "kb", "npd")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (w, class, doc) cells: dup classes span >= 2 docs. Windows
+        // and positions come straight off the class aggregate; only
+        // docs_affected joins back, against the BROADCAST dup-class
+        // set (model-sized — it is the dedup report itself). cells is
+        // persisted across its two consumers and dropped before return.
+        val byClass = cells.groupBy("w", "ka", "kb")
+          .agg(count(lit(1)).as("nd"), sum("npd").as("np"))
+          .filter(col("nd") >= 2)
+          .persist()
+        val wp = byClass.groupBy("w")
+          .agg(count(lit(1)).as("dup_windows"),
+            sum("np").as("dup_positions"))
+        val affected = cells
+          .join(broadcast(byClass.select("w", "ka", "kb")),
+            Seq("w", "ka", "kb"))
+          .groupBy("w").agg(countDistinct("doc").as("docs_affected"))
+        val res = wp.join(affected, Seq("w"))
+          .select("w", "dup_windows", "dup_positions", "docs_affected")
+          .collect()
+        byClass.unpersist()
+        cells.unpersist()
+        res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+          .toDF("w", "dup_windows", "dup_positions", "docs_affected")
       },
       Some(s"""WITH th AS (SELECT doc_id,
               list_transform(${TextOps.duckToks},
