@@ -957,6 +957,117 @@ object CorpusQueries {
               CAST(coalesce(max(a.da), 0) AS BIGINT) AS docs_affected
             FROM dup g LEFT JOIN aff a ON a.w = g.w GROUP BY 1"""),
       doc = "exact substring dedup via distributed suffix " +
-        "prefix-doubling (Lee et al. exact, vs q165's approximation)")
+        "prefix-doubling (Lee et al. exact, vs q165's approximation)"),
+
+    // Distributed full-batch logistic-regression trainer — the
+    // fastText-style learned quality/language filter as a pipeline
+    // operator (q306's nearest-centroid sibling, but an actual
+    // gradient trainer). Numerics are built for oracle parity: weights
+    // live as 1e6-SCALED BIGINTs, features are 0/1 presence of the 8
+    // token-hash buckets plus bias, so the margin z = x·W and every
+    // gradient accumulation are EXACT integer sums (order-independent
+    // under any parallelism — the one thing naive FP gradient sums are
+    // not). The only nonlinearity, sigmoid(z/1e6), quantizes to an
+    // integer residual per doc before summation (the q243 ln recipe).
+    // Each of the 3 epochs is one 9-integer partial aggregate over the
+    // corpus with the weight vector broadcast as literals — the
+    // textbook distributed full-batch GD shape; at 100 TB each epoch
+    // is a map + tiny agg, no shuffle wider than 9 longs.
+    Q("q316_logreg_trainer",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val dims = 8
+        val lr2 = 64L // step 1/lr2
+        val epochs = 24
+        val feats = Tables.documents(s, d).selectExpr(
+            "CASE WHEN n_chars > 300 THEN 1L ELSE 0L END AS y",
+            "source",
+            s"transform(${TextOps.sparkToks}, " +
+              s"t -> ${TextOps.sparkTokHash("t")} % $dims) AS bs")
+          .selectExpr(Seq("y", "source") ++
+            (0 until dims).map(j =>
+              s"CAST(size(filter(bs, b -> b = ${j}L)) AS BIGINT) AS x$j") :+
+            "8L AS x8": _*) // scaled bias: conditions GD against the
+          // count features (|x_j| ~ tokens/8), else the intercept
+          // crawls and full-batch GD oscillates for any usable step
+          .persist() // one row per doc: 10 small ints
+        val n = feats.count()
+        var w = Array.fill(dims + 1)(0L) // 1e6-scaled
+        for (_ <- 1 to epochs) {
+          val z = (0 to dims).map(j => s"x$j * ${w(j)}L")
+            .mkString(" + ")
+          // integer residual: floor(1e6 * (y - sigmoid(z / 1e6)))
+          val g = feats.selectExpr(
+            (s"CAST(floor(1000000.0 * (y - 1.0 / (1.0 + " +
+              s"exp(-($z) / 1000000.0)))) AS BIGINT) AS r") +:
+              (0 to dims).map(j => s"x$j"): _*)
+            .selectExpr((0 to dims).map(j =>
+              s"CAST(sum(x$j * r) AS BIGINT) AS g$j"): _*)
+            .head()
+          w = (0 to dims).map(j => w(j) +
+            math.floor(g.getLong(j) / (lr2.toDouble * n)).toLong).toArray
+        }
+        val zf = (0 to dims).map(j => s"x$j * ${w(j)}L").mkString(" + ")
+        val acc = feats.selectExpr("source", "y",
+            s"CASE WHEN ($zf) > 0 THEN 1L ELSE 0L END AS yhat")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(y = yhat AS BIGINT)")).as("n_correct"))
+          .selectExpr("'acc' AS kind", "source AS key", "n",
+            "n_correct AS val")
+        feats.unpersist()
+        val wRows = (0 to dims).map(j => ("w", s"w$j", 1L, w(j)))
+          .toDF("kind", "key", "n", "val")
+        acc.unionByName(wRows)
+      },
+      Some {
+        val dims = 8
+        val lr2 = 64
+        val epochs = 24
+        val xcols = (0 until dims).map(j =>
+          s"CAST(len(list_filter(bs, b -> b = $j)) AS BIGINT) AS x$j")
+          .mkString(", ") + ", 8::BIGINT AS x8"
+        def zExpr(wAlias: String) = (0 to dims).map(j =>
+          s"x$j * (SELECT w$j FROM $wAlias)").mkString(" + ")
+        def gSel = (0 to dims).map(j =>
+          s"CAST(sum(x$j * r) AS BIGINT) AS g$j").mkString(", ")
+        def wNext(prev: String, git: String) = (0 to dims).map(j =>
+          s"(SELECT w$j FROM $prev) + CAST(floor((SELECT g$j FROM " +
+            s"$git) / ($lr2.0 * (SELECT n FROM nn))) AS BIGINT) AS w$j")
+          .mkString(", ")
+        def rSel(wAlias: String) =
+          s"CAST(floor(1000000.0 * (y - 1.0 / (1.0 + " +
+            s"exp(-(${zExpr(wAlias)}) / 1000000.0)))) AS BIGINT) AS r"
+        // epoch chain g1/w1 .. g24/w24, every layer MATERIALIZED —
+        // inlined CTEs would re-expand the previous epoch once per
+        // weight reference and the plan goes exponential
+        val chain = (1 to epochs).map { t =>
+          s"""g$t AS MATERIALIZED (SELECT $gSel FROM
+              (SELECT ${rSel(s"w${t - 1}")}, * FROM fx)),
+            w$t AS MATERIALIZED (SELECT ${wNext(s"w${t - 1}", s"g$t")})"""
+        }.mkString(",\n            ")
+        s"""WITH f AS (SELECT
+              CASE WHEN n_chars > 300 THEN 1::BIGINT ELSE 0::BIGINT END
+                AS y, source,
+              list_transform(${TextOps.duckToks},
+                t -> ${TextOps.duckTokHash("t")} % $dims) AS bs
+              FROM documents),
+            fx AS MATERIALIZED (SELECT y, source, $xcols FROM f),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM fx),
+            w0 AS MATERIALIZED (SELECT ${(0 to dims)
+                .map(j => s"0::BIGINT AS w$j").mkString(", ")}),
+            $chain
+            SELECT 'acc' AS kind, source AS key, count(*) AS n,
+              CAST(sum(CAST(CAST((${zExpr(s"w$epochs")}) > 0 AS BIGINT)
+                = y AS BIGINT)) AS BIGINT) AS val
+            FROM fx GROUP BY 1, 2
+            UNION ALL
+            ${(0 to dims).map(j => s"SELECT 'w', 'w$j', 1, " +
+              s"(SELECT w$j FROM w$epochs)").mkString(" UNION ALL ")}"""
+      },
+      doc = "distributed full-batch logistic-regression trainer: " +
+        "scaled-integer weights, exact integer gradient sums, " +
+        "quantized sigmoid residuals (oracle-reproducible GD)")
   )
 }

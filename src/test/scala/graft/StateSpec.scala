@@ -27,6 +27,27 @@ class StateSpec extends AnyFunSuite {
     assert(store.table.count() == 0)
   }
 
+  test("q316 logreg: the trained filter beats the majority baseline") {
+    // the oracle pins the exact arithmetic; THIS pins the quality
+    // contract — full-batch GD with the scaled bias must actually
+    // learn the length rule, not collapse to the class prior
+    val rows = SparkEntry.queries("q316_logreg_trainer")(
+      spark, "/root/testdata/sf0.001").collect()
+    val accs = rows.filter(_.getString(0) == "acc")
+    val n = accs.map(_.getLong(2)).sum
+    val correct = accs.map(_.getLong(3)).sum
+    val majority = {
+      import graft.core.Tables
+      val y = Tables.documents(spark, "/root/testdata/sf0.001")
+        .selectExpr("CAST(n_chars > 300 AS INT) AS y")
+        .groupBy("y").count().as[(Int, Long)].collect().toMap
+      math.max(y.getOrElse(0, 0L), y.getOrElse(1, 0L))
+    }
+    assert(correct > majority,
+      s"acc $correct/$n does not beat majority $majority/$n")
+    assert(correct * 10 >= n * 8, s"acc $correct/$n below 0.8")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = (1 to 500).map(i => (i % 7L, i.toLong, i * 3L))
       .toDF("k", "id", "v")
