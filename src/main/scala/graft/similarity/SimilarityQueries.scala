@@ -907,6 +907,164 @@ object SimilarityQueries {
           FROM rr GROUP BY 1"""
       },
       doc = "Johnson-Lindenstrauss 64->16 sign projection with a " +
-        "measured distance-preservation histogram")
+        "measured distance-preservation histogram"),
+
+    // k-means|| seeding (Bahmani et al., VLDB 2012) — the seeding
+    // k-means++ can't do at scale: ++ is inherently SEQUENTIAL (one
+    // center per corpus pass, k passes), while k-means|| oversamples
+    // l·d²(x)/φ candidates per round for O(log n)≈R rounds, then
+    // reduces the tiny weighted coreset to k centers locally. Exactly
+    // the distributed/sequential split this engine wants at 100 TB:
+    // the R corpus passes are broadcast-join + map + one tiny agg
+    // each; the coreset (≤ 1+R·l points) collects to the driver for
+    // the weighted greedy reduction. All arithmetic is the q245
+    // recipe — scaled-int coordinates, exact integer distances — and
+    // the Bernoulli draw is a deterministic 10-bit hash uniform
+    // u(vec_id, round), so the oracle reproduces every round
+    // bit-for-bit (selection: u·φ < l·d²·1024, overflow-safe at 100×).
+    Q("q317_kmeans_parallel_seed",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val l = 10
+        val kC = 5
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+              "* 1000) AS BIGINT)) AS v")
+          .persist() // reused by R rounds + weights; dropped below
+        val dist = "aggregate(zip_with(v, cv, (a, b) -> " +
+          "(a - b) * (a - b)), 0L, (acc, z) -> acc + z)"
+        var centerIds = Seq(0L)
+        val phis = scala.collection.mutable.ArrayBuffer[Long]()
+        for (r <- 1 to 3) {
+          val cents = n.filter(col("vec_id").isin(centerIds: _*))
+            .selectExpr("vec_id AS cid", "v AS cv")
+          val dmin = n.crossJoin(broadcast(cents))
+            .selectExpr("vec_id", s"$dist AS dd")
+            .groupBy("vec_id").agg(min("dd").as("dmin"))
+            .persist()
+          val phi = dmin.agg(sum("dmin")).head().getLong(0)
+          phis += phi
+          // Bernoulli(min(1, l·d²/φ)) as u/2²⁰ < l·d²/φ with u a
+          // 20-bit hash uniform. The cross-multiplied comparison runs
+          // in DECIMAL(38,0) (↔ HUGEINT in the oracle): u·φ ≈ 1e6·4e16
+          // overflows LONG at the 100× soak, and a coarser u floors
+          // the per-point probability at 1/2^bits — at 1024 grains
+          // that floor selected n/1024 points per round (195 at 100×)
+          // and the coreset exploded
+          val sel = dmin.filter(expr(
+              s"CAST(((vec_id * 2654435761L + $r * 40503L) % 1048576) " +
+                s"AS DECIMAL(38,0)) * ${phi}L < " +
+                s"CAST(${l}L AS DECIMAL(38,0)) * 1048576 * dmin") &&
+              !col("vec_id").isin(centerIds: _*))
+            .select("vec_id").as[Long].collect().sorted
+          dmin.unpersist()
+          centerIds = centerIds ++ sel
+        }
+        // weights: corpus pass assigning every point to its nearest
+        // coreset member (tie: lowest cid) — coreset-sized output
+        val cents = n.filter(col("vec_id").isin(centerIds: _*))
+          .selectExpr("vec_id AS cid", "v AS cv")
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("dd").asc, col("cid").asc)
+        val wts = n.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "cid", s"$dist AS dd")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("cid").agg(count(lit(1)).as("wt"))
+          .as[(Long, Long)].collect().toMap
+        val cvs = n.filter(col("vec_id").isin(centerIds: _*))
+          .as[(Long, Seq[Long])].collect().toMap
+        n.unpersist()
+        // driver-side weighted greedy reduction over the coreset
+        def d2(a: Seq[Long], b: Seq[Long]): Long =
+          a.iterator.zip(b.iterator)
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        var chosen = Seq(centerIds.maxBy(c => (wts.getOrElse(c, 0L), -c)))
+        while (chosen.size < kC) {
+          val next = centerIds.filterNot(chosen.contains)
+            .maxBy { c =>
+              val dn = chosen.map(ch => d2(cvs(c), cvs(ch))).min
+              (wts.getOrElse(c, 0L) * dn, -c)
+            }
+          chosen = chosen :+ next
+        }
+        ((phis.toSeq.zipWithIndex.map { case (p, i) =>
+            ("phi", s"r${i + 1}", p)
+          } :+ ("coreset", "size", centerIds.size.toLong)) ++
+          chosen.sorted.map(c =>
+            ("center", c.toString, wts.getOrElse(c, 0L))))
+          .toDF("kind", "key", "val")
+      },
+      Some {
+        val (rr, l, kC) = (3, 10, 5)
+        val rounds = (1 to rr).map { r =>
+          val prev = s"c${r - 1}"
+          s"""dm$r AS MATERIALIZED (SELECT vec_id, min(dd) AS dmin
+              FROM (SELECT p.vec_id, c.cid,
+                CAST(sum((p.x - cl.x) * (p.x - cl.x)) AS BIGINT) AS dd
+              FROM lv p JOIN $prev c ON true
+              JOIN lv cl ON cl.vec_id = c.cid AND cl.pos = p.pos
+              GROUP BY 1, 2) z GROUP BY 1),
+            phi$r AS MATERIALIZED (SELECT CAST(sum(dmin) AS BIGINT)
+              AS phi FROM dm$r),
+            c$r AS MATERIALIZED (SELECT cid FROM $prev
+              UNION
+              SELECT d_.vec_id AS cid FROM dm$r d_
+              WHERE ((d_.vec_id * 2654435761 + $r * 40503) % 1048576)
+                  ::HUGEINT * (SELECT phi FROM phi$r)
+                  < $l::HUGEINT * 1048576 * d_.dmin
+                AND d_.vec_id NOT IN (SELECT cid FROM $prev))"""
+        }.mkString(",\n            ")
+        val greedy = (2 to kC).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT w.cid FROM wts w
+              WHERE w.cid NOT IN (SELECT cid FROM s${i - 1})
+              ORDER BY w.wt * (SELECT min(dd) FROM cd
+                WHERE c1 = w.cid AND
+                  c2 IN (SELECT cid FROM s${i - 1})) DESC,
+                w.cid ASC LIMIT 1),
+            s$i AS MATERIALIZED (SELECT cid FROM s${i - 1}
+              UNION ALL SELECT cid FROM p$i)"""
+        }.mkString(",\n            ")
+        s"""WITH n AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS v
+              FROM embeddings),
+            lv AS MATERIALIZED (SELECT vec_id,
+              generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM n),
+            c0 AS MATERIALIZED (SELECT 0::BIGINT AS cid),
+            $rounds,
+            wts AS MATERIALIZED (SELECT cid, count(*) AS wt FROM (
+              SELECT vec_id, cid FROM (
+                SELECT p.vec_id, c.cid, row_number() OVER (
+                  PARTITION BY p.vec_id
+                  ORDER BY CAST(sum((p.x - cl.x) * (p.x - cl.x))
+                    AS BIGINT) ASC, c.cid ASC) AS rn
+                FROM lv p JOIN c$rr c ON true
+                JOIN lv cl ON cl.vec_id = c.cid AND cl.pos = p.pos
+                GROUP BY p.vec_id, c.cid) z WHERE rn = 1) a
+              GROUP BY 1),
+            cd AS MATERIALIZED (SELECT a.cid AS c1, b.cid AS c2,
+              CAST(sum((la.x - lb.x) * (la.x - lb.x)) AS BIGINT) AS dd
+              FROM c$rr a JOIN c$rr b ON a.cid != b.cid
+              JOIN lv la ON la.vec_id = a.cid
+              JOIN lv lb ON lb.vec_id = b.cid AND lb.pos = la.pos
+              GROUP BY 1, 2),
+            p1 AS MATERIALIZED (SELECT cid FROM wts
+              ORDER BY wt DESC, cid ASC LIMIT 1),
+            s1 AS MATERIALIZED (SELECT cid FROM p1),
+            $greedy
+            SELECT 'phi' AS kind, 'r1' AS key,
+              (SELECT phi FROM phi1) AS val
+            UNION ALL SELECT 'phi', 'r2', (SELECT phi FROM phi2)
+            UNION ALL SELECT 'phi', 'r3', (SELECT phi FROM phi3)
+            UNION ALL SELECT 'coreset', 'size',
+              (SELECT CAST(count(*) AS BIGINT) FROM c$rr)
+            UNION ALL SELECT 'center', CAST(w.cid AS VARCHAR),
+              CAST(w.wt AS BIGINT) FROM wts w
+              WHERE w.cid IN (SELECT cid FROM s$kC)"""
+      },
+      doc = "k-means|| seeding (Bahmani): R oversampling corpus " +
+        "passes, deterministic hash Bernoulli, weighted coreset " +
+        "greedy-reduced driver-side — bit-reproducible in the oracle")
   )
 }
