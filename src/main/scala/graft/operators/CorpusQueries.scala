@@ -854,49 +854,21 @@ object CorpusQueries {
               s"t -> ${TextOps.sparkTokHash("t")}) AS hs")
           .as[(Long, Seq[Long])]
         val cells = th.flatMap { case (doc, hsSeq) =>
-          def mix(z0: Long): Long = {
-            var z = z0 + 0x9e3779b97f4a7c15L
-            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-            z ^ (z >>> 31)
-          }
-          def mix4(a: Long, b: Long, c2: Long, d2: Long,
-                   seed: Long): Long =
-            mix(mix(mix(mix(seed ^ a) ^ b) ^ c2) ^ d2)
-          val n = hsSeq.length
-          var ra = hsSeq.toArray
-          var rb = ra.map(h => mix(h ^ 0x5851f42d4c957f2dL))
           val out = scala.collection.mutable
             .ArrayBuffer[(Long, Long, Long, Long, Long)]()
-          var k = 1
-          var j = 1
-          while (j <= 5 && n > 0) {
-            val na = new Array[Long](n)
-            val nb = new Array[Long](n)
-            var i = 0
-            while (i < n) {
-              val (sa, sb) =
-                if (i + k < n) (ra(i + k), rb(i + k))
-                else { // short suffix: unique id, stays a singleton
-                  val u = -(doc * 1048576L + i) - 1L
-                  (u, u)
-                }
-              na(i) = mix4(ra(i), rb(i), sa, sb, 0x2545f4914f6cdd1dL)
-              nb(i) = mix4(ra(i), rb(i), sa, sb, 0x9e6c63d0a9feb4edL)
-              i += 1
-            }
-            ra = na; rb = nb; k <<= 1
-            if (j >= 3) { // probe windows 8, 16, 32
+          graft.text.SuffixClasses
+            .probeRanks(doc, hsSeq.toArray, Seq(3, 4, 5))
+            .foreach { case (j, ra, rb) =>
               // pre-aggregate (class → positions) inside the doc: the
               // shuffle carries one row per DISTINCT window per doc,
-              // and within-doc self-repeats collapse before the wire
-              val w = (1 << j).toLong
-              // boxed values: a java map's miss returns null, and
+              // and within-doc self-repeats collapse before the wire.
+              // Boxed values: a java map's miss returns null, and
               // null.asInstanceOf[Long] silently unboxes to 0
+              val w = (1 << j).toLong
               val m = new java.util.HashMap[(Long, Long),
                 java.lang.Long]()
               var p = 0
-              while (p < n) {
+              while (p < ra.length) {
                 val k2 = (ra(p), rb(p))
                 val prev = m.get(k2)
                 m.put(k2, if (prev == null) 1L else prev + 1L)
@@ -905,8 +877,6 @@ object CorpusQueries {
               m.forEach((k2, v) =>
                 out += ((w, doc, k2._1, k2._2, v.longValue)))
             }
-            j += 1
-          }
           out
         }.toDF("w", "doc", "ka", "kb", "npd")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1459,6 +1459,91 @@ object StreamingQueries {
             UNION ALL SELECT 'kip', 'decoy_assigned', 1, 0"""),
       doc = "KIP-848 regex subscription: broker-resolved " +
         "SubscribedTopicRegex picks up a mid-stream topic with no " +
-        "resubscribe; decoy topic never assigned")
+        "resubscribe; decoy topic never assigned"),
+
+    // Streaming EXACT substring dedup — q315's dedup-on-ingest twin
+    // (the q37→q62 batch→stream relationship, for windows instead of
+    // whole docs): an arriving document is a duplicate iff any of its
+    // 32-token windows was already carried by an earlier (lower
+    // doc_id) document. Window equality-classes come from the SAME
+    // prefix-doubling recursion (graft.text.SuffixClasses); the
+    // stream keys state BY WINDOW CLASS and keeps only the lowest
+    // owner doc_id per class — O(distinct windows) state, the exact
+    // analogue of the batch lane's class aggregate, and the ingest
+    // shape a training pipeline wants (drop repeats before they land
+    // in the corpus, not in a nightly batch).
+    Q("q318_stream_substr_dedup",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.text.TextOps
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = "q318_sink_" + sinkId.incrementAndGet()
+        val arrivals = s.readStream.schema(schema)
+          .parquet(s"$d/documents.*")
+          .select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id",
+            s"transform(${TextOps.sparkToks}, " +
+              s"t -> ${TextOps.sparkTokHash("t")}) AS hs")
+          .as[(Long, Seq[Long])]
+          .flatMap { case (doc, hs) =>
+            graft.text.SuffixClasses.probeRanks(doc, hs.toArray, Seq(5))
+              .iterator.flatMap { case (_, ra, rb) =>
+                // distinct windows per doc: a self-repeat is not a dup
+                val set = scala.collection.mutable
+                  .LinkedHashSet[(Long, Long)]()
+                var p = 0
+                while (p < ra.length) { set += ((ra(p), rb(p))); p += 1 }
+                set.iterator.map { case (ka, kb) => (doc, ka, kb) }
+              }
+          }
+        val verdicts = arrivals.groupByKey(t => (t._2, t._3))
+          .flatMapGroupsWithState[Long, (Long, Boolean)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: (Long, Long), it: Iterator[(Long, Long, Long)],
+             state: GroupState[Long]) =>
+              // state: lowest doc_id that ever carried this window;
+              // lowest-id-first keeps the verdict deterministic
+              // regardless of task order within the batch
+              var owner = state.getOption.getOrElse(Long.MaxValue)
+              val out = it.toSeq.sortBy(_._1).map { case (id, _, _) =>
+                val dup = owner < id
+                if (id < owner) owner = id
+                (id, dup)
+              }
+              state.update(owner)
+              out.iterator
+          }
+        val q = verdicts.toDF("doc_id", "dup")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy("doc_id").agg(max("dup").as("dup"))
+          .groupBy().agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("dup"), 0L).otherwise(1L)).as("n_kept"))
+      },
+      Some {
+        import graft.text.TextOps
+        s"""WITH th AS (SELECT doc_id, list_transform(${TextOps.duckToks},
+              t -> ${TextOps.duckTokHash("t")}) AS hs FROM documents),
+            wins AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(hs) - 30, 1)),
+                i -> list_aggr(list_transform(list_slice(hs, i, i + 31),
+                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
+              FROM th),
+            dups AS (SELECT DISTINCT y.doc_id
+              FROM wins x JOIN wins y
+                ON x.win = y.win AND x.doc_id < y.doc_id)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT count(*) FROM dups) AS n_dup,
+              (SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM dups) AS n_kept"""
+      },
+      doc = "streaming exact substring dedup: window-class-keyed " +
+        "state, lowest-owner verdicts (q315's dedup-on-ingest twin)")
   )
 }

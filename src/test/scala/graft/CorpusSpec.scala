@@ -83,7 +83,9 @@ class CorpusSpec extends AnyFunSuite {
       "q151_chunking", "q152_keywords", "q159_split_shuffle",
       "q160_filter_funnel", "q165_substr_dedup",
       "q166_dsir_importance", "q182_curriculum", "q237_url_canonical",
-      "q243_lm_perplexity_filter", "q255_lm_perplexity_bcast"))
+      "q243_lm_perplexity_filter", "q255_lm_perplexity_bcast",
+      "q313_bm25_retrieval", "q315_suffix_prefix_doubling",
+      "q316_logreg_trainer"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }

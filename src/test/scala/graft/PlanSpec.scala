@@ -237,6 +237,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p246.contains("CartesianProduct"), p246)
   }
 
+  test("round-11 late lanes: q313 broadcast prune, q315 map-only " +
+    "recursion feeding hash aggs") {
+    // q313: the query-term table is MODEL-sized — it must broadcast
+    // against the exploded token stream (a sort-merge join there
+    // shuffles the full corpus for a 14-row filter), and the final
+    // per-query top-k runs TopK's bounded heap, not a window sort
+    val p313 = SparkEntry.queries("q313_bm25_retrieval")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p313.contains("BroadcastHashJoin"),
+      s"q313 query-term prune must broadcast:\n$p313")
+    assert(!p313.contains("SortMergeJoin") &&
+      !p313.contains("Window"), s"q313 shape regressed:\n$p313")
+    // q315: the doubling recursion is row-local — the plan up to the
+    // class aggregations must be one map lane (flatMap over the scan),
+    // with no join and no sort anywhere (ordering is never needed)
+    val p315 = SparkEntry.queries("q315_suffix_prefix_doubling")(
+      spark, d).queryExecution.executedPlan.toString
+    assert(!p315.contains("SortMergeJoin") &&
+      !p315.contains("CartesianProduct"), s"q315 grew a join:\n$p315")
+    // q317 runs its corpus passes eagerly inside the query (the
+    // returned frame is the collected seed report); its per-pass
+    // shapes are broadcast crossJoins by construction — pin the
+    // RESULT contract instead: k centers + R phis + coreset size
+    val r317 = SparkEntry.queries("q317_kmeans_parallel_seed")(
+      spark, d).collect()
+    assert(r317.count(_.getString(0) == "center") == 5 &&
+      r317.count(_.getString(0) == "phi") == 3, r317.mkString(","))
+    val phis = r317.filter(_.getString(0) == "phi")
+      .sortBy(_.getString(1)).map(_.getLong(2))
+    assert(phis.head >= phis.last,
+      s"oversampling must not worsen phi: ${phis.toSeq}")
+  }
+
   test("round-9 lanes: qdigest + ASA biflow keep broadcast-only shapes") {
     // q281: the native q-digest rides Spark's partial/final aggregate
     // shuffle; the verification probe joins the per-source digest back
