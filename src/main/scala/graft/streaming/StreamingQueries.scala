@@ -1479,7 +1479,8 @@ object StreamingQueries {
         import sp.implicits._
         import graft.text.TextOps
         val schema = s.read.parquet(s"$d/documents.parquet").schema
-        val name = "q318_sink_" + sinkId.incrementAndGet()
+        val outDir = java.nio.file.Files
+          .createTempDirectory("q318_verdicts").toString
         val arrivals = s.readStream.schema(schema)
           .parquet(s"$d/documents.*")
           .select("doc_id", "text")
@@ -1516,11 +1517,20 @@ object StreamingQueries {
               state.update(owner)
               out.iterator
           }
+        // per-window verdicts collapse to per-doc INSIDE the batch (a
+        // document is one row, so all its windows share a micro-batch)
+        // — a memory sink here would ship O(corpus windows) rows to
+        // the driver, which the 100× soak measured at >1 GB of task
+        // results; the aggregated parquet is O(docs)
         val q = verdicts.toDF("doc_id", "dup")
-          .writeStream.format("memory").queryName(name)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.groupBy("doc_id").agg(max("dup").as("dup"))
+              .write.mode("append").parquet(outDir)
+          }
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name)
+        s.read.parquet(outDir)
           .groupBy("doc_id").agg(max("dup").as("dup"))
           .groupBy().agg(count(lit(1)).as("n_docs"),
             sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
