@@ -858,6 +858,138 @@ object DedupQueries {
                 AS BIGINT) AS n_dedupable
             FROM g"""),
       doc = "content-defined chunking dedup: Gear window boundaries " +
-        "over the token stream, corpus-wide chunk-hash dedup masses")
+        "over the token stream, corpus-wide chunk-hash dedup masses"),
+
+    // The dedup CASCADE — how a production pipeline actually runs the
+    // family: exact first (cheapest, md5 groupBy), MinHash-LSH near-dup
+    // over the exact SURVIVORS (band buckets bound candidates), exact
+    // 32-token substring dedup over the near-dup survivors
+    // (SuffixClasses, the q315 recursion). Staging matters at 100 TB:
+    // each tier only pays for what the cheaper tiers let through, and
+    // every drop decision is "a LOWER-id survivor of the previous
+    // stage exists" — deterministic at any parallelism, no greedy
+    // chains. Jaccard compares as 10·|∩| ≥ 9·|∪| (pure integers, no
+    // FP threshold). The output attributes every document to exactly
+    // one bucket: exact-dropped, near-dropped, substring-dropped, kept.
+    Q("q319_dedup_cascade",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.text.TextOps
+        val base = Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .join(SigTable.sigs(s, d).select("doc_id", "hs", "bks"),
+            Seq("doc_id"))
+          .withColumn("ek", md5(col("text")))
+          .persist()
+        // stage 1: exact — lowest id per md5 survives
+        val minEk = base.groupBy("ek").agg(min("doc_id").as("keep0"))
+        val dropE = base.join(minEk, Seq("ek"))
+          .filter(col("doc_id") =!= col("keep0"))
+          .select("doc_id").persist()
+        val surv1 = base.join(dropE.withColumnRenamed("doc_id", "de"),
+          col("doc_id") === col("de"), "left_anti")
+        // stage 2: near — band-bucketed pairs among stage-1 survivors
+        val b1 = surv1.select(col("doc_id"), col("hs"),
+          explode(col("bks")).as("bk"))
+        val dropN = b1.alias("x").join(b1.alias("y"),
+            col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("10 * size(array_intersect(x.hs, y.hs)) >= " +
+            "9 * size(array_union(x.hs, y.hs))"))
+          .select(col("y.doc_id").as("doc_id")).distinct().persist()
+        val surv2 = surv1.join(dropN.withColumnRenamed("doc_id", "dn"),
+          col("doc_id") === col("dn"), "left_anti")
+        // stage 3: exact 32-token windows among stage-2 survivors
+        val cls = surv2.selectExpr("doc_id",
+            s"transform(${TextOps.sparkToks}, " +
+              s"t -> ${TextOps.sparkTokHash("t")}) AS th")
+          .as[(Long, Seq[Long])]
+          .flatMap { case (doc, th) =>
+            graft.text.SuffixClasses.probeRanks(doc, th.toArray, Seq(5))
+              .iterator.flatMap { case (_, ra, rb) =>
+                val set = scala.collection.mutable
+                  .LinkedHashSet[(Long, Long)]()
+                var p = 0
+                while (p < ra.length) { set += ((ra(p), rb(p))); p += 1 }
+                set.iterator.map { case (ka, kb) => (doc, ka, kb) }
+              }
+          }.toDF("doc_id", "ka", "kb").persist()
+        val owners = cls.groupBy("ka", "kb").agg(min("doc_id").as("own"))
+        val dropS = cls.join(owners, Seq("ka", "kb"))
+          .filter(col("doc_id") > col("own"))
+          .select("doc_id").distinct()
+        val res = base.select("doc_id", "source")
+          .join(dropE.withColumn("fe", lit(1L)), Seq("doc_id"), "left")
+          .join(dropN.withColumn("fn", lit(1L)), Seq("doc_id"), "left")
+          .join(dropS.withColumn("fs", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("fe"), lit(0L))).as("n_exact"),
+            sum(coalesce(col("fn"), lit(0L))).as("n_near"),
+            sum(coalesce(col("fs"), lit(0L))).as("n_substr"),
+            sum(when(col("fe").isNull && col("fn").isNull &&
+              col("fs").isNull, 1L).otherwise(0L)).as("n_kept"))
+        // materialize BEFORE dropping the stage caches and return the
+        // per-source rows as literals — the lazy frame's lineage holds
+        // every stage leg and would recompute the cascade uncached on
+        // write (and reads as a 47-SMJ plan in the audit)
+        val rows = res.as[(String, Long, Long, Long, Long, Long)]
+          .collect().toSeq
+        base.unpersist(); dropE.unpersist(); dropN.unpersist()
+        cls.unpersist()
+        rows.toDF("source", "n_docs", "n_exact", "n_near",
+          "n_substr", "n_kept")
+      },
+      Some {
+        import graft.text.TextOps._
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $hsDuck AS hs
+              FROM documents),
+            ek AS MATERIALIZED (SELECT doc_id, md5(text) AS ek
+              FROM documents),
+            de AS MATERIALIZED (SELECT e.doc_id FROM ek e
+              JOIN (SELECT ek, min(doc_id) AS m FROM ek GROUP BY 1) g
+                ON e.ek = g.ek AND e.doc_id > g.m),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM t
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)),
+            bands AS MATERIALIZED (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            dn AS MATERIALIZED (SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE 10 * len(list_intersect(x.hs, y.hs))
+                >= 9 * len(list_distinct(x.hs || y.hs))),
+            th AS (SELECT doc_id, list_transform($duckToks,
+                tk -> ${duckTokHash("tk")}) AS th FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)),
+            wins AS MATERIALIZED (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(th) - 30, 1)),
+                i -> list_aggr(list_transform(list_slice(th, i, i + 31),
+                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
+              FROM th),
+            ds AS MATERIALIZED (SELECT DISTINCT w.doc_id
+              FROM wins w JOIN (SELECT win, min(doc_id) AS m FROM wins
+                GROUP BY 1) o ON w.win = o.win AND w.doc_id > o.m)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM de)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+              CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dn)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+              CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ds)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_substr,
+              CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)
+                AND doc_id NOT IN (SELECT doc_id FROM ds)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM documents GROUP BY 1"""
+      },
+      doc = "staged dedup cascade: exact md5 → LSH near-dup over " +
+        "survivors → exact 32-token substring over survivors; every " +
+        "doc attributed to one bucket")
   )
 }
