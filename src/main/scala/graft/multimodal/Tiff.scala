@@ -291,8 +291,9 @@ object Tiff {
 
   /** Little-endian TIFF with `rowsPerStrip`-row strips. `predictor`
     * applies horizontal differencing (only meaningful under LZW, where
-    * the spec defines tag 317; 8-bit only — the spec differences per
-    * SAMPLE, this codec per byte). `big` writes the BigTIFF (version
+    * the spec defines tag 317; per SAMPLE as the spec requires —
+    * byte-wise for 8-bit, 16-bit-value-wise via predictEncode16LE
+    * for 16-bit samples). `big` writes the BigTIFF (version
     * 43) layout: 8-byte offsets, 20-byte IFD entries, LONG8 strip
     * arrays. 16-bit samples write little-endian (swapped from the
     * canonical big-endian [[Image]] order). */

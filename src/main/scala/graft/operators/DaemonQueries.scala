@@ -1888,6 +1888,12 @@ object DaemonQueries {
           // the evicted identity is UNKNOWN from here on
           val deadErr = hb(bId, bEp3, bAsg3)._1
           val epochBumped = aEp3 > bEp3
+          // a live member reporting a STALE epoch is fenced on the
+          // heartbeat channel itself (FENCED_MEMBER_EPOCH 110), and
+          // the fenced probe must not have re-synced it: the next
+          // correct-epoch heartbeat still answers 0
+          val staleErr = hb(aId, aEp3 - 1, aAsg3)._1
+          val aliveAfterFence = hb(aId, aEp3, aAsg3)._1
           // survivor's whole-topic drain reconciles the corpus
           val drained = (0 until 4).flatMap { p =>
             val hw = KafkaMiniBroker.discoverEnds(port, topics)
@@ -1916,7 +1922,9 @@ object DaemonQueries {
             ("848", "evict_epoch_bumped", 1L,
               if (epochBumped) 1L else 0L),
             ("848", "a_after_evict_parts", 1L, nParts(aAsg3)),
-            ("848", "dead_member_fenced", 1L, deadErr.toLong))
+            ("848", "dead_member_fenced", 1L, deadErr.toLong),
+            ("848", "stale_epoch_fenced", 1L, staleErr.toLong),
+            ("848", "alive_after_fence", 1L, aliveAfterFence.toLong))
             .toDF("kind", "key", "n", "v")
           flow.unionByName(lanes)
         } finally broker.close()
@@ -1936,7 +1944,9 @@ object DaemonQueries {
             UNION ALL SELECT '848', 'static_epoch_stable', 1, 1
             UNION ALL SELECT '848', 'evict_epoch_bumped', 1, 1
             UNION ALL SELECT '848', 'a_after_evict_parts', 1, 4
-            UNION ALL SELECT '848', 'dead_member_fenced', 1, 25"""),
+            UNION ALL SELECT '848', 'dead_member_fenced', 1, 25
+            UNION ALL SELECT '848', 'stale_epoch_fenced', 1, 110
+            UNION ALL SELECT '848', 'alive_after_fence', 1, 0"""),
       doc = "KIP-848 depth: broker-side session-timeout eviction " +
         "absorbed incrementally by the survivor, static membership " +
         "(group.instance.id) resuming identity with zero rebalance")

@@ -919,9 +919,12 @@ object SimilarityQueries {
     // each; the coreset (≤ 1+R·l points) collects to the driver for
     // the weighted greedy reduction. All arithmetic is the q245
     // recipe — scaled-int coordinates, exact integer distances — and
-    // the Bernoulli draw is a deterministic 10-bit hash uniform
+    // the Bernoulli draw is a deterministic 20-bit hash uniform
     // u(vec_id, round), so the oracle reproduces every round
-    // bit-for-bit (selection: u·φ < l·d²·1024, overflow-safe at 100×).
+    // bit-for-bit (selection: u·φ < l·d²·2²⁰ in DECIMAL(38,0), and
+    // vec_id is reduced mod a prime BEFORE the Knuth multiply so the
+    // hash itself stays BIGINT-safe at any corpus size — DuckDB
+    // raises on BIGINT overflow where Spark silently wraps).
     Q("q317_kmeans_parallel_seed",
       (s, d) => {
         val sp = s
@@ -951,10 +954,14 @@ object SimilarityQueries {
           // overflows LONG at the 100× soak, and a coarser u floors
           // the per-point probability at 1/2^bits — at 1024 grains
           // that floor selected n/1024 points per round (195 at 100×)
-          // and the coreset exploded
+          // and the coreset exploded. vec_id is reduced mod the prime
+          // 1000003 before the Knuth multiply: the product then tops
+          // out near 2.7e15 (BIGINT-safe in BOTH engines; the raw
+          // multiply wraps silently in Spark but errors in DuckDB
+          // past vec_id ≈ 3.5e9)
           val sel = dmin.filter(expr(
-              s"CAST(((vec_id * 2654435761L + $r * 40503L) % 1048576) " +
-                s"AS DECIMAL(38,0)) * ${phi}L < " +
+              s"CAST((((vec_id % 1000003) * 2654435761L + $r * 40503L)" +
+                s" % 1048576) AS DECIMAL(38,0)) * ${phi}L < " +
                 s"CAST(${l}L AS DECIMAL(38,0)) * 1048576 * dmin") &&
               !col("vec_id").isin(centerIds: _*))
             .select("vec_id").as[Long].collect().sorted
@@ -1011,7 +1018,8 @@ object SimilarityQueries {
             c$r AS MATERIALIZED (SELECT cid FROM $prev
               UNION
               SELECT d_.vec_id AS cid FROM dm$r d_
-              WHERE ((d_.vec_id * 2654435761 + $r * 40503) % 1048576)
+              WHERE (((d_.vec_id % 1000003) * 2654435761
+                    + $r * 40503) % 1048576)
                   ::HUGEINT * (SELECT phi FROM phi$r)
                   < $l::HUGEINT * 1048576 * d_.dmin
                 AND d_.vec_id NOT IN (SELECT cid FROM $prev))"""

@@ -840,6 +840,18 @@ final class KafkaMiniBroker {
                     if (!isNew && !gr.members.contains(id))
                       KafkaWire.encodeConsumerGroupHeartbeatResponse(
                         corr, 25, id, gr.epoch, Nil) // UNKNOWN_MEMBER
+                    else if (!isNew && !staticBack && epoch != 0 &&
+                        gr.members.get(id).exists(_._1 != epoch))
+                      // KIP-848 fencing: a known member reporting an
+                      // epoch that is not the one this broker last
+                      // handed it is FENCED_MEMBER_EPOCH (110) — the
+                      // real broker fences stale heartbeats, not just
+                      // stale commits. Epoch 0 with a retained id is
+                      // the protocol's explicit re-join escape hatch
+                      // (the fenced member falls back to epoch 0 and
+                      // re-reconciles from scratch)
+                      KafkaWire.encodeConsumerGroupHeartbeatResponse(
+                        corr, 110, id, gr.epoch, Nil)
                     else if (regexCompiled.exists(_.isLeft))
                       // an uncompilable pattern is a malformed request
                       KafkaWire.encodeConsumerGroupHeartbeatResponse(

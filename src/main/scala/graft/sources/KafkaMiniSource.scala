@@ -193,9 +193,12 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     var r = KafkaMiniBroker.heartbeat848(port, g,
       if (joined) memberId else "", if (joined) generation else 0,
       topics, ownedByTopic, topicRegex = topicRegex)
-    if (r._1 == 25) // fenced/unknown: rejoin fresh
+    if (r._1 == 25) // unknown: rejoin fresh
       r = KafkaMiniBroker.heartbeat848(port, g, "", 0, topics, Nil,
         topicRegex = topicRegex)
+    else if (r._1 == 110) // FENCED_MEMBER_EPOCH: keep id, epoch 0
+      r = KafkaMiniBroker.heartbeat848(port, g, memberId, 0, topics,
+        Nil, topicRegex = topicRegex)
     require(r._1 == 0, s"ConsumerGroupHeartbeat error ${r._1}")
     memberId = r._2
     generation = r._3

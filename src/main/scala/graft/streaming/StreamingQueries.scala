@@ -1521,15 +1521,31 @@ object StreamingQueries {
         // document is one row, so all its windows share a micro-batch)
         // — a memory sink here would ship O(corpus windows) rows to
         // the driver, which the 100× soak measured at >1 GB of task
-        // results; the aggregated parquet is O(docs)
+        // results; the aggregated parquet is O(docs).
+        // CROSS-BATCH ORDERING CAVEAT: append-mode verdicts are final
+        // when emitted, so a lower-id window-twin arriving in a LATER
+        // micro-batch cannot retract an earlier dup=false — the lane
+        // matches the batch oracle only when doc_ids never decrease
+        // across batches. AvailableNow with no maxFilesPerTrigger
+        // yields exactly one batch, which satisfies that trivially;
+        // the counter below turns the assumption into a hard check so
+        // a future trigger/option change fails loudly instead of
+        // silently diverging. (The multi-batch-correct design is a
+        // final reconciliation over per-class ownership claims —
+        // O(corpus windows) materialized, the batch lane q315.)
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
         val q = verdicts.toDF("doc_id", "dup")
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches.incrementAndGet()
             b.groupBy("doc_id").agg(max("dup").as("dup"))
               .write.mode("append").parquet(outDir)
           }
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        require(nBatches.get() <= 1L,
+          s"q318 verdicts are single-batch-final; got ${nBatches.get()}" +
+            " micro-batches — cross-batch doc_id ordering is unchecked")
         s.read.parquet(outDir)
           .groupBy("doc_id").agg(max("dup").as("dup"))
           .groupBy().agg(count(lit(1)).as("n_docs"),
