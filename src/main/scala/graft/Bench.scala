@@ -1,8 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average, or -1 when unreadable. */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Bench hygiene (VERDICT r11 #6): timings on a loaded box are
+    // garbage (BENCH_NOTES has documented 3-5x solo-vs-loaded drift
+    // since r6), so wait for the box to go idle — bounded, the driver
+    // must always get its JSON line — and STAMP the measured load in
+    // the output either way, so a loaded run is machine-detectable
+    // instead of silently polluting round-over-round comparisons.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    val waitDeadline = System.currentTimeMillis() + 120000L
+    while (loadAvg() > loadMax &&
+      System.currentTimeMillis() < waitDeadline) Thread.sleep(5000)
+    val loadAtStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -39,7 +56,8 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loaded = if (loadAtStart > loadMax) "true" else "false"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":${fmt(loadAtStart)},"loaded":$loaded}""")
     spark.stop()
   }
 }

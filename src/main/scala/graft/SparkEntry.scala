@@ -21,7 +21,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.all ++ SurfaceQueries.all ++
       graft.multimodal.MultimodalQueries.all ++ ProtocolQueries.all ++
       ScaleQueries.all ++ PrimitiveQueries.all ++ ParityQueries.all ++
-      DaemonQueries.all ++ CorpusQueries.all ++ GoldenQueries.all
+      DaemonQueries.all ++ CorpusQueries.all ++ GoldenQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,443 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables}
+
+/** The composed flagship lane: every stage of a production training-data
+  * pipeline chained END TO END over one corpus, with the stage-boundary
+  * policies a 100 TB run needs made explicit — where to fuse (the whole
+  * ingest leg is ONE mapPartitions pass, zero shuffles), where to
+  * materialize (two parquet stage boundaries truncate the lineage so no
+  * downstream consumer ever recomputes a codec or a join tier), and
+  * where to persist (the small drop-id sets, never corpus-scale text).
+  *
+  * The individual stages are each proven by their own gates (q288 WARC,
+  * q274 HTML, q291 robots, q34 lang-ID, q36 quality, q319 cascade, q104
+  * decontamination, q127 rebalance, q103 packing, q182 curriculum); this
+  * lane proves the COMPOSITION: 319 isolated lanes never exercise cache
+  * policy and lineage truncation across a 10-stage chain, which is what
+  * an actual pipeline run does.
+  */
+object PipelineQueries {
+  import graft.text.TextOps._
+
+  /** Robots ruleset per host (q291's page of decision cases) and the
+    * deterministic per-doc path cycling through them. */
+  private def robotsAdmit(id: Long): Boolean = {
+    import graft.text.Robots
+    val h = id % 7
+    val robots =
+      s"""# host $h
+         |User-agent: graftbot
+         |Disallow: /private$h/
+         |Allow: /private$h/ok/
+         |Disallow: /*.json$$
+         |Crawl-delay: 3
+         |
+         |User-agent: *
+         |Disallow: /
+         |Allow: /pub/
+         |""".stripMargin
+    val path = (id % 6) match {
+      case 0 => s"/private$h/data$id"
+      case 1 => s"/private$h/ok/p$id"
+      case 2 => s"/tmp/f$id"
+      case 3 => s"/files/r$id.json"
+      case 4 => s"/files/r$id.jsonx"
+      case _ => s"/pub/a$id"
+    }
+    Robots.allowed(Robots.parse(robots), "graftbot/1.0", path)
+  }
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q320: WARC ingest → HTML extract → robots admission → lang-ID →
+    // quality filter → exact dedup → LSH near-dup → exact substring →
+    // decontamination → temperature rebalance → sequence packing →
+    // curriculum shards. Output: the per-stage funnel (docs + surviving
+    // tokens per tier), an extracted-text corpus checksum, the final
+    // language mix, the packing summary and the 16 curriculum shards —
+    // every number reproduced by the DuckDB oracle from raw text alone.
+    //
+    // Scale shape, stage by stage:
+    //  - ingest+extract+admission FUSE into one mapPartitions pass over
+    //    the scan (codecs are row-local; no shuffle until the first
+    //    aggregation), then ONE projection computes every per-doc
+    //    feature (tokens bound once via let1 — pred, score, md5, token
+    //    hashes, shingle set, band keys) and lands in the M1 parquet:
+    //    the first stage boundary. Every downstream leg re-reads M1
+    //    column-pruned; nothing ever re-runs a codec.
+    //  - the dedup tiers follow q319 (each tier pays only the previous
+    //    tier's survivors; drop sets are doc-id-sized and persisted);
+    //    the near tier's signatures come from M1, NOT recomputed —
+    //    extraction only collapses whitespace and the tokenizer is
+    //    whitespace-insensitive, so signatures computed once at ingest
+    //    are valid for every later tier (commented here because it is
+    //    a real 100 TB design decision: sigs ride the corpus parquet).
+    //  - decontamination broadcasts the held-out shingle set (bench
+    //    corpora are model-sized); rebalance broadcasts the per-lang
+    //    count table (lang-cardinality-sized).
+    //  - the post-dedup corpus lands in the M2 parquet: the second
+    //    stage boundary. Packing and curriculum read M2 — their plans
+    //    never see the cascade's join tiers, so the final fact table is
+    //    scanned, not recomputed (the q319 47-SMJ lineage lesson).
+    Q("q320_training_pipeline",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val qualityMin = 0.6
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q320_pipeline").toString
+        val (m1, m2) = (s"$tmp/m1", s"$tmp/m2")
+
+        // ---- stages 1-3 (fused, shuffle-free): WARC container
+        // round-trip (q288), HTML wrap + tag-walk extraction (q274),
+        // robots admission (q291). The extracted body is the title-,
+        // nav- and footer-stripped line set — whitespace-collapsed
+        // nonblank lines, which the oracle reproduces from raw text.
+        val ingest = Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, source, text) =>
+            import graft.text.{HtmlExtract, Warc}
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+              "text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1")
+            val rec = Warc.record(Seq(
+              ("WARC-Type", "response"),
+              ("WARC-Target-URI", s"https://corpus.example/$id"),
+              ("WARC-Record-ID", s"<urn:uuid:resp-$id>"),
+              ("Content-Type", "application/http; msgtype=response")),
+              http ++ text.getBytes("UTF-8"))
+            val back = Warc.readAuto(Warc.gzip(rec))
+              .find(_.warcType == "response").get
+            val (status, body) = Warc.httpSplit(back.payload).get
+            require(status.startsWith("HTTP/1.1 200"), status)
+            val rid = back.targetUri
+              .substring(back.targetUri.lastIndexOf('/') + 1).toLong
+            val raw = new String(body, "UTF-8")
+            def esc(t: String): String = t.replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            val html =
+              s"""<html><head><title>Doc $rid</title>""" +
+                """<script>var x = "<p>&amp; trap</p>";</script>""" +
+                """<style>p { color: red; }</style></head>""" +
+                """<body><div id="nav">home &amp; about&#33;</div>""" +
+                raw.split("\n", -1).map(l => s"<p>${esc(l)}</p>")
+                  .mkString +
+                """<div class="foot">(c) footer</div></body></html>"""
+            // lines = title, nav, body…, footer — keep only the body
+            val lines = HtmlExtract.lines(html)
+            val extracted = lines.drop(2).dropRight(1).mkString("\n")
+            (rid, source, extracted, robotsAdmit(rid))
+          })
+          .toDF("doc_id", "source", "text", "admit")
+
+        // ---- per-doc features in ONE projection (tokens bound once),
+        // then the M1 stage boundary
+        val hpsOfToks = s"transform(toks, t -> ${sparkTokHash("t")} % $P)"
+        ingest
+          .withColumn("toks", expr(sparkToks))
+          .selectExpr("doc_id", "source", "admit",
+            s"${sparkLangPredict(hpsOfToks)} as pred",
+            s"${sparkQualityOf("toks")} as score",
+            "md5(text) as ek",
+            s"${sparkTokHash("text")} % $P as ck",
+            s"transform(toks, t -> ${sparkTokHash("t")}) as th",
+            s"array_distinct(transform(${sparkShingles("toks")}, " +
+              s"g -> ${sparkTokHash("g")} % $P)) as hs",
+            // decontamination unit: 13-token n-grams (the GPT-3-style
+            // width — 3-token shingles over this small a vocabulary
+            // mark ~98% of the corpus contaminated, which is exactly
+            // why production decon uses long n-grams), rolled up with
+            // the bounded Horner hash both engines stay in BIGINT for
+            // (the filter guard: Spark's sequence(1, n) DESCENDS for
+            // n < 1 instead of yielding empty — a <13-token doc must
+            // produce NO n-grams, same as the oracle's range())
+            "array_distinct(transform(filter(sequence(1, " +
+              "greatest(size(toks) - 12, 1)), " +
+              "i -> i <= size(toks) - 12), i -> " +
+              "aggregate(slice(transform(toks, t -> " +
+              s"${sparkTokHash("t")}), i, 13), 0L, " +
+              s"(a, x) -> (a * 31 + x) % ${1L << 50}))) as dg",
+            "size(toks) as ntok")
+          .withColumn("bks", expr(SigTable.bandExpr))
+          .write.parquet(m1)
+        val feat = s.read.parquet(m1)
+
+        // ---- stages 6-8: the dedup cascade over admitted + quality
+        // survivors (q319 tiers; drop sets persist, they are id-sized)
+        val s0 = feat.filter(col("admit") && col("score") >= qualityMin)
+        val minEk = s0.groupBy("ek").agg(min("doc_id").as("k0"))
+        val dropE = s0.join(minEk, Seq("ek"))
+          .filter(col("doc_id") =!= col("k0"))
+          .select("doc_id").persist()
+        val s1 = s0.join(dropE.withColumnRenamed("doc_id", "de"),
+          col("doc_id") === col("de"), "left_anti")
+        val b1 = s1.select(col("doc_id"), col("hs"),
+          explode(col("bks")).as("bk"))
+        val dropN = b1.alias("x").join(b1.alias("y"),
+            col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("10 * size(array_intersect(x.hs, y.hs)) >= " +
+            "9 * size(array_union(x.hs, y.hs))"))
+          .select(col("y.doc_id").as("doc_id")).distinct().persist()
+        val s2 = s1.join(dropN.withColumnRenamed("doc_id", "dn"),
+          col("doc_id") === col("dn"), "left_anti")
+        val cls = s2.select("doc_id", "th").as[(Long, Seq[Long])]
+          .flatMap { case (doc, th) =>
+            graft.text.SuffixClasses.probeRanks(doc, th.toArray, Seq(5))
+              .iterator.flatMap { case (_, ra, rb) =>
+                val set = scala.collection.mutable
+                  .LinkedHashSet[(Long, Long)]()
+                var p = 0
+                while (p < ra.length) { set += ((ra(p), rb(p))); p += 1 }
+                set.iterator.map { case (ka, kb) => (doc, ka, kb) }
+              }
+          }.toDF("doc_id", "ka", "kb").persist()
+        val owners = cls.groupBy("ka", "kb").agg(min("doc_id").as("own"))
+        val dropS = cls.join(owners, Seq("ka", "kb"))
+          .filter(col("doc_id") > col("own"))
+          .select("doc_id").distinct().persist()
+
+        // ---- stage 9: decontamination — held-out 13-gram hashes
+        // broadcast (bench corpora are model-sized)
+        val bench = feat.filter(col("doc_id") % 10 === 0)
+          .select(explode(col("dg")).as("h")).distinct()
+        val s3ids = s2.join(dropS.withColumnRenamed("doc_id", "ds"),
+          col("doc_id") === col("ds"), "left_anti")
+        val cont = s3ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), explode(col("dg")).as("h"))
+          .join(broadcast(bench), Seq("h"))
+          .select("doc_id").distinct().persist()
+
+        // ---- one narrow per-doc status table carries every flag; the
+        // funnel is then ONE aggregation pass, not a count per tier
+        val status = feat
+          .select("doc_id", "source", "pred", "score", "ntok", "ck",
+            "admit")
+          .join(dropE.withColumn("fe", lit(1)), Seq("doc_id"), "left")
+          .join(dropN.withColumn("fn", lit(1)), Seq("doc_id"), "left")
+          .join(dropS.withColumn("fs", lit(1)), Seq("doc_id"), "left")
+          .join(cont.withColumn("fc", lit(1)), Seq("doc_id"), "left")
+          .withColumn("c2", col("admit") && col("score") >= qualityMin)
+          .withColumn("c3", col("c2") && col("fe").isNull)
+          .withColumn("c4", col("c3") && col("fn").isNull)
+          .withColumn("c5", col("c4") && col("fs").isNull)
+          .withColumn("c6", col("c5") && col("doc_id") % 10 =!= 0 &&
+            col("fc").isNull)
+          .persist()
+
+        // ---- stage 10: temperature rebalance over the decontaminated
+        // survivors by PREDICTED language (count table is broadcast)
+        val byPred = status.filter(col("c6")).groupBy("pred")
+          .agg(count(lit(1)).as("n_l"))
+        val statusF = status
+          .join(broadcast(byPred), Seq("pred"), "left")
+          .withColumn("c7", col("c6") &&
+            expr(s"${sparkTokHash("cast(doc_id as string)")} % 1000000" +
+              " < cast(floor(1000000.0 * least(1.0," +
+              " 15.0 / sqrt(cast(n_l as double)))) as bigint)"))
+        val f = statusF.agg(
+          count(lit(1)), sum("ntok"), sum("ck"),
+          sum(when(col("admit"), 1L)),
+          sum(when(col("admit"), col("ntok"))),
+          sum(when(col("c2"), 1L)), sum(when(col("c2"), col("ntok"))),
+          sum(when(col("c3"), 1L)), sum(when(col("c3"), col("ntok"))),
+          sum(when(col("c4"), 1L)), sum(when(col("c4"), col("ntok"))),
+          sum(when(col("c5"), 1L)), sum(when(col("c5"), col("ntok"))),
+          sum(when(col("c6"), 1L)), sum(when(col("c6"), col("ntok"))),
+          sum(when(col("c7"), 1L)), sum(when(col("c7"), col("ntok"))))
+          .head()
+        def fl(i: Int): Long = if (f.isNullAt(i)) 0L else f.getLong(i)
+        val mix = statusF.filter(col("c7")).groupBy("pred")
+          .agg(count(lit(1)).as("n"), sum("ntok").as("v"))
+          .as[(String, Long, Long)].collect().toSeq
+
+        // ---- the M2 stage boundary: the final training corpus
+        statusF.filter(col("c7")).select("doc_id", "pred", "ntok")
+          .write.parquet(m2)
+        status.unpersist()
+        dropE.unpersist(); dropN.unpersist(); dropS.unpersist()
+        cls.unpersist(); cont.unpersist()
+        val corpus = s.read.parquet(m2)
+
+        // ---- stage 11: sequence packing (q103's distributed prefix
+        // sums — per-bucket window cumsum + broadcast bucket offsets)
+        val budget = 512L
+        val docs = corpus.select(col("doc_id"), col("ntok"))
+          .withColumn("bucket", expr("doc_id div 64"))
+        val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        val inBucket = docs.withColumn("cum_in",
+          sum("ntok").over(wIn) - col("ntok"))
+        val wOff = Window.orderBy("bucket")
+        val offsets = docs.groupBy("bucket")
+          .agg(sum("ntok").as("btok"))
+          .withColumn("offset", coalesce(
+            sum("btok").over(wOff) - col("btok"), lit(0L)))
+          .select("bucket", "offset")
+        val pack = inBucket.join(broadcast(offsets), Seq("bucket"))
+          .withColumn("seq_id", expr(s"(offset + cum_in) div $budget"))
+          .agg(countDistinct("seq_id").as("n"), sum("ntok").as("v"))
+          .head()
+        def pl(i: Int): Long =
+          if (pack.isNullAt(i)) 0L else pack.getLong(i)
+
+        // ---- stage 12: curriculum shards (q182's range sort + ranks)
+        val n7 = fl(15)
+        val shards =
+          if (n7 == 0) Seq.empty[(String, Long, Long)]
+          else corpus.select("doc_id", "ntok").as[(Long, Long)].rdd
+            .map { case (id, nt) => ((nt, id), ()) }
+            .sortByKey(ascending = true,
+              numPartitions = s.sparkContext.defaultParallelism)
+            .zipWithIndex()
+            .map { case (((nt, _), _), idx) => (idx * 16L / n7, nt) }
+            .toDF("shard", "ntok").groupBy("shard")
+            .agg(count(lit(1)).as("n"), sum("ntok").as("v"))
+            .as[(Long, Long, Long)].collect().toSeq
+            .map { case (sh, n, v) => (f"$sh%02d", n, v) }
+
+        val funnel = Seq(
+          ("funnel", "00_ingest", fl(0), fl(1)),
+          ("funnel", "01_extract_ck", fl(0), fl(2)),
+          ("funnel", "02_robots", fl(3), fl(4)),
+          ("funnel", "03_quality", fl(5), fl(6)),
+          ("funnel", "04_exact", fl(7), fl(8)),
+          ("funnel", "05_near", fl(9), fl(10)),
+          ("funnel", "06_substr", fl(11), fl(12)),
+          ("funnel", "07_decontam", fl(13), fl(14)),
+          ("funnel", "08_rebalance", fl(15), fl(16)),
+          ("pack", "sequences", pl(0), pl(1))) ++
+          mix.map { case (p, n, v) => ("mix", p, n, v) } ++
+          shards.map { case (k, n, v) => ("shard", k, n, v) }
+        funnel.toDF("kind", "key", "n", "v")
+      },
+      Some {
+        val toksOf = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+        val hsOf = s"list_distinct(list_transform(" +
+          s"${duckShingles(toksOf)}, g -> ${duckTokHash("g")} % $P))"
+        s"""WITH ext AS MATERIALIZED (SELECT doc_id, source,
+              coalesce(list_aggr(list_filter(list_transform(
+                string_split(text, chr(10)),
+                l -> regexp_replace(regexp_replace(l, '\\s+', ' ', 'g'),
+                  '^ +| +$$', '', 'g')), x -> len(x) > 0),
+                'string_agg', chr(10)), '') AS text
+              FROM documents),
+            feat AS MATERIALIZED (SELECT doc_id, source,
+              (doc_id % 6 NOT IN (0, 3)) AS admit,
+              ${duckLangPredict(duckHps)} AS pred,
+              $duckQuality AS score,
+              md5(text) AS ek,
+              ${duckTokHash("text")} % $P AS ck,
+              list_transform($duckToks, tk -> ${duckTokHash("tk")})
+                AS th,
+              $hsOf AS hs,
+              list_distinct(list_transform(range(1,
+                greatest(len($duckToks) - 12, 0) + 1),
+                i -> list_reduce([0::BIGINT] ||
+                  list_transform($duckToks,
+                    tk -> ${duckTokHash("tk")})[i:i+12],
+                  (a, x) -> (a * 31 + x) % ${1L << 50}))) AS dg,
+              len($duckToks) AS ntok
+              FROM ext),
+            s0 AS MATERIALIZED (SELECT * FROM feat
+              WHERE admit AND score >= 0.6),
+            de AS MATERIALIZED (SELECT e.doc_id FROM s0 e
+              JOIN (SELECT ek, min(doc_id) AS m FROM s0 GROUP BY 1) g
+                ON e.ek = g.ek AND e.doc_id > g.m),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)),
+            bands AS MATERIALIZED (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            dn AS MATERIALIZED (SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE 10 * len(list_intersect(x.hs, y.hs))
+                >= 9 * len(list_distinct(x.hs || y.hs))),
+            thv AS (SELECT doc_id, th, ntok FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)),
+            wins AS MATERIALIZED (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(th) - 30, 1)),
+                i -> list_aggr(list_transform(list_slice(th, i, i + 31),
+                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
+              FROM thv),
+            ds AS MATERIALIZED (SELECT DISTINCT w.doc_id
+              FROM wins w JOIN (SELECT win, min(doc_id) AS m FROM wins
+                GROUP BY 1) o ON w.win = o.win AND w.doc_id > o.m),
+            s3 AS MATERIALIZED (SELECT * FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)
+                AND doc_id NOT IN (SELECT doc_id FROM ds)),
+            bench AS MATERIALIZED (SELECT DISTINCT unnest(dg) AS h
+              FROM feat WHERE doc_id % 10 = 0),
+            cont AS MATERIALIZED (SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(dg) AS h FROM s3
+                WHERE doc_id % 10 != 0) z
+              WHERE h IN (SELECT h FROM bench)),
+            s6 AS MATERIALIZED (SELECT * FROM s3
+              WHERE doc_id % 10 != 0
+                AND doc_id NOT IN (SELECT doc_id FROM cont)),
+            cl AS (SELECT pred, count(*) AS n_l FROM s6 GROUP BY 1),
+            s7 AS MATERIALIZED (SELECT s6.* FROM s6 JOIN cl USING (pred)
+              WHERE ${duckTokHash("doc_id::VARCHAR")} % 1000000 <
+                CAST(floor(1000000.0 * least(1.0, 15.0 / sqrt(n_l)))
+                  AS BIGINT)),
+            pk AS (SELECT CAST((sum(ntok) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - ntok) // 512 AS BIGINT)
+                AS seq_id, ntok FROM s7),
+            rk AS (SELECT ntok, row_number() OVER (ORDER BY ntok,
+                doc_id) - 1 AS rk FROM s7),
+            nn AS (SELECT count(*) AS n FROM s7)
+            SELECT 'funnel' AS kind, '00_ingest' AS key,
+              (SELECT count(*) FROM feat) AS n,
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM feat) AS v
+            UNION ALL SELECT 'funnel', '01_extract_ck',
+              (SELECT count(*) FROM feat),
+              (SELECT CAST(sum(ck) AS BIGINT) FROM feat)
+            UNION ALL SELECT 'funnel', '02_robots',
+              (SELECT count(*) FROM feat WHERE admit),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM feat WHERE admit)
+            UNION ALL SELECT 'funnel', '03_quality',
+              (SELECT count(*) FROM s0),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM s0)
+            UNION ALL SELECT 'funnel', '04_exact',
+              (SELECT count(*) FROM s0
+                WHERE doc_id NOT IN (SELECT doc_id FROM de)),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM s0
+                WHERE doc_id NOT IN (SELECT doc_id FROM de))
+            UNION ALL SELECT 'funnel', '05_near',
+              (SELECT count(*) FROM thv),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM thv)
+            UNION ALL SELECT 'funnel', '06_substr',
+              (SELECT count(*) FROM s3),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM s3)
+            UNION ALL SELECT 'funnel', '07_decontam',
+              (SELECT count(*) FROM s6),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM s6)
+            UNION ALL SELECT 'funnel', '08_rebalance',
+              (SELECT count(*) FROM s7),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM s7)
+            UNION ALL SELECT 'pack', 'sequences',
+              (SELECT count(DISTINCT seq_id) FROM pk),
+              (SELECT CAST(sum(ntok) AS BIGINT) FROM pk)
+            UNION ALL SELECT 'mix', pred, count(*),
+              CAST(sum(ntok) AS BIGINT) FROM s7 GROUP BY 2
+            UNION ALL SELECT 'shard',
+              lpad(CAST((rk * 16) // n AS VARCHAR), 2, '0'),
+              count(*), CAST(sum(ntok) AS BIGINT)
+            FROM rk, nn GROUP BY 2"""
+      },
+      doc = "composed training pipeline: WARC → HTML extract → robots " +
+        "→ lang-ID → quality → 3-tier dedup cascade → decontamination " +
+        "→ temperature rebalance → packing → curriculum, with two " +
+        "parquet stage boundaries and a per-stage funnel oracle")
+  )
+}

@@ -98,9 +98,12 @@ object TextOps {
     langCase(langs.indices.map(i =>
       s"len(list_filter($hps, h -> h % 5 = $i))").toArray)
 
-  /** Quality score in [0,1]: length, stopword ratio, mean token length. */
+  /** Quality score in [0,1]: length, stopword ratio, mean token length.
+    * [[sparkQualityOf]] takes the token-array expression (or a bound
+    * column) so a pipeline that tokenizes ONCE can reuse the pass. */
   private val stops = "('a', 'the', 'of', 'and', 'big', 'small')"
-  def sparkQuality: String = let1(sparkToks, t =>
+  def sparkQuality: String = sparkQualityOf(sparkToks)
+  def sparkQualityOf(toks: String): String = let1(toks, t =>
     s"""round(
        0.4 * least(1.0, size($t) / 80.0)
      + 0.3 * (1.0 - cast(size(filter($t, tk -> tk IN $stops)) as double)

@@ -121,4 +121,35 @@ class PipelineSpec extends AnyFunSuite {
       .as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-12)
   }
+
+  test("q320 composed pipeline: funnel monotone, conservation laws hold") {
+    val rows = SparkEntry.queries("q320_training_pipeline")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    def f(k: String) = rows(("funnel", k))
+    // docs and surviving tokens never grow across the funnel
+    val order = Seq("00_ingest", "02_robots", "03_quality", "04_exact",
+      "05_near", "06_substr", "07_decontam", "08_rebalance")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(a)._1 >= f(b)._1 && f(a)._2 >= f(b)._2,
+        s"funnel grew $a -> $b: ${f(a)} -> ${f(b)}")
+    }
+    // the extracted-corpus checksum is a real fingerprint, not zero
+    assert(rows(("funnel", "01_extract_ck"))._2 > 0L)
+    // conservation: final tokens = packed tokens = mix total = shards
+    val fin = f("08_rebalance")
+    // .toSeq first: Map#collect over tuple results would rebuild a
+    // Map and silently dedup equal (n, v) pairs across shards
+    val mix = rows.toSeq.collect { case (("mix", _), nv) => nv }
+    val shards = rows.toSeq.collect { case (("shard", _), nv) => nv }
+    assert(rows(("pack", "sequences"))._2 == fin._2)
+    assert(mix.map(_._1).sum == fin._1 && mix.map(_._2).sum == fin._2)
+    assert(shards.map(_._1).sum == fin._1 &&
+      shards.map(_._2).sum == fin._2)
+    // packing: every 512-token budget must be needed (seq count is
+    // ceil-bounded below by totals)
+    val nSeq = rows(("pack", "sequences"))._1
+    assert(nSeq >= (fin._2 + 511) / 512, s"too few sequences $nSeq")
+  }
 }
