@@ -33,8 +33,9 @@ object PlanAudit {
     "q116_semantic_dedup",     // assigned(N) left-join drops(≤N) on vec_id
     "q144_quality_keeplist",   // corpus left-ANTI drop-list(≤N) on doc_id
     "q306_rocchio_classifier"  // held-out(N) ⟕ per-class dots(5N) on
-                               // (doc_id, clang) + the 5×5-per-doc
-                               // tournament self-join, co-keyed on doc_id
+                               // (doc_id, clang) — the former 5×5
+                               // tournament self-join is now a per-doc
+                               // array argmax (r12 repeated-scan fix)
   )
 
   /** Model-sized nested-loop joins (inequality pairs over ≤ dozens of
@@ -66,7 +67,7 @@ object PlanAudit {
     "q72_dedup_keeplist",      // dedup chain + keeplist reconciliation
     "q74_incremental_dedup",   // generation-over-generation union
     "q144_quality_keeplist",   // quality chain + anti-join verification
-    "q306_rocchio_classifier", // train leg + score leg + tournament +
+    "q306_rocchio_classifier", // train leg + score leg + argmax +
                                // confusion/profile rollups
     "q308_image_dhash"         // hash build + band self-join + three
                                // verification rollups
@@ -86,6 +87,38 @@ object PlanAudit {
   /** Loose global ceiling on SHUFFLE Exchange nodes in one final
     * plan. */
   val exchangeCeiling = 8
+
+  /** Ceiling on EXECUTING scans of one parquet path inside a single
+    * final plan (VERDICT r11 #7: a stage recomputed across a deep
+    * lineage shows up as the same scan subtree repeated). Counted on
+    * the physical tree, NOT the plan string: scans under an
+    * InMemoryRelation are the cache's one-time build plan and scans
+    * behind a ReusedExchange are already paid for — the string shows
+    * both, the tree walk charges neither. Multi-leg verification
+    * lanes legitimately re-scan a table once per independent leg, so
+    * the ceiling is loose; a lane above it is recomputing a STAGE,
+    * not adding a leg. */
+  val scanCeiling = 4
+
+  /** Lanes where > scanCeiling scans of one path are the audited,
+    * deliberate shape (every leg is an independent verification pass
+    * over the raw table, not a recomputed stage). */
+  val scanAllowed: Set[String] = Set.empty
+
+  /** Executing FileSourceScan paths in a physical tree (see
+    * [[scanCeiling]] for what is deliberately NOT counted). */
+  def scanPaths(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[String] = p match {
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
+    case _: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => Nil
+    case _: org.apache.spark.sql.execution.exchange
+        .ReusedExchangeExec => Nil
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      Seq(f.relation.location.rootPaths.map(_.getName).mkString(","))
+    case other => other.children.flatMap(scanPaths)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir =
@@ -122,7 +155,14 @@ object PlanAudit {
         if (ex > exchangeCeiling && !iterativeLanes(n) &&
           !multiBranchAllowed(n))
           flags += s"EXCHANGES $ex"
-        println(f"$n%-34s smj=$smj cart=$cart bnlj=$bnlj ex=$ex" +
+        val scanMax = scanPaths(df.queryExecution.executedPlan)
+          .groupBy(identity).view.mapValues(_.size)
+          .maxByOption(_._2).getOrElse(("", 0))
+        if (scanMax._2 > scanCeiling && !scanAllowed(n) &&
+          !iterativeLanes(n))
+          flags += s"REPEATED_SCAN ${scanMax._1} x${scanMax._2}"
+        println(f"$n%-34s smj=$smj cart=$cart bnlj=$bnlj ex=$ex " +
+          f"scans=${scanMax._2}" +
           (if (flags.nonEmpty) "  <<< " + flags.mkString(", ") else ""))
         flags.foreach(f => violations += s"$n: $f")
       } catch {

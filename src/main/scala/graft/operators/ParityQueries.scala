@@ -316,25 +316,34 @@ object ParityQueries {
           col("packets"), col("bytes"))
         val sp = s
         import sp.implicits._
+        // ONE corpus pass computes every sum any schema version picks
+        // (six per-version agg branches were six scans of the same
+        // parquet in one plan — PlanAudit's repeated-scan rule); the
+        // per-version projections still build, because their COLUMN
+        // surface is the gated artifact, and inspecting p.columns is
+        // schema-only (no execution). Which sum each version's ip_src
+        // carries (the raw host vs the v<6 AS fold) derives from
+        // SqlSchema's own column registry, not a hard-coded list.
+        val a = canonical.agg(count(lit(1)).as("n"),
+          sum(col("tag")).as("sum_tag"),
+          sum(col("as_src")).as("sum_as_fold"),
+          sum(col("ip_src")).as("sum_ip"),
+          sum(col("port_src")).as("sum_port")).head()
         Seq(1, 2, 5, 6, 8, 9).map { v =>
           val p = SqlSchema.project(canonical, v, asAccounting = true)
-          val tagCol =
-            if (p.columns.contains("tag")) col("tag")
-            else if (p.columns.contains("agent_id")) col("agent_id")
-            else lit(0L)
-          val portCol =
-            if (p.columns.contains("port_src")) col("port_src")
-            else col("src_port")
-          p.agg(count(lit(1)).as("n"), sum(tagCol).as("sum_tag"),
-              sum(col("ip_src")).as("sum_host_src"),
-              sum(portCol).as("sum_port_src"))
-            .withColumn("version", lit(v.toLong))
-            .withColumn("cols",
-              lit(SqlSchema.columnsFor(v, asAccounting = true)
-                .map(_._2).mkString(",")))
-            .select("version", "cols", "n", "sum_tag", "sum_host_src",
-              "sum_port_src")
-        }.reduce(_.unionAll(_))
+          val names = SqlSchema.columnsFor(v, asAccounting = true)
+            .map(_._2)
+          val hasTag = p.columns.contains("tag") ||
+            p.columns.contains("agent_id")
+          val folded = !names.contains("as_src") // v<6: ip_src IS the AS
+          require(p.columns.contains("port_src") ||
+            p.columns.contains("src_port"), s"v$v lost the port column")
+          (v.toLong, names.mkString(","), a.getLong(0),
+            if (hasTag) a.getLong(1) else 0L,
+            if (folded) a.getLong(2) else a.getLong(3),
+            a.getLong(4))
+        }.toDF("version", "cols", "n", "sum_tag", "sum_host_src",
+          "sum_port_src")
       },
       Some(FlowView.cte(
         """SELECT v.version,

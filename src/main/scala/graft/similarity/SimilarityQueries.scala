@@ -380,10 +380,19 @@ object SimilarityQueries {
     // top-k rows only.
     Q("q246_ann_recall",
       (s, d) => {
+        val sp = s
+        import sp.implicits._
         val n = vectors(s, d)
+        // the query set is CLIENT input in a real ANN service, not a
+        // corpus scan — materialize the 8 rows as driver literals
+        // (model-sized by construction) so the reconciliation legs'
+        // five broadcasts stop re-reading the parquet (PlanAudit
+        // repeated-scan: embeddings.parquet ×7 → 2 corpus legs)
         val q = n.filter(col("vec_id") < 8)
           .selectExpr("vec_id as qid", "label as qlabel", "v as qv",
             "nrm as qnrm")
+          .as[(Long, Int, Seq[Double], Double)].collect().toSeq
+          .toDF("qid", "qlabel", "qv", "qnrm")
         val w = Window.partitionBy("qid")
           .orderBy(col("sim").desc, col("vec_id").asc)
         val exact = n.join(broadcast(q), col("vec_id") =!= col("qid"))
