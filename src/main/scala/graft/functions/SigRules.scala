@@ -154,6 +154,72 @@ object SigRules {
     // 0x7F, then version-major 3 (sources/Zmtp.scala speaks this)
     "zeromq" -> (h => h.length >= 11 && (h(0) & 0xff) == 0xff &&
       (h(9) & 0xff) == 0x7f && (h(10) & 0xff) == 3),
+    // ---- the r12 nDPI-residual tier (genuine wire shapes from the
+    // upstream registry the 155-family table still lacked; the
+    // SNI/port-only remainder is dispositioned in ROADMAP) ----
+    // IAX2 full frame opening a call (RFC 5456 §8.1): F bit set,
+    // dest call 0 (NEW has no peer call yet), zero oseq/iseq, frame
+    // type 6 (IAX control), subclass 1 (NEW)
+    "iax2" -> (h => h.length >= 12 && (h(0) & 0x80) != 0 &&
+      h(2) == 0 && h(3) == 0 && h(8) == 0 && h(9) == 0 &&
+      (h(10) & 0xff) == 6 && (h(11) & 0xff) == 1),
+    // Cisco Skinny/SCCP: LE u32 length == packet-8, LE u32 header
+    // version 0, LE u32 message id in the registered range
+    "skinny" -> (h => h.length >= 12 && {
+      def le32(i: Int): Long = (h(i) & 0xffL) |
+        ((h(i + 1) & 0xffL) << 8) | ((h(i + 2) & 0xffL) << 16) |
+        ((h(i + 3) & 0xffL) << 24)
+      le32(0) == h.length - 8 && le32(4) == 0 && le32(8) < 0x200
+    }),
+    // XDMCP (X Display Manager Control Protocol): BE u16 version 1,
+    // u16 opcode 1..14, u16 length == packet-6
+    "xdmcp" -> (h => h.length >= 6 && (h(0) & 0xff) == 0 &&
+      (h(1) & 0xff) == 1 && {
+        val op = ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        val ln = ((h(4) & 0xff) << 8) | (h(5) & 0xff)
+        op >= 1 && op <= 14 && ln == h.length - 6
+      }),
+    // DNSCrypt bootstrap: a DNS query for the provider TXT record —
+    // the 2.dnscrypt-cert rendezvous name is the only cleartext the
+    // protocol ever shows (in wire form dots split labels, so the
+    // literal byte run is the lone "dnscrypt-cert" label)
+    "dnscrypt" -> (h => h.length >= 20 && L7.looksDns(h) &&
+      new String(h, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("dnscrypt-cert")),
+    // eDonkey/eMule TCP hello: protocol byte 0xE3, LE u32 message
+    // length == packet-5, opcode 0x01 (OP_HELLO)
+    "edonkey" -> (h => h.length >= 6 && (h(0) & 0xff) == 0xe3 &&
+      ((h(1) & 0xffL) | ((h(2) & 0xffL) << 8) | ((h(3) & 0xffL) << 16) |
+        ((h(4) & 0xffL) << 24)) == h.length - 5 &&
+      (h(5) & 0xff) == 0x01),
+    // LISP control (RFC 6830 §6.1): type nibble 1..4 (map
+    // request/reply/register/notify), record count 1..8
+    "lisp" -> (h => h.length >= 24 && {
+      val t = (h(0) >> 4) & 0x0f
+      t >= 1 && t <= 4 && (h(3) & 0xff) >= 1 && (h(3) & 0xff) <= 8
+    }),
+    // Telegram MTProto intermediate transport: the 4-byte 0xEE
+    // handshake prefix (abridged's lone 0xEF is too weak to gate on)
+    "mtproto" -> (h => h.length >= 8 && (h(0) & 0xff) == 0xee &&
+      (h(1) & 0xff) == 0xee && (h(2) & 0xff) == 0xee &&
+      (h(3) & 0xff) == 0xee),
+    // tinc meta-protocol ID exchange: "0 <name> 17[.minor]\n" — the
+    // first line every tinc connection sends (request 0 = ID,
+    // protocol major 17)
+    "tinc" -> (h => h.length >= 7 && h(0) == '0' && h(1) == ' ' && {
+      val s = new String(h, java.nio.charset.StandardCharsets.ISO_8859_1)
+      s.matches("(?s)^0 [A-Za-z0-9_.-]+ 17(\\.\\d+)?\n.*")
+    }),
+    // AYIYA (anything-in-anything, SixXS): idlen 4/idtype 1 (16-byte
+    // identity), siglen 5/SHA-1, next header IPv6 or IPv4
+    "ayiya" -> (h => h.length >= 44 && (h(0) & 0xff) == 0x41 &&
+      (h(1) & 0xff) == 0x51 && (h(2) & 0xf0) == 0x10 &&
+      ((h(3) & 0xff) == 41 || (h(3) & 0xff) == 4)),
+    // Stratum mining: JSON-RPC line whose method lives in the
+    // mining.* namespace (nDPI's "Mining" family)
+    "stratum" -> (h => h.length >= 16 && h(0) == '{' &&
+      new String(h, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("\"mining.")),
     // GENEVE (RFC 8926): version 0, the six reserved flag bits zero,
     // inner protocol Transparent-Ethernet/IPv4/IPv6
     "geneve" -> (h => h.length >= 8 && (h(0) & 0xc0) == 0 &&
@@ -828,6 +894,18 @@ object SigRules {
       Seq(Ascii("DESCRIBE ")))))),
     Rule("sip", Seq(AnyOf(Seq(Seq(Ascii("INVITE ")),
       Seq(Ascii("SIP/2.0")))))),
+    // H.248/MEGACO gateway control — full text form or the '!' short
+    // token form (H.248.1 annex B text encoding). The short form pins
+    // the version digit and its space: a bare "!/" is two bytes a
+    // VRRP priority field can produce
+    Rule("megaco", Seq(AnyOf(Seq(Seq(Ascii("MEGACO/")),
+      Seq(Ascii("!/1 ")))))),
+    // Stratum mining (nDPI's Mining family): JSON-RPC whose method
+    // namespace is mining.* — the one content shape cryptomining
+    // traffic shows before TLS
+    Rule("mining", Seq(Heur("stratum"))),
+    // tinc VPN meta-protocol ID line
+    Rule("tinc", Seq(Heur("tinc"))),
     // MGCP gateway-control verbs (RFC 3435 §3.2; NTFY is distinct from
     // SSDP's "NOTIFY * ")
     Rule("mgcp", Seq(AnyOf(Seq(Seq(Ascii("CRCX ")), Seq(Ascii("MDCX ")),
@@ -1011,6 +1089,13 @@ object SigRules {
     // first (the quic_retry-before-quic policy)
     Rule("opcua", Seq(Heur("opcua"))),
     Rule("fins", Seq(Heur("fins"))),
+    // before coap, same policy: the MPEG-TS sync byte (0x47) and
+    // AYIYA's idlen/idtype byte (0x41) both sit in CoAP's loose 2-bit
+    // version band, and each proves itself with structure CoAP can't
+    // offer (the 188-byte sync grid / the fixed header+nexthdr pins)
+    Rule("mpegts", Seq(MinLen(377), B(0, 0x47), B(188, 0x47),
+      B(376, 0x47))),
+    Rule("ayiya", Seq(Heur("ayiya"))),
     Rule("coap", Seq(Heur("coap"))),
     // H.225/H.323 call signalling: TPKT (03 00 + u16 self-length)
     // around Q.931 — protocol discriminator 0x08, call-ref length 2.
@@ -1111,8 +1196,28 @@ object SigRules {
     // Retry before the generic long-header rule: a Retry packet IS a
     // valid QUIC long header — the type-3 + integrity-tag shape is the
     // specialization (RFC 9000 §17.2.5)
+    // ---- r12 nDPI-residual tier (the wire-shape remainder of the
+    // upstream registry audit; ROADMAP carries the disposition of the
+    // SNI-/port-only rest) ----
+    // RTMP C0+C1: version 3, then the C1 time field and its four
+    // MANDATED zero bytes. Placed after the TPKT cluster (rdp/h323
+    // pin bytes the zero run excludes) and after bmp (a BMP header
+    // whose type is 0 also zeroes bytes 5..8, but its bytes 1..4 are
+    // an exact self-length — rtmp fixtures keep time >= 2^24 so the
+    // two stay disjoint, the ambiguity nDPI breaks by port)
+    Rule("rtmp", Seq(MinLen(13), B(0, 3), B(5, 0), B(6, 0),
+      B(7, 0), B(8, 0))),
+    Rule("skinny", Seq(Heur("skinny"))),
+    Rule("xdmcp", Seq(Heur("xdmcp"))),
+    Rule("dnscrypt", Seq(Heur("dnscrypt"))),
+    Rule("edonkey", Seq(Heur("edonkey"))),
+    Rule("lisp", Seq(Heur("lisp"))),
+    Rule("mtproto", Seq(Heur("mtproto"))),
     Rule("quic_retry", Seq(Heur("quic_retry"))),
     Rule("quic", Seq(Heur("quic"))),
+    // after quic: an IAX2 NEW frame's F bit lives in the same top-bit
+    // band as the QUIC long header — quic's version+DCID pins win first
+    Rule("iax2", Seq(Heur("iax2"))),
     // TURN before stun: a TURN message IS a STUN frame with a
     // TURN-allocated method — the specialization must win
     Rule("turn", Seq(Heur("turn"))),
@@ -1799,6 +1904,66 @@ object SigRules {
         Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
           Seq("getstatus", "getinfo x", "getchallenge",
             s"rcon p$s status")((s % 4).toInt).getBytes
+      case "megaco" =>
+        (if (s % 2 == 0)
+          s"MEGACO/1 [10.0.${s % 250}.1]:2944 Transaction = $s " +
+            "{Context = - {ServiceChange = ROOT " +
+            "{Services {Method = Restart}}}}"
+        else s"!/1 [10.0.${s % 250}.1]:2944 T=$s{C=-{SC=ROOT{SV{MT=RS}}}}")
+          .getBytes
+      case "mining" =>
+        (s"""{"id": $s, "method": "mining.subscribe",""" +
+          s""" "params": ["graft-miner/1.0"]}""" + "\n").getBytes
+      case "tinc" => s"0 graft_node_${s % 997} 17.7\n".getBytes
+      case "rtmp" => // C0 (version 3) + C1 head: time >= 2^24 keeps the
+        // bytes disjoint from a BMP self-length (see the rule comment)
+        Array[Byte](3, (1 + s % 100).toByte, (s % 250).toByte,
+          (s % 240).toByte, (s % 230).toByte, 0, 0, 0, 0) ++
+          Array.fill[Byte](64)(((s + 7) % 97).toByte)
+      case "mpegts" =>
+        (0 until 3).flatMap { i =>
+          Array[Byte](0x47, 0x41, 0, (0x10 | ((s + i) % 16)).toByte) ++
+            Array.fill[Byte](184)(((s + i) % 251).toByte)
+        }.toArray
+      case "iax2" => // NEW full frame: scallno 0x8100|…, dcall 0,
+        // zero oseq/iseq, frametype 6 (IAX), subclass 1 (NEW).
+        // Timestamp high byte stays nonzero: dcall 0 doubles as a
+        // Modbus protocol-id 0, and a u16 timestamp equal to len-6
+        // would complete an MBAP header for one seed in a thousand
+        Array[Byte](0x81.toByte, (s % 0xc0).toByte, 0, 0,
+          (1 + s % 119).toByte, (s % 110).toByte, (s % 100).toByte,
+          (s % 90).toByte, 0, 0, 6, 1, 0, (s % 80).toByte, 0, 4)
+      case "skinny" => // LE length 24 == 32-8, version 0, msg id 1
+        Array[Byte](24, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0) ++
+          Array.fill[Byte](20)((s % 93).toByte)
+      case "xdmcp" => // version 1, QUERY (3), 9-byte body (1 auth
+        // name of 7 chars) — length 15 dodges natpmp's exact-12 pin
+        Array[Byte](0, 1, 0, 3, 0, 9, 1, 7) ++
+          s"mit-$s".padTo(7, 'x').take(7).getBytes
+      case "dnscrypt" => // TXT query for 2.dnscrypt-cert.example
+        Array[Byte](0x2b, (s % 250).toByte, 1, 0, 0, 1, 0, 0, 0, 0,
+          0, 0, 1) ++ "2".getBytes ++ Array[Byte](13) ++
+          "dnscrypt-cert".getBytes ++ Array[Byte](7) ++
+          "example".getBytes ++ Array[Byte](0, 0, 16, 0, 1)
+      case "edonkey" => // 0xE3, LE u32 len-5, OP_HELLO + hash/id/port
+        val body = Array[Byte](1, 16) ++
+          Array.fill[Byte](16)((s % 89).toByte) ++
+          Array.fill[Byte](6)((s % 83).toByte)
+        Array[Byte](0xe3.toByte, (body.length & 0xff).toByte,
+          ((body.length >> 8) & 0xff).toByte, 0, 0) ++ body
+      case "lisp" => // map-request: type 1 | A flag, 1 record, nonce
+        Array[Byte](0x18, 0, 0, 1) ++
+          Array.fill[Byte](8)((s % 79).toByte) ++
+          Array.fill[Byte](16)((s % 73).toByte)
+      case "mtproto" => // intermediate transport handshake + frame
+        Array[Byte](0xee.toByte, 0xee.toByte, 0xee.toByte, 0xee.toByte,
+          40, 0, 0, 0) ++ Array.fill[Byte](40)((s % 71).toByte)
+      case "ayiya" => // idlen 4/idtype 1, siglen 5/SHA-1, next hdr 41
+        Array[Byte](0x41, 0x51, 0x11, 41) ++
+          Array.fill[Byte](4)((s % 67).toByte) ++
+          Array.fill[Byte](16)((s % 61).toByte) ++
+          Array.fill[Byte](20)((s % 59).toByte) ++
+          Array.fill[Byte](8)((s % 53).toByte)
       case other => s"?$other$s".getBytes
     }
   }
