@@ -1038,6 +1038,116 @@ object CorpusQueries {
       },
       doc = "distributed full-batch logistic-regression trainer: " +
         "scaled-integer weights, exact integer gradient sums, " +
-        "quantized sigmoid residuals (oracle-reproducible GD)")
+        "quantized sigmoid residuals (oracle-reproducible GD)"),
+
+    // Quality-ensemble filtering (ROADMAP r12 #3; the FineWeb/CCNet
+    // pattern): a document survives iff >= 2 of 3 INDEPENDENT quality
+    // signals pass — the broadcast bigram-LM perplexity gate (q255's
+    // model and threshold), the heuristic quality score (q36's >= 0.6),
+    // and the type-token-ratio repetition gate (q107's 0.5, compared
+    // exactly as 2*types >= tokens so no FP threshold exists). Scale
+    // shape: ONE tokenize pass feeds all three signals; the LM model
+    // is sample-trained, model-sized, and broadcast; everything else
+    // is per-row expressions and one final per-lang aggregation. The
+    // composition is the point: single filters each pass ~60-99% of
+    // docs, and the 2-of-3 vote is what production corpora actually
+    // ship (a lone signal's false positives survive any threshold).
+    Q("q322_quality_ensemble",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "lang", s"${TextOps.sparkToks} AS toks")
+        val bi = docs.where("size(toks) >= 2")
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2))) AS b")
+          .selectExpr("doc_id", "b.w1 AS w1", "b.w2 AS w2")
+        val cAb = bi.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
+        cAb.count() // model-sized (distinct sample bigrams)
+        val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
+        val vocab = cAb.select(col("w1").as("tok"))
+          .union(cAb.select(col("w2").as("tok")))
+          .agg(countDistinct("tok").as("v"))
+        val lm = bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
+          .join(broadcast(cA), Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .selectExpr("doc_id",
+            "CAST(floor(10000.0 * ln((coalesce(c_ab, 0) + 1.0) / " +
+              "(coalesce(c_a, 0) + v))) AS BIGINT) AS lp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
+          .selectExpr("doc_id",
+            "CASE WHEN lp_sum >= n_bi * -33900 THEN 1L ELSE 0L END" +
+              " AS s_lm")
+        docs.selectExpr("doc_id", "lang",
+            s"${TextOps.sparkQualityOf("toks")} AS q",
+            "size(toks) AS ntok",
+            "size(array_distinct(toks)) AS ntype")
+          .join(lm, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("s_lm")) // < 2 tokens: no LM evidence
+          .withColumn("s_q", when(col("q") >= 0.6, 1L).otherwise(0L))
+          // TTR >= 0.5 exactly: 2*types >= tokens (empty docs pass —
+          // q107 defines their TTR as 1.0)
+          .withColumn("s_ttr",
+            when(col("ntok") === 0 || col("ntype") * 2 >= col("ntok"),
+              1L).otherwise(0L))
+          .withColumn("keep",
+            col("s_lm") + col("s_q") + col("s_ttr") >= 2L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("s_lm").as("n_lm"), sum("s_q").as("n_q"),
+            sum("s_ttr").as("n_ttr"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("keep"), col("ntok")).otherwise(0L))
+              .as("kept_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              ${TextOps.duckToks} AS toks FROM documents),
+            bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i + 1])) AS w2
+              FROM t WHERE len(toks) >= 2),
+            smp AS (SELECT w1, w2 FROM bi WHERE doc_id % 10 = 0),
+            cab AS (SELECT w1, w2, count(*) AS c_ab
+              FROM smp GROUP BY 1, 2),
+            ca AS (SELECT w1, count(*) AS c_a FROM smp GROUP BY 1),
+            voc AS (SELECT count(DISTINCT tok) AS v FROM (
+              SELECT w1 AS tok FROM smp
+              UNION ALL SELECT w2 FROM smp) u),
+            lm AS (SELECT doc_id,
+              CASE WHEN sum(CAST(floor(10000.0 *
+                  ln((coalesce(c_ab, 0) + 1.0) /
+                     (coalesce(c_a, 0) + v))) AS BIGINT))
+                >= count(*) * -33900 THEN 1 ELSE 0 END AS s_lm
+              FROM bi LEFT JOIN cab USING (w1, w2)
+              LEFT JOIN ca USING (w1) CROSS JOIN voc
+              GROUP BY 1),
+            f AS (SELECT t.doc_id, t.lang,
+              ${TextOps.duckQuality.replace(TextOps.duckToks, "toks")}
+                AS q,
+              len(toks) AS ntok,
+              len(list_distinct(toks)) AS ntype,
+              coalesce(lm.s_lm, 0) AS s_lm
+              FROM t LEFT JOIN lm ON lm.doc_id = t.doc_id),
+            v2 AS (SELECT lang, ntok, s_lm,
+              CASE WHEN q >= 0.6 THEN 1 ELSE 0 END AS s_q,
+              CASE WHEN ntok = 0 OR ntype * 2 >= ntok
+                THEN 1 ELSE 0 END AS s_ttr
+              FROM f)
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(s_lm) AS BIGINT) AS n_lm,
+              CAST(sum(s_q) AS BIGINT) AS n_q,
+              CAST(sum(s_ttr) AS BIGINT) AS n_ttr,
+              CAST(sum(CASE WHEN s_lm + s_q + s_ttr >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              CAST(sum(CASE WHEN s_lm + s_q + s_ttr >= 2
+                THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM v2 GROUP BY 1"""),
+      doc = "2-of-3 quality-ensemble filter: broadcast bigram-LM " +
+        "gate + heuristic score + exact-integer TTR vote, one " +
+        "tokenize pass")
   )
 }

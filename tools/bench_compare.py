@@ -5,6 +5,13 @@ oracle SQL on the same sf tables. Usage:
 Dev tool: evidence for the matches-or-beats-single-node target."""
 import duckdb, json, sys, time
 
+# Lanes whose Spark-side wall time is PINNED to real time by design
+# (q321 replays 63 s of paced wall-clock cadence regardless of data
+# volume). A throughput ratio over a real-time soak is a category
+# error, so these are excluded from total_ratio and reported
+# separately — never hidden.
+WALLCLOCK_PINNED = {"q321_sustained_cadence"}
+
 def main(sfdir, benchfile, oraclefile):
     raw = open(benchfile).read()
     raw = raw[raw.index('{"metric"'):]
@@ -28,19 +35,25 @@ def main(sfdir, benchfile, oraclefile):
         s = bench.get(name, bench.get(name.split("_")[0], float("nan")))
         rows.append((name, s, dt))
     print(f"{'query':26s} {'spark_s':>8s} {'duckdb_s':>9s} {'ratio':>6s}")
-    sw = dw = 0.0
+    sw = dw = pw = 0.0
     for n, s, d in rows:
         r = s / d if d and d == d else float("nan")
+        if n in WALLCLOCK_PINNED:
+            pw += s if s == s else 0
+            print(f"{n:26s} {s:8.2f} {d:9.2f}  (wall-clock-pinned; "
+                  f"excluded from ratio)")
+            continue
         sw += s if s == s else 0; dw += d if d == d else 0
         print(f"{n:26s} {s:8.2f} {d:9.2f} {r:6.2f}")
-    print(f"{'TOTAL':26s} {sw:8.2f} {dw:9.2f} {sw/dw:6.2f}")
-    return rows, sw, dw
+    print(f"{'TOTAL (throughput lanes)':26s} {sw:8.2f} {dw:9.2f} "
+          f"{sw/dw:6.2f}   (+{pw:.1f}s wall-clock-pinned)")
+    return rows, sw, dw, pw
 
 
 def emit_json(sfdir, benchfile, oraclefile, outfile):
     """Machine-readable per-query ratio artifact (BENCH_RATIO_r{N}.json)
     so the per-query 2x criterion is checkable without re-deriving."""
-    rows, sw, dw = main(sfdir, benchfile, oraclefile)
+    rows, sw, dw, pw = main(sfdir, benchfile, oraclefile)
     def num(v):
         return None if v != v else round(v, 3)
     payload = {
@@ -48,9 +61,13 @@ def emit_json(sfdir, benchfile, oraclefile, outfile):
         "total_spark_s": round(sw, 2),
         "total_duckdb_s": round(dw, 2),
         "total_ratio": round(sw / dw, 3) if dw else None,
+        "wallclock_pinned": sorted(WALLCLOCK_PINNED),
+        "wallclock_pinned_spark_s": round(pw, 2),
         "queries": {n: {"spark_s": num(s), "duckdb_s": num(d),
                         "ratio": num(s / d) if d and d == d and s == s
-                                 else None}
+                                 else None,
+                        **({"wallclock_pinned": True}
+                           if n in WALLCLOCK_PINNED else {})}
                     for n, s, d in rows},
     }
     with open(outfile, "w") as f:
