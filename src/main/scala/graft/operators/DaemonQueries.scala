@@ -1070,7 +1070,9 @@ object DaemonQueries {
               .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
                 KafkaMiniBroker.produceAll(port, "graft_leave_src",
                   it.grouped(60).map { batch =>
-                    batch.groupBy { case (_, uid, _) => (uid % 2).toInt }
+                    // uid/2%2: wave-parity-independent (see q279)
+                    batch.groupBy { case (_, uid, _) =>
+                        (uid / 2 % 2).toInt }
                       .toSeq.sortBy(_._1).map { case (p, recs) =>
                         KafkaWire.PartitionBatch("acct", p, recs.map {
                           case (_, uid, b) =>
@@ -1169,7 +1171,7 @@ object DaemonQueries {
         } finally broker.close()
       },
       Some("""WITH base AS (SELECT event_id % 2 AS wave,
-                user_id % 2 AS part,
+                user_id // 2 % 2 AS part,
                 CAST(floor(value * 100) AS BIGINT) AS b
               FROM events),
             agg AS (SELECT wave, part, count(*) AS n,

@@ -929,7 +929,17 @@ object StreamingQueries {
               .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
                 KafkaMiniBroker.produceAll(port, "graft_cgrp_src",
                   it.grouped(60).map { batch =>
-                    batch.groupBy { case (_, uid, _) => (uid % 4).toInt }
+                    // partition key uid/2%4, NOT uid%4: real topics
+                    // have a fixed partition set that every produce
+                    // wave spreads over; the 10x soak's tables carry
+                    // wave-parity == uid-parity (ScaleGen replica
+                    // arithmetic), so a bare %4 left two partitions
+                    // unborn until wave 1 — and partitions minted
+                    // AFTER a generation forms are a metadata-refresh
+                    // rebalance real consumers run that this classic
+                    // lane deliberately does not model
+                    batch.groupBy { case (_, uid, _) =>
+                        (uid / 2 % 4).toInt }
                       .toSeq.sortBy(_._1).map { case (p, recs) =>
                         KafkaWire.PartitionBatch("acct", p, recs.map {
                           case (_, uid, b) =>
@@ -971,9 +981,14 @@ object StreamingQueries {
             // AND fence-committed before B exists
             pollUntil("wave-0 drain")(
               s.read.parquet(outA).count() == nWave(0))
+            // -1 = "no commit yet" sentinel, NOT a count: a partition
+            // that legitimately received zero records (the 10x soak's
+            // wave-parity x replica-parity skew empties two of them)
+            // never commits, and summing its sentinel deadlocked the
+            // gate at scale
             pollUntil("wave-0 commits")(
               KafkaMiniBroker.fetchCommitted(port, group, "acct",
-                0 until 4).values.sum ==
+                0 until 4).values.filter(_ >= 0).sum ==
                 nWave(0))
             broker.expectGroupMembers(group, 2)
             val qb = consumer("ckB", outB)
@@ -1010,7 +1025,7 @@ object StreamingQueries {
           .withColumn("gen", lit(gen.toLong))
       },
       Some("""WITH base AS (SELECT event_id % 2 AS wave,
-                CAST(user_id % 4 AS INT) AS part,
+                CAST(user_id // 2 % 4 AS INT) AS part,
                 CAST(floor(value * 100) AS BIGINT) AS b
               FROM events),
             agg AS (SELECT wave, part, count(*) AS n,
@@ -1130,11 +1145,12 @@ object StreamingQueries {
               pollUntil("both topics drained")(
                 s.read.parquet(outA).count() +
                   s.read.parquet(outB).count() == nAcct + nAudit)
+              // filter the -1 no-commit sentinels (see q279's note)
               pollUntil("per-topic commits")(
                 KafkaMiniBroker.fetchCommitted(port, group, "acct",
-                  0 until 4).values.sum == nAcct &&
+                  0 until 4).values.filter(_ >= 0).sum == nAcct &&
                 KafkaMiniBroker.fetchCommitted(port, group, "audit",
-                  0 until 2).values.sum == nAudit)
+                  0 until 2).values.filter(_ >= 0).sum == nAudit)
               (KafkaMiniBroker.fetchCommitted(port, group, "acct",
                   0 until 4).toSeq.map { case (p, o) => ("acct", p, o) } ++
                 KafkaMiniBroker.fetchCommitted(port, group, "audit",
@@ -1216,7 +1232,9 @@ object StreamingQueries {
               .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
                 KafkaMiniBroker.produceAll(port, "graft_848_src",
                   it.grouped(60).map { batch =>
-                    batch.groupBy { case (_, uid, _) => (uid % 4).toInt }
+                    // uid/2%4: wave-parity-independent (see q279)
+                    batch.groupBy { case (_, uid, _) =>
+                        (uid / 2 % 4).toInt }
                       .toSeq.sortBy(_._1).map { case (p, recs) =>
                         KafkaWire.PartitionBatch("acct", p, recs.map {
                           case (_, uid, b) =>
@@ -1257,9 +1275,10 @@ object StreamingQueries {
             // A alone: owns all 4 partitions, drains + commits wave 0
             pollUntil("wave-0 drain")(
               s.read.parquet(outA).count() == nWave(0))
+            // filter the -1 no-commit sentinels (see q279's note)
             pollUntil("wave-0 commits")(
               KafkaMiniBroker.fetchCommitted(port, group, "acct",
-                0 until 4).values.sum == nWave(0))
+                0 until 4).values.filter(_ >= 0).sum == nWave(0))
             val qb = consumer("ckB", outB)
             try {
               // incremental reconciliation: A 4→2 parts, B picks up
@@ -1312,7 +1331,7 @@ object StreamingQueries {
           .unionByName(kipLanes.toDF("kind", "key", "n", "v"))
       },
       Some("""WITH base AS (SELECT event_id % 2 AS wave,
-                CAST(user_id % 4 AS INT) AS part,
+                CAST(user_id // 2 % 4 AS INT) AS part,
                 CAST(floor(value * 100) AS BIGINT) AS b
               FROM events),
             agg AS (SELECT wave, part, count(*) AS n,
