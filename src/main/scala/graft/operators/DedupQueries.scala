@@ -126,6 +126,12 @@ object DedupQueries {
       doc = "SimHash signature clustering"),
 
     // n-gram (3-token shingle) Jaccard within length-blocked pairs.
+    // Length-blocked exact Jaccard — the VERIFY BASELINE of the
+    // near-dup family (the q41-vs-q44 relationship): within-block
+    // pairs are quadratic in corpus size by construction (the r12
+    // 10x soak measured e=1.12), which is exactly why the gated scale
+    // paths exist — q38's LSH bands and q252's prefix-filter blocking
+    // bound candidates where this lane deliberately does not.
     Q("q40_ngram_jaccard",
       (s, d) => {
         // shingle sets and token counts come from the materialized
