@@ -61,6 +61,10 @@ object PlanAudit {
     "q243_lm_perplexity_filter", // DELIBERATE full-shuffle exact-model
                                // reference lane (broadcast twin: q255)
     "q255_lm_perplexity_bcast", // model build + 3 verification legs
+    "q323_kneser_ney_lm",      // model build + FOUR count-table
+                               // derivations (c1/nf/nb/B) — each an
+                               // aggregation over the CACHED ≤B-row
+                               // bigram table, never the corpus
     "q278_misra_gries",        // exact-vs-sketch: both read the corpus
     "q252_containment_dedup",  // prefix-filter blocking + 2 verify legs
     "q297_kmv_sketch",         // per-source sketch + distinct-truth legs

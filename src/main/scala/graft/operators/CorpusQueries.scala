@@ -1148,6 +1148,99 @@ object CorpusQueries {
             FROM v2 GROUP BY 1"""),
       doc = "2-of-3 quality-ensemble filter: broadcast bigram-LM " +
         "gate + heuristic score + exact-integer TTR vote, one " +
-        "tokenize pass")
+        "tokenize pass"),
+
+    // Interpolated Kneser-Ney bigram LM (Kneser/Ney 1995; the KenLM
+    // smoothing CCNet-style corpus filters actually run — q243/q255's
+    // add-1 model is the reference baseline, this is the production
+    // math). With discount D = 3/4 every probability is an exact
+    // integer rational:
+    //   P(w2|w1) = [max(4c−3, 0)·B + 3·Nf(w1)·Nb(w2)] / (4·c(w1)·B)
+    // where Nf/Nb are the forward/backward continuation type counts
+    // and B the distinct-bigram count — so both engines divide the
+    // SAME two integers and the quantized floor(10000·ln(p)) is
+    // bit-identical. Unseen-history backoff is the continuation
+    // distribution Nb(w2)/B (KN's whole point: "how many contexts has
+    // w2 completed", not "how often was w2 seen"); a 1-numerator floor
+    // keeps OOV tokens finite, documented convention. Scale shape is
+    // q255's: the model is sample-trained, model-sized (four count
+    // tables derive from one persisted bigram table) and broadcast —
+    // the corpus pass is map-side joins + one aggregation.
+    Q("q323_kneser_ney_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 2")
+        val bi = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2))) AS bg")
+          .selectExpr("doc_id", "source", "bg.w1 AS w1", "bg.w2 AS w2")
+        val cAb = bi.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
+        cAb.count() // model-sized: distinct sample bigrams
+        val c1 = cAb.groupBy("w1").agg(sum("c").as("c1"))
+        val nf = cAb.groupBy("w1").agg(count(lit(1)).as("nf"))
+        val nb = cAb.groupBy("w2").agg(count(lit(1)).as("nb"))
+        val bt = cAb.agg(count(lit(1)).as("b"))
+        bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
+          .join(broadcast(c1), Seq("w1"), "left")
+          .join(broadcast(nf), Seq("w1"), "left")
+          .join(broadcast(nb), Seq("w2"), "left")
+          .crossJoin(broadcast(bt))
+          .selectExpr("doc_id", "source",
+            """CAST(floor(10000.0 * ln(CASE WHEN c1 IS NOT NULL THEN
+                 cast(greatest(greatest(4 * coalesce(c, 0L) - 3, 0L)
+                     * b + 3 * coalesce(nf, 0L) * coalesce(nb, 0L),
+                   1L) as double) / cast(4 * c1 * b as double)
+               ELSE cast(greatest(coalesce(nb, 0L), 1L) as double)
+                 / cast(4 * b as double) END)) AS BIGINT) AS lp""")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("lp_sum") >= col("n_bi") * -38000L, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+            bi AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks)),
+                i -> toks[i + 1])) AS w2
+              FROM t2),
+            smp AS (SELECT w1, w2 FROM bi WHERE doc_id % 10 = 0),
+            cab AS (SELECT w1, w2, count(*) AS c FROM smp GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM cab
+              GROUP BY 1),
+            nf AS (SELECT w1, count(*) AS nf FROM cab GROUP BY 1),
+            nb AS (SELECT w2, count(*) AS nb FROM cab GROUP BY 1),
+            bt AS (SELECT count(*) AS b FROM cab),
+            sc AS (SELECT doc_id, source, count(*) AS n_bi,
+              CAST(sum(CAST(floor(10000.0 * ln(
+                CASE WHEN c1.c1 IS NOT NULL THEN
+                  greatest(greatest(4 * coalesce(cab.c, 0) - 3, 0)
+                      * bt.b
+                    + 3 * coalesce(nf.nf, 0) * coalesce(nb.nb, 0),
+                    1)::DOUBLE
+                  / (4 * c1.c1 * bt.b)
+                ELSE greatest(coalesce(nb.nb, 0), 1)::DOUBLE
+                  / (4 * bt.b) END)) AS BIGINT)) AS BIGINT) AS lp_sum
+              FROM bi LEFT JOIN cab USING (w1, w2)
+              LEFT JOIN c1 USING (w1) LEFT JOIN nf USING (w1)
+              LEFT JOIN nb ON nb.w2 = bi.w2 CROSS JOIN bt
+              GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n_bi * -38000 THEN 1 END)
+                AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+            FROM sc GROUP BY 1"""),
+      doc = "interpolated Kneser-Ney bigram LM (D=3/4, exact integer " +
+        "rationals, continuation-count backoff) — the KenLM-fidelity " +
+        "twin of q255's add-1 baseline")
   )
 }

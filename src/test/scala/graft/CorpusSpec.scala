@@ -85,7 +85,8 @@ class CorpusSpec extends AnyFunSuite {
       "q166_dsir_importance", "q182_curriculum", "q237_url_canonical",
       "q243_lm_perplexity_filter", "q255_lm_perplexity_bcast",
       "q313_bm25_retrieval", "q315_suffix_prefix_doubling",
-      "q316_logreg_trainer", "q322_quality_ensemble"))
+      "q316_logreg_trainer", "q322_quality_ensemble",
+      "q323_kneser_ney_lm"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }
