@@ -207,13 +207,28 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
     KafkaMiniSource.logAssignment(g, memberId, assigned)
   }
 
+  // Partition counts per subscribed topic at the time the CURRENT
+  // generation formed — the member's metadata snapshot. Real consumers
+  // refresh metadata (metadata.max.age.ms) and a partition-count
+  // change triggers a re-join so the new generation covers the grown
+  // topic; this stream refreshes every planning round (even fresher).
+  // The r12 10x soak surfaced the gap: partitions minted after a
+  // generation forms were invisible to classic members forever.
+  private var metaSnapshot: Map[String, Int] = Map.empty
+  private def partitionCounts(): Map[String, Int] =
+    KafkaMiniBroker.discoverEnds(port, topics)
+      .groupBy(_._1).map { case (t, ps) => (t, ps.size) }
+
   private def ensureMembershipClassic(): Unit = group.foreach { g =>
     val hb = if (joined)
       KafkaMiniBroker.heartbeat(port, g, generation, memberId) else -1
-    if (!joined || hb != 0) {
+    val metaChanged = joined && hb == 0 && partitionCounts() != metaSnapshot
+    if (!joined || hb != 0 || metaChanged) {
       // a rebalance (27) or stale generation (22) keeps the memberId;
       // an evicted member (25) is UNKNOWN to the broker — real-broker
-      // semantics demand it rejoin with the empty id and get a new one
+      // semantics demand it rejoin with the empty id and get a new one.
+      // A metadata change also keeps the id: the member initiates the
+      // round (its join flips everyone else's heartbeat to 27)
       val keepId = if (joined && hb != 25) memberId else ""
       // the subscription is the FULL topic list; the leader's range
       // assignor splits each topic independently across subscribers
@@ -224,6 +239,9 @@ private[sources] class KafkaMiniMicroBatchStream(port: Int,
         ps.map(p => (t, p))
       }.toSet
       joined = true
+      // snapshot AFTER the join so it reflects the metadata the
+      // leader's assignment covered; a further grow re-triggers
+      metaSnapshot = partitionCounts()
     }
   }
 

@@ -934,10 +934,10 @@ object StreamingQueries {
                     // wave spreads over; the 10x soak's tables carry
                     // wave-parity == uid-parity (ScaleGen replica
                     // arithmetic), so a bare %4 left two partitions
-                    // unborn until wave 1 — and partitions minted
-                    // AFTER a generation forms are a metadata-refresh
-                    // rebalance real consumers run that this classic
-                    // lane deliberately does not model
+                    // unborn until wave 1 (q324 gates the
+                    // metadata-refresh rebalance that mid-stream
+                    // partition growth triggers; THIS lane keeps the
+                    // fixed-partition-set shape)
                     batch.groupBy { case (_, uid, _) =>
                         (uid / 2 % 4).toInt }
                       .toSeq.sortBy(_._1).map { case (p, recs) =>
@@ -1727,6 +1727,139 @@ object StreamingQueries {
               FROM flows WHERE event_id % 8 = 0)""")),
       doc = "sustained 10s-bin/10s-flush cadence soak: 63 s pinned-" +
         "rate live UDP replay, zero drops, bounded state, per-bin " +
-        "parity (reference CI cadence, tests/101-*)")
+        "parity (reference CI cadence, tests/101-*)"),
+
+    // Metadata-refresh rebalance (closing the r12 soak's documented
+    // gap): real classic-group consumers refresh topic metadata
+    // (metadata.max.age.ms) and a partition-count change triggers a
+    // re-join, so partitions created AFTER a generation forms still
+    // get owners. The source now refreshes per planning round; this
+    // gate proves the full choreography — wave 0 lands in partitions
+    // {0,1}, a two-member generation forms and drains it, wave 1 then
+    // MINTS partitions {2,3}, both members detect the growth, re-join
+    // (the initiator's join flips the other's heartbeat to 27), and
+    // the new generation's range split covers all four. Invariants:
+    // the union of both sinks matches the oracle per partition
+    // (no loss, no duplicate reads across the handover), the
+    // generation bumped, and no partition's data landed in two sinks
+    // (ownership of every data-bearing partition is stable across the
+    // rounds, so exactly-once holds without an offset handover here).
+    Q("q324_metadata_rebalance",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import graft.sinks.{KafkaMiniBroker, KafkaWire}
+        val broker = new KafkaMiniBroker
+        val port = broker.start()
+        val base = java.nio.file.Files.createTempDirectory("q324_kafka")
+        val group = "graft_metagrp"
+        val outA = base.resolve("a").toString
+        val outB = base.resolve("b").toString
+        var gen = -1
+        try {
+          val rows = Tables.events(s, d).selectExpr(
+              "cast(event_id as bigint) as eid",
+              "cast(user_id as bigint) as uid",
+              "cast(floor(value * 100) as bigint) as b")
+            .as[(Long, Long, Long)].cache()
+          val nWave = Array(0, 1).map(w =>
+            rows.filter(_._1 % 2 == w).count())
+          // wave-parity-independent key (uid/2 % 2, see q279) shifted
+          // by the wave's partition base: wave 0 -> {0,1}, wave 1
+          // MINTS {2,3}
+          def produceWave(parity: Int, pBase: Int): Unit =
+            rows.filter(_._1 % 2 == parity).repartition(8)
+              .foreachPartition { (it: Iterator[(Long, Long, Long)]) =>
+                KafkaMiniBroker.produceAll(port, "graft_meta_src",
+                  it.grouped(60).map { batch =>
+                    batch.groupBy { case (_, uid, _) =>
+                        pBase + (uid / 2 % 2).toInt }
+                      .toSeq.sortBy(_._1).map { case (p, recs) =>
+                        KafkaWire.PartitionBatch("acct", p, recs.map {
+                          case (_, uid, b) =>
+                            KafkaWire.Record(s"k$uid",
+                              s"$uid:$b".getBytes("UTF-8"))
+                        })
+                      }
+                  })
+              }
+          val seed = Seq.empty[(Int, Long, String)]
+            .toDF("partition", "offset", "v")
+          seed.write.parquet(outA); seed.write.parquet(outB)
+          def consumer(ckpt: String, out: String)
+              : org.apache.spark.sql.streaming.StreamingQuery =
+            s.readStream.format("graft.sources.KafkaMiniSource")
+              .option("port", port.toString).option("topics", "acct")
+              .option("group", group).load()
+              .selectExpr("partition", "offset",
+                "cast(value as string) as v")
+              .writeStream.option("checkpointLocation",
+                base.resolve(ckpt).toString)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.mode("append").parquet(out)
+              }
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+          def landed(): Long =
+            s.read.parquet(outA).count() + s.read.parquet(outB).count()
+          def pollUntil(what: String)(cond: => Boolean): Unit = {
+            val deadline = System.currentTimeMillis() + 90000
+            while (!cond && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(cond, s"q324 timed out waiting for $what")
+          }
+          produceWave(0, 0)
+          broker.expectGroupMembers(group, 2)
+          val qa = consumer("ckA", outA)
+          val qb = consumer("ckB", outB)
+          try {
+            pollUntil("two-member generation")(
+              broker.groupSnapshot(group) match {
+                case (g1, members, _) => g1 >= 1 && members.size == 2
+              })
+            val genBefore = broker.groupSnapshot(group)._1
+            pollUntil("wave-0 drain")(landed() == nWave(0))
+            produceWave(1, 2) // partitions 2,3 now EXIST
+            pollUntil("metadata-refresh re-join")(
+              broker.groupSnapshot(group)._1 > genBefore)
+            pollUntil("wave-1 drain")(landed() == nWave(0) + nWave(1))
+            gen = broker.groupSnapshot(group)._1 - genBefore
+          } finally { qb.stop(); qa.stop() }
+          rows.unpersist()
+        } finally broker.close()
+        def sink(out: String) = s.read.parquet(out)
+          .select(col("partition"), col("offset"),
+            expr("cast(split(v, ':')[1] as bigint)").as("b"))
+        val union = sink(outA).unionByName(sink(outB))
+        val parts = union.groupBy("partition")
+          .agg(count(lit(1)).as("n"), sum("b").as("v"))
+          .selectExpr("'part' AS kind",
+            "CAST(partition AS STRING) AS key", "n", "v")
+        val dualOwned = sink(outA).select("partition").distinct()
+          .join(sink(outB).select("partition").distinct(),
+            Seq("partition")).count()
+        val meta = Seq(
+          ("meta", "generation_bumped", 1L, if (gen >= 1) 1L else 0L),
+          ("meta", "dual_sink_parts", 1L, dualOwned))
+          .toDF("kind", "key", "n", "v")
+        parts.unionByName(meta)
+      },
+      Some("""WITH base AS (SELECT event_id % 2 AS wave,
+                CAST(user_id // 2 % 2 AS INT) AS k,
+                CAST(floor(value * 100) AS BIGINT) AS b
+              FROM events),
+            agg AS (SELECT wave, k, count(*) AS n,
+                CAST(sum(b) AS BIGINT) AS v
+              FROM base GROUP BY 1, 2)
+            SELECT 'part' AS kind, CAST(k AS VARCHAR) AS key, n, v
+              FROM agg WHERE wave = 0
+            UNION ALL SELECT 'part', CAST(k + 2 AS VARCHAR), n, v
+              FROM agg WHERE wave = 1
+            UNION ALL SELECT 'meta', 'generation_bumped', 1, 1
+            UNION ALL SELECT 'meta', 'dual_sink_parts', 1, 0"""),
+      doc = "classic-group metadata-refresh rebalance: partitions " +
+        "minted mid-stream trigger a re-join and the new generation " +
+        "covers them — no loss, no dup, generation bumped")
   )
 }
