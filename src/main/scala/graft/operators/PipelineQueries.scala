@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.{Q, Tables}
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Graft, Q, Tables}
 
 /** The composed flagship lane: every stage of a production training-data
   * pipeline chained END TO END over one corpus, with the stage-boundary
@@ -49,6 +50,44 @@ object PipelineQueries {
       case _ => s"/pub/a$id"
     }
     Robots.allowed(Robots.parse(robots), "graftbot/1.0", path)
+  }
+
+  /** The fused per-document ingest stages (row-local, shared by the
+    * batch pipeline q320 and its streaming twin q325): WARC container
+    * round-trip (q288) → HTML wrap + tag-walk extraction (q274) →
+    * robots admission (q291). Returns (doc_id, source, extracted
+    * body, admitted). */
+  def ingestDoc(id: Long, source: String, text: String)
+      : (Long, String, String, Boolean) = {
+    import graft.text.{HtmlExtract, Warc}
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+      "text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1")
+    val rec = Warc.record(Seq(
+      ("WARC-Type", "response"),
+      ("WARC-Target-URI", s"https://corpus.example/$id"),
+      ("WARC-Record-ID", s"<urn:uuid:resp-$id>"),
+      ("Content-Type", "application/http; msgtype=response")),
+      http ++ text.getBytes("UTF-8"))
+    val back = Warc.readAuto(Warc.gzip(rec))
+      .find(_.warcType == "response").get
+    val (status, body) = Warc.httpSplit(back.payload).get
+    require(status.startsWith("HTTP/1.1 200"), status)
+    val rid = back.targetUri
+      .substring(back.targetUri.lastIndexOf('/') + 1).toLong
+    val raw = new String(body, "UTF-8")
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    val html =
+      s"""<html><head><title>Doc $rid</title>""" +
+        """<script>var x = "<p>&amp; trap</p>";</script>""" +
+        """<style>p { color: red; }</style></head>""" +
+        """<body><div id="nav">home &amp; about&#33;</div>""" +
+        raw.split("\n", -1).map(l => s"<p>${esc(l)}</p>").mkString +
+        """<div class="foot">(c) footer</div></body></html>"""
+    // lines = title, nav, body…, footer — keep only the body
+    val lines = HtmlExtract.lines(html)
+    val extracted = lines.drop(2).dropRight(1).mkString("\n")
+    (rid, source, extracted, robotsAdmit(rid))
   }
 
   val all: Seq[Q] = Seq(
@@ -102,36 +141,7 @@ object PipelineQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String, String)]
           .mapPartitions(_.map { case (id, source, text) =>
-            import graft.text.{HtmlExtract, Warc}
-            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " +
-              "text/html; charset=utf-8\r\n\r\n").getBytes("ISO-8859-1")
-            val rec = Warc.record(Seq(
-              ("WARC-Type", "response"),
-              ("WARC-Target-URI", s"https://corpus.example/$id"),
-              ("WARC-Record-ID", s"<urn:uuid:resp-$id>"),
-              ("Content-Type", "application/http; msgtype=response")),
-              http ++ text.getBytes("UTF-8"))
-            val back = Warc.readAuto(Warc.gzip(rec))
-              .find(_.warcType == "response").get
-            val (status, body) = Warc.httpSplit(back.payload).get
-            require(status.startsWith("HTTP/1.1 200"), status)
-            val rid = back.targetUri
-              .substring(back.targetUri.lastIndexOf('/') + 1).toLong
-            val raw = new String(body, "UTF-8")
-            def esc(t: String): String = t.replace("&", "&amp;")
-              .replace("<", "&lt;").replace(">", "&gt;")
-            val html =
-              s"""<html><head><title>Doc $rid</title>""" +
-                """<script>var x = "<p>&amp; trap</p>";</script>""" +
-                """<style>p { color: red; }</style></head>""" +
-                """<body><div id="nav">home &amp; about&#33;</div>""" +
-                raw.split("\n", -1).map(l => s"<p>${esc(l)}</p>")
-                  .mkString +
-                """<div class="foot">(c) footer</div></body></html>"""
-            // lines = title, nav, body…, footer — keep only the body
-            val lines = HtmlExtract.lines(html)
-            val extracted = lines.drop(2).dropRight(1).mkString("\n")
-            (rid, source, extracted, robotsAdmit(rid))
+            ingestDoc(id, source, text)
           })
           .toDF("doc_id", "source", "text", "admit")
 
@@ -438,6 +448,93 @@ object PipelineQueries {
       doc = "composed training pipeline: WARC → HTML extract → robots " +
         "→ lang-ID → quality → 3-tier dedup cascade → decontamination " +
         "→ temperature rebalance → packing → curriculum, with two " +
-        "parquet stage boundaries and a per-stage funnel oracle")
+        "parquet stage boundaries and a per-stage funnel oracle"),
+
+    // Streaming twin of q320's ingest leg (ROADMAP r13 #2): the fused
+    // WARC → HTML-extract → robots pass plus the one-projection
+    // feature computation running as a MULTI-BATCH stream into the M1
+    // boundary — dedup-on-ingest's upstream sibling (q318's
+    // relationship to q315). The ingest stages are deliberately
+    // STATELESS per document, which is precisely what makes them
+    // batch-split-invariant: the gate stages the corpus as 8 files,
+    // forces ≥4 micro-batches with maxFilesPerTrigger, and the landed
+    // M1 corpus must equal the batch oracle doc-for-doc (the
+    // admitted-checksum row pins every extracted body byte-exactly) —
+    // no ordering assumption, no cross-batch state, the shape that
+    // ingests a 100 TB crawl as it arrives.
+    Q("q325_stream_ingest",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val qualityMin = 0.6
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q325_ingest").toString
+        val (staged, m1) = (s"$tmp/staged", s"$tmp/m1")
+        Tables.documents(s, d).select("doc_id", "source", "text")
+          .repartition(8).write.parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val hpsOfToks = s"transform(toks, t -> ${sparkTokHash("t")} % $P)"
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(staged)
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, src, text) =>
+            ingestDoc(id, src, text)
+          })
+          .toDF("doc_id", "source", "text", "admit")
+          .withColumn("toks", expr(sparkToks))
+          .selectExpr("doc_id", "admit",
+            s"${sparkLangPredict(hpsOfToks)} as pred",
+            s"${sparkQualityOf("toks")} as score",
+            s"${sparkTokHash("text")} % $P as ck",
+            "size(toks) as ntok")
+          .where(s"admit AND score >= $qualityMin")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches.incrementAndGet()
+            b.write.mode("append").parquet(m1)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val m1df = s.read.parquet(m1)
+        val mix = m1df.groupBy("pred")
+          .agg(count(lit(1)).as("n"), sum("ntok").as("v"))
+          .selectExpr("'mix' AS kind", "pred AS key", "n", "v")
+        val agg = m1df.agg(count(lit(1)), sum("ck")).head()
+        def al(i: Int): Long = if (agg.isNullAt(i)) 0L else agg.getLong(i)
+        val meta = Seq(
+          ("ingest", "multi_batch", 1L,
+            if (nBatches.get() >= 4) 1L else 0L),
+          ("ingest", "admitted_ck", al(0), al(1)))
+          .toDF("kind", "key", "n", "v")
+        mix.unionByName(meta)
+      },
+      Some {
+        s"""WITH ext AS MATERIALIZED (SELECT doc_id, source,
+              coalesce(list_aggr(list_filter(list_transform(
+                string_split(text, chr(10)),
+                l -> regexp_replace(regexp_replace(l, '\\s+', ' ', 'g'),
+                  '^ +| +$$', '', 'g')), x -> len(x) > 0),
+                'string_agg', chr(10)), '') AS text
+              FROM documents),
+            feat AS (SELECT doc_id,
+              (doc_id % 6 NOT IN (0, 3)) AS admit,
+              ${duckLangPredict(duckHps)} AS pred,
+              $duckQuality AS score,
+              ${duckTokHash("text")} % $P AS ck,
+              len($duckToks) AS ntok
+              FROM ext),
+            adm AS (SELECT * FROM feat WHERE admit AND score >= 0.6)
+            SELECT 'mix' AS kind, pred AS key, count(*) AS n,
+              CAST(sum(ntok) AS BIGINT) AS v FROM adm GROUP BY 2
+            UNION ALL SELECT 'ingest', 'multi_batch', 1, 1
+            UNION ALL SELECT 'ingest', 'admitted_ck',
+              (SELECT count(*) FROM adm),
+              (SELECT CAST(sum(ck) AS BIGINT) FROM adm)"""
+      },
+      doc = "streaming ingest: the fused WARC/HTML/robots pass + " +
+        "feature projection as a >= 4-micro-batch stream into the M1 " +
+        "boundary, batch-split-invariant by statelessness")
   )
 }
