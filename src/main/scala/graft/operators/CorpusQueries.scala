@@ -1054,38 +1054,50 @@ object CorpusQueries {
     // ship (a lone signal's false positives survive any threshold).
     Q("q322_quality_ensemble",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // the heuristic features ride ALONG the bigram rows and come
+        // back out of the per-doc aggregation as first()s — re-keying
+        // LM scores onto the feature table would be a corpus×corpus
+        // doc_id join (the PlanAudit sweep flagged the SMJ); carrying
+        // them through costs three small columns on the shuffle rows
+        // and zero joins
+        val feat = Tables.documents(s, d)
           .selectExpr("doc_id", "lang", s"${TextOps.sparkToks} AS toks")
-        val bi = docs.where("size(toks) >= 2")
-          .selectExpr("doc_id",
+          .selectExpr("doc_id", "lang", "toks",
+            s"${TextOps.sparkQualityOf("toks")} AS q",
+            "size(toks) AS ntok",
+            "size(array_distinct(toks)) AS ntype")
+        val bi = feat.where("size(toks) >= 2")
+          .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
             "explode(transform(sequence(1, size(toks) - 1), " +
               "i -> struct(element_at(toks, i) AS w1, " +
               "element_at(toks, i + 1) AS w2))) AS b")
-          .selectExpr("doc_id", "b.w1 AS w1", "b.w2 AS w2")
-        val cAb = bi.where("doc_id % 10 = 0")
+          .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
+            "b.w1 AS w1", "b.w2 AS w2")
+        val cAb = bi.where("doc_id % 10 = 0").select("w1", "w2")
           .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
         cAb.count() // model-sized (distinct sample bigrams)
         val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
         val vocab = cAb.select(col("w1").as("tok"))
           .union(cAb.select(col("w2").as("tok")))
           .agg(countDistinct("tok").as("v"))
-        val lm = bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
+        val scored = bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
           .join(broadcast(cA), Seq("w1"), "left")
           .crossJoin(broadcast(vocab))
-          .selectExpr("doc_id",
+          .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
             "CAST(floor(10000.0 * ln((coalesce(c_ab, 0) + 1.0) / " +
               "(coalesce(c_a, 0) + v))) AS BIGINT) AS lp")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
-          .selectExpr("doc_id",
+          .agg(first("lang").as("lang"), first("q").as("q"),
+            first("ntok").as("ntok"), first("ntype").as("ntype"),
+            count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
+          .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
             "CASE WHEN lp_sum >= n_bi * -33900 THEN 1L ELSE 0L END" +
               " AS s_lm")
-        docs.selectExpr("doc_id", "lang",
-            s"${TextOps.sparkQualityOf("toks")} AS q",
-            "size(toks) AS ntok",
-            "size(array_distinct(toks)) AS ntype")
-          .join(lm, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("s_lm")) // < 2 tokens: no LM evidence
+        // < 2 tokens: no bigrams, no LM evidence — union the short
+        // docs back with s_lm = 0 (a filter leg, not a join)
+        scored.unionByName(feat.where("size(toks) < 2")
+            .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
+              "0L AS s_lm"))
           .withColumn("s_q", when(col("q") >= 0.6, 1L).otherwise(0L))
           // TTR >= 0.5 exactly: 2*types >= tokens (empty docs pass —
           // q107 defines their TTR as 1.0)
