@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   /** 1-minute load average, or -1 when unreadable. */
   private def loadAvg(): Double =
@@ -7,19 +8,58 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Bench hygiene (VERDICT r11 #6): timings on a loaded box are
-    // garbage (BENCH_NOTES has documented 3-5x solo-vs-loaded drift
-    // since r6), so wait for the box to go idle — bounded, the driver
-    // must always get its JSON line — and STAMP the measured load in
-    // the output either way, so a loaded run is machine-detectable
-    // instead of silently polluting round-over-round comparisons.
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
-    val waitDeadline = System.currentTimeMillis() + 120000L
+  /** Bounded wait for the box to go (near-)idle. Returns final load. */
+  private def awaitIdle(loadMax: Double, budgetMs: Long): Double = {
+    val deadline = System.currentTimeMillis() + budgetMs
     while (loadAvg() > loadMax &&
-      System.currentTimeMillis() < waitDeadline) Thread.sleep(5000)
-    val loadAtStart = loadAvg()
+      System.currentTimeMillis() < deadline) Thread.sleep(5000)
+    loadAvg()
+  }
+
+  /** Per-lane solo reference times from the newest BENCH_RATIO_r*.json
+    * (spark_s per query), or empty when absent/unreadable. Used by the
+    * outlier re-run pass (VERDICT r12 #2): a loaded-box tail artifact
+    * gets one automatic retry and both numbers are stamped. */
+  private def refSolo(): Map[String, Double] = try {
+    val dir = new java.io.File(".")
+    val cand = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_RATIO_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    cand.lastOption.map { f =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(f)
+      (j \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (name, q: JObject) => (q \ "spark_s") match {
+            case JDouble(v) => Some(name -> v)
+            case JInt(v)    => Some(name -> v.toDouble)
+            case _          => None
+          }
+        }.flatten.toMap
+        case _ => Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+  } catch { case NonFatal(_) => Map.empty }
+
+  def main(args: Array[String]): Unit = {
+    if (args.contains("--ref-debug")) { // dev: prove the reference
+      val r = refSolo()                 // artifact parses
+      println(s"refSolo: ${r.size} lanes, e.g. " +
+        r.toSeq.sortBy(_._1).take(3).mkString(", "))
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Bench hygiene (VERDICT r11 #6, tightened r13 per VERDICT r12 #2):
+    // timings on a loaded box are garbage (documented 3-5x
+    // solo-vs-loaded drift since r6), so wait for the box to go idle —
+    // bounded, the driver must always get its JSON line — and STAMP the
+    // measured load in the output either way. r12's guard of 4.0 let a
+    // load-3.75 run through with 5-9x tail artifacts; the default is
+    // now 1.5 with a longer bounded wait, plus the outlier re-run pass
+    // below for anything that still lands hot.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.5").toDouble
+    val loadAtStart = awaitIdle(loadMax, 240000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -35,37 +75,84 @@ object Bench {
     // Warm the shared materialized signature tables too (VERDICT r11
     // #2: the one-time SigTable fill billed 4-5 s to whichever lane
     // ran first — it is warehouse base-table materialization, not
-    // that lane's cost; every consumer reads the same cache)
-    try {
+    // that lane's cost; every consumer reads the same cache).
+    // NonFatal-only + a stamped flag (ADVICE r12): a failed warm-up
+    // re-bills the fill to the first consumer — that distortion must
+    // be machine-detectable in the JSON artifact, not silent.
+    val warmupOk = try {
       graft.operators.SigTable.sigs(spark, sfDir).count()
       graft.operators.SigTable.pairs90(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+      true
+    } catch { case NonFatal(_) => false }
     // optional comma-separated name filter for local iteration; the
     // driver sets no filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        // a crashed query records the -1 sentinel, never its elapsed time
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def runOne(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // a crashed query records the -1 sentinel, never its elapsed time
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val lanes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val firstPass = lanes.map { case (name, fn) => name -> runOne(name, fn) }
+    // Outlier re-run pass (VERDICT r12 #2): any lane >=2.5x its solo
+    // reference (and >=1 s absolute excess, so sub-second noise never
+    // triggers) gets ONE automatic retry after a bounded idle wait;
+    // both numbers are stamped and the smaller one is scored, so a
+    // transient load spike cannot masquerade as a lane regression —
+    // and a real regression reproduces on the retry and stays visible.
+    val ref = refSolo()
+    val outliers = firstPass.filter { case (name, t) =>
+      t >= 0 && ref.get(name).exists(r => t > 2.5 * r && t - r >= 1.0)
+    }.map(_._1).take(16)
+    val retries: Map[String, (Double, Double)] =
+      if (outliers.isEmpty) Map.empty
+      else {
+        awaitIdle(loadMax, 120000L)
+        val fns = lanes.toMap
+        outliers.map { name =>
+          val first = firstPass.toMap.apply(name)
+          name -> (first, runOne(name, fns(name)))
+        }.toMap
+      }
+    val results = firstPass.map { case (name, t) =>
+      name -> (retries.get(name) match {
+        case Some((first, retry)) if retry >= 0 => math.min(first, retry)
+        case _ => t
+      })
     }.toMap
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // The driver captures only the LAST ~2000 chars of output and parses
-    // the JSON line out of that tail: every BENCH_r{1..4}.json came back
-    // "parsed": null because 100+ full-length query names pushed the line
-    // past the window. Short keys (the unique qNN prefix) + centisecond
-    // precision keep the whole line ~1.4 KB — inside the capture.
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    def short(k: String): String = k.takeWhile(_ != '_')
+    // The driver captures only the LAST ~2000 chars of output and
+    // parses the JSON line out of that tail. 325+ lanes do not fit
+    // (every BENCH_r{N} through r12 came back "parsed": null), so the
+    // line carries total + the slowest lanes + the retry stamps, and
+    // the FULL per-lane map goes to bench_lanes.json beside the repo's
+    // other bench artifacts.
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val lanesFile = "bench_lanes.json"
+    try {
+      val w = new java.io.PrintWriter(lanesFile, "UTF-8")
+      try w.println(s"""{"sf":"$sfDir","load":${fmt(loadAtStart)},"queries":$full}""")
+      finally w.close()
+    } catch { case NonFatal(_) => () }
+    val topN = results.toSeq.sortBy(-_._2).take(40).sortBy(_._1)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val retryJson = retries.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+      "\"" + short(k) + "\":[" + fmt(a) + "," + fmt(b) + "," +
+        fmt(ref.getOrElse(k, -1.0)) + "]"
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val loaded = if (loadAtStart > loadMax) "true" else "false"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":${fmt(loadAtStart)},"loaded":$loaded}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topN,"n":${results.size},"retries":$retryJson,"lanes_file":"$lanesFile","sf":"$sfDir","load":${fmt(loadAtStart)},"loaded":$loaded,"warmup_ok":$warmupOk}""")
     spark.stop()
   }
 }

@@ -126,7 +126,9 @@ object PlanAudit {
     case _: org.apache.spark.sql.execution.exchange
         .ReusedExchangeExec => Nil
     case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-      Seq(f.relation.location.rootPaths.map(_.getName).mkString(","))
+      // full path, not basename (ADVICE r12): two distinct dirs
+      // sharing a last segment must not be conflated into one count
+      Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
     case other => other.children.flatMap(scanPaths)
   }
 

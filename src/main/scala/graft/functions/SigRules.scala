@@ -193,10 +193,20 @@ object SigRules {
         ((h(4) & 0xffL) << 24)) == h.length - 5 &&
       (h(5) & 0xff) == 0x01),
     // LISP control (RFC 6830 §6.1): type nibble 1..4 (map
-    // request/reply/register/notify), record count 1..8
+    // request/reply/register/notify), record count 1..8, AND the
+    // per-type reserved fields in bytes 1..2 (ADVICE r12: nibble+byte
+    // ranges alone were a weak gate) — Map-Request keeps 9 reserved
+    // bits zero (IRC's 5 bits are free), Map-Register zeroes all but
+    // the M bit, Reply/Notify zero both bytes; the 8-byte nonce that
+    // follows is covered by the length floor (12 header + nonce + EID)
     "lisp" -> (h => h.length >= 24 && {
       val t = (h(0) >> 4) & 0x0f
-      t >= 1 && t <= 4 && (h(3) & 0xff) >= 1 && (h(3) & 0xff) <= 8
+      val rec = h(3) & 0xff
+      t >= 1 && t <= 4 && rec >= 1 && rec <= 8 && (t match {
+        case 1 => (h(1) & 0x3f) == 0 && (h(2) & 0xe0) == 0
+        case 3 => h(1) == 0 && (h(2) & 0xfe) == 0
+        case _ => h(1) == 0 && h(2) == 0
+      })
     }),
     // Telegram MTProto intermediate transport: the 4-byte 0xEE
     // handshake prefix (abridged's lone 0xEF is too weak to gate on)
@@ -719,18 +729,26 @@ object SigRules {
           (h(9) & 0xff) >= 1 && (h(9) & 0xff) <= 0x10
       }),
     // LLDP (IEEE 802.1AB §8): the mandatory TLV opening — Chassis ID
-    // (1), Port ID (2), TTL (3) in order; 7-bit type + 9-bit length
+    // (1), Port ID (2), TTL (3) in order; 7-bit type + 9-bit length,
+    // with the spec's per-TLV length bounds enforced (§8.5.2/3: ID
+    // strings are 1..255 octets + 1 subtype → TLV length 2..256;
+    // §8.5.4: TTL length is EXACTLY 2). The bounds are what keep a
+    // long payload whose first byte happens to read "type 1, len>=256"
+    // (e.g. an RTMP version-3 handshake) out of this walk.
     "lldp" -> { h =>
       var i = 0
       var idx = 0
       var ok = h.length >= 8
       val want = Array(1, 2, 3)
+      val lMin = Array(2, 2, 2)
+      val lMax = Array(256, 256, 2)
       while (ok && idx < 3) {
         if (i + 2 > h.length) ok = false
         else {
           val t = (h(i) >> 1) & 0x7f
           val l = ((h(i) & 1) << 8) | (h(i + 1) & 0xff)
-          if (t != want(idx) || l < 1 || i + 2 + l > h.length)
+          if (t != want(idx) || l < lMin(idx) || l > lMax(idx) ||
+              i + 2 + l > h.length)
             ok = false
           else { i += 2 + l; idx += 1 }
         }
@@ -1200,12 +1218,17 @@ object SigRules {
     // upstream registry audit; ROADMAP carries the disposition of the
     // SNI-/port-only rest) ----
     // RTMP C0+C1: version 3, then the C1 time field and its four
-    // MANDATED zero bytes. Placed after the TPKT cluster (rdp/h323
-    // pin bytes the zero run excludes) and after bmp (a BMP header
-    // whose type is 0 also zeroes bytes 5..8, but its bytes 1..4 are
-    // an exact self-length — rtmp fixtures keep time >= 2^24 so the
-    // two stay disjoint, the ambiguity nDPI breaks by port)
-    Rule("rtmp", Seq(MinLen(13), B(0, 3), B(5, 0), B(6, 0),
+    // MANDATED zero bytes — now pinned to the EXACT handshake size
+    // (ADVICE r12): C0 is 1 byte, C1 is 1536, and a real client sends
+    // them in one 1537-byte write (nDPI leans on the same size
+    // observation; a split C0/C1 would need flow reassembly, out of
+    // scope for the first-payload classifier either way). Placed after
+    // the TPKT cluster (rdp/h323 pin bytes the zero run excludes) and
+    // after bmp (a BMP header whose type is 0 also zeroes bytes 5..8,
+    // but its bytes 1..4 are an exact self-length — rtmp fixtures keep
+    // time >= 2^24 so the two stay disjoint even without the length
+    // pin, the ambiguity nDPI breaks by port)
+    Rule("rtmp", Seq(LenIs(1537), B(0, 3), B(5, 0), B(6, 0),
       B(7, 0), B(8, 0))),
     Rule("skinny", Seq(Heur("skinny"))),
     Rule("xdmcp", Seq(Heur("xdmcp"))),
@@ -1915,11 +1938,12 @@ object SigRules {
         (s"""{"id": $s, "method": "mining.subscribe",""" +
           s""" "params": ["graft-miner/1.0"]}""" + "\n").getBytes
       case "tinc" => s"0 graft_node_${s % 997} 17.7\n".getBytes
-      case "rtmp" => // C0 (version 3) + C1 head: time >= 2^24 keeps the
-        // bytes disjoint from a BMP self-length (see the rule comment)
+      case "rtmp" => // C0 (version 3) + FULL C1 (1536 B): the rule pins
+        // the exact 1537-byte handshake write; time >= 2^24 keeps the
+        // head disjoint from a BMP self-length (see the rule comment)
         Array[Byte](3, (1 + s % 100).toByte, (s % 250).toByte,
           (s % 240).toByte, (s % 230).toByte, 0, 0, 0, 0) ++
-          Array.fill[Byte](64)(((s + 7) % 97).toByte)
+          Array.tabulate[Byte](1528)(i => (((s + 7) * (i + 3)) % 97).toByte)
       case "mpegts" =>
         (0 until 3).flatMap { i =>
           Array[Byte](0x47, 0x41, 0, (0x10 | ((s + i) % 16)).toByte) ++

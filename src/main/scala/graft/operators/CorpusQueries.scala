@@ -661,14 +661,20 @@ object CorpusQueries {
               "i -> struct(element_at(toks, i) AS w1, " +
               "element_at(toks, i + 1) AS w2))) AS b")
           .selectExpr("doc_id", "source", "b.w1 AS w1", "b.w2 AS w2")
-        // the model IS the persisted table: the sample's bigram stream
-        // collapses straight to (w1, w2, c_ab) — model-sized, like
-        // q243's biDoc — and c_a / vocab derive from it. Persisting the
-        // raw exploded sample instead caches corpus-scale rows that
-        // outlive the query and pressure every later one in the session.
-        val cAb = bi.where("doc_id % 10 = 0")
-          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
-        cAb.count()
+        // the model IS this table: the sample's bigram stream collapses
+        // straight to (w1, w2, c_ab) — model-sized, like q243's biDoc —
+        // and c_a / vocab derive from it. Collected to a driver literal
+        // (the broadcast ships the rows anyway) so nothing stays cached
+        // after the lane; persisting the raw exploded sample instead
+        // would cache corpus-scale rows that outlive the query and
+        // pressure every later one in the session.
+        val cAb = {
+          val sp = s; import sp.implicits._
+          bi.where("doc_id % 10 = 0")
+            .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+            .as[(String, String, Long)].collect().toSeq
+            .toDF("w1", "w2", "c_ab")
+        }
         val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
         val vocab = cAb.select(col("w1").as("tok"))
           .union(cAb.select(col("w2").as("tok")))
@@ -1073,9 +1079,19 @@ object CorpusQueries {
               "element_at(toks, i + 1) AS w2))) AS b")
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
             "b.w1 AS w1", "b.w2 AS w2")
-        val cAb = bi.where("doc_id % 10 = 0").select("w1", "w2")
-          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
-        cAb.count() // model-sized (distinct sample bigrams)
+        // model-sized (distinct sample bigrams): computed ONCE and
+        // collected to a driver literal — the broadcast ships these
+        // rows anyway, and unlike a persist() the literal cannot
+        // outlive the lane and accumulate across a bench session
+        // (ADVICE r12; the builder has no final action to hang an
+        // unpersist on — actions run in Verify/Bench)
+        val cAb = {
+          val sp = s; import sp.implicits._
+          bi.where("doc_id % 10 = 0").select("w1", "w2")
+            .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+            .as[(String, String, Long)].collect().toSeq
+            .toDF("w1", "w2", "c_ab")
+        }
         val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
         val vocab = cAb.select(col("w1").as("tok"))
           .union(cAb.select(col("w2").as("tok")))
@@ -1189,9 +1205,16 @@ object CorpusQueries {
               "i -> struct(element_at(toks, i) AS w1, " +
               "element_at(toks, i + 1) AS w2))) AS bg")
           .selectExpr("doc_id", "source", "bg.w1 AS w1", "bg.w2 AS w2")
-        val cAb = bi.where("doc_id % 10 = 0")
-          .groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
-        cAb.count() // model-sized: distinct sample bigrams
+        // model-sized (distinct sample bigrams) → driver literal, not
+        // persist(): the four count-table derivations read the local
+        // frame and nothing is left cached after the lane (ADVICE r12)
+        val cAb = {
+          val sp = s; import sp.implicits._
+          bi.where("doc_id % 10 = 0")
+            .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+            .as[(String, String, Long)].collect().toSeq
+            .toDF("w1", "w2", "c")
+        }
         val c1 = cAb.groupBy("w1").agg(sum("c").as("c1"))
         val nf = cAb.groupBy("w1").agg(count(lit(1)).as("nf"))
         val nb = cAb.groupBy("w2").agg(count(lit(1)).as("nb"))

@@ -1667,14 +1667,20 @@ object StreamingQueries {
               sent += 1
             }
             // absolute-schedule pacing: quantum i ships at t0 + i s,
-            // immune to per-send jitter drift — the PINNED rate
-            val perSec = math.max(1, math.ceil(recs.length / 63.0).toInt)
+            // immune to per-send jitter drift — the PINNED rate.
+            // Records are SLICED evenly over a fixed 63 one-second
+            // quanta (empty quanta allowed) so the replay spans >=62 s
+            // at ANY corpus size — a small filtered corpus must not
+            // shorten the soak (ADVICE r12: ceil(len/63) grouping gave
+            // len=64 only 32 quanta, ~31 s of replay).
             val t0 = System.currentTimeMillis()
-            recs.grouped(perSec).zipWithIndex.foreach {
-              case (quantum, i) =>
-                val due = t0 + i * 1000L
-                val now = System.currentTimeMillis()
-                if (now < due) Thread.sleep(due - now)
+            val nRecs = recs.length
+            (0 until 63).foreach { i =>
+              val quantum = recs.slice(i * nRecs / 63, (i + 1) * nRecs / 63)
+              val due = t0 + i * 1000L
+              val now = System.currentTimeMillis()
+              if (now < due) Thread.sleep(due - now)
+              if (quantum.nonEmpty)
                 quantum.grouped(NetFlowV5.MaxRecords).foreach(b =>
                   ship(b.toSeq))
             }
