@@ -183,6 +183,26 @@ object PlanAudit {
           violations += s"$n: build failed (${e.getClass.getSimpleName})"
       }
     }
+    // Partition-pruning invariant (VERDICT r12 #7): the prescribed
+    // (time-bin, exporter-hash) at-rest layout must actually prune —
+    // a time-bounded read scans ONLY the matching partition files.
+    // Uses the q329 evidence path (executed-scan metrics vs the files
+    // on disk), so a planner regression fails the audit even if the
+    // lane's aggregate values still come out right.
+    if (args.isEmpty) try {
+      val (_, ev) = graft.operators.ScaleQueries.pruningEvidence(
+        spark, sfDir)
+      val ok = ev.pfPresent && ev.filesScanned < ev.filesTotal &&
+        ev.filesScanned == ev.filesMatching
+      println(f"${"partition-pruning"}%-24s scanned=${ev.filesScanned} " +
+        s"matching=${ev.filesMatching} total=${ev.filesTotal} " +
+        s"pf=${ev.pfPresent}" + (if (ok) "" else "  <<< NOT PRUNED"))
+      if (!ok) violations += s"partition-pruning: scanned=" +
+        s"${ev.filesScanned}/${ev.filesTotal} pf=${ev.pfPresent}"
+    } catch {
+      case e: Throwable =>
+        violations += s"partition-pruning: check failed (${e.getMessage})"
+    }
     println(s"\n== ${names.size} plans audited, " +
       s"${violations.size} violations ==")
     violations.foreach(v => println(s"VIOLATION $v"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.core.{FlowView, Q, Salt, Tables}
-import graft.functions.SigRules
+import graft.functions.{SigRules, SniApps}
 import graft.maps.{Bloom, Dims}
 
 /** Scale-mechanics operators: salted two-phase aggregation (hot-key
@@ -784,6 +784,159 @@ object ScaleQueries {
              AS revenue_c
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            GROUP BY 1"""),
-      doc = "streaming append into bucketed archive + compaction")
+      doc = "streaming append into bucketed archive + compaction"),
+
+    // TLS-SNI application classification (VERDICT r12 #1: the tier-1
+    // hostname disposition, gated): the reference resolves the big
+    // consumer apps by HOSTNAME (src/classifier.c:33 → nDPI's hostname
+    // engine), not by wire grammar — the ROADMAP disposition claims the
+    // q99/q113 SNI path covers them, and this lane converts that claim
+    // into evidence. Every event picks one of 42 vectors (39 real-shaped
+    // hostnames over 30 tier-1 apps + 3 decoys), builds the actual TLS
+    // ClientHello bytes, and the label must come back through the FULL
+    // inspection path: first-bytes rule table says "tls" → SNI
+    // extraction → longest-suffix hostname resolution. The decoys pin
+    // the negative space: an unknown domain, a non-boundary embedding
+    // (fakenetflix.com), and a prefix attack (netflix.com.evil.example)
+    // must all stay bare "tls". Per-row O(hello bytes) map work + one
+    // partial agg — a pure map lane at 100 TB, like q312.
+    Q("q326_sni_apps",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        import graft.functions.{L7, SniApps}
+        val vecs = SniApps.gateVectors
+        val nv = vecs.size
+        Tables.events(s, d).select(col("event_id").cast("long"))
+          .as[Long]
+          .mapPartitions(_.map { eid =>
+            val hidx = (eid % nv).toInt
+            val hello = L7.clientHello(vecs(hidx)._1)
+            val base = L7.classifyPayload(hello)
+            val label =
+              if (base != "tls") "rule_miss_" + base
+              else L7.tlsSni(hello) match {
+                case None => "sni_parse_miss"
+                case Some(sni) => SniApps.app(sni).getOrElse("tls")
+              }
+            (label, hidx.toLong)
+          }).toDF("app", "hidx")
+          .groupBy("app")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("hidx").as("n_hosts"))
+      },
+      Some(s"""WITH m AS (SELECT event_id % ${SniApps.gateVectors.size}
+                AS hidx,
+              ${SniApps.gateVectors.zipWithIndex
+                .map { case ((_, a), i) => s"WHEN $i THEN '$a'" }
+                .mkString("CASE event_id % " +
+                  SniApps.gateVectors.size + " ", " ", " END")} AS app
+              FROM events)
+            SELECT app, count(*) AS n,
+              count(DISTINCT hidx) AS n_hosts
+            FROM m GROUP BY 1"""),
+      doc = "TLS-SNI hostname→app classification for the nDPI tier-1 " +
+        "app list (30 apps, longest-suffix on label boundaries, " +
+        "3 decoys that must not classify)"),
+
+    // Partitioned-at-rest layout + PARTITION PRUNING, gated (VERDICT
+    // r12 #7): SURVEY §9 prescribes partitioning the 100 TB flow
+    // archive by (time-bin, exporter-hash) so time-bounded queries read
+    // only matching directories — this lane WRITES that layout (day ×
+    // ip_src%8: ~240 directories over the month of test data) and then
+    // PROVES the pruning fired, not just that the answer is right:
+    // after the time-bounded aggregation executes, the physical scan's
+    // partitionFilters must be non-empty and its numFiles metric must
+    // equal the file count under the matching tbin= directories and be
+    // strictly below the table's total file count. The same evidence
+    // check is wired into PlanAudit (pruningEvidence below) so a plan
+    // regression fails the audit, not only this gate.
+    Q("q329_partition_pruning",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val (aggRows, ev) = pruningEvidence(s, d)
+        (aggRows.map { case (k, n, v) => ("agg", k, n, v) } ++ Seq(
+          ("prune", "partition_filters_present", 1L,
+            if (ev.pfPresent) 1L else 0L),
+          ("prune", "scanned_lt_total", 1L,
+            if (ev.filesScanned < ev.filesTotal) 1L else 0L),
+          ("prune", "scanned_eq_matching", 1L,
+            if (ev.filesScanned == ev.filesMatching) 1L else 0L)))
+          .toDF("kind", "key", "n", "v")
+      },
+      Some(graft.core.FlowView.cte(
+        """SELECT 'agg' AS kind, CAST(ip_src % 8 AS VARCHAR) AS key,
+             count(*) AS n, CAST(sum(bytes) AS BIGINT) AS v
+           FROM flows
+           WHERE t0u // 86400000000 =
+             (SELECT min(t0u // 86400000000) FROM flows)
+           GROUP BY 2
+           UNION ALL SELECT 'prune', 'partition_filters_present', 1, 1
+           UNION ALL SELECT 'prune', 'scanned_lt_total', 1, 1
+           UNION ALL SELECT 'prune', 'scanned_eq_matching', 1, 1""")),
+      doc = "partitioned-at-rest (time-bin × exporter-hash) archive " +
+        "write + gated proof that partition pruning fires on a " +
+        "time-bounded read")
   )
+
+  /** Partition-pruning evidence for q329 and PlanAudit: writes the
+    * (tbin, exp_h)-partitioned archive, runs the time-bounded
+    * aggregation, and reports what the executed scan actually read.
+    * Returns the aggregate rows (exporter-hash key, n, bytes) plus the
+    * pruning evidence. */
+  final case class PruneEvidence(filesScanned: Long, filesMatching: Long,
+      filesTotal: Long, pfPresent: Boolean)
+  def pruningEvidence(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(String, Long, Long)], PruneEvidence) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    val root = tmp.resolve("facts").toString
+    try {
+      flows(s, d)
+        .selectExpr("ip_src % 8 AS exp_h",
+          "t0u div 86400000000 AS tbin", "bytes")
+        .write.partitionBy("tbin", "exp_h").parquet(root)
+      val minTbin = flows(s, d)
+        .selectExpr("min(t0u div 86400000000) AS m")
+        .collect()(0).getLong(0)
+      val agg = s.read.parquet(root)
+        .where(col("tbin") === minTbin)
+        .groupBy("exp_h")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("v"))
+      val aggRows = agg.collect().toSeq
+        .map(r => (r.get(0).toString,
+          r.getLong(1), r.getLong(2)))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          // after execution AQE materializes stages as leaf
+          // QueryStageExec nodes — recurse into their plans
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+      val sc = scans(agg.queryExecution.executedPlan)
+      val filesScanned = sc.map(_.metrics("numFiles").value).sum
+      val pfPresent = sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty)
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString)
+        .toVector
+      val matching = all.count(_.contains(s"tbin=$minTbin/"))
+      (aggRows, PruneEvidence(filesScanned, matching.toLong,
+        all.size.toLong, pfPresent))
+    } finally {
+      // result rows are driver literals by now — the dir can go
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
 }

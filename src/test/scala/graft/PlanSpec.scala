@@ -337,4 +337,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus stream shuffled against the model:\n$plan")
   }
+
+  test("partitioned-at-rest layout prunes: time-bounded read scans " +
+      "only the matching partition files") {
+    val (aggRows, ev) = graft.operators.ScaleQueries
+      .pruningEvidence(spark, d)
+    assert(ev.pfPresent, "scan carries no partition filters")
+    assert(ev.filesScanned < ev.filesTotal,
+      s"no pruning: scanned ${ev.filesScanned} of ${ev.filesTotal}")
+    assert(ev.filesScanned == ev.filesMatching,
+      s"scanned ${ev.filesScanned} != matching ${ev.filesMatching}")
+    assert(aggRows.nonEmpty && aggRows.map(_._2).sum > 0)
+  }
 }

@@ -1038,4 +1038,29 @@ class StateSpec extends AnyFunSuite {
     assert(memBytes.last <= memBytes.head * 2,
       s"state memory trend: $memBytes")
   }
+
+  test("SniApps: longest-suffix hostname resolution on label boundaries") {
+    import graft.functions.{L7, SniApps}
+    // every q326 gate vector resolves through the FULL inspection
+    // path: ClientHello bytes → rule table says tls → SNI → app
+    SniApps.gateVectors.foreach { case (host, want) =>
+      val hello = L7.clientHello(host)
+      assert(L7.classifyPayload(hello) == "tls", host)
+      val sni = L7.tlsSni(hello)
+      assert(sni.contains(host), host)
+      assert(sni.flatMap(SniApps.app).getOrElse("tls") == want,
+        s"$host -> ${sni.flatMap(SniApps.app)}, want $want")
+    }
+    // longest suffix specializes: gmail/gdrive over google.com
+    assert(SniApps.app("mail.google.com").contains("gmail"))
+    assert(SniApps.app("imap.mail.google.com").contains("gmail"))
+    assert(SniApps.app("maps.google.com").contains("google"))
+    // label-boundary anchoring in both directions
+    assert(SniApps.app("fakenetflix.com").isEmpty)
+    assert(SniApps.app("netflix.com.evil.example").isEmpty)
+    assert(SniApps.app("NETFLIX.COM").contains("netflix")) // case-fold
+    assert(SniApps.app("netflix.com.").contains("netflix")) // FQDN dot
+    assert(SniApps.app("example.invalid").isEmpty)
+    assert(SniApps.app("").isEmpty)
+  }
 }
