@@ -65,12 +65,17 @@ object PlanAudit {
                                // derivations (c1/nf/nb/B) — each an
                                // aggregation over the CACHED ≤B-row
                                // bigram table, never the corpus
-    "q322_quality_ensemble",   // same shape: LM model build + two
-                               // model-sized derivations (c_a, vocab)
-                               // over the cached bigram table + the
-                               // short-doc union leg; zero joins on
-                               // the corpus after the r12 carry-
-                               // through rewrite
+    "q322_quality_ensemble",   // same shape: LM model build + model-
+                               // sized derivations over the driver-
+                               // literal trigram table + the short-doc
+                               // union leg; zero joins on the corpus
+                               // after the r12 carry-through rewrite
+    "q328_kn_trigram",         // five count-table derivations (ctx/
+                               // typ/mid/low/B), each an aggregation
+                               // over the <=16.5k-row driver-literal
+                               // trigram model — the corpus itself
+                               // pays exactly 2 exchanges (per-doc +
+                               // per-source aggs)
     "q278_misra_gries",        // exact-vs-sketch: both read the corpus
     "q252_containment_dedup",  // prefix-filter blocking + 2 verify legs
     "q297_kmv_sketch",         // per-source sketch + distinct-truth legs

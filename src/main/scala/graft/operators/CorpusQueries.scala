@@ -1048,19 +1048,21 @@ object CorpusQueries {
 
     // Quality-ensemble filtering (ROADMAP r12 #3; the FineWeb/CCNet
     // pattern): a document survives iff >= 2 of 3 INDEPENDENT quality
-    // signals pass — the broadcast bigram-LM perplexity gate (q255's
-    // model and threshold), the heuristic quality score (q36's >= 0.6),
-    // and the type-token-ratio repetition gate (q107's 0.5, compared
-    // exactly as 2*types >= tokens so no FP threshold exists). Scale
-    // shape: ONE tokenize pass feeds all three signals; the LM model
-    // is sample-trained, model-sized, and broadcast; everything else
-    // is per-row expressions and one final per-lang aggregation. The
-    // composition is the point: single filters each pass ~60-99% of
-    // docs, and the 2-of-3 vote is what production corpora actually
-    // ship (a lone signal's false positives survive any threshold).
+    // signals pass — the Kneser-Ney TRIGRAM perplexity gate (q328's
+    // model and threshold — upgraded from the add-1 bigram per VERDICT
+    // r12 #4: production LM filters run order >= 3), the heuristic
+    // quality score (q36's >= 0.6), and the type-token-ratio
+    // repetition gate (q107's 0.5, compared exactly as 2*types >=
+    // tokens so no FP threshold exists). Scale shape: ONE tokenize
+    // pass feeds all three signals; the LM model is sample-trained,
+    // model-sized, and broadcast; everything else is per-row
+    // expressions and one final per-lang aggregation. The composition
+    // is the point: single filters each pass ~60-99% of docs, and the
+    // 2-of-3 vote is what production corpora actually ship (a lone
+    // signal's false positives survive any threshold).
     Q("q322_quality_ensemble",
       (s, d) => {
-        // the heuristic features ride ALONG the bigram rows and come
+        // the heuristic features ride ALONG the trigram rows and come
         // back out of the per-doc aggregation as first()s — re-keying
         // LM scores onto the feature table would be a corpus×corpus
         // doc_id join (the PlanAudit sweep flagged the SMJ); carrying
@@ -1072,46 +1074,53 @@ object CorpusQueries {
             s"${TextOps.sparkQualityOf("toks")} AS q",
             "size(toks) AS ntok",
             "size(array_distinct(toks)) AS ntype")
-        val bi = feat.where("size(toks) >= 2")
+        val tri = feat.where("size(toks) >= 3")
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
-            "explode(transform(sequence(1, size(toks) - 1), " +
+            "explode(transform(sequence(1, size(toks) - 2), " +
               "i -> struct(element_at(toks, i) AS w1, " +
-              "element_at(toks, i + 1) AS w2))) AS b")
+              "element_at(toks, i + 1) AS w2, " +
+              "element_at(toks, i + 2) AS w3))) AS tg")
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
-            "b.w1 AS w1", "b.w2 AS w2")
-        // model-sized (distinct sample bigrams): computed ONCE and
+            "tg.w1 AS w1", "tg.w2 AS w2", "tg.w3 AS w3")
+        // model-sized (distinct sample trigrams): computed ONCE and
         // collected to a driver literal — the broadcast ships these
         // rows anyway, and unlike a persist() the literal cannot
         // outlive the lane and accumulate across a bench session
         // (ADVICE r12; the builder has no final action to hang an
         // unpersist on — actions run in Verify/Bench)
-        val cAb = {
+        val ct = {
           val sp = s; import sp.implicits._
-          bi.where("doc_id % 10 = 0").select("w1", "w2")
-            .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-            .as[(String, String, Long)].collect().toSeq
-            .toDF("w1", "w2", "c_ab")
+          tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
+            .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+            .as[(String, String, String, Long)].collect().toSeq
+            .toDF("w1", "w2", "w3", "c3")
         }
-        val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
-        val vocab = cAb.select(col("w1").as("tok"))
-          .union(cAb.select(col("w2").as("tok")))
-          .agg(countDistinct("tok").as("v"))
-        val scored = bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
-          .join(broadcast(cA), Seq("w1"), "left")
-          .crossJoin(broadcast(vocab))
+        val ctx = ct.groupBy("w1", "w2")
+          .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
+        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
+        val mid = ct.groupBy("w2").agg(count(lit(1)).as("d2"),
+          countDistinct("w3").as("nmid"))
+        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val bt = typ.agg(count(lit(1)).as("b"))
+        val scored = tri
+          .join(broadcast(ct), Seq("w1", "w2", "w3"), "left")
+          .join(broadcast(ctx), Seq("w1", "w2"), "left")
+          .join(broadcast(typ), Seq("w2", "w3"), "left")
+          .join(broadcast(mid), Seq("w2"), "left")
+          .join(broadcast(low), Seq("w3"), "left")
+          .crossJoin(broadcast(bt))
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
-            "CAST(floor(10000.0 * ln((coalesce(c_ab, 0) + 1.0) / " +
-              "(coalesce(c_a, 0) + v))) AS BIGINT) AS lp")
+            KnTrigram.sparkLp)
           .groupBy("doc_id")
           .agg(first("lang").as("lang"), first("q").as("q"),
             first("ntok").as("ntok"), first("ntype").as("ntype"),
-            count(lit(1)).as("n_bi"), sum("lp").as("lp_sum"))
+            count(lit(1)).as("n_tri"), sum("lp").as("lp_sum"))
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
-            "CASE WHEN lp_sum >= n_bi * -33900 THEN 1L ELSE 0L END" +
+            "CASE WHEN lp_sum >= n_tri * -36000 THEN 1L ELSE 0L END" +
               " AS s_lm")
-        // < 2 tokens: no bigrams, no LM evidence — union the short
+        // < 3 tokens: no trigrams, no LM evidence — union the short
         // docs back with s_lm = 0 (a filter leg, not a join)
-        scored.unionByName(feat.where("size(toks) < 2")
+        scored.unionByName(feat.where("size(toks) < 3")
             .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
               "0L AS s_lm"))
           .withColumn("s_q", when(col("q") >= 0.6, 1L).otherwise(0L))
@@ -1132,26 +1141,19 @@ object CorpusQueries {
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,
               ${TextOps.duckToks} AS toks FROM documents),
-            bi AS (SELECT doc_id,
-              unnest(list_transform(range(1, len(toks)),
+            tri AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
                 i -> toks[i])) AS w1,
-              unnest(list_transform(range(1, len(toks)),
-                i -> toks[i + 1])) AS w2
-              FROM t WHERE len(toks) >= 2),
-            smp AS (SELECT w1, w2 FROM bi WHERE doc_id % 10 = 0),
-            cab AS (SELECT w1, w2, count(*) AS c_ab
-              FROM smp GROUP BY 1, 2),
-            ca AS (SELECT w1, count(*) AS c_a FROM smp GROUP BY 1),
-            voc AS (SELECT count(DISTINCT tok) AS v FROM (
-              SELECT w1 AS tok FROM smp
-              UNION ALL SELECT w2 FROM smp) u),
-            lm AS (SELECT doc_id,
-              CASE WHEN sum(CAST(floor(10000.0 *
-                  ln((coalesce(c_ab, 0) + 1.0) /
-                     (coalesce(c_a, 0) + v))) AS BIGINT))
-                >= count(*) * -33900 THEN 1 ELSE 0 END AS s_lm
-              FROM bi LEFT JOIN cab USING (w1, w2)
-              LEFT JOIN ca USING (w1) CROSS JOIN voc
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 1])) AS w2,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 2])) AS w3
+              FROM t WHERE len(toks) >= 3),
+            ${KnTrigram.duckModelCtes}
+            lm AS (SELECT tri.doc_id,
+              CASE WHEN CAST(sum(${KnTrigram.duckLp}) AS BIGINT)
+                >= count(*) * -36000 THEN 1 ELSE 0 END AS s_lm
+              FROM ${KnTrigram.duckJoins}
               GROUP BY 1),
             f AS (SELECT t.doc_id, t.lang,
               ${TextOps.duckQuality.replace(TextOps.duckToks, "toks")}
@@ -1276,6 +1278,181 @@ object CorpusQueries {
             FROM sc GROUP BY 1"""),
       doc = "interpolated Kneser-Ney bigram LM (D=3/4, exact integer " +
         "rationals, continuation-count backoff) — the KenLM-fidelity " +
-        "twin of q255's add-1 baseline")
+        "twin of q255's add-1 baseline"),
+
+    // Interpolated Kneser-Ney TRIGRAM LM (VERDICT r12 #4: the KenLM
+    // order ladder, one step up from q323) — production LM filters run
+    // order ≥3; the recursion is Chen & Goodman's interpolated form
+    // with D = 3/4 at every level:
+    //   P(w3|w1w2) = max(c3−D,0)/c2 + D·Nf3(w1w2)/c2 · Pmid(w3|w2)
+    //   Pmid(w3|w2) = max(n2−D,0)/D2(w2) + D·Nmid(w2)/D2(w2) · Plow(w3)
+    //   Plow(w3) = nb(w3)/B
+    // where n2 = N1+(·w2w3) (continuation type counts — KN's "how many
+    // contexts has this completed", not "how often seen"), D2 = Σ n2,
+    // nb counts distinct predecessors among (w2,w3) types and B the
+    // distinct types. Every FACTOR is an exact integer; the three
+    // levels combine in ONE fixed double expression mirrored
+    // parenthesis-for-parenthesis in the oracle, so both engines
+    // evaluate identical IEEE doubles and the quantized floor(10000·ln)
+    // is bit-identical (a single integer rational overflows BIGINT at
+    // 100× here — 4c2·4D2·B — which is why the combination happens in
+    // doubles, unlike the bigram lane). Unseen bigram context backs
+    // off to the middle level, unseen middle word to the continuation
+    // unigram, with q323's 1-numerator OOV floor. Scale shape: the
+    // model is sample-trained, model-sized (16.5k trigram types at
+    // sf0.1), collected to a driver literal (it broadcasts anyway,
+    // nothing stays cached), and the corpus pass is five broadcast
+    // joins + one aggregation.
+    Q("q328_kn_trigram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 3")
+        val tri = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 2), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2, " +
+              "element_at(toks, i + 2) AS w3))) AS tg")
+          .selectExpr("doc_id", "source",
+            "tg.w1 AS w1", "tg.w2 AS w2", "tg.w3 AS w3")
+        val ct = {
+          val sp = s; import sp.implicits._
+          tri.where("doc_id % 10 = 0")
+            .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+            .as[(String, String, String, Long)].collect().toSeq
+            .toDF("w1", "w2", "w3", "c3")
+        }
+        val ctx = ct.groupBy("w1", "w2")
+          .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
+        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
+        val mid = ct.groupBy("w2").agg(count(lit(1)).as("d2"),
+          countDistinct("w3").as("nmid"))
+        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val bt = typ.agg(count(lit(1)).as("b"))
+        tri.join(broadcast(ct), Seq("w1", "w2", "w3"), "left")
+          .join(broadcast(ctx), Seq("w1", "w2"), "left")
+          .join(broadcast(typ), Seq("w2", "w3"), "left")
+          .join(broadcast(mid), Seq("w2"), "left")
+          .join(broadcast(low), Seq("w3"), "left")
+          .crossJoin(broadcast(bt))
+          .selectExpr("doc_id", "source", KnTrigram.sparkLp)
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tri"), sum("lp").as("lp_sum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("lp_sum") >= col("n_tri") * -36000L, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t3 AS (SELECT * FROM t WHERE len(toks) >= 3),
+            tri AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 1])) AS w2,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 2])) AS w3
+              FROM t3),
+            ${KnTrigram.duckModelCtes}
+            sc AS (SELECT tri.doc_id, tri.source, count(*) AS n_tri,
+              CAST(sum(${KnTrigram.duckLp}) AS BIGINT) AS lp_sum
+              FROM ${KnTrigram.duckJoins}
+              GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n_tri * -36000 THEN 1 END)
+                AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+            FROM sc GROUP BY 1"""),
+      doc = "interpolated Kneser-Ney TRIGRAM LM (D=3/4, three-level " +
+        "backoff through continuation counts, bit-identical quantized " +
+        "log-probs) — the KenLM order ladder over q323")
   )
+}
+
+/** The Kneser-Ney trigram expression, shared verbatim by q328 and
+  * q322's perplexity vote so the two lanes cannot drift. The Spark and
+  * DuckDB forms mirror each other parenthesis-for-parenthesis — every
+  * factor is an exact integer below 2^53 and doubles combine in one
+  * fixed order, so the quantized floor(10000·ln(p)) is bit-identical.
+  */
+private[operators] object KnTrigram {
+
+  /** Spark selectExpr leg: requires columns c3,c2,nf3,n2,d2,nmid,nb,b
+    * in scope (nulls where a model table missed). */
+  val sparkLp: String =
+    """CAST(floor(10000.0 * ln(
+         CASE WHEN c2 IS NOT NULL THEN
+           greatest(
+             CAST(greatest(4 * coalesce(c3, 0L) - 3, 0L) AS DOUBLE)
+               * (4 * d2) * b
+             + 3.0 * nf3 *
+               (CAST(greatest(4 * coalesce(n2, 0L) - 3, 0L) AS DOUBLE)
+                  * b
+                + 3.0 * nmid * coalesce(nb, 0L)),
+             CAST(1 AS DOUBLE))
+           / (CAST(4 * c2 AS DOUBLE) * (4 * d2) * b)
+         WHEN d2 IS NOT NULL THEN
+           greatest(
+             CAST(greatest(4 * coalesce(n2, 0L) - 3, 0L) AS DOUBLE) * b
+             + 3.0 * nmid * coalesce(nb, 0L),
+             CAST(1 AS DOUBLE))
+           / (CAST(4 * d2 AS DOUBLE) * b)
+         ELSE CAST(greatest(coalesce(nb, 0L), 1L) AS DOUBLE)
+           / (4.0 * b)
+         END)) AS BIGINT) AS lp"""
+
+  /** DuckDB mirror of [[sparkLp]] (qualified column names; the CASE
+    * and double-combination order are identical). */
+  val duckLp: String =
+    """CAST(floor(10000.0 * ln(
+         CASE WHEN ctx.c2 IS NOT NULL THEN
+           greatest(
+             CAST(greatest(4 * coalesce(ct.c3, 0) - 3, 0) AS DOUBLE)
+               * (4 * mid.d2) * bt.b
+             + 3.0 * ctx.nf3 *
+               (CAST(greatest(4 * coalesce(typ.n2, 0) - 3, 0)
+                  AS DOUBLE) * bt.b
+                + 3.0 * mid.nmid * coalesce(low.nb, 0)),
+             CAST(1 AS DOUBLE))
+           / (CAST(4 * ctx.c2 AS DOUBLE) * (4 * mid.d2) * bt.b)
+         WHEN mid.d2 IS NOT NULL THEN
+           greatest(
+             CAST(greatest(4 * coalesce(typ.n2, 0) - 3, 0) AS DOUBLE)
+               * bt.b
+             + 3.0 * mid.nmid * coalesce(low.nb, 0),
+             CAST(1 AS DOUBLE))
+           / (CAST(4 * mid.d2 AS DOUBLE) * bt.b)
+         ELSE CAST(greatest(coalesce(low.nb, 0), 1) AS DOUBLE)
+           / (4.0 * bt.b)
+         END)) AS BIGINT)"""
+
+  /** The model CTE chain: expects a `tri(doc_id, source?, w1, w2, w3)`
+    * CTE defined just before (built by the caller, since q322 carries
+    * extra feature columns through it). `ct` is MATERIALIZED — it is
+    * referenced by three derivations and DuckDB would otherwise
+    * re-expand the corpus scan per reference. */
+  val duckModelCtes: String =
+    """smp AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 10 = 0),
+       ct AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3
+         FROM smp GROUP BY 1, 2, 3),
+       ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+         count(*) AS nf3 FROM ct GROUP BY 1, 2),
+       typ AS MATERIALIZED (SELECT w2, w3, count(*) AS n2
+         FROM ct GROUP BY 1, 2),
+       mid AS (SELECT w2, count(*) AS d2, count(DISTINCT w3) AS nmid
+         FROM ct GROUP BY 1),
+       low AS (SELECT w3, count(*) AS nb FROM typ GROUP BY 1),
+       bt AS (SELECT count(*) AS b FROM typ),"""
+
+  /** The scoring join chain (FROM clause body). */
+  val duckJoins: String =
+    """tri LEFT JOIN ct USING (w1, w2, w3)
+       LEFT JOIN ctx USING (w1, w2)
+       LEFT JOIN typ ON typ.w2 = tri.w2 AND typ.w3 = tri.w3
+       LEFT JOIN mid ON mid.w2 = tri.w2
+       LEFT JOIN low ON low.w3 = tri.w3
+       CROSS JOIN bt"""
 }
