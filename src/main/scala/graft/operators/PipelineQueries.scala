@@ -90,6 +90,75 @@ object PipelineQueries {
     (rid, source, extracted, robotsAdmit(rid))
   }
 
+  /** DuckDB CTE chain for the batch pipeline through the dedup
+    * cascade's substring tier — shared VERBATIM by q320's funnel
+    * oracle and q327's streaming-equality oracle so the two gates can
+    * never drift. Yields CTEs: ext (HTML-extracted text), feat
+    * (per-doc features), s0 (admitted + quality), de/dn/ds (the three
+    * tiers' drop sets), thv, and s3 (the cascade's survivors). */
+  private def duckCascadePrefix: String = {
+    val toksOf = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val hsOf = s"list_distinct(list_transform(" +
+      s"${duckShingles(toksOf)}, g -> ${duckTokHash("g")} % $P))"
+    s"""ext AS MATERIALIZED (SELECT doc_id, source,
+              coalesce(list_aggr(list_filter(list_transform(
+                string_split(text, chr(10)),
+                l -> regexp_replace(regexp_replace(l, '\\s+', ' ', 'g'),
+                  '^ +| +$$', '', 'g')), x -> len(x) > 0),
+                'string_agg', chr(10)), '') AS text
+              FROM documents),
+            feat AS MATERIALIZED (SELECT doc_id, source,
+              (doc_id % 6 NOT IN (0, 3)) AS admit,
+              ${duckLangPredict(duckHps)} AS pred,
+              $duckQuality AS score,
+              md5(text) AS ek,
+              ${duckTokHash("text")} % $P AS ck,
+              list_transform($duckToks, tk -> ${duckTokHash("tk")})
+                AS th,
+              $hsOf AS hs,
+              list_distinct(list_transform(range(1,
+                greatest(len($duckToks) - 12, 0) + 1),
+                i -> list_reduce([0::BIGINT] ||
+                  list_transform($duckToks,
+                    tk -> ${duckTokHash("tk")})[i:i+12],
+                  (a, x) -> (a * 31 + x) % ${1L << 50}))) AS dg,
+              len($duckToks) AS ntok
+              FROM ext),
+            s0 AS MATERIALIZED (SELECT * FROM feat
+              WHERE admit AND score >= 0.6),
+            de AS MATERIALIZED (SELECT e.doc_id FROM s0 e
+              JOIN (SELECT ek, min(doc_id) AS m FROM s0 GROUP BY 1) g
+                ON e.ek = g.ek AND e.doc_id > g.m),
+            sigs AS (SELECT doc_id, hs,
+              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
+                .mkString(", ")} FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)),
+            bands AS MATERIALIZED (${(0 until 4).map(b =>
+                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
+                    s${2 * b + 1}) AS bk FROM sigs""")
+              .mkString(" UNION ALL ")}),
+            dn AS MATERIALIZED (SELECT DISTINCT y.doc_id
+              FROM bands x JOIN bands y
+                ON x.bk = y.bk AND x.doc_id < y.doc_id
+              WHERE 10 * len(list_intersect(x.hs, y.hs))
+                >= 9 * len(list_distinct(x.hs || y.hs))),
+            thv AS (SELECT doc_id, th, ntok FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)),
+            wins AS MATERIALIZED (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(th) - 30, 1)),
+                i -> list_aggr(list_transform(list_slice(th, i, i + 31),
+                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
+              FROM thv),
+            ds AS MATERIALIZED (SELECT DISTINCT w.doc_id
+              FROM wins w JOIN (SELECT win, min(doc_id) AS m FROM wins
+                GROUP BY 1) o ON w.win = o.win AND w.doc_id > o.m),
+            s3 AS MATERIALIZED (SELECT * FROM s0
+              WHERE doc_id NOT IN (SELECT doc_id FROM de)
+                AND doc_id NOT IN (SELECT doc_id FROM dn)
+                AND doc_id NOT IN (SELECT doc_id FROM ds))"""
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q320: WARC ingest → HTML extract → robots admission → lang-ID →
@@ -326,66 +395,7 @@ object PipelineQueries {
         funnel.toDF("kind", "key", "n", "v")
       },
       Some {
-        val toksOf = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-        val hsOf = s"list_distinct(list_transform(" +
-          s"${duckShingles(toksOf)}, g -> ${duckTokHash("g")} % $P))"
-        s"""WITH ext AS MATERIALIZED (SELECT doc_id, source,
-              coalesce(list_aggr(list_filter(list_transform(
-                string_split(text, chr(10)),
-                l -> regexp_replace(regexp_replace(l, '\\s+', ' ', 'g'),
-                  '^ +| +$$', '', 'g')), x -> len(x) > 0),
-                'string_agg', chr(10)), '') AS text
-              FROM documents),
-            feat AS MATERIALIZED (SELECT doc_id, source,
-              (doc_id % 6 NOT IN (0, 3)) AS admit,
-              ${duckLangPredict(duckHps)} AS pred,
-              $duckQuality AS score,
-              md5(text) AS ek,
-              ${duckTokHash("text")} % $P AS ck,
-              list_transform($duckToks, tk -> ${duckTokHash("tk")})
-                AS th,
-              $hsOf AS hs,
-              list_distinct(list_transform(range(1,
-                greatest(len($duckToks) - 12, 0) + 1),
-                i -> list_reduce([0::BIGINT] ||
-                  list_transform($duckToks,
-                    tk -> ${duckTokHash("tk")})[i:i+12],
-                  (a, x) -> (a * 31 + x) % ${1L << 50}))) AS dg,
-              len($duckToks) AS ntok
-              FROM ext),
-            s0 AS MATERIALIZED (SELECT * FROM feat
-              WHERE admit AND score >= 0.6),
-            de AS MATERIALIZED (SELECT e.doc_id FROM s0 e
-              JOIN (SELECT ek, min(doc_id) AS m FROM s0 GROUP BY 1) g
-                ON e.ek = g.ek AND e.doc_id > g.m),
-            sigs AS (SELECT doc_id, hs,
-              ${(0 until 8).map(k => s"${duckMinhash("hs", k)} AS s$k")
-                .mkString(", ")} FROM s0
-              WHERE doc_id NOT IN (SELECT doc_id FROM de)),
-            bands AS MATERIALIZED (${(0 until 4).map(b =>
-                s"""SELECT doc_id, hs, concat_ws('_', '$b', s${2 * b},
-                    s${2 * b + 1}) AS bk FROM sigs""")
-              .mkString(" UNION ALL ")}),
-            dn AS MATERIALIZED (SELECT DISTINCT y.doc_id
-              FROM bands x JOIN bands y
-                ON x.bk = y.bk AND x.doc_id < y.doc_id
-              WHERE 10 * len(list_intersect(x.hs, y.hs))
-                >= 9 * len(list_distinct(x.hs || y.hs))),
-            thv AS (SELECT doc_id, th, ntok FROM s0
-              WHERE doc_id NOT IN (SELECT doc_id FROM de)
-                AND doc_id NOT IN (SELECT doc_id FROM dn)),
-            wins AS MATERIALIZED (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, greatest(len(th) - 30, 1)),
-                i -> list_aggr(list_transform(list_slice(th, i, i + 31),
-                  x -> CAST(x AS VARCHAR)), 'string_agg', ','))) AS win
-              FROM thv),
-            ds AS MATERIALIZED (SELECT DISTINCT w.doc_id
-              FROM wins w JOIN (SELECT win, min(doc_id) AS m FROM wins
-                GROUP BY 1) o ON w.win = o.win AND w.doc_id > o.m),
-            s3 AS MATERIALIZED (SELECT * FROM s0
-              WHERE doc_id NOT IN (SELECT doc_id FROM de)
-                AND doc_id NOT IN (SELECT doc_id FROM dn)
-                AND doc_id NOT IN (SELECT doc_id FROM ds)),
+        s"""WITH $duckCascadePrefix,
             bench AS MATERIALIZED (SELECT DISTINCT unnest(dg) AS h
               FROM feat WHERE doc_id % 10 = 0),
             cont AS MATERIALIZED (SELECT DISTINCT doc_id
@@ -535,6 +545,198 @@ object PipelineQueries {
       },
       doc = "streaming ingest: the fused WARC/HTML/robots pass + " +
         "feature projection as a >= 4-micro-batch stream into the M1 " +
-        "boundary, batch-split-invariant by statelessness")
+        "boundary, batch-split-invariant by statelessness"),
+
+    // Dedup-on-ingest for the composed pipeline (VERDICT r12 #3):
+    // q325 stops at the M1 boundary; this lane runs q320's THREE dedup
+    // tiers INCREMENTALLY as arrival batches land — q74's probe shape
+    // (new docs probe accumulated candidate state) composed with
+    // q318's keyed-ownership semantics, per tier:
+    //   exact:     state = min owner per md5 key;
+    //   LSH near:  state = every prior exact-survivor's (band key,
+    //              signature) rows — dropped docs stay DROPPERS, the
+    //              batch lane's exact semantics;
+    //   substring: state = min owner per 32-token window class.
+    // A batch's docs are deduped within the batch AND against all
+    // prior state, then the batch's contribution is APPENDED to each
+    // tier's state — the incremental-index shape a 100 TB crawl
+    // ingest actually runs (state here is parquet appends read back
+    // per batch; at scale the same appends land in a compacted keyed
+    // store, and min-over-appends is merge-associative so compaction
+    // is safe at any time).
+    //
+    // Equality contract: min-owner dedup is retroactive-free only
+    // when doc_ids never decrease across batches (q318's documented
+    // caveat — there it capped the lane at one batch; here the
+    // arrival ORDER is part of the modeled system: a crawl ingest
+    // assigns ids monotonically at arrival). The gate stages the
+    // corpus as 8 doc_id-range files with ascending mod-times, forces
+    // >= 4 micro-batches, HARD-CHECKS monotone arrival per batch (the
+    // assumption is a runtime require, not a comment), and the
+    // surviving corpus must equal q320's batch cascade DOC-FOR-DOC
+    // (the oracle replays the batch tiers over the same corpus and
+    // the result is one row per surviving doc).
+    Q("q327_stream_dedup_cascade",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.types.StructType
+        val qualityMin = 0.6
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q327_cascade").toString
+        val staged = s"$tmp/staged"
+        val (stE, stB, stC) = (s"$tmp/st_ek", s"$tmp/st_band",
+          s"$tmp/st_cls")
+        val out = s"$tmp/survivors"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staged))
+        // ---- stage the corpus as 8 ascending doc_id-range files with
+        // ascending mod-times (FileStreamSource orders by timestamp,
+        // then path — both ascend here)
+        val raw = Tables.documents(s, d).select("doc_id", "source",
+          "text")
+        val maxId = raw.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        val t0 = System.currentTimeMillis() - 120000L
+        (0 until 8).foreach { k =>
+          val dir = s"$tmp/slice$k"
+          raw.where(col("doc_id") >= k * width &&
+              col("doc_id") < (k + 1) * width)
+            .coalesce(1).write.parquet(dir)
+          val f = new java.io.File(dir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(staged,
+            f"part-$k%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + k * 2000L))
+        }
+        def readOr(path: String, ddl: String): DataFrame =
+          if (new java.io.File(path).exists())
+            s.read.schema(StructType.fromDDL(ddl)).parquet(path)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(ddl))
+        val eDDL = "ek STRING, owner BIGINT"
+        val bDDL = "bk STRING, doc_id BIGINT, hs ARRAY<BIGINT>"
+        val cDDL = "ka BIGINT, kb BIGINT, doc_id BIGINT"
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val q = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(s"$staged/part-*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              nBatches.incrementAndGet()
+              // the equality contract's hard check: ids only ascend
+              val r = b.agg(min("doc_id"), max("doc_id")).head()
+              require(r.getLong(0) > lastMax.get(),
+                s"arrival order regressed: batch min ${r.getLong(0)}" +
+                  s" <= prior max ${lastMax.get()}")
+              lastMax.set(r.getLong(1))
+              // q320's fused ingest + feature projection (row-local)
+              val feat = b.select("doc_id", "source", "text")
+                .as[(Long, String, String)]
+                .mapPartitions(_.map { case (id, src, text) =>
+                  ingestDoc(id, src, text)
+                })
+                .toDF("doc_id", "source", "text", "admit")
+                .withColumn("toks", expr(sparkToks))
+                .selectExpr("doc_id", "admit",
+                  s"${sparkQualityOf("toks")} as score",
+                  "md5(text) as ek",
+                  s"transform(toks, t -> ${sparkTokHash("t")}) as th",
+                  s"array_distinct(transform(${sparkShingles("toks")}" +
+                    s", g -> ${sparkTokHash("g")} % $P)) as hs",
+                  "size(toks) as ntok")
+                .withColumn("bks", expr(SigTable.bandExpr))
+                .where(s"admit AND score >= $qualityMin")
+                .persist()
+              // ---- exact tier: batch-local min per ek vs prior owners
+              val ownE = feat.groupBy("ek")
+                .agg(min("doc_id").as("bmin"))
+                .join(readOr(stE, eDDL).groupBy("ek")
+                  .agg(min("owner").as("pmin")), Seq("ek"), "left")
+                .selectExpr("ek",
+                  "least(bmin, coalesce(pmin, bmin)) AS own")
+              val dropE = feat.select("doc_id", "ek").join(ownE, "ek")
+                .where("doc_id != own").select("doc_id")
+              val s1 = feat.join(dropE.withColumnRenamed("doc_id",
+                "de"), col("doc_id") === col("de"), "left_anti")
+              ownE.selectExpr("ek", "own AS owner")
+                .write.mode("append").parquet(stE)
+              // ---- LSH near tier: batch bands probe prior + batch
+              // bands (every prior exact-survivor stays a dropper)
+              val b1 = s1.select(col("doc_id"), col("hs"),
+                explode(col("bks")).as("bk")).persist()
+              val xSide = readOr(stB, bDDL)
+                .unionByName(b1.select("bk", "doc_id", "hs"))
+              val dropN = b1.alias("y").join(xSide.alias("x"),
+                  col("x.bk") === col("y.bk") &&
+                    col("x.doc_id") < col("y.doc_id"))
+                .filter(expr("10 * size(array_intersect(x.hs, y.hs))" +
+                  " >= 9 * size(array_union(x.hs, y.hs))"))
+                .select(col("y.doc_id").as("doc_id")).distinct()
+              val s2 = s1.join(dropN.withColumnRenamed("doc_id", "dn"),
+                col("doc_id") === col("dn"), "left_anti")
+              b1.select("bk", "doc_id", "hs")
+                .write.mode("append").parquet(stB)
+              // ---- substring tier: window classes vs min owners
+              val cls = s2.select("doc_id", "th").as[(Long, Seq[Long])]
+                .flatMap { case (doc, th) =>
+                  graft.text.SuffixClasses
+                    .probeRanks(doc, th.toArray, Seq(5))
+                    .iterator.flatMap { case (_, ra, rb) =>
+                      val set = scala.collection.mutable
+                        .LinkedHashSet[(Long, Long)]()
+                      var p = 0
+                      while (p < ra.length) {
+                        set += ((ra(p), rb(p))); p += 1
+                      }
+                      set.iterator.map { case (ka, kb) =>
+                        (doc, ka, kb) }
+                    }
+                }.toDF("doc_id", "ka", "kb").persist()
+              val ownC = cls.select("ka", "kb", "doc_id")
+                .unionByName(readOr(stC, cDDL)
+                  .select("ka", "kb", "doc_id"))
+                .groupBy("ka", "kb").agg(min("doc_id").as("own"))
+              val dropS = cls.join(ownC, Seq("ka", "kb"))
+                .where(col("doc_id") > col("own"))
+                .select("doc_id").distinct()
+              val s3 = s2.join(dropS.withColumnRenamed("doc_id", "ds"),
+                col("doc_id") === col("ds"), "left_anti")
+              cls.select("ka", "kb", "doc_id")
+                .write.mode("append").parquet(stC)
+              // ---- survivors land incrementally (the M2 feed)
+              s3.select("doc_id", "ntok")
+                .write.mode("append").parquet(out)
+              cls.unpersist(); b1.unpersist(); feat.unpersist()
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        readOr(out, "doc_id BIGINT, ntok BIGINT")
+          .selectExpr("'doc' AS kind", "CAST(doc_id AS STRING) AS key",
+            "1L AS n", "ntok AS v")
+          .unionByName(Seq(
+            ("stream", "multi_batch", 1L,
+              if (nBatches.get() >= 4) 1L else 0L),
+            ("stream", "ascending_arrival", 1L, 1L))
+            .toDF("kind", "key", "n", "v"))
+      },
+      Some(s"""WITH $duckCascadePrefix
+            SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS key,
+              CAST(1 AS BIGINT) AS n, CAST(ntok AS BIGINT) AS v
+            FROM s3
+            UNION ALL SELECT 'stream', 'multi_batch', 1, 1
+            UNION ALL SELECT 'stream', 'ascending_arrival', 1, 1"""),
+      doc = "streaming dedup-on-ingest: q320's exact/LSH/substring " +
+        "cascade running incrementally over >= 4 arrival batches " +
+        "(probe-then-append tier state, monotone-arrival hard check); " +
+        "survivors equal the batch cascade doc-for-doc")
   )
 }
