@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-at-scale extraction (VERDICT r12 #6): runs the three ANN
+  * lanes' builders in a Bench-shaped session (local[32], 32 shuffle
+  * partitions — the soak measurement environment) and prints ONE line
+  * per lane with aggregated recall@5, so the 10×/100× soak measures
+  * QUALITY alongside time. Usage: runMain graft.AnnRecall <sfDir>. */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Unit = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, d)
+      val (hits, cand) =
+        if (name == "q246_ann_recall") {
+          val r = df.agg(sum("n_hits"), sum("n_ivf")).head()
+          (r.getLong(0), r.getLong(1))
+        } else {
+          val r = df.filter(col("kind") === "recall")
+            .agg(sum("v"), sum("n")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""ANNRECALL {"lane":"$name","sf":"$d","hits":$hits,"cand":$cand,"recall":${if (cand == 0) 0.0 else hits.toDouble / cand}%.4f,"secs":$secs%.2f}""")
+    }
+    Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq").foreach(run)
+    spark.stop()
+  }
+}

@@ -199,6 +199,22 @@ object PipelineQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("q320_pipeline").toString
         val (m1, m2) = (s"$tmp/m1", s"$tmp/m2")
+        // Per-stage soak instrumentation (VERDICT r12 #5): with
+        // SPARK_GRAFT_STAGE_TIMES set, each stage is FORCED at its
+        // boundary (an extra count() per persisted drop set) and the
+        // split prints as one Q320_STAGES line, so a scale regression
+        // localizes to a stage. Without the knob the lane is
+        // unchanged — no extra actions, tiers materialize lazily
+        // under the funnel aggregation as always.
+        val stageTimes = scala.collection.mutable
+          .ArrayBuffer[(String, Double)]()
+        val timing = sys.env.contains("SPARK_GRAFT_STAGE_TIMES")
+        def mark[T](name: String)(body: => T): T = {
+          val tt0 = System.nanoTime(); val r = body
+          stageTimes += ((name, (System.nanoTime() - tt0) / 1e9)); r
+        }
+        def force(name: String, df: DataFrame): Unit =
+          if (timing) mark(name)(df.count())
 
         // ---- stages 1-3 (fused, shuffle-free): WARC container
         // round-trip (q288), HTML wrap + tag-walk extraction (q274),
@@ -217,7 +233,7 @@ object PipelineQueries {
         // ---- per-doc features in ONE projection (tokens bound once),
         // then the M1 stage boundary
         val hpsOfToks = s"transform(toks, t -> ${sparkTokHash("t")} % $P)"
-        ingest
+        mark("m1_ingest")(ingest
           .withColumn("toks", expr(sparkToks))
           .selectExpr("doc_id", "source", "admit",
             s"${sparkLangPredict(hpsOfToks)} as pred",
@@ -243,7 +259,7 @@ object PipelineQueries {
               s"(a, x) -> (a * 31 + x) % ${1L << 50}))) as dg",
             "size(toks) as ntok")
           .withColumn("bks", expr(SigTable.bandExpr))
-          .write.parquet(m1)
+          .write.parquet(m1))
         val feat = s.read.parquet(m1)
 
         // ---- stages 6-8: the dedup cascade over admitted + quality
@@ -253,6 +269,7 @@ object PipelineQueries {
         val dropE = s0.join(minEk, Seq("ek"))
           .filter(col("doc_id") =!= col("k0"))
           .select("doc_id").persist()
+        force("t_exact", dropE)
         val s1 = s0.join(dropE.withColumnRenamed("doc_id", "de"),
           col("doc_id") === col("de"), "left_anti")
         val b1 = s1.select(col("doc_id"), col("hs"),
@@ -263,6 +280,7 @@ object PipelineQueries {
           .filter(expr("10 * size(array_intersect(x.hs, y.hs)) >= " +
             "9 * size(array_union(x.hs, y.hs))"))
           .select(col("y.doc_id").as("doc_id")).distinct().persist()
+        force("t_near", dropN)
         val s2 = s1.join(dropN.withColumnRenamed("doc_id", "dn"),
           col("doc_id") === col("dn"), "left_anti")
         val cls = s2.select("doc_id", "th").as[(Long, Seq[Long])]
@@ -280,6 +298,7 @@ object PipelineQueries {
         val dropS = cls.join(owners, Seq("ka", "kb"))
           .filter(col("doc_id") > col("own"))
           .select("doc_id").distinct().persist()
+        force("t_substr", dropS)
 
         // ---- stage 9: decontamination — held-out 13-gram hashes
         // broadcast (bench corpora are model-sized)
@@ -291,6 +310,7 @@ object PipelineQueries {
           .select(col("doc_id"), explode(col("dg")).as("h"))
           .join(broadcast(bench), Seq("h"))
           .select("doc_id").distinct().persist()
+        force("t_decontam", cont)
 
         // ---- one narrow per-doc status table carries every flag; the
         // funnel is then ONE aggregation pass, not a count per tier
@@ -319,7 +339,7 @@ object PipelineQueries {
             expr(s"${sparkTokHash("cast(doc_id as string)")} % 1000000" +
               " < cast(floor(1000000.0 * least(1.0," +
               " 15.0 / sqrt(cast(n_l as double)))) as bigint)"))
-        val f = statusF.agg(
+        val f = mark("funnel_agg")(statusF.agg(
           count(lit(1)), sum("ntok"), sum("ck"),
           sum(when(col("admit"), 1L)),
           sum(when(col("admit"), col("ntok"))),
@@ -329,15 +349,16 @@ object PipelineQueries {
           sum(when(col("c5"), 1L)), sum(when(col("c5"), col("ntok"))),
           sum(when(col("c6"), 1L)), sum(when(col("c6"), col("ntok"))),
           sum(when(col("c7"), 1L)), sum(when(col("c7"), col("ntok"))))
-          .head()
+          .head())
         def fl(i: Int): Long = if (f.isNullAt(i)) 0L else f.getLong(i)
-        val mix = statusF.filter(col("c7")).groupBy("pred")
+        val mix = mark("mix")(statusF.filter(col("c7")).groupBy("pred")
           .agg(count(lit(1)).as("n"), sum("ntok").as("v"))
-          .as[(String, Long, Long)].collect().toSeq
+          .as[(String, Long, Long)].collect().toSeq)
 
         // ---- the M2 stage boundary: the final training corpus
-        statusF.filter(col("c7")).select("doc_id", "pred", "ntok")
-          .write.parquet(m2)
+        mark("m2_write")(statusF.filter(col("c7"))
+          .select("doc_id", "pred", "ntok")
+          .write.parquet(m2))
         status.unpersist()
         dropE.unpersist(); dropN.unpersist(); dropS.unpersist()
         cls.unpersist(); cont.unpersist()
@@ -357,16 +378,17 @@ object PipelineQueries {
           .withColumn("offset", coalesce(
             sum("btok").over(wOff) - col("btok"), lit(0L)))
           .select("bucket", "offset")
-        val pack = inBucket.join(broadcast(offsets), Seq("bucket"))
+        val pack = mark("packing")(
+          inBucket.join(broadcast(offsets), Seq("bucket"))
           .withColumn("seq_id", expr(s"(offset + cum_in) div $budget"))
           .agg(countDistinct("seq_id").as("n"), sum("ntok").as("v"))
-          .head()
+          .head())
         def pl(i: Int): Long =
           if (pack.isNullAt(i)) 0L else pack.getLong(i)
 
         // ---- stage 12: curriculum shards (q182's range sort + ranks)
         val n7 = fl(15)
-        val shards =
+        val shards = mark("curriculum") {
           if (n7 == 0) Seq.empty[(String, Long, Long)]
           else corpus.select("doc_id", "ntok").as[(Long, Long)].rdd
             .map { case (id, nt) => ((nt, id), ()) }
@@ -378,6 +400,10 @@ object PipelineQueries {
             .agg(count(lit(1)).as("n"), sum("ntok").as("v"))
             .as[(Long, Long, Long)].collect().toSeq
             .map { case (sh, n, v) => (f"$sh%02d", n, v) }
+        }
+        if (timing)
+          println("Q320_STAGES " + stageTimes.map { case (k, t) =>
+            f"$k=$t%.2f" }.mkString(" "))
 
         val funnel = Seq(
           ("funnel", "00_ingest", fl(0), fl(1)),
