@@ -91,9 +91,21 @@ object Bench {
     def runOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // a crashed query records the -1 sentinel, never its elapsed time
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      // a crashed query records the -1 sentinel, never its elapsed time.
+      // Execute the lane's FULL physical plan, not count(): under a
+      // count, Catalyst eliminates row-preserving left joins (unique
+      // right key), so a lane whose expensive leg hangs off such a
+      // join (the recall reconciliations: q246/q266/q286) was timed
+      // WITHOUT that leg — q266's exact-baseline at 100x measured
+      // 12.5 s via count() vs 1313 s fully executed. The oracle side
+      // (DuckDB in bench_compare) always materializes full results,
+      // so count() timings systematically flattered exactly these
+      // lanes. executedPlan.execute() runs the plan as the user's
+      // projection demands, with no count-specific rewrite.
+      val ok = try {
+        fn(spark, sfDir).queryExecution.executedPlan.execute().count()
+        true
+      } catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val lanes = SparkEntry.queries.toSeq.sortBy(_._1)
