@@ -763,6 +763,176 @@ object PipelineQueries {
       doc = "streaming dedup-on-ingest: q320's exact/LSH/substring " +
         "cascade running incrementally over >= 4 arrival batches " +
         "(probe-then-append tier state, monotone-arrival hard check); " +
-        "survivors equal the batch cascade doc-for-doc")
+        "survivors equal the batch cascade doc-for-doc"),
+
+    // OUT-OF-ORDER arrival reconciliation — q327's contract says
+    // min-owner verdicts are final only under monotone doc_id arrival;
+    // this lane is the shape for when that does NOT hold (a crawl
+    // re-ingesting history, a backfill landing after fresh data):
+    // the stream phase does ALL the expensive row-local work per
+    // arrival batch (WARC/HTML codec, tokenize, signatures, window
+    // classes) and appends OWNERSHIP CLAIMS — id-sized exact keys,
+    // signature-sized band rows, id-sized window classes — with NO
+    // verdicts emitted; a SYNC-POINT FOLD then resolves ownership by
+    // pure min-merges and claim-table joins (no text ever
+    // re-processed). Min is merge-associative and order-free, so the
+    // fold's answer is the batch answer for ANY arrival permutation —
+    // the gate stages the corpus in a deliberately SHUFFLED range
+    // order and hard-checks that out-of-orderness was actually
+    // observed. This is the daily-fold/hourly-ingest split a 100 TB
+    // pipeline runs when arrival order cannot be trusted.
+    Q("q330_ooo_dedup_reconcile",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.types.StructType
+        val qualityMin = 0.6
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q330_ooo").toString
+        val staged = s"$tmp/staged"
+        val (clF, clB, clC) = (s"$tmp/claim_feat", s"$tmp/claim_band",
+          s"$tmp/claim_cls")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staged))
+        val raw = Tables.documents(s, d).select("doc_id", "source",
+          "text")
+        val maxId = raw.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        // deliberately SHUFFLED arrival: range k ships in slot
+        // perm(k) — lower-id docs arrive after higher-id ones
+        val perm = Array(3, 0, 6, 1, 7, 2, 5, 4)
+        val t0 = System.currentTimeMillis() - 120000L
+        (0 until 8).foreach { k =>
+          val dir = s"$tmp/slice$k"
+          raw.where(col("doc_id") >= k * width &&
+              col("doc_id") < (k + 1) * width)
+            .coalesce(1).write.parquet(dir)
+          val f = new java.io.File(dir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(staged,
+            f"part-${perm(k)}%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(t0 + perm(k) * 2000L))
+        }
+        def readOr(path: String, ddl: String): DataFrame =
+          if (new java.io.File(path).exists())
+            s.read.schema(StructType.fromDDL(ddl)).parquet(path)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(ddl))
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val ooSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+        val prevMin = new java.util.concurrent.atomic
+          .AtomicLong(Long.MaxValue)
+        // ---- stream phase: row-local work only, claims appended,
+        // no verdicts (order-free by construction)
+        val q = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(s"$staged/part-*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              nBatches.incrementAndGet()
+              val r = b.agg(min("doc_id"), max("doc_id")).head()
+              // the gate's premise: arrival really is out of order
+              if (r.getLong(1) > prevMin.get()) ooSeen.set(1L)
+              prevMin.set(math.min(prevMin.get(), r.getLong(0)))
+              val feat = b.select("doc_id", "source", "text")
+                .as[(Long, String, String)]
+                .mapPartitions(_.map { case (id, src, text) =>
+                  ingestDoc(id, src, text)
+                })
+                .toDF("doc_id", "source", "text", "admit")
+                .withColumn("toks", expr(sparkToks))
+                .selectExpr("doc_id", "admit",
+                  s"${sparkQualityOf("toks")} as score",
+                  "md5(text) as ek",
+                  s"transform(toks, t -> ${sparkTokHash("t")}) as th",
+                  s"array_distinct(transform(${sparkShingles("toks")}" +
+                    s", g -> ${sparkTokHash("g")} % $P)) as hs",
+                  "size(toks) as ntok")
+                .withColumn("bks", expr(SigTable.bandExpr))
+                .where(s"admit AND score >= $qualityMin")
+                .persist()
+              feat.select("doc_id", "ek", "ntok")
+                .write.mode("append").parquet(clF)
+              feat.select(col("doc_id"), col("hs"),
+                  explode(col("bks")).as("bk"))
+                .select("bk", "doc_id", "hs")
+                .write.mode("append").parquet(clB)
+              feat.select("doc_id", "th").as[(Long, Seq[Long])]
+                .flatMap { case (doc, th) =>
+                  graft.text.SuffixClasses
+                    .probeRanks(doc, th.toArray, Seq(5))
+                    .iterator.flatMap { case (_, ra, rb) =>
+                      val set = scala.collection.mutable
+                        .LinkedHashSet[(Long, Long)]()
+                      var p = 0
+                      while (p < ra.length) {
+                        set += ((ra(p), rb(p))); p += 1
+                      }
+                      set.iterator.map { case (ka, kb) =>
+                        (ka, kb, doc) }
+                    }
+                }.toDF("ka", "kb", "doc_id")
+                .write.mode("append").parquet(clC)
+              feat.unpersist()
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // ---- sync-point fold: pure min-merges + claim joins, no
+        // text — the tiers sequence exactly as the batch cascade
+        val feats = readOr(clF, "doc_id BIGINT, ek STRING, ntok BIGINT")
+        val dropE = feats.join(
+            feats.groupBy("ek").agg(min("doc_id").as("own")), "ek")
+          .where("doc_id != own").select("doc_id")
+        val s1ids = feats.join(dropE.withColumnRenamed("doc_id", "de"),
+          col("doc_id") === col("de"), "left_anti").select("doc_id")
+        val b1 = readOr(clB, "bk STRING, doc_id BIGINT, hs ARRAY<BIGINT>")
+          .join(s1ids.withColumnRenamed("doc_id", "s1"),
+            col("doc_id") === col("s1")).drop("s1")
+        val dropN = b1.alias("x").join(b1.alias("y"),
+            col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("10 * size(array_intersect(x.hs, y.hs)) >= " +
+            "9 * size(array_union(x.hs, y.hs))"))
+          .select(col("y.doc_id").as("doc_id")).distinct()
+        val s2ids = s1ids.join(dropN.withColumnRenamed("doc_id", "dn"),
+          col("doc_id") === col("dn"), "left_anti")
+        val cls = readOr(clC, "ka BIGINT, kb BIGINT, doc_id BIGINT")
+          .join(s2ids.withColumnRenamed("doc_id", "s2"),
+            col("doc_id") === col("s2")).drop("s2")
+        val dropS = cls.join(
+            cls.groupBy("ka", "kb").agg(min("doc_id").as("own")),
+            Seq("ka", "kb"))
+          .where(col("doc_id") > col("own"))
+          .select("doc_id").distinct()
+        feats.join(s2ids.join(dropS.withColumnRenamed("doc_id", "ds"),
+            col("doc_id") === col("ds"), "left_anti")
+            .withColumnRenamed("doc_id", "keep"),
+          col("doc_id") === col("keep"))
+          .selectExpr("'doc' AS kind", "CAST(doc_id AS STRING) AS key",
+            "1L AS n", "ntok AS v")
+          .unionByName(Seq(
+            ("stream", "multi_batch", 1L,
+              if (nBatches.get() >= 4) 1L else 0L),
+            ("stream", "out_of_order_observed", 1L, ooSeen.get()))
+            .toDF("kind", "key", "n", "v"))
+      },
+      Some(s"""WITH $duckCascadePrefix
+            SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS key,
+              CAST(1 AS BIGINT) AS n, CAST(ntok AS BIGINT) AS v
+            FROM s3
+            UNION ALL SELECT 'stream', 'multi_batch', 1, 1
+            UNION ALL SELECT 'stream', 'out_of_order_observed', 1, 1"""),
+      doc = "out-of-order arrival reconciliation: per-batch row-local " +
+        "claims (exact keys, band signatures, window classes), " +
+        "sync-point min-merge fold — batch-cascade-equal under ANY " +
+        "arrival permutation (shuffled-order hard check)")
   )
 }
