@@ -149,10 +149,13 @@ object Bench {
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val totalAll = results.values.filter(_ >= 0).sum
     val lanesFile = "bench_lanes.json"
     try {
       val w = new java.io.PrintWriter(lanesFile, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","load":${fmt(loadAtStart)},"queries":$full}""")
+      // a complete bench line (full-name queries map) so
+      // tools/bench_compare.py can consume this file directly
+      try w.println(s"""{"metric":"total","value":${fmt(totalAll)},"unit":"sec","sf":"$sfDir","load":${fmt(loadAtStart)},"queries":$full}""")
       finally w.close()
     } catch { case NonFatal(_) => () }
     val topN = results.toSeq.sortBy(-_._2).take(40).sortBy(_._1)

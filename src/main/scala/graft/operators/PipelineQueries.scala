@@ -886,16 +886,26 @@ object PipelineQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // ---- sync-point fold: pure min-merges + claim joins, no
-        // text — the tiers sequence exactly as the batch cascade
+        // text — the tiers sequence exactly as the batch cascade.
+        // Intermediates persist for the fold's lifetime and the
+        // survivors MATERIALIZE to parquet (the q320 stage-boundary
+        // discipline): without this the returned lineage re-expands
+        // the claim_feat scan ×28 and the fold's keyed joins ride
+        // along — PlanAudit's repeated-scan rule caught exactly that
+        // on the first cut of this lane.
+        val outDir = s"$tmp/survivors"
         val feats = readOr(clF, "doc_id BIGINT, ek STRING, ntok BIGINT")
+          .persist()
         val dropE = feats.join(
             feats.groupBy("ek").agg(min("doc_id").as("own")), "ek")
           .where("doc_id != own").select("doc_id")
         val s1ids = feats.join(dropE.withColumnRenamed("doc_id", "de"),
           col("doc_id") === col("de"), "left_anti").select("doc_id")
+          .persist()
         val b1 = readOr(clB, "bk STRING, doc_id BIGINT, hs ARRAY<BIGINT>")
           .join(s1ids.withColumnRenamed("doc_id", "s1"),
             col("doc_id") === col("s1")).drop("s1")
+          .persist()
         val dropN = b1.alias("x").join(b1.alias("y"),
             col("x.bk") === col("y.bk") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -903,10 +913,11 @@ object PipelineQueries {
             "9 * size(array_union(x.hs, y.hs))"))
           .select(col("y.doc_id").as("doc_id")).distinct()
         val s2ids = s1ids.join(dropN.withColumnRenamed("doc_id", "dn"),
-          col("doc_id") === col("dn"), "left_anti")
+          col("doc_id") === col("dn"), "left_anti").persist()
         val cls = readOr(clC, "ka BIGINT, kb BIGINT, doc_id BIGINT")
           .join(s2ids.withColumnRenamed("doc_id", "s2"),
             col("doc_id") === col("s2")).drop("s2")
+          .persist()
         val dropS = cls.join(
             cls.groupBy("ka", "kb").agg(min("doc_id").as("own")),
             Seq("ka", "kb"))
@@ -916,6 +927,11 @@ object PipelineQueries {
             col("doc_id") === col("ds"), "left_anti")
             .withColumnRenamed("doc_id", "keep"),
           col("doc_id") === col("keep"))
+          .select("doc_id", "ntok")
+          .write.parquet(outDir)
+        cls.unpersist(); s2ids.unpersist(); b1.unpersist()
+        s1ids.unpersist(); feats.unpersist()
+        readOr(outDir, "doc_id BIGINT, ntok BIGINT")
           .selectExpr("'doc' AS kind", "CAST(doc_id AS STRING) AS key",
             "1L AS n", "ntok AS v")
           .unionByName(Seq(
