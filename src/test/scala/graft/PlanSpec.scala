@@ -338,6 +338,35 @@ class PlanSpec extends AnyFunSuite {
       s"corpus stream shuffled against the model:\n$plan")
   }
 
+  test("q326 SNI-app classification is a pure map lane") {
+    val plan = SparkEntry.queries("q326_sni_apps")(spark, d)
+      .queryExecution.executedPlan.toString
+    // one corpus scan, the per-row hello/SNI/suffix path, one partial
+    // agg — no joins of any kind (the hostname table is a broadcast
+    // Scala map inside the lambda, not a plan-level join)
+    assert(!plan.contains("Join"), s"q326 must not join:\n$plan")
+    assert(plan.contains("FileScan parquet"), plan)
+  }
+
+  test("q327/q330 return materialized survivors, not cascade lineage") {
+    // both streaming-cascade lanes run their work EAGERLY (stream +
+    // fold) and must hand back a plan that only scans the landed
+    // survivors — the first cut of q330 returned the lazy fold and
+    // PlanAudit counted the claim_feat scan 28 times in its lineage
+    Seq("q327_stream_dedup_cascade", "q330_ooo_dedup_reconcile")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, d)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("BroadcastHashJoin"),
+          s"$name must not re-derive the cascade:\n$plan")
+        val scans = plan.split("\n").count(_.contains("FileScan parquet"))
+        assert(scans <= 1, s"$name scans=$scans:\n$plan")
+        // and the answer itself is non-trivial: survivors + 2 meta rows
+        assert(df.count() > 2, name)
+      }
+  }
+
   test("partitioned-at-rest layout prunes: time-bounded read scans " +
       "only the matching partition files") {
     val (aggRows, ev) = graft.operators.ScaleQueries
