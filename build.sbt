@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures process stdout and parses the JSON line out
+// of the tail; sbt's default logged output strategy wraps every line in
+// "[info] ", which broke that parse in rounds 1-13 (BENCH_r{N}.json
+// "parsed": null). StdoutOutput pipes the forked run's output through
+// unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

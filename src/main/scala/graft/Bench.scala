@@ -20,7 +20,7 @@ object Bench {
     * (spark_s per query), or empty when absent/unreadable. Used by the
     * outlier re-run pass (VERDICT r12 #2): a loaded-box tail artifact
     * gets one automatic retry and both numbers are stamped. */
-  private def refSolo(): Map[String, Double] = try {
+  private def refSolo(sfDir: String): Map[String, Double] = try {
     val dir = new java.io.File(".")
     val cand = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_RATIO_r\\d+\\.json"))
@@ -29,7 +29,17 @@ object Bench {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val j = JsonMethods.parse(f)
-      (j \ "queries") match {
+      // Scale-factor gate (ADVICE r13): the reference times are only
+      // comparable at the same SF — benching sf0.01 against sf0.1 solo
+      // references would mark every lane an "outlier" (or hide real
+      // regressions at a larger SF). Mismatch => empty map => the
+      // outlier pass simply doesn't run.
+      val refSf = (j \ "sf") match {
+        case JString(s) => s
+        case _          => ""
+      }
+      if (refSf != sfDir) Map.empty[String, Double]
+      else (j \ "queries") match {
         case JObject(fields) => fields.collect {
           case (name, q: JObject) => (q \ "spark_s") match {
             case JDouble(v) => Some(name -> v)
@@ -44,7 +54,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("--ref-debug")) { // dev: prove the reference
-      val r = refSolo()                 // artifact parses
+      val r = refSolo(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1"))        // artifact parses
       println(s"refSolo: ${r.size} lanes, e.g. " +
         r.toSeq.sortBy(_._1).take(3).mkString(", "))
       return
@@ -117,7 +128,7 @@ object Bench {
     // both numbers are stamped and the smaller one is scored, so a
     // transient load spike cannot masquerade as a lane regression —
     // and a real regression reproduces on the retry and stays visible.
-    val ref = refSolo()
+    val ref = refSolo(sfDir)
     val outliers = firstPass.filter { case (name, t) =>
       t >= 0 && ref.get(name).exists(r => t > 2.5 * r && t - r >= 1.0)
     }.map(_._1).take(16)

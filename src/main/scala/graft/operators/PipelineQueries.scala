@@ -825,8 +825,8 @@ object PipelineQueries {
             StructType.fromDDL(ddl))
         val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
         val ooSeen = new java.util.concurrent.atomic.AtomicLong(0L)
-        val prevMin = new java.util.concurrent.atomic
-          .AtomicLong(Long.MaxValue)
+        val prevMax = new java.util.concurrent.atomic
+          .AtomicLong(Long.MinValue)
         // ---- stream phase: row-local work only, claims appended,
         // no verdicts (order-free by construction)
         val q = s.readStream.schema(raw.schema)
@@ -837,9 +837,14 @@ object PipelineQueries {
             if (!b.isEmpty) {
               nBatches.incrementAndGet()
               val r = b.agg(min("doc_id"), max("doc_id")).head()
-              // the gate's premise: arrival really is out of order
-              if (r.getLong(1) > prevMin.get()) ooSeen.set(1L)
-              prevMin.set(math.min(prevMin.get(), r.getLong(0)))
+              // the gate's premise: arrival really is out of order —
+              // a batch delivering ids BELOW something already seen.
+              // (ADVICE r13: the earlier `batch max > min of prior
+              // batches` form was vacuous — true under perfectly
+              // ascending arrival too, so a regression in the staged
+              // file ordering could never fail this check.)
+              if (r.getLong(0) < prevMax.get()) ooSeen.set(1L)
+              prevMax.set(math.max(prevMax.get(), r.getLong(1)))
               val feat = b.select("doc_id", "source", "text")
                 .as[(Long, String, String)]
                 .mapPartitions(_.map { case (id, src, text) =>
