@@ -46,8 +46,11 @@ object PlanAudit {
     "q103_sequence_packing",   // bin pairing over the bounded bin table
     "q165_substring_dedup",    // window-hash band pairs, blocked
     "q182_curriculum",         // stage boundary pairs over ≤10 stages
-    "q116_semantic_dedup"      // broadcast-centroid assign (k=√N cap),
+    "q116_semantic_dedup",     // broadcast-centroid assign (k=√N cap),
                                // ×2 in lineage on both self-join sides
+    "q331_pq_scaled_k"         // the 1-row corpus-count → K seed join,
+                               // ×3 in lineage via the codebook cache's
+                               // build plan (PlanSpec pins ≤4)
   )
 
   /** Verification harnesses that UNION several independently
@@ -96,7 +99,9 @@ object PlanAudit {
     "q85_dedup_clusters",      // LSH cluster convergence generations
     "q286_ivf_pq",             // Lloyd iterations
     "q245_kmeans_embeddings",  // Lloyd iterations
-    "q266_pq_adc"              // per-subspace codebook training passes
+    "q266_pq_adc",             // per-subspace codebook training passes
+    "q331_pq_scaled_k"         // q266's passes + the in-plan K
+                               // derivation broadcast into the seed
   )
 
   /** Loose global ceiling on SHUFFLE Exchange nodes in one final

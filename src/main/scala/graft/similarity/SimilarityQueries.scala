@@ -1082,6 +1082,174 @@ object SimilarityQueries {
       },
       doc = "k-means|| seeding (Bahmani): R oversampling corpus " +
         "passes, deterministic hash Bernoulli, weighted coreset " +
-        "greedy-reduced driver-side — bit-reproducible in the oracle")
+        "greedy-reduced driver-side — bit-reproducible in the oracle"),
+
+    // Corpus-scaled-K product quantization (VERDICT r13 #1) — q266's
+    // PQ-ADC pipeline with the codebook size DERIVED from corpus
+    // cardinality instead of pinned at K=8. The r13 soak measured the
+    // fixed-capacity collapse (recall@5 0.248 → 0.0002 at 100× under
+    // K=8) and graft.AnnCapacity measured the remedy (K∝N restores the
+    // 1× baseline: K=128 → 0.234 at 10×); this lane converts that
+    // probe into gated behavior. The rule is
+    //   K = clamp(N DIV 128, 8, 256)
+    // — linear in the corpus until the FAISS-standard 8-bit code
+    // ceiling (K=256), past which capacity scaling moves to the coarse
+    // quantizer's cell count (q286/q246, already healthy at 100×).
+    // K is computed IN-PLAN (a 1-row aggregate broadcast into the seed
+    // filter, never a driver collect), the seed set is vec_id < K, and
+    // the DuckDB oracle derives the SAME K from the same count and
+    // mirrors the scaled training bit-for-bit — the integer-exact
+    // Lloyd arithmetic (scaled-int coordinates, floor-div means,
+    // cid-asc ties) generalizes to any K unchanged. The output pins
+    // the derived K alongside recall@5 and per-subspace codebook
+    // cardinalities, so an engine that silently under-trains fails the
+    // gate.
+    Q("q331_pq_scaled_k",
+      (s, d) => {
+        val sub = 16 // dims per subspace (64 / M)
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        // codebook capacity from corpus cardinality — a 1-row frame
+        // that rides a broadcast nested-loop into the seed filter
+        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
+          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
+        // corpus-scale long form: NOT persisted (q255's cache-leak
+        // lesson) — only the trained codebook below persists
+        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+          .withColumn("m", expr(s"pos DIV $sub"))
+        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        // trained codebook: M*K*sub rows — ≤ 16384 at the K=256
+        // ceiling, model-sized at any corpus scale
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist()
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longF.join(
+            broadcast(qs.withColumnRenamed("m", "qm")),
+            Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val hits = exactTop.join(broadcast(adcTop), Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val recall = qs.select("qid").distinct()
+          .join(broadcast(hits), Seq("qid"), "left")
+          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(5 AS BIGINT) AS n",
+            "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val book = codes.groupBy("m")
+          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
+          "kk AS n", "kk AS v")
+        recall.unionByName(book).unionByName(kRow)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            kp AS (SELECT greatest(CAST(8 AS BIGINT),
+                least(CAST(256 AS BIGINT), count(*) // 128)) AS kk
+              FROM n),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            lm AS (SELECT vec_id, pos, pos // 16 AS m, x FROM long),
+            c0 AS (SELECT m, vec_id AS cid, pos, x AS cm FROM lm
+              WHERE vec_id < (SELECT kk FROM kp)),
+            d1 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM a1 a JOIN lm l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            d2 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m,
+                cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, m, pos, x AS qx FROM lm
+              WHERE vec_id % 97 = 0),
+            lut AS (SELECT q.qid, q.m, c.cid,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS pd
+              FROM qs q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist
+              FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            hits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN adctop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1)
+            SELECT 'recall' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n,
+              CAST(coalesce(h.h, 0) AS BIGINT) AS v
+            FROM (SELECT DISTINCT qid FROM qs) q
+            LEFT JOIN hits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'codebook', CAST(m AS VARCHAR),
+              count(DISTINCT cid), count(*)
+            FROM codes GROUP BY 2
+            UNION ALL
+            SELECT 'k', 'k', CAST(kk AS BIGINT), CAST(kk AS BIGINT)
+            FROM kp"""),
+      doc = "corpus-scaled-K product quantization: codebook capacity " +
+        "K = clamp(N/128, 8, 256) derived in-plan from corpus " +
+        "cardinality, integer-exact scaled training mirrored by the " +
+        "oracle — the gated remedy for the measured fixed-K recall " +
+        "collapse")
   )
 }

@@ -176,6 +176,28 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled against model tables:\n$plan")
   }
 
+  test("scaled-K PQ: in-plan K derivation, broadcast-only model joins") {
+    val q = SparkEntry.queries("q331_pq_scaled_k")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // same contract as q266 — centroids, LUT and query set broadcast,
+    // the corpus never shuffled against a model table — plus the K
+    // derivation must ride a broadcast into the seed filter (one 1-row
+    // nested-loop join), not a driver collect
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled against model tables:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the K seed filter should be a broadcast 1-row join:\n$plan")
+    // the seed join recurs in the plan STRING once per leg that reads
+    // the (not-yet-materialized) codebook cache's build lineage — all
+    // occurrences are the same 1-row broadcast, so the ceiling is the
+    // lineage repetition bound, not a join-count budget
+    assert(
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 4,
+      s"more nested-loop joins than the K seed filter:\n$plan")
+  }
+
   test("IVF+PQ: model joins broadcast; shuffles only on corpus keys") {
     val q = SparkEntry.queries("q286_ivf_pq")(spark, d)
     val plan = q.queryExecution.executedPlan.toString
