@@ -183,6 +183,19 @@ object PlanAudit {
         if (scanMax._2 > scanCeiling && !scanAllowed(n) &&
           !iterativeLanes(n))
           flags += s"REPEATED_SCAN ${scanMax._1} x${scanMax._2}"
+        // Bucketed-read invariant (VERDICT r13 #4): the at-rest bucket
+        // layout must actually be READ bucket-aware — the scans report
+        // SelectedBucketsCount and the merge join runs without a
+        // shuffle (only the final aggregation exchanges). A regression
+        // here (a lost bucket spec, an added repartition) silently
+        // re-shuffles the whole archive at 100 TB.
+        if (n == "q236_bucket_join" ||
+          n == "q239_bucket_stream_compact") {
+          if (!plan.contains("SelectedBucketsCount"))
+            flags += "BUCKET_READ not bucket-aware"
+          if (ex > 1)
+            flags += s"BUCKET_READ shuffles (ex=$ex)"
+        }
         println(f"$n%-34s smj=$smj cart=$cart bnlj=$bnlj ex=$ex " +
           f"scans=${scanMax._2}" +
           (if (flags.nonEmpty) "  <<< " + flags.mkString(", ") else ""))
@@ -212,6 +225,24 @@ object PlanAudit {
     } catch {
       case e: Throwable =>
         violations += s"partition-pruning: check failed (${e.getMessage})"
+    }
+    // Dynamic-partition-pruning invariant (VERDICT r13 #4): the same
+    // evidence when the time bound arrives via a joined dim — the fact
+    // scan must carry a DynamicPruningExpression and read only the
+    // matching tbin= files.
+    if (args.isEmpty) try {
+      val (_, ev) = graft.operators.ScaleQueries.dppEvidence(
+        spark, sfDir)
+      val ok = ev.dynPruned && ev.filesScanned < ev.filesTotal &&
+        ev.filesScanned == ev.filesMatching
+      println(f"${"dynamic-pruning"}%-24s scanned=${ev.filesScanned} " +
+        s"matching=${ev.filesMatching} total=${ev.filesTotal} " +
+        s"dyn=${ev.dynPruned}" + (if (ok) "" else "  <<< NOT PRUNED"))
+      if (!ok) violations += s"dynamic-pruning: scanned=" +
+        s"${ev.filesScanned}/${ev.filesTotal} dyn=${ev.dynPruned}"
+    } catch {
+      case e: Throwable =>
+        violations += s"dynamic-pruning: check failed (${e.getMessage})"
     }
     println(s"\n== ${names.size} plans audited, " +
       s"${violations.size} violations ==")

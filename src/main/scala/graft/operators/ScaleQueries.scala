@@ -877,7 +877,51 @@ object ScaleQueries {
            UNION ALL SELECT 'prune', 'scanned_eq_matching', 1, 1""")),
       doc = "partitioned-at-rest (time-bin × exporter-hash) archive " +
         "write + gated proof that partition pruning fires on a " +
-        "time-bounded read")
+        "time-bounded read"),
+
+    // DYNAMIC partition pruning, gated (VERDICT r13 #4): q329 proves
+    // static pruning on a literal time bound; the 100 TB query that
+    // matters equally arrives with the bound in a JOINED DIMENSION —
+    // "the first day in the calendar table", not "tbin = 12345". The
+    // optimizer cannot prune statically (the matching tbin is unknown
+    // until the dim filter runs), so Spark must inject a
+    // DynamicPruningExpression into the fact scan's partition filters:
+    // the dim side executes first (broadcast), its tbin values feed
+    // the fact's partition listing, and the scan touches ONLY the
+    // matching directories. The gate proves all three legs from the
+    // executed plan (q329's evidence path): a dynamic pruning filter
+    // is PRESENT on the fact scan, numFiles == the files under the
+    // matching tbin= dirs, and strictly < the archive's total. The
+    // same check runs as a standing PlanAudit invariant.
+    Q("q333_dpp_dim_prune",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val (aggRows, ev) = dppEvidence(s, d)
+        (aggRows.map { case (k, n, v) => ("agg", k, n, v) } ++ Seq(
+          ("dpp", "dynamic_filter_present", 1L,
+            if (ev.dynPruned) 1L else 0L),
+          ("dpp", "scanned_lt_total", 1L,
+            if (ev.filesScanned < ev.filesTotal) 1L else 0L),
+          ("dpp", "scanned_eq_matching", 1L,
+            if (ev.filesScanned == ev.filesMatching) 1L else 0L)))
+          .toDF("kind", "key", "n", "v")
+      },
+      Some(graft.core.FlowView.cte(
+        """SELECT 'agg' AS kind, CAST(ip_src % 8 AS VARCHAR) AS key,
+             count(*) AS n, CAST(sum(bytes) AS BIGINT) AS v
+           FROM flows
+           WHERE t0u // 86400000000 IN (
+             SELECT tbin FROM (SELECT DISTINCT t0u // 86400000000
+               AS tbin FROM flows)
+             WHERE tbin = (SELECT min(t0u // 86400000000) FROM flows))
+           GROUP BY 2
+           UNION ALL SELECT 'dpp', 'dynamic_filter_present', 1, 1
+           UNION ALL SELECT 'dpp', 'scanned_lt_total', 1, 1
+           UNION ALL SELECT 'dpp', 'scanned_eq_matching', 1, 1""")),
+      doc = "dynamic partition pruning: time bound arrives via a " +
+        "joined dim table, the fact scan's dynamic filter is proven " +
+        "from executed-plan metrics (scanned == matching < total)")
   )
 
   /** Partition-pruning evidence for q329 and PlanAudit: writes the
@@ -932,6 +976,77 @@ object ScaleQueries {
         all.size.toLong, pfPresent))
     } finally {
       // result rows are driver literals by now — the dir can go
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(tmp))
+        java.nio.file.Files.walk(tmp).sorted(
+          java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Dynamic-partition-pruning evidence for q333 and PlanAudit: writes
+    * a tbin-partitioned archive plus a (tbin, tag) dim table, runs the
+    * dim-bounded join aggregation, and reports what the executed fact
+    * scan actually read — the dynamic filter's presence and the
+    * post-pruning file count. */
+  final case class DppEvidence(filesScanned: Long, filesMatching: Long,
+      filesTotal: Long, dynPruned: Boolean)
+  def dppEvidence(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(String, Long, Long)], DppEvidence) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val root = tmp.resolve("facts").toString
+    val dimP = tmp.resolve("dim").toString
+    try {
+      flows(s, d)
+        .selectExpr("ip_src % 8 AS exp_h",
+          "t0u div 86400000000 AS tbin", "bytes")
+        .write.partitionBy("tbin").parquet(root)
+      val minTbin = flows(s, d)
+        .selectExpr("min(t0u div 86400000000) AS m")
+        .collect()(0).getLong(0)
+      // the calendar dim: one row per day, exactly one tagged 'first'
+      // — written to parquet so the bound is NOT statically visible
+      flows(s, d)
+        .selectExpr("t0u div 86400000000 AS tbin").distinct()
+        .selectExpr("tbin",
+          s"CASE WHEN tbin = ${minTbin}L THEN 'first' ELSE 'rest' END" +
+            " AS tag")
+        .coalesce(1).write.parquet(dimP)
+      val fact = s.read.parquet(root)
+      val dim = s.read.parquet(dimP).where(col("tag") === "first")
+      val agg = fact.join(broadcast(dim), Seq("tbin"))
+        .groupBy("exp_h")
+        .agg(count(lit(1)).as("n"), sum("bytes").as("v"))
+      val aggRows = agg.collect().toSeq
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+      // the FACT scan is the partitioned one (the dim scan has no
+      // partition filters — exclude it by root path)
+      val sc = scans(agg.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("facts")))
+      val filesScanned = sc.map(_.metrics("numFiles").value).sum
+      val dynPruned = sc.nonEmpty && sc.forall(_.partitionFilters
+        .exists(_.toString.toLowerCase.contains("dynamicprun")))
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString)
+        .toVector
+      val matching = all.count(_.contains(s"tbin=$minTbin/"))
+      (aggRows, DppEvidence(filesScanned, matching.toLong,
+        all.size.toLong, dynPruned))
+    } finally {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(tmp))
         java.nio.file.Files.walk(tmp).sorted(
