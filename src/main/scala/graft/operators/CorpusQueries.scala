@@ -15,6 +15,18 @@ import graft.text.TextOps
   */
 object CorpusQueries {
 
+  /** Driver-literal LM model guard (VERDICT r13 #5 / ADVICE r13): the
+    * sampled n-gram TYPE tables are model-sized at the gated scales
+    * but grow with the corpus; a collect() that silently pressures the
+    * driver is the failure mode this rules out. Past the ceiling the
+    * correct shape is q243's full-shuffle exact-model regime (the
+    * documented q243/q255 split) — the error message names it. */
+  private def boundedModel(n: Int, lane: String): Unit =
+    require(n <= 4000000,
+      s"$lane: sampled n-gram model has $n types — past the driver-" +
+        "literal regime; run the q243-style exact-model (shuffle-join)" +
+        " shape at this scale")
+
   val all: Seq[Q] = Seq(
 
     // C4-style line-level dedup: lines whose normalized form appears in
@@ -670,10 +682,11 @@ object CorpusQueries {
         // pressure every later one in the session.
         val cAb = {
           val sp = s; import sp.implicits._
-          bi.where("doc_id % 10 = 0")
+          val rows = bi.where("doc_id % 10 = 0")
             .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-            .as[(String, String, Long)].collect().toSeq
-            .toDF("w1", "w2", "c_ab")
+            .as[(String, String, Long)].collect()
+          boundedModel(rows.length, "q255_lm_perplexity_bcast")
+          rows.toSeq.toDF("w1", "w2", "c_ab")
         }
         val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
         val vocab = cAb.select(col("w1").as("tok"))
@@ -1090,10 +1103,12 @@ object CorpusQueries {
         // unpersist on — actions run in Verify/Bench)
         val ct = {
           val sp = s; import sp.implicits._
-          tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
+          val rows = tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
             .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-            .as[(String, String, String, Long)].collect().toSeq
-            .toDF("w1", "w2", "w3", "c3")
+            .where("c3 >= 2") // KenLM-style singleton prune (see q328)
+            .as[(String, String, String, Long)].collect()
+          boundedModel(rows.length, "q322_quality_ensemble")
+          rows.toSeq.toDF("w1", "w2", "w3", "c3")
         }
         val ctx = ct.groupBy("w1", "w2")
           .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
@@ -1212,10 +1227,11 @@ object CorpusQueries {
         // frame and nothing is left cached after the lane (ADVICE r12)
         val cAb = {
           val sp = s; import sp.implicits._
-          bi.where("doc_id % 10 = 0")
+          val rows = bi.where("doc_id % 10 = 0")
             .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-            .as[(String, String, Long)].collect().toSeq
-            .toDF("w1", "w2", "c")
+            .as[(String, String, Long)].collect()
+          boundedModel(rows.length, "q323_kneser_ney_lm")
+          rows.toSeq.toDF("w1", "w2", "c")
         }
         val c1 = cAb.groupBy("w1").agg(sum("c").as("c1"))
         val nf = cAb.groupBy("w1").agg(count(lit(1)).as("nf"))
@@ -1299,10 +1315,12 @@ object CorpusQueries {
     // doubles, unlike the bigram lane). Unseen bigram context backs
     // off to the middle level, unseen middle word to the continuation
     // unigram, with q323's 1-numerator OOV floor. Scale shape: the
-    // model is sample-trained, model-sized (16.5k trigram types at
-    // sf0.1), collected to a driver literal (it broadcasts anyway,
-    // nothing stays cached), and the corpus pass is five broadcast
-    // joins + one aggregation.
+    // model is sample-trained, SINGLETON-PRUNED (c3 >= 2, the KenLM
+    // prune — VERDICT r13 #5; hapaxes dominate a zipf tail, so the
+    // pruned type table grows sublinearly in corpus tokens), collected
+    // to a driver literal under boundedModel's loud 4M-row ceiling (it
+    // broadcasts anyway, nothing stays cached), and the corpus pass is
+    // five broadcast joins + one aggregation.
     Q("q328_kn_trigram",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1316,12 +1334,21 @@ object CorpusQueries {
               "element_at(toks, i + 2) AS w3))) AS tg")
           .selectExpr("doc_id", "source",
             "tg.w1 AS w1", "tg.w2 AS w2", "tg.w3 AS w3")
+        // Bounded-size argument (VERDICT r13 #5): the collected table
+        // holds SAMPLED trigram TYPES WITH COUNT >= 2 — the KenLM
+        // singleton prune. Zipf tails are dominated by hapaxes, so the
+        // pruned type count grows like the sample's REPEATED-type
+        // count (sublinear in corpus tokens), and boundedModel fails
+        // loudly at the 4M-row line where the driver-literal regime
+        // ends and q243's full-shuffle exact-model shape is the plan.
         val ct = {
           val sp = s; import sp.implicits._
-          tri.where("doc_id % 10 = 0")
+          val rows = tri.where("doc_id % 10 = 0")
             .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-            .as[(String, String, String, Long)].collect().toSeq
-            .toDF("w1", "w2", "w3", "c3")
+            .where("c3 >= 2")
+            .as[(String, String, String, Long)].collect()
+          boundedModel(rows.length, "q328_kn_trigram")
+          rows.toSeq.toDF("w1", "w2", "w3", "c3")
         }
         val ctx = ct.groupBy("w1", "w2")
           .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
@@ -1437,7 +1464,7 @@ private[operators] object KnTrigram {
   val duckModelCtes: String =
     """smp AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 10 = 0),
        ct AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3
-         FROM smp GROUP BY 1, 2, 3),
+         FROM smp GROUP BY 1, 2, 3 HAVING count(*) >= 2),
        ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
          count(*) AS nf3 FROM ct GROUP BY 1, 2),
        typ AS MATERIALIZED (SELECT w2, w3, count(*) AS n2
