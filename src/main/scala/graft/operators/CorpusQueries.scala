@@ -1061,9 +1061,10 @@ object CorpusQueries {
 
     // Quality-ensemble filtering (ROADMAP r12 #3; the FineWeb/CCNet
     // pattern): a document survives iff >= 2 of 3 INDEPENDENT quality
-    // signals pass — the Kneser-Ney TRIGRAM perplexity gate (q328's
-    // model and threshold — upgraded from the add-1 bigram per VERDICT
-    // r12 #4: production LM filters run order >= 3), the heuristic
+    // signals pass — the MODIFIED Kneser-Ney TRIGRAM perplexity gate
+    // (q334's model and the -36000 threshold — the vote tracks the
+    // production KenLM default, VERDICT r13 #6; before that q328's
+    // fixed-D trigram, before that the add-1 bigram), the heuristic
     // quality score (q36's >= 0.6), and the type-token-ratio
     // repetition gate (q107's 0.5, compared exactly as 2*types >=
     // tokens so no FP threshold exists). Scale shape: ONE tokenize
@@ -1100,32 +1101,52 @@ object CorpusQueries {
         // rows anyway, and unlike a persist() the literal cannot
         // outlive the lane and accumulate across a bench session
         // (ADVICE r12; the builder has no final action to hang an
-        // unpersist on — actions run in Verify/Bench)
-        val ct = {
+        // unpersist on — actions run in Verify/Bench). The vote runs
+        // q334's MODIFIED-KN model (VERDICT r13 #6: the vote tracks
+        // the production default) — UNPRUNED counts, since the
+        // per-bucket discounts are estimated from raw count-of-counts.
+        val (ct, cocT, cocM) = {
           val sp = s; import sp.implicits._
           val rows = tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
             .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-            .where("c3 >= 2") // KenLM-style singleton prune (see q328)
             .as[(String, String, String, Long)].collect()
           boundedModel(rows.length, "q322_quality_ensemble")
-          rows.toSeq.toDF("w1", "w2", "w3", "c3")
+          val typN2 = rows.groupBy(r => (r._2, r._3)).view
+            .mapValues(_.size.toLong).toMap
+          val cocOf = (vs: Iterator[Long]) => {
+            val m = vs.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+            (1L to 4L).map(k => m.getOrElse(k, 0L))
+          }
+          (rows.toSeq.toDF("w1", "w2", "w3", "c3"),
+            cocOf(rows.iterator.map(_._4)),
+            cocOf(typN2.valuesIterator))
         }
+        require(cocT(0) > 0 && cocT(1) > 0 && cocT(2) > 0 &&
+          cocM(0) > 0 && cocM(1) > 0 && cocM(2) > 0,
+          s"degenerate count-of-counts: $cocT $cocM")
         val ctx = ct.groupBy("w1", "w2")
-          .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
+          .agg(sum("c3").as("c2"),
+            sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("nf1"),
+            sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("nf2"),
+            sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("nf3p"))
         val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
-        val mid = ct.groupBy("w2").agg(count(lit(1)).as("d2"),
-          countDistinct("w3").as("nmid"))
+        val mctx = typ.groupBy("w2")
+          .agg(sum("n2").as("dsum"),
+            sum(when(col("n2") === 1L, 1L).otherwise(0L)).as("m1"),
+            sum(when(col("n2") === 2L, 1L).otherwise(0L)).as("m2"),
+            sum(when(col("n2") >= 3L, 1L).otherwise(0L)).as("m3p"))
         val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
         val bt = typ.agg(count(lit(1)).as("b"))
         val scored = tri
           .join(broadcast(ct), Seq("w1", "w2", "w3"), "left")
           .join(broadcast(ctx), Seq("w1", "w2"), "left")
           .join(broadcast(typ), Seq("w2", "w3"), "left")
-          .join(broadcast(mid), Seq("w2"), "left")
+          .join(broadcast(mctx), Seq("w2"), "left")
           .join(broadcast(low), Seq("w3"), "left")
           .crossJoin(broadcast(bt))
           .selectExpr("doc_id", "lang", "q", "ntok", "ntype",
-            KnTrigram.sparkLp)
+            KnModified.sparkLp(cocT(0), cocT(1), cocT(2), cocT(3),
+              cocM(0), cocM(1), cocM(2), cocM(3)))
           .groupBy("doc_id")
           .agg(first("lang").as("lang"), first("q").as("q"),
             first("ntok").as("ntok"), first("ntype").as("ntype"),
@@ -1164,11 +1185,11 @@ object CorpusQueries {
               unnest(list_transform(range(1, len(toks) - 1),
                 i -> toks[i + 2])) AS w3
               FROM t WHERE len(toks) >= 3),
-            ${KnTrigram.duckModelCtes}
+            ${KnModified.duckModelCtes}
             lm AS (SELECT tri.doc_id,
-              CASE WHEN CAST(sum(${KnTrigram.duckLp}) AS BIGINT)
+              CASE WHEN CAST(sum(${KnModified.duckLp}) AS BIGINT)
                 >= count(*) * -36000 THEN 1 ELSE 0 END AS s_lm
-              FROM ${KnTrigram.duckJoins}
+              FROM ${KnModified.duckJoins}
               GROUP BY 1),
             f AS (SELECT t.doc_id, t.lang,
               ${TextOps.duckQuality.replace(TextOps.duckToks, "toks")}
@@ -1395,7 +1416,196 @@ object CorpusQueries {
             FROM sc GROUP BY 1"""),
       doc = "interpolated Kneser-Ney TRIGRAM LM (D=3/4, three-level " +
         "backoff through continuation counts, bit-identical quantized " +
-        "log-probs) — the KenLM order ladder over q323")
+        "log-probs) — the KenLM order ladder over q323"),
+
+    // MODIFIED Kneser-Ney (VERDICT r13 #6: the production KenLM
+    // default — Chen & Goodman 1998 §2.7): instead of q328's single
+    // fixed discount, each level uses THREE count-bucketed discounts
+    // estimated from the level's count-of-counts,
+    //   Y = n1/(n1+2n2),  D1 = 1 − 2Y·n2/n1,
+    //   D2 = 2 − 3Y·n3/n2, D3+ = 3 − 4Y·n4/n3   (clamped at 0),
+    // and the backoff weight is γ(ctx) = (D1·N1 + D2·N2 + D3+·N3+)/ctot
+    // where Nk counts the context's continuation types in count bucket
+    // k. The top level discounts raw trigram counts; the middle level
+    // discounts CONTINUATION counts (its own count-of-counts); the
+    // lowest is the continuation unigram with q323's 1-numerator OOV
+    // floor. Every count is an exact integer; the discounts and the
+    // three-level combination evaluate in ONE double expression whose
+    // parenthesization is mirrored token-for-token (Spark embeds the
+    // count-of-count INTEGERS as literals, DuckDB reads the same
+    // integers from its cc CTEs — identical IEEE ops, identical
+    // doubles), so the quantized log-probs and the 1e6-quantized
+    // discount values are pinned bit-identically. Scale shape: q328's
+    // (sample-trained model under boundedModel's ceiling, five
+    // broadcast joins + one corpus aggregation, per-source rollup
+    // collected to driver literals so the union legs never re-scan).
+    Q("q334_modified_kn",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 3")
+        val tri = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 2), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2, " +
+              "element_at(toks, i + 2) AS w3))) AS tg")
+          .selectExpr("doc_id", "source",
+            "tg.w1 AS w1", "tg.w2 AS w2", "tg.w3 AS w3")
+        // UNPRUNED sample model (modified-KN estimates its discounts
+        // from the raw count-of-counts, so singletons must stay);
+        // boundedModel still rules out a silent driver blow-up
+        val rows = tri.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+          .as[(String, String, String, Long)].collect()
+        boundedModel(rows.length, "q334_modified_kn")
+        // count-of-counts, computed on the driver from the collected
+        // model (no extra jobs); the mid level's base counts are the
+        // continuation counts |{w1}| per (w2, w3)
+        val n1 = rows.count(_._4 == 1L).toLong
+        val n2c = rows.count(_._4 == 2L).toLong
+        val n3c = rows.count(_._4 == 3L).toLong
+        val n4c = rows.count(_._4 == 4L).toLong
+        val typScala = rows.groupBy(r => (r._2, r._3)).view
+          .mapValues(_.size.toLong).toMap
+        val mm1 = typScala.valuesIterator.count(_ == 1L).toLong
+        val mm2 = typScala.valuesIterator.count(_ == 2L).toLong
+        val mm3 = typScala.valuesIterator.count(_ == 3L).toLong
+        val mm4 = typScala.valuesIterator.count(_ == 4L).toLong
+        // n1..n3 are discount DENOMINATORS and must be positive; n4
+        // only scales the D3+ adjustment (n4 = 0 ⇒ D3+ = 3, the full
+        // discount — a valid, if maximal, Chen-Goodman estimate)
+        require(n1 > 0 && n2c > 0 && n3c > 0 &&
+          mm1 > 0 && mm2 > 0 && mm3 > 0,
+          s"degenerate count-of-counts: $n1/$n2c/$n3c/$n4c " +
+            s"$mm1/$mm2/$mm3/$mm4 — sample too small for modified KN")
+        // a clamped-to-zero D2/D3 could zero a context's backoff mass
+        // and send an unseen continuation to ln(0) — fail loudly
+        // instead (Chen-Goodman estimates go non-positive only on
+        // pathological count-of-count shapes)
+        require(KnModified.d2(n1, n2c, n3c) > 0 &&
+          KnModified.d3(n1, n2c, n3c, n4c) > 0 &&
+          KnModified.d2(mm1, mm2, mm3) > 0 &&
+          KnModified.d3(mm1, mm2, mm3, mm4) > 0,
+          "non-positive modified-KN discount — model degenerate")
+        val ct = rows.toSeq.toDF("w1", "w2", "w3", "c3")
+        val ctx = ct.groupBy("w1", "w2")
+          .agg(sum("c3").as("c2"),
+            sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("nf1"),
+            sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("nf2"),
+            sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("nf3p"))
+        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
+        val mctx = typ.groupBy("w2")
+          .agg(sum("n2").as("dsum"),
+            sum(when(col("n2") === 1L, 1L).otherwise(0L)).as("m1"),
+            sum(when(col("n2") === 2L, 1L).otherwise(0L)).as("m2"),
+            sum(when(col("n2") >= 3L, 1L).otherwise(0L)).as("m3p"))
+        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val bt = typ.agg(count(lit(1)).as("b"))
+        val lpExpr = KnModified.sparkLp(n1, n2c, n3c, n4c,
+          mm1, mm2, mm3, mm4)
+        val srcAgg = tri.join(broadcast(ct), Seq("w1", "w2", "w3"),
+            "left")
+          .join(broadcast(ctx), Seq("w1", "w2"), "left")
+          .join(broadcast(typ), Seq("w2", "w3"), "left")
+          .join(broadcast(mctx), Seq("w2"), "left")
+          .join(broadcast(low), Seq("w3"), "left")
+          .crossJoin(broadcast(bt))
+          .selectExpr("doc_id", "source", lpExpr)
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tri"), sum("lp").as("lp_sum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("lp_sum") >= col("n_tri") * -36000L, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+          .as[(String, Long, Long, Long)].collect().toSeq
+        // discounts quantized at 1e6 — pins the estimation itself
+        val discq = Seq(
+          ("d1t", KnModified.d1(n1, n2c)),
+          ("d2t", KnModified.d2(n1, n2c, n3c)),
+          ("d3t", KnModified.d3(n1, n2c, n3c, n4c)),
+          ("d1m", KnModified.d1(mm1, mm2)),
+          ("d2m", KnModified.d2(mm1, mm2, mm3)),
+          ("d3m", KnModified.d3(mm1, mm2, mm3, mm4)))
+          .map { case (k, v) =>
+            ("disc", k, 1L, math.floor(1000000.0 * v).toLong) }
+        val cocRows = Seq(("coc", "n1", 1L, n1), ("coc", "n2", 1L, n2c),
+          ("coc", "n3", 1L, n3c), ("coc", "n4", 1L, n4c),
+          ("coc", "m1", 1L, mm1), ("coc", "m2", 1L, mm2),
+          ("coc", "m3", 1L, mm3), ("coc", "m4", 1L, mm4))
+        (srcAgg.map { case (src, nd, nk, lt) =>
+            ("src", src, nd, lt) } ++
+          srcAgg.map { case (src, nd, nk, _) =>
+            ("keep", src, nd, nk) } ++
+          discq ++ cocRows)
+          .toDF("kind", "key", "n", "v")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t3 AS (SELECT * FROM t WHERE len(toks) >= 3),
+            tri AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 1])) AS w2,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i + 2])) AS w3
+              FROM t3),
+            ${KnModified.duckModelCtes}
+            sc AS MATERIALIZED (SELECT tri.doc_id, tri.source,
+              count(*) AS n_tri,
+              CAST(sum(${KnModified.duckLp}) AS BIGINT) AS lp_sum
+              FROM ${KnModified.duckJoins}
+              GROUP BY 1, 2),
+            srcagg AS MATERIALIZED (SELECT source,
+              count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n_tri * -36000 THEN 1 END)
+                AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+              FROM sc GROUP BY 1)
+            SELECT 'src' AS kind, source AS key,
+              CAST(n_docs AS BIGINT) AS n, lp_total AS v FROM srcagg
+            UNION ALL SELECT 'keep', source, CAST(n_docs AS BIGINT),
+              CAST(n_keep AS BIGINT) FROM srcagg
+            UNION ALL SELECT 'disc', 'd1t', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("cct.n1",
+                "cct.n2", "cct.n3", "cct.n4", 1)}) AS BIGINT)
+              FROM cct
+            UNION ALL SELECT 'disc', 'd2t', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("cct.n1",
+                "cct.n2", "cct.n3", "cct.n4", 2)}) AS BIGINT)
+              FROM cct
+            UNION ALL SELECT 'disc', 'd3t', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("cct.n1",
+                "cct.n2", "cct.n3", "cct.n4", 3)}) AS BIGINT)
+              FROM cct
+            UNION ALL SELECT 'disc', 'd1m', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("ccm.m1",
+                "ccm.m2", "ccm.m3", "ccm.m4", 1)}) AS BIGINT)
+              FROM ccm
+            UNION ALL SELECT 'disc', 'd2m', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("ccm.m1",
+                "ccm.m2", "ccm.m3", "ccm.m4", 2)}) AS BIGINT)
+              FROM ccm
+            UNION ALL SELECT 'disc', 'd3m', 1,
+              CAST(floor(1000000.0 * ${KnModified.duckD("ccm.m1",
+                "ccm.m2", "ccm.m3", "ccm.m4", 3)}) AS BIGINT)
+              FROM ccm
+            UNION ALL SELECT 'coc', 'n1', 1, n1 FROM cct
+            UNION ALL SELECT 'coc', 'n2', 1, n2 FROM cct
+            UNION ALL SELECT 'coc', 'n3', 1, n3 FROM cct
+            UNION ALL SELECT 'coc', 'n4', 1, n4 FROM cct
+            UNION ALL SELECT 'coc', 'm1', 1, m1 FROM ccm
+            UNION ALL SELECT 'coc', 'm2', 1, m2 FROM ccm
+            UNION ALL SELECT 'coc', 'm3', 1, m3 FROM ccm
+            UNION ALL SELECT 'coc', 'm4', 1, m4 FROM ccm"""),
+      doc = "MODIFIED Kneser-Ney trigram LM (Chen-Goodman per-count " +
+        "discounts D1/D2/D3+ from count-of-counts at each level, " +
+        "clamped, bit-identical doubles) — the production KenLM " +
+        "default, one ladder step over q328")
   )
 }
 
@@ -1482,4 +1692,152 @@ private[operators] object KnTrigram {
        LEFT JOIN mid ON mid.w2 = tri.w2
        LEFT JOIN low ON low.w3 = tri.w3
        CROSS JOIN bt"""
+}
+
+/** Modified Kneser-Ney (q334): the per-count-bucket discounts and the
+  * three-level log-prob, generated from ONE textual template so the
+  * Spark form (count-of-count INTEGERS as literals) and the DuckDB
+  * form (the same integers from cc CTE columns) are mirrored
+  * token-for-token — identical IEEE-754 double sequences, identical
+  * quantized outputs. */
+private[operators] object KnModified {
+
+  /** Discount D_k as SQL over four count-of-count references. The
+    * SAME generator serves both dialects — only the refs differ. */
+  def dSql(a: String, b: String, c: String, e: String, k: Int)
+      : String = {
+    val y = s"(CAST($a AS DOUBLE) / CAST(($a + (2 * $b)) AS DOUBLE))"
+    k match {
+      case 1 => s"greatest(1.0 - ((2.0 * $y) * " +
+        s"(CAST($b AS DOUBLE) / CAST($a AS DOUBLE))), 0.0)"
+      case 2 => s"greatest(2.0 - ((3.0 * $y) * " +
+        s"(CAST($c AS DOUBLE) / CAST($b AS DOUBLE))), 0.0)"
+      case _ => s"greatest(3.0 - ((4.0 * $y) * " +
+        s"(CAST($e AS DOUBLE) / CAST($c AS DOUBLE))), 0.0)"
+    }
+  }
+
+  /** DuckDB discount reference (same generator, qualified refs). */
+  def duckD(a: String, b: String, c: String, e: String, k: Int)
+      : String = dSql(a, b, c, e, k)
+
+  /** Scala twins of [[dSql]] — same op order, for the pinned
+    * 1e6-quantized discount output rows. */
+  def d1(a: Long, b: Long): Double = {
+    val y = a.toDouble / (a + (2 * b)).toDouble
+    math.max(1.0 - ((2.0 * y) * (b.toDouble / a.toDouble)), 0.0)
+  }
+  def d2(a: Long, b: Long, c: Long): Double = {
+    val y = a.toDouble / (a + (2 * b)).toDouble
+    math.max(2.0 - ((3.0 * y) * (c.toDouble / b.toDouble)), 0.0)
+  }
+  def d3(a: Long, b: Long, c: Long, e: Long): Double = {
+    val y = a.toDouble / (a + (2 * b)).toDouble
+    math.max(3.0 - ((4.0 * y) * (e.toDouble / c.toDouble)), 0.0)
+  }
+
+  /** The three-level modified-KN log-prob: one parenthesization over
+    * column refs + discount SQL strings, shared by both dialects. */
+  private def lpSql(c3: String, c2: String, nf1: String, nf2: String,
+      nf3p: String, n2: String, dsum: String, m1: String, m2: String,
+      m3p: String, nb: String, b: String, d1t: String, d2t: String,
+      d3t: String, d1m: String, d2m: String, d3m: String): String = {
+    val plow = s"(CAST(greatest(coalesce($nb, 0), 1) AS DOUBLE) / " +
+      s"CAST($b AS DOUBLE))"
+    val dm = s"(CASE WHEN coalesce($n2, 0) = 1 THEN $d1m " +
+      s"WHEN coalesce($n2, 0) = 2 THEN $d2m ELSE $d3m END)"
+    val gm = s"((($d1m * $m1) + ($d2m * $m2)) + ($d3m * $m3p))"
+    val pmid = s"((greatest(CAST(coalesce($n2, 0) AS DOUBLE) - $dm, " +
+      s"0.0) + ($gm * $plow)) / CAST($dsum AS DOUBLE))"
+    val dt = s"(CASE WHEN coalesce($c3, 0) = 1 THEN $d1t " +
+      s"WHEN coalesce($c3, 0) = 2 THEN $d2t ELSE $d3t END)"
+    val gt = s"((($d1t * $nf1) + ($d2t * $nf2)) + ($d3t * $nf3p))"
+    val ptop = s"((greatest(CAST(coalesce($c3, 0) AS DOUBLE) - $dt, " +
+      s"0.0) + ($gt * $pmid)) / CAST($c2 AS DOUBLE))"
+    s"CAST(floor(10000.0 * ln(CASE WHEN $c2 IS NOT NULL THEN $ptop " +
+      s"WHEN $dsum IS NOT NULL THEN $pmid ELSE $plow END)) AS BIGINT)"
+  }
+
+  /** Spark scoring leg: count-of-counts embedded as BIGINT literals
+    * (they are driver scalars — the model was collected anyway). */
+  def sparkLp(n1: Long, n2: Long, n3: Long, n4: Long, m1: Long,
+      m2: Long, m3: Long, m4: Long): String = {
+    def lit(v: Long) = s"${v}L"
+    val (a, b, c, e) = (lit(n1), lit(n2), lit(n3), lit(n4))
+    val (f, g, h, i) = (lit(m1), lit(m2), lit(m3), lit(m4))
+    lpSql("c3", "c2", "nf1", "nf2", "nf3p", "n2", "dsum", "m1", "m2",
+      "m3p", "nb", "b",
+      dSql(a, b, c, e, 1), dSql(a, b, c, e, 2), dSql(a, b, c, e, 3),
+      dSql(f, g, h, i, 1), dSql(f, g, h, i, 2),
+      dSql(f, g, h, i, 3)) + " AS lp"
+  }
+
+  /** DuckDB mirror: same template, qualified refs, cc CTE columns. */
+  val duckLp: String =
+    lpSql("ct.c3", "ctx.c2", "ctx.nf1", "ctx.nf2", "ctx.nf3p",
+      "typ.n2", "mctx.dsum", "mctx.m1", "mctx.m2", "mctx.m3p",
+      "low.nb", "bt.b",
+      dSql("cct.n1", "cct.n2", "cct.n3", "cct.n4", 1),
+      dSql("cct.n1", "cct.n2", "cct.n3", "cct.n4", 2),
+      dSql("cct.n1", "cct.n2", "cct.n3", "cct.n4", 3),
+      dSql("ccm.m1", "ccm.m2", "ccm.m3", "ccm.m4", 1),
+      dSql("ccm.m1", "ccm.m2", "ccm.m3", "ccm.m4", 2),
+      dSql("ccm.m1", "ccm.m2", "ccm.m3", "ccm.m4", 3))
+
+  /** The modified-KN model CTE chain (expects a `tri(doc_id, …, w1,
+    * w2, w3)` CTE defined just before, like [[KnTrigram]]'s; UNPRUNED
+    * ct — the discounts are estimated from raw count-of-counts). */
+  val duckModelCtes: String =
+    """smp AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 10 = 0),
+            ct AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3
+              FROM smp GROUP BY 1, 2, 3),
+            ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+              CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nf1,
+              CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nf2,
+              CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nf3p
+              FROM ct GROUP BY 1, 2),
+            typ AS MATERIALIZED (SELECT w2, w3, count(*) AS n2
+              FROM ct GROUP BY 1, 2),
+            mctx AS (SELECT w2, CAST(sum(n2) AS BIGINT) AS dsum,
+              CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m1,
+              CAST(sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m2,
+              CAST(sum(CASE WHEN n2 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m3p
+              FROM typ GROUP BY 1),
+            low AS (SELECT w3, count(*) AS nb FROM typ GROUP BY 1),
+            bt AS (SELECT count(*) AS b FROM typ),
+            cct AS (SELECT
+              CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+              CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n3,
+              CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n4
+              FROM ct),
+            ccm AS (SELECT
+              CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m1,
+              CAST(sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m2,
+              CAST(sum(CASE WHEN n2 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m3,
+              CAST(sum(CASE WHEN n2 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m4
+              FROM typ),"""
+
+  /** The modified-KN scoring join chain (FROM clause body). */
+  val duckJoins: String =
+    """tri LEFT JOIN ct USING (w1, w2, w3)
+              LEFT JOIN ctx USING (w1, w2)
+              LEFT JOIN typ ON typ.w2 = tri.w2 AND typ.w3 = tri.w3
+              LEFT JOIN mctx ON mctx.w2 = tri.w2
+              LEFT JOIN low ON low.w3 = tri.w3
+              CROSS JOIN bt CROSS JOIN cct CROSS JOIN ccm"""
 }
