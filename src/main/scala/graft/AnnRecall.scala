@@ -23,6 +23,16 @@ object AnnRecall {
         if (name == "q246_ann_recall") {
           val r = df.agg(sum("n_hits"), sum("n_ivf")).head()
           (r.getLong(0), r.getLong(1))
+        } else if (name == "q335_pq_rerank") {
+          // the refine lane reports BOTH its stages: the coded scan's
+          // raw top-5 (recall_adc) and the post-re-rank top-5
+          // (recall_rr) — the contrast IS the measurement
+          val r = df.filter(col("kind") === "recall_adc")
+            .agg(sum("v"), sum("n")).head()
+          val rr = df.filter(col("kind") === "recall_rr")
+            .agg(sum("v"), sum("n")).head()
+          println(f"""ANNRECALL {"lane":"$name/adc","sf":"$d","hits":${r.getLong(0)},"cand":${r.getLong(1)},"recall":${if (r.getLong(1) == 0) 0.0 else r.getLong(0).toDouble / r.getLong(1)}%.4f}""")
+          (rr.getLong(0), rr.getLong(1))
         } else {
           val r = df.filter(col("kind") === "recall")
             .agg(sum("v"), sum("n")).head()
@@ -31,7 +41,12 @@ object AnnRecall {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""ANNRECALL {"lane":"$name","sf":"$d","hits":$hits,"cand":$cand,"recall":${if (cand == 0) 0.0 else hits.toDouble / cand}%.4f,"secs":$secs%.2f}""")
     }
-    Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq").foreach(run)
+    val lanes = args.drop(1) match {
+      case more if more.nonEmpty => more.toSeq
+      case _ => Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq",
+        "q331_pq_scaled_k", "q335_pq_rerank")
+    }
+    lanes.foreach(run)
     spark.stop()
   }
 }

@@ -87,8 +87,21 @@ object PlanAudit {
     "q144_quality_keeplist",   // quality chain + anti-join verification
     "q306_rocchio_classifier", // train leg + score leg + argmax +
                                // confusion/profile rollups
-    "q308_image_dhash"         // hash build + band self-join + three
+    "q308_image_dhash",        // hash build + band self-join + three
                                // verification rollups
+    "q335_pq_rerank",          // q266's training lineage (carried in
+                               // the cached codebook/shortlist/truth
+                               // build plans the string shows) + three
+                               // verification legs (recall_rr,
+                               // recall_adc, shortlist sizes); the
+                               // EXECUTING corpus scans are 2 (audited
+                               // above via scanCeiling)
+    "q336_ivf_stream_ingest"   // frozen-quantizer training lineage
+                               // (the cached cc1/cbArr build plans) +
+                               // three serving legs (cell stats,
+                               // probe top-5, ingest meta); the
+                               // corpus-scale scans are the index
+                               // read + the query panel (scans=2)
   )
 
   /** Iterative lanes (per-generation persist loops) whose FINAL plan

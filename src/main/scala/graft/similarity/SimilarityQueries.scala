@@ -1250,6 +1250,412 @@ object SimilarityQueries {
         "K = clamp(N/128, 8, 256) derived in-plan from corpus " +
         "cardinality, integer-exact scaled training mirrored by the " +
         "oracle — the gated remedy for the measured fixed-K recall " +
-        "collapse")
+        "collapse"),
+
+    // PQ shortlist + EXACT RE-RANK — the second half of the
+    // production ANN remedy (FAISS's IVFPQR / "refine" stage; Jégou
+    // et al. TPAMI 2011 §VI): the coded ADC scan only has to get the
+    // true neighbors into a SHORTLIST (top-50 here, a 10x easier
+    // target than top-5), then the raw vectors of just those 50 are
+    // fetched and re-ranked with exact distances. Query-time quality
+    // becomes top-5-of-exact-over-shortlist: the codebook's job
+    // shrinks from "rank the corpus" to "don't drop the neighbors
+    // from a 50-deep pool". Complements q331 (training capacity
+    // K∝corpus): q331 fixes WHAT the codebook can represent, this
+    // lane makes the answer robust to what it can't. At 100 TB the
+    // re-rank leg is O(queries x 50 x dims) — corpus-independent —
+    // and rides a broadcast semi-join into the vector table, so the
+    // only corpus-scale pass remains the coded scan. Training is
+    // q266's deliberately-weak pinned K=8 codebook so the gate
+    // CONTRASTS in-data: recall_rr vs recall_adc per query, same
+    // exact top-5 truth. Integer-exact throughout; DuckDB mirrors
+    // bit-for-bit.
+    Q("q335_pq_rerank",
+      (s, d) => {
+        val sub = 16
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        // corpus-scale long form NOT persisted (q255's cache-leak
+        // lesson); only the trained codebook persists
+        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+          .withColumn("m", expr(s"pos DIV $sub"))
+        val c0 = longF.filter(col("vec_id") < 8)
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist() // M*K*sub = 512 rows: model-sized
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        // shortlist: the ADC scan's top-50 per query (rn kept so the
+        // top-5 derives by filter) — queries x 50 rows, model-sized at
+        // any corpus scale, so it PERSISTS: the coded scan + window is
+        // paid exactly once and every verification leg reads the
+        // 50-row-per-query cache instead of re-expanding the corpus
+        // lineage (the repeated-scan invariant this lane must honor)
+        val short = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 50).select("qid", "vec_id", "rn")
+          .persist()
+        val adcTop = short.filter(col("rn") <= 5)
+          .select("qid", "vec_id")
+        // exact re-rank over the shortlist ONLY: fetch raw vectors
+        // via a broadcast join (at scale: a broadcast semi-join prune
+        // of the vector table), exact integer L2, top-5
+        val rr = longF.join(broadcast(short.select("qid", "vec_id")),
+            Seq("vec_id"))
+          .join(broadcast(qs.select("qid", "pos", "qx")),
+            Seq("qid", "pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        // exact top-5 truth: queries x 5 rows — model-sized, persisted
+        // (referenced once per compared method)
+        val exactTop = longF.join(
+            broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+          .persist()
+        def hitsOf(t: org.apache.spark.sql.DataFrame) =
+          exactTop.join(broadcast(t), Seq("qid", "vec_id"))
+            .groupBy("qid").agg(count(lit(1)).as("h"))
+        val qids = qs.select("qid").distinct().persist()
+        def recallRows(t: org.apache.spark.sql.DataFrame,
+            kind: String) =
+          qids.join(broadcast(hitsOf(t)), Seq("qid"), "left")
+            .selectExpr(s"'$kind' AS kind",
+              "CAST(qid AS STRING) AS key", "CAST(5 AS BIGINT) AS n",
+              "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val shortSz = short.groupBy("qid")
+          .agg(count(lit(1)).as("v"))
+          .selectExpr("'short' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(50 AS BIGINT) AS n", "v")
+        recallRows(rr, "recall_rr")
+          .unionByName(recallRows(adcTop, "recall_adc"))
+          .unionByName(shortSz)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            lm AS (SELECT vec_id, pos, pos // 16 AS m, x FROM long),
+            c0 AS (SELECT m, vec_id AS cid, pos, x AS cm FROM lm
+              WHERE vec_id < 8),
+            d1 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM a1 a JOIN lm l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            d2 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m,
+                cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, m, pos, x AS qx FROM lm
+              WHERE vec_id % 97 = 0),
+            lut AS (SELECT q.qid, q.m, c.cid,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS pd
+              FROM qs q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist,
+                row_number() OVER (PARTITION BY l.qid
+                  ORDER BY CAST(sum(l.pd) AS BIGINT) ASC,
+                    k.vec_id ASC) AS rn
+              FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM adc WHERE rn <= 5),
+            shortl AS (SELECT qid, vec_id FROM adc WHERE rn <= 50),
+            rr AS (SELECT s.qid, s.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM shortl s JOIN lm l ON l.vec_id = s.vec_id
+              JOIN qs q ON q.qid = s.qid AND q.pos = l.pos
+              GROUP BY 1, 2),
+            rrtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM rr)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            rrhits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN rrtop r ON r.qid = e.qid AND r.vec_id = e.vec_id
+              GROUP BY 1),
+            adchits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN adctop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1),
+            qids AS (SELECT DISTINCT qid FROM qs)
+            SELECT 'recall_rr' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n,
+              CAST(coalesce(h.h, 0) AS BIGINT) AS v
+            FROM qids q LEFT JOIN rrhits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'recall_adc', CAST(q.qid AS VARCHAR),
+              CAST(5 AS BIGINT), CAST(coalesce(h.h, 0) AS BIGINT)
+            FROM qids q LEFT JOIN adchits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'short', CAST(qid AS VARCHAR), CAST(50 AS BIGINT),
+              count(*)
+            FROM shortl GROUP BY 2"""),
+      doc = "PQ shortlist + exact re-rank (the FAISS refine stage): " +
+        "ADC top-50 shortlist, raw vectors of the shortlist only " +
+        "re-ranked with exact integer L2 to top-5; per-query " +
+        "recall_rr vs recall_adc contrast against the same exact " +
+        "truth — query-time recall made robust to codebook capacity"),
+
+    // Incremental IVF index maintenance — the ingest half of a
+    // production ANN deployment (the q43/q286 lanes build their index
+    // in one batch; a 100 TB corpus arrives continuously): a coarse
+    // quantizer is trained ONCE on the bootstrap snapshot (the first
+    // arrival batch's id range) and FROZEN — the invariant that makes
+    // incremental maintenance sound, because a frozen quantizer makes
+    // cell assignment a pure per-vector function, so the
+    // incrementally-assembled index is batch-split-invariant and
+    // equals the batch-built index row-for-row (the oracle builds it
+    // in one shot from the same frozen model). Arrival batches stream
+    // in (>= 4 micro-batches, ascending vec_id ranges hard-required —
+    // ids are assigned monotonically at ingest), each batch's vectors
+    // are assigned via the broadcast codebook and APPENDED to the
+    // cell-keyed index (vec_id, cell, raw vector — IVF-flat payload
+    // rows; at scale the same appends land cell-partitioned and
+    // compaction is a pure concat, no merge logic needed). Queries
+    // then probe the assembled index: nprobe=2 cells by centroid
+    // distance, exact integer L2 within the probed cells' rows via a
+    // broadcast of the query panel — the index is the only
+    // corpus-scale scan. Gated output: per-cell index stats, the full
+    // probe top-5 per query (rank-for-rank), completeness (index rows
+    // == corpus rows) and the multi-batch evidence.
+    Q("q336_ivf_stream_ingest",
+      (s, d) => {
+        graft.core.Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q336_ivf").toString
+        val staged = s"$tmp/staged"
+        val idxDir = s"$tmp/index"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staged))
+        // stage as 8 ascending vec_id-range files with ascending
+        // mod-times (q327's arrival model: FileStreamSource orders by
+        // timestamp then path, both ascend)
+        val maxId = n.agg(max("vec_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        val t0 = System.currentTimeMillis() - 120000L
+        (0 until 8).foreach { k =>
+          val dir = s"$tmp/slice$k"
+          n.where(col("vec_id") >= k * width &&
+              col("vec_id") < (k + 1) * width)
+            .coalesce(1).write.parquet(dir)
+          val f = new java.io.File(dir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(staged,
+            f"part-$k%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + k * 2000L))
+        }
+        // ---- frozen coarse quantizer: trained on the bootstrap
+        // snapshot only (the first micro-batch's two files = vec_id <
+        // 2*width), q286's integer-exact Lloyd round, then pivoted to
+        // array form for the per-batch assignment expression
+        val longSeed = n.filter(col("vec_id") < 2 * width)
+          .selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+        val cc0 = longSeed.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS cell", "pos", "x AS cm")
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val a1 = longSeed.join(broadcast(cc0), Seq("pos"))
+          .groupBy("vec_id", "cell")
+          .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1).select("vec_id", "cell")
+        val cc1 = a1.join(longSeed, Seq("vec_id"))
+          .groupBy("cell", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("cell", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist() // 4 cells x 64 dims = 256 rows: model-sized
+        val cbArr = cc1.groupBy("cell")
+          .agg(expr("transform(sort_array(collect_list(" +
+            "struct(pos, cm))), s -> s.cm)").as("cmv"))
+          .persist() // 4 rows — the broadcast assignment model
+        def l2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
+            "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+        // ---- incremental assignment: >= 4 arrival batches, monotone
+        // ids hard-required, each batch appended to the index
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val q = s.readStream.schema(n.schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(s"$staged/part-*.parquet")
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) {
+                nBatches.incrementAndGet()
+                val r = b.agg(min("vec_id"), max("vec_id")).head()
+                require(r.getLong(0) > lastMax.get(),
+                  s"arrival order regressed: batch min " +
+                    s"${r.getLong(0)} <= prior max ${lastMax.get()}")
+                lastMax.set(r.getLong(1))
+                val wB = Window.partitionBy("vec_id")
+                  .orderBy(col("dist").asc, col("cell").asc)
+                b.crossJoin(broadcast(cbArr))
+                  .withColumn("dist", expr(l2("v", "cmv")))
+                  .withColumn("rn", row_number().over(wB))
+                  .filter(col("rn") === 1)
+                  .select("vec_id", "cell", "v")
+                  .write.mode("append").parquet(idxDir)
+              }
+          }
+          .trigger(org.apache.spark.sql.streaming
+            .Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // ---- serve from the assembled index -----------------------
+        val idx = s.read.parquet(idxDir) // (vec_id, cell, v)
+        val cellStats = idx.groupBy("cell")
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("v"))
+          .selectExpr("'cell' AS kind", "CAST(cell AS STRING) AS key",
+            "n", "v")
+        val qs = n.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "v AS qv")
+        val wP = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = qs.crossJoin(broadcast(cbArr))
+          .withColumn("dist", expr(l2("qv", "cmv")))
+          .withColumn("rn", row_number().over(wP))
+          .filter(col("rn") <= 2).select("qid", "cell", "qv")
+        val wT = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val probe = idx.join(broadcast(probes), Seq("cell"))
+          .withColumn("dist", expr(l2("v", "qv")))
+          .withColumn("rank", row_number().over(wT))
+          .filter(col("rank") <= 5)
+          .selectExpr("'probe' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(rank AS BIGINT) AS n", "vec_id AS v")
+        val meta = Seq(
+          ("ingest", "multi_batch", 1L,
+            if (nBatches.get() >= 4) 1L else 0L),
+          ("ingest", "complete", n.count(), idx.count()))
+          .toDF("kind", "key", "n", "v")
+        cellStats.unionByName(probe).unionByName(meta)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            seed AS (SELECT * FROM long WHERE vec_id <
+              2 * ((SELECT max(vec_id) FROM embeddings) // 8 + 1)),
+            cc0 AS (SELECT vec_id AS cell, pos, x AS cm FROM seed
+              WHERE vec_id < 4),
+            cd1 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM seed l JOIN cc0 c ON l.pos = c.pos GROUP BY 1, 2),
+            ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd1)
+              WHERE rn = 1),
+            cc1 AS (SELECT a.cell, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM ca1 a JOIN seed l ON l.vec_id = a.vec_id
+              GROUP BY 1, 2),
+            cd2 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM long l JOIN cc1 c ON l.pos = c.pos GROUP BY 1, 2),
+            cells AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid FROM n WHERE vec_id % 97 = 0),
+            pd AS (SELECT q.qid, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM qs q JOIN long l ON l.vec_id = q.qid
+              JOIN cc1 c ON c.pos = l.pos GROUP BY 1, 2),
+            probes AS (SELECT qid, cell FROM (SELECT qid, cell,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, cell ASC) AS rn FROM pd)
+              WHERE rn <= 2),
+            cand AS (SELECT p.qid, s.vec_id FROM probes p
+              JOIN cells s ON s.cell = p.cell),
+            cd AS (SELECT c.qid, c.vec_id,
+                CAST(sum((l.x - ql.x) * (l.x - ql.x)) AS BIGINT) AS dist
+              FROM cand c JOIN long l ON l.vec_id = c.vec_id
+              JOIN long ql ON ql.vec_id = c.qid AND ql.pos = l.pos
+              GROUP BY 1, 2),
+            top AS (SELECT qid, vec_id, rank FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rank FROM cd)
+              WHERE rank <= 5)
+            SELECT 'cell' AS kind, CAST(cell AS VARCHAR) AS key,
+              count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS v
+            FROM cells GROUP BY 2
+            UNION ALL
+            SELECT 'probe', CAST(qid AS VARCHAR), CAST(rank AS BIGINT),
+              CAST(vec_id AS BIGINT)
+            FROM top
+            UNION ALL SELECT 'ingest', 'multi_batch', 1, 1
+            UNION ALL SELECT 'ingest', 'complete',
+              (SELECT count(*) FROM n), (SELECT count(*) FROM n)"""),
+      doc = "incremental IVF index maintenance: frozen bootstrap " +
+        "coarse quantizer, >= 4 monotone arrival batches assigned " +
+        "via the broadcast codebook and appended to the cell-keyed " +
+        "index, probe queries served from the assembled index — " +
+        "batch-split-invariant by the frozen-model purity, " +
+        "index == batch build row-for-row")
   )
 }

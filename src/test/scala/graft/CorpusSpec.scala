@@ -86,7 +86,8 @@ class CorpusSpec extends AnyFunSuite {
       "q243_lm_perplexity_filter", "q255_lm_perplexity_bcast",
       "q313_bm25_retrieval", "q315_suffix_prefix_doubling",
       "q316_logreg_trainer", "q322_quality_ensemble",
-      "q323_kneser_ney_lm", "q328_kn_trigram"))
+      "q323_kneser_ney_lm", "q328_kn_trigram",
+      "q334_modified_kn"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
   }
 }

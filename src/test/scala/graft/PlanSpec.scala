@@ -198,6 +198,38 @@ class PlanSpec extends AnyFunSuite {
       s"more nested-loop joins than the K seed filter:\n$plan")
   }
 
+  test("PQ re-rank: broadcast-only model joins, ≤2 executing corpus scans") {
+    val q = SparkEntry.queries("q335_pq_rerank")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // the refine stage's contract: the shortlist (queries×50) and the
+    // exact-truth table are broadcast/cached, the raw-vector fetch for
+    // re-ranking rides a broadcast semi-join — the corpus is never
+    // shuffled against a model table, and the FINAL plan executes at
+    // most 2 corpus scans (the re-rank fetch + the query-id leg);
+    // everything else reads the persisted model-sized caches
+    assert(plan.contains("BroadcastHashJoin"),
+      s"re-rank joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled against model tables:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("IVF stream ingest: serving plan broadcast-only over the index") {
+    val q = SparkEntry.queries("q336_ivf_stream_ingest")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // the assembled index is the only corpus-scale input to the
+    // serving legs: probes and the codebook ride broadcasts; a
+    // sort-merge join would mean the index was shuffled against a
+    // model table. (Assignment-time shape is per-batch inside
+    // foreachBatch — the monotone/multi-batch contract is a runtime
+    // require in the lane itself.)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index shuffled against model tables:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("IVF+PQ: model joins broadcast; shuffles only on corpus keys") {
     val q = SparkEntry.queries("q286_ivf_pq")(spark, d)
     val plan = q.queryExecution.executedPlan.toString
