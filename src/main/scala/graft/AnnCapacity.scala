@@ -10,7 +10,11 @@ import org.apache.spark.sql.expressions.Window
   * against the known remedy (scale K with the corpus). Double
   * arithmetic — this is a measurement probe, not an oracle-gated
   * lane; the gated lanes stay integer-exact at K=8 so DuckDB mirrors
-  * training bit-for-bit. Usage: runMain graft.AnnCapacity <sfDir> <K>.
+  * training bit-for-bit. Usage: runMain graft.AnnCapacity <sfDir> <K>
+  * [shortlist] — a third argument R > 0 adds q335's refine stage
+  * (exact re-rank of the ADC top-R shortlist) and reports both
+  * recalls, so the COMPOSED remedy (capacity ∝ N at training time ×
+  * exact re-rank at query time) is measured, not inferred.
   */
 object AnnCapacity {
   def main(args: Array[String]): Unit = {
@@ -52,20 +56,37 @@ object AnnCapacity {
       .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
     val wTop = Window.partitionBy("qid")
       .orderBy(col("dist").asc, col("vec_id").asc)
-    val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+    val rerank = if (args.length > 2) args(2).toInt else 0
+    val short = codes.join(broadcast(lut), Seq("m", "cid"))
       .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 5).select("qid", "vec_id").persist()
+      .filter(col("rn") <= math.max(5, rerank))
+      .select("qid", "vec_id", "rn").persist()
+    val adcTop = short.filter(col("rn") <= 5).select("qid", "vec_id")
     val exactTop = longF.join(
         broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
       .groupBy("qid", "vec_id")
       .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 5).select("qid", "vec_id")
+      .filter(col("rn") <= 5).select("qid", "vec_id").persist()
     val hits = exactTop.join(adcTop, Seq("qid", "vec_id")).count()
     val cand = adcTop.count()
+    val rrStats = if (rerank > 0) {
+      val rr = longF
+        .join(broadcast(short.select("qid", "vec_id")), Seq("vec_id"))
+        .join(broadcast(qs.select("qid", "pos", "qx")),
+          Seq("qid", "pos"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5).select("qid", "vec_id")
+      val h = exactTop.join(rr, Seq("qid", "vec_id")).count()
+      s""","rerank":$rerank,"rr_hits":$h,"rr_recall":${
+        if (cand == 0) "0.0"
+        else f"${h.toDouble / cand}%.4f"}"""
+    } else ""
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""ANNCAP {"sf":"$d","k":$k,"hits":$hits,"cand":$cand,"recall":${if (cand == 0) 0.0 else hits.toDouble / cand}%.4f,"secs":$secs%.2f}""")
+    println(f"""ANNCAP {"sf":"$d","k":$k,"hits":$hits,"cand":$cand,"recall":${if (cand == 0) 0.0 else hits.toDouble / cand}%.4f$rrStats,"secs":$secs%.2f}""")
     spark.stop()
   }
 }

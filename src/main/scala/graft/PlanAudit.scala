@@ -96,6 +96,12 @@ object PlanAudit {
                                // recall_adc, shortlist sizes); the
                                // EXECUTING corpus scans are 2 (audited
                                // above via scanCeiling)
+    "q337_dedup_retraction",   // five-leg reconciliation union (pre
+                               // checksum, post rollup, takedown /
+                               // affected / resurrected ledgers) over
+                               // the cached request-sized recon state;
+                               // the corpus pays 2 executing scans
+                               // (pre index + the post carry leg)
     "q336_ivf_stream_ingest"   // frozen-quantizer training lineage
                                // (the cached cc1/cbArr build plans) +
                                // three serving legs (cell stats,

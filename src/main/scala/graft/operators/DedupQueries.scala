@@ -996,6 +996,119 @@ object DedupQueries {
       },
       doc = "staged dedup cascade: exact md5 → LSH near-dup over " +
         "survivors → exact 32-token substring over survivors; every " +
-        "doc attributed to one bucket")
+        "doc attributed to one bucket"),
+
+    // Takedown/retraction reconciliation — the dedup-state operation a
+    // training corpus needs that INGEST lanes (q327/q330) don't cover:
+    // when documents must be REMOVED after the fact (rights requests,
+    // licensing changes, contamination discoveries), min-owner dedup
+    // state cannot just drop the rows — keys the deleted docs OWNED
+    // must re-elect the next-smallest live member (a previously-
+    // DROPPED duplicate re-enters the corpus: "resurrection"), and
+    // keys whose every member is deleted retire entirely. The 100 TB
+    // property this lane pins: reconciliation work is bounded by the
+    // REQUEST, not the corpus — the affected-key set is at most
+    // |takedown| keys (request-sized, persisted + broadcast), the
+    // re-election pass reads only those keys' postings via a
+    // broadcast semi-join, and every unaffected key's owner carries
+    // over untouched (broadcast anti-join, no recompute). The owner
+    // index is the q37-family exact-dedup state over a first-3-token
+    // prefix key (collision-rich, so re-election actually exercises);
+    // the takedown set is doc_id % 7 == 3. Gated: pre-state checksum,
+    // the reconciled owner index (rollup by owner mod-7 band — note
+    // band 3 must vanish: every pre-owner ≡ 3 was deleted), and the
+    // recon ledger (takedown size, affected vs retired keys,
+    // resurrected owners) — the oracle rebuilds post-state from
+    // scratch on the filtered corpus, so the hash match proves
+    // carry+re-elect ≡ full recompute.
+    Q("q337_dedup_retraction",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id",
+          s"array_join(slice($sparkToks, 1, 3), ' ') AS ek")
+        // the takedown request: bounded by the request batch
+        val takedown = docs.filter(col("doc_id") % 7 === 3)
+          .select("doc_id").persist()
+        // affected keys: <= |takedown| — the tractability bound
+        val affected = docs.join(broadcast(takedown), Seq("doc_id"))
+          .select("ek").distinct().persist()
+        // pre-state owner index (at rest at scale; derived here)
+        val pre = docs.groupBy("ek").agg(min("doc_id").as("owner"))
+        // ONE re-election pass over the affected keys' postings only:
+        // pre/post owner side by side (post = min over live members;
+        // the %7 predicate IS the takedown list by construction)
+        val recon = docs.join(broadcast(affected), Seq("ek"))
+          .groupBy("ek").agg(
+            min("doc_id").as("pre_owner"),
+            min(when(col("doc_id") % 7 =!= 3, col("doc_id")))
+              .as("post_owner"))
+          .persist() // <= |takedown| keys: request-sized
+        val reelected = recon.filter(col("post_owner").isNotNull)
+        // reconciled index: carry unaffected owners + re-elected
+        val post = pre.join(broadcast(affected), Seq("ek"), "left_anti")
+          .select("owner")
+          .unionByName(reelected.selectExpr("post_owner AS owner"))
+        val bucket = post.rollup(expr("owner % 7").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum("owner").cast("long").as("v"))
+          .selectExpr("'bucket' AS kind",
+            "coalesce(CAST(b AS STRING), 'all') AS key", "n", "v")
+        val preRow = pre.agg(count(lit(1)).as("n"),
+            sum("owner").cast("long").as("v"))
+          .selectExpr("'count' AS kind", "'pre' AS key", "n", "v")
+        val tdRow = takedown.agg(count(lit(1)).as("n"),
+            sum("doc_id").cast("long").as("v"))
+          .selectExpr("'recon' AS kind", "'takedown' AS key", "n", "v")
+        val affRow = recon.agg(count(lit(1)).as("n"),
+            sum(when(col("post_owner").isNull, 1L).otherwise(0L))
+              .as("v"))
+          .selectExpr("'recon' AS kind", "'affected' AS key", "n", "v")
+        val resRow = reelected
+          .filter(col("post_owner") =!= col("pre_owner"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("post_owner"), lit(0L)).cast("long").as("v"))
+          .selectExpr("'recon' AS kind", "'resurrected' AS key",
+            "n", "v")
+        preRow.unionByName(bucket).unionByName(tdRow)
+          .unionByName(affRow).unionByName(resRow)
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              array_to_string(($duckToks)[1:3], ' ') AS ek
+              FROM documents),
+            pre AS (SELECT ek, min(doc_id) AS owner FROM d GROUP BY 1),
+            td AS (SELECT doc_id FROM d WHERE doc_id % 7 = 3),
+            aff AS (SELECT DISTINCT ek FROM d WHERE doc_id % 7 = 3),
+            recon AS (SELECT ek, min(doc_id) AS pre_owner,
+                min(CASE WHEN doc_id % 7 != 3 THEN doc_id END)
+                  AS post_owner
+              FROM d WHERE ek IN (SELECT ek FROM aff) GROUP BY 1),
+            post AS (SELECT owner FROM pre
+              WHERE ek NOT IN (SELECT ek FROM aff)
+              UNION ALL SELECT post_owner FROM recon
+              WHERE post_owner IS NOT NULL)
+            SELECT 'count' AS kind, 'pre' AS key, count(*) AS n,
+              CAST(sum(owner) AS BIGINT) AS v FROM pre
+            UNION ALL
+            SELECT 'bucket',
+              coalesce(CAST(owner % 7 AS VARCHAR), 'all'), count(*),
+              CAST(sum(owner) AS BIGINT)
+            FROM post GROUP BY ROLLUP(owner % 7)
+            UNION ALL
+            SELECT 'recon', 'takedown', count(*),
+              CAST(sum(doc_id) AS BIGINT) FROM td
+            UNION ALL
+            SELECT 'recon', 'affected', count(*),
+              CAST(sum(CASE WHEN post_owner IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) FROM recon
+            UNION ALL
+            SELECT 'recon', 'resurrected', count(*),
+              CAST(coalesce(sum(post_owner), 0) AS BIGINT) FROM recon
+            WHERE post_owner IS NOT NULL
+              AND post_owner != pre_owner"""),
+      doc = "takedown reconciliation over min-owner dedup state: " +
+        "affected keys (request-bounded, broadcast) re-elect the " +
+        "next live member, unaffected owners carry over via " +
+        "anti-join, retired and resurrected keys ledgered — " +
+        "carry+re-elect proven equal to a full recompute on the " +
+        "filtered corpus")
   )
 }

@@ -1656,6 +1656,174 @@ object SimilarityQueries {
         "via the broadcast codebook and appended to the cell-keyed " +
         "index, probe queries served from the assembled index — " +
         "batch-split-invariant by the frozen-model purity, " +
-        "index == batch build row-for-row")
+        "index == batch build row-for-row"),
+
+    // ANN index retraction — takedowns hitting the VECTOR store
+    // (q337 is the dedup-state half of a removal request; this is the
+    // index half): deleted vectors become TOMBSTONES against the
+    // deployed IVF index — the frozen quantizer and the index layout
+    // are NOT retrained or rebuilt (model purity again: retraining on
+    // every takedown would churn every cell; a tombstone anti-join is
+    // request-bounded and merge-safe with q336's append compaction).
+    // Probes must serve ONLY live vectors: the oracle's top-5 is
+    // computed over the tombstone-filtered cells, so a single served
+    // tombstone — or a missing vacated-slot promotion (the 6th-nearest
+    // live vector entering top-5 when a tombstone vacates a slot) —
+    // breaks the hash. Per-cell live/tombstone accounting comes from
+    // ONE pass over the index (the 4-cell stats frame persists;
+    // the final plan executes 2 corpus scans: the live probe leg and
+    // the query panel). Queries keep the full vec_id % 97 panel —
+    // a deleted document's vector can still ARRIVE as a query; it
+    // just can never be RETURNED.
+    Q("q338_ann_retraction",
+      (s, d) => {
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val maxId = n.agg(max("vec_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        // the deployed frozen quantizer — q336's bootstrap model
+        val longSeed = n.filter(col("vec_id") < 2 * width)
+          .selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+        val cc0 = longSeed.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS cell", "pos", "x AS cm")
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val a1 = longSeed.join(broadcast(cc0), Seq("pos"))
+          .groupBy("vec_id", "cell")
+          .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1).select("vec_id", "cell")
+        val cc1 = a1.join(longSeed, Seq("vec_id"))
+          .groupBy("cell", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("cell", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist()
+        val cbArr = cc1.groupBy("cell")
+          .agg(expr("transform(sort_array(collect_list(" +
+            "struct(pos, cm))), s -> s.cm)").as("cmv"))
+          .persist()
+        def l2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
+            "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+        val wC = Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cell").asc)
+        // the at-rest index (q336 proved ingest assembles exactly this)
+        val idx = n.crossJoin(broadcast(cbArr))
+          .withColumn("dist", expr(l2("v", "cmv")))
+          .withColumn("rn", row_number().over(wC))
+          .filter(col("rn") === 1).select("vec_id", "cell", "v")
+        // per-cell live/tombstone accounting: ONE index pass, 4 rows
+        val cellAgg = idx
+          .withColumn("dead", (col("vec_id") % 59 === 0).cast("long"))
+          .groupBy("cell").agg(
+            sum(expr("1 - dead")).as("nlive"),
+            coalesce(sum(when(col("dead") === 0, col("vec_id"))),
+              lit(0L)).cast("long").as("vlive"),
+            sum("dead").as("ntomb"),
+            coalesce(sum(when(col("dead") === 1, col("vec_id"))),
+              lit(0L)).cast("long").as("vtomb"))
+          .persist() // 4 cells: model-sized
+        val cellRows = cellAgg.selectExpr("'cell' AS kind",
+          "CAST(cell AS STRING) AS key", "nlive AS n", "vlive AS v")
+        val tombRows = cellAgg.selectExpr("'tomb' AS kind",
+          "CAST(cell AS STRING) AS key", "ntomb AS n", "vtomb AS v")
+        // probes over LIVE rows only (tombstone anti-join on the
+        // request-sized takedown predicate)
+        val qs = n.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "v AS qv")
+        val wP = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = qs.crossJoin(broadcast(cbArr))
+          .withColumn("dist", expr(l2("qv", "cmv")))
+          .withColumn("rn", row_number().over(wP))
+          .filter(col("rn") <= 2).select("qid", "cell", "qv")
+        val wT = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val probe = idx.filter(col("vec_id") % 59 =!= 0)
+          .join(broadcast(probes), Seq("cell"))
+          .withColumn("dist", expr(l2("v", "qv")))
+          .withColumn("rank", row_number().over(wT))
+          .filter(col("rank") <= 5)
+          .selectExpr("'probe' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(rank AS BIGINT) AS n", "vec_id AS v")
+        cellRows.unionByName(tombRows).unionByName(probe)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            seed AS (SELECT * FROM long WHERE vec_id <
+              2 * ((SELECT max(vec_id) FROM embeddings) // 8 + 1)),
+            cc0 AS (SELECT vec_id AS cell, pos, x AS cm FROM seed
+              WHERE vec_id < 4),
+            cd1 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM seed l JOIN cc0 c ON l.pos = c.pos GROUP BY 1, 2),
+            ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd1)
+              WHERE rn = 1),
+            cc1 AS (SELECT a.cell, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM ca1 a JOIN seed l ON l.vec_id = a.vec_id
+              GROUP BY 1, 2),
+            cd2 AS (SELECT l.vec_id, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM long l JOIN cc1 c ON l.pos = c.pos GROUP BY 1, 2),
+            cells AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist ASC, cell ASC) AS rn FROM cd2)
+              WHERE rn = 1),
+            cellagg AS (SELECT cell,
+                CAST(sum(CASE WHEN vec_id % 59 != 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nlive,
+                CAST(coalesce(sum(CASE WHEN vec_id % 59 != 0
+                  THEN vec_id END), 0) AS BIGINT) AS vlive,
+                CAST(sum(CASE WHEN vec_id % 59 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ntomb,
+                CAST(coalesce(sum(CASE WHEN vec_id % 59 = 0
+                  THEN vec_id END), 0) AS BIGINT) AS vtomb
+              FROM cells GROUP BY 1),
+            qs AS (SELECT vec_id AS qid FROM n WHERE vec_id % 97 = 0),
+            pd AS (SELECT q.qid, c.cell,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT) AS dist
+              FROM qs q JOIN long l ON l.vec_id = q.qid
+              JOIN cc1 c ON c.pos = l.pos GROUP BY 1, 2),
+            probes AS (SELECT qid, cell FROM (SELECT qid, cell,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, cell ASC) AS rn FROM pd)
+              WHERE rn <= 2),
+            cand AS (SELECT p.qid, s.vec_id FROM probes p
+              JOIN cells s ON s.cell = p.cell
+              WHERE s.vec_id % 59 != 0),
+            cd AS (SELECT c.qid, c.vec_id,
+                CAST(sum((l.x - ql.x) * (l.x - ql.x)) AS BIGINT) AS dist
+              FROM cand c JOIN long l ON l.vec_id = c.vec_id
+              JOIN long ql ON ql.vec_id = c.qid AND ql.pos = l.pos
+              GROUP BY 1, 2),
+            top AS (SELECT qid, vec_id, rank FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rank FROM cd)
+              WHERE rank <= 5)
+            SELECT 'cell' AS kind, CAST(cell AS VARCHAR) AS key,
+              nlive AS n, vlive AS v FROM cellagg
+            UNION ALL
+            SELECT 'tomb', CAST(cell AS VARCHAR), ntomb, vtomb
+            FROM cellagg
+            UNION ALL
+            SELECT 'probe', CAST(qid AS VARCHAR), CAST(rank AS BIGINT),
+              CAST(vec_id AS BIGINT)
+            FROM top"""),
+      doc = "ANN index retraction: takedown vectors tombstoned " +
+        "against the deployed IVF index (frozen model NOT retrained), " +
+        "per-cell live/tombstone accounting in one pass, probes " +
+        "serve only live vectors — vacated top-5 slots promote the " +
+        "next live neighbor, pinned rank-for-rank by the oracle")
   )
 }
