@@ -23,7 +23,8 @@ object AnnRecall {
         if (name == "q246_ann_recall") {
           val r = df.agg(sum("n_hits"), sum("n_ivf")).head()
           (r.getLong(0), r.getLong(1))
-        } else if (name == "q335_pq_rerank") {
+        } else if (name == "q335_pq_rerank" ||
+            name == "q339_pq_scaled_rerank") {
           // the refine lane reports BOTH its stages: the coded scan's
           // raw top-5 (recall_adc) and the post-re-rank top-5
           // (recall_rr) — the contrast IS the measurement
@@ -44,7 +45,7 @@ object AnnRecall {
     val lanes = args.drop(1) match {
       case more if more.nonEmpty => more.toSeq
       case _ => Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq",
-        "q331_pq_scaled_k", "q335_pq_rerank")
+        "q331_pq_scaled_k", "q335_pq_rerank", "q339_pq_scaled_rerank")
     }
     lanes.foreach(run)
     spark.stop()

@@ -48,9 +48,18 @@ object PlanAudit {
     "q182_curriculum",         // stage boundary pairs over ≤10 stages
     "q116_semantic_dedup",     // broadcast-centroid assign (k=√N cap),
                                // ×2 in lineage on both self-join sides
-    "q331_pq_scaled_k"         // the 1-row corpus-count → K seed join,
+    "q331_pq_scaled_k",        // the 1-row corpus-count → K seed join,
                                // ×3 in lineage via the codebook cache's
                                // build plan (PlanSpec pins ≤4)
+    "q338_ann_retraction",     // the 4-row broadcast codebook crossed
+                               // into the assignment legs (index build
+                               // + query probes); repeats in the
+                               // string via the cached cell-stats
+                               // frame's build lineage
+    "q339_pq_scaled_rerank"    // q331's 1-row corpus-count → K seed
+                               // join, one more lineage repeat than
+                               // q331 (the rr/book legs also carry
+                               // the codebook cache's build plan)
   )
 
   /** Verification harnesses that UNION several independently
@@ -102,12 +111,21 @@ object PlanAudit {
                                // the cached request-sized recon state;
                                // the corpus pays 2 executing scans
                                // (pre index + the post carry leg)
-    "q336_ivf_stream_ingest"   // frozen-quantizer training lineage
+    "q336_ivf_stream_ingest",  // frozen-quantizer training lineage
                                // (the cached cc1/cbArr build plans) +
                                // three serving legs (cell stats,
                                // probe top-5, ingest meta); the
                                // corpus-scale scans are the index
                                // read + the query panel (scans=2)
+    "q338_ann_retraction",     // same model lineage + three serving
+                               // legs (cell/tomb accounting from the
+                               // cached 4-row stats frame, live probe
+                               // top-5); corpus pays 2 executing scans
+    "q339_pq_scaled_rerank"    // q331's scaled-training lineage +
+                               // q335's four verification legs
+                               // (recall_rr, recall_adc, codebook, k);
+                               // executing corpus scans = 4 (audited
+                               // at the scanCeiling)
   )
 
   /** Iterative lanes (per-generation persist loops) whose FINAL plan

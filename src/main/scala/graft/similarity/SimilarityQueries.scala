@@ -1824,6 +1824,194 @@ object SimilarityQueries {
         "against the deployed IVF index (frozen model NOT retrained), " +
         "per-cell live/tombstone accounting in one pass, probes " +
         "serve only live vectors — vacated top-5 slots promote the " +
-        "next live neighbor, pinned rank-for-rank by the oracle")
+        "next live neighbor, pinned rank-for-rank by the oracle"),
+
+    // The composed 100 TB ANN operating configuration, gated —
+    // q331 × q335 in one lane: codebook capacity grows with the
+    // corpus (K = clamp(N/128, 8, 256), derived in-plan) AND the
+    // coded scan only produces a top-50 shortlist that exact re-rank
+    // finishes. BENCH_NOTES r14 measured the halves and the
+    // composition (at 10×: pinned K=8 0.0019; scaled-K alone 0.2377;
+    // K=128 + re-rank 0.3778 — above the 1× baseline); this lane
+    // pins the composition as BEHAVIOR, so a regression in either
+    // half (an under-trained codebook, a shortlist that skips
+    // re-rank) fails one of the recall_rr/recall_adc/codebook/k row
+    // families. Same integer-exact arithmetic; DuckDB mirrors scaled
+    // training AND the refine stage bit-for-bit.
+    Q("q339_pq_scaled_rerank",
+      (s, d) => {
+        val sub = 16
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
+          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
+        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+          .withColumn("m", expr(s"pos DIV $sub"))
+        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist() // ≤ M*256*sub rows: model-sized at the K ceiling
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val short = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 50).select("qid", "vec_id", "rn")
+          .persist() // queries × 50: model-sized
+        val adcTop = short.filter(col("rn") <= 5)
+          .select("qid", "vec_id")
+        val rr = longF.join(broadcast(short.select("qid", "vec_id")),
+            Seq("vec_id"))
+          .join(broadcast(qs.select("qid", "pos", "qx")),
+            Seq("qid", "pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longF.join(
+            broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+          .persist()
+        def hitsOf(t: org.apache.spark.sql.DataFrame) =
+          exactTop.join(broadcast(t), Seq("qid", "vec_id"))
+            .groupBy("qid").agg(count(lit(1)).as("h"))
+        val qids = qs.select("qid").distinct().persist()
+        def recallRows(t: org.apache.spark.sql.DataFrame,
+            kind: String) =
+          qids.join(broadcast(hitsOf(t)), Seq("qid"), "left")
+            .selectExpr(s"'$kind' AS kind",
+              "CAST(qid AS STRING) AS key", "CAST(5 AS BIGINT) AS n",
+              "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val book = codes.groupBy("m")
+          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
+          "kk AS n", "kk AS v")
+        recallRows(rr, "recall_rr")
+          .unionByName(recallRows(adcTop, "recall_adc"))
+          .unionByName(book).unionByName(kRow)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            kp AS (SELECT greatest(CAST(8 AS BIGINT),
+                least(CAST(256 AS BIGINT), count(*) // 128)) AS kk
+              FROM n),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            lm AS (SELECT vec_id, pos, pos // 16 AS m, x FROM long),
+            c0 AS (SELECT m, vec_id AS cid, pos, x AS cm FROM lm
+              WHERE vec_id < (SELECT kk FROM kp)),
+            d1 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM a1 a JOIN lm l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            d2 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m,
+                cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, m, pos, x AS qx FROM lm
+              WHERE vec_id % 97 = 0),
+            lut AS (SELECT q.qid, q.m, c.cid,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS pd
+              FROM qs q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist,
+                row_number() OVER (PARTITION BY l.qid
+                  ORDER BY CAST(sum(l.pd) AS BIGINT) ASC,
+                    k.vec_id ASC) AS rn
+              FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM adc WHERE rn <= 5),
+            shortl AS (SELECT qid, vec_id FROM adc WHERE rn <= 50),
+            rr AS (SELECT s.qid, s.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM shortl s JOIN lm l ON l.vec_id = s.vec_id
+              JOIN qs q ON q.qid = s.qid AND q.pos = l.pos
+              GROUP BY 1, 2),
+            rrtop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM rr)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            rrhits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN rrtop r ON r.qid = e.qid AND r.vec_id = e.vec_id
+              GROUP BY 1),
+            adchits AS (SELECT e.qid, count(*) AS h FROM extop e
+              JOIN adctop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1),
+            qids AS (SELECT DISTINCT qid FROM qs)
+            SELECT 'recall_rr' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n,
+              CAST(coalesce(h.h, 0) AS BIGINT) AS v
+            FROM qids q LEFT JOIN rrhits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'recall_adc', CAST(q.qid AS VARCHAR),
+              CAST(5 AS BIGINT), CAST(coalesce(h.h, 0) AS BIGINT)
+            FROM qids q LEFT JOIN adchits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'codebook', CAST(m AS VARCHAR),
+              count(DISTINCT cid), count(*)
+            FROM codes GROUP BY 2
+            UNION ALL
+            SELECT 'k', 'k', CAST(kk AS BIGINT), CAST(kk AS BIGINT)
+            FROM kp"""),
+      doc = "composed ANN operating configuration: corpus-scaled-K " +
+        "codebook (q331) + ADC top-50 shortlist with exact re-rank " +
+        "(q335) in one gated lane — capacity fixes what the " +
+        "shortlist can hold, re-rank fixes how it's ordered; " +
+        "recall_rr vs recall_adc plus codebook/k rows pin both halves")
   )
 }

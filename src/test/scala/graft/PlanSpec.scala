@@ -230,6 +230,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("retraction lanes: request-sized state broadcast, no corpus SMJ") {
+    // q337: affected keys / takedown list / recon ledger are all
+    // request-sized and broadcast — the corpus is never shuffled
+    // against them. q338: same for the tombstone filter and the
+    // 4-row codebook; probes ride broadcasts into the index scan.
+    Seq("q337_dedup_retraction", "q338_ann_retraction").foreach { nm =>
+      val plan = SparkEntry.queries(nm)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$nm reconciliation joins must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$nm shuffled the corpus against request-sized state:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$nm cartesian:\n$plan")
+    }
+  }
+
   test("IVF+PQ: model joins broadcast; shuffles only on corpus keys") {
     val q = SparkEntry.queries("q286_ivf_pq")(spark, d)
     val plan = q.queryExecution.executedPlan.toString

@@ -921,7 +921,11 @@ class StateSpec extends AnyFunSuite {
     }
 
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 60.0, f"10x soak took $secs%.1f s — state machine " +
+    // budget guards the QUADRATIC failure mode (cycles x parse would
+    // read minutes); it must not flake under suite-parallel load —
+    // solo the replay runs ~35-50 s, under the full 28-suite parallel
+    // run it has been measured at 63.6 s (r14), hence 2x headroom
+    assert(secs < 120.0, f"10x soak took $secs%.1f s — state machine " +
       "cost is no longer linear in cycles")
   }
 
