@@ -1605,7 +1605,185 @@ object CorpusQueries {
       doc = "MODIFIED Kneser-Ney trigram LM (Chen-Goodman per-count " +
         "discounts D1/D2/D3+ from count-of-counts at each level, " +
         "clamped, bit-identical doubles) — the production KenLM " +
-        "default, one ladder step over q328")
+        "default, one ladder step over q328"),
+
+    // Order-4 ladder step over q334 (ROADMAP r15 #3 pulled forward):
+    // modified Kneser-Ney FOUR-gram LM. Same Chen-Goodman estimator,
+    // one more backoff level — the top level scores raw 4-gram counts
+    // and each lower level scores CONTINUATION types (|{w1}| per
+    // (w2,w3,w4), |{w2}| per (w3,w4), |{w3}| per w4), with per-count
+    // discounts D1/D2/D3+ estimated from EACH level's own
+    // count-of-counts (three discount sets, nine discounts — KenLM's
+    // default shape at order 4). Same driver-literal model regime as
+    // q334 (sampled, boundedModel-guarded, broadcast scoring joins —
+    // the corpus side never shuffles wider than one groupBy(doc)),
+    // same mirrored-double contract: ONE fixed four-level
+    // parenthesization shared token-for-token with the oracle, so the
+    // quantized floor(10000·ln p) is bit-identical.
+    Q("q340_modified_kn4",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"${TextOps.sparkToks} AS toks")
+          .where("size(toks) >= 4")
+        val fg = docs.selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 3), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2, " +
+              "element_at(toks, i + 2) AS w3, " +
+              "element_at(toks, i + 3) AS w4))) AS g")
+          .selectExpr("doc_id", "source", "g.w1 AS w1", "g.w2 AS w2",
+            "g.w3 AS w3", "g.w4 AS w4")
+        val rows = fg.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2", "w3", "w4")
+          .agg(count(lit(1)).as("c4"))
+          .as[(String, String, String, String, Long)].collect()
+        boundedModel(rows.length, "q340_modified_kn4")
+        // count-of-counts per level, from the one collected model:
+        // level-4 raw counts, then the two continuation-type levels
+        def coc(vals: Iterator[Long]): (Long, Long, Long, Long) = {
+          var a = 0L; var b = 0L; var c = 0L; var e = 0L
+          vals.foreach {
+            case 1L => a += 1
+            case 2L => b += 1
+            case 3L => c += 1
+            case 4L => e += 1
+            case _ =>
+          }
+          (a, b, c, e)
+        }
+        val (n1, n2c, n3c, n4c) = coc(rows.iterator.map(_._5))
+        val t3Scala = rows.groupBy(r => (r._2, r._3, r._4)).view
+          .mapValues(_.size.toLong).toMap
+        val (p1, p2, p3, p4) = coc(t3Scala.valuesIterator)
+        val t2Scala = t3Scala.keysIterator.toSeq
+          .groupBy(k => (k._2, k._3)).view
+          .mapValues(_.size.toLong).toMap
+        val (q1c, q2c, q3c, q4c) = coc(t2Scala.valuesIterator)
+        // KenLM --discount_fallback semantics, per level: estimated
+        // discounts only where the level's count-of-counts support
+        // them, fixed 0.5/1.0/1.5 otherwise (sparse 4-gram samples
+        // hit this; both dialects take the branch from the SAME
+        // integers). Where estimation IS used it must be sane.
+        def est(a: Long, b: Long, c: Long, e: Long): Boolean =
+          a > 0 && b > 0 && c > 0 && e > 0
+        require(!est(n1, n2c, n3c, n4c) ||
+          (KnModified.d2(n1, n2c, n3c) > 0 &&
+            KnModified.d3(n1, n2c, n3c, n4c) > 0),
+          "non-positive estimated top-level discount")
+        require(!est(p1, p2, p3, p4) ||
+          (KnModified.d2(p1, p2, p3) > 0 &&
+            KnModified.d3(p1, p2, p3, p4) > 0),
+          "non-positive estimated mid-level discount")
+        require(!est(q1c, q2c, q3c, q4c) ||
+          (KnModified.d2(q1c, q2c, q3c) > 0 &&
+            KnModified.d3(q1c, q2c, q3c, q4c) > 0),
+          "non-positive estimated low-level discount")
+        val ct = rows.toSeq.toDF("w1", "w2", "w3", "w4", "c4")
+        val cx4 = ct.groupBy("w1", "w2", "w3")
+          .agg(sum("c4").as("c3x"),
+            sum(when(col("c4") === 1L, 1L).otherwise(0L)).as("xf1"),
+            sum(when(col("c4") === 2L, 1L).otherwise(0L)).as("xf2"),
+            sum(when(col("c4") >= 3L, 1L).otherwise(0L)).as("xf3p"))
+        val t3 = ct.groupBy("w2", "w3", "w4")
+          .agg(count(lit(1)).as("n3"))
+        val cx3 = t3.groupBy("w2", "w3")
+          .agg(sum("n3").as("dsum3"),
+            sum(when(col("n3") === 1L, 1L).otherwise(0L)).as("yf1"),
+            sum(when(col("n3") === 2L, 1L).otherwise(0L)).as("yf2"),
+            sum(when(col("n3") >= 3L, 1L).otherwise(0L)).as("yf3p"))
+        val t2 = t3.groupBy("w3", "w4").agg(count(lit(1)).as("n2b"))
+        val cx2 = t2.groupBy("w3")
+          .agg(sum("n2b").as("dsum2"),
+            sum(when(col("n2b") === 1L, 1L).otherwise(0L)).as("zf1"),
+            sum(when(col("n2b") === 2L, 1L).otherwise(0L)).as("zf2"),
+            sum(when(col("n2b") >= 3L, 1L).otherwise(0L)).as("zf3p"))
+        val low = t2.groupBy("w4").agg(count(lit(1)).as("nb"))
+        val bt = t2.agg(count(lit(1)).as("b"))
+        val lpExpr = Kn4Modified.sparkLp(n1, n2c, n3c, n4c,
+          p1, p2, p3, p4, q1c, q2c, q3c, q4c)
+        val srcAgg = fg
+          .join(broadcast(ct), Seq("w1", "w2", "w3", "w4"), "left")
+          .join(broadcast(cx4), Seq("w1", "w2", "w3"), "left")
+          .join(broadcast(t3), Seq("w2", "w3", "w4"), "left")
+          .join(broadcast(cx3), Seq("w2", "w3"), "left")
+          .join(broadcast(t2), Seq("w3", "w4"), "left")
+          .join(broadcast(cx2), Seq("w3"), "left")
+          .join(broadcast(low), Seq("w4"), "left")
+          .crossJoin(broadcast(bt))
+          .selectExpr("doc_id", "source", lpExpr)
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n4g"), sum("lp").as("lp_sum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(
+              col("lp_sum") >= col("n4g") * Kn4Modified.KeepT, 1))
+              .as("n_keep"),
+            sum("lp_sum").as("lp_total"))
+          .as[(String, Long, Long, Long)].collect().toSeq
+        val discq = Seq(
+          ("d1a", KnModified.d1F(n1, n2c, n3c, n4c)),
+          ("d2a", KnModified.d2F(n1, n2c, n3c, n4c)),
+          ("d3a", KnModified.d3F(n1, n2c, n3c, n4c)),
+          ("d1b", KnModified.d1F(p1, p2, p3, p4)),
+          ("d2b", KnModified.d2F(p1, p2, p3, p4)),
+          ("d3b", KnModified.d3F(p1, p2, p3, p4)),
+          ("d1c", KnModified.d1F(q1c, q2c, q3c, q4c)),
+          ("d2c", KnModified.d2F(q1c, q2c, q3c, q4c)),
+          ("d3c", KnModified.d3F(q1c, q2c, q3c, q4c)))
+          .map { case (k, v) =>
+            ("disc", k, 1L, math.floor(1000000.0 * v).toLong) }
+        val cocRows = Seq(
+          ("coc", "n1", 1L, n1), ("coc", "n2", 1L, n2c),
+          ("coc", "n3", 1L, n3c), ("coc", "n4", 1L, n4c),
+          ("coc", "p1", 1L, p1), ("coc", "p2", 1L, p2),
+          ("coc", "p3", 1L, p3), ("coc", "p4", 1L, p4),
+          ("coc", "q1", 1L, q1c), ("coc", "q2", 1L, q2c),
+          ("coc", "q3", 1L, q3c), ("coc", "q4", 1L, q4c))
+        (srcAgg.map { case (src, nd, _, lt) =>
+            ("src", src, nd, lt) } ++
+          srcAgg.map { case (src, nd, nk, _) =>
+            ("keep", src, nd, nk) } ++
+          discq ++ cocRows)
+          .toDF("kind", "key", "n", "v")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              ${TextOps.duckToks} AS toks FROM documents),
+            t4 AS (SELECT * FROM t WHERE len(toks) >= 4),
+            fg AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks) - 2),
+                i -> toks[i])) AS w1,
+              unnest(list_transform(range(1, len(toks) - 2),
+                i -> toks[i + 1])) AS w2,
+              unnest(list_transform(range(1, len(toks) - 2),
+                i -> toks[i + 2])) AS w3,
+              unnest(list_transform(range(1, len(toks) - 2),
+                i -> toks[i + 3])) AS w4
+              FROM t4),
+            ${Kn4Modified.duckModelCtes}
+            sc AS MATERIALIZED (SELECT fg.doc_id, fg.source,
+              count(*) AS n4g,
+              CAST(sum(${Kn4Modified.duckLp}) AS BIGINT) AS lp_sum
+              FROM ${Kn4Modified.duckJoins}
+              GROUP BY 1, 2),
+            srcagg AS MATERIALIZED (SELECT source,
+              count(*) AS n_docs,
+              count(CASE WHEN lp_sum >= n4g * ${Kn4Modified.KeepT}
+                THEN 1 END) AS n_keep,
+              CAST(sum(lp_sum) AS BIGINT) AS lp_total
+              FROM sc GROUP BY 1)
+            SELECT 'src' AS kind, source AS key,
+              CAST(n_docs AS BIGINT) AS n, lp_total AS v FROM srcagg
+            UNION ALL SELECT 'keep', source, CAST(n_docs AS BIGINT),
+              CAST(n_keep AS BIGINT) FROM srcagg
+            ${Kn4Modified.duckDiscCocSelects}"""),
+      doc = "MODIFIED Kneser-Ney 4-gram LM — the order ladder's next " +
+        "step over q334: raw 4-gram top level, two continuation-" +
+        "count backoff levels plus the unigram-type base, per-count " +
+        "D1/D2/D3+ at EVERY scored level from that level's own " +
+        "count-of-counts, bit-identical doubles")
   )
 }
 
@@ -1700,7 +1878,7 @@ private[operators] object KnTrigram {
   * form (the same integers from cc CTE columns) are mirrored
   * token-for-token — identical IEEE-754 double sequences, identical
   * quantized outputs. */
-private[operators] object KnModified {
+private[graft] object KnModified {
 
   /** Discount D_k as SQL over four count-of-count references. The
     * SAME generator serves both dialects — only the refs differ. */
@@ -1720,6 +1898,29 @@ private[operators] object KnModified {
   /** DuckDB discount reference (same generator, qualified refs). */
   def duckD(a: String, b: String, c: String, e: String, k: Int)
       : String = dSql(a, b, c, e, k)
+
+  /** Discount with KenLM's --discount_fallback semantics: when a
+    * level's count-of-counts cannot support the Chen-Goodman
+    * estimate (any of N1..N4 is zero — sparse higher orders do this
+    * on small samples), the level uses the fixed defaults
+    * D1/D2/D3+ = 0.5/1.0/1.5. One CASE shared by both dialects, so
+    * the branch is taken identically per dataset. */
+  def dSqlF(a: String, b: String, c: String, e: String, k: Int)
+      : String = {
+    val fb = k match {
+      case 1 => "0.5"; case 2 => "1.0"; case _ => "1.5"
+    }
+    s"(CASE WHEN ($a = 0 OR $b = 0 OR $c = 0 OR $e = 0) THEN $fb " +
+      s"ELSE ${dSql(a, b, c, e, k)} END)"
+  }
+
+  /** Scala twins of [[dSqlF]] — same branch, same op order. */
+  def d1F(a: Long, b: Long, c: Long, e: Long): Double =
+    if (a == 0 || b == 0 || c == 0 || e == 0) 0.5 else d1(a, b)
+  def d2F(a: Long, b: Long, c: Long, e: Long): Double =
+    if (a == 0 || b == 0 || c == 0 || e == 0) 1.0 else d2(a, b, c)
+  def d3F(a: Long, b: Long, c: Long, e: Long): Double =
+    if (a == 0 || b == 0 || c == 0 || e == 0) 1.5 else d3(a, b, c, e)
 
   /** Scala twins of [[dSql]] — same op order, for the pinned
     * 1e6-quantized discount output rows. */
@@ -1840,4 +2041,202 @@ private[operators] object KnModified {
               LEFT JOIN mctx ON mctx.w2 = tri.w2
               LEFT JOIN low ON low.w3 = tri.w3
               CROSS JOIN bt CROSS JOIN cct CROSS JOIN ccm"""
+}
+
+/** Order-4 modified Kneser-Ney (q340): KnModified one ladder step up.
+  * THREE discount sets — one per scored level, each estimated from
+  * that level's own count-of-counts over the same collected model —
+  * and one fixed four-level parenthesization shared token-for-token
+  * between the engines (every factor an exact integer, doubles
+  * combined in one order ⇒ the quantized floor(10000·ln p) is
+  * bit-identical). The discount generator is [[KnModified.dSql]],
+  * reused verbatim so the two ladder rungs cannot drift. pmacct has
+  * no LM surface — this extends the engine's training-data side. */
+private[operators] object Kn4Modified {
+
+  /** Keep-vote threshold: quantized mean log-prob per 4-gram (the
+    * q334 vote's -36000 analog, one order sparser — picked off the
+    * measured per-doc mean-lp distribution so the vote splits at
+    * both gated SFs rather than rubber-stamping). Shared by both
+    * dialects as a literal. */
+  val KeepT: Long = -39000L
+
+  /** The four-level modified-KN log-prob: one parenthesization over
+    * column refs + discount SQL strings, shared by both dialects.
+    * Levels: raw 4-gram counts (a) → |{w1}| continuation types (b) →
+    * |{w2}| continuation types (c) → unigram-type base. */
+  private def lpSql(c4: String, c3x: String, xf1: String, xf2: String,
+      xf3p: String, n3: String, dsum3: String, yf1: String,
+      yf2: String, yf3p: String, n2b: String, dsum2: String,
+      zf1: String, zf2: String, zf3p: String, nb: String, b: String,
+      d1a: String, d2a: String, d3a: String,
+      d1b: String, d2b: String, d3b: String,
+      d1c: String, d2c: String, d3c: String): String = {
+    val plow = s"(CAST(greatest(coalesce($nb, 0), 1) AS DOUBLE) / " +
+      s"CAST($b AS DOUBLE))"
+    val dc = s"(CASE WHEN coalesce($n2b, 0) = 1 THEN $d1c " +
+      s"WHEN coalesce($n2b, 0) = 2 THEN $d2c ELSE $d3c END)"
+    val gc = s"((($d1c * $zf1) + ($d2c * $zf2)) + ($d3c * $zf3p))"
+    val pm2 = s"((greatest(CAST(coalesce($n2b, 0) AS DOUBLE) - $dc, " +
+      s"0.0) + ($gc * $plow)) / CAST($dsum2 AS DOUBLE))"
+    val db = s"(CASE WHEN coalesce($n3, 0) = 1 THEN $d1b " +
+      s"WHEN coalesce($n3, 0) = 2 THEN $d2b ELSE $d3b END)"
+    val gb = s"((($d1b * $yf1) + ($d2b * $yf2)) + ($d3b * $yf3p))"
+    val pm3 = s"((greatest(CAST(coalesce($n3, 0) AS DOUBLE) - $db, " +
+      s"0.0) + ($gb * $pm2)) / CAST($dsum3 AS DOUBLE))"
+    val da = s"(CASE WHEN coalesce($c4, 0) = 1 THEN $d1a " +
+      s"WHEN coalesce($c4, 0) = 2 THEN $d2a ELSE $d3a END)"
+    val ga = s"((($d1a * $xf1) + ($d2a * $xf2)) + ($d3a * $xf3p))"
+    val ptop = s"((greatest(CAST(coalesce($c4, 0) AS DOUBLE) - $da, " +
+      s"0.0) + ($ga * $pm3)) / CAST($c3x AS DOUBLE))"
+    s"CAST(floor(10000.0 * ln(CASE WHEN $c3x IS NOT NULL THEN $ptop " +
+      s"WHEN $dsum3 IS NOT NULL THEN $pm3 " +
+      s"WHEN $dsum2 IS NOT NULL THEN $pm2 ELSE $plow END)) AS BIGINT)"
+  }
+
+  /** Spark scoring leg: count-of-counts embedded as BIGINT literals
+    * (driver scalars — the model was collected anyway). */
+  def sparkLp(n1: Long, n2: Long, n3: Long, n4: Long,
+      p1: Long, p2: Long, p3: Long, p4: Long,
+      q1: Long, q2: Long, q3: Long, q4: Long): String = {
+    def l(v: Long) = s"${v}L"
+    import KnModified.dSqlF
+    lpSql("c4", "c3x", "xf1", "xf2", "xf3p", "n3", "dsum3", "yf1",
+      "yf2", "yf3p", "n2b", "dsum2", "zf1", "zf2", "zf3p", "nb", "b",
+      dSqlF(l(n1), l(n2), l(n3), l(n4), 1),
+      dSqlF(l(n1), l(n2), l(n3), l(n4), 2),
+      dSqlF(l(n1), l(n2), l(n3), l(n4), 3),
+      dSqlF(l(p1), l(p2), l(p3), l(p4), 1),
+      dSqlF(l(p1), l(p2), l(p3), l(p4), 2),
+      dSqlF(l(p1), l(p2), l(p3), l(p4), 3),
+      dSqlF(l(q1), l(q2), l(q3), l(q4), 1),
+      dSqlF(l(q1), l(q2), l(q3), l(q4), 2),
+      dSqlF(l(q1), l(q2), l(q3), l(q4), 3)) + " AS lp"
+  }
+
+  /** DuckDB mirror: same template, qualified refs, cc CTE columns. */
+  val duckLp: String = {
+    import KnModified.dSqlF
+    lpSql("ct4.c4", "cx4.c3x", "cx4.xf1", "cx4.xf2", "cx4.xf3p",
+      "t3.n3", "cx3.dsum3", "cx3.yf1", "cx3.yf2", "cx3.yf3p",
+      "t2.n2b", "cx2.dsum2", "cx2.zf1", "cx2.zf2", "cx2.zf3p",
+      "low.nb", "bt.b",
+      dSqlF("cc4.n1", "cc4.n2", "cc4.n3", "cc4.n4", 1),
+      dSqlF("cc4.n1", "cc4.n2", "cc4.n3", "cc4.n4", 2),
+      dSqlF("cc4.n1", "cc4.n2", "cc4.n3", "cc4.n4", 3),
+      dSqlF("cc3.p1", "cc3.p2", "cc3.p3", "cc3.p4", 1),
+      dSqlF("cc3.p1", "cc3.p2", "cc3.p3", "cc3.p4", 2),
+      dSqlF("cc3.p1", "cc3.p2", "cc3.p3", "cc3.p4", 3),
+      dSqlF("cc2.q1", "cc2.q2", "cc2.q3", "cc2.q4", 1),
+      dSqlF("cc2.q1", "cc2.q2", "cc2.q3", "cc2.q4", 2),
+      dSqlF("cc2.q1", "cc2.q2", "cc2.q3", "cc2.q4", 3))
+  }
+
+  /** Model CTE chain (expects an `fg(doc_id, source, w1..w4)` CTE
+    * defined just before; UNPRUNED ct4 — discounts are estimated from
+    * raw count-of-counts, so singletons must stay). */
+  val duckModelCtes: String =
+    """smp4 AS (SELECT w1, w2, w3, w4 FROM fg WHERE doc_id % 10 = 0),
+            ct4 AS MATERIALIZED (SELECT w1, w2, w3, w4,
+              count(*) AS c4 FROM smp4 GROUP BY 1, 2, 3, 4),
+            cx4 AS (SELECT w1, w2, w3,
+              CAST(sum(c4) AS BIGINT) AS c3x,
+              CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS xf1,
+              CAST(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS xf2,
+              CAST(sum(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS xf3p
+              FROM ct4 GROUP BY 1, 2, 3),
+            t3 AS MATERIALIZED (SELECT w2, w3, w4, count(*) AS n3
+              FROM ct4 GROUP BY 1, 2, 3),
+            cx3 AS (SELECT w2, w3,
+              CAST(sum(n3) AS BIGINT) AS dsum3,
+              CAST(sum(CASE WHEN n3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS yf1,
+              CAST(sum(CASE WHEN n3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS yf2,
+              CAST(sum(CASE WHEN n3 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS yf3p
+              FROM t3 GROUP BY 1, 2),
+            t2 AS MATERIALIZED (SELECT w3, w4, count(*) AS n2b
+              FROM t3 GROUP BY 1, 2),
+            cx2 AS (SELECT w3,
+              CAST(sum(n2b) AS BIGINT) AS dsum2,
+              CAST(sum(CASE WHEN n2b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS zf1,
+              CAST(sum(CASE WHEN n2b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS zf2,
+              CAST(sum(CASE WHEN n2b >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zf3p
+              FROM t2 GROUP BY 1),
+            low AS (SELECT w4, count(*) AS nb FROM t2 GROUP BY 1),
+            bt AS (SELECT count(*) AS b FROM t2),
+            cc4 AS (SELECT
+              CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              CAST(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+              CAST(sum(CASE WHEN c4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n3,
+              CAST(sum(CASE WHEN c4 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n4
+              FROM ct4),
+            cc3 AS (SELECT
+              CAST(sum(CASE WHEN n3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p1,
+              CAST(sum(CASE WHEN n3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p2,
+              CAST(sum(CASE WHEN n3 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p3,
+              CAST(sum(CASE WHEN n3 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p4
+              FROM t3),
+            cc2 AS (SELECT
+              CAST(sum(CASE WHEN n2b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS q1,
+              CAST(sum(CASE WHEN n2b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS q2,
+              CAST(sum(CASE WHEN n2b = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS q3,
+              CAST(sum(CASE WHEN n2b = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS q4
+              FROM t2),"""
+
+  /** Scoring join chain (FROM clause body). */
+  val duckJoins: String =
+    """fg LEFT JOIN ct4 USING (w1, w2, w3, w4)
+              LEFT JOIN cx4 ON cx4.w1 = fg.w1 AND cx4.w2 = fg.w2
+                AND cx4.w3 = fg.w3
+              LEFT JOIN t3 ON t3.w2 = fg.w2 AND t3.w3 = fg.w3
+                AND t3.w4 = fg.w4
+              LEFT JOIN cx3 ON cx3.w2 = fg.w2 AND cx3.w3 = fg.w3
+              LEFT JOIN t2 ON t2.w3 = fg.w3 AND t2.w4 = fg.w4
+              LEFT JOIN cx2 ON cx2.w3 = fg.w3
+              LEFT JOIN low ON low.w4 = fg.w4
+              CROSS JOIN bt CROSS JOIN cc4 CROSS JOIN cc3
+              CROSS JOIN cc2"""
+
+  /** The nine pinned-discount rows + twelve count-of-count rows, as
+    * UNION ALL branches (generated so the discount expressions reuse
+    * [[KnModified.dSql]] verbatim). */
+  val duckDiscCocSelects: String = {
+    import KnModified.dSqlF
+    val sets = Seq(
+      ("a", "cc4", Seq("n1", "n2", "n3", "n4")),
+      ("b", "cc3", Seq("p1", "p2", "p3", "p4")),
+      ("c", "cc2", Seq("q1", "q2", "q3", "q4")))
+    val disc = sets.flatMap { case (sfx, tbl, cols) =>
+      val r = cols.map(c => s"$tbl.$c")
+      (1 to 3).map { k =>
+        val e = dSqlF(r(0), r(1), r(2), r(3), k)
+        s"UNION ALL SELECT 'disc', 'd$k$sfx', 1, " +
+          s"CAST(floor(1000000.0 * $e) AS BIGINT) FROM $tbl"
+      }
+    }
+    val coc = sets.flatMap { case (_, tbl, cols) =>
+      cols.map(c => s"UNION ALL SELECT 'coc', '$c', 1, $c FROM $tbl")
+    }
+    (disc ++ coc).mkString("\n            ")
+  }
 }

@@ -87,7 +87,24 @@ class CorpusSpec extends AnyFunSuite {
       "q313_bm25_retrieval", "q315_suffix_prefix_doubling",
       "q316_logreg_trainer", "q322_quality_ensemble",
       "q323_kneser_ney_lm", "q328_kn_trigram",
-      "q334_modified_kn"))
+      "q334_modified_kn", "q340_modified_kn4"))
     assert(graft.operators.CorpusQueries.all.forall(_.oracle.nonEmpty))
+  }
+
+  test("modified-KN discount fallback: fixed D when a count-of-count" +
+      " is zero, Chen-Goodman estimate otherwise") {
+    import graft.operators.KnModified._
+    // sparse level: any zero in N1..N4 -> KenLM fallback defaults
+    assert(d1F(2576, 6, 0, 0) == 0.5)
+    assert(d2F(2576, 6, 0, 0) == 1.0)
+    assert(d3F(2576, 6, 0, 0) == 1.5)
+    // supported level: matches the estimated twins exactly
+    assert(d1F(182, 207, 186, 95) == d1(182, 207))
+    assert(d2F(182, 207, 186, 95) == d2(182, 207, 186))
+    assert(d3F(182, 207, 186, 95) == d3(182, 207, 186, 95))
+    // SQL generator takes the same branch from the same integers
+    val e = dSqlF("2576", "6", "0", "0", 1)
+    assert(e.contains("CASE WHEN (2576 = 0 OR 6 = 0 OR 0 = 0 OR " +
+      "0 = 0) THEN 0.5"))
   }
 }
