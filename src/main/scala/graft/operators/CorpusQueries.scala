@@ -1663,24 +1663,15 @@ object CorpusQueries {
           .mapValues(_.size.toLong).toMap
         val (q1c, q2c, q3c, q4c) = coc(t2Scala.valuesIterator)
         // KenLM --discount_fallback semantics, per level: estimated
-        // discounts only where the level's count-of-counts support
-        // them, fixed 0.5/1.0/1.5 otherwise (sparse 4-gram samples
-        // hit this; both dialects take the branch from the SAME
-        // integers). Where estimation IS used it must be sane.
-        def est(a: Long, b: Long, c: Long, e: Long): Boolean =
-          a > 0 && b > 0 && c > 0 && e > 0
-        require(!est(n1, n2c, n3c, n4c) ||
-          (KnModified.d2(n1, n2c, n3c) > 0 &&
-            KnModified.d3(n1, n2c, n3c, n4c) > 0),
-          "non-positive estimated top-level discount")
-        require(!est(p1, p2, p3, p4) ||
-          (KnModified.d2(p1, p2, p3) > 0 &&
-            KnModified.d3(p1, p2, p3, p4) > 0),
-          "non-positive estimated mid-level discount")
-        require(!est(q1c, q2c, q3c, q4c) ||
-          (KnModified.d2(q1c, q2c, q3c) > 0 &&
-            KnModified.d3(q1c, q2c, q3c, q4c) > 0),
-          "non-positive estimated low-level discount")
+        // discounts only where the level's count-of-counts support a
+        // sane Chen-Goodman estimate (all N1..N4 nonzero AND all
+        // three unclamped estimates positive — the 10x soak's
+        // rotated-replica continuation counts produce a legal-counts/
+        // out-of-range-estimate level, exactly KenLM's fallback
+        // trigger), fixed 0.5/1.0/1.5 otherwise. Both dialects take
+        // the branch from the SAME integers (KnModified.dSqlF /
+        // estOk), so no lane-side require is needed — every regime
+        // is defined.
         val ct = rows.toSeq.toDF("w1", "w2", "w3", "w4", "c4")
         val cx4 = ct.groupBy("w1", "w2", "w3")
           .agg(sum("c4").as("c3x"),
@@ -1901,26 +1892,50 @@ private[graft] object KnModified {
 
   /** Discount with KenLM's --discount_fallback semantics: when a
     * level's count-of-counts cannot support the Chen-Goodman
-    * estimate (any of N1..N4 is zero — sparse higher orders do this
-    * on small samples), the level uses the fixed defaults
-    * D1/D2/D3+ = 0.5/1.0/1.5. One CASE shared by both dialects, so
-    * the branch is taken identically per dataset. */
+    * estimate — any of N1..N4 zero (sparse higher orders on small
+    * samples), or any of the three UNCLAMPED estimates non-positive
+    * (KenLM rejects out-of-range estimates for the whole order) —
+    * the level uses the fixed defaults D1/D2/D3+ = 0.5/1.0/1.5.
+    * One CASE shared by both dialects, so the branch is taken
+    * identically per dataset; with zero counts the raw-estimate
+    * disjuncts divide by zero → NULL in BOTH engines, and the
+    * leading count disjunct is already true (true OR NULL = true). */
   def dSqlF(a: String, b: String, c: String, e: String, k: Int)
       : String = {
     val fb = k match {
       case 1 => "0.5"; case 2 => "1.0"; case _ => "1.5"
     }
-    s"(CASE WHEN ($a = 0 OR $b = 0 OR $c = 0 OR $e = 0) THEN $fb " +
+    val y = s"(CAST($a AS DOUBLE) / CAST(($a + (2 * $b)) AS DOUBLE))"
+    val r1 = s"(1.0 - ((2.0 * $y) * " +
+      s"(CAST($b AS DOUBLE) / CAST($a AS DOUBLE))))"
+    val r2 = s"(2.0 - ((3.0 * $y) * " +
+      s"(CAST($c AS DOUBLE) / CAST($b AS DOUBLE))))"
+    val r3 = s"(3.0 - ((4.0 * $y) * " +
+      s"(CAST($e AS DOUBLE) / CAST($c AS DOUBLE))))"
+    s"(CASE WHEN ($a = 0 OR $b = 0 OR $c = 0 OR $e = 0 " +
+      s"OR $r1 <= 0.0 OR $r2 <= 0.0 OR $r3 <= 0.0) THEN $fb " +
       s"ELSE ${dSql(a, b, c, e, k)} END)"
+  }
+
+  /** The [[dSqlF]] branch condition as a Scala twin — same raw
+    * expressions, same comparisons. */
+  def estOk(a: Long, b: Long, c: Long, e: Long): Boolean = {
+    if (a == 0 || b == 0 || c == 0 || e == 0) false
+    else {
+      val y = a.toDouble / (a + (2 * b)).toDouble
+      (1.0 - ((2.0 * y) * (b.toDouble / a.toDouble))) > 0.0 &&
+      (2.0 - ((3.0 * y) * (c.toDouble / b.toDouble))) > 0.0 &&
+      (3.0 - ((4.0 * y) * (e.toDouble / c.toDouble))) > 0.0
+    }
   }
 
   /** Scala twins of [[dSqlF]] — same branch, same op order. */
   def d1F(a: Long, b: Long, c: Long, e: Long): Double =
-    if (a == 0 || b == 0 || c == 0 || e == 0) 0.5 else d1(a, b)
+    if (!estOk(a, b, c, e)) 0.5 else d1(a, b)
   def d2F(a: Long, b: Long, c: Long, e: Long): Double =
-    if (a == 0 || b == 0 || c == 0 || e == 0) 1.0 else d2(a, b, c)
+    if (!estOk(a, b, c, e)) 1.0 else d2(a, b, c)
   def d3F(a: Long, b: Long, c: Long, e: Long): Double =
-    if (a == 0 || b == 0 || c == 0 || e == 0) 1.5 else d3(a, b, c, e)
+    if (!estOk(a, b, c, e)) 1.5 else d3(a, b, c, e)
 
   /** Scala twins of [[dSql]] — same op order, for the pinned
     * 1e6-quantized discount output rows. */

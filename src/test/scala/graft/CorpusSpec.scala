@@ -92,19 +92,27 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("modified-KN discount fallback: fixed D when a count-of-count" +
-      " is zero, Chen-Goodman estimate otherwise") {
+      " is zero or an estimate is out of range, Chen-Goodman" +
+      " estimate otherwise") {
     import graft.operators.KnModified._
     // sparse level: any zero in N1..N4 -> KenLM fallback defaults
     assert(d1F(2576, 6, 0, 0) == 0.5)
     assert(d2F(2576, 6, 0, 0) == 1.0)
     assert(d3F(2576, 6, 0, 0) == 1.5)
+    // legal counts but out-of-range estimate (raw D2 = 2 - y*300 < 0,
+    // the 10x-soak shape) -> whole level falls back, KenLM-style
+    assert(!estOk(1, 1, 100, 1))
+    assert(d2F(1, 1, 100, 1) == 1.0)
+    assert(d3F(1, 1, 100, 1) == 1.5)
     // supported level: matches the estimated twins exactly
+    assert(estOk(182, 207, 186, 95))
     assert(d1F(182, 207, 186, 95) == d1(182, 207))
     assert(d2F(182, 207, 186, 95) == d2(182, 207, 186))
     assert(d3F(182, 207, 186, 95) == d3(182, 207, 186, 95))
     // SQL generator takes the same branch from the same integers
     val e = dSqlF("2576", "6", "0", "0", 1)
     assert(e.contains("CASE WHEN (2576 = 0 OR 6 = 0 OR 0 = 0 OR " +
-      "0 = 0) THEN 0.5"))
+      "0 = 0 OR "))
+    assert(e.contains("<= 0.0) THEN 0.5"))
   }
 }
