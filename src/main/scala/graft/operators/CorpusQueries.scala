@@ -1641,6 +1641,16 @@ object CorpusQueries {
           .agg(count(lit(1)).as("c4"))
           .as[(String, String, String, String, Long)].collect()
         boundedModel(rows.length, "q340_modified_kn4")
+        // The discount CASE (dSqlF) covers every degenerate
+        // count-of-counts shape via KenLM's fallback, so no q334-style
+        // per-level requires — but an EMPTY sampled model is still
+        // fatal: bt would yield b = 0 and the lowest-order leg's
+        // nb/b would divide by zero, emitting garbage silently.
+        // Mirror q334's loud-fail posture for that one regime.
+        require(rows.nonEmpty,
+          "q340_modified_kn4: empty sampled model (no 4-grams with " +
+            "doc_id % 10 = 0) — b = 0 would zero the unigram-leg " +
+            "denominator; corpus too small for this lane")
         // count-of-counts per level, from the one collected model:
         // level-4 raw counts, then the two continuation-type levels
         def coc(vals: Iterator[Long]): (Long, Long, Long, Long) = {
@@ -1897,9 +1907,16 @@ private[graft] object KnModified {
     * (KenLM rejects out-of-range estimates for the whole order) —
     * the level uses the fixed defaults D1/D2/D3+ = 0.5/1.0/1.5.
     * One CASE shared by both dialects, so the branch is taken
-    * identically per dataset; with zero counts the raw-estimate
-    * disjuncts divide by zero → NULL in BOTH engines, and the
-    * leading count disjunct is already true (true OR NULL = true). */
+    * identically per dataset. Zero counts make later raw-estimate
+    * disjuncts divide by zero — inf/NaN under Spark double semantics
+    * and DuckDB's ieee_floating_point_ops default (NULL only on old
+    * DuckDB) — but the guard never depends on that: any zero-count
+    * case already has its leading `$x = 0` disjunct TRUE, and no
+    * inf/NaN/NULL in a later disjunct can flip a TRUE OR. Note one
+    * intentional deviation from KenLM's strict `discount < 0 ||
+    * discount > j` rejection: we fall back on `<= 0` (an exactly-zero
+    * estimate would zero a context's backoff mass — the q334 ln(0)
+    * hazard); the `> j` bound is unreachable for positive counts. */
   def dSqlF(a: String, b: String, c: String, e: String, k: Int)
       : String = {
     val fb = k match {
