@@ -56,10 +56,18 @@ object PlanAudit {
                                // + query probes); repeats in the
                                // string via the cached cell-stats
                                // frame's build lineage
-    "q339_pq_scaled_rerank"    // q331's 1-row corpus-count → K seed
+    "q339_pq_scaled_rerank",   // q331's 1-row corpus-count → K seed
                                // join, one more lineage repeat than
                                // q331 (the rr/book legs also carry
                                // the codebook cache's build plan)
+    "q343_opq_permutation"     // TWO 1-row broadcast model seats —
+                               // the q331 corpus-count → K seed and
+                               // the 64-slot permutation array the
+                               // corpus reads via element_at (never a
+                               // join) — repeated through the
+                               // recall/alloc/balance/book legs'
+                               // lineage of the not-yet-materialized
+                               // alloc/codebook caches
   )
 
   /** Verification harnesses that UNION several independently
@@ -137,8 +145,12 @@ object PlanAudit {
     "q286_ivf_pq",             // Lloyd iterations
     "q245_kmeans_embeddings",  // Lloyd iterations
     "q266_pq_adc",             // per-subspace codebook training passes
-    "q331_pq_scaled_k"         // q266's passes + the in-plan K
+    "q331_pq_scaled_k",        // q266's passes + the in-plan K
                                // derivation broadcast into the seed
+    "q343_opq_permutation"     // q331's training passes over the
+                               // permuted subspaces (same two-pass
+                               // codebook build, same lineage
+                               // repetition of the corpus scan)
   )
 
   /** Loose global ceiling on SHUFFLE Exchange nodes in one final

@@ -1152,6 +1152,217 @@ object PipelineQueries {
       doc = "bucket-partitioned compacted owner state for dedup-on-" +
         "ingest: per-batch probes prune to matching pb= buckets " +
         "(executed-scan evidence), mid-stream compaction, survivors " +
-        "equal batch exact dedup")
+        "equal batch exact dedup"),
+
+    // q332 proves the bucketed layout and ONE mid-stream sync-point
+    // compaction; this lane gates the production STEADY STATE on top
+    // of it (ROADMAP r15 #4): under indefinite ingest — a bulk-history
+    // batch then TEN increments — the min-merge fold (q330's
+    // compaction operation; associative, so safe at any batch
+    // boundary) runs on a fixed CADENCE of every C=3 batches BETWEEN
+    // micro-batches, and the gated invariant is that probe cost stays
+    // BOUNDED by the cadence, not by how long the stream has been
+    // running: the max parquet files under any probed pb= bucket,
+    // observed at every probe across the whole run, never exceeds C
+    // (each compaction folds a bucket back to one file; at most C-1
+    // appends accumulate before the next fold), while an uncompacted
+    // run of the same length would have reached nBatches-1 files in a
+    // bucket touched by every batch — the bound is non-vacuous and
+    // the gap widens forever as ingest continues. Survivors must
+    // still equal the batch exact dedup doc-for-doc, and the q332
+    // pruning invariants (partitionFilters present, scanned ==
+    // matching < total, from EXECUTED scan metrics) must hold at
+    // every one of the ten probes.
+    Q("q342_compaction_cadence",
+      (s, d) => {
+        Graft.tune(s)
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.types.StructType
+        val B = 128
+        val C = 3 // compaction cadence, in micro-batches
+        val tmp = java.nio.file.Files
+          .createTempDirectory("q342_cadence").toString
+        val staged = s"$tmp/staged"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(staged))
+        val raw = Tables.documents(s, d).select("doc_id", "text")
+        val maxId = raw.agg(max("doc_id")).head().getLong(0)
+        val hi = maxId + 1
+        // bulk history (70%) then ten 3% increments — long enough
+        // that an unbounded layout would visibly diverge (10 appends)
+        val bounds = (Seq(0L, hi * 70 / 100) ++
+          (73 to 100 by 3).map(p => hi * p / 100)).distinct
+        val t0 = System.currentTimeMillis() - 120000L
+        bounds.sliding(2).zipWithIndex.foreach { case (lohi, k) =>
+          val dir = s"$tmp/slice$k"
+          raw.where(col("doc_id") >= lohi.head &&
+              col("doc_id") < lohi(1))
+            .coalesce(1).write.parquet(dir)
+          val f = new java.io.File(dir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(staged,
+            f"part-$k%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + k * 2000L))
+        }
+        var curRoot = s"$tmp/state_v0"
+        val outDir = s"$tmp/survivors"
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val compactions = new java.util.concurrent.atomic.AtomicLong(0L)
+        val maxFpb = new java.util.concurrent.atomic.AtomicLong(0L)
+        val evid = scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Long, Boolean)]()
+        def stateFiles(root: String): Vector[String] = {
+          val p = java.nio.file.Paths.get(root)
+          if (!java.nio.file.Files.exists(p)) Vector.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala
+              .map(_.toString).filter(_.endsWith(".parquet")).toVector
+          }
+        }
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+            case qse: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => scansOf(qse.plan)
+            case f: org.apache.spark.sql.execution
+                .FileSourceScanExec => Seq(f)
+            case other => other.children.flatMap(scansOf)
+          }
+        val q = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$staged/part-*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              nBatches.incrementAndGet()
+              val r = b.agg(min("doc_id"), max("doc_id")).head()
+              require(r.getLong(0) > lastMax.get(),
+                s"arrival order regressed: ${r.getLong(0)} <= " +
+                  s"${lastMax.get()}")
+              lastMax.set(r.getLong(1))
+              val feat = b.selectExpr("doc_id", "md5(text) AS ek",
+                  "CAST(length(text) AS BIGINT) AS L")
+                .withColumn("pb", pmod(hash(col("ek")), lit(B)))
+                .persist()
+              val pbs = feat.select("pb").distinct()
+                .as[Int].collect().toSeq
+              val all = stateFiles(curRoot)
+              val pmin: DataFrame =
+                if (all.isEmpty)
+                  Seq.empty[(String, Long)].toDF("ek", "pmin")
+                else {
+                  // probe-cost observable: files per PROBED bucket in
+                  // the generation this probe will actually read
+                  val fpb = pbs.map(v =>
+                    all.count(_.contains(s"/pb=$v/")).toLong)
+                    .filter(_ > 0)
+                  if (fpb.nonEmpty)
+                    maxFpb.getAndUpdate(m => math.max(m, fpb.max))
+                  val stRead = s.read.parquet(curRoot)
+                    .where(col("pb").isin(pbs: _*))
+                  val evDf = stRead.groupBy()
+                    .agg(count(lit(1)).as("c"))
+                  evDf.collect()
+                  val sc = scansOf(evDf.queryExecution.executedPlan)
+                  val scanned = sc.map(_.metrics("numFiles").value).sum
+                  val pf = sc.nonEmpty &&
+                    sc.forall(_.partitionFilters.nonEmpty)
+                  val matching = all.count(pth =>
+                    pbs.exists(v => pth.contains(s"/pb=$v/")))
+                  evid += ((scanned, matching.toLong,
+                    all.size.toLong, pf))
+                  stRead.groupBy("ek").agg(min("owner").as("pmin"))
+                }
+              val ownE = feat.groupBy("ek")
+                .agg(min("doc_id").as("bmin"))
+                .join(pmin, Seq("ek"), "left")
+                .selectExpr("ek",
+                  "least(bmin, coalesce(pmin, bmin)) AS owner")
+              feat.join(ownE, "ek").where("doc_id = owner")
+                .select("doc_id", "L")
+                .write.mode("append").parquet(outDir)
+              ownE.withColumn("pb", pmod(hash(col("ek")), lit(B)))
+                .repartition(col("pb"))
+                .write.mode("append").partitionBy("pb")
+                .parquet(curRoot)
+              feat.unpersist()
+              // the CADENCE: every C batches, fold the accumulated
+              // appends (min-merge, associative) into a fresh
+              // generation — probe cost resets to one file per bucket
+              if (nBatches.get() % C == 0) {
+                val nxt = s"$tmp/state_v${nBatches.get()}"
+                s.read.parquet(curRoot).groupBy("pb", "ek")
+                  .agg(min("owner").as("owner"))
+                  .repartition(col("pb"))
+                  .write.partitionBy("pb").parquet(nxt)
+                curRoot = nxt
+                compactions.incrementAndGet()
+              }
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val evs = evid.toSeq
+        Console.err.println(s"Q342_CADENCE batches=${nBatches.get()} " +
+          s"compactions=${compactions.get()} maxFpb=${maxFpb.get()} " +
+          evs.map { case (a, b, c, p) =>
+            s"scanned=$a matching=$b total=$c pf=$p" }.mkString(" | "))
+        def readOr(path: String, ddl: String): DataFrame =
+          if (new java.io.File(path).exists())
+            s.read.schema(StructType.fromDDL(ddl)).parquet(path)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(ddl))
+        readOr(outDir, "doc_id BIGINT, L BIGINT")
+          .selectExpr("'doc' AS kind", "CAST(doc_id AS STRING) AS key",
+            "1L AS n", "L AS v")
+          .unionByName(Seq(
+            ("stream", "multi_batch", 1L,
+              if (nBatches.get() >= 11) 1L else 0L),
+            ("stream", "ascending_arrival", 1L, 1L),
+            ("prune", "pf_present", 1L,
+              if (evs.nonEmpty && evs.forall(_._4)) 1L else 0L),
+            ("prune", "scanned_eq_matching", 1L,
+              if (evs.nonEmpty &&
+                evs.forall(e => e._1 == e._2)) 1L else 0L),
+            ("prune", "scanned_lt_total", 1L,
+              if (evs.nonEmpty &&
+                evs.forall(e => e._1 < e._3)) 1L else 0L),
+            ("compact", "cadence_ge_3", 1L,
+              if (compactions.get() >= 3L) 1L else 0L),
+            ("compact", "probe_bounded_by_cadence", 1L,
+              if (maxFpb.get() >= 1L && maxFpb.get() <= C) 1L else 0L),
+            ("compact", "bound_nonvacuous", 1L,
+              if (nBatches.get() - 1 > C) 1L else 0L))
+            .toDF("kind", "key", "n", "v"))
+      },
+      Some("""WITH s AS (SELECT doc_id, md5(text) AS ek,
+              len(text) AS L FROM documents),
+            own AS (SELECT ek, min(doc_id) AS own FROM s GROUP BY 1)
+            SELECT 'doc' AS kind, CAST(s.doc_id AS VARCHAR) AS key,
+              CAST(1 AS BIGINT) AS n, CAST(L AS BIGINT) AS v
+            FROM s JOIN own USING (ek) WHERE s.doc_id = own.own
+            UNION ALL SELECT 'stream', 'multi_batch', 1, 1
+            UNION ALL SELECT 'stream', 'ascending_arrival', 1, 1
+            UNION ALL SELECT 'prune', 'pf_present', 1, 1
+            UNION ALL SELECT 'prune', 'scanned_eq_matching', 1, 1
+            UNION ALL SELECT 'prune', 'scanned_lt_total', 1, 1
+            UNION ALL SELECT 'compact', 'cadence_ge_3', 1, 1
+            UNION ALL SELECT 'compact', 'probe_bounded_by_cadence', 1, 1
+            UNION ALL SELECT 'compact', 'bound_nonvacuous', 1, 1"""),
+      doc = "steady-state compaction cadence for the bucketed ingest " +
+        "state: min-merge fold every C=3 micro-batches under " +
+        "indefinite ingest (bulk + 10 increments); gated bound — max " +
+        "files per probed bucket never exceeds C at any of the ten " +
+        "probes, vs nBatches-1 uncompacted; survivors equal batch " +
+        "exact dedup")
   )
 }

@@ -1839,82 +1839,7 @@ object SimilarityQueries {
     // families. Same integer-exact arithmetic; DuckDB mirrors scaled
     // training AND the refine stage bit-for-bit.
     Q("q339_pq_scaled_rerank",
-      (s, d) => {
-        val sub = 16
-        val n = Tables.embeddings(s, d).selectExpr("vec_id",
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
-            "* 1000000) AS BIGINT)) AS v")
-        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
-          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
-        val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
-          .withColumn("m", expr(s"pos DIV $sub"))
-        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
-          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
-        }
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
-          .groupBy("m", "cid", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
-          .selectExpr("m", "cid", "pos",
-            "(sx - ((sx % c) + c) % c) DIV c AS cm")
-          .persist() // ≤ M*256*sub rows: model-sized at the K ceiling
-        val codes = assign(c1)
-        val qs = longF.filter(col("vec_id") % 97 === 0)
-          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
-        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
-          .groupBy("qid", "m", "cid")
-          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
-        val wTop = Window.partitionBy("qid")
-          .orderBy(col("dist").asc, col("vec_id").asc)
-        val short = codes.join(broadcast(lut), Seq("m", "cid"))
-          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 50).select("qid", "vec_id", "rn")
-          .persist() // queries × 50: model-sized
-        val adcTop = short.filter(col("rn") <= 5)
-          .select("qid", "vec_id")
-        val rr = longF.join(broadcast(short.select("qid", "vec_id")),
-            Seq("vec_id"))
-          .join(broadcast(qs.select("qid", "pos", "qx")),
-            Seq("qid", "pos"))
-          .groupBy("qid", "vec_id")
-          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5).select("qid", "vec_id")
-        val exactTop = longF.join(
-            broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
-          .groupBy("qid", "vec_id")
-          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5).select("qid", "vec_id")
-          .persist()
-        def hitsOf(t: org.apache.spark.sql.DataFrame) =
-          exactTop.join(broadcast(t), Seq("qid", "vec_id"))
-            .groupBy("qid").agg(count(lit(1)).as("h"))
-        val qids = qs.select("qid").distinct().persist()
-        def recallRows(t: org.apache.spark.sql.DataFrame,
-            kind: String) =
-          qids.join(broadcast(hitsOf(t)), Seq("qid"), "left")
-            .selectExpr(s"'$kind' AS kind",
-              "CAST(qid AS STRING) AS key", "CAST(5 AS BIGINT) AS n",
-              "coalesce(h, CAST(0 AS BIGINT)) AS v")
-        val book = codes.groupBy("m")
-          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
-          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
-            "n", "v")
-        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
-          "kk AS n", "kk AS v")
-        recallRows(rr, "recall_rr")
-          .unionByName(recallRows(adcTop, "recall_adc"))
-          .unionByName(book).unionByName(kRow)
-      },
+      (s, d) => scaledRerankRows(s, d),
       Some("""WITH n AS (SELECT vec_id,
               list_transform(embedding,
                 x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
@@ -2012,6 +1937,371 @@ object SimilarityQueries {
         "codebook (q331) + ADC top-50 shortlist with exact re-rank " +
         "(q335) in one gated lane — capacity fixes what the " +
         "shortlist can hold, re-rank fixes how it's ordered; " +
-        "recall_rr vs recall_adc plus codebook/k rows pin both halves")
+        "recall_rr vs recall_adc plus codebook/k rows pin both halves"),
+
+    // The recall FLOOR on the operating configuration (VERDICT r14
+    // missing #2): q339 pins the ARITHMETIC against the oracle, but a
+    // quality regression that degrades recall while staying oracle-
+    // consistent (a mirrored codebook change, a shortcut edited into
+    // both dialects) fails no gate there. This lane runs the exact
+    // q339 plan (the shared scaledRerankRows builder), aggregates its
+    // per-query hit counts, and emits BOOLEAN floor rows whose oracle
+    // side is the LITERAL 1 — so search QUALITY itself is gated:
+    //   - rr_ge_20pct: re-ranked recall@5 >= 0.20, integer-exact as
+    //     5*hits >= candidates (measured headroom: 0.53 at sf0.01,
+    //     0.25+ at sf0.1, 0.40 at the 10x soak — recall is
+    //     deterministic per dataset, no variance term);
+    //   - rr_ge_adc: re-rank never loses to the raw coded scan (the
+    //     exact-best-5-of-shortlist contains every ground-truth
+    //     member the shortlist holds, so this is an invariant of
+    //     CORRECT re-ranking — a violated row means re-rank stopped
+    //     scoring exact distances);
+    //   - queries_nonzero: the query panel is non-degenerate;
+    //   - k_in_range: the in-plan scaled K landed inside the
+    //     clamp bounds [8, 256].
+    // The q339 output is model-sized (per-query recall rows + <=M
+    // codebook rows + 1 k row), so scoring it on the driver is the
+    // audited collect shape; the recall VALUES go to stderr for the
+    // soak notes, never into the gated frame (they are already
+    // oracle-pinned row-for-row by q339 itself).
+    Q("q341_ann_recall_floor",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val rows = scaledRerankRows(s, d).collect()
+        def agg(kind: String, col: Int) =
+          rows.filter(_.getString(0) == kind).map(_.getLong(col)).sum
+        val rrh = agg("recall_rr", 3)
+        val cand = agg("recall_rr", 2)
+        val adch = agg("recall_adc", 3)
+        val kk = rows.find(_.getString(0) == "k")
+          .map(_.getLong(2)).getOrElse(0L)
+        Console.err.println(s"Q341_FLOOR rr=$rrh/$cand adc=$adch/" +
+          s"$cand k=$kk " +
+          f"recall_rr=${if (cand == 0) 0.0 else rrh.toDouble / cand}%.4f")
+        Seq(
+          ("floor", "rr_ge_20pct", 1L,
+            if (cand > 0 && 5L * rrh >= cand) 1L else 0L),
+          ("floor", "rr_ge_adc", 1L, if (rrh >= adch) 1L else 0L),
+          ("floor", "queries_nonzero", 1L, if (cand > 0) 1L else 0L),
+          ("floor", "k_in_range", 1L,
+            if (kk >= 8L && kk <= 256L) 1L else 0L))
+          .toDF("kind", "key", "n", "v")
+      },
+      Some("""SELECT 'floor' AS kind, 'rr_ge_20pct' AS key,
+              CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS v
+            UNION ALL SELECT 'floor', 'rr_ge_adc', 1, 1
+            UNION ALL SELECT 'floor', 'queries_nonzero', 1, 1
+            UNION ALL SELECT 'floor', 'k_in_range', 1, 1"""),
+      doc = "gated recall floor on the ANN operating configuration: " +
+        "re-ranked recall@5 >= 0.20, re-rank >= raw ADC, non-empty " +
+        "query panel, K inside clamp bounds — the oracle side is " +
+        "literal, so a quality regression fails the gate even when " +
+        "the arithmetic stays oracle-consistent"),
+
+    // OPQ's next fidelity rung (ROADMAP r15 #2), in the permutation
+    // family: Ge et al.'s non-parametric OPQ rotates the space so
+    // subspace distortions balance before PQ; with R restricted to a
+    // PERMUTATION matrix that is exactly their eigenvalue-allocation
+    // initialization — order dimensions by variance and deal them
+    // across subspaces so no single codebook absorbs all the spread
+    // (natural pos DIV 16 order puts the 16 highest-variance dims of
+    // a correlated block into ONE subspace, whose K centroids then
+    // under-fit it). Fully integer-exact and oracle-mirrorable where
+    // a learned rotation (SVD) is not:
+    //   1. per-dim spread from integer sums of 1024-coarsened values
+    //      (cx = floor(x/1024) via the mirrored mod trick; s1 = sum
+    //      cx, s2 = sum cx^2 stay in int64 through the 100x soak
+    //      where ScaleGen's dim0 shift reaches ~8e8 quantized);
+    //   2. rank = row_number over variance nn*s2 - s1*s1 DESC — the
+    //      comparison runs on DOUBLEs built from the SAME two
+    //      aggregated integers with one fixed parenthesization, so
+    //      the order is bit-identical in both engines (ties broken
+    //      pos ASC); no double ever reaches the output;
+    //   3. snake allocation: rank r lands in subspace r%M on even
+    //      rows of the deal, M-1-r%M on odd rows — per-subspace rank
+    //      sums come out exactly equal (the balance rows pin this);
+    //   4. then q331's scaled-K PQ/ADC machinery verbatim, with m
+    //      read from the broadcast 64-row allocation instead of
+    //      pos DIV 16. recall rows use kind='recall' so AnnRecall
+    //      measures the opq-vs-natural contrast against q331 at the
+    //      soak scales.
+    Q("q343_opq_permutation",
+      (s, d) => {
+        val mSub = 4 // subspaces (64 dims / 16 per subspace)
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
+          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
+        val longN = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+        val alloc = longN
+          .selectExpr("pos",
+            "(x - (((x % 1024) + 1024) % 1024)) DIV 1024 AS cx")
+          .groupBy("pos")
+          .agg(count(lit(1)).as("nn"), sum(expr("cx * cx")).as("s2"),
+            sum("cx").as("s1"))
+          .withColumn("r", row_number().over(Window.orderBy(
+            expr("CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+              "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)").desc,
+            col("pos").asc)) - 1)
+          .selectExpr("pos", "r", s"CASE WHEN (r DIV $mSub) % 2 = 0 " +
+            s"THEN r % $mSub ELSE ($mSub - 1) - (r % $mSub) END AS m")
+          .persist() // 64 rows: model-sized
+        // the permutation rides into the corpus as ONE broadcast row
+        // holding a pos-indexed array — an element_at lookup per row,
+        // never a join against the corpus (the q331 in-plan-K idiom,
+        // one rung up: a 64-slot model instead of a 1-value model)
+        val pm = alloc.agg(expr("transform(array_sort(" +
+          "collect_list(struct(pos AS p, m AS mm))), e -> e.mm) AS pm"))
+        val longF = longN.crossJoin(broadcast(pm))
+          .selectExpr("vec_id", "pos", "x",
+            "element_at(pm, CAST(pos + 1 AS INT)) AS m")
+        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist() // ≤ M*256*16 rows: model-sized at the K ceiling
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % 97 === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longN.join(
+            broadcast(qs.select("qid", "pos", "qx")), Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val hits = exactTop
+          .join(broadcast(adcTop), Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val recall = qs.select("qid").distinct()
+          .join(broadcast(hits), Seq("qid"), "left")
+          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(5 AS BIGINT) AS n",
+            "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val allocRows = alloc.selectExpr("'alloc' AS kind",
+          "CAST(pos AS STRING) AS key", "CAST(r AS BIGINT) AS n",
+          "CAST(m AS BIGINT) AS v")
+        val balance = alloc.groupBy("m")
+          .agg(count(lit(1)).as("n"), sum("r").as("v"))
+          .selectExpr("'balance' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val book = codes.groupBy("m")
+          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
+          "kk AS n", "kk AS v")
+        recall.unionByName(allocRows).unionByName(balance)
+          .unionByName(book).unionByName(kRow)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+            kp AS (SELECT greatest(CAST(8 AS BIGINT),
+                least(CAST(256 AS BIGINT), count(*) // 128)) AS kk
+              FROM n),
+            long AS (SELECT vec_id,
+                generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+              FROM n),
+            dv AS (SELECT pos, CAST(count(*) AS BIGINT) AS nn,
+                CAST(sum(cx * cx) AS BIGINT) AS s2,
+                CAST(sum(cx) AS BIGINT) AS s1
+              FROM (SELECT pos,
+                (x - (((x % 1024) + 1024) % 1024)) // 1024 AS cx
+                FROM long) GROUP BY 1),
+            al AS (SELECT pos, r,
+                CAST(CASE WHEN (r // 4) % 2 = 0 THEN r % 4
+                  ELSE 3 - (r % 4) END AS BIGINT) AS m
+              FROM (SELECT pos, CAST(row_number() OVER (ORDER BY
+                  CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) DESC,
+                  pos ASC) - 1 AS BIGINT) AS r FROM dv)),
+            lm AS (SELECT l.vec_id, l.pos, a.m, l.x
+              FROM long l JOIN al a ON a.pos = l.pos),
+            c0 AS (SELECT m, vec_id AS cid, pos, x AS cm FROM lm
+              WHERE vec_id < (SELECT kk FROM kp)),
+            d1 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            c1 AS (SELECT a.m, a.cid, l.pos,
+                CAST((sum(l.x) - ((sum(l.x) % count(*)) + count(*))
+                  % count(*)) / count(*) AS BIGINT) AS cm
+              FROM a1 a JOIN lm l ON l.vec_id = a.vec_id
+                AND l.m = a.m
+              GROUP BY 1, 2, 3),
+            d2 AS (SELECT l.vec_id, l.m, c.cid,
+                CAST(sum((l.x - c.cm) * (l.x - c.cm)) AS BIGINT)
+                  AS dist
+              FROM lm l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+              GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m,
+                cid, row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1),
+            qs AS (SELECT vec_id AS qid, m, pos, x AS qx FROM lm
+              WHERE vec_id % 97 = 0),
+            lut AS (SELECT q.qid, q.m, c.cid,
+                CAST(sum((q.qx - c.cm) * (q.qx - c.cm)) AS BIGINT)
+                  AS pd
+              FROM qs q JOIN c1 c ON q.m = c.m AND q.pos = c.pos
+              GROUP BY 1, 2, 3),
+            adc AS (SELECT l.qid, k.vec_id,
+                CAST(sum(l.pd) AS BIGINT) AS dist
+              FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+              GROUP BY 1, 2),
+            adctop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+              WHERE rn <= 5),
+            ex AS (SELECT q.qid, l.vec_id,
+                CAST(sum((l.x - q.qx) * (l.x - q.qx)) AS BIGINT)
+                  AS dist
+              FROM long l JOIN qs q ON l.pos = q.pos GROUP BY 1, 2),
+            extop AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dist ASC, vec_id ASC) AS rn FROM ex)
+              WHERE rn <= 5),
+            hits AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS h
+              FROM extop e JOIN adctop a
+                ON a.qid = e.qid AND a.vec_id = e.vec_id
+              GROUP BY 1),
+            qids AS (SELECT DISTINCT qid FROM qs)
+            SELECT 'recall' AS kind, CAST(q.qid AS VARCHAR) AS key,
+              CAST(5 AS BIGINT) AS n, CAST(coalesce(h.h, 0) AS BIGINT)
+                AS v
+            FROM qids q LEFT JOIN hits h ON h.qid = q.qid
+            UNION ALL
+            SELECT 'alloc', CAST(pos AS VARCHAR), CAST(r AS BIGINT), m
+            FROM al
+            UNION ALL
+            SELECT 'balance', CAST(m AS VARCHAR),
+              CAST(count(*) AS BIGINT), CAST(sum(r) AS BIGINT)
+            FROM al GROUP BY 2
+            UNION ALL
+            SELECT 'codebook', CAST(m AS VARCHAR),
+              CAST(count(DISTINCT cid) AS BIGINT),
+              CAST(count(*) AS BIGINT)
+            FROM codes GROUP BY 2
+            UNION ALL
+            SELECT 'k', 'k', CAST(kk AS BIGINT), CAST(kk AS BIGINT)
+            FROM kp"""),
+      doc = "OPQ permutation rung (Ge et al. eigenvalue-allocation " +
+        "restricted to a permutation): dims ranked by integer-exact " +
+        "coarse variance, snake-dealt across subspaces so rank sums " +
+        "balance exactly, then q331's scaled-K PQ/ADC over the " +
+        "permuted subspaces — allocation, balance, codebook and " +
+        "recall all oracle-pinned")
   )
+
+  /** The q339 operating-configuration plan (corpus-scaled-K
+    * codebook, ADC top-50 shortlist, exact integer re-rank),
+    * extracted so the q341 recall-FLOOR gate scores exactly the
+    * plan it gates. */
+  private[graft] def scaledRerankRows(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sub = 16
+    val n = Tables.embeddings(s, d).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 1000000) AS BIGINT)) AS v")
+    val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
+      "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
+    val longF = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+      .withColumn("m", expr(s"pos DIV $sub"))
+    val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
+      .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+    def assign(c: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist").asc, col("cid").asc)
+      longF.join(broadcast(c), Seq("m", "pos"))
+        .groupBy("vec_id", "m", "cid")
+        .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "m", "cid")
+    }
+    val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+      .groupBy("m", "cid", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+      .selectExpr("m", "cid", "pos",
+        "(sx - ((sx % c) + c) % c) DIV c AS cm")
+      .persist() // ≤ M*256*sub rows: model-sized at the K ceiling
+    val codes = assign(c1)
+    val qs = longF.filter(col("vec_id") % 97 === 0)
+      .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+    val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+      .groupBy("qid", "m", "cid")
+      .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val short = codes.join(broadcast(lut), Seq("m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 50).select("qid", "vec_id", "rn")
+      .persist() // queries × 50: model-sized
+    val adcTop = short.filter(col("rn") <= 5)
+      .select("qid", "vec_id")
+    val rr = longF.join(broadcast(short.select("qid", "vec_id")),
+        Seq("vec_id"))
+      .join(broadcast(qs.select("qid", "pos", "qx")),
+        Seq("qid", "pos"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5).select("qid", "vec_id")
+    val exactTop = longF.join(
+        broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5).select("qid", "vec_id")
+      .persist()
+    def hitsOf(t: org.apache.spark.sql.DataFrame) =
+      exactTop.join(broadcast(t), Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+    val qids = qs.select("qid").distinct().persist()
+    def recallRows(t: org.apache.spark.sql.DataFrame,
+        kind: String) =
+      qids.join(broadcast(hitsOf(t)), Seq("qid"), "left")
+        .selectExpr(s"'$kind' AS kind",
+          "CAST(qid AS STRING) AS key", "CAST(5 AS BIGINT) AS n",
+          "coalesce(h, CAST(0 AS BIGINT)) AS v")
+    val book = codes.groupBy("m")
+      .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+      .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+        "n", "v")
+    val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
+      "kk AS n", "kk AS v")
+    recallRows(rr, "recall_rr")
+      .unionByName(recallRows(adcTop, "recall_adc"))
+      .unionByName(book).unionByName(kRow)
+  }
 }
