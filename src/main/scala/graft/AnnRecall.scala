@@ -35,8 +35,11 @@ object AnnRecall {
           println(f"""ANNRECALL {"lane":"$name/adc","sf":"$d","hits":${r.getLong(0)},"cand":${r.getLong(1)},"recall":${if (r.getLong(1) == 0) 0.0 else r.getLong(0).toDouble / r.getLong(1)}%.4f}""")
           (rr.getLong(0), rr.getLong(1))
         } else {
+          // coalesce: a lane with no 'recall' rows (e.g. the q341
+          // floor gate) reports 0/0 instead of crashing the sweep
           val r = df.filter(col("kind") === "recall")
-            .agg(sum("v"), sum("n")).head()
+            .agg(coalesce(sum("v"), lit(0L)),
+              coalesce(sum("n"), lit(0L))).head()
           (r.getLong(0), r.getLong(1))
         }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -45,7 +48,8 @@ object AnnRecall {
     val lanes = args.drop(1) match {
       case more if more.nonEmpty => more.toSeq
       case _ => Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq",
-        "q331_pq_scaled_k", "q335_pq_rerank", "q339_pq_scaled_rerank")
+        "q331_pq_scaled_k", "q335_pq_rerank", "q339_pq_scaled_rerank",
+        "q343_opq_permutation")
     }
     lanes.foreach(run)
     spark.stop()

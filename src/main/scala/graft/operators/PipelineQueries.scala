@@ -1179,7 +1179,6 @@ object PipelineQueries {
         val sp = s
         import sp.implicits._
         import org.apache.spark.sql.types.StructType
-        val B = 128
         val C = 3 // compaction cadence, in micro-batches
         val tmp = java.nio.file.Files
           .createTempDirectory("q342_cadence").toString
@@ -1189,6 +1188,18 @@ object PipelineQueries {
         val raw = Tables.documents(s, d).select("doc_id", "text")
         val maxId = raw.agg(max("doc_id")).head().getLong(0)
         val hi = maxId + 1
+        // bucket count SCALES with the corpus (q332 documents this as
+        // the production posture; this lane does it): B = the power of
+        // two ≥ corpus/8, floored at 128 — so a 3% increment's key set
+        // always covers a strict subset of buckets and the pruning
+        // invariant is scale-stable (a FIXED B=128 loses pruning the
+        // moment one increment carries ≥128 distinct keys, as the 10×
+        // soak showed)
+        val B = {
+          var b = 128L
+          while (b < hi / 8) b <<= 1
+          b.toInt
+        }
         // bulk history (70%) then ten 3% increments — long enough
         // that an unbounded layout would visibly diverge (10 appends)
         val bounds = (Seq(0L, hi * 70 / 100) ++
