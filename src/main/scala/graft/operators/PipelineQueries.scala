@@ -996,13 +996,21 @@ object PipelineQueries {
         val bounds = Seq(0L, hi * 85 / 100,
           hi * 90 / 100, hi * 95 / 100, hi)
         val t0 = System.currentTimeMillis() - 120000L
-        bounds.sliding(2).zipWithIndex.foreach { case (lohi, k) =>
-          val dir = s"$tmp/slice$k"
-          raw.where(col("doc_id") >= lohi.head &&
-              col("doc_id") < lohi(1))
-            .coalesce(1).write.parquet(dir)
-          val f = new java.io.File(dir).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+        // ONE staging job: slice ids assigned in-plan, one file per
+        // slice via repartition(slice) + partitionBy (per-slice
+        // coalesce(1) writes cost one job round-trip per slice)
+        val sliceCase = bounds.sliding(2).zipWithIndex.map {
+          case (lohi, k) =>
+            s"WHEN doc_id >= ${lohi.head} AND doc_id < ${lohi(1)} " +
+              s"THEN $k" }.mkString("CASE ", " ", " ELSE -1 END")
+        raw.withColumn("slice", expr(sliceCase))
+          .where(col("slice") >= 0)
+          .repartition(col("slice"))
+          .write.partitionBy("slice").parquet(s"$tmp/slices")
+        bounds.sliding(2).zipWithIndex.foreach { case (_, k) =>
+          val dir = new java.io.File(s"$tmp/slices/slice=$k")
+          val f = dir.listFiles().find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"empty slice $k"))
           val dst = java.nio.file.Paths.get(staged,
             f"part-$k%02d.parquet")
           java.nio.file.Files.move(f.toPath, dst)
@@ -1190,14 +1198,17 @@ object PipelineQueries {
         val hi = maxId + 1
         // bucket count SCALES with the corpus (q332 documents this as
         // the production posture; this lane does it): B = the power of
-        // two ≥ corpus/8, floored at 128 — so a 3% increment's key set
-        // always covers a strict subset of buckets and the pruning
-        // invariant is scale-stable (a FIXED B=128 loses pruning the
-        // moment one increment carries ≥128 distinct keys, as the 10×
-        // soak showed)
+        // two ≥ corpus/32, floored at 128 — a 3% increment (~corpus/33
+        // keys) always covers a strict subset of buckets, so the
+        // pruning invariant is scale-stable (a FIXED B=128 loses
+        // pruning the moment one increment carries ≥128 distinct keys,
+        // as the 10× soak showed). /32 not /16: every generation write
+        // costs ~B parquet files on a single box, and the invariants
+        // only need increment keys < B — production B trades bucket
+        // granularity against executor count, not file-create latency
         val B = {
           var b = 128L
-          while (b < hi / 8) b <<= 1
+          while (b < hi / 32) b <<= 1
           b.toInt
         }
         // bulk history (70%) then ten 3% increments — long enough
@@ -1205,13 +1216,21 @@ object PipelineQueries {
         val bounds = (Seq(0L, hi * 70 / 100) ++
           (73 to 100 by 3).map(p => hi * p / 100)).distinct
         val t0 = System.currentTimeMillis() - 120000L
-        bounds.sliding(2).zipWithIndex.foreach { case (lohi, k) =>
-          val dir = s"$tmp/slice$k"
-          raw.where(col("doc_id") >= lohi.head &&
-              col("doc_id") < lohi(1))
-            .coalesce(1).write.parquet(dir)
-          val f = new java.io.File(dir).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+        // ONE staging job: slice ids assigned in-plan, one file per
+        // slice via repartition(slice) + partitionBy (per-slice
+        // coalesce(1) writes cost one job round-trip per slice)
+        val sliceCase = bounds.sliding(2).zipWithIndex.map {
+          case (lohi, k) =>
+            s"WHEN doc_id >= ${lohi.head} AND doc_id < ${lohi(1)} " +
+              s"THEN $k" }.mkString("CASE ", " ", " ELSE -1 END")
+        raw.withColumn("slice", expr(sliceCase))
+          .where(col("slice") >= 0)
+          .repartition(col("slice"))
+          .write.partitionBy("slice").parquet(s"$tmp/slices")
+        bounds.sliding(2).zipWithIndex.foreach { case (_, k) =>
+          val dir = new java.io.File(s"$tmp/slices/slice=$k")
+          val f = dir.listFiles().find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"empty slice $k"))
           val dst = java.nio.file.Paths.get(staged,
             f"part-$k%02d.parquet")
           java.nio.file.Files.move(f.toPath, dst)
@@ -1251,19 +1270,23 @@ object PipelineQueries {
           .parquet(s"$staged/part-*.parquet")
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              nBatches.incrementAndGet()
-              val r = b.agg(min("doc_id"), max("doc_id")).head()
-              require(r.getLong(0) > lastMax.get(),
-                s"arrival order regressed: ${r.getLong(0)} <= " +
-                  s"${lastMax.get()}")
-              lastMax.set(r.getLong(1))
+            {
               val feat = b.selectExpr("doc_id", "md5(text) AS ek",
                   "CAST(length(text) AS BIGINT) AS L")
                 .withColumn("pb", pmod(hash(col("ek")), lit(B)))
                 .persist()
-              val pbs = feat.select("pb").distinct()
-                .as[Int].collect().toSeq
+              // ONE driver action covers emptiness, the order check
+              // and the probed bucket set (was isEmpty + min/max agg
+              // + a distinct collect — three jobs per micro-batch)
+              val stRow = feat.agg(min("doc_id"), max("doc_id"),
+                collect_set("pb")).head()
+              if (stRow.isNullAt(0)) feat.unpersist() else {
+              nBatches.incrementAndGet()
+              require(stRow.getLong(0) > lastMax.get(),
+                s"arrival order regressed: ${stRow.getLong(0)} <= " +
+                  s"${lastMax.get()}")
+              lastMax.set(stRow.getLong(1))
+              val pbs = stRow.getSeq[Int](2)
               val all = stateFiles(curRoot)
               val pmin: DataFrame =
                 if (all.isEmpty)
@@ -1291,11 +1314,15 @@ object PipelineQueries {
                     all.size.toLong, pf))
                   stRead.groupBy("ek").agg(min("owner").as("pmin"))
                 }
+              // batch-keys-sized; persisted so the survivors write
+              // and the state append don't EACH re-run the bucket
+              // probe scan (the third run per batch the meter showed)
               val ownE = feat.groupBy("ek")
                 .agg(min("doc_id").as("bmin"))
                 .join(pmin, Seq("ek"), "left")
                 .selectExpr("ek",
                   "least(bmin, coalesce(pmin, bmin)) AS owner")
+                .persist()
               feat.join(ownE, "ek").where("doc_id = owner")
                 .select("doc_id", "L")
                 .write.mode("append").parquet(outDir)
@@ -1303,7 +1330,7 @@ object PipelineQueries {
                 .repartition(col("pb"))
                 .write.mode("append").partitionBy("pb")
                 .parquet(curRoot)
-              feat.unpersist()
+              ownE.unpersist()
               // the CADENCE: every C batches, fold the accumulated
               // appends (min-merge, associative) into a fresh
               // generation — probe cost resets to one file per bucket
@@ -1315,6 +1342,8 @@ object PipelineQueries {
                   .write.partitionBy("pb").parquet(nxt)
                 curRoot = nxt
                 compactions.incrementAndGet()
+              }
+              feat.unpersist()
               }
             }
             ()
