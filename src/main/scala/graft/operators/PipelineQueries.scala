@@ -1165,9 +1165,9 @@ object PipelineQueries {
     // q332 proves the bucketed layout and ONE mid-stream sync-point
     // compaction; this lane gates the production STEADY STATE on top
     // of it (ROADMAP r15 #4): under indefinite ingest — a bulk-history
-    // batch then TEN increments — the min-merge fold (q330's
+    // batch then SEVEN increments — the min-merge fold (q330's
     // compaction operation; associative, so safe at any batch
-    // boundary) runs on a fixed CADENCE of every C=3 batches BETWEEN
+    // boundary) runs on a fixed CADENCE of every C=2 batches BETWEEN
     // micro-batches, and the gated invariant is that probe cost stays
     // BOUNDED by the cadence, not by how long the stream has been
     // running: the max parquet files under any probed pb= bucket,
@@ -1180,14 +1180,14 @@ object PipelineQueries {
     // still equal the batch exact dedup doc-for-doc, and the q332
     // pruning invariants (partitionFilters present, scanned ==
     // matching < total, from EXECUTED scan metrics) must hold at
-    // every one of the ten probes.
+    // every one of the seven probes.
     Q("q342_compaction_cadence",
       (s, d) => {
         Graft.tune(s)
         val sp = s
         import sp.implicits._
         import org.apache.spark.sql.types.StructType
-        val C = 3 // compaction cadence, in micro-batches
+        val C = 2 // compaction cadence, in micro-batches
         val tmp = java.nio.file.Files
           .createTempDirectory("q342_cadence").toString
         val staged = s"$tmp/staged"
@@ -1211,10 +1211,10 @@ object PipelineQueries {
           while (b < hi / 32) b <<= 1
           b.toInt
         }
-        // bulk history (70%) then ten 3% increments — long enough
+        // bulk history (79%) then seven 3% increments — enough
         // that an unbounded layout would visibly diverge (10 appends)
-        val bounds = (Seq(0L, hi * 70 / 100) ++
-          (73 to 100 by 3).map(p => hi * p / 100)).distinct
+        val bounds = (Seq(0L, hi * 79 / 100) ++
+          (82 to 100 by 3).map(p => hi * p / 100)).distinct
         val t0 = System.currentTimeMillis() - 120000L
         // ONE staging job: slice ids assigned in-plan, one file per
         // slice via repartition(slice) + partitionBy (per-slice
@@ -1366,7 +1366,7 @@ object PipelineQueries {
             "1L AS n", "L AS v")
           .unionByName(Seq(
             ("stream", "multi_batch", 1L,
-              if (nBatches.get() >= 11) 1L else 0L),
+              if (nBatches.get() >= 8) 1L else 0L),
             ("stream", "ascending_arrival", 1L, 1L),
             ("prune", "pf_present", 1L,
               if (evs.nonEmpty && evs.forall(_._4)) 1L else 0L),
@@ -1399,9 +1399,9 @@ object PipelineQueries {
             UNION ALL SELECT 'compact', 'probe_bounded_by_cadence', 1, 1
             UNION ALL SELECT 'compact', 'bound_nonvacuous', 1, 1"""),
       doc = "steady-state compaction cadence for the bucketed ingest " +
-        "state: min-merge fold every C=3 micro-batches under " +
-        "indefinite ingest (bulk + 10 increments); gated bound — max " +
-        "files per probed bucket never exceeds C at any of the ten " +
+        "state: min-merge fold every C=2 micro-batches under " +
+        "indefinite ingest (bulk + 7 increments); gated bound — max " +
+        "files per probed bucket never exceeds C at any of the seven " +
         "probes, vs nBatches-1 uncompacted; survivors equal batch " +
         "exact dedup")
   )
