@@ -16,9 +16,18 @@ object AnnRecall {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe-only sampled query panel for big corpora (the gated
+    // lanes keep %97): SPARK_GRAFT_QMOD=9973 makes the exact-truth
+    // leg tractable at 100x (O(queries x corpus x dims))
+    val qmod = sys.env.get("SPARK_GRAFT_QMOD").map(_.toLong)
     def run(name: String): Unit = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, d)
+      val df = (name, qmod) match {
+        case ("q339_pq_scaled_rerank", Some(m)) =>
+          graft.similarity.SimilarityQueries
+            .scaledRerankRows(spark, d, m)
+        case _ => SparkEntry.queries(name)(spark, d)
+      }
       val (hits, cand) =
         if (name == "q246_ann_recall") {
           val r = df.agg(sum("n_hits"), sum("n_ivf")).head()

@@ -2225,9 +2225,15 @@ object SimilarityQueries {
   /** The q339 operating-configuration plan (corpus-scaled-K
     * codebook, ADC top-50 shortlist, exact integer re-rank),
     * extracted so the q341 recall-FLOOR gate scores exactly the
-    * plan it gates. */
+    * plan it gates. qmod is the query-panel modulus: the GATED lanes
+    * always use the default 97; big-corpus probes (AnnRecall at
+    * 100×) pass a larger modulus because the exact-truth leg is
+    * O(queries × corpus × dims) — at 200k vectors the %97 panel's
+    * 2062 queries build ~26B intermediate rows and the probe, not
+    * the index, becomes the bottleneck. */
   private[graft] def scaledRerankRows(
-      s: org.apache.spark.sql.SparkSession, d: String)
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qmod: Long = 97L)
       : org.apache.spark.sql.DataFrame = {
     val sub = 16
     val n = Tables.embeddings(s, d).selectExpr("vec_id",
@@ -2255,7 +2261,7 @@ object SimilarityQueries {
         "(sx - ((sx % c) + c) % c) DIV c AS cm")
       .persist() // ≤ M*256*sub rows: model-sized at the K ceiling
     val codes = assign(c1)
-    val qs = longF.filter(col("vec_id") % 97 === 0)
+    val qs = longF.filter(col("vec_id") % qmod === 0)
       .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
     val lut = qs.join(broadcast(c1), Seq("m", "pos"))
       .groupBy("qid", "m", "cid")
