@@ -26,6 +26,17 @@ object AnnRecall {
         case ("q339_pq_scaled_rerank", Some(m)) =>
           graft.similarity.SimilarityQueries
             .scaledRerankRows(spark, d, m)
+        case ("q343_opq_permutation", Some(m)) =>
+          graft.similarity.SimilarityQueries
+            .opqPermutationRows(spark, d, m)
+        case (_, Some(_)) =>
+          // the other panel-bearing lanes hardcode the %97 gated
+          // panel; running them under QMOD would silently pay the
+          // exact O(queries x corpus x dims) truth leg the flag
+          // exists to avoid — refuse loudly instead
+          sys.error(s"SPARK_GRAFT_QMOD set but lane $name has no " +
+            "sampled-panel builder (only q339/q343 do); run it " +
+            "without QMOD or drop it from the lane list")
         case _ => SparkEntry.queries(name)(spark, d)
       }
       val (hits, cand) =
@@ -56,6 +67,11 @@ object AnnRecall {
     }
     val lanes = args.drop(1) match {
       case more if more.nonEmpty => more.toSeq
+      // under QMOD the default sweep is only the lanes with a
+      // sampled-panel builder — the %97 exact-truth legs of the
+      // others are exactly the blowup the flag exists to avoid
+      case _ if qmod.isDefined =>
+        Seq("q339_pq_scaled_rerank", "q343_opq_permutation")
       case _ => Seq("q246_ann_recall", "q266_pq_adc", "q286_ivf_pq",
         "q331_pq_scaled_k", "q335_pq_rerank", "q339_pq_scaled_rerank",
         "q343_opq_permutation")

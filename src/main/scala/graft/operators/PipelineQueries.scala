@@ -994,7 +994,7 @@ object PipelineQueries {
         // bulk history (85%) then three 5% increments — the real
         // ingest cadence, and the regime where bucket pruning pays
         val bounds = Seq(0L, hi * 85 / 100,
-          hi * 90 / 100, hi * 95 / 100, hi)
+          hi * 90 / 100, hi * 95 / 100, hi).distinct
         val t0 = System.currentTimeMillis() - 120000L
         // ONE staging job: slice ids assigned in-plan, one file per
         // slice via repartition(slice) + partitionBy (per-slice
@@ -1009,7 +1009,8 @@ object PipelineQueries {
           .write.partitionBy("slice").parquet(s"$tmp/slices")
         bounds.sliding(2).zipWithIndex.foreach { case (_, k) =>
           val dir = new java.io.File(s"$tmp/slices/slice=$k")
-          val f = dir.listFiles().find(_.getName.endsWith(".parquet"))
+          val f = Option(dir.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
             .getOrElse(sys.error(s"empty slice $k"))
           val dst = java.nio.file.Paths.get(staged,
             f"part-$k%02d.parquet")
@@ -1022,6 +1023,9 @@ object PipelineQueries {
         val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
         val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
         val compacted = new java.util.concurrent.atomic.AtomicLong(0L)
+        // observed-monotonicity verdict backing the gate row (the
+        // require in the batch body still kills the lane on regression)
+        val monoOk = new java.util.concurrent.atomic.AtomicBoolean(true)
         // one 4-tuple per probed batch: (scanned, matching, total, pf)
         val evid = scala.collection.mutable
           .ArrayBuffer[(Long, Long, Long, Boolean)]()
@@ -1053,6 +1057,7 @@ object PipelineQueries {
             if (!b.isEmpty) {
               nBatches.incrementAndGet()
               val r = b.agg(min("doc_id"), max("doc_id")).head()
+              if (r.getLong(0) <= lastMax.get()) monoOk.set(false)
               require(r.getLong(0) > lastMax.get(),
                 s"arrival order regressed: ${r.getLong(0)} <= " +
                   s"${lastMax.get()}")
@@ -1133,7 +1138,8 @@ object PipelineQueries {
           .unionByName(Seq(
             ("stream", "multi_batch", 1L,
               if (nBatches.get() >= 4) 1L else 0L),
-            ("stream", "ascending_arrival", 1L, 1L),
+            ("stream", "ascending_arrival", 1L,
+              if (monoOk.get() && nBatches.get() > 0) 1L else 0L),
             ("prune", "pf_present", 1L,
               if (evs.nonEmpty && evs.forall(_._4)) 1L else 0L),
             ("prune", "scanned_eq_matching", 1L,
@@ -1229,7 +1235,8 @@ object PipelineQueries {
           .write.partitionBy("slice").parquet(s"$tmp/slices")
         bounds.sliding(2).zipWithIndex.foreach { case (_, k) =>
           val dir = new java.io.File(s"$tmp/slices/slice=$k")
-          val f = dir.listFiles().find(_.getName.endsWith(".parquet"))
+          val f = Option(dir.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
             .getOrElse(sys.error(s"empty slice $k"))
           val dst = java.nio.file.Paths.get(staged,
             f"part-$k%02d.parquet")
@@ -1243,6 +1250,10 @@ object PipelineQueries {
         val lastMax = new java.util.concurrent.atomic.AtomicLong(-1L)
         val compactions = new java.util.concurrent.atomic.AtomicLong(0L)
         val maxFpb = new java.util.concurrent.atomic.AtomicLong(0L)
+        // observed-monotonicity verdict: the gate row is computed
+        // from this, not hardcoded (the require below still kills the
+        // lane on regression — this makes the row evidence-bearing)
+        val monoOk = new java.util.concurrent.atomic.AtomicBoolean(true)
         val evid = scala.collection.mutable
           .ArrayBuffer[(Long, Long, Long, Boolean)]()
         def stateFiles(root: String): Vector[String] = {
@@ -1282,6 +1293,7 @@ object PipelineQueries {
                 collect_set("pb")).head()
               if (stRow.isNullAt(0)) feat.unpersist() else {
               nBatches.incrementAndGet()
+              if (stRow.getLong(0) <= lastMax.get()) monoOk.set(false)
               require(stRow.getLong(0) > lastMax.get(),
                 s"arrival order regressed: ${stRow.getLong(0)} <= " +
                   s"${lastMax.get()}")
@@ -1367,7 +1379,8 @@ object PipelineQueries {
           .unionByName(Seq(
             ("stream", "multi_batch", 1L,
               if (nBatches.get() >= 8) 1L else 0L),
-            ("stream", "ascending_arrival", 1L, 1L),
+            ("stream", "ascending_arrival", 1L,
+              if (monoOk.get() && nBatches.get() > 0) 1L else 0L),
             ("prune", "pf_present", 1L,
               if (evs.nonEmpty && evs.forall(_._4)) 1L else 0L),
             ("prune", "scanned_eq_matching", 1L,

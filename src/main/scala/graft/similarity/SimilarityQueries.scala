@@ -1969,6 +1969,14 @@ object SimilarityQueries {
         val sp = s
         import sp.implicits._
         val rows = scaledRerankRows(s, d).collect()
+        // the shared builder persists model-sized frames (c1, short,
+        // exactTop, qids) and this lane is the second invocation in a
+        // Verify/PlanAudit sweep (after q339); everything is fully
+        // materialized by the collect above, so drop the cached
+        // relations here — otherwise they can be substituted into
+        // later lanes' executed plans (the AnnFloorSpec hazard) and
+        // accumulate executor memory across the 343-lane sweep
+        s.catalog.clearCache()
         def agg(kind: String, col: Int) =
           rows.filter(_.getString(0) == kind).map(_.getLong(col)).sum
         val rrh = agg("recall_rr", 3)
@@ -2013,11 +2021,12 @@ object SimilarityQueries {
     //      (cx = floor(x/1024) via the mirrored mod trick; s1 = sum
     //      cx, s2 = sum cx^2 stay in int64 through the 100x soak
     //      where ScaleGen's dim0 shift reaches ~8e8 quantized);
-    //   2. rank = row_number over variance nn*s2 - s1*s1 DESC — the
-    //      comparison runs on DOUBLEs built from the SAME two
-    //      aggregated integers with one fixed parenthesization, so
-    //      the order is bit-identical in both engines (ties broken
-    //      pos ASC); no double ever reaches the output;
+    //   2. rank = row_number over variance nn*s2 - s1*s1 DESC,
+    //      computed EXACTLY in each engine's wide-integer type —
+    //      DECIMAL(38,0) here, HUGEINT in the oracle (max magnitude
+    //      ~2.6e22 at the 100x soak, far inside both) — so the
+    //      order cannot be flipped by fp rounding or an FMA
+    //      contraction of a*b - c*d (ties broken pos ASC);
     //   3. snake allocation: rank r lands in subspace r%M on even
     //      rows of the deal, M-1-r%M on odd rows — per-subspace rank
     //      sums come out exactly equal (the balance rows pin this);
@@ -2027,95 +2036,7 @@ object SimilarityQueries {
     //      measures the opq-vs-natural contrast against q331 at the
     //      soak scales.
     Q("q343_opq_permutation",
-      (s, d) => {
-        val mSub = 4 // subspaces (64 dims / 16 per subspace)
-        val n = Tables.embeddings(s, d).selectExpr("vec_id",
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
-            "* 1000000) AS BIGINT)) AS v")
-        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
-          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
-        val longN = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
-        val alloc = longN
-          .selectExpr("pos",
-            "(x - (((x % 1024) + 1024) % 1024)) DIV 1024 AS cx")
-          .groupBy("pos")
-          .agg(count(lit(1)).as("nn"), sum(expr("cx * cx")).as("s2"),
-            sum("cx").as("s1"))
-          .withColumn("r", row_number().over(Window.orderBy(
-            expr("CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
-              "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)").desc,
-            col("pos").asc)) - 1)
-          .selectExpr("pos", "r", s"CASE WHEN (r DIV $mSub) % 2 = 0 " +
-            s"THEN r % $mSub ELSE ($mSub - 1) - (r % $mSub) END AS m")
-          .persist() // 64 rows: model-sized
-        // the permutation rides into the corpus as ONE broadcast row
-        // holding a pos-indexed array — an element_at lookup per row,
-        // never a join against the corpus (the q331 in-plan-K idiom,
-        // one rung up: a 64-slot model instead of a 1-value model)
-        val pm = alloc.agg(expr("transform(array_sort(" +
-          "collect_list(struct(pos AS p, m AS mm))), e -> e.mm) AS pm"))
-        val longF = longN.crossJoin(broadcast(pm))
-          .selectExpr("vec_id", "pos", "x",
-            "element_at(pm, CAST(pos + 1 AS INT)) AS m")
-        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
-          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
-        }
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
-          .groupBy("m", "cid", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
-          .selectExpr("m", "cid", "pos",
-            "(sx - ((sx % c) + c) % c) DIV c AS cm")
-          .persist() // ≤ M*256*16 rows: model-sized at the K ceiling
-        val codes = assign(c1)
-        val qs = longF.filter(col("vec_id") % 97 === 0)
-          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
-        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
-          .groupBy("qid", "m", "cid")
-          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
-        val wTop = Window.partitionBy("qid")
-          .orderBy(col("dist").asc, col("vec_id").asc)
-        val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
-          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5).select("qid", "vec_id")
-        val exactTop = longN.join(
-            broadcast(qs.select("qid", "pos", "qx")), Seq("pos"))
-          .groupBy("qid", "vec_id")
-          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 5).select("qid", "vec_id")
-        val hits = exactTop
-          .join(broadcast(adcTop), Seq("qid", "vec_id"))
-          .groupBy("qid").agg(count(lit(1)).as("h"))
-        val recall = qs.select("qid").distinct()
-          .join(broadcast(hits), Seq("qid"), "left")
-          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
-            "CAST(5 AS BIGINT) AS n",
-            "coalesce(h, CAST(0 AS BIGINT)) AS v")
-        val allocRows = alloc.selectExpr("'alloc' AS kind",
-          "CAST(pos AS STRING) AS key", "CAST(r AS BIGINT) AS n",
-          "CAST(m AS BIGINT) AS v")
-        val balance = alloc.groupBy("m")
-          .agg(count(lit(1)).as("n"), sum("r").as("v"))
-          .selectExpr("'balance' AS kind", "CAST(m AS STRING) AS key",
-            "n", "v")
-        val book = codes.groupBy("m")
-          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
-          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
-            "n", "v")
-        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
-          "kk AS n", "kk AS v")
-        recall.unionByName(allocRows).unionByName(balance)
-          .unionByName(book).unionByName(kRow)
-      },
+      (s, d) => opqPermutationRows(s, d),
       Some("""WITH n AS (SELECT vec_id,
               list_transform(embedding,
                 x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
@@ -2136,8 +2057,8 @@ object SimilarityQueries {
                 CAST(CASE WHEN (r // 4) % 2 = 0 THEN r % 4
                   ELSE 3 - (r % 4) END AS BIGINT) AS m
               FROM (SELECT pos, CAST(row_number() OVER (ORDER BY
-                  CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE) -
-                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) DESC,
+                  CAST(nn AS HUGEINT) * CAST(s2 AS HUGEINT) -
+                  CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC,
                   pos ASC) - 1 AS BIGINT) AS r FROM dv)),
             lm AS (SELECT l.vec_id, l.pos, a.m, l.x
               FROM long l JOIN al a ON a.pos = l.pos),
@@ -2221,6 +2142,105 @@ object SimilarityQueries {
         "permuted subspaces — allocation, balance, codebook and " +
         "recall all oracle-pinned")
   )
+
+  /** The q343 OPQ-permutation plan, extracted so big-corpus
+    * probes (AnnRecall under SPARK_GRAFT_QMOD) can sample the query
+    * panel: the exact-truth leg is O(queries x corpus x dims), so at
+    * 100x the %97 panel is the bottleneck, not the index. The GATED
+    * lane always uses the default 97 (the oracle mirrors it). */
+  private[graft] def opqPermutationRows(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qmod: Long = 97L)
+      : org.apache.spark.sql.DataFrame = {
+        val mSub = 4 // subspaces (64 dims / 16 per subspace)
+        val n = Tables.embeddings(s, d).selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000000) AS BIGINT)) AS v")
+        val kdf = n.agg(expr("greatest(CAST(8 AS BIGINT), " +
+          "least(CAST(256 AS BIGINT), count(1) DIV 128)) AS kk"))
+        val longN = n.selectExpr("vec_id", "posexplode(v) AS (pos, x)")
+        val alloc = longN
+          .selectExpr("pos",
+            "(x - (((x % 1024) + 1024) % 1024)) DIV 1024 AS cx")
+          .groupBy("pos")
+          .agg(count(lit(1)).as("nn"), sum(expr("cx * cx")).as("s2"),
+            sum("cx").as("s1"))
+          .withColumn("r", row_number().over(Window.orderBy(
+            expr("CAST(nn AS DECIMAL(38,0)) * CAST(s2 AS " +
+              "DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)) * " +
+              "CAST(s1 AS DECIMAL(38,0))").desc,
+            col("pos").asc)) - 1)
+          .selectExpr("pos", "r", s"CASE WHEN (r DIV $mSub) % 2 = 0 " +
+            s"THEN r % $mSub ELSE ($mSub - 1) - (r % $mSub) END AS m")
+          .persist() // 64 rows: model-sized
+        // the permutation rides into the corpus as ONE broadcast row
+        // holding a pos-indexed array — an element_at lookup per row,
+        // never a join against the corpus (the q331 in-plan-K idiom,
+        // one rung up: a 64-slot model instead of a 1-value model)
+        val pm = alloc.agg(expr("transform(array_sort(" +
+          "collect_list(struct(pos AS p, m AS mm))), e -> e.mm) AS pm"))
+        val longF = longN.crossJoin(broadcast(pm))
+          .selectExpr("vec_id", "pos", "x",
+            "element_at(pm, CAST(pos + 1 AS INT)) AS m")
+        val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
+          .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
+        def assign(c: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist").asc, col("cid").asc)
+          longF.join(broadcast(c), Seq("m", "pos"))
+            .groupBy("vec_id", "m", "cid")
+            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        }
+        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .selectExpr("m", "cid", "pos",
+            "(sx - ((sx % c) + c) % c) DIV c AS cm")
+          .persist() // ≤ M*256*16 rows: model-sized at the K ceiling
+        val codes = assign(c1)
+        val qs = longF.filter(col("vec_id") % qmod === 0)
+          .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
+        val lut = qs.join(broadcast(c1), Seq("m", "pos"))
+          .groupBy("qid", "m", "cid")
+          .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val adcTop = codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val exactTop = longN.join(
+            broadcast(qs.select("qid", "pos", "qx")), Seq("pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5).select("qid", "vec_id")
+        val hits = exactTop
+          .join(broadcast(adcTop), Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val recall = qs.select("qid").distinct()
+          .join(broadcast(hits), Seq("qid"), "left")
+          .selectExpr("'recall' AS kind", "CAST(qid AS STRING) AS key",
+            "CAST(5 AS BIGINT) AS n",
+            "coalesce(h, CAST(0 AS BIGINT)) AS v")
+        val allocRows = alloc.selectExpr("'alloc' AS kind",
+          "CAST(pos AS STRING) AS key", "CAST(r AS BIGINT) AS n",
+          "CAST(m AS BIGINT) AS v")
+        val balance = alloc.groupBy("m")
+          .agg(count(lit(1)).as("n"), sum("r").as("v"))
+          .selectExpr("'balance' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val book = codes.groupBy("m")
+          .agg(countDistinct("cid").as("n"), count(lit(1)).as("v"))
+          .selectExpr("'codebook' AS kind", "CAST(m AS STRING) AS key",
+            "n", "v")
+        val kRow = kdf.selectExpr("'k' AS kind", "'k' AS key",
+          "kk AS n", "kk AS v")
+        recall.unionByName(allocRows).unionByName(balance)
+          .unionByName(book).unionByName(kRow)
+  }
 
   /** The q339 operating-configuration plan (corpus-scaled-K
     * codebook, ADC top-50 shortlist, exact integer re-rank),
