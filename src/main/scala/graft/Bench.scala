@@ -178,7 +178,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val loaded = if (loadAtStart > loadMax) "true" else "false"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topN,"n":${results.size},"retries":$retryJson,"lanes_file":"$lanesFile","sf":"$sfDir","load":${fmt(loadAtStart)},"loaded":$loaded,"warmup_ok":$warmupOk}""")
+    // Self-explaining contention stamps (VERDICT r15 #6): load_end is
+    // a second loadavg sample after the lanes ran (includes our own
+    // load — read it against proc_cpu_s), and proc_cpu_s is THIS
+    // JVM's total CPU seconds: a run whose wall total grows while
+    // proc_cpu_s stays near the solo run's is externally contended,
+    // not regressed.
+    val procCpuS = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+    } catch { case NonFatal(_) => -1.0 }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topN,"n":${results.size},"retries":$retryJson,"lanes_file":"$lanesFile","sf":"$sfDir","load":${fmt(loadAtStart)},"load_end":${fmt(loadAvg())},"proc_cpu_s":${fmt(procCpuS)},"loaded":$loaded,"warmup_ok":$warmupOk}""")
     spark.stop()
   }
 }

@@ -1968,15 +1968,23 @@ object SimilarityQueries {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val rows = scaledRerankRows(s, d).collect()
         // the shared builder persists model-sized frames (c1, short,
         // exactTop, qids) and this lane is the second invocation in a
         // Verify/PlanAudit sweep (after q339); everything is fully
-        // materialized by the collect above, so drop the cached
-        // relations here — otherwise they can be substituted into
-        // later lanes' executed plans (the AnnFloorSpec hazard) and
-        // accumulate executor memory across the 343-lane sweep
-        s.catalog.clearCache()
+        // materialized by the collect below, so unpersist exactly
+        // those frames — otherwise they can be substituted into later
+        // lanes' executed plans (the AnnFloorSpec hazard) and
+        // accumulate executor memory across the 343-lane sweep.
+        // TARGETED unpersists, not clearCache(): a blanket clear also
+        // drops SigTable's shared sigs/pairs90 caches, and the next
+        // consumer (q72 in sweep order) re-derives its pair table as
+        // a fresh SMJ self-join — the full-sweep PlanAudit caught
+        // exactly that on the first cut of this cleanup
+        val cached =
+          scala.collection.mutable.ArrayBuffer[org.apache.spark.sql
+            .DataFrame]()
+        val rows = scaledRerankRows(s, d, cached = cached).collect()
+        cached.foreach(_.unpersist())
         def agg(kind: String, col: Int) =
           rows.filter(_.getString(0) == kind).map(_.getLong(col)).sum
         val rrh = agg("recall_rr", 3)
@@ -2253,8 +2261,18 @@ object SimilarityQueries {
     * the index, becomes the bottleneck. */
   private[graft] def scaledRerankRows(
       s: org.apache.spark.sql.SparkSession, d: String,
-      qmod: Long = 97L)
+      qmod: Long = 97L,
+      cached: scala.collection.mutable.Buffer[
+        org.apache.spark.sql.DataFrame] = null)
       : org.apache.spark.sql.DataFrame = {
+    // every persisted (model-sized) frame is registered with the
+    // caller's buffer when one is supplied, so q341 can unpersist
+    // exactly what this builder cached (see the q341 comment)
+    def reg(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      if (cached != null) cached += df
+      df
+    }
     val sub = 16
     val n = Tables.embeddings(s, d).selectExpr("vec_id",
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
@@ -2274,12 +2292,12 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "m", "cid")
     }
-    val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+    val c1 = reg(assign(c0).join(longF, Seq("vec_id", "m"))
       .groupBy("m", "cid", "pos")
       .agg(sum("x").as("sx"), count(lit(1)).as("c"))
       .selectExpr("m", "cid", "pos",
         "(sx - ((sx % c) + c) % c) DIV c AS cm")
-      .persist() // ≤ M*256*sub rows: model-sized at the K ceiling
+      .persist()) // ≤ M*256*sub rows: model-sized at the K ceiling
     val codes = assign(c1)
     val qs = longF.filter(col("vec_id") % qmod === 0)
       .selectExpr("vec_id AS qid", "m", "pos", "x AS qx")
@@ -2288,11 +2306,11 @@ object SimilarityQueries {
       .agg(sum(expr("(qx - cm) * (qx - cm)")).as("pd"))
     val wTop = Window.partitionBy("qid")
       .orderBy(col("dist").asc, col("vec_id").asc)
-    val short = codes.join(broadcast(lut), Seq("m", "cid"))
+    val short = reg(codes.join(broadcast(lut), Seq("m", "cid"))
       .groupBy("qid", "vec_id").agg(sum("pd").as("dist"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 50).select("qid", "vec_id", "rn")
-      .persist() // queries × 50: model-sized
+      .persist()) // queries × 50: model-sized
     val adcTop = short.filter(col("rn") <= 5)
       .select("qid", "vec_id")
     val rr = longF.join(broadcast(short.select("qid", "vec_id")),
@@ -2303,17 +2321,17 @@ object SimilarityQueries {
       .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5).select("qid", "vec_id")
-    val exactTop = longF.join(
+    val exactTop = reg(longF.join(
         broadcast(qs.withColumnRenamed("m", "qm")), Seq("pos"))
       .groupBy("qid", "vec_id")
       .agg(sum(expr("(x - qx) * (x - qx)")).as("dist"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5).select("qid", "vec_id")
-      .persist()
+      .persist())
     def hitsOf(t: org.apache.spark.sql.DataFrame) =
       exactTop.join(broadcast(t), Seq("qid", "vec_id"))
         .groupBy("qid").agg(count(lit(1)).as("h"))
-    val qids = qs.select("qid").distinct().persist()
+    val qids = reg(qs.select("qid").distinct().persist())
     def recallRows(t: org.apache.spark.sql.DataFrame,
         kind: String) =
       qids.join(broadcast(hitsOf(t)), Seq("qid"), "left")

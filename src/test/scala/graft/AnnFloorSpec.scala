@@ -60,4 +60,24 @@ class AnnFloorSpec extends AnyFunSuite {
     val docs = rows.filter(_._1 == "doc").map(_._2)
     assert(docs.nonEmpty && docs.distinct.length == docs.length)
   }
+
+  test("q327 three-tier bucketed cascade: every gate row is green") {
+    // the r16 store shape: per-tier pruning evidence (ek, band, cls),
+    // the cadence bound, fold counts and observed monotone arrival
+    // must ALL hold — a regression in any tier's bucket layout,
+    // probe pruning or fold cadence fails sbt test, not just the
+    // driver sweep
+    val rows = SparkEntry
+      .queries("q327_stream_dedup_cascade")(spark,
+        "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long)].collect()
+    val gates = rows.filter(r => r._1 != "doc").map(r =>
+      s"${r._1}/${r._2}" -> r._4)
+    assert(gates.size == 15, s"expected 15 gate rows: ${gates.toSeq}")
+    assert(gates.forall(_._2 == 1L),
+      s"cascade-store gates not all green: " +
+        s"${gates.filter(_._2 != 1L).toSeq}")
+    val docs = rows.filter(_._1 == "doc").map(_._2)
+    assert(docs.nonEmpty && docs.distinct.length == docs.length)
+  }
 }
