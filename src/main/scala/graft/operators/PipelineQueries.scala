@@ -753,7 +753,10 @@ object PipelineQueries {
             * one L0 file each. */
           def append(df: DataFrame): Unit =
             if (!baseExists)
-              df.repartition(col("pb")).write.partitionBy("pb")
+              // 32-way explicitly: the lane runs 8-way batch-loop
+              // shuffles, but the bulk bootstrap writes B files and
+              // wants all cores writing
+              df.repartition(32, col("pb")).write.partitionBy("pb")
                 .parquet(baseDir)
             else {
               nl0 += 1
@@ -772,7 +775,7 @@ object PipelineQueries {
             val overlap = s.read.parquet(baseDir)
               .where(col("pb").isin(touched: _*))
             foldFn(overlap.unionByName(l0))
-              .repartition(col("pb")).write.partitionBy("pb")
+              .repartition(32, col("pb")).write.partitionBy("pb")
               .parquet(nxtBase)
             val touchedDirs = touched.map(v => s"pb=$v").toSet
             Option(new java.io.File(baseDir).listFiles())
