@@ -1588,13 +1588,38 @@ object PipelineQueries {
               ownE.unpersist()
               // the CADENCE: every C batches, fold the accumulated
               // appends (min-merge, associative) into a fresh
-              // generation — probe cost resets to one file per bucket
+              // generation — probe cost resets to one file per bucket.
+              // LSM-honest (q327's r16 fold shape): only buckets
+              // holding MORE than one run re-merge; single-run
+              // buckets carry over by filesystem rename — each file
+              // already holds one row per ek (a batch's ownE or a
+              // prior fold output), so a lone run needs no merge
               if (nBatches.get() % C == 0) {
                 val nxt = s"$tmp/state_v${nBatches.get()}"
-                s.read.parquet(curRoot).groupBy("pb", "ek")
-                  .agg(min("owner").as("owner"))
-                  .repartition(col("pb"))
-                  .write.partitionBy("pb").parquet(nxt)
+                val dirs = Option(new java.io.File(curRoot)
+                  .listFiles()).getOrElse(Array.empty[java.io.File])
+                  .filter(f => f.isDirectory &&
+                    f.getName.startsWith("pb="))
+                val multi = dirs.filter(dd => Option(dd.listFiles())
+                  .getOrElse(Array.empty[java.io.File])
+                  .count(_.getName.endsWith(".parquet")) > 1)
+                val touched = multi
+                  .map(_.getName.stripPrefix("pb=").toInt).toSeq
+                if (touched.nonEmpty)
+                  s.read.parquet(curRoot)
+                    .where(col("pb").isin(touched: _*))
+                    .groupBy("pb", "ek")
+                    .agg(min("owner").as("owner"))
+                    .repartition(col("pb"))
+                    .write.partitionBy("pb").parquet(nxt)
+                else java.nio.file.Files
+                  .createDirectories(java.nio.file.Paths.get(nxt))
+                val multiSet = multi.map(_.getName).toSet
+                dirs.filter(dd => !multiSet.contains(dd.getName))
+                  .foreach { f =>
+                    java.nio.file.Files.move(f.toPath,
+                      java.nio.file.Paths.get(nxt, f.getName))
+                  }
                 curRoot = nxt
                 compactions.incrementAndGet()
               }
