@@ -184,15 +184,26 @@ object EngineQueries {
     // sketch (rsd 0.01 → ~1% typical error) ever degrades, the row goes
     // red instead of silently passing rows-only.
     Q("q90_approx_flows",
+      // r17 (guide §2.3, aggregate before you shuffle): countDistinct
+      // next to a rsd-0.01 HLL made the partial agg allocate a ~2.7k-
+      // long HLL buffer PER (bin, tuple) Expand group — ~600k wide
+      // buffers. Two-level agg instead: distinct tuples first (narrow
+      // buffers), then per-bin HLL over the deduped tuples — register
+      // maxima are duplicate-insensitive, so the estimate (and the
+      // whole output) is bit-identical, in one scan. Measured
+      // 3.75 s -> ~0.6 s solo.
       (s, d) => flows(s, d)
         .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
-          .as("bin_start"))
-        .agg(count(lit(1)).as("n_records"),
+          .as("bin_start"),
+          col("ip_src"), col("ip_dst"), col("port_src"),
+          col("port_dst"), col("ip_proto"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("bin_start")
+        .agg(sum("cnt").as("n_records"),
           approx_count_distinct(
             concat_ws("|", col("ip_src"), col("ip_dst"), col("port_src"),
               col("port_dst"), col("ip_proto")), 0.01).as("n_approx"),
-          countDistinct(col("ip_src"), col("ip_dst"), col("port_src"),
-            col("port_dst"), col("ip_proto")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .groupBy()
         .agg(count(lit(1)).as("n_bins"),
           sum("n_records").as("n_records"),
@@ -220,15 +231,20 @@ object EngineQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         flows(s, d)
+          // same two-level shape as q90 (r17): registers are
+          // duplicate-insensitive, output bit-identical
           .groupBy(SecondsHistory(3600).binOfMicros(col("t0u"))
-            .as("bin_start"))
-          .agg(count(lit(1)).as("n_records"),
+            .as("bin_start"),
+            col("ip_src"), col("ip_dst"), col("port_src"),
+            col("port_dst"), col("ip_proto"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("bin_start")
+          .agg(sum("cnt").as("n_records"),
             graft.plans.Hll(
               concat_ws("|", col("ip_src"), col("ip_dst"),
                 col("port_src"), col("port_dst"), col("ip_proto")), 12)
               .as("n_approx"),
-            countDistinct(col("ip_src"), col("ip_dst"), col("port_src"),
-              col("port_dst"), col("ip_proto")).as("n_exact"))
+            count(lit(1)).as("n_exact"))
           .groupBy()
           .agg(count(lit(1)).as("n_bins"),
             sum("n_records").as("n_records"),
