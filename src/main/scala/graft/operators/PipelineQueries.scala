@@ -763,6 +763,12 @@ object PipelineQueries {
         val schema = s.read.parquet(staged).schema
         val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
         val hpsOfToks = s"transform(toks, t -> ${sparkTokHash("t")} % $P)"
+        // NOTE (r17): repartitioning this STREAMING chain for
+        // parallelism was tried and reverted — on the incremental
+        // plan AQE is disabled, so the shuffle ran at the session's
+        // fixed width every batch and cost more than the 2-task codec
+        // chain it parallelized (6.2 s vs 5.0 s A/B). The
+        // foreachBatch-side repartitions (q327/q330) keep AQE.
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "2").parquet(staged)
           .as[(Long, String, String)]

@@ -1491,13 +1491,19 @@ object SimilarityQueries {
         val maxId = n.agg(max("vec_id")).head().getLong(0)
         val width = maxId / 8 + 1
         val t0 = System.currentTimeMillis() - 120000L
+        // ONE staging job (the q327/q342 idiom, r17): slice ids
+        // assigned in-plan, one file per slice via repartition(slice)
+        // + partitionBy — per-slice coalesce(1) writes cost one job
+        // round-trip per slice (8 jobs)
+        n.withColumn("slice", expr(s"cast(vec_id div $width as int)"))
+          .where(col("slice") >= 0 && col("slice") < 8)
+          .repartition(col("slice"))
+          .write.partitionBy("slice").parquet(s"$tmp/slices")
         (0 until 8).foreach { k =>
-          val dir = s"$tmp/slice$k"
-          n.where(col("vec_id") >= k * width &&
-              col("vec_id") < (k + 1) * width)
-            .coalesce(1).write.parquet(dir)
-          val f = new java.io.File(dir).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
+          val dir = new java.io.File(s"$tmp/slices/slice=$k")
+          val f = Option(dir.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"empty slice $k"))
           val dst = java.nio.file.Paths.get(staged,
             f"part-$k%02d.parquet")
           java.nio.file.Files.move(f.toPath, dst)
@@ -1542,9 +1548,11 @@ object SimilarityQueries {
           .writeStream
           .foreachBatch {
             (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              if (!b.isEmpty) {
+              // one driver action covers emptiness + the order check
+              // (was isEmpty + agg — two jobs per micro-batch, r17)
+              val r = b.agg(min("vec_id"), max("vec_id")).head()
+              if (!r.isNullAt(0)) {
                 nBatches.incrementAndGet()
-                val r = b.agg(min("vec_id"), max("vec_id")).head()
                 require(r.getLong(0) > lastMax.get(),
                   s"arrival order regressed: batch min " +
                     s"${r.getLong(0)} <= prior max ${lastMax.get()}")
