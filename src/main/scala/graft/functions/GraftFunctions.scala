@@ -137,8 +137,20 @@ object GraftFunctions {
     graft.plans.HllAgg(args.head, p).toAggregateExpression()
   }
 
+  private def toksBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 1, "graft_toks(loweredText)")
+    graft.plans.TokensAz09(args.head)
+  }
+
+  private def hash60Builder: Seq[Expression] => Expression = { args =>
+    require(args.size == 1, "graft_hash60(token)")
+    graft.plans.Hash60(args.head)
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_toks" -> toksBuilder,
+    "graft_hash60" -> hash60Builder,
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
     "graft_ip_ntoa" -> fromTemplate(Formatters.ipNtoa(Arg0)),
     "graft_tcpflags" -> fromTemplate(Formatters.tcpFlagsDecode(Arg0)),

@@ -30,9 +30,13 @@ object SigTable {
   /** Distinct 3-token shingle hashes (MinHash input). Shingles, not raw
     * tokens: with a small vocabulary raw-token sets are near-identical
     * corpus-wide and LSH buckets degenerate to O(n²) candidates. */
-  val hsExpr: String =
-    s"array_distinct(transform(${sparkShingles(sparkToks)}, " +
-      s"g -> ${sparkTokHash("g")} % $P))"
+  val hsExpr: String = let1(sparkToks, t =>
+    s"array_distinct(transform(${sparkShingles(t)}, " +
+      s"g -> ${sparkTokHash("g")} % $P))")
+  // ^ tokens bound ONCE per row (optimization r17): the previous
+  // spelling passed the tokenizer expression textually into
+  // sparkShingles, whose slice() sits under the per-shingle lambda —
+  // the whole tokenize pass re-ran per SHINGLE.
 
   // All 8 minhash signatures in one fold ((2k+3)h + (97k+11), the same
   // constants as TextOps.minhashA/B); 4 band keys derived from ONE

@@ -12,8 +12,13 @@ package graft.text
   */
 object TextOps {
 
-  /** Word tokenizer: lowercase alnum runs. */
-  val sparkToks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** Word tokenizer: lowercase alnum runs. The Spark side runs the
+    * native byte-run kernel ([[graft.plans.TokensAz09]], registered as
+    * `graft_toks` by GraftFunctions) — exactly the match list of
+    * `regexp_extract_all(lowered, '[a-z0-9]+', 0)` at a fraction of the
+    * regex engine's cost (optimization r17; parity property-tested in
+    * PlanSpec). */
+  val sparkToks = "graft_toks(lower(text))"
   val duckToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** BPE-ish tokenizer: letter runs, digit runs, punct runs separately.
@@ -25,9 +30,11 @@ object TextOps {
   val duckToksBpe =
     "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')"
 
-  /** 60-bit token hash from the md5 hex prefix (identical in both). */
-  def sparkTokHash(t: String): String =
-    s"cast(conv(substring(md5($t), 1, 15), 16, 10) as bigint)"
+  /** 60-bit token hash from the md5 hex prefix (identical in both).
+    * Spark side is the native digest-prefix kernel `graft_hash60`
+    * ([[graft.plans.Hash60]]) — the same top-60-bits-of-md5 value with
+    * zero hex-string intermediates (optimization r17). */
+  def sparkTokHash(t: String): String = s"graft_hash60($t)"
   def duckTokHash(t: String): String =
     s"(('0x' || substr(md5($t), 1, 15))::BIGINT)"
 
@@ -48,12 +55,17 @@ object TextOps {
     s"list_min(list_transform($hs, h -> (${minhashA(k)} * h + ${minhashB(k)}) % $P))"
 
   /** Position-sensitive 47-bit document fingerprint:
-    * XOR over tokens of (hash40 * position). */
-  val sparkFingerprint: String =
+    * XOR over tokens of (hash40 * position). The token array is bound
+    * ONCE with [[let1]] — the previous spelling referenced the
+    * tokenizer expression inside the per-element lambda, so the whole
+    * tokenize pass re-ran per TOKEN (O(tokens) re-evaluations per row;
+    * q35's plan showed three copies, one under the lambda —
+    * optimization r17). */
+  val sparkFingerprint: String = let1(sparkToks, t =>
     s"""aggregate(
-        transform(sequence(1, size($sparkToks)),
-          i -> (${sparkTokHash(s"element_at($sparkToks, i)")} % 1099511627776) * i),
-        0L, (a, x) -> a ^ x)"""
+        transform(sequence(1, size($t)),
+          i -> (${sparkTokHash(s"element_at($t, i)")} % 1099511627776) * i),
+        0L, (a, x) -> a ^ x)""")
   val duckFingerprint: String =
     s"""list_reduce(
         [0::BIGINT] || list_transform(range(1, len($duckToks) + 1),

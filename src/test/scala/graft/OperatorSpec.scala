@@ -16,6 +16,7 @@ object SparkSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  graft.functions.GraftFunctions.register(spark)
 }
 
 class OperatorSpec extends AnyFunSuite {
