@@ -76,6 +76,17 @@ object AnnRecall {
         "q331_pq_scaled_k", "q335_pq_rerank", "q339_pq_scaled_rerank",
         "q343_opq_permutation")
     }
+    // ADVICE r16: validate the WHOLE lane list up front — an explicitly
+    // listed non-panel lane under QMOD used to sys.error mid-sweep,
+    // killing the remaining lanes after paying for the earlier ones.
+    val qmodPanel = Set("q339_pq_scaled_rerank", "q343_opq_permutation")
+    if (qmod.isDefined) {
+      val bad = lanes.filterNot(qmodPanel)
+      require(bad.isEmpty,
+        s"SPARK_GRAFT_QMOD set but lanes [${bad.mkString(", ")}] have " +
+          "no sampled-panel builder (only q339/q343 do); run them " +
+          "without QMOD or drop them from the lane list")
+    }
     lanes.foreach(run)
     spark.stop()
   }

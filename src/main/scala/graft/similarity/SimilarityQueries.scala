@@ -309,15 +309,17 @@ object SimilarityQueries {
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
               "* 1000000) AS BIGINT)) AS v")
         def assign(cents: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid, v)) == (dist asc, cid
+          // asc); (dist, cid) unique per vec_id so v never compared —
+          // hash agg instead of Exchange+Sort window (optimization r17)
           n.crossJoin(broadcast(cents))
             .selectExpr("vec_id", "v", "cid",
               "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
                 "0L, (acc, z) -> acc + z) AS dist")
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select("vec_id", "v", "cid", "dist")
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("cid"), col("v"))).as("mn"))
+            .selectExpr("vec_id", "mn.v AS v", "mn.cid AS cid",
+              "mn.dist AS dist")
         }
         def update(asg: org.apache.spark.sql.DataFrame) = asg
           .selectExpr("cid", "posexplode(v) AS (pos, x)")
@@ -483,13 +485,16 @@ object SimilarityQueries {
         val c0 = longF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
         def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid)) — lexicographic struct
+          // min IS (dist asc, cid asc), identical row selection to the
+          // former row_number()==1 window but a hash agg instead of
+          // Exchange+Sort over corpus×M×K rows (optimization r17)
           longF.join(broadcast(c), Seq("m", "pos"))
             .groupBy("vec_id", "m", "cid")
             .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+            .selectExpr("vec_id", "m", "mn.cid AS cid")
         }
         // the trained codebook IS the persisted table: M*K*sub = 512
         // rows (model-sized, like q255's cAb) — every downstream
@@ -637,13 +642,14 @@ object SimilarityQueries {
         val cc0 = longF.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS cell", "pos", "x AS cm")
         def assignCell(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("dist").asc, col("cell").asc)
+          // argmin via min(struct(dist, cell)) == (dist asc, cell asc),
+          // hash agg instead of the former Exchange+Sort window (r17)
           longF.join(broadcast(c), Seq("pos"))
             .groupBy("vec_id", "cell")
             .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "cell")
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("cell"))).as("mn"))
+            .selectExpr("vec_id", "mn.cell AS cell")
         }
         val cc1 = assignCell(cc0).join(longF, Seq("vec_id"))
           .groupBy("cell", "pos")
@@ -659,13 +665,15 @@ object SimilarityQueries {
         val p0 = resF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "r AS pm")
         def assignPq(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid)) == (dist asc, cid asc);
+          // cell is functionally determined by vec_id, so grouping by
+          // it too selects the identical rows (optimization r17)
           resF.join(broadcast(c), Seq("m", "pos"))
             .groupBy("vec_id", "cell", "m", "cid")
             .agg(sum(expr("(r - pm) * (r - pm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "cell", "m", "cid")
+            .groupBy("vec_id", "cell", "m")
+            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+            .selectExpr("vec_id", "cell", "m", "mn.cid AS cid")
         }
         val p1 = assignPq(p0)
           .join(resF.select("vec_id", "m", "pos", "r"), Seq("vec_id", "m"))
@@ -981,12 +989,13 @@ object SimilarityQueries {
         // coreset member (tie: lowest cid) — coreset-sized output
         val cents = n.filter(col("vec_id").isin(centerIds: _*))
           .selectExpr("vec_id AS cid", "v AS cv")
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("dd").asc, col("cid").asc)
+        // argmin via min(struct(dd, cid)) == (dd asc, cid asc) — hash
+        // agg instead of Exchange+Sort window (optimization r17)
         val wts = n.crossJoin(broadcast(cents))
           .selectExpr("vec_id", "cid", s"$dist AS dd")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(min(struct(col("dd"), col("cid"))).as("mn"))
+          .selectExpr("mn.cid AS cid")
           .groupBy("cid").agg(count(lit(1)).as("wt"))
           .as[(Long, Long)].collect().toMap
         val cvs = n.filter(col("vec_id").isin(centerIds: _*))
@@ -1121,13 +1130,16 @@ object SimilarityQueries {
         val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
         def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid)) — lexicographic struct
+          // min IS (dist asc, cid asc), identical row selection to the
+          // former row_number()==1 window but a hash agg instead of
+          // Exchange+Sort over corpus×M×K rows (optimization r17)
           longF.join(broadcast(c), Seq("m", "pos"))
             .groupBy("vec_id", "m", "cid")
             .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+            .selectExpr("vec_id", "m", "mn.cid AS cid")
         }
         // trained codebook: M*K*sub rows — ≤ 16384 at the K=256
         // ceiling, model-sized at any corpus scale
@@ -1283,13 +1295,16 @@ object SimilarityQueries {
         val c0 = longF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
         def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid)) — lexicographic struct
+          // min IS (dist asc, cid asc), identical row selection to the
+          // former row_number()==1 window but a hash agg instead of
+          // Exchange+Sort over corpus×M×K rows (optimization r17)
           longF.join(broadcast(c), Seq("m", "pos"))
             .groupBy("vec_id", "m", "cid")
             .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+            .selectExpr("vec_id", "m", "mn.cid AS cid")
         }
         val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
           .groupBy("m", "cid", "pos")
@@ -1518,13 +1533,14 @@ object SimilarityQueries {
           .selectExpr("vec_id", "posexplode(v) AS (pos, x)")
         val cc0 = longSeed.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS cell", "pos", "x AS cm")
-        val wA = Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("cell").asc)
+        // argmin via min(struct(dist, cell)) == (dist asc, cell asc)
+        // — hash agg, no Exchange+Sort window (optimization r17)
         val a1 = longSeed.join(broadcast(cc0), Seq("pos"))
           .groupBy("vec_id", "cell")
           .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1).select("vec_id", "cell")
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cell"))).as("mn"))
+          .selectExpr("vec_id", "mn.cell AS cell")
         val cc1 = a1.join(longSeed, Seq("vec_id"))
           .groupBy("cell", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
@@ -1557,13 +1573,16 @@ object SimilarityQueries {
                   s"arrival order regressed: batch min " +
                     s"${r.getLong(0)} <= prior max ${lastMax.get()}")
                 lastMax.set(r.getLong(1))
-                val wB = Window.partitionBy("vec_id")
-                  .orderBy(col("dist").asc, col("cell").asc)
+                // argmin via min(struct(dist, cell, v)): (dist,
+                // cell) pairs are unique per vec_id so v is never
+                // compared; hash agg replaces the per-batch
+                // Exchange+Sort window (optimization r17)
                 b.crossJoin(broadcast(cbArr))
                   .withColumn("dist", expr(l2("v", "cmv")))
-                  .withColumn("rn", row_number().over(wB))
-                  .filter(col("rn") === 1)
-                  .select("vec_id", "cell", "v")
+                  .groupBy("vec_id")
+                  .agg(min(struct(col("dist"), col("cell"), col("v")))
+                    .as("mn"))
+                  .selectExpr("vec_id", "mn.cell AS cell", "mn.v AS v")
                   .write.mode("append").parquet(idxDir)
               }
           }
@@ -1695,13 +1714,14 @@ object SimilarityQueries {
           .selectExpr("vec_id", "posexplode(v) AS (pos, x)")
         val cc0 = longSeed.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS cell", "pos", "x AS cm")
-        val wA = Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("cell").asc)
+        // argmin via min(struct(dist, cell)) == (dist asc, cell asc)
+        // — hash agg, no Exchange+Sort window (optimization r17)
         val a1 = longSeed.join(broadcast(cc0), Seq("pos"))
           .groupBy("vec_id", "cell")
           .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1).select("vec_id", "cell")
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cell"))).as("mn"))
+          .selectExpr("vec_id", "mn.cell AS cell")
         val cc1 = a1.join(longSeed, Seq("vec_id"))
           .groupBy("cell", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
@@ -1715,13 +1735,14 @@ object SimilarityQueries {
         def l2(a: String, b: String) =
           s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
             "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
-        val wC = Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("cell").asc)
-        // the at-rest index (q336 proved ingest assembles exactly this)
+        // the at-rest index (q336 proved ingest assembles exactly
+        // this); argmin via min(struct(dist, cell, v)) — (dist, cell)
+        // unique per vec_id, so v never compared (optimization r17)
         val idx = n.crossJoin(broadcast(cbArr))
           .withColumn("dist", expr(l2("v", "cmv")))
-          .withColumn("rn", row_number().over(wC))
-          .filter(col("rn") === 1).select("vec_id", "cell", "v")
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cell"), col("v"))).as("mn"))
+          .selectExpr("vec_id", "mn.cell AS cell", "mn.v AS v")
         // per-cell live/tombstone accounting: ONE index pass, 4 rows
         val cellAgg = idx
           .withColumn("dead", (col("vec_id") % 59 === 0).cast("long"))
@@ -2201,13 +2222,16 @@ object SimilarityQueries {
         val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
         def assign(c: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist").asc, col("cid").asc)
+          // argmin via min(struct(dist, cid)) — lexicographic struct
+          // min IS (dist asc, cid asc), identical row selection to the
+          // former row_number()==1 window but a hash agg instead of
+          // Exchange+Sort over corpus×M×K rows (optimization r17)
           longF.join(broadcast(c), Seq("m", "pos"))
             .groupBy("vec_id", "m", "cid")
             .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+            .selectExpr("vec_id", "m", "mn.cid AS cid")
         }
         val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
           .groupBy("m", "cid", "pos")
@@ -2292,13 +2316,14 @@ object SimilarityQueries {
     val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
       .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
     def assign(c: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy("vec_id", "m")
-        .orderBy(col("dist").asc, col("cid").asc)
+      // argmin via min(struct(dist, cid)) == (dist asc, cid asc) —
+      // hash agg instead of Exchange+Sort window (optimization r17)
       longF.join(broadcast(c), Seq("m", "pos"))
         .groupBy("vec_id", "m", "cid")
         .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+        .selectExpr("vec_id", "m", "mn.cid AS cid")
     }
     val c1 = reg(assign(c0).join(longF, Seq("vec_id", "m"))
       .groupBy("m", "cid", "pos")

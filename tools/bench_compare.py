@@ -105,6 +105,17 @@ def emit_json(sfdir, benchfile, oraclefile, outfile):
         return None if v != v else round(v, 3)
     payload = {
         "sf": sfdir,
+        # ADVICE r16: artifact-schema version note. Since r16,
+        # total_ratio covers THROUGHPUT lanes only (harness-evidence
+        # lanes sit in their own bucket); BENCH_RATIO_r{<=15} artifacts
+        # computed total_ratio over throughput+harness lanes combined,
+        # so cross-round comparisons before/after r16 must use
+        # combined_ratio (present in both schemas' semantics).
+        "ratio_definition": "total_ratio=throughput lanes only "
+                            "(since r16); harness-evidence lanes in "
+                            "their own bucket; pre-r16 total_ratio "
+                            "included the harness lanes - compare "
+                            "across that boundary via combined_ratio",
         "total_spark_s": round(sw, 2),
         "total_duckdb_s": round(dw, 2),
         "total_ratio": round(sw / dw, 3) if dw else None,
