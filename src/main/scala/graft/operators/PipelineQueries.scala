@@ -1041,9 +1041,15 @@ object PipelineQueries {
               lbl("ek:pbs")
               // one-job probed-bucket harvest: collect_set beats a
               // distinct+collect (no extra AQE shuffle-stage jobs on
-              // an increment-sized frame)
-              val pbsE = featK.agg(collect_set("pb")).head()
-                .getSeq[Int](0)
+              // an increment-sized frame). On the BOOTSTRAP batch the
+              // probe short-circuits on !baseExists whatever pbs is
+              // passed, so the collect over the bulk frame is pure
+              // waste — a non-empty sentinel keeps the in-batch
+              // cascade branches identical (r17)
+              val pbsE =
+                if (stE.baseExists) featK.agg(collect_set("pb")).head()
+                  .getSeq[Int](0)
+                else Seq(0)
               val ownE = featK.groupBy("pb", "ek")
                 .agg(min("doc_id").as("bmin"))
                 .join(stE.probe(pbsE).groupBy("ek")
@@ -1051,11 +1057,10 @@ object PipelineQueries {
                 .selectExpr("pb", "ek",
                   "least(bmin, coalesce(pmin, bmin)) AS owner")
                 .persist()
-              lbl("ek:append")
-              stE.append(ownE) // write materializes the cache too
-              // the append's write just executed ownE's cached plan,
-              // probe scan included — evidence costs no extra job
-              stE.harvestFrom(ownE)
+              // append DEFERRED to the end-of-batch concurrent write
+              // round (r17): ownE's cached plan (probe scan included)
+              // is first executed by the band:pbs collect below, so
+              // the evidence harvest needs no dedicated action here
               val dropE = feat.select("doc_id", "ek")
                 .join(ownE.select("ek", "owner"), "ek")
                 .where("doc_id != owner").select("doc_id")
@@ -1069,8 +1074,17 @@ object PipelineQueries {
                 .withColumn("pb", pmod(hash(col("bk")), lit(stB.B)))
                 .persist()
               lbl("band:pbs")
-              val pbsB = b1.agg(collect_set("pb")).head()
-                .getSeq[Int](0)
+              val pbsB =
+                if (stB.baseExists) b1.agg(collect_set("pb")).head()
+                  .getSeq[Int](0)
+                else Seq(0)
+              // that collect executed ownE's cached plan (b1's
+              // lineage runs s1 -> dropE -> ownE), ek probe scan
+              // included — harvest is a metrics read, no job; on the
+              // bootstrap batch pending is None and this no-ops. If
+              // the collect was skipped, the post-write harvest below
+              // picks it up instead.
+              if (stB.baseExists) stE.harvestFrom(ownE)
               // dropN persists so the band probe's scan evidence can
               // be harvested from ITS cached plan: in s2's plan an
               // empty dropN lets AQE's empty-relation rule replace
@@ -1079,6 +1093,7 @@ object PipelineQueries {
               // dropN's own plan the probe feeds a join whose inputs
               // are never empty, so the scan always survives
               var dropNRef: DataFrame = null
+              var bandAppend: Option[DataFrame] = None
               val s2 = if (pbsB.isEmpty) s1 else {
                 val xSide = stB.probe(pbsB)
                   .select("bk", "doc_id", "hs")
@@ -1092,8 +1107,10 @@ object PipelineQueries {
                   .select(col("y.doc_id").as("doc_id")).distinct()
                   .persist()
                 dropNRef = dropN
-                lbl("band:append")
-                stB.append(b1.select("bk", "doc_id", "hs", "pb"))
+                // append deferred to the concurrent write round; the
+                // probe's file list was resolved at probe() time, so
+                // the append's new L0 is invisible to xSide either way
+                bandAppend = Some(b1.select("bk", "doc_id", "hs", "pb"))
                 s1.join(dropN.withColumnRenamed("doc_id", "dn"),
                   col("doc_id") === col("dn"), "left_anti")
               }
@@ -1127,16 +1144,21 @@ object PipelineQueries {
                   pmod(hash(col("ka"), col("kb")), lit(stC.B)))
                 .persist()
               lbl("cls:pbs")
-              val pbsC = cls.agg(collect_set("pb")).head()
-                .getSeq[Int](0)
+              val pbsC =
+                if (stC.baseExists) cls.agg(collect_set("pb")).head()
+                  .getSeq[Int](0)
+                else Seq(0)
               // that collect materialized cls AND s2c — dropN's
               // cached plan (band probe scan included) has executed
+              // (when the collect was skipped on bootstrap, pending is
+              // None and the harvest no-ops)
               if (dropNRef != null) {
                 stB.harvestFrom(dropNRef); dropNRef.unpersist(); ()
               }
               // dropS persists for the same evidence-vs-AQE reason
               // as dropN above
               var dropSRef: DataFrame = null
+              var clsAppend: Option[DataFrame] = None
               val s3 = if (pbsC.isEmpty) s2c else {
                 val ownC = cls.select("ka", "kb", "doc_id")
                   .unionByName(stC.probe(pbsC)
@@ -1147,18 +1169,46 @@ object PipelineQueries {
                   .select("doc_id").distinct().persist()
                 dropSRef = dropS
                 // L0 append pre-folded batch-locally (min per class)
-                lbl("cls:append")
-                stC.append(cls.groupBy("pb", "ka", "kb")
+                clsAppend = Some(cls.groupBy("pb", "ka", "kb")
                   .agg(min("doc_id").as("doc_id")))
                 s2c.join(dropS.withColumnRenamed("doc_id", "ds"),
                   col("doc_id") === col("ds"), "left_anti")
               }
-              // ---- survivors land incrementally (the M2 feed); the
-              // write materializes dropS's cache, class probe scan
-              // included
-              lbl("survivors:write")
-              s3.select("doc_id", "ntok")
-                .write.mode("append").parquet(out)
+              // ---- end-of-batch write round (r17): the three tier
+              // appends and the survivors write are mutually
+              // independent sinks over already-built cached frames,
+              // so they run CONCURRENTLY from driver threads (guide
+              // §2.6 — tail tasks of one write back-fill cores for
+              // the next) instead of as four sequential actions. The
+              // survivors write materializes dropS's cache, class
+              // probe scan included.
+              {
+                import scala.concurrent.{Await, Future}
+                import scala.concurrent.ExecutionContext.Implicits.global
+                Await.result(Future.sequence(Seq(
+                  Future {
+                    lbl("ek:append"); stE.append(ownE)
+                  },
+                  Future {
+                    bandAppend.foreach { df =>
+                      lbl("band:append"); stB.append(df) }
+                  },
+                  Future {
+                    clsAppend.foreach { df =>
+                      lbl("cls:append"); stC.append(df) }
+                  },
+                  Future {
+                    lbl("survivors:write")
+                    s3.select("doc_id", "ntok")
+                      .write.mode("append").parquet(out)
+                  })),
+                  scala.concurrent.duration.Duration.Inf)
+              }
+              // catch-all for the bootstrap path where no mid-batch
+              // collect ran ownE's plan: by now every cache has been
+              // executed by the write round (no-op when already
+              // harvested — pending clears on first harvest)
+              stE.harvestFrom(ownE)
               if (dropSRef != null) {
                 stC.harvestFrom(dropSRef); dropSRef.unpersist(); ()
               }
@@ -1349,9 +1399,13 @@ object PipelineQueries {
           .parquet(s"$staged/part-*.parquet")
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              nBatches.incrementAndGet()
+            {
+              // ONE driver action covers emptiness and the order
+              // check (was isEmpty + a min/max agg — two jobs per
+              // micro-batch; the q332/q342 fusion, applied here r17)
               val r = b.agg(min("doc_id"), max("doc_id")).head()
+              if (!r.isNullAt(0)) {
+              nBatches.incrementAndGet()
               // the gate's premise: arrival really is out of order —
               // a batch delivering ids BELOW something already seen.
               // (ADVICE r13: the earlier `batch max > min of prior
@@ -1381,13 +1435,13 @@ object PipelineQueries {
                 .withColumn("bks", expr(SigTable.bandExpr))
                 .where(s"admit AND score >= $qualityMin")
                 .persist()
-              feat.select("doc_id", "ek", "ntok")
-                .write.mode("append").parquet(clF)
-              feat.select(col("doc_id"), col("hs"),
-                  explode(col("bks")).as("bk"))
-                .select("bk", "doc_id", "hs")
-                .write.mode("append").parquet(clB)
-              feat.select("doc_id", "th").as[(Long, Seq[Long])]
+              // the three claim appends are independent sinks over
+              // the one persisted feat frame — run them CONCURRENTLY
+              // from driver threads (guide §2.6; the q327 r17 write
+              // round). Concurrent first-materialization of feat is
+              // block-level deduplicated by the cache manager.
+              val clCDf: DataFrame = feat.select("doc_id", "th")
+                .as[(Long, Seq[Long])]
                 .flatMap { case (doc, th) =>
                   graft.text.SuffixClasses
                     .probeRanks(doc, th.toArray, Seq(5))
@@ -1402,13 +1456,38 @@ object PipelineQueries {
                         (ka, kb, doc) }
                     }
                 }.toDF("ka", "kb", "doc_id")
-                .write.mode("append").parquet(clC)
+              locally {
+                import scala.concurrent.{Await, Future}
+                import scala.concurrent.ExecutionContext.Implicits.global
+                val writes = Seq(
+                  Future {
+                    feat.select("doc_id", "ek", "ntok")
+                      .write.mode("append").parquet(clF)
+                  },
+                  Future {
+                    feat.select(col("doc_id"), col("hs"),
+                        explode(col("bks")).as("bk"))
+                      .select("bk", "doc_id", "hs")
+                      .write.mode("append").parquet(clB)
+                  },
+                  Future {
+                    clCDf.write.mode("append").parquet(clC)
+                  })
+                writes.foreach(Await.result(_,
+                  scala.concurrent.duration.Duration.Inf))
+              }
               feat.unpersist()
+              }
             }
             ()
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // batch-loop tuning ends with the stream: the sync-point fold
+        // below is CORPUS-scale (claim joins, the band self-join), so
+        // it gets the session's full shuffle width back — the 8-task
+        // conf crammed the fold into a quarter of the box (r17)
+        s.conf.set("spark.sql.shuffle.partitions", shufPrev)
         // ---- sync-point fold: pure min-merges + claim joins, no
         // text — the tiers sequence exactly as the batch cascade.
         // Intermediates persist for the fold's lifetime and the
@@ -1455,7 +1534,6 @@ object PipelineQueries {
           .write.parquet(outDir)
         cls.unpersist(); s2ids.unpersist(); b1.unpersist()
         s1ids.unpersist(); feats.unpersist()
-        s.conf.set("spark.sql.shuffle.partitions", shufPrev)
         readOr(outDir, "doc_id BIGINT, ntok BIGINT")
           .selectExpr("'doc' AS kind", "CAST(doc_id AS STRING) AS key",
             "1L AS n", "ntok AS v")
@@ -1631,8 +1709,16 @@ object PipelineQueries {
                 pendEv = None
               }
               lbl("state:append")
+              // write width = the session's parallelism, NOT the
+              // 8-task batch-loop shuffle conf: these writes create
+              // one parquet file per touched pb= dir and the
+              // file-create latency is the cost, so spreading the
+              // buckets over every core parallelizes the creates
+              // (r17; file count per append is unchanged — it is the
+              // touched-bucket count either way)
               ownE.withColumn("pb", pmod(hash(col("ek")), lit(B)))
-                .repartition(col("pb"))
+                .repartition(s.sparkContext.defaultParallelism,
+                  col("pb"))
                 .write.mode("append").partitionBy("pb")
                 .parquet(curRoot)
               ownE.unpersist()
@@ -1645,7 +1731,8 @@ object PipelineQueries {
                 val nxt = s"$tmp/state_v${nBatches.get()}"
                 s.read.parquet(curRoot).groupBy("pb", "ek")
                   .agg(min("owner").as("owner"))
-                  .repartition(col("pb"))
+                  .repartition(s.sparkContext.defaultParallelism,
+                    col("pb"))
                   .write.partitionBy("pb").parquet(nxt)
                 curRoot = nxt
                 val post = stateFiles(curRoot).size
@@ -1886,8 +1973,12 @@ object PipelineQueries {
                 pendEv = None
               }
               lbl("state:append")
+              // write width = session parallelism, not the 8-task
+              // batch-loop conf: one file per touched pb= dir either
+              // way, and the creates parallelize across cores (r17)
               ownE.withColumn("pb", pmod(hash(col("ek")), lit(B)))
-                .repartition(col("pb"))
+                .repartition(s.sparkContext.defaultParallelism,
+                  col("pb"))
                 .write.mode("append").partitionBy("pb")
                 .parquet(curRoot)
               ownE.unpersist()
@@ -1916,7 +2007,8 @@ object PipelineQueries {
                     .where(col("pb").isin(touched: _*))
                     .groupBy("pb", "ek")
                     .agg(min("owner").as("owner"))
-                    .repartition(col("pb"))
+                    .repartition(s.sparkContext.defaultParallelism,
+                      col("pb"))
                     .write.partitionBy("pb").parquet(nxt)
                 else java.nio.file.Files
                   .createDirectories(java.nio.file.Paths.get(nxt))
