@@ -48,9 +48,21 @@ object PlanAudit {
     "q182_curriculum",         // stage boundary pairs over ≤10 stages
     "q116_semantic_dedup",     // broadcast-centroid assign (k=√N cap),
                                // ×2 in lineage on both self-join sides
-    "q331_pq_scaled_k",        // the 1-row corpus-count → K seed join,
-                               // ×3 in lineage via the codebook cache's
-                               // build plan (PlanSpec pins ≤4)
+    "q331_pq_scaled_k",        // the 1-row corpus-count → K seed join
+                               // + the row-local assign's 1-row
+                               // codebook arrays (r17), repeated in
+                               // lineage via the codebook cache's
+                               // build plan (PlanSpec pins ≤12)
+    "q266_pq_adc",             // row-local assign (r17): each assign
+                               // crossJoins ONE collect_list row
+                               // (M*K*sub codebook), repeated through
+                               // the codes/LUT legs' lineage
+    "q335_pq_rerank",          // same 1-row codebook arrays through
+                               // the shortlist/re-rank legs
+    "q286_ivf_pq",             // 1-row coarse-cell + PQ codebook
+                               // arrays through cells/residual/codes
+                               // legs (two quantizer stages => more
+                               // lineage repeats)
     "q338_ann_retraction",     // the 4-row broadcast codebook crossed
                                // into the assignment legs (index build
                                // + query probes); repeats in the

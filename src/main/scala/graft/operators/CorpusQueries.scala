@@ -680,18 +680,20 @@ object CorpusQueries {
         // after the lane; persisting the raw exploded sample instead
         // would cache corpus-scale rows that outlive the query and
         // pressure every later one in the session.
-        val cAb = {
-          val sp = s; import sp.implicits._
-          val rows = bi.where("doc_id % 10 = 0")
-            .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-            .as[(String, String, Long)].collect()
-          boundedModel(rows.length, "q255_lm_perplexity_bcast")
-          rows.toSeq.toDF("w1", "w2", "c_ab")
-        }
-        val cA = cAb.groupBy("w1").agg(sum("c_ab").as("c_a"))
-        val vocab = cAb.select(col("w1").as("tok"))
-          .union(cAb.select(col("w2").as("tok")))
-          .agg(countDistinct("tok").as("v"))
+        val sp = s; import sp.implicits._
+        val mrows = bi.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .as[(String, String, Long)].collect()
+        boundedModel(mrows.length, "q255_lm_perplexity_bcast")
+        val cAb = mrows.toSeq.toDF("w1", "w2", "c_ab")
+        // c_a / vocab computed driver-side from the collected model
+        // (LOCAL relations broadcast with no distributed job — the
+        // q340 r17 shape; identical integer counts)
+        val cA = mrows.toSeq.groupBy(_._1).toSeq
+          .map { case (w1, rs) => (w1, rs.map(_._3).sum) }
+          .toDF("w1", "c_a")
+        val vocab = Seq((mrows.iterator.map(_._1) ++
+          mrows.iterator.map(_._2)).toSet.size.toLong).toDF("v")
         bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
           .join(broadcast(cA), Seq("w1"), "left")
           .crossJoin(broadcast(vocab))
@@ -1105,38 +1107,46 @@ object CorpusQueries {
         // q334's MODIFIED-KN model (VERDICT r13 #6: the vote tracks
         // the production default) — UNPRUNED counts, since the
         // per-bucket discounts are estimated from raw count-of-counts.
-        val (ct, cocT, cocM) = {
-          val sp = s; import sp.implicits._
-          val rows = tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
-            .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-            .as[(String, String, String, Long)].collect()
-          boundedModel(rows.length, "q322_quality_ensemble")
-          val typN2 = rows.groupBy(r => (r._2, r._3)).view
-            .mapValues(_.size.toLong).toMap
-          val cocOf = (vs: Iterator[Long]) => {
-            val m = vs.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
-            (1L to 4L).map(k => m.getOrElse(k, 0L))
-          }
-          (rows.toSeq.toDF("w1", "w2", "w3", "c3"),
-            cocOf(rows.iterator.map(_._4)),
-            cocOf(typN2.valuesIterator))
+        val sp = s; import sp.implicits._
+        val mrows = tri.where("doc_id % 10 = 0").select("w1", "w2", "w3")
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+          .as[(String, String, String, Long)].collect()
+        boundedModel(mrows.length, "q322_quality_ensemble")
+        val typN2 = mrows.groupBy(r => (r._2, r._3)).view
+          .mapValues(_.size.toLong).toMap
+        val cocOf = (vs: Iterator[Long]) => {
+          val m = vs.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+          (1L to 4L).map(k => m.getOrElse(k, 0L))
         }
+        val ct = mrows.toSeq.toDF("w1", "w2", "w3", "c3")
+        val cocT = cocOf(mrows.iterator.map(_._4))
+        val cocM = cocOf(typN2.valuesIterator)
         require(cocT(0) > 0 && cocT(1) > 0 && cocT(2) > 0 &&
           cocM(0) > 0 && cocM(1) > 0 && cocM(2) > 0,
           s"degenerate count-of-counts: $cocT $cocM")
-        val ctx = ct.groupBy("w1", "w2")
-          .agg(sum("c3").as("c2"),
-            sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("nf1"),
-            sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("nf2"),
-            sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("nf3p"))
-        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
-        val mctx = typ.groupBy("w2")
-          .agg(sum("n2").as("dsum"),
-            sum(when(col("n2") === 1L, 1L).otherwise(0L)).as("m1"),
-            sum(when(col("n2") === 2L, 1L).otherwise(0L)).as("m2"),
-            sum(when(col("n2") >= 3L, 1L).otherwise(0L)).as("m3p"))
-        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
-        val bt = typ.agg(count(lit(1)).as("b"))
+        // count-table legs computed driver-side from the collected
+        // model (LOCAL relations broadcast with no distributed job —
+        // the q340 r17 shape; identical integer counts)
+        def coc3(vals: Iterable[Long]): (Long, Long, Long, Long) = (
+          vals.sum, vals.count(_ == 1L).toLong,
+          vals.count(_ == 2L).toLong, vals.count(_ >= 3L).toLong)
+        val ctx = mrows.toSeq.groupBy(r => (r._1, r._2)).toSeq
+          .map { case ((w1, w2), rs) =>
+            val (su, f1, f2, f3p) = coc3(rs.map(_._4))
+            (w1, w2, su, f1, f2, f3p) }
+          .toDF("w1", "w2", "c2", "nf1", "nf2", "nf3p")
+        val typ = typN2.toSeq
+          .map { case ((w2, w3), n2) => (w2, w3, n2) }
+          .toDF("w2", "w3", "n2")
+        val mctx = typN2.toSeq.groupBy(_._1._1).toSeq
+          .map { case (w2, es) =>
+            val (su, f1, f2, f3p) = coc3(es.map(_._2))
+            (w2, su, f1, f2, f3p) }
+          .toDF("w2", "dsum", "m1", "m2", "m3p")
+        val low = typN2.keysIterator.toSeq.groupBy(_._2).toSeq
+          .map { case (w3, ks) => (w3, ks.size.toLong) }
+          .toDF("w3", "nb")
+        val bt = Seq(typN2.size.toLong).toDF("b")
         val scored = tri
           .join(broadcast(ct), Seq("w1", "w2", "w3"), "left")
           .join(broadcast(ctx), Seq("w1", "w2"), "left")
@@ -1246,18 +1256,25 @@ object CorpusQueries {
         // model-sized (distinct sample bigrams) → driver literal, not
         // persist(): the four count-table derivations read the local
         // frame and nothing is left cached after the lane (ADVICE r12)
-        val cAb = {
-          val sp = s; import sp.implicits._
-          val rows = bi.where("doc_id % 10 = 0")
-            .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-            .as[(String, String, Long)].collect()
-          boundedModel(rows.length, "q323_kneser_ney_lm")
-          rows.toSeq.toDF("w1", "w2", "c")
-        }
-        val c1 = cAb.groupBy("w1").agg(sum("c").as("c1"))
-        val nf = cAb.groupBy("w1").agg(count(lit(1)).as("nf"))
-        val nb = cAb.groupBy("w2").agg(count(lit(1)).as("nb"))
-        val bt = cAb.agg(count(lit(1)).as("b"))
+        val sp = s; import sp.implicits._
+        val mrows = bi.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .as[(String, String, Long)].collect()
+        boundedModel(mrows.length, "q323_kneser_ney_lm")
+        val cAb = mrows.toSeq.toDF("w1", "w2", "c")
+        // count-table legs computed driver-side from the collected
+        // model (LOCAL relations broadcast with no distributed job —
+        // the q340 r17 shape; identical integer counts)
+        val c1 = mrows.toSeq.groupBy(_._1).toSeq
+          .map { case (w1, rs) => (w1, rs.map(_._3).sum) }
+          .toDF("w1", "c1")
+        val nf = mrows.toSeq.groupBy(_._1).toSeq
+          .map { case (w1, rs) => (w1, rs.size.toLong) }
+          .toDF("w1", "nf")
+        val nb = mrows.toSeq.groupBy(_._2).toSeq
+          .map { case (w2, rs) => (w2, rs.size.toLong) }
+          .toDF("w2", "nb")
+        val bt = Seq(mrows.length.toLong).toDF("b")
         bi.join(broadcast(cAb), Seq("w1", "w2"), "left")
           .join(broadcast(c1), Seq("w1"), "left")
           .join(broadcast(nf), Seq("w1"), "left")
@@ -1362,22 +1379,33 @@ object CorpusQueries {
         // count (sublinear in corpus tokens), and boundedModel fails
         // loudly at the 4M-row line where the driver-literal regime
         // ends and q243's full-shuffle exact-model shape is the plan.
-        val ct = {
-          val sp = s; import sp.implicits._
-          val rows = tri.where("doc_id % 10 = 0")
-            .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-            .where("c3 >= 2")
-            .as[(String, String, String, Long)].collect()
-          boundedModel(rows.length, "q328_kn_trigram")
-          rows.toSeq.toDF("w1", "w2", "w3", "c3")
-        }
-        val ctx = ct.groupBy("w1", "w2")
-          .agg(sum("c3").as("c2"), count(lit(1)).as("nf3"))
-        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
-        val mid = ct.groupBy("w2").agg(count(lit(1)).as("d2"),
-          countDistinct("w3").as("nmid"))
-        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
-        val bt = typ.agg(count(lit(1)).as("b"))
+        val sp = s; import sp.implicits._
+        val mrows = tri.where("doc_id % 10 = 0")
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+          .where("c3 >= 2")
+          .as[(String, String, String, Long)].collect()
+        boundedModel(mrows.length, "q328_kn_trigram")
+        val ct = mrows.toSeq.toDF("w1", "w2", "w3", "c3")
+        // count-table legs computed driver-side from the collected
+        // model (LOCAL relations broadcast with no distributed job —
+        // the q340 r17 shape; identical integer counts)
+        val ctx = mrows.toSeq.groupBy(r => (r._1, r._2)).toSeq
+          .map { case ((w1, w2), rs) =>
+            (w1, w2, rs.map(_._4).sum, rs.size.toLong) }
+          .toDF("w1", "w2", "c2", "nf3")
+        val typScala = mrows.toSeq.groupBy(r => (r._2, r._3))
+          .map { case (k, rs) => (k, rs.size.toLong) }
+        val typ = typScala.toSeq
+          .map { case ((w2, w3), n2) => (w2, w3, n2) }
+          .toDF("w2", "w3", "n2")
+        val mid = mrows.toSeq.groupBy(_._2).toSeq
+          .map { case (w2, rs) =>
+            (w2, rs.size.toLong, rs.map(_._3).distinct.size.toLong) }
+          .toDF("w2", "d2", "nmid")
+        val low = typScala.keysIterator.toSeq.groupBy(_._2).toSeq
+          .map { case (w3, ks) => (w3, ks.size.toLong) }
+          .toDF("w3", "nb")
+        val bt = Seq(typScala.size.toLong).toDF("b")
         tri.join(broadcast(ct), Seq("w1", "w2", "w3"), "left")
           .join(broadcast(ctx), Seq("w1", "w2"), "left")
           .join(broadcast(typ), Seq("w2", "w3"), "left")
@@ -1491,19 +1519,29 @@ object CorpusQueries {
           KnModified.d3(mm1, mm2, mm3, mm4) > 0,
           "non-positive modified-KN discount — model degenerate")
         val ct = rows.toSeq.toDF("w1", "w2", "w3", "c3")
-        val ctx = ct.groupBy("w1", "w2")
-          .agg(sum("c3").as("c2"),
-            sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("nf1"),
-            sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("nf2"),
-            sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("nf3p"))
-        val typ = ct.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
-        val mctx = typ.groupBy("w2")
-          .agg(sum("n2").as("dsum"),
-            sum(when(col("n2") === 1L, 1L).otherwise(0L)).as("m1"),
-            sum(when(col("n2") === 2L, 1L).otherwise(0L)).as("m2"),
-            sum(when(col("n2") >= 3L, 1L).otherwise(0L)).as("m3p"))
-        val low = typ.groupBy("w3").agg(count(lit(1)).as("nb"))
-        val bt = typ.agg(count(lit(1)).as("b"))
+        // backoff legs computed driver-side from the collected model
+        // (LOCAL relations broadcast with no distributed job — the
+        // q340 r17 shape; identical integer counts)
+        def coc3(vals: Iterable[Long]): (Long, Long, Long, Long) = (
+          vals.sum, vals.count(_ == 1L).toLong,
+          vals.count(_ == 2L).toLong, vals.count(_ >= 3L).toLong)
+        val ctx = rows.toSeq.groupBy(r => (r._1, r._2)).toSeq
+          .map { case ((w1, w2), rs) =>
+            val (su, f1, f2, f3p) = coc3(rs.map(_._4))
+            (w1, w2, su, f1, f2, f3p) }
+          .toDF("w1", "w2", "c2", "nf1", "nf2", "nf3p")
+        val typ = typScala.toSeq
+          .map { case ((w2, w3), n2) => (w2, w3, n2) }
+          .toDF("w2", "w3", "n2")
+        val mctx = typScala.toSeq.groupBy(_._1._1).toSeq
+          .map { case (w2, es) =>
+            val (su, f1, f2, f3p) = coc3(es.map(_._2))
+            (w2, su, f1, f2, f3p) }
+          .toDF("w2", "dsum", "m1", "m2", "m3p")
+        val low = typScala.keysIterator.toSeq.groupBy(_._2).toSeq
+          .map { case (w3, ks) => (w3, ks.size.toLong) }
+          .toDF("w3", "nb")
+        val bt = Seq(typScala.size.toLong).toDF("b")
         val lpExpr = KnModified.sparkLp(n1, n2c, n3c, n4c,
           mm1, mm2, mm3, mm4)
         val srcAgg = tri.join(broadcast(ct), Seq("w1", "w2", "w3"),
@@ -1683,26 +1721,41 @@ object CorpusQueries {
         // estOk), so no lane-side require is needed — every regime
         // is defined.
         val ct = rows.toSeq.toDF("w1", "w2", "w3", "w4", "c4")
-        val cx4 = ct.groupBy("w1", "w2", "w3")
-          .agg(sum("c4").as("c3x"),
-            sum(when(col("c4") === 1L, 1L).otherwise(0L)).as("xf1"),
-            sum(when(col("c4") === 2L, 1L).otherwise(0L)).as("xf2"),
-            sum(when(col("c4") >= 3L, 1L).otherwise(0L)).as("xf3p"))
-        val t3 = ct.groupBy("w2", "w3", "w4")
-          .agg(count(lit(1)).as("n3"))
-        val cx3 = t3.groupBy("w2", "w3")
-          .agg(sum("n3").as("dsum3"),
-            sum(when(col("n3") === 1L, 1L).otherwise(0L)).as("yf1"),
-            sum(when(col("n3") === 2L, 1L).otherwise(0L)).as("yf2"),
-            sum(when(col("n3") >= 3L, 1L).otherwise(0L)).as("yf3p"))
-        val t2 = t3.groupBy("w3", "w4").agg(count(lit(1)).as("n2b"))
-        val cx2 = t2.groupBy("w3")
-          .agg(sum("n2b").as("dsum2"),
-            sum(when(col("n2b") === 1L, 1L).otherwise(0L)).as("zf1"),
-            sum(when(col("n2b") === 2L, 1L).otherwise(0L)).as("zf2"),
-            sum(when(col("n2b") >= 3L, 1L).otherwise(0L)).as("zf3p"))
-        val low = t2.groupBy("w4").agg(count(lit(1)).as("nb"))
-        val bt = t2.agg(count(lit(1)).as("b"))
+        // every backoff leg derives from the one COLLECTED model
+        // (`rows` is already driver-local and bounded), so compute
+        // them in Scala and hand Spark LOCAL relations: a broadcast
+        // over a LocalTableScan builds with no distributed job, where
+        // the former ct.groupBy legs each cost a broadcast-exchange
+        // job round-trip (16 jobs ≈ 2.5 s at sf0.1; optimization r17,
+        // guide §1.2 — same integer counts, identical results)
+        def coc3(vals: Iterable[Long]): (Long, Long, Long, Long) = (
+          vals.sum, vals.count(_ == 1L).toLong,
+          vals.count(_ == 2L).toLong, vals.count(_ >= 3L).toLong)
+        val cx4 = rows.toSeq.groupBy(r => (r._1, r._2, r._3)).toSeq
+          .map { case ((w1, w2, w3), rs) =>
+            val (s4, f1, f2, f3p) = coc3(rs.map(_._5))
+            (w1, w2, w3, s4, f1, f2, f3p) }
+          .toDF("w1", "w2", "w3", "c3x", "xf1", "xf2", "xf3p")
+        val t3 = t3Scala.toSeq
+          .map { case ((w2, w3, w4), n3) => (w2, w3, w4, n3) }
+          .toDF("w2", "w3", "w4", "n3")
+        val cx3 = t3Scala.toSeq.groupBy(e => (e._1._1, e._1._2)).toSeq
+          .map { case ((w2, w3), es) =>
+            val (su, f1, f2, f3p) = coc3(es.map(_._2))
+            (w2, w3, su, f1, f2, f3p) }
+          .toDF("w2", "w3", "dsum3", "yf1", "yf2", "yf3p")
+        val t2 = t2Scala.toSeq
+          .map { case ((w3, w4), n2b) => (w3, w4, n2b) }
+          .toDF("w3", "w4", "n2b")
+        val cx2 = t2Scala.toSeq.groupBy(_._1._1).toSeq
+          .map { case (w3, es) =>
+            val (su, f1, f2, f3p) = coc3(es.map(_._2))
+            (w3, su, f1, f2, f3p) }
+          .toDF("w3", "dsum2", "zf1", "zf2", "zf3p")
+        val low = t2Scala.keysIterator.toSeq.groupBy(_._2).toSeq
+          .map { case (w4, ks) => (w4, ks.size.toLong) }
+          .toDF("w4", "nb")
+        val bt = Seq(t2Scala.size.toLong).toDF("b")
         val lpExpr = Kn4Modified.sparkLp(n1, n2c, n3c, n4c,
           p1, p2, p3, p4, q1c, q2c, q3c, q4c)
         val srcAgg = fg

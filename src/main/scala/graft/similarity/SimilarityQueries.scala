@@ -308,19 +308,32 @@ object SimilarityQueries {
           .selectExpr("vec_id",
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
               "* 1000000) AS BIGINT)) AS v")
-        def assign(cents: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid, v)) == (dist asc, cid
-          // asc); (dist, cid) unique per vec_id so v never compared —
-          // hash agg instead of Exchange+Sort window (optimization r17)
-          n.crossJoin(broadcast(cents))
-            .selectExpr("vec_id", "v", "cid",
-              "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
-                "0L, (acc, z) -> acc + z) AS dist")
-            .groupBy("vec_id")
-            .agg(min(struct(col("dist"), col("cid"), col("v"))).as("mn"))
-            .selectExpr("vec_id", "mn.v AS v", "mn.cid AS cid",
-              "mn.dist AS dist")
-        }
+        // ROW-LOCAL assign (optimization r17, the q331 shape): the
+        // K centroids collapse to a ONE-ROW broadcast array and the
+        // (dist asc, cid asc) argmin runs inside each vector's row —
+        // no corpus×K intermediate rows, no per-assign exchange;
+        // identical selection to the former crossJoin + struct-min.
+        def cArr(cents: org.apache.spark.sql.DataFrame) =
+          cents.groupBy()
+            .agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+        val bestExpr =
+          """aggregate(
+             transform(cb, e -> named_struct(
+               'd', aggregate(zip_with(v, e.cv,
+                      (a, b) -> (a - b) * (a - b)),
+                    CAST(0 AS BIGINT), (s, z) -> s + z),
+               'c', e.cid)),
+             named_struct(
+               'bd', CAST(9223372036854775807 AS BIGINT),
+               'bc', CAST(9223372036854775807 AS BIGINT)),
+             (acc, p) -> CASE WHEN p.d < acc.bd
+                 OR (p.d = acc.bd AND p.c < acc.bc)
+               THEN named_struct('bd', p.d, 'bc', p.c)
+               ELSE acc END)"""
+        def assign(cents: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(cArr(cents)))
+            .selectExpr("vec_id", "v", s"($bestExpr) AS mn")
+            .selectExpr("vec_id", "v", "mn.bc AS cid", "mn.bd AS dist")
         def update(asg: org.apache.spark.sql.DataFrame) = asg
           .selectExpr("cid", "posexplode(v) AS (pos, x)")
           .groupBy("cid", "pos")
@@ -484,22 +497,48 @@ object SimilarityQueries {
           .withColumn("m", expr(s"pos DIV $sub"))
         val c0 = longF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid)) — lexicographic struct
-          // min IS (dist asc, cid asc), identical row selection to the
-          // former row_number()==1 window but a hash agg instead of
-          // Exchange+Sort over corpus×M×K rows (optimization r17)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .groupBy("vec_id", "m")
-            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-            .selectExpr("vec_id", "m", "mn.cid AS cid")
-        }
+        // ROW-LOCAL assign (optimization r17, the q331 shape): the
+        // model-sized codebook collapses to a ONE-ROW broadcast array
+        // and the (dist asc, cid asc) argmin runs inside each vector's
+        // row — no corpus×M×K join rows, no per-assign exchanges;
+        // identical selection to the former join + struct-min agg.
+        def cbArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("m", "cid")
+            .agg(expr("transform(sort_array(collect_list(" +
+              "struct(pos, cm))), e -> e.cm)").as("cms"))
+            .groupBy()
+            .agg(collect_list(struct(col("m"), col("cid"),
+              col("cms"))).as("cb"))
+        val codesExpr =
+          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
+             aggregate(
+               transform(filter(cb, e -> e.m = mm), e -> named_struct(
+                 'd', aggregate(zip_with(
+                        slice(v, mm * $sub + 1, $sub), e.cms,
+                        (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS BIGINT), (s, z) -> s + z),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc)"""
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(cbArr(c)))
+            .selectExpr("vec_id",
+              s"posexplode($codesExpr) AS (m, cid)")
         // the trained codebook IS the persisted table: M*K*sub = 512
         // rows (model-sized, like q255's cAb) — every downstream
-        // branch (codes, LUT) reuses it without re-running training
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+        // branch (codes, LUT) reuses it without re-running training.
+        // The update keeps the vector alongside its codes so the
+        // per-(m,cid,pos) means need no join back onto the long form.
+        val c1 = n.crossJoin(broadcast(cbArr(c0)))
+          .selectExpr("v", s"posexplode($codesExpr) AS (m, cid)")
+          .selectExpr("m", "cid",
+            s"posexplode(slice(v, m * $sub + 1, $sub)) AS (p, x)")
+          .selectExpr("m", "cid", s"m * $sub + p AS pos", "x")
           .groupBy("m", "cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
@@ -641,42 +680,85 @@ object SimilarityQueries {
         // ---- coarse quantizer: 4 cells over full vectors ----------
         val cc0 = longF.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS cell", "pos", "x AS cm")
-        def assignCell(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cell)) == (dist asc, cell asc),
-          // hash agg instead of the former Exchange+Sort window (r17)
-          longF.join(broadcast(c), Seq("pos"))
-            .groupBy("vec_id", "cell")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .groupBy("vec_id")
-            .agg(min(struct(col("dist"), col("cell"))).as("mn"))
-            .selectExpr("vec_id", "mn.cell AS cell")
-        }
-        val cc1 = assignCell(cc0).join(longF, Seq("vec_id"))
+        // ROW-LOCAL coarse assign (optimization r17, the q331 shape):
+        // the 4-cell codebook collapses to a ONE-ROW broadcast array
+        // and the (dist asc, cell asc) argmin runs inside each
+        // vector's row — identical selection to the former join +
+        // struct-min agg.
+        def ccArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("cell")
+            .agg(expr("transform(sort_array(collect_list(" +
+              "struct(pos, cm))), e -> e.cm)").as("cms"))
+            .groupBy()
+            .agg(collect_list(struct(col("cell"), col("cms")))
+              .as("ccb"))
+        val cellExpr =
+          """aggregate(
+             transform(ccb, e -> named_struct(
+               'd', aggregate(zip_with(v, e.cms,
+                      (a, b) -> (a - b) * (a - b)),
+                    CAST(0 AS BIGINT), (s, z) -> s + z),
+               'c', e.cell)),
+             named_struct(
+               'bd', CAST(9223372036854775807 AS BIGINT),
+               'bc', CAST(9223372036854775807 AS BIGINT)),
+             (acc, p) -> CASE WHEN p.d < acc.bd
+                 OR (p.d = acc.bd AND p.c < acc.bc)
+               THEN named_struct('bd', p.d, 'bc', p.c)
+               ELSE acc END).bc"""
+        def assignCell(c: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(ccArr(c)))
+            .selectExpr("vec_id", s"($cellExpr) AS cell")
+        val cc1 = n.crossJoin(broadcast(ccArr(cc0)))
+          .selectExpr("v", s"($cellExpr) AS cell")
+          .selectExpr("cell", "posexplode(v) AS (pos, x)")
           .groupBy("cell", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("cell", "pos", floorMean)
           .persist() // 4 * 64 = 256 rows: model-sized
         val cells = assignCell(cc1)
-        // ---- residual long form + PQ codebook on residuals --------
-        val resF = longF.join(cells, Seq("vec_id"))
-          .join(broadcast(cc1), Seq("cell", "pos"))
-          .selectExpr("vec_id", "cell", "pos", s"pos DIV $sub AS m",
-            "x - cm AS r")
-        val p0 = resF.filter(col("vec_id") < 8)
-          .selectExpr("m", "vec_id AS cid", "pos", "r AS pm")
-        def assignPq(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid)) == (dist asc, cid asc);
-          // cell is functionally determined by vec_id, so grouping by
-          // it too selects the identical rows (optimization r17)
-          resF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "cell", "m", "cid")
-            .agg(sum(expr("(r - pm) * (r - pm)")).as("dist"))
-            .groupBy("vec_id", "cell", "m")
-            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-            .selectExpr("vec_id", "cell", "m", "mn.cid AS cid")
-        }
-        val p1 = assignPq(p0)
-          .join(resF.select("vec_id", "m", "pos", "r"), Seq("vec_id", "m"))
+        // ---- residual vector IN-ROW (vs the assigned cell's
+        // centroid) + PQ codebook on residuals ----------------------
+        val rvDf = n.crossJoin(broadcast(ccArr(cc1)))
+          .selectExpr("vec_id", "v", "ccb", s"($cellExpr) AS cell")
+          .selectExpr("vec_id", "cell",
+            "zip_with(v, element_at(filter(ccb, " +
+              "e -> e.cell = cell), 1).cms, (a, b) -> a - b) AS rv")
+        val p0 = rvDf.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS cid", "posexplode(rv) AS (pos, r)")
+          .selectExpr(s"pos DIV $sub AS m", "cid", "pos", "r AS pm")
+        def pqArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("m", "cid")
+            .agg(expr("transform(sort_array(collect_list(" +
+              "struct(pos, pm))), e -> e.pm)").as("cms"))
+            .groupBy()
+            .agg(collect_list(struct(col("m"), col("cid"),
+              col("cms"))).as("cb"))
+        val pqExpr =
+          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
+             aggregate(
+               transform(filter(cb, e -> e.m = mm), e -> named_struct(
+                 'd', aggregate(zip_with(
+                        slice(rv, mm * $sub + 1, $sub), e.cms,
+                        (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS BIGINT), (s, z) -> s + z),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc)"""
+        def assignPq(c: org.apache.spark.sql.DataFrame) =
+          rvDf.crossJoin(broadcast(pqArr(c)))
+            .selectExpr("vec_id", "cell",
+              s"posexplode($pqExpr) AS (m, cid)")
+        val p1 = rvDf.crossJoin(broadcast(pqArr(p0)))
+          .selectExpr("rv", s"posexplode($pqExpr) AS (m, cid)")
+          .selectExpr("m", "cid",
+            s"posexplode(slice(rv, m * $sub + 1, $sub)) AS (p, r)")
+          .selectExpr("m", "cid", s"m * $sub + p AS pos", "r")
           .groupBy("m", "cid", "pos")
           .agg(sum("r").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
@@ -954,14 +1036,28 @@ object SimilarityQueries {
           .persist() // reused by R rounds + weights; dropped below
         val dist = "aggregate(zip_with(v, cv, (a, b) -> " +
           "(a - b) * (a - b)), 0L, (acc, z) -> acc + z)"
+        // ROW-LOCAL nearest-center pass (optimization r17, the q331
+        // shape): the center set rides as a ONE-ROW broadcast array
+        // and min-distance (and, for weights, the (dist asc, cid asc)
+        // argmin) computes inside each vector's row — no corpus×K
+        // intermediate rows, no per-pass exchange; identical values.
+        def cArr(cents: org.apache.spark.sql.DataFrame) =
+          cents.groupBy()
+            .agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+        val dminExpr =
+          """aggregate(
+             transform(cb, e -> aggregate(zip_with(v, e.cv,
+                 (a, b) -> (a - b) * (a - b)),
+               CAST(0 AS BIGINT), (s, z) -> s + z)),
+             CAST(9223372036854775807 AS BIGINT),
+             (acc, dd) -> CASE WHEN dd < acc THEN dd ELSE acc END)"""
         var centerIds = Seq(0L)
         val phis = scala.collection.mutable.ArrayBuffer[Long]()
         for (r <- 1 to 3) {
           val cents = n.filter(col("vec_id").isin(centerIds: _*))
             .selectExpr("vec_id AS cid", "v AS cv")
-          val dmin = n.crossJoin(broadcast(cents))
-            .selectExpr("vec_id", s"$dist AS dd")
-            .groupBy("vec_id").agg(min("dd").as("dmin"))
+          val dmin = n.crossJoin(broadcast(cArr(cents)))
+            .selectExpr("vec_id", s"($dminExpr) AS dmin")
             .persist()
           val phi = dmin.agg(sum("dmin")).head().getLong(0)
           phis += phi
@@ -989,13 +1085,22 @@ object SimilarityQueries {
         // coreset member (tie: lowest cid) — coreset-sized output
         val cents = n.filter(col("vec_id").isin(centerIds: _*))
           .selectExpr("vec_id AS cid", "v AS cv")
-        // argmin via min(struct(dd, cid)) == (dd asc, cid asc) — hash
-        // agg instead of Exchange+Sort window (optimization r17)
-        val wts = n.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "cid", s"$dist AS dd")
-          .groupBy("vec_id")
-          .agg(min(struct(col("dd"), col("cid"))).as("mn"))
-          .selectExpr("mn.cid AS cid")
+        // in-row (dd asc, cid asc) argmin — the q331 shape; identical
+        // selection to the former crossJoin + struct-min agg
+        val wts = n.crossJoin(broadcast(cArr(cents)))
+          .selectExpr("""aggregate(
+               transform(cb, e -> named_struct(
+                 'd', aggregate(zip_with(v, e.cv,
+                        (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS BIGINT), (s, z) -> s + z),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc AS cid""")
           .groupBy("cid").agg(count(lit(1)).as("wt"))
           .as[(Long, Long)].collect().toMap
         val cvs = n.filter(col("vec_id").isin(centerIds: _*))
@@ -1129,21 +1234,50 @@ object SimilarityQueries {
           .withColumn("m", expr(s"pos DIV $sub"))
         val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid)) — lexicographic struct
-          // min IS (dist asc, cid asc), identical row selection to the
-          // former row_number()==1 window but a hash agg instead of
-          // Exchange+Sort over corpus×M×K rows (optimization r17)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .groupBy("vec_id", "m")
-            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-            .selectExpr("vec_id", "m", "mn.cid AS cid")
-        }
+        // ROW-LOCAL assign (optimization r17, guide §2.4/§1.2): the
+        // model-sized codebook collapses to a ONE-ROW array
+        // (m, cid, cms[pos-ordered]) that rides a broadcast into a
+        // per-vector higher-order expression — argmin by (dist asc,
+        // cid asc) computed inside the row, no corpus×M×K join rows,
+        // no per-assign exchanges. Identical selection to the former
+        // join + min(struct(dist, cid)) aggregation (exact integer
+        // distances, explicit lexicographic tie-break).
+        def cbArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("m", "cid")
+            .agg(expr("transform(sort_array(collect_list(" +
+              "struct(pos, cm))), e -> e.cm)").as("cms"))
+            .groupBy()
+            .agg(collect_list(struct(col("m"), col("cid"),
+              col("cms"))).as("cb"))
+        val codesExpr =
+          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
+             aggregate(
+               transform(filter(cb, e -> e.m = mm), e -> named_struct(
+                 'd', aggregate(zip_with(
+                        slice(v, mm * $sub + 1, $sub), e.cms,
+                        (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS BIGINT), (s, z) -> s + z),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc)"""
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(cbArr(c)))
+            .selectExpr("vec_id",
+              s"posexplode($codesExpr) AS (m, cid)")
         // trained codebook: M*K*sub rows — ≤ 16384 at the K=256
-        // ceiling, model-sized at any corpus scale
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+        // ceiling, model-sized at any corpus scale. The update keeps
+        // the vector alongside its codes so the per-(m,cid,pos) means
+        // need no join back onto the long form.
+        val c1 = n.crossJoin(broadcast(cbArr(c0)))
+          .selectExpr("v", s"posexplode($codesExpr) AS (m, cid)")
+          .selectExpr("m", "cid",
+            s"posexplode(slice(v, m * $sub + 1, $sub)) AS (p, x)")
+          .selectExpr("m", "cid", s"m * $sub + p AS pos", "x")
           .groupBy("m", "cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
@@ -1294,19 +1428,42 @@ object SimilarityQueries {
           .withColumn("m", expr(s"pos DIV $sub"))
         val c0 = longF.filter(col("vec_id") < 8)
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid)) — lexicographic struct
-          // min IS (dist asc, cid asc), identical row selection to the
-          // former row_number()==1 window but a hash agg instead of
-          // Exchange+Sort over corpus×M×K rows (optimization r17)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .groupBy("vec_id", "m")
-            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-            .selectExpr("vec_id", "m", "mn.cid AS cid")
-        }
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+        // ROW-LOCAL assign (optimization r17, the q331 shape): one-row
+        // broadcast codebook array, in-row (dist asc, cid asc) argmin —
+        // no corpus×M×K join rows, no per-assign exchanges; identical
+        // selection to the former join + struct-min agg.
+        def cbArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("m", "cid")
+            .agg(expr("transform(sort_array(collect_list(" +
+              "struct(pos, cm))), e -> e.cm)").as("cms"))
+            .groupBy()
+            .agg(collect_list(struct(col("m"), col("cid"),
+              col("cms"))).as("cb"))
+        val codesExpr =
+          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
+             aggregate(
+               transform(filter(cb, e -> e.m = mm), e -> named_struct(
+                 'd', aggregate(zip_with(
+                        slice(v, mm * $sub + 1, $sub), e.cms,
+                        (a, b) -> (a - b) * (a - b)),
+                      CAST(0 AS BIGINT), (s, z) -> s + z),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc)"""
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(cbArr(c)))
+            .selectExpr("vec_id",
+              s"posexplode($codesExpr) AS (m, cid)")
+        val c1 = n.crossJoin(broadcast(cbArr(c0)))
+          .selectExpr("v", s"posexplode($codesExpr) AS (m, cid)")
+          .selectExpr("m", "cid",
+            s"posexplode(slice(v, m * $sub + 1, $sub)) AS (p, x)")
+          .selectExpr("m", "cid", s"m * $sub + p AS pos", "x")
           .groupBy("m", "cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
@@ -2221,19 +2378,47 @@ object SimilarityQueries {
             "element_at(pm, CAST(pos + 1 AS INT)) AS m")
         val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
           .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-        def assign(c: org.apache.spark.sql.DataFrame) = {
-          // argmin via min(struct(dist, cid)) — lexicographic struct
-          // min IS (dist asc, cid asc), identical row selection to the
-          // former row_number()==1 window but a hash agg instead of
-          // Exchange+Sort over corpus×M×K rows (optimization r17)
-          longF.join(broadcast(c), Seq("m", "pos"))
-            .groupBy("vec_id", "m", "cid")
-            .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-            .groupBy("vec_id", "m")
-            .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-            .selectExpr("vec_id", "m", "mn.cid AS cid")
-        }
-        val c1 = assign(c0).join(longF, Seq("vec_id", "m"))
+        // ROW-LOCAL assign (optimization r17, the q331 shape, with
+        // POSITION-CARRYING codebook entries because the OPQ
+        // permutation scatters a subspace's dims across v — each
+        // entry gathers its own positions via element_at instead of a
+        // contiguous slice). Identical (dist asc, cid asc) selection.
+        def cbArr(c: org.apache.spark.sql.DataFrame) =
+          c.groupBy("m", "cid")
+            .agg(expr("sort_array(collect_list(struct(pos, cm)))")
+              .as("pcs"))
+            .groupBy()
+            .agg(collect_list(struct(col("m"), col("cid"),
+              col("pcs"))).as("cb"))
+        val codesExpr =
+          s"""transform(sequence(0, ${mSub - 1}), mm ->
+             aggregate(
+               transform(filter(cb, e -> e.m = mm), e -> named_struct(
+                 'd', aggregate(e.pcs, CAST(0 AS BIGINT), (s, pc) ->
+                   s + (element_at(v, CAST(pc.pos + 1 AS INT))
+                          - pc.cm)
+                     * (element_at(v, CAST(pc.pos + 1 AS INT))
+                          - pc.cm)),
+                 'c', e.cid)),
+               named_struct(
+                 'bd', CAST(9223372036854775807 AS BIGINT),
+                 'bc', CAST(9223372036854775807 AS BIGINT)),
+               (acc, p) -> CASE WHEN p.d < acc.bd
+                   OR (p.d = acc.bd AND p.c < acc.bc)
+                 THEN named_struct('bd', p.d, 'bc', p.c)
+                 ELSE acc END).bc)"""
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          n.crossJoin(broadcast(cbArr(c)))
+            .selectExpr("vec_id",
+              s"posexplode($codesExpr) AS (m, cid)")
+        val c1 = n.crossJoin(broadcast(pm))
+          .crossJoin(broadcast(cbArr(c0)))
+          .selectExpr("v", "pm", s"$codesExpr AS codes")
+          .selectExpr("pm", "codes", "posexplode(v) AS (pos, x)")
+          .selectExpr("element_at(pm, CAST(pos + 1 AS INT)) AS m",
+            "codes", "pos", "x")
+          .selectExpr("m",
+            "element_at(codes, CAST(m + 1 AS INT)) AS cid", "pos", "x")
           .groupBy("m", "cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("c"))
           .selectExpr("m", "cid", "pos",
@@ -2315,17 +2500,42 @@ object SimilarityQueries {
       .withColumn("m", expr(s"pos DIV $sub"))
     val c0 = longF.join(broadcast(kdf), col("vec_id") < col("kk"))
       .selectExpr("m", "vec_id AS cid", "pos", "x AS cm")
-    def assign(c: org.apache.spark.sql.DataFrame) = {
-      // argmin via min(struct(dist, cid)) == (dist asc, cid asc) —
-      // hash agg instead of Exchange+Sort window (optimization r17)
-      longF.join(broadcast(c), Seq("m", "pos"))
-        .groupBy("vec_id", "m", "cid")
-        .agg(sum(expr("(x - cm) * (x - cm)")).as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-        .selectExpr("vec_id", "m", "mn.cid AS cid")
-    }
-    val c1 = reg(assign(c0).join(longF, Seq("vec_id", "m"))
+    // ROW-LOCAL assign (optimization r17, the q331 shape): one-row
+    // broadcast codebook array, in-row (dist asc, cid asc) argmin —
+    // no corpus×M×K join rows, no per-assign exchanges; identical
+    // selection to the former join + struct-min agg.
+    def cbArr(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy("m", "cid")
+        .agg(expr("transform(sort_array(collect_list(" +
+          "struct(pos, cm))), e -> e.cm)").as("cms"))
+        .groupBy()
+        .agg(collect_list(struct(col("m"), col("cid"),
+          col("cms"))).as("cb"))
+    val codesExpr =
+      s"""transform(sequence(0, ${64 / sub - 1}), mm ->
+         aggregate(
+           transform(filter(cb, e -> e.m = mm), e -> named_struct(
+             'd', aggregate(zip_with(
+                    slice(v, mm * $sub + 1, $sub), e.cms,
+                    (a, b) -> (a - b) * (a - b)),
+                  CAST(0 AS BIGINT), (s, z) -> s + z),
+             'c', e.cid)),
+           named_struct(
+             'bd', CAST(9223372036854775807 AS BIGINT),
+             'bc', CAST(9223372036854775807 AS BIGINT)),
+           (acc, p) -> CASE WHEN p.d < acc.bd
+               OR (p.d = acc.bd AND p.c < acc.bc)
+             THEN named_struct('bd', p.d, 'bc', p.c)
+             ELSE acc END).bc)"""
+    def assign(c: org.apache.spark.sql.DataFrame) =
+      n.crossJoin(broadcast(cbArr(c)))
+        .selectExpr("vec_id",
+          s"posexplode($codesExpr) AS (m, cid)")
+    val c1 = reg(n.crossJoin(broadcast(cbArr(c0)))
+      .selectExpr("v", s"posexplode($codesExpr) AS (m, cid)")
+      .selectExpr("m", "cid",
+        s"posexplode(slice(v, m * $sub + 1, $sub)) AS (p, x)")
+      .selectExpr("m", "cid", s"m * $sub + p AS pos", "x")
       .groupBy("m", "cid", "pos")
       .agg(sum("x").as("sx"), count(lit(1)).as("c"))
       .selectExpr("m", "cid", "pos",
