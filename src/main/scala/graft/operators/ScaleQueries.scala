@@ -701,10 +701,20 @@ object ScaleQueries {
             .mode("overwrite").saveAsTable(tbl)
           s.table(tbl)
         }
-        val o = bucketed("orders", Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority"), "o_orderkey")
-        val l = bucketed("lineitem", Tables.lineitem(s, d)
-          .select("l_orderkey", "l_extendedprice"), "l_orderkey")
+        // the two bucketed table materializations are independent
+        // sinks — write them CONCURRENTLY from driver threads (guide
+        // §2.6; optimization r17 — the lane's cost IS the write-time
+        // layout, so overlapping the two writes halves it)
+        val (o, l) = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fo = Future(bucketed("orders", Tables.orders(s, d)
+            .select("o_orderkey", "o_orderpriority"), "o_orderkey"))
+          val fl = Future(bucketed("lineitem", Tables.lineitem(s, d)
+            .select("l_orderkey", "l_extendedprice"), "l_orderkey"))
+          (Await.result(fo, scala.concurrent.duration.Duration.Inf),
+            Await.result(fl, scala.concurrent.duration.Duration.Inf))
+        }
         o.hint("merge")
           .join(l, o("o_orderkey") === l("l_orderkey"))
           .groupBy("o_orderpriority")
