@@ -147,10 +147,36 @@ object GraftFunctions {
     graft.plans.Hash60(args.head)
   }
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case x if x.foldable => String.valueOf(x.eval(null)).toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  private def argminL2Builder: Seq[Expression] => Expression = { args =>
+    require(args.size == 2, "graft_argmin_l2(v, cb)")
+    graft.plans.ArgminL2(args(0), args(1))
+  }
+
+  private def pqCodesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 3, "graft_pq_codes(v, cb, sub)")
+    graft.plans.PqCodes(args(0), args(1),
+      litInt(args(2), "graft_pq_codes sub"))
+  }
+
+  private def opqCodesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.size == 3, "graft_opq_codes(v, cb, msub)")
+    graft.plans.OpqCodes(args(0), args(1),
+      litInt(args(2), "graft_opq_codes msub"))
+  }
+
   /** (name, builder) for every injected function. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_toks" -> toksBuilder,
     "graft_hash60" -> hash60Builder,
+    "graft_argmin_l2" -> argminL2Builder,
+    "graft_pq_codes" -> pqCodesBuilder,
+    "graft_opq_codes" -> opqCodesBuilder,
     "graft_proto_name" -> fromTemplate(Formatters.protoName(Arg0)),
     "graft_ip_ntoa" -> fromTemplate(Formatters.ipNtoa(Arg0)),
     "graft_tcpflags" -> fromTemplate(Formatters.tcpFlagsDecode(Arg0)),

@@ -313,23 +313,14 @@ object SimilarityQueries {
         // (dist asc, cid asc) argmin runs inside each vector's row —
         // no corpus×K intermediate rows, no per-assign exchange;
         // identical selection to the former crossJoin + struct-min.
+        // r18: the argmin is the native graft_argmin_l2 kernel — one
+        // codegen'd node instead of the interpreted ~200-node HOF tree
+        // whose per-run parse/analyze/first-eval cost the cold bench
+        // billed (VERDICT r17 #1b); selection identical, PqKernelsSpec.
         def cArr(cents: org.apache.spark.sql.DataFrame) =
           cents.groupBy()
             .agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
-        val bestExpr =
-          """aggregate(
-             transform(cb, e -> named_struct(
-               'd', aggregate(zip_with(v, e.cv,
-                      (a, b) -> (a - b) * (a - b)),
-                    CAST(0 AS BIGINT), (s, z) -> s + z),
-               'c', e.cid)),
-             named_struct(
-               'bd', CAST(9223372036854775807 AS BIGINT),
-               'bc', CAST(9223372036854775807 AS BIGINT)),
-             (acc, p) -> CASE WHEN p.d < acc.bd
-                 OR (p.d = acc.bd AND p.c < acc.bc)
-               THEN named_struct('bd', p.d, 'bc', p.c)
-               ELSE acc END)"""
+        val bestExpr = "graft_argmin_l2(v, cb)"
         def assign(cents: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(cArr(cents)))
             .selectExpr("vec_id", "v", s"($bestExpr) AS mn")
@@ -502,6 +493,11 @@ object SimilarityQueries {
         // and the (dist asc, cid asc) argmin runs inside each vector's
         // row — no corpus×M×K join rows, no per-assign exchanges;
         // identical selection to the former join + struct-min agg.
+        // r18: the per-subspace argmin is the native graft_pq_codes
+        // kernel — one codegen'd node instead of the interpreted
+        // ~200-node HOF tree whose per-run parse/analyze/first-eval
+        // cost the cold bench billed (VERDICT r17 #1b); selection
+        // identical, PqKernelsSpec.
         def cbArr(c: org.apache.spark.sql.DataFrame) =
           c.groupBy("m", "cid")
             .agg(expr("transform(sort_array(collect_list(" +
@@ -509,22 +505,7 @@ object SimilarityQueries {
             .groupBy()
             .agg(collect_list(struct(col("m"), col("cid"),
               col("cms"))).as("cb"))
-        val codesExpr =
-          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
-             aggregate(
-               transform(filter(cb, e -> e.m = mm), e -> named_struct(
-                 'd', aggregate(zip_with(
-                        slice(v, mm * $sub + 1, $sub), e.cms,
-                        (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS BIGINT), (s, z) -> s + z),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc)"""
+        val codesExpr = s"graft_pq_codes(v, cb, $sub)"
         def assign(c: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(cbArr(c)))
             .selectExpr("vec_id",
@@ -684,7 +665,9 @@ object SimilarityQueries {
         // the 4-cell codebook collapses to a ONE-ROW broadcast array
         // and the (dist asc, cell asc) argmin runs inside each
         // vector's row — identical selection to the former join +
-        // struct-min agg.
+        // struct-min agg. r18: native graft_argmin_l2 kernel instead
+        // of the interpreted HOF tree (VERDICT r17 #1b/#5); selection
+        // identical, PqKernelsSpec.
         def ccArr(c: org.apache.spark.sql.DataFrame) =
           c.groupBy("cell")
             .agg(expr("transform(sort_array(collect_list(" +
@@ -692,20 +675,7 @@ object SimilarityQueries {
             .groupBy()
             .agg(collect_list(struct(col("cell"), col("cms")))
               .as("ccb"))
-        val cellExpr =
-          """aggregate(
-             transform(ccb, e -> named_struct(
-               'd', aggregate(zip_with(v, e.cms,
-                      (a, b) -> (a - b) * (a - b)),
-                    CAST(0 AS BIGINT), (s, z) -> s + z),
-               'c', e.cell)),
-             named_struct(
-               'bd', CAST(9223372036854775807 AS BIGINT),
-               'bc', CAST(9223372036854775807 AS BIGINT)),
-             (acc, p) -> CASE WHEN p.d < acc.bd
-                 OR (p.d = acc.bd AND p.c < acc.bc)
-               THEN named_struct('bd', p.d, 'bc', p.c)
-               ELSE acc END).bc"""
+        val cellExpr = "graft_argmin_l2(v, ccb).bc"
         def assignCell(c: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(ccArr(c)))
             .selectExpr("vec_id", s"($cellExpr) AS cell")
@@ -734,22 +704,7 @@ object SimilarityQueries {
             .groupBy()
             .agg(collect_list(struct(col("m"), col("cid"),
               col("cms"))).as("cb"))
-        val pqExpr =
-          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
-             aggregate(
-               transform(filter(cb, e -> e.m = mm), e -> named_struct(
-                 'd', aggregate(zip_with(
-                        slice(rv, mm * $sub + 1, $sub), e.cms,
-                        (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS BIGINT), (s, z) -> s + z),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc)"""
+        val pqExpr = s"graft_pq_codes(rv, cb, $sub)"
         def assignPq(c: org.apache.spark.sql.DataFrame) =
           rvDf.crossJoin(broadcast(pqArr(c)))
             .selectExpr("vec_id", "cell",
@@ -1041,16 +996,13 @@ object SimilarityQueries {
         // and min-distance (and, for weights, the (dist asc, cid asc)
         // argmin) computes inside each vector's row — no corpus×K
         // intermediate rows, no per-pass exchange; identical values.
+        // r18: native graft_argmin_l2 kernel instead of the
+        // interpreted HOF tree (VERDICT r17 #1b) — the kernel's bd IS
+        // the min distance; selection identical, PqKernelsSpec.
         def cArr(cents: org.apache.spark.sql.DataFrame) =
           cents.groupBy()
             .agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
-        val dminExpr =
-          """aggregate(
-             transform(cb, e -> aggregate(zip_with(v, e.cv,
-                 (a, b) -> (a - b) * (a - b)),
-               CAST(0 AS BIGINT), (s, z) -> s + z)),
-             CAST(9223372036854775807 AS BIGINT),
-             (acc, dd) -> CASE WHEN dd < acc THEN dd ELSE acc END)"""
+        val dminExpr = "graft_argmin_l2(v, cb).bd"
         var centerIds = Seq(0L)
         val phis = scala.collection.mutable.ArrayBuffer[Long]()
         for (r <- 1 to 3) {
@@ -1088,19 +1040,7 @@ object SimilarityQueries {
         // in-row (dd asc, cid asc) argmin — the q331 shape; identical
         // selection to the former crossJoin + struct-min agg
         val wts = n.crossJoin(broadcast(cArr(cents)))
-          .selectExpr("""aggregate(
-               transform(cb, e -> named_struct(
-                 'd', aggregate(zip_with(v, e.cv,
-                        (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS BIGINT), (s, z) -> s + z),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc AS cid""")
+          .selectExpr("graft_argmin_l2(v, cb).bc AS cid")
           .groupBy("cid").agg(count(lit(1)).as("wt"))
           .as[(Long, Long)].collect().toMap
         val cvs = n.filter(col("vec_id").isin(centerIds: _*))
@@ -1249,22 +1189,7 @@ object SimilarityQueries {
             .groupBy()
             .agg(collect_list(struct(col("m"), col("cid"),
               col("cms"))).as("cb"))
-        val codesExpr =
-          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
-             aggregate(
-               transform(filter(cb, e -> e.m = mm), e -> named_struct(
-                 'd', aggregate(zip_with(
-                        slice(v, mm * $sub + 1, $sub), e.cms,
-                        (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS BIGINT), (s, z) -> s + z),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc)"""
+        val codesExpr = s"graft_pq_codes(v, cb, $sub)"
         def assign(c: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(cbArr(c)))
             .selectExpr("vec_id",
@@ -1439,22 +1364,7 @@ object SimilarityQueries {
             .groupBy()
             .agg(collect_list(struct(col("m"), col("cid"),
               col("cms"))).as("cb"))
-        val codesExpr =
-          s"""transform(sequence(0, ${64 / sub - 1}), mm ->
-             aggregate(
-               transform(filter(cb, e -> e.m = mm), e -> named_struct(
-                 'd', aggregate(zip_with(
-                        slice(v, mm * $sub + 1, $sub), e.cms,
-                        (a, b) -> (a - b) * (a - b)),
-                      CAST(0 AS BIGINT), (s, z) -> s + z),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc)"""
+        val codesExpr = s"graft_pq_codes(v, cb, $sub)"
         def assign(c: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(cbArr(c)))
             .selectExpr("vec_id",
@@ -2381,32 +2291,20 @@ object SimilarityQueries {
         // ROW-LOCAL assign (optimization r17, the q331 shape, with
         // POSITION-CARRYING codebook entries because the OPQ
         // permutation scatters a subspace's dims across v — each
-        // entry gathers its own positions via element_at instead of a
-        // contiguous slice). Identical (dist asc, cid asc) selection.
+        // entry gathers its own positions instead of a contiguous
+        // slice). Identical (dist asc, cid asc) selection. r18: native
+        // graft_opq_codes kernel instead of the interpreted HOF tree
+        // (VERDICT r17 #1b); the m cast only normalizes the broadcast
+        // struct for the kernel (subspace ids are 0..3 either way).
         def cbArr(c: org.apache.spark.sql.DataFrame) =
           c.groupBy("m", "cid")
             .agg(expr("sort_array(collect_list(struct(pos, cm)))")
               .as("pcs"))
             .groupBy()
-            .agg(collect_list(struct(col("m"), col("cid"),
+            .agg(collect_list(struct(
+              col("m").cast("long").as("m"), col("cid"),
               col("pcs"))).as("cb"))
-        val codesExpr =
-          s"""transform(sequence(0, ${mSub - 1}), mm ->
-             aggregate(
-               transform(filter(cb, e -> e.m = mm), e -> named_struct(
-                 'd', aggregate(e.pcs, CAST(0 AS BIGINT), (s, pc) ->
-                   s + (element_at(v, CAST(pc.pos + 1 AS INT))
-                          - pc.cm)
-                     * (element_at(v, CAST(pc.pos + 1 AS INT))
-                          - pc.cm)),
-                 'c', e.cid)),
-               named_struct(
-                 'bd', CAST(9223372036854775807 AS BIGINT),
-                 'bc', CAST(9223372036854775807 AS BIGINT)),
-               (acc, p) -> CASE WHEN p.d < acc.bd
-                   OR (p.d = acc.bd AND p.c < acc.bc)
-                 THEN named_struct('bd', p.d, 'bc', p.c)
-                 ELSE acc END).bc)"""
+        val codesExpr = s"graft_opq_codes(v, cb, $mSub)"
         def assign(c: org.apache.spark.sql.DataFrame) =
           n.crossJoin(broadcast(cbArr(c)))
             .selectExpr("vec_id",
@@ -2511,22 +2409,7 @@ object SimilarityQueries {
         .groupBy()
         .agg(collect_list(struct(col("m"), col("cid"),
           col("cms"))).as("cb"))
-    val codesExpr =
-      s"""transform(sequence(0, ${64 / sub - 1}), mm ->
-         aggregate(
-           transform(filter(cb, e -> e.m = mm), e -> named_struct(
-             'd', aggregate(zip_with(
-                    slice(v, mm * $sub + 1, $sub), e.cms,
-                    (a, b) -> (a - b) * (a - b)),
-                  CAST(0 AS BIGINT), (s, z) -> s + z),
-             'c', e.cid)),
-           named_struct(
-             'bd', CAST(9223372036854775807 AS BIGINT),
-             'bc', CAST(9223372036854775807 AS BIGINT)),
-           (acc, p) -> CASE WHEN p.d < acc.bd
-               OR (p.d = acc.bd AND p.c < acc.bc)
-             THEN named_struct('bd', p.d, 'bc', p.c)
-             ELSE acc END).bc)"""
+    val codesExpr = s"graft_pq_codes(v, cb, $sub)"
     def assign(c: org.apache.spark.sql.DataFrame) =
       n.crossJoin(broadcast(cbArr(c)))
         .selectExpr("vec_id",
