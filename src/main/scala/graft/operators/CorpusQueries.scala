@@ -984,21 +984,45 @@ object CorpusQueries {
           // crawls and full-batch GD oscillates for any usable step
           .persist() // one row per doc: 10 small ints
         val n = feats.count()
+        // r18: the 24 epoch plans re-analyzed/optimized feats' FULL
+        // featurize lineage every epoch (the execution hit the cache,
+        // but Catalyst walked the whole tree 24x — the lane's cold
+        // driver gap). Rooting the epoch loop at the persisted RDD
+        // truncates each epoch plan to scan+project+agg; same rows,
+        // same cache, no recomputation.
+        val featsR = s.createDataFrame(feats.rdd, feats.schema)
         var w = Array.fill(dims + 1)(0L) // 1e6-scaled
+        // Lane-local, restored below: each epoch is one no-key partial
+        // +final agg whose shape AQE cannot improve (1-row output), but
+        // AQE turns every epoch action into two scheduled jobs with a
+        // driver round-trip between — 24 extra round-trips per run.
+        val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // r18 (VERDICT r17 #4): the weight vector rides into each epoch
+        // as a ONE-ROW broadcast array instead of per-epoch literals.
+        // The arithmetic is identical (x_j * wv[j+1] on the same
+        // longs), but the epoch plan — and therefore its generated
+        // code — is now IDENTICAL across all 24 epochs, so janino
+        // compiles it once and the codegen cache serves the rest
+        // (per-epoch literals made every epoch a distinct compilation
+        // unit: LaneProfile cold 7.9 s vs warm 3.2 s was codegen).
+        val z = (0 to dims).map(j =>
+          s"x$j * element_at(wv, ${j + 1})").mkString(" + ")
+        val gSel = (s"CAST(floor(1000000.0 * (y - 1.0 / (1.0 + " +
+          s"exp(-($z) / 1000000.0)))) AS BIGINT) AS r") +:
+          (0 to dims).map(j => s"x$j")
         for (_ <- 1 to epochs) {
-          val z = (0 to dims).map(j => s"x$j * ${w(j)}L")
-            .mkString(" + ")
+          val wdf = Seq(Tuple1(w.toSeq)).toDF("wv")
           // integer residual: floor(1e6 * (y - sigmoid(z / 1e6)))
-          val g = feats.selectExpr(
-            (s"CAST(floor(1000000.0 * (y - 1.0 / (1.0 + " +
-              s"exp(-($z) / 1000000.0)))) AS BIGINT) AS r") +:
-              (0 to dims).map(j => s"x$j"): _*)
+          val g = featsR.crossJoin(broadcast(wdf))
+            .selectExpr(gSel: _*)
             .selectExpr((0 to dims).map(j =>
               s"CAST(sum(x$j * r) AS BIGINT) AS g$j"): _*)
             .head()
           w = (0 to dims).map(j => w(j) +
             math.floor(g.getLong(j) / (lr2.toDouble * n)).toLong).toArray
         }
+        s.conf.set("spark.sql.adaptive.enabled", aqePrev)
         val zf = (0 to dims).map(j => s"x$j * ${w(j)}L").mkString(" + ")
         val acc = feats.selectExpr("source", "y",
             s"CASE WHEN ($zf) > 0 THEN 1L ELSE 0L END AS yhat")
