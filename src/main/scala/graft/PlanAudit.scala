@@ -82,6 +82,55 @@ object PlanAudit {
                                // alloc/codebook caches
   )
 
+  /** Row-local PQ/k-means lanes whose BNLJ waiver is structurally
+    * pinned: every nested-loop build side must resolve to a global
+    * (no-grouping-key) aggregate — the one-row broadcast codebook /
+    * scalar-model shape — or driver literals. q338/q116 stay on the
+    * plain allowlist: their model frames are small KEYED aggregates
+    * (4 cells / √N centroids), a different documented shape. */
+  val bnljGlobalBuildPinned: Set[String] = Set(
+    "q266_pq_adc", "q286_ivf_pq", "q331_pq_scaled_k",
+    "q335_pq_rerank", "q339_pq_scaled_rerank", "q343_opq_permutation")
+
+  /** All BroadcastNestedLoopJoin nodes, recursing through AQE wrappers. */
+  def bnljNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      bnljNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      bnljNodes(q.plan)
+    case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec =>
+      b +: b.children.flatMap(bnljNodes)
+    case other => other.children.flatMap(bnljNodes)
+  }
+
+  /** True iff a BNLJ build-side subtree is the model shape: unwraps
+    * exchanges / codegen / AQE wrappers / projections down to the
+    * first substantive node, which must be a global aggregate (the
+    * one-row collect_list codebook), driver literals, or a reuse of
+    * an exchange already built elsewhere in the same plan. */
+  def isModelBuild(p: org.apache.spark.sql.execution.SparkPlan)
+      : Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case e: exchange.BroadcastExchangeExec => isModelBuild(e.child)
+      case _: exchange.ReusedExchangeExec => true
+      case w: WholeStageCodegenExec => isModelBuild(w.child)
+      case i: InputAdapter => isModelBuild(i.child)
+      case q: adaptive.QueryStageExec => isModelBuild(q.plan)
+      case a: adaptive.AdaptiveSparkPlanExec => isModelBuild(a.executedPlan)
+      case pr: ProjectExec => isModelBuild(pr.child)
+      case h: aggregate.HashAggregateExec => h.groupingExpressions.isEmpty
+      case o: aggregate.ObjectHashAggregateExec =>
+        o.groupingExpressions.isEmpty
+      case sa: aggregate.SortAggregateExec => sa.groupingExpressions.isEmpty
+      case _: LocalTableScanExec => true
+      case _ => false
+    }
+  }
+
   /** Verification harnesses that UNION several independently
     * aggregated branches (a parameter sweep, a multi-lane
     * reconciliation): each leg pays its own partial-agg exchange, so
@@ -235,6 +284,22 @@ object PlanAudit {
         // a broadcast nested loop over a model-sized panel is cheaper
         // than any shuffle; a PILE of them deserves a real audit
         if (bnlj > 2 && !bnljAllowed(n)) flags += s"BNLJ x$bnlj"
+        // r18 (VERDICT r17 #3): the row-local PQ lanes' allowlisting is
+        // additionally PINNED structurally — every BNLJ build side in
+        // those plans must be a GLOBAL (no-grouping-key) aggregate,
+        // i.e. the one-row collect_list codebook / 1-row scalar model.
+        // A future corpus-sized BNLJ sneaking into these lanes now
+        // flags instead of riding the lane waiver.
+        if (bnljGlobalBuildPinned(n)) {
+          val bad = bnljNodes(df.queryExecution.executedPlan)
+            .filterNot(b => isModelBuild(b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                b.left
+              case _ => b.right
+            }))
+          if (bad.nonEmpty)
+            flags += s"BNLJ_BUILD not a global agg x${bad.size}"
+        }
         if (ex > exchangeCeiling && !iterativeLanes(n) &&
           !multiBranchAllowed(n))
           flags += s"EXCHANGES $ex"

@@ -161,6 +161,29 @@ class PqKernelsSpec extends AnyFunSuite {
     assert(!rows.exists(_._3.contains(2L)), "tie picked higher cid")
   }
 
+  test("PlanAudit BNLJ pin: global-agg build passes, corpus build flags") {
+    // the pinned shape: crossJoin of a ONE-ROW global collect_list agg
+    val n = vecs(50, 5).toDF("vec_id", "v")
+    val good = n.crossJoin(broadcast(pqCb))
+    val goodB = PlanAudit.bnljNodes(good.queryExecution.executedPlan)
+    assert(goodB.nonEmpty, "expected a BNLJ in the crossJoin plan")
+    assert(goodB.forall(b => PlanAudit.isModelBuild(
+      b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      })), "one-row global-agg build must satisfy the pin")
+    // the shape the pin must CATCH: a nested loop whose build side is
+    // a raw (non-aggregated) frame — a corpus-sized build at scale
+    val bad = n.crossJoin(broadcast(spark.range(3).toDF("cid")))
+    val badB = PlanAudit.bnljNodes(bad.queryExecution.executedPlan)
+    assert(badB.nonEmpty, "expected a BNLJ in the bad plan")
+    assert(badB.exists(b => !PlanAudit.isModelBuild(
+      b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      })), "non-aggregate build must NOT satisfy the pin")
+  }
+
   test("null vector/codebook propagates null") {
     val r = Seq((1L)).toDF("vec_id")
       .selectExpr("CAST(NULL AS ARRAY<BIGINT>) AS v")
